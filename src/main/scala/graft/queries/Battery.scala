@@ -1,0 +1,433 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The engine's query surface exercised as named queries over the driver's
+ * test tables (TESTDATA.md), one per operator family of SURVEY.md §2, each
+ * paired with ANSI SQL the driver replays in DuckDB (the t2 correctness
+ * gate).
+ *
+ * Determinism rules (hash-compare survival):
+ *  - every double aggregate is ROUNDed (2-4 dp) in BOTH engines — double
+ *    summation order differs between Spark partial aggregation and DuckDB;
+ *  - integer sums are cast to BIGINT in SQL (DuckDB SUM(int) yields
+ *    HUGEINT, Spark yields LONG);
+ *  - aggregate/computed columns carry identical aliases on both sides (the
+ *    driver sorts columns by name before hashing);
+ *  - no raw floats, no approximate sketches in oracle-checked queries.
+ *
+ * Scale notes are per-query scaladoc: which side broadcasts, where the
+ * shuffles are, what survives 1000 executors × 100 TB.
+ */
+object Battery {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects. With `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    * Verify/Bench) it arrives as a LongType of nanoseconds — convert to a
+    * proper timestamp (µs precision; sub-µs truncation is irrelevant for
+    * windowed aggregation). */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => df
+    }
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------
+  // Aggregations (A1-A5)
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q1 shape: scan-heavy partial agg; map-side combine keeps the
+    * shuffle at |groups| regardless of input scale. */
+  val q01Agg: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+      |  ROUND(AVG(l_discount), 4) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6 shape: tight filter + 2-column projection — both must reach
+    * the parquet scan (PushedFilters + pruned ReadSchema). */
+  val q02FilterPushdown: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
+  val q02Sql: String =
+    """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Conditional aggregation (A1 observe-counters analog): one pass, no
+    * extra scan per counter. */
+  val q03CondAgg: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_totalprice") > 200000, 1).otherwise(0)).as("n_big"),
+        count(lit(1)).as("n_all"))
+
+  val q03Sql: String =
+    """SELECT CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      |  COUNT(*) AS n_all
+      |FROM orders""".stripMargin
+
+  /** A4: distinct over a pair of keys. */
+  val q04Distinct: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .select("c_mktsegment", "c_nationkey").distinct()
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_nations"))
+
+  val q04Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_nations
+      |FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Joins (J1-J9)
+  // ---------------------------------------------------------------------
+
+  /** J8/J9 analog: two-hop broadcast dimension join — dims are broadcast,
+    * the fact side never shuffles. */
+  val q05BroadcastJoin: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("sum_acctbal"))
+
+  val q05Sql: String =
+    """SELECT r_name, COUNT(*) AS n_customers,
+      |  ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** J2-style fact-to-fact equi-join: shuffles both sides on the key; AQE
+    * coalesces post-shuffle partitions at runtime. */
+  val q06ShuffleJoin: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val q06Sql: String =
+    """SELECT o_orderpriority,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q5 shape: multi-way join mixing broadcast (dims) and shuffle
+    * (facts), with the n_nationkey = s_nationkey co-location predicate. */
+  val q07MultiJoin: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  val q07Sql: String =
+    """SELECT n_name,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** J6 analog (existence): left-semi join — customers having a big order. */
+  val q08SemiJoin: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+
+  val q08Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer WHERE EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** J6/J4 novelty analog: left-anti join — customers with no urgent order
+    * (the dedup "new rows" split). */
+  val q09AntiJoin: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+
+  val q09Sql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_customers
+      |FROM customer WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey""".stripMargin
+
+  /** J4: null-safe (<=>) join keys — the reference's null≡"" dedup
+    * convention (rgdcore:Utils.stringsAreEqual; HrdpVariants.java:412,438).
+    * Null keys are manufactured with NULLIF since the test tables are
+    * null-free. */
+  val q10NullSafeJoin: Q = (s, dir) => {
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), nullif(col("p_size"), lit(25)).as("k"))
+    val su = t(s, dir, "supplier")
+      .select(nullif(col("s_nationkey") % 30, lit(25)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_sup"))
+    p.join(su, p("k") <=> su("k"), "left")
+      .groupBy(coalesce(col("n_sup"), lit(0)).as("n_sup"))
+      .agg(count(lit(1)).as("n_parts"))
+  }
+
+  val q10Sql: String =
+    """SELECT COALESCE(n_sup, 0) AS n_sup, COUNT(*) AS n_parts
+      |FROM (SELECT p_partkey, NULLIF(p_size, 25) AS k FROM part) p
+      |LEFT JOIN (
+      |  SELECT NULLIF(s_nationkey % 30, 25) AS k, COUNT(*) AS n_sup
+      |  FROM supplier GROUP BY 1) s
+      |ON p.k IS NOT DISTINCT FROM s.k
+      |GROUP BY 1""".stripMargin
+
+  /** J1 (the signature operator): interval/range join — lineitem quantity
+    * probing part-size intervals, the genic-overlap shape. Broadcast the
+    * small interval side; the big side streams through. */
+  val q11RangeJoin: Q = (s, dir) => {
+    val p = t(s, dir, "part").select(
+      col("p_partkey").as("pk"),
+      (col("p_size") - 2).cast("double").as("lo"),
+      (col("p_size") + 2).cast("double").as("hi"))
+    t(s, dir, "lineitem")
+      .join(broadcast(p),
+        col("l_partkey") === col("pk") &&
+          col("l_quantity").between(col("lo"), col("hi")))
+      .agg(count(lit(1)).as("n_in_range"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+  }
+
+  val q11Sql: String =
+    """SELECT COUNT(*) AS n_in_range,
+      |  ROUND(SUM(l_extendedprice), 2) AS sum_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  AND l_quantity BETWEEN p_size - 2 AND p_size + 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Window / sort / limit / set ops (W1-W2, O1, U1, L1)
+  // ---------------------------------------------------------------------
+
+  /** W2 analog: rank-per-group (top-3 orders per customer) + lag delta. */
+  val q12Window: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_price",
+        round(coalesce(lag("o_totalprice", 1).over(w), lit(0.0)), 2))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("prev_price"))
+  }
+
+  val q12Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, ROUND(o_totalprice, 2) AS price,
+      |  prev_price
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    ROUND(COALESCE(LAG(o_totalprice, 1) OVER w, 0.0), 2) AS prev_price
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE rn <= 3""".stripMargin
+
+  /** L1 + O1: global top-k — Spark plans TakeOrderedAndProject (no full
+    * sort shuffle); ties broken on the key for determinism. */
+  val q13TopK: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+
+  val q13Sql: String =
+    """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** U1: UNION ALL of two branches (the variant ∪ variant_ext shape) then
+    * re-aggregated. */
+  val q14Union: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val big = o.filter(col("o_totalprice") > 250000)
+      .select(col("o_orderstatus"), lit("big").as("bucket"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderstatus"), lit("urgent").as("bucket"))
+    big.unionByName(urgent)
+      .groupBy("o_orderstatus", "bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q14Sql: String =
+    """SELECT o_orderstatus, bucket, COUNT(*) AS n FROM (
+      |  SELECT o_orderstatus, 'big' AS bucket FROM orders
+      |    WHERE o_totalprice > 250000
+      |  UNION ALL
+      |  SELECT o_orderstatus, 'urgent' AS bucket FROM orders
+      |    WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY o_orderstatus, bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Generator / scalar-kernel shapes (§2.8, P7, §2.7)
+  // ---------------------------------------------------------------------
+
+  /** §2.8 analog: posexplode of a split string — the multi-allelic
+    * expansion shape — then word frequency. */
+  val q15Explode: Q = (s, dir) =>
+    t(s, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+
+  val q15Sql: String =
+    """SELECT word, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+      |GROUP BY 1""".stripMargin
+
+  /** P7 analog: a when/otherwise classification chain over two measures —
+    * same decision-tree shape as variant typing, kept fully in codegen. */
+  val q16CaseChain: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .withColumn("li_class",
+        when(col("l_quantity") === 1, "single")
+          .when(col("l_quantity") < 10 && col("l_discount") > 0.05, "small_disc")
+          .when(col("l_quantity") < 10, "small")
+          .when(col("l_quantity") < 30, "medium")
+          .otherwise("bulk"))
+      .groupBy("li_class")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+
+  val q16Sql: String =
+    """SELECT CASE
+      |    WHEN l_quantity = 1 THEN 'single'
+      |    WHEN l_quantity < 10 AND l_discount > 0.05 THEN 'small_disc'
+      |    WHEN l_quantity < 10 THEN 'small'
+      |    WHEN l_quantity < 30 THEN 'medium'
+      |    ELSE 'bulk' END AS li_class,
+      |  COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** §2.7 analog: the zygosity threshold ladder (100/85/15) applied to a
+    * percent derived from two columns — identical CASE semantics. */
+  val q17Thresholds: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .withColumn("pct", round(col("l_discount") * 1000).cast("int"))
+      .withColumn("status",
+        when(col("pct") >= 100, "homozygous")
+          .when(col("pct") >= 85, "possibly homozygous")
+          .otherwise("heterozygous"))
+      .withColumn("poss_error", when(col("pct") <= 15, "Y").otherwise("N"))
+      .groupBy("status", "poss_error")
+      .agg(count(lit(1)).as("n"))
+
+  val q17Sql: String =
+    """SELECT CASE WHEN pct >= 100 THEN 'homozygous'
+      |    WHEN pct >= 85 THEN 'possibly homozygous'
+      |    ELSE 'heterozygous' END AS status,
+      |  CASE WHEN pct <= 15 THEN 'Y' ELSE 'N' END AS poss_error,
+      |  COUNT(*) AS n
+      |FROM (SELECT CAST(ROUND(l_discount * 1000) AS INT) AS pct FROM lineitem)
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Time-series (events) — extended surface
+  // ---------------------------------------------------------------------
+
+  /** Tumbling 1-hour window aggregation (streaming-compatible shape). */
+  val q18Tumbling: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+
+  val q18Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------
+
+  /** name → (query, oracle SQL if DuckDB-expressible). */
+  val entries: Seq[(String, (Q, Option[String]))] = Seq(
+    "q01_agg" -> (q01Agg, Some(q01Sql)),
+    "q02_filter_pushdown" -> (q02FilterPushdown, Some(q02Sql)),
+    "q03_cond_agg" -> (q03CondAgg, Some(q03Sql)),
+    "q04_distinct" -> (q04Distinct, Some(q04Sql)),
+    "q05_broadcast_join" -> (q05BroadcastJoin, Some(q05Sql)),
+    "q06_shuffle_join" -> (q06ShuffleJoin, Some(q06Sql)),
+    "q07_multi_join" -> (q07MultiJoin, Some(q07Sql)),
+    "q08_semi_join" -> (q08SemiJoin, Some(q08Sql)),
+    "q09_anti_join" -> (q09AntiJoin, Some(q09Sql)),
+    "q10_null_safe_join" -> (q10NullSafeJoin, Some(q10Sql)),
+    "q11_range_join" -> (q11RangeJoin, Some(q11Sql)),
+    "q12_window" -> (q12Window, Some(q12Sql)),
+    "q13_top_k" -> (q13TopK, Some(q13Sql)),
+    "q14_union" -> (q14Union, Some(q14Sql)),
+    "q15_explode" -> (q15Explode, Some(q15Sql)),
+    "q16_case_chain" -> (q16CaseChain, Some(q16Sql)),
+    "q17_thresholds" -> (q17Thresholds, Some(q17Sql)),
+    "q18_tumbling" -> (q18Tumbling, Some(q18Sql)))
+
+  def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
+
+  def oracleSql: Map[String, String] =
+    entries.collect { case (k, (_, Some(sql))) => k -> sql }.toMap
+}
