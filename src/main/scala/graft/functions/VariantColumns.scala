@@ -39,8 +39,11 @@ object VariantColumns {
    * @return struct(start_pos, end_pos, ref_nuc, var_nuc, padding_base,
    *         variant_type)
    */
+  def normalizeAllele(pos: Column, ref: Column, alt: Column): Column =
+    normalizeAllele(pos, ref, alt, lit("snv"))
+
   def normalizeAllele(pos: Column, ref: Column, alt: Column,
-      snvLabel: String = "snv"): Column = {
+      snvLabel: Column): Column = {
     val p      = pos.cast(LongType)
     val refLen = length(ref).cast(LongType)
     val altLen = length(alt).cast(LongType)
@@ -72,7 +75,7 @@ object VariantColumns {
     .when(refLen === altLen && refLen > 1,
       res(p, p + refLen, ref, alt, nullS, lit("mnv")))
     .when(refLen === altLen,
-      res(p, p + 1, ref, alt, nullS, lit(snvLabel)))
+      res(p, p + 1, ref, alt, nullS, snvLabel))
     .when(refLen > altLen,
       res(p, p + refLen, ref, alt, nullS, lit("delins")))
     .otherwise(

@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.functions.VariantColumns
+import graft.model.LoadConfig
+import graft.sources.VcfSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The `--runLoad` pipeline (SURVEY.md §3 E1, HrdpVariants.java:33-134)
+ * re-expressed as one declarative Spark plan. Where the reference makes ≥3
+ * blocking JDBC round trips per VCF record (locus lookup, per-sample
+ * existence count, per-novel-variant ID mint — BASELINE.md), this plan
+ * makes zero: the existing store is read once as a snapshot and every
+ * per-record probe becomes a set-level join.
+ *
+ * Stages (operator ids refer to SURVEY.md §2):
+ *   S1-S3 source → P1-P6 normalize record → P8 zero-depth gate →
+ *   §2.8 multi-allelic explode → P7 allele normalization → J1 genic
+ *   classification → J4 dedup vs snapshot (null-safe keys) → W2 id mint →
+ *   J7 sample melt → P9-P11 genotype filters → §2.7 zygosity → J6 detail
+ *   anti-join.
+ *
+ * Scale design (100 TB): the only shuffles are the J4 dedup join (keyed on
+ * (chromosome, start_pos, ref, var) — co-partitionable with the snapshot)
+ * and the W2 per-chromosome id assignment. The gene dimension broadcasts.
+ * ID minting is deterministic WITHOUT a global single-partition sort:
+ * row_number is computed per chromosome partition and offset by a
+ * driver-side prefix sum over the tiny per-chromosome count map.
+ */
+object VariantLoader {
+
+  /** Column set of the denormalized variant output (variant ⋈
+    * variant_map_data, SURVEY.md §1.1). */
+  val variantCols: Seq[String] = Seq(
+    "rgd_id", "chromosome", "start_pos", "end_pos", "ref_nuc", "var_nuc",
+    "variant_type", "padding_base", "rs_id", "genic_status", "map_key",
+    "species_type_key")
+
+  final case class LoadResult(
+      /** all variants of this load (existing + new), denormalized */
+      variants: DataFrame,
+      /** only the novel ones (what the reference batch-inserts, K2-K4) */
+      newVariants: DataFrame,
+      /** per-sample observations to insert (K1, after the J6 anti-join) */
+      sampleDetails: DataFrame,
+      /** rgd_id + changed end_pos (K5 drift updates, A5) */
+      endPosUpdates: DataFrame)
+
+  /**
+   * Parse + normalize a VCF into one allele-level DataFrame:
+   * `(chromosome, start_pos, end_pos, ref_nuc, var_nuc, variant_type,
+   * padding_base, rs_id, allele_idx, genotypes)`.
+   */
+  def normalizedAlleles(spark: SparkSession, vcfPath: String,
+      config: LoadConfig): DataFrame = {
+    val recs = VcfSource.withParsedGenotypes(VcfSource.records(spark, vcfPath))
+    val kept = recs
+      .filter(VariantColumns.keepContig(col("chrom")))
+      .withColumn("chromosome", VariantColumns.normalizeChromosome(col("chrom")))
+    // P8: the reference drops the whole record when the FIRST sample's DP
+    // is 0 (HrdpVariants.java:289-301)
+    val gated =
+      if (config.filterZeroDepth)
+        kept.filter(coalesce(element_at(col("genotypes"), 1).getField("dp"),
+          lit(-1)) =!= 0)
+      else kept
+    val alleles = gated.select(
+      col("chromosome"), col("pos"), col("rs_id"), col("ref"), col("genotypes"),
+      size(split(col("alt"), ",")).as("n_alleles"),
+      posexplode(split(col("alt"), ",")).as(Seq("allele_idx", "allele")))
+    // §2.8 + P7: the reference labels single-base substitutions "snv" on
+    // its single-allele path but "snp" on the multi-allelic copy path
+    // (HrdpVariants.java:267 vs :395)
+    val snvLabel =
+      if (config.compat.snpLabelOnMultiAllelic)
+        when(col("n_alleles") > 1, "snp").otherwise("snv")
+      else lit("snv")
+    alleles
+      .withColumn("n", VariantColumns.normalizeAllele(
+        col("pos"), col("ref"), col("allele"), snvLabel))
+      .select(col("chromosome"), col("rs_id"), col("allele_idx"),
+        col("n.start_pos"), col("n.end_pos"), col("n.ref_nuc"),
+        col("n.var_nuc"), col("n.padding_base"), col("n.variant_type"),
+        col("genotypes"))
+  }
+
+  /**
+   * W2: deterministic distributed id minting. Assigns `rgd_id = seed +
+   * offset(chromosome) + row_number within chromosome`, where the offsets
+   * are a driver-side prefix sum over per-chromosome counts (~25 rows).
+   * No global sort, no single-partition window — survives any scale at
+   * which a per-chromosome sort fits a task, and chromosomes can be
+   * salted further if one dominates.
+   */
+  def mintIds(df: DataFrame, seed: Long, orderCols: Seq[String]): DataFrame = {
+    val counts = df.groupBy("chromosome").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    // prefix sum: chromosome → id offset within this batch
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L) { case (acc, (_, n)) => acc + n })
+    val offsetCol = offsets.foldLeft(lit(0L)) { case (acc, (c, off)) =>
+      when(col("chromosome") === c, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy("chromosome")
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("rgd_id", lit(seed) + offsetCol + row_number().over(w))
+  }
+
+  /**
+   * Full E1 load against a snapshot of the existing store.
+   *
+   * @param existing snapshot of `variant ⋈ variant_map_data` with columns
+   *                 [[variantCols]] (empty DataFrame for a fresh store)
+   * @param existingDetails snapshot of `(rgd_id, sample_id)` pairs already
+   *                 in `variant_sample_detail` (J6 anti-join side)
+   * @param genes    gene intervals `(gene_rgd_id, chromosome, start_pos,
+   *                 stop_pos)` — broadcast dimension (J1)
+   */
+  def load(spark: SparkSession, vcfPath: String, genes: DataFrame,
+      existing: DataFrame, existingDetails: DataFrame,
+      config: LoadConfig): LoadResult = {
+
+    val alleles = normalizedAlleles(spark, vcfPath, config)
+
+    // J1: genic classification via the broadcast interval index
+    val classified = GenicAnnotator.annotateIndexed(alleles, genes)
+
+    // J4: dedup against the snapshot — null-safe on the nucleotide pair
+    // (Utils.stringsAreEqual treats null as "", HrdpVariants.java:412,438);
+    // equi on (chromosome, start_pos) mirrors the locus lookup J2.
+    val db = existing.select(
+      col("rgd_id").as("db_rgd_id"),
+      col("chromosome").as("db_chrom"),
+      col("start_pos").as("db_start"),
+      col("end_pos").as("db_end"),
+      col("ref_nuc").as("db_ref"),
+      col("var_nuc").as("db_var"))
+    val joined = classified.join(db,
+      col("chromosome") === col("db_chrom") &&
+        col("start_pos") === col("db_start") &&
+        (coalesce(col("ref_nuc"), lit("")) <=> coalesce(col("db_ref"), lit(""))) &&
+        (coalesce(col("var_nuc"), lit("")) <=> coalesce(col("db_var"), lit(""))),
+      "left")
+
+    val existingMatched = joined.filter(col("db_rgd_id").isNotNull)
+    val novel = joined.filter(col("db_rgd_id").isNull)
+
+    // W2: mint ids for novel variants, deterministic order within chromosome
+    val minted = mintIds(novel.drop("db_rgd_id", "db_chrom", "db_start",
+      "db_end", "db_ref", "db_var"),
+      config.rgdIdSeed,
+      Seq("start_pos", "end_pos", "ref_nuc", "var_nuc", "allele_idx"))
+
+    def finalize(df: DataFrame): DataFrame = df.select(
+      col("rgd_id"), col("chromosome"), col("start_pos"), col("end_pos"),
+      col("ref_nuc"), col("var_nuc"), col("variant_type"), col("padding_base"),
+      col("rs_id"), col("genic_status"),
+      lit(config.mapKey).as("map_key"),
+      lit(config.speciesTypeKey).as("species_type_key"),
+      col("allele_idx"), col("genotypes"))
+
+    val keptExisting = finalize(
+      existingMatched.withColumn("rgd_id", col("db_rgd_id"))
+        .drop("db_rgd_id", "db_chrom", "db_start", "db_end", "db_ref", "db_var"))
+    val newVariants = finalize(minted)
+    val all = keptExisting.unionByName(newVariants)
+
+    // A5/K5: end-position drift on already-loaded variants
+    // (HrdpVariants.java:416-419,444-447: dbVar.endPos != endPos && endPos != 0)
+    val endPosUpdates = existingMatched
+      .filter(col("db_end") =!= col("end_pos") && col("end_pos") =!= 0)
+      .select(col("db_rgd_id").as("rgd_id"), col("end_pos"))
+
+    // J7 + P9-P11 + §2.7: melt samples, align allele j with AD[j+1],
+    // compute zygosity, then J6 anti-join against already-present details.
+    // The header's sample-column names resolve through the configured
+    // name→sample-id dictionary (S3/J8, AppConfigure.xml:10-159).
+    val sampleIdByIdx: Map[Int, Int] =
+      if (config.sampleDict.isEmpty) Map.empty
+      else VcfSource.headerSamples(spark, vcfPath).zipWithIndex.flatMap {
+        case (name, idx) => config.sampleDict.get(name).map(idx -> _)
+      }.toMap
+    val details = sampleDetails(all, existingDetails, config, sampleIdByIdx)
+
+    LoadResult(all.drop("allele_idx", "genotypes"),
+      newVariants.drop("allele_idx", "genotypes"), details, endPosUpdates)
+  }
+
+  /** The per-sample observation path (HrdpVariants.java:462-495).
+    * `sampleIdByIdx`: 0-based header column index → configured sample id
+    * (columns absent from the dictionary are dropped, mirroring the
+    * reference's skip of unknown sample columns). */
+  def sampleDetails(variants: DataFrame, existingDetails: DataFrame,
+      config: LoadConfig, sampleIdByIdx: Map[Int, Int] = Map.empty): DataFrame = {
+    // sample_idx (header order) → sample_id; identity when no dictionary
+    val sampleIdCol =
+      if (sampleIdByIdx.isEmpty) col("g.sample_idx")
+      else map(sampleIdByIdx.toSeq.flatMap { case (idx, id) =>
+        Seq(lit(idx), lit(id))
+      }: _*).getItem(col("g.sample_idx"))
+
+    val melted = variants
+      .select(col("rgd_id"), col("chromosome"), col("start_pos"),
+        col("allele_idx"), explode(col("genotypes")).as("g"))
+      // P9: skip hom-ref / no-call genotypes (HrdpVariants.java:467-468)
+      .filter(!coalesce(col("g.gt"), lit("")).isin("0/0", "./."))
+      // J7 allele↔depth alignment: allele j pairs with AD[j+1]
+      .withColumn("var_freq",
+        try_element_at(col("g.ad"), col("allele_idx") + 2))
+      // P10: drop zero/missing allele frequency (HrdpVariants.java:479-481)
+      .filter(col("var_freq").isNotNull && col("var_freq") =!= 0)
+      .withColumn("total_depth", coalesce(col("g.dp"), lit(0)))
+      .withColumn("z", VariantColumns.zygosity(col("var_freq"),
+        col("total_depth"), lit("U"), col("chromosome")))
+      .withColumn("sample_id", sampleIdCol)
+      .filter(col("sample_id").isNotNull)
+
+    val percentRead =
+      if (config.compat.intDivisionPercentRead)
+        // reference overwrite quirk: Java int division varFreq/depth
+        // (HrdpVariants.java:489-490) — almost always 0
+        when(col("total_depth") =!= 0,
+          (col("var_freq") / col("total_depth")).cast("int")).otherwise(lit(0))
+      else col("z.zygosity_percent_read")
+
+    val candidate = melted.select(
+      col("rgd_id"),
+      col("sample_id").cast("int").as("sample_id"),
+      col("total_depth"),
+      col("var_freq"),
+      col("z.zygosity_status").as("zygosity_status"),
+      percentRead.as("zygosity_percent_read"),
+      col("z.zygosity_poss_error").as("zygosity_poss_error"),
+      col("z.zygosity_in_pseudo").as("zygosity_in_pseudo"))
+
+    // J6: only details not already present (DAO.java:64-66 count==0 gate)
+    candidate.join(
+      existingDetails.select(col("rgd_id").as("d_rgd_id"),
+        col("sample_id").as("d_sample_id")),
+      col("rgd_id") === col("d_rgd_id") &&
+        col("sample_id") === col("d_sample_id"),
+      "left_anti")
+  }
+}

@@ -56,6 +56,20 @@ object VcfDemo {
         .orderBy("start_pos", "variant_type").show(20, truncate = false)
     }
 
+    println("=== full load pipeline (E1) ===")
+    val emptyStore = Seq.empty[(Long, String, Long, Long, Option[String],
+        Option[String], String, Option[String], Option[String], String, Int,
+        Int)]
+      .toDF(graft.operators.VariantLoader.variantCols: _*)
+    val emptyDetails = Seq.empty[(Long, Int)].toDF("rgd_id", "sample_id")
+    val cfg = graft.model.LoadConfig(mapKey = 372,
+      sampleDict = Map("ACI_EurMcwi_2019NG" -> 11, "BN_NHsdMcwi_2019NG" -> 22),
+      rgdIdSeed = 5000L)
+    val loaded = graft.operators.VariantLoader.load(
+      spark, path, genes, emptyStore, emptyDetails, cfg)
+    loaded.variants.orderBy("start_pos").show(20, truncate = false)
+    loaded.sampleDetails.orderBy("rgd_id", "sample_id").show(30, truncate = false)
+
     println("=== zygosity on melted samples ===")
     norm.select($"chromosome", $"start_pos", $"allele_idx", $"variant_type",
         explode($"genotypes").as("g"))
