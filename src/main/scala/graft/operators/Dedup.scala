@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+ * SimHash, and n-gram Jaccard near-dup detection.
+ *
+ * Scale design (100 TB):
+ *  - exact dedup is one hash-shuffle on the fingerprint — the canonical
+ *    map-side-combinable groupBy;
+ *  - MinHash and SimHash signatures are computed by EXPLODE + groupBy with
+ *    k independent min/sum aggregate columns. This is deliberate: Spark's
+ *    higher-order array lambdas (transform/aggregate) are CodegenFallback
+ *    — interpreted, and projection collapse re-inlines the shingle
+ *    expression into every hash — measured 1000× slower. A hash aggregate
+ *    over exploded shingles is whole-stage-codegen'd, combines map-side,
+ *    and parallelizes across input splits regardless of file layout;
+ *  - near-dup candidates come from an equi-join on LSH band keys — cost is
+ *    O(candidates), never O(n²); banding trades recall vs candidates;
+ *  - all hashing is xxhash64 + fixed odd-multiplier mixing → deterministic
+ *    across runs and cluster layouts, no executor RNG state.
+ */
+object Dedup {
+
+  // -------------------------------------------------------------------
+  // Exact
+  // -------------------------------------------------------------------
+
+  /** Exact dedup: keep the smallest `idCol` per fingerprint group. One
+    * shuffle on the fingerprint; survivors flagged, not dropped, so the
+    * caller chooses filter vs audit. */
+  def exactDedup(df: DataFrame, fingerprint: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy("__fp").orderBy(idCol)
+    df.withColumn("__fp", fingerprint)
+      .withColumn("dup_rank", row_number().over(w))
+      .withColumn("is_duplicate", col("dup_rank") > 1)
+      .drop("__fp", "dup_rank")
+  }
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH
+  // -------------------------------------------------------------------
+
+  /**
+   * MinHash signatures as a DataFrame: `(idCol, sig: array<bigint>)`.
+   *
+   * Plan: explode shingles → one xxhash64 per shingle → groupBy(id) with
+   * `numHashes` min-aggregate columns over per-family re-hashes
+   * (`xxhash64(h, i)` — hash-of-hash rather than affine mixing, which
+   * would overflow under ANSI arithmetic). Fully codegen'd, map-side
+   * combinable, one shuffle on id.
+   */
+  def minhashSignatures(df: DataFrame, idCol: String, shingles: Column,
+      numHashes: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles).as("__s"))
+      .withColumn("__h", xxhash64(col("__s")))
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
+    exploded.groupBy(idCol)
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
+  /** Estimated Jaccard from two MinHash signatures: the fraction of equal
+    * components. */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / size(sigA)
+
+  /** LSH band keys from a signature column: hash of each
+    * `rowsPerBand`-sized slice. Two documents sharing any band key are
+    * candidates. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+
+  /**
+   * MinHash/LSH near-duplicate pairs `(id_a, id_b, jaccard)` with
+   * id_a < id_b and MinHash-estimated Jaccard ≥ `threshold`.
+   *
+   * Plan shape: signature aggregation (one shuffle) → explode band keys
+   * (×bands) → self-equi-join on (band_idx, band_hash) → distinct pairs →
+   * signature-estimate filter. Signatures ride through the join; shingle
+   * sets are never re-materialized. At scale the join is a hash join on a
+   * well-distributed 64-bit key and everything upstream is codegen'd.
+   */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, shingles: Column,
+      numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, shingles, numHashes)
+    val banded = sigs.select(col(idCol).as("__id"), col("sig"),
+      posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+        .as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col("__id").as("id_a"), col("sig").as("sig_a"),
+      col("band_idx"), col("band_hash"))
+    val b = banded.select(col("__id").as("id_b"), col("sig").as("sig_b"),
+      col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard",
+        round(estimatedJaccard(col("sig_a"), col("sig_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * Exact-verified variant: LSH candidates re-checked with true Jaccard
+   * over the shingle sets (joined back by id — candidates only, so the
+   * array work is bounded by candidate count, not corpus size).
+   */
+  def minhashNearDupPairsExact(df: DataFrame, idCol: String, shingles: Column,
+      numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val candidates = minhashNearDupPairs(df, idCol, shingles, numHashes,
+      bands, threshold * 0.5) // loose estimate gate, exact verify below
+    val sh = df.select(col(idCol).as("__sid"), shingles.as("__sh"))
+    candidates
+      .join(sh.select(col("__sid").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col("__sid").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  /**
+   * 64-bit SimHash as a DataFrame: `(idCol, simhash: bigint)`. Bit b is
+   * set when the sum over tokens of ±1 (bit b of xxhash64(token)) is
+   * positive. Explode + 64 codegen'd sum columns, same rationale as
+   * [[minhashSignatures]].
+   */
+  def simhashes(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(tokensCol).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val voteCols = (0 until 64).map(b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"__v$b"))
+    exploded.groupBy(idCol)
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b =>
+          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-dup pairs: candidates share one of four 16-bit sub-keys
+   * (any pair within Hamming distance 3 agrees on ≥1 of 4 pieces —
+   * pigeonhole; wider distances lower precision, never recall of the
+   * verify step), verified by exact Hamming distance.
+   */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, tokensCol: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val keyed = simhashes(df, idCol, tokensCol)
+      .select(col(idCol).as("__id"), col("simhash"),
+        posexplode(array((0 until 4).map(k =>
+          shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("piece_idx", "piece")))
+    val a = keyed.select(col("__id").as("id_a"), col("simhash").as("sh_a"),
+      col("piece_idx"), col("piece"))
+    val b = keyed.select(col("__id").as("id_b"), col("simhash").as("sh_b"),
+      col("piece_idx"), col("piece"))
+    a.join(b, Seq("piece_idx", "piece"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // -------------------------------------------------------------------
+  // n-gram Jaccard (exact, bounded)
+  // -------------------------------------------------------------------
+
+  /**
+   * Exact n-gram Jaccard similarity join via shared-shingle blocking:
+   * candidates must share ≥1 shingle (inverted-index join), then exact
+   * Jaccard ≥ threshold. Precise but explodes on common shingles — prefer
+   * [[minhashNearDupPairs]] beyond ~10⁶ docs; kept as the exact oracle.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, shingles: Column,
+      threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("__sid"), shingles.as("__sh"))
+    val inv = sh.select(col("__sid"), explode(col("__sh")).as("shingle"))
+    val a = inv.select(col("__sid").as("id_a"), col("shingle"))
+    val b = inv.select(col("__sid").as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(sh.select(col("__sid").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col("__sid").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Two paths:
+ *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+ *    set against the corpus; one narrow pass + per-query top-k. The
+ *    baseline and the verification oracle.
+ *  - [[lshTopK]]: multi-table random-hyperplane LSH with multi-probe —
+ *    corpus vectors get one sign-bit bucket key per table (narrow pass);
+ *    queries probe every key within Hamming ≤ `probeHamming` of theirs in
+ *    each table; candidates come from the (table, key) equi-join, then
+ *    exact cosine re-rank. Recall/cost is tuned by (numPlanes, numTables,
+ *    probeHamming); the battery's q28 measures recall vs the exact path.
+ *
+ * Performance note: vector math is statically UNROLLED over the known
+ * dimension (`element_at` chains) — Spark's higher-order lambdas
+ * (`aggregate`/`zip_with`) are CodegenFallback (interpreted) and
+ * measured orders of magnitude slower in the hot path. Unrolled
+ * element_at arithmetic stays inside whole-stage codegen. The generic
+ * Column forms are kept for dynamic-dimension callers.
+ */
+object Similarity {
+
+  /** Dot product, generic (interpreted HOF — fine off the hot path). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product unrolled over a known dimension — whole-stage codegen. */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  /** Dot of a vector column with a constant plane — constants fold into
+    * codegen. */
+  def dotConst(a: Column, plane: Seq[Double], dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i).cast("double") * lit(plane(i - 1)))
+      .reduce(_ + _)
+
+  /** L2 norm (generic). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** L2 norm (unrolled). */
+  def normUnrolled(a: Column, dim: Int): Column = sqrt(dotUnrolled(a, a, dim))
+
+  /** Cosine similarity, generic (0 when either side has zero norm). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n > 0, d / n).otherwise(lit(0.0))
+  }
+
+  /** Cosine similarity unrolled over a known dimension. */
+  def cosineUnrolled(a: Column, b: Column, dim: Int): Column = {
+    val d = dotUnrolled(a, b, dim)
+    val n = normUnrolled(a, dim) * normUnrolled(b, dim)
+    when(n > 0, d / n).otherwise(lit(0.0))
+  }
+
+  /**
+   * Exact brute-force cosine top-k: for each query vector, the k nearest
+   * corpus vectors. Queries are broadcast (they are few); the corpus
+   * streams through one narrow projection and a per-query top-k window.
+   * Pass `dim` when known to unroll the math into codegen.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = -1, idCol: String = "vec_id", queryIdCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
+    val cos =
+      if (dim > 0) cosineUnrolled(col("__qvec"), col("__cvec"), dim)
+      else cosine(col("__qvec"), col("__cvec"))
+    val scored = corpus.select(col(idCol), col(vecCol).as("__cvec"))
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", round(cos, 4))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+
+  /** Deterministic random hyperplanes: `numPlanes × dim`, seeded. */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket key of a vector under the given planes (int with
+    * one bit per plane; plane dots unrolled+constant-folded). */
+  def lshKey(vec: Column, planes: Seq[Seq[Double]], dim: Int): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dotConst(vec, p, dim) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** XOR masks for all keys within Hamming distance `h` of a key. */
+  private def probeMasks(bits: Int, h: Int): Seq[Int] = {
+    val m0 = Seq(0)
+    val m1 = if (h >= 1) (0 until bits).map(1 << _) else Nil
+    val m2 = if (h >= 2)
+      for (i <- 0 until bits; j <- (i + 1) until bits) yield (1 << i) | (1 << j)
+    else Nil
+    m0 ++ m1 ++ m2
+  }
+
+  /**
+   * Approximate cosine top-k via multi-table multi-probe LSH.
+   *
+   * Corpus side: one narrow pass computes `numTables` bucket keys per
+   * vector (posexplode → (table, key) rows). Query side: every key within
+   * Hamming ≤ `probeHamming` in each table. Candidates = equi-join on
+   * (table, key) → distinct → exact cosine re-rank. The corpus pass is
+   * codegen'd arithmetic; the join key is a compact (int, int).
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, numPlanes: Int = 10, numTables: Int = 6, probeHamming: Int = 2,
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val tables = (0 until numTables)
+      .map(t => hyperplanes(dim, numPlanes, seed = 42L + t))
+
+    val c = corpus.select(col(idCol), col(vecCol).as("__cvec"),
+      posexplode(array(tables.map(p => lshKey(col(vecCol), p, dim)): _*))
+        .as(Seq("table", "key")))
+
+    // Base keys are materialized behind an exchange barrier before probe
+    // expansion: otherwise projection collapse would inline each key's
+    // full unrolled plane-dot tree into every one of |masks|×|tables|
+    // probe expressions — hundreds of thousands of expression nodes.
+    val masks = probeMasks(numPlanes, probeHamming)
+    val qKeys = queries.select(
+      (col(queryIdCol) +: col(vecCol).as("__qvec") +:
+        tables.zipWithIndex.map { case (p, t) =>
+          lshKey(col(vecCol), p, dim).as(s"__k$t")
+        }): _*)
+      .repartition(col(queryIdCol))
+    val probeStructs = tables.indices.flatMap { t =>
+      masks.map(m => struct(lit(t).as("table"),
+        col(s"__k$t").bitwiseXOR(lit(m)).as("key")))
+    }
+    val q = qKeys.select(col(queryIdCol), col("__qvec"),
+      explode(array(probeStructs: _*)).as("probe"))
+      .select(col(queryIdCol), col("__qvec"),
+        col("probe.table").as("table"), col("probe.key").as("key"))
+
+    val candidates = c.join(broadcast(q), Seq("table", "key"))
+      .dropDuplicates(queryIdCol, idCol)
+      .withColumn("cosine",
+        round(cosineUnrolled(col("__qvec"), col("__cvec"), dim), 4))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col(idCol))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+}

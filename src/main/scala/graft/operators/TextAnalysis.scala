@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, quality scoring, language id, fingerprinting, shingling.
+ *
+ * Everything here is a pure `Column` expression tree over built-in
+ * functions — no UDFs, so the whole document scan stays inside one
+ * WholeStageCodegen span and scales linearly with input splits (narrow,
+ * shuffle-free until an aggregation is applied on top).
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens (empty tokens from leading/trailing space removed). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, single digits, and isolated
+    * punctuation as separate tokens — a cheap proxy for subword tokenizer
+    * cost, computable at scan speed. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Fraction of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column = {
+    val stripped = regexp_replace(text, "[A-Za-z0-9\\s]", "")
+    when(length(text) > 0,
+      round(length(stripped).cast("double") / length(text), 4))
+      .otherwise(lit(0.0))
+  }
+
+  /** Small English stopword set (public, shared with the quality score). */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that", "be")
+
+  /** Fraction of tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val stops = filter(toks, t => t.isInCollection(EnglishStopwords))
+    when(size(toks) > 0,
+      round(size(stops).cast("double") / size(toks), 4)).otherwise(lit(0.0))
+  }
+
+  /** Mean token length — long-token text is usually code/garbage. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      round(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / size(toks), 4))
+      .otherwise(lit(0.0))
+  }
+
+  /**
+   * Composite quality score in [0,1]: rewards stopword presence and
+   * moderate length, penalizes punctuation soup — the classic cheap
+   * pre-filter for web-scraped training text (C4/Gopher-style rules).
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthScore =
+      least(nTok / lit(20.0), lit(1.0)) * when(nTok > 0, 1.0).otherwise(0.0)
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4)
+    val stopScore = least(stopwordRatio(text) * 5, lit(1.0))
+    round((lengthScore + punctScore + stopScore) / 3, 4)
+  }
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword language
+    * heuristic. Public knowledge (most frequent function words). */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "ein", "zu"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai", "you", "ren", "ta"))
+
+  /**
+   * Language id by stopword-hit scoring: argmax over [[LangProfiles]], with
+   * deterministic tie-break on language code, "und" when nothing matches.
+   * Expression-only (greatest over per-language hit counts).
+   */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isInCollection(words))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // array_max on struct(hits, lang) orders lexicographically: by hits,
+    // then by lang DESC would need inversion — sort_array gives asc order,
+    // last element = max hits with greatest lang; to tie-break on the
+    // SMALLEST lang, compare on (hits, negated-rank) — simpler: reverse
+    // profile order so earlier languages win ties via strict greater-than.
+    val best = scored.reduceLeft { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * engine-portable (identical in DuckDB), used for exact dedup. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Character n-gram shingles (distinct), the MinHash input. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = regexp_replace(trim(lower(text)), "\\s+", " ")
+    array_distinct(
+      when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n))))
+        .otherwise(array(t)))
+  }
+
+  /** Word n-gram shingles (distinct). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+        .otherwise(array(array_join(toks, " "))))
+  }
+}

@@ -401,6 +401,229 @@ object Battery {
       |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Session windows (gaps-and-islands, 30-min gap): count + span per user.
+    * Batch twin of streaming session_window; expressed with lag/cumsum so
+    * DuckDB replays it exactly. */
+  val q19Session: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000,
+          1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  val q19Sql: String =
+    """SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Training-data extensions: dedup / text analysis / similarity
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup via md5 fingerprint (prefix-fingerprinted so the
+    * synthetic corpus actually contains duplicate groups): group-size
+    * histogram. */
+  val q20DedupExact: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(md5(substring(col("text"), 1, 20)).as("fp"))
+      .agg(count(lit(1)).as("group_size"), min("doc_id").as("keeper"))
+      .groupBy("group_size")
+      .agg(count(lit(1)).as("n_groups"), sum("keeper").as("sum_keepers"))
+
+  val q20Sql: String =
+    """SELECT group_size, COUNT(*) AS n_groups,
+      |  CAST(SUM(keeper) AS BIGINT) AS sum_keepers
+      |FROM (
+      |  SELECT md5(substr(text, 1, 20)) AS fp, COUNT(*) AS group_size,
+      |    MIN(doc_id) AS keeper
+      |  FROM documents GROUP BY 1)
+      |GROUP BY group_size""".stripMargin
+
+  /** Text quality metrics (token count, punct ratio, stopword ratio)
+    * aggregated by source. */
+  val q21TextStats: Q = (s, dir) => {
+    import graft.operators.TextAnalysis._
+    t(s, dir, "documents")
+      .select(col("source"),
+        tokenCount(col("text")).as("n_tok"),
+        punctRatio(col("text")).as("punct"),
+        stopwordRatio(col("text")).as("stop"))
+      .groupBy("source")
+      .agg(sum("n_tok").as("sum_tokens"),
+        round(avg("punct"), 3).as("avg_punct"),
+        round(avg("stop"), 3).as("avg_stop"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  val q21Sql: String = {
+    val stops = graft.operators.TextAnalysis.EnglishStopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""SELECT source, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       |  ROUND(AVG(punct), 3) AS avg_punct, ROUND(AVG(stop), 3) AS avg_stop,
+       |  COUNT(*) AS n_docs
+       |FROM (
+       |  SELECT source,
+       |    len(list_filter(string_split_regex(text, '\\s+'),
+       |        x -> len(x) > 0)) AS n_tok,
+       |    CASE WHEN length(text) > 0 THEN ROUND(
+       |      length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+       |        / length(text), 4) ELSE 0.0 END AS punct,
+       |    CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |        x -> len(x) > 0)) > 0 THEN ROUND(
+       |      len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |          x -> x IN ($stops)))::DOUBLE
+       |        / len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |            x -> len(x) > 0)), 4) ELSE 0.0 END AS stop
+       |  FROM documents)
+       |GROUP BY source""".stripMargin
+  }
+
+  /** BPE-ish token accounting per language (regexp_extract_all parity). */
+  val q22TokenCount: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("lang"),
+        graft.operators.TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("n_ws"))
+      .groupBy("lang")
+      .agg(sum("n_bpe").as("sum_bpe"), sum("n_ws").as("sum_ws"),
+        count(lit(1)).as("n_docs"))
+
+  val q22Sql: String =
+    """SELECT lang, CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe,
+      |  CAST(SUM(n_ws) AS BIGINT) AS sum_ws, COUNT(*) AS n_docs
+      |FROM (
+      |  SELECT lang,
+      |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe,
+      |    len(list_filter(string_split_regex(text, '\s+'),
+      |        x -> len(x) > 0)) AS n_ws
+      |  FROM documents)
+      |GROUP BY lang""".stripMargin
+
+  /** Language-id heuristic (stopword-profile argmax) vs the labeled lang. */
+  val q23LangId: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("lang"),
+        graft.operators.TextAnalysis.langId(col("text")).as("lang_guess"))
+      .groupBy("lang", "lang_guess")
+      .agg(count(lit(1)).as("n"))
+
+  val q23Sql: String = {
+    val p = graft.operators.TextAnalysis.LangProfiles.toSeq.sortBy(_._1)
+    val hitExprs = p.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"""len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |        x -> x IN ($set))) AS h_$lang""".stripMargin
+    }.mkString(",\n    ")
+    // first-wins tie-break over languages sorted asc, mirroring the
+    // Column reduceLeft in TextAnalysis.langId
+    s"""SELECT lang, lang_guess, COUNT(*) AS n FROM (
+       |  SELECT lang, CASE
+       |    WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+       |    WHEN h_zh > GREATEST(h_de, h_en, h_es, h_fr) THEN 'zh'
+       |    WHEN h_fr > GREATEST(h_de, h_en, h_es) THEN 'fr'
+       |    WHEN h_es > GREATEST(h_de, h_en) THEN 'es'
+       |    WHEN h_en > h_de THEN 'en'
+       |    ELSE 'de' END AS lang_guess
+       |  FROM (SELECT lang,
+       |    $hitExprs
+       |  FROM documents))
+       |GROUP BY lang, lang_guess""".stripMargin
+  }
+
+  /** MinHash/LSH near-dup detection summary (non-SQL-expressible — the
+    * xxhash64 family has no DuckDB twin; rows-only check). Always exactly
+    * one row. */
+  val q24MinhashDedup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.operators.Dedup.minhashNearDupPairs(
+      docs, "doc_id",
+      graft.operators.TextAnalysis.charShingles(col("text"), 5),
+      numHashes = 64, bands = 16, threshold = 0.4)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(round(avg("jaccard"), 3), lit(0.0)).as("avg_jaccard"))
+  }
+
+  /** SimHash near-dup summary (rows-only, one row). */
+  val q25Simhash: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.operators.Dedup.simhashNearDupPairs(
+      docs, "doc_id",
+      graft.operators.TextAnalysis.tokens(lower(col("text"))),
+      maxHamming = 12)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(round(avg("hamming"), 3), lit(0.0)).as("avg_hamming"))
+  }
+
+  /** Exact brute-force cosine top-5 for the first 3 vectors as queries —
+    * the ANN ground truth, DuckDB-checkable via list_cosine_similarity. */
+  val q26CosineKnn: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.Similarity.bruteForceTopK(emb, queries, k = 5, dim = 64)
+  }
+
+  val q26Sql: String =
+    """SELECT query_id, rank, vec_id, cosine FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+      |      c.embedding::DOUBLE[]), 4) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |      ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+      |        c.embedding::DOUBLE[]), 4) DESC, c.vec_id) AS rank
+      |  FROM embeddings q, embeddings c WHERE q.vec_id < 3)
+      |WHERE rank <= 5""".stripMargin
+
+  /** Embedding norm statistics per label. */
+  val q27EmbeddingNorms: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .select(col("label"),
+        round(graft.operators.Similarity.normUnrolled(col("embedding"), 64), 4)
+          .as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(min("nrm"), 4).as("min_norm"),
+        round(max("nrm"), 4).as("max_norm"),
+        round(avg("nrm"), 3).as("avg_norm"))
+
+  val q27Sql: String =
+    """SELECT label, COUNT(*) AS n, ROUND(MIN(nrm), 4) AS min_norm,
+      |  ROUND(MAX(nrm), 4) AS max_norm, ROUND(AVG(nrm), 3) AS avg_norm
+      |FROM (SELECT label,
+      |  ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+      |    embedding::DOUBLE[])), 4) AS nrm FROM embeddings)
+      |GROUP BY label""".stripMargin
+
+  /** LSH ANN recall + candidate cost vs the exact top-5 (rows-only: one
+    * row — the quality/cost gate for the approximate path). */
+  val q28LshRecall: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(emb, queries, 5, dim = 64)
+      .select(col("query_id"), col("vec_id"))
+    val approx = graft.operators.Similarity
+      .lshTopK(emb, queries, 5, dim = 64)
+      .select(col("query_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("query_id", "vec_id"), "left_semi").count()
+    val total = exact.count()
+    val s2 = s
+    import s2.implicits._
+    Seq((hits, total, hits.toDouble / total.max(1)))
+      .toDF("n_hits", "n_exact", "recall")
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -424,7 +647,17 @@ object Battery {
     "q15_explode" -> (q15Explode, Some(q15Sql)),
     "q16_case_chain" -> (q16CaseChain, Some(q16Sql)),
     "q17_thresholds" -> (q17Thresholds, Some(q17Sql)),
-    "q18_tumbling" -> (q18Tumbling, Some(q18Sql)))
+    "q18_tumbling" -> (q18Tumbling, Some(q18Sql)),
+    "q19_session" -> (q19Session, Some(q19Sql)),
+    "q20_dedup_exact" -> (q20DedupExact, Some(q20Sql)),
+    "q21_text_stats" -> (q21TextStats, Some(q21Sql)),
+    "q22_token_count" -> (q22TokenCount, Some(q22Sql)),
+    "q23_lang_id" -> (q23LangId, Some(q23Sql)),
+    "q24_minhash_dedup" -> (q24MinhashDedup, None),
+    "q25_simhash" -> (q25Simhash, None),
+    "q26_cosine_knn" -> (q26CosineKnn, Some(q26Sql)),
+    "q27_embedding_norms" -> (q27EmbeddingNorms, Some(q27Sql)),
+    "q28_lsh_recall" -> (q28LshRecall, None))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
