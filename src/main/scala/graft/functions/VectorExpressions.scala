@@ -1,0 +1,208 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the vector hot path.
+ *
+ * Rationale (SURVEY.md §2.9 note): Spark's higher-order array lambdas
+ * (`aggregate`/`zip_with`/`transform`) are CodegenFallback — interpreted —
+ * and statically unrolling a 64-dim dot product into `element_at` chains
+ * produces ~600-node expression trees that bloat generated code (17 MB
+ * task binaries measured) and janino compile time. A custom `Expression`
+ * with a compact `doGenCode` loop is the idiomatic escape hatch: tiny
+ * generated code, whole-stage codegen participation, same semantics.
+ *
+ * Element access assumes non-null float/double array elements (embedding
+ * vectors); a null/short array yields the dot over the common prefix.
+ */
+object VectorExpressions {
+
+  private def elemAccessor(dt: DataType, arr: String, i: String): String =
+    dt match {
+      case ArrayType(FloatType, _)  => s"(double) $arr.getFloat($i)"
+      case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+      case _ => throw new IllegalArgumentException(s"not a float/double array: $dt")
+    }
+
+  private def elemAt(dt: DataType, arr: ArrayData, i: Int): Double = dt match {
+    case ArrayType(FloatType, _)  => arr.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => arr.getDouble(i)
+    case _ => throw new IllegalArgumentException(s"not a float/double array: $dt")
+  }
+
+  /**
+   * cosine(a, b) in one fused loop (dot, |a|, |b| together); 0.0 when
+   * either norm is zero. Null-safe: null if either input array is null.
+   */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < n) {
+        val xv = elemAt(left.dataType, x, i)
+        val yv = elemAt(right.dataType, y, i)
+        dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
+      }
+      val denom = math.sqrt(nx) * math.sqrt(ny)
+      if (denom > 0) dot / denom else 0.0
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny"); val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv"); val denom = ctx.freshName("denom")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = ${elemAccessor(left.dataType, a, i)};
+           |  double $yv = ${elemAccessor(right.dataType, b, i)};
+           |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+           |}
+           |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+           |${ev.value} = $denom > 0 ? $dot / $denom : 0.0;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** dot(a, b) in one loop. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var i = 0
+      while (i < n) {
+        dot += elemAt(left.dataType, x, i) * elemAt(right.dataType, y, i)
+        i += 1
+      }
+      dot
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += (${elemAccessor(left.dataType, a, i)})
+           |    * (${elemAccessor(right.dataType, b, i)});
+           |}
+           |${ev.value} = $dot;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /**
+   * All multi-table LSH sign-bit keys of a vector in ONE pass over the
+   * dimensions: returns `array<int>` with one bucket key per table. The
+   * plane matrix (numTables × numPlanes rows, each of length dim) rides in
+   * the references array — constant per query, no literal tree.
+   */
+  case class LshKeys(child: Expression, planes: Array[Array[Double]],
+      numTables: Int, numPlanes: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_lsh_keys"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = math.min(v.numElements(), planes(0).length)
+      val acc = new Array[Double](planes.length)
+      var d = 0
+      while (d < dim) {
+        val x = elemAt(child.dataType, v, d)
+        var r = 0
+        while (r < planes.length) { acc(r) += x * planes(r)(d); r += 1 }
+        d += 1
+      }
+      val keys = new Array[Int](numTables)
+      var r = 0
+      while (r < planes.length) {
+        if (acc(r) >= 0) keys(r / numPlanes) |= (1 << (r % numPlanes))
+        r += 1
+      }
+      new GenericArrayData(keys)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = ctx.addReferenceObj("planes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val acc = ctx.freshName("acc"); val keys = ctx.freshName("keys")
+        val d = ctx.freshName("d"); val r = ctx.freshName("r")
+        val x = ctx.freshName("x"); val dim = ctx.freshName("dim")
+        s"""
+           |int $dim = java.lang.Math.min($v.numElements(), $m[0].length);
+           |double[] $acc = new double[$m.length];
+           |for (int $d = 0; $d < $dim; $d++) {
+           |  double $x = ${elemAccessor(child.dataType, v, d)};
+           |  for (int $r = 0; $r < $m.length; $r++) {
+           |    $acc[$r] += $x * $m[$r][$d];
+           |  }
+           |}
+           |int[] $keys = new int[$numTables];
+           |for (int $r = 0; $r < $m.length; $r++) {
+           |  if ($acc[$r] >= 0) $keys[$r / $numPlanes] |= (1 << ($r % $numPlanes));
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ------------------------------------------------------------------
+  // Column wrappers
+  // ------------------------------------------------------------------
+
+  def cosineSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      CosineSimilarity(org.apache.spark.sql.graftbridge.ColumnBridge.expr(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expr(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      DotProduct(org.apache.spark.sql.graftbridge.ColumnBridge.expr(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expr(b)))
+
+  def lshKeys(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column = {
+    val numTables = planes.length
+    val numPlanes = planes.head.length
+    val flat = planes.flatten.map(_.toArray).toArray
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      LshKeys(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec), flat, numTables, numPlanes))
+  }
+}

@@ -54,10 +54,36 @@ object Dedup {
    * combinable, one shuffle on id.
    */
   def minhashSignatures(df: DataFrame, idCol: String, shingles: Column,
-      numHashes: Int): DataFrame = {
+      numHashes: Int): DataFrame =
+    signaturesFromHashes(
+      df.select(col(idCol), explode(shingles).as("__s"))
+        .withColumn("__h", xxhash64(col("__s"))),
+      idCol, numHashes)
+
+  /**
+   * MinHash signatures straight from a text column — char n-gram shingling
+   * WITHOUT materializing shingle arrays: `explode(sequence(...))` over
+   * shingle start offsets, then substr+hash per row. The whole
+   * scan→generate→hash→partial-agg pipeline is one WholeStageCodegen span
+   * (array HOFs like transform/array_distinct are interpreted and were the
+   * dominant cost). Duplicate shingles don't perturb a min-aggregate, so
+   * no distinct is needed.
+   */
+  def minhashSignaturesFromText(df: DataFrame, idCol: String, text: Column,
+      n: Int, numHashes: Int): DataFrame = {
+    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
     val exploded = df
-      .select(col(idCol), explode(shingles).as("__s"))
-      .withColumn("__h", xxhash64(col("__s")))
+      .select(col(idCol), norm.as("__t"))
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1))))
+          .as("__i"))
+      .select(col(idCol),
+        xxhash64(col("__t").substr(col("__i"), lit(n))).as("__h"))
+    signaturesFromHashes(exploded, idCol, numHashes)
+  }
+
+  private def signaturesFromHashes(exploded: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
     val minCols = (0 until numHashes).map(i =>
       min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
     exploded.groupBy(idCol)
@@ -91,9 +117,22 @@ object Dedup {
    */
   def minhashNearDupPairs(df: DataFrame, idCol: String, shingles: Column,
       numHashes: Int = 128, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7): DataFrame =
+    nearDupPairsFromSignatures(
+      minhashSignatures(df, idCol, shingles, numHashes),
+      idCol, numHashes, bands, threshold)
+
+  /** [[minhashNearDupPairs]] over the codegen text-shingling path. */
+  def minhashNearDupPairsText(df: DataFrame, idCol: String, text: Column,
+      n: Int = 5, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame =
+    nearDupPairsFromSignatures(
+      minhashSignaturesFromText(df, idCol, text, n, numHashes),
+      idCol, numHashes, bands, threshold)
+
+  private def nearDupPairsFromSignatures(sigs: DataFrame, idCol: String,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, shingles, numHashes)
     val banded = sigs.select(col(idCol).as("__id"), col("sig"),
       posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))

@@ -32,37 +32,20 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product unrolled over a known dimension — whole-stage codegen. */
-  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduce(_ + _)
+  /** Dot product via the native codegen expression. */
+  def dotFast(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
-  /** Dot of a vector column with a constant plane — constants fold into
-    * codegen. */
-  def dotConst(a: Column, plane: Seq[Double], dim: Int): Column =
-    (1 to dim).map(i => element_at(a, i).cast("double") * lit(plane(i - 1)))
-      .reduce(_ + _)
-
-  /** L2 norm (generic). */
+  /** L2 norm (generic HOF form, off the hot path). */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** L2 norm (unrolled). */
-  def normUnrolled(a: Column, dim: Int): Column = sqrt(dotUnrolled(a, a, dim))
+  /** L2 norm via the native expression. */
+  def normFast(a: Column): Column = sqrt(dotFast(a, a))
 
-  /** Cosine similarity, generic (0 when either side has zero norm). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = norm(a) * norm(b)
-    when(n > 0, d / n).otherwise(lit(0.0))
-  }
-
-  /** Cosine similarity unrolled over a known dimension. */
-  def cosineUnrolled(a: Column, b: Column, dim: Int): Column = {
-    val d = dotUnrolled(a, b, dim)
-    val n = normUnrolled(a, dim) * normUnrolled(b, dim)
-    when(n > 0, d / n).otherwise(lit(0.0))
-  }
+  /** Cosine similarity via the native fused-loop expression (0.0 when
+    * either side has zero norm). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosineSim(a, b)
 
   /**
    * Exact brute-force cosine top-k: for each query vector, the k nearest
@@ -74,12 +57,9 @@ object Similarity {
       dim: Int = -1, idCol: String = "vec_id", queryIdCol: String = "query_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
-    val cos =
-      if (dim > 0) cosineUnrolled(col("__qvec"), col("__cvec"), dim)
-      else cosine(col("__qvec"), col("__cvec"))
     val scored = corpus.select(col(idCol), col(vecCol).as("__cvec"))
       .crossJoin(broadcast(q))
-      .withColumn("cosine", round(cos, 4))
+      .withColumn("cosine", round(cosine(col("__qvec"), col("__cvec")), 4))
     val w = Window.partitionBy(queryIdCol)
       .orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
@@ -93,12 +73,10 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-bit LSH bucket key of a vector under the given planes (int with
-    * one bit per plane; plane dots unrolled+constant-folded). */
-  def lshKey(vec: Column, planes: Seq[Seq[Double]], dim: Int): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dotConst(vec, p, dim) >= 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** Sign-bit LSH bucket keys, all tables at once, via the native
+    * one-pass expression: `array<int>`, one key per table. */
+  def lshKeysAllTables(vec: Column, tables: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.VectorExpressions.lshKeys(vec, tables)
 
   /** XOR masks for all keys within Hamming distance `h` of a key. */
   private def probeMasks(bits: Int, h: Int): Seq[Int] = {
@@ -126,24 +104,21 @@ object Similarity {
     val tables = (0 until numTables)
       .map(t => hyperplanes(dim, numPlanes, seed = 42L + t))
 
+    // one native-expression pass computes every table's key; posexplode
+    // turns the array into (table, key) rows
     val c = corpus.select(col(idCol), col(vecCol).as("__cvec"),
-      posexplode(array(tables.map(p => lshKey(col(vecCol), p, dim)): _*))
-        .as(Seq("table", "key")))
+      posexplode(lshKeysAllTables(col(vecCol), tables)).as(Seq("table", "key")))
 
-    // Base keys are materialized behind an exchange barrier before probe
-    // expansion: otherwise projection collapse would inline each key's
-    // full unrolled plane-dot tree into every one of |masks|×|tables|
-    // probe expressions — hundreds of thousands of expression nodes.
+    // Query keys are materialized behind an exchange barrier before the
+    // probe expansion so the key computation isn't re-inlined into every
+    // one of |masks|×|tables| probe expressions by projection collapse.
     val masks = probeMasks(numPlanes, probeHamming)
-    val qKeys = queries.select(
-      (col(queryIdCol) +: col(vecCol).as("__qvec") +:
-        tables.zipWithIndex.map { case (p, t) =>
-          lshKey(col(vecCol), p, dim).as(s"__k$t")
-        }): _*)
+    val qKeys = queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
+      lshKeysAllTables(col(vecCol), tables).as("__keys"))
       .repartition(col(queryIdCol))
     val probeStructs = tables.indices.flatMap { t =>
       masks.map(m => struct(lit(t).as("table"),
-        col(s"__k$t").bitwiseXOR(lit(m)).as("key")))
+        element_at(col("__keys"), t + 1).bitwiseXOR(lit(m)).as("key")))
     }
     val q = qKeys.select(col(queryIdCol), col("__qvec"),
       explode(array(probeStructs: _*)).as("probe"))
@@ -153,7 +128,7 @@ object Similarity {
     val candidates = c.join(broadcast(q), Seq("table", "key"))
       .dropDuplicates(queryIdCol, idCol)
       .withColumn("cosine",
-        round(cosineUnrolled(col("__qvec"), col("__cvec"), dim), 4))
+        round(cosine(col("__qvec"), col("__cvec")), 4))
     val w = Window.partitionBy(queryIdCol)
       .orderBy(col("cosine").desc, col(idCol))
     candidates.withColumn("rank", row_number().over(w))

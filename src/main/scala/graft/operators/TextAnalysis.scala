@@ -102,6 +102,32 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /**
+   * DataFrame form of [[langId]] for the hot path: explode tokens → per-
+   * language conditional-sum columns → argmax. One generate + one
+   * codegen'd hash aggregate; the Column form's per-row HOF filters are
+   * interpreted and ~20× slower at scale. Returns `(idCol, lang_guess)`;
+   * docs with zero tokens are absent (treat as "und").
+   */
+  def langIdAgg(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val langs = LangProfiles.toSeq.sortBy(_._1)
+    val exploded = df.select(col(idCol), explode(tokens(lower(text))).as("__t"))
+    val hitCols = langs.map { case (lang, words) =>
+      sum(when(col("__t").isInCollection(words), 1).otherwise(0)).as(s"__h_$lang")
+    }
+    val agged = exploded.groupBy(idCol).agg(hitCols.head, hitCols.tail: _*)
+    // first-wins tie-break over languages sorted asc (same as langId)
+    val best = langs.map { case (lang, _) =>
+      struct(col(s"__h_$lang").as("hits"), lit(lang).as("lang"))
+    }.reduceLeft { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }
+    agged.select(col(idCol),
+      when(best.getField("hits") > 0, best.getField("lang"))
+        .otherwise(lit("und")).as("lang_guess"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * engine-portable (identical in DuckDB), used for exact dedup. */
   def fingerprint(text: Column): Column =

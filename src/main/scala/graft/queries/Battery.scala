@@ -510,12 +510,16 @@ object Battery {
       |GROUP BY lang""".stripMargin
 
   /** Language-id heuristic (stopword-profile argmax) vs the labeled lang. */
-  val q23LangId: Q = (s, dir) =>
-    t(s, dir, "documents")
+  val q23LangId: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val guessed = graft.operators.TextAnalysis
+      .langIdAgg(docs, "doc_id", col("text"))
+    docs.join(guessed, Seq("doc_id"), "left")
       .select(col("lang"),
-        graft.operators.TextAnalysis.langId(col("text")).as("lang_guess"))
+        coalesce(col("lang_guess"), lit("und")).as("lang_guess"))
       .groupBy("lang", "lang_guess")
       .agg(count(lit(1)).as("n"))
+  }
 
   val q23Sql: String = {
     val p = graft.operators.TextAnalysis.LangProfiles.toSeq.sortBy(_._1)
@@ -545,10 +549,9 @@ object Battery {
     * one row. */
   val q24MinhashDedup: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    graft.operators.Dedup.minhashNearDupPairs(
-      docs, "doc_id",
-      graft.operators.TextAnalysis.charShingles(col("text"), 5),
-      numHashes = 64, bands = 16, threshold = 0.4)
+    graft.operators.Dedup.minhashNearDupPairsText(
+      docs, "doc_id", col("text"),
+      n = 5, numHashes = 64, bands = 16, threshold = 0.4)
       .agg(count(lit(1)).as("n_pairs"),
         coalesce(round(avg("jaccard"), 3), lit(0.0)).as("avg_jaccard"))
   }
@@ -588,7 +591,7 @@ object Battery {
   val q27EmbeddingNorms: Q = (s, dir) =>
     t(s, dir, "embeddings")
       .select(col("label"),
-        round(graft.operators.Similarity.normUnrolled(col("embedding"), 64), 4)
+        round(graft.operators.Similarity.normFast(col("embedding")), 4)
           .as("nrm"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),

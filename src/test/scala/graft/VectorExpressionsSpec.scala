@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.VectorExpressions
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Native vector expressions ≡ the generic HOF forms (which are the
+  * readable spec), on both float and double arrays. */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 2.0f), Array(0.5f, -1.0f, 2.0f)),
+    (2L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)),
+    (3L, Array(-1.5f, 2.5f, 0.25f), Array(-1.5f, 2.5f, 0.25f)))
+
+  test("cosineSim ≡ HOF cosine on float arrays") {
+    val df = vecs.toDF("id", "a", "b")
+      .withColumn("fast", VectorExpressions.cosineSim($"a", $"b"))
+      .withColumn("slow", {
+        val d = Similarity.dot($"a", $"b")
+        val n = sqrt(Similarity.dot($"a", $"a")) * sqrt(Similarity.dot($"b", $"b"))
+        when(n > 0, d / n).otherwise(lit(0.0))
+      })
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) < 1e-12,
+        s"row ${r.getLong(0)}")
+    }
+    // zero vector → 0.0, identical vector → 1.0
+    val byId = df.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byId(2L) == 0.0)
+    assert(math.abs(byId(3L) - 1.0) < 1e-12)
+  }
+
+  test("dotProduct ≡ HOF dot; double arrays too") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+      .withColumn("fast", VectorExpressions.dotProduct($"a", $"b"))
+      .withColumn("slow", Similarity.dot($"a", $"b"))
+    val r = df.collect().head
+    assert(r.getDouble(2) == 32.0 && r.getDouble(3) == 32.0)
+  }
+
+  test("lshKeys: one key per table, sign-bit semantics") {
+    val tables = Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),   // planes: x>=0 bit0, y>=0 bit1
+      Seq(Seq(-1.0, 0.0), Seq(0.0, -1.0))) // inverted
+    val df = Seq(
+      (1L, Array(2.0f, 3.0f)),   // t0: both pos → 3; t1: both neg → 0
+      (2L, Array(-2.0f, 3.0f)))  // t0: bit1 only → 2; t1: bit0 only → 1
+      .toDF("id", "v")
+      .withColumn("keys", VectorExpressions.lshKeys($"v", tables))
+    val got = df.orderBy("id").collect()
+      .map(_.getSeq[Int](2).toSeq)
+    assert(got(0) == Seq(3, 0))
+    assert(got(1) == Seq(2, 1))
+  }
+
+  test("expressions survive filters/joins (codegen path)") {
+    val emb = (0 until 100)
+      .map(i => (i.toLong, Array.tabulate(8)(d => ((i * 7 + d) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val top = Similarity.bruteForceTopK(emb, queries, k = 3, dim = 8)
+    val rows = top.collect()
+    assert(rows.length == 6)
+    // rank 1 must be the query itself at cosine 1.0
+    rows.filter(_.getInt(1) == 1).foreach { r =>
+      assert(r.getLong(0) == r.getLong(2) && r.getDouble(3) == 1.0)
+    }
+    val approx = Similarity.lshTopK(emb, queries, k = 3, dim = 8,
+      numPlanes = 6, numTables = 4, probeHamming = 2)
+    assert(approx.collect().nonEmpty)
+  }
+}
