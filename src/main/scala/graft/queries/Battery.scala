@@ -627,6 +627,46 @@ object Battery {
       .toDF("n_hits", "n_exact", "recall")
   }
 
+  /** Multimodal plumbing: documents→media table → batched feature
+    * extraction (stubbed decode) → per-kind accounting. The byte-level
+    * stats are DuckDB-checkable; feature vectors are covered by
+    * MultimodalSpec. */
+  val q29Multimodal: Q = (s, dir) => {
+    val media = graft.operators.Multimodal
+      .mediaFromDocuments(t(s, dir, "documents"))
+    graft.operators.Multimodal.extractFeatures(media, dim = 16)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), sum("n_bytes").as("sum_bytes"))
+  }
+
+  val q29Sql: String =
+    """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'video' END AS kind,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Sliding 1-hour windows every 30 minutes (batch twin of the streaming
+    * slidingCounts). */
+  val q30Sliding: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  val q30Sql: String =
+    """SELECT ws AS window_start, event_type, COUNT(*) AS n,
+      |  ROUND(SUM(value), 2) AS sum_value
+      |FROM (
+      |  SELECT unnest([w0, w0 - INTERVAL 30 MINUTE]) AS ws, event_type, value
+      |  FROM (
+      |    SELECT date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+      |        THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS w0,
+      |      event_type, value
+      |    FROM events))
+      |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -660,7 +700,9 @@ object Battery {
     "q25_simhash" -> (q25Simhash, None),
     "q26_cosine_knn" -> (q26CosineKnn, Some(q26Sql)),
     "q27_embedding_norms" -> (q27EmbeddingNorms, Some(q27Sql)),
-    "q28_lsh_recall" -> (q28LshRecall, None))
+    "q28_lsh_recall" -> (q28LshRecall, None),
+    "q29_multimodal" -> (q29Multimodal, Some(q29Sql)),
+    "q30_sliding" -> (q30Sliding, Some(q30Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming surface of the engine (the reference is pure batch
+ * — SURVEY.md §2.9 — so this is part of the extended, 100 TB-pipeline
+ * surface). Every transform here is written against an unbounded
+ * DataFrame and works identically on a bounded one: the battery's q18/q19
+ * are the batch twins used for oracle checks.
+ *
+ * Watermarks bound state: an aggregation over event-time windows keeps
+ * state only until `watermark` past the window end, so executors hold
+ * O(active windows), not O(stream length).
+ */
+object EventStreams {
+
+  /** Tumbling event-time windows: `(window_start, window_end, event_type,
+    * n, sum_value)`. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows (width, slide): each event lands in width/slide
+    * windows. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user (gap-merged, built-in session_window):
+    * `(user_id, session_start, session_end, n_events, sum_value)`. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /**
+   * Custom keyed state via mapGroupsWithState: running per-user totals
+   * across micro-batches — the shape for logic session_window can't
+   * express. Pass `idleTimeout` to evict idle users' state (production);
+   * the default NoTimeout keeps micro-batches data-driven (a
+   * processing-time timeout schedules continuous empty batches, which
+   * also means `processAllAvailable` never settles in tests).
+   */
+  def runningUserTotals(events: Dataset[UserEvent],
+      idleTimeout: Option[String] = None): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = idleTimeout match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
+      case None    => GroupStateTimeout.NoTimeout
+    }
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](timeoutConf) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+            val (n, total) = rows.foldLeft((prev.n, prev.total)) {
+              case ((c, s), e) => (c + 1, s + e.value)
+            }
+            val next = UserTotal(userId, n, total)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
+      }
+  }
+
+  /** Convenience: run a streaming transform to a named in-memory sink and
+    * block until the available data is processed (testing/demo). */
+  def runToMemory(df: DataFrame, queryName: String,
+      outputMode: OutputMode = OutputMode.Update()): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators fed by MemoryStream, checked against
+  * their batch twins (the oracle-verified shapes of q18/q19). */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  private val rows = Seq(
+    // (ts, user, type, value): two users, a gap > 30 min for user 1
+    (ts(0), 1L, "click", 1.0),
+    (ts(10), 1L, "click", 2.0),
+    (ts(70), 1L, "view", 3.0),   // new session for user 1 (60 min gap)
+    (ts(5), 2L, "view", 4.0),
+    (ts(65), 2L, "click", 5.0))  // new session for user 2
+
+  private def feed[T <: org.apache.spark.sql.DataFrame](
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      name: String,
+      mode: org.apache.spark.sql.streaming.OutputMode =
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      : org.apache.spark.sql.DataFrame = {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    input.addData(rows.map(r => (r._1, r._2, r._3, r._4)))
+    val df = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    EventStreams.runToMemory(f(df), name, mode)
+    spark.table(name)
+  }
+
+  test("tumbling window counts match the batch twin") {
+    val got = feed(EventStreams.tumblingCounts(_, "1 hour", "2 hours"),
+      "t_tumbling")
+      .select("window_start", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val want = rows.toDF("ts", "user_id", "event_type", "value")
+      .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("sliding windows place each event in width/slide windows") {
+    val got = feed(EventStreams.slidingCounts(_, "1 hour", "30 minutes",
+      "2 hours"), "t_sliding")
+    // 5 events × 2 windows each = 10 (window, type) memberships
+    assert(got.agg(sum("n")).as[Long].head() == 10L)
+  }
+
+  test("session windows merge events within the gap") {
+    // session-window aggregation rejects Update mode; Complete works on
+    // the memory sink
+    val got = feed(EventStreams.sessionCounts(_, "30 minutes", "2 hours"),
+      "t_session", org.apache.spark.sql.streaming.OutputMode.Complete())
+      .select("user_id", "n_events")
+      .as[(Long, Long)].collect().toSeq.sorted
+    // user 1: sessions {2 events}, {1}; user 2: {1}, {1}
+    assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode("update")
+      .start()
+    try {
+      input.addData(EventStreams.UserEvent(1L, 1.0),
+        EventStreams.UserEvent(1L, 2.0), EventStreams.UserEvent(2L, 5.0))
+      q.processAllAvailable()
+      val first = spark.table("t_state")
+        .as[EventStreams.UserTotal].collect().map(t => t.user_id -> t).toMap
+      assert(first(1L).n == 2 && first(1L).total == 3.0)
+      assert(first(2L).n == 1 && first(2L).total == 5.0)
+
+      // a later micro-batch accumulates onto the keyed state
+      input.addData(EventStreams.UserEvent(1L, 10.0))
+      q.processAllAvailable()
+      val latest = spark.table("t_state")
+        .as[EventStreams.UserTotal].collect()
+        .filter(_.user_id == 1L).maxBy(_.n)
+      assert(latest.n == 3 && latest.total == 13.0)
+    } finally q.stop()
+  }
+}
