@@ -224,6 +224,56 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Embedding-cosine near-dup
+  // -------------------------------------------------------------------
+
+  /**
+   * Exact embedding near-dup pairs `(id_a, id_b, cosine)` with
+   * cosine ≥ threshold — brute-force self-join with the fused native
+   * cosine. O(n²): the verification oracle and the right tool below ~10⁵
+   * vectors per partition-set.
+   */
+  def embeddingNearDupPairsExact(df: DataFrame, idCol: String,
+      vecCol: Column, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), vecCol.as("__va"))
+    val b = df.select(col(idCol).as("id_b"), vecCol.as("__vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(
+        graft.functions.VectorExpressions.cosineSim(col("__va"), col("__vb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /**
+   * Approximate embedding near-dup pairs via multi-table sign-bit LSH:
+   * candidates share a bucket in some table (one narrow key pass,
+   * equi-join on (table, key)), verified with exact cosine. Linear in
+   * candidates — the 100 TB path; recall is tuned by (numPlanes,
+   * numTables).
+   */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: Column,
+      dim: Int, threshold: Double, numPlanes: Int = 8,
+      numTables: Int = 6): DataFrame = {
+    val tables = (0 until numTables)
+      .map(t => Similarity.hyperplanes(dim, numPlanes, seed = 911L + t))
+    val keyed = df.select(col(idCol).as("__id"), vecCol.as("__v"),
+      posexplode(Similarity.lshKeysAllTables(vecCol, tables))
+        .as(Seq("table", "key")))
+    val a = keyed.select(col("__id").as("id_a"), col("__v").as("__va"),
+      col("table"), col("key"))
+    val b = keyed.select(col("__id").as("id_b"), col("__v").as("__vb"),
+      col("table"), col("key"))
+    a.join(b, Seq("table", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(
+        graft.functions.VectorExpressions.cosineSim(col("__va"), col("__vb")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  // -------------------------------------------------------------------
   // n-gram Jaccard (exact, bounded)
   // -------------------------------------------------------------------
 

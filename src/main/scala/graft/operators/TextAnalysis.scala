@@ -133,6 +133,36 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /**
+   * Winnowing document fingerprints (the rolling-hash sketch of
+   * Schleimer/Wilkerson/Aiken's MOSS): hash every k-gram, slide a window
+   * of `w` consecutive hashes, keep each window's minimum. Guarantees any
+   * shared substring of length ≥ w+k-1 yields a shared fingerprint.
+   *
+   * Plan shape: explode k-gram offsets (codegen) → per-position hash →
+   * window-function min over (doc, position) → distinct. One shuffle on
+   * doc id for the window; no interpreted array ops.
+   *
+   * @return `(idCol, fp: bigint)` — one row per distinct fingerprint.
+   */
+  def winnowingFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, k: Int = 5, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
+    val grams = df
+      .select(col(idCol), norm.as("__t"))
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), greatest(length(col("__t")) - (k - 1), lit(1))))
+          .as("__i"))
+      .select(col(idCol), col("__i"),
+        xxhash64(col("__t").substr(col("__i"), lit(k))).as("__h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__i")
+      .rowsBetween(0, w - 1)
+    grams
+      .select(col(idCol), min(col("__h")).over(win).as("fp"))
+      .distinct()
+  }
+
   /** Character n-gram shingles (distinct), the MinHash input. */
   def charShingles(text: Column, n: Int): Column = {
     val t = regexp_replace(trim(lower(text)), "\\s+", " ")

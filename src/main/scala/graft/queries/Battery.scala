@@ -667,6 +667,70 @@ object Battery {
       |    FROM events))
       |GROUP BY 1, 2""".stripMargin
 
+  /** JSON property extraction from the events props column. */
+  val q31Json: Q = (s, dir) =>
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        round(avg("k"), 3).as("avg_k"))
+
+  val q31Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+      |  ROUND(AVG(CAST(props->>'$.k' AS INT)), 3) AS avg_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Exact embedding-cosine near-dup pairs (the brute-force oracle form;
+    * the LSH form is DedupSpec territory). Threshold low enough to yield
+    * pairs on near-random synthetic vectors. */
+  val q32EmbeddingDedup: Q = (s, dir) =>
+    graft.operators.Dedup.embeddingNearDupPairsExact(
+      t(s, dir, "embeddings"), "vec_id", col("embedding"), threshold = 0.30)
+
+  val q32Sql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+      |    b.embedding::DOUBLE[]), 4) AS cosine
+      |FROM embeddings a, embeddings b
+      |WHERE a.vec_id < b.vec_id
+      |  AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+      |    b.embedding::DOUBLE[]), 4) >= 0.30""".stripMargin
+
+  /** Winnowing rolling-hash fingerprints: docs sharing a fingerprint are
+    * near-dup candidates (xxhash64 has no DuckDB twin — rows-only; one
+    * row). */
+  val q33Winnowing: Q = (s, dir) => {
+    val fps = graft.operators.TextAnalysis.winnowingFingerprints(
+      t(s, dir, "documents"), "doc_id", col("text"), k = 5, w = 4)
+    val shared = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+    fps.agg(count(lit(1)).as("n_fingerprints"))
+      .crossJoin(shared.agg(count(lit(1)).as("n_shared_fps")))
+  }
+
+  /** Salted skew join == plain join (the oracle replays it unsalted). */
+  val q34SaltedJoin: Q = (s, dir) => {
+    val prioDim = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("prio")).distinct()
+      .withColumn("prio_rank",
+        ascii(substring(col("prio"), 1, 1)) - lit(48))
+    graft.operators.SkewJoin.saltedJoin(
+      t(s, dir, "orders").withColumn("prio", col("o_orderpriority")),
+      prioDim, Seq("prio"), saltFactor = 8)
+      .groupBy("prio_rank")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+  }
+
+  val q34Sql: String =
+    """SELECT ascii(substr(o.o_orderpriority, 1, 1)) - 48 AS prio_rank,
+      |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+      |FROM orders o
+      |JOIN (SELECT DISTINCT o_orderpriority AS prio FROM orders) d
+      |  ON o.o_orderpriority = d.prio
+      |GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -702,7 +766,11 @@ object Battery {
     "q27_embedding_norms" -> (q27EmbeddingNorms, Some(q27Sql)),
     "q28_lsh_recall" -> (q28LshRecall, None),
     "q29_multimodal" -> (q29Multimodal, Some(q29Sql)),
-    "q30_sliding" -> (q30Sliding, Some(q30Sql)))
+    "q30_sliding" -> (q30Sliding, Some(q30Sql)),
+    "q31_json" -> (q31Json, Some(q31Sql)),
+    "q32_embedding_dedup" -> (q32EmbeddingDedup, Some(q32Sql)),
+    "q33_winnowing" -> (q33Winnowing, None),
+    "q34_salted_join" -> (q34SaltedJoin, Some(q34Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

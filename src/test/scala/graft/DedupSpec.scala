@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Near-dup operator family on constructed duplicates. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away home"
+  private val docs = Seq(
+    (1L, base),
+    (2L, base + " tonight"),                          // near-dup of 1
+    (3L, base.replace("quick", "rapid")),             // near-dup of 1
+    (4L, "completely different content about spark catalyst expressions"),
+    (5L, "another unrelated string mentioning window functions only"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup flags identical fingerprints, keeps smallest id") {
+    val dup = docs.unionByName(Seq((6L, base)).toDF("doc_id", "text"))
+    val flagged = Dedup.exactDedup(dup,
+      TextAnalysis.fingerprint(col("text")), col("doc_id"))
+    val dups = flagged.filter(col("is_duplicate")).select("doc_id")
+      .as[Long].collect().toSeq
+    assert(dups == Seq(6L)) // doc 1 kept, byte-identical doc 6 flagged
+  }
+
+  test("minhash near-dup finds the constructed pairs") {
+    val pairs = Dedup.minhashNearDupPairsText(docs, "doc_id", col("text"),
+      n = 5, numHashes = 128, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("simhash near-dup on token sets") {
+    val long1 = Array.fill(10)(base).mkString(" ")
+    val longDocs = Seq(
+      (1L, long1),
+      (2L, long1),                 // byte-identical → hamming 0
+      (3L, long1 + " tonight"),    // near-dup → small hamming
+      (4L, Array.fill(10)("completely different content about spark catalyst")
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(longDocs, "doc_id",
+      TextAnalysis.tokens(lower(col("text"))), maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    assert(!pairs.exists(p => Set(p._1, p._2).contains(4L)))
+    // near-dup hamming is far below unrelated-doc hamming
+    val sh = Dedup.simhashes(longDocs, "doc_id",
+      TextAnalysis.tokens(lower(col("text"))))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(ham(1L, 3L) < ham(1L, 4L))
+    // one extra token among 140 flips only the bits whose vote sum sat at
+    // zero — well under a quarter of the 64 bits (observed ~9; unrelated
+    // docs sit near 32)
+    assert(ham(1L, 3L) <= 16)
+  }
+
+  test("ngram jaccard exact pairs agree with definition") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id",
+      TextAnalysis.wordShingles(col("text"), 2), threshold = 0.4)
+      .as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.contains((1L, 2L)))
+    // (1,2): base has 14 tokens → 13 distinct bigrams; doc 2 adds
+    // "home tonight" → union 14, intersect 13
+    assert(math.abs(m((1L, 2L)) - 13.0 / 14.0) < 1e-3)
+  }
+
+  test("winnowing: near-dups share fingerprints, unrelated docs don't") {
+    val fps = TextAnalysis.winnowingFingerprints(docs, "doc_id", col("text"))
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) intersect byDoc(4L)).isEmpty)
+  }
+
+  test("embedding near-dup: LSH finds what brute force finds (high sim)") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.1f)),  // ≈ vec 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairsExact(vecs, "vec_id",
+      col("embedding"), threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)))
+    val approx = Dedup.embeddingNearDupPairs(vecs, "vec_id",
+      col("embedding"), dim = 4, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(approx == Set((1L, 2L)))
+  }
+}
