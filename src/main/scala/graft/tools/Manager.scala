@@ -1,0 +1,78 @@
+package graft.tools
+
+import graft.model.LoadConfig
+import graft.operators.{GenicQcJob, VariantLoader}
+import graft.sources.VariantStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/**
+ * CLI driver — the engine's equivalent of the reference's entry point
+ * (Manager.java:12-34: `--runLoad` → HrdpVariants, `--genicQc` → GenicQc),
+ * with the Spring XML config (AppConfigure.xml) replaced by flags.
+ *
+ *   runMain graft.tools.Manager --runLoad  --vcf <path> --genes <parquet> \
+ *     --store <dir> --mapKey 372 [--seed 0]
+ *   runMain graft.tools.Manager --genicQc --vcf <path> --genes <parquet> \
+ *     --store <dir> --mapKey 372
+ *
+ * The gene table parquet needs columns
+ * `(gene_rgd_id, chromosome, start_pos, stop_pos)` (GeneCache.java:27-32).
+ */
+object Manager {
+
+  def main(args: Array[String]): Unit = {
+    val flags = args.filter(_.startsWith("--")).filterNot(_.contains("="))
+    val opts = args.sliding(2).collect {
+      case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
+        k.stripPrefix("--") -> v
+    }.toMap
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft-variant-manager")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val started = System.currentTimeMillis()
+    try {
+      val vcf = opts("vcf")
+      val store = opts("store")
+      val genes = spark.read.parquet(opts("genes"))
+      val config = LoadConfig(
+        mapKey = opts.getOrElse("mapKey", "372").toInt,
+        rgdIdSeed = VariantStore.maxRgdId(spark, store,
+          opts.getOrElse("seed", "0").toLong))
+
+      if (flags.contains("--runLoad")) {
+        // E1 (HrdpVariants.main, HrdpVariants.java:33-54)
+        val result = VariantLoader.load(spark, vcf, genes,
+          VariantStore.variants(spark, store),
+          VariantStore.detailKeys(spark, store), config)
+        val nNew = result.newVariants.count()
+        val nDetails = result.sampleDetails.count()
+        VariantStore.append(result, store)
+        println(s"[graft] loaded $nNew new variants, $nDetails sample details")
+      } else if (flags.contains("--genicQc")) {
+        // E2 (GenicQc.run, GenicQc.java:27-43)
+        val changes = GenicQcJob.run(spark, vcf, genes,
+          VariantStore.variants(spark, store), config)
+        val n = changes.count()
+        VariantStore.applyGenicUpdates(spark, store,
+          changes.select(col("rgd_id"), col("genic_status")))
+        println(s"[graft] genic QC updated $n rows")
+      } else {
+        System.err.println(
+          "usage: Manager (--runLoad|--genicQc) --vcf <p> --genes <p> " +
+            "--store <dir> [--mapKey N] [--seed N]")
+        sys.exit(2)
+      }
+      // elapsed logging, as the reference does (HrdpVariants.java:52-53)
+      println(f"[graft] elapsed ${(System.currentTimeMillis() - started) / 1000.0}%.1f s")
+    } finally spark.stop()
+  }
+}
