@@ -731,6 +731,47 @@ object Battery {
       |  ON o.o_orderpriority = d.prio
       |GROUP BY 1""".stripMargin
 
+  /** ROLLUP grouping sets with grouping_id (free from Spark SQL — the
+    * engine's super-aggregation surface beyond the reference's plain
+    * GROUP BY). */
+  val q35Rollup: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+
+  val q35Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Exact interpolated percentiles per group. */
+  val q36Percentile: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 3).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 3).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 3).as("p75"))
+
+  val q36Sql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_quantity, 0.25), 3) AS p25,
+      |  ROUND(quantile_cont(l_quantity, 0.5), 3) AS p50,
+      |  ROUND(quantile_cont(l_quantity, 0.75), 3) AS p75
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** HLL sketch (approx_count_distinct) next to the exact count —
+    * rows-only: sketch estimates are engine-specific by construction. */
+  val q37Hll: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -770,7 +811,10 @@ object Battery {
     "q31_json" -> (q31Json, Some(q31Sql)),
     "q32_embedding_dedup" -> (q32EmbeddingDedup, Some(q32Sql)),
     "q33_winnowing" -> (q33Winnowing, None),
-    "q34_salted_join" -> (q34SaltedJoin, Some(q34Sql)))
+    "q34_salted_join" -> (q34SaltedJoin, Some(q34Sql)),
+    "q35_rollup" -> (q35Rollup, Some(q35Sql)),
+    "q36_percentile" -> (q36Percentile, Some(q36Sql)),
+    "q37_hll" -> (q37Hll, None))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
