@@ -772,6 +772,39 @@ object Battery {
         countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
 
+  /** Backward as-of join: each event matched to the user's most recent
+    * 'click' at-or-before it; checked against DuckDB's native ASOF JOIN.
+    * Seconds-since-click aggregated per event type. */
+  val q38AsofJoin: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    // whole-second diff on second-truncated stamps: Spark holds µs (ns
+    // truncated at load), DuckDB holds ns — second-level math agrees
+    graft.operators.AsOfJoin.asofJoin(
+      ev, clicks, Seq("user_id"), "ts", "click_ts", Seq("click_ts"))
+      .withColumn("since_click",
+        unix_timestamp(date_trunc("second", col("ts"))) -
+          unix_timestamp(date_trunc("second", col("asof_click_ts"))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("asof_click_ts").isNull, 1).otherwise(0))
+          .as("n_unmatched"),
+        sum("since_click").as("sum_since"))
+  }
+
+  val q38Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN click_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unmatched,
+      |  CAST(SUM(epoch(date_trunc('second', ts))
+      |    - epoch(date_trunc('second', click_ts))) AS BIGINT) AS sum_since
+      |FROM events e ASOF LEFT JOIN (
+      |  SELECT user_id AS cu, ts AS click_ts FROM events
+      |  WHERE event_type = 'click') c
+      |ON e.user_id = c.cu AND e.ts >= c.click_ts
+      |GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -814,7 +847,8 @@ object Battery {
     "q34_salted_join" -> (q34SaltedJoin, Some(q34Sql)),
     "q35_rollup" -> (q35Rollup, Some(q35Sql)),
     "q36_percentile" -> (q36Percentile, Some(q36Sql)),
-    "q37_hll" -> (q37Hll, None))
+    "q37_hll" -> (q37Hll, None),
+    "q38_asof_join" -> (q38AsofJoin, Some(q38Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

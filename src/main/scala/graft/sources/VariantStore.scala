@@ -35,10 +35,15 @@ object VariantStore {
       .parquet(s"$dir/details")
   }
 
-  /** Snapshot read of the variant side (empty frame when absent). */
+  /** Snapshot read of the variant side (empty frame when absent).
+    * `chromosome` is a partition column and Spark's partition-type
+    * inference would read "1"/"2" back as INT — force it to string so the
+    * schema is stable across write/read cycles. */
   def variants(spark: SparkSession, dir: String): DataFrame =
     readOrEmpty(spark, s"$dir/variants", VariantLoader.variantCols) match {
-      case Some(df) => df.select(VariantLoader.variantCols.map(col): _*)
+      case Some(df) =>
+        df.withColumn("chromosome", col("chromosome").cast("string"))
+          .select(VariantLoader.variantCols.map(col): _*)
       case None => emptyVariants(spark)
     }
 
