@@ -46,7 +46,11 @@ object VariantLoader {
       /** per-sample observations to insert (K1, after the J6 anti-join) */
       sampleDetails: DataFrame,
       /** rgd_id + changed end_pos (K5 drift updates, A5) */
-      endPosUpdates: DataFrame)
+      endPosUpdates: DataFrame,
+      /** intermediates persisted by load(); call when done consuming */
+      private val persisted: Seq[DataFrame] = Nil) {
+    def unpersist(): Unit = persisted.foreach(_.unpersist())
+  }
 
   /**
    * Parse + normalize a VCF into one allele-level DataFrame:
@@ -55,15 +59,32 @@ object VariantLoader {
    */
   def normalizedAlleles(spark: SparkSession, vcfPath: String,
       config: LoadConfig): DataFrame = {
-    val recs = VcfSource.withParsedGenotypes(VcfSource.records(spark, vcfPath))
-    val kept = recs
+    // A single .gz file arrives as ONE input partition (gzip isn't
+    // splittable): rebalance the raw lines across the cluster before the
+    // expensive parse/normalize work — the shuffle moves plain text once,
+    // the alternative is a serial pipeline. Skipped when the source is
+    // already parallel (many files).
+    val raw = VcfSource.records(spark, vcfPath)
+    val parallelism = spark.sparkContext.defaultParallelism
+    val balanced =
+      if (raw.rdd.getNumPartitions < parallelism / 2)
+        raw.repartition(parallelism)
+      else raw
+    // genotypes stay RAW strings here: the struct-building array transform
+    // (VcfSource.withParsedGenotypes) is a higher-order lambda — Spark
+    // interprets those — and at 146 samples/row it dominated the load.
+    // The detail path parses blobs AFTER the melt, row-at-a-time in
+    // codegen.
+    val kept = balanced
       .filter(VariantColumns.keepContig(col("chrom")))
       .withColumn("chromosome", VariantColumns.normalizeChromosome(col("chrom")))
     // P8: the reference drops the whole record when the FIRST sample's DP
-    // is 0 (HrdpVariants.java:289-301)
+    // is 0 (HrdpVariants.java:289-301); DP is field 3 of the first blob
     val gated =
       if (config.filterZeroDepth)
-        kept.filter(coalesce(element_at(col("genotypes"), 1).getField("dp"),
+        kept.filter(coalesce(
+          try_element_at(split(element_at(col("genotypes"), 1), ":"), lit(3))
+            .try_cast("int"),
           lit(-1)) =!= 0)
       else kept
     val alleles = gated.select(
@@ -124,8 +145,12 @@ object VariantLoader {
 
     val alleles = normalizedAlleles(spark, vcfPath, config)
 
-    // J1: genic classification via the broadcast interval index
+    // J1: genic classification via the broadcast interval index.
+    // Persisted: every consumer below (dedup split, id mint count, detail
+    // melt, and the caller's count/write actions) would otherwise re-run
+    // the full parse+normalize pipeline — measured 5× re-execution.
     val classified = GenicAnnotator.annotateIndexed(alleles, genes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // J4: dedup against the snapshot — null-safe on the nucleotide pair
     // (Utils.stringsAreEqual treats null as "", HrdpVariants.java:412,438);
@@ -165,7 +190,10 @@ object VariantLoader {
       existingMatched.withColumn("rgd_id", col("db_rgd_id"))
         .drop("db_rgd_id", "db_chrom", "db_start", "db_end", "db_ref", "db_var"))
     val newVariants = finalize(minted)
+    // persisted for the same reason as `classified`: the caller's counts
+    // and the two sinks all consume it
     val all = keptExisting.unionByName(newVariants)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // A5/K5: end-position drift on already-loaded variants
     // (HrdpVariants.java:416-419,444-447: dbVar.endPos != endPos && endPos != 0)
@@ -185,7 +213,8 @@ object VariantLoader {
     val details = sampleDetails(all, existingDetails, config, sampleIdByIdx)
 
     LoadResult(all.drop("allele_idx", "genotypes"),
-      newVariants.drop("allele_idx", "genotypes"), details, endPosUpdates)
+      newVariants.drop("allele_idx", "genotypes"), details, endPosUpdates,
+      persisted = Seq(classified, all))
   }
 
   /** The per-sample observation path (HrdpVariants.java:462-495).
@@ -196,22 +225,30 @@ object VariantLoader {
       config: LoadConfig, sampleIdByIdx: Map[Int, Int] = Map.empty): DataFrame = {
     // sample_idx (header order) → sample_id; identity when no dictionary
     val sampleIdCol =
-      if (sampleIdByIdx.isEmpty) col("g.sample_idx")
+      if (sampleIdByIdx.isEmpty) col("g_sample_idx")
       else map(sampleIdByIdx.toSeq.flatMap { case (idx, id) =>
         Seq(lit(idx), lit(id))
-      }: _*).getItem(col("g.sample_idx"))
+      }: _*).getItem(col("g_sample_idx"))
 
+    // J7 melt over RAW blobs: posexplode keeps the header column index,
+    // the per-row split/element_at parse stays in whole-stage codegen
+    // (P11 — try_* forms null out "." and short ./."-style blobs)
     val melted = variants
       .select(col("rgd_id"), col("chromosome"), col("start_pos"),
-        col("allele_idx"), explode(col("genotypes")).as("g"))
+        col("allele_idx"),
+        posexplode(col("genotypes")).as(Seq("g_sample_idx", "g_raw")))
+      .withColumn("g_parts", split(col("g_raw"), ":"))
+      .withColumn("g_gt", element_at(col("g_parts"), 1))
       // P9: skip hom-ref / no-call genotypes (HrdpVariants.java:467-468)
-      .filter(!coalesce(col("g.gt"), lit("")).isin("0/0", "./."))
+      .filter(!coalesce(col("g_gt"), lit("")).isin("0/0", "./."))
       // J7 allele↔depth alignment: allele j pairs with AD[j+1]
       .withColumn("var_freq",
-        try_element_at(col("g.ad"), col("allele_idx") + 2))
+        try_element_at(split(try_element_at(col("g_parts"), lit(2)), ","),
+          col("allele_idx") + 2).try_cast("int"))
       // P10: drop zero/missing allele frequency (HrdpVariants.java:479-481)
       .filter(col("var_freq").isNotNull && col("var_freq") =!= 0)
-      .withColumn("total_depth", coalesce(col("g.dp"), lit(0)))
+      .withColumn("total_depth", coalesce(
+        try_element_at(col("g_parts"), lit(3)).try_cast("int"), lit(0)))
       .withColumn("z", VariantColumns.zygosity(col("var_freq"),
         col("total_depth"), lit("U"), col("chromosome")))
       .withColumn("sample_id", sampleIdCol)

@@ -53,10 +53,12 @@ object Manager {
         val result = VariantLoader.load(spark, vcf, genes,
           VariantStore.variants(spark, store),
           VariantStore.detailKeys(spark, store), config)
-        val nNew = result.newVariants.count()
-        val nDetails = result.sampleDetails.count()
+        // write first, count the written files — no extra plan execution
         VariantStore.append(result, store)
-        println(s"[graft] loaded $nNew new variants, $nDetails sample details")
+        result.unpersist()
+        val nNew = spark.read.parquet(s"$store/variants").count()
+        val nDetails = spark.read.parquet(s"$store/details").count()
+        println(s"[graft] store now has $nNew variants, $nDetails sample details")
       } else if (flags.contains("--genicQc")) {
         // E2 (GenicQc.run, GenicQc.java:27-43)
         val changes = GenicQcJob.run(spark, vcf, genes,
