@@ -56,6 +56,16 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got(1) == Seq(2, 1))
   }
 
+  test("SQL registration: graft_cosine / graft_dot callable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    vecs.toDF("id", "a", "b").createOrReplaceTempView("vecs_t")
+    val r = spark.sql(
+      "SELECT id, graft_cosine(a, b) AS c, graft_dot(a, b) AS d FROM vecs_t " +
+        "WHERE id = 3").collect().head
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getDouble(2) > 0)
+  }
+
   test("expressions survive filters/joins (codegen path)") {
     val emb = (0 until 100)
       .map(i => (i.toLong, Array.tabulate(8)(d => ((i * 7 + d) % 13 - 6).toFloat)))
