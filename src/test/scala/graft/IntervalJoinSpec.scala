@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.GenicAnnotator
+import graft.plans.IntervalJoin
+import org.apache.spark.sql.functions._
+
+/** The custom IntervalJoin strategy ≡ the broadcast-NLJ range join on
+  * randomized intervals. */
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(4242)
+  private val variants = (1 to 2000).map { i =>
+    val chrom = (rng.nextInt(4) + 1).toString
+    val start = rng.nextInt(100000).toLong
+    (i.toLong, chrom, start, start + rng.nextInt(50) + 1)
+  }.toDF("vid", "chromosome", "start_pos", "end_pos")
+
+  private val genes = (1 to 300).map { g =>
+    val chrom = (rng.nextInt(5) + 1).toString // chrom 5 matches nothing
+    val start = rng.nextInt(100000).toLong
+    (g, chrom, start, start + rng.nextInt(3000) + 10)
+  }.toDF("gene_rgd_id", "g_chrom", "g_start", "g_stop")
+
+  test("custom strategy plans IntervalJoinExec and matches BNLJ results") {
+    val custom = IntervalJoin.join(spark, variants, genes)
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(custom.queryExecution.executedPlan.toString
+      .contains("IntervalJoin"))
+
+    val gotPairs = custom.select("vid", "gene_rgd_id")
+      .as[(Long, Int)].collect().toSet
+
+    val bnlj = variants.join(
+      broadcast(genes),
+      col("chromosome") === col("g_chrom") &&
+        col("g_start") <= col("end_pos") && col("g_stop") >= col("start_pos"))
+      .select("vid", "gene_rgd_id")
+      .as[(Long, Int)].collect().toSet
+
+    assert(gotPairs == bnlj)
+    assert(gotPairs.nonEmpty)
+  }
+
+  test("payload columns from both sides survive the join") {
+    val out = IntervalJoin.join(spark,
+      variants.withColumn("tag", concat(lit("v"), col("vid"))),
+      genes.withColumn("g_tag", concat(lit("g"), col("gene_rgd_id"))))
+    val row = out.limit(1).collect().head
+    val schema = out.columns.toSeq
+    assert(schema.contains("tag") && schema.contains("g_tag"))
+    assert(row.getAs[String]("tag").startsWith("v"))
+    assert(row.getAs[String]("g_tag").startsWith("g"))
+  }
+
+  test("boundary semantics: touching intervals overlap (GeneCache.java:72-77)") {
+    val v = Seq((1L, "1", 100L, 200L)).toDF("vid", "chromosome", "start_pos",
+      "end_pos")
+    val g = Seq(
+      (10, "1", 200L, 300L),  // touches at end → overlap
+      (11, "1", 50L, 100L),   // touches at start → overlap
+      (12, "1", 201L, 300L),  // just misses
+      (13, "2", 100L, 200L))  // wrong chromosome
+      .toDF("gene_rgd_id", "g_chrom", "g_start", "g_stop")
+    val got = IntervalJoin.join(spark, v, g)
+      .select("gene_rgd_id").as[Int].collect().toSet
+    assert(got == Set(10, 11))
+  }
+}
