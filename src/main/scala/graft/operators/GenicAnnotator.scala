@@ -119,19 +119,17 @@ object GenicAnnotator {
 
   /** Returns matching gene ids per variant — the reference's
     * `getGeneRgdIds` surface (GeneCache.java:51), exposed for the query
-    * API; one output row per (variant, overlapping gene). */
+    * API; one output row per (variant, overlapping gene). Planned by the
+    * custom [[graft.plans.IntervalJoin]] operator (broadcast interval
+    * index, O(log g + hits) per row) instead of the BroadcastNestedLoop
+    * join Spark would pick for the range predicate. */
   def overlappingGenes(variants: DataFrame, genes: DataFrame): DataFrame = {
     val g = genes.select(
       col("gene_rgd_id"),
       col("chromosome").as("g_chrom"),
       col("start_pos").as("g_start"),
       col("stop_pos").as("g_stop"))
-    variants.join(
-      broadcast(g),
-      col("chromosome") === col("g_chrom") &&
-        VariantColumns.intervalsOverlap(col("start_pos"), col("end_pos"),
-          col("g_start"), col("g_stop")),
-      "inner")
+    graft.plans.IntervalJoin.join(variants.sparkSession, variants, g)
       .drop("g_chrom", "g_start", "g_stop")
   }
 }

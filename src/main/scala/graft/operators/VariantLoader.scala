@@ -58,13 +58,19 @@ object VariantLoader {
    * padding_base, rs_id, allele_idx, genotypes)`.
    */
   def normalizedAlleles(spark: SparkSession, vcfPath: String,
+      config: LoadConfig): DataFrame =
+    normalizedAllelesFromRecords(spark, VcfSource.records(spark, vcfPath),
+      config)
+
+  /** [[normalizedAlleles]] over a pre-built records DataFrame (streaming
+    * micro-batches, tests). */
+  def normalizedAllelesFromRecords(spark: SparkSession, raw: DataFrame,
       config: LoadConfig): DataFrame = {
     // A single .gz file arrives as ONE input partition (gzip isn't
     // splittable): rebalance the raw lines across the cluster before the
     // expensive parse/normalize work — the shuffle moves plain text once,
     // the alternative is a serial pipeline. Skipped when the source is
     // already parallel (many files).
-    val raw = VcfSource.records(spark, vcfPath)
     val parallelism = spark.sparkContext.defaultParallelism
     val balanced =
       if (raw.rdd.getNumPartitions < parallelism / 2)
@@ -142,8 +148,22 @@ object VariantLoader {
   def load(spark: SparkSession, vcfPath: String, genes: DataFrame,
       existing: DataFrame, existingDetails: DataFrame,
       config: LoadConfig): LoadResult = {
+    // S3/J8: resolve the header's sample columns through the dictionary
+    val sampleIdByIdx: Map[Int, Int] =
+      if (config.sampleDict.isEmpty) Map.empty
+      else VcfSource.headerSamples(spark, vcfPath).zipWithIndex.flatMap {
+        case (name, idx) => config.sampleDict.get(name).map(idx -> _)
+      }.toMap
+    loadFromAlleles(spark, normalizedAlleles(spark, vcfPath, config), genes,
+      existing, existingDetails, config, sampleIdByIdx)
+  }
 
-    val alleles = normalizedAlleles(spark, vcfPath, config)
+  /** [[load]] starting from a normalized-allele DataFrame — the entry
+    * point for streaming micro-batches and pre-parsed inputs. */
+  def loadFromAlleles(spark: SparkSession, alleles: DataFrame,
+      genes: DataFrame, existing: DataFrame, existingDetails: DataFrame,
+      config: LoadConfig, sampleIdByIdx: Map[Int, Int] = Map.empty)
+      : LoadResult = {
 
     // J1: genic classification via the broadcast interval index.
     // Persisted: every consumer below (dedup split, id mint count, detail
@@ -202,14 +222,7 @@ object VariantLoader {
       .select(col("db_rgd_id").as("rgd_id"), col("end_pos"))
 
     // J7 + P9-P11 + §2.7: melt samples, align allele j with AD[j+1],
-    // compute zygosity, then J6 anti-join against already-present details.
-    // The header's sample-column names resolve through the configured
-    // name→sample-id dictionary (S3/J8, AppConfigure.xml:10-159).
-    val sampleIdByIdx: Map[Int, Int] =
-      if (config.sampleDict.isEmpty) Map.empty
-      else VcfSource.headerSamples(spark, vcfPath).zipWithIndex.flatMap {
-        case (name, idx) => config.sampleDict.get(name).map(idx -> _)
-      }.toMap
+    // compute zygosity, then J6 anti-join against already-present details
     val details = sampleDetails(all, existingDetails, config, sampleIdByIdx)
 
     LoadResult(all.drop("allele_idx", "genotypes"),

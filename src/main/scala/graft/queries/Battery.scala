@@ -704,10 +704,11 @@ object Battery {
   val q33Winnowing: Q = (s, dir) => {
     val fps = graft.operators.TextAnalysis.winnowingFingerprints(
       t(s, dir, "documents"), "doc_id", col("text"), k = 5, w = 4)
-    val shared = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") > 1)
-    fps.agg(count(lit(1)).as("n_fingerprints"))
-      .crossJoin(shared.agg(count(lit(1)).as("n_shared_fps")))
+    // single pass: total (doc, fp) rows + fp groups shared by >1 doc
+    fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .agg(sum("n_docs").cast("long").as("n_fingerprints"),
+        sum(when(col("n_docs") > 1, 1).otherwise(0)).cast("long")
+          .as("n_shared_fps"))
   }
 
   /** Salted skew join == plain join (the oracle replays it unsalted). */

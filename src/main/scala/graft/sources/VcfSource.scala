@@ -51,8 +51,12 @@ object VcfSource {
    * `String.split("\t")` drops them (SURVEY.md §2.6), but a trailing empty
    * genotype column is data corruption we'd rather surface than hide.
    */
-  def records(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.text(path)
+  def records(spark: SparkSession, path: String): DataFrame =
+    recordsFromLines(spark.read.text(path))
+
+  /** [[records]] over an existing line DataFrame (`value: string`) — the
+    * entry point streaming micro-batches use. */
+  def recordsFromLines(raw: DataFrame): DataFrame = {
     val cells = split(col("value"), "\t", -1)
     raw
       .filter(!col("value").startsWith("#"))

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.model.LoadConfig
+import graft.operators.VariantLoader
+import graft.sources.{VariantStore, VcfSource}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * Streaming VCF ingestion: watch a directory for (gzipped) VCF files and
+ * run each micro-batch through the full E1 load against the current
+ * store — dedup, id minting, and detail anti-joins included, so
+ * re-delivered files are idempotent.
+ *
+ * Shape: file-source line stream → foreachBatch(batch load + store
+ * append). foreachBatch, not a plain sink: the load is a multi-join
+ * batch plan against the store snapshot, which streaming DataFrames
+ * can't express inline — exactly what foreachBatch exists for. Each
+ * batch reads the store snapshot fresh, so sequential micro-batches
+ * observe each other's appends; exactly-once comes from the checkpoint
+ * (file source tracks consumed files) + idempotent dedup.
+ */
+object StreamingVcfLoad {
+
+  /**
+   * @param watchDir   directory to watch for *.vcf / *.vcf.gz files
+   * @param genes      gene dimension (J1)
+   * @param storeDir   variant store root (created on first batch)
+   * @param checkpoint streaming checkpoint dir
+   * @param availableNow process what's there, then stop (testing); false
+   *                   = run continuously
+   */
+  def start(spark: SparkSession, watchDir: String, genes: DataFrame,
+      storeDir: String, config: LoadConfig, checkpoint: String,
+      availableNow: Boolean = false): StreamingQuery = {
+    val lines = spark.readStream.text(watchDir)
+    val writer = lines.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val result = VariantLoader.loadFromAlleles(
+          spark,
+          VariantLoader.normalizedAllelesFromRecords(
+            spark, VcfSource.recordsFromLines(batch), config),
+          genes,
+          VariantStore.variants(spark, storeDir),
+          VariantStore.detailKeys(spark, storeDir),
+          config.copy(rgdIdSeed =
+            VariantStore.maxRgdId(spark, storeDir, config.rgdIdSeed)))
+        VariantStore.append(result, storeDir)
+        result.unpersist()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+}
