@@ -133,16 +133,26 @@ object Dedup {
   private def nearDupPairsFromSignatures(sigs: DataFrame, idCol: String,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val banded = sigs.select(col(idCol).as("__id"), col("sig"),
+    // persist: the signature aggregation feeds three consumers (band
+    // explode + both sides of the estimate join) and Spark can't reuse
+    // the exchange across them (one lands in a BroadcastExchange);
+    // released by executor LRU
+    val s = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = s.select(col(idCol).as("__id"),
       posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))
-    val a = banded.select(col("__id").as("id_a"), col("sig").as("sig_a"),
-      col("band_idx"), col("band_hash"))
-    val b = banded.select(col("__id").as("id_b"), col("sig").as("sig_b"),
-      col("band_idx"), col("band_hash"))
-    a.join(b, Seq("band_idx", "band_hash"))
+    val a = banded.select(col("__id").as("id_a"), col("band_idx"),
+      col("band_hash"))
+    val b = banded.select(col("__id").as("id_b"), col("band_idx"),
+      col("band_hash"))
+    // candidate pairs carry bare ids: hash-aggregate dedup, no array
+    // columns through the self-join (arrays force SortAggregate)
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    pairs
+      .join(s.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(s.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("jaccard",
         round(estimatedJaccard(col("sig_a"), col("sig_b")), 4))
       .filter(col("jaccard") >= threshold)
