@@ -216,18 +216,22 @@ object Dedup {
    */
   def simhashNearDupPairs(df: DataFrame, idCol: String, tokensCol: Column,
       maxHamming: Int = 3): DataFrame = {
-    val keyed = simhashes(df, idCol, tokensCol)
-      .select(col(idCol).as("__id"), col("simhash"),
-        posexplode(array((0 until 4).map(k =>
-          shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL)): _*))
-          .as(Seq("piece_idx", "piece")))
-    val a = keyed.select(col("__id").as("id_a"), col("simhash").as("sh_a"),
-      col("piece_idx"), col("piece"))
-    val b = keyed.select(col("__id").as("id_b"), col("simhash").as("sh_b"),
-      col("piece_idx"), col("piece"))
+    // persist + bare-id candidate join, same rationale as the minhash
+    // path: the signature aggregation feeds three consumers and the
+    // candidate dedup should hash, not sort
+    val sh = simhashes(df, idCol, tokensCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = sh.select(col(idCol).as("__id"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("piece_idx", "piece")))
+    val a = keyed.select(col("__id").as("id_a"), col("piece_idx"), col("piece"))
+    val b = keyed.select(col("__id").as("id_b"), col("piece_idx"), col("piece"))
     a.join(b, Seq("piece_idx", "piece"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), "id_b")
       .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
