@@ -806,6 +806,16 @@ object Battery {
       |ON e.user_id = c.cu AND e.ts >= c.click_ts
       |GROUP BY event_type""".stripMargin
 
+  /** KMV typed-aggregator sketch next to the exact distinct count
+    * (rows-only: the sketch is engine-specific; deterministic). */
+  val q39Kmv: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .withColumn("h", xxhash64(col("l_partkey")))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        round(graft.functions.KmvSketch.kmvDistinct(256)(col("h")), 1)
+          .as("kmv_parts"))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -849,7 +859,8 @@ object Battery {
     "q35_rollup" -> (q35Rollup, Some(q35Sql)),
     "q36_percentile" -> (q36Percentile, Some(q36Sql)),
     "q37_hll" -> (q37Hll, None),
-    "q38_asof_join" -> (q38AsofJoin, Some(q38Sql)))
+    "q38_asof_join" -> (q38AsofJoin, Some(q38Sql)),
+    "q39_kmv_sketch" -> (q39Kmv, None))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
