@@ -209,21 +209,35 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /**
-   * SimHash near-dup pairs: candidates share one of four 16-bit sub-keys
-   * (any pair within Hamming distance 3 agrees on ≥1 of 4 pieces —
-   * pigeonhole; wider distances lower precision, never recall of the
-   * verify step), verified by exact Hamming distance.
+   * SimHash near-dup pairs: the 64-bit hash is cut into `maxHamming + 1`
+   * contiguous pieces; by pigeonhole, any pair within Hamming distance
+   * `maxHamming` agrees EXACTLY on ≥1 piece, so sharing a (piece_idx,
+   * piece) key is a complete candidate filter — recall 1.0 by
+   * construction at any `maxHamming` ≤ 20ish. Candidates are verified by
+   * exact Hamming distance. Note the cost trade: more pieces means
+   * narrower keys (64/(h+1) bits), so precision — and candidate count —
+   * degrades as `maxHamming` grows; past ~20 the keys are so short the
+   * join approaches all-pairs.
    */
   def simhashNearDupPairs(df: DataFrame, idCol: String, tokensCol: Column,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32), got $maxHamming")
+    val pieces = maxHamming + 1
+    // piece widths as even as possible: 64 = sum(widths)
+    val widths = (0 until pieces).map(i =>
+      64 / pieces + (if (i < 64 % pieces) 1 else 0))
+    val pieceOffsets = widths.scanLeft(0)(_ + _)
+    def mask(width: Int): Long = if (width >= 64) -1L else (1L << width) - 1
     // persist + bare-id candidate join, same rationale as the minhash
     // path: the signature aggregation feeds three consumers and the
     // candidate dedup should hash, not sort
     val sh = simhashes(df, idCol, tokensCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = sh.select(col(idCol).as("__id"),
-      posexplode(array((0 until 4).map(k =>
-        shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until pieces).map(k =>
+        shiftright(col("simhash"), pieceOffsets(k))
+          .bitwiseAND(mask(widths(k)))): _*))
         .as(Seq("piece_idx", "piece")))
     val a = keyed.select(col("__id").as("id_a"), col("piece_idx"), col("piece"))
     val b = keyed.select(col("__id").as("id_b"), col("piece_idx"), col("piece"))

@@ -71,24 +71,31 @@ object GenicAnnotator {
       explode(sequence(floor(col("start_pos") / bin),
         floor(col("stop_pos") / bin))).as("g_bin"))
 
-    val rowId = monotonically_increasing_id()
-    val v = variants.withColumn("__vid", rowId)
-    val vBinned = v.withColumn("__bin",
-      explode(sequence(floor(col("start_pos") / bin),
-        floor(col("end_pos") / bin))))
+    // One linear plan, NO self-join: tag rows, explode bins, left-join the
+    // broadcast gene bins, fold the exploded rows back with a
+    // first(struct(*)) aggregate keyed on the tag. The tag is
+    // monotonically_increasing_id() — nondeterministic — but it is
+    // evaluated exactly once on a single plan branch (it only undoes the
+    // explode), so two evaluations can never disagree; the previous
+    // join-back-on-id shape evaluated the id independently on both sides
+    // of a self-join, which loses rows if an upstream shuffle reorders.
+    val cols = variants.columns.toSeq
+    val vBinned = variants
+      .withColumn("__vid", monotonically_increasing_id())
+      .withColumn("__bin",
+        explode(sequence(floor(col("start_pos") / bin),
+          floor(col("end_pos") / bin))))
 
-    val matches = vBinned.join(
+    vBinned.join(
       broadcast(g),
       col("chromosome") === col("g_chrom") && col("__bin") === col("g_bin") &&
         VariantColumns.intervalsOverlap(col("start_pos"), col("end_pos"),
           col("g_start"), col("g_stop")),
       "left")
       .groupBy(col("__vid"))
-      .agg(max(col("g_start").isNotNull).as("is_genic"))
-
-    v.join(matches, Seq("__vid"), "left")
-      .withColumn("genic_status", statusCol(coalesce(col("is_genic"), lit(false))))
-      .drop("__vid", "is_genic")
+      .agg(first(struct(cols.map(col): _*)).as("__row"),
+        max(col("g_start").isNotNull).as("is_genic"))
+      .select(col("__row.*") +: Seq(statusCol(col("is_genic")).as("genic_status")): _*)
   }
 
   /**

@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.VariantColumns
 import graft.model.LoadConfig
 import graft.sources.VcfSource
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -88,9 +88,12 @@ object VariantLoader {
     // is 0 (HrdpVariants.java:289-301); DP is field 3 of the first blob
     val gated =
       if (config.filterZeroDepth)
+        // try_element_at on BOTH levels: a sites-only record (no sample
+        // columns ⇒ empty genotypes array) must pass through, not abort
+        // the job under ANSI INVALID_ARRAY_INDEX
         kept.filter(coalesce(
-          try_element_at(split(element_at(col("genotypes"), 1), ":"), lit(3))
-            .try_cast("int"),
+          try_element_at(split(try_element_at(col("genotypes"), lit(1)), ":"),
+            lit(3)).try_cast("int"),
           lit(-1)) =!= 0)
       else kept
     val alleles = gated.select(
@@ -133,6 +136,39 @@ object VariantLoader {
     val w = Window.partitionBy("chromosome")
       .orderBy(orderCols.map(col): _*)
     df.withColumn("rgd_id", lit(seed) + offsetCol + row_number().over(w))
+  }
+
+  /**
+   * [[mintIds]] variant that assigns ONE id per distinct key: rows whose
+   * `keyExprs` tie share the minted id (dense_rank), and the first row in
+   * (key, tieBreak) order is flagged `__key_first` for first-wins insert
+   * semantics. This is the intra-batch dedup the reference gets for free
+   * from per-record locus lookups — each line's lookup sees prior lines'
+   * inserts (HrdpVariants.java:310-465) — re-expressed set-level.
+   *
+   * Scale design: identical to [[mintIds]] — per-chromosome windows plus a
+   * driver prefix sum over the ~25-row distinct-count map; both windows
+   * share one hash exchange on chromosome (same partitioning, two sort
+   * specs).
+   */
+  def mintIdsDense(df: DataFrame, seed: Long, keyExprs: Seq[Column],
+      tieBreak: Seq[Column]): DataFrame = {
+    val counts = df.groupBy("chromosome")
+      .agg(countDistinct(struct(keyExprs: _*)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L) { case (acc, (_, n)) => acc + n })
+    val offsetCol = offsets.foldLeft(lit(0L)) { case (acc, (c, off)) =>
+      when(col("chromosome") === c, lit(off)).otherwise(acc)
+    }
+    val wKey = Window.partitionBy("chromosome")
+      .orderBy(keyExprs: _*)
+    val wFull = Window.partitionBy("chromosome")
+      .orderBy(keyExprs ++ tieBreak: _*)
+    val keyStruct = struct(keyExprs: _*)
+    df.withColumn("rgd_id", lit(seed) + offsetCol + dense_rank().over(wKey))
+      .withColumn("__key_first",
+        !(keyStruct <=> lag(keyStruct, 1).over(wFull)))
   }
 
   /**
@@ -192,11 +228,22 @@ object VariantLoader {
     val existingMatched = joined.filter(col("db_rgd_id").isNotNull)
     val novel = joined.filter(col("db_rgd_id").isNull)
 
-    // W2: mint ids for novel variants, deterministic order within chromosome
-    val minted = mintIds(novel.drop("db_rgd_id", "db_chrom", "db_start",
+    // W2 + intra-batch dedup: the J4 join only sees the PRIOR store, so
+    // two records in one batch normalizing to the same null-safe variant
+    // key would both look novel. Dense minting gives key-duplicates ONE
+    // shared id; only the first row (deterministic order) becomes an
+    // insert row, but every occurrence still flows to the detail melt —
+    // mirroring the reference, where a duplicate line hits the existing
+    // path via its locus lookup yet still contributes sample details
+    // (HrdpVariants.java:310-465). Divergence (documented): a duplicate
+    // line whose end_pos drifts from the first does NOT emit a K5 update
+    // within the same batch.
+    val minted = mintIdsDense(novel.drop("db_rgd_id", "db_chrom", "db_start",
       "db_end", "db_ref", "db_var"),
       config.rgdIdSeed,
-      Seq("start_pos", "end_pos", "ref_nuc", "var_nuc", "allele_idx"))
+      keyExprs = Seq(col("start_pos"),
+        coalesce(col("ref_nuc"), lit("")), coalesce(col("var_nuc"), lit(""))),
+      tieBreak = Seq(col("end_pos"), col("allele_idx"), col("rs_id")))
 
     def finalize(df: DataFrame): DataFrame = df.select(
       col("rgd_id"), col("chromosome"), col("start_pos"), col("end_pos"),
@@ -209,10 +256,12 @@ object VariantLoader {
     val keptExisting = finalize(
       existingMatched.withColumn("rgd_id", col("db_rgd_id"))
         .drop("db_rgd_id", "db_chrom", "db_start", "db_end", "db_ref", "db_var"))
-    val newVariants = finalize(minted)
+    // insert rows: first occurrence per key only (K2-K4 first-wins)
+    val newVariants = finalize(minted.filter(col("__key_first")))
     // persisted for the same reason as `classified`: the caller's counts
-    // and the two sinks all consume it
-    val all = keptExisting.unionByName(newVariants)
+    // and the two sinks all consume it. ALL novel occurrences (including
+    // key-duplicates sharing a minted id) participate in the detail melt.
+    val all = keptExisting.unionByName(finalize(minted))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // A5/K5: end-position drift on already-loaded variants
@@ -285,8 +334,21 @@ object VariantLoader {
       col("z.zygosity_poss_error").as("zygosity_poss_error"),
       col("z.zygosity_in_pseudo").as("zygosity_in_pseudo"))
 
+    // Intra-batch first-wins on (rgd_id, sample_id): duplicate variant
+    // records in one batch share a minted id and would melt to duplicate
+    // detail rows; the reference's per-record count==0 gate sees prior
+    // lines' inserts (DAO.java:64-66), so keep exactly one —
+    // deterministically. The window's hash partitioning on (rgd_id,
+    // sample_id) is the anti-join's key, so the exchange is reused.
+    val wFirst = Window.partitionBy("rgd_id", "sample_id")
+      .orderBy(col("var_freq").desc, col("total_depth").desc,
+        col("zygosity_status"))
+    val deduped = candidate
+      .withColumn("__rn", row_number().over(wFirst))
+      .filter(col("__rn") === 1).drop("__rn")
+
     // J6: only details not already present (DAO.java:64-66 count==0 gate)
-    candidate.join(
+    deduped.join(
       existingDetails.select(col("rgd_id").as("d_rgd_id"),
         col("sample_id").as("d_sample_id")),
       col("rgd_id") === col("d_rgd_id") &&

@@ -559,10 +559,13 @@ object Battery {
   /** SimHash near-dup summary (rows-only, one row). */
   val q25Simhash: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
+    // maxHamming 3 = the standard near-dup radius: blocking uses h+1
+    // pieces, so small h keeps the candidate keys wide (16 bits) and the
+    // join selective
     graft.operators.Dedup.simhashNearDupPairs(
       docs, "doc_id",
       graft.operators.TextAnalysis.tokens(lower(col("text"))),
-      maxHamming = 12)
+      maxHamming = 3)
       .agg(count(lit(1)).as("n_pairs"),
         coalesce(round(avg("hamming"), 3), lit(0.0)).as("avg_hamming"))
   }

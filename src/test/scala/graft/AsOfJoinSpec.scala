@@ -35,6 +35,25 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, 10L, 200.0, None)))       // no quotes for sym 2 → null
   }
 
+  test("matched right row with NULL payload wins over an older non-null row") {
+    val left = Seq((1L, ts(10))).toDF("k", "ts")
+    val right = Seq((1L, ts(4), Some(5)), (1L, ts(8), None))
+      .toDF("k", "rts", "v")
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"))
+    // the t8 row is the as-of match; its NULL payload must be returned,
+    // not the older t4 value
+    assert(out.select("asof_v").collect().head.isNullAt(0))
+  }
+
+  test("ties of right rows at one timestamp resolve deterministically") {
+    val left = Seq((1L, ts(10))).toDF("k", "ts")
+    val right = Seq((1L, ts(10), 7), (1L, ts(10), 3), (1L, ts(10), 9))
+      .toDF("k", "rts", "v")
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"))
+    // struct-greatest right row wins the tie — pinned, not partition-order
+    assert(out.select("asof_v").as[Int].head() == 9)
+  }
+
   test("left columns and row count are preserved") {
     val left = Seq((1L, ts(1), "a"), (1L, ts(2), "b"), (2L, ts(3), "c"))
       .toDF("k", "ts", "payload")

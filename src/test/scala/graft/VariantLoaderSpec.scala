@@ -113,6 +113,34 @@ class VariantLoaderSpec extends SparkSpec {
     assert(reIds == origIds)
   }
 
+  test("intra-batch duplicates: one minted id, first-wins details") {
+    // two records in ONE batch normalizing to the same variant key — the
+    // J4 snapshot join can't see them (both look novel); dense minting
+    // must give them the same rgd_id, insert one variant row, and the
+    // detail melt must keep one row per (rgd_id, sample)
+    val f = File.createTempFile("graft-dup", ".vcf")
+    f.deleteOnExit()
+    val w = new PrintWriter(f)
+    w.println("##fileformat=VCFv4.2")
+    w.println("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2")
+    w.println("chr1\t100\t.\tA\tT\t50\tPASS\t.\tGT:AD:DP\t0/1:32,9:41\t0/0:40,0:40")
+    w.println("chr1\t100\t.\tA\tT\t50\tPASS\t.\tGT:AD:DP\t0/1:30,7:37\t0/1:20,5:25")
+    w.close()
+
+    val r = VariantLoader.load(spark, f.getAbsolutePath, genes, emptyStore,
+      emptyDetails, config)
+    assert(r.newVariants.count() == 1)
+    val ids = r.variants.select("rgd_id").as[Long].collect()
+    assert(ids.length == 2 && ids.distinct.length == 1)
+    // S1 appears in both lines → deduped to one detail; S2 only in line 2
+    val d = r.sampleDetails.select("sample_id", "var_freq").collect()
+      .map(x => (x.getInt(0), x.getInt(1))).toSet
+    assert(d.map(_._1) == Set(11, 22))
+    assert(d.size == 2)
+    // first-wins is deterministic: S1 keeps the higher var_freq row (9)
+    assert(d.contains((11, 9)))
+  }
+
   test("genic QC is a fixpoint after a clean load (interval probe)") {
     val r = VariantLoader.load(spark, vcf, genes, emptyStore, emptyDetails,
       config)
