@@ -6,51 +6,82 @@ import org.apache.spark.sql.functions._
 
 /**
  * The variant store — the engine's replacement for the reference's four
- * Oracle tables (SURVEY.md §2.1 K1-K7; DAO.java:68-119). Plain
- * chromosome-partitioned parquet:
+ * Oracle tables (SURVEY.md §2.1 K1-K7; DAO.java:68-119). BUCKETED parquet
+ * catalog tables at a caller-chosen directory:
  *
  *   store/
- *     variants/chromosome=<c>/...   (variant ⋈ variant_map_data, §1.1)
- *     details/...                   (variant_sample_detail)
+ *     variants/...   (variant ⋈ variant_map_data, §1.1 —
+ *                     bucketed+sorted on (chromosome, start_pos))
+ *     details/...    (variant_sample_detail —
+ *                     bucketed on (rgd_id, sample_id))
  *
- * Partitioning by chromosome gives the same access path the reference's
- * per-chromosome caches and locus lookups rely on (GeneCache.java:23-44,
- * DAO.java:121-140): locus probes prune to one partition, and the J4
- * dedup join co-shuffles on the same key at any scale. End-pos/genic
- * updates (K5/K6) are partition overwrites — the plain-parquet analog of
- * the reference's batched UPDATEs (a table format would make them row
- * upserts; out of scope per SURVEY §7 risk register).
+ * Why bucketed: the J4 dedup join and the J5 QC probe shuffle BOTH sides
+ * on (chromosome, start_pos) every incremental load, and the store side
+ * is the one that grows without bound. Bucketing makes the store scan
+ * arrive pre-partitioned — Spark elides the store-side Exchange and only
+ * the (bounded) incoming batch shuffles. Same for the J6 detail anti-join
+ * on (rgd_id, sample_id). This is the same access path the reference gets
+ * from its per-chromosome caches and locus lookups (GeneCache.java:23-44,
+ * DAO.java:121-140). Verified by plan shape in VariantStoreSpec /
+ * BucketedTablesSpec (exactly one Exchange in the dedup-shaped join).
+ *
+ * Catalog mechanics: bucket metadata can't live in plain parquet
+ * directories, so each store side is an EXTERNAL catalog table
+ * (`saveAsTable` with an explicit path). The in-memory catalog forgets
+ * tables across sessions; [[ensureTable]] re-registers from the surviving
+ * files (schema inferred, bucket DDL re-stated) on first touch, keeping
+ * the API directory-based and sessions independent.
+ *
+ * K5/K6 updates (end-pos drift, genic flips) are write-to-temp + atomic
+ * directory swap — the bucketed analog of the reference's batched
+ * UPDATEs. No self-overwrite (Spark forbids overwriting a table being
+ * read) and no reliance on cached rows surviving eviction.
  */
 object VariantStore {
+
+  /** Bucket count for both sides. 32 matches local[32] testing; at real
+    * scale pick ~(store size / healthy scan partition) — e.g. 4096 for
+    * 100 TB — once at store creation. */
+  val NumBuckets = 32
+
+  private val variantKeys = Seq("chromosome", "start_pos")
+  private val detailKeys_ = Seq("rgd_id", "sample_id")
 
   /** K2/K3/K4: append the load result to the store (new variants only —
     * existing rows are already there). */
   def append(result: VariantLoader.LoadResult, dir: String): Unit = {
+    val spark = result.newVariants.sparkSession
+    ensureTable(spark, dir, "variants", variantKeys)
     result.newVariants.write
-      .partitionBy("chromosome")
-      .mode(SaveMode.Append)
-      .parquet(s"$dir/variants")
+      .bucketBy(NumBuckets, variantKeys.head, variantKeys.tail: _*)
+      .sortBy(variantKeys.head, variantKeys.tail: _*)
+      .mode(SaveMode.Append).format("parquet")
+      .option("path", s"$dir/variants")
+      .saveAsTable(tableName(dir, "variants"))
+    ensureTable(spark, dir, "details", detailKeys_)
     result.sampleDetails.write
-      .mode(SaveMode.Append)
-      .parquet(s"$dir/details")
+      .bucketBy(NumBuckets, detailKeys_.head, detailKeys_.tail: _*)
+      .sortBy(detailKeys_.head, detailKeys_.tail: _*)
+      .mode(SaveMode.Append).format("parquet")
+      .option("path", s"$dir/details")
+      .saveAsTable(tableName(dir, "details"))
   }
 
-  /** Snapshot read of the variant side (empty frame when absent).
-    * `chromosome` is a partition column and Spark's partition-type
-    * inference would read "1"/"2" back as INT — force it to string so the
-    * schema is stable across write/read cycles. */
+  /** Snapshot read of the variant side (empty frame when absent). Comes
+    * back as the bucketed table: joins on (chromosome, start_pos) skip
+    * the store-side shuffle. */
   def variants(spark: SparkSession, dir: String): DataFrame =
-    readOrEmpty(spark, s"$dir/variants", VariantLoader.variantCols) match {
-      case Some(df) =>
-        df.withColumn("chromosome", col("chromosome").cast("string"))
-          .select(VariantLoader.variantCols.map(col): _*)
+    ensureTable(spark, dir, "variants", variantKeys) match {
+      case Some(tbl) =>
+        spark.table(tbl).select(VariantLoader.variantCols.map(col): _*)
       case None => emptyVariants(spark)
     }
 
-  /** Snapshot read of `(rgd_id, sample_id)` detail keys. */
+  /** Snapshot read of `(rgd_id, sample_id)` detail keys (bucketed — the
+    * J6 anti-join skips the store-side shuffle). */
   def detailKeys(spark: SparkSession, dir: String): DataFrame =
-    readOrEmpty(spark, s"$dir/details", Seq("rgd_id", "sample_id")) match {
-      case Some(df) => df.select("rgd_id", "sample_id")
+    ensureTable(spark, dir, "details", detailKeys_) match {
+      case Some(tbl) => spark.table(tbl).select("rgd_id", "sample_id")
       case None =>
         import spark.implicits._
         Seq.empty[(Long, Int)].toDF("rgd_id", "sample_id")
@@ -65,7 +96,7 @@ object VariantStore {
   }
 
   /** K6: apply genic-status updates (changed rows from GenicQcJob) via
-    * read → merge → full rewrite of the variant side. */
+    * read → merge → bucketed rewrite (temp table + directory swap). */
   def applyGenicUpdates(spark: SparkSession, dir: String,
       changes: DataFrame): Unit = {
     val current = variants(spark, dir)
@@ -90,25 +121,69 @@ object VariantStore {
     overwriteVariants(spark, dir, merged)
   }
 
+  /** Full rewrite of the variant side: write the merged frame to a temp
+    * bucketed table (the old files stay readable while it runs), then
+    * swap directories and drop the stale catalog entries. */
   private def overwriteVariants(spark: SparkSession, dir: String,
       df: DataFrame): Unit = {
-    // materialize before overwriting the directory being read
-    val rows = df.select(VariantLoader.variantCols.map(col): _*).cache()
-    rows.count()
-    rows.write.partitionBy("chromosome")
-      .mode(SaveMode.Overwrite).parquet(s"$dir/variants")
-    rows.unpersist()
+    val finalPath = s"$dir/variants"
+    val tmpPath = s"$dir/variants_tmp"
+    val tmpTbl = tableName(dir, "variants_tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+    deletePath(spark, tmpPath)
+    df.select(VariantLoader.variantCols.map(col): _*).write
+      .bucketBy(NumBuckets, variantKeys.head, variantKeys.tail: _*)
+      .sortBy(variantKeys.head, variantKeys.tail: _*)
+      .mode(SaveMode.Overwrite).format("parquet")
+      .option("path", tmpPath)
+      .saveAsTable(tmpTbl)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, "variants")}")
+    val p = new org.apache.hadoop.fs.Path(finalPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), p)
+    // next read re-registers the table from the swapped files
   }
 
-  private def readOrEmpty(spark: SparkSession, path: String,
-      cols: Seq[String]): Option[DataFrame] = {
+  /** Deterministic catalog name for one store side (the catalog is
+    * session-scoped; the name only has to avoid collisions between
+    * concurrently-open stores). */
+  private def tableName(dir: String, side: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"graft_store_${side}_$digest"
+  }
+
+  /** Register the catalog entry for a store side if its files exist but
+    * the (session-scoped) catalog has forgotten it. Returns the table
+    * name, or None when the side doesn't exist yet. */
+  private def ensureTable(spark: SparkSession, dir: String, side: String,
+      keys: Seq[String]): Option[String] = {
+    val tbl = tableName(dir, side)
+    if (spark.catalog.tableExists(tbl)) Some(tbl)
+    else {
+      val path = s"$dir/$side"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val schemaDdl = spark.read.parquet(path).schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE $tbl ($schemaDdl) USING PARQUET
+             |CLUSTERED BY (${keys.mkString(", ")})
+             |SORTED BY (${keys.mkString(", ")})
+             |INTO $NumBuckets BUCKETS
+             |LOCATION '$path'""".stripMargin)
+        Some(tbl)
+      }
+    }
+  }
+
+  private def deletePath(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val df = spark.read.parquet(path)
-      if (cols.forall(df.columns.contains)) Some(df) else None
-    }
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
   def emptyVariants(spark: SparkSession): DataFrame = {

@@ -82,4 +82,42 @@ class VariantStoreSpec extends SparkSpec {
       .filter($"chromosome" === "1").select("end_pos")
       .as[Long].head() == 999L)
   }
+
+  test("store side arrives pre-bucketed: one exchange in the dedup join") {
+    val dir = Files.createTempDirectory("graft-store-bucket").toString
+    val r = VariantLoader.load(spark, vcf, genes,
+      VariantStore.variants(spark, dir),
+      VariantStore.detailKeys(spark, dir), config)
+    VariantStore.append(r, dir)
+    r.unpersist()
+
+    // force a shuffle join so the exchange count is observable
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val store = VariantStore.variants(spark, dir)
+      val probe = Seq(("1", 100L, "x"), ("2", 200L, "y"), ("3", 1L, "z"))
+        .toDF("chromosome", "start_pos", "payload")
+      val joined = probe.join(store, Seq("chromosome", "start_pos"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      // bucketed store side pre-partitioned -> only the probe shuffles
+      assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+      assert(joined.count() == 2)
+
+      // same for the detail side on (rgd_id, sample_id)
+      val det = VariantStore.detailKeys(spark, dir)
+      val dprobe = det.limit(1).collect().headOption
+        .map(x => Seq((x.getLong(0), x.getInt(1))))
+        .getOrElse(Seq((1L, 1)))
+        .toDF("rgd_id", "sample_id")
+      val djoined = dprobe.join(det, Seq("rgd_id", "sample_id"))
+      val dplan = djoined.queryExecution.executedPlan.toString
+      val dexchanges = "Exchange hashpartitioning".r.findAllIn(dplan).length
+      assert(dexchanges == 1, s"expected 1 exchange, plan:\n$dplan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }
