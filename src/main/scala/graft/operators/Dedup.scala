@@ -187,23 +187,18 @@ object Dedup {
   /**
    * 64-bit SimHash as a DataFrame: `(idCol, simhash: bigint)`. Bit b is
    * set when the sum over tokens of ±1 (bit b of xxhash64(token)) is
-   * positive. Explode + 64 codegen'd sum columns, same rationale as
-   * [[minhashSignatures]].
+   * positive. Explode + ONE typed vote aggregate
+   * ([[graft.functions.SimhashVotes]], a `long[64]` buffer updated
+   * imperatively) — the previous 64 `sum(when(...))` columns evaluated 64
+   * expressions per exploded token and carried a 64-column aggregation
+   * buffer, which dominated q25. Same explode rationale as
+   * [[minhashSignatures]]: higher-order array lambdas don't codegen.
    */
-  def simhashes(df: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(tokensCol).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val voteCols = (0 until 64).map(b =>
-      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"__v$b"))
-    exploded.groupBy(idCol)
-      .agg(voteCols.head, voteCols.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(b =>
-          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
-  }
+  def simhashes(df: DataFrame, idCol: String, tokensCol: Column): DataFrame =
+    df.select(col(idCol), explode(tokensCol).as("__t"))
+      .groupBy(idCol)
+      .agg(graft.functions.SimhashVotes.simhashBits(xxhash64(col("__t")))
+        .as("simhash"))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -257,44 +252,92 @@ object Dedup {
 
   /**
    * Exact embedding near-dup pairs `(id_a, id_b, cosine)` with
-   * cosine ≥ threshold — brute-force self-join with the fused native
-   * cosine. O(n²): the verification oracle and the right tool below ~10⁵
-   * vectors per partition-set.
+   * cosine ≥ threshold, id_a < id_b — BLOCK-PARTITIONED all-pairs.
+   *
+   * An exact cosine θ-join at a low threshold is Ω(n²) by its OUTPUT:
+   * on near-random corpora the qualifying pairs are themselves a fixed
+   * fraction of all pairs (≈0.8% of n²/2 on the test embeddings at 0.30),
+   * so no algorithm — LSH included — avoids quadratic work; LSH pruning
+   * only pays above ~0.7 where angles are small (see
+   * [[embeddingNearDupPairs]]). What CAN be engineered is the SHAPE of
+   * the quadratic work. Deterministic hash blocks + triangle enumeration
+   * of block pairs give:
+   *  - bounded task memory: one (block_i × block_j) product per task,
+   *    never a whole side resident (the old crossJoin broadcast the
+   *    entire corpus to every task);
+   *  - even parallelism: B(B+1)/2 independent tasks regardless of file
+   *    layout (a small parquet corpus otherwise runs a cross join on its
+   *    1-2 input splits — measured 2-core utilization at sf0.1);
+   *  - shuffle volume ≈ n·B vector rows, tunable: B ≈ 2× cores on one
+   *    machine, ≈ n / rows-per-task on a cluster.
    */
   def embeddingNearDupPairsExact(df: DataFrame, idCol: String,
-      vecCol: Column, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), vecCol.as("__va"))
-    val b = df.select(col(idCol).as("id_b"), vecCol.as("__vb"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
+      vecCol: Column, threshold: Double, numBlocks: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tasks = (for (i <- 0 until numBlocks; j <- i until numBlocks)
+      yield (i, j)).toDF("__bi", "__bj")
+    val v = df.select(col(idCol).as("__id"), vecCol.as("__v"),
+      pmod(xxhash64(col(idCol)), lit(numBlocks)).cast("int").as("__blk"))
+    val a = v.join(broadcast(tasks), col("__blk") === col("__bi"))
+      .select(col("__bi"), col("__bj"),
+        col("__id").as("id_a"), col("__v").as("__va"))
+    val b = v.join(broadcast(tasks), col("__blk") === col("__bj"))
+      .select(col("__bi").as("__bi_r"), col("__bj").as("__bj_r"),
+        col("__id").as("id_b"), col("__v").as("__vb"))
+    a.join(b, col("__bi") === col("__bi_r") && col("__bj") === col("__bj_r"))
+      // a same-block pair meets twice (both orders): keep one. A
+      // cross-block pair meets exactly once, in block — not id — order:
+      // keep it and canonicalize the id order in the projection.
+      .filter(col("__bi") =!= col("__bj") || col("id_a") < col("id_b"))
       .withColumn("cosine", round(
         graft.functions.VectorExpressions.cosineSim(col("__va"), col("__vb")), 4))
       .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cosine"))
   }
 
   /**
    * Approximate embedding near-dup pairs via multi-table sign-bit LSH:
    * candidates share a bucket in some table (one narrow key pass,
-   * equi-join on (table, key)), verified with exact cosine. Linear in
-   * candidates — the 100 TB path; recall is tuned by (numPlanes,
-   * numTables).
+   * equi-join on (table, key)), then exact-cosine verification. Linear in
+   * candidates — the 100 TB path for true near-duplicates (threshold
+   * ≳ 0.7; below that the candidate set degenerates toward all pairs and
+   * [[embeddingNearDupPairsExact]] is the honest tool). Recall is tuned
+   * by (numPlanes, numTables): more planes → fewer false candidates,
+   * more tables → higher recall. The defaults (8, 24) hold recall 1.0
+   * for pair cosine ≥ 0.8 on the test corpora at BOTH verification
+   * scales — deterministic, seeded hyperplanes, so this is a measured
+   * guarantee for this data, not a probability (verified in Battery q41
+   * against a DuckDB all-pairs oracle; graft.tools.TuneLsh reproduces
+   * the sweep: at sf0.1 the candidate pass scores 10.5% of all pairs,
+   * and misses appear only at ≤16 tables or ≥10 planes).
+   *
+   * Plan shape: keys in ONE native-expression pass (posexplode to
+   * (table, key) rows) → bare-id self-equi-join → hash-aggregate pair
+   * dedup → vectors joined back ONLY for surviving candidates (wide
+   * array columns never ride the candidate join — they forced
+   * SortAggregate dedup and quadratic row width before).
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: Column,
       dim: Int, threshold: Double, numPlanes: Int = 8,
-      numTables: Int = 6): DataFrame = {
+      numTables: Int = 24): DataFrame = {
     val tables = (0 until numTables)
       .map(t => Similarity.hyperplanes(dim, numPlanes, seed = 911L + t))
-    val keyed = df.select(col(idCol).as("__id"), vecCol.as("__v"),
-      posexplode(Similarity.lshKeysAllTables(vecCol, tables))
+    // persist: feeds the key pass and both vector-fetch joins
+    val v = df.select(col(idCol).as("__id"), vecCol.as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = v.select(col("__id"),
+      posexplode(Similarity.lshKeysAllTables(col("__v"), tables))
         .as(Seq("table", "key")))
-    val a = keyed.select(col("__id").as("id_a"), col("__v").as("__va"),
-      col("table"), col("key"))
-    val b = keyed.select(col("__id").as("id_b"), col("__v").as("__vb"),
-      col("table"), col("key"))
-    a.join(b, Seq("table", "key"))
+    val a = keyed.select(col("__id").as("id_a"), col("table"), col("key"))
+    val b = keyed.select(col("__id").as("id_b"), col("table"), col("key"))
+    val pairs = a.join(b, Seq("table", "key"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    pairs
+      .join(v.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
+      .join(v.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")
       .withColumn("cosine", round(
         graft.functions.VectorExpressions.cosineSim(col("__va"), col("__vb")), 4))
       .filter(col("cosine") >= threshold)

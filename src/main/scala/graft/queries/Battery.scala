@@ -610,8 +610,10 @@ object Battery {
       |    embedding::DOUBLE[])), 4) AS nrm FROM embeddings)
       |GROUP BY label""".stripMargin
 
-  /** LSH ANN recall + candidate cost vs the exact top-5 (rows-only: one
-    * row — the quality/cost gate for the approximate path). */
+  /** LSH ANN recall vs the exact top-5 (rows-only: one row — the
+    * quality/cost gate for the approximate path). ONE Spark job: the
+    * exact side is computed once and recall falls out of a left join +
+    * aggregate, not driver-side counts. */
   val q28LshRecall: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
@@ -621,13 +623,13 @@ object Battery {
       .select(col("query_id"), col("vec_id"))
     val approx = graft.operators.Similarity
       .lshTopK(emb, queries, 5, dim = 64)
-      .select(col("query_id"), col("vec_id"))
-    val hits = exact.join(approx, Seq("query_id", "vec_id"), "left_semi").count()
-    val total = exact.count()
-    val s2 = s
-    import s2.implicits._
-    Seq((hits, total, hits.toDouble / total.max(1)))
-      .toDF("n_hits", "n_exact", "recall")
+      .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .agg(
+        sum(coalesce(col("__hit"), lit(0))).as("n_hits"),
+        count(lit(1)).as("n_exact"))
+      .select(col("n_hits"), col("n_exact"),
+        round(col("n_hits").cast("double") / col("n_exact"), 4).as("recall"))
   }
 
   /** Multimodal plumbing: documents→media table → batched feature
@@ -685,9 +687,14 @@ object Battery {
       |  ROUND(AVG(CAST(props->>'$.k' AS INT)), 3) AS avg_k
       |FROM events GROUP BY event_type""".stripMargin
 
-  /** Exact embedding-cosine near-dup pairs (the brute-force oracle form;
-    * the LSH form is DedupSpec territory). Threshold low enough to yield
-    * pairs on near-random synthetic vectors. */
+  /** Exact embedding-cosine near-dup pairs, block-partitioned. At this
+    * threshold (0.30) the qualifying pairs are ~0.8% of ALL pairs on the
+    * near-random test embeddings (max pair cosine ≈0.51 — measured), so
+    * the output itself is Θ(n²) and no algorithm beats quadratic work —
+    * the engineering is in the blocked shape (bounded task memory, even
+    * parallelism; see Dedup.embeddingNearDupPairsExact). The LSH scale
+    * path for TRUE near-duplicates is oracle-checked separately as q41,
+    * where a similarity margin exists for it to exploit. */
   val q32EmbeddingDedup: Q = (s, dir) =>
     graft.operators.Dedup.embeddingNearDupPairsExact(
       t(s, dir, "embeddings"), "vec_id", col("embedding"), threshold = 0.30)
@@ -819,6 +826,73 @@ object Battery {
         round(graft.functions.KmvSketch.kmvDistinct(256)(col("h")), 1)
           .as("kmv_parts"))
 
+  /** Exact n-gram (3-word shingle) Jaccard near-dup pairs via
+    * inverted-index blocking — the bounded exact member of the near-dup
+    * family, and the one that IS DuckDB-expressible (list_intersect /
+    * list_distinct over the same shingling), so the whole family gets a
+    * hash-checked anchor. The test documents carry planted near-dups:
+    * 3-gram Jaccard separates them cleanly (pairs ≥0.5 vs next <0.1 —
+    * measured), where raw token sets don't (30-word vocabulary). */
+  val q40NgramJaccard: Q = (s, dir) =>
+    graft.operators.Dedup.ngramJaccardPairs(
+      t(s, dir, "documents"), "doc_id",
+      graft.operators.TextAnalysis.wordShingles(col("text"), 3),
+      threshold = 0.5)
+
+  val q40Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(w) - 1),
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |    ELSE [array_to_string(w, ' ')] END AS s
+      |  FROM toks)
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+      |      len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.5""".stripMargin
+
+  /** LSH embedding near-dup — the 100 TB scale path, ORACLE-CHECKED. The
+    * raw embeddings are near-random (max pair cosine ≈0.51), which no
+    * sub-quadratic method can exploit, so the query derives a corpus with
+    * a real similarity margin: each vector unions with a copy whose first
+    * 8 dims are zeroed (cosine ≥0.80 to its source, ≤0.62 to everything
+    * else — measured at both test SFs). At threshold 0.70 the answer is
+    * exactly the planted pairs; the LSH candidate pass must reach recall
+    * 1.0 (deterministic, seeded hyperplanes — parameters swept with
+    * graft.tools.TuneLsh) and the exact-cosine verify step makes the
+    * output equal the DuckDB all-pairs oracle. */
+  val q41LshDedup: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val derived = emb.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      concat(array((0 until 8).map(_ => lit(0.0f)): _*),
+        slice(col("embedding"), 9, 56)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(derived)
+    graft.operators.Dedup.embeddingNearDupPairs(
+      corpus, "vec_id", col("embedding"), dim = 64, threshold = 0.70)
+  }
+
+  val q41Sql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_concat([0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0],
+      |      (embedding::DOUBLE[])[9:])
+      |  FROM embeddings)
+      |SELECT id_a, id_b, cosine FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine
+      |  FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
+      |WHERE cosine >= 0.70""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -863,7 +937,9 @@ object Battery {
     "q36_percentile" -> (q36Percentile, Some(q36Sql)),
     "q37_hll" -> (q37Hll, None),
     "q38_asof_join" -> (q38AsofJoin, Some(q38Sql)),
-    "q39_kmv_sketch" -> (q39Kmv, None))
+    "q39_kmv_sketch" -> (q39Kmv, None),
+    "q40_ngram_jaccard" -> (q40NgramJaccard, Some(q40Sql)),
+    "q41_lsh_dedup" -> (q41LshDedup, Some(q41Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -63,9 +63,11 @@ object Manager {
         // E2 (GenicQc.run, GenicQc.java:27-43)
         val changes = GenicQcJob.run(spark, vcf, genes,
           VariantStore.variants(spark, store), config)
+          .persist() // consumed twice: the count and the update merge
         val n = changes.count()
         VariantStore.applyGenicUpdates(spark, store,
           changes.select(col("rgd_id"), col("genic_status")))
+        changes.unpersist()
         println(s"[graft] genic QC updated $n rows")
       } else {
         System.err.println(

@@ -96,4 +96,24 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(approx == Set((1L, 2L)))
   }
+
+  test("q41 derived corpus: LSH pair set equals blocked exact (recall 1.0)") {
+    // the q41 construction at the smallest test scale: planted near-dups
+    // (first 8 dims zeroed) with a measured margin; the LSH defaults must
+    // reproduce the exact thresholded pair set EXACTLY
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val derived = emb.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      concat(array((0 until 8).map(_ => lit(0.0f)): _*),
+        expr("slice(embedding, 9, 56)")).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(derived)
+    val exact = Dedup.embeddingNearDupPairsExact(corpus, "vec_id",
+      col("embedding"), threshold = 0.70)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Dedup.embeddingNearDupPairs(corpus, "vec_id",
+      col("embedding"), dim = 64, threshold = 0.70)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(approx == exact)
+  }
 }
