@@ -834,9 +834,8 @@ object Battery {
     * 3-gram Jaccard separates them cleanly (pairs ≥0.5 vs next <0.1 —
     * measured), where raw token sets don't (30-word vocabulary). */
   val q40NgramJaccard: Q = (s, dir) =>
-    graft.operators.Dedup.ngramJaccardPairs(
-      t(s, dir, "documents"), "doc_id",
-      graft.operators.TextAnalysis.wordShingles(col("text"), 3),
+    graft.operators.Dedup.ngramJaccardPairsText(
+      t(s, dir, "documents"), "doc_id", col("text"), n = 3,
       threshold = 0.5)
 
   val q40Sql: String =

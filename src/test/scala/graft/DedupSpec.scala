@@ -72,6 +72,18 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(m((1L, 2L)) - 13.0 / 14.0) < 1e-3)
   }
 
+  test("ngram jaccard: codegen text path equals generic shingle path") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    val generic = pairs(Dedup.ngramJaccardPairs(docs, "doc_id",
+      TextAnalysis.wordShingles(col("text"), 2), threshold = 0.4))
+    val text = pairs(Dedup.ngramJaccardPairsText(docs, "doc_id",
+      col("text"), n = 2, threshold = 0.4))
+    assert(generic.nonEmpty)
+    assert(text == generic)
+  }
+
   test("winnowing: near-dups share fingerprints, unrelated docs don't") {
     val fps = TextAnalysis.winnowingFingerprints(docs, "doc_id", col("text"))
     val byDoc = fps.collect().groupBy(_.getLong(0))
