@@ -114,15 +114,30 @@ object GenicAnnotator {
    * this is strictly better than any join-based plan while the dimension
    * side fits on the driver.
    */
-  def annotateIndexed(variants: DataFrame, genes: DataFrame): DataFrame = {
-    val index = graft.functions.IntervalExpressions.IntervalIndex.build(
-      genes.select("chromosome", "start_pos", "stop_pos")
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
-    variants.withColumn("genic_status",
-      statusCol(graft.functions.IntervalExpressions.intervalOverlaps(
-        col("chromosome"), col("start_pos"), col("end_pos"), index)))
-  }
+  /** Gene tables beyond this row count don't get driver-collected — the
+    * existence probe routes to [[annotateBinned]] and the enumeration to
+    * [[overlappingGenesBinned]] instead. ~2M intervals ≈ tens of MB
+    * indexed; real gene dimensions are ≤10⁵. */
+  val MaxIndexRows: Long = 2000000L
+
+  /** True when `genes` is small enough to index on the driver. The probe
+    * is `limit(max+1).count()` — it stops scanning as soon as the answer
+    * is known instead of counting an (unexpectedly) huge table. */
+  private def indexable(genes: DataFrame, maxIndexRows: Long): Boolean =
+    genes.limit((maxIndexRows + 1).toInt).count() <= maxIndexRows
+
+  def annotateIndexed(variants: DataFrame, genes: DataFrame,
+      maxIndexRows: Long = MaxIndexRows): DataFrame =
+    if (!indexable(genes, maxIndexRows)) annotateBinned(variants, genes)
+    else {
+      val index = graft.functions.IntervalExpressions.IntervalIndex.build(
+        genes.select("chromosome", "start_pos", "stop_pos")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+      variants.withColumn("genic_status",
+        statusCol(graft.functions.IntervalExpressions.intervalOverlaps(
+          col("chromosome"), col("start_pos"), col("end_pos"), index)))
+    }
 
   /** Returns matching gene ids per variant — the reference's
     * `getGeneRgdIds` surface (GeneCache.java:51), exposed for the query
@@ -130,13 +145,46 @@ object GenicAnnotator {
     * custom [[graft.plans.IntervalJoin]] operator (broadcast interval
     * index, O(log g + hits) per row) instead of the BroadcastNestedLoop
     * join Spark would pick for the range predicate. */
-  def overlappingGenes(variants: DataFrame, genes: DataFrame): DataFrame = {
+  def overlappingGenes(variants: DataFrame, genes: DataFrame,
+      maxIndexRows: Long = MaxIndexRows): DataFrame = {
     val g = genes.select(
       col("gene_rgd_id"),
       col("chromosome").as("g_chrom"),
       col("start_pos").as("g_start"),
       col("stop_pos").as("g_stop"))
-    graft.plans.IntervalJoin.join(variants.sparkSession, variants, g)
-      .drop("g_chrom", "g_start", "g_stop")
+    if (!indexable(genes, maxIndexRows))
+      overlappingGenesBinned(variants, genes).drop("g_chrom", "g_start", "g_stop")
+    else
+      graft.plans.IntervalJoin.join(variants.sparkSession, variants, g)
+        .drop("g_chrom", "g_start", "g_stop")
+  }
+
+  /** Enumeration form of the binned rewrite — one row per overlapping
+    * (variant, gene) pair with NO dedup pass: a pair overlapping k bins
+    * is emitted only from the canonical bin `floor(max(start_pos,
+    * g_start) / binSize)` (the first bin both intervals occupy), so each
+    * pair appears exactly once. This is the shuffle-join fallback for
+    * gene tables too large to driver-index; both sides stream, no
+    * collect, no row-id bookkeeping. */
+  def overlappingGenesBinned(variants: DataFrame, genes: DataFrame,
+      binSize: Long = DefaultBinSize): DataFrame = {
+    val bin = lit(binSize)
+    val g = genes.select(
+      col("gene_rgd_id"),
+      col("chromosome").as("g_chrom"),
+      col("start_pos").as("g_start"),
+      col("stop_pos").as("g_stop"))
+      .withColumn("g_bin", explode(sequence(floor(col("g_start") / bin),
+        floor(col("g_stop") / bin))))
+    val vBinned = variants.withColumn("__bin",
+      explode(sequence(floor(col("start_pos") / bin),
+        floor(col("end_pos") / bin))))
+    vBinned.join(g,
+      col("chromosome") === col("g_chrom") && col("__bin") === col("g_bin") &&
+        VariantColumns.intervalsOverlap(col("start_pos"), col("end_pos"),
+          col("g_start"), col("g_stop")) &&
+        col("__bin") === floor(greatest(col("start_pos"), col("g_start")) / bin),
+      "inner")
+      .drop("__bin", "g_bin")
   }
 }

@@ -31,6 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object IntervalJoin {
 
+  /** Hard cap on the driver-collected build side (~5M intervals ≈ a few
+    * hundred MB indexed — any real gene dimension is ≤10⁵). */
+  val MaxBuildRows: Int = 5000000
+
   /** Logical node: inner join of `left` [chrom, start, end] intervals
     * against `right` [chrom, start, stop] intervals on overlap. Column
     * names fixed by contract: left (chromosome, start_pos, end_pos, ...),
@@ -47,6 +51,16 @@ object IntervalJoin {
     override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
       org.apache.spark.sql.catalyst.expressions.AttributeSet(
         (left.output ++ right.output).filter(a => joinColNames.contains(a.name)))
+    // Without this, the size-only stats visitor falls back to the PRODUCT
+    // of the children's sizes (its default for unknown binary nodes) —
+    // poisoning every AQE / broadcast decision above this operator. A
+    // genomic containment join emits ~1 match per probe row, so the
+    // honest estimate is left-dominated with the (small, broadcast)
+    // right side's row width added.
+    override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+      org.apache.spark.sql.catalyst.plans.logical.Statistics(
+        sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes,
+        rowCount = left.stats.rowCount)
     override protected def withNewChildrenInternal(
         newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
       copy(left = newLeft, right = newRight)
@@ -76,9 +90,16 @@ object IntervalJoin {
       val lEnd = ordinal(left, "end_pos")
 
       // build side: collect + index per chromosome, sorted by start with
-      // a running max of stops for left-walk pruning
+      // a running max of stops for left-walk pruning. executeTake(cap+1)
+      // bounds the driver collect: a mis-pointed "dimension" table fails
+      // with a routing hint instead of an OOM.
+      val collected = right.executeTake(IntervalJoin.MaxBuildRows + 1)
+      require(collected.length <= IntervalJoin.MaxBuildRows,
+        s"interval-join build side exceeds ${IntervalJoin.MaxBuildRows} rows — " +
+          "not a broadcastable dimension; use the binned fallback " +
+          "(GenicAnnotator.annotateBinned / overlappingGenesBinned)")
       val index: Map[String, (Array[Long], Array[Long], Array[InternalRow])] =
-        right.executeCollect()
+        collected
           .groupBy(r => r.getUTF8String(rChrom).toString)
           .map { case (chrom, rows) =>
             val sorted = rows.map(_.copy()).sortBy(_.getLong(rStart))

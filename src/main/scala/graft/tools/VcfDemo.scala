@@ -47,7 +47,8 @@ object VcfDemo {
       (3, "MT", 1L, 1000L))
       .toDF("gene_rgd_id", "chromosome", "start_pos", "stop_pos")
     for ((label, annotate) <- Seq(
-        "indexed" -> GenicAnnotator.annotateIndexed _,
+        "indexed" -> ((v: org.apache.spark.sql.DataFrame,
+          g: org.apache.spark.sql.DataFrame) => GenicAnnotator.annotateIndexed(v, g)),
         "binned" -> ((v: org.apache.spark.sql.DataFrame,
           g: org.apache.spark.sql.DataFrame) => GenicAnnotator.annotateBinned(v, g)),
         "broadcast" -> GenicAnnotator.annotateBroadcast _)) {

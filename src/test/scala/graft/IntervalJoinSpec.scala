@@ -53,6 +53,36 @@ class IntervalJoinSpec extends SparkSpec {
     assert(row.getAs[String]("g_tag").startsWith("g"))
   }
 
+  private def genesNatural = genes.select(col("gene_rgd_id"),
+    col("g_chrom").as("chromosome"), col("g_start").as("start_pos"),
+    col("g_stop").as("stop_pos"))
+
+  test("oversized gene table routes to the binned enumeration and agrees") {
+    val viaIndex = GenicAnnotator.overlappingGenes(variants, genesNatural)
+      .select("vid", "gene_rgd_id").as[(Long, Int)].collect().toSet
+    // force the fallback: pretend anything over 10 intervals is too big
+    val viaBinned = GenicAnnotator
+      .overlappingGenes(variants, genesNatural, maxIndexRows = 10)
+    assert(!viaBinned.queryExecution.executedPlan.toString
+      .contains("IntervalJoin"))
+    val binnedPairs = viaBinned.select("vid", "gene_rgd_id")
+      .as[(Long, Int)].collect()
+    // canonical-bin emission: exactly once per pair, no dedup pass needed
+    assert(binnedPairs.length == binnedPairs.toSet.size)
+    assert(binnedPairs.toSet == viaIndex)
+    assert(viaIndex.nonEmpty)
+  }
+
+  test("annotateIndexed routes oversized gene tables to annotateBinned") {
+    def statuses(df: org.apache.spark.sql.DataFrame) =
+      df.select("vid", "genic_status").as[(Long, String)].collect().toSet
+    val indexed = statuses(GenicAnnotator.annotateIndexed(variants, genesNatural))
+    val routed = statuses(GenicAnnotator.annotateIndexed(variants, genesNatural,
+      maxIndexRows = 10))
+    assert(routed == indexed)
+    assert(indexed.exists(_._2 == "GENIC") && indexed.exists(_._2 == "INTERGENIC"))
+  }
+
   test("boundary semantics: touching intervals overlap (GeneCache.java:72-77)") {
     val v = Seq((1L, "1", 100L, 200L)).toDF("vid", "chromosome", "start_pos",
       "end_pos")
