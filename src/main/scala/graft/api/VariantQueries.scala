@@ -18,16 +18,28 @@ import org.apache.spark.sql.functions._
  */
 class VariantQueries(spark: SparkSession, storeDir: String) {
 
-  /** Snapshot of the denormalized variant table. */
-  def variants: DataFrame = VariantStore.variants(spark, storeDir)
+  /** Snapshot of the primary denormalized variant table. */
+  def primaryVariants: DataFrame = VariantStore.variants(spark, storeDir)
+
+  /** Snapshot of the `variant_ext` side (empty when absent). */
+  def variantsExt: DataFrame = VariantStore.variantsExt(spark, storeDir)
+
+  /** The DAO's variant relation: `variant ∪ variant_ext` — rgdcore's
+    * VariantDAO queries the union of the two schema-identical tables
+    * (U1), so every lookup below sees both sides. */
+  def variants: DataFrame = primaryVariants.unionByName(variantsExt)
 
   /** Snapshot of the sample-detail table. */
   def sampleDetails: DataFrame =
     spark.read.parquet(s"$storeDir/details")
 
-  /** Register SQL views (the spark.sql entry point, E3). */
+  /** Register SQL views (the spark.sql entry point, E3): `variant` and
+    * `variant_ext` as their own tables plus the DAO-shaped union
+    * `variant_all`. */
   def registerViews(): Unit = {
-    variants.createOrReplaceTempView("variant")
+    primaryVariants.createOrReplaceTempView("variant")
+    variantsExt.createOrReplaceTempView("variant_ext")
+    variants.createOrReplaceTempView("variant_all")
     sampleDetails.createOrReplaceTempView("variant_sample_detail")
   }
 

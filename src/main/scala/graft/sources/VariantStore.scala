@@ -50,21 +50,58 @@ object VariantStore {
   /** K2/K3/K4: append the load result to the store (new variants only —
     * existing rows are already there). */
   def append(result: VariantLoader.LoadResult, dir: String): Unit = {
-    val spark = result.newVariants.sparkSession
-    ensureTable(spark, dir, "variants", variantKeys)
-    result.newVariants.write
-      .bucketBy(NumBuckets, variantKeys.head, variantKeys.tail: _*)
-      .sortBy(variantKeys.head, variantKeys.tail: _*)
+    appendSide(result.newVariants, dir, "variants", variantKeys)
+    appendSide(result.sampleDetails, dir, "details", detailKeys_)
+  }
+
+  private def appendSide(df: DataFrame, dir: String, side: String,
+      keys: Seq[String]): Unit = {
+    ensureTable(df.sparkSession, dir, side, keys)
+    df.write
+      .bucketBy(NumBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .mode(SaveMode.Append).format("parquet")
-      .option("path", s"$dir/variants")
-      .saveAsTable(tableName(dir, "variants"))
-    ensureTable(spark, dir, "details", detailKeys_)
-    result.sampleDetails.write
-      .bucketBy(NumBuckets, detailKeys_.head, detailKeys_.tail: _*)
-      .sortBy(detailKeys_.head, detailKeys_.tail: _*)
-      .mode(SaveMode.Append).format("parquet")
-      .option("path", s"$dir/details")
-      .saveAsTable(tableName(dir, "details"))
+      .option("path", s"$dir/$side")
+      .saveAsTable(tableName(dir, side))
+  }
+
+  /** U1 secondary variant side (`variant_ext`): rgdcore's VariantDAO
+    * reads `variant UNION variant_ext`, so the store keeps an optional
+    * schema-identical ext table, bucketed like the primary (absent ⇒
+    * empty). */
+  def appendExt(df: DataFrame, dir: String): Unit =
+    appendSide(df.select(VariantLoader.variantCols.map(col): _*), dir,
+      "variants_ext", variantKeys)
+
+  def variantsExt(spark: SparkSession, dir: String): DataFrame =
+    ensureTable(spark, dir, "variants_ext", variantKeys) match {
+      case Some(tbl) =>
+        spark.table(tbl).select(VariantLoader.variantCols.map(col): _*)
+      case None => emptyVariants(spark)
+    }
+
+  /** K7: sample-dimension sink (`sample` table). The reference's own
+    * creation flow is disabled dead code (HrdpVariants.java:61-83), but
+    * its insert-if-absent semantics are kept: only sample_ids not already
+    * present are appended. Plain parquet — a tiny dimension, never a join
+    * bottleneck. */
+  def ensureSamples(spark: SparkSession, dir: String,
+      samples: DataFrame): Unit = {
+    val existing = this.samples(spark, dir).select(col("sample_id").as("__sid"))
+    samples
+      .join(existing, col("sample_id") === col("__sid"), "left_anti")
+      .write.mode(SaveMode.Append).parquet(s"$dir/samples")
+  }
+
+  def samples(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/samples")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$dir/samples")
+    else {
+      import spark.implicits._
+      Seq.empty[(Int, String, Int)]
+        .toDF("sample_id", "analysis_name", "map_key")
+    }
   }
 
   /** Snapshot read of the variant side (empty frame when absent). Comes

@@ -67,4 +67,37 @@ class VariantQueriesSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM variant_sample_detail")
       .as[Long].head() == 3)
   }
+
+  test("variant ∪ variant_ext union surface (rgdcore VariantDAO U1)") {
+    val base = q.primaryVariants.count()
+    assert(q.variantsExt.count() == 0)     // absent ext side reads empty
+    assert(q.variants.count() == base)
+    // land one row in the ext side; every DAO lookup must now see it
+    val extRow = q.primaryVariants.limit(1)
+      .withColumn("rgd_id", org.apache.spark.sql.functions.lit(999999L))
+      .withColumn("start_pos", org.apache.spark.sql.functions.lit(777L))
+    VariantStore.appendExt(extRow, storeDir)
+    assert(q.variantsExt.count() == 1)
+    assert(q.variants.count() == base + 1)
+    val chrom = extRow.select("chromosome").as[String].head()
+    assert(q.variantsAtLocus(372, chrom, 777).count() == 1)
+    q.registerViews()
+    assert(spark.sql("SELECT COUNT(*) FROM variant_all").as[Long].head()
+      == base + 1)
+    assert(spark.sql("SELECT COUNT(*) FROM variant_ext").as[Long].head() == 1)
+  }
+
+  test("K7 sample-dimension sink: insert-if-absent") {
+    val s1 = Seq((11, "HRDP_batch_1", 372), (22, "HRDP_batch_1", 372))
+      .toDF("sample_id", "analysis_name", "map_key")
+    VariantStore.ensureSamples(spark, storeDir, s1)
+    assert(VariantStore.samples(spark, storeDir).count() == 2)
+    // re-ensuring with one overlapping and one new id appends only the new
+    val s2 = Seq((22, "HRDP_batch_2", 372), (33, "HRDP_batch_2", 372))
+      .toDF("sample_id", "analysis_name", "map_key")
+    VariantStore.ensureSamples(spark, storeDir, s2)
+    val after = VariantStore.samples(spark, storeDir)
+    assert(after.count() == 3)
+    assert(after.select("sample_id").as[Int].collect().toSet == Set(11, 22, 33))
+  }
 }
