@@ -270,9 +270,21 @@ object VariantLoader {
       .filter(col("db_end") =!= col("end_pos") && col("end_pos") =!= 0)
       .select(col("db_rgd_id").as("rgd_id"), col("end_pos"))
 
+    // Duplicate details can ONLY arise when the batch itself contains
+    // same-key duplicate records (novel dups share a minted id; existing
+    // dups matched the same store row). Detect that with one cheap
+    // aggregation over the allele-level batch (~10^5 rows) and only then
+    // pay the (rgd_id, sample_id) dedup window over the ~10^7-row melt —
+    // measured 19 s of a 64 s full load when applied unconditionally.
+    val hasKeyDups = !classified.groupBy(col("chromosome"), col("start_pos"),
+        coalesce(col("ref_nuc"), lit("")).as("r"),
+        coalesce(col("var_nuc"), lit("")).as("v"))
+      .count().filter(col("count") > 1).isEmpty
+
     // J7 + P9-P11 + §2.7: melt samples, align allele j with AD[j+1],
     // compute zygosity, then J6 anti-join against already-present details
-    val details = sampleDetails(all, existingDetails, config, sampleIdByIdx)
+    val details = sampleDetails(all, existingDetails, config, sampleIdByIdx,
+      intraBatchDedup = hasKeyDups)
 
     LoadResult(all.drop("allele_idx", "genotypes"),
       newVariants.drop("allele_idx", "genotypes"), details, endPosUpdates,
@@ -282,9 +294,13 @@ object VariantLoader {
   /** The per-sample observation path (HrdpVariants.java:462-495).
     * `sampleIdByIdx`: 0-based header column index → configured sample id
     * (columns absent from the dictionary are dropped, mirroring the
-    * reference's skip of unknown sample columns). */
+    * reference's skip of unknown sample columns).
+    * `intraBatchDedup`: apply the (rgd_id, sample_id) first-wins window —
+    * required only when the batch contains same-key duplicate records
+    * ([[loadFromAlleles]] detects that and passes it accordingly). */
   def sampleDetails(variants: DataFrame, existingDetails: DataFrame,
-      config: LoadConfig, sampleIdByIdx: Map[Int, Int] = Map.empty): DataFrame = {
+      config: LoadConfig, sampleIdByIdx: Map[Int, Int] = Map.empty,
+      intraBatchDedup: Boolean = true): DataFrame = {
     // sample_idx (header order) → sample_id; identity when no dictionary
     val sampleIdCol =
       if (sampleIdByIdx.isEmpty) col("g_sample_idx")
@@ -340,12 +356,16 @@ object VariantLoader {
     // lines' inserts (DAO.java:64-66), so keep exactly one —
     // deterministically. The window's hash partitioning on (rgd_id,
     // sample_id) is the anti-join's key, so the exchange is reused.
-    val wFirst = Window.partitionBy("rgd_id", "sample_id")
-      .orderBy(col("var_freq").desc, col("total_depth").desc,
-        col("zygosity_status"))
-    val deduped = candidate
-      .withColumn("__rn", row_number().over(wFirst))
-      .filter(col("__rn") === 1).drop("__rn")
+    val deduped =
+      if (!intraBatchDedup) candidate
+      else {
+        val wFirst = Window.partitionBy("rgd_id", "sample_id")
+          .orderBy(col("var_freq").desc, col("total_depth").desc,
+            col("zygosity_status"))
+        candidate
+          .withColumn("__rn", row_number().over(wFirst))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
 
     // J6: only details not already present (DAO.java:64-66 count==0 gate)
     deduped.join(

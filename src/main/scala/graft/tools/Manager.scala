@@ -53,6 +53,7 @@ object Manager {
         val result = VariantLoader.load(spark, vcf, genes,
           VariantStore.variants(spark, store),
           VariantStore.detailKeys(spark, store), config)
+        println(f"[graft] plan+eager jobs ${(System.currentTimeMillis() - started) / 1000.0}%.1f s")
         // write first, count the written files — no extra plan execution
         VariantStore.append(result, store)
         result.unpersist()
