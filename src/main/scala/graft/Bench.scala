@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // typed aggregates carry small fixed buffers; the 128-key fallback
+      // to sort-based aggregation costs a full sort of the exploded input
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "10000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (scheduler, codegen, parquet footers) so the first

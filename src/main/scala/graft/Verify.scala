@@ -15,6 +15,11 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); read as long, converted in
       // the battery's events loader
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // typed aggregates (MinHashSig/SimhashVotes/KmvSketch) carry small
+      // fixed buffers; the default 128-key fallback to sort-based
+      // aggregation costs a full sort of the exploded input
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "10000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -234,9 +234,55 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Count of positions where two equal-length long arrays agree — the
+    * MinHash Jaccard estimator's inner loop (`zip_with` + `aggregate`
+    * HOFs are CodegenFallback and dominated the candidate-verify stage). */
+  case class EqualComponentCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_equal_components"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val m = math.min(x.numElements(), y.numElements())
+      var i = 0; var n = 0
+      while (i < m) {
+        if (x.getLong(i) == y.getLong(i)) n += 1
+        i += 1
+      }
+      n
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val m = ctx.freshName("m")
+        s"""
+           |int $m = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = 0;
+           |for (int $i = 0; $i < $m; $i++) {
+           |  if ($a.getLong($i) == $b.getLong($i)) $n++;
+           |}
+           |${ev.value} = $n;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ------------------------------------------------------------------
   // Column wrappers
   // ------------------------------------------------------------------
+
+  def equalComponentCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      EqualComponentCount(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expr(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expr(b)))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.of(

@@ -83,20 +83,21 @@ object Dedup {
   }
 
   private def signaturesFromHashes(exploded: DataFrame, idCol: String,
-      numHashes: Int): DataFrame = {
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
+      numHashes: Int): DataFrame =
+    // ONE typed min-aggregate with a long[k] buffer + double hashing
+    // (graft.functions.MinHashSig) — the previous k separate
+    // min(xxhash64(h, i)) columns re-hashed every exploded shingle row
+    // k times and carried a k-column aggregation buffer
     exploded.groupBy(idCol)
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
-  }
+      .agg(graft.functions.MinHashSig.minhashSig(numHashes)(col("__h"))
+        .as("sig"))
 
   /** Estimated Jaccard from two MinHash signatures: the fraction of equal
-    * components. */
+    * components (native codegen count — the HOF form is interpreted and
+    * dominated the candidate-verify stage). */
   def estimatedJaccard(sigA: Column, sigB: Column): Column =
-    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / size(sigA)
+    graft.functions.VectorExpressions.equalComponentCount(sigA, sigB)
+      .cast("double") / size(sigA)
 
   /** LSH band keys from a signature column: hash of each
     * `rowsPerBand`-sized slice. Two documents sharing any band key are

@@ -57,7 +57,15 @@ object Similarity {
       dim: Int = -1, idCol: String = "vec_id", queryIdCol: String = "query_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
-    val scored = corpus.select(col(idCol), col(vecCol).as("__cvec"))
+    // a small corpus arrives as 1-2 parquet splits, which would run the
+    // whole scoring pass on 1-2 cores (same pathology VcfSource guards
+    // against for single .gz inputs); big corpora already have enough
+    // splits and skip the shuffle
+    val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    val c0 = corpus.select(col(idCol), col(vecCol).as("__cvec"))
+    val c = if (c0.rdd.getNumPartitions < parallelism / 2)
+      c0.repartition(parallelism) else c0
+    val scored = c
       .crossJoin(broadcast(q))
       .withColumn("cosine", round(cosine(col("__qvec"), col("__cvec")), 4))
     val w = Window.partitionBy(queryIdCol)

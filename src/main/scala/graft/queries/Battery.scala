@@ -549,9 +549,13 @@ object Battery {
     * one row. */
   val q24MinhashDedup: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
+    // 8 bands x 8 rows: the tiny 30-word vocabulary gives RANDOM doc
+    // pairs char-shingle Jaccard ~0.3, so 4-row bands collide on ~12% of
+    // all pairs; 8-row bands push the random collision rate under 1%
+    // while keeping ~99% recall at the planted near-dups' similarity
     graft.operators.Dedup.minhashNearDupPairsText(
       docs, "doc_id", col("text"),
-      n = 5, numHashes = 64, bands = 16, threshold = 0.4)
+      n = 5, numHashes = 64, bands = 8, threshold = 0.4)
       .agg(count(lit(1)).as("n_pairs"),
         coalesce(round(avg("jaccard"), 3), lit(0.0)).as("avg_jaccard"))
   }
