@@ -112,9 +112,15 @@ object TextAnalysis {
   def langIdAgg(df: org.apache.spark.sql.DataFrame, idCol: String,
       text: Column): org.apache.spark.sql.DataFrame = {
     val langs = LangProfiles.toSeq.sortBy(_._1)
-    val exploded = df.select(col(idCol), explode(tokens(lower(text))).as("__t"))
-    val hitCols = langs.map { case (lang, words) =>
-      sum(when(col("__t").isInCollection(words), 1).otherwise(0)).as(s"__h_$lang")
+    // one hash lookup per token (bit i = membership in language i's
+    // profile) instead of |langs|×|words| string comparisons — the
+    // conditional-sum columns then reduce codegen'd int bit tests
+    val exploded = df
+      .select(col(idCol), explode(tokens(lower(text))).as("__t"))
+      .select(col(idCol), graft.functions.TextExpressions
+        .wordListMask(col("__t"), langs.map(_._2)).as("__m"))
+    val hitCols = langs.zipWithIndex.map { case ((lang, _), i) =>
+      sum(shiftright(col("__m"), i).bitwiseAND(1)).as(s"__h_$lang")
     }
     val agged = exploded.groupBy(idCol).agg(hitCols.head, hitCols.tail: _*)
     // first-wins tie-break over languages sorted asc (same as langId)
