@@ -151,16 +151,24 @@ object TextAnalysis {
    *
    * @return `(idCol, fp: bigint)` — one row per distinct fingerprint.
    */
+  /** @param portableHash hash k-grams with a 60-bit md5 prefix instead of
+    *        xxhash64 — slower, but bit-identical in other engines (DuckDB:
+    *        `('0x' || substr(md5(g),1,15))::BIGINT`), which makes the
+    *        fingerprints externally verifiable (battery q33). */
   def winnowingFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
-      text: Column, k: Int = 5, w: Int = 4): org.apache.spark.sql.DataFrame = {
+      text: Column, k: Int = 5, w: Int = 4,
+      portableHash: Boolean = false): org.apache.spark.sql.DataFrame = {
     val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
+    def hash(g: Column): Column =
+      if (portableHash) conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+      else xxhash64(g)
     val grams = df
       .select(col(idCol), norm.as("__t"))
       .select(col(idCol), col("__t"),
         explode(sequence(lit(1), greatest(length(col("__t")) - (k - 1), lit(1))))
           .as("__i"))
       .select(col(idCol), col("__i"),
-        xxhash64(col("__t").substr(col("__i"), lit(k))).as("__h"))
+        hash(col("__t").substr(col("__i"), lit(k))).as("__h"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("__i")
       .rowsBetween(0, w - 1)

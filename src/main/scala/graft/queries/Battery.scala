@@ -713,17 +713,44 @@ object Battery {
       |    b.embedding::DOUBLE[]), 4) >= 0.30""".stripMargin
 
   /** Winnowing rolling-hash fingerprints: docs sharing a fingerprint are
-    * near-dup candidates (xxhash64 has no DuckDB twin — rows-only; one
-    * row). */
+    * near-dup candidates. ORACLE-CHECKED: the battery runs the
+    * portable-hash mode (60-bit md5 prefix), which DuckDB reproduces
+    * bit-for-bit — the default xxhash64 mode stays for production use. */
   val q33Winnowing: Q = (s, dir) => {
     val fps = graft.operators.TextAnalysis.winnowingFingerprints(
-      t(s, dir, "documents"), "doc_id", col("text"), k = 5, w = 4)
+      t(s, dir, "documents"), "doc_id", col("text"), k = 5, w = 4,
+      portableHash = true)
     // single pass: total (doc, fp) rows + fp groups shared by >1 doc
     fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
       .agg(sum("n_docs").cast("long").as("n_fingerprints"),
         sum(when(col("n_docs") > 1, 1).otherwise(0)).cast("long")
           .as("n_shared_fps"))
   }
+
+  val q33Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, s,
+      |    unnest(range(1, greatest(len(s) - 4, 1) + 1)) AS i
+      |  FROM t),
+      |g AS (
+      |  SELECT doc_id, i,
+      |    ('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 15))::BIGINT
+      |      AS h
+      |  FROM p),
+      |w AS (
+      |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM g),
+      |d AS (SELECT DISTINCT doc_id, fp FROM w),
+      |c AS (SELECT fp, COUNT(*) AS n_docs FROM d GROUP BY fp)
+      |SELECT CAST(SUM(n_docs) AS BIGINT) AS n_fingerprints,
+      |  CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shared_fps
+      |FROM c""".stripMargin
 
   /** Salted skew join == plain join (the oracle replays it unsalted). */
   val q34SaltedJoin: Q = (s, dir) => {
@@ -820,15 +847,36 @@ object Battery {
       |ON e.user_id = c.cu AND e.ts >= c.click_ts
       |GROUP BY event_type""".stripMargin
 
-  /** KMV typed-aggregator sketch next to the exact distinct count
-    * (rows-only: the sketch is engine-specific; deterministic). */
+  /** KMV typed-aggregator sketch next to the exact distinct count.
+    * ORACLE-CHECKED: the battery hashes with a portable 60-bit md5
+    * prefix and DuckDB replays the whole estimator — k smallest distinct
+    * hashes, (k-1)/fraction-of-hash-space — bit-for-bit (same IEEE
+    * double arithmetic). Production use keeps xxhash64 input. */
   val q39Kmv: Q = (s, dir) =>
     t(s, dir, "lineitem")
-      .withColumn("h", xxhash64(col("l_partkey")))
+      .withColumn("h",
+        conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
         round(graft.functions.KmvSketch.kmvDistinct(256)(col("h")), 1)
           .as("kmv_parts"))
+
+  val q39Sql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT
+      |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+      |      AS hv
+      |  FROM lineitem),
+      |k AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+      |s AS (SELECT COUNT(*) AS n, MAX(hv) AS kth FROM k)
+      |SELECT
+      |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS exact_parts,
+      |  ROUND(CASE WHEN n < 256 THEN n::DOUBLE
+      |    ELSE 255 / ((kth::DOUBLE - (-9223372036854775808::DOUBLE)) /
+      |      (9223372036854775807::DOUBLE - (-9223372036854775808::DOUBLE)))
+      |    END, 1) AS kmv_parts
+      |FROM s""".stripMargin
 
   /** Exact n-gram (3-word shingle) Jaccard near-dup pairs via
     * inverted-index blocking — the bounded exact member of the near-dup
@@ -934,13 +982,13 @@ object Battery {
     "q30_sliding" -> (q30Sliding, Some(q30Sql)),
     "q31_json" -> (q31Json, Some(q31Sql)),
     "q32_embedding_dedup" -> (q32EmbeddingDedup, Some(q32Sql)),
-    "q33_winnowing" -> (q33Winnowing, None),
+    "q33_winnowing" -> (q33Winnowing, Some(q33Sql)),
     "q34_salted_join" -> (q34SaltedJoin, Some(q34Sql)),
     "q35_rollup" -> (q35Rollup, Some(q35Sql)),
     "q36_percentile" -> (q36Percentile, Some(q36Sql)),
     "q37_hll" -> (q37Hll, None),
     "q38_asof_join" -> (q38AsofJoin, Some(q38Sql)),
-    "q39_kmv_sketch" -> (q39Kmv, None),
+    "q39_kmv_sketch" -> (q39Kmv, Some(q39Sql)),
     "q40_ngram_jaccard" -> (q40NgramJaccard, Some(q40Sql)),
     "q41_lsh_dedup" -> (q41LshDedup, Some(q41Sql)))
 
