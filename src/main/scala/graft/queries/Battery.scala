@@ -944,6 +944,55 @@ object Battery {
       |  FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
       |WHERE cosine >= 0.70""".stripMargin
 
+  /** MinHash SIGNATURES, oracle-checked bit-for-bit: 5-char shingles of
+    * normalized text, two 60-bit md5 slices per shingle, double-hash
+    * family g_i = (h1 + i·h2) mod 2^60, min per i per doc — exploded to
+    * (doc_id, i, mh) scalar rows that DuckDB reproduces with HUGEINT
+    * arithmetic. Anchors the minhash family's math (q24 itself stays
+    * rows-only: its banding keys are xxhash64). */
+  val q42MinhashSigs: Q = (s, dir) => {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val rows = t(s, dir, "documents")
+      .select(col("doc_id"), norm.as("__t"))
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(1), greatest(length(col("__t")) - 4, lit(1))))
+          .as("__i"))
+      .select(col("doc_id"),
+        md5(col("__t").substr(col("__i"), lit(5))).as("__d"))
+      .select(col("doc_id"),
+        conv(substring(col("__d"), 1, 15), 16, 10).cast("long").as("__h1"),
+        conv(substring(col("__d"), 16, 15), 16, 10).cast("long").as("__h2"))
+    rows.groupBy("doc_id")
+      .agg(graft.functions.MinHashSig.minhashSigPortable(64)(
+        col("__h1"), col("__h2")).as("__sig"))
+      .select(col("doc_id"), posexplode(col("__sig")).as(Seq("i", "mh")))
+  }
+
+  val q42Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, s,
+      |    unnest(range(1, greatest(len(s) - 4, 1) + 1)) AS pos
+      |  FROM t),
+      |m AS (
+      |  SELECT doc_id, md5(substr(s, CAST(pos AS INT), 5)) AS d FROM p),
+      |hh AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(d, 1, 15))::BIGINT AS h1,
+      |    ('0x' || substr(d, 16, 15))::BIGINT AS h2
+      |  FROM m),
+      |ih AS (
+      |  SELECT doc_id, h1, h2, unnest(range(0, 64)) AS i FROM hh),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS INT) AS i,
+      |    CAST((h1::HUGEINT + i::HUGEINT * h2::HUGEINT)
+      |      % 1152921504606846976 AS BIGINT) AS gv
+      |  FROM ih)
+      |SELECT doc_id, i, MIN(gv) AS mh FROM g GROUP BY doc_id, i""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -990,7 +1039,8 @@ object Battery {
     "q38_asof_join" -> (q38AsofJoin, Some(q38Sql)),
     "q39_kmv_sketch" -> (q39Kmv, Some(q39Sql)),
     "q40_ngram_jaccard" -> (q40NgramJaccard, Some(q40Sql)),
-    "q41_lsh_dedup" -> (q41LshDedup, Some(q41Sql)))
+    "q41_lsh_dedup" -> (q41LshDedup, Some(q41Sql)),
+    "q42_minhash_sigs" -> (q42MinhashSigs, Some(q42Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
