@@ -29,11 +29,18 @@ object StreamingVcfLoad {
    * @param checkpoint streaming checkpoint dir
    * @param availableNow process what's there, then stop (testing); false
    *                   = run continuously
+   * @param maxFilesPerTrigger cap files per micro-batch (honored by
+   *                   AvailableNow too) — 1 gives strictly incremental
+   *                   per-file batches, each observing the prior ones'
+   *                   appends
    */
   def start(spark: SparkSession, watchDir: String, genes: DataFrame,
       storeDir: String, config: LoadConfig, checkpoint: String,
-      availableNow: Boolean = false): StreamingQuery = {
-    val lines = spark.readStream.text(watchDir)
+      availableNow: Boolean = false,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val lines = reader.text(watchDir)
     val writer = lines.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -1,0 +1,47 @@
+package graft.tools
+
+import graft.model.LoadConfig
+import graft.sources.VariantStore
+import graft.streaming.StreamingVcfLoad
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Streaming-ingestion throughput probe: points [[StreamingVcfLoad]] at a
+ * directory of pre-split VCF chunks with Trigger.AvailableNow, waits for
+ * the file source to drain, and reports stored rows and elapsed time —
+ * the micro-batch analog of the Manager --runLoad measurement (each
+ * batch runs the FULL E1 load against the store built by the batches
+ * before it: dedup, minting, detail anti-joins).
+ *
+ *   runMain graft.tools.StreamLoadBench <watchDir> <genesParquet> \
+ *     <storeDir> <checkpointDir> [mapKey]
+ */
+object StreamLoadBench {
+
+  def main(args: Array[String]): Unit = {
+    val Array(watchDir, genesPath, storeDir, checkpoint) = args.take(4)
+    val mapKey = args.lift(4).map(_.toInt).getOrElse(372)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft-stream-bench")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val genes = spark.read.parquet(genesPath)
+      val t0 = System.currentTimeMillis()
+      val q = StreamingVcfLoad.start(spark, watchDir, genes, storeDir,
+        LoadConfig(mapKey = mapKey), checkpoint, availableNow = true,
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      val secs = (System.currentTimeMillis() - t0) / 1000.0
+      val nVars = VariantStore.variants(spark, storeDir).count()
+      val nDetails = spark.read.parquet(s"$storeDir/details").count()
+      println(f"[graft] stream ingest: $nVars variants, $nDetails details " +
+        f"in $secs%.1f s (${nDetails / secs}%.0f detail rows/s)")
+    } finally spark.stop()
+  }
+}
