@@ -173,26 +173,44 @@ object VariantStore {
     * bucketed table (the old files stay readable while it runs), then
     * swap directories and drop the stale catalog entries. */
   private def overwriteVariants(spark: SparkSession, dir: String,
-      df: DataFrame): Unit = {
-    val finalPath = s"$dir/variants"
-    val tmpPath = s"$dir/variants_tmp"
-    val tmpTbl = tableName(dir, "variants_tmp")
+      df: DataFrame): Unit =
+    overwriteSide(spark, dir, "variants", variantKeys,
+      df.select(VariantLoader.variantCols.map(col): _*))
+
+  private def overwriteSide(spark: SparkSession, dir: String, side: String,
+      keys: Seq[String], df: DataFrame): Unit = {
+    val finalPath = s"$dir/$side"
+    val tmpPath = s"$dir/${side}_tmp"
+    val tmpTbl = tableName(dir, s"${side}_tmp")
     spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
     deletePath(spark, tmpPath)
-    df.select(VariantLoader.variantCols.map(col): _*)
-      .repartition(NumBuckets, variantKeys.map(col): _*).write
-      .bucketBy(NumBuckets, variantKeys.head, variantKeys.tail: _*)
+    df.repartition(NumBuckets, keys.map(col): _*).write
+      .bucketBy(NumBuckets, keys.head, keys.tail: _*)
       .mode(SaveMode.Overwrite).format("parquet")
       .option("path", tmpPath)
       .saveAsTable(tmpTbl)
     spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
-    spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, "variants")}")
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, side)}")
     val p = new org.apache.hadoop.fs.Path(finalPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmpPath), p)
     // next read re-registers the table from the swapped files
   }
+
+  /** Compact a store side back to one file per bucket. Every append
+    * (each load, each streaming micro-batch) lands NumBuckets new files,
+    * so a long-running ingest accumulates small files — listing and scan
+    * overhead grows per batch. Compaction is the same temp-table +
+    * directory-swap rewrite the K5/K6 updates use: readers in flight
+    * keep their snapshot, content is unchanged, bucketing is preserved. */
+  def compact(spark: SparkSession, dir: String): Unit =
+    Seq("variants" -> variantKeys, "variants_ext" -> variantKeys,
+      "details" -> detailKeys_).foreach { case (side, keys) =>
+      ensureTable(spark, dir, side, keys).foreach { tbl =>
+        overwriteSide(spark, dir, side, keys, spark.table(tbl))
+      }
+    }
 
   /** Deterministic catalog name for one store side (the catalog is
     * session-scoped; the name only has to avoid collisions between

@@ -83,6 +83,48 @@ class VariantStoreSpec extends SparkSpec {
       .as[Long].head() == 999L)
   }
 
+  test("compact folds appended files to one per bucket, content unchanged") {
+    val dir = Files.createTempDirectory("graft-store-compact").toString
+    // seed the primary sides, then accumulate files on the ext side
+    // (appendExt has no dedup, so every append lands new bucket files —
+    // the streaming-micro-batch accumulation pattern)
+    val r = VariantLoader.load(spark, vcf, genes,
+      VariantStore.variants(spark, dir),
+      VariantStore.detailKeys(spark, dir), config)
+    VariantStore.append(r, dir)
+    r.unpersist()
+    val extRows = VariantStore.variants(spark, dir)
+    (1 to 3).foreach(_ => VariantStore.appendExt(extRows, dir))
+
+    def dataFiles(side: String): Int =
+      new java.io.File(s"$dir/$side").listFiles()
+        .count(f => f.getName.startsWith("part-"))
+    val filesBefore = dataFiles("variants_ext")
+    val before = VariantStore.variantsExt(spark, dir)
+      .orderBy("rgd_id", "chromosome").collect().toSeq
+    assert(before.length == 6) // 2 rows × 3 undeduped appends
+
+    VariantStore.compact(spark, dir)
+
+    assert(dataFiles("variants_ext") < filesBefore)
+    assert(dataFiles("variants_ext") <= VariantStore.NumBuckets)
+    val after = VariantStore.variantsExt(spark, dir)
+      .orderBy("rgd_id", "chromosome").collect().toSeq
+    assert(after == before)
+    // bucketing preserved: the dedup-shaped join still has one exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Seq(("1", 100L)).toDF("chromosome", "start_pos")
+      val plan = probe.join(VariantStore.variantsExt(spark, dir),
+        Seq("chromosome", "start_pos")).queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("store side arrives pre-bucketed: one exchange in the dedup join") {
     val dir = Files.createTempDirectory("graft-store-bucket").toString
     val r = VariantLoader.load(spark, vcf, genes,
