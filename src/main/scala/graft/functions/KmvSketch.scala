@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions.udaf
  * Input is the already-hashed value (`xxhash64(col)`), so the sketch
  * composes with any column type.
  */
-case class KmvSketch(k: Int)
+case class KmvSketch(k: Int,
+    hashLo: Double = Long.MinValue.toDouble,
+    hashHi: Double = Long.MaxValue.toDouble)
     extends Aggregator[Long, KmvSketch.Buf, Double] {
   import KmvSketch.Buf
 
@@ -34,11 +36,14 @@ case class KmvSketch(k: Int)
   override def finish(b: Buf): Double =
     if (b.mins.length < k) b.mins.length.toDouble
     else {
-      // hashes ~ uniform over [Long.Min, Long.Max]; the k-th minimum
-      // covers fraction f of the space → estimate (k-1)/f
+      // hashes ~ uniform over [hashLo, hashHi] — the bounds MUST match
+      // the hash actually fed in (full signed range for xxhash64; pass
+      // [0, 2^60) for the portable md5-prefix hash, or the k-th minimum
+      // sits mid-range and the estimate pins near 2(k-1) regardless of
+      // cardinality). The k-th minimum covers fraction f of the space →
+      // estimate (k-1)/f.
       val kth = b.mins.last
-      val frac = (kth.toDouble - Long.MinValue.toDouble) /
-        (Long.MaxValue.toDouble - Long.MinValue.toDouble)
+      val frac = (kth.toDouble - hashLo) / (hashHi - hashLo)
       if (frac <= 0) b.mins.length.toDouble else (k - 1) / frac
     }
 
@@ -68,9 +73,14 @@ object KmvSketch {
       }
   }
 
-  /** Column aggregate: `kmvDistinct(k)(xxhash64(col))`. */
-  def kmvDistinct(k: Int): Column => Column = {
-    val fn = udaf(KmvSketch(k))
+  /** Column aggregate: `kmvDistinct(k)(xxhash64(col))`. Pass the hash
+    * domain when the input hash is not full-range signed 64-bit (e.g.
+    * `kmvDistinct(k, 0.0, math.pow(2, 60))` for the portable md5-prefix
+    * hash the oracle battery uses). */
+  def kmvDistinct(k: Int,
+      hashLo: Double = Long.MinValue.toDouble,
+      hashHi: Double = Long.MaxValue.toDouble): Column => Column = {
+    val fn = udaf(KmvSketch(k, hashLo, hashHi))
     (c: Column) => fn(c)
   }
 }

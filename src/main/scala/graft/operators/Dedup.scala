@@ -25,6 +25,34 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Intermediates persisted by the pair-enumeration entry points below
+    * (signature/shingle frames feed 3 consumers each and Spark can't
+    * reuse the exchange across them — one lands in a BroadcastExchange —
+    * so the operators cache). A long-lived session running many queries
+    * must not accumulate those blocks in executor storage, and the
+    * operator can't unpersist itself (the caller owns the action that
+    * materializes the lazy result). So every internal persist is
+    * registered here; call [[releasePersisted]] once the returned pairs
+    * are materialized — the same caller-owned lifecycle as
+    * [[VariantLoader.LoadResult.unpersist]]. Releasing early only costs
+    * recomputation, never correctness. */
+  private val tracked =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def trackPersist(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tracked.add(p)
+    p
+  }
+
+  /** Unpersist every intermediate cached by dedup calls since the last
+    * release (idempotent; safe while queries on other threads run — they
+    * just recompute). */
+  def releasePersisted(): Unit = {
+    var df = tracked.poll()
+    while (df != null) { df.unpersist(); df = tracked.poll() }
+  }
+
   // -------------------------------------------------------------------
   // Exact
   // -------------------------------------------------------------------
@@ -135,10 +163,9 @@ object Dedup {
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
     // persist: the signature aggregation feeds three consumers (band
-    // explode + both sides of the estimate join) and Spark can't reuse
-    // the exchange across them (one lands in a BroadcastExchange);
-    // released by executor LRU
-    val s = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // explode + both sides of the estimate join); released via
+    // releasePersisted() once the caller materializes
+    val s = trackPersist(sigs)
     val banded = s.select(col(idCol).as("__id"),
       posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
         .as(Seq("band_idx", "band_hash")))
@@ -228,8 +255,7 @@ object Dedup {
     // persist + bare-id candidate join, same rationale as the minhash
     // path: the signature aggregation feeds three consumers and the
     // candidate dedup should hash, not sort
-    val sh = simhashes(df, idCol, tokensCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = trackPersist(simhashes(df, idCol, tokensCol))
     val keyed = sh.select(col(idCol).as("__id"),
       posexplode(array((0 until pieces).map(k =>
         shiftright(col("simhash"), pieceOffsets(k))
@@ -326,8 +352,7 @@ object Dedup {
     val tables = (0 until numTables)
       .map(t => Similarity.hyperplanes(dim, numPlanes, seed = 911L + t))
     // persist: feeds the key pass and both vector-fetch joins
-    val v = df.select(col(idCol).as("__id"), vecCol.as("__v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = trackPersist(df.select(col(idCol).as("__id"), vecCol.as("__v")))
     val keyed = v.select(col("__id"),
       posexplode(Similarity.lshKeysAllTables(col("__v"), tables))
         .as(Seq("table", "key")))
@@ -377,10 +402,9 @@ object Dedup {
     // interpreted HOF pass (transform+distinct per document) to accept
     // an arbitrary shingle column; [[ngramJaccardPairsText]] is the
     // all-codegen path for the common shingle-the-text case.
-    val sh = df.select(col(idCol).as("__sid"),
+    val sh = trackPersist(df.select(col(idCol).as("__sid"),
       sort_array(array_distinct(transform(shingles, s => xxhash64(s))))
-        .as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .as("__sh")))
     pairsFromHashedShingles(sh, threshold)
   }
 
@@ -411,9 +435,8 @@ object Dedup {
       .select(col("__sid"),
         when(col("__i") === 0, xxhash64(concat_ws(" ", col("__t"))))
           .otherwise(ngramHash).as("__h"))
-    val sh = rows.groupBy("__sid")
-      .agg(sort_array(collect_set(col("__h"))).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = trackPersist(rows.groupBy("__sid")
+      .agg(sort_array(collect_set(col("__h"))).as("__sh")))
     pairsFromHashedShingles(sh, threshold)
   }
 

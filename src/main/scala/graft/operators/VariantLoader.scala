@@ -243,7 +243,13 @@ object VariantLoader {
       config.rgdIdSeed,
       keyExprs = Seq(col("start_pos"),
         coalesce(col("ref_nuc"), lit("")), coalesce(col("var_nuc"), lit(""))),
-      tieBreak = Seq(col("end_pos"), col("allele_idx"), col("rs_id")))
+      // total order over every column the insert row emits: when
+      // end_pos/allele_idx/rs_id all tie, the exact (non-coalesced)
+      // nucleotides, derived typing, and genotype blob settle first-wins
+      // deterministically instead of partition arrival order
+      tieBreak = Seq(col("end_pos"), col("allele_idx"), col("rs_id"),
+        col("ref_nuc"), col("var_nuc"), col("variant_type"),
+        col("padding_base"), col("genic_status"), col("genotypes")))
 
     def finalize(df: DataFrame): DataFrame = df.select(
       col("rgd_id"), col("chromosome"), col("start_pos"), col("end_pos"),
@@ -359,9 +365,13 @@ object VariantLoader {
     val deduped =
       if (!intraBatchDedup) candidate
       else {
+        // total order over EVERY emitted column — rows tying on the first
+        // three but differing in the zygosity fields must not be picked
+        // by partition-internal arrival order
         val wFirst = Window.partitionBy("rgd_id", "sample_id")
           .orderBy(col("var_freq").desc, col("total_depth").desc,
-            col("zygosity_status"))
+            col("zygosity_status"), col("zygosity_percent_read"),
+            col("zygosity_poss_error"), col("zygosity_in_pseudo"))
         candidate
           .withColumn("__rn", row_number().over(wFirst))
           .filter(col("__rn") === 1).drop("__rn")

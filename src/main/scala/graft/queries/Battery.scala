@@ -859,7 +859,10 @@ object Battery {
           .cast("long"))
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        round(graft.functions.KmvSketch.kmvDistinct(256)(col("h")), 1)
+        // portable hashes live in [0, 2^60) — tell the estimator, or the
+        // k-th minimum sits mid-signed-range and the estimate pins ~2k
+        round(graft.functions.KmvSketch
+            .kmvDistinct(256, 0.0, math.pow(2, 60))(col("h")), 1)
           .as("kmv_parts"))
 
   val q39Sql: String =
@@ -873,8 +876,8 @@ object Battery {
       |SELECT
       |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS exact_parts,
       |  ROUND(CASE WHEN n < 256 THEN n::DOUBLE
-      |    ELSE 255 / ((kth::DOUBLE - (-9223372036854775808::DOUBLE)) /
-      |      (9223372036854775807::DOUBLE - (-9223372036854775808::DOUBLE)))
+      |    ELSE 255 / ((kth::DOUBLE - 0.0) /
+      |      (1152921504606846976::DOUBLE - 0.0))
       |    END, 1) AS kmv_parts
       |FROM s""".stripMargin
 

@@ -181,9 +181,11 @@ object VariantStore {
       keys: Seq[String], df: DataFrame): Unit = {
     val finalPath = s"$dir/$side"
     val tmpPath = s"$dir/${side}_tmp"
+    val oldPath = s"$dir/${side}_old"
     val tmpTbl = tableName(dir, s"${side}_tmp")
     spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
     deletePath(spark, tmpPath)
+    deletePath(spark, oldPath)
     df.repartition(NumBuckets, keys.map(col): _*).write
       .bucketBy(NumBuckets, keys.head, keys.tail: _*)
       .mode(SaveMode.Overwrite).format("parquet")
@@ -191,11 +193,47 @@ object VariantStore {
       .saveAsTable(tmpTbl)
     spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, side)}")
-    val p = new org.apache.hadoop.fs.Path(finalPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), p)
+    val fin = new org.apache.hadoop.fs.Path(finalPath)
+    val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash-safe promote: move the live dir ASIDE (never delete it before
+    // the new data is in place), then promote tmp, then drop the old copy
+    // last. Each step is a single atomic rename, so at every instant the
+    // store side is recoverable: a crash between the two renames leaves
+    // `_old` + a complete `_tmp` (recoverSwap promotes tmp); a crash after
+    // the promote leaves only garbage `_old`/`_tmp` (recoverSwap deletes).
+    if (fs.exists(fin))
+      fs.rename(fin, new org.apache.hadoop.fs.Path(oldPath))
+    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), fin)
+    deletePath(spark, oldPath)
     // next read re-registers the table from the swapped files
+  }
+
+  /** Recover a store side from a crash mid-[[overwriteSide]]. The swap's
+    * invariant: `_old` exists ⟺ the writer got past the rename-aside,
+    * which only happens after the `_tmp` write completed — so when the
+    * final dir is missing and `_old` exists, a present `_tmp` is complete
+    * and wins (the update had finished computing); absent `_tmp` means an
+    * impossible interleaving on an atomic-rename filesystem, but `_old`
+    * restores the pre-update snapshot regardless. When the final dir
+    * exists, any surviving `_tmp`/`_old` are garbage from a crash after
+    * the promote (or an aborted write) and are deleted. */
+  private def recoverSwap(spark: SparkSession, dir: String,
+      side: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fin = new org.apache.hadoop.fs.Path(s"$dir/$side")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/${side}_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/${side}_old")
+    if (!fs.exists(fin) && fs.exists(old)) {
+      if (fs.exists(tmp)) { fs.rename(tmp, fin); fs.delete(old, true) }
+      else fs.rename(old, fin)
+    } else if (fs.exists(fin)) {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(old)) fs.delete(old, true)
+    }
+    // fin, tmp, old all absent: the side never existed — nothing to do
+    // (a lone incomplete _tmp from a first-ever write crash stays until
+    // the next overwriteSide clears it; it is never read)
   }
 
   /** Compact a store side back to one file per bucket. Every append
@@ -229,6 +267,7 @@ object VariantStore {
     val tbl = tableName(dir, side)
     if (spark.catalog.tableExists(tbl)) Some(tbl)
     else {
+      recoverSwap(spark, dir, side)
       val path = s"$dir/$side"
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

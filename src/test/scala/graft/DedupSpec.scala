@@ -128,4 +128,19 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
     assert(approx == exact)
   }
+
+  test("releasePersisted drops every intermediate the operators cached") {
+    Dedup.releasePersisted() // clean slate (earlier tests in this suite)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // one query from each caching entry point family
+    Dedup.minhashNearDupPairsText(docs, "doc_id", col("text"),
+      n = 5, numHashes = 32, bands = 8, threshold = 0.5).count()
+    Dedup.ngramJaccardPairsText(docs, "doc_id", col("text"),
+      n = 3, threshold = 0.5).count()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.size > before.size,
+      "queries should have cached intermediates")
+    Dedup.releasePersisted()
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "no dedup-cached storage may linger after release")
+  }
 }

@@ -51,9 +51,15 @@ class TypedVariantsSpec extends SparkSpec {
     assert(typed.byGenicStatus("GENIC").count() == 1)
     assert(typed.inRange(372, "1", 50, 300).count() ==
       untyped.variantsInRange(372, "1", 50, 300).count())
-    // the filter must reach the scan as a data filter, not a lambda
+    // the filter must reach the scan as a pushed data filter, and the
+    // plan must not round-trip through objects (a lambda filter would
+    // show DeserializeToObject). Both asserted POSITIVELY — the old
+    // disjunction was vacuously true against capitalized "Filter".
     val plan = typed.byGenicStatus("GENIC").queryExecution.executedPlan.toString
-    assert(!plan.contains("DeserializeToObject") || !plan.contains("filter"))
+    assert(!plan.contains("DeserializeToObject"),
+      s"Column-based filter must not deserialize to objects:\n$plan")
+    assert(plan.contains("EqualTo(genic_status,GENIC)"),
+      s"genic_status equality must be pushed to the scan:\n$plan")
   }
 
   test("typed details and keyed aggregation") {
