@@ -19,14 +19,15 @@ import org.apache.spark.sql.functions.udaf
  * state — the same contract [[KmvSketch]] establishes for typed
  * aggregates in this library.
  */
-case class SimhashVotes()
+case class SimhashVotes(bits: Int = 64)
     extends Aggregator[Long, Array[Long], Long] {
+  require(bits > 0 && bits <= 64, s"bits must be in (0, 64], got $bits")
 
-  override def zero: Array[Long] = new Array[Long](64)
+  override def zero: Array[Long] = new Array[Long](bits)
 
   override def reduce(b: Array[Long], h: Long): Array[Long] = {
     var i = 0
-    while (i < 64) {
+    while (i < bits) {
       b(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
       i += 1
     }
@@ -35,18 +36,18 @@ case class SimhashVotes()
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < 64) { a(i) += b(i); i += 1 }
+    while (i < bits) { a(i) += b(i); i += 1 }
     a
   }
 
   override def finish(b: Array[Long]): Long = {
-    var bits = 0L
+    var out = 0L
     var i = 0
-    while (i < 64) {
-      if (b(i) > 0) bits |= (1L << i)
+    while (i < bits) {
+      if (b(i) > 0) out |= (1L << i)
       i += 1
     }
-    bits
+    out
   }
 
   override def bufferEncoder: Encoder[Array[Long]] =
@@ -58,6 +59,13 @@ object SimhashVotes {
   /** Column aggregate: `simhashBits(xxhash64(token))`. */
   val simhashBits: Column => Column = {
     val fn = udaf(SimhashVotes())
+    (c: Column) => fn(c)
+  }
+
+  /** Width-parameterized variant — e.g. 60 bits when the token hash is a
+    * portable 15-hex-char md5 prefix the oracle battery can replay. */
+  def simhashBitsN(bits: Int): Column => Column = {
+    val fn = udaf(SimhashVotes(bits))
     (c: Column) => fn(c)
   }
 }

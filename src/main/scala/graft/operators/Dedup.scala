@@ -159,16 +159,33 @@ object Dedup {
       minhashSignaturesFromText(df, idCol, text, n, numHashes),
       idCol, numHashes, bands, threshold)
 
-  private def nearDupPairsFromSignatures(sigs: DataFrame, idCol: String,
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+  /** Pair enumeration from a precomputed `(idCol, sig: array<bigint>)`
+    * frame — public so the oracle battery can feed PORTABLE signatures
+    * (the md5/mod-2^60 family DuckDB replays) through the exact same
+    * banding join the production xxhash64 path uses.
+    *
+    * `portableBandKeys = false` (production): band key =
+    * `xxhash64(slice, band)` — a narrow 64-bit shuffle key.
+    * `portableBandKeys = true` (oracle): band key = the band SLICE
+    * itself (array<bigint>) — engine-agnostic, identical semantics
+    * modulo xxhash collisions (~2⁻⁶⁴), replayed in DuckDB as
+    * `list(mh ORDER BY i)` per band. The key is `rowsPerBand` longs wide
+    * instead of one, so production keeps the hashed form. */
+  def nearDupPairsFromSignatures(sigs: DataFrame, idCol: String,
+      numHashes: Int, bands: Int, threshold: Double,
+      portableBandKeys: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     // persist: the signature aggregation feeds three consumers (band
     // explode + both sides of the estimate join); released via
     // releasePersisted() once the caller materializes
     val s = trackPersist(sigs)
+    val bandKeyArr =
+      if (portableBandKeys)
+        array((0 until bands).map(b =>
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)
+      else lshBandKeys(col("sig"), bands, rowsPerBand)
     val banded = s.select(col(idCol).as("__id"),
-      posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
-        .as(Seq("band_idx", "band_hash")))
+      posexplode(bandKeyArr).as(Seq("band_idx", "band_hash")))
     val a = banded.select(col("__id").as("id_a"), col("band_idx"),
       col("band_hash"))
     val b = banded.select(col("__id").as("id_b"), col("band_idx"),
@@ -243,19 +260,31 @@ object Dedup {
    * join approaches all-pairs.
    */
   def simhashNearDupPairs(df: DataFrame, idCol: String, tokensCol: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFromHashes(simhashes(df, idCol, tokensCol), idCol,
+      numBits = 64, maxHamming)
+
+  /** Pair enumeration from a precomputed `(idCol, simhash)` frame —
+    * public so the oracle battery can feed a PORTABLE simhash (votes
+    * over md5-prefix token hashes, 60 bits, which DuckDB replays in
+    * plain SQL) through the same pigeonhole-piece blocking join the
+    * production 64-bit xxhash path uses. */
+  def simhashPairsFromHashes(simhashFrame: DataFrame, idCol: String,
+      numBits: Int, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 32), got $maxHamming")
+    require(numBits > 0 && numBits <= 64,
+      s"numBits must be in (0, 64], got $numBits")
     val pieces = maxHamming + 1
-    // piece widths as even as possible: 64 = sum(widths)
+    // piece widths as even as possible: numBits = sum(widths)
     val widths = (0 until pieces).map(i =>
-      64 / pieces + (if (i < 64 % pieces) 1 else 0))
+      numBits / pieces + (if (i < numBits % pieces) 1 else 0))
     val pieceOffsets = widths.scanLeft(0)(_ + _)
     def mask(width: Int): Long = if (width >= 64) -1L else (1L << width) - 1
     // persist + bare-id candidate join, same rationale as the minhash
     // path: the signature aggregation feeds three consumers and the
     // candidate dedup should hash, not sort
-    val sh = trackPersist(simhashes(df, idCol, tokensCol))
+    val sh = trackPersist(simhashFrame)
     val keyed = sh.select(col(idCol).as("__id"),
       posexplode(array((0 until pieces).map(k =>
         shiftright(col("simhash"), pieceOffsets(k))

@@ -544,35 +544,136 @@ object Battery {
        |GROUP BY lang, lang_guess""".stripMargin
   }
 
-  /** MinHash/LSH near-dup detection summary (non-SQL-expressible — the
-    * xxhash64 family has no DuckDB twin; rows-only check). Always exactly
-    * one row. */
+  /** MinHash/LSH near-dup PAIRS, oracle-checked end-to-end: portable
+    * signatures (the q42 md5/mod-2^60 double-hash family) flow through
+    * the SAME banding join the production xxhash64 path uses
+    * ([[graft.operators.Dedup.nearDupPairsFromSignatures]]), with the
+    * band SLICE as the key instead of its xxhash64 — engine-agnostic,
+    * semantically identical modulo 2⁻⁶⁴ hash collisions. DuckDB replays
+    * signature minima with HUGEINT arithmetic, bands as
+    * `list(mh ORDER BY i)`, and the component-equality Jaccard estimate.
+    * 8 bands × 8 rows: the tiny 30-word vocabulary gives RANDOM doc
+    * pairs char-shingle Jaccard ~0.3, so 4-row bands collide on ~12% of
+    * all pairs; 8-row bands push the random collision rate under 1%
+    * while keeping ~99% recall at the planted near-dups' similarity.
+    * Per-pair jaccard is k_eq/64 — exact in binary, no float-order risk. */
   val q24MinhashDedup: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
-    // 8 bands x 8 rows: the tiny 30-word vocabulary gives RANDOM doc
-    // pairs char-shingle Jaccard ~0.3, so 4-row bands collide on ~12% of
-    // all pairs; 8-row bands push the random collision rate under 1%
-    // while keeping ~99% recall at the planted near-dups' similarity
-    graft.operators.Dedup.minhashNearDupPairsText(
-      docs, "doc_id", col("text"),
-      n = 5, numHashes = 64, bands = 8, threshold = 0.4)
-      .agg(count(lit(1)).as("n_pairs"),
-        coalesce(round(avg("jaccard"), 3), lit(0.0)).as("avg_jaccard"))
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val rows = t(s, dir, "documents")
+      .select(col("doc_id"), norm.as("__t"))
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(1), greatest(length(col("__t")) - 4, lit(1))))
+          .as("__i"))
+      .select(col("doc_id"),
+        md5(col("__t").substr(col("__i"), lit(5))).as("__d"))
+      .select(col("doc_id"),
+        conv(substring(col("__d"), 1, 15), 16, 10).cast("long").as("__h1"),
+        conv(substring(col("__d"), 16, 15), 16, 10).cast("long").as("__h2"))
+    val sigs = rows.groupBy("doc_id")
+      .agg(graft.functions.MinHashSig.minhashSigPortable(64)(
+        col("__h1"), col("__h2")).as("sig"))
+    graft.operators.Dedup.nearDupPairsFromSignatures(sigs, "doc_id",
+      numHashes = 64, bands = 8, threshold = 0.4, portableBandKeys = true)
   }
 
-  /** SimHash near-dup summary (rows-only, one row). */
+  val q24Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, s,
+      |    unnest(range(1, greatest(len(s) - 4, 1) + 1)) AS pos
+      |  FROM t),
+      |m AS (
+      |  SELECT doc_id, md5(substr(s, CAST(pos AS INT), 5)) AS d FROM p),
+      |hh AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(d, 1, 15))::BIGINT AS h1,
+      |    ('0x' || substr(d, 16, 15))::BIGINT AS h2
+      |  FROM m),
+      |ih AS (
+      |  SELECT doc_id, h1, h2, unnest(range(0, 64)) AS i FROM hh),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS INT) AS i,
+      |    CAST((h1::HUGEINT + i::HUGEINT * h2::HUGEINT)
+      |      % 1152921504606846976 AS BIGINT) AS gv
+      |  FROM ih),
+      |sig AS (SELECT doc_id, i, MIN(gv) AS mh FROM g GROUP BY doc_id, i),
+      |band AS (
+      |  SELECT doc_id, i // 8 AS band_idx, list(mh ORDER BY i) AS bkey
+      |  FROM sig GROUP BY doc_id, i // 8),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM band a JOIN band b
+      |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey
+      |      AND a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT c.id_a, c.id_b,
+      |    ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::DOUBLE
+      |      / 64, 4) AS jaccard
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.id_a
+      |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+      |  GROUP BY c.id_a, c.id_b)
+      |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4""".stripMargin
+
+  /** SimHash near-dup PAIRS, oracle-checked end-to-end: a PORTABLE
+    * 60-bit simhash (±1 votes per bit of the 15-hex-char md5 prefix of
+    * each token — plain SQL in DuckDB) flows through the same
+    * pigeonhole-piece blocking join as the production 64-bit xxhash path
+    * ([[graft.operators.Dedup.simhashPairsFromHashes]]). maxHamming 3 =
+    * the standard near-dup radius: blocking uses h+1 pieces, so small h
+    * keeps the candidate keys wide (15 bits) and the join selective. */
   val q25Simhash: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    // maxHamming 3 = the standard near-dup radius: blocking uses h+1
-    // pieces, so small h keeps the candidate keys wide (16 bits) and the
-    // join selective
-    graft.operators.Dedup.simhashNearDupPairs(
-      docs, "doc_id",
-      graft.operators.TextAnalysis.tokens(lower(col("text"))),
-      maxHamming = 3)
-      .agg(count(lit(1)).as("n_pairs"),
-        coalesce(round(avg("hamming"), 3), lit(0.0)).as("avg_hamming"))
+    val hashed = docs
+      .select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.tokens(lower(col("text"))))
+          .as("__tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long")
+          .as("__h"))
+    val sh = hashed.groupBy("doc_id")
+      .agg(graft.functions.SimhashVotes.simhashBitsN(60)(col("__h"))
+        .as("simhash"))
+    graft.operators.Dedup.simhashPairsFromHashes(sh, "doc_id",
+      numBits = 60, maxHamming = 3)
   }
+
+  val q25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x <> '')) AS tok
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+      |  FROM toks),
+      |b AS (SELECT doc_id, hv, unnest(range(0, 60)) AS i FROM h),
+      |v AS (
+      |  SELECT doc_id, CAST(i AS INT) AS i,
+      |    SUM(CASE WHEN (hv >> CAST(i AS INT)) & 1 = 1
+      |      THEN 1 ELSE -1 END) AS vote
+      |  FROM b GROUP BY doc_id, i),
+      |sim AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sh
+      |  FROM v GROUP BY doc_id),
+      |k AS (SELECT doc_id, sh, unnest(range(0, 4)) AS piece_idx FROM sim),
+      |keys AS (
+      |  SELECT doc_id, sh, CAST(piece_idx AS INT) AS piece_idx,
+      |    (sh >> (15 * CAST(piece_idx AS INT))) & 32767 AS piece
+      |  FROM k),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+      |    a.sh AS sha, b2.sh AS shb
+      |  FROM keys a JOIN keys b2
+      |    ON a.piece_idx = b2.piece_idx AND a.piece = b2.piece
+      |      AND a.doc_id < b2.doc_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(sha, shb)) <= 3""".stripMargin
 
   /** Exact brute-force cosine top-5 for the first 3 vectors as queries —
     * the ANN ground truth, DuckDB-checkable via list_cosine_similarity. */
@@ -1029,8 +1130,8 @@ object Battery {
     "q21_text_stats" -> (q21TextStats, Some(q21Sql)),
     "q22_token_count" -> (q22TokenCount, Some(q22Sql)),
     "q23_lang_id" -> (q23LangId, Some(q23Sql)),
-    "q24_minhash_dedup" -> (q24MinhashDedup, None),
-    "q25_simhash" -> (q25Simhash, None),
+    "q24_minhash_dedup" -> (q24MinhashDedup, Some(q24Sql)),
+    "q25_simhash" -> (q25Simhash, Some(q25Sql)),
     "q26_cosine_knn" -> (q26CosineKnn, Some(q26Sql)),
     "q27_embedding_norms" -> (q27EmbeddingNorms, Some(q27Sql)),
     "q28_lsh_recall" -> (q28LshRecall, None),
