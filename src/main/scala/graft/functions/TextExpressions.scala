@@ -56,6 +56,220 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /**
+   * Per-list hit counts over a whole token ARRAY in one pass:
+   * `counts(i)` = number of tokens that occur in word list i. The
+   * scalar-per-document form of [[WordListMask]] — it removes the
+   * explode (×tokens row blowup) and the groupBy shuffle from the
+   * language-id path entirely: one hash lookup per token, accumulated
+   * into a stack `int[]`, inside whole-stage codegen. A document is one
+   * row in, one small array out.
+   */
+  case class WordListHitCounts(child: Expression, words: Array[String],
+      masks: Array[Int], numLists: Int) extends UnaryExpression {
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_word_list_hit_counts"
+
+    @transient private lazy val table: java.util.HashMap[UTF8String, Integer] = {
+      val m = new java.util.HashMap[UTF8String, Integer](words.length * 2)
+      var i = 0
+      while (i < words.length) {
+        m.put(UTF8String.fromString(words(i)), masks(i))
+        i += 1
+      }
+      m
+    }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val counts = new Array[Int](numLists)
+      var k = 0
+      val n = arr.numElements()
+      while (k < n) {
+        if (!arr.isNullAt(k)) {
+          val m = table.get(arr.getUTF8String(k))
+          if (m != null) {
+            var mm = m.intValue()
+            while (mm != 0) {
+              counts(java.lang.Integer.numberOfTrailingZeros(mm)) += 1
+              mm &= mm - 1
+            }
+          }
+        }
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tbl = ctx.addReferenceObj("wordMaskTable", table,
+        "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, Integer>")
+      nullSafeCodeGen(ctx, ev, t => {
+        val cnt = ctx.freshName("cnt")
+        val k = ctx.freshName("k")
+        val n = ctx.freshName("n")
+        val m = ctx.freshName("m")
+        val mm = ctx.freshName("mm")
+        s"""
+           |int[] $cnt = new int[$numLists];
+           |int $n = $t.numElements();
+           |for (int $k = 0; $k < $n; $k++) {
+           |  if (!$t.isNullAt($k)) {
+           |    Integer $m = (Integer) $tbl.get($t.getUTF8String($k));
+           |    if ($m != null) {
+           |      int $mm = $m.intValue();
+           |      while ($mm != 0) {
+           |        $cnt[java.lang.Integer.numberOfTrailingZeros($mm)]++;
+           |        $mm &= $mm - 1;
+           |      }
+           |    }
+           |  }
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($cnt);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /**
+   * Argmax companion of [[WordListHitCounts]]: returns `labels(i)` for
+   * the FIRST list with the maximal hit count, or `fallback` when no
+   * token hit any list. Folding the argmax into the expression (rather
+   * than 5 `element_at(counts, i)` Column references) guarantees the
+   * token pass runs ONCE per document — Column-level references may be
+   * re-inlined by projection collapse into one copy per reference, and
+   * each copy would re-tokenize.
+   */
+  case class WordListArgmax(child: Expression, words: Array[String],
+      masks: Array[Int], numLists: Int, labels: Array[String],
+      fallback: String) extends UnaryExpression {
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.StringType
+    override def prettyName: String = "graft_word_list_argmax"
+
+    @transient private lazy val table: java.util.HashMap[UTF8String, Integer] = {
+      val m = new java.util.HashMap[UTF8String, Integer](words.length * 2)
+      var i = 0
+      while (i < words.length) {
+        m.put(UTF8String.fromString(words(i)), masks(i))
+        i += 1
+      }
+      m
+    }
+
+    @transient private lazy val labelsU: Array[UTF8String] =
+      labels.map(UTF8String.fromString)
+    @transient private lazy val fallbackU: UTF8String =
+      UTF8String.fromString(fallback)
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val counts = new Array[Int](numLists)
+      var k = 0
+      val n = arr.numElements()
+      while (k < n) {
+        if (!arr.isNullAt(k)) {
+          val m = table.get(arr.getUTF8String(k))
+          if (m != null) {
+            var mm = m.intValue()
+            while (mm != 0) {
+              counts(java.lang.Integer.numberOfTrailingZeros(mm)) += 1
+              mm &= mm - 1
+            }
+          }
+        }
+        k += 1
+      }
+      var best = 0
+      var i = 1
+      while (i < numLists) {
+        if (counts(i) > counts(best)) best = i
+        i += 1
+      }
+      if (counts(best) > 0) labelsU(best) else fallbackU
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tbl = ctx.addReferenceObj("wordMaskTable", table,
+        "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, Integer>")
+      val lbl = ctx.addReferenceObj("labels", labelsU,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      val fb = ctx.addReferenceObj("fallback", fallbackU,
+        "org.apache.spark.unsafe.types.UTF8String")
+      nullSafeCodeGen(ctx, ev, t => {
+        val cnt = ctx.freshName("cnt")
+        val k = ctx.freshName("k")
+        val n = ctx.freshName("n")
+        val m = ctx.freshName("m")
+        val mm = ctx.freshName("mm")
+        val best = ctx.freshName("best")
+        val i = ctx.freshName("i")
+        s"""
+           |int[] $cnt = new int[$numLists];
+           |int $n = $t.numElements();
+           |for (int $k = 0; $k < $n; $k++) {
+           |  if (!$t.isNullAt($k)) {
+           |    Integer $m = (Integer) $tbl.get($t.getUTF8String($k));
+           |    if ($m != null) {
+           |      int $mm = $m.intValue();
+           |      while ($mm != 0) {
+           |        $cnt[java.lang.Integer.numberOfTrailingZeros($mm)]++;
+           |        $mm &= $mm - 1;
+           |      }
+           |    }
+           |  }
+           |}
+           |int $best = 0;
+           |for (int $i = 1; $i < $numLists; $i++) {
+           |  if ($cnt[$i] > $cnt[$best]) $best = $i;
+           |}
+           |${ev.value} = $cnt[$best] > 0 ? $lbl[$best] : $fb;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column wrapper: label of the first list with the most hits in
+    * `tokensArr`, or `fallback` when every list scores zero. `lists`
+    * order defines the tie-break (first wins). */
+  def wordListArgmax(tokensArr: Column, lists: Seq[(String, Seq[String])],
+      fallback: String): Column = {
+    require(lists.length <= 31, "at most 31 word lists per mask")
+    val byWord = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    lists.zipWithIndex.foreach { case ((_, ws), i) =>
+      ws.foreach(w => byWord(w) = byWord.getOrElse(w, 0) | (1 << i))
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      WordListArgmax(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expr(tokensArr),
+        byWord.keys.toArray, byWord.values.toArray, lists.length,
+        lists.map(_._1).toArray, fallback))
+  }
+
+  /** Column wrapper: `result(i)` counts the tokens of `tokensArr` found
+    * in `lists(i)`. */
+  def wordListHitCounts(tokensArr: Column, lists: Seq[Seq[String]]): Column = {
+    require(lists.length <= 31, "at most 31 word lists per mask")
+    val byWord = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    lists.zipWithIndex.foreach { case (ws, i) =>
+      ws.foreach(w => byWord(w) = byWord.getOrElse(w, 0) | (1 << i))
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      WordListHitCounts(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expr(tokensArr),
+        byWord.keys.toArray, byWord.values.toArray, lists.length))
+  }
+
   /** Column wrapper: bit i of the result marks membership in
     * `lists(i)`. */
   def wordListMask(token: Column, lists: Seq[Seq[String]]): Column = {

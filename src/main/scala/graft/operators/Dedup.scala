@@ -53,6 +53,19 @@ object Dedup {
     while (df != null) { df.unpersist(); df = tracked.poll() }
   }
 
+  /** A small corpus arrives as 1-2 parquet splits, which would run the
+    * whole shingle/token hashing pass on 1-2 cores (the same pathology
+    * VcfSource guards against for single .gz inputs). Re-spread on the
+    * id — the signature groupBy key — so the downstream aggregation
+    * reuses the partitioning (no second exchange). Big corpora already
+    * have enough splits and skip the shuffle. */
+  private def spreadSmallInput(df: DataFrame, idCol: String): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism / 2)
+      df.repartition(parallelism, col(idCol))
+    else df
+  }
+
   // -------------------------------------------------------------------
   // Exact
   // -------------------------------------------------------------------
@@ -84,7 +97,8 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, shingles: Column,
       numHashes: Int): DataFrame =
     signaturesFromHashes(
-      df.select(col(idCol), explode(shingles).as("__s"))
+      spreadSmallInput(df, idCol)
+        .select(col(idCol), explode(shingles).as("__s"))
         .withColumn("__h", xxhash64(col("__s"))),
       idCol, numHashes)
 
@@ -100,7 +114,7 @@ object Dedup {
   def minhashSignaturesFromText(df: DataFrame, idCol: String, text: Column,
       n: Int, numHashes: Int): DataFrame = {
     val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
-    val exploded = df
+    val exploded = spreadSmallInput(df, idCol)
       .select(col(idCol), norm.as("__t"))
       .select(col(idCol), col("__t"),
         explode(sequence(lit(1), greatest(length(col("__t")) - (n - 1), lit(1))))
@@ -240,7 +254,8 @@ object Dedup {
    * [[minhashSignatures]]: higher-order array lambdas don't codegen.
    */
   def simhashes(df: DataFrame, idCol: String, tokensCol: Column): DataFrame =
-    df.select(col(idCol), explode(tokensCol).as("__t"))
+    spreadSmallInput(df, idCol)
+      .select(col(idCol), explode(tokensCol).as("__t"))
       .groupBy(idCol)
       .agg(graft.functions.SimhashVotes.simhashBits(xxhash64(col("__t")))
         .as("simhash"))
@@ -484,13 +499,31 @@ object Dedup {
         Window.partitionBy("__sid").orderBy(col("__df"), col("shingle"))))
       .filter(col("__rk") <=
         col("__m") - ceil(lit(threshold) * col("__m")).cast("int") + 1)
-      .select(col("__sid"), col("shingle"))
-    val a = prefix.select(col("__sid").as("id_a"), col("shingle"))
-    val b = prefix.select(col("__sid").as("id_b"), col("shingle"))
+      .select(col("__sid"), col("shingle"), col("__rk"), col("__m"))
+    val a = prefix.select(col("__sid").as("id_a"), col("shingle"),
+      col("__rk").as("__rka"), col("__m").as("__ma"))
+    val b = prefix.select(col("__sid").as("id_b"), col("shingle"),
+      col("__rk").as("__rkb"), col("__m").as("__mb"))
     val inter = graft.functions.VectorExpressions
       .sortedIntersectCount(col("sh_a"), col("sh_b"))
+    // Positional pruning (the ppjoin refinement of the same Bayardo/Xiao
+    // line of work — public knowledge): jaccard ≥ t needs overlap
+    // i ≥ t/(1+t)·(ma+mb). For a shared token at rarity ranks (pa, pb),
+    // overlap ≤ min(pa,pb)−1 (before it) + 1 (itself) + min(ma−pa, mb−pb)
+    // (after it) — valid for EVERY shared token, so keeping a pair when
+    // ANY of its shared prefix rows passes is exact. Also the size
+    // filter: min(ma,mb) ≥ t·max(ma,mb). Both use a threshold relaxed by
+    // 1e-4 so a pair whose verify-stage round(jaccard, 4) lands exactly
+    // on t can never be pruned by unrounded bound arithmetic.
+    val tEff = threshold - 1e-4
+    val required = lit(tEff / (1 + tEff)) * (col("__ma") + col("__mb"))
+    val ubound = least(col("__rka"), col("__rkb")) +
+      least(col("__ma") - col("__rka"), col("__mb") - col("__rkb"))
     a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("__ma"), col("__mb")) >=
+        lit(tEff) * greatest(col("__ma"), col("__mb")))
+      .filter(ubound >= required)
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
       .join(sh.select(col("__sid").as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(sh.select(col("__sid").as("id_b"), col("__sh").as("sh_b")), "id_b")

@@ -103,36 +103,23 @@ object TextAnalysis {
   }
 
   /**
-   * DataFrame form of [[langId]] for the hot path: explode tokens → per-
-   * language conditional-sum columns → argmax. One generate + one
-   * codegen'd hash aggregate; the Column form's per-row HOF filters are
-   * interpreted and ~20× slower at scale. Returns `(idCol, lang_guess)`;
-   * docs with zero tokens are absent (treat as "und").
+   * Hot-path form of [[langId]]: ONE native-expression pass per document
+   * ([[graft.functions.TextExpressions.WordListArgmax]] — tokenize, one
+   * hash lookup per token, argmax with first-wins asc-language
+   * tie-break, all inside whole-stage codegen). No explode (the previous
+   * form generated one row per token) and no per-document aggregation
+   * shuffle — language id is a scalar map over the corpus scan, which is
+   * the right shape at any scale. Zero-token documents score "und".
    */
+  def langGuess(text: Column): Column =
+    graft.functions.TextExpressions.wordListArgmax(
+      tokens(lower(text)), LangProfiles.toSeq.sortBy(_._1), "und")
+
+  /** DataFrame form of [[langGuess]]: `(idCol, lang_guess)`, one row per
+    * input row. */
   def langIdAgg(df: org.apache.spark.sql.DataFrame, idCol: String,
-      text: Column): org.apache.spark.sql.DataFrame = {
-    val langs = LangProfiles.toSeq.sortBy(_._1)
-    // one hash lookup per token (bit i = membership in language i's
-    // profile) instead of |langs|×|words| string comparisons — the
-    // conditional-sum columns then reduce codegen'd int bit tests
-    val exploded = df
-      .select(col(idCol), explode(tokens(lower(text))).as("__t"))
-      .select(col(idCol), graft.functions.TextExpressions
-        .wordListMask(col("__t"), langs.map(_._2)).as("__m"))
-    val hitCols = langs.zipWithIndex.map { case ((lang, _), i) =>
-      sum(shiftright(col("__m"), i).bitwiseAND(1)).as(s"__h_$lang")
-    }
-    val agged = exploded.groupBy(idCol).agg(hitCols.head, hitCols.tail: _*)
-    // first-wins tie-break over languages sorted asc (same as langId)
-    val best = langs.map { case (lang, _) =>
-      struct(col(s"__h_$lang").as("hits"), lit(lang).as("lang"))
-    }.reduceLeft { (a, b) =>
-      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
-    }
-    agged.select(col(idCol),
-      when(best.getField("hits") > 0, best.getField("lang"))
-        .otherwise(lit("und")).as("lang_guess"))
-  }
+      text: Column): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), langGuess(text).as("lang_guess"))
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * engine-portable (identical in DuckDB), used for exact dedup. */

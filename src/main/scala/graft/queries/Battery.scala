@@ -509,17 +509,15 @@ object Battery {
       |  FROM documents)
       |GROUP BY lang""".stripMargin
 
-  /** Language-id heuristic (stopword-profile argmax) vs the labeled lang. */
-  val q23LangId: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
-    val guessed = graft.operators.TextAnalysis
-      .langIdAgg(docs, "doc_id", col("text"))
-    docs.join(guessed, Seq("doc_id"), "left")
+  /** Language-id heuristic (stopword-profile argmax) vs the labeled
+    * lang. One corpus scan: the guess is a scalar native expression, so
+    * the only shuffle is the tiny (lang, guess) rollup. */
+  val q23LangId: Q = (s, dir) =>
+    t(s, dir, "documents")
       .select(col("lang"),
-        coalesce(col("lang_guess"), lit("und")).as("lang_guess"))
+        graft.operators.TextAnalysis.langGuess(col("text")).as("lang_guess"))
       .groupBy("lang", "lang_guess")
       .agg(count(lit(1)).as("n"))
-  }
 
   val q23Sql: String = {
     val p = graft.operators.TextAnalysis.LangProfiles.toSeq.sortBy(_._1)
@@ -559,7 +557,9 @@ object Battery {
     * Per-pair jaccard is k_eq/64 — exact in binary, no float-order risk. */
   val q24MinhashDedup: Q = (s, dir) => {
     val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
-    val rows = t(s, dir, "documents")
+    // the corpus is 1-2 parquet splits: spread on the signature groupBy
+    // key or the whole md5 pass runs on 1-2 cores (shuffle is ~doc bytes)
+    val rows = t(s, dir, "documents").repartition(col("doc_id"))
       .select(col("doc_id"), norm.as("__t"))
       .select(col("doc_id"), col("__t"),
         explode(sequence(lit(1), greatest(length(col("__t")) - 4, lit(1))))
@@ -626,8 +626,7 @@ object Battery {
     * the standard near-dup radius: blocking uses h+1 pieces, so small h
     * keeps the candidate keys wide (15 bits) and the join selective. */
   val q25Simhash: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
-    val hashed = docs
+    val hashed = t(s, dir, "documents").repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(graft.operators.TextAnalysis.tokens(lower(col("text"))))
           .as("__tok"))
@@ -1061,6 +1060,7 @@ object Battery {
     val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
     val rows = t(s, dir, "documents")
       .filter(col("doc_id") < 1000)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), norm.as("__t"))
       .select(col("doc_id"), col("__t"),
         explode(sequence(lit(1), greatest(length(col("__t")) - 4, lit(1))))

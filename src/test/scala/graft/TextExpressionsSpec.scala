@@ -26,4 +26,42 @@ class TextExpressionsSpec extends SparkSpec {
       .as[Int].head()
     assert(java.lang.Integer.bitCount(deMask) > 1)
   }
+
+  test("wordListHitCounts ≡ per-token mask sums; argmax ≡ langId") {
+    val lists = TextAnalysis.LangProfiles.toSeq.sortBy(_._1)
+    val docs = Seq(
+      (1, "the quick brown fox and the lazy dog"),
+      (2, "le chat et le chien sont dans la maison"),
+      (3, "der hund und die katze sind nicht da"),
+      (4, "zzz qqq completely unmatched tokens"),
+      (5, ""),
+      (6, "el perro y el gato en la casa"))
+      .toDF("id", "text")
+    val toks = TextAnalysis.tokens(lower(col("text")))
+    // counts from the one-pass array expression == exploded mask sums
+    val got = docs.select(col("id"),
+      TextExpressions.wordListHitCounts(toks, lists.map(_._2)).as("c"))
+      .as[(Int, Seq[Int])].collect().toMap
+    val want = docs
+      .select(col("id"), explode_outer(toks).as("t"))
+      .select(col("id"), coalesce(TextExpressions
+        .wordListMask(col("t"), lists.map(_._2)), lit(0)).as("m"))
+      .groupBy("id")
+      .agg(sum(shiftright(col("m"), 0).bitwiseAND(1)).cast("int").as("h0"),
+        lists.indices.tail.map(i =>
+          sum(shiftright(col("m"), i).bitwiseAND(1)).cast("int")
+            .as(s"h$i")): _*)
+      .collect().map(r => r.getInt(0) ->
+        lists.indices.map(i => r.getInt(i + 1))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, c) => assert(c == want(id), s"doc $id") }
+    // argmax expression agrees with the Column-form langId on every doc
+    val a = docs.select(col("id"),
+      TextAnalysis.langGuess(col("text")).as("g"))
+      .as[(Int, String)].collect().toMap
+    val b = docs.select(col("id"), TextAnalysis.langId(col("text")).as("g"))
+      .as[(Int, String)].collect().toMap
+    assert(a == b)
+    assert(a(4) == "und" && a(5) == "und")
+  }
 }
