@@ -41,24 +41,25 @@ class TypedVariants(spark: SparkSession, storeDir: String) {
         col("species_type_key").as("speciesTypeKey"))
       .as[VariantRecord]
 
-  /** Sample details as `Dataset[VariantSampleDetail]`. Fields the load
-    * path never sets (§2.7: source, ref allele, num allele, quality)
-    * surface as None/0. */
+  /** Sample details as `Dataset[VariantSampleDetail]`. All 12 reference
+    * columns (DAO.java:70-75) are physical in the store; the ones the
+    * loader never sets (source, ref allele, num allele, quality) carry
+    * the reference's unset-bean defaults. */
   def sampleDetails: Dataset[VariantSampleDetail] =
     spark.read.parquet(s"$storeDir/details")
       .select(
         col("rgd_id").as("rgdId"),
-        lit(null).cast("string").as("source"),
+        col("source"),
         col("sample_id").as("sampleId"),
         col("total_depth").as("totalDepth"),
         col("var_freq").as("varFreq"),
         col("zygosity_status").as("zygosityStatus"),
         col("zygosity_percent_read").as("zygosityPercentRead"),
         col("zygosity_poss_error").as("zygosityPossError"),
-        lit(null).cast("string").as("zygosityRefAllele"),
-        lit(0).as("zygosityNumAllele"),
+        col("zygosity_ref_allele").as("zygosityRefAllele"),
+        coalesce(col("zygosity_num_allele"), lit(0)).as("zygosityNumAllele"),
         col("zygosity_in_pseudo").as("zygosityInPseudo"),
-        lit(null).cast("int").as("qualityScore"))
+        col("quality_score").as("qualityScore"))
       .as[VariantSampleDetail]
 
   /** Variants of one genic status (Column filter — pushes down). */

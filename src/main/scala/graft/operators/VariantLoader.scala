@@ -346,15 +346,25 @@ object VariantLoader {
           (col("var_freq") / col("total_depth")).cast("int")).otherwise(lit(0))
       else col("z.zygosity_percent_read")
 
+    // Full 12-column parity with the reference insert (DAO.java:70-75):
+    // source / zygosity_ref_allele / zygosity_num_allele / quality_score
+    // are stored physically with the reference's unset-bean defaults
+    // (null / null / 0 / null — verified by grep: the loader never sets
+    // them), so a sibling pipeline reading the store sees the same
+    // columns it would read from variant_sample_detail.
     val candidate = melted.select(
       col("rgd_id"),
+      lit(null).cast("string").as("source"),
       col("sample_id").cast("int").as("sample_id"),
       col("total_depth"),
       col("var_freq"),
       col("z.zygosity_status").as("zygosity_status"),
       percentRead.as("zygosity_percent_read"),
       col("z.zygosity_poss_error").as("zygosity_poss_error"),
-      col("z.zygosity_in_pseudo").as("zygosity_in_pseudo"))
+      lit(null).cast("string").as("zygosity_ref_allele"),
+      lit(0).as("zygosity_num_allele"),
+      col("z.zygosity_in_pseudo").as("zygosity_in_pseudo"),
+      lit(null).cast("int").as("quality_score"))
 
     // Intra-batch first-wins on (rgd_id, sample_id): duplicate variant
     // records in one batch share a minted id and would melt to duplicate

@@ -3,11 +3,36 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Per-chromosome interval index: intervals sorted by start plus a
+ * running max of stops for left-walk pruning. Shared by
+ * [[IntervalJoin.IntervalJoinExec]]'s interpreted and generated probe
+ * paths (the generated Java calls `upperBound` and reads the arrays via
+ * the Scala accessor methods). Serializable — it rides a broadcast.
+ */
+final class ChromIndex(
+    val starts: Array[Long],
+    val maxStops: Array[Long],
+    val stops: Array[Long],
+    val rows: Array[InternalRow]) extends Serializable {
+
+  /** Rightmost `i` with `starts(i) <= e`, or -1. */
+  def upperBound(e: Long): Int = {
+    var lo = 0; var hi = starts.length - 1; var ub = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (starts(mid) <= e) { ub = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    ub
+  }
+}
 
 /**
  * The interval-overlap join as a first-class planner operator — the full
@@ -67,12 +92,18 @@ object IntervalJoin {
   }
 
   /** Physical operator: index the collected right side, broadcast, probe
-    * per left row. */
+    * per left row. Implements [[CodegenSupport]] so the probe fuses into
+    * the streamed side's WholeStageCodegen span (like
+    * BroadcastHashJoinExec): the generated loop does the binary search +
+    * running-max walk inline, with no per-row iterator allocation — only
+    * the one-time build-side collect stays out-of-band. */
   case class IntervalJoinExec(left: SparkPlan, right: SparkPlan)
-      extends BinaryExecNode {
+      extends BinaryExecNode with CodegenSupport {
 
     override def output: Seq[Attribute] = left.output ++ right.output
     override def outputPartitioning = left.outputPartitioning
+    // one probe row emits many joined rows referencing shared buffers
+    override def needCopyResult: Boolean = true
 
     private def ordinal(plan: SparkPlan, name: String): Int = {
       val i = plan.output.indexWhere(_.name == name)
@@ -81,69 +112,126 @@ object IntervalJoin {
       i
     }
 
-    override protected def doExecute(): RDD[InternalRow] = {
+    /** Build side: collect + index per chromosome, broadcast once —
+      * shared by the interpreted and codegen paths (whichever runs
+      * first builds it). executeTake(cap+1) bounds the driver collect: a
+      * mis-pointed "dimension" table fails with a routing hint instead
+      * of an OOM. */
+    @transient private lazy val indexBroadcast
+        : org.apache.spark.broadcast.Broadcast[
+            java.util.HashMap[UTF8String, ChromIndex]] = {
       val rChrom = ordinal(right, "g_chrom")
       val rStart = ordinal(right, "g_start")
       val rStop = ordinal(right, "g_stop")
-      val lChrom = ordinal(left, "chromosome")
-      val lStart = ordinal(left, "start_pos")
-      val lEnd = ordinal(left, "end_pos")
-
-      // build side: collect + index per chromosome, sorted by start with
-      // a running max of stops for left-walk pruning. executeTake(cap+1)
-      // bounds the driver collect: a mis-pointed "dimension" table fails
-      // with a routing hint instead of an OOM.
       val collected = right.executeTake(IntervalJoin.MaxBuildRows + 1)
       require(collected.length <= IntervalJoin.MaxBuildRows,
         s"interval-join build side exceeds ${IntervalJoin.MaxBuildRows} rows — " +
           "not a broadcastable dimension; use the binned fallback " +
           "(GenicAnnotator.annotateBinned / overlappingGenesBinned)")
-      val index: Map[String, (Array[Long], Array[Long], Array[InternalRow])] =
-        collected
-          .groupBy(r => r.getUTF8String(rChrom).toString)
-          .map { case (chrom, rows) =>
-            val sorted = rows.map(_.copy()).sortBy(_.getLong(rStart))
-            val starts = sorted.map(_.getLong(rStart))
-            val maxStops = sorted.map(_.getLong(rStop))
-            var i = 1
-            while (i < maxStops.length) {
-              if (maxStops(i) < maxStops(i - 1)) maxStops(i) = maxStops(i - 1)
-              i += 1
-            }
-            chrom -> ((starts, maxStops, sorted))
+      val index = new java.util.HashMap[UTF8String, ChromIndex]()
+      collected.groupBy(r => r.getUTF8String(rChrom)).foreach {
+        case (chrom, rows) =>
+          val sorted = rows.map(_.copy()).sortBy(_.getLong(rStart))
+          val starts = sorted.map(_.getLong(rStart))
+          val stops = sorted.map(_.getLong(rStop))
+          val maxStops = stops.clone()
+          var i = 1
+          while (i < maxStops.length) {
+            if (maxStops(i) < maxStops(i - 1)) maxStops(i) = maxStops(i - 1)
+            i += 1
           }
-      val bc = sparkContext.broadcast(index)
+          index.put(chrom.clone(),
+            new ChromIndex(starts, maxStops, stops,
+              sorted.toArray[InternalRow]))
+      }
+      sparkContext.broadcast(index)
+    }
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val lChrom = ordinal(left, "chromosome")
+      val lStart = ordinal(left, "start_pos")
+      val lEnd = ordinal(left, "end_pos")
+      val bc = indexBroadcast
       val schema = output
 
       left.execute().mapPartitions { it =>
         val joined = new JoinedRow
         val proj = UnsafeProjection.create(schema, schema)
         it.flatMap { lrow =>
-          bc.value.get(lrow.getUTF8String(lChrom).toString) match {
-            case None => Iterator.empty
-            case Some((starts, maxStops, rows)) =>
-              val s = lrow.getLong(lStart)
-              val e = lrow.getLong(lEnd)
-              // rightmost interval with start <= e
-              var lo = 0; var hi = starts.length - 1; var ub = -1
-              while (lo <= hi) {
-                val mid = (lo + hi) >>> 1
-                if (starts(mid) <= e) { ub = mid; lo = mid + 1 }
-                else hi = mid - 1
-              }
-              if (ub < 0 || maxStops(ub) < s) Iterator.empty
-              else {
-                val lcopy = lrow.copy()
-                // walk left from ub; running-max prune: once the prefix
-                // max stop drops below s nothing further can overlap
-                (ub to 0 by -1).iterator
-                  .takeWhile(i => maxStops(i) >= s)
-                  .filter(i => rows(i).getLong(rStop) >= s)
-                  .map(i => proj(joined(lcopy, rows(i))))
-              }
+          val pc = bc.value.get(lrow.getUTF8String(lChrom))
+          if (pc == null) Iterator.empty
+          else {
+            val s = lrow.getLong(lStart)
+            val e = lrow.getLong(lEnd)
+            // rightmost interval with start <= e
+            val ub = pc.upperBound(e)
+            if (ub < 0 || pc.maxStops(ub) < s) Iterator.empty
+            else {
+              val lcopy = lrow.copy()
+              // walk left from ub; running-max prune: once the prefix
+              // max stop drops below s nothing further can overlap
+              (ub to 0 by -1).iterator
+                .takeWhile(i => pc.maxStops(i) >= s)
+                .filter(i => pc.stops(i) >= s)
+                .map(i => proj(joined(lcopy, pc.rows(i))))
+            }
           }
         }
       }
+    }
+
+    // ---- CodegenSupport: delegate produce to the streamed (left) side,
+    // generate the probe loop in consume ----
+
+    override def inputRDDs(): Seq[RDD[InternalRow]] =
+      left.asInstanceOf[CodegenSupport].inputRDDs()
+
+    override protected def doProduce(ctx: CodegenContext): String =
+      left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+    override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+        row: ExprCode): String = {
+      val bcTerm = ctx.addReferenceObj("intervalIndexBc", indexBroadcast,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      val mapTerm = ctx.addMutableState("java.util.HashMap",
+        "intervalIndexMap",
+        v => s"$v = (java.util.HashMap) $bcTerm.value();")
+      val chromEv = input(ordinal(left, "chromosome"))
+      val startEv = input(ordinal(left, "start_pos"))
+      val endEv = input(ordinal(left, "end_pos"))
+      val evalInput = evaluateVariables(input)
+      // right-side column accessors bound to the matched build row
+      val rrow = ctx.freshName("intervalRightRow")
+      ctx.currentVars = null
+      ctx.INPUT_ROW = rrow
+      val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+        BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+      }
+      val pc = ctx.freshName("chromIdx")
+      val qs = ctx.freshName("qs")
+      val qe = ctx.freshName("qe")
+      val ub = ctx.freshName("ub")
+      val i = ctx.freshName("i")
+      val idxCls = classOf[ChromIndex].getName
+      s"""
+         |$evalInput
+         |if (!(${chromEv.isNull}) && !(${startEv.isNull}) &&
+         |    !(${endEv.isNull})) {
+         |  $idxCls $pc = ($idxCls) $mapTerm.get(${chromEv.value});
+         |  if ($pc != null) {
+         |    long $qs = ${startEv.value};
+         |    long $qe = ${endEv.value};
+         |    int $ub = $pc.upperBound($qe);
+         |    for (int $i = $ub; $i >= 0 && $pc.maxStops()[$i] >= $qs; $i--) {
+         |      if ($pc.stops()[$i] >= $qs) {
+         |        org.apache.spark.sql.catalyst.InternalRow $rrow =
+         |          (org.apache.spark.sql.catalyst.InternalRow) $pc.rows()[$i];
+         |        ${consume(ctx, input ++ rightVars)}
+         |      }
+         |    }
+         |  }
+         |}
+       """.stripMargin
     }
 
     override protected def withNewChildrenInternal(

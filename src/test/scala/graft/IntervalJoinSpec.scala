@@ -42,6 +42,36 @@ class IntervalJoinSpec extends SparkSpec {
     assert(gotPairs.nonEmpty)
   }
 
+  test("IntervalJoinExec fuses into a WholeStageCodegen span") {
+    val custom = IntervalJoin.join(spark, variants, genes)
+      .filter(col("gene_rgd_id") > 0) // give the span a downstream consumer
+    val wscs = custom.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wscs.exists(_.collectFirst {
+      case j: IntervalJoin.IntervalJoinExec => j
+    }.isDefined), custom.queryExecution.executedPlan.toString)
+    // and the generated path agrees with the interpreted doExecute.
+    // fallback=false turns a codegen COMPILE failure into a test failure
+    // instead of a silent interpreted fallback that would pass vacuously.
+    val viaCodegen = {
+      val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      try custom.select("vid", "gene_rgd_id")
+        .as[(Long, Int)].collect().toSet
+      finally spark.conf.set("spark.sql.codegen.fallback", prev)
+    }
+    val interpreted = {
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      try IntervalJoin.join(spark, variants, genes)
+        .filter(col("gene_rgd_id") > 0)
+        .select("vid", "gene_rgd_id").as[(Long, Int)].collect().toSet
+      finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+    assert(viaCodegen == interpreted)
+  }
+
   test("payload columns from both sides survive the join") {
     val out = IntervalJoin.join(spark,
       variants.withColumn("tag", concat(lit("v"), col("vid"))),

@@ -78,6 +78,15 @@ class VariantLoaderSpec extends SparkSpec {
     // details: P9 drops 0/0 and ./., P10 drops zero var_freq; the scaffold
     // record is gone (P3); sample ids resolve through the dictionary
     val d = r.sampleDetails
+    // 12-column parity with the reference insert (DAO.java:70-75),
+    // including the physically-stored unset-bean-default columns
+    assert(d.columns.toSeq == Seq("rgd_id", "source", "sample_id",
+      "total_depth", "var_freq", "zygosity_status", "zygosity_percent_read",
+      "zygosity_poss_error", "zygosity_ref_allele", "zygosity_num_allele",
+      "zygosity_in_pseudo", "quality_score"))
+    assert(d.filter(col("source").isNull && col("zygosity_ref_allele").isNull
+      && col("zygosity_num_allele") === 0 && col("quality_score").isNull)
+      .count() == d.count())
     assert(d.filter(col("sample_id").isin(11, 22)).count() == d.count())
     // chr1:100 S2 is 0/0 → only S1 row survives for the snv
     val snvId = r.variants.filter(col("start_pos") === 100).select("rgd_id")
@@ -164,5 +173,39 @@ class VariantLoaderSpec extends SparkSpec {
     val flipped = changed.select("start_pos", "genic_status").collect()
       .map(x => (x.getLong(0), x.getString(1))).toSet
     assert(flipped.contains((401L, "INTERGENIC")))
+  }
+
+  test("genic QC walks a multi-file VCF folder (GenicQc.java:34-37)") {
+    // the reference's --genicQc iterates every VCF in a directory; here
+    // the folder holds two files whose loci only jointly cover the store
+    val dir = java.nio.file.Files.createTempDirectory("graft-qc-multi")
+    def write(name: String, lines: Seq[String]): Unit = {
+      val w = new PrintWriter(new File(dir.toFile, name))
+      w.println("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1")
+      lines.foreach(w.println)
+      w.close()
+    }
+    write("a.vcf",
+      Seq("chr1\t100\t.\tA\tT\t50\tPASS\t.\tGT:AD:DP\t0/1:32,9:41"))
+    write("b.vcf",
+      Seq("chr1\t800\t.\tG\tC\t50\tPASS\t.\tGT:AD:DP\t0/1:5,9:14"))
+    val glob = s"$dir/*.vcf"
+    val r = VariantLoader.load(spark, glob, genes, emptyStore, emptyDetails,
+      config)
+    assert(r.variants.count() == 2) // one variant per file
+
+    // fixpoint: a clean multi-file load has nothing to repair
+    assert(GenicQcJob.run(spark, glob, genes, r.variants, config,
+      pointProbe = false).count() == 0)
+
+    // flipping the gene set must touch loci from BOTH files — proof the
+    // QC scan saw every file, not just the first
+    val genes2 = Seq((7, "1", 790L, 810L))
+      .toDF("gene_rgd_id", "chromosome", "start_pos", "stop_pos")
+    val flipped = GenicQcJob.run(spark, glob, genes2, r.variants, config,
+      pointProbe = false)
+      .select("start_pos", "genic_status").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(flipped == Set((100L, "INTERGENIC"), (800L, "GENIC")))
   }
 }
