@@ -346,53 +346,73 @@ object VariantLoader {
           (col("var_freq") / col("total_depth")).cast("int")).otherwise(lit(0))
       else col("z.zygosity_percent_read")
 
-    // Full 12-column parity with the reference insert (DAO.java:70-75):
-    // source / zygosity_ref_allele / zygosity_num_allele / quality_score
-    // are stored physically with the reference's unset-bean defaults
-    // (null / null / 0 / null — verified by grep: the loader never sets
-    // them), so a sibling pipeline reading the store sees the same
-    // columns it would read from variant_sample_detail.
     val candidate = melted.select(
       col("rgd_id"),
-      lit(null).cast("string").as("source"),
       col("sample_id").cast("int").as("sample_id"),
       col("total_depth"),
       col("var_freq"),
       col("z.zygosity_status").as("zygosity_status"),
       percentRead.as("zygosity_percent_read"),
       col("z.zygosity_poss_error").as("zygosity_poss_error"),
-      lit(null).cast("string").as("zygosity_ref_allele"),
-      lit(0).as("zygosity_num_allele"),
-      col("z.zygosity_in_pseudo").as("zygosity_in_pseudo"),
-      lit(null).cast("int").as("quality_score"))
+      col("z.zygosity_in_pseudo").as("zygosity_in_pseudo"))
 
     // Intra-batch first-wins on (rgd_id, sample_id): duplicate variant
     // records in one batch share a minted id and would melt to duplicate
     // detail rows; the reference's per-record count==0 gate sees prior
     // lines' inserts (DAO.java:64-66), so keep exactly one —
-    // deterministically. The window's hash partitioning on (rgd_id,
-    // sample_id) is the anti-join's key, so the exchange is reused.
+    // deterministically. A hash-aggregate min over ONE struct whose
+    // field order encodes (var_freq desc, total_depth desc, zygosity
+    // fields asc — a total order over every emitted column) instead of a
+    // row_number window: same (rgd_id, sample_id) exchange the anti-join
+    // reuses, but no multi-million-row partition sort (the window form
+    // measured 2-3x slower on the 8.1M-row load), and map-side partial
+    // aggregation squashes duplicates before the shuffle.
     val deduped =
       if (!intraBatchDedup) candidate
-      else {
-        // total order over EVERY emitted column — rows tying on the first
-        // three but differing in the zygosity fields must not be picked
-        // by partition-internal arrival order
-        val wFirst = Window.partitionBy("rgd_id", "sample_id")
-          .orderBy(col("var_freq").desc, col("total_depth").desc,
-            col("zygosity_status"), col("zygosity_percent_read"),
-            col("zygosity_poss_error"), col("zygosity_in_pseudo"))
-        candidate
-          .withColumn("__rn", row_number().over(wFirst))
-          .filter(col("__rn") === 1).drop("__rn")
-      }
+      else candidate
+        .groupBy("rgd_id", "sample_id")
+        .agg(min(struct(
+          (-col("var_freq")).as("nvf"),
+          (-col("total_depth")).as("ntd"),
+          col("zygosity_status"),
+          col("zygosity_percent_read"),
+          col("zygosity_poss_error"),
+          col("zygosity_in_pseudo"))).as("__pick"))
+        .select(col("rgd_id"), col("sample_id"),
+          (-col("__pick.ntd")).as("total_depth"),
+          (-col("__pick.nvf")).as("var_freq"),
+          col("__pick.zygosity_status").as("zygosity_status"),
+          col("__pick.zygosity_percent_read").as("zygosity_percent_read"),
+          col("__pick.zygosity_poss_error").as("zygosity_poss_error"),
+          col("__pick.zygosity_in_pseudo").as("zygosity_in_pseudo"))
 
     // J6: only details not already present (DAO.java:64-66 count==0 gate)
-    deduped.join(
+    val novel = deduped.join(
       existingDetails.select(col("rgd_id").as("d_rgd_id"),
         col("sample_id").as("d_sample_id")),
       col("rgd_id") === col("d_rgd_id") &&
         col("sample_id") === col("d_sample_id"),
       "left_anti")
+
+    // Full 12-column parity with the reference insert (DAO.java:70-75):
+    // source / zygosity_ref_allele / zygosity_num_allele / quality_score
+    // are stored physically with the reference's unset-bean defaults
+    // (null / null / 0 / null — verified by grep: the loader never sets
+    // them), so a sibling pipeline reading the store sees the same
+    // columns it would read from variant_sample_detail. Added AFTER the
+    // dedup/anti-join so the constants never ride the shuffles.
+    novel.select(
+      col("rgd_id"),
+      lit(null).cast("string").as("source"),
+      col("sample_id"),
+      col("total_depth"),
+      col("var_freq"),
+      col("zygosity_status"),
+      col("zygosity_percent_read"),
+      col("zygosity_poss_error"),
+      lit(null).cast("string").as("zygosity_ref_allele"),
+      lit(0).as("zygosity_num_allele"),
+      col("zygosity_in_pseudo"),
+      lit(null).cast("int").as("quality_score"))
   }
 }

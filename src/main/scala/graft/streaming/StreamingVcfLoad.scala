@@ -33,11 +33,24 @@ object StreamingVcfLoad {
    *                   AvailableNow too) — 1 gives strictly incremental
    *                   per-file batches, each observing the prior ones'
    *                   appends
+   * @param compactEvery fold each store side back to one file per bucket
+   *                   after every N micro-batches. Every append lands
+   *                   NumBuckets new files, so a long-running ingest
+   *                   accumulates small files and per-batch listing/scan
+   *                   overhead grows; periodic compaction caps it at N
+   *                   batches' worth. Runs inside foreachBatch — the
+   *                   stream pauses for the rewrite (a full store
+   *                   rewrite, so amortize with N >> 1); the swap is the
+   *                   crash-safe rename [[VariantStore.compact]] uses.
+   *                   Batch ids persist in the checkpoint, so the cadence
+   *                   survives restarts.
    */
   def start(spark: SparkSession, watchDir: String, genes: DataFrame,
       storeDir: String, config: LoadConfig, checkpoint: String,
       availableNow: Boolean = false,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     val reader = spark.readStream
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val lines = reader.text(watchDir)
@@ -55,6 +68,9 @@ object StreamingVcfLoad {
             VariantStore.maxRgdId(spark, storeDir, config.rgdIdSeed)))
         VariantStore.append(result, storeDir)
         result.unpersist()
+        compactEvery.foreach { n =>
+          if ((batchId + 1) % n == 0) VariantStore.compact(spark, storeDir)
+        }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

@@ -54,4 +54,42 @@ class StreamingVcfLoadSpec extends SparkSpec {
     assert(vs.filter($"chromosome" === "3").select("genic_status")
       .as[String].head() == "INTERGENIC")
   }
+
+  test("compactEvery folds small files on cadence without changing rows") {
+    val watch = Files.createTempDirectory("graft-watch2").toString
+    val genes = Seq((1, "1", 90L, 110L))
+      .toDF("gene_rgd_id", "chromosome", "start_pos", "stop_pos")
+    val config = LoadConfig(mapKey = 372, rgdIdSeed = 100L)
+    // 4 files x 24 variants over 32 buckets: most buckets receive rows
+    // in more than one micro-batch (pigeonhole), so the append-per-batch
+    // control accumulates multiple files per bucket while compaction
+    // folds each occupied bucket back to one
+    (1 to 4).foreach { i =>
+      writeVcf(watch, s"f$i.vcf", (for (c <- 1 to 3; j <- 1 to 8) yield
+        s"chr$c\t${10000 * i + 10 * j + c}\t.\tA\tT\t50\tPASS\t.\t" +
+          "GT:AD:DP\t0/1:32,9:41"))
+    }
+    def ingest(compact: Option[Int]): (Set[(String, Long)], Int) = {
+      val store = Files.createTempDirectory("graft-stream-store2").toString
+      val ckpt = Files.createTempDirectory("graft-ckpt2").toString
+      val q = StreamingVcfLoad.start(spark, watch, genes, store, config,
+        ckpt, availableNow = true, maxFilesPerTrigger = Some(1),
+        compactEvery = compact)
+      q.awaitTermination()
+      val rows = VariantStore.variants(spark, store)
+        .select("chromosome", "start_pos").as[(String, Long)]
+        .collect().toSet
+      val nFiles = new java.io.File(s"$store/variants")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      (rows, nFiles)
+    }
+    val (controlRows, controlFiles) = ingest(None)
+    val (compactedRows, compactedFiles) = ingest(Some(2))
+    assert(compactedRows == controlRows && controlRows.size == 96)
+    // cadence fired after batches 2 and 4; batch 4 was last, so the
+    // final layout is fully folded: strictly fewer files than the
+    // append-per-batch control
+    assert(compactedFiles < controlFiles,
+      s"compacted=$compactedFiles control=$controlFiles")
+  }
 }
