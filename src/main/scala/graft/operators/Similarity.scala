@@ -119,19 +119,23 @@ object Similarity {
 
     // Query keys are materialized behind an exchange barrier before the
     // probe expansion so the key computation isn't re-inlined into every
-    // one of |masks|×|tables| probe expressions by projection collapse.
+    // probe expression by projection collapse.
     val masks = probeMasks(numPlanes, probeHamming)
     val qKeys = queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
       lshKeysAllTables(col(vecCol), tables).as("__keys"))
       .repartition(col(queryIdCol))
-    val probeStructs = tables.indices.flatMap { t =>
-      masks.map(m => struct(lit(t).as("table"),
-        element_at(col("__keys"), t + 1).bitwiseXOR(lit(m)).as("key")))
-    }
-    val q = qKeys.select(col(queryIdCol), col("__qvec"),
-      explode(array(probeStructs: _*)).as("probe"))
+    // probe fan-out as TWO scalar explodes (tables, then XOR masks)
+    // instead of one literal array of |tables|x|masks| struct
+    // expressions — the 336-field array constructor generated a ~14k
+    // line Java file janino refused to compile, silently dropping the
+    // whole stage to interpreted execution
+    val q = qKeys
       .select(col(queryIdCol), col("__qvec"),
-        col("probe.table").as("table"), col("probe.key").as("key"))
+        posexplode(col("__keys")).as(Seq("table", "key0")))
+      .select(col(queryIdCol), col("__qvec"), col("table"), col("key0"),
+        explode(lit(masks.toArray)).as("__m"))
+      .select(col(queryIdCol), col("__qvec"), col("table"),
+        col("key0").bitwiseXOR(col("__m")).as("key"))
 
     val candidates = c.join(broadcast(q), Seq("table", "key"))
       .dropDuplicates(queryIdCol, idCol)
