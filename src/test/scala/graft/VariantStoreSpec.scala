@@ -125,6 +125,57 @@ class VariantStoreSpec extends SparkSpec {
     }
   }
 
+  test("half-finished swap recovers on next session touch") {
+    val dir = Files.createTempDirectory("graft-store-crash").toString
+    val r = VariantLoader.load(spark, vcf, genes,
+      VariantStore.variants(spark, dir),
+      VariantStore.detailKeys(spark, dir), config)
+    VariantStore.append(r, dir)
+    r.unpersist()
+    val want = VariantStore.variants(spark, dir)
+      .orderBy("rgd_id").collect().toSeq
+    assert(want.nonEmpty)
+
+    // simulate "new JVM": the session-scoped catalog forgets this store
+    // (recovery only runs on the re-register path, like a restart would)
+    def forgetCatalog(): Unit = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      spark.sql(s"DROP TABLE IF EXISTS graft_store_variants_$digest")
+    }
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        val t = new java.io.File(dst, f.getName)
+        if (f.isDirectory) copyDir(f, t)
+        else java.nio.file.Files.copy(f.toPath, t.toPath)
+      }
+    }
+    val fin = new java.io.File(s"$dir/variants")
+    val tmp = new java.io.File(s"$dir/variants_tmp")
+    val old = new java.io.File(s"$dir/variants_old")
+
+    // crash BETWEEN the two renames: live dir moved aside, complete _tmp
+    // not yet promoted → recovery must promote _tmp and drop _old
+    copyDir(fin, tmp)
+    assert(fin.renameTo(old))
+    forgetCatalog()
+    val recovered = VariantStore.variants(spark, dir)
+      .orderBy("rgd_id").collect().toSeq
+    assert(recovered == want)
+    assert(fin.exists && !tmp.exists && !old.exists)
+
+    // crash AFTER the promote: live dir intact, stale _tmp/_old garbage
+    // → recovery must keep the live data and delete the leftovers
+    copyDir(fin, tmp)
+    copyDir(fin, old)
+    forgetCatalog()
+    val survived = VariantStore.variants(spark, dir)
+      .orderBy("rgd_id").collect().toSeq
+    assert(survived == want)
+    assert(fin.exists && !tmp.exists && !old.exists)
+  }
+
   test("store side arrives pre-bucketed: one exchange in the dedup join") {
     val dir = Files.createTempDirectory("graft-store-bucket").toString
     val r = VariantLoader.load(spark, vcf, genes,
