@@ -20,6 +20,9 @@ object Verify {
       // aggregation costs a full sort of the exploded input
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "10000000")
+      // see Bench: the 42-query battery overflows the 100-entry
+      // generated-class cache
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
