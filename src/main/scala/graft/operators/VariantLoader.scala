@@ -360,31 +360,26 @@ object VariantLoader {
     // records in one batch share a minted id and would melt to duplicate
     // detail rows; the reference's per-record count==0 gate sees prior
     // lines' inserts (DAO.java:64-66), so keep exactly one —
-    // deterministically. A hash-aggregate min over ONE struct whose
-    // field order encodes (var_freq desc, total_depth desc, zygosity
-    // fields asc — a total order over every emitted column) instead of a
-    // row_number window: same (rgd_id, sample_id) exchange the anti-join
-    // reuses, but no multi-million-row partition sort (the window form
-    // measured 2-3x slower on the 8.1M-row load), and map-side partial
-    // aggregation squashes duplicates before the shuffle.
+    // deterministically, via a total order over EVERY emitted column
+    // (var_freq desc, total_depth desc, zygosity fields asc). A
+    // row_number window, NOT a min(struct(...)) aggregate: min over a
+    // non-primitive type forces ObjectHashAggregate, whose per-key
+    // object buffers measured 127 s of GC thrash at 8.1M near-unique
+    // keys (and 30-60 s with the sort-based fallback) against ~12 s for
+    // the UnsafeRow window sort. The window's hash partitioning on
+    // (rgd_id, sample_id) is the anti-join's key, so the exchange is
+    // reused.
     val deduped =
       if (!intraBatchDedup) candidate
-      else candidate
-        .groupBy("rgd_id", "sample_id")
-        .agg(min(struct(
-          (-col("var_freq")).as("nvf"),
-          (-col("total_depth")).as("ntd"),
-          col("zygosity_status"),
-          col("zygosity_percent_read"),
-          col("zygosity_poss_error"),
-          col("zygosity_in_pseudo"))).as("__pick"))
-        .select(col("rgd_id"), col("sample_id"),
-          (-col("__pick.ntd")).as("total_depth"),
-          (-col("__pick.nvf")).as("var_freq"),
-          col("__pick.zygosity_status").as("zygosity_status"),
-          col("__pick.zygosity_percent_read").as("zygosity_percent_read"),
-          col("__pick.zygosity_poss_error").as("zygosity_poss_error"),
-          col("__pick.zygosity_in_pseudo").as("zygosity_in_pseudo"))
+      else {
+        val wFirst = Window.partitionBy("rgd_id", "sample_id")
+          .orderBy(col("var_freq").desc, col("total_depth").desc,
+            col("zygosity_status"), col("zygosity_percent_read"),
+            col("zygosity_poss_error"), col("zygosity_in_pseudo"))
+        candidate
+          .withColumn("__rn", row_number().over(wFirst))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
 
     // J6: only details not already present (DAO.java:64-66 count==0 gate)
     val novel = deduped.join(

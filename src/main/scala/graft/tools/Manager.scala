@@ -35,6 +35,13 @@ object Manager {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // NOTE deliberately NOT raising the objectHashAggregate sort-based
+      // fallback threshold here (Verify/Bench do, for the battery's
+      // small-group typed aggregates): the loader's detail dedup
+      // aggregates a struct min over MILLIONS of near-unique keys, and
+      // holding that many object buffers in the hash map measured 127 s
+      // of GC thrash vs 12 s with the early sort-based fallback
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

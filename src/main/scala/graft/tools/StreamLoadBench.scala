@@ -28,6 +28,9 @@ object StreamLoadBench {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Manager: the loader's struct-min dedup WANTS the sort-based
+      // object-agg fallback (millions of near-unique keys)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
