@@ -236,6 +236,33 @@ object VariantStore {
     // the next overwriteSide clears it; it is never read)
   }
 
+  /** One-time migration for stores written before the 12-column detail
+    * schema (DAO.java:70-75): appending a new batch to an old store
+    * fails loudly with a column-count AnalysisException; this rewrites
+    * the details side once, adding the missing reference columns with
+    * the unset-bean defaults, via the same crash-safe temp-table swap
+    * the K5/K6 updates use. No-op when the store is already current. */
+  def migrateDetails(spark: SparkSession, dir: String): Unit =
+    ensureTable(spark, dir, "details", detailKeys_).foreach { tbl =>
+      val cur = spark.table(tbl)
+      if (!cur.columns.contains("source")) {
+        val full = cur.select(
+          col("rgd_id"),
+          lit(null).cast("string").as("source"),
+          col("sample_id"),
+          col("total_depth"),
+          col("var_freq"),
+          col("zygosity_status"),
+          col("zygosity_percent_read"),
+          col("zygosity_poss_error"),
+          lit(null).cast("string").as("zygosity_ref_allele"),
+          lit(0).as("zygosity_num_allele"),
+          col("zygosity_in_pseudo"),
+          lit(null).cast("int").as("quality_score"))
+        overwriteSide(spark, dir, "details", detailKeys_, full)
+      }
+    }
+
   /** Compact a store side back to one file per bucket. Every append
     * (each load, each streaming micro-batch) lands NumBuckets new files,
     * so a long-running ingest accumulates small files — listing and scan

@@ -176,6 +176,36 @@ class VariantStoreSpec extends SparkSpec {
     assert(fin.exists && !tmp.exists && !old.exists)
   }
 
+  test("migrateDetails rewrites a pre-12-column store once, then no-ops") {
+    val dir = Files.createTempDirectory("graft-store-migrate").toString
+    // fabricate an old 8-column details side (what round-2 stores held)
+    val old8 = Seq(
+      (1000L, 11, 41, 9, "heterozygous", 21, "N", "N"),
+      (1001L, 11, 30, 30, "homozygous", 100, "N", "N"))
+      .toDF("rgd_id", "sample_id", "total_depth", "var_freq",
+        "zygosity_status", "zygosity_percent_read", "zygosity_poss_error",
+        "zygosity_in_pseudo")
+    old8.write.parquet(s"$dir/details")
+
+    VariantStore.migrateDetails(spark, dir)
+    val migrated = spark.read.parquet(s"$dir/details")
+    assert(migrated.columns.toSeq == Seq("rgd_id", "source", "sample_id",
+      "total_depth", "var_freq", "zygosity_status", "zygosity_percent_read",
+      "zygosity_poss_error", "zygosity_ref_allele", "zygosity_num_allele",
+      "zygosity_in_pseudo", "quality_score"))
+    assert(migrated.count() == 2)
+    assert(migrated.filter(col("source").isNull
+      && col("zygosity_num_allele") === 0).count() == 2)
+    // old content preserved
+    assert(migrated.filter(col("rgd_id") === 1000L)
+      .select("var_freq").as[Int].head() == 9)
+    // idempotent: second call is a no-op (schema already current)
+    VariantStore.migrateDetails(spark, dir)
+    assert(spark.read.parquet(s"$dir/details").count() == 2)
+    // and the migrated side accepts key reads through the store API
+    assert(VariantStore.detailKeys(spark, dir).count() == 2)
+  }
+
   test("store side arrives pre-bucketed: one exchange in the dedup join") {
     val dir = Files.createTempDirectory("graft-store-bucket").toString
     val r = VariantLoader.load(spark, vcf, genes,
