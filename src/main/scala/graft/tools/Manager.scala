@@ -47,6 +47,14 @@ object Manager {
 
     val started = System.currentTimeMillis()
     try {
+      if (flags.contains("--migrateStore")) {
+        // one-time 8 -> 12 column detail-schema migration for stores
+        // written before the full reference column set
+        VariantStore.migrateDetails(spark, opts("store"))
+        println(s"[graft] store ${opts("store")} migrated " +
+          f"in ${(System.currentTimeMillis() - started) / 1000.0}%.1f s")
+        return
+      }
       val vcf = opts("vcf")
       val store = opts("store")
       val genes = spark.read.parquet(opts("genes"))
@@ -80,7 +88,8 @@ object Manager {
       } else {
         System.err.println(
           "usage: Manager (--runLoad|--genicQc) --vcf <p> --genes <p> " +
-            "--store <dir> [--mapKey N] [--seed N]")
+            "--store <dir> [--mapKey N] [--seed N] | " +
+            "Manager --migrateStore --store <dir>")
         sys.exit(2)
       }
       // elapsed logging, as the reference does (HrdpVariants.java:52-53)
