@@ -25,5 +25,23 @@ object GraftFunctions {
       es => VectorExpressions.CosineSimilarity(es(0), es(1)))
     register1(spark, "graft_dot",
       es => VectorExpressions.DotProduct(es(0), es(1)))
+    // sorted-long-array intersection count (the ngram-Jaccard verify
+    // kernel): graft_sorted_intersect(array<bigint>, array<bigint>)
+    register1(spark, "graft_sorted_intersect",
+      es => VectorExpressions.SortedLongIntersectCount(es(0), es(1)))
+    // minhash component-equality count:
+    // graft_equal_components(array<bigint>, array<bigint>)
+    register1(spark, "graft_equal_components",
+      es => VectorExpressions.EqualComponentCount(es(0), es(1)))
+    // language guess over raw text, same kernel as TextAnalysis.langGuess:
+    // graft_lang_guess(array<string> tokens)
+    val langs = graft.operators.TextAnalysis.LangProfiles.toSeq.sortBy(_._1)
+    val byWord = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    langs.zipWithIndex.foreach { case ((_, ws), i) =>
+      ws.foreach(w => byWord(w) = byWord.getOrElse(w, 0) | (1 << i))
+    }
+    register1(spark, "graft_lang_guess",
+      es => TextExpressions.WordListArgmax(es(0), byWord.keys.toArray,
+        byWord.values.toArray, langs.length, langs.map(_._1).toArray, "und"))
   }
 }

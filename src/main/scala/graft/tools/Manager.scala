@@ -47,6 +47,14 @@ object Manager {
 
     val started = System.currentTimeMillis()
     try {
+      if (flags.contains("--compact")) {
+        // fold every store side back to one file per bucket (see
+        // VariantStore.compact — same crash-safe swap as the updates)
+        VariantStore.compact(spark, opts("store"))
+        println(s"[graft] store ${opts("store")} compacted " +
+          f"in ${(System.currentTimeMillis() - started) / 1000.0}%.1f s")
+        return
+      }
       if (flags.contains("--migrateStore")) {
         // one-time 8 -> 12 column detail-schema migration for stores
         // written before the full reference column set
@@ -89,7 +97,7 @@ object Manager {
         System.err.println(
           "usage: Manager (--runLoad|--genicQc) --vcf <p> --genes <p> " +
             "--store <dir> [--mapKey N] [--seed N] | " +
-            "Manager --migrateStore --store <dir>")
+            "Manager (--migrateStore|--compact) --store <dir>")
         sys.exit(2)
       }
       // elapsed logging, as the reference does (HrdpVariants.java:52-53)

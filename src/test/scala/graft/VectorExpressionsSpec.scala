@@ -64,6 +64,14 @@ class VectorExpressionsSpec extends SparkSpec {
         "WHERE id = 3").collect().head
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
     assert(r.getDouble(2) > 0)
+    // set-intersection and minhash kernels, and the lang-id argmax
+    val s = spark.sql(
+      "SELECT graft_sorted_intersect(array(1L,3L,5L), array(3L,4L,5L)) i, " +
+        "graft_equal_components(array(1L,2L,3L), array(1L,9L,3L)) e, " +
+        "graft_lang_guess(array('the','quick','fox','the')) g, " +
+        "graft_lang_guess(array('zzz')) u").collect().head
+    assert(s.getInt(0) == 2 && s.getInt(1) == 2)
+    assert(s.getString(2) == "en" && s.getString(3) == "und")
   }
 
   test("expressions survive filters/joins (codegen path)") {
