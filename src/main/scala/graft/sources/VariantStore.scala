@@ -135,6 +135,58 @@ object VariantStore {
         Seq.empty[(Long, Int)].toDF("rgd_id", "sample_id")
     }
 
+  // -------------------------------------------------------------------
+  // Load ledger (exactly-once file ingest)
+  // -------------------------------------------------------------------
+
+  /** Content hash of an input file (SHA-256 over the raw bytes, streamed
+    * through the Hadoop filesystem so any URI Spark can read works).
+    * One sequential pass — the same cost class as the decompress+parse
+    * the load itself pays, so hashing never dominates. At extreme file
+    * sizes a cheaper fingerprint (length + head/tail samples) could be
+    * substituted, at the cost of exactness. */
+  def fileHash(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) digest.update(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally in.close()
+    digest.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Record a successfully appended input file in the store's load
+    * ledger (`store/ledger`, plain parquet — one row per ingested file,
+    * keyed by CONTENT hash). The ledger is what makes batch ingest
+    * exactly-once per file: re-submitting a file (operator retry, a
+    * scheduler replaying a partition of a 100 TB corpus) can be skipped
+    * in O(read the file once) instead of re-running the full dedup
+    * pipeline. Deliberately advisory — the J4/J6 dedup joins remain the
+    * correctness backstop, so a ledger miss (or never consulting it)
+    * costs time, not correctness. */
+  def recordLoad(spark: SparkSession, dir: String, hash: String,
+      path: String, nVariants: Long, nDetails: Long): Unit = {
+    import spark.implicits._
+    Seq((hash, path, nVariants, nDetails,
+        new java.sql.Timestamp(System.currentTimeMillis())))
+      .toDF("file_hash", "path", "n_variants", "n_details", "loaded_at")
+      .write.mode(SaveMode.Append).parquet(s"$dir/ledger")
+  }
+
+  /** Whether a file with this content hash was already ingested. */
+  def isLoaded(spark: SparkSession, dir: String, hash: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/ledger")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && !spark.read.parquet(s"$dir/ledger")
+      .filter(col("file_hash") === hash).isEmpty
+  }
+
   /** Current max rgd id (the W2 minting seed for the next load). */
   def maxRgdId(spark: SparkSession, dir: String, fallback: Long): Long = {
     val df = variants(spark, dir)

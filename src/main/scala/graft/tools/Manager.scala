@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions.col
  * with the Spring XML config (AppConfigure.xml) replaced by flags.
  *
  *   runMain graft.tools.Manager --runLoad  --vcf <path> --genes <parquet> \
- *     --store <dir> --mapKey 372 [--seed 0]
+ *     --store <dir> --mapKey 372 [--seed 0] [--skipLoaded]
  *   runMain graft.tools.Manager --genicQc --vcf <path> --genes <parquet> \
  *     --store <dir> --mapKey 372
  *
@@ -72,6 +72,21 @@ object Manager {
           opts.getOrElse("seed", "0").toLong))
 
       if (flags.contains("--runLoad")) {
+        // --skipLoaded: consult the load ledger by CONTENT hash and skip
+        // the whole pipeline when this exact file was already ingested.
+        // Opt-in: the default path re-runs the J4/J6 dedup joins, which
+        // stay the correctness backstop (and the idempotency proof).
+        val hash =
+          if (flags.contains("--skipLoaded")) {
+            val h = VariantStore.fileHash(spark, vcf)
+            if (VariantStore.isLoaded(spark, store, h)) {
+              println(s"[graft] skip: $vcf already loaded " +
+                s"(ledger hit ${h.take(12)}…) " +
+                f"in ${(System.currentTimeMillis() - started) / 1000.0}%.1f s")
+              return
+            }
+            h
+          } else null
         // E1 (HrdpVariants.main, HrdpVariants.java:33-54)
         val result = VariantLoader.load(spark, vcf, genes,
           VariantStore.variants(spark, store),
@@ -82,6 +97,9 @@ object Manager {
         result.unpersist()
         val nNew = spark.read.parquet(s"$store/variants").count()
         val nDetails = spark.read.parquet(s"$store/details").count()
+        VariantStore.recordLoad(spark, store,
+          if (hash != null) hash else VariantStore.fileHash(spark, vcf),
+          vcf, nNew, nDetails)
         println(s"[graft] store now has $nNew variants, $nDetails sample details")
       } else if (flags.contains("--genicQc")) {
         // E2 (GenicQc.run, GenicQc.java:27-43)
@@ -96,7 +114,7 @@ object Manager {
       } else {
         System.err.println(
           "usage: Manager (--runLoad|--genicQc) --vcf <p> --genes <p> " +
-            "--store <dir> [--mapKey N] [--seed N] | " +
+            "--store <dir> [--mapKey N] [--seed N] [--skipLoaded] | " +
             "Manager (--migrateStore|--compact) --store <dir>")
         sys.exit(2)
       }

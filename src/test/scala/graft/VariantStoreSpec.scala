@@ -83,6 +83,27 @@ class VariantStoreSpec extends SparkSpec {
       .as[Long].head() == 999L)
   }
 
+  test("load ledger: content-hash record + skip round trip") {
+    val dir = Files.createTempDirectory("graft-store-ledger").toString
+    val h = VariantStore.fileHash(spark, vcf)
+    // same content, different path → same hash (the ledger keys on
+    // CONTENT, so a renamed/copied file is still recognized)
+    val copy = java.io.File.createTempFile("graft-ledger-copy", ".vcf")
+    copy.deleteOnExit()
+    java.nio.file.Files.copy(java.nio.file.Paths.get(vcf), copy.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(VariantStore.fileHash(spark, copy.getAbsolutePath) == h)
+
+    assert(!VariantStore.isLoaded(spark, dir, h)) // no ledger yet
+    VariantStore.recordLoad(spark, dir, h, vcf, 2L, 2L)
+    assert(VariantStore.isLoaded(spark, dir, h))
+    assert(!VariantStore.isLoaded(spark, dir, "f" * 64))
+    // ledger accumulates (append, not overwrite)
+    VariantStore.recordLoad(spark, dir, "f" * 64, "other.vcf", 1L, 1L)
+    assert(VariantStore.isLoaded(spark, dir, h))
+    assert(VariantStore.isLoaded(spark, dir, "f" * 64))
+  }
+
   test("compact folds appended files to one per bucket, content unchanged") {
     val dir = Files.createTempDirectory("graft-store-compact").toString
     // seed the primary sides, then accumulate files on the ext side
