@@ -105,6 +105,80 @@ object Similarity {
    * (table, key) → distinct → exact cosine re-rank. The corpus pass is
    * codegen'd arithmetic; the join key is a compact (int, int).
    */
+  /**
+   * IVF-Flat approximate cosine top-k — the cell-partitioned ANN scale
+   * path next to [[lshTopK]]'s hash-bucketed one. The corpus is split
+   * into `numCells` Voronoi cells around centroid vectors; a query
+   * scans only its `nprobe` nearest cells, i.e. `nprobe/numCells` of
+   * the corpus instead of all of it.
+   *
+   * Centroids are the `numCells` lowest-id corpus vectors: deterministic
+   * and exactly replayable by a SQL oracle (iterative k-means depends on
+   * float summation order, which no two engines share — trained
+   * centroids can be swapped in via `centroidsOf` at production scale
+   * without changing the plan shape). Assignment is ONE broadcast
+   * codegen pass per corpus row: `array_max` over (cosine, -cell_id)
+   * structs picks the nearest centroid (ties to the lowest id) with NO
+   * shuffle and no per-row window. The probe side broadcasts the tiny
+   * (query, cell) pair list; the only exchanges are the per-query top-k
+   * windows. At 100 TB the assigned corpus is written once, bucketed by
+   * cell (same pattern as VariantStore), and every later query batch
+   * joins against nprobe buckets.
+   *
+   * Cosines are rounded to 4 places BEFORE every argmax/rank so an
+   * oracle replaying the arithmetic in double precision agrees on the
+   * discrete choices (same device as q26's verification).
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(numCells > 0 && numCells <= 4096,
+      s"numCells must be a broadcastable dimension, got $numCells")
+    require(nprobe > 0 && nprobe <= numCells, s"nprobe in [1,$numCells]")
+    // deterministic centroids: the numCells lowest-id vectors. Driver
+    // collect is bounded by the numCells cap.
+    val centroids: Seq[(Long, Seq[Float])] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(numCells).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    // (cosine, -cell_id) structs: array_max = nearest centroid, ties to
+    // the LOWEST cell id — one codegen expression, no shuffle
+    def cellOf(vec: Column): Column = {
+      val scored = centroids.map { case (cid, cvec) =>
+        struct(round(cosine(vec, typedlit(cvec)), 4).as("c"),
+          lit(-cid).as("n"))
+      }
+      -array_max(array(scored: _*)).getField("n")
+    }
+    val assigned = corpus.select(col(idCol), col(vecCol).as("__cvec"),
+      cellOf(col(vecCol)).as("__cell"))
+
+    // probe list: every query's nprobe nearest cells (tiny — explode the
+    // numCells scores and rank per query)
+    val cellScores = explode(array(centroids.map { case (cid, cvec) =>
+      struct(lit(cid).as("cell"),
+        round(cosine(col("__qvec"), typedlit(cvec)), 4).as("cos"))
+    }: _*))
+    val wCells = Window.partitionBy(queryIdCol)
+      .orderBy(col("__cs.cos").desc, col("__cs.cell"))
+    val probes = queries
+      .select(col(queryIdCol), col(vecCol).as("__qvec"))
+      .withColumn("__cs", cellScores)
+      .withColumn("__cr", row_number().over(wCells))
+      .filter(col("__cr") <= nprobe)
+      .select(col(queryIdCol), col("__qvec"), col("__cs.cell").as("__cell"))
+
+    // scan only the probed cells, exact cosine re-rank within them
+    val scored = assigned.join(broadcast(probes), Seq("__cell"))
+      .withColumn("cosine", round(cosine(col("__qvec"), col("__cvec")), 4))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int, numPlanes: Int = 10, numTables: Int = 6, probeHamming: Int = 2,
       idCol: String = "vec_id", queryIdCol: String = "query_id",

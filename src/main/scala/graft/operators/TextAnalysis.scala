@@ -183,4 +183,47 @@ object TextAnalysis {
           i => array_join(slice(toks, i + 1, lit(n)), " ")))
         .otherwise(array(array_join(toks, " "))))
   }
+
+  /**
+   * Per-document repetition metrics in the style of the Gopher/C4 data
+   * quality rules (occurrence fractions over word n-grams):
+   *
+   *  - `top_bigram_frac`: occurrences of the single most frequent word
+   *    2-gram / total 2-gram occurrences — high when one phrase loops;
+   *  - `dup_trigram_frac`: fraction of 3-gram occurrences whose 3-gram
+   *    appears more than once — high for templated/boilerplate text.
+   *
+   * Both n-grams ride ONE explode and one (id, n, gram) hash
+   * aggregation; the per-document rollup computes both fractions with
+   * conditional aggregates, so the whole operator is two shuffles
+   * regardless of how many n-gram orders are measured. Documents too
+   * short for an n-gram get fraction 0.0 (kept via left join — a
+   * 2-token document is trivially unrepetitive, not unmeasurable).
+   * Fractions round to 4 places for cross-engine verification.
+   */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), tokens(lower(text)).as("__t"))
+    val m = size(col("__t"))
+    def gram(n: Int): Column = concat_ws(" ",
+      (0 until n).map(j => element_at(col("__t"), col("__i") + j)): _*)
+    def gramRows(n: Int) = toks
+      .filter(m >= n)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), m - (n - 1))).as("__i"))
+      .select(col(idCol), lit(n).as("__n"), gram(n).as("__g"))
+    val counts = gramRows(2).unionByName(gramRows(3))
+      .groupBy(col(idCol), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val stats = counts.groupBy(col(idCol)).agg(
+      round(max(when(col("__n") === 2, col("__c"))).cast("double") /
+        sum(when(col("__n") === 2, col("__c"))), 4).as("__top2"),
+      round(coalesce(sum(when(col("__n") === 3 && col("__c") > 1,
+          col("__c"))), lit(0L)).cast("double") /
+        sum(when(col("__n") === 3, col("__c"))), 4).as("__dup3"))
+    df.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__top2"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("__dup3"), lit(0.0)).as("dup_trigram_frac"))
+  }
 }

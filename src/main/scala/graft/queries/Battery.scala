@@ -1101,6 +1101,48 @@ object Battery {
       |  FROM ih)
       |SELECT doc_id, i, MIN(gv) AS mh FROM g GROUP BY doc_id, i""".stripMargin
 
+  /** IVF-Flat ANN top-5, oracle-checked END TO END: deterministic
+    * centroids (the 16 lowest-id vectors) make every discrete choice —
+    * cell assignment, probe ranking, final top-k — exactly replayable
+    * by DuckDB, so unlike the LSH recall probe (q28) this approximate
+    * path gets a full rows+schema+hash gate. Cosines round to 4 places
+    * before each argmax/rank on both engines (q26's device). */
+  val q43IvfTopk: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.Similarity.ivfTopK(emb, queries, k = 5,
+      numCells = 16, nprobe = 4)
+  }
+
+  val q43Sql: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cell, embedding AS cvec
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |scored AS (
+      |  SELECT e.vec_id, e.embedding, c.cell,
+      |    ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+      |      c.cvec::DOUBLE[]), 4) AS cos
+      |  FROM embeddings e CROSS JOIN cent c),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cos DESC, cell) AS rn
+      |  FROM scored),
+      |asg AS (SELECT vec_id, embedding, cell FROM ranked WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec, cell
+      |  FROM ranked WHERE vec_id < 3 AND rn <= 4),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id,
+      |    ROUND(list_cosine_similarity(p.qvec::DOUBLE[],
+      |      a.embedding::DOUBLE[]), 4) AS cosine
+      |  FROM probes p JOIN asg a ON a.cell = p.cell)
+      |SELECT query_id, rank, vec_id, cosine FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM cand)
+      |WHERE rank <= 5""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1148,7 +1190,8 @@ object Battery {
     "q39_kmv_sketch" -> (q39Kmv, Some(q39Sql)),
     "q40_ngram_jaccard" -> (q40NgramJaccard, Some(q40Sql)),
     "q41_lsh_dedup" -> (q41LshDedup, Some(q41Sql)),
-    "q42_minhash_sigs" -> (q42MinhashSigs, Some(q42Sql)))
+    "q42_minhash_sigs" -> (q42MinhashSigs, Some(q42Sql)),
+    "q43_ivf_topk" -> (q43IvfTopk, Some(q43Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
