@@ -45,14 +45,21 @@ object Bench {
         // queries) are independent and storage never accumulates
         graft.operators.Dedup.releasePersisted()
         dt
-      }.drop(1)
-      name -> times.min
+      }.drop(1).sorted
+      (name, times.min, times(times.size / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // both statistics recorded so cross-round comparisons are
+    // apples-to-apples regardless of which one a prior round used:
+    // "queries"/"value" = min of reps (official since r04; noise on this
+    // box is one-sided), "queries_median"/"value_median" = median.
+    val qsMed = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalMed = results.map(_._3).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","value_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}"""
     println(json)
     // also land the JSON in a file so round-over-round comparison doesn't
     // depend on scraping the sbt log tail

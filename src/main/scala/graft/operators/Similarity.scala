@@ -97,26 +97,18 @@ object Similarity {
   }
 
   /**
-   * Approximate cosine top-k via multi-table multi-probe LSH.
-   *
-   * Corpus side: one narrow pass computes `numTables` bucket keys per
-   * vector (posexplode → (table, key) rows). Query side: every key within
-   * Hamming ≤ `probeHamming` in each table. Candidates = equi-join on
-   * (table, key) → distinct → exact cosine re-rank. The corpus pass is
-   * codegen'd arithmetic; the join key is a compact (int, int).
-   */
-  /**
    * IVF-Flat approximate cosine top-k — the cell-partitioned ANN scale
    * path next to [[lshTopK]]'s hash-bucketed one. The corpus is split
    * into `numCells` Voronoi cells around centroid vectors; a query
    * scans only its `nprobe` nearest cells, i.e. `nprobe/numCells` of
    * the corpus instead of all of it.
    *
-   * Centroids are the `numCells` lowest-id corpus vectors: deterministic
-   * and exactly replayable by a SQL oracle (iterative k-means depends on
-   * float summation order, which no two engines share — trained
-   * centroids can be swapped in via `centroidsOf` at production scale
-   * without changing the plan shape). Assignment is ONE broadcast
+   * Centroids default to the `numCells` lowest-id corpus vectors:
+   * deterministic and exactly replayable by a SQL oracle (iterative
+   * k-means depends on float summation order, which no two engines
+   * share). Pass trained centroids via the `centroids` parameter at
+   * production scale — same plan shape, and the per-call corpus scan
+   * that picks the defaults is skipped. Assignment is ONE broadcast
    * codegen pass per corpus row: `array_max` over (cosine, -cell_id)
    * structs picks the nearest centroid (ties to the lowest id) with NO
    * shuffle and no per-row window. The probe side broadcasts the tiny
@@ -132,20 +124,27 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numCells: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", queryIdCol: String = "query_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      centroids: Seq[(Long, Seq[Float])] = Nil): DataFrame = {
     require(numCells > 0 && numCells <= 4096,
       s"numCells must be a broadcastable dimension, got $numCells")
     require(nprobe > 0 && nprobe <= numCells, s"nprobe in [1,$numCells]")
-    // deterministic centroids: the numCells lowest-id vectors. Driver
-    // collect is bounded by the numCells cap.
-    val centroids: Seq[(Long, Seq[Float])] = corpus
-      .select(col(idCol).cast("long"), col(vecCol))
-      .orderBy(col(idCol)).limit(numCells).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    // trained centroids when supplied; else the numCells lowest-id
+    // vectors (deterministic, oracle-replayable). Driver collect is
+    // bounded by the numCells cap.
+    val cents: Seq[(Long, Seq[Float])] =
+      if (centroids.nonEmpty) {
+        require(centroids.size == numCells,
+          s"expected $numCells centroids, got ${centroids.size}")
+        centroids
+      } else corpus
+        .select(col(idCol).cast("long"), col(vecCol))
+        .orderBy(col(idCol)).limit(numCells).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
     // (cosine, -cell_id) structs: array_max = nearest centroid, ties to
     // the LOWEST cell id — one codegen expression, no shuffle
     def cellOf(vec: Column): Column = {
-      val scored = centroids.map { case (cid, cvec) =>
+      val scored = cents.map { case (cid, cvec) =>
         struct(round(cosine(vec, typedlit(cvec)), 4).as("c"),
           lit(-cid).as("n"))
       }
@@ -156,7 +155,7 @@ object Similarity {
 
     // probe list: every query's nprobe nearest cells (tiny — explode the
     // numCells scores and rank per query)
-    val cellScores = explode(array(centroids.map { case (cid, cvec) =>
+    val cellScores = explode(array(cents.map { case (cid, cvec) =>
       struct(lit(cid).as("cell"),
         round(cosine(col("__qvec"), typedlit(cvec)), 4).as("cos"))
     }: _*))

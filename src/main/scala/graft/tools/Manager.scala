@@ -76,6 +76,12 @@ object Manager {
         // the whole pipeline when this exact file was already ingested.
         // Opt-in: the default path re-runs the J4/J6 dedup joins, which
         // stay the correctness backstop (and the idempotency proof).
+        // NOT concurrency-safe: the check and the later recordLoad are
+        // separate writes with no store-level lock, so two concurrent
+        // --skipLoaded submissions of the same file can both miss the
+        // ledger and both run. That costs duplicate WORK only — the
+        // J4/J6 joins still dedup rows — so the ledger stays advisory;
+        // serialize submissions per store if the re-run cost matters.
         val hash =
           if (flags.contains("--skipLoaded")) {
             val h = VariantStore.fileHash(spark, vcf)
@@ -92,15 +98,23 @@ object Manager {
           VariantStore.variants(spark, store),
           VariantStore.detailKeys(spark, store), config)
         println(f"[graft] plan+eager jobs ${(System.currentTimeMillis() - started) / 1000.0}%.1f s")
-        // write first, count the written files — no extra plan execution
+        // ledger records what THIS load contributed: store counts before
+        // vs after the append (parquet counts are metadata-only — far
+        // cheaper than re-running the detail melt to count the frames).
+        // A reload of an already-ingested file records 0/0.
+        def storeCount(side: String): Long =
+          try spark.read.parquet(s"$store/$side").count()
+          catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+        val (v0, d0) = (storeCount("variants"), storeCount("details"))
         VariantStore.append(result, store)
         result.unpersist()
-        val nNew = spark.read.parquet(s"$store/variants").count()
-        val nDetails = spark.read.parquet(s"$store/details").count()
+        val (nNew, nDetails) = (storeCount("variants"), storeCount("details"))
         VariantStore.recordLoad(spark, store,
           if (hash != null) hash else VariantStore.fileHash(spark, vcf),
-          vcf, nNew, nDetails)
-        println(s"[graft] store now has $nNew variants, $nDetails sample details")
+          vcf, nNew - v0, nDetails - d0)
+        println(s"[graft] load added ${nNew - v0} variants, " +
+          s"${nDetails - d0} details; " +
+          s"store now has $nNew variants, $nDetails sample details")
       } else if (flags.contains("--genicQc")) {
         // E2 (GenicQc.run, GenicQc.java:27-43)
         val changes = GenicQcJob.run(spark, vcf, genes,
