@@ -533,4 +533,108 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  // -------------------------------------------------------------------
+  // Clustering: pairs → components → canonical docs
+  // -------------------------------------------------------------------
+
+  /**
+   * Connected components over a near-dup pair list — the step every
+   * at-scale dedup pipeline needs between pair enumeration (LSH/SimHash/
+   * Jaccard above, which emit EDGES) and the actual drop decision (which
+   * needs CLUSTERS: near-duplication is transitive in intent, A~B and
+   * B~C must collapse to one kept document even when A~C was never
+   * enumerated).
+   *
+   * Algorithm: iterative min-label propagation. Every node starts
+   * labeled with its own id; each round every node takes the min of its
+   * own label and its neighbors' labels; fixpoint = every node carries
+   * the minimum id of its component. Rounds needed = the graph diameter,
+   * and near-dup graphs are dense little cliques-with-bridges (diameter
+   * a handful), so this converges in 2-4 rounds in practice — the
+   * O(log n) large-star/small-star variant (Kiveris et al., public
+   * knowledge) only pays off on adversarial long-chain graphs that
+   * near-dup edges do not produce.
+   *
+   * Scale shape per round: one shuffle join (labels into the
+   * pre-partitioned symmetric edge list) + one min-aggregate — both
+   * map-side combinable, state is exactly |V| (id, label) longs, and
+   * convergence is detected from the aggregate's monotone label sum
+   * (labels only ever decrease; an unchanged sum IS the fixpoint — no
+   * extra old-vs-new join). Each round's labels are persisted and the
+   * previous round released, so lineage stays one round deep.
+   *
+   * @param pairs edges `(idA, idB)` from any pair enumerator above
+   * @param nodes one row per document id (ids absent from `pairs` come
+   *              out as singleton components — callers want "every doc
+   *              gets a cluster", not "every matched doc")
+   * @return `(id, component)` where component = min id reachable
+   */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame,
+      idCol: String = "doc_id", idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val edges = trackPersist(
+      pairs.select(col(idA).as("__src"), col(idB).as("__dst"))
+        .union(pairs.select(col(idB).as("__src"), col(idA).as("__dst")))
+        .repartition(col("__src")))
+    // convergence metric: labels only ever DECREASE, so an unchanged
+    // label sum is exactly the fixpoint. Decimal(38,0) sum: exact, and
+    // cannot overflow-throw under ANSI at any realistic id space (a long
+    // sum would at ~10^10 ids)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var labels = nodes.select(col(idCol).as("__id"),
+      col(idCol).as("component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prevSum = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val msgs = edges
+        .join(labels.withColumnRenamed("__id", "__src"), "__src")
+        .select(col("__dst").as("__id"), col("component"))
+      val next = labels.union(msgs)
+        .groupBy("__id").agg(min("component").as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      it += 1
+    }
+    tracked.add(labels) // released by the caller via releasePersisted()
+    labels.withColumnRenamed("__id", idCol)
+  }
+
+  /**
+   * Canonical-document selection over [[connectedComponents]] output:
+   * keep the lowest id of every cluster (the component label itself),
+   * flag the rest as duplicates to drop. Pure projection — no extra
+   * shuffle beyond the CC rounds.
+   */
+  def canonicalByComponent(cc: DataFrame, idCol: String = "doc_id"): DataFrame =
+    cc.withColumn("is_canonical",
+      (col(idCol) === col("component")).cast("int"))
+
+  /**
+   * Per-key quota capping: keep at most `n` rows per `key`, preferring
+   * the highest `order` (ties broken by lowest `idCol` for determinism).
+   * The training-data use: bound any one domain/source's contribution to
+   * the corpus so a crawl-heavy site can't dominate the mixture.
+   *
+   * One hash shuffle on `key` + an in-partition sort — no global sort.
+   * Skewed keys (one domain with 10⁹ docs) sort within one partition;
+   * for that regime pre-filter with an approximate per-key count and
+   * salt, but at quota sizes worth training on the plain window is the
+   * right default.
+   */
+  def capPerKey(df: DataFrame, key: Column, order: Column, idCol: Column,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order.desc, idCol)
+    df.withColumn("__qr", row_number().over(w))
+      .filter(col("__qr") <= n)
+      .drop("__qr")
+  }
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling and dataset splitting for training-data
+ * pipelines. Everything here is a pure hash of (id, salt) — no RNG, no
+ * executor state — so the assignment is reproducible across runs,
+ * cluster layouts, and engines:
+ *
+ *  - the same document lands in the same split on every run (a training
+ *    pipeline re-run after adding data must not migrate old docs between
+ *    train and test — that leaks test data into training);
+ *  - downsampling a 100 TB corpus to x% is a narrow codegen'd filter —
+ *    no shuffle, no sort, pushdown-friendly, trivially resumable;
+ *  - the salt namespaces independent experiments: a new salt is a fresh
+ *    independent assignment, same salt reproduces the old one.
+ *
+ * The hash is the md5-prefix → BIGINT device used across the battery's
+ * oracle-checked queries (portable: any engine with md5 replays it
+ * bit-for-bit), spread over a 1e6 bucket space so fractions down to
+ * 0.0001% stay exact.
+ */
+object Sampling {
+
+  val Buckets = 1000000L
+
+  /** Uniform bucket in `[0, Buckets)` from (id, salt) — the md5 prefix
+    * is 60 bits, far beyond the 2^20 bucket space, so bucket skew from
+    * the modulus is ~2^-40. */
+  def hashBucket(id: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(":" + salt))),
+      1, 15), 16, 10).cast("long"), lit(Buckets))
+
+  /**
+   * Train/validation/test assignment: `fracs` are (name, weight) in
+   * order; weights are normalized over their sum. A doc's split is the
+   * first range its bucket falls into, so enlarging one split later only
+   * moves docs INTO it from its right neighbor — never shuffles the
+   * whole assignment.
+   */
+  def assignSplit(df: DataFrame, id: Column, salt: String,
+      fracs: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1,
+        "test" -> 0.1)): DataFrame = {
+    require(fracs.nonEmpty && fracs.forall(_._2 > 0), "positive weights")
+    val total = fracs.map(_._2).sum
+    val cuts = fracs.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .map(f => math.round(f * Buckets))
+    val b = hashBucket(id, salt)
+    val expr = fracs.zip(cuts.drop(1)).reverse
+      .foldLeft(lit(fracs.last._1)) { case (els, ((name, _), hi)) =>
+        when(b < hi, lit(name)).otherwise(els)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** Keep a deterministic `fraction` of rows: bucket < fraction·1e6.
+    * Nested samples: a 1% sample is a strict subset of the 10% sample at
+    * the same salt — exactly what staged scaling experiments want. */
+  def deterministicSample(df: DataFrame, id: Column, fraction: Double,
+      salt: String): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    df.filter(hashBucket(id, salt) < math.round(fraction * Buckets))
+  }
+}

@@ -226,4 +226,37 @@ object TextAnalysis {
         coalesce(col("__top2"), lit(0.0)).as("top_bigram_frac"),
         coalesce(col("__dup3"), lit(0.0)).as("dup_trigram_frac"))
   }
+
+  /** Conservative email pattern: local part, @, dotted domain with a
+    * 2+-letter TLD. POSIX-class-free so every regex engine (Spark's
+    * java.util.regex, DuckDB's RE2) parses it identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)*\\.[A-Za-z]{2,}"
+
+  /** NANP-ish phone numbers: optional +1/1 country code, 3-3-4 digit
+    * groups with ., -, space or () separators. Deliberately requires
+    * separators or parens so it does not eat arbitrary 10-digit ids. */
+  val PhoneRe =
+    "(\\+?1[ .-])?(\\([0-9]{3}\\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}"
+
+  /**
+   * PII redaction pass: replace emails and phone numbers with fixed
+   * placeholder tokens. A training corpus must not memorize contact
+   * details; replacing (rather than deleting) keeps sentence structure
+   * for the model.
+   *
+   * Pure codegen'd `regexp_replace` chain — narrow, no shuffle, scales
+   * linearly, and the patterns are portable (the oracle replays them
+   * verbatim). Order matters: emails first, so `bob@example.com` is not
+   * half-eaten by a number pattern.
+   */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** How many redactions [[redactPii]] would make — the audit metric a
+    * pipeline reports per source before/after a policy change. */
+  def piiCounts(text: Column): (Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))))
 }

@@ -576,8 +576,11 @@ object Battery {
       numHashes = 64, bands = 8, threshold = 0.4, portableBandKeys = true)
   }
 
-  val q24Sql: String =
-    """WITH t AS (
+  /** CTE chain shared by q24 (pairs) and q44 (components over the same
+    * pairs): portable MinHash signatures → banding → verified pairs in
+    * `j`. Kept as a fragment so the two oracles can never drift. */
+  private val q24PairCtes: String =
+    """t AS (
       |  SELECT doc_id,
       |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
       |  FROM documents),
@@ -615,8 +618,10 @@ object Battery {
       |  FROM cand c
       |  JOIN sig sa ON sa.doc_id = c.id_a
       |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
-      |  GROUP BY c.id_a, c.id_b)
-      |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4""".stripMargin
+      |  GROUP BY c.id_a, c.id_b)""".stripMargin
+
+  val q24Sql: String =
+    s"WITH $q24PairCtes\nSELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4"
 
   /** SimHash near-dup PAIRS, oracle-checked end-to-end: a PORTABLE
     * 60-bit simhash (±1 votes per bit of the 15-hex-char md5 prefix of
@@ -1143,6 +1148,146 @@ object Battery {
       |  FROM cand)
       |WHERE rank <= 5""".stripMargin
 
+  /** Connected components over q24's MinHash/LSH near-dup pairs + the
+    * canonical-doc flag — the cluster step a real dedup pipeline runs
+    * between pair enumeration and dropping rows (A~B, B~C must collapse
+    * even when A~C was never enumerated). The fixpoint loop's driver
+    * actions (one sum per round, converges in 2-4 rounds on near-dup
+    * graphs) are inherent to iterative graph algorithms, not incidental
+    * collects. Oracle: the SAME pair CTEs + a recursive reachability CTE
+    * (component = min reachable id — exactly what min-label propagation
+    * computes). */
+  val q44CcDedup: Q = (s, dir) => {
+    val pairs = q24MinhashDedup(s, dir)
+    val nodes = t(s, dir, "documents").select("doc_id")
+    graft.operators.Dedup.canonicalByComponent(
+      graft.operators.Dedup.connectedComponents(pairs, nodes))
+  }
+
+  val q44Sql: String =
+    s"""WITH RECURSIVE $q24PairCtes,
+      |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+      |SELECT id AS doc_id, MIN(r) AS component,
+      |  CAST(id = MIN(r) AS INT) AS is_canonical
+      |FROM reach GROUP BY id""".stripMargin
+
+  /** Deterministic train/val/test assignment (80/10/10) by portable
+    * (id, salt) hash — re-runs never migrate documents between splits
+    * (test-set leakage), and the narrow codegen'd filter scales to any
+    * corpus with no shuffle. Reported as per-(split, lang) counts so the
+    * oracle checks every assignment, not just totals. */
+  val q45HashSplit: Q = (s, dir) =>
+    graft.operators.Sampling.assignSplit(
+      t(s, dir, "documents"), col("doc_id"), "exp1")
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+
+  val q45Sql: String =
+    """WITH b AS (
+      |  SELECT lang, n_chars,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':exp1'), 1, 15))
+      |      ::BIGINT % 1000000 AS bucket
+      |  FROM documents),
+      |sp AS (
+      |  SELECT lang, n_chars,
+      |    CASE WHEN bucket < 800000 THEN 'train'
+      |         WHEN bucket < 900000 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM b)
+      |SELECT split, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM sp GROUP BY split, lang""".stripMargin
+
+  /** Per-source quota capping (keep the 5 longest docs per source —
+    * bound any one domain's contribution to the training mixture), then
+    * roll the survivors up per source. One hash shuffle + in-partition
+    * sort; ties break on doc_id so the kept set is deterministic. */
+  val q46DomainCap: Q = (s, dir) =>
+    graft.operators.Dedup.capPerKey(t(s, dir, "documents"),
+      col("source"), col("n_chars"), col("doc_id"), n = 5)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars").cast("long")).as("kept_chars"),
+        min("doc_id").as("min_doc_id"))
+
+  val q46Sql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_kept,
+      |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+      |  MIN(doc_id) AS min_doc_id
+      |FROM r WHERE rn <= 5 GROUP BY source""".stripMargin
+
+  /** PII redaction audit: plant deterministic emails (docs ≡0 mod 3) and
+    * phone numbers (≡0 mod 5) in the corpus, then count and redact them
+    * per source with [[graft.operators.TextAnalysis.redactPii]]. The
+    * whole pass is a codegen'd regexp chain — no shuffle before the
+    * per-source rollup — and the patterns are RE2-compatible so DuckDB
+    * replays extraction AND replacement verbatim. `red_chars` hashes the
+    * post-redaction text lengths: replacement itself is verified, not
+    * just the match counts. */
+  val q47PiiRedact: Q = (s, dir) => {
+    val ta = graft.operators.TextAnalysis
+    val planted = concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" contact u"), col("doc_id").cast("string"),
+          lit("@mail.example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" or call (555) 010-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val (emails, phones) = ta.piiCounts(col("__txt"))
+    t(s, dir, "documents")
+      .select(col("source"), planted.as("__txt"))
+      .select(col("source"), emails.as("__e"), phones.as("__p"),
+        length(ta.redactPii(col("__txt"))).cast("long").as("__len"))
+      .groupBy("source")
+      .agg(sum(col("__e").cast("long")).as("n_emails"),
+        sum(col("__p").cast("long")).as("n_phones"),
+        sum(col("__len")).as("red_chars"))
+  }
+
+  val q47Sql: String =
+    """WITH planted AS (
+      |  SELECT source, text ||
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN ' contact u' || CAST(doc_id AS VARCHAR)
+      |        || '@mail.example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN ' or call (555) 010-'
+      |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END AS txt
+      |  FROM documents),
+      |red AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(txt,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}'
+      |      )) AS n_e,
+      |    len(regexp_extract_all(txt,
+      |      '(\+?1[ .-])?(\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}'
+      |      )) AS n_p,
+      |    len(regexp_replace(regexp_replace(txt,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}',
+      |      '<EMAIL>', 'g'),
+      |      '(\+?1[ .-])?(\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}',
+      |      '<PHONE>', 'g')) AS rlen
+      |  FROM planted)
+      |SELECT source, CAST(SUM(n_e) AS BIGINT) AS n_emails,
+      |  CAST(SUM(n_p) AS BIGINT) AS n_phones,
+      |  CAST(SUM(rlen) AS BIGINT) AS red_chars
+      |FROM red GROUP BY source""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1191,7 +1336,11 @@ object Battery {
     "q40_ngram_jaccard" -> (q40NgramJaccard, Some(q40Sql)),
     "q41_lsh_dedup" -> (q41LshDedup, Some(q41Sql)),
     "q42_minhash_sigs" -> (q42MinhashSigs, Some(q42Sql)),
-    "q43_ivf_topk" -> (q43IvfTopk, Some(q43Sql)))
+    "q43_ivf_topk" -> (q43IvfTopk, Some(q43Sql)),
+    "q44_cc_dedup" -> (q44CcDedup, Some(q44Sql)),
+    "q45_hash_split" -> (q45HashSplit, Some(q45Sql)),
+    "q46_domain_cap" -> (q46DomainCap, Some(q46Sql)),
+    "q47_pii_redact" -> (q47PiiRedact, Some(q47Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -129,6 +129,42 @@ class DedupSpec extends SparkSpec {
     assert(approx == exact)
   }
 
+  test("connectedComponents collapses transitive chains; singletons kept") {
+    // chain 1-2, 2-3 (A~C never enumerated) + island pair 10-11 + the
+    // isolated nodes 20, 21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val cc = Dedup.connectedComponents(pairs, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+    val canon = Dedup.canonicalByComponent(
+      Dedup.connectedComponents(pairs, nodes))
+      .filter(col("is_canonical") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(canon == Set(1L, 10L, 20L, 21L))
+    Dedup.releasePersisted()
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2)") {
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (1L to 8L).toDF("doc_id")
+    val cc = Dedup.connectedComponents(pairs, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L))
+    Dedup.releasePersisted()
+  }
+
+  test("capPerKey keeps top-n per key with deterministic ties") {
+    val df = Seq(
+      ("a", 10, 1L), ("a", 10, 2L), ("a", 9, 3L), ("a", 8, 4L),
+      ("b", 5, 5L)).toDF("src", "score", "id")
+    val kept = Dedup.capPerKey(df, col("src"), col("score"), col("id"), 2)
+      .select("id").as[Long].collect().toSet
+    // a: scores (10,id=1), (10,id=2) win — tie broken by lowest id first
+    assert(kept == Set(1L, 2L, 5L))
+  }
+
   test("releasePersisted drops every intermediate the operators cached") {
     Dedup.releasePersisted() // clean slate (earlier tests in this suite)
     val before = spark.sparkContext.getPersistentRDDs.keySet
