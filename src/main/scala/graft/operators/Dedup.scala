@@ -564,28 +564,79 @@ object Dedup {
    * extra old-vs-new join). Each round's labels are persisted and the
    * previous round released, so lineage stays one round deep.
    *
+   * Strategy routing (the same honest small-side guard as the interval
+   * join): near-dup pair lists are usually MINUSCULE next to the corpus
+   * (the whole point of deduplication), so up to `maxDriverEdges` the
+   * pairs are collected and solved with union-find on the driver — one
+   * bounded ≤16 MB collect, zero fixpoint rounds — and the result
+   * broadcast-joins back onto the corpus. Beyond the bound, the
+   * distributed min-label loop runs. Both paths compute the identical
+   * min-id labeling (spec-asserted).
+   *
    * @param pairs edges `(idA, idB)` from any pair enumerator above
    * @param nodes one row per document id (ids absent from `pairs` come
    *              out as singleton components — callers want "every doc
    *              gets a cluster", not "every matched doc")
+   * @param maxDriverEdges union-find routing bound; 0 forces the
+   *                       distributed loop
    * @return `(id, component)` where component = min id reachable
    */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
       idCol: String = "doc_id", idA: String = "id_a", idB: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, maxDriverEdges: Int = 1000000): DataFrame = {
+    val p = trackPersist(pairs.select(col(idA).cast("long").as("__pa"),
+      col(idB).cast("long").as("__pb")))
+    val take = p.head(maxDriverEdges + 1)
+    if (take.length <= maxDriverEdges) {
+      // driver union-find with path compression; parent map is ≤2·|E|
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // compress
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      take.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { // union under the SMALLER root = min-id labeling
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val labels = take.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+        .distinct.map(id => id -> find(id))
+      val session = nodes.sparkSession
+      import session.implicits._
+      val labelDf = session.createDataset(labels.toSeq)
+        .toDF(idCol, "__comp")
+      return nodes.select(col(idCol))
+        .join(broadcast(labelDf), Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("__comp"), col(idCol)).as("component"))
+    }
     val edges = trackPersist(
-      pairs.select(col(idA).as("__src"), col(idB).as("__dst"))
-        .union(pairs.select(col(idB).as("__src"), col(idA).as("__dst")))
+      p.select(col("__pa").as("__src"), col("__pb").as("__dst"))
+        .union(p.select(col("__pb").as("__src"), col("__pa").as("__dst")))
         .repartition(col("__src")))
+    // Only nodes INCIDENT TO AN EDGE iterate: a node in no pair is its
+    // own component by definition. In a dedup corpus that is almost
+    // every document, so the loop's per-round state is proportional to
+    // the PAIR LIST, not the corpus — at 10^10 docs with 10^7 near-dup
+    // pairs the fixpoint iteration touches 2×10^7 labels, and the
+    // untouched 99.8% of the corpus never enters a round. Singletons are
+    // folded back with one left join at the end.
     // convergence metric: labels only ever DECREASE, so an unchanged
     // label sum is exactly the fixpoint. Decimal(38,0) sum: exact, and
     // cannot overflow-throw under ANSI at any realistic id space (a long
     // sum would at ~10^10 ids)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)")))
-        .head().getDecimal(0)
-    var labels = nodes.select(col(idCol).as("__id"),
-      col(idCol).as("component"))
+      Option(df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head().getDecimal(0)) // null on an empty pair list
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var labels = edges.select(col("__src").as("__id")).distinct()
+      .select(col("__id"), col("__id").as("component"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var prevSum = labelSum(labels)
     var it = 0
@@ -605,7 +656,10 @@ object Dedup {
       it += 1
     }
     tracked.add(labels) // released by the caller via releasePersisted()
-    labels.withColumnRenamed("__id", idCol)
+    nodes.select(col(idCol))
+      .join(labels.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
   }
 
   /**

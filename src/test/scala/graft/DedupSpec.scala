@@ -155,6 +155,22 @@ class DedupSpec extends SparkSpec {
     Dedup.releasePersisted()
   }
 
+  test("connectedComponents: distributed loop equals driver union-find") {
+    // chains, a clique, cross links, singletons — edges in arbitrary order
+    val pairs = Seq((5L, 2L), (2L, 9L), (9L, 5L), (3L, 4L), (4L, 12L),
+      (20L, 21L), (7L, 100L)).toDF("id_a", "id_b")
+    val nodes = (1L to 110L).toDF("doc_id")
+    val viaDriver = Dedup.connectedComponents(pairs, nodes)
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = Dedup.connectedComponents(pairs, nodes,
+      maxDriverEdges = 0) // force the distributed fixpoint path
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver(9L) == 2L && viaDriver(12L) == 3L &&
+      viaDriver(100L) == 7L && viaDriver(50L) == 50L)
+    Dedup.releasePersisted()
+  }
+
   test("capPerKey keeps top-n per key with deterministic ties") {
     val df = Seq(
       ("a", 10, 1L), ("a", 10, 2L), ("a", 9, 3L), ("a", 8, 4L),
