@@ -1288,6 +1288,68 @@ object Battery {
       |  CAST(SUM(rlen) AS BIGINT) AS red_chars
       |FROM red GROUP BY source""".stripMargin
 
+  /** The full corpus-prep composition ([[graft.operators.CorpusPipeline]]):
+    * exact dedup → quality gate → per-source cap → deterministic split,
+    * over a corpus with PLANTED exact duplicates (docs ≡0 mod 7 re-appear
+    * under a high id) so the dedup stage provably binds — if it did not,
+    * the counts, the cap ordering and the split assignment of the planted
+    * copies would all diverge from the oracle. One hash check covers the
+    * whole chain composing. */
+  val q48CorpusPipeline: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val copies = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    graft.operators.CorpusPipeline.prepare(docs.unionByName(copies))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        min("doc_id").as("min_doc_id"))
+  }
+
+  val q48Sql: String = {
+    val stops = graft.operators.TextAnalysis.EnglishStopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, source, n_chars FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text, source, n_chars
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |fp AS (
+       |  SELECT doc_id, text, source, n_chars,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+       |  FROM corpus),
+       |dd AS (
+       |  SELECT doc_id, text, source, n_chars FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id)
+       |      AS rn FROM fp) WHERE rn = 1),
+       |q AS (
+       |  SELECT doc_id, text, source, n_chars FROM dd
+       |  WHERE len(list_filter(string_split_regex(text, '\\s+'),
+       |      x -> len(x) > 0)) >= 25
+       |    AND CASE WHEN len(list_filter(string_split_regex(lower(text),
+       |        '\\s+'), x -> len(x) > 0)) > 0 THEN ROUND(
+       |      len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |          x -> x IN ($stops)))::DOUBLE
+       |        / len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |            x -> len(x) > 0)), 4) ELSE 0.0 END >= 0.02),
+       |cap AS (
+       |  SELECT doc_id, source, n_chars FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY length(text) DESC, doc_id) AS cr FROM q)
+       |  WHERE cr <= 15),
+       |sp AS (
+       |  SELECT source, n_chars, doc_id,
+       |    CASE WHEN b < 800000 THEN 'train'
+       |         WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+       |  FROM (
+       |    SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'),
+       |      1, 15))::BIGINT % 1000000 AS b FROM cap))
+       |SELECT split, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  MIN(doc_id) AS min_doc_id
+       |FROM sp GROUP BY split, source""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1340,7 +1402,8 @@ object Battery {
     "q44_cc_dedup" -> (q44CcDedup, Some(q44Sql)),
     "q45_hash_split" -> (q45HashSplit, Some(q45Sql)),
     "q46_domain_cap" -> (q46DomainCap, Some(q46Sql)),
-    "q47_pii_redact" -> (q47PiiRedact, Some(q47Sql)))
+    "q47_pii_redact" -> (q47PiiRedact, Some(q47Sql)),
+    "q48_corpus_pipeline" -> (q48CorpusPipeline, Some(q48Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
