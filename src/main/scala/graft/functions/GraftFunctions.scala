@@ -33,6 +33,9 @@ object GraftFunctions {
     // graft_equal_components(array<bigint>, array<bigint>)
     register1(spark, "graft_equal_components",
       es => VectorExpressions.EqualComponentCount(es(0), es(1)))
+    // int8 scalar quantization: graft_quantize_int8(array<float|double>)
+    register1(spark, "graft_quantize_int8",
+      es => VectorExpressions.QuantizeInt8(es(0)))
     // language guess over raw text, same kernel as TextAnalysis.langGuess:
     // graft_lang_guess(array<string> tokens)
     val langs = graft.operators.TextAnalysis.LangProfiles.toSeq.sortBy(_._1)

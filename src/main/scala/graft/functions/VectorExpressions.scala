@@ -307,4 +307,76 @@ object VectorExpressions {
     org.apache.spark.sql.graftbridge.ColumnBridge.of(
       LshKeys(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec), flat, numTables, numPlanes))
   }
+
+  /**
+   * Symmetric int8 scalar quantization (the SQ8 of FAISS's IVF-SQ8,
+   * public knowledge): q_i = floor(x_i·127/max|x| + 0.5), one fused
+   * two-pass loop per vector. `floor(v + 0.5)` — not `Math.round`'s
+   * half-even cousin in any SQL engine — is the rounding both this
+   * codegen and the DuckDB oracle state verbatim, so quantized vectors
+   * are bit-identical cross-engine. A zero vector quantizes to zeros.
+   *
+   * COSINE over quantized vectors needs no dequantization: the
+   * per-vector scale cancels in the ratio, and with |q_i| ≤ 127 every
+   * dot/norm term is an exact small integer — the only inexact step in
+   * a quantized cosine is the final division. That is what makes the
+   * quantized ANN path (q49) hash-verifiable end-to-end.
+   */
+  case class QuantizeInt8(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_quantize_int8"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val a = math.abs(elemAt(child.dataType, v, i))
+        if (a > s) s = a
+        i += 1
+      }
+      val out = new Array[Int](n)
+      if (s > 0) {
+        i = 0
+        while (i < n) {
+          out(i) = math.floor(
+            elemAt(child.dataType, v, i) * 127.0 / s + 0.5).toInt
+          i += 1
+        }
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val s = ctx.freshName("s"); val a = ctx.freshName("a")
+        val out = ctx.freshName("out")
+        s"""
+           |int $n = $v.numElements();
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $a = java.lang.Math.abs(${elemAccessor(child.dataType, v, i)});
+           |  if ($a > $s) $s = $a;
+           |}
+           |int[] $out = new int[$n];
+           |if ($s > 0) {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $out[$i] = (int) java.lang.Math.floor(
+           |      ${elemAccessor(child.dataType, v, i)} * 127.0 / $s + 0.5);
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def quantizeInt8(vec: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      QuantizeInt8(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec)))
 }

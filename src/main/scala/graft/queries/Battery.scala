@@ -1350,6 +1350,40 @@ object Battery {
        |FROM sp GROUP BY split, source""".stripMargin
   }
 
+  /** Int8-quantized cosine top-5 ([[graft.operators.Similarity.quantizedTopK]]).
+    * Quantization uses floor(x·127/max|x| + 0.5) — stated VERBATIM in
+    * both engines (`Math.round`/SQL `round` disagree on .5 ties) — and
+    * cosine over quantized vectors is exact integer arithmetic until
+    * the final division, so the approximate path is hash-checked
+    * end-to-end like q43, not recall-probed like q28. */
+  val q49QuantizedKnn: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.Similarity.quantizedTopK(emb, queries, k = 5)
+  }
+
+  val q49Sql: String =
+    """WITH s1 AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |    list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) AS s
+      |  FROM embeddings),
+      |qz AS (
+      |  SELECT vec_id,
+      |    CASE WHEN s > 0 THEN
+      |      list_transform(e, x -> CAST(floor(x * 127.0 / s + 0.5) AS INT))
+      |    ELSE list_transform(e, x -> 0) END AS q
+      |  FROM s1)
+      |SELECT query_id, rank, vec_id, cosine FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id,
+      |    ROUND(list_cosine_similarity(a.q::DOUBLE[], b.q::DOUBLE[]), 4)
+      |      AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |      ROUND(list_cosine_similarity(a.q::DOUBLE[], b.q::DOUBLE[]), 4)
+      |        DESC, b.vec_id) AS rank
+      |  FROM qz a, qz b WHERE a.vec_id < 3)
+      |WHERE rank <= 5""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1403,7 +1437,8 @@ object Battery {
     "q45_hash_split" -> (q45HashSplit, Some(q45Sql)),
     "q46_domain_cap" -> (q46DomainCap, Some(q46Sql)),
     "q47_pii_redact" -> (q47PiiRedact, Some(q47Sql)),
-    "q48_corpus_pipeline" -> (q48CorpusPipeline, Some(q48Sql)))
+    "q48_corpus_pipeline" -> (q48CorpusPipeline, Some(q48Sql)),
+    "q49_quantized_knn" -> (q49QuantizedKnn, Some(q49Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -74,6 +74,38 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(s.getString(2) == "en" && s.getString(3) == "und")
   }
 
+  test("quantizeInt8: range, zero vector, scale cancellation in cosine") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),      // zero vector
+      (3L, Array(2.0f, -4.0f, 1.0f, 0.0f)))     // 4× doc 1: same direction
+      .toDF("vec_id", "embedding")
+    val q = df.select($"vec_id",
+      graft.functions.VectorExpressions.quantizeInt8($"embedding").as("q"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(q(1L) == Seq(64, -127, 32, 0)) // floor(x*127/1 + 0.5)
+    assert(q(2L) == Seq(0, 0, 0, 0))
+    assert(q(3L) == Seq(64, -127, 32, 0), "scale cancels: same direction " +
+      "→ identical quantized vector")
+    assert(q.values.flatten.forall(v => v >= -127 && v <= 127))
+    // cosine of colinear vectors stays 1.0 after quantization
+    val c = df.filter($"vec_id" === 1L).crossJoin(
+      df.filter($"vec_id" === 3L).select($"embedding".as("e2")))
+      .select(Similarity.cosine(
+        graft.functions.VectorExpressions.quantizeInt8($"embedding")
+          .cast("array<float>"),
+        graft.functions.VectorExpressions.quantizeInt8($"e2")
+          .cast("array<float>")).as("c"))
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-9)
+    // SQL registration
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_quantize_int8(array(0.5F, -1.0F, 0.25F, 0.0F)) q")
+      .collect().head.getSeq[Int](0)
+    assert(viaSql == Seq(64, -127, 32, 0))
+  }
+
   test("expressions survive filters/joins (codegen path)") {
     val emb = (0 until 100)
       .map(i => (i.toLong, Array.tabulate(8)(d => ((i * 7 + d) % 13 - 6).toFloat)))
