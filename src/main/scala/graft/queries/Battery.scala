@@ -1363,8 +1363,12 @@ object Battery {
     graft.operators.Similarity.quantizedTopK(emb, queries, k = 5)
   }
 
-  val q49Sql: String =
-    """WITH s1 AS (
+  /** Quantization CTE fragment shared by q49 (flat quantized knn) and
+    * q50 (IVF over the quantized corpus) — one statement of the
+    * floor(x·127/max|x| + 0.5) arithmetic, so the two oracles cannot
+    * drift from each other or from [[graft.functions.VectorExpressions.QuantizeInt8]]. */
+  private val quantizeCtes: String =
+    """s1 AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS e,
       |    list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) AS s
       |  FROM embeddings),
@@ -1373,7 +1377,10 @@ object Battery {
       |    CASE WHEN s > 0 THEN
       |      list_transform(e, x -> CAST(floor(x * 127.0 / s + 0.5) AS INT))
       |    ELSE list_transform(e, x -> 0) END AS q
-      |  FROM s1)
+      |  FROM s1)""".stripMargin
+
+  val q49Sql: String =
+    s"""WITH $quantizeCtes
       |SELECT query_id, rank, vec_id, cosine FROM (
       |  SELECT a.vec_id AS query_id, b.vec_id,
       |    ROUND(list_cosine_similarity(a.q::DOUBLE[], b.q::DOUBLE[]), 4)
@@ -1382,6 +1389,51 @@ object Battery {
       |      ROUND(list_cosine_similarity(a.q::DOUBLE[], b.q::DOUBLE[]), 4)
       |        DESC, b.vec_id) AS rank
       |  FROM qz a, qz b WHERE a.vec_id < 3)
+      |WHERE rank <= 5""".stripMargin
+
+  /** IVF-SQ8: the [[q43IvfTopk]] cell-partitioned layout over the
+    * [[q49QuantizedKnn]] int8 corpus — quantize ONCE at write time, then
+    * both the coarse quantizer (centroid assignment) and the cell scans
+    * run on 4×-smaller exact-integer vectors. This is the classic
+    * at-scale ANN shape (FAISS IVF-SQ8, public knowledge); here the
+    * whole thing — quantization, assignment, probe ranking, top-k — is
+    * hash-replayed by DuckDB. */
+  val q50IvfSq8: Q = (s, dir) => {
+    val qz = t(s, dir, "embeddings").select(col("vec_id"),
+      graft.functions.VectorExpressions.quantizeInt8(col("embedding"))
+        .cast("array<float>").as("embedding"))
+    val queries = qz.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.Similarity.ivfTopK(qz, queries, k = 5,
+      numCells = 16, nprobe = 4)
+  }
+
+  val q50Sql: String =
+    s"""WITH $quantizeCtes,
+      |cent AS (
+      |  SELECT vec_id AS cell, q AS cvec FROM qz ORDER BY vec_id LIMIT 16),
+      |scored AS (
+      |  SELECT e.vec_id, e.q, c.cell,
+      |    ROUND(list_cosine_similarity(e.q::DOUBLE[],
+      |      c.cvec::DOUBLE[]), 4) AS cos
+      |  FROM qz e CROSS JOIN cent c),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cos DESC, cell) AS rn
+      |  FROM scored),
+      |asg AS (SELECT vec_id, q, cell FROM ranked WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, q AS qvec, cell
+      |  FROM ranked WHERE vec_id < 3 AND rn <= 4),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id,
+      |    ROUND(list_cosine_similarity(p.qvec::DOUBLE[],
+      |      a.q::DOUBLE[]), 4) AS cosine
+      |  FROM probes p JOIN asg a ON a.cell = p.cell)
+      |SELECT query_id, rank, vec_id, cosine FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM cand)
       |WHERE rank <= 5""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -1438,7 +1490,8 @@ object Battery {
     "q46_domain_cap" -> (q46DomainCap, Some(q46Sql)),
     "q47_pii_redact" -> (q47PiiRedact, Some(q47Sql)),
     "q48_corpus_pipeline" -> (q48CorpusPipeline, Some(q48Sql)),
-    "q49_quantized_knn" -> (q49QuantizedKnn, Some(q49Sql)))
+    "q49_quantized_knn" -> (q49QuantizedKnn, Some(q49Sql)),
+    "q50_ivf_sq8" -> (q50IvfSq8, Some(q50Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
