@@ -1436,6 +1436,46 @@ object Battery {
       |  FROM cand)
       |WHERE rank <= 5""".stripMargin
 
+  /** Per-document repetition fractions
+    * ([[graft.operators.TextAnalysis.repetitionStats]]): top-bigram share
+    * and duplicated-trigram share — the Gopher-style repetition gates a
+    * quality pipeline runs. Integer-count ratios rounded at 4dp, so the
+    * whole operator hash-replays. */
+  val q51Repetition: Q = (s, dir) =>
+    graft.operators.TextAnalysis.repetitionStats(
+      t(s, dir, "documents").repartition(col("doc_id")), "doc_id",
+      col("text"))
+
+  val q51Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> len(x) > 0) AS t
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS g
+      |  FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+      |bcnt AS (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY doc_id, g),
+      |bstats AS (
+      |  SELECT doc_id, ROUND(MAX(c)::DOUBLE / SUM(c), 4) AS top2
+      |  FROM bcnt GROUP BY doc_id),
+      |tg AS (
+      |  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+      |    || ' ' || t[CAST(i AS INT) + 2] AS g
+      |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+      |tcnt AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g),
+      |tstats AS (
+      |  SELECT doc_id,
+      |    ROUND(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0)::DOUBLE
+      |      / SUM(c), 4) AS dup3
+      |  FROM tcnt GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(b.top2, 0.0) AS top_bigram_frac,
+      |  COALESCE(ts.dup3, 0.0) AS dup_trigram_frac
+      |FROM documents d
+      |LEFT JOIN bstats b ON b.doc_id = d.doc_id
+      |LEFT JOIN tstats ts ON ts.doc_id = d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1491,7 +1531,8 @@ object Battery {
     "q47_pii_redact" -> (q47PiiRedact, Some(q47Sql)),
     "q48_corpus_pipeline" -> (q48CorpusPipeline, Some(q48Sql)),
     "q49_quantized_knn" -> (q49QuantizedKnn, Some(q49Sql)),
-    "q50_ivf_sq8" -> (q50IvfSq8, Some(q50Sql)))
+    "q50_ivf_sq8" -> (q50IvfSq8, Some(q50Sql)),
+    "q51_repetition" -> (q51Repetition, Some(q51Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

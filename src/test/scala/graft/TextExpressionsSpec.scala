@@ -64,4 +64,20 @@ class TextExpressionsSpec extends SparkSpec {
     assert(a == b)
     assert(a(4) == "und" && a(5) == "und")
   }
+
+  test("repetitionStats: hand-computed bigram/trigram fractions") {
+    val docs = Seq(
+      (1L, "a b a b c"),          // bigrams ab,ba,ab,bc → top 2/4
+      (2L, "x y z x y z x y z"),  // trigrams 3+2+2 of 7 dup → 1.0
+      (3L, "one two"),            // no trigram possible → dup3 = 0.0
+      (4L, "solo"))               // no bigram either → 0.0 / 0.0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", col("text"))
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, a, b2) => id -> ((a, b2)) }.toMap
+    assert(out(1L) == ((0.5, 0.0)))
+    assert(out(2L) == ((0.375, 1.0))) // top bigram "x y" 3 of 8
+    assert(out(3L) == ((1.0, 0.0)))   // the single bigram is the top one
+    assert(out(4L) == ((0.0, 0.0)))
+  }
 }
