@@ -54,6 +54,31 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /**
+   * Streaming exact document dedup: drop any document whose normalized
+   * content fingerprint was already seen, across micro-batches, keeping
+   * state only `watermark` past each document's event time
+   * (`dropDuplicatesWithinWatermark` — a duplicate arriving later than
+   * the watermark lag is the documented trade-off of BOUNDED state; at
+   * 100 TB/day an unbounded seen-set is not an option, and late
+   * re-crawls are caught by the batch dedup the corpus runs anyway).
+   * The fingerprint is the same md5-of-normalized-text the batch
+   * pipeline uses ([[graft.operators.CorpusPipeline]]), so stream and
+   * batch agree on what "identical" means. Unlike the batch
+   * [[graft.operators.Dedup.exactDedup]] (keep-lowest-id), the kept
+   * representative WITHIN a micro-batch is arbitrary — a stream has no
+   * intra-batch order; across batches, earlier state always wins.
+   */
+  def dedupedDocStream(docs: DataFrame, tsCol: String = "ts",
+      textCol: String = "text",
+      watermark: String = "1 hour"): DataFrame = {
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    docs.withColumn("__fp", md5(norm))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 
