@@ -259,4 +259,38 @@ object TextAnalysis {
   def piiCounts(text: Column): (Column, Column) = (
     size(regexp_extract_all(text, lit(EmailRe), lit(0))),
     size(regexp_extract_all(text, lit(PhoneRe), lit(0))))
+
+  /**
+   * Fixed-window document chunking with overlap — the context-window
+   * prep step between corpus cleaning and sequence packing: chunk i
+   * covers tokens `[i·stride + 1, i·stride + maxTokens]` (1-based,
+   * stride = maxTokens − overlap), the final chunk is allowed to run
+   * short, and a document shorter than one window yields exactly one
+   * chunk. Chunk count = ⌈(m − overlap) / stride⌉ (min 1), so every
+   * token belongs to ≥1 chunk and consecutive chunks share `overlap`
+   * tokens.
+   *
+   * One explode over a computed `sequence` — no shuffle, no UDF; at
+   * 100 TB this is a narrow map stage whose output feeds the packer.
+   */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, maxTokens: Int,
+      overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got ($overlap, $maxTokens)")
+    val stride = maxTokens - overlap
+    val m = size(col("__t"))
+    val nChunks = greatest(
+      floor((m - lit(overlap) + lit(stride) - 1) / lit(stride)).cast("int"),
+      lit(1))
+    df.select(col(idCol), tokens(text).as("__t"))
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__t"), col("chunk_idx") * stride + 1, lit(maxTokens))
+          .as("__c"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__c")).as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
 }

@@ -1476,6 +1476,35 @@ object Battery {
       |LEFT JOIN bstats b ON b.doc_id = d.doc_id
       |LEFT JOIN tstats ts ON ts.doc_id = d.doc_id""".stripMargin
 
+  /** Document chunking ([[graft.operators.TextAnalysis.chunkTokens]]):
+    * 40-token windows, 10-token overlap. The oracle replays the window
+    * arithmetic and hashes each chunk's joined text, so boundaries are
+    * verified to the token. */
+  val q52Chunking: Q = (s, dir) =>
+    graft.operators.TextAnalysis.chunkTokens(
+      t(s, dir, "documents").repartition(col("doc_id")), "doc_id",
+      col("text"), maxTokens = 40, overlap = 10)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        md5(col("chunk_text")).as("chunk_hash"))
+
+  val q52Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, t, len(t) AS m,
+      |    greatest((len(t) - 10 + 29) // 30, 1) AS nc
+      |  FROM toks),
+      |c AS (
+      |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+      |    list_slice(t, CAST(i * 30 + 1 AS INT),
+      |      CAST(least(i * 30 + 40, m) AS INT)) AS ch
+      |  FROM n, unnest(range(0, nc)) AS u(i))
+      |SELECT doc_id, chunk_idx, CAST(len(ch) AS INT) AS n_tokens,
+      |  md5(array_to_string(ch, ' ')) AS chunk_hash
+      |FROM c""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1532,7 +1561,8 @@ object Battery {
     "q48_corpus_pipeline" -> (q48CorpusPipeline, Some(q48Sql)),
     "q49_quantized_knn" -> (q49QuantizedKnn, Some(q49Sql)),
     "q50_ivf_sq8" -> (q50IvfSq8, Some(q50Sql)),
-    "q51_repetition" -> (q51Repetition, Some(q51Sql)))
+    "q51_repetition" -> (q51Repetition, Some(q51Sql)),
+    "q52_chunking" -> (q52Chunking, Some(q52Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -80,4 +80,29 @@ class TextExpressionsSpec extends SparkSpec {
     assert(out(3L) == ((1.0, 0.0)))   // the single bigram is the top one
     assert(out(4L) == ((0.0, 0.0)))
   }
+
+  test("chunkTokens: boundaries, overlap, short docs") {
+    val docs = Seq(
+      (1L, (1 to 100).map("t" + _).mkString(" ")), // 100 → 3 chunks
+      (2L, (1 to 40).map("t" + _).mkString(" ")),  // exactly one window
+      (3L, "a b c"))                               // shorter than overlap
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "doc_id", col("text"),
+      maxTokens = 40, overlap = 10)
+      .as[(Long, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // stride 30: ⌈(100−10)/30⌉ = 3 chunks at starts 1, 31, 61 — the
+    // last window reaches token 100, so no 4th chunk is needed
+    assert(out(1L).map(c => (c._2, c._3)).toSeq ==
+      Seq((0, 40), (1, 40), (2, 40)))
+    // consecutive chunks share the 10-token overlap
+    val c0 = out(1L)(0)._4.split(" "); val c1 = out(1L)(1)._4.split(" ")
+    assert(c0.takeRight(10).toSeq == c1.take(10).toSeq)
+    assert(c0.head == "t1" && c1.head == "t31")
+    assert(out(2L).map(c => (c._2, c._3)).toSeq == Seq((0, 40)))
+    assert(out(3L).map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0, 3, "a b c")))
+    // every token of doc 1 is covered
+    assert(out(1L).flatMap(_._4.split(" ")).toSet.size == 100)
+  }
 }
