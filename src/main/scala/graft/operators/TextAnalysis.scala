@@ -273,6 +273,44 @@ object TextAnalysis {
    * One explode over a computed `sequence` — no shuffle, no UDF; at
    * 100 TB this is a narrow map stage whose output feeds the packer.
    */
+  /**
+   * Concat-and-cut sequence packing — the GPT-style packed-dataset
+   * layout: within each `keyCol` shard, documents are laid end-to-end
+   * in (key, id) order and the token stream is cut into fixed
+   * `capacity`-token training sequences; a document can span a cut.
+   * Returns one row per (key, seq_id) with `n_docs` contributing and
+   * `n_tokens` (= capacity except for the shard's last sequence).
+   *
+   * Pure window arithmetic: an exclusive running token sum per shard
+   * places every document at [start, start+n); the sequences it touches
+   * are `floor(start/C) .. floor((start+n-1)/C)`, and its contribution
+   * to each is the interval overlap — so packing needs ONE
+   * per-shard window plus an explode, no iterative state. Shards pack
+   * in parallel; within a shard the window sort is the price of a
+   * deterministic layout (at 100 TB, key by source×day so no single
+   * shard's stream is unbounded).
+   */
+  def packSequences(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      idCol: String, text: Column,
+      capacity: Int): org.apache.spark.sql.DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val c = lit(capacity.toLong)
+    df.select(col(keyCol), col(idCol), tokenCount(text).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        explode(sequence(floor(col("__start") / c),
+          floor((col("__start") + col("__n") - 1) / c))))
+      .withColumn("__ov",
+        least(col("__start") + col("__n"), (col("seq_id") + 1) * c) -
+          greatest(col("__start"), col("seq_id") * c))
+      .groupBy(col(keyCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ov")).as("n_tokens"))
+  }
+
   def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
       text: Column, maxTokens: Int,
       overlap: Int): org.apache.spark.sql.DataFrame = {

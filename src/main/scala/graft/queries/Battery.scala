@@ -1505,6 +1505,35 @@ object Battery {
       |  md5(array_to_string(ch, ' ')) AS chunk_hash
       |FROM c""".stripMargin
 
+  /** Sequence packing ([[graft.operators.TextAnalysis.packSequences]]):
+    * per-source concat-and-cut into 256-token training sequences.
+    * Deterministic layout → the oracle replays the window prefix sums
+    * and interval overlaps exactly. */
+  val q53Packing: Q = (s, dir) =>
+    graft.operators.TextAnalysis.packSequences(
+      t(s, dir, "documents"), "source", "doc_id", col("text"),
+      capacity = 256)
+
+  val q53Sql: String =
+    """WITH n AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |      x -> len(x) > 0)) AS BIGINT) AS nt
+      |  FROM documents),
+      |pos AS (
+      |  SELECT source, doc_id, nt,
+      |    CAST(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS st
+      |  FROM n WHERE nt > 0),
+      |sp AS (
+      |  SELECT source, nt, st, CAST(i AS BIGINT) AS seq_id
+      |  FROM pos, unnest(range(st // 256, (st + nt - 1) // 256 + 1)) AS u(i))
+      |SELECT source, seq_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(least(st + nt, (seq_id + 1) * 256)
+      |    - greatest(st, seq_id * 256)) AS BIGINT) AS n_tokens
+      |FROM sp GROUP BY source, seq_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1562,7 +1591,8 @@ object Battery {
     "q49_quantized_knn" -> (q49QuantizedKnn, Some(q49Sql)),
     "q50_ivf_sq8" -> (q50IvfSq8, Some(q50Sql)),
     "q51_repetition" -> (q51Repetition, Some(q51Sql)),
-    "q52_chunking" -> (q52Chunking, Some(q52Sql)))
+    "q52_chunking" -> (q52Chunking, Some(q52Sql)),
+    "q53_packing" -> (q53Packing, Some(q53Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -105,4 +105,22 @@ class TextExpressionsSpec extends SparkSpec {
     // every token of doc 1 is covered
     assert(out(1L).flatMap(_._4.split(" ")).toSet.size == 100)
   }
+
+  test("packSequences: concat-and-cut prefix-sum arithmetic") {
+    def words(n: Int) = (1 to n).map("w" + _).mkString(" ")
+    val docs = Seq(
+      ("s1", 1L, words(100)), // [0, 100)   → seq 0
+      ("s1", 2L, words(200)), // [100, 300) → spans seqs 0 and 1
+      ("s1", 3L, words(100)), // [300, 400) → seq 1
+      ("s2", 9L, words(10)))  // shards pack independently
+      .toDF("source", "doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, "source", "doc_id",
+      col("text"), capacity = 256)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("s1", 0L)) == ((2L, 256L))) // docs 1+2 fill it exactly
+    assert(out(("s1", 1L)) == ((2L, 144L))) // doc 2 tail + doc 3
+    assert(out(("s2", 0L)) == ((1L, 10L)))
+    assert(out.size == 3)
+  }
 }
