@@ -673,6 +673,54 @@ object Dedup {
       (col(idCol) === col("component")).cast("int"))
 
   /**
+   * Canonical-document selection by QUALITY instead of id: per cluster,
+   * keep the member with the highest `score` (ties to the lowest id, so
+   * the choice is deterministic). What production dedup actually wants —
+   * [[canonicalByComponent]]'s keep-lowest-id is the cheap default; this
+   * keeps the longest/cleanest member. One window over the CC output.
+   */
+  def canonicalByScore(cc: DataFrame, score: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("component").orderBy(score.desc, col(idCol))
+    cc.withColumn("is_canonical",
+      (row_number().over(w) === 1).cast("int"))
+  }
+
+  /**
+   * Benchmark decontamination: flag training documents that share any
+   * word `n`-gram with a benchmark/eval set — the standard contamination
+   * check run before training so eval numbers stay meaningful. Returns
+   * `(idCol, n_hits)` for contaminated training docs (n_hits = how many
+   * DISTINCT benchmark n-grams the doc contains).
+   *
+   * Scale shape: the benchmark side is small by definition — its
+   * distinct n-gram hashes BROADCAST, so the corpus pass is one narrow
+   * explode + broadcast semi-join + per-doc count: no corpus shuffle
+   * beyond the final count. Hashes are md5-based (portable, oracle-
+   * replayable), grams are lowercase whitespace tokens joined by one
+   * space — the same normalization on both sides.
+   */
+  def contaminationFlags(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, text: Column, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, id: Column): DataFrame = {
+      val toks = graft.operators.TextAnalysis.tokens(lower(text))
+      df.select(id.as("__id"), toks.as("__t"))
+        .filter(size(col("__t")) >= n)
+        .select(col("__id"), col("__t"),
+          explode(sequence(lit(1), size(col("__t")) - (n - 1))).as("__i"))
+        .select(col("__id"),
+          md5(concat_ws(" ",
+            (0 until n).map(j => element_at(col("__t"), col("__i") + j)): _*))
+            .as("__g"))
+    }
+    val benchGrams = grams(benchmark, col(idCol)).select("__g").distinct()
+    grams(corpus, col(idCol))
+      .join(broadcast(benchGrams), Seq("__g"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count_distinct(col("__g")).as("n_hits"))
+  }
+
+  /**
    * Per-key quota capping: keep at most `n` rows per `key`, preferring
    * the highest `order` (ties broken by lowest `idCol` for determinism).
    * The training-data use: bound any one domain/source's contribution to

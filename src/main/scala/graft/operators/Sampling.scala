@@ -63,4 +63,35 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
     df.filter(hashBucket(id, salt) < math.round(fraction * Buckets))
   }
+
+  /**
+   * Mixture balancing: deterministically downsample every `key` group
+   * (domain, language, source) toward the SMALLEST group's size, so no
+   * domain dominates the training mixture. Each group keeps rows whose
+   * hash bucket falls under `target·Buckets ÷ count(key)` — integer
+   * arithmetic, so any engine computes the identical cutoff, and the
+   * kept set is a hash-stable subset (re-runs keep the same rows;
+   * growing a group only evicts, never reshuffles).
+   *
+   * One count aggregate + a broadcast of |keys| cutoffs + a narrow
+   * filter: the corpus itself never shuffles. The result sizes are
+   * binomial around the target (exact-k per group would need a
+   * per-group sort — [[graft.operators.Dedup.capPerKey]] when
+   * exactness matters more than a shuffle-free plan).
+   */
+  def balanceMixture(df: DataFrame, key: Column, id: Column,
+      salt: String): DataFrame = {
+    val counts = df.groupBy(key.as("__bk"))
+      .agg(count(lit(1)).as("__cnt"))
+    val cutoffs = counts
+      .withColumn("__tgt", min(col("__cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      // integer division (`div`), not double `/`: any engine computes
+      // the identical cutoff, which the oracle hash-check relies on
+      .withColumn("__cut", expr(s"(__tgt * ${Buckets}L) div __cnt"))
+      .select(col("__bk"), col("__cut"))
+    df.join(broadcast(cutoffs), key === col("__bk"))
+      .filter(hashBucket(id, salt) < col("__cut"))
+      .drop("__bk", "__cut")
+  }
 }

@@ -1534,6 +1534,80 @@ object Battery {
       |    - greatest(st, seq_id * 256)) AS BIGINT) AS n_tokens
       |FROM sp GROUP BY source, seq_id""".stripMargin
 
+  /** Benchmark decontamination
+    * ([[graft.operators.Dedup.contaminationFlags]]): a synthetic eval
+    * set is EXCERPTED from the corpus (docs ≡0 mod 11 contribute tokens
+    * 6..25 under shifted ids), so the source doc of every excerpt — plus
+    * any near-dup of it — provably shares word 8-grams and must be
+    * flagged. Oracle replays tokenization, gram hashing and the distinct
+    * hit count. */
+  val q54Decontam: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+      .select((col("doc_id") + 9000000L).as("doc_id"),
+        concat_ws(" ",
+          slice(graft.operators.TextAnalysis.tokens(col("text")), 6, 20))
+          .as("text"))
+    graft.operators.Dedup.contaminationFlags(
+      docs.repartition(col("doc_id")), bench, "doc_id", col("text"), n = 8)
+  }
+
+  val q54Sql: String =
+    """WITH bench AS (
+      |  SELECT doc_id + 9000000 AS doc_id,
+      |    array_to_string(list_slice(list_filter(
+      |      string_split_regex(text, '\s+'), x -> len(x) > 0), 6, 25), ' ')
+      |      AS text
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |bt AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> len(x) > 0) AS t
+      |  FROM bench),
+      |bg AS (
+      |  SELECT DISTINCT md5(array_to_string(
+      |    list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7), ' ')) AS g
+      |  FROM bt, unnest(range(1, len(t) - 6)) AS u(i) WHERE len(t) >= 8),
+      |ct AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> len(x) > 0) AS t
+      |  FROM documents),
+      |cg AS (
+      |  SELECT doc_id, md5(array_to_string(
+      |    list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7), ' ')) AS g
+      |  FROM ct, unnest(range(1, len(t) - 6)) AS u(i) WHERE len(t) >= 8)
+      |SELECT cg.doc_id, COUNT(DISTINCT cg.g) AS n_hits
+      |FROM cg JOIN bg ON bg.g = cg.g
+      |GROUP BY cg.doc_id""".stripMargin
+
+  /** Mixture balancing ([[graft.operators.Sampling.balanceMixture]]):
+    * every source downsampled toward the smallest source's size with a
+    * hash-stable, engine-independent integer cutoff; reported per
+    * (source, lang) so the oracle checks the exact kept SET, not just
+    * sizes. */
+  val q55Balance: Q = (s, dir) =>
+    graft.operators.Sampling.balanceMixture(
+      t(s, dir, "documents"), col("source"), col("doc_id"), "mix1")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("sum_ids"))
+
+  val q55Sql: String =
+    """WITH cnt AS (
+      |  SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+      |cut AS (
+      |  SELECT source, (SELECT MIN(c) FROM cnt) * 1000000 // c AS cu
+      |  FROM cnt),
+      |kept AS (
+      |  SELECT d.source, d.lang, d.doc_id
+      |  FROM documents d JOIN cut ON cut.source = d.source
+      |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix1'),
+      |    1, 15))::BIGINT % 1000000 < cu)
+      |SELECT source, lang, COUNT(*) AS n_kept,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM kept GROUP BY source, lang""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1592,7 +1666,9 @@ object Battery {
     "q50_ivf_sq8" -> (q50IvfSq8, Some(q50Sql)),
     "q51_repetition" -> (q51Repetition, Some(q51Sql)),
     "q52_chunking" -> (q52Chunking, Some(q52Sql)),
-    "q53_packing" -> (q53Packing, Some(q53Sql)))
+    "q53_packing" -> (q53Packing, Some(q53Sql)),
+    "q54_decontam" -> (q54Decontam, Some(q54Sql)),
+    "q55_balance" -> (q55Balance, Some(q55Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -171,6 +171,36 @@ class DedupSpec extends SparkSpec {
     Dedup.releasePersisted()
   }
 
+  test("canonicalByScore keeps the best-scoring cluster member") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val scores = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (9L, 1.0))
+      .toDF("doc_id", "score")
+    val cc = Dedup.connectedComponents(pairs, nodes).join(scores, "doc_id")
+    val canon = Dedup.canonicalByScore(cc, col("score"))
+      .filter(col("is_canonical") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3}: top score 9.0 tie between 2 and 3 → lowest id 2
+    assert(canon == Set(2L, 9L))
+    Dedup.releasePersisted()
+  }
+
+  test("contaminationFlags finds excerpted benchmark n-grams") {
+    val train = Seq(
+      (1L, (1 to 30).map("w" + _).mkString(" ")),
+      (2L, (101 to 130).map("w" + _).mkString(" ")),
+      (3L, "totally unrelated words " + (201 to 226).mkString(" ")))
+      .toDF("doc_id", "text")
+    // benchmark excerpt = tokens 5..16 of doc 1
+    val bench = Seq((900L, (5 to 16).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.contaminationFlags(train, bench, "doc_id",
+      col("text"), n = 8)
+      .as[(Long, Long)].collect().toMap
+    // 12-token excerpt → 5 distinct 8-grams, all present in doc 1 only
+    assert(flagged == Map(1L -> 5L))
+  }
+
   test("capPerKey keeps top-n per key with deterministic ties") {
     val df = Seq(
       ("a", 10, 1L), ("a", 10, 2L), ("a", 9, 3L), ("a", 8, 4L),

@@ -39,6 +39,22 @@ class SamplingSpec extends SparkSpec {
     assert(one.size < ten.size && ten.size < 2000)
   }
 
+  test("balanceMixture: smallest group fully kept, big groups shrink") {
+    val df = ((1L to 1000L).map(i => (i, "big")) ++
+      (2001L to 2100L).map(i => (i, "small"))).toDF("id", "src")
+    val kept = Sampling.balanceMixture(df, col("src"), col("id"), "m1")
+    val bySrc = kept.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    // smallest group's cutoff is exactly Buckets → every row kept
+    assert(bySrc("small") == 100L)
+    // big group lands around 100 (binomial, p = 0.1, n = 1000)
+    assert(bySrc("big") > 60 && bySrc("big") < 140, s"big=${bySrc("big")}")
+    // deterministic: the kept SET reproduces exactly
+    val again = Sampling.balanceMixture(df, col("src"), col("id"), "m1")
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+  }
+
   test("redactPii replaces emails and phones, counts match") {
     val df = Seq(
       (1L, "reach me at jane.doe+x@sub.example.co.uk today"),
