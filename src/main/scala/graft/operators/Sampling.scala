@@ -83,9 +83,10 @@ object Sampling {
       salt: String): DataFrame = {
     val counts = df.groupBy(key.as("__bk"))
       .agg(count(lit(1)).as("__cnt"))
-    val cutoffs = counts
-      .withColumn("__tgt", min(col("__cnt")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+    // global min via agg + broadcast (not an unpartitioned window, which
+    // warns and single-partitions — irrelevant at |keys| rows but noisy)
+    val target = counts.agg(min(col("__cnt")).as("__tgt"))
+    val cutoffs = counts.crossJoin(broadcast(target))
       // integer division (`div`), not double `/`: any engine computes
       // the identical cutoff, which the oracle hash-check relies on
       .withColumn("__cut", expr(s"(__tgt * ${Buckets}L) div __cnt"))
