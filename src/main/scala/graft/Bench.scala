@@ -14,7 +14,7 @@ object Bench {
       // to sort-based aggregation costs a full sort of the exploded input
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "10000000")
-      // 42 queries x several codegen stages each overflow the default
+      // 55 queries x several codegen stages each overflow the default
       // 100-entry generated-class cache — q40's classes were evicted and
       // recompiled EVERY rep (measured ~5 s in-battery vs ~1.7 s steady
       // state in a fresh JVM). Static conf: must be set before the

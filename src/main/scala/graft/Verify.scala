@@ -20,7 +20,7 @@ object Verify {
       // aggregation costs a full sort of the exploded input
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "10000000")
-      // see Bench: the 42-query battery overflows the 100-entry
+      // see Bench: the 55-query battery overflows the 100-entry
       // generated-class cache
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
@@ -33,7 +33,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop any intermediates the dedup operators cached for this query
-      // — a 42-query sweep must not accumulate executor storage
+      // — a full-battery sweep must not accumulate executor storage
       graft.operators.Dedup.releasePersisted()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
