@@ -1178,6 +1178,37 @@ object Battery {
       |  CAST(id = MIN(r) AS INT) AS is_canonical
       |FROM reach GROUP BY id""".stripMargin
 
+  /** Quality-based canonical selection
+    * ([[graft.operators.Dedup.canonicalByScore]]): same clusters as
+    * [[q44CcDedup]], but each cluster keeps its LONGEST member (ties to
+    * the lowest id) instead of the lowest id — what a production dedup
+    * actually ships. Oracle = the q44 recursive CTE + a per-component
+    * quality window. */
+  val q56CanonQuality: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val cc = graft.operators.Dedup.connectedComponents(
+      q24MinhashDedup(s, dir), docs.select("doc_id"))
+    graft.operators.Dedup.canonicalByScore(
+      cc.join(docs.select("doc_id", "n_chars"), "doc_id"),
+      col("n_chars")).drop("n_chars")
+  }
+
+  val q56Sql: String =
+    s"""WITH RECURSIVE $q24PairCtes,
+      |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      |cc AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
+      |SELECT cc.doc_id, cc.component,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY cc.component
+      |    ORDER BY d.n_chars DESC, cc.doc_id) = 1 AS INT) AS is_canonical
+      |FROM cc JOIN documents d ON d.doc_id = cc.doc_id""".stripMargin
+
   /** Deterministic train/val/test assignment (80/10/10) by portable
     * (id, salt) hash — re-runs never migrate documents between splits
     * (test-set leakage), and the narrow codegen'd filter scales to any
@@ -1668,7 +1699,8 @@ object Battery {
     "q52_chunking" -> (q52Chunking, Some(q52Sql)),
     "q53_packing" -> (q53Packing, Some(q53Sql)),
     "q54_decontam" -> (q54Decontam, Some(q54Sql)),
-    "q55_balance" -> (q55Balance, Some(q55Sql)))
+    "q55_balance" -> (q55Balance, Some(q55Sql)),
+    "q56_canon_quality" -> (q56CanonQuality, Some(q56Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
