@@ -331,4 +331,90 @@ object TextAnalysis {
         size(col("__c")).as("n_tokens"),
         array_join(col("__c"), " ").as("chunk_text"))
   }
+
+  /**
+   * TF-IDF keyword extraction: the `k` highest-scoring terms per document,
+   * smooth idf `ln((N+1)/(df+1))` (sklearn's formulation, public knowledge).
+   *
+   * Plan shape: one explode over the corpus scan → tf groupBy on
+   * (doc, term) → df groupBy on term → one hash join back on term →
+   * per-doc top-k window. All shuffles key on term or doc id (uniform at
+   * corpus scale; no skew beyond natural Zipf on the term join, which AQE
+   * splits). The corpus size N rides as a broadcast 1-row frame, not a
+   * driver-side `count()` — the whole operator is one lazy lineage.
+   *
+   * Ranking compares the 4dp-ROUNDED score (ties → term asc) so the
+   * ordering is reproducible across engines: sub-rounding ulp differences
+   * in `ln` can never flip a rank.
+   *
+   * @return `(idCol, rank, term, tf, tfidf)` — k rows per document that
+   *         has at least one token.
+   */
+  def tfIdfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    val terms = df.select(col(idCol), explode(tokens(lower(text))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term")
+      .agg(count(lit(1)).as("__df"))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "term")
+      .join(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") *
+          log((col("__n") + lit(1.0)) / (col("__df") + lit(1.0))), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("tfidf"))
+  }
+
+  /**
+   * Self-trained bigram language-model scoring with add-one (Laplace)
+   * smoothing — the cheap LM-perplexity quality gate of a data pipeline,
+   * trained on the corpus itself so no external model rides along:
+   *
+   *   score(d) = avg over d's bigrams of ln((c(w1,w2)+1) / (c1(w1)+V))
+   *
+   * where `c(w1,w2)` is the corpus bigram count, `c1(w1)` the count of
+   * bigrams starting with w1, and `V` the corpus vocabulary size.
+   * Repetitive/templated text scores high (its bigrams are frequent);
+   * token soup scores low.
+   *
+   * Plan shape: bigram explode → corpus counts (one groupBy, map-side
+   * combined) → join doc bigrams back on (w1,w2) — the one big shuffle,
+   * keyed on the gram pair, Zipf-skew handled by AQE — → per-doc avg.
+   * V and the unigram table ride the same lineage; nothing touches the
+   * driver.
+   *
+   * @return `(idCol, n_bigrams, avg_logp)` for every document with ≥2
+   *         tokens.
+   */
+  def bigramLmScores(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), tokens(lower(text)).as("__t"))
+    val m = size(col("__t"))
+    val bg = toks.filter(m >= 2)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), m - 1)).as("__i"))
+      .select(col(idCol),
+        element_at(col("__t"), col("__i")).as("w1"),
+        element_at(col("__t"), col("__i") + 1).as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("__c2")).as("__c1"))
+    val vocab = toks.select(explode(col("__t")).as("__w"))
+      .agg(count_distinct(col("__w")).as("__v"))
+    val scored = bg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(broadcast(vocab))
+      .withColumn("__lp",
+        log((col("__c2") + lit(1.0)) / (col("__c1") + col("__v"))))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__lp")), 4).as("avg_logp"))
+  }
 }

@@ -1639,6 +1639,89 @@ object Battery {
       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
       |FROM kept GROUP BY source, lang""".stripMargin
 
+  /** Bloom-pruned join ([[graft.operators.BloomJoin.prunedInnerJoin]]):
+    * a runtime filter built from the selective customer slice prunes the
+    * orders scan before its shuffle. A Bloom filter has no false
+    * negatives, so the result is EXACTLY the plain join — which is what
+    * the oracle replays. */
+  val q57BloomJoin: Q = (s, dir) => {
+    val richCustomers = t(s, dir, "customer")
+      .filter(col("c_acctbal") > 9500)
+      .select("c_custkey")
+    graft.operators.BloomJoin.prunedInnerJoin(
+      t(s, dir, "orders"), richCustomers,
+      probeKey = "o_custkey", buildKey = "c_custkey",
+      expectedKeys = 1L << 16)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+  }
+
+  val q57Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  ROUND(SUM(o_totalprice), 2) AS revenue
+      |FROM orders o
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |WHERE c.c_acctbal > 9500
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TF-IDF keyword extraction
+    * ([[graft.operators.TextAnalysis.tfIdfTopTerms]]): top-3 terms per
+    * document under smooth idf. Rank compares the ROUNDED score (ties →
+    * term asc) so the top-k set is engine-reproducible; the oracle replays
+    * tf, df, ln and the window verbatim. */
+  val q58TfIdf: Q = (s, dir) =>
+    graft.operators.TextAnalysis.tfIdfTopTerms(
+      t(s, dir, "documents").repartition(col("doc_id")), "doc_id",
+      col("text"), k = 3)
+
+  val q58Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      |  GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |    ROUND(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 4) AS tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      |SELECT doc_id, rank, term, tf, tfidf FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3""".stripMargin
+
+  /** Self-trained bigram-LM quality scores
+    * ([[graft.operators.TextAnalysis.bigramLmScores]]): add-one smoothed
+    * avg log-probability per document — the cheap perplexity gate. The
+    * oracle replays the counts, the smoothing arithmetic and ln; the avg
+    * is rounded at 4dp on both sides. */
+  val q59BigramLm: Q = (s, dir) =>
+    graft.operators.TextAnalysis.bigramLmScores(
+      t(s, dir, "documents").repartition(col("doc_id")), "doc_id",
+      col("text"))
+
+  val q59Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+      |  FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT term) AS v FROM (
+      |  SELECT unnest(t) AS term FROM toks)),
+      |scored AS (
+      |  SELECT bg.doc_id, ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS lp
+      |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 4) AS avg_logp
+      |FROM scored GROUP BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1700,7 +1783,10 @@ object Battery {
     "q53_packing" -> (q53Packing, Some(q53Sql)),
     "q54_decontam" -> (q54Decontam, Some(q54Sql)),
     "q55_balance" -> (q55Balance, Some(q55Sql)),
-    "q56_canon_quality" -> (q56CanonQuality, Some(q56Sql)))
+    "q56_canon_quality" -> (q56CanonQuality, Some(q56Sql)),
+    "q57_bloom_join" -> (q57BloomJoin, Some(q57Sql)),
+    "q58_tfidf" -> (q58TfIdf, Some(q58Sql)),
+    "q59_bigram_lm" -> (q59BigramLm, Some(q59Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -123,4 +123,41 @@ class TextExpressionsSpec extends SparkSpec {
     assert(out(("s2", 0L)) == ((1L, 10L)))
     assert(out.size == 3)
   }
+
+  test("tfIdfTopTerms: hand-computed smooth idf, rank ties on term") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry cherry"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, "doc_id", col("text"), k = 2)
+      .as[(Long, Int, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // N=3, every df=2 → idf = ln(4/3) = 0.287682..., rounded 0.2877/doc tf
+    assert(out((1L, 1)) == (("apple", 2L, 0.5754)))
+    assert(out((1L, 2)) == (("banana", 1L, 0.2877)))
+    // d2: banana and cherry tie at 0.2877 → term asc breaks the tie
+    assert(out((2L, 1))._1 == "banana")
+    assert(out((2L, 2))._1 == "cherry")
+    assert(out((3L, 1)) == (("cherry", 3L, 0.863)))
+    assert(out.size == 6)
+  }
+
+  test("bigramLmScores: hand-computed add-one smoothing") {
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "solo")) // <2 tokens → no bigrams, excluded
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScores(docs, "doc_id", col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // c2: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3 b=2; V=4 ({a,b,c,solo})
+    // lp(a,b)=ln(4/7), lp(b,a)=lp(b,c)=ln(2/6)
+    val lpAb = math.log(4.0 / 7); val lpB = math.log(2.0 / 6)
+    def r4(x: Double) = math.rint(x * 10000) / 10000 // away-from-zero ties never hit here
+    assert(out(1L) == ((3L, r4((2 * lpAb + lpB) / 3))))
+    assert(out(2L) == ((2L, r4((lpAb + lpB) / 2))))
+    assert(!out.contains(3L) && out.size == 2)
+  }
 }
