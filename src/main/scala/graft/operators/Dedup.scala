@@ -494,12 +494,16 @@ object Dedup {
     val inv = sh.select(col("__sid"), size(col("__sh")).as("__m"),
       explode(col("__sh")).as("shingle"))
     val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("__df"))
-    val prefix = inv.join(dfreq, Seq("shingle"))
+    // persisted: both sides of the candidate self-join scan this frame, and
+    // without the cache the whole dfreq-join + per-doc window subtree is
+    // planned (and executed) twice — measured as two identical Window
+    // stages in the q40 physical plan
+    val prefix = trackPersist(inv.join(dfreq, Seq("shingle"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy("__sid").orderBy(col("__df"), col("shingle"))))
       .filter(col("__rk") <=
         col("__m") - ceil(lit(threshold) * col("__m")).cast("int") + 1)
-      .select(col("__sid"), col("shingle"), col("__rk"), col("__m"))
+      .select(col("__sid"), col("shingle"), col("__rk"), col("__m")))
     val a = prefix.select(col("__sid").as("id_a"), col("shingle"),
       col("__rk").as("__rka"), col("__m").as("__ma"))
     val b = prefix.select(col("__sid").as("id_b"), col("shingle"),
