@@ -417,4 +417,48 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("__lp")), 4).as("avg_logp"))
   }
+
+  /**
+   * EXACT frequent word n-grams (count ≥ `minCount`) with a Count-Min
+   * prefilter — heavy-hitter vocabulary extraction, the phrase-mining /
+   * boilerplate-detection primitive of a corpus pipeline.
+   *
+   * Two passes, both narrow until the final aggregation:
+   *  1. build a CM sketch over all n-gram occurrences
+   *     (`stat.countMinSketch` — a shuffle-free treeAggregate; counter
+   *     merges are commutative sums, so the sketch is deterministic
+   *     under any partitioning);
+   *  2. re-scan, keep occurrences whose sketch estimate reaches
+   *     `minCount` ([[graft.functions.CmsExpressions.CmsAtLeast]], a
+   *     codegen predicate), and count exactly only those.
+   *
+   * A CM sketch never under-estimates, so pass 2's prefilter keeps every
+   * truly-frequent gram — the result is provably the exact answer, the
+   * sketch only decides how much of the long tail pays for the exchange.
+   * At corpus scale that is the difference between shuffling every
+   * distinct n-gram (billions — mostly singletons at Zipf) and shuffling
+   * only candidate heavy hitters. The final HAVING re-check discards the
+   * sketch's false positives.
+   *
+   * @return `(gram, n_occurrences)` for every word n-gram occurring at
+   *         least `minCount` times.
+   */
+  def frequentNgrams(df: org.apache.spark.sql.DataFrame, text: Column,
+      n: Int, minCount: Long, eps: Double = 1e-3,
+      confidence: Double = 0.99): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && minCount >= 1, s"need n>=1, minCount>=1; got ($n, $minCount)")
+    val toks = df.select(tokens(lower(text)).as("__t"))
+    val m = size(col("__t"))
+    val gram = concat_ws(" ",
+      (0 until n).map(j => element_at(col("__t"), col("__i") + j)): _*)
+    val grams = toks.filter(m >= n)
+      .select(col("__t"), explode(sequence(lit(1), m - (n - 1))).as("__i"))
+      .select(gram.as("gram"))
+    val cms = grams.stat.countMinSketch("gram", eps, confidence, 42)
+    grams
+      .filter(graft.functions.CmsExpressions.atLeast(col("gram"),
+        graft.functions.CmsExpressions.serialize(cms), minCount))
+      .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+  }
 }

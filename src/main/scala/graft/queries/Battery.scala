@@ -1722,6 +1722,27 @@ object Battery {
       |SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 4) AS avg_logp
       |FROM scored GROUP BY doc_id""".stripMargin
 
+  /** Exact frequent trigrams via CM-sketch prefilter + exact rescan
+    * ([[graft.operators.TextAnalysis.frequentNgrams]]). The sketch can
+    * only over-count, so the prefilter provably keeps every truly
+    * frequent gram — the result is the exact HAVING query, which is what
+    * the oracle replays. */
+  val q60FrequentNgrams: Q = (s, dir) =>
+    graft.operators.TextAnalysis.frequentNgrams(
+      t(s, dir, "documents"), col("text"), n = 3, minCount = 5)
+
+  val q60Sql: String =
+    """WITH toks AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents),
+      |tg AS (
+      |  SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+      |    || ' ' || t[CAST(i AS INT) + 2] AS gram
+      |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3)
+      |SELECT gram, COUNT(*) AS n_occurrences
+      |FROM tg GROUP BY gram HAVING COUNT(*) >= 5""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1786,7 +1807,8 @@ object Battery {
     "q56_canon_quality" -> (q56CanonQuality, Some(q56Sql)),
     "q57_bloom_join" -> (q57BloomJoin, Some(q57Sql)),
     "q58_tfidf" -> (q58TfIdf, Some(q58Sql)),
-    "q59_bigram_lm" -> (q59BigramLm, Some(q59Sql)))
+    "q59_bigram_lm" -> (q59BigramLm, Some(q59Sql)),
+    "q60_frequent_ngrams" -> (q60FrequentNgrams, Some(q60Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -160,4 +160,26 @@ class TextExpressionsSpec extends SparkSpec {
     assert(out(2L) == ((2L, r4((lpAb + lpB) / 2))))
     assert(!out.contains(3L) && out.size == 2)
   }
+
+  test("frequentNgrams: exact counts, prefilter never drops a frequent gram") {
+    // 40 docs sharing "x y" (count 40), plus per-doc unique bigrams
+    val docs = (1 to 40).map(i => (i.toLong, s"x y u$i v$i"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.frequentNgrams(docs, col("text"), n = 2,
+      minCount = 3).as[(String, Long)].collect().toMap
+    // hand reference: "x y" ×40; every other bigram ("y uI", "uI vI")
+    // occurs exactly once, far below minCount
+    assert(got == Map("x y" -> 40L))
+    assert(!got.keySet.exists(_.startsWith("u")), "tail grams must not appear")
+  }
+
+  test("frequentNgrams is partitioning-invariant") {
+    val docs = (1 to 60).map(i => (i.toLong, s"a b c d${i % 7} e"))
+      .toDF("doc_id", "text")
+    val one = TextAnalysis.frequentNgrams(docs.repartition(1), col("text"),
+      n = 3, minCount = 4).as[(String, Long)].collect().toSet
+    val many = TextAnalysis.frequentNgrams(docs.repartition(13), col("text"),
+      n = 3, minCount = 4).as[(String, Long)].collect().toSet
+    assert(one == many && one.nonEmpty)
+  }
 }
