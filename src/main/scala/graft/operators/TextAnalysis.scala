@@ -461,4 +461,50 @@ object TextAnalysis {
       .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") >= minCount)
   }
+
+  /**
+   * Greedy next-fit-decreasing sequence packing: within each shard
+   * (`keyCol`), documents are laid out LONGEST-FIRST (ties → id asc) and
+   * each either joins the currently-open bin or — when it would overflow
+   * `capacity` — opens a new one. Unlike [[packSequences]]' concat-and-cut,
+   * no document is ever split across bins; a document longer than
+   * `capacity` gets an overflowing bin of its own.
+   *
+   * The walk is inherently sequential PER SHARD, so this is the one
+   * honest `mapPartitions` in the text stack: one shuffle puts a shard's
+   * docs in one partition, an in-partition sort fixes the walk order, and
+   * the per-row state machine is O(1) memory. Bin ids restart at 0 per
+   * shard and depend only on (key, nt, id) — fully deterministic under
+   * any partitioning (spec-asserted), and shards pack in parallel, so the
+   * operator scales with the number of shards, not corpus size.
+   *
+   * @return `(keyCol, idCol, n_tokens, bin)` — one row per document with
+   *         ≥1 token.
+   */
+  def packGreedy(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      idCol: String, text: Column,
+      capacity: Long): org.apache.spark.sql.DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df
+      .select(col(keyCol).cast("string").as("__k"),
+        col(idCol).cast("long").as("__id"),
+        tokenCount(text).cast("long").as("__nt"))
+      .filter(col("__nt") > 0)
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__nt").desc, col("__id"))
+      .as[(String, Long, Long)]
+    rows.mapPartitions { it =>
+      var curKey: String = null
+      var bin = 0L
+      var fill = 0L
+      it.map { case (k, id, nt) =>
+        if (k != curKey) { curKey = k; bin = 0L; fill = nt }
+        else if (fill + nt <= capacity) fill += nt
+        else { bin += 1; fill = nt }
+        (k, id, nt, bin)
+      }
+    }.toDF(keyCol, idCol, "n_tokens", "bin")
+  }
 }

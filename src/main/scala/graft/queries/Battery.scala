@@ -1743,6 +1743,42 @@ object Battery {
       |SELECT gram, COUNT(*) AS n_occurrences
       |FROM tg GROUP BY gram HAVING COUNT(*) >= 5""".stripMargin
 
+  /** Greedy next-fit-decreasing packing
+    * ([[graft.operators.TextAnalysis.packGreedy]]): whole documents into
+    * 256-token bins, longest-first per source. The layout is a sequential
+    * walk, so the oracle replays it row-by-row with a recursive CTE —
+    * every bin assignment verified, not just bin counts. */
+  val q61PackGreedy: Q = (s, dir) =>
+    graft.operators.TextAnalysis.packGreedy(
+      t(s, dir, "documents"), "source", "doc_id", col("text"),
+      capacity = 256)
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+
+  val q61Sql: String =
+    """WITH RECURSIVE n AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |      x -> len(x) > 0)) AS BIGINT) AS nt
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, nt,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY nt DESC, doc_id) AS rn
+      |  FROM n WHERE nt > 0),
+      |walk(source, rn, doc_id, nt, bin, fill) AS (
+      |  SELECT source, rn, doc_id, nt, CAST(0 AS BIGINT), nt
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.source, r.rn, r.doc_id, r.nt,
+      |    CASE WHEN w.fill + r.nt <= 256 THEN w.bin ELSE w.bin + 1 END,
+      |    CASE WHEN w.fill + r.nt <= 256 THEN w.fill + r.nt ELSE r.nt END
+      |  FROM walk w JOIN r ON r.source = w.source AND r.rn = w.rn + 1)
+      |SELECT source, bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS n_tokens
+      |FROM walk GROUP BY source, bin""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1808,7 +1844,8 @@ object Battery {
     "q57_bloom_join" -> (q57BloomJoin, Some(q57Sql)),
     "q58_tfidf" -> (q58TfIdf, Some(q58Sql)),
     "q59_bigram_lm" -> (q59BigramLm, Some(q59Sql)),
-    "q60_frequent_ngrams" -> (q60FrequentNgrams, Some(q60Sql)))
+    "q60_frequent_ngrams" -> (q60FrequentNgrams, Some(q60Sql)),
+    "q61_pack_greedy" -> (q61PackGreedy, Some(q61Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

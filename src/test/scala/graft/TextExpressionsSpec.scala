@@ -182,4 +182,40 @@ class TextExpressionsSpec extends SparkSpec {
       n = 3, minCount = 4).as[(String, Long)].collect().toSet
     assert(one == many && one.nonEmpty)
   }
+
+  test("packGreedy: next-fit-decreasing walk, oversized docs, key reset") {
+    def words(n: Int) = (1 to n).map("w" + _).mkString(" ")
+    val docs = Seq(
+      ("s1", 1L, words(7)), ("s1", 2L, words(6)), ("s1", 3L, words(4)),
+      ("s1", 4L, words(3)), ("s1", 5L, words(2)), ("s1", 6L, words(12)),
+      ("s2", 9L, words(5)), ("s2", 8L, ""))
+      .toDF("source", "doc_id", "text")
+    val out = TextAnalysis.packGreedy(docs, "source", "doc_id",
+      col("text"), capacity = 10)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // s1 longest-first: 6(12) 1(7) 2(6) 3(4) 4(3) 5(2) →
+    // bin0={6 oversized alone}, bin1={1}, bin2={2,3}=10, bin3={4,5}
+    assert(out(("s1", 6L)) == ((12L, 0L)))
+    assert(out(("s1", 1L)) == ((7L, 1L)))
+    assert(out(("s1", 2L)) == ((6L, 2L)))
+    assert(out(("s1", 3L)) == ((4L, 2L)))
+    assert(out(("s1", 4L)) == ((3L, 3L)))
+    assert(out(("s1", 5L)) == ((2L, 3L)))
+    assert(out(("s2", 9L)) == ((5L, 0L)), "bins restart per shard")
+    assert(!out.contains(("s2", 8L)), "empty docs are excluded")
+  }
+
+  test("packGreedy is partitioning-invariant") {
+    val docs = (1 to 300).map(i =>
+      (s"s${i % 5}", i.toLong, (1 to (i % 37) + 1).map("w" + _).mkString(" ")))
+      .toDF("source", "doc_id", "text")
+    val one = TextAnalysis.packGreedy(docs.repartition(1), "source",
+      "doc_id", col("text"), 64)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val many = TextAnalysis.packGreedy(docs.repartition(17), "source",
+      "doc_id", col("text"), 64)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(one == many && one.nonEmpty)
+  }
 }
