@@ -241,4 +241,95 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
   }
+
+  /**
+   * Product-quantization ADC top-k (the PQ of Jégou et al.'s "Product
+   * Quantization for Nearest Neighbor Search", public knowledge): vectors
+   * are split into `m` subspaces, each subvector snapped to one of
+   * `codebookSize` per-subspace centroids (maximum-inner-product
+   * assignment — this PQ variant targets dot-product similarity), and a
+   * query scores a vector WITHOUT touching it: asymmetric distance
+   * computation sums the query-subvector · centroid dot products looked
+   * up by the vector's codes.
+   *
+   * Codebooks default to the `codebookSize` lowest-id corpus vectors
+   * sliced per subspace — deterministic and oracle-replayable, same
+   * policy as [[ivfTopK]]'s centroids; k-means-trained codebooks can be
+   * passed in. Assignment compares 4dp-ROUNDED dots (ties → lowest code)
+   * so codes are engine-reproducible.
+   *
+   * 100 TB shape: encoding is one narrow codegen pass (m·codebookSize
+   * native dot products per vector — no shuffle), and codes are 8 ints
+   * per vector where the vector was 64 floats: the scan a query pays is
+   * ~8× smaller, which is the entire point of PQ at scale. ADC joins
+   * codes to a broadcast (m·codebookSize)-row codebook and a broadcast
+   * query-subvector frame; the only shuffle is the final per-query
+   * top-k window over candidate scores.
+   *
+   * @return `(queryIdCol, rank, idCol, score_adc)`
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, codebookSize: Int = 16,
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      vecCol: String = "embedding",
+      codebook: Seq[Seq[Seq[Float]]] = Nil): DataFrame = {
+    require(m > 0 && codebookSize > 0 && codebookSize <= 256,
+      s"need m>0 and codebookSize in [1,256], got ($m, $codebookSize)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // codebook(j)(c) = centroid c of subspace j
+    val cb: Seq[Seq[Seq[Float]]] =
+      if (codebook.nonEmpty) {
+        require(codebook.size == m && codebook.forall(_.size == codebookSize),
+          s"expected $m x $codebookSize codebook")
+        codebook
+      } else {
+        val base = corpus.select(col(idCol).cast("long"), col(vecCol))
+          .orderBy(col(idCol)).limit(codebookSize).collect()
+          .map(_.getSeq[Float](1).toSeq).toSeq
+        require(base.size == codebookSize,
+          s"corpus smaller than codebookSize=$codebookSize")
+        val dim = base.head.size
+        require(dim % m == 0, s"dim $dim not divisible by m=$m")
+        val sd = dim / m
+        (0 until m).map(j => base.map(_.slice(j * sd, j * sd + sd)))
+      }
+    val sd = cb.head.head.size
+
+    def sub(vec: Column, j: Int): Column = slice(vec, j * sd + 1, sd)
+
+    // per-subspace argmax code: array_max over (rounded dot, -code)
+    def codeOf(vec: Column, j: Int): Column = {
+      val scored = cb(j).zipWithIndex.map { case (cent, c) =>
+        struct(round(dotFast(sub(vec, j), typedlit(cent)), 4).as("d"),
+          lit(-c).as("n"))
+      }
+      -array_max(array(scored: _*)).getField("n")
+    }
+
+    // encode: (id, j, code) — one narrow pass, no shuffle
+    val codes = corpus.select(col(idCol),
+      posexplode(array((0 until m).map(j => codeOf(col(vecCol), j)): _*))
+        .as(Seq("__j", "__code")))
+
+    val cbRows = (for {
+      j <- 0 until m; c <- 0 until codebookSize
+    } yield (j, c, cb(j)(c))).toDF("__j", "__code", "__cvec")
+
+    val qsubs = queries.select(col(queryIdCol),
+      posexplode(array((0 until m).map(j => sub(col(vecCol), j)): _*))
+        .as(Seq("__j", "__qsub")))
+
+    val adc = codes
+      .join(broadcast(cbRows), Seq("__j", "__code"))
+      .join(broadcast(qsubs), Seq("__j"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(dotFast(col("__qsub"), col("__cvec"))), 4)
+        .as("score_adc"))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("score_adc").desc, col(idCol))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("score_adc"))
+  }
 }

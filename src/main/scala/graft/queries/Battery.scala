@@ -1779,6 +1779,57 @@ object Battery {
       |  CAST(SUM(nt) AS BIGINT) AS n_tokens
       |FROM walk GROUP BY source, bin""".stripMargin
 
+  /** Product-quantization ADC top-5 ([[graft.operators.Similarity.pqTopK]]):
+    * 8 subspaces × 16 codes, deterministic codebook (lowest-id vectors),
+    * max-inner-product assignment on 4dp-rounded dots. The oracle replays
+    * the whole pipeline — codebook slicing, code assignment, ADC lookup
+    * sums, ranking. */
+  val q62PqAdc: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.operators.Similarity.pqTopK(
+      emb, emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k = 5)
+  }
+
+  val q62Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |base AS (SELECT vec_id, e FROM e ORDER BY vec_id LIMIT 16),
+      |cb AS (
+      |  SELECT CAST(j AS INT) AS j,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1
+      |      AS INT) AS code,
+      |    list_slice(e, j * 8 + 1, j * 8 + 8) AS cvec
+      |  FROM base, unnest(range(0, 8)) AS u(j)),
+      |subs AS (
+      |  SELECT vec_id, CAST(j AS INT) AS j,
+      |    list_slice(e, j * 8 + 1, j * 8 + 8) AS sub
+      |  FROM e, unnest(range(0, 8)) AS u(j)),
+      |assign AS (
+      |  SELECT s.vec_id, s.j, cb.code,
+      |    ROUND(list_dot_product(s.sub, cb.cvec), 4) AS d
+      |  FROM subs s JOIN cb ON cb.j = s.j),
+      |codes AS (
+      |  SELECT vec_id, j, code FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+      |      ORDER BY d DESC, code) AS rn
+      |    FROM assign) WHERE rn = 1),
+      |qsubs AS (
+      |  SELECT vec_id AS query_id, j, sub FROM subs WHERE vec_id < 3),
+      |adc AS (
+      |  SELECT qs.query_id, c.vec_id,
+      |    ROUND(SUM(list_dot_product(qs.sub, cb.cvec)), 4) AS score_adc
+      |  FROM codes c
+      |  JOIN cb ON cb.j = c.j AND cb.code = c.code
+      |  JOIN qsubs qs ON qs.j = c.j
+      |  GROUP BY qs.query_id, c.vec_id)
+      |SELECT query_id, rank, vec_id, score_adc FROM (
+      |  SELECT query_id, vec_id, score_adc,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score_adc DESC, vec_id) AS rank
+      |  FROM adc) WHERE rank <= 5""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1845,7 +1896,8 @@ object Battery {
     "q58_tfidf" -> (q58TfIdf, Some(q58Sql)),
     "q59_bigram_lm" -> (q59BigramLm, Some(q59Sql)),
     "q60_frequent_ngrams" -> (q60FrequentNgrams, Some(q60Sql)),
-    "q61_pack_greedy" -> (q61PackGreedy, Some(q61Sql)))
+    "q61_pack_greedy" -> (q61PackGreedy, Some(q61Sql)),
+    "q62_pq_adc" -> (q62PqAdc, Some(q62Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -81,4 +81,83 @@ class SimilaritySpec extends SparkSpec {
       numCells = 2, nprobe = 1)
     assert(got.count() == 4)
   }
+
+  /** Plain-Scala PQ reference: same codebook policy, rounded-dot argmax
+    * assignment (ties → lowest code), ADC sum, (score desc, id) ranking. */
+  private def pqReference(vecs: Seq[(Long, Seq[Float])], queryIds: Seq[Long],
+      k: Int, m: Int, cbSize: Int): Set[(Long, Int, Long, Double)] = {
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble }
+    val sd = vecs.head._2.size / m
+    val base = vecs.sortBy(_._1).take(cbSize).map(_._2)
+    def subOf(v: Seq[Float], j: Int) = v.slice(j * sd, j * sd + sd)
+    val cb = (0 until m).map(j => base.map(subOf(_, j)))
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until m).map { j =>
+        cb(j).zipWithIndex
+          .map { case (c, i) => (r4(dot(subOf(v, j), c)), i) }
+          .maxBy { case (d, i) => (d, -i) }._2
+      }
+    }.toMap
+    val byId = vecs.toMap
+    queryIds.flatMap { qid =>
+      val q = byId(qid)
+      val scored = vecs.map { case (id, _) =>
+        val s = (0 until m).map(j => dot(subOf(q, j), cb(j)(codes(id)(j)))).sum
+        (id, r4(s))
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((id, s), i) => (qid, i + 1, id, s) }
+    }.toSet
+  }
+
+  test("pqTopK matches a plain-Scala PQ reference on a seeded corpus") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(id =>
+      id -> Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = Similarity.pqTopK(corpus, queries, k = 4, m = 4,
+      codebookSize = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == pqReference(vecs, Seq(0L, 1L), k = 4, m = 4, cbSize = 8))
+    // partitioning invariance of the whole pipeline
+    val got7 = Similarity.pqTopK(corpus.repartition(7), queries, k = 4,
+      m = 4, codebookSize = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got7 == got)
+  }
+
+  test("pqTopK with corpus vectors AS the codebook reproduces exact dots") {
+    // 2 subspaces, and the corpus IS the codebook: every subvector snaps
+    // to SOME centroid with dot >= its own self-dot; when vectors are
+    // orthogonal one-hots scaled differently per subspace, assignment is
+    // exact and ADC equals the true dot product.
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 4L).map { id =>
+      id -> (0 until 8).map(i =>
+        if (i == id || i == 4 + id) 1.0f + id * 0.1f else 0.0f).toSeq
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.select($"vec_id".as("query_id"), $"embedding")
+    val got = Similarity.pqTopK(corpus, queries, k = 1, m = 2,
+      codebookSize = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // every query's top-1 is itself at its exact squared norm
+    got.foreach { case (qid, id, s) =>
+      assert(id == qid, s"query $qid retrieved $id")
+      val v = vecs(qid.toInt)._2
+      val want = BigDecimal(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(s - want) < 1e-9, s"query $qid score $s want $want")
+    }
+  }
 }
