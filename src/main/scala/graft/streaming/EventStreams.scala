@@ -118,6 +118,47 @@ object EventStreams {
       }
   }
 
+  final case class DocArrival(source: String, doc_id: Long, n_tokens: Long)
+  final case class AdmittedDoc(source: String, doc_id: Long, n_tokens: Long,
+      fill: Long)
+
+  /**
+   * Streaming per-source token-budget admission via
+   * flatMapGroupsWithState: each source may contribute at most
+   * `maxTokens` tokens to the mixture; documents past the budget are
+   * dropped ON ARRIVAL — the streaming form of a mixture cap, applied
+   * while the corpus is still being crawled instead of in a batch pass
+   * afterwards.
+   *
+   * State per source is ONE long (tokens admitted so far) — bounded by
+   * the number of sources, not the stream. Within a micro-batch the
+   * group iterator is unordered, so arrivals are folded in (doc_id) order
+   * to make admission deterministic; across batches state carries the
+   * fill, so a document is admitted iff it fits when its batch is
+   * processed. Emits admitted docs with the post-admission fill
+   * (append-friendly: each doc is emitted at most once, in the batch it
+   * arrives).
+   */
+  def tokenBudgetStream(docs: Dataset[DocArrival],
+      maxTokens: Long): Dataset[AdmittedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, AdmittedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[DocArrival], state: GroupState[Long]) =>
+          var fill = state.getOption.getOrElse(0L)
+          val admitted = rows.toSeq.sortBy(_.doc_id).flatMap { d =>
+            if (d.n_tokens > 0 && fill + d.n_tokens <= maxTokens) {
+              fill += d.n_tokens
+              Some(AdmittedDoc(source, d.doc_id, d.n_tokens, fill))
+            } else None
+          }
+          state.update(fill)
+          admitted.iterator
+      }
+  }
+
   /** Convenience: run a streaming transform to a named in-memory sink and
     * block until the available data is processed (testing/demo). */
   def runToMemory(df: DataFrame, queryName: String,

@@ -123,4 +123,36 @@ class EventStreamsSpec extends SparkSpec {
       assert(ids.size == 3)
     } finally q.stop()
   }
+
+  test("tokenBudgetStream admits per-source up to the cap across batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[EventStreams.DocArrival]
+    val q = EventStreams.tokenBudgetStream(input.toDS(), maxTokens = 100)
+      .writeStream.format("memory").queryName("t_budget")
+      .outputMode("append").start()
+    try {
+      // batch 1 (s1 folds in doc_id order regardless of arrival order):
+      // 1(40)→40, 2(50)→90, 3(20) overflows and drops; s2 independent
+      input.addData(
+        EventStreams.DocArrival("s1", 3L, 20L),
+        EventStreams.DocArrival("s1", 1L, 40L),
+        EventStreams.DocArrival("s1", 2L, 50L),
+        EventStreams.DocArrival("s2", 7L, 99L))
+      q.processAllAvailable()
+      // batch 2: state carries fill=90 → 4(10) fits exactly, 5(1) drops
+      input.addData(
+        EventStreams.DocArrival("s1", 4L, 10L),
+        EventStreams.DocArrival("s1", 5L, 1L),
+        EventStreams.DocArrival("s2", 8L, 2L))
+      q.processAllAvailable()
+      val got = spark.table("t_budget")
+        .as[EventStreams.AdmittedDoc].collect()
+        .map(a => (a.source, a.doc_id) -> ((a.n_tokens, a.fill))).toMap
+      assert(got == Map(
+        ("s1", 1L) -> ((40L, 40L)), ("s1", 2L) -> ((50L, 90L)),
+        ("s1", 4L) -> ((10L, 100L)),
+        ("s2", 7L) -> ((99L, 99L))),
+        s"admissions: $got")
+    } finally q.stop()
+  }
 }
