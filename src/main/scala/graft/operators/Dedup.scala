@@ -706,22 +706,67 @@ object Dedup {
    */
   def contaminationFlags(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, text: Column, n: Int = 8): DataFrame = {
-    def grams(df: DataFrame, id: Column): DataFrame = {
-      val toks = graft.operators.TextAnalysis.tokens(lower(text))
-      df.select(id.as("__id"), toks.as("__t"))
-        .filter(size(col("__t")) >= n)
-        .select(col("__id"), col("__t"),
-          explode(sequence(lit(1), size(col("__t")) - (n - 1))).as("__i"))
-        .select(col("__id"),
-          md5(concat_ws(" ",
-            (0 until n).map(j => element_at(col("__t"), col("__i") + j)): _*))
-            .as("__g"))
-    }
-    val benchGrams = grams(benchmark, col(idCol)).select("__g").distinct()
-    grams(corpus, col(idCol))
+    val benchGrams = wordGramHashes(benchmark, col(idCol), text, n)
+      .select("__g").distinct()
+    wordGramHashes(corpus, col(idCol), text, n)
       .join(broadcast(benchGrams), Seq("__g"))
       .groupBy(col("__id").as(idCol))
       .agg(count_distinct(col("__g")).as("n_hits"))
+  }
+
+  /** `(__id, __g)` — md5 hashes of lowercase word `n`-grams, the shared
+    * kernel of [[contaminationFlags]] and [[dedupAgainstCorpus]]. */
+  private def wordGramHashes(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    val toks = graft.operators.TextAnalysis.tokens(lower(text))
+    df.select(id.as("__id"), toks.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("__id"), col("__t"),
+        explode(sequence(lit(1), size(col("__t")) - (n - 1))).as("__i"))
+      .select(col("__id"),
+        md5(concat_ws(" ",
+          (0 until n).map(j => element_at(col("__t"), col("__i") + j)): _*))
+          .as("__g"))
+  }
+
+  /**
+   * Incremental dedup: the rows of `incoming` that survive against an
+   * EXISTING corpus — what every recurring crawl runs before appending
+   * a new batch. Two gates, both engine-portable:
+   *
+   *  1. exact — drop incoming docs whose normalized-text fingerprint
+   *     ([[graft.operators.TextAnalysis.fingerprint]]) already exists;
+   *  2. near-dup — drop incoming docs sharing ≥ `minHits` distinct word
+   *     `n`-gram hashes with any existing doc.
+   *
+   * Unlike [[contaminationFlags]] (benchmark side small by definition →
+   * broadcast), the existing side here is the FULL corpus: its distinct
+   * fingerprints and gram hashes flow through plain hash joins keyed on
+   * the hash — at scale both are bucketed-store-friendly (the corpus
+   * side can be written pre-bucketed on the hash so only the incoming
+   * batch shuffles, the same pattern as the variant store's dedup join).
+   * Only incoming-vs-existing is deduplicated; compose with
+   * [[exactDedup]] for intra-batch duplicates.
+   */
+  def dedupAgainstCorpus(incoming: DataFrame, existing: DataFrame,
+      idCol: String, text: Column, n: Int = 8, minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, "minHits must be >= 1")
+    val fpOld = existing
+      .select(graft.operators.TextAnalysis.fingerprint(text).as("__fp"))
+      .distinct()
+    val exactSurvivors = incoming
+      .withColumn("__fp", graft.operators.TextAnalysis.fingerprint(text))
+      .join(fpOld, Seq("__fp"), "left_anti")
+      .drop("__fp")
+    val oldGrams = wordGramHashes(existing, col(idCol), text, n)
+      .select("__g").distinct()
+    val flagged = wordGramHashes(exactSurvivors, col(idCol), text, n)
+      .join(oldGrams, Seq("__g"))
+      .groupBy("__id")
+      .agg(count_distinct(col("__g")).as("__hits"))
+      .filter(col("__hits") >= minHits)
+      .select(col("__id").as(idCol))
+    exactSurvivors.join(flagged, Seq(idCol), "left_anti")
   }
 
   /**

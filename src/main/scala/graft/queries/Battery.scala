@@ -1830,6 +1830,69 @@ object Battery {
       |      ORDER BY score_adc DESC, vec_id) AS rank
       |  FROM adc) WHERE rank <= 5""".stripMargin
 
+  /** Incremental dedup of a synthetic new crawl against the corpus
+    * ([[graft.operators.Dedup.dedupAgainstCorpus]]). The incoming batch
+    * is DERIVED so every category is provable: docs ≡0 mod 10 are exact
+    * copies (must drop at the fingerprint gate), ≡1 are tail excerpts
+    * (share word 8-grams → drop at the near-dup gate when long enough),
+    * ≡2 are token-reversed (novel n-grams → survive). The oracle replays
+    * the derivation, both gates and the anti-joins. */
+  val q63IncrementalDedup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val incoming = docs.filter(pmod(col("doc_id"), lit(10)) < 3)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 0, col("text"))
+          .when(pmod(col("doc_id"), lit(10)) === 1,
+            concat_ws(" ", slice(toks, 6, 1000000)))
+          .otherwise(concat_ws(" ", reverse(toks))).as("text"))
+    graft.operators.Dedup.dedupAgainstCorpus(
+      incoming, docs, "doc_id", col("text"), n = 8, minHits = 1)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+  }
+
+  val q63Sql: String =
+    """WITH toks0 AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |inc AS (
+      |  SELECT doc_id + 10000000 AS doc_id,
+      |    CASE WHEN doc_id % 10 = 0 THEN text
+      |         WHEN doc_id % 10 = 1 THEN
+      |           array_to_string(list_slice(t, 6, len(t)), ' ')
+      |         ELSE array_to_string(list_reverse(t), ' ') END AS text
+      |  FROM toks0 WHERE doc_id % 10 < 3),
+      |fpold AS (
+      |  SELECT DISTINCT
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |s1 AS (
+      |  SELECT i.* FROM inc i LEFT JOIN fpold f
+      |  ON f.fp = md5(regexp_replace(trim(lower(i.text)), '\s+', ' ', 'g'))
+      |  WHERE f.fp IS NULL),
+      |it AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> len(x) > 0) AS t
+      |  FROM s1),
+      |ig AS (
+      |  SELECT doc_id, md5(array_to_string(
+      |    list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7), ' ')) AS g
+      |  FROM it, unnest(range(1, len(t) - 6)) AS u(i) WHERE len(t) >= 8),
+      |ot AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents),
+      |og AS (
+      |  SELECT DISTINCT md5(array_to_string(
+      |    list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7), ' ')) AS g
+      |  FROM ot, unnest(range(1, len(t) - 6)) AS u(i) WHERE len(t) >= 8),
+      |hit AS (SELECT DISTINCT ig.doc_id FROM ig JOIN og ON og.g = ig.g)
+      |SELECT s1.doc_id, md5(s1.text) AS text_hash
+      |FROM s1 LEFT JOIN hit h ON h.doc_id = s1.doc_id
+      |WHERE h.doc_id IS NULL""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1897,7 +1960,8 @@ object Battery {
     "q59_bigram_lm" -> (q59BigramLm, Some(q59Sql)),
     "q60_frequent_ngrams" -> (q60FrequentNgrams, Some(q60Sql)),
     "q61_pack_greedy" -> (q61PackGreedy, Some(q61Sql)),
-    "q62_pq_adc" -> (q62PqAdc, Some(q62Sql)))
+    "q62_pq_adc" -> (q62PqAdc, Some(q62Sql)),
+    "q63_incremental_dedup" -> (q63IncrementalDedup, Some(q63Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

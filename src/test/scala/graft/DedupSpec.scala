@@ -225,4 +225,26 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet == before,
       "no dedup-cached storage may linger after release")
   }
+
+  test("dedupAgainstCorpus: exact gate, n-gram gate, short-doc pass") {
+    val existing = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, "  A b   c d e F g h i j "), // exact after normalization
+      (102L, "l m n o p q r s t"),        // 9-token excerpt of doc 2
+      (103L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"), // novel
+      (104L, "q r s"))                    // short: no grams, no fp match
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstCorpus(incoming, existing, "doc_id",
+      col("text"), n = 8, minHits = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(103L, 104L))
+    // minHits above the excerpt's gram count lets it through
+    val loose = Dedup.dedupAgainstCorpus(incoming, existing, "doc_id",
+      col("text"), n = 8, minHits = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(loose == Set(102L, 103L, 104L), "9-token excerpt has 2 grams")
+  }
 }
