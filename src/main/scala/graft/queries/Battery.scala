@@ -1893,6 +1893,46 @@ object Battery {
       |FROM s1 LEFT JOIN hit h ON h.doc_id = s1.doc_id
       |WHERE h.doc_id IS NULL""".stripMargin
 
+  /** Pivot: the source × lang mixture-composition matrix. The pivot
+    * value list is FIXED (not data-inferred) so column order and schema
+    * are deterministic at any scale — Spark's inferring form runs an
+    * extra distinct job and caps at
+    * `spark.sql.pivotMaxValues`. Oracle = conditional aggregation. */
+  val q64Pivot: Q = (s, dir) => {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    t(s, dir, "documents")
+      .groupBy("source")
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .na.fill(0L, langs)
+  }
+
+  val q64Sql: String =
+    """SELECT source,
+      |  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+      |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+      |  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+      |  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+      |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** CUBE over (source, lang): every aggregation granularity in one
+    * pass (the full matrix, both margins, the grand total), grouping
+    * ids disambiguating NULL-as-ALL from NULL-as-value — the companion
+    * to q35's ROLLUP completing the grouping-sets family. */
+  val q65Cube: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .cube("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        grouping_id().as("gid"))
+
+  val q65Sql: String =
+    """SELECT source, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
+      |FROM documents GROUP BY CUBE (source, lang)""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1961,7 +2001,9 @@ object Battery {
     "q60_frequent_ngrams" -> (q60FrequentNgrams, Some(q60Sql)),
     "q61_pack_greedy" -> (q61PackGreedy, Some(q61Sql)),
     "q62_pq_adc" -> (q62PqAdc, Some(q62Sql)),
-    "q63_incremental_dedup" -> (q63IncrementalDedup, Some(q63Sql)))
+    "q63_incremental_dedup" -> (q63IncrementalDedup, Some(q63Sql)),
+    "q64_pivot" -> (q64Pivot, Some(q64Sql)),
+    "q65_cube" -> (q65Cube, Some(q65Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
