@@ -36,22 +36,14 @@ object Dedup {
     * are materialized — the same caller-owned lifecycle as
     * [[VariantLoader.LoadResult.unpersist]]. Releasing early only costs
     * recomputation, never correctness. */
-  private val tracked =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private def trackPersist(df: DataFrame): DataFrame =
+    PersistTracker.trackPersist(df)
 
-  private def trackPersist(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tracked.add(p)
-    p
-  }
-
-  /** Unpersist every intermediate cached by dedup calls since the last
-    * release (idempotent; safe while queries on other threads run — they
-    * just recompute). */
-  def releasePersisted(): Unit = {
-    var df = tracked.poll()
-    while (df != null) { df.unpersist(); df = tracked.poll() }
-  }
+  /** Unpersist every intermediate cached by dedup (and text-analysis)
+    * calls since the last release — delegates to the shared
+    * [[PersistTracker]] (idempotent; safe while queries on other threads
+    * run — they just recompute). */
+  def releasePersisted(): Unit = PersistTracker.releaseAll()
 
   /** A small corpus arrives as 1-2 parquet splits, which would run the
     * whole shingle/token hashing pass on 1-2 cores (the same pathology
@@ -659,7 +651,8 @@ object Dedup {
       prevSum = s
       it += 1
     }
-    tracked.add(labels) // released by the caller via releasePersisted()
+    // already persisted by the loop; register for releasePersisted()
+    PersistTracker.track(labels)
     nodes.select(col(idCol))
       .join(labels.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .select(col(idCol),
@@ -754,10 +747,11 @@ object Dedup {
     val fpOld = existing
       .select(graft.operators.TextAnalysis.fingerprint(text).as("__fp"))
       .distinct()
-    val exactSurvivors = incoming
+    // persisted: the survivors feed the gram pass AND the final anti-join
+    val exactSurvivors = trackPersist(incoming
       .withColumn("__fp", graft.operators.TextAnalysis.fingerprint(text))
       .join(fpOld, Seq("__fp"), "left_anti")
-      .drop("__fp")
+      .drop("__fp"))
     val oldGrams = wordGramHashes(existing, col(idCol), text, n)
       .select("__g").distinct()
     val flagged = wordGramHashes(exactSurvivors, col(idCol), text, n)

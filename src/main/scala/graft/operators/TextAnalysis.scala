@@ -354,8 +354,12 @@ object TextAnalysis {
       text: Column, k: Int = 3): org.apache.spark.sql.DataFrame = {
     require(k > 0, "k must be positive")
     val terms = df.select(col(idCol), explode(tokens(lower(text))).as("term"))
-    val tf = terms.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // persisted: tf feeds both the scored join and the df-count — without
+    // the cache the corpus explode + (doc, term) aggregation executes
+    // twice (verified in the q58 plan: two identical scan+agg subtrees)
+    val tf = PersistTracker.trackPersist(
+      terms.groupBy(col(idCol), col("term"))
+        .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term")
       .agg(count(lit(1)).as("__df"))
     val nDocs = df.agg(count(lit(1)).as("__n"))
@@ -403,7 +407,11 @@ object TextAnalysis {
       .select(col(idCol),
         element_at(col("__t"), col("__i")).as("w1"),
         element_at(col("__t"), col("__i") + 1).as("w2"))
-    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    // persisted: c2 feeds the per-bigram join AND derives c1 — caching
+    // the (small) count table avoids a second corpus-scale explode+agg;
+    // bg itself stays uncached (narrow recompute, corpus-sized)
+    val c2 = PersistTracker.trackPersist(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c2")))
     val c1 = c2.groupBy("w1").agg(sum(col("__c2")).as("__c1"))
     val vocab = toks.select(explode(col("__t")).as("__w"))
       .agg(count_distinct(col("__w")).as("__v"))
