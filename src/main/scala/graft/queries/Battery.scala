@@ -1933,6 +1933,69 @@ object Battery {
       |  CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
       |FROM documents GROUP BY CUBE (source, lang)""".stripMargin
 
+  /** Outer joins: customers with and without orders in one pass (LEFT
+    * OUTER + null-bucket aggregation) — the reporting shape where the
+    * missing side carries meaning. Null join keys on the right stay
+    * unmatched, exactly as SQL specifies. */
+  val q66OuterJoin: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        count_distinct(when(col("o_orderkey").isNull, col("c_custkey")))
+          .as("n_idle_customers"),
+        round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("revenue"))
+  }
+
+  val q66Sql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(o_orderkey) AS n_orders,
+      |  COUNT(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END)
+      |    AS n_idle_customers,
+      |  ROUND(SUM(COALESCE(o_totalprice, 0.0)), 2) AS revenue
+      |FROM customer c LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Set operations: INTERSECT and EXCEPT between the customer
+    * nation-segments that place urgent vs low-priority orders —
+    * completing the q14 UNION family. Both are distinct-set semantics
+    * (Spark `intersect`/`except` ≡ SQL INTERSECT/EXCEPT). */
+  val q67SetOps: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    def segs(prio: String) = ord.filter(col("o_orderpriority") === prio)
+      .join(cust, cust("c_custkey") === ord("o_custkey"))
+      .select("c_nationkey", "c_mktsegment")
+    val urgent = segs("1-URGENT")
+    val low = segs("5-LOW")
+    urgent.intersect(low).withColumn("op", lit("both"))
+      .unionByName(urgent.except(low).withColumn("op", lit("urgent_only")))
+      .groupBy("op")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c_nationkey").cast("long")).as("sum_nations"))
+  }
+
+  val q67Sql: String =
+    """WITH urgent AS (
+      |  SELECT DISTINCT c_nationkey, c_mktsegment
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  WHERE o_orderpriority = '1-URGENT'),
+      |low AS (
+      |  SELECT DISTINCT c_nationkey, c_mktsegment
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  WHERE o_orderpriority = '5-LOW'),
+      |tagged AS (
+      |  SELECT *, 'both' AS op FROM (
+      |    SELECT * FROM urgent INTERSECT SELECT * FROM low)
+      |  UNION ALL
+      |  SELECT *, 'urgent_only' AS op FROM (
+      |    SELECT * FROM urgent EXCEPT SELECT * FROM low))
+      |SELECT op, COUNT(*) AS n_pairs,
+      |  CAST(SUM(c_nationkey) AS BIGINT) AS sum_nations
+      |FROM tagged GROUP BY op""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2003,7 +2066,9 @@ object Battery {
     "q62_pq_adc" -> (q62PqAdc, Some(q62Sql)),
     "q63_incremental_dedup" -> (q63IncrementalDedup, Some(q63Sql)),
     "q64_pivot" -> (q64Pivot, Some(q64Sql)),
-    "q65_cube" -> (q65Cube, Some(q65Sql)))
+    "q65_cube" -> (q65Cube, Some(q65Sql)),
+    "q66_outer_join" -> (q66OuterJoin, Some(q66Sql)),
+    "q67_set_ops" -> (q67SetOps, Some(q67Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
