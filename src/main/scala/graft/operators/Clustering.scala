@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, engine-reproducible k-means over an embedding column —
+ * the trainer for [[Similarity.ivfTopK]]'s `centroids` /
+ * [[Similarity.pqTopK]]'s `codebook` hooks, and a clustering surface in
+ * its own right (semantic corpus bucketing, coarse quantizer training).
+ *
+ * Classic Lloyd iteration is NOT reproducible across engines: centroid
+ * means are float sums whose value depends on summation order, so two
+ * engines (or two runs on differently-partitioned data) disagree on
+ * boundary assignments. This implementation removes float summation
+ * entirely, the same device that makes the quantized ANN path (q49)
+ * hash-verifiable:
+ *
+ *  - Vectors are int8-quantized first
+ *    ([[graft.functions.VectorExpressions.QuantizeInt8]], floor(x·127/s
+ *    + 0.5) stated verbatim in codegen and oracle SQL).
+ *  - A centroid is represented by the INTEGER SUM of its members'
+ *    quantized vectors — never the mean. Cosine is scale-invariant, so
+ *    cos(v, sum) ≡ cos(v, mean): dividing by the count is pure noise.
+ *    Integer sums are exact in double (every partial sum is an integer
+ *    < 2^53 for any realistic cluster: |coord sum| ≤ 127·n), hence
+ *    independent of partitioning, task order, and engine.
+ *  - Assignments compare 4dp-ROUNDED cosines, ties to the LOWEST
+ *    cluster id, via the same `array_max` over (cos, -id) structs as
+ *    [[Similarity.ivfTopK]] — one broadcast codegen pass, no shuffle.
+ *  - Init = the k lowest-id vectors (deterministic, oracle-replayable);
+ *    a cluster that loses all members keeps its previous sum.
+ *
+ * Scale shape: each iteration is one narrow assignment pass (centroid
+ * literals ride inside the codegen stage) + one hash aggregation of
+ * `dim` unrolled integer sums (map-side combinable) collecting exactly
+ * k rows to the driver. State is k·dim doubles on the driver; the
+ * quantized corpus is cached once and reused across iterations. At
+ * 100 TB this is the standard coarse-quantizer training loop — optional
+ * `sampleFraction`-style downsampling belongs in the caller (train on a
+ * deterministic [[Sampling.deterministicSample]] slice, assign the
+ * full corpus once with [[assignClusters]]).
+ */
+object Clustering {
+
+  import graft.functions.VectorExpressions.{cosineSim, quantizeInt8}
+
+  /** Max k: centroid literals must stay a broadcastable codegen array. */
+  private val MaxK = 256
+
+  /** Winning (round(cos,4), -cl) struct over centroid-sum literals:
+    * array_max picks the best cosine, ties to the lowest cluster id;
+    * the struct carries BOTH the chosen cluster and its cosine. */
+  private def bestOf(vec: Column, sums: Seq[Seq[Double]]): Column = {
+    val scored = sums.zipWithIndex.map { case (s, cl) =>
+      struct(round(cosineSim(vec, typedlit(s)), 4).as("c"), lit(-cl).as("n"))
+    }
+    array_max(array(scored: _*))
+  }
+
+  private def clusterOf(vec: Column, sums: Seq[Seq[Double]]): Column =
+    -bestOf(vec, sums).getField("n")
+
+  /** Quantized view `(idCol, __q: array<double>)` — int8 codes carried
+    * as exact small-integer doubles so every later dot/norm term is an
+    * integer until the final division. */
+  private def quantized(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol), quantizeInt8(col(vecCol))
+      .cast("array<double>").as("__q"))
+
+  /**
+   * Train k centroids: `iters` rounds of (assign, integer-sum update)
+   * from the k lowest-id seeds. Returns the centroid SUM vectors,
+   * cluster id = position (0-based). Feed straight into
+   * [[assignClusters]] or (cast to float) [[Similarity.ivfTopK]].
+   */
+  def kmeansCentroidSums(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    require(k > 0 && k <= MaxK, s"k in [1,$MaxK], got $k")
+    require(iters >= 0, s"iters >= 0, got $iters")
+    val qz = PersistTracker.trackPersist(quantized(corpus, idCol, vecCol))
+    try {
+      // seeds: the k lowest-id quantized vectors (bounded collect)
+      var sums: Seq[Seq[Double]] = qz
+        .orderBy(col(idCol)).limit(k).collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
+      require(sums.size == k, s"corpus smaller than k=$k")
+      val dim = sums.head.size
+      var it = 0
+      while (it < iters) {
+        val assigned = qz.select(col("__q"),
+          clusterOf(col("__q"), sums).as("__cl"))
+        // dim unrolled integer sums — one map-side-combinable hash agg,
+        // k rows back to the driver
+        val sumCols = (0 until dim)
+          .map(j => sum(element_at(col("__q"), j + 1)).as(s"s$j"))
+        val fresh = assigned.groupBy("__cl")
+          .agg(sumCols.head, sumCols.tail: _*)
+          .collect()
+          .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble).toSeq)
+          .toMap
+        // empty clusters keep their previous sum (deterministic policy,
+        // replayed by the oracle's LEFT JOIN + COALESCE)
+        sums = sums.zipWithIndex.map { case (prev, cl) =>
+          fresh.getOrElse(cl, prev)
+        }
+        it += 1
+      }
+      sums
+    } finally PersistTracker.releaseAll()
+  }
+
+  /** One assignment pass of the full corpus against trained centroid
+    * sums: `(idCol, cluster, cos)` with the 4dp cosine to the chosen
+    * centroid. Narrow, shuffle-free. */
+  def assignClusters(corpus: DataFrame, sums: Seq[Seq[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(sums.nonEmpty && sums.size <= MaxK)
+    quantized(corpus, idCol, vecCol)
+      .select(col(idCol), bestOf(col("__q"), sums).as("__b"))
+      .select(col(idCol),
+        (-col("__b.n")).cast("int").as("cluster"), col("__b.c").as("cos"))
+  }
+
+  /** Train + assign in one call — the battery's q68 surface. */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sums = kmeansCentroidSums(corpus, k, iters, idCol, vecCol)
+    assignClusters(corpus, sums, idCol, vecCol)
+  }
+
+  /** Trained centroids in [[Similarity.ivfTopK]]'s `(id, vec)` shape
+    * (cluster id, float centroid-sum vector — cosine is scale-invariant
+    * so sums serve directly as centroids). */
+  def ivfCentroids(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Long, Seq[Float])] =
+    kmeansCentroidSums(corpus, k, iters, idCol, vecCol).zipWithIndex
+      .map { case (s, cl) => cl.toLong -> s.map(_.toFloat) }
+}

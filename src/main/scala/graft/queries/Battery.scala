@@ -1996,6 +1996,60 @@ object Battery {
       |  CAST(SUM(c_nationkey) AS BIGINT) AS sum_nations
       |FROM tagged GROUP BY op""".stripMargin
 
+  /** Deterministic k-means (Lloyd, k=8, 2 update rounds) over the int8-
+    * quantized embeddings — the coarse-quantizer trainer behind IVF.
+    * Centroids are INTEGER sum vectors (cosine is scale-invariant, so
+    * sum ≡ mean as a direction): every dot/norm term is an exact integer
+    * in both engines, which is what lets a SQL oracle replay an
+    * ITERATIVE float algorithm bit-for-bit — assignment compares
+    * 4dp-rounded cosines, ties to the lowest cluster, seeds = the 8
+    * lowest vec_ids, empty clusters keep their previous sum. The oracle
+    * unrolls both update rounds as CTEs. */
+  val q68Kmeans: Q = (s, dir) =>
+    graft.operators.Clustering.kmeans(t(s, dir, "embeddings"), k = 8,
+      iters = 2)
+
+  val q68Sql: String = {
+    def assign(src: String, cents: String): String =
+      s"""  SELECT vec_id, q, cl, cos FROM (
+         |    SELECT z.vec_id, z.q, c.cl,
+         |      ROUND(list_cosine_similarity(z.q, c.s), 4) AS cos,
+         |      ROW_NUMBER() OVER (PARTITION BY z.vec_id ORDER BY
+         |        ROUND(list_cosine_similarity(z.q, c.s), 4) DESC, c.cl) AS rk
+         |    FROM $src z CROSS JOIN $cents c) WHERE rk = 1""".stripMargin
+    def update(assigned: String, prev: String, sums: String): String =
+      s"""$sums AS (
+         |  SELECT cl, LIST(v ORDER BY i) AS s FROM (
+         |    SELECT a.cl, r.i, SUM(a.q[r.i]) AS v
+         |    FROM $assigned a, range(1, 65) r(i) GROUP BY a.cl, r.i)
+         |  GROUP BY cl)""".stripMargin
+    s"""WITH qz AS (
+       |  SELECT vec_id,
+       |    CASE WHEN s > 0 THEN
+       |      list_transform(e, x -> CAST(floor(x*127.0/s + 0.5) AS DOUBLE))
+       |    ELSE list_transform(e, x -> 0.0) END AS q
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |          list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) AS s
+       |        FROM embeddings)),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+       |    q AS s
+       |  FROM qz ORDER BY vec_id LIMIT 8),
+       |a1 AS (
+       |${assign("qz", "c0")}),
+       |${update("a1", "c0", "s1")},
+       |c1 AS (SELECT p.cl, COALESCE(n.s, p.s) AS s
+       |       FROM c0 p LEFT JOIN s1 n USING (cl)),
+       |a2 AS (
+       |${assign("qz", "c1")}),
+       |${update("a2", "c1", "s2")},
+       |c2 AS (SELECT p.cl, COALESCE(n.s, p.s) AS s
+       |       FROM c1 p LEFT JOIN s2 n USING (cl)),
+       |final AS (
+       |${assign("qz", "c2")})
+       |SELECT vec_id, CAST(cl AS INT) AS cluster, cos FROM final""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2068,7 +2122,8 @@ object Battery {
     "q64_pivot" -> (q64Pivot, Some(q64Sql)),
     "q65_cube" -> (q65Cube, Some(q65Sql)),
     "q66_outer_join" -> (q66OuterJoin, Some(q66Sql)),
-    "q67_set_ops" -> (q67SetOps, Some(q67Sql)))
+    "q67_set_ops" -> (q67SetOps, Some(q67Sql)),
+    "q68_kmeans" -> (q68Kmeans, Some(q68Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
