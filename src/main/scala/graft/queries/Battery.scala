@@ -2050,6 +2050,25 @@ object Battery {
        |SELECT vec_id, CAST(cl AS INT) AS cluster, cos FROM final""".stripMargin
   }
 
+  /** Edit-distance similarity self-join (fuzzy matching / record
+    * linkage): all customer-name pairs within Levenshtein distance 1,
+    * via the q-gram prefix-filtered pipeline — rare-gram candidate
+    * generation, length filter, threshold-bounded DP verify. The oracle
+    * runs the full quadratic join, proving the prefix filter lossless.
+    * Customer names differ only in digit positions, so ubiquitous grams
+    * ("Cu", "us", "00", …) are exactly what the rarest-gram prefix must
+    * route around — the adversarial case for an inverted-index join. */
+  val q69EditJoin: Q = (s, dir) =>
+    graft.operators.StringSimilarity.editDistanceJoin(
+      t(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1, q = 4)
+
+  val q69Sql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+      |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2123,7 +2142,8 @@ object Battery {
     "q65_cube" -> (q65Cube, Some(q65Sql)),
     "q66_outer_join" -> (q66OuterJoin, Some(q66Sql)),
     "q67_set_ops" -> (q67SetOps, Some(q67Sql)),
-    "q68_kmeans" -> (q68Kmeans, Some(q68Sql)))
+    "q68_kmeans" -> (q68Kmeans, Some(q68Sql)),
+    "q69_edit_join" -> (q69EditJoin, Some(q69Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
