@@ -3,9 +3,10 @@ package graft
 import graft.operators.StringSimilarity
 import org.apache.spark.sql.functions._
 
-/** q-gram prefix-filtered edit-distance join vs a brute-force quadratic
-  * levenshtein — the filter chain (rare-gram prefix, position band,
-  * length band) must be LOSSLESS at every threshold it claims. */
+/** Edit-distance join vs a brute-force quadratic levenshtein — BOTH
+  * candidate strategies (deletion neighborhood, two-sided q-gram prefix)
+  * must be LOSSLESS at every threshold they claim, and the auto router
+  * must agree with both. */
 class StringSimilaritySpec extends SparkSpec {
   import spark.implicits._
 
@@ -39,24 +40,64 @@ class StringSimilaritySpec extends SparkSpec {
 
   private val df = names.toDF("id", "name")
 
-  test("d=1 join equals brute force (lossless prefix filter)") {
-    for (q <- Seq(2, 3, 4)) {
+  // long strings (> auto-route's 32-char bound): repeated filler makes
+  // most grams ubiquitous; edits land early, middle, and late so the
+  // positional band and both prefix cutoffs are exercised
+  private val longNames = {
+    val filler = "lorem ipsum dolor sit amet " * 3 // 81 chars
+    Seq(
+      21L -> (filler + "alpha"), 22L -> (filler + "alphb"),  // late sub
+      23L -> (filler + "alph"),                              // late del
+      24L -> ("X" + filler + "alpha"),                       // early ins vs 21
+      25L -> (filler.replace("dolor", "dolos") + "alpha"),   // mid sub vs 21
+      26L -> (filler + "omega"), 27L -> (filler + "omeg"),
+      28L -> filler.trim)
+  }
+  private val longDf = longNames.toDF("id", "name")
+
+  for (strategy <- Seq("auto", "neighborhood", "qgram")) {
+    test(s"d=1 join equals brute force [$strategy]") {
+      for (q <- Seq(2, 3, 4)) {
+        val got = StringSimilarity.editDistanceJoin(df, "id", "name",
+          maxDist = 1, q = q, strategy = strategy)
+          .as[(Long, Long, Int)].collect().toSet
+        assert(got == bruteForce(names, 1), s"q=$q strategy=$strategy")
+      }
+    }
+
+    test(s"d=2 join equals brute force [$strategy]") {
       val got = StringSimilarity.editDistanceJoin(df, "id", "name",
-        maxDist = 1, q = q)
+        maxDist = 2, q = 2, strategy = strategy)
         .as[(Long, Long, Int)].collect().toSet
-      assert(got == bruteForce(names, 1), s"q=$q")
+      assert(got == bruteForce(names, 2))
+    }
+
+    test(s"d=0 finds exactly the byte-identical pair [$strategy]") {
+      val got = StringSimilarity.editDistanceJoin(df, "id", "name",
+        maxDist = 0, q = 2, strategy = strategy)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == Set((1L, 12L, 0)))
     }
   }
 
-  test("d=2 join equals brute force") {
-    val got = StringSimilarity.editDistanceJoin(df, "id", "name",
-      maxDist = 2, q = 2).as[(Long, Long, Int)].collect().toSet
-    assert(got == bruteForce(names, 2))
+  test("long strings: two-sided prefix path equals brute force (d=1, d=2)") {
+    for (d <- Seq(1, 2); q <- Seq(2, 4)) {
+      val got = StringSimilarity.editDistanceJoin(longDf, "id", "name",
+        maxDist = d, q = q) // auto must route these (len > 32) to qgram
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == bruteForce(longNames, d), s"d=$d q=$q")
+    }
   }
 
-  test("d=0 finds exactly the byte-identical pair") {
-    val got = StringSimilarity.editDistanceJoin(df, "id", "name",
-      maxDist = 0, q = 2).as[(Long, Long, Int)].collect().toSet
-    assert(got == Set((1L, 12L, 0)))
+  test("neighborhood and qgram agree on a mixed-length corpus") {
+    val mixed = (names ++ longNames).toDF("id", "name")
+    val nbh = StringSimilarity.editDistanceJoin(mixed, "id", "name",
+      maxDist = 1, q = 3, strategy = "neighborhood")
+      .as[(Long, Long, Int)].collect().toSet
+    val qg = StringSimilarity.editDistanceJoin(mixed, "id", "name",
+      maxDist = 1, q = 3, strategy = "qgram")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(nbh == qg)
+    assert(nbh == bruteForce(names ++ longNames, 1))
   }
 }
