@@ -55,6 +55,10 @@ object BloomJoin {
   def prune(probe: DataFrame, build: DataFrame, probeKey: Column,
       buildKey: String, expectedKeys: Long = 1L << 20, fpp: Double = 0.03,
       maxKeys: Long = 50L * 1000 * 1000): DataFrame = {
+    // the cap rides through limit(Int): beyond that a bloom of the build
+    // side is the wrong tool anyway (bucket or broadcast the join)
+    require(maxKeys > 0 && maxKeys < Int.MaxValue,
+      s"maxKeys in [1, ${Int.MaxValue - 1}], got $maxKeys")
     // bounded check, not count(): one extra row beyond the cap suffices
     val tooBig = build.select(buildKey).limit((maxKeys + 1).toInt)
       .count() > maxKeys

@@ -76,19 +76,40 @@ object Clustering {
    * [[assignClusters]] or (cast to float) [[Similarity.ivfTopK]].
    */
   def kmeansCentroidSums(corpus: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] =
+    kmeansSumsAndCounts(corpus, k, iters, idCol, vecCol).map(_._1)
+
+  /**
+   * Centroid MEANS (sum ÷ member count) — for consumers where centroid
+   * SCALE matters, unlike the cosine surfaces above: PQ sub-codebooks
+   * score by raw ADC dot products, so a sum-scaled centroid would
+   * inflate every score by its cluster's size. Counts ride the same
+   * integer aggregation (seeds count as 1; an emptied cluster keeps its
+   * previous sum AND count), so the division is one deterministic
+   * double op per coordinate.
+   */
+  def kmeansCentroidMeans(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] =
+    kmeansSumsAndCounts(corpus, k, iters, idCol, vecCol)
+      .map { case (s, c) => s.map(_ / c) }
+
+  private def kmeansSumsAndCounts(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String, vecCol: String): Seq[(Seq[Double], Long)] = {
     require(k > 0 && k <= MaxK, s"k in [1,$MaxK], got $k")
     require(iters >= 0, s"iters >= 0, got $iters")
-    val qz = PersistTracker.trackPersist(quantized(corpus, idCol, vecCol))
-    try {
+    // scope-local persist: releasing it after training must not touch
+    // caches other in-flight operators registered globally
+    PersistTracker.scoped { scope =>
+      val qz = scope.persist(quantized(corpus, idCol, vecCol))
       // seeds: the k lowest-id quantized vectors (bounded collect)
-      var sums: Seq[Seq[Double]] = qz
+      var state: Seq[(Seq[Double], Long)] = qz
         .orderBy(col(idCol)).limit(k).collect()
-        .map(_.getSeq[Double](1).toSeq).toSeq
-      require(sums.size == k, s"corpus smaller than k=$k")
-      val dim = sums.head.size
+        .map(r => r.getSeq[Double](1).toSeq -> 1L).toSeq
+      require(state.size == k, s"corpus smaller than k=$k")
+      val dim = state.head._1.size
       var it = 0
       while (it < iters) {
+        val sums = state.map(_._1)
         val assigned = qz.select(col("__q"),
           clusterOf(col("__q"), sums).as("__cl"))
         // dim unrolled integer sums — one map-side-combinable hash agg,
@@ -96,19 +117,20 @@ object Clustering {
         val sumCols = (0 until dim)
           .map(j => sum(element_at(col("__q"), j + 1)).as(s"s$j"))
         val fresh = assigned.groupBy("__cl")
-          .agg(sumCols.head, sumCols.tail: _*)
+          .agg(count(lit(1)).as("__n"), sumCols: _*)
           .collect()
-          .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble).toSeq)
+          .map(r => r.getInt(0) ->
+            ((2 to dim + 1).map(r.getDouble).toSeq -> r.getLong(1)))
           .toMap
         // empty clusters keep their previous sum (deterministic policy,
         // replayed by the oracle's LEFT JOIN + COALESCE)
-        sums = sums.zipWithIndex.map { case (prev, cl) =>
+        state = state.zipWithIndex.map { case (prev, cl) =>
           fresh.getOrElse(cl, prev)
         }
         it += 1
       }
-      sums
-    } finally PersistTracker.releaseAll()
+      state
+    }
   }
 
   /** One assignment pass of the full corpus against trained centroid

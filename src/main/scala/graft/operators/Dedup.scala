@@ -742,20 +742,51 @@ object Dedup {
    * [[exactDedup]] for intra-batch duplicates.
    */
   def dedupAgainstCorpus(incoming: DataFrame, existing: DataFrame,
+      idCol: String, text: Column, n: Int = 8, minHits: Int = 1): DataFrame =
+    dedupAgainstIndex(incoming,
+      corpusIndex(existing, idCol, text, n), idCol, text, n, minHits)
+
+  /**
+   * The corpus side of [[dedupAgainstIndex]], derived ONCE: distinct
+   * normalized-text fingerprints and distinct word `n`-gram hashes.
+   * This is the piece that must NOT be recomputed per batch — at 100 TB
+   * the whole point of incremental dedup is that the corpus index is
+   * built when the corpus is, then only probed. Build it here, persist
+   * it (or write both frames bucketed on their hash via
+   * [[graft.sources.BucketedTables]] so batch probes shuffle only the
+   * batch), and reuse across every incoming crawl.
+   */
+  case class CorpusIndex(fingerprints: DataFrame, gramHashes: DataFrame)
+
+  /** Derive a [[CorpusIndex]]; the shared `(id, text)` slice is
+    * persisted so fingerprints and grams cost one corpus scan, and both
+    * index frames are registered for [[releasePersisted]] (each is read
+    * by the batch probe AND any caller reuse). */
+  def corpusIndex(existing: DataFrame, idCol: String, text: Column,
+      n: Int = 8): CorpusIndex = {
+    val base = trackPersist(existing
+      .select(col(idCol).as("__cid"), text.as("__ctext")))
+    CorpusIndex(
+      trackPersist(base
+        .select(graft.operators.TextAnalysis.fingerprint(col("__ctext"))
+          .as("__fp"))
+        .distinct()),
+      trackPersist(wordGramHashes(base, col("__cid"), col("__ctext"), n)
+        .select("__g").distinct()))
+  }
+
+  /** [[dedupAgainstCorpus]] against a prepared [[CorpusIndex]] — the
+    * incremental form: only the incoming batch is scanned. */
+  def dedupAgainstIndex(incoming: DataFrame, index: CorpusIndex,
       idCol: String, text: Column, n: Int = 8, minHits: Int = 1): DataFrame = {
     require(minHits >= 1, "minHits must be >= 1")
-    val fpOld = existing
-      .select(graft.operators.TextAnalysis.fingerprint(text).as("__fp"))
-      .distinct()
     // persisted: the survivors feed the gram pass AND the final anti-join
     val exactSurvivors = trackPersist(incoming
       .withColumn("__fp", graft.operators.TextAnalysis.fingerprint(text))
-      .join(fpOld, Seq("__fp"), "left_anti")
+      .join(index.fingerprints, Seq("__fp"), "left_anti")
       .drop("__fp"))
-    val oldGrams = wordGramHashes(existing, col(idCol), text, n)
-      .select("__g").distinct()
     val flagged = wordGramHashes(exactSurvivors, col(idCol), text, n)
-      .join(oldGrams, Seq("__g"))
+      .join(index.gramHashes, Seq("__g"))
       .groupBy("__id")
       .agg(count_distinct(col("__g")).as("__hits"))
       .filter(col("__hits") >= minHits)

@@ -33,4 +33,32 @@ private[graft] object PersistTracker {
     var df = tracked.poll()
     while (df != null) { df.unpersist(); df = tracked.poll() }
   }
+
+  /** Scope-local persist set for operators that release their OWN
+    * intermediates before returning (k-means' quantized corpus). Frames
+    * persisted here never enter the global queue, so releasing the
+    * scope cannot unpersist caches other in-flight operators still
+    * rely on — the failure mode of calling [[releaseAll]] from inside
+    * an operator. */
+  final class Scope {
+    private val local =
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+    def persist(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      local.add(p)
+      p
+    }
+
+    def release(): Unit = {
+      var df = local.poll()
+      while (df != null) { df.unpersist(); df = local.poll() }
+    }
+  }
+
+  /** Run `f` with a fresh scope; releases exactly that scope's frames. */
+  def scoped[T](f: Scope => T): T = {
+    val s = new Scope
+    try f(s) finally s.release()
+  }
 }

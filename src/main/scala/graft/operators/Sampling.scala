@@ -81,8 +81,10 @@ object Sampling {
    */
   def balanceMixture(df: DataFrame, key: Column, id: Column,
       salt: String): DataFrame = {
-    val counts = df.groupBy(key.as("__bk"))
-      .agg(count(lit(1)).as("__cnt"))
+    // persisted: the per-key counts feed BOTH the global-min aggregate
+    // and the cutoff table — uncached, each consumer rescans the corpus
+    val counts = PersistTracker.trackPersist(df.groupBy(key.as("__bk"))
+      .agg(count(lit(1)).as("__cnt")))
     // global min via agg + broadcast (not an unpartitioned window, which
     // warns and single-partitions — irrelevant at |keys| rows but noisy)
     val target = counts.agg(min(col("__cnt")).as("__tgt"))

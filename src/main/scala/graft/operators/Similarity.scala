@@ -282,6 +282,15 @@ object Similarity {
       if (codebook.nonEmpty) {
         require(codebook.size == m && codebook.forall(_.size == codebookSize),
           s"expected $m x $codebookSize codebook")
+        val sd0 = codebook.head.head.size
+        require(codebook.forall(_.forall(_.size == sd0)),
+          s"ragged codebook: every sub-centroid must have $sd0 dims")
+        // a mismatched codebook would silently slice wrong subvectors —
+        // probe one corpus vector (bounded) and fail loudly instead
+        val dim = corpus.select(size(col(vecCol)).as("d")).limit(1)
+          .collect().headOption.map(_.getInt(0)).getOrElse(m * sd0)
+        require(m * sd0 == dim,
+          s"codebook covers ${m * sd0} dims but embeddings have $dim")
         codebook
       } else {
         val base = corpus.select(col(idCol).cast("long"), col(vecCol))
@@ -331,5 +340,34 @@ object Similarity {
     adc.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col("rank"), col(idCol), col("score_adc"))
+  }
+
+  /**
+   * Train a PQ codebook for [[pqTopK]]: per-subspace deterministic
+   * k-means ([[Clustering.kmeansCentroidMeans]] — MEANS, not sums,
+   * because ADC scores are raw dot products where centroid scale
+   * matters) over each `dim/m`-wide sub-vector slice of the corpus.
+   *
+   * `m` independent trainings, each one narrow slice projection of the
+   * corpus + the k-means loop's bounded driver state — at scale, train
+   * on a [[Sampling.deterministicSample]] slice and persist it first so
+   * the `m` passes share one cached frame.
+   */
+  def pqTrainCodebook(corpus: DataFrame, m: Int = 8, codebookSize: Int = 16,
+      iters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Seq[Float]]] = {
+    require(m > 0 && codebookSize > 0 && codebookSize <= 256,
+      s"need m>0 and codebookSize in [1,256], got ($m, $codebookSize)")
+    val dim = corpus.select(size(col(vecCol)).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("empty corpus"))
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sd = dim / m
+    (0 until m).map { j =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), j * sd + 1, sd).as("__sub"))
+      Clustering.kmeansCentroidMeans(sub, codebookSize, iters, idCol, "__sub")
+        .map(_.map(_.toFloat))
+    }
   }
 }

@@ -459,9 +459,11 @@ object TextAnalysis {
     val m = size(col("__t"))
     val gram = concat_ws(" ",
       (0 until n).map(j => element_at(col("__t"), col("__i") + j)): _*)
-    val grams = toks.filter(m >= n)
+    // persisted: the exploded grams feed the CMS build (an action) AND
+    // the exact rescan — uncached, the corpus tokenizes twice
+    val grams = graft.operators.PersistTracker.trackPersist(toks.filter(m >= n)
       .select(col("__t"), explode(sequence(lit(1), m - (n - 1))).as("__i"))
-      .select(gram.as("gram"))
+      .select(gram.as("gram")))
     val cms = grams.stat.countMinSketch("gram", eps, confidence, 42)
     grams
       .filter(graft.functions.CmsExpressions.atLeast(col("gram"),

@@ -66,6 +66,23 @@ class ClusteringSpec extends SparkSpec {
     assert(assigned.forall(_.getInt(1) == 0)) // ties → lowest cluster
   }
 
+  test("centroid means are member-count-scaled sums") {
+    // k=1: everything joins the single cluster, so after one round the
+    // sum is the whole corpus's quantized sum and the mean divides by 20
+    val sums = Clustering.kmeansCentroidSums(corpus, k = 1, iters = 1)
+    val means = Clustering.kmeansCentroidMeans(corpus, k = 1, iters = 1)
+    assert(sums.size == 1 && means.size == 1)
+    sums.head.zip(means.head).foreach { case (s, m) =>
+      assert(math.abs(m - s / 20.0) < 1e-12, s"mean $m vs sum $s / 20")
+    }
+    // and the cosine surfaces are scale-invariant between the two
+    val bySums = Clustering.assignClusters(corpus, sums).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val byMeans = Clustering.assignClusters(corpus, means).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bySums == byMeans)
+  }
+
   test("trained centroids slot into ivfTopK and keep exact top-1") {
     val cents = Clustering.ivfCentroids(corpus, k = 4, iters = 2)
     assert(cents.map(_._1) == Seq(0L, 1L, 2L, 3L))

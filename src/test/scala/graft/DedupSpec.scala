@@ -246,5 +246,23 @@ class DedupSpec extends SparkSpec {
       col("text"), n = 8, minHits = 3)
       .select("doc_id").as[Long].collect().toSet
     assert(loose == Set(102L, 103L, 104L), "9-token excerpt has 2 grams")
+
+    // the prepared-index form (the incremental surface: index built
+    // once, probed per batch) is result-identical to the one-shot form
+    val idx = Dedup.corpusIndex(existing, "doc_id", col("text"), n = 8)
+    val viaIndex = Dedup.dedupAgainstIndex(incoming, idx, "doc_id",
+      col("text"), n = 8, minHits = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIndex == got)
+    // a second batch probes the SAME index without re-deriving it
+    val batch2 = Seq(
+      (201L, "a b c d e f g h i j"),          // exact dup of doc 1
+      (202L, "y1 y2 y3 y4 y5 y6 y7 y8 y9"))   // novel
+      .toDF("doc_id", "text")
+    val got2 = Dedup.dedupAgainstIndex(batch2, idx, "doc_id",
+      col("text"), n = 8, minHits = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got2 == Set(202L))
+    Dedup.releasePersisted()
   }
 }

@@ -160,4 +160,48 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(s - want) < 1e-9, s"query $qid score $s want $want")
     }
   }
+
+  test("pqTrainCodebook beats the lowest-id codebook's recall") {
+    // 4 groups = product of 2 sub-patterns per subspace. The 2 lowest-id
+    // vectors (the default codebook source) both sit near pattern A in
+    // BOTH subspaces, so the default sub-codebooks are two nearly
+    // parallel centroids: pqTopK's raw-dot argmax sends EVERY sub-vector
+    // to the more-tilted one, the subspace carries zero information, and
+    // ranking degenerates to id order. Training's cosine assignment
+    // splits A from B (normalization breaks the tilt monotonicity), so
+    // the trained codebook recovers the group structure.
+    def pat(b: Int, d: Float): Seq[Float] =
+      if (b == 0) Seq(1.0f, d) else Seq(d, 1.0f)
+    val seeds = (0 until 2).map { i =>
+      val s = pat(0, 0.1f * (i + 1))
+      (i.toLong, s ++ s)
+    }
+    val groups = for {
+      a <- 0 until 2; b <- 0 until 2; j <- 0 until 4
+    } yield ((10 + (a * 2 + b) * 4 + j).toLong,
+      pat(a, 0.02f * (j + 1)) ++ pat(b, 0.02f * (j + 1)))
+    val corpus = (seeds ++ groups).toDF("vec_id", "embedding")
+    def groupOf(id: Long) = (id - 10) / 4
+    val queryIds = Seq(14L, 18L, 22L) // one each from groups (A,B),(B,A),(B,B)
+    val queries = corpus.filter($"vec_id".isin(queryIds: _*))
+      .select($"vec_id".as("query_id"), $"embedding")
+    def recall(cb: Seq[Seq[Seq[Float]]]): Double = {
+      val rows = Similarity.pqTopK(corpus, queries, k = 4, m = 2,
+        codebookSize = 2, codebook = cb)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      rows.count { case (q, id) =>
+        id >= 10 && groupOf(id) == groupOf(q)
+      }.toDouble / rows.length
+    }
+    val defaultCb = {
+      val base = seeds.map(_._2)
+      (0 until 2).map(j => base.map(_.slice(j * 2, j * 2 + 2)).toSeq)
+    }
+    val trained = Similarity.pqTrainCodebook(corpus, m = 2,
+      codebookSize = 2, iters = 3)
+    val (rTrained, rDefault) = (recall(trained), recall(defaultCb))
+    assert(rTrained > rDefault,
+      s"trained recall $rTrained must beat lowest-id recall $rDefault")
+    assert(rTrained >= 0.9, s"trained recall $rTrained (default $rDefault)")
+  }
 }
