@@ -79,6 +79,42 @@ object Sampling {
    * per-group sort — [[graft.operators.Dedup.capPerKey]] when
    * exactness matters more than a shuffle-free plan).
    */
+  /**
+   * Stratified deterministic sampling: each key (language, source,
+   * quality band) keeps its own fraction — the `sampleBy` of this
+   * engine, but hash-stable (re-runs keep the same rows; a fraction
+   * raised later only ADDS rows, never swaps them — the nesting
+   * property of [[deterministicSample]] per stratum). Keys absent from
+   * `fractions` keep `defaultFraction`.
+   *
+   * A broadcast of |fractions| cutoffs + one narrow codegen filter: the
+   * corpus never shuffles.
+   */
+  def stratifiedSample(df: DataFrame, key: Column, id: Column,
+      fractions: Map[String, Double], salt: String,
+      defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction))
+      .forall(f => f >= 0 && f <= 1), "fractions in [0,1]")
+    val cut = fractions.foldLeft(lit(math.round(defaultFraction * Buckets))) {
+      case (els, (k, f)) =>
+        when(key === lit(k), lit(math.round(f * Buckets))).otherwise(els)
+    }
+    df.filter(hashBucket(id, salt) < cut)
+  }
+
+  /**
+   * Per-row weighted Bernoulli keep: a row survives with probability
+   * `weight` (clamped to [0,1]) — quality-score-proportional
+   * downsampling where every row carries its own keep probability.
+   * Same determinism contract as the rest of the family: the kept set
+   * is a pure function of (id, salt, weight), and raising a row's
+   * weight can only keep it, never evict it.
+   */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+      salt: String): DataFrame =
+    df.filter(hashBucket(id, salt) <
+      round(least(greatest(weight, lit(0.0)), lit(1.0)) * Buckets))
+
   def balanceMixture(df: DataFrame, key: Column, id: Column,
       salt: String): DataFrame = {
     // persisted: the per-key counts feed BOTH the global-min aggregate

@@ -517,4 +517,46 @@ object TextAnalysis {
       }
     }.toDF(keyCol, idCol, "n_tokens", "bin")
   }
+
+  /**
+   * Per-document duplicated-span exposure: how much of each document is
+   * covered by word `n`-grams that ALSO occur in at least `minDocs − 1`
+   * other documents. The substring-level dedup signal (the "train on a
+   * span the model will memorize" risk — document-level dedup misses
+   * boilerplate, licenses, templates shared across otherwise-distinct
+   * docs); gate or strip docs whose `dup_ratio` is high.
+   *
+   * Gram identity is the battery's portable md5 device over lowercase
+   * whitespace tokens. One explode + one hash agg for per-gram distinct
+   * doc counts + one join back — the gram frame is persisted (it feeds
+   * both) and only gram hashes shuffle, never text.
+   *
+   * @return `(idCol, n_grams, n_dup_grams, dup_ratio)` — one row per doc
+   *         with ≥1 gram; ratio rounded 4dp
+   */
+  def duplicatedSpanStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, n: Int = 8, minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && minDocs >= 2, s"need n>=1, minDocs>=2; got ($n, $minDocs)")
+    val toks = tokens(lower(text))
+    val grams = PersistTracker.trackPersist(df
+      .select(col(idCol).as("__id"), toks.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("__id"), col("__t"),
+        explode(sequence(lit(1), size(col("__t")) - (n - 1))).as("__i"))
+      .select(col("__id"), md5(concat_ws(" ",
+        (0 until n).map(j => element_at(col("__t"), col("__i") + j)): _*))
+        .as("__g")))
+    val shared = grams.select("__id", "__g").distinct()
+      .groupBy("__g").agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select("__g")
+    grams.join(shared, Seq("__g"), "left_semi")
+      .groupBy("__id").agg(count(lit(1)).as("__dup"))
+      .join(grams.groupBy("__id").agg(count(lit(1)).as("n_grams")),
+        Seq("__id"), "right_outer")
+      .select(col("__id").as(idCol), col("n_grams"),
+        coalesce(col("__dup"), lit(0L)).as("n_dup_grams"),
+        round(coalesce(col("__dup"), lit(0L)) / col("n_grams"), 4)
+          .as("dup_ratio"))
+  }
 }

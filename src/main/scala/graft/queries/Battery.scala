@@ -2069,6 +2069,128 @@ object Battery {
       |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
       |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 
+  /** BM25 top-5 retrieval ([[graft.operators.Retrieval.bm25TopK]]) for a
+    * fixed query set over the documents corpus: the full sparse-lexical
+    * ranking pipeline (tf, df, length norm, idf) with scores rounded 4dp
+    * and ties to the lowest doc id. The oracle replays every aggregate
+    * and the ln arithmetic. */
+  val q70Bm25: Q = (s, dir) => {
+    import s.implicits._
+    val queries = Seq(
+      (1L, "table hash join value"),
+      (2L, "spark window agg batch"),
+      (3L, "fast slow row scan")).toDF("query_id", "query_text")
+    graft.operators.Retrieval.bm25TopK(
+      t(s, dir, "documents"), queries, k = 5)
+  }
+
+  val q70Sql: String =
+    """WITH q(query_id, query_text) AS (VALUES
+      |    (CAST(1 AS BIGINT), 'table hash join value'),
+      |    (CAST(2 AS BIGINT), 'spark window agg batch'),
+      |    (CAST(3 AS BIGINT), 'fast slow row scan')),
+      |terms AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |dl AS (
+      |  SELECT doc_id, len(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS dl
+      |  FROM documents),
+      |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+      |qt AS (
+      |  SELECT DISTINCT query_id, unnest(list_filter(
+      |    string_split_regex(lower(query_text), '\s+'), x -> len(x) > 0)) AS term
+      |  FROM q),
+      |scored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    ROUND(SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |      * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4)
+      |      AS score
+      |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+      |    JOIN dl USING (doc_id) CROSS JOIN stats
+      |  GROUP BY 1, 2)
+      |SELECT query_id, rank, doc_id, score FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin
+
+  /** Per-document duplicated-span exposure
+    * ([[graft.operators.TextAnalysis.duplicatedSpanStats]]): the share
+    * of each doc's word 8-grams that also occur in another document —
+    * substring-level dedup pressure that document-level fingerprints
+    * miss. The oracle replays grams by string identity (the operator
+    * groups by their md5, an identical partition). */
+  val q71DupSpans: Q = (s, dir) =>
+    graft.operators.TextAnalysis.duplicatedSpanStats(
+      t(s, dir, "documents"), "doc_id", col("text"), n = 8, minDocs = 2)
+
+  val q71Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+      |  FROM toks WHERE len(t) >= 8),
+      |grams AS (
+      |  SELECT doc_id, list_aggregate(t[i:i+7], 'string_agg', ' ') AS g
+      |  FROM idx),
+      |pg AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+      |shared AS (
+      |  SELECT g FROM (
+      |    SELECT g, COUNT(DISTINCT doc_id) AS d FROM grams GROUP BY g)
+      |  WHERE d >= 2),
+      |dup AS (
+      |  SELECT doc_id, COUNT(*) AS n_dup FROM grams
+      |  JOIN shared USING (g) GROUP BY 1)
+      |SELECT pg.doc_id, pg.n_grams,
+      |  COALESCE(dup.n_dup, 0) AS n_dup_grams,
+      |  ROUND(COALESCE(dup.n_dup, 0) / pg.n_grams, 4) AS dup_ratio
+      |FROM pg LEFT JOIN dup USING (doc_id)""".stripMargin
+
+  /** Stratified deterministic sampling
+    * ([[graft.operators.Sampling.stratifiedSample]]): per-language keep
+    * fractions (en 50%, de 30%, zh 20%, default 10%) over the same
+    * md5-bucket device as q45 — the sampleBy surface, hash-stable. */
+  val q72Stratified: Q = (s, dir) =>
+    graft.operators.Sampling.stratifiedSample(
+      t(s, dir, "documents"), col("lang"), col("doc_id"),
+      Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2), "mix1",
+      defaultFraction = 0.1)
+      .select("doc_id", "lang", "source")
+
+  val q72Sql: String =
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 15))
+      |      ::BIGINT % 1000000 AS bucket
+      |  FROM documents)
+      |WHERE bucket < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 300000
+      |  WHEN 'zh' THEN 200000 ELSE 100000 END""".stripMargin
+
+  /** Per-row weighted Bernoulli sampling
+    * ([[graft.operators.Sampling.weightedSample]]): keep probability
+    * proportional to document length (n_chars/400, clamped at 1) — the
+    * quality-weighted downsample. n_chars·2500 is integral, so the
+    * cutoff arithmetic is exact on both engines. */
+  val q73Weighted: Q = (s, dir) =>
+    graft.operators.Sampling.weightedSample(
+      t(s, dir, "documents"), col("doc_id"),
+      least(lit(1.0), col("n_chars") / lit(400.0)), "w1")
+      .select("doc_id", "n_chars")
+
+  val q73Sql: String =
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':w1'), 1, 15))
+      |      ::BIGINT % 1000000 AS bucket
+      |  FROM documents)
+      |WHERE bucket < ROUND(LEAST(1.0, n_chars / 400.0) * 1000000)""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2143,7 +2265,11 @@ object Battery {
     "q66_outer_join" -> (q66OuterJoin, Some(q66Sql)),
     "q67_set_ops" -> (q67SetOps, Some(q67Sql)),
     "q68_kmeans" -> (q68Kmeans, Some(q68Sql)),
-    "q69_edit_join" -> (q69EditJoin, Some(q69Sql)))
+    "q69_edit_join" -> (q69EditJoin, Some(q69Sql)),
+    "q70_bm25" -> (q70Bm25, Some(q70Sql)),
+    "q71_dup_spans" -> (q71DupSpans, Some(q71Sql)),
+    "q72_stratified_sample" -> (q72Stratified, Some(q72Sql)),
+    "q73_weighted_sample" -> (q73Weighted, Some(q73Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Retrieval, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** BM25 against a plain-Scala reference on a tiny corpus (every
+  * aggregate hand-replayed), plus the b=0 degeneracy where length
+  * normalization must vanish. The full-scale hash gate is q70. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    1L -> "the cat sat on the mat",
+    2L -> "the dog sat",
+    3L -> "cat cat cat",
+    4L -> "dog mat dog mat dog mat dog mat",
+    5L -> "birds").toDF("doc_id", "text")
+
+  private val queries = Seq(
+    10L -> "cat mat", 11L -> "dog").toDF("query_id", "query_text")
+
+  private def reference(k1: Double, b: Double): Set[(Long, Long, Double)] = {
+    val corpus = Map(
+      1L -> "the cat sat on the mat", 2L -> "the dog sat",
+      3L -> "cat cat cat", 4L -> "dog mat dog mat dog mat dog mat",
+      5L -> "birds").map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val n = corpus.size
+    val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    def df(t: String) = corpus.values.count(_.contains(t))
+    def score(q: Seq[String], d: Seq[String]): Double = {
+      val s = q.distinct.filter(d.contains).map { t =>
+        val tf = d.count(_ == t).toDouble
+        val idf = math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5))
+        idf * tf / (tf + k1 * (1 - b + b * d.size / avgdl))
+      }.sum
+      BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val qs = Map(10L -> Seq("cat", "mat"), 11L -> Seq("dog"))
+    qs.flatMap { case (qid, q) =>
+      corpus.toSeq.map { case (id, d) => (qid, id, score(q, d)) }
+        .filter(_._3 > 0)
+    }.toSet
+  }
+
+  test("scores match the hand reference; ranking by (score desc, id)") {
+    val got = Retrieval.bm25TopK(docs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == reference(1.2, 0.75))
+    val ranks = Retrieval.bm25TopK(docs, queries, k = 5)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    // query "cat mat": doc 3 (tf=3 cat, short) outranks doc 1 (both terms)?
+    // whatever the scores say — assert ranks are dense and ordered
+    val q10 = ranks.keys.filter(_._1 == 10L).map(_._2).toSeq.sorted
+    assert(q10 == (1 to q10.size))
+  }
+
+  test("b=0 removes length normalization") {
+    // docs 2 and 4 both contain "dog"; with b=0 the denominator no
+    // longer depends on dl, so doc 4 (tf=4) must strictly outrank doc 2
+    val got = Retrieval.bm25TopK(docs, queries, k = 5, b = 0.0)
+      .filter($"query_id" === 11L)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(got(1) == 4L && got(2) == 2L)
+    assert(got == reference(1.2, 0.0).filter(_._1 == 11L)
+      .toSeq.sortBy(-_._3).zipWithIndex
+      .map { case ((_, id, _), i) => (i + 1) -> id }.toMap)
+  }
+
+  test("duplicatedSpanStats finds planted shared spans") {
+    val d = Seq(
+      (1L, "a b c d e f"),       // shares 3-grams "b c d","c d e","d e f" w/ 2
+      (2L, "x b c d e f"),       // 4 grams, 3 shared
+      (3L, "p q r s t u"),       // no overlap
+      (4L, "p q"))               // too short for 3-grams: no row
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedSpanStats(d, "doc_id", col("text"),
+      n = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((4L, 3L, 0.75)))
+    assert(got(2L) == ((4L, 3L, 0.75)))
+    assert(got(3L) == ((4L, 0L, 0.0)))
+    assert(!got.contains(4L))
+  }
+}

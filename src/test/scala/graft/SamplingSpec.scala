@@ -55,6 +55,44 @@ class SamplingSpec extends SparkSpec {
     assert(again == kept.select("id").as[Long].collect().toSet)
   }
 
+  test("stratifiedSample applies per-key fractions; raising one only adds") {
+    val rows = (1L to 3000L).map(i =>
+      (i, Seq("a", "b", "c")((i % 3).toInt))).toDF("id", "k")
+    val got = Sampling.stratifiedSample(rows, col("k"), col("id"),
+      Map("a" -> 0.6, "b" -> 0.2), "st1", defaultFraction = 0.05)
+      .groupBy("k").count().as[(String, Long)].collect().toMap
+    assert(math.abs(got("a") - 600L) < 80, s"a=${got("a")}")
+    assert(math.abs(got("b") - 200L) < 60, s"b=${got("b")}")
+    assert(math.abs(got.getOrElse("c", 0L) - 50L) < 40, s"c=$got")
+    // nesting per stratum: raising b's fraction keeps every old b row
+    val before = Sampling.stratifiedSample(rows, col("k"), col("id"),
+      Map("a" -> 0.6, "b" -> 0.2), "st1", 0.05)
+      .select("id").as[Long].collect().toSet
+    val after = Sampling.stratifiedSample(rows, col("k"), col("id"),
+      Map("a" -> 0.6, "b" -> 0.5), "st1", 0.05)
+      .select("id").as[Long].collect().toSet
+    assert(before.subsetOf(after))
+  }
+
+  test("weightedSample: keep rate tracks the weight; monotone in weight") {
+    val rows = (1L to 3000L).map(i => (i, if (i <= 1500) 0.2 else 0.8))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(rows, col("id"), col("w"), "w1")
+    val byW = got.groupBy("w").count().as[(Double, Long)].collect().toMap
+    assert(math.abs(byW(0.2) - 300L) < 70, s"low=${byW(0.2)}")
+    assert(math.abs(byW(0.8) - 1200L) < 90, s"high=${byW(0.8)}")
+    // weights outside [0,1] clamp instead of corrupting the cutoff
+    val all = Sampling.weightedSample(rows, col("id"), lit(7.5), "w1").count()
+    val none = Sampling.weightedSample(rows, col("id"), lit(-2.0), "w1").count()
+    assert(all == 3000L && none == 0L)
+    // monotone: every row kept at w survives at w' > w (same salt)
+    val lo = Sampling.weightedSample(rows, col("id"), lit(0.3), "w1")
+      .select("id").as[Long].collect().toSet
+    val hi = Sampling.weightedSample(rows, col("id"), lit(0.7), "w1")
+      .select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+  }
+
   test("redactPii replaces emails and phones, counts match") {
     val df = Seq(
       (1L, "reach me at jane.doe+x@sub.example.co.uk today"),
