@@ -17,18 +17,44 @@ import org.apache.spark.sql.functions._
  * tokens lowercased on both sides, scores rounded at 4dp, rank ties to
  * the lowest doc id.
  *
- * 100 TB shape: the corpus side is two hash aggregations (per-(doc,term)
- * tf — persisted, it feeds both the df count and the scoring join — and
- * per-term df) plus one narrow per-doc length projection; corpus stats
- * `(N, avgdl)` ride a broadcast single-row crossJoin, never a driver
- * collect. The query side is small by definition, so its distinct terms
- * BROADCAST into the tf join: the only corpus-scale shuffles are the two
- * aggregations and the final per-query top-k window over candidate docs
- * (docs sharing ≥1 query term — gram selectivity bounds the fan-out).
- * At serving scale the tf/df frames are the inverted index: write them
- * once bucketed on term and only the query side moves per request.
+ * The operator is split index/serve the way a 100 TB deployment is:
+ * [[buildIndex]] derives the classic inverted-index frames — per-
+ * (doc, term) tf with the doc length attached, per-term df, and a
+ * single-row (N, avgdl) stats frame — in two corpus aggregations;
+ * [[bm25TopK]] then scores with ONE pass over the tf frame: the query
+ * terms broadcast into it, the df rows for those terms (a |query terms|-
+ * row slice, never the full vocabulary) broadcast, stats broadcast, and
+ * the only corpus-scale shuffles are the final per-(query, doc) sum and
+ * the top-k window over candidate docs (docs sharing ≥ 1 query term —
+ * term selectivity bounds the fan-out). Persist the index frames — or
+ * write tf bucketed on `__t` ([[graft.sources.BucketedTables]]) — and
+ * per-request cost is independent of corpus tokenization.
  */
 object Retrieval {
+
+  /** Inverted index: `tf(__id, __t, __tf, __dl)`, `df(__t, __df)`,
+    * `stats(__n, __avgdl)` — the three frames BM25 serving needs.
+    * Columns are engine-internal; persist or bucket-write the frames to
+    * reuse across query batches. */
+  case class Bm25Index(tf: DataFrame, df: DataFrame, stats: DataFrame)
+
+  /** Derive a [[Bm25Index]]. The per-(doc, term) tf frame is persisted
+    * (it feeds the df aggregation AND every scoring pass); doc length
+    * rides ON the tf rows so serving never joins a per-doc frame. */
+  def buildIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Bm25Index = {
+    val dl = docs.select(col(idCol).as("__id"),
+      size(TextAnalysis.tokens(lower(col(textCol)))).as("__dl"))
+    val terms = docs.select(col(idCol).as("__id"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+    val tf = PersistTracker.trackPersist(terms
+      .groupBy("__id", "__t").agg(count(lit(1)).as("__tf"))
+      .join(dl, Seq("__id")))
+    Bm25Index(
+      tf,
+      tf.groupBy("__t").agg(count(lit(1)).as("__df")),
+      dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl")))
+  }
 
   /**
    * BM25 top-k: for each query row, the `k` best-scoring documents.
@@ -39,30 +65,33 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text",
+      queryIdCol: String = "query_id", queryTextCol: String = "query_text"): DataFrame =
+    bm25TopKWithIndex(buildIndex(docs, idCol, textCol), queries, k, k1, b,
+      idCol, queryIdCol, queryTextCol)
+
+  /** [[bm25TopK]] against a prepared [[Bm25Index]] — the serving form:
+    * only the query side and the candidate slice of the index move. */
+  def bm25TopKWithIndex(index: Bm25Index, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id",
       queryIdCol: String = "query_id", queryTextCol: String = "query_text"): DataFrame = {
     require(k > 0 && k1 >= 0 && b >= 0 && b <= 1,
       s"need k>0, k1>=0, b in [0,1]; got ($k, $k1, $b)")
-    val terms = docs.select(col(idCol).as("__id"),
-      explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
-    // persisted: tf feeds the df aggregation AND the scoring join
-    val tf = PersistTracker.trackPersist(
-      terms.groupBy("__id", "__t").agg(count(lit(1)).as("__tf")))
-    val dfreq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
-    val dl = docs.select(col(idCol).as("__id"),
-      size(TextAnalysis.tokens(lower(col(textCol)))).as("__dl"))
-    val stats = dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
     val qterms = queries.select(col(queryIdCol),
         explode(TextAnalysis.tokens(lower(col(queryTextCol)))).as("__t"))
       .distinct()
+    // df slice for the query vocabulary only — |query terms| rows, so it
+    // broadcasts no matter how large the corpus vocabulary is
+    val dfq = index.df
+      .join(broadcast(qterms.select("__t").distinct()), Seq("__t"))
     val idf = log(lit(1.0) +
       (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val norm = col("__tf") /
       (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
-    val scored = tf
+    val scored = index.tf
       .join(broadcast(qterms), Seq("__t"))
-      .join(dfreq, Seq("__t"))
-      .join(dl, Seq("__id"))
-      .crossJoin(broadcast(stats))
+      .join(broadcast(dfq), Seq("__t"))
+      .crossJoin(broadcast(index.stats))
       .groupBy(col(queryIdCol), col("__id"))
       .agg(round(sum(idf * norm), 4).as("score"))
     val w = Window.partitionBy(queryIdCol)

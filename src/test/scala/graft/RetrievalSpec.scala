@@ -66,6 +66,29 @@ class RetrievalSpec extends SparkSpec {
       .map { case ((_, id, _), i) => (i + 1) -> id }.toMap)
   }
 
+  test("index-backed serving equals direct; index survives a bucketed write") {
+    val direct = Retrieval.bm25TopK(docs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val idx = Retrieval.buildIndex(docs)
+    // the serving shape: tf bucketed on term (the probe key), df likewise,
+    // the one-row stats frame as a plain table
+    graft.sources.BucketedTables.writeBucketed(idx.tf, "bm25_tf_spec", 4,
+      Seq("__t"))
+    graft.sources.BucketedTables.writeBucketed(idx.df, "bm25_df_spec", 4,
+      Seq("__t"))
+    idx.stats.write.mode("overwrite").saveAsTable("bm25_stats_spec")
+    val back = Retrieval.Bm25Index(
+      spark.table("bm25_tf_spec"), spark.table("bm25_df_spec"),
+      spark.table("bm25_stats_spec"))
+    val served = Retrieval.bm25TopKWithIndex(back, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(served == direct)
+    Seq("bm25_tf_spec", "bm25_df_spec", "bm25_stats_spec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("duplicatedSpanStats finds planted shared spans") {
     val d = Seq(
       (1L, "a b c d e f"),       // shares 3-grams "b c d","c d e","d e f" w/ 2
