@@ -65,6 +65,19 @@ object Sampling {
   }
 
   /**
+   * Deterministic training-order key for one epoch: the md5 bucket of
+   * `(id, "salt:e<epoch>")`. Sorting by `(key, id)` is a reproducible
+   * corpus-wide shuffle — the same permutation on every engine, run,
+   * and cluster layout, and a fresh independent one each epoch (the
+   * property data-order-reproducible training needs; an RNG shuffle
+   * gives neither). Sorting rides Spark's range-partitioned total sort;
+   * a bounded prefix (`orderBy(key, id).limit(k)`) plans as distributed
+   * TakeOrdered — no single-partition window anywhere.
+   */
+  def epochKey(id: Column, epoch: Int, salt: String): Column =
+    hashBucket(id, s"$salt:e$epoch")
+
+  /**
    * Mixture balancing: deterministically downsample every `key` group
    * (domain, language, source) toward the SMALLEST group's size, so no
    * domain dominates the training mixture. Each group keeps rows whose

@@ -559,4 +559,63 @@ object TextAnalysis {
         round(coalesce(col("__dup"), lit(0L)) / col("n_grams"), 4)
           .as("dup_ratio"))
   }
+
+  /**
+   * The remediation counterpart of [[duplicatedSpanStats]]: REWRITE each
+   * document, dropping every token covered by a word `n`-gram that also
+   * occurs in ≥ `minDocs − 1` other documents. This is substring-level
+   * dedup as an action — boilerplate, licenses, and templated spans are
+   * removed in place while each document's unique prose survives, the
+   * fix for corpora where whole-document dedup would either keep the
+   * duplication or throw away unique content around it.
+   *
+   * Gram identity is case-insensitive (matching [[duplicatedSpanStats]]);
+   * the rewritten text keeps the original token case and joins survivors
+   * with single spaces (whitespace is normalized — the same
+   * canonicalization every fingerprint in this engine applies). A doc
+   * whose tokens are all covered comes back with `clean_text = ""`
+   * rather than disappearing.
+   *
+   * Same plan skeleton as the stats pass — persisted gram frame feeding
+   * the shared-gram aggregate and the coverage explode — plus one
+   * per-doc sorted reassembly (`array_sort` over (position, token)
+   * structs inside a hash agg, no window): gram hashes and token
+   * positions shuffle, never full text until the final per-doc row.
+   *
+   * @return `(idCol, n_tokens, n_kept, clean_text)`
+   */
+  def stripDuplicatedSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, n: Int = 8, minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && minDocs >= 2, s"need n>=1, minDocs>=2; got ($n, $minDocs)")
+    val base = df.select(col(idCol).as("__id"), tokens(text).as("__t"))
+    val grams = PersistTracker.trackPersist(base
+      .filter(size(col("__t")) >= n)
+      .select(col("__id"), col("__t"),
+        explode(sequence(lit(1), size(col("__t")) - (n - 1))).as("__i"))
+      .select(col("__id"), col("__i"), md5(lower(concat_ws(" ",
+        (0 until n).map(j => element_at(col("__t"), col("__i") + j)): _*)))
+        .as("__g")))
+    val shared = grams.select("__id", "__g").distinct()
+      .groupBy("__g").agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select("__g")
+    val covered = grams.join(shared, Seq("__g"), "left_semi")
+      .select(col("__id"),
+        explode(sequence(col("__i"), col("__i") + (n - 1))).as("__j"))
+      .distinct()
+    val toks = base.select(col("__id"), size(col("__t")).as("__nt"),
+      posexplode(col("__t")).as(Seq("__p", "__tok")))
+      .select(col("__id"), col("__nt"), (col("__p") + 1).as("__j"), col("__tok"))
+    val kept = toks.join(covered, Seq("__id", "__j"), "left_anti")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__j"), col("__tok")))),
+          s => s.getField("__tok"))).as("__clean"))
+    base.select(col("__id"), size(col("__t")).cast("long").as("n_tokens"))
+      .join(kept, Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
 }

@@ -2191,6 +2191,82 @@ object Battery {
       |  FROM documents)
       |WHERE bucket < ROUND(LEAST(1.0, n_chars / 400.0) * 1000000)""".stripMargin
 
+  /** Duplicated-span REMOVAL
+    * ([[graft.operators.TextAnalysis.stripDuplicatedSpans]]): rewrite
+    * every document dropping tokens covered by a cross-document word
+    * 8-gram — q71's stats turned into the remediation action. The
+    * oracle rebuilds each cleaned text with string_agg over kept
+    * positions; the full rewritten strings are hash-compared. */
+  val q74StripSpans: Q = (s, dir) =>
+    graft.operators.TextAnalysis.stripDuplicatedSpans(
+      t(s, dir, "documents"), "doc_id", col("text"), n = 8, minDocs = 2)
+
+  val q74Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+      |  FROM toks WHERE len(t) >= 8),
+      |grams AS (
+      |  SELECT doc_id, i,
+      |    lower(list_aggregate(t[i:i+7], 'string_agg', ' ')) AS g
+      |  FROM idx),
+      |shared AS (
+      |  SELECT g FROM (
+      |    SELECT g, COUNT(DISTINCT doc_id) AS d FROM grams GROUP BY g)
+      |  WHERE d >= 2),
+      |covered AS (
+      |  SELECT DISTINCT gr.doc_id, u.j
+      |  FROM (SELECT grams.* FROM grams JOIN shared USING (g)) gr,
+      |    unnest(range(gr.i, gr.i + 8)) AS u(j)),
+      |tok AS (
+      |  SELECT doc_id, t[i] AS tok, i
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+      |kept AS (
+      |  SELECT tok.doc_id, COUNT(*) AS n_kept,
+      |    string_agg(tok.tok, ' ' ORDER BY tok.i) AS clean_text
+      |  FROM tok LEFT JOIN covered
+      |    ON tok.doc_id = covered.doc_id AND tok.i = covered.j
+      |  WHERE covered.j IS NULL
+      |  GROUP BY tok.doc_id)
+      |SELECT toks.doc_id, len(toks.t) AS n_tokens,
+      |  COALESCE(kept.n_kept, 0) AS n_kept,
+      |  COALESCE(kept.clean_text, '') AS clean_text
+      |FROM toks LEFT JOIN kept USING (doc_id)""".stripMargin
+
+  /** Deterministic epoch shuffle ([[graft.operators.Sampling.epochKey]]):
+    * the first 10 documents of epochs 1 and 2's training order — two
+    * distributed TakeOrdered plans, no global window. The oracle replays
+    * the md5-bucket key and the (key, id) sort. */
+  val q75EpochOrder: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    def head(e: Int) = docs
+      .select(lit(e).as("epoch"), col("doc_id"),
+        graft.operators.Sampling.epochKey(col("doc_id"), e, "ord")
+          .as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+      .limit(10)
+    head(1).unionByName(head(2))
+  }
+
+  val q75Sql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ord:e1'), 1, 15))
+      |      ::BIGINT % 1000000 AS k1,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ord:e2'), 1, 15))
+      |      ::BIGINT % 1000000 AS k2
+      |  FROM documents)
+      |SELECT * FROM (
+      |  SELECT 1 AS epoch, doc_id, k1 AS shuffle_key FROM keyed
+      |  ORDER BY k1, doc_id LIMIT 10)
+      |UNION ALL
+      |SELECT * FROM (
+      |  SELECT 2 AS epoch, doc_id, k2 AS shuffle_key FROM keyed
+      |  ORDER BY k2, doc_id LIMIT 10)""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2269,7 +2345,9 @@ object Battery {
     "q70_bm25" -> (q70Bm25, Some(q70Sql)),
     "q71_dup_spans" -> (q71DupSpans, Some(q71Sql)),
     "q72_stratified_sample" -> (q72Stratified, Some(q72Sql)),
-    "q73_weighted_sample" -> (q73Weighted, Some(q73Sql)))
+    "q73_weighted_sample" -> (q73Weighted, Some(q73Sql)),
+    "q74_strip_spans" -> (q74StripSpans, Some(q74Sql)),
+    "q75_epoch_order" -> (q75EpochOrder, Some(q75Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

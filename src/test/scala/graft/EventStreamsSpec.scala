@@ -155,4 +155,35 @@ class EventStreamsSpec extends SparkSpec {
         s"admissions: $got")
     } finally q.stop()
   }
+
+  test("deterministic sampling filters run unchanged on a stream") {
+    // stratifiedSample / weightedSample are stateless narrow filters, so
+    // the SAME operator code admits streaming input — the admitted set
+    // must equal the batch filter on identical data (the determinism
+    // contract extended to streams: a doc's fate never depends on which
+    // micro-batch carried it)
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val batch = (1L to 400L).map(i => (i, Seq("en", "de", "zh", "fr")((i % 4).toInt)))
+    input.addData(batch.take(200))
+    input.addData(batch.drop(200))
+    val stream = input.toDF().toDF("doc_id", "lang")
+    val sampled = graft.operators.Sampling.stratifiedSample(
+      graft.operators.Sampling.weightedSample(
+        stream, col("doc_id"), lit(0.9), "sw1"),
+      col("lang"), col("doc_id"), Map("en" -> 0.5, "de" -> 0.25), "st9",
+      defaultFraction = 0.1)
+    EventStreams.runToMemory(sampled, "t_sampled",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("t_sampled")
+      .as[(Long, String)].collect().toSet
+    val want = graft.operators.Sampling.stratifiedSample(
+      graft.operators.Sampling.weightedSample(
+        batch.toDF("doc_id", "lang"), col("doc_id"), lit(0.9), "sw1"),
+      col("lang"), col("doc_id"), Map("en" -> 0.5, "de" -> 0.25), "st9",
+      defaultFraction = 0.1)
+      .as[(Long, String)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }

@@ -105,4 +105,40 @@ class RetrievalSpec extends SparkSpec {
     assert(got(3L) == ((4L, 0L, 0.0)))
     assert(!got.contains(4L))
   }
+
+  test("stripDuplicatedSpans removes covered tokens, keeps case") {
+    val d = Seq(
+      (1L, "a B c d e f"),   // grams (lowercase identity) shared with 2
+      (2L, "x b C d e f"),
+      (3L, "p q r s t u"),   // unique: untouched (whitespace-normalized)
+      (4L, "P  Q"))          // too short for grams: survives as-is
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stripDuplicatedSpans(d, "doc_id", col("text"),
+      n = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // docs 1/2: shared 3-grams "b c d","c d e","d e f" cover positions
+    // 2..6, leaving only the first token — original case preserved
+    assert(got(1L) == ((6L, 1L, "a")))
+    assert(got(2L) == ((6L, 1L, "x")))
+    assert(got(3L) == ((6L, 6L, "p q r s t u")))
+    assert(got(4L) == ((2L, 2L, "P Q")))
+    // every doc comes back, even fully-covered ones
+    val twin = Seq((1L, "same same"), (2L, "same same")).toDF("doc_id", "text")
+    val wiped = TextAnalysis.stripDuplicatedSpans(twin, "doc_id",
+      col("text"), n = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(wiped == Map(1L -> "", 2L -> ""))
+  }
+
+  test("epochKey orders are deterministic and epoch-independent") {
+    val ids = (1L to 500L).toDF("doc_id")
+    def order(e: Int) = ids
+      .orderBy(graft.operators.Sampling.epochKey(col("doc_id"), e, "s"),
+        col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(order(1) == order(1), "same epoch reproduces")
+    assert(order(1) != order(2), "epochs are fresh permutations")
+    assert(order(1).toSet == (1L to 500L).toSet, "a permutation, not a sample")
+  }
 }
