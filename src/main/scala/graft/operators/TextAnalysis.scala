@@ -587,7 +587,10 @@ object TextAnalysis {
   def stripDuplicatedSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
       text: Column, n: Int = 8, minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
     require(n >= 1 && minDocs >= 2, s"need n>=1, minDocs>=2; got ($n, $minDocs)")
-    val base = df.select(col(idCol).as("__id"), tokens(text).as("__t"))
+    // persisted: the tokenized corpus feeds the gram pass, the token
+    // explode, AND the final per-doc count — uncached it tokenizes 3×
+    val base = PersistTracker.trackPersist(
+      df.select(col(idCol).as("__id"), tokens(text).as("__t")))
     val grams = PersistTracker.trackPersist(base
       .filter(size(col("__t")) >= n)
       .select(col("__id"), col("__t"),
