@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -620,5 +621,59 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
+  /**
+   * Content-defined chunking (the rolling-hash boundary scheme of the
+   * CDC dedup literature — Muthitacharoen et al. LBFS, public
+   * knowledge), on word tokens: a chunk boundary falls AFTER token `j`
+   * whenever the hash of the trailing `w`-token window at `j` lands in
+   * bucket 0 of `avgTokens` — so chunk sizes average `avgTokens` and,
+   * unlike fixed-width chunking ([[chunkTokens]]), boundaries re-align
+   * after insertions/edits: two near-identical documents share all
+   * chunks outside the edited region, which is what makes chunk-level
+   * dedup (fingerprint → [[graft.operators.Dedup.exactDedup]]) land.
+   *
+   * The hash is the battery's portable md5-bucket device; chunk
+   * fingerprints are md5 of the space-joined original-case tokens.
+   *
+   * One explode + per-doc window sums (documents partition the window —
+   * no global sort) + one hash aggregation; text leaves the executor
+   * only as per-chunk fingerprints.
+   *
+   * @return `(idCol, chunk_idx, n_tokens, chunk_fp)` — chunk_idx 0-based
+   *         in token order
+   */
+  def cdcChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, w: Int = 4, avgTokens: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(w >= 1 && avgTokens >= 2,
+      s"need w>=1, avgTokens>=2; got ($w, $avgTokens)")
+    val base = df.select(col(idCol).as("__id"), tokens(text).as("__t"))
+      .filter(size(col("__t")) >= 1)
+    val gram = concat_ws(" ",
+      (w - 1 to 0 by -1).map(j => element_at(col("__t"), col("__j") - j)): _*)
+    val bucket = pmod(
+      conv(substring(md5(gram), 1, 15), 16, 10).cast("long"), lit(avgTokens))
+    // bucket only evaluates under the j >= w guard (CASE branches are
+    // lazy): at j < w the gram would index element_at at <= 0, an ANSI
+    // error at 0 and silent from-the-end semantics below it
+    val guarded = when(col("__j") >= w, bucket)
+    val toks = base
+      .select(col("__id"), col("__t"),
+        explode(sequence(lit(1), size(col("__t")))).as("__j"))
+      .select(col("__id"), col("__j"),
+        element_at(col("__t"), col("__j")).as("__tok"),
+        when(guarded === 0, 1).otherwise(0).as("__b"))
+    val win = Window.partitionBy("__id").orderBy("__j")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("__chunk", coalesce(sum(col("__b")).over(win), lit(0L)))
+      .groupBy(col("__id"), col("__chunk"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__j"), col("__tok")))),
+          s => s.getField("__tok")))).as("chunk_fp"))
+      .select(col("__id").as(idCol), col("__chunk").as("chunk_idx"),
+        col("n_tokens"), col("chunk_fp"))
   }
 }

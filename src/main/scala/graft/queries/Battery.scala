@@ -2267,6 +2267,42 @@ object Battery {
       |  SELECT 2 AS epoch, doc_id, k2 AS shuffle_key FROM keyed
       |  ORDER BY k2, doc_id LIMIT 10)""".stripMargin
 
+  /** Content-defined chunking
+    * ([[graft.operators.TextAnalysis.cdcChunks]]): rolling-hash chunk
+    * boundaries (trailing-4-token md5 bucket of 16) over every document
+    * — the edit-resilient chunking that makes chunk-level dedup land.
+    * The oracle replays boundary detection, the running chunk index,
+    * and every chunk fingerprint. */
+  val q76CdcChunks: Q = (s, dir) =>
+    graft.operators.TextAnalysis.cdcChunks(
+      t(s, dir, "documents"), "doc_id", col("text"), w = 4, avgTokens = 16)
+
+  val q76Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS j
+      |  FROM toks WHERE len(t) >= 1),
+      |marked AS (
+      |  SELECT doc_id, j, t[j] AS tok,
+      |    CASE WHEN j >= 4 AND
+      |      ('0x' || substr(md5(
+      |        list_aggregate(t[j-3:j], 'string_agg', ' ')), 1, 15))
+      |        ::BIGINT % 16 = 0
+      |    THEN 1 ELSE 0 END AS b
+      |  FROM tok),
+      |ch AS (
+      |  SELECT doc_id, j, tok,
+      |    CAST(COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY j
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS chunk_idx
+      |  FROM marked)
+      |SELECT doc_id, chunk_idx, COUNT(*) AS n_tokens,
+      |  md5(string_agg(tok, ' ' ORDER BY j)) AS chunk_fp
+      |FROM ch GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2347,7 +2383,8 @@ object Battery {
     "q72_stratified_sample" -> (q72Stratified, Some(q72Sql)),
     "q73_weighted_sample" -> (q73Weighted, Some(q73Sql)),
     "q74_strip_spans" -> (q74StripSpans, Some(q74Sql)),
-    "q75_epoch_order" -> (q75EpochOrder, Some(q75Sql)))
+    "q75_epoch_order" -> (q75EpochOrder, Some(q75Sql)),
+    "q76_cdc_chunks" -> (q76CdcChunks, Some(q76Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

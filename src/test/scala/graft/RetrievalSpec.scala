@@ -131,6 +131,52 @@ class RetrievalSpec extends SparkSpec {
     assert(wiped == Map(1L -> "", 2L -> ""))
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Plain-Scala CDC reference: same trailing-window md5-bucket
+    * boundary rule, same chunk fingerprints. */
+  private def cdcReference(docs: Seq[(Long, String)], w: Int, avg: Int)
+      : Set[(Long, Long, Long, String)] =
+    docs.flatMap { case (id, text) =>
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      if (t.isEmpty) Seq.empty
+      else {
+        val bounds = (1 to t.length).map { j =>
+          j >= w && {
+            val gram = t.slice(j - w, j).mkString(" ")
+            java.lang.Long.parseLong(md5Hex(gram).take(15), 16) % avg == 0
+          }
+        }
+        val chunkIdx = bounds.scanLeft(0L)((c, b) => if (b) c + 1 else c)
+        t.indices.groupBy(i => chunkIdx(i)).map { case (c, is) =>
+          (id, c, is.size.toLong, md5Hex(is.map(t).mkString(" ")))
+        }
+      }
+    }.toSet
+
+  test("cdcChunks matches the plain-Scala reference; boundaries resync") {
+    val rnd = new scala.util.Random(11)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    def doc(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val a = doc(120)
+    val docs = Seq(1L -> a, 2L -> ("zzz qqq " + a), 3L -> "one two",
+      4L -> "")
+    val got = graft.operators.TextAnalysis.cdcChunks(
+      docs.toDF("doc_id", "text"), "doc_id", col("text"),
+      w = 4, avgTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got == cdcReference(docs, 4, 8))
+    // the CDC property: a 2-token prefix insertion leaves every chunk
+    // after the first boundary intact (fixed-width chunking loses all)
+    val fpsA = got.filter(_._1 == 1L).map(_._4)
+    val fpsB = got.filter(_._1 == 2L).map(_._4)
+    assert((fpsA intersect fpsB).size >= fpsA.size - 1,
+      s"resync failed: ${fpsA.size} vs shared ${(fpsA intersect fpsB).size}")
+  }
+
   test("epochKey orders are deterministic and epoch-independent") {
     val ids = (1L to 500L).toDF("doc_id")
     def order(e: Int) = ids
