@@ -795,6 +795,57 @@ object Dedup {
   }
 
   /**
+   * Semantic deduplication over an embedding column (the SemDeDup shape
+   * — Abbas et al. 2023, public knowledge): cluster the corpus with the
+   * deterministic k-means ([[graft.operators.Clustering]]), enumerate
+   * near-duplicate pairs ONLY within each cluster (quantized cosine ≥
+   * `threshold`, 4dp-rounded — the same engine-portable arithmetic as
+   * the ANN family), collapse pairs into components, and keep the
+   * lowest-id member of each as canonical.
+   *
+   * The cluster blocking is what makes this O(Σ|cluster|²) instead of
+   * O(n²): at 100 TB the pair join shuffles on the cluster id, each
+   * cluster's quadratic stage is an independent task, and a pair whose
+   * endpoints fall in different clusters is missed BY DESIGN (the
+   * SemDeDup trade — recall is bounded by the clustering; raise `k`'s
+   * quality via `iters`, or run [[embeddingNearDupPairsExact]] when
+   * exactness matters more than the blocking).
+   *
+   * Deterministic end-to-end: k-means is integer-sum Lloyd from fixed
+   * seeds, cosines are quantized + rounded, components are min-id
+   * labels, canonical = lowest id. The oracle replays every stage.
+   *
+   * @return `(idCol, cluster, component, is_canonical)` — one row per
+   *         corpus vector
+   */
+  def semanticDedup(corpus: DataFrame, k: Int, iters: Int,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.{cosineSim, quantizeInt8}
+    val sums = Clustering.kmeansCentroidSums(corpus, k, iters, idCol, vecCol)
+    // one quantization pass joined to its cluster — persisted: both
+    // sides of the pair join and the final labeling read it
+    val assigned = trackPersist(
+      Clustering.assignClusters(corpus, sums, idCol, vecCol)
+        .select(col(idCol), col("cluster"))
+        .join(corpus.select(col(idCol),
+          quantizeInt8(col(vecCol)).cast("array<double>").as("__q")),
+          Seq(idCol)))
+    val a = assigned.select(col(idCol).as("id_a"), col("cluster"),
+      col("__q").as("__qa"))
+    val b = assigned.select(col(idCol).as("id_b"), col("cluster"),
+      col("__q").as("__qb"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosineSim(col("__qa"), col("__qb")), 4) >= threshold)
+      .select("id_a", "id_b")
+    connectedComponents(pairs, corpus.select(col(idCol)), idCol)
+      .join(assigned.select(col(idCol), col("cluster")), Seq(idCol))
+      .select(col(idCol), col("cluster"), col("component"),
+        (col(idCol) === col("component")).cast("int").as("is_canonical"))
+  }
+
+  /**
    * Per-key quota capping: keep at most `n` rows per `key`, preferring
    * the highest `order` (ties broken by lowest `idCol` for determinism).
    * The training-data use: bound any one domain/source's contribution to

@@ -2303,6 +2303,71 @@ object Battery {
       |  md5(string_agg(tok, ' ' ORDER BY j)) AS chunk_fp
       |FROM ch GROUP BY 1, 2""".stripMargin
 
+  /** Semantic dedup ([[graft.operators.Dedup.semanticDedup]]): the
+    * SemDeDup composition — deterministic k-means blocking, within-
+    * cluster quantized-cosine pairs, connected components, lowest-id
+    * canonical. The oracle replays BOTH Lloyd rounds (q68's CTEs), the
+    * blocked pair join, and the component closure recursively — the
+    * deepest end-to-end replay in the battery alongside q48. */
+  val q77SemanticDedup: Q = (s, dir) =>
+    graft.operators.Dedup.semanticDedup(
+      t(s, dir, "embeddings"), k = 8, iters = 2, threshold = 0.45)
+
+  val q77Sql: String = {
+    def assign(src: String, cents: String): String =
+      s"""  SELECT vec_id, q, cl, cos FROM (
+         |    SELECT z.vec_id, z.q, c.cl,
+         |      ROUND(list_cosine_similarity(z.q, c.s), 4) AS cos,
+         |      ROW_NUMBER() OVER (PARTITION BY z.vec_id ORDER BY
+         |        ROUND(list_cosine_similarity(z.q, c.s), 4) DESC, c.cl) AS rk
+         |    FROM $src z CROSS JOIN $cents c) WHERE rk = 1""".stripMargin
+    def update(assigned: String, sums: String): String =
+      s"""$sums AS (
+         |  SELECT cl, LIST(v ORDER BY i) AS s FROM (
+         |    SELECT a.cl, r.i, SUM(a.q[r.i]) AS v
+         |    FROM $assigned a, range(1, 65) r(i) GROUP BY a.cl, r.i)
+         |  GROUP BY cl)""".stripMargin
+    s"""WITH RECURSIVE qz AS (
+       |  SELECT vec_id,
+       |    CASE WHEN s > 0 THEN
+       |      list_transform(e, x -> CAST(floor(x*127.0/s + 0.5) AS DOUBLE))
+       |    ELSE list_transform(e, x -> 0.0) END AS q
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |          list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) AS s
+       |        FROM embeddings)),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+       |    q AS s
+       |  FROM qz ORDER BY vec_id LIMIT 8),
+       |a1 AS (
+       |${assign("qz", "c0")}),
+       |${update("a1", "s1")},
+       |c1 AS (SELECT p.cl, COALESCE(n.s, p.s) AS s
+       |       FROM c0 p LEFT JOIN s1 n USING (cl)),
+       |a2 AS (
+       |${assign("qz", "c1")}),
+       |${update("a2", "s2")},
+       |c2 AS (SELECT p.cl, COALESCE(n.s, p.s) AS s
+       |       FROM c1 p LEFT JOIN s2 n USING (cl)),
+       |final AS (
+       |${assign("qz", "c2")}),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM final a JOIN final b ON a.cl = b.cl AND a.vec_id < b.vec_id
+       |  WHERE ROUND(list_cosine_similarity(a.q, b.q), 4) >= 0.45),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |cc AS (SELECT id AS vec_id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT cc.vec_id, CAST(f.cl AS INT) AS cluster, cc.component,
+       |  CAST(cc.vec_id = cc.component AS INT) AS is_canonical
+       |FROM cc JOIN final f ON f.vec_id = cc.vec_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2384,7 +2449,8 @@ object Battery {
     "q73_weighted_sample" -> (q73Weighted, Some(q73Sql)),
     "q74_strip_spans" -> (q74StripSpans, Some(q74Sql)),
     "q75_epoch_order" -> (q75EpochOrder, Some(q75Sql)),
-    "q76_cdc_chunks" -> (q76CdcChunks, Some(q76Sql)))
+    "q76_cdc_chunks" -> (q76CdcChunks, Some(q76Sql)),
+    "q77_semantic_dedup" -> (q77SemanticDedup, Some(q77Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

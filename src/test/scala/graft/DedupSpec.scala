@@ -265,4 +265,33 @@ class DedupSpec extends SparkSpec {
     assert(got2 == Set(202L))
     Dedup.releasePersisted()
   }
+
+  test("semanticDedup collapses planted duplicates to the lowest id") {
+    // 4 exact axis clusters (ids ≡ cluster mod 4, all members of a
+    // cluster byte-identical): at threshold ~1 every cluster is one
+    // component rooted at its seed id; seeds 0..3 are the canonicals
+    val dim = 8
+    def vec(axis: Int) = (0 until dim).map(i =>
+      if (i == axis) 1.0f else 0.0f)
+    val corpus = (0 until 20).map(id => (id.toLong, vec(id % 4)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(corpus, k = 4, iters = 2,
+      threshold = 0.999)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out.size == 20)
+    (0L until 20L).foreach { id =>
+      val (cl, comp, canon) = out(id)
+      assert(cl == (id % 4).toInt, s"vec $id cluster $cl")
+      assert(comp == id % 4, s"vec $id component $comp")
+      assert(canon == (if (id < 4) 1 else 0), s"vec $id canonical $canon")
+    }
+    // determinism across runs
+    val again = Dedup.semanticDedup(corpus, k = 4, iters = 2,
+      threshold = 0.999)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(again == out)
+    Dedup.releasePersisted()
+  }
 }
