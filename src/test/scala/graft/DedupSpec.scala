@@ -266,6 +266,33 @@ class DedupSpec extends SparkSpec {
     Dedup.releasePersisted()
   }
 
+  test("corpusIndex round-trips through bucketed tables") {
+    val existing = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, "a b c d e f g h i j"),  // exact dup
+      (102L, "z1 z2 z3 z4 z5 z6 z7 z8 z9")).toDF("doc_id", "text")
+    val direct = Dedup.dedupAgainstCorpus(incoming, existing, "doc_id",
+      col("text"), n = 8, minHits = 1)
+      .select("doc_id").as[Long].collect().toSet
+    val idx = Dedup.corpusIndex(existing, "doc_id", col("text"), n = 8)
+    // the at-scale shape: both index frames bucketed on their probe key
+    graft.sources.BucketedTables.writeBucketed(idx.fingerprints,
+      "dedup_fp_spec", 4, Seq("__fp"))
+    graft.sources.BucketedTables.writeBucketed(idx.gramHashes,
+      "dedup_g_spec", 4, Seq("__g"))
+    val back = Dedup.CorpusIndex(
+      spark.table("dedup_fp_spec"), spark.table("dedup_g_spec"))
+    val served = Dedup.dedupAgainstIndex(incoming, back, "doc_id",
+      col("text"), n = 8, minHits = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(served == direct && served == Set(102L))
+    Seq("dedup_fp_spec", "dedup_g_spec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.releasePersisted()
+  }
+
   test("semanticDedup collapses planted duplicates to the lowest id") {
     // 4 exact axis clusters (ids ≡ cluster mod 4, all members of a
     // cluster byte-identical): at threshold ~1 every cluster is one

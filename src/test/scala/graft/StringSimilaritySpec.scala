@@ -89,6 +89,31 @@ class StringSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("randomized corpora: both strategies lossless at every (q, d)") {
+    // adversarial-by-volume check of the two-sided prefix lemma (the
+    // +2d counting argument) and the deletion-neighborhood recall:
+    // small alphabet → dense near-matches and heavy gram skew
+    val rnd = new scala.util.Random(4242)
+    val alpha = "abc"
+    def word(max: Int) =
+      Seq.fill(rnd.nextInt(max) + 1)(alpha(rnd.nextInt(alpha.size))).mkString
+    for (trial <- 0 until 3) {
+      val corpus = (1L to 40L).map(i => i -> word(8 + trial * 12))
+      val cdf = corpus.toDF("id", "name")
+      for (d <- Seq(1, 2); q <- Seq(2, 3)) {
+        val want = bruteForce(corpus, d)
+        for (strategy <- Seq("neighborhood", "qgram")) {
+          val got = StringSimilarity.editDistanceJoin(cdf, "id", "name",
+            maxDist = d, q = q, strategy = strategy)
+            .as[(Long, Long, Int)].collect().toSet
+          assert(got == want,
+            s"trial=$trial d=$d q=$q strategy=$strategy: " +
+              s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+        }
+      }
+    }
+  }
+
   test("neighborhood and qgram agree on a mixed-length corpus") {
     val mixed = (names ++ longNames).toDF("id", "name")
     val nbh = StringSimilarity.editDistanceJoin(mixed, "id", "name",
