@@ -804,12 +804,15 @@ object Dedup {
    * lowest-id member of each as canonical.
    *
    * The cluster blocking is what makes this O(Σ|cluster|²) instead of
-   * O(n²): at 100 TB the pair join shuffles on the cluster id, each
-   * cluster's quadratic stage is an independent task, and a pair whose
-   * endpoints fall in different clusters is missed BY DESIGN (the
-   * SemDeDup trade — recall is bounded by the clustering; raise `k`'s
-   * quality via `iters`, or run [[embeddingNearDupPairsExact]] when
-   * exactness matters more than the blocking).
+   * O(n²), and WITHIN each cluster the quadratic stage runs as
+   * [[embeddingNearDupPairsExact]]-style triangle tasks — the join key
+   * is (cluster, block_i, block_j), so a skewed giant cluster spreads
+   * over `numBlocks·(numBlocks+1)/2` bounded tasks instead of one
+   * quadratic straggler. A pair whose endpoints fall in different
+   * clusters is missed BY DESIGN (the SemDeDup trade — recall is
+   * bounded by the clustering; raise `k`'s quality via `iters`, or run
+   * [[embeddingNearDupPairsExact]] when exactness matters more than
+   * the blocking).
    *
    * Deterministic end-to-end: k-means is integer-sum Lloyd from fixed
    * seeds, cosines are quantized + rounded, components are min-id
@@ -820,8 +823,10 @@ object Dedup {
    */
   def semanticDedup(corpus: DataFrame, k: Int, iters: Int,
       threshold: Double, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", numBlocks: Int = 8): DataFrame = {
     import graft.functions.VectorExpressions.{cosineSim, quantizeInt8}
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val sums = Clustering.kmeansCentroidSums(corpus, k, iters, idCol, vecCol)
     // one quantization pass joined to its cluster — persisted: both
     // sides of the pair join and the final labeling read it
@@ -831,14 +836,25 @@ object Dedup {
         .join(corpus.select(col(idCol),
           quantizeInt8(col(vecCol)).cast("array<double>").as("__q")),
           Seq(idCol)))
-    val a = assigned.select(col(idCol).as("id_a"), col("cluster"),
-      col("__q").as("__qa"))
-    val b = assigned.select(col(idCol).as("id_b"), col("cluster"),
-      col("__q").as("__qb"))
-    val pairs = a.join(b, Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
+    // triangle tasks WITHIN each cluster: join key (cluster, bi, bj)
+    // bounds task size even when one cluster dominates the corpus
+    val tasks = (for (i <- 0 until numBlocks; j <- i until numBlocks)
+      yield (i, j)).toDF("__bi", "__bj")
+    val v = assigned.withColumn("__blk",
+      pmod(xxhash64(col(idCol)), lit(numBlocks)).cast("int"))
+    val a = v.join(broadcast(tasks), col("__blk") === col("__bi"))
+      .select(col("cluster"), col("__bi"), col("__bj"),
+        col(idCol).as("id_a"), col("__q").as("__qa"))
+    val b = v.join(broadcast(tasks), col("__blk") === col("__bj"))
+      .select(col("cluster"), col("__bi"), col("__bj"),
+        col(idCol).as("id_b"), col("__q").as("__qb"))
+    val pairs = a.join(b, Seq("cluster", "__bi", "__bj"))
+      // same-block pairs meet twice (both orders): keep one; cross-block
+      // pairs meet once in block order — canonicalize ids on projection
+      .filter(col("__bi") =!= col("__bj") || col("id_a") < col("id_b"))
       .filter(round(cosineSim(col("__qa"), col("__qb")), 4) >= threshold)
-      .select("id_a", "id_b")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
     connectedComponents(pairs, corpus.select(col(idCol)), idCol)
       .join(assigned.select(col(idCol), col("cluster")), Seq(idCol))
       .select(col(idCol), col("cluster"), col("component"),
