@@ -65,6 +65,27 @@ object Sampling {
   }
 
   /**
+   * Per-key percentile gate: keep rows whose `score` reaches their
+   * key's interpolated `pct` percentile — DYNAMIC per-group quality
+   * thresholds (per-language, per-source) instead of one global cutoff,
+   * which over-filters low-resource keys whose score distributions sit
+   * lower. Cutoffs are rounded 4dp so the comparison is engine-exact.
+   *
+   * One per-key exact-percentile aggregate (|keys| rows, broadcast
+   * back) + a narrow filter: the corpus shuffles only for the
+   * aggregation's partial merge.
+   */
+  def percentileGate(df: DataFrame, key: Column, score: Column,
+      pct: Double): DataFrame = {
+    require(pct > 0 && pct < 1, s"pct in (0,1), got $pct")
+    val cuts = df.groupBy(key.as("__gk"))
+      .agg(round(percentile(score, lit(pct)), 4).as("__cut"))
+    df.join(broadcast(cuts), key === col("__gk"))
+      .filter(score >= col("__cut"))
+      .drop("__gk", "__cut")
+  }
+
+  /**
    * Deterministic training-order key for one epoch: the md5 bucket of
    * `(id, "salt:e<epoch>")`. Sorting by `(key, id)` is a reproducible
    * corpus-wide shuffle — the same permutation on every engine, run,

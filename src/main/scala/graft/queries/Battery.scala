@@ -2368,6 +2368,25 @@ object Battery {
        |FROM cc JOIN final f ON f.vec_id = cc.vec_id""".stripMargin
   }
 
+  /** Per-key percentile gating
+    * ([[graft.operators.Sampling.percentileGate]]): each language keeps
+    * only documents at or above its own 60th length percentile — the
+    * dynamic-threshold filter that a global cutoff gets wrong for
+    * low-resource keys. Oracle: quantile_cont per group (q36 proved the
+    * estimator parity), rounded 4dp on both sides. */
+  val q78PercentileGate: Q = (s, dir) =>
+    graft.operators.Sampling.percentileGate(
+      t(s, dir, "documents"), col("lang"), col("n_chars"), 0.6)
+      .select("doc_id", "lang", "n_chars")
+
+  val q78Sql: String =
+    """WITH cuts AS (
+      |  SELECT lang, ROUND(quantile_cont(n_chars, 0.6), 4) AS cut
+      |  FROM documents GROUP BY lang)
+      |SELECT d.doc_id, d.lang, d.n_chars
+      |FROM documents d JOIN cuts USING (lang)
+      |WHERE d.n_chars >= cut""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2450,7 +2469,8 @@ object Battery {
     "q74_strip_spans" -> (q74StripSpans, Some(q74Sql)),
     "q75_epoch_order" -> (q75EpochOrder, Some(q75Sql)),
     "q76_cdc_chunks" -> (q76CdcChunks, Some(q76Sql)),
-    "q77_semantic_dedup" -> (q77SemanticDedup, Some(q77Sql)))
+    "q77_semantic_dedup" -> (q77SemanticDedup, Some(q77Sql)),
+    "q78_percentile_gate" -> (q78PercentileGate, Some(q78Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -177,6 +177,30 @@ class RetrievalSpec extends SparkSpec {
       s"resync failed: ${fpsA.size} vs shared ${(fpsA intersect fpsB).size}")
   }
 
+  test("null and empty text: text operators neither crash nor leak rows") {
+    val d = Seq((1L, "a b c d"), (2L, null), (3L, ""), (4L, "   "))
+      .toDF("doc_id", "text")
+    // span stats/strip: only doc 1 can carry grams; null/empty docs
+    // surface with zero tokens rather than exploding or disappearing
+    val stats = TextAnalysis.duplicatedSpanStats(d, "doc_id", col("text"),
+      n = 2, minDocs = 2).collect()
+    assert(stats.map(_.getLong(0)).toSet == Set(1L))
+    val strip = TextAnalysis.stripDuplicatedSpans(d, "doc_id", col("text"),
+      n = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(strip(1L) == "a b c d" && strip(3L) == "" && strip(4L) == "")
+    assert(!strip.contains(2L) || strip(2L) == "",
+      "null text must not crash the rewrite")
+    val chunks = graft.operators.TextAnalysis.cdcChunks(d, "doc_id",
+      col("text"), w = 2, avgTokens = 4).collect()
+    assert(chunks.map(_.getLong(0)).toSet == Set(1L))
+    // retrieval: null/empty docs simply never match
+    val hits = Retrieval.bm25TopK(d,
+      Seq((9L, "a")).toDF("query_id", "query_text"), k = 10)
+      .collect().map(_.getLong(2)).toSet
+    assert(hits == Set(1L))
+  }
+
   test("epochKey orders are deterministic and epoch-independent") {
     val ids = (1L to 500L).toDF("doc_id")
     def order(e: Int) = ids

@@ -93,6 +93,18 @@ class SamplingSpec extends SparkSpec {
     assert(lo.subsetOf(hi))
   }
 
+  test("percentileGate: per-key cutoffs, not one global threshold") {
+    // key "a": scores 1..10 (p60 = 6.4 -> keep 7..10)
+    // key "b": scores 101..110 (keep 107..110) — a global cutoff at the
+    // corpus p60 would keep ALL of b and almost none of a
+    val rows = ((1 to 10).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 10).map(i => ("b", 100L + i, 100.0 + i)))
+      .toDF("k", "id", "score")
+    val got = Sampling.percentileGate(rows, col("k"), col("score"), 0.6)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(7L, 8L, 9L, 10L, 107L, 108L, 109L, 110L), s"got $got")
+  }
+
   test("redactPii replaces emails and phones, counts match") {
     val df = Seq(
       (1L, "reach me at jane.doe+x@sub.example.co.uk today"),
