@@ -114,6 +114,21 @@ class StringSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("deletionVariantHashes: codegen and interpreted agree on sizes") {
+    val df = Seq("abc", "a", "", "aaa").toDF("s")
+    def run(codegen: Boolean): Seq[Int] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try df.select(size(graft.functions.EditDistanceExpressions
+          .deletionVariantHashes(col("s"), 1)).as("n"))
+        .as[Int].collect().toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", true)
+    }
+    // "abc" → {abc, bc, ac, ab}; "a" → {a, ""}; "" → {""};
+    // "aaa" → {aaa, aa} (string-dedup, not position-dedup)
+    assert(run(codegen = true) == Seq(4, 2, 1, 2))
+    assert(run(codegen = true) == run(codegen = false))
+  }
+
   test("neighborhood and qgram agree on a mixed-length corpus") {
     val mixed = (names ++ longNames).toDF("id", "name")
     val nbh = StringSimilarity.editDistanceJoin(mixed, "id", "name",
