@@ -766,14 +766,19 @@ object Dedup {
       n: Int = 8): CorpusIndex = {
     val base = trackPersist(existing
       .select(col(idCol).as("__cid"), text.as("__ctext")))
-    CorpusIndex(
-      trackPersist(base
-        .select(graft.operators.TextAnalysis.fingerprint(col("__ctext"))
-          .as("__fp"))
-        .distinct()),
-      trackPersist(wordGramHashes(base, col("__cid"), col("__ctext"), n)
-        .select("__g").distinct()))
+    val (fps, grams) = indexEntries(base, "__cid", col("__ctext"), n)
+    CorpusIndex(trackPersist(fps), trackPersist(grams))
   }
+
+  /** The raw [[CorpusIndex]] rows for one document slice — `(__fp)` and
+    * `(__g)` frames, each distinct. This is the unit an INCREMENTAL
+    * index maintains: derive entries for each admitted batch and append
+    * them to the persisted index ([[graft.streaming.DedupIngest]]). */
+  def indexEntries(df: DataFrame, idCol: String, text: Column,
+      n: Int = 8): (DataFrame, DataFrame) = (
+    df.select(graft.operators.TextAnalysis.fingerprint(text).as("__fp"))
+      .distinct(),
+    wordGramHashes(df, col(idCol), text, n).select("__g").distinct())
 
   /** [[dedupAgainstCorpus]] against a prepared [[CorpusIndex]] — the
     * incremental form: only the incoming batch is scanned. */
