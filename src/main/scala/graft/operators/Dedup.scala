@@ -867,6 +867,47 @@ object Dedup {
   }
 
   /**
+   * Corpus-overlap monitoring via per-group MinHash sketches: one
+   * `k`-component signature per `key` (source, crawl snapshot, dataset
+   * version) over its DISTINCT document fingerprints; pairwise
+   * component-agreement fraction estimates the Jaccard of the groups'
+   * document sets (the classic MinHash estimator, Broder — public
+   * knowledge). The dataset-versioning / crawl-overlap dashboard query:
+   * which sources re-crawl each other's documents, how much a new
+   * snapshot overlaps the old one.
+   *
+   * Portable arithmetic end-to-end — md5-derived components,
+   * min-aggregated per (key, component), so any engine replays the
+   * estimate EXACTLY (no float hashing). Scale shape: one distinct over
+   * (key, fingerprint), one k-way explode + min hash-agg (map-side
+   * combinable), and a |keys|²·k sketch join — never |docs|².
+   *
+   * @return `(key_a, key_b, est_jaccard)` for every unordered key pair,
+   *         estimate rounded 4dp
+   */
+  def groupMinHashSimilarity(df: DataFrame, key: Column, text: Column,
+      k: Int = 16): DataFrame = {
+    require(k >= 1 && k <= 256, s"k in [1,256], got $k")
+    val fps = df.select(key.as("__k"),
+      graft.operators.TextAnalysis.fingerprint(text).as("__fp")).distinct()
+    val comps = fps
+      .select(col("__k"), col("__fp"),
+        explode(sequence(lit(0), lit(k - 1))).as("__i"))
+      .select(col("__k"), col("__i"),
+        conv(substring(md5(concat(col("__fp"), lit(":"),
+          col("__i").cast("string"))), 1, 15), 16, 10).cast("long").as("__h"))
+      .groupBy("__k", "__i").agg(min(col("__h")).as("__m"))
+    val a = comps.select(col("__k").as("key_a"), col("__i"),
+      col("__m").as("__ma"))
+    val b = comps.select(col("__k").as("key_b"), col("__i"),
+      col("__m").as("__mb"))
+    a.join(b, Seq("__i")).filter(col("key_a") < col("key_b"))
+      .groupBy("key_a", "key_b")
+      .agg(round(avg(when(col("__ma") === col("__mb"), 1.0)
+        .otherwise(0.0)), 4).as("est_jaccard"))
+  }
+
+  /**
    * Per-key quota capping: keep at most `n` rows per `key`, preferring
    * the highest `order` (ties broken by lowest `idCol` for determinism).
    * The training-data use: bound any one domain/source's contribution to

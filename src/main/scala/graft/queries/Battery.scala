@@ -2387,6 +2387,31 @@ object Battery {
       |FROM documents d JOIN cuts USING (lang)
       |WHERE d.n_chars >= cut""".stripMargin
 
+  /** Per-source MinHash corpus sketches
+    * ([[graft.operators.Dedup.groupMinHashSimilarity]]): pairwise
+    * source-overlap estimates from k=16 portable md5 components — the
+    * crawl-overlap / dataset-versioning monitor. Fully deterministic
+    * integer arithmetic, so the oracle replays the ESTIMATE exactly,
+    * not just a reference answer. */
+  val q79SourceOverlap: Q = (s, dir) =>
+    graft.operators.Dedup.groupMinHashSimilarity(
+      t(s, dir, "documents"), col("source"), col("text"), k = 16)
+
+  val q79Sql: String =
+    """WITH fps AS (
+      |  SELECT DISTINCT source AS k,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |comps AS (
+      |  SELECT k, i,
+      |    MIN(('0x' || substr(md5(fp || ':' || i), 1, 15))::BIGINT) AS m
+      |  FROM fps, range(0, 16) r(i) GROUP BY k, i)
+      |SELECT a.k AS key_a, b.k AS key_b,
+      |  ROUND(AVG(CASE WHEN a.m = b.m THEN 1.0 ELSE 0.0 END), 4)
+      |    AS est_jaccard
+      |FROM comps a JOIN comps b ON a.i = b.i AND a.k < b.k
+      |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2470,7 +2495,8 @@ object Battery {
     "q75_epoch_order" -> (q75EpochOrder, Some(q75Sql)),
     "q76_cdc_chunks" -> (q76CdcChunks, Some(q76Sql)),
     "q77_semantic_dedup" -> (q77SemanticDedup, Some(q77Sql)),
-    "q78_percentile_gate" -> (q78PercentileGate, Some(q78Sql)))
+    "q78_percentile_gate" -> (q78PercentileGate, Some(q78Sql)),
+    "q79_source_overlap" -> (q79SourceOverlap, Some(q79Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -293,6 +293,46 @@ class DedupSpec extends SparkSpec {
     Dedup.releasePersisted()
   }
 
+  test("groupMinHashSimilarity matches an exact estimator replay") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def fp(text: String): String =
+      md5Hex(text.trim.toLowerCase.replaceAll("\\s+", " "))
+    def comp(f: String, i: Int): Long =
+      java.lang.Long.parseLong(md5Hex(f + ":" + i).take(15), 16)
+    val k = 32
+    val groups = Map(
+      "A" -> Seq("doc one", "doc two", "doc three"),
+      "B" -> Seq("doc one", "doc two", "other"),   // |A∩B|/|A∪B| = 0.5
+      "C" -> Seq("доc x", "doc y"))                // ~disjoint from A/B
+    val rows = groups.toSeq.flatMap { case (g, ds) =>
+      ds.zipWithIndex.map { case (d, i) => (g + i, g, d) }
+    }.toDF("doc_id", "source", "text")
+    def sig(ds: Seq[String]): Seq[Long] =
+      (0 until k).map(i => ds.map(d => comp(fp(d), i)).min)
+    val expected = (for {
+      a <- groups.keys; b <- groups.keys if a < b
+      agree = sig(groups(a)).zip(sig(groups(b))).count(p => p._1 == p._2)
+    } yield (a, b, BigDecimal(agree.toDouble / k)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val got = Dedup.groupMinHashSimilarity(rows, col("source"),
+      col("text"), k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(got == expected)
+    // identical fingerprint sets → estimate exactly 1.0
+    val twin = (rows.collect().map(r =>
+        (r.getString(0) + "z", "Z" + r.getString(1), r.getString(2))).toSeq)
+      .toDF("doc_id", "source", "text")
+    val both = rows.union(twin)
+    val self = Dedup.groupMinHashSimilarity(both, col("source"),
+      col("text"), k)
+      .filter(col("key_a") === "A" && col("key_b") === "ZA")
+      .collect()
+    assert(self.length == 1 && self.head.getDouble(2) == 1.0)
+  }
+
   test("semanticDedup collapses planted duplicates to the lowest id") {
     // 4 exact axis clusters (ids ≡ cluster mod 4, all members of a
     // cluster byte-identical): at threshold ~1 every cluster is one
