@@ -1,0 +1,82 @@
+package graft.tools
+
+import graft.operators._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end drive of the training-data pipeline surface on the test
+ * corpus — the text-stack sibling of [[VcfDemo]]: every major stage
+ * prints its row counts so a human (or the verify harness) can watch
+ * the corpus shrink and reshape through clean → dedup → mix → pack.
+ *
+ * `runMain graft.tools.CorpusDemo [sfDir]` (default sf0.001)
+ */
+object CorpusDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      println(s"[corpus] documents=${docs.count()} embeddings=${emb.count()}")
+
+      val (nEmails, nPhones) = TextAnalysis.piiCounts(col("text"))
+      println(s"[clean] pii_redacted_docs=" + docs
+        .filter(nEmails + nPhones > 0).count())
+
+      val exact = Dedup.exactDedup(docs,
+        TextAnalysis.fingerprint(col("text")), col("doc_id"))
+      val uniq = exact.filter(!col("is_duplicate")).drop("is_duplicate")
+      println(s"[dedup/exact] kept=${uniq.count()}")
+
+      val pairs = Dedup.ngramJaccardPairsText(uniq, "doc_id", col("text"),
+        n = 3, threshold = 0.4)
+      val cc = Dedup.connectedComponents(pairs, uniq.select("doc_id"))
+      val canon = cc.filter(col("doc_id") === col("component"))
+      println(s"[dedup/near] pairs=${pairs.count()} canonical=${canon.count()}")
+      Dedup.releasePersisted()
+
+      val spans = TextAnalysis.duplicatedSpanStats(uniq, "doc_id",
+        col("text"), n = 8)
+      println(s"[spans] docs_with_dup_spans=" +
+        spans.filter(col("n_dup_grams") > 0).count())
+      Dedup.releasePersisted()
+
+      val sem = Dedup.semanticDedup(emb, k = 4, iters = 2, threshold = 0.45)
+      println(s"[dedup/semantic] canonical=" +
+        sem.filter(col("is_canonical") === 1).count())
+      Dedup.releasePersisted()
+
+      val balanced = Sampling.balanceMixture(uniq, col("lang"),
+        col("doc_id"), "demo")
+      val split = Sampling.assignSplit(balanced, col("doc_id"), "demo")
+      println(s"[mix] balanced=${balanced.count()} " +
+        split.groupBy("split").count().collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
+      Dedup.releasePersisted()
+
+      val packed = TextAnalysis.packGreedy(
+        split.filter(col("split") === "train"),
+        "lang", "doc_id", col("text"), capacity = 256)
+      println(s"[pack] bins=" +
+        packed.select("lang", "bin").distinct().count())
+
+      val queries = spark.createDataFrame(
+        Seq((1L, "table hash join value"))).toDF("query_id", "query_text")
+      val hits = Retrieval.bm25TopK(uniq, queries, k = 3)
+      println(s"[retrieve] top=" + hits.collect()
+        .map(r => s"doc${r.getLong(2)}@${r.getDouble(3)}").mkString(" "))
+      Dedup.releasePersisted()
+
+      println("[done] corpus pipeline drive complete")
+    } finally spark.stop()
+  }
+}
