@@ -250,6 +250,29 @@ object TextAnalysis {
    * verbatim). Order matters: emails first, so `bob@example.com` is not
    * half-eaten by a number pattern.
    */
+  /**
+   * Regex HTML-to-text: drop script/style blocks and comments, strip
+   * tags, decode the six entities that dominate web text, collapse
+   * whitespace. Deliberately NOT a DOM parser — this is the
+   * scale-appropriate first-pass extractor a crawl pipeline runs at
+   * scan speed (a real boilerplate remover sits behind it for the docs
+   * that survive); pure codegen `regexp_replace` chain, RE2-compatible
+   * patterns (no backreferences), oracle-replayable verbatim.
+   * `&amp;` decodes LAST so `&amp;lt;` cannot double-decode to `<`.
+   */
+  def stripHtml(html: Column): Column = {
+    val blocks = Seq(
+      "(?is)<script[^>]*>.*?</script>",
+      "(?is)<style[^>]*>.*?</style>",
+      "(?s)<!--.*?-->",
+      "<[^>]+>")
+    val noMarkup = blocks.foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noMarkup) { case (c, (k, v)) => regexp_replace(c, k, v) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(text, EmailRe, "<EMAIL>"),

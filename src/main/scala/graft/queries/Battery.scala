@@ -2412,6 +2412,48 @@ object Battery {
       |FROM comps a JOIN comps b ON a.i = b.i AND a.k < b.k
       |GROUP BY 1, 2""".stripMargin
 
+  /** HTML-to-text extraction
+    * ([[graft.operators.TextAnalysis.stripHtml]]): each document is
+    * wrapped in markup + entities by BOTH engines, stripped, and the
+    * recovered text hash-compared — proving the regex chain (block
+    * drops, tag strip, entity decode order, whitespace collapse)
+    * byte-identical across engines. */
+  val q80HtmlStrip: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.stripHtml(concat(
+          lit("<div class=\"post\"><p>"), col("text"),
+          lit("</p></div><script>var a = 1 &lt; 2;</script>"),
+          lit("<!-- c --> Tom &amp; Jerry&nbsp;&#39;99"))).as("clean_text"))
+
+  val q80Sql: String =
+    """WITH s0 AS (
+      |  SELECT doc_id,
+      |    '<div class="post"><p>' || text ||
+      |    '</p></div><script>var a = 1 &lt; 2;</script>' ||
+      |    '<!-- c --> Tom &amp; Jerry&nbsp;&#39;99' AS h
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(h,
+      |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM s0),
+      |s2 AS (SELECT doc_id, regexp_replace(h,
+      |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(h,
+      |  '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
+      |s4 AS (SELECT doc_id, regexp_replace(h, '<[^>]+>', ' ', 'g') AS h
+      |  FROM s3),
+      |s5 AS (SELECT doc_id, regexp_replace(h, '&lt;', '<', 'g') AS h FROM s4),
+      |s6 AS (SELECT doc_id, regexp_replace(h, '&gt;', '>', 'g') AS h FROM s5),
+      |s7 AS (SELECT doc_id, regexp_replace(h, '&quot;', '"', 'g') AS h
+      |  FROM s6),
+      |s8 AS (SELECT doc_id, regexp_replace(h, '&#39;', '''', 'g') AS h
+      |  FROM s7),
+      |s9 AS (SELECT doc_id, regexp_replace(h, '&nbsp;', ' ', 'g') AS h
+      |  FROM s8),
+      |s10 AS (SELECT doc_id, regexp_replace(h, '&amp;', '&', 'g') AS h
+      |  FROM s9)
+      |SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean_text
+      |FROM s10""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2496,7 +2538,8 @@ object Battery {
     "q76_cdc_chunks" -> (q76CdcChunks, Some(q76Sql)),
     "q77_semantic_dedup" -> (q77SemanticDedup, Some(q77Sql)),
     "q78_percentile_gate" -> (q78PercentileGate, Some(q78Sql)),
-    "q79_source_overlap" -> (q79SourceOverlap, Some(q79Sql)))
+    "q79_source_overlap" -> (q79SourceOverlap, Some(q79Sql)),
+    "q80_html_strip" -> (q80HtmlStrip, Some(q80Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

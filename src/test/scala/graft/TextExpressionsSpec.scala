@@ -218,4 +218,20 @@ class TextExpressionsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(one == many && one.nonEmpty)
   }
+
+  test("stripHtml: blocks dropped, tags stripped, entities decoded in order") {
+    val cases = Seq(
+      "<p>hello <b>world</b></p>" -> "hello world",
+      "a<script>var x = \"<p>\";</script>b" -> "a b",
+      "x<style type=\"css\">p { color: red }</style>y" -> "x y",
+      "keep <!-- not this --> that" -> "keep that",
+      "Tom &amp; Jerry &lt;3 &quot;hi&quot; &#39;99&nbsp;!" ->
+        "Tom & Jerry <3 \"hi\" '99 !",
+      // &amp;lt; must decode to literal "&lt;", NOT double-decode to "<"
+      "&amp;lt;" -> "&lt;",
+      "  lots   of\n\nspace  " -> "lots of space")
+    val got = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.stripHtml(col("h"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
 }
