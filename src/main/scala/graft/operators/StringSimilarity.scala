@@ -186,11 +186,105 @@ object StringSimilarity {
 
   /** Dedup candidates, rejoin strings, exact threshold-DP verify. */
   private def verify(cands: DataFrame, base: DataFrame, maxDist: Int): DataFrame =
+    verifyAgainst(cands, base, base, maxDist)
+
+  private def verifyAgainst(cands: DataFrame, baseA: DataFrame,
+      baseB: DataFrame, maxDist: Int): DataFrame =
     cands.dropDuplicates("id_a", "id_b")
-      .join(base.select(col("__sid").as("id_a"), col("__s").as("__sa")), "id_a")
-      .join(base.select(col("__sid").as("id_b"), col("__s").as("__sb")), "id_b")
+      .join(baseA.select(col("__sid").as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(baseB.select(col("__sid").as("id_b"), col("__s").as("__sb")), "id_b")
       // threshold form: -1 once the DP exceeds maxDist — O(d·len)/pair
       .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+
+  /**
+   * The R×S form — all (left, right) pairs within edit distance
+   * `maxDist`, as `(id_a, id_b, dist)` with `id_a` from `left` and
+   * `id_b` from `right` (no canonicalization: orientation is the join's
+   * meaning). The record-linkage shape: match an incoming batch of
+   * names against a reference registry.
+   *
+   * Same two strategies as [[editDistanceJoin]]. The q-gram path's
+   * prefix lemma needs ONE consistent global occurrence order across
+   * both sides, so gram frequencies are counted over the UNION of both
+   * inputs; the left side then probes its `q·d+1` rarest occurrences
+   * against the right side's `q·d+2d+1` rarest (the asymmetric pair the
+   * self-join's counting argument already established — it never
+   * needed the two strings to come from one table). The
+   * short-string escape hatch expands the right side's length band in
+   * BOTH directions (`len−d .. len+d`), since a fixed orientation can't
+   * rely on the unordered-pair symmetry the self-join uses.
+   */
+  def editDistanceJoinBetween(left: DataFrame, right: DataFrame,
+      leftId: String, leftStr: String, rightId: String, rightStr: String,
+      maxDist: Int, q: Int = 2, strategy: String = "auto"): DataFrame = {
+    require(maxDist >= 0 && q >= 1, s"need maxDist>=0, q>=1")
+    val strategies = Set("auto", "neighborhood", "qgram")
+    require(strategies(strategy), s"strategy must be one of $strategies")
+    def slim(df: DataFrame, id: String, s: String): DataFrame =
+      PersistTracker.trackPersist(df.select(
+        col(id).as("__sid"), col(s).as("__s"), length(col(s)).as("__len")))
+    val baseL = slim(left, leftId, leftStr)
+    val baseR = slim(right, rightId, rightStr)
+    val useNeighborhood = strategy match {
+      case "neighborhood" => true
+      case "qgram"        => false
+      case _ =>
+        val maxLen = Seq(baseL, baseR).flatMap(b =>
+          Option(b.agg(max(col("__len"))).head.get(0))
+            .map(_.asInstanceOf[Int])).foldLeft(0)(math.max)
+        maxLen <= NbhMaxLen && maxDist <= NbhMaxDist
+    }
+    val cands =
+      if (useNeighborhood) {
+        def vh(b: DataFrame, idAs: String, lenAs: String) = b.select(
+          col("__sid").as(idAs), col("__len").as(lenAs),
+          explode(deletionVariantHashes(col("__s"), maxDist)).as("__vh"))
+        vh(baseL, "id_a", "__la")
+          .join(vh(baseR, "id_b", "__lb"), Seq("__vh"))
+          .filter(abs(col("__la") - col("__lb")) <= maxDist)
+          .select("id_a", "id_b")
+      } else {
+        val prefixA = q * maxDist + 1
+        val prefixB = q * maxDist + 2 * maxDist + 1
+        def inv(b: DataFrame, side: Int) = b
+          .select(lit(side).as("__side"), col("__sid"), col("__len"),
+            explode(posGramHashes(col("__s"), q)).as("__gp"))
+          .select(col("__side"), col("__sid"), col("__len"),
+            col("__gp.g").as("__g"), col("__gp.p").as("__p"))
+        val union = inv(baseL, 0).unionByName(inv(baseR, 1))
+        // ONE shared frequency order over both inputs — the lemma's
+        // total order must rank a matched pair's occurrences equally
+        val dfreq = union.groupBy("__g").agg(count(lit(1)).as("__df"))
+        val ranked = PersistTracker.trackPersist(union.join(dfreq, Seq("__g"))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy("__side", "__sid")
+              .orderBy(col("__df"), col("__g"), col("__p"))))
+          .filter(col("__rk") <= prefixB)
+          .select(col("__side"), col("__sid"), col("__len"), col("__g"),
+            col("__p"), col("__rk")))
+        val a = ranked.filter(col("__side") === 0 && col("__rk") <= prefixA)
+          .select(col("__sid").as("id_a"), col("__len").as("__la"),
+            col("__g"), col("__p").as("__pa"))
+        val b = ranked.filter(col("__side") === 1)
+          .select(col("__sid").as("id_b"), col("__len").as("__lb"),
+            col("__g"), col("__p").as("__pb"))
+        val gramCands = a.join(b, Seq("__g"))
+          .filter(abs(col("__pa") - col("__pb")) <= maxDist)
+          .filter(abs(col("__la") - col("__lb")) <= maxDist)
+          .select("id_a", "id_b")
+        val shortsL = baseL.filter(col("__len") <= q * (maxDist + 1) - 1)
+        val shortsR = baseR.filter(col("__len") <= q * (maxDist + 1) - 1)
+        val shortCands = shortsL
+          .select(col("__sid").as("id_a"), col("__len").as("__key"))
+          .join(shortsR.select(col("__sid").as("id_b"),
+              explode(sequence(greatest(col("__len") - maxDist, lit(0)),
+                col("__len") + maxDist)).as("__key")),
+            Seq("__key"))
+          .select("id_a", "id_b")
+        gramCands.unionByName(shortCands)
+      }
+    verifyAgainst(cands, baseL, baseR, maxDist)
+  }
 }

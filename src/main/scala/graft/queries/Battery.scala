@@ -2454,6 +2454,29 @@ object Battery {
       |SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean_text
       |FROM s10""".stripMargin
 
+  /** R×S edit-distance join
+    * ([[graft.operators.StringSimilarity.editDistanceJoinBetween]]):
+    * even-key customers matched against odd-key customers at distance 1
+    * — the record-linkage orientation (incoming batch vs registry),
+    * where `id_a` is always the probe side. The oracle replays the full
+    * quadratic cross join, proving the shared-frequency-order prefix
+    * lemma lossless in the two-table form too. */
+  val q81EditJoinBetween: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    graft.operators.StringSimilarity.editDistanceJoinBetween(
+      c.filter(col("c_custkey") % 2 === 0),
+      c.filter(col("c_custkey") % 2 === 1),
+      "c_custkey", "c_name", "c_custkey", "c_name", maxDist = 1, q = 4)
+  }
+
+  val q81Sql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1
+      |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+      |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2539,7 +2562,8 @@ object Battery {
     "q77_semantic_dedup" -> (q77SemanticDedup, Some(q77Sql)),
     "q78_percentile_gate" -> (q78PercentileGate, Some(q78Sql)),
     "q79_source_overlap" -> (q79SourceOverlap, Some(q79Sql)),
-    "q80_html_strip" -> (q80HtmlStrip, Some(q80Sql)))
+    "q80_html_strip" -> (q80HtmlStrip, Some(q80Sql)),
+    "q81_edit_join_between" -> (q81EditJoinBetween, Some(q81Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -114,6 +114,49 @@ class StringSimilaritySpec extends SparkSpec {
     }
   }
 
+  private def bruteForceBetween(ls: Seq[(Long, String)],
+      rs: Seq[(Long, String)], d: Int): Set[(Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    (for {
+      (il, sl) <- ls; (ir, sr) <- rs
+      dist = lev(sl, sr) if dist <= d
+    } yield (il, ir, dist)).toSet
+  }
+
+  test("between-join (R×S) lossless under both strategies") {
+    val rnd = new scala.util.Random(77)
+    val alpha = "abc"
+    def word(max: Int) =
+      Seq.fill(rnd.nextInt(max) + 1)(alpha(rnd.nextInt(alpha.size))).mkString
+    for (trial <- 0 until 3) {
+      val ls = (1L to 25L).map(i => i -> word(6 + trial * 14))
+      val rs = (101L to 130L).map(i => i -> word(6 + trial * 14))
+      val (ldf, rdf) = (ls.toDF("lid", "lname"), rs.toDF("rid", "rname"))
+      for (d <- Seq(0, 1, 2); strategy <- Seq("neighborhood", "qgram")) {
+        val got = StringSimilarity.editDistanceJoinBetween(
+          ldf, rdf, "lid", "lname", "rid", "rname",
+          maxDist = d, q = 2, strategy = strategy)
+          .as[(Long, Long, Int)].collect().toSet
+        assert(got == bruteForceBetween(ls, rs, d),
+          s"trial=$trial d=$d strategy=$strategy")
+      }
+    }
+    // orientation is preserved: id_a always from the left input
+    val got = StringSimilarity.editDistanceJoinBetween(
+      Seq(1L -> "abc").toDF("lid", "ls"), Seq(9L -> "abd").toDF("rid", "rs"),
+      "lid", "ls", "rid", "rs", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 9L, 1)))
+  }
+
   test("deletionVariantHashes: codegen and interpreted agree on sizes") {
     val df = Seq("abc", "a", "", "aaa").toDF("s")
     def run(codegen: Boolean): Seq[Int] = {
