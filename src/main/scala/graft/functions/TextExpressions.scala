@@ -282,4 +282,68 @@ object TextExpressions {
       WordListMask(org.apache.spark.sql.graftbridge.ColumnBridge.expr(token),
         byWord.keys.toArray, byWord.values.toArray))
   }
+
+  /** Deflate worker: the reference-array object is SHARED across every
+    * task using the expression, and Deflater carries mutable state, so
+    * each thread gets its own (deflater, buffer) pair — reset between
+    * rows, no per-row allocation beyond the UTF-8 copy. Level is pinned
+    * so the length is deterministic per platform. */
+  final class DeflateWorker(val level: Int) extends Serializable {
+    @transient private lazy val local =
+      new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
+        override def initialValue() =
+          (new java.util.zip.Deflater(level), new Array[Byte](64 * 1024))
+      }
+
+    def len(s: UTF8String): Int = {
+      val (deflater, buf) = local.get()
+      deflater.reset()
+      deflater.setInput(s.getBytes)
+      deflater.finish()
+      var total = 0
+      while (!deflater.finished())
+        total += deflater.deflate(buf)
+      total
+    }
+  }
+
+  /**
+   * Compressed (raw DEFLATE stream, fixed level) byte length of a
+   * string — the classic compression-ratio quality signal: natural
+   * prose compresses to ~30-60% of its size, boilerplate/template spam
+   * compresses far smaller, and random noise barely compresses at all.
+   * `compressed_len / raw_len` gates both tails. No cross-engine
+   * oracle exists (zlib internals are not SQL-replayable), so this is a
+   * spec-verified, rows-only surface by construction — the signal's
+   * MONOTONICITY (repetitive < prose < noise) is what the gate uses,
+   * not exact byte counts.
+   */
+  case class DeflateLen(child: Expression, level: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_deflate_len"
+
+    @transient private lazy val worker = new DeflateWorker(level)
+
+    override protected def nullSafeEval(input: Any): Any =
+      worker.len(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("deflateWorker", worker,
+        classOf[DeflateWorker].getName)
+      nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.len($s);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column wrapper for [[DeflateLen]]. */
+  def deflateLen(str: Column, level: Int = 6): Column = {
+    require(level >= 1 && level <= 9, s"deflate level in [1,9], got $level")
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      DeflateLen(org.apache.spark.sql.graftbridge.ColumnBridge.expr(str),
+        level))
+  }
 }

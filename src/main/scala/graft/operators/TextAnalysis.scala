@@ -251,6 +251,20 @@ object TextAnalysis {
    * half-eaten by a number pattern.
    */
   /**
+   * Compression-ratio quality signal: `deflate_len / byte_len`, the
+   * classic two-tailed gate — boilerplate/template spam compresses far
+   * below natural prose, random noise barely compresses at all
+   * ([[graft.functions.TextExpressions.DeflateLen]]; spec-verified
+   * monotonicity, no SQL oracle by construction). Null or empty text
+   * scores 0.0 (nothing to gate). Narrow codegen pass, no shuffle.
+   */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    when(length(text) > 0,
+      round(graft.functions.TextExpressions.deflateLen(text, level)
+        .cast("double") / octet_length(text), 4))
+      .otherwise(lit(0.0))
+
+  /**
    * Regex HTML-to-text: drop script/style blocks and comments, strip
    * tags, decode the six entities that dominate web text, collapse
    * whitespace. Deliberately NOT a DOM parser — this is the

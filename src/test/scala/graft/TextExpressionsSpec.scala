@@ -234,4 +234,29 @@ class TextExpressionsSpec extends SparkSpec {
       .select(TextAnalysis.stripHtml(col("h"))).as[String].collect().toSeq
     assert(got == cases.map(_._2))
   }
+
+  test("compressionRatio: repetitive < prose < noise; codegen = interpreted") {
+    val rnd = new scala.util.Random(5)
+    val docs = Seq(
+      (1L, "the " * 500),                                    // boilerplate
+      (2L, Seq.fill(120)(Seq("alpha", "bridge", "copper", "delta", "ember",
+        "forest", "granite", "harbor")(rnd.nextInt(8))).mkString(" ")),
+      (3L, Seq.fill(2000)(('a' + rnd.nextInt(26)).toChar).mkString), // noise
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def ratios(codegen: Boolean): Map[Long, Double] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try docs.select(col("doc_id"),
+          TextAnalysis.compressionRatio(col("text")).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      finally spark.conf.set("spark.sql.codegen.wholeStage", true)
+    }
+    val r = ratios(codegen = true)
+    assert(r(1L) < r(2L) && r(2L) < r(3L), s"monotonicity broke: $r")
+    assert(r(1L) < 0.1 && r(3L) > 0.5, s"tails off: $r")
+    assert(r(4L) == 0.0 && r(5L) == 0.0)
+    assert(r == ratios(codegen = false))
+    // determinism across evaluations (fresh Deflater state per row)
+    assert(r == ratios(codegen = true))
+  }
 }
