@@ -44,12 +44,47 @@ object DedupIngest {
   private val FpSchema = StructType(Seq(StructField("__fp", StringType)))
   private val GramSchema = StructType(Seq(StructField("__g", StringType)))
 
+  /** Recover a half-finished [[compact]] swap: if the live dir is gone
+    * but its staged replacement exists, promote the replacement. */
+  private def recoverSwap(path: String): Unit = {
+    val (live, next) = (new java.io.File(path), new java.io.File(path + ".next"))
+    if (!live.exists() && next.exists()) next.renameTo(live)
+  }
+
   private def readOrEmpty(spark: SparkSession, path: String,
-      schema: StructType): DataFrame =
+      schema: StructType): DataFrame = {
+    recoverSwap(path)
     if (new java.io.File(path).exists())
       spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Fold each append-accumulated side back to one compact write —
+    * every batch lands new small files, so a long-running ingest pays
+    * growing listing/scan overhead without this. The index sides also
+    * re-`distinct` (crash replays can leave duplicate entries; dedup
+    * correctness never depended on uniqueness, only size does). Swap is
+    * write-`.next` → delete live → promote; [[recoverSwap]] completes a
+    * swap that crashed after the delete.
+    */
+  private def compact(spark: SparkSession, dir: String): Unit = {
+    def swap(path: String, write: String => Unit): Unit = {
+      recoverSwap(path)
+      if (new java.io.File(path).exists()) {
+        write(path + ".next")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+        new java.io.File(path + ".next").renameTo(new java.io.File(path))
+      }
+    }
+    swap(s"$dir/fps", out => spark.read.schema(FpSchema)
+      .parquet(s"$dir/fps").distinct().write.parquet(out))
+    swap(s"$dir/grams", out => spark.read.schema(GramSchema)
+      .parquet(s"$dir/grams").distinct().write.parquet(out))
+    swap(s"$dir/corpus", out => spark.read.parquet(s"$dir/corpus")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .write.parquet(out))
+  }
 
   /**
    * @param docs       streaming DataFrame with `idCol` and `textCol`
@@ -60,10 +95,12 @@ object DedupIngest {
   def start(docs: DataFrame, dir: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 8, minHits: Int = 1,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val idx = Dedup.CorpusIndex(
           readOrEmpty(spark, s"$dir/fps", FpSchema),
@@ -92,6 +129,11 @@ object DedupIngest {
           // like Verify/Bench) — released once per batch; early release
           // under a concurrent query only costs recomputation
           Dedup.releasePersisted()
+        }
+        // batch ids persist in the checkpoint, so the cadence survives
+        // restarts (the StreamingVcfLoad.compactEvery pattern)
+        compactEvery.foreach { every =>
+          if ((batchId + 1) % every == 0) compact(spark, dir)
         }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)

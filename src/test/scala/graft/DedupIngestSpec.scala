@@ -63,4 +63,37 @@ class DedupIngestSpec extends SparkSpec {
     try q2.processAllAvailable() finally q2.stop()
     assert(corpusIds == Set(1L, 3L, 13L), "replay must be a no-op")
   }
+
+  test("compaction folds small files, preserves contents, and dedups run on") {
+    implicit val sql = spark.sqlContext
+    val dir = tmp("dedup-compact")
+    val ck = tmp("dedup-compact-ck")
+    val input = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = DedupIngest.start(input.toDF().toDF("doc_id", "text"), dir, ck,
+        n = 8, minHits = 1, availableNow = true, compactEvery = Some(1))
+      try q.processAllAvailable() finally q.stop()
+    }
+    def parquetFiles(sub: String): Int =
+      Option(new java.io.File(s"$dir/$sub").listFiles())
+        .fold(0)(_.count(_.getName.endsWith(".parquet")))
+    input.addData((1L to 40L).map(i =>
+      (i, s"u$i v$i w$i x$i y$i z$i a$i b$i c$i d$i")))
+    run()
+    input.addData(Seq(
+      (101L, "u7 v7 w7 x7 y7 z7 a7 b7 c7 d7"),   // dup of doc 7
+      (102L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"))) // novel
+    run()
+    val ids = spark.read.parquet(s"$dir/corpus").select("doc_id")
+      .as[Long].collect().toSet
+    assert(ids == (1L to 40L).toSet + 102L)
+    // every side folded to one compact write (shuffle.partitions files
+    // for the corpus, 32 here; the raw appends would be ~2x that)
+    assert(parquetFiles("fps") <= 32 && parquetFiles("grams") <= 32)
+    // and the compacted index still gates the next batch
+    input.addData(Seq((201L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10")))
+    run()
+    assert(spark.read.parquet(s"$dir/corpus").select("doc_id")
+      .as[Long].collect().toSet == ids, "compacted index missed a dup")
+  }
 }
