@@ -114,6 +114,22 @@ class StringSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("exhaustive micro-universe: every string of length <= 4 over {a,b}") {
+    // closed-universe check of the prefix lemma and the short-string
+    // escape hatch: all 31 strings, all 465 pairs, every (q, d) cell
+    val universe = (0 to 4).flatMap(n =>
+      (0 until (1 << n)).map(bits =>
+        (0 until n).map(i => if ((bits >> i & 1) == 1) 'b' else 'a').mkString))
+      .distinct.zipWithIndex.map { case (s, i) => (i + 1).toLong -> s }
+    val df = universe.toDF("id", "name")
+    for (d <- 0 to 2; q <- Seq(2, 3); strategy <- Seq("neighborhood", "qgram")) {
+      val got = StringSimilarity.editDistanceJoin(df, "id", "name",
+        maxDist = d, q = q, strategy = strategy)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == bruteForce(universe, d), s"d=$d q=$q strategy=$strategy")
+    }
+  }
+
   private def bruteForceBetween(ls: Seq[(Long, String)],
       rs: Seq[(Long, String)], d: Int): Set[(Long, Long, Int)] = {
     def lev(a: String, b: String): Int = {
