@@ -50,6 +50,22 @@ object CorpusDemo {
         spans.filter(col("n_dup_grams") > 0).count())
       Dedup.releasePersisted()
 
+      val stripped = TextAnalysis.stripDuplicatedSpans(uniq, "doc_id",
+        col("text"), n = 8)
+      println(s"[spans/strip] docs_rewritten=" +
+        stripped.filter(col("n_kept") < col("n_tokens")).count())
+      Dedup.releasePersisted()
+
+      val chunks = TextAnalysis.cdcChunks(uniq, "doc_id", col("text"))
+      println(s"[chunk/cdc] chunks=${chunks.count()} distinct_fp=" +
+        chunks.select("chunk_fp").distinct().count())
+
+      val gated = Sampling.percentileGate(uniq, col("lang"),
+        TextAnalysis.qualityScore(col("text")), 0.25)
+      println(s"[quality] above_per_lang_p25=${gated.count()} " +
+        "mean_compress_ratio=" + uniq.agg(round(avg(
+          TextAnalysis.compressionRatio(col("text"))), 4)).head.get(0))
+
       val sem = Dedup.semanticDedup(emb, k = 4, iters = 2, threshold = 0.45)
       println(s"[dedup/semantic] canonical=" +
         sem.filter(col("is_canonical") === 1).count())
