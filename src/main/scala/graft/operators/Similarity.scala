@@ -146,13 +146,30 @@ object Similarity {
       numCells: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", queryIdCol: String = "query_id",
       vecCol: String = "embedding",
-      centroids: Seq[(Long, Seq[Float])] = Nil): DataFrame = {
+      centroids: Seq[(Long, Seq[Float])] = Nil): DataFrame =
+    ivfTopKWithIndex(
+      buildIvfIndex(corpus, numCells, idCol, vecCol, centroids),
+      queries, k, nprobe, idCol, queryIdCol, vecCol)
+
+  /** The IVF index: the cell-assigned corpus (`idCol, __cvec, __cell`)
+    * plus its centroids. The assigned frame is what a deployment
+    * materializes ONCE — write it bucketed on `__cell`
+    * ([[graft.sources.BucketedTables]]) and every later query batch
+    * joins against `nprobe` buckets with no assignment pass and no
+    * corpus-side shuffle. */
+  case class IvfIndex(assigned: DataFrame, centroids: Seq[(Long, Seq[Float])])
+
+  /** Assign every corpus vector to its nearest centroid — one broadcast
+    * codegen pass (`array_max` over (cosine, -cell_id) structs, ties to
+    * the lowest id), no shuffle. Centroids default to the `numCells`
+    * lowest-id vectors (deterministic, oracle-replayable); pass
+    * [[graft.operators.Clustering.ivfCentroids]]-trained ones at
+    * production scale. */
+  def buildIvfIndex(corpus: DataFrame, numCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Seq[(Long, Seq[Float])] = Nil): IvfIndex = {
     require(numCells > 0 && numCells <= 4096,
       s"numCells must be a broadcastable dimension, got $numCells")
-    require(nprobe > 0 && nprobe <= numCells, s"nprobe in [1,$numCells]")
-    // trained centroids when supplied; else the numCells lowest-id
-    // vectors (deterministic, oracle-replayable). Driver collect is
-    // bounded by the numCells cap.
     val cents: Seq[(Long, Seq[Float])] =
       if (centroids.nonEmpty) {
         require(centroids.size == numCells,
@@ -162,8 +179,6 @@ object Similarity {
         .select(col(idCol).cast("long"), col(vecCol))
         .orderBy(col(idCol)).limit(numCells).collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
-    // (cosine, -cell_id) structs: array_max = nearest centroid, ties to
-    // the LOWEST cell id — one codegen expression, no shuffle
     def cellOf(vec: Column): Column = {
       val scored = cents.map { case (cid, cvec) =>
         struct(round(cosine(vec, typedlit(cvec)), 4).as("c"),
@@ -171,9 +186,18 @@ object Similarity {
       }
       -array_max(array(scored: _*)).getField("n")
     }
-    val assigned = corpus.select(col(idCol), col(vecCol).as("__cvec"),
-      cellOf(col(vecCol)).as("__cell"))
+    IvfIndex(corpus.select(col(idCol), col(vecCol).as("__cvec"),
+      cellOf(col(vecCol)).as("__cell")), cents)
+  }
 
+  /** [[ivfTopK]] against a prepared [[IvfIndex]] — the serving form:
+    * the probe list broadcasts into the assigned corpus and only the
+    * probed cells are scanned. */
+  def ivfTopKWithIndex(index: IvfIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 4, idCol: String = "vec_id",
+      queryIdCol: String = "query_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = index.centroids
+    require(nprobe > 0 && nprobe <= cents.size, s"nprobe in [1,${cents.size}]")
     // probe list: every query's nprobe nearest cells (tiny — explode the
     // numCells scores and rank per query)
     val cellScores = explode(array(cents.map { case (cid, cvec) =>
@@ -190,7 +214,7 @@ object Similarity {
       .select(col(queryIdCol), col("__qvec"), col("__cs.cell").as("__cell"))
 
     // scan only the probed cells, exact cosine re-rank within them
-    val scored = assigned.join(broadcast(probes), Seq("__cell"))
+    val scored = index.assigned.join(broadcast(probes), Seq("__cell"))
       .withColumn("cosine", round(cosine(col("__qvec"), col("__cvec")), 4))
     val w = Window.partitionBy(queryIdCol)
       .orderBy(col("cosine").desc, col(idCol))

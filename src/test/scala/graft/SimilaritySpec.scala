@@ -82,6 +82,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.count() == 4)
   }
 
+  test("IVF index survives a bucketed write; serving equals direct") {
+    val corpus = clustered
+    val queries = corpus.filter($"vec_id".isin(5L, 6L, 7L))
+      .select($"vec_id".as("query_id"), $"embedding")
+    val direct = Similarity.ivfTopK(corpus, queries, k = 3,
+      numCells = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val idx = Similarity.buildIvfIndex(corpus, numCells = 4)
+    // the deployment shape: assigned corpus bucketed on its cell
+    graft.sources.BucketedTables.writeBucketed(idx.assigned,
+      "ivf_assigned_spec", 2, Seq("__cell"))
+    val back = Similarity.IvfIndex(
+      spark.table("ivf_assigned_spec"), idx.centroids)
+    val served = Similarity.ivfTopKWithIndex(back, queries, k = 3,
+      nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(served == direct)
+    spark.sql("DROP TABLE IF EXISTS ivf_assigned_spec")
+  }
+
   /** Plain-Scala PQ reference: same codebook policy, rounded-dot argmax
     * assignment (ties → lowest code), ADC sum, (score desc, id) ranking. */
   private def pqReference(vecs: Seq[(Long, Seq[Float])], queryIds: Seq[Long],
