@@ -296,11 +296,26 @@ object Similarity {
       m: Int = 8, codebookSize: Int = 16,
       idCol: String = "vec_id", queryIdCol: String = "query_id",
       vecCol: String = "embedding",
-      codebook: Seq[Seq[Seq[Float]]] = Nil): DataFrame = {
+      codebook: Seq[Seq[Seq[Float]]] = Nil): DataFrame =
+    pqTopKWithIndex(
+      buildPqIndex(corpus, m, codebookSize, idCol, vecCol, codebook),
+      queries, k, idCol, queryIdCol, vecCol)
+
+  /** The PQ index: per-(vector, subspace) codes — the 8-bytes-per-
+    * vector at-rest artifact that IS the point of PQ — plus the
+    * codebook that decodes them. Materialize `codes` once; serving
+    * never touches the float corpus. */
+  case class PqIndex(codes: DataFrame, codebook: Seq[Seq[Seq[Float]]])
+
+  /** Encode the corpus: per-subspace argmax code (rounded-dot, ties to
+    * the lowest code) in one narrow pass, no shuffle. Codebook defaults
+    * to the `codebookSize` lowest-id vectors sliced per subspace;
+    * train a real one with [[pqTrainCodebook]]. */
+  def buildPqIndex(corpus: DataFrame, m: Int = 8, codebookSize: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      codebook: Seq[Seq[Seq[Float]]] = Nil): PqIndex = {
     require(m > 0 && codebookSize > 0 && codebookSize <= 256,
       s"need m>0 and codebookSize in [1,256], got ($m, $codebookSize)")
-    val spark = corpus.sparkSession
-    import spark.implicits._
     // codebook(j)(c) = centroid c of subspace j
     val cb: Seq[Seq[Seq[Float]]] =
       if (codebook.nonEmpty) {
@@ -328,9 +343,7 @@ object Similarity {
         (0 until m).map(j => base.map(_.slice(j * sd, j * sd + sd)))
       }
     val sd = cb.head.head.size
-
     def sub(vec: Column, j: Int): Column = slice(vec, j * sd + 1, sd)
-
     // per-subspace argmax code: array_max over (rounded dot, -code)
     def codeOf(vec: Column, j: Int): Column = {
       val scored = cb(j).zipWithIndex.map { case (cent, c) =>
@@ -339,21 +352,31 @@ object Similarity {
       }
       -array_max(array(scored: _*)).getField("n")
     }
-
-    // encode: (id, j, code) — one narrow pass, no shuffle
-    val codes = corpus.select(col(idCol),
+    PqIndex(corpus.select(col(idCol),
       posexplode(array((0 until m).map(j => codeOf(col(vecCol), j)): _*))
-        .as(Seq("__j", "__code")))
+        .as(Seq("__j", "__code"))), cb)
+  }
 
+  /** [[pqTopK]] against a prepared [[PqIndex]] — the serving form: ADC
+    * joins the code rows to the broadcast codebook and broadcast query
+    * sub-vectors; the only shuffle is the per-(query, id) score sum and
+    * the top-k window. */
+  def pqTopKWithIndex(index: PqIndex, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cb = index.codebook
+    val m = cb.size
+    val sd = cb.head.head.size
+    val spark = queries.sparkSession
+    import spark.implicits._
+    def sub(vec: Column, j: Int): Column = slice(vec, j * sd + 1, sd)
     val cbRows = (for {
-      j <- 0 until m; c <- 0 until codebookSize
+      j <- 0 until m; c <- cb(j).indices
     } yield (j, c, cb(j)(c))).toDF("__j", "__code", "__cvec")
-
     val qsubs = queries.select(col(queryIdCol),
       posexplode(array((0 until m).map(j => sub(col(vecCol), j)): _*))
         .as(Seq("__j", "__qsub")))
-
-    val adc = codes
+    val adc = index.codes
       .join(broadcast(cbRows), Seq("__j", "__code"))
       .join(broadcast(qsubs), Seq("__j"))
       .groupBy(col(queryIdCol), col(idCol))

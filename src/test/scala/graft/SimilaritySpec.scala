@@ -183,6 +183,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ code index survives a bucketed write; serving equals direct") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(id =>
+      id -> Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val direct = Similarity.pqTopK(corpus, queries, k = 4, m = 4,
+      codebookSize = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val idx = Similarity.buildPqIndex(corpus, m = 4, codebookSize = 8)
+    graft.sources.BucketedTables.writeBucketed(idx.codes,
+      "pq_codes_spec", 2, Seq("__j"))
+    val back = Similarity.PqIndex(spark.table("pq_codes_spec"), idx.codebook)
+    val served = Similarity.pqTopKWithIndex(back, queries, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(served == direct)
+    spark.sql("DROP TABLE IF EXISTS pq_codes_spec")
+  }
+
   test("pqTrainCodebook beats the lowest-id codebook's recall") {
     // 4 groups = product of 2 sub-patterns per subspace. The 2 lowest-id
     // vectors (the default codebook source) both sit near pattern A in
