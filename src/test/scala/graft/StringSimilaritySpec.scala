@@ -114,6 +114,22 @@ class StringSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("qgram path stays lossless at d=3 (widest prefix band tested)") {
+    // the +2d rank-slack band grows with d; d=3 is beyond the auto
+    // router's neighborhood range, so this is the path real callers hit
+    val rnd = new scala.util.Random(99)
+    val alpha = "ab"
+    def word(max: Int) =
+      Seq.fill(rnd.nextInt(max) + 1)(alpha(rnd.nextInt(alpha.size))).mkString
+    val corpus = (1L to 30L).map(i => i -> word(10))
+    val got = StringSimilarity.editDistanceJoin(
+      corpus.toDF("id", "name"), "id", "name",
+      maxDist = 3, q = 2, strategy = "qgram")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == bruteForce(corpus, 3))
+    assert(got.nonEmpty, "degenerate fixture: no pairs at d=3")
+  }
+
   test("exhaustive micro-universe: every string of length <= 4 over {a,b}") {
     // closed-universe check of the prefix lemma and the short-string
     // escape hatch: all 31 strings, all 465 pairs, every (q, d) cell
