@@ -436,29 +436,56 @@ object TextAnalysis {
    *         tokens.
    */
   def bigramLmScores(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column): org.apache.spark.sql.DataFrame =
+    // self-scored: every scored bigram exists in the counts, so the
+    // held-out form's unseen-bigram floor never fires and the numbers
+    // are identical to the historical inner-join formulation (q59)
+    bigramLmScoresAgainst(df, df, idCol, text)
+
+  /**
+   * The held-out form of [[bigramLmScores]]: train the add-one-smoothed
+   * bigram LM on `train`, score `scoreDf` — the shape a quality gate
+   * actually runs (scoring docs with a model fit on themselves
+   * systematically flatters them; train on the train split, gate the
+   * incoming batch). Bigrams and head words UNSEEN in training take the
+   * smoothing floor (`1/(0+V)` resp. `(c2+1)/(c1+V)` with zero counts)
+   * instead of silently dropping out of the average.
+   *
+   * Scale shape: counts and vocab derive from the train side only (the
+   * persisted bigram count table is the model — reuse it across score
+   * batches); scoring is two left joins keyed on words plus one
+   * broadcast vocab scalar.
+   */
+  def bigramLmScoresAgainst(train: org.apache.spark.sql.DataFrame,
+      scoreDf: org.apache.spark.sql.DataFrame, idCol: String,
       text: Column): org.apache.spark.sql.DataFrame = {
-    val toks = df.select(col(idCol), tokens(lower(text)).as("__t"))
-    val m = size(col("__t"))
-    val bg = toks.filter(m >= 2)
-      .select(col(idCol), col("__t"),
-        explode(sequence(lit(1), m - 1)).as("__i"))
-      .select(col(idCol),
-        element_at(col("__t"), col("__i")).as("w1"),
-        element_at(col("__t"), col("__i") + 1).as("w2"))
+    def toksOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol), tokens(lower(text)).as("__t"))
+    def bigramsOf(toks: org.apache.spark.sql.DataFrame) = {
+      val m = size(col("__t"))
+      toks.filter(m >= 2)
+        .select(col(idCol), col("__t"),
+          explode(sequence(lit(1), m - 1)).as("__i"))
+        .select(col(idCol),
+          element_at(col("__t"), col("__i")).as("w1"),
+          element_at(col("__t"), col("__i") + 1).as("w2"))
+    }
+    val trainToks = toksOf(train)
     // persisted: c2 feeds the per-bigram join AND derives c1 — caching
     // the (small) count table avoids a second corpus-scale explode+agg;
-    // bg itself stays uncached (narrow recompute, corpus-sized)
-    val c2 = PersistTracker.trackPersist(
-      bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c2")))
+    // the bigram frames stay uncached (narrow recompute, corpus-sized)
+    val c2 = PersistTracker.trackPersist(bigramsOf(trainToks)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__c2")))
     val c1 = c2.groupBy("w1").agg(sum(col("__c2")).as("__c1"))
-    val vocab = toks.select(explode(col("__t")).as("__w"))
+    val vocab = trainToks.select(explode(col("__t")).as("__w"))
       .agg(count_distinct(col("__w")).as("__v"))
-    val scored = bg
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+    val scored = bigramsOf(toksOf(scoreDf))
+      .join(c2, Seq("w1", "w2"), "left_outer")
+      .join(c1, Seq("w1"), "left_outer")
       .join(broadcast(vocab))
       .withColumn("__lp",
-        log((col("__c2") + lit(1.0)) / (col("__c1") + col("__v"))))
+        log((coalesce(col("__c2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("__c1"), lit(0L)) + col("__v"))))
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("__lp")), 4).as("avg_logp"))

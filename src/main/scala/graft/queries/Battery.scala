@@ -2477,6 +2477,54 @@ object Battery {
       |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
       |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 
+  /** Held-out bigram-LM scoring
+    * ([[graft.operators.TextAnalysis.bigramLmScoresAgainst]]): the LM
+    * trains on q45's deterministic train split and scores the val
+    * split — the un-flattered quality gate, where bigrams unseen in
+    * training take the smoothing floor instead of dropping out. The
+    * oracle replays the split predicate, the train-side counts, and
+    * the COALESCE floor arithmetic. */
+  val q82HeldoutLm: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    def split(name: String) = graft.operators.Sampling
+      .assignSplit(docs, col("doc_id"), "exp1")
+      .filter(col("split") === name).drop("split")
+    graft.operators.TextAnalysis.bigramLmScoresAgainst(
+      split("train"), split("val"), "doc_id", col("text"))
+  }
+
+  val q82Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':exp1'), 1, 15))
+      |      ::BIGINT % 1000000 AS bucket
+      |  FROM documents),
+      |toks_tr AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM b WHERE bucket < 800000),
+      |toks_va AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM b WHERE bucket >= 800000 AND bucket < 900000),
+      |bg_tr AS (
+      |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+      |  FROM toks_tr, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+      |bg_va AS (
+      |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+      |  FROM toks_va, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg_tr GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT term) AS v FROM (
+      |  SELECT unnest(t) AS term FROM toks_tr)),
+      |scored AS (
+      |  SELECT bg_va.doc_id,
+      |    ln((COALESCE(c2.c2, 0) + 1.0) / (COALESCE(c1.c1, 0) + v.v)) AS lp
+      |  FROM bg_va LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+      |    CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 4) AS avg_logp
+      |FROM scored GROUP BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2563,7 +2611,8 @@ object Battery {
     "q78_percentile_gate" -> (q78PercentileGate, Some(q78Sql)),
     "q79_source_overlap" -> (q79SourceOverlap, Some(q79Sql)),
     "q80_html_strip" -> (q80HtmlStrip, Some(q80Sql)),
-    "q81_edit_join_between" -> (q81EditJoinBetween, Some(q81Sql)))
+    "q81_edit_join_between" -> (q81EditJoinBetween, Some(q81Sql)),
+    "q82_heldout_lm" -> (q82HeldoutLm, Some(q82Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -259,4 +259,28 @@ class TextExpressionsSpec extends SparkSpec {
     // determinism across evaluations (fresh Deflater state per row)
     assert(r == ratios(codegen = true))
   }
+
+  test("bigramLmScoresAgainst: unseen bigrams take the smoothing floor") {
+    // train: c2(a,b)=2, c2(b,a)=1; c1(a)=2, c1(b)=1; V = 2 ({a, b})
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b"),   // seen:        ln((2+1)/(2+2))
+      (11L, "a z"),   // unseen pair: ln((0+1)/(2+2))
+      (12L, "z q"))   // unseen head: ln((0+1)/(0+2))
+      .toDF("doc_id", "text")
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.bigramLmScoresAgainst(train, score,
+      "doc_id", col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L) == ((1L, r4(math.log(3.0 / 4)))))
+    assert(got(11L) == ((1L, r4(math.log(1.0 / 4)))))
+    assert(got(12L) == ((1L, r4(math.log(1.0 / 2)))))
+    // the self-scored form still matches its historical inner-join math
+    val self = TextAnalysis.bigramLmScores(train, "doc_id", col("text"))
+      .as[(Long, Long, Double)].collect()
+    assert(self.toSeq == Seq((1L, 3L,
+      r4((2 * math.log(3.0 / 4) + math.log(2.0 / 3)) / 3))))
+  }
 }
