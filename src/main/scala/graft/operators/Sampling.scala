@@ -99,21 +99,6 @@ object Sampling {
     hashBucket(id, s"$salt:e$epoch")
 
   /**
-   * Mixture balancing: deterministically downsample every `key` group
-   * (domain, language, source) toward the SMALLEST group's size, so no
-   * domain dominates the training mixture. Each group keeps rows whose
-   * hash bucket falls under `target·Buckets ÷ count(key)` — integer
-   * arithmetic, so any engine computes the identical cutoff, and the
-   * kept set is a hash-stable subset (re-runs keep the same rows;
-   * growing a group only evicts, never reshuffles).
-   *
-   * One count aggregate + a broadcast of |keys| cutoffs + a narrow
-   * filter: the corpus itself never shuffles. The result sizes are
-   * binomial around the target (exact-k per group would need a
-   * per-group sort — [[graft.operators.Dedup.capPerKey]] when
-   * exactness matters more than a shuffle-free plan).
-   */
-  /**
    * Stratified deterministic sampling: each key (language, source,
    * quality band) keeps its own fraction — the `sampleBy` of this
    * engine, but hash-stable (re-runs keep the same rows; a fraction
@@ -149,6 +134,21 @@ object Sampling {
     df.filter(hashBucket(id, salt) <
       round(least(greatest(weight, lit(0.0)), lit(1.0)) * Buckets))
 
+  /**
+   * Mixture balancing: deterministically downsample every `key` group
+   * (domain, language, source) toward the SMALLEST group's size, so no
+   * domain dominates the training mixture. Each group keeps rows whose
+   * hash bucket falls under `target·Buckets ÷ count(key)` — integer
+   * arithmetic, so any engine computes the identical cutoff, and the
+   * kept set is a hash-stable subset (re-runs keep the same rows;
+   * growing a group only evicts, never reshuffles).
+   *
+   * One count aggregate + a broadcast of |keys| cutoffs + a narrow
+   * filter: the corpus itself never shuffles. The result sizes are
+   * binomial around the target (exact-k per group would need a
+   * per-group sort — [[graft.operators.Dedup.capPerKey]] when
+   * exactness matters more than a shuffle-free plan).
+   */
   def balanceMixture(df: DataFrame, key: Column, id: Column,
       salt: String): DataFrame = {
     // persisted: the per-key counts feed BOTH the global-min aggregate

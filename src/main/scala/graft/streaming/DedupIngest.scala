@@ -44,46 +44,150 @@ object DedupIngest {
   private val FpSchema = StructType(Seq(StructField("__fp", StringType)))
   private val GramSchema = StructType(Seq(StructField("__g", StringType)))
 
+  /** Filesystem for `path` via the Hadoop API — NOT `java.io.File`,
+    * which silently reports "missing" for any non-local URI (hdfs://,
+    * s3a://); on remote storage that would read the index as empty every
+    * batch and admit every duplicate while the parquet writes kept
+    * succeeding. */
+  private def fs(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
   /** Recover a half-finished [[compact]] swap: if the live dir is gone
-    * but its staged replacement exists, promote the replacement. */
-  private def recoverSwap(path: String): Unit = {
-    val (live, next) = (new java.io.File(path), new java.io.File(path + ".next"))
-    if (!live.exists() && next.exists()) next.renameTo(live)
+    * but its staged replacement exists, promote the replacement. When
+    * the live dir EXISTS alongside a stale `.next` (crash between the
+    * `.next` write and the live delete), drop the `.next` — it must not
+    * survive to fail the next compaction's write. */
+  private def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val (f, live) = fs(spark, path)
+    val next = new org.apache.hadoop.fs.Path(path + ".next")
+    if (f.exists(next)) {
+      if (!f.exists(live)) f.rename(next, live)
+      else f.delete(next, true)
+    }
   }
 
   private def readOrEmpty(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {
-    recoverSwap(path)
-    if (new java.io.File(path).exists())
+    recoverSwap(spark, path)
+    val (f, p) = fs(spark, path)
+    if (f.exists(p))
       spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** Fold each append-accumulated side back to one compact write —
+  /** Fold each append-accumulated side back to a bounded file count —
     * every batch lands new small files, so a long-running ingest pays
-    * growing listing/scan overhead without this. The index sides also
-    * re-`distinct` (crash replays can leave duplicate entries; dedup
-    * correctness never depended on uniqueness, only size does). Swap is
-    * write-`.next` → delete live → promote; [[recoverSwap]] completes a
-    * swap that crashed after the delete.
+    * growing listing/scan overhead without this. The index sides
+    * re-`distinct` and fully rewrite (they shrink under distinct and are
+    * the per-batch probe targets); swap is write-`.next` → delete live →
+    * promote, with [[recoverSwap]] completing a swap that crashed after
+    * the delete and clearing a `.next` orphaned before it. The corpus is
+    * NOT rewritten wholesale: at scale a compaction cadence that
+    * rewrites the full corpus is a non-starter, so only the small-file
+    * tail folds ([[foldCorpusTail]]) and large generations are never
+    * touched again.
     */
-  private def compact(spark: SparkSession, dir: String): Unit = {
+  private def compact(spark: SparkSession, dir: String,
+      smallFileBytes: Long): Unit = {
     def swap(path: String, write: String => Unit): Unit = {
-      recoverSwap(path)
-      if (new java.io.File(path).exists()) {
+      recoverSwap(spark, path)
+      val (f, live) = fs(spark, path)
+      if (f.exists(live)) {
         write(path + ".next")
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
-        new java.io.File(path + ".next").renameTo(new java.io.File(path))
+        f.delete(live, true)
+        f.rename(new org.apache.hadoop.fs.Path(path + ".next"), live)
       }
     }
     swap(s"$dir/fps", out => spark.read.schema(FpSchema)
       .parquet(s"$dir/fps").distinct().write.parquet(out))
     swap(s"$dir/grams", out => spark.read.schema(GramSchema)
       .parquet(s"$dir/grams").distinct().write.parquet(out))
-    swap(s"$dir/corpus", out => spark.read.parquet(s"$dir/corpus")
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .write.parquet(out))
+    foldCorpusTail(spark, s"$dir/corpus", smallFileBytes)
+  }
+
+  /** A parquet data file (not a `_SUCCESS` marker / hidden file). */
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  private def manifestPath(corpus: String) =
+    new org.apache.hadoop.fs.Path(corpus + ".foldmanifest")
+
+  /**
+   * Size-tiered corpus compaction: fold only the files under
+   * `smallFileBytes` into one, leaving large generations untouched —
+   * bytes rewritten per cycle are bounded by the small-file TAIL, not
+   * corpus size. Folded output re-enters the tier ladder: once it grows
+   * past the threshold it is never rewritten again.
+   *
+   * Crash safety is manifest-logged (append-only corpus, so the index
+   * sides' delete-then-rename swap doesn't apply): (1) write the folded
+   * copy to `corpus.fold`; (2) durably record the planned renames and
+   * deletes in `corpus.foldmanifest`; (3) rename fold parts into the
+   * corpus; (4) delete the folded small files; (5) drop manifest + fold
+   * dir. [[recoverFold]] replays (3)-(5) from the manifest — renames
+   * and deletes are idempotent per file — so a crash at any point
+   * converges to exactly-once corpus contents. A `corpus.fold` with no
+   * manifest (crash during (1)) is simply discarded.
+   */
+  private[graft] def foldCorpusTail(spark: SparkSession, corpus: String,
+      smallFileBytes: Long): Unit = {
+    recoverFold(spark, corpus)
+    val (f, live) = fs(spark, corpus)
+    if (!f.exists(live)) return
+    val smalls = f.listStatus(live).toSeq.filter(s =>
+      s.isFile && isDataFile(s.getPath.getName) && s.getLen < smallFileBytes)
+    if (smalls.size < 2) return
+    val foldDir = new org.apache.hadoop.fs.Path(corpus + ".fold")
+    spark.read.parquet(smalls.map(_.getPath.toString): _*)
+      .coalesce(1).write.mode("overwrite").parquet(foldDir.toString)
+    val parts = f.listStatus(foldDir).toSeq
+      .filter(s => s.isFile && isDataFile(s.getPath.getName))
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val installs = parts.zipWithIndex.map { case (p, i) =>
+      (p.getPath.getName, s"fold-$stamp-$i.parquet")
+    }
+    val out = f.create(manifestPath(corpus), true)
+    try {
+      val text = (installs.map { case (src, dst) => s"F\t$src\t$dst" } ++
+        smalls.map(s => s"S\t${s.getPath.getName}")).mkString("\n")
+      out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    recoverFold(spark, corpus) // the happy path IS the recovery replay
+  }
+
+  /** Complete a manifest-logged [[foldCorpusTail]]: install every fold
+    * part still staged, then delete every listed small file, then drop
+    * the manifest and fold dir. No manifest → discard any stray fold
+    * dir (it was never published). */
+  private[graft] def recoverFold(spark: SparkSession, corpus: String): Unit = {
+    val (f, live) = fs(spark, corpus)
+    val foldDir = new org.apache.hadoop.fs.Path(corpus + ".fold")
+    val man = manifestPath(corpus)
+    if (!f.exists(man)) {
+      if (f.exists(foldDir)) f.delete(foldDir, true)
+      return
+    }
+    val in = f.open(man)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty).map(_.split("\t"))
+    lines.collect { case Array("F", src, dst) =>
+      val s = new org.apache.hadoop.fs.Path(foldDir, src)
+      if (f.exists(s)) f.rename(s, new org.apache.hadoop.fs.Path(live, dst))
+    }
+    lines.collect { case Array("S", name) =>
+      val p = new org.apache.hadoop.fs.Path(live, name)
+      if (f.exists(p)) f.delete(p, false)
+    }
+    f.delete(man, false)
+    if (f.exists(foldDir)) f.delete(foldDir, true)
   }
 
   /**
@@ -96,7 +200,8 @@ object DedupIngest {
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 8, minHits: Int = 1,
       availableNow: Boolean = false,
-      compactEvery: Option[Int] = None): StreamingQuery = {
+      compactEvery: Option[Int] = None,
+      smallFileBytes: Long = 32L << 20): StreamingQuery = {
     require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -133,7 +238,7 @@ object DedupIngest {
         // batch ids persist in the checkpoint, so the cadence survives
         // restarts (the StreamingVcfLoad.compactEvery pattern)
         compactEvery.foreach { every =>
-          if ((batchId + 1) % every == 0) compact(spark, dir)
+          if ((batchId + 1) % every == 0) compact(spark, dir, smallFileBytes)
         }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)

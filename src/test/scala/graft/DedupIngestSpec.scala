@@ -96,4 +96,87 @@ class DedupIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/corpus").select("doc_id")
       .as[Long].collect().toSet == ids, "compacted index missed a dup")
   }
+
+  test("corpus compaction is size-tiered: large generations never rewrite") {
+    val corpus = tmp("fold-tier") + "/corpus"
+    def append(ids: Range): Unit =
+      ids.toDF("doc_id").coalesce(1).write.mode("append").parquet(corpus)
+    def files: Map[String, (Long, Long)] =
+      new java.io.File(corpus).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    def ids: Set[Int] =
+      spark.read.parquet(corpus).as[Int].collect().toSet
+
+    // one "large" generation (many rows) + a tail of small ones
+    append(1 to 50000)
+    val large = files.keySet
+    assert(large.size == 1)
+    val threshold = files(large.head)._1 // fold only files under this
+    append(60001 to 60010)
+    append(60011 to 60020)
+    append(60021 to 60030)
+    val before = files
+    val all = ids
+
+    DedupIngest.foldCorpusTail(spark, corpus, threshold)
+    val after1 = files
+    assert(ids == all, "fold must preserve corpus contents")
+    // the large generation is byte-identical — never rewritten
+    assert(after1(large.head) == before(large.head))
+    // the small tail folded into one file
+    val folded1 = after1.keySet -- large
+    assert(folded1.size == 1 && folded1.head.startsWith("fold-"))
+    // bytes rewritten ≈ the small tail, never the corpus: the folded
+    // output can't exceed the tail it replaced by more than format
+    // overhead, and is far under the large generation
+    assert(after1(folded1.head)._1 < threshold)
+
+    // second cycle: more tail; the large generation STILL untouched
+    // (the prior fold output is itself small, so it re-enters the fold)
+    append(70001 to 70010)
+    val all2 = ids
+    DedupIngest.foldCorpusTail(spark, corpus, threshold)
+    val after2 = files
+    assert(ids == all2)
+    assert(after2(large.head) == before(large.head),
+      "second cycle rewrote the large generation")
+    assert((after2.keySet -- large).size == 1)
+  }
+
+  test("recoverFold replays a crashed fold to exactly-once contents") {
+    import org.apache.hadoop.fs.Path
+    val corpus = tmp("fold-crash") + "/corpus"
+    def append(ids: Range): Unit =
+      ids.toDF("doc_id").coalesce(1).write.mode("append").parquet(corpus)
+    append(1 to 10)
+    append(11 to 20)
+    val all = spark.read.parquet(corpus).as[Int].collect().toSet
+    val fsys = new Path(corpus)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    // simulate a fold that crashed right after the manifest write:
+    // staged fold dir + manifest exist, nothing installed or deleted yet
+    val smalls = new java.io.File(corpus).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq
+    spark.read.parquet(corpus).coalesce(1).write.parquet(corpus + ".fold")
+    val part = new java.io.File(corpus + ".fold").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    val man = fsys.create(new Path(corpus + ".foldmanifest"), true)
+    val text = (s"F\t$part\tfold-crash-0.parquet" +:
+      smalls.map(s => s"S\t$s")).mkString("\n")
+    man.write(text.getBytes("UTF-8")); man.close()
+
+    DedupIngest.recoverFold(spark, corpus)
+    assert(spark.read.parquet(corpus).as[Int].collect().toSet == all,
+      "recovery lost or duplicated rows")
+    val names = new java.io.File(corpus).listFiles().map(_.getName)
+      .filter(_.endsWith(".parquet")).toSet
+    assert(names == Set("fold-crash-0.parquet"))
+    assert(!new java.io.File(corpus + ".foldmanifest").exists())
+    assert(!new java.io.File(corpus + ".fold").exists())
+    // idempotent: a second recovery (crash during recovery) is a no-op
+    DedupIngest.recoverFold(spark, corpus)
+    assert(spark.read.parquet(corpus).as[Int].collect().toSet == all)
+  }
 }
