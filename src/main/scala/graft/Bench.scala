@@ -35,7 +35,12 @@ object Bench {
     // reproducible 0.8-1.3 s), so the fastest rep is the best estimate
     // of the query's true cost and the only statistic stable enough for
     // round-over-round comparison
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // 5 timed reps (was 3): the simhash/vector family's JIT warm-up
+    // slope runs ~5 executions deep (measured rep-for-rep identical at
+    // two commits: ~1.1, 1.1, 0.78, 0.66, 0.62 after the untimed rep),
+    // so a 3-rep min sits on the slope and moves with JVM state — the
+    // r5→r6 "q25-q28 regression" was exactly this, not code
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 to reps).map { _ =>
         val t0 = System.nanoTime()

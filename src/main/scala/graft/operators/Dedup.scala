@@ -756,7 +756,90 @@ object Dedup {
    * [[graft.sources.BucketedTables]] so batch probes shuffle only the
    * batch), and reuse across every incoming crawl.
    */
-  case class CorpusIndex(fingerprints: DataFrame, gramHashes: DataFrame)
+  case class CorpusIndex(fingerprints: DataFrame, gramHashes: DataFrame,
+      minhash: Option[MinHashBandIndex] = None)
+
+  /**
+   * The optional MinHash/LSH side of a [[CorpusIndex]] — incremental
+   * parity with the batch near-dup ladder: the exact + word-gram gates
+   * catch copies and substring overlap; this gate catches the Jaccard
+   * near-dup class ([[minhashNearDupPairs]]) for batches arriving AFTER
+   * the corpus was indexed, without ever re-scanning the corpus.
+   *
+   * Two persisted frames, the classic LSH index layout:
+   *  - `bands` `(band_idx, band_key, __mid)` — candidate generation; at
+   *    scale write it bucketed on `band_key` so only the batch shuffles;
+   *  - `sigs` `(__mid, sig: array<bigint>)` — verification, probed only
+   *    for candidate ids. `__mid` is the indexed doc id cast to string
+   *    (it only ever joins bands↔sigs internally, so one static type
+   *    keeps the at-rest schema independent of the caller's id type).
+   *
+   * `signatureOf(df, idCol, text)` must produce `(idCol, sig)` with the
+   * SAME hash family the index was built with — production default is
+   * [[minhashSignaturesFromText]]; the oracle battery feeds the
+   * portable md5/mod-2^60 family. `portableBandKeys` mirrors
+   * [[nearDupPairsFromSignatures]]: slice-array keys any engine
+   * replays, or the narrow hashed production key.
+   */
+  case class MinHashBandIndex(
+      sigs: DataFrame, bands: DataFrame,
+      numHashes: Int, numBands: Int, threshold: Double,
+      signatureOf: (DataFrame, String, Column) => DataFrame,
+      portableBandKeys: Boolean = false) {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    /** Band-key array for one signature, matching the index's key form. */
+    def bandKeysOf(sig: Column): Column = {
+      val rowsPerBand = numHashes / numBands
+      if (portableBandKeys)
+        array((0 until numBands).map(b =>
+          slice(sig, b * rowsPerBand + 1, rowsPerBand)): _*)
+      else lshBandKeys(sig, numBands, rowsPerBand)
+    }
+  }
+
+  /** Build a [[MinHashBandIndex]] over a corpus: one signature pass
+    * (persisted — it feeds both frames), bands derived by explode. Both
+    * frames registered for [[releasePersisted]]. */
+  def minhashBandIndex(corpus: DataFrame, idCol: String, text: Column,
+      numHashes: Int = 128, numBands: Int = 16, threshold: Double = 0.7,
+      shingleN: Int = 5,
+      signatureOf: (DataFrame, String, Column) => DataFrame = null,
+      portableBandKeys: Boolean = false): MinHashBandIndex = {
+    val sigFn = Option(signatureOf).getOrElse(
+      (df: DataFrame, id: String, t: Column) =>
+        minhashSignaturesFromText(df, id, t, shingleN, numHashes))
+    val sigs = trackPersist(sigFn(corpus, idCol, text)
+      .select(col(idCol).cast("string").as("__mid"), col("sig")))
+    val idx = MinHashBandIndex(sigs, sigs, numHashes, numBands, threshold,
+      sigFn, portableBandKeys)
+    val bands = trackPersist(sigs
+      .select(col("__mid"), posexplode(idx.bandKeysOf(col("sig")))
+        .as(Seq("band_idx", "band_key")))
+      .select("band_idx", "band_key", "__mid"))
+    idx.copy(bands = bands)
+  }
+
+  /** The ids of `incoming` rows that near-duplicate an indexed doc:
+    * band-key equi-join for candidates (bare ids through the join),
+    * then signature-estimate verification at `threshold` (4dp-rounded —
+    * the engine-portable arithmetic the whole ANN family uses). Only
+    * candidate ids ever touch the signature frames. */
+  def minhashSuppressedIds(incoming: DataFrame, mh: MinHashBandIndex,
+      idCol: String, text: Column): DataFrame = {
+    val incSigs = trackPersist(mh.signatureOf(incoming, idCol, text)
+      .select(col(idCol).as("__iid"), col("sig").as("__isig")))
+    val cand = incSigs
+      .select(col("__iid"), posexplode(mh.bandKeysOf(col("__isig")))
+        .as(Seq("band_idx", "band_key")))
+      .join(mh.bands, Seq("band_idx", "band_key"))
+      .select("__iid", "__mid").distinct()
+    cand
+      .join(mh.sigs, "__mid")
+      .join(incSigs, "__iid")
+      .filter(round(estimatedJaccard(col("__isig"), col("sig")), 4)
+        >= mh.threshold)
+      .select(col("__iid").as(idCol)).distinct()
+  }
 
   /** Derive a [[CorpusIndex]]; the shared `(id, text)` slice is
     * persisted so fingerprints and grams cost one corpus scan, and both
@@ -781,7 +864,9 @@ object Dedup {
     wordGramHashes(df, col(idCol), text, n).select("__g").distinct())
 
   /** [[dedupAgainstCorpus]] against a prepared [[CorpusIndex]] — the
-    * incremental form: only the incoming batch is scanned. */
+    * incremental form: only the incoming batch is scanned. Gates run
+    * cheapest-first (exact fingerprint → word-gram overlap → optional
+    * MinHash bands), each only over the previous gate's survivors. */
   def dedupAgainstIndex(incoming: DataFrame, index: CorpusIndex,
       idCol: String, text: Column, n: Int = 8, minHits: Int = 1): DataFrame = {
     require(minHits >= 1, "minHits must be >= 1")
@@ -796,7 +881,13 @@ object Dedup {
       .agg(count_distinct(col("__g")).as("__hits"))
       .filter(col("__hits") >= minHits)
       .select(col("__id").as(idCol))
-    exactSurvivors.join(flagged, Seq(idCol), "left_anti")
+    val gated = exactSurvivors.join(flagged, Seq(idCol), "left_anti")
+    index.minhash.fold(gated) { mh =>
+      // persisted: feeds the signature pass and the final anti-join
+      val g = trackPersist(gated)
+      g.join(minhashSuppressedIds(g, mh, idCol, text), Seq(idCol),
+        "left_anti")
+    }
   }
 
   /**

@@ -352,9 +352,22 @@ object Similarity {
       }
       -array_max(array(scored: _*)).getField("n")
     }
-    PqIndex(corpus.select(col(idCol),
-      posexplode(array((0 until m).map(j => codeOf(col(vecCol), j)): _*))
-        .as(Seq("__j", "__code"))), cb)
+    // ONE narrow projection PER SUBSPACE, unioned — not a single
+    // posexplode whose generator inlines all m·codebookSize dot products
+    // into one consume method: that tripped Janino's hard 64 KB method
+    // limit at the DEFAULT (m=8, cb=16) and silently fell back to
+    // interpreted evaluation for the whole encode stage. Each union
+    // branch carries only `codebookSize` dots, so generated code stays
+    // bounded by cb alone; the shared slice is persisted so the m
+    // branches re-read one cached frame, not m corpus scans. Still no
+    // shuffle anywhere in the encode.
+    val base = graft.operators.PersistTracker.trackPersist(
+      corpus.select(col(idCol), col(vecCol)))
+    val codes = (0 until m).map { j =>
+      base.select(col(idCol), lit(j).as("__j"),
+        codeOf(col(vecCol), j).as("__code"))
+    }.reduce(_.unionAll(_))
+    PqIndex(codes, cb)
   }
 
   /** [[pqTopK]] against a prepared [[PqIndex]] — the serving form: ADC

@@ -2525,6 +2525,180 @@ object Battery {
       |SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 4) AS avg_logp
       |FROM scored GROUP BY doc_id""".stripMargin
 
+  /** Incremental dedup with the FULL ladder — exact fingerprint + word
+    * 8-gram overlap + MinHash/LSH bands
+    * ([[graft.operators.Dedup.MinHashBandIndex]]) — against a prepared
+    * corpus index, oracle-replayed end-to-end. The incoming batch is
+    * DERIVED so each gate provably decides a class: docs ≡0 mod 10 are
+    * exact copies (fingerprint gate); ≡1 have every 8th token mutated
+    * (`tok` → `tokq`), which breaks EVERY word 8-gram — the gram gate
+    * stays silent — while leaving ~7/8 of the char-5 shingles intact,
+    * so only the MinHash gate (portable q24 signature family, 64
+    * hashes, 8 bands, est-Jaccard ≥ 0.6) can suppress them; ≡2 are
+    * token-reversed (novel text at shingle granularity → survive).
+    * This is the q63 pattern upgraded to the band index: the class the
+    * streaming/incremental surface previously admitted. */
+  val q83BandedDedup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val incoming = docs.filter(pmod(col("doc_id"), lit(10)) < 3)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 0, col("text"))
+          .when(pmod(col("doc_id"), lit(10)) === 1,
+            concat_ws(" ", transform(toks, (x, i) =>
+              when(pmod(i, lit(8)) === 0, concat(x, lit("q"))).otherwise(x))))
+          .otherwise(concat_ws(" ", reverse(toks))).as("text"))
+    // q24's portable signature family: md5 char-5 shingles, two 60-bit
+    // halves, 64 double-hash min families — DuckDB replays it exactly
+    val portableSig = (df: org.apache.spark.sql.DataFrame, id: String,
+        txt: org.apache.spark.sql.Column) => {
+      val norm = regexp_replace(trim(lower(txt)), "\\s+", " ")
+      df.repartition(col(id))
+        .select(col(id), norm.as("__t"))
+        .select(col(id), col("__t"),
+          explode(sequence(lit(1), greatest(length(col("__t")) - 4, lit(1))))
+            .as("__i"))
+        .select(col(id), md5(col("__t").substr(col("__i"), lit(5))).as("__d"))
+        .select(col(id),
+          conv(substring(col("__d"), 1, 15), 16, 10).cast("long").as("__h1"),
+          conv(substring(col("__d"), 16, 15), 16, 10).cast("long").as("__h2"))
+        .groupBy(id)
+        .agg(graft.functions.MinHashSig.minhashSigPortable(64)(
+          col("__h1"), col("__h2")).as("sig"))
+    }
+    val mh = graft.operators.Dedup.minhashBandIndex(docs, "doc_id",
+      col("text"), numHashes = 64, numBands = 8, threshold = 0.6,
+      signatureOf = portableSig, portableBandKeys = true)
+    val idx = graft.operators.Dedup
+      .corpusIndex(docs, "doc_id", col("text"), n = 8)
+      .copy(minhash = Some(mh))
+    graft.operators.Dedup.dedupAgainstIndex(incoming, idx,
+      "doc_id", col("text"), n = 8, minHits = 1)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+  }
+
+  val q83Sql: String =
+    """WITH toks0 AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |mut AS (
+      |  SELECT doc_id, string_agg(
+      |      CASE WHEN (i - 1) % 8 = 0 THEN tok || 'q' ELSE tok END,
+      |      ' ' ORDER BY i) AS text
+      |  FROM (SELECT doc_id, CAST(u.i AS INT) AS i, t[CAST(u.i AS INT)] AS tok
+      |        FROM toks0, unnest(range(1, len(t) + 1)) AS u(i)
+      |        WHERE doc_id % 10 = 1)
+      |  GROUP BY doc_id),
+      |inc AS (
+      |  SELECT doc_id + 20000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, text FROM mut
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, array_to_string(list_reverse(t), ' ')
+      |  FROM toks0 WHERE doc_id % 10 = 2),
+      |fpold AS (
+      |  SELECT DISTINCT
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |s1 AS (
+      |  SELECT i.* FROM inc i LEFT JOIN fpold f
+      |  ON f.fp = md5(regexp_replace(trim(lower(i.text)), '\s+', ' ', 'g'))
+      |  WHERE f.fp IS NULL),
+      |it AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> len(x) > 0) AS t
+      |  FROM s1),
+      |ig AS (
+      |  SELECT doc_id, md5(array_to_string(
+      |    list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7), ' ')) AS g
+      |  FROM it, unnest(range(1, len(t) - 6)) AS u(i) WHERE len(t) >= 8),
+      |ot AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents),
+      |og AS (
+      |  SELECT DISTINCT md5(array_to_string(
+      |    list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7), ' ')) AS g
+      |  FROM ot, unnest(range(1, len(t) - 6)) AS u(i) WHERE len(t) >= 8),
+      |hit AS (SELECT DISTINCT ig.doc_id FROM ig JOIN og ON og.g = ig.g),
+      |g1 AS (
+      |  SELECT s1.* FROM s1 LEFT JOIN hit h ON h.doc_id = s1.doc_id
+      |  WHERE h.doc_id IS NULL),
+      |cn AS (
+      |  SELECT doc_id,
+      |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
+      |  FROM documents),
+      |cp AS (
+      |  SELECT doc_id, s,
+      |    unnest(range(1, greatest(len(s) - 4, 1) + 1)) AS pos
+      |  FROM cn),
+      |cm AS (
+      |  SELECT doc_id,
+      |    md5(substr(s, CAST(pos AS INT), 5)) AS d FROM cp),
+      |chh AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(d, 1, 15))::BIGINT AS h1,
+      |    ('0x' || substr(d, 16, 15))::BIGINT AS h2
+      |  FROM cm),
+      |cih AS (
+      |  SELECT doc_id, h1, h2, unnest(range(0, 64)) AS i FROM chh),
+      |cg AS (
+      |  SELECT doc_id, CAST(i AS INT) AS i,
+      |    CAST((h1::HUGEINT + i::HUGEINT * h2::HUGEINT)
+      |      % 1152921504606846976 AS BIGINT) AS gv
+      |  FROM cih),
+      |csig AS (SELECT doc_id, i, MIN(gv) AS mh FROM cg GROUP BY doc_id, i),
+      |cband AS (
+      |  SELECT doc_id, i // 8 AS band_idx, list(mh ORDER BY i) AS bkey
+      |  FROM csig GROUP BY doc_id, i // 8),
+      |xn AS (
+      |  SELECT doc_id,
+      |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
+      |  FROM g1),
+      |xp AS (
+      |  SELECT doc_id, s,
+      |    unnest(range(1, greatest(len(s) - 4, 1) + 1)) AS pos
+      |  FROM xn),
+      |xm AS (
+      |  SELECT doc_id,
+      |    md5(substr(s, CAST(pos AS INT), 5)) AS d FROM xp),
+      |xhh AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(d, 1, 15))::BIGINT AS h1,
+      |    ('0x' || substr(d, 16, 15))::BIGINT AS h2
+      |  FROM xm),
+      |xih AS (
+      |  SELECT doc_id, h1, h2, unnest(range(0, 64)) AS i FROM xhh),
+      |xg AS (
+      |  SELECT doc_id, CAST(i AS INT) AS i,
+      |    CAST((h1::HUGEINT + i::HUGEINT * h2::HUGEINT)
+      |      % 1152921504606846976 AS BIGINT) AS gv
+      |  FROM xih),
+      |xsig AS (SELECT doc_id, i, MIN(gv) AS mh FROM xg GROUP BY doc_id, i),
+      |xband AS (
+      |  SELECT doc_id, i // 8 AS band_idx, list(mh ORDER BY i) AS bkey
+      |  FROM xsig GROUP BY doc_id, i // 8),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS iid, c.doc_id AS cid
+      |  FROM xband x JOIN cband c
+      |    ON c.band_idx = x.band_idx AND c.bkey = x.bkey),
+      |sup AS (
+      |  SELECT DISTINCT iid AS doc_id FROM (
+      |    SELECT cd.iid,
+      |      ROUND(SUM(CASE WHEN xs.mh = cs.mh THEN 1 ELSE 0 END)::DOUBLE
+      |        / 64, 4) AS jac
+      |    FROM cand cd
+      |    JOIN xsig xs ON xs.doc_id = cd.iid
+      |    JOIN csig cs ON cs.doc_id = cd.cid AND cs.i = xs.i
+      |    GROUP BY cd.iid, cd.cid)
+      |  WHERE jac >= 0.6)
+      |SELECT g1.doc_id, md5(g1.text) AS text_hash
+      |FROM g1 LEFT JOIN sup ON sup.doc_id = g1.doc_id
+      |WHERE sup.doc_id IS NULL""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2612,7 +2786,8 @@ object Battery {
     "q79_source_overlap" -> (q79SourceOverlap, Some(q79Sql)),
     "q80_html_strip" -> (q80HtmlStrip, Some(q80Sql)),
     "q81_edit_join_between" -> (q81EditJoinBetween, Some(q81Sql)),
-    "q82_heldout_lm" -> (q82HeldoutLm, Some(q82Sql)))
+    "q82_heldout_lm" -> (q82HeldoutLm, Some(q82Sql)),
+    "q83_banded_dedup" -> (q83BandedDedup, Some(q83Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -43,6 +43,14 @@ object DedupIngest {
 
   private val FpSchema = StructType(Seq(StructField("__fp", StringType)))
   private val GramSchema = StructType(Seq(StructField("__g", StringType)))
+  private val MsigSchema = StructType(Seq(
+    StructField("__mid", StringType),
+    StructField("sig", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType))))
+  private val MbandSchema = StructType(Seq(
+    StructField("band_idx", org.apache.spark.sql.types.IntegerType),
+    StructField("band_key", org.apache.spark.sql.types.LongType),
+    StructField("__mid", StringType)))
 
   /** Filesystem for `path` via the Hadoop API — NOT `java.io.File`,
     * which silently reports "missing" for any non-local URI (hdfs://,
@@ -106,6 +114,10 @@ object DedupIngest {
       .parquet(s"$dir/fps").distinct().write.parquet(out))
     swap(s"$dir/grams", out => spark.read.schema(GramSchema)
       .parquet(s"$dir/grams").distinct().write.parquet(out))
+    swap(s"$dir/msigs", out => spark.read.schema(MsigSchema)
+      .parquet(s"$dir/msigs").distinct().write.parquet(out))
+    swap(s"$dir/mbands", out => spark.read.schema(MbandSchema)
+      .parquet(s"$dir/mbands").distinct().write.parquet(out))
     foldCorpusTail(spark, s"$dir/corpus", smallFileBytes)
   }
 
@@ -193,23 +205,42 @@ object DedupIngest {
   /**
    * @param docs       streaming DataFrame with `idCol` and `textCol`
    * @param dir        corpus root: `corpus/`, `fps/`, `grams/` parquet
+   *                   (+ `msigs/`, `mbands/` when the MinHash gate is on)
    * @param checkpoint streaming checkpoint (file-source progress)
    * @param availableNow process what's buffered, then stop (testing)
+   * @param minhashHashes >0 enables the MinHash/LSH near-dup gate
+   *                   ([[Dedup.MinHashBandIndex]]): incoming docs whose
+   *                   estimated char-shingle Jaccard against any indexed
+   *                   doc reaches `minhashThreshold` are suppressed —
+   *                   the near-dup class the word-gram gate misses when
+   *                   edits break every `n`-gram. 0 (default) keeps the
+   *                   exact + gram gates only.
    */
   def start(docs: DataFrame, dir: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 8, minHits: Int = 1,
       availableNow: Boolean = false,
       compactEvery: Option[Int] = None,
-      smallFileBytes: Long = 32L << 20): StreamingQuery = {
+      smallFileBytes: Long = 32L << 20,
+      minhashHashes: Int = 0, minhashBands: Int = 16,
+      minhashThreshold: Double = 0.7,
+      minhashShingleN: Int = 5): StreamingQuery = {
     require(compactEvery.forall(_ > 0), "compactEvery must be positive")
+    require(minhashHashes == 0 || minhashHashes % minhashBands == 0,
+      "minhashBands must divide minhashHashes")
     val writer = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val mh = if (minhashHashes > 0) Some(Dedup.MinHashBandIndex(
+          readOrEmpty(spark, s"$dir/msigs", MsigSchema),
+          readOrEmpty(spark, s"$dir/mbands", MbandSchema),
+          minhashHashes, minhashBands, minhashThreshold,
+          (df, id, t) => Dedup.minhashSignaturesFromText(
+            df, id, t, minhashShingleN, minhashHashes))) else None
         val idx = Dedup.CorpusIndex(
           readOrEmpty(spark, s"$dir/fps", FpSchema),
-          readOrEmpty(spark, s"$dir/grams", GramSchema))
+          readOrEmpty(spark, s"$dir/grams", GramSchema), mh)
         val intra = Dedup.exactDedup(batch,
             graft.operators.TextAnalysis.fingerprint(col(textCol)),
             col(idCol))
@@ -228,6 +259,17 @@ object DedupIngest {
           // batch on replay instead of double-appending it
           fps.write.mode("append").parquet(s"$dir/fps")
           grams.write.mode("append").parquet(s"$dir/grams")
+          mh.foreach { m =>
+            val sigs = graft.operators.PersistTracker.trackPersist(
+              m.signatureOf(staged, idCol, col(textCol))
+                .select(col(idCol).cast("string").as("__mid"), col("sig")))
+            sigs.write.mode("append").parquet(s"$dir/msigs")
+            sigs.select(col("__mid"),
+                posexplode(m.bandKeysOf(col("sig")))
+                  .as(Seq("band_idx", "band_key")))
+              .select("band_idx", "band_key", "__mid")
+              .write.mode("append").parquet(s"$dir/mbands")
+          }
           staged.write.mode("append").parquet(s"$dir/corpus")
         } finally {
           // the ingest owns this session's dedup caches (caller role,

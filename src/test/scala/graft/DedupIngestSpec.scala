@@ -97,6 +97,47 @@ class DedupIngestSpec extends SparkSpec {
       .as[Long].collect().toSet == ids, "compacted index missed a dup")
   }
 
+  test("minhash band gate suppresses near-dups the gram gate cannot see") {
+    implicit val sql = spark.sqlContext
+    // 7-token docs: the word-8-gram gate can NEVER fire (no 8-grams
+    // exist), and the edited doc is not an exact fingerprint match — so
+    // only the MinHash band gate can catch it
+    val original = "alpha bravo charlie delta echo foxtrot golf"
+    val nearDup = "alpha bravo charlie delta echo foxtrot golfz"
+    val novel = "zulu yankee xray whiskey victor uniform tango"
+
+    def ingest(dir: String, ck: String, hashes: Int,
+        rows: Seq[(Long, String)]): Unit = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(rows)
+      val q = DedupIngest.start(input.toDF().toDF("doc_id", "text"),
+        dir, ck, n = 8, minHits = 1, availableNow = true,
+        minhashHashes = hashes)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def corpusIds(dir: String): Set[Long] =
+      spark.read.parquet(s"$dir/corpus").select("doc_id")
+        .as[Long].collect().toSet
+
+    val withMh = tmp("ingest-mh")
+    ingest(withMh, tmp("ingest-mh-ck1"), 128, Seq((1L, original)))
+    ingest(withMh, tmp("ingest-mh-ck2"), 128,
+      Seq((2L, nearDup), (3L, novel)))
+    assert(corpusIds(withMh) == Set(1L, 3L),
+      "band gate must suppress the near-dup and admit the novel doc")
+    // the index carries the admitted docs' signatures and band keys
+    assert(spark.read.parquet(s"$withMh/msigs").count() == 2)
+    assert(spark.read.parquet(s"$withMh/mbands").count() == 2 * 16)
+
+    // control: without the gate the near-dup walks straight in —
+    // exact and gram gates genuinely cannot decide this class
+    val noMh = tmp("ingest-nomh")
+    ingest(noMh, tmp("ingest-nomh-ck1"), 0, Seq((1L, original)))
+    ingest(noMh, tmp("ingest-nomh-ck2"), 0,
+      Seq((2L, nearDup), (3L, novel)))
+    assert(corpusIds(noMh) == Set(1L, 2L, 3L))
+  }
+
   test("corpus compaction is size-tiered: large generations never rewrite") {
     val corpus = tmp("fold-tier") + "/corpus"
     def append(ids: Range): Unit =

@@ -205,6 +205,46 @@ class SimilaritySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS pq_codes_spec")
   }
 
+  test("PQ encode stays codegen'd at m=16 x cb=64 (no Janino fallback)") {
+    // the old single-posexplode encode inlined all m*cb dot products
+    // into one Generate-consume method and tripped Janino's 64 KB limit
+    // even at (8, 16) — silently interpreted. The per-subspace union
+    // bounds generated code by cb alone; fallback=false turns a codegen
+    // COMPILE failure into a test failure instead of a silent fallback.
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 80L).map(id =>
+      id -> Seq.fill(128)(rnd.nextFloat() * 2 - 1))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    def codes(): Set[(Long, Int, Int)] =
+      Similarity.buildPqIndex(corpus, m = 16, codebookSize = 64)
+        .codes.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val viaCodegen = {
+      val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      try codes()
+      finally spark.conf.set("spark.sql.codegen.fallback", prev)
+    }
+    assert(viaCodegen.size == 80 * 16, "one code per (vector, subspace)")
+    // and the generated path agrees with the interpreted one
+    val interpreted = {
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      try codes()
+      finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+    assert(viaCodegen == interpreted)
+    // the default shape compiles clean too (it didn't before the split)
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val small = (0L until 20L).map(id =>
+        id -> Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+        .toDF("vec_id", "embedding")
+      assert(Similarity.buildPqIndex(small).codes.count() == 20 * 8)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("pqTrainCodebook beats the lowest-id codebook's recall") {
     // 4 groups = product of 2 sub-patterns per subspace. The 2 lowest-id
     // vectors (the default codebook source) both sit near pattern A in
