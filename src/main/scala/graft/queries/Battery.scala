@@ -2699,6 +2699,99 @@ object Battery {
       |FROM g1 LEFT JOIN sup ON sup.doc_id = g1.doc_id
       |WHERE sup.doc_id IS NULL""".stripMargin
 
+  /** PQ ADC top-k with a TRAINED codebook
+    * ([[graft.operators.Similarity.pqTrainCodebook]] — per-subspace
+    * deterministic k-means MEANS feeding
+    * [[graft.operators.Similarity.pqTopK]]), closing the gap q62 left:
+    * its codebook was the degenerate lowest-id slice, so the trained
+    * path never ran under the oracle. The oracle replays BOTH Lloyd
+    * rounds per subspace — subspace index as DATA (a `range` unnest),
+    * so one CTE chain trains every subspace: int8-quantize each
+    * sub-slice, seed with the 4 lowest ids, two assign+integer-sum
+    * rounds (empty clusters keep sum AND count via COALESCE), means =
+    * sum/count cast through FLOAT exactly as the engine's
+    * `Seq[Float]` codebook — then the q62 encode/ADC replay. */
+  val q84PqTrained: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val cb = graft.operators.Similarity.pqTrainCodebook(emb,
+      m = 2, codebookSize = 4, iters = 2)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.Similarity.pqTopK(emb, queries, k = 5,
+      m = 2, codebookSize = 4, codebook = cb)
+  }
+
+  val q84Sql: String = {
+    def assign(cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, j, q, cl FROM (
+         |    SELECT z.vec_id, z.j, z.q, c.cl,
+         |      ROW_NUMBER() OVER (PARTITION BY z.vec_id, z.j ORDER BY
+         |        ROUND(list_cosine_similarity(z.q, c.s), 4) DESC, c.cl)
+         |        AS rk
+         |    FROM qz z JOIN $cents c ON c.j = z.j) WHERE rk = 1)""".stripMargin
+    def update(assigned: String, prev: String, sums: String,
+        next: String): String =
+      s"""$sums AS (
+         |  SELECT j, cl, LIST(v ORDER BY i) AS s, MIN(cnt) AS n FROM (
+         |    SELECT a.j, a.cl, r.i, SUM(a.q[r.i]) AS v, COUNT(*) AS cnt
+         |    FROM $assigned a, range(1, 33) r(i) GROUP BY a.j, a.cl, r.i)
+         |  GROUP BY j, cl),
+         |$next AS (
+         |  SELECT p.j, p.cl, COALESCE(n.s, p.s) AS s, COALESCE(n.n, p.n) AS n
+         |  FROM $prev p LEFT JOIN $sums n ON n.j = p.j AND n.cl = p.cl)""".stripMargin
+    s"""WITH subs AS (
+       |  SELECT vec_id, CAST(u.j AS INT) AS j,
+       |    list_slice(e, CAST(u.j AS INT) * 32 + 1,
+       |      CAST(u.j AS INT) * 32 + 32) AS sub
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |    unnest(range(0, 2)) AS u(j)),
+       |qz AS (
+       |  SELECT vec_id, j,
+       |    CASE WHEN s > 0 THEN
+       |      list_transform(sub, x -> CAST(floor(x*127.0/s + 0.5) AS DOUBLE))
+       |    ELSE list_transform(sub, x -> 0.0) END AS q
+       |  FROM (SELECT vec_id, j, sub,
+       |          list_max(list_transform(sub, y -> abs(y))) AS s
+       |        FROM subs)),
+       |c0 AS (
+       |  SELECT j, CAST(rk - 1 AS INT) AS cl, q AS s, CAST(1 AS BIGINT) AS n
+       |  FROM (SELECT j, q,
+       |          ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) AS rk
+       |        FROM qz) WHERE rk <= 4),
+       |${assign("c0", "a1")},
+       |${update("a1", "c0", "s1", "c1")},
+       |${assign("c1", "a2")},
+       |${update("a2", "c1", "s2", "c2")},
+       |cb AS (
+       |  SELECT j, cl AS code,
+       |    list_transform(s, x -> CAST(CAST(x / n AS REAL) AS DOUBLE)) AS cvec
+       |  FROM c2),
+       |enc AS (
+       |  SELECT s.vec_id, s.j, cb.code,
+       |    ROUND(list_dot_product(s.sub, cb.cvec), 4) AS d
+       |  FROM subs s JOIN cb ON cb.j = s.j),
+       |codes AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+       |      ORDER BY d DESC, code) AS rn
+       |    FROM enc) WHERE rn = 1),
+       |qsubs AS (
+       |  SELECT vec_id AS query_id, j, sub FROM subs WHERE vec_id < 3),
+       |adc AS (
+       |  SELECT qs.query_id, c.vec_id,
+       |    ROUND(SUM(list_dot_product(qs.sub, cb.cvec)), 4) AS score_adc
+       |  FROM codes c
+       |  JOIN cb ON cb.j = c.j AND cb.code = c.code
+       |  JOIN qsubs qs ON qs.j = c.j
+       |  GROUP BY qs.query_id, c.vec_id)
+       |SELECT query_id, rank, vec_id, score_adc FROM (
+       |  SELECT query_id, vec_id, score_adc,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_adc DESC, vec_id) AS rank
+       |  FROM adc) WHERE rank <= 5""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2787,7 +2880,8 @@ object Battery {
     "q80_html_strip" -> (q80HtmlStrip, Some(q80Sql)),
     "q81_edit_join_between" -> (q81EditJoinBetween, Some(q81Sql)),
     "q82_heldout_lm" -> (q82HeldoutLm, Some(q82Sql)),
-    "q83_banded_dedup" -> (q83BandedDedup, Some(q83Sql)))
+    "q83_banded_dedup" -> (q83BandedDedup, Some(q83Sql)),
+    "q84_pq_trained" -> (q84PqTrained, Some(q84Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
