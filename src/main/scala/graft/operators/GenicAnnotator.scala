@@ -120,24 +120,57 @@ object GenicAnnotator {
     * indexed; real gene dimensions are ≤10⁵. */
   val MaxIndexRows: Long = 2000000L
 
-  /** True when `genes` is small enough to index on the driver. The probe
-    * is `limit(max+1).count()` — it stops scanning as soon as the answer
-    * is known instead of counting an (unexpectedly) huge table. */
-  private def indexable(genes: DataFrame, maxIndexRows: Long): Boolean =
-    genes.limit((maxIndexRows + 1).toInt).count() <= maxIndexRows
+  /** Bounded row count: `limit(max+1).count()` stops scanning as soon
+    * as the answer is known instead of counting an (unexpectedly) huge
+    * table. Returns min(actual, max+1). */
+  private def boundedCount(genes: DataFrame, maxIndexRows: Long): Long =
+    genes.limit((maxIndexRows + 1).toInt).count()
+
+  /** Interval tables at or above this size are pruned to the probe
+    * side's chromosomes before the driver collect: at 100× gene counts
+    * the one cheap chromosome-column distinct over the probe side pays
+    * for itself in collect time, index memory, and broadcast bytes
+    * (a probe restricted to 2 of 20 chromosomes builds a 10× smaller
+    * index). Below it the extra probe-side job costs more than the
+    * collect it would shrink. */
+  val PruneIndexRows: Long = 100000L
+
+  /** More distinct probe-side chromosomes than this means the probe is
+    * not chromosome-bounded — pruning would keep everything anyway, so
+    * skip the filter rather than build a giant isin list. */
+  private val MaxProbedChroms = 4096
+
+  /** The build side restricted to chromosomes the probe side actually
+    * contains. One column-pruned distinct over `variants`; falls back to
+    * the unpruned table when the probe spans too many chromosomes. */
+  private[graft] def pruneToProbedChromosomes(variants: DataFrame,
+      genes: DataFrame): DataFrame = {
+    val chroms = variants.select(col("chromosome")).distinct()
+      .limit(MaxProbedChroms + 1).collect().map(_.getString(0)).toSeq
+    if (chroms.size > MaxProbedChroms) genes
+    else genes.filter(col("chromosome").isin(chroms: _*))
+  }
+
+  private def maybePrune(variants: DataFrame, genes: DataFrame,
+      buildRows: Long): DataFrame =
+    if (buildRows >= PruneIndexRows) pruneToProbedChromosomes(variants, genes)
+    else genes
 
   def annotateIndexed(variants: DataFrame, genes: DataFrame,
-      maxIndexRows: Long = MaxIndexRows): DataFrame =
-    if (!indexable(genes, maxIndexRows)) annotateBinned(variants, genes)
+      maxIndexRows: Long = MaxIndexRows): DataFrame = {
+    val n = boundedCount(genes, maxIndexRows)
+    if (n > maxIndexRows) annotateBinned(variants, genes)
     else {
       val index = graft.functions.IntervalExpressions.IntervalIndex.build(
-        genes.select("chromosome", "start_pos", "stop_pos")
+        maybePrune(variants, genes, n)
+          .select("chromosome", "start_pos", "stop_pos")
           .collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
       variants.withColumn("genic_status",
         statusCol(graft.functions.IntervalExpressions.intervalOverlaps(
           col("chromosome"), col("start_pos"), col("end_pos"), index)))
     }
+  }
 
   /** Returns matching gene ids per variant — the reference's
     * `getGeneRgdIds` surface (GeneCache.java:51), exposed for the query
@@ -147,16 +180,18 @@ object GenicAnnotator {
     * join Spark would pick for the range predicate. */
   def overlappingGenes(variants: DataFrame, genes: DataFrame,
       maxIndexRows: Long = MaxIndexRows): DataFrame = {
-    val g = genes.select(
-      col("gene_rgd_id"),
-      col("chromosome").as("g_chrom"),
-      col("start_pos").as("g_start"),
-      col("stop_pos").as("g_stop"))
-    if (!indexable(genes, maxIndexRows))
+    val n = boundedCount(genes, maxIndexRows)
+    if (n > maxIndexRows)
       overlappingGenesBinned(variants, genes).drop("g_chrom", "g_start", "g_stop")
-    else
+    else {
+      val g = maybePrune(variants, genes, n).select(
+        col("gene_rgd_id"),
+        col("chromosome").as("g_chrom"),
+        col("start_pos").as("g_start"),
+        col("stop_pos").as("g_stop"))
       graft.plans.IntervalJoin.join(variants.sparkSession, variants, g)
         .drop("g_chrom", "g_start", "g_stop")
+    }
   }
 
   /** Enumeration form of the binned rewrite — one row per overlapping

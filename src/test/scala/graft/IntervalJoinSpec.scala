@@ -87,6 +87,47 @@ class IntervalJoinSpec extends SparkSpec {
     col("g_chrom").as("chromosome"), col("g_start").as("start_pos"),
     col("g_stop").as("stop_pos"))
 
+  test("big interval tables prune to the probe side's chromosomes") {
+    // 120k intervals spread over 20 chromosomes, probe on only 2:
+    // above PruneIndexRows the build side must shrink to the probed
+    // chromosomes' share before the driver collect/index build
+    val bigGenes = (1 to 120000).map { g =>
+      val chrom = ((g % 20) + 1).toString
+      val start = (g * 37 % 1000000).toLong
+      (g, chrom, start, start + 500L)
+    }.toDF("gene_rgd_id", "chromosome", "start_pos", "stop_pos")
+    val probe = (1 to 500).map { i =>
+      val chrom = if (i % 2 == 0) "3" else "7"
+      val start = (i * 1931 % 1000000).toLong
+      (i.toLong, chrom, start, start + 20L)
+    }.toDF("vid", "chromosome", "start_pos", "end_pos")
+
+    assert(bigGenes.count() >= GenicAnnotator.PruneIndexRows)
+    val pruned = GenicAnnotator.pruneToProbedChromosomes(probe, bigGenes)
+    val share = bigGenes.filter(col("chromosome").isin("3", "7")).count()
+    assert(pruned.count() == share, "pruned build side != probed share")
+    assert(share <= bigGenes.count() / 5, "fixture: pruning must bite")
+
+    // the pruned paths agree with the unpruned BNLJ ground truth
+    val bnlj = probe.join(
+      broadcast(bigGenes.withColumnRenamed("chromosome", "g_chrom")
+        .withColumnRenamed("start_pos", "g_start")
+        .withColumnRenamed("stop_pos", "g_stop")),
+      col("chromosome") === col("g_chrom") &&
+        col("g_start") <= col("end_pos") && col("g_stop") >= col("start_pos"))
+      .select("vid", "gene_rgd_id").as[(Long, Int)].collect().toSet
+    val viaJoin = GenicAnnotator.overlappingGenes(probe, bigGenes)
+      .select("vid", "gene_rgd_id").as[(Long, Int)].collect().toSet
+    assert(viaJoin == bnlj)
+    assert(viaJoin.nonEmpty)
+    val genicIds = bnlj.map(_._1)
+    val viaIndexed = GenicAnnotator.annotateIndexed(probe, bigGenes)
+      .select("vid", "genic_status").as[(Long, String)].collect()
+    assert(viaIndexed.forall { case (vid, st) =>
+      st == (if (genicIds(vid)) "GENIC" else "INTERGENIC")
+    })
+  }
+
   test("oversized gene table routes to the binned enumeration and agrees") {
     val viaIndex = GenicAnnotator.overlappingGenes(variants, genesNatural)
       .select("vid", "gene_rgd_id").as[(Long, Int)].collect().toSet
