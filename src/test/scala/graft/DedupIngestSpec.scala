@@ -112,7 +112,9 @@ class DedupIngestSpec extends SparkSpec {
       input.addData(rows)
       val q = DedupIngest.start(input.toDF().toDF("doc_id", "text"),
         dir, ck, n = 8, minHits = 1, availableNow = true,
-        minhashHashes = hashes)
+        // compact every batch so the minhash index sides' distinct-swap
+        // is exercised between the ingests (the gate must survive it)
+        compactEvery = Some(1), minhashHashes = hashes)
       try q.processAllAvailable() finally q.stop()
     }
     def corpusIds(dir: String): Set[Long] =

@@ -293,6 +293,58 @@ class DedupSpec extends SparkSpec {
     Dedup.releasePersisted()
   }
 
+  test("minhash band gate agrees with the batch pair enumeration") {
+    val incoming = Seq(
+      (101L, base + " again tonight"),                 // near-dup of 1/2
+      (102L, "nothing in common with anything at all here today"),
+      (103L, base.replace("quick", "swift")))          // near-dup of 1/3
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashBandIndex(docs, "doc_id", col("text"),
+      numHashes = 128, numBands = 32, threshold = 0.5, shingleN = 5)
+    val suppressed = Dedup.minhashSuppressedIds(incoming, mh,
+      "doc_id", col("text")).as[Long].collect().toSet
+    // ground truth: the BATCH pair enumerator over corpus ∪ incoming
+    // with identical parameters — the incremental gate must suppress
+    // exactly the incoming ids that pair with a CORPUS doc (incoming-
+    // incoming pairs don't count; the batch would admit the first)
+    val pairs = Dedup.minhashNearDupPairsText(
+      docs.unionByName(incoming), "doc_id", col("text"),
+      n = 5, numHashes = 128, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val expected = pairs.collect {
+      case (a, b) if a <= 5 && b >= 101 => b
+      case (a, b) if b <= 5 && a >= 101 => a
+    }.toSet
+    assert(suppressed == expected)
+    assert(expected.nonEmpty && !expected.contains(102L))
+    Dedup.releasePersisted()
+  }
+
+  test("MinHashBandIndex round-trips through bucketed tables") {
+    val mh = Dedup.minhashBandIndex(docs, "doc_id", col("text"),
+      numHashes = 128, numBands = 32, threshold = 0.5)
+    val incoming = Seq(
+      (201L, base + " tonight indeed"),
+      (202L, "totally novel words nothing shared whatsoever"))
+      .toDF("doc_id", "text")
+    val direct = Dedup.minhashSuppressedIds(incoming, mh,
+      "doc_id", col("text")).as[Long].collect().toSet
+    // the at-scale shape: bands bucketed on the probe key so only the
+    // batch shuffles; sigs bucketed on the id the candidates join by
+    graft.sources.BucketedTables.writeBucketed(mh.bands,
+      "mh_bands_spec", 4, Seq("band_key"))
+    graft.sources.BucketedTables.writeBucketed(mh.sigs,
+      "mh_sigs_spec", 4, Seq("__mid"))
+    val back = mh.copy(sigs = spark.table("mh_sigs_spec"),
+      bands = spark.table("mh_bands_spec"))
+    val served = Dedup.minhashSuppressedIds(incoming, back,
+      "doc_id", col("text")).as[Long].collect().toSet
+    assert(served == direct && direct == Set(201L))
+    Seq("mh_bands_spec", "mh_sigs_spec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.releasePersisted()
+  }
+
   test("groupMinHashSimilarity matches an exact estimator replay") {
     def md5Hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
