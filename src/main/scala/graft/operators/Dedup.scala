@@ -764,7 +764,10 @@ object Dedup {
    * parity with the batch near-dup ladder: the exact + word-gram gates
    * catch copies and substring overlap; this gate catches the Jaccard
    * near-dup class ([[minhashNearDupPairs]]) for batches arriving AFTER
-   * the corpus was indexed, without ever re-scanning the corpus.
+   * the corpus was indexed, without ever re-scanning the corpus. (The
+   * reference's own dedup is incremental against the already-loaded
+   * store — HrdpVariants.java:410-450 — so the incremental surface
+   * should cover the engine's WHOLE dedup ladder, not just two rungs.)
    *
    * Two persisted frames, the classic LSH index layout:
    *  - `bands` `(band_idx, band_key, __mid)` — candidate generation; at

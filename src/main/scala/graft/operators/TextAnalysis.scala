@@ -671,6 +671,17 @@ object TextAnalysis {
       .select(col("__id"),
         explode(sequence(col("__i"), col("__i") + (n - 1))).as("__j"))
       .distinct()
+    rewriteWithoutCovered(base, covered, idCol)
+  }
+
+  /** Shared rewrite tail of [[stripDuplicatedSpans]] and
+    * [[stripContaminatedSpans]]: drop the `(__id, __j)` covered token
+    * positions from the tokenized `base` and reassemble each doc
+    * (array_sort over (position, token) structs inside a hash agg — no
+    * window). Fully-covered docs come back with `clean_text = ""`. */
+  private def rewriteWithoutCovered(base: org.apache.spark.sql.DataFrame,
+      covered: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame = {
     val toks = base.select(col("__id"), size(col("__t")).as("__nt"),
       posexplode(col("__t")).as(Seq("__p", "__tok")))
       .select(col("__id"), col("__nt"), (col("__p") + 1).as("__j"), col("__tok"))
@@ -685,6 +696,50 @@ object TextAnalysis {
       .select(col("__id").as(idCol), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
+  /**
+   * Span-level benchmark decontamination — the remediation counterpart
+   * of [[graft.operators.Dedup.contaminationFlags]], the way
+   * [[stripDuplicatedSpans]] remediates [[duplicatedSpanStats]]:
+   * instead of DROPPING every flagged document (which throws away the
+   * unique prose around a quoted eval item), rewrite it, removing only
+   * the tokens covered by a word `n`-gram that also appears in the
+   * benchmark. Gram identity is case-insensitive; the rewrite keeps
+   * original token case; a fully-covered doc comes back with
+   * `clean_text = ""` rather than disappearing.
+   *
+   * Scale shape: the benchmark's distinct gram hashes BROADCAST (small
+   * by definition — the same contract as contaminationFlags); the
+   * corpus pays one gram explode + one token explode; gram hashes and
+   * token positions shuffle, never text until the final per-doc row.
+   *
+   * @return `(idCol, n_tokens, n_kept, clean_text)`
+   */
+  def stripContaminatedSpans(corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, n: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"need n>=1; got $n")
+    def gramsOf(df: org.apache.spark.sql.DataFrame) = df
+      .filter(size(col("__t")) >= n)
+      .select(col("__id"), col("__t"),
+        explode(sequence(lit(1), size(col("__t")) - (n - 1))).as("__i"))
+      .select(col("__id"), col("__i"), md5(lower(concat_ws(" ",
+        (0 until n).map(j => element_at(col("__t"), col("__i") + j)): _*)))
+        .as("__g"))
+    // persisted: feeds the gram pass, the token explode, and the final
+    // per-doc count
+    val base = PersistTracker.trackPersist(
+      corpus.select(col(idCol).as("__id"), tokens(text).as("__t")))
+    val benchGrams = gramsOf(
+      benchmark.select(col(idCol).as("__id"), tokens(text).as("__t")))
+      .select("__g").distinct()
+    val covered = gramsOf(base)
+      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      .select(col("__id"),
+        explode(sequence(col("__i"), col("__i") + (n - 1))).as("__j"))
+      .distinct()
+    rewriteWithoutCovered(base, covered, idCol)
   }
 
   /**
@@ -739,5 +794,42 @@ object TextAnalysis {
           s => s.getField("__tok")))).as("chunk_fp"))
       .select(col("__id").as(idCol), col("__chunk").as("chunk_idx"),
         col("n_tokens"), col("chunk_fp"))
+  }
+
+  /**
+   * Cross-snapshot chunk reuse — [[cdcChunks]] as a DIFF: for each doc
+   * of `newDocs`, how many of its CDC chunks already exist (by chunk
+   * fingerprint) anywhere in `oldDocs`. The crawl-drift /
+   * dedup-bandwidth metric: because CDC boundaries resync after edits,
+   * a re-crawled page whose changes are local shares every chunk
+   * outside the edited region, so `reuse_ratio` measures how much of a
+   * new snapshot is redundant at chunk granularity (what incremental
+   * storage would actually save — doc-level dedup reports 0% for any
+   * edited page).
+   *
+   * Only chunk FINGERPRINTS join, never text; the old side folds to
+   * distinct fingerprints — for a standing snapshot index, write that
+   * frame bucketed on `chunk_fp` ([[graft.sources.BucketedTables]]) so
+   * each new crawl shuffles only its own chunks.
+   *
+   * @return `(idCol, n_chunks, n_reused, reuse_ratio)` — one row per
+   *         `newDocs` doc with ≥1 token; ratio rounded 4dp
+   */
+  def cdcChunkReuse(newDocs: org.apache.spark.sql.DataFrame,
+      oldDocs: org.apache.spark.sql.DataFrame, idCol: String, text: Column,
+      w: Int = 4, avgTokens: Int = 16): org.apache.spark.sql.DataFrame = {
+    // persisted: feeds the reuse semi-join AND the per-doc totals
+    val newChunks = PersistTracker.trackPersist(
+      cdcChunks(newDocs, idCol, text, w, avgTokens))
+    val oldFps = cdcChunks(oldDocs, idCol, text, w, avgTokens)
+      .select("chunk_fp").distinct()
+    val reused = newChunks.join(oldFps, Seq("chunk_fp"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_reused"))
+    newChunks.groupBy(idCol).agg(count(lit(1)).as("n_chunks"))
+      .join(reused, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_reused"), lit(0L)).as("n_reused"),
+        round(coalesce(col("n_reused"), lit(0L)) / col("n_chunks"), 4)
+          .as("reuse_ratio"))
   }
 }

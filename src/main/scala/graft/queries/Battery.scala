@@ -2792,6 +2792,140 @@ object Battery {
        |  FROM adc) WHERE rank <= 5""".stripMargin
   }
 
+  /** Span-level decontamination
+    * ([[graft.operators.TextAnalysis.stripContaminatedSpans]]): q54's
+    * flags turned into the remediation action — every document is
+    * REWRITTEN dropping only the tokens covered by a word 8-gram that
+    * appears in the (q54-derived) benchmark, so source docs keep their
+    * unique prose instead of being dropped whole. The oracle rebuilds
+    * every cleaned text with string_agg over kept positions; full
+    * rewritten strings are hash-compared. */
+  val q85StripContam: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+      .select((col("doc_id") + 9000000L).as("doc_id"),
+        concat_ws(" ",
+          slice(graft.operators.TextAnalysis.tokens(col("text")), 6, 20))
+          .as("text"))
+    graft.operators.TextAnalysis.stripContaminatedSpans(
+      docs.repartition(col("doc_id")), bench, "doc_id", col("text"), n = 8)
+  }
+
+  val q85Sql: String =
+    """WITH bench AS (
+      |  SELECT doc_id + 9000000 AS doc_id,
+      |    array_to_string(list_slice(list_filter(
+      |      string_split_regex(text, '\s+'), x -> len(x) > 0), 6, 25), ' ')
+      |      AS text
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |bt AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |  FROM bench),
+      |bg AS (
+      |  SELECT DISTINCT lower(list_aggregate(t[i:i+7], 'string_agg', ' '))
+      |    AS g
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+      |        FROM bt WHERE len(t) >= 8)),
+      |toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i,
+      |    lower(list_aggregate(t[i:i+7], 'string_agg', ' ')) AS g
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+      |        FROM toks WHERE len(t) >= 8)),
+      |covered AS (
+      |  SELECT DISTINCT gr.doc_id, u.j
+      |  FROM (SELECT grams.* FROM grams JOIN bg USING (g)) gr,
+      |    unnest(range(gr.i, gr.i + 8)) AS u(j)),
+      |tok AS (
+      |  SELECT doc_id, t[i] AS tok, i
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+      |kept AS (
+      |  SELECT tok.doc_id, COUNT(*) AS n_kept,
+      |    string_agg(tok.tok, ' ' ORDER BY tok.i) AS clean_text
+      |  FROM tok LEFT JOIN covered
+      |    ON tok.doc_id = covered.doc_id AND tok.i = covered.j
+      |  WHERE covered.j IS NULL
+      |  GROUP BY tok.doc_id)
+      |SELECT toks.doc_id, len(toks.t) AS n_tokens,
+      |  COALESCE(kept.n_kept, 0) AS n_kept,
+      |  COALESCE(kept.clean_text, '') AS clean_text
+      |FROM toks LEFT JOIN kept USING (doc_id)""".stripMargin
+
+  /** Cross-snapshot chunk reuse
+    * ([[graft.operators.TextAnalysis.cdcChunkReuse]]): a derived
+    * re-crawl snapshot (≡0 mod 7 head-edited — CDC boundaries resync so
+    * the tail chunks still match; ≡1 token-reversed — novel; the rest
+    * byte-identical) diffed against the original corpus at chunk
+    * granularity. The oracle replays q76's whole chunk pipeline on BOTH
+    * sides plus the fingerprint semi-join and per-doc ratios. */
+  val q86ChunkReuse: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val snap = docs
+      .select((col("doc_id") + 30000000L).as("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+            concat_ws(" ", slice(toks, 4, 1000000)))
+          .when(pmod(col("doc_id"), lit(7)) === 1,
+            concat_ws(" ", reverse(toks)))
+          .otherwise(col("text")).as("text"))
+    graft.operators.TextAnalysis.cdcChunkReuse(
+      snap, docs, "doc_id", col("text"), w = 4, avgTokens = 16)
+  }
+
+  val q86Sql: String = {
+    /** q76's chunk pipeline over `src(doc_id, t)`, CTEs prefixed. */
+    def chunkCtes(src: String, p: String): String =
+      s"""${p}tok AS (
+         |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS j
+         |  FROM $src WHERE len(t) >= 1),
+         |${p}marked AS (
+         |  SELECT doc_id, j, t[j] AS tok,
+         |    CASE WHEN j >= 4 AND
+         |      ('0x' || substr(md5(
+         |        list_aggregate(t[j-3:j], 'string_agg', ' ')), 1, 15))
+         |        ::BIGINT % 16 = 0
+         |    THEN 1 ELSE 0 END AS b
+         |  FROM ${p}tok),
+         |${p}ch AS (
+         |  SELECT doc_id, j, tok,
+         |    CAST(COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY j
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS chunk_idx
+         |  FROM ${p}marked),
+         |${p}chunks AS (
+         |  SELECT doc_id, chunk_idx,
+         |    md5(string_agg(tok, ' ' ORDER BY j)) AS chunk_fp
+         |  FROM ${p}ch GROUP BY 1, 2)""".stripMargin
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(text, '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |nsrc AS (
+       |  SELECT doc_id + 30000000 AS doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN list_slice(t, 4, len(t))
+       |         WHEN doc_id % 7 = 1 THEN list_reverse(t)
+       |         ELSE t END AS t
+       |  FROM toks0),
+       |${chunkCtes("toks0", "o")},
+       |${chunkCtes("nsrc", "n")},
+       |ofp AS (SELECT DISTINCT chunk_fp FROM ochunks),
+       |reused AS (
+       |  SELECT nchunks.doc_id, COUNT(*) AS n_reused
+       |  FROM nchunks JOIN ofp USING (chunk_fp)
+       |  GROUP BY nchunks.doc_id),
+       |totals AS (
+       |  SELECT doc_id, COUNT(*) AS n_chunks FROM nchunks GROUP BY doc_id)
+       |SELECT totals.doc_id, totals.n_chunks,
+       |  COALESCE(reused.n_reused, 0) AS n_reused,
+       |  ROUND(COALESCE(reused.n_reused, 0) / totals.n_chunks, 4)
+       |    AS reuse_ratio
+       |FROM totals LEFT JOIN reused USING (doc_id)""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2881,7 +3015,9 @@ object Battery {
     "q81_edit_join_between" -> (q81EditJoinBetween, Some(q81Sql)),
     "q82_heldout_lm" -> (q82HeldoutLm, Some(q82Sql)),
     "q83_banded_dedup" -> (q83BandedDedup, Some(q83Sql)),
-    "q84_pq_trained" -> (q84PqTrained, Some(q84Sql)))
+    "q84_pq_trained" -> (q84PqTrained, Some(q84Sql)),
+    "q85_strip_contam" -> (q85StripContam, Some(q85Sql)),
+    "q86_chunk_reuse" -> (q86ChunkReuse, Some(q86Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

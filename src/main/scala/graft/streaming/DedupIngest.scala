@@ -11,9 +11,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
  * recurring-crawl pipeline as one continuous query: each micro-batch is
  * (1) exact-deduplicated within itself, (2) checked against the
  * PERSISTED corpus index ([[Dedup.CorpusIndex]]: distinct fingerprints +
- * word n-gram hashes), and (3) its survivors appended to the corpus
- * while their index entries append to the index — so later batches, and
- * REPLAYS of this batch after a crash, see them.
+ * word n-gram hashes + optionally MinHash signatures and LSH band keys,
+ * the full batch dedup ladder), and (3) its survivors appended to the
+ * corpus while their index entries append to the index — so later
+ * batches, and REPLAYS of this batch after a crash, see them.
  *
  * Replay safety falls out of the dedup itself: re-processing a batch
  * finds its own fingerprints already in the index and admits nothing —

@@ -156,6 +156,59 @@ class RetrievalSpec extends SparkSpec {
       }
     }.toSet
 
+  test("stripContaminatedSpans removes only benchmark-covered tokens") {
+    val corpus = Seq(
+      // tokens 3..10 quote the benchmark item verbatim (8-gram hit);
+      // unique prose surrounds it and must survive
+      (1L, "Unique Intro Here b1 b2 b3 b4 b5 b6 b7 b8 And Unique Outro"),
+      (2L, "nothing here overlaps the benchmark at all in any way"),
+      (3L, "b1 b2 b3 b4 b5 b6 b7 b8"), // fully covered → empty rewrite
+      (4L, "short doc")                // < n tokens: untouched
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "b1 b2 b3 b4 b5 b6 b7 b8 b9"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stripContaminatedSpans(
+      corpus, bench, "doc_id", col("text"), n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((14L, 6L, "Unique Intro Here And Unique Outro")))
+    assert(got(2L)._2 == 10L && got(2L)._3 ==
+      "nothing here overlaps the benchmark at all in any way")
+    assert(got(3L) == ((8L, 0L, "")))
+    assert(got(4L) == ((2L, 2L, "short doc")))
+    graft.operators.PersistTracker.releaseAll()
+  }
+
+  test("cdcChunkReuse: identical=1.0, novel=0.0, head-edit reuses tail") {
+    val rnd = new scala.util.Random(31)
+    def words(k: Int, tag: String): String =
+      (1 to k).map(_ => s"$tag${rnd.nextInt(5000)}").mkString(" ")
+    val oldText = words(400, "w")
+    val old = Seq((1L, oldText)).toDF("doc_id", "text")
+    val snap = Seq(
+      (11L, oldText),                                        // identical
+      (12L, words(400, "z")),                                // novel
+      (13L, oldText.split(" ").drop(5).mkString(" "))        // head edit
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cdcChunkReuse(snap, old, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(11L)._1 == got(11L)._2 && got(11L)._3 == 1.0)
+    assert(got(12L)._2 == 0L && got(12L)._3 == 0.0)
+    // CDC resync: the head edit damages at most the first chunk(s);
+    // consistency-check the count against the two chunk frames directly
+    val oldFps = TextAnalysis.cdcChunks(old, "doc_id", col("text"))
+      .select("chunk_fp").as[String].collect().toSet
+    val editFps = TextAnalysis.cdcChunks(
+      snap.filter(col("doc_id") === 13L), "doc_id", col("text"))
+      .select("chunk_fp").as[String].collect()
+    val expectReused = editFps.count(oldFps)
+    assert(got(13L)._2 == expectReused && expectReused > 0,
+      s"resync must recover tail chunks (got $expectReused)")
+    assert(got(13L)._3 < 1.0, "the edited head chunk must not match")
+    graft.operators.PersistTracker.releaseAll()
+  }
+
   test("cdcChunks matches the plain-Scala reference; boundaries resync") {
     val rnd = new scala.util.Random(11)
     val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
