@@ -155,18 +155,29 @@ object DedupIngest {
       s.isFile && isDataFile(s.getPath.getName) && s.getLen < smallFileBytes)
     if (smalls.size < 2) return
     val foldDir = new org.apache.hadoop.fs.Path(corpus + ".fold")
+    // fold into files of ~8× the threshold: outputs usually GRADUATE
+    // (cross the threshold and never re-fold — the tier ladder stays
+    // O(tail) per cycle, not O(tail²) over the ingest's lifetime), and
+    // a delayed compaction of a huge tail still writes in parallel
+    // instead of through one coalesced task
+    val foldParts = math.max(1, math.ceil(
+      smalls.map(_.getLen).sum.toDouble / (8.0 * smallFileBytes)).toInt)
     spark.read.parquet(smalls.map(_.getPath.toString): _*)
-      .coalesce(1).write.mode("overwrite").parquet(foldDir.toString)
+      .coalesce(foldParts).write.mode("overwrite").parquet(foldDir.toString)
     val parts = f.listStatus(foldDir).toSeq
       .filter(s => s.isFile && isDataFile(s.getPath.getName))
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val installs = parts.zipWithIndex.map { case (p, i) =>
       (p.getPath.getName, s"fold-$stamp-$i.parquet")
     }
+    // the COMMIT trailer makes the manifest a real WAL record: recovery
+    // acts only on a fully-written manifest — a crash mid-write leaves
+    // a trailer-less file that recovery discards along with the fold
     val out = f.create(manifestPath(corpus), true)
     try {
       val text = (installs.map { case (src, dst) => s"F\t$src\t$dst" } ++
-        smalls.map(s => s"S\t${s.getPath.getName}")).mkString("\n")
+        smalls.map(s => s"S\t${s.getPath.getName}") ++
+        Seq("COMMIT")).mkString("\n")
       out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
     recoverFold(spark, corpus) // the happy path IS the recovery replay
@@ -174,12 +185,17 @@ object DedupIngest {
 
   /** Complete a manifest-logged [[foldCorpusTail]]: install every fold
     * part still staged, then delete every listed small file, then drop
-    * the manifest and fold dir. No manifest → discard any stray fold
-    * dir (it was never published). */
+    * the manifest and fold dir. No manifest, or a manifest without its
+    * COMMIT trailer (crash mid-write) → discard the stage untouched
+    * (nothing was published, the small files still hold every row). */
   private[graft] def recoverFold(spark: SparkSession, corpus: String): Unit = {
     val (f, live) = fs(spark, corpus)
     val foldDir = new org.apache.hadoop.fs.Path(corpus + ".fold")
     val man = manifestPath(corpus)
+    def discardStage(): Unit = {
+      if (f.exists(man)) f.delete(man, false)
+      if (f.exists(foldDir)) f.delete(foldDir, true)
+    }
     if (!f.exists(man)) {
       if (f.exists(foldDir)) f.delete(foldDir, true)
       return
@@ -190,12 +206,14 @@ object DedupIngest {
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
       buf.toString("UTF-8")
     } finally in.close()
-    val lines = text.split("\n").toSeq.filter(_.nonEmpty).map(_.split("\t"))
-    lines.collect { case Array("F", src, dst) =>
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    if (lines.lastOption != Some("COMMIT")) { discardStage(); return }
+    val entries = lines.init.map(_.split("\t"))
+    entries.collect { case Array("F", src, dst) =>
       val s = new org.apache.hadoop.fs.Path(foldDir, src)
       if (f.exists(s)) f.rename(s, new org.apache.hadoop.fs.Path(live, dst))
     }
-    lines.collect { case Array("S", name) =>
+    entries.collect { case Array("S", name) =>
       val p = new org.apache.hadoop.fs.Path(live, name)
       if (f.exists(p)) f.delete(p, false)
     }

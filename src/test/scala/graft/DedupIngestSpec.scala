@@ -205,9 +205,24 @@ class DedupIngestSpec extends SparkSpec {
     spark.read.parquet(corpus).coalesce(1).write.parquet(corpus + ".fold")
     val part = new java.io.File(corpus + ".fold").listFiles()
       .map(_.getName).filter(_.endsWith(".parquet")).head
+    // first: a manifest MISSING its COMMIT trailer (crash mid-write)
+    // must be discarded without touching the small files
+    val partial = fsys.create(new Path(corpus + ".foldmanifest"), true)
+    partial.write(s"F\t$part\tfold-crash-0.parquet".getBytes("UTF-8"))
+    partial.close()
+    DedupIngest.recoverFold(spark, corpus)
+    assert(spark.read.parquet(corpus).as[Int].collect().toSet == all)
+    assert(!new java.io.File(corpus + ".foldmanifest").exists())
+    assert(!new java.io.File(corpus + ".fold").exists())
+
+    // re-stage, now with the full committed manifest
+    spark.read.parquet(corpus).coalesce(1).write
+      .mode("overwrite").parquet(corpus + ".fold")
+    val part2 = new java.io.File(corpus + ".fold").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
     val man = fsys.create(new Path(corpus + ".foldmanifest"), true)
-    val text = (s"F\t$part\tfold-crash-0.parquet" +:
-      smalls.map(s => s"S\t$s")).mkString("\n")
+    val text = (s"F\t$part2\tfold-crash-0.parquet" +:
+      smalls.map(s => s"S\t$s") :+ "COMMIT").mkString("\n")
     man.write(text.getBytes("UTF-8")); man.close()
 
     DedupIngest.recoverFold(spark, corpus)
