@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Model-based quality filtering: a multinomial Naive Bayes token
+ * classifier with CLOSED-FORM training — the distributed stand-in for
+ * the fastText-style quality classifiers used to filter web corpora
+ * (labeled seed sets → a scorer run over every document). Closed-form
+ * means training is two aggregations over exact integer counts (no SGD,
+ * no iteration order), so the model — and therefore every score — is
+ * bit-deterministic and SQL-replayable, which keeps the whole train →
+ * score path under the DuckDB hash gate (q87).
+ *
+ * Model math (Laplace smoothing, natural log):
+ *   w(t)     = ln((c1(t)+1)/(N1+V)) − ln((c0(t)+1)/(N0+V))
+ *   default  = ln((N0+V)/(N1+V))          (token unseen in training)
+ *   logPrior = ln(n1/n0)                  (document-count prior)
+ * where cy(t) = occurrences of token t in class-y training docs,
+ * Ny = Σ_t cy(t), V = |training vocabulary|, ny = class-y doc count.
+ * A document's log-odds is logPrior + Σ w(token); we report the mean
+ * token weight (rounded) plus the sign of the full sum as `pred`.
+ *
+ * Scale shape (100 TB corpus, TB-scale training seed):
+ *  - training is one explode + one groupBy(token) with map-side combine
+ *    (shuffle = |vocab| rows), plus two single-row total aggregates —
+ *    the only driver state is five scalars;
+ *  - the model artifact is the vocab-sized `weights` frame — persist it
+ *    once (parquet/bucketed table) and reuse across scoring runs;
+ *  - scoring is explode → join(weights) → per-doc aggregate. The
+ *    weights side broadcasts when it fits (`broadcastModel=true`, the
+ *    common case: even a 10M-token vocab is ~200 MB); otherwise a plain
+ *    equi-join on token, where AQE's skew handling covers the stopword
+ *    hot keys. The corpus is never shuffled except by doc id for the
+ *    final per-doc sum.
+ *
+ * Tokens are lowercased whitespace tokens ([[TextAnalysis.tokens]]) —
+ * the same vocabulary device as the bigram LM (q59/q82). Zero-token
+ * documents drop out of the scored output (explode of an empty array),
+ * mirroring the SQL unnest the oracle replays.
+ */
+object Classify {
+
+  /** Trained model. `weights` (token → w) is the at-rest artifact; the
+    * scalars ride along and are re-derivable from the counts. */
+  case class NbModel(weights: DataFrame, defaultW: Double, logPrior: Double)
+
+  private def toks(text: Column): Column =
+    TextAnalysis.tokens(lower(text))
+
+  /**
+   * Train on labeled documents. `label` must evaluate to 1 (positive /
+   * keep-quality) or 0; both classes must be non-empty.
+   */
+  def trainTokenNb(train: DataFrame, text: Column, label: Column): NbModel = {
+    val y = label.cast("int")
+    val tok = train.select(y.as("__y"), explode(toks(text)).as("token"))
+    val counts = tok.groupBy("token").agg(
+      sum(col("__y")).cast("long").as("__c1"),
+      sum(lit(1) - col("__y")).cast("long").as("__c0"))
+    // five bounded scalars: class token totals, vocab size, doc counts
+    val Array(n1Tok, n0Tok, vocab) = counts
+      .agg(sum("__c1"), sum("__c0"), count(lit(1)))
+      .head().toSeq.map(v => v.asInstanceOf[Long]).toArray
+    val Array(n1Doc, n0Doc) = train
+      .agg(sum(y).cast("long"), sum(lit(1) - y).cast("long"))
+      .head().toSeq.map(v => v.asInstanceOf[Long]).toArray
+    require(n1Doc > 0 && n0Doc > 0,
+      s"both classes must be non-empty (pos=$n1Doc neg=$n0Doc)")
+    val weights = counts.select(col("token"),
+      (log((col("__c1") + 1.0) / lit(n1Tok + vocab).cast("double")) -
+        log((col("__c0") + 1.0) / lit(n0Tok + vocab).cast("double"))).as("w"))
+    NbModel(weights,
+      defaultW = math.log((n0Tok + vocab).toDouble / (n1Tok + vocab)),
+      logPrior = math.log(n1Doc.toDouble / n0Doc))
+  }
+
+  /**
+   * Score documents with a trained model: per doc, the token count, the
+   * mean token log-odds (4 dp), and the MAP class
+   * `pred = [logPrior + Σ w > 0]` as 0/1.
+   */
+  def scoreTokenNb(model: NbModel, docs: DataFrame, idCol: String,
+      text: Column, broadcastModel: Boolean = true): DataFrame = {
+    val w = if (broadcastModel) broadcast(model.weights) else model.weights
+    docs.select(col(idCol), explode(toks(text)).as("token"))
+      .join(w, Seq("token"), "left")
+      .withColumn("__w", coalesce(col("w"), lit(model.defaultW)))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(col("__w")), 4).as("avg_logodds"),
+        (sum(col("__w")) + model.logPrior > 0).cast("int").as("pred"))
+  }
+}

@@ -707,6 +707,49 @@ object Dedup {
       .agg(count_distinct(col("__g")).as("n_hits"))
   }
 
+  /**
+   * Semantic (embedding-space) decontamination — [[contaminationFlags]]'
+   * sibling for paraphrased leakage that shares no word n-gram with the
+   * benchmark: flag every corpus vector whose cosine against ANY
+   * benchmark vector reaches `threshold`. This is the SemDeDup-style
+   * complement to q54's lexical gate (public knowledge: embedding-based
+   * contamination checks in LLM data work).
+   *
+   * Scale shape: the benchmark side is small by definition (an eval
+   * suite) → broadcast; the corpus streams through the broadcast
+   * nested-loop scoring pass and the per-doc max collapses MAP-SIDE
+   * (every corpus row's |bench| scored rows are consecutive in its own
+   * partition), so the one exchange carries exactly one ~24-byte row
+   * per corpus doc — output-sized, not |corpus|×|bench|. No
+   * higher-order array lambdas (CodegenFallback) on the hot path; the
+   * dot/norm kernels are the native codegen'd expressions.
+   *
+   * Determinism: cosine rounded 4 dp BEFORE the max, ties on the
+   * rounded value broken toward the LOWEST benchmark id (via
+   * max(struct(cos, −id))), and the flag compares the rounded value —
+   * every decision is engine-replayable.
+   *
+   * @return (idCol, max_cos, nearest_bench, contaminated 0/1)
+   */
+  def semanticDecontam(corpus: DataFrame, idCol: String, vecCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchVecCol: String,
+      threshold: Double): DataFrame = {
+    val b = benchmark.select(col(benchIdCol).cast("long").as("__bid"),
+      col(benchVecCol).as("__bvec"))
+    val cos = round(graft.operators.Similarity
+      .cosine(col(vecCol), col("__bvec")), 4)
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(b))
+      .select(col(idCol), struct(cos.as("c"), (-col("__bid")).as("nb"))
+        .as("__s"))
+      .groupBy(idCol)
+      .agg(max(col("__s")).as("__m"))
+      .select(col(idCol),
+        col("__m.c").as("max_cos"),
+        (-col("__m.nb")).as("nearest_bench"),
+        (col("__m.c") >= threshold).cast("int").as("contaminated"))
+  }
+
   /** `(__id, __g)` — md5 hashes of lowercase word `n`-grams, the shared
     * kernel of [[contaminationFlags]] and [[dedupAgainstCorpus]]. */
   private def wordGramHashes(df: DataFrame, id: Column, text: Column,

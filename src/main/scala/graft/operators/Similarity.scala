@@ -403,6 +403,95 @@ object Similarity {
   }
 
   /**
+   * Two-stage ANN serving — the standard IVF-PQ + exact-refine chain
+   * (coarse quantizer → ADC over probed cells → exact re-rank of the
+   * short list; the FAISS `IndexIVFPQ` + refine shape, public
+   * knowledge): for each query, (1) pick its `nprobe` nearest IVF
+   * cells, (2) ADC-score ONLY the PQ codes of vectors in those cells
+   * and keep the top `candidates`, (3) fetch the float vectors for
+   * just those candidates and re-rank by exact cosine to the final
+   * top-`k`. Stage 2 never touches a float corpus vector; stage 3
+   * touches exactly `candidates` per query.
+   *
+   * Scale shape: probes, candidate-id lists, codebook rows and query
+   * sub-vectors all broadcast (a serving batch is small by definition —
+   * the corpus is the big side and it is never shuffled: codes and the
+   * assigned frame are at-rest artifacts, bucketable on `__cell`). The
+   * only exchanges are the per-(query, candidate) ADC sum and two
+   * per-query top windows over ≤`candidates` rows. Every discrete
+   * choice (cell ranks, codes, both top cuts) happens on 4 dp-rounded
+   * scores with id tie-breaks — engine-replayable end to end.
+   *
+   * `ivf` and `pq` must be built over the SAME corpus/id space; the
+   * refine stage reads its float vectors from `ivf.assigned`.
+   *
+   * @return (queryIdCol, rank, idCol, cosine, score_adc)
+   */
+  def annSearchRerank(ivf: IvfIndex, pq: PqIndex, queries: DataFrame,
+      k: Int, candidates: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val cents = ivf.centroids
+    require(nprobe > 0 && nprobe <= cents.size, s"nprobe in [1,${cents.size}]")
+    val cb = pq.codebook
+    val m = cb.size
+    val sd = cb.head.head.size
+    val spark = queries.sparkSession
+    import spark.implicits._
+
+    // stage 1 — probe list: each query's nprobe nearest cells
+    val cellScores = explode(array(cents.map { case (cid, cvec) =>
+      struct(lit(cid).as("cell"),
+        round(cosine(col("__qvec"), typedlit(cvec)), 4).as("cos"))
+    }: _*))
+    val wCells = Window.partitionBy(queryIdCol)
+      .orderBy(col("__cs.cos").desc, col("__cs.cell"))
+    val probes = queries
+      .select(col(queryIdCol), col(vecCol).as("__qvec"))
+      .withColumn("__cs", cellScores)
+      .withColumn("__cr", row_number().over(wCells))
+      .filter(col("__cr") <= nprobe)
+      .select(col(queryIdCol), col("__cs.cell").as("__cell"))
+    // candidate ids = the probed cells' members
+    val cand = ivf.assigned.join(broadcast(probes), Seq("__cell"))
+      .select(col(queryIdCol), col(idCol))
+
+    // stage 2 — ADC over candidate codes only, keep top `candidates`
+    val cbRows = (for {
+      j <- 0 until m; c <- cb(j).indices
+    } yield (j, c, cb(j)(c))).toDF("__j", "__code", "__cvec")
+    val qsubs = queries.select(col(queryIdCol),
+      posexplode(array((0 until m).map(j =>
+        slice(col(vecCol), j * sd + 1, sd)): _*)).as(Seq("__j", "__qsub")))
+    val adc = pq.codes
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(cbRows), Seq("__j", "__code"))
+      .join(broadcast(qsubs), Seq(queryIdCol, "__j"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(dotFast(col("__qsub"), col("__cvec"))), 4)
+        .as("score_adc"))
+    val wAdc = Window.partitionBy(queryIdCol)
+      .orderBy(col("score_adc").desc, col(idCol))
+    val shortList = adc.withColumn("__ar", row_number().over(wAdc))
+      .filter(col("__ar") <= candidates)
+      .select(col(queryIdCol), col(idCol), col("score_adc"))
+
+    // stage 3 — exact refine: fetch floats for the short list only
+    val qvecs = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
+    val wFinal = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col(idCol))
+    ivf.assigned.select(col(idCol), col("__cvec"))
+      .join(broadcast(shortList), Seq(idCol))
+      .join(broadcast(qvecs), Seq(queryIdCol))
+      .withColumn("cosine", round(cosine(col("__qvec"), col("__cvec")), 4))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"),
+        col("score_adc"))
+  }
+
+  /**
    * Train a PQ codebook for [[pqTopK]]: per-subspace deterministic
    * k-means ([[Clustering.kmeansCentroidMeans]] — MEANS, not sums,
    * because ADC scores are raw dot products where centroid scale

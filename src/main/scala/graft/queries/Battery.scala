@@ -2926,6 +2926,186 @@ object Battery {
        |FROM totals LEFT JOIN reused USING (doc_id)""".stripMargin
   }
 
+  /** Model-based quality filtering
+    * ([[graft.operators.Classify.trainTokenNb]] /
+    * [[graft.operators.Classify.scoreTokenNb]]): a multinomial Naive
+    * Bayes token classifier trained closed-form on q45's deterministic
+    * train split (positives = `lang = 'en'`) and scored over the val
+    * split — the distributed stand-in for fastText-style corpus quality
+    * classifiers, with training reduced to exact integer count
+    * aggregations so the oracle replays the model weights, the
+    * unseen-token default, the prior, and every score. */
+  val q87NbQuality: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    def split(name: String) = graft.operators.Sampling
+      .assignSplit(docs, col("doc_id"), "exp1")
+      .filter(col("split") === name).drop("split")
+    val model = graft.operators.Classify.trainTokenNb(
+      split("train"), col("text"), (col("lang") === "en").cast("int"))
+    graft.operators.Classify.scoreTokenNb(
+      model, split("val"), "doc_id", col("text"))
+  }
+
+  val q87Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text, lang,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':exp1'), 1, 15))
+      |      ::BIGINT % 1000000 AS bucket
+      |  FROM documents),
+      |tr AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+      |  FROM b WHERE bucket < 800000),
+      |va AS (
+      |  SELECT doc_id, text FROM b
+      |  WHERE bucket >= 800000 AND bucket < 900000),
+      |ttr AS (
+      |  SELECT y, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0)) AS token
+      |  FROM tr),
+      |cnt AS (
+      |  SELECT token, CAST(SUM(y) AS BIGINT) AS c1,
+      |    CAST(SUM(1 - y) AS BIGINT) AS c0
+      |  FROM ttr GROUP BY token),
+      |tot AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c0) AS BIGINT) AS n0,
+      |    COUNT(*) AS v
+      |  FROM cnt),
+      |pri AS (
+      |  SELECT ln(CAST(SUM(y) AS DOUBLE) / SUM(1 - y)) AS logprior FROM tr),
+      |w AS (
+      |  SELECT token,
+      |    ln((c1 + 1.0) / (n1 + v)) - ln((c0 + 1.0) / (n0 + v)) AS w
+      |  FROM cnt CROSS JOIN tot),
+      |tva AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+      |  FROM va),
+      |sc AS (
+      |  SELECT doc_id,
+      |    COALESCE(w.w, ln((tot.n0 + tot.v) * 1.0 / (tot.n1 + tot.v))) AS w
+      |  FROM tva LEFT JOIN w USING (token) CROSS JOIN tot)
+      |SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(w), 4) AS avg_logodds,
+      |  CAST(SUM(w) + (SELECT logprior FROM pri) > 0 AS INT) AS pred
+      |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** Embedding-space decontamination
+    * ([[graft.operators.Dedup.semanticDecontam]]): q54's lexical gate
+    * can't see paraphrased leakage; this flags every corpus vector
+    * whose max cosine against the (derived, ≡0 mod 97) benchmark suite
+    * reaches 0.27 (the p90 of the max-cosine distribution — a real
+    * decision boundary, not a corner). Benchmark broadcasts; the
+    * per-doc max collapses map-side, so the one exchange is
+    * output-sized. Ties on the rounded cosine go to the lowest
+    * benchmark id in both engines. */
+  val q88SemanticDecontam: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.operators.Dedup.semanticDecontam(
+      emb.filter(pmod(col("vec_id"), lit(97)) =!= 0), "vec_id", "embedding",
+      emb.filter(pmod(col("vec_id"), lit(97)) === 0), "vec_id", "embedding",
+      threshold = 0.27)
+  }
+
+  val q88Sql: String =
+    """WITH b AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+      |c AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+      |p AS (
+      |  SELECT c.vec_id, b.vec_id AS bid,
+      |    ROUND(list_cosine_similarity(c.embedding::DOUBLE[],
+      |      b.embedding::DOUBLE[]), 4) AS cs
+      |  FROM c, b),
+      |r AS (
+      |  SELECT vec_id, cs, bid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, bid) AS rn
+      |  FROM p)
+      |SELECT vec_id, cs AS max_cos, bid AS nearest_bench,
+      |  CAST(cs >= 0.27 AS INT) AS contaminated
+      |FROM r WHERE rn = 1""".stripMargin
+
+  /** Two-stage ANN serving
+    * ([[graft.operators.Similarity.annSearchRerank]]): IVF coarse
+    * quantizer (16 cells, nprobe 4) → ADC over the probed cells' PQ
+    * codes → top-20 short list → EXACT cosine re-rank to top-5 — the
+    * production IVF-PQ + refine chain, sharing q43's IVF and q62's PQ
+    * devices so the oracle replays cell assignment, encode, the ADC
+    * cut and the refine cut end to end (deterministic centroids /
+    * codebook, 4 dp rounds before every argmax/rank). */
+  val q89AnnRerank: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val ivf = graft.operators.Similarity.buildIvfIndex(emb, numCells = 16)
+    val pq = graft.operators.Similarity.buildPqIndex(emb)
+    graft.operators.Similarity.annSearchRerank(ivf, pq, queries,
+      k = 5, candidates = 20, nprobe = 4)
+  }
+
+  val q89Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |cent AS (
+      |  SELECT vec_id AS cell, e AS cvec FROM e ORDER BY vec_id LIMIT 16),
+      |cs AS (
+      |  SELECT ev.vec_id, ev.e, c.cell,
+      |    ROUND(list_cosine_similarity(ev.e, c.cvec), 4) AS cos
+      |  FROM e ev CROSS JOIN cent c),
+      |cr AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cos DESC, cell) AS rn
+      |  FROM cs),
+      |asg AS (SELECT vec_id, e, cell FROM cr WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cell FROM cr WHERE vec_id < 3 AND rn <= 4),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id FROM probes p JOIN asg a
+      |  ON a.cell = p.cell),
+      |base AS (SELECT vec_id, e FROM e ORDER BY vec_id LIMIT 16),
+      |cb AS (
+      |  SELECT CAST(j AS INT) AS j,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1
+      |      AS INT) AS code,
+      |    list_slice(e, j * 8 + 1, j * 8 + 8) AS cvec
+      |  FROM base, unnest(range(0, 8)) AS u(j)),
+      |subs AS (
+      |  SELECT vec_id, CAST(j AS INT) AS j,
+      |    list_slice(e, j * 8 + 1, j * 8 + 8) AS sub
+      |  FROM e, unnest(range(0, 8)) AS u(j)),
+      |assign AS (
+      |  SELECT s.vec_id, s.j, cb.code,
+      |    ROUND(list_dot_product(s.sub, cb.cvec), 4) AS d
+      |  FROM subs s JOIN cb ON cb.j = s.j),
+      |codes AS (
+      |  SELECT vec_id, j, code FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+      |      ORDER BY d DESC, code) AS rn
+      |    FROM assign) WHERE rn = 1),
+      |qsubs AS (
+      |  SELECT vec_id AS query_id, j, sub FROM subs WHERE vec_id < 3),
+      |adc AS (
+      |  SELECT cd.query_id, cd.vec_id,
+      |    ROUND(SUM(list_dot_product(qs.sub, cb.cvec)), 4) AS score_adc
+      |  FROM (SELECT c.query_id, c.vec_id, co.j, co.code
+      |        FROM cand c JOIN codes co ON co.vec_id = c.vec_id) cd
+      |  JOIN cb ON cb.j = cd.j AND cb.code = cd.code
+      |  JOIN qsubs qs ON qs.query_id = cd.query_id AND qs.j = cd.j
+      |  GROUP BY cd.query_id, cd.vec_id),
+      |topc AS (
+      |  SELECT query_id, vec_id, score_adc FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score_adc DESC, vec_id) AS rn
+      |    FROM adc) WHERE rn <= 20),
+      |rr AS (
+      |  SELECT t.query_id, t.vec_id, t.score_adc,
+      |    ROUND(list_cosine_similarity(q.e, a.e), 4) AS cosine
+      |  FROM topc t
+      |  JOIN e q ON q.vec_id = t.query_id
+      |  JOIN asg a ON a.vec_id = t.vec_id)
+      |SELECT query_id, rank, vec_id, cosine, score_adc FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM rr) WHERE rank <= 5""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3017,7 +3197,10 @@ object Battery {
     "q83_banded_dedup" -> (q83BandedDedup, Some(q83Sql)),
     "q84_pq_trained" -> (q84PqTrained, Some(q84Sql)),
     "q85_strip_contam" -> (q85StripContam, Some(q85Sql)),
-    "q86_chunk_reuse" -> (q86ChunkReuse, Some(q86Sql)))
+    "q86_chunk_reuse" -> (q86ChunkReuse, Some(q86Sql)),
+    "q87_nb_quality" -> (q87NbQuality, Some(q87Sql)),
+    "q88_semantic_decontam" -> (q88SemanticDecontam, Some(q88Sql)),
+    "q89_ann_rerank" -> (q89AnnRerank, Some(q89Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

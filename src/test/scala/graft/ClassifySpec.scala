@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Classify
+
+/** Naive Bayes quality classifier: hand-computed weights on a planted
+  * corpus, default-weight handling for unseen tokens, score separation,
+  * and the broadcast/shuffle scoring paths agreeing. */
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted seed: positives say "good", negatives say "junk"; both share
+  // the neutral token "text"
+  private lazy val train = Seq(
+    (1L, 1, "good good text"),
+    (2L, 1, "good text"),
+    (3L, 0, "junk text"),
+    (4L, 0, "junk junk junk text")
+  ).toDF("doc_id", "y", "text")
+
+  private lazy val model =
+    Classify.trainTokenNb(train, col("text"), col("y"))
+
+  test("weights match the closed form") {
+    // c(good)=(3,0) c(junk)=(0,4) c(text)=(2,2); N1=5 N0=6 V=3
+    val w = model.weights.as[(String, Double)].collect().toMap
+    def f(c1: Long, c0: Long) =
+      math.log((c1 + 1.0) / 8.0) - math.log((c0 + 1.0) / 9.0)
+    assert(math.abs(w("good") - f(3, 0)) < 1e-12)
+    assert(math.abs(w("junk") - f(0, 4)) < 1e-12)
+    assert(math.abs(w("text") - f(2, 2)) < 1e-12)
+    assert(math.abs(model.defaultW - math.log(9.0 / 8.0)) < 1e-12)
+    assert(model.logPrior === 0.0) // 2 vs 2 docs
+  }
+
+  test("scoring separates the planted classes; unseen tokens take the default") {
+    val score = Seq(
+      (10L, "good good stuff"), // "stuff" unseen -> defaultW
+      (11L, "junk junk stuff")
+    ).toDF("doc_id", "text")
+    val out = Classify.scoreTokenNb(model, score, "doc_id", col("text"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Int)].collect()
+    val Array((_, n10, avg10, pred10), (_, n11, avg11, pred11)) = out
+    assert(n10 === 3 && n11 === 3)
+    assert(avg10 > 0 && pred10 === 1)
+    assert(avg11 < 0 && pred11 === 0)
+    // exact: mean of (w_good, w_good, defaultW)
+    val w = model.weights.as[(String, Double)].collect().toMap
+    val expect10 = (w("good") * 2 + model.defaultW) / 3
+    assert(math.abs(avg10 - math.rint(expect10 * 1e4) / 1e4) <= 1e-4)
+  }
+
+  test("zero-token docs drop; broadcast and shuffle paths agree") {
+    val score = Seq((20L, "   "), (21L, "good")).toDF("doc_id", "text")
+    val a = Classify.scoreTokenNb(model, score, "doc_id", col("text"),
+      broadcastModel = true)
+    val b = Classify.scoreTokenNb(model, score, "doc_id", col("text"),
+      broadcastModel = false)
+    assert(a.count() === 1 && b.count() === 1)
+    assert(a.orderBy("doc_id").collect().toSeq ===
+      b.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("training requires both classes") {
+    intercept[IllegalArgumentException] {
+      Classify.trainTokenNb(train.filter(col("y") === 1),
+        col("text"), col("y"))
+    }
+  }
+}

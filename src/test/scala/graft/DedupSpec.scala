@@ -413,4 +413,26 @@ class DedupSpec extends SparkSpec {
     assert(again == out)
     Dedup.releasePersisted()
   }
+
+  test("semanticDecontam flags by max cosine with lowest-bench-id ties") {
+    val bench = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.9998f, 0.02f, 0.0f, 0.0f)), // near-copy of bench 100
+      (2L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),     // orthogonal to both
+      (3L, Seq(0.6f, 0.8f, 0.0f, 0.0f))      // closest to 101 at 0.8
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDecontam(corpus, "vec_id", "embedding",
+      bench, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out.size == 3)
+    val (c1, n1, f1) = out(1L)
+    assert(c1 > 0.999 && n1 == 100L && f1 == 1)
+    // both benches score an identical 0.0 -> nearest is the LOWEST id
+    assert(out(2L) == ((0.0, 100L, 0)))
+    assert(out(3L) == ((0.8, 101L, 0)))
+  }
 }

@@ -288,4 +288,44 @@ class SimilaritySpec extends SparkSpec {
       s"trained recall $rTrained must beat lowest-id recall $rDefault")
     assert(rTrained >= 0.9, s"trained recall $rTrained (default $rDefault)")
   }
+
+  test("annSearchRerank with full probes and full short list = brute force") {
+    val corpus = clustered
+    val queries = corpus.filter($"vec_id".isin(5L, 6L, 7L))
+      .select($"vec_id".as("query_id"), $"embedding")
+    val ivf = Similarity.buildIvfIndex(corpus, numCells = 4)
+    val pq = Similarity.buildPqIndex(corpus, m = 4, codebookSize = 8)
+    // nothing is cut anywhere -> the exact refine sees every vector and
+    // the chain degenerates to brute force
+    val out = Similarity.annSearchRerank(ivf, pq, queries,
+      k = 3, candidates = 20, nprobe = 4)
+      .select("query_id", "rank", "vec_id", "cosine")
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == exact)
+  }
+
+  test("annSearchRerank: the refine stage reorders the ADC short list") {
+    val corpus = clustered
+    val queries = corpus.filter($"vec_id" === 5L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val ivf = Similarity.buildIvfIndex(corpus, numCells = 4)
+    val pq = Similarity.buildPqIndex(corpus, m = 4, codebookSize = 8)
+    // candidates = k pins the id set to the ADC top-k (all cells probed
+    // -> ADC side equals pqTopKWithIndex); ranks must follow EXACT
+    // cosine, descending
+    val out = Similarity.annSearchRerank(ivf, pq, queries,
+      k = 4, candidates = 4, nprobe = 4).collect()
+    val adcIds = Similarity.pqTopKWithIndex(pq, queries, k = 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(out.map(_.getLong(2)).toSet == adcIds)
+    val cosByRank = out.sortBy(_.getInt(1)).map(_.getDouble(3))
+    assert(cosByRank.sameElements(cosByRank.sorted.reverse))
+    intercept[IllegalArgumentException] {
+      Similarity.annSearchRerank(ivf, pq, queries, k = 5, candidates = 4)
+    }
+  }
 }
