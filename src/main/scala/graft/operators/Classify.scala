@@ -93,4 +93,86 @@ object Classify {
         round(avg(col("__w")), 4).as("avg_logodds"),
         (sum(col("__w")) + model.logPrior > 0).cast("int").as("pred"))
   }
+
+  // ----- DSIR-style importance weighting (hashed n-gram log-ratios) ----
+
+  /** Trained DSIR model: `logRatios` (bucket → lr) is the at-rest
+    * artifact — at most `numBuckets` rows, so it always broadcasts.
+    * `defaultLr` covers buckets unseen on BOTH sides (Laplace over the
+    * full bucket space gives every bucket a defined probability). */
+  case class DsirModel(logRatios: DataFrame, defaultLr: Double,
+      numBuckets: Int)
+
+  /** Hashed unigram+bigram feature buckets of a document, occurrences
+    * kept (bag-of-features — the distributions below are over feature
+    * OCCURRENCES, not distinct features). The md5-prefix hash is the
+    * battery's portable device, so any engine replays the bucketing. */
+  private[graft] def featureBuckets(text: Column, numBuckets: Int): Column = {
+    val tk = toks(text)
+    val bigrams = when(size(tk) >= 2,
+      transform(sequence(lit(0), size(tk) - 2),
+        i => array_join(slice(tk, i + 1, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(tk, bigrams), f =>
+      pmod(conv(substring(md5(f), 1, 15), 16, 10).cast("long"),
+        lit(numBuckets.toLong)))
+  }
+
+  /**
+   * Data Selection via Importance Resampling (DSIR, Xie et al. 2023),
+   * the closed-form core: estimate hashed-n-gram feature distributions
+   * for a TARGET corpus (what you want more of — a high-quality seed)
+   * and for the RAW pool, and weight every raw document by how much
+   * more likely its features are under the target distribution:
+   *
+   *   lr(b)  = ln((ct(b)+1)/(Nt+B)) − ln((cr(b)+1)/(Nr+B))
+   *   w(doc) = mean over the doc's feature occurrences of lr(bucket)
+   *
+   * where ct/cr are per-bucket occurrence counts, Nt/Nr the totals, and
+   * B = `numBuckets` (Laplace over the full hashed space). The paper
+   * resamples with Gumbel noise; this engine keeps selection
+   * deterministic — rank or gate on the weight (see
+   * [[Sampling.percentileGate]] / the q90 battery form) so re-runs
+   * reproduce the same subset.
+   *
+   * Scale shape: two explode+groupBy(bucket) count passes whose shuffle
+   * is ≤ B rows each, two single-row totals, and a ≤B-row model frame.
+   * Scoring ([[dsirScores]]) is explode → broadcast join → per-doc
+   * aggregate — the raw corpus shuffles only by doc id for the final
+   * mean, exactly the [[scoreTokenNb]] plan with a bucket join instead
+   * of a token join.
+   */
+  def trainDsir(target: DataFrame, raw: DataFrame, text: Column,
+      numBuckets: Int = 10000): DsirModel = {
+    val tf = target.select(explode(featureBuckets(text, numBuckets))
+      .as("bucket")).withColumn("__t", lit(1L))
+    val rf = raw.select(explode(featureBuckets(text, numBuckets))
+      .as("bucket")).withColumn("__t", lit(0L))
+    val counts = tf.unionByName(rf).groupBy("bucket").agg(
+      sum(col("__t")).as("__ct"),
+      sum(lit(1L) - col("__t")).as("__cr"))
+    val Array(nt, nr) = counts.agg(sum("__ct"), sum("__cr"))
+      .head().toSeq.map(v => v.asInstanceOf[Long]).toArray
+    val b = numBuckets.toLong
+    val logRatios = counts.select(col("bucket"),
+      (log((col("__ct") + 1.0) / lit(nt + b).cast("double")) -
+        log((col("__cr") + 1.0) / lit(nr + b).cast("double"))).as("lr"))
+    DsirModel(logRatios,
+      defaultLr = math.log((nr + b).toDouble / (nt + b)), numBuckets)
+  }
+
+  /** Per-document importance weight under a trained DSIR model: the
+    * feature-occurrence count and the mean log-ratio (4 dp). Zero-token
+    * documents drop out (explode of an empty array), like
+    * [[scoreTokenNb]]. */
+  def dsirScores(model: DsirModel, docs: DataFrame, idCol: String,
+      text: Column): DataFrame =
+    docs.select(col(idCol),
+        explode(featureBuckets(text, model.numBuckets)).as("bucket"))
+      .join(broadcast(model.logRatios), Seq("bucket"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_feats"),
+        round(avg(coalesce(col("lr"), lit(model.defaultLr))), 4)
+          .as("dsir_logratio"))
 }

@@ -55,6 +55,23 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /**
+   * Near-dup-aware (leakage-free) split assignment: hash the dup-cluster
+   * COMPONENT, not the document, so a near-duplicate pair can never
+   * straddle train and test — the eval-leakage failure a doc-level
+   * split cannot rule out (a test doc's near-copy sitting in train
+   * inflates eval). `cc` is [[graft.operators.Dedup.connectedComponents]]
+   * output (id, component); every member of a cluster inherits the
+   * cluster's split, and singleton components degenerate to the
+   * doc-level [[assignSplit]] they would have had under the component
+   * id. Same determinism contract: adding new docs (new components)
+   * never migrates old clusters between splits.
+   */
+  def componentSplit(cc: DataFrame, componentCol: String, salt: String,
+      fracs: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1,
+        "test" -> 0.1)): DataFrame =
+    assignSplit(cc, col(componentCol), salt, fracs)
+
   /** Keep a deterministic `fraction` of rows: bucket < fraction·1e6.
     * Nested samples: a 1% sample is a strict subset of the 10% sample at
     * the same salt — exactly what staged scaling experiments want. */

@@ -3106,6 +3106,98 @@ object Battery {
       |    ORDER BY cosine DESC, vec_id) AS rank
       |  FROM rr) WHERE rank <= 5""".stripMargin
 
+  /** DSIR-style importance selection
+    * ([[graft.operators.Classify.trainDsir]] /
+    * [[graft.operators.Classify.dsirScores]]): hashed unigram+bigram
+    * feature distributions (B=10000 md5 buckets) for the target
+    * (`lang = 'en'`) vs the raw pool, per-doc mean log-ratio weight,
+    * and a deterministic keep-top-30% gate on the 4dp-rounded p70
+    * cutoff — the closed-form core of DSIR (Xie et al. 2023) with the
+    * paper's Gumbel resampling replaced by a replayable rank gate. The
+    * oracle replays the bucketing, both Laplace distributions, every
+    * weight, and the quantile cutoff. */
+  val q90DsirSelect: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val model = graft.operators.Classify.trainDsir(
+      docs.filter(col("lang") === "en"), docs, col("text"))
+    val scores = graft.operators.Classify.dsirScores(
+      model, docs, "doc_id", col("text"))
+    val cut = scores.agg(
+      round(percentile(col("dsir_logratio"), lit(0.7)), 4).as("__cut"))
+    scores.crossJoin(broadcast(cut))
+      .withColumn("selected",
+        (col("dsir_logratio") >= col("__cut")).cast("int"))
+      .drop("__cut")
+  }
+
+  val q90Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, lang, list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, lang, unnest(tk || CASE WHEN len(tk) >= 2
+      |      THEN list_transform(range(1, len(tk)),
+      |        i -> tk[i] || ' ' || tk[i + 1])
+      |      ELSE [] END) AS feat
+      |  FROM f),
+      |b AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(feat), 1, 15))::BIGINT % 10000 AS bucket
+      |  FROM feats),
+      |cnt AS (
+      |  SELECT bucket,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    COUNT(*) AS cr
+      |  FROM b GROUP BY bucket),
+      |tot AS (
+      |  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
+      |  FROM cnt),
+      |lr AS (
+      |  SELECT bucket,
+      |    ln((ct + 1.0) / (nt + 10000)) - ln((cr + 1.0) / (nr + 10000)) AS lr
+      |  FROM cnt CROSS JOIN tot),
+      |sc AS (
+      |  SELECT doc_id, COUNT(*) AS n_feats,
+      |    ROUND(AVG(lr.lr), 4) AS dsir_logratio
+      |  FROM b JOIN lr USING (bucket) GROUP BY doc_id),
+      |cut AS (SELECT ROUND(quantile_cont(dsir_logratio, 0.7), 4) AS c FROM sc)
+      |SELECT doc_id, n_feats, dsir_logratio,
+      |  CAST(dsir_logratio >= (SELECT c FROM cut) AS INT) AS selected
+      |FROM sc""".stripMargin
+
+  /** Leakage-free train/test split
+    * ([[graft.operators.Sampling.componentSplit]]): the q44 near-dup
+    * components hashed as UNITS into train/val/test, so a near-dup pair
+    * can never straddle the split — the doc-level q45 assignment cannot
+    * rule that out. Oracle = the q44 recursive reachability CTE + the
+    * md5 split case over the component id. */
+  val q91LeakfreeSplit: Q = (s, dir) => {
+    val cc = graft.operators.Dedup.connectedComponents(
+      q24MinhashDedup(s, dir), t(s, dir, "documents").select("doc_id"))
+    graft.operators.Sampling.componentSplit(cc, "component", "exp1")
+  }
+
+  val q91Sql: String =
+    s"""WITH RECURSIVE $q24PairCtes,
+      |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      |cc AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
+      |SELECT doc_id, component,
+      |  CASE WHEN bucket < 800000 THEN 'train'
+      |       WHEN bucket < 900000 THEN 'val' ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id, component,
+      |    ('0x' || substr(md5(CAST(component AS VARCHAR) || ':exp1'),
+      |      1, 15))::BIGINT % 1000000 AS bucket
+      |  FROM cc)""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3200,7 +3292,9 @@ object Battery {
     "q86_chunk_reuse" -> (q86ChunkReuse, Some(q86Sql)),
     "q87_nb_quality" -> (q87NbQuality, Some(q87Sql)),
     "q88_semantic_decontam" -> (q88SemanticDecontam, Some(q88Sql)),
-    "q89_ann_rerank" -> (q89AnnRerank, Some(q89Sql)))
+    "q89_ann_rerank" -> (q89AnnRerank, Some(q89Sql)),
+    "q90_dsir_select" -> (q90DsirSelect, Some(q90Sql)),
+    "q91_leakfree_split" -> (q91LeakfreeSplit, Some(q91Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

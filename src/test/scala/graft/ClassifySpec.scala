@@ -68,4 +68,42 @@ class ClassifySpec extends SparkSpec {
         col("text"), col("y"))
     }
   }
+
+  // ----- DSIR importance weighting -----------------------------------
+
+  test("DSIR log-ratios match the closed form; target-like docs rank higher") {
+    val target = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    val raw = Seq((10L, "apple banana"), (11L, "cherry durian"))
+      .toDF("doc_id", "text")
+    val model = Classify.trainDsir(target, raw, col("text"))
+    // features per doc: 2 unigrams + 1 bigram; Nt=3 Nr=6 B=10000, and
+    // the 6 distinct features land in distinct buckets (verified by the
+    // exact-value asserts below — a collision would shift them)
+    val b = 10000.0
+    def lr(ct: Long, cr: Long) =
+      math.log((ct + 1.0) / (3 + b)) - math.log((cr + 1.0) / (6 + b))
+    val out = Classify.dsirScores(model, raw, "doc_id", col("text"))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    val Array((_, n10, s10), (_, n11, s11)) = out
+    assert(n10 === 3 && n11 === 3)
+    // doc 10's three features all have (ct=1, cr=1); doc 11's all (0, 1)
+    assert(math.abs(s10 - lr(1, 1)) <= 1e-4)
+    assert(math.abs(s11 - lr(0, 1)) <= 1e-4)
+    assert(s10 > s11, "the target-identical doc must outrank the junk doc")
+    assert(math.abs(model.defaultLr - math.log((6 + b) / (3 + b))) < 1e-12)
+  }
+
+  test("DSIR: unseen features take the default ratio; empty docs drop") {
+    val target = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    val raw = Seq((10L, "apple banana"), (11L, "cherry durian"))
+      .toDF("doc_id", "text")
+    val model = Classify.trainDsir(target, raw, col("text"))
+    val probe = Seq((20L, "zebra yak"), (21L, "  ")).toDF("doc_id", "text")
+    val out = Classify.dsirScores(model, probe, "doc_id", col("text"))
+      .as[(Long, Long, Double)].collect()
+    assert(out.length === 1, "zero-token doc must drop out")
+    val (_, n20, s20) = out.head
+    assert(n20 === 3)
+    assert(math.abs(s20 - model.defaultLr) <= 1e-4)
+  }
 }

@@ -125,4 +125,30 @@ class SamplingSpec extends SparkSpec {
         "and lone @ signs are not matches)")
     assert(out(2)._3 == 0 && out(2)._4 == 0)
   }
+
+  test("componentSplit: dup clusters never straddle a split boundary") {
+    import graft.operators.Dedup
+    // 60 docs, near-dup pairs chaining ids 3k..3k+2 into 20 components
+    val nodes = (0L until 60L).toDF("doc_id")
+    val pairs = (0L until 60L).filter(_ % 3 != 2)
+      .map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, nodes)
+    val split = Sampling.componentSplit(cc, "component", "s1")
+    // the leak-free property: one split per component, for every salt
+    val perComp = split.groupBy("component")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+    assert(perComp === 0L)
+    // and it is not vacuous: a doc-level split DOES straddle some cluster
+    val naive = Sampling.assignSplit(cc, col("doc_id"), "s1")
+    val straddled = naive.groupBy("component")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+    assert(straddled > 0L,
+      "test corpus must contain a cluster the naive split breaks")
+    // members inherit the component's assignment (spot-check equivalence)
+    val viaComp = Sampling.assignSplit(
+      cc.select(col("component").as("id")).distinct(), col("id"), "s1")
+    val joined = split.join(viaComp, split("component") === viaComp("id"))
+      .filter(split("split") =!= viaComp("split")).count()
+    assert(joined === 0L)
+  }
 }
