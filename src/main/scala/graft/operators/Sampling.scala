@@ -152,6 +152,75 @@ object Sampling {
       round(least(greatest(weight, lit(0.0)), lit(1.0)) * Buckets))
 
   /**
+   * Token-budget mixture sampling: hit a TOTAL token budget at a target
+   * mixture over sources — "1M tokens at web:code:books = 5:3:2" — by
+   * turning each source's desired share into a deterministic hash
+   * cutoff. `weights` are INTEGER mixture weights, and every cutoff is
+   * exact integer arithmetic (`Buckets·budget·w ÷ (W·avail)`, BigInt —
+   * no doubles anywhere), so any engine replays the plan bit-for-bit. A
+   * source whose available tokens fall short of its share is clamped to
+   * fully-kept; with `waterFill = false` the unused share is reported by
+   * the caller's accounting (kept tokens < budget), with
+   * `waterFill = true` it is redistributed over the unsaturated sources
+   * at their relative weights (the classic water-filling fixpoint, ≤
+   * |keys| driver-side rounds over a |keys|-sized table). Keys absent
+   * from `weights` are dropped.
+   *
+   * Scale shape: one per-key token-sum aggregate (|keys| rows collected
+   * — the only driver state), then the [[stratifiedSample]] plan: a
+   * broadcast-free narrow codegen filter; the corpus never shuffles.
+   * Kept token counts are binomial around the target, like
+   * [[balanceMixture]].
+   */
+  def budgetMixture(df: DataFrame, key: Column, id: Column, tokens: Column,
+      weights: Map[String, Long], budget: Long, salt: String,
+      waterFill: Boolean = false): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "positive integer mixture weights")
+    require(budget >= 0, "non-negative token budget")
+    val inMix = df.filter(key.isin(weights.keySet.toSeq: _*))
+    // bounded driver state: one (key, available-tokens) row per source
+    val avail: Map[String, Long] = inMix
+      .groupBy(key.cast("string").as("__mk"))
+      .agg(sum(tokens).cast("long").as("__tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def cutoff(rem: BigInt, wSum: BigInt)(k: String): Long =
+      (BigInt(Buckets) * rem * weights(k) / (wSum * avail(k)))
+        .min(BigInt(Buckets)).toLong
+    val present = weights.keySet.filter(k => avail.getOrElse(k, 0L) > 0)
+    val cutoffs: Map[String, Long] =
+      if (!waterFill) {
+        val wSum = BigInt(weights.values.sum) // full-share denominator
+        present.iterator.map(k => k -> cutoff(BigInt(budget), wSum)(k)).toMap
+      } else {
+        // water-filling: saturate, remove, re-split the remainder —
+        // each round removes ≥1 key, so ≤ |keys| rounds
+        var active = present
+        var rem = BigInt(budget)
+        var full = Set.empty[String]
+        var converged = false
+        while (!converged && active.nonEmpty) {
+          val wSum = BigInt(active.iterator.map(weights).sum)
+          val sat = active.filter(k =>
+            BigInt(avail(k)) * wSum <= rem * weights(k))
+          if (sat.isEmpty) converged = true
+          else {
+            rem -= sat.iterator.map(k => BigInt(avail(k))).sum
+            full ++= sat
+            active --= sat
+          }
+        }
+        val wSum = BigInt(active.iterator.map(weights).sum.max(1L))
+        (full.iterator.map(_ -> Buckets) ++
+          active.iterator.map(k => k -> cutoff(rem, wSum)(k))).toMap
+      }
+    val cut = cutoffs.foldLeft(lit(0L)) { case (els, (k, c)) =>
+      when(key === lit(k), lit(c)).otherwise(els)
+    }
+    inMix.filter(hashBucket(id, salt) < cut)
+  }
+
+  /**
    * Mixture balancing: deterministically downsample every `key` group
    * (domain, language, source) toward the SMALLEST group's size, so no
    * domain dominates the training mixture. Each group keeps rows whose

@@ -3198,6 +3198,46 @@ object Battery {
       |      1, 15))::BIGINT % 1000000 AS bucket
       |  FROM cc)""".stripMargin
 
+  /** Token-budget mixture sampling
+    * ([[graft.operators.Sampling.budgetMixture]]): hit a 4000-token
+    * budget at src1:src2:src3 = 5:3:2. src1's share (2000) exceeds its
+    * available tokens, so it clamps to fully-kept (the LEAST branch);
+    * the others get exact-integer cutoffs `1e6·budget·w ÷ (10·avail)`.
+    * Reported as per-source kept docs/tokens; the oracle replays the
+    * token counts, the cutoff arithmetic (HUGEINT ≡ the engine's
+    * BigInt), and the md5 keep filter. */
+  val q92BudgetMixture: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val tok = graft.operators.TextAnalysis.tokenCount(col("text"))
+    val kept = graft.operators.Sampling.budgetMixture(docs, col("source"),
+      col("doc_id"), tok, Map("src1" -> 5L, "src2" -> 3L, "src3" -> 2L),
+      budget = 4000L, salt = "mix1")
+    kept.groupBy("source").agg(
+      count(lit(1)).as("kept_docs"),
+      sum(tok).cast("long").as("kept_tokens"))
+  }
+
+  val q92Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split_regex(text, '\s+'),
+      |      x -> len(x) > 0)) AS tok
+      |  FROM documents WHERE source IN ('src1', 'src2', 'src3')),
+      |w(source, wt) AS (VALUES ('src1', 5), ('src2', 3), ('src3', 2)),
+      |avail AS (
+      |  SELECT source, CAST(SUM(tok) AS BIGINT) AS av FROM d GROUP BY source),
+      |cut AS (
+      |  SELECT a.source, LEAST(1000000::HUGEINT,
+      |    (1000000::HUGEINT * 4000 * wt) // (10::HUGEINT * av)) AS c
+      |  FROM avail a JOIN w USING (source)),
+      |k AS (
+      |  SELECT d.doc_id, d.source, d.tok FROM d JOIN cut USING (source)
+      |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'),
+      |    1, 15))::BIGINT % 1000000 < c)
+      |SELECT source, COUNT(*) AS kept_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS kept_tokens
+      |FROM k GROUP BY source""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3294,7 +3334,8 @@ object Battery {
     "q88_semantic_decontam" -> (q88SemanticDecontam, Some(q88Sql)),
     "q89_ann_rerank" -> (q89AnnRerank, Some(q89Sql)),
     "q90_dsir_select" -> (q90DsirSelect, Some(q90Sql)),
-    "q91_leakfree_split" -> (q91LeakfreeSplit, Some(q91Sql)))
+    "q91_leakfree_split" -> (q91LeakfreeSplit, Some(q91Sql)),
+    "q92_budget_mixture" -> (q92BudgetMixture, Some(q92Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -126,6 +126,36 @@ class SamplingSpec extends SparkSpec {
     assert(out(2)._3 == 0 && out(2)._4 == 0)
   }
 
+  test("budgetMixture: cutoffs track the weighted shares; clamp + water-fill") {
+    // source a: 200 docs x 10 tokens = 2000; source b: 50 docs x 4 = 200
+    val docs = ((1L to 200L).map(i => (i, "a", "t " * 10)) ++
+      (201L to 250L).map(i => (i, "b", "t " * 4)) ++
+      (251L to 260L).map(i => (i, "c", "t " * 3)))
+      .toDF("id", "src", "text")
+    val tok = TextAnalysis.tokenCount(col("text"))
+    def keptTokens(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy("src").agg(sum(tok).cast("long").as("t"))
+        .as[(String, Long)].collect().toMap
+    // budget 1000 at a:b = 1:1 -> b's share (500) clamps to its 200;
+    // without water-fill a keeps ~500, with water-fill a absorbs ~800
+    val plain = keptTokens(Sampling.budgetMixture(docs, col("src"),
+      col("id"), tok, Map("a" -> 1L, "b" -> 1L), 1000L, "s1"))
+    assert(plain("b") === 200L, "saturated source must be fully kept")
+    assert(math.abs(plain("a") - 500L) < 150, s"a=${plain("a")}")
+    val filled = keptTokens(Sampling.budgetMixture(docs, col("src"),
+      col("id"), tok, Map("a" -> 1L, "b" -> 1L), 1000L, "s1",
+      waterFill = true))
+    assert(filled("b") === 200L)
+    assert(math.abs(filled("a") - 800L) < 150, s"a=${filled("a")}")
+    assert(filled("a") > plain("a"),
+      "water-fill must redistribute the saturated source's unused share")
+    // unweighted keys drop; determinism across calls
+    assert(!plain.contains("c"))
+    val again = keptTokens(Sampling.budgetMixture(docs, col("src"),
+      col("id"), tok, Map("a" -> 1L, "b" -> 1L), 1000L, "s1"))
+    assert(again === plain)
+  }
+
   test("componentSplit: dup clusters never straddle a split boundary") {
     import graft.operators.Dedup
     // 60 docs, near-dup pairs chaining ids 3k..3k+2 into 20 components
