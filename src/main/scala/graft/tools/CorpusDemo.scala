@@ -66,6 +66,28 @@ object CorpusDemo {
         "mean_compress_ratio=" + uniq.agg(round(avg(
           TextAnalysis.compressionRatio(col("text"))), 4)).head.get(0))
 
+      val nbSplit = Sampling.assignSplit(uniq, col("doc_id"), "demo-nb")
+      val nbModel = Classify.trainTokenNb(
+        nbSplit.filter(col("split") === "train"),
+        col("text"), (col("lang") === "en").cast("int"))
+      val nbScored = Classify.scoreTokenNb(nbModel,
+        nbSplit.filter(col("split") === "val"), "doc_id", col("text"))
+      println(s"[quality/nb] val_scored=${nbScored.count()} pred_en=" +
+        nbScored.filter(col("pred") === 1).count())
+
+      val dsir = Classify.dsirScores(
+        Classify.trainDsir(uniq.filter(col("lang") === "en"), uniq,
+          col("text")),
+        uniq, "doc_id", col("text"))
+        .join(uniq.select("doc_id", "lang"), "doc_id")
+      val Array(enMean, restMean) = dsir.agg(
+        avg(when(col("lang") === "en", col("dsir_logratio"))),
+        avg(when(col("lang") =!= "en", col("dsir_logratio"))))
+        .head().toSeq.map(v => v.asInstanceOf[Double]).toArray
+      println(f"[select/dsir] scored=${dsir.count()} " +
+        f"en_mean=$enMean%.4f rest_mean=$restMean%.4f " +
+        f"(target docs must score higher)")
+
       val sem = Dedup.semanticDedup(emb, k = 4, iters = 2, threshold = 0.45)
       println(s"[dedup/semantic] canonical=" +
         sem.filter(col("is_canonical") === 1).count())
@@ -78,6 +100,20 @@ object CorpusDemo {
         split.groupBy("split").count().collect()
           .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
       Dedup.releasePersisted()
+
+      val lsplit = Sampling.componentSplit(cc, "component", "demo")
+      val straddling = lsplit.groupBy("component")
+        .agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+      println(s"[mix/leakfree] components_straddling=$straddling")
+      Dedup.releasePersisted()
+
+      val tok = TextAnalysis.tokenCount(col("text"))
+      val mixKept = Sampling.budgetMixture(uniq, col("source"),
+        col("doc_id"), tok,
+        Map("src1" -> 5L, "src2" -> 3L, "src3" -> 2L), budget = 4000L,
+        salt = "demo", waterFill = true)
+      println(s"[mix/budget] kept_docs=${mixKept.count()} kept_tokens=" +
+        mixKept.agg(sum(tok)).head.get(0))
 
       val packed = TextAnalysis.packGreedy(
         split.filter(col("split") === "train"),

@@ -54,4 +54,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin"), s"cutoff join shuffled the corpus:\n$p")
   }
+
+  test("budgetMixture keep-filter is shuffle-free; DSIR model broadcasts") {
+    val src = docs.withColumn("src",
+      concat(lit("s"), pmod(col("doc_id"), lit(2))))
+    val kept = Sampling.budgetMixture(src, col("src"), col("doc_id"),
+      size(split(col("text"), " ")), Map("s0" -> 1L, "s1" -> 1L),
+      budget = 200L, salt = "b")
+    val p = plan(kept)
+    assert(!p.contains("Exchange"), s"budget keep-filter shuffled:\n$p")
+
+    val model = graft.operators.Classify.trainDsir(
+      docs.filter(col("lang") === "en"), docs, col("text"))
+    val ps = plan(graft.operators.Classify.dsirScores(
+      model, docs, "doc_id", col("text")))
+    assert(ps.contains("BroadcastExchange"),
+      s"log-ratio model must broadcast:\n$ps")
+    assert(!ps.contains("SortMergeJoin"),
+      s"bucket join shuffled the corpus:\n$ps")
+  }
 }
