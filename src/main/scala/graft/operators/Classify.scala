@@ -56,9 +56,12 @@ object Classify {
   def trainTokenNb(train: DataFrame, text: Column, label: Column): NbModel = {
     val y = label.cast("int")
     val tok = train.select(y.as("__y"), explode(toks(text)).as("token"))
-    val counts = tok.groupBy("token").agg(
+    // Persisted: the totals action below materializes it, and `weights`
+    // (hence every scoring run) reuses it instead of re-exploding the
+    // training corpus. Vocab-sized, so MEMORY_AND_DISK is safe.
+    val counts = PersistTracker.trackPersist(tok.groupBy("token").agg(
       sum(col("__y")).cast("long").as("__c1"),
-      sum(lit(1) - col("__y")).cast("long").as("__c0"))
+      sum(lit(1) - col("__y")).cast("long").as("__c0")))
     // five bounded scalars: class token totals, vocab size, doc counts
     val Array(n1Tok, n0Tok, vocab) = counts
       .agg(sum("__c1"), sum("__c0"), count(lit(1)))
@@ -103,20 +106,37 @@ object Classify {
   case class DsirModel(logRatios: DataFrame, defaultLr: Double,
       numBuckets: Int)
 
-  /** Hashed unigram+bigram feature buckets of a document, occurrences
-    * kept (bag-of-features — the distributions below are over feature
-    * OCCURRENCES, not distinct features). The md5-prefix hash is the
-    * battery's portable device, so any engine replays the bucketing. */
-  private[graft] def featureBuckets(text: Column, numBuckets: Int): Column = {
-    val tk = toks(text)
-    val bigrams = when(size(tk) >= 2,
-      transform(sequence(lit(0), size(tk) - 2),
-        i => array_join(slice(tk, i + 1, lit(2)), " ")))
-      .otherwise(array().cast("array<string>"))
-    transform(concat(tk, bigrams), f =>
-      pmod(conv(substring(md5(f), 1, 15), 16, 10).cast("long"),
-        lit(numBuckets.toLong)))
+  /** One row per unigram+bigram feature-gram occurrence of `text`
+    * (bag-of-features — the DSIR distributions are over feature
+    * OCCURRENCES, not distinct features), as column `__g`, keeping
+    * `keep`. Tokens are materialized as a column and grams assembled
+    * from `element_at` over an exploded index — the engine's lambda-free
+    * n-gram pattern. Building grams inside a `transform` lambda instead
+    * re-evaluates every expression the lambda captures (including the
+    * tokenizer) once PER ELEMENT under interpreted higher-order eval —
+    * quadratic per document. */
+  private[graft] def gramRows(df: DataFrame, keep: Seq[String],
+      text: Column): DataFrame = {
+    val m = size(col("__t"))
+    df.select(keep.map(col) :+ toks(text).as("__t"): _*)
+      // m unigrams then m-1 bigrams: 2m-1 occurrence slots per doc;
+      // zero-token docs explode a null sequence and drop out.
+      .select(keep.map(col) :+ col("__t") :+
+        explode(when(m >= 1, sequence(lit(1), m * 2 - 1))).as("__i"): _*)
+      .select(keep.map(col) :+
+        when(col("__i") <= m, element_at(col("__t"), col("__i")))
+          .otherwise(concat_ws(" ",
+            element_at(col("__t"), col("__i") - m),
+            element_at(col("__t"), col("__i") - m + 1)))
+          .as("__g"): _*)
   }
+
+  /** md5-prefix hash bucket of one gram — the battery's portable device,
+    * so any engine replays the bucketing. Applied after explode as a
+    * plain per-row projection, inside whole-stage codegen. */
+  private[graft] def bucketOf(gram: Column, numBuckets: Int): Column =
+    pmod(conv(substring(md5(gram), 1, 15), 16, 10).cast("long"),
+      lit(numBuckets.toLong))
 
   /**
    * Data Selection via Importance Resampling (DSIR, Xie et al. 2023),
@@ -144,13 +164,17 @@ object Classify {
    */
   def trainDsir(target: DataFrame, raw: DataFrame, text: Column,
       numBuckets: Int = 10000): DsirModel = {
-    val tf = target.select(explode(featureBuckets(text, numBuckets))
-      .as("bucket")).withColumn("__t", lit(1L))
-    val rf = raw.select(explode(featureBuckets(text, numBuckets))
-      .as("bucket")).withColumn("__t", lit(0L))
-    val counts = tf.unionByName(rf).groupBy("bucket").agg(
-      sum(col("__t")).as("__ct"),
-      sum(lit(1L) - col("__t")).as("__cr"))
+    val tf = gramRows(target, Nil, text)
+      .select(bucketOf(col("__g"), numBuckets).as("bucket"), lit(1L).as("__t"))
+    val rf = gramRows(raw, Nil, text)
+      .select(bucketOf(col("__g"), numBuckets).as("bucket"), lit(0L).as("__t"))
+    // Persisted (≤B rows): without it the totals action AND the lazy
+    // `logRatios` each re-explode + re-md5 both corpora — the dominant
+    // cost of the whole train/score chain.
+    val counts = PersistTracker.trackPersist(
+      tf.unionByName(rf).groupBy("bucket").agg(
+        sum(col("__t")).as("__ct"),
+        sum(lit(1L) - col("__t")).as("__cr")))
     val Array(nt, nr) = counts.agg(sum("__ct"), sum("__cr"))
       .head().toSeq.map(v => v.asInstanceOf[Long]).toArray
     val b = numBuckets.toLong
@@ -167,8 +191,8 @@ object Classify {
     * [[scoreTokenNb]]. */
   def dsirScores(model: DsirModel, docs: DataFrame, idCol: String,
       text: Column): DataFrame =
-    docs.select(col(idCol),
-        explode(featureBuckets(text, model.numBuckets)).as("bucket"))
+    gramRows(docs, Seq(idCol), text)
+      .select(col(idCol), bucketOf(col("__g"), model.numBuckets).as("bucket"))
       .join(broadcast(model.logRatios), Seq("bucket"), "left")
       .groupBy(idCol)
       .agg(

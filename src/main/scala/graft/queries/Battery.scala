@@ -3120,8 +3120,12 @@ object Battery {
     val docs = t(s, dir, "documents")
     val model = graft.operators.Classify.trainDsir(
       docs.filter(col("lang") === "en"), docs, col("text"))
-    val scores = graft.operators.Classify.dsirScores(
-      model, docs, "doc_id", col("text"))
+    // Persisted: the quantile cutoff and the final gate both consume
+    // the scored frame; without the cache the explode + broadcast-join
+    // scoring pass runs twice.
+    val scores = graft.operators.PersistTracker.trackPersist(
+      graft.operators.Classify.dsirScores(
+        model, docs, "doc_id", col("text")))
     val cut = scores.agg(
       round(percentile(col("dsir_logratio"), lit(0.7)), 4).as("__cut"))
     scores.crossJoin(broadcast(cut))
