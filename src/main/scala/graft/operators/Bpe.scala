@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Byte-pair-encoding tokenizer training (Sennrich et al. 2016, "Neural
+ * Machine Translation of Rare Words with Subword Units") and BPE token
+ * accounting over a corpus — the missing piece between the engine's
+ * whitespace/BPE-ish token counts ([[TextAnalysis.tokenCount]] /
+ * [[TextAnalysis.bpeishTokenCount]]) and a real subword vocabulary:
+ * train the merge table on the corpus itself, then cost documents in
+ * learned subword tokens.
+ *
+ * BPE training is sequential by nature (merge r+1's counts depend on
+ * merge r), so the round loop runs on the driver; everything inside a
+ * round is distributed and vocab-sized:
+ *
+ *  - the corpus is collapsed ONCE to the word-TYPE frequency table
+ *    ([[wordTypes]]) — the classic trick that makes BPE tractable: all
+ *    further work is over |vocab| rows, not corpus tokens;
+ *  - each round counts adjacent symbol pairs weighted by word frequency
+ *    (one explode + one groupBy(pair) with map-side combine; shuffle =
+ *    distinct-pair rows) and collects exactly ONE row (the argmax,
+ *    ties broken by pair string ascending);
+ *  - the chosen merge is applied to the symbol column as a guarded
+ *    string replace — a narrow, shuffle-free projection over the vocab.
+ *
+ * Symbol sequences are space-joined strings ("lower" → "l o w e r"),
+ * and one merge application is `trim(replace(replace(' '||sym||' ',
+ * ' a b ', ' ab '), ' a b ', ' ab '))` — the guard spaces make token
+ * boundaries literal, and the replace runs TWICE because a single
+ * left-to-right non-overlapping pass consumes the shared boundary
+ * space and skips alternating occurrences ("x y x y" → "xy x y"); the
+ * second pass merges the survivors ("xy xy"). This double-pass rule is
+ * the operator's merge semantics, stated verbatim in the DuckDB oracle
+ * (whose `replace` has the same left-to-right non-overlapping
+ * contract), so the whole training loop hash-replays. It agrees with
+ * canonical leftmost-greedy BPE everywhere except inside runs of the
+ * pair's own repetition ("a a a a a" merges as `aa a aa` rather than
+ * `aa aa a` — a maximal non-overlapping merge set either way), which
+ * keeps both engines deterministic without a stateful per-character
+ * walk neither can express declaratively.
+ *
+ * Scale shape at 100 TB: the corpus is touched exactly twice — once to
+ * build word types (one shuffle on word) and once to cost documents
+ * ([[bpeTokenCounts]]: explode → equi-join on word → per-doc sum; the
+ * join side is the vocab with per-word subword lengths, broadcastable
+ * for real vocabularies, and merges are never applied per token
+ * occurrence). R merge rounds cost R vocab-sized jobs with one-row
+ * collects — driver state is the merge table itself (R rows).
+ */
+object Bpe {
+
+  /** Trained model. `merges` (merge_round, pair, merged, pair_count) is
+    * the at-rest artifact a tokenizer service ships; `types` (word, sym,
+    * freq) carries the fully-merged symbol string per training word —
+    * the vocab-sized frame scoring joins against. */
+  case class BpeModel(merges: DataFrame, types: DataFrame)
+
+  /** Word-type frequency table of a corpus: lowercased whitespace
+    * tokens, one row per distinct word. The single corpus-sized shuffle
+    * of the whole training path. */
+  def wordTypes(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(TextAnalysis.tokens(lower(text))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+
+  /** "lower" → "l o w e r": every character becomes a symbol. Words are
+    * whitespace tokens, so the space separator is unambiguous. */
+  private[graft] def symbolize(word: Column): Column =
+    rtrim(regexp_replace(word, "(.)", "$1 "))
+
+  /** One guarded double-replace merge application (see object doc). */
+  private[graft] def mergeOnce(sym: Column, pair: String,
+      merged: String): Column = {
+    val p = lit(s" $pair ")
+    val m = lit(s" $merged ")
+    trim(replace(replace(concat(lit(" "), sym, lit(" ")), p, m), p, m))
+  }
+
+  /** Frequency-weighted adjacent-pair counts of a symbolized vocab —
+    * the per-round aggregation. Lambda-free n-gram assembly (tokens as
+    * a column, `element_at` over an exploded index): building pairs
+    * inside a `transform` lambda re-evaluates captured expressions per
+    * element under interpreted higher-order eval. */
+  private[graft] def pairCounts(types: DataFrame): DataFrame =
+    types.select(col("freq"), split(col("sym"), " ").as("__s"))
+      .filter(size(col("__s")) >= 2)
+      .select(col("freq"), col("__s"),
+        explode(sequence(lit(1), size(col("__s")) - 1)).as("__i"))
+      .select(concat_ws(" ",
+        element_at(col("__s"), col("__i")),
+        element_at(col("__s"), col("__i") + 1)).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
+
+  /**
+   * Train `rounds` merges on a (word, freq) vocabulary. Stops early if
+   * every word is a single symbol.
+   *
+   * Strategy-routed like [[Dedup.connectedComponents]]: the vocab row
+   * count (one bounded action) picks the path. At or under
+   * `maxDriverVocab` types the whole loop runs driver-side over a hash
+   * map — BPE rounds are sequential 1-row argmaxes, so at realistic
+   * vocab sizes per-round JOB overhead dominates any cluster work, and
+   * an in-memory loop is what every production tokenizer trainer does.
+   * Above it (100M-type web vocabularies) each round stays distributed:
+   * one pair aggregation + a narrow merge projection, superseded caches
+   * dropped as soon as the next round materializes. Both paths share
+   * the same argmax rule (count desc, pair ascending in UNSIGNED UTF-8
+   * byte order — Spark's binary string order) and the same double
+   * guarded replace, and the spec pins them equal.
+   */
+  def trainBpe(wordTypes: DataFrame, rounds: Int,
+      maxDriverVocab: Long = 200000L): BpeModel = {
+    val types0 = PersistTracker.trackPersist(wordTypes.select(
+      col("word"), symbolize(col("word")).as("sym"), col("freq")))
+    if (types0.count() <= maxDriverVocab) trainDriver(types0, rounds)
+    else trainDistributed(types0, rounds)
+  }
+
+  /** Spark's string comparisons are unsigned UTF-8 byte order; Java
+    * String.compareTo is UTF-16 code-unit order. They diverge outside
+    * ASCII, so the driver path tie-breaks on the bytes. */
+  private def utf8Lt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  private def trainDriver(types0: DataFrame, rounds: Int): BpeModel = {
+    val spark = types0.sparkSession
+    var syms = types0.select("word", "sym", "freq").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((_, sym, f) <- syms) {
+        val parts = sym.split(' ')
+        var i = 0
+        while (i < parts.length - 1) {
+          val k = parts(i) + " " + parts(i + 1)
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var pair: String = null
+        var cnt = -1L
+        counts.foreachEntry { (p, c) =>
+          if (c > cnt || (c == cnt && utf8Lt(p, pair))) { pair = p; cnt = c }
+        }
+        val merged = pair.replace(" ", "")
+        merges += ((r, pair, merged, cnt))
+        val gp = s" $pair "
+        val gm = s" $merged "
+        syms = syms.map { case (w, s0, f) =>
+          if (s0.contains(pair))
+            (w, (" " + s0 + " ").replace(gp, gm).replace(gp, gm).trim, f)
+          else (w, s0, f)
+        }
+        r += 1
+      }
+    }
+    BpeModel(
+      spark.createDataFrame(merges.toSeq)
+        .toDF("merge_round", "pair", "merged", "pair_count"),
+      spark.createDataFrame(syms.toIndexedSeq)
+        .toDF("word", "sym", "freq"))
+  }
+
+  private def trainDistributed(types0: DataFrame, rounds: Int): BpeModel = {
+    val spark = types0.sparkSession
+    var types = types0
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // one-row bounded collect: the argmax merge of this round. The
+      // scan materializes `types`' cache, so its parent can be dropped.
+      val best = pairCounts(types)
+        .orderBy(col("pair_count").desc, col("pair"))
+        .limit(1).collect()
+      if (prev != null) { prev.unpersist(); prev = null }
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        merges += ((r, pair, merged, cnt))
+        prev = types
+        types = PersistTracker.trackPersist(prev.select(col("word"),
+          mergeOnce(col("sym"), pair, merged).as("sym"), col("freq")))
+        r += 1
+      }
+    }
+    val mergesDf = spark.createDataFrame(merges.toSeq)
+      .toDF("merge_round", "pair", "merged", "pair_count")
+    BpeModel(mergesDf, types)
+  }
+
+  /** (word, bpe_len): subword count per training word — the vocab-sized
+    * frame document costing joins against. */
+  def tokenLengths(model: BpeModel): DataFrame =
+    model.types.select(col("word"), size(split(col("sym"), " ")).as("bpe_len"))
+
+  /**
+   * Cost documents in learned subword tokens: per doc, the whitespace
+   * word count and the BPE token total. Merges are never applied per
+   * occurrence — docs explode to words and equi-join the vocab's
+   * precomputed lengths (broadcast when it fits; words absent from the
+   * training vocab — impossible when costing the training corpus
+   * itself — fall back to their character count, the fully-unmerged
+   * cost).
+   */
+  def bpeTokenCounts(model: BpeModel, docs: DataFrame, idCol: String,
+      text: Column, broadcastVocab: Boolean = true): DataFrame = {
+    val lens = if (broadcastVocab) broadcast(tokenLengths(model))
+      else tokenLengths(model)
+    docs.select(col(idCol), explode(TextAnalysis.tokens(lower(text))).as("word"))
+      .join(lens, Seq("word"), "left")
+      .withColumn("__len", coalesce(col("bpe_len"), length(col("word"))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__len")).cast("long").as("bpe_tokens"))
+  }
+}

@@ -3243,6 +3243,94 @@ object Battery {
       |FROM k GROUP BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // BPE tokenizer training (q93-q94)
+  // ---------------------------------------------------------------------
+
+  private val bpeRounds = 8
+
+  /** Shared oracle CTE chain replaying [[graft.operators.Bpe.trainBpe]]:
+    * w0/t0 = word types + symbolized vocab, then per round r the pair
+    * counts (p_r), the argmax merge (m_r), and the merged vocab (t_r)
+    * via the SAME double guarded replace the engine applies.
+    * MATERIALIZED pins each t_r to one evaluation (each is referenced
+    * twice; inlining would re-derive the whole prefix per reference). */
+  private val bpeBaseCtes: String =
+    """w0 AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> len(x) > 0)) AS word FROM documents)
+      |  GROUP BY word),
+      |t0 AS MATERIALIZED (SELECT word,
+      |  rtrim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym, freq
+      |  FROM w0)""".stripMargin
+
+  private def bpeRoundCte(r: Int): String =
+    s"""p$r AS (
+       |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
+       |    SELECT unnest(list_transform(range(1, len(l)),
+       |      i -> l[i] || ' ' || l[i + 1])) AS pair, freq
+       |    FROM (SELECT string_split(sym, ' ') AS l, freq FROM t${r - 1})
+       |    WHERE len(l) >= 2)
+       |  GROUP BY pair),
+       |m$r AS (SELECT pair, replace(pair, ' ', '') AS merged, pair_count
+       |  FROM p$r ORDER BY pair_count DESC, pair LIMIT 1),
+       |t$r AS MATERIALIZED (
+       |  SELECT word, trim(replace(replace(' ' || sym || ' ',
+       |      (SELECT ' ' || pair || ' ' FROM m$r),
+       |      (SELECT ' ' || merged || ' ' FROM m$r)),
+       |      (SELECT ' ' || pair || ' ' FROM m$r),
+       |      (SELECT ' ' || merged || ' ' FROM m$r))) AS sym, freq
+       |  FROM t${r - 1})""".stripMargin
+
+  private def bpeCtes: String =
+    bpeBaseCtes + ",\n" +
+      (1 to bpeRounds).map(bpeRoundCte).mkString(",\n")
+
+  /** BPE tokenizer training ([[graft.operators.Bpe.trainBpe]]): 8 merge
+    * rounds over the corpus's word-type table — frequency-weighted
+    * adjacent-pair argmax (ties by pair string), applied as the guarded
+    * double replace stated verbatim in the oracle. The corpus is
+    * touched once (word types); every round is vocab-sized with a
+    * one-row collect. */
+  val q93BpeTrain: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.operators.Bpe.trainBpe(
+      graft.operators.Bpe.wordTypes(docs, col("text")), bpeRounds).merges
+  }
+
+  val q93Sql: String = {
+    val sel = (1 to bpeRounds)
+      .map(r => s"SELECT $r AS merge_round, pair, merged, pair_count FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"WITH $bpeCtes\nSELECT merge_round, pair, merged, pair_count" +
+      s" FROM (\n  $sel)"
+  }
+
+  /** BPE token costing ([[graft.operators.Bpe.bpeTokenCounts]]): cost
+    * every document in learned subword tokens. Merges apply to word
+    * TYPES only; docs explode to words and join the vocab's precomputed
+    * subword lengths (broadcast) — the corpus shuffles once, by doc id,
+    * for the final sum. */
+  val q94BpeTokens: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val model = graft.operators.Bpe.trainBpe(
+      graft.operators.Bpe.wordTypes(docs, col("text")), bpeRounds)
+    graft.operators.Bpe.bpeTokenCounts(model, docs, "doc_id", col("text"))
+  }
+
+  val q94Sql: String =
+    s"""WITH $bpeCtes,
+       |tl AS (SELECT word, len(string_split(sym, ' ')) AS bpe_len
+       |  FROM t$bpeRounds),
+       |dw AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '${"\\"}s+'),
+       |    x -> len(x) > 0)) AS word FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(COALESCE(bpe_len, len(word))) AS BIGINT) AS bpe_tokens
+       |FROM dw LEFT JOIN tl USING (word) GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -3339,7 +3427,9 @@ object Battery {
     "q89_ann_rerank" -> (q89AnnRerank, Some(q89Sql)),
     "q90_dsir_select" -> (q90DsirSelect, Some(q90Sql)),
     "q91_leakfree_split" -> (q91LeakfreeSplit, Some(q91Sql)),
-    "q92_budget_mixture" -> (q92BudgetMixture, Some(q92Sql)))
+    "q92_budget_mixture" -> (q92BudgetMixture, Some(q92Sql)),
+    "q93_bpe_train" -> (q93BpeTrain, Some(q93Sql)),
+    "q94_bpe_tokens" -> (q94BpeTokens, Some(q94Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -128,6 +128,13 @@ object CorpusDemo {
         .map(r => s"doc${r.getLong(2)}@${r.getDouble(3)}").mkString(" "))
       Dedup.releasePersisted()
 
+      val bpe = Bpe.trainBpe(Bpe.wordTypes(uniq, col("text")), rounds = 8)
+      val costed = Bpe.bpeTokenCounts(bpe, uniq, "doc_id", col("text"))
+      println(s"[tokenize/bpe] merges=" + bpe.merges.orderBy("merge_round")
+        .collect().map(_.getString(2)).mkString(",") +
+        " corpus_bpe_tokens=" + costed.agg(sum("bpe_tokens")).head.get(0) +
+        " corpus_words=" + costed.agg(sum("n_words")).head.get(0))
+
       println("[done] corpus pipeline drive complete")
     } finally spark.stop()
   }
