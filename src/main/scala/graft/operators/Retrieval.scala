@@ -100,4 +100,47 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col("rank"), col("__id").as(idCol), col("score"))
   }
+
+  /**
+   * Exact phrase search: for each query phrase, every document whose
+   * token stream contains the phrase's tokens CONTIGUOUSLY, with the
+   * occurrence count and the 1-based position of the first occurrence —
+   * the corpus-audit primitive BM25's bag-of-words ranking can't answer
+   * ("which documents contain this exact benchmark sentence?").
+   *
+   * Classic positional-index anchor alignment: positional postings
+   * (doc, pos, term) join the broadcast query terms (qpos, term); a
+   * phrase occurrence starting at position a exists iff every qpos has
+   * a posting at a + qpos − 1, i.e. the (doc, anchor = pos − qpos)
+   * group covers all qlen query offsets. Repeated phrase terms are
+   * handled by counting DISTINCT qpos per anchor.
+   *
+   * Scale shape: the postings explode is the corpus scan (build it once
+   * and persist/bucket by term for repeated audits); the broadcast term
+   * join discards every non-matching posting AT the scan, so the anchor
+   * aggregation — the only corpus-scale shuffle — sees only postings of
+   * query terms (query-vocabulary selectivity, not corpus size).
+   */
+  def phraseSearch(docs: DataFrame, queries: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      queryIdCol: String = "query_id", phraseCol: String = "phrase"): DataFrame = {
+    val postings = docs.select(col(idCol),
+        posexplode(TextAnalysis.tokens(lower(col(textCol))))
+          .as(Seq("__p", "__t")))
+      .select(col(idCol), (col("__p") + 1).as("__pos"), col("__t"))
+    val qtoks = TextAnalysis.tokens(lower(col(phraseCol)))
+    val qt = queries.select(col(queryIdCol), size(qtoks).as("__qlen"),
+        posexplode(qtoks).as(Seq("__q", "__t")))
+      .select(col(queryIdCol), col("__qlen"), (col("__q") + 1).as("__qpos"),
+        col("__t"))
+    postings.join(broadcast(qt), Seq("__t"))
+      .select(col(queryIdCol), col(idCol), col("__qlen"), col("__qpos"),
+        (col("__pos") - col("__qpos")).as("__anchor"))
+      .groupBy(col(queryIdCol), col(idCol), col("__anchor"), col("__qlen"))
+      .agg(countDistinct(col("__qpos")).as("__hit"))
+      .filter(col("__hit") === col("__qlen"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(count(lit(1)).as("n_matches"),
+        (min(col("__anchor")) + 1).cast("long").as("first_pos"))
+  }
 }

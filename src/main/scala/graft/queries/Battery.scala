@@ -3330,6 +3330,55 @@ object Battery {
        |  CAST(SUM(COALESCE(bpe_len, len(word))) AS BIGINT) AS bpe_tokens
        |FROM dw LEFT JOIN tl USING (word) GROUP BY doc_id""".stripMargin
 
+  /** Exact phrase search ([[graft.operators.Retrieval.phraseSearch]]):
+    * positional-index anchor alignment — postings (doc, pos, term) join
+    * broadcast query offsets; an anchor covering all qlen offsets is an
+    * occurrence. The phrase set includes a repeated-term phrase ("a a",
+    * the distinct-qpos edge) and a no-hit phrase. Oracle replays the
+    * zipped position unnest and the anchor HAVING. */
+  val q95PhraseSearch: Q = (s, dir) => {
+    import s.implicits._
+    val queries = Seq(
+      (1L, "table value part"),
+      (2L, "slow fast"),
+      (3L, "a a"),
+      (4L, "no such phrase here")).toDF("query_id", "phrase")
+    graft.operators.Retrieval.phraseSearch(
+      t(s, dir, "documents"), queries)
+  }
+
+  val q95Sql: String =
+    """WITH q(query_id, phrase) AS (VALUES
+      |    (CAST(1 AS BIGINT), 'table value part'),
+      |    (CAST(2 AS BIGINT), 'slow fast'),
+      |    (CAST(3 AS BIGINT), 'a a'),
+      |    (CAST(4 AS BIGINT), 'no such phrase here')),
+      |f AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS tk FROM documents),
+      |p AS (
+      |  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos,
+      |    unnest(tk) AS term
+      |  FROM f),
+      |qf AS (
+      |  SELECT query_id, list_filter(string_split_regex(lower(phrase), '\s+'),
+      |    x -> len(x) > 0) AS qk FROM q),
+      |qt AS (
+      |  SELECT query_id, len(qk) AS qlen,
+      |    unnest(range(1, len(qk) + 1)) AS qpos, unnest(qk) AS term
+      |  FROM qf),
+      |j AS (
+      |  SELECT qt.query_id, p.doc_id, qt.qpos, qt.qlen,
+      |    p.pos - qt.qpos AS anchor
+      |  FROM p JOIN qt USING (term)),
+      |occ AS (
+      |  SELECT query_id, doc_id, anchor
+      |  FROM j GROUP BY query_id, doc_id, anchor, qlen
+      |  HAVING COUNT(DISTINCT qpos) = qlen)
+      |SELECT query_id, doc_id, COUNT(*) AS n_matches,
+      |  CAST(MIN(anchor) + 1 AS BIGINT) AS first_pos
+      |FROM occ GROUP BY query_id, doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3429,7 +3478,8 @@ object Battery {
     "q91_leakfree_split" -> (q91LeakfreeSplit, Some(q91Sql)),
     "q92_budget_mixture" -> (q92BudgetMixture, Some(q92Sql)),
     "q93_bpe_train" -> (q93BpeTrain, Some(q93Sql)),
-    "q94_bpe_tokens" -> (q94BpeTokens, Some(q94Sql)))
+    "q94_bpe_tokens" -> (q94BpeTokens, Some(q94Sql)),
+    "q95_phrase_search" -> (q95PhraseSearch, Some(q95Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -89,6 +89,24 @@ class RetrievalSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("phraseSearch: contiguity, overlap counting, case, no-hit") {
+    val corpus = Seq(
+      1L -> "The cat sat on the mat",   // "cat sat" at 2; "the mat" at 5
+      2L -> "cat on sat",               // cat..sat present, NOT adjacent
+      3L -> "x a a a y",                // "a a" overlaps: anchors 2 and 3
+      4L -> "tiny").toDF("doc_id", "text")
+    val qs = Seq(
+      (10L, "cat sat"), (11L, "the mat"), (12L, "a a"),
+      (13L, "never present"), (14L, "tiny doc phrase longer than doc"))
+      .toDF("query_id", "phrase")
+    val got = Retrieval.phraseSearch(corpus, qs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (10L, 1L, 1L, 2L),   // one occurrence at position 2 (lowercased)
+      (11L, 1L, 1L, 5L),
+      (12L, 3L, 2L, 2L)))  // overlapping occurrences both count
+  }
+
   test("duplicatedSpanStats finds planted shared spans") {
     val d = Seq(
       (1L, "a b c d e f"),       // shares 3-grams "b c d","c d e","d e f" w/ 2
