@@ -102,6 +102,81 @@ object Retrieval {
   }
 
   /**
+   * Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009 — public
+   * knowledge): fuse per-query rankings from heterogeneous retrievers
+   * into one list, `fused(d) = Σ_lists 1 / (K + rank_list(d))`. RRF is
+   * the standard lexical+dense hybrid because it needs no score
+   * calibration — only ranks cross retriever boundaries.
+   *
+   * Contributions are computed in EXACT integer arithmetic —
+   * `1e9 div (K + rank)` per list — so the fused score is a BIGINT sum:
+   * engine-independent (hash-gate safe) and immune to double summation
+   * order for any number of input lists. The 1e9 scaling preserves the
+   * rank order of true RRF for every K + rank ≤ ~31623 (where adjacent
+   * reciprocals still differ by ≥ 1 after scaling) — far beyond any
+   * sane fusion depth.
+   *
+   * Scale shape: each input is already a top-`depth` slice (≤ depth ×
+   * |queries| rows), so fusion shuffles only candidate ids — never a
+   * corpus. Ties break to the lower document id.
+   *
+   * @param rankings frames of `(queryIdCol, rank, idCol)` (extra
+   *                 columns ignored), e.g. [[bm25TopK]] output and
+   *                 [[Similarity.bruteForceTopK]] output with the id
+   *                 column aligned
+   * @return `(queryIdCol, rank, idCol, rrf_score, n_lists)` — top `k`
+   *         per query by (fused score desc, id asc); `n_lists` = how
+   *         many input rankings surfaced the id
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60,
+      idCol: String = "doc_id", queryIdCol: String = "query_id"): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k > 0 && rrfK >= 0, s"need k>0, rrfK>=0; got ($k, $rrfK)")
+    val slim = rankings.map(_.select(col(queryIdCol), col("rank"), col(idCol)))
+    val contrib = slim.reduce(_.unionByName(_))
+      .withColumn("__c", expr(s"CAST(1000000000 AS BIGINT) div (rank + $rrfK)"))
+    val fused = contrib.groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__c")).as("rrf_score"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("rrf_score").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol),
+        col("rrf_score"), col("n_lists"))
+  }
+
+  /**
+   * Hybrid lexical+dense retrieval: BM25 over the text corpus and
+   * brute-force cosine over the embedding corpus, each cut to a
+   * `depth`-deep candidate list, fused with [[rrfFuse]]. The id spaces
+   * must align (`docs(idCol)` ≡ `vecs(vecIdCol)`).
+   *
+   * 100 TB shape: both retrievers already have index/serve splits
+   * ([[buildIndex]] / [[Similarity.ivfTopKWithIndex]]) — swap either
+   * side in; the fusion stage only ever sees 2 · depth · |queries|
+   * candidate rows, so hybrid cost is the max of the two retrievers,
+   * not their product.
+   *
+   * @param queries `(queryIdCol, queryTextCol, vecCol)` — text for the
+   *                lexical side, embedding for the dense side
+   */
+  def hybridTopK(docs: DataFrame, vecs: DataFrame, queries: DataFrame,
+      k: Int, depth: Int = 20, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id", queryTextCol: String = "query_text"): DataFrame = {
+    require(depth >= k, s"fusion depth $depth must cover requested k=$k")
+    val lex = bm25TopK(docs, queries.select(col(queryIdCol), col(queryTextCol)),
+      depth, k1, b, idCol, textCol, queryIdCol, queryTextCol)
+    val dense = Similarity.bruteForceTopK(
+        vecs, queries.select(col(queryIdCol), col(vecCol)),
+        depth, idCol = vecIdCol, queryIdCol = queryIdCol, vecCol = vecCol)
+      .withColumnRenamed(vecIdCol, idCol)
+    rrfFuse(Seq(lex, dense), k, rrfK, idCol, queryIdCol)
+  }
+
+  /**
    * Exact phrase search: for each query phrase, every document whose
    * token stream contains the phrase's tokens CONTIGUOUSLY, with the
    * occurrence count and the 1-based position of the first occurrence —

@@ -3379,6 +3379,81 @@ object Battery {
       |  CAST(MIN(anchor) + 1 AS BIGINT) AS first_pos
       |FROM occ GROUP BY query_id, doc_id""".stripMargin
 
+  /** Hybrid lexical+dense retrieval
+    * ([[graft.operators.Retrieval.hybridTopK]]): BM25 top-20 over the
+    * text corpus and exact-cosine top-20 over the aligned embedding
+    * corpus, fused by Reciprocal Rank Fusion in exact integer
+    * arithmetic (`1e9 div (60 + rank)` per list — a BIGINT sum, so the
+    * fused ordering is engine-independent). The oracle replays both
+    * retrievers (the q70/q26 CTE shapes at depth 20) and the integer
+    * fusion. Fusion only ever sees 40 candidate rows per query. */
+  val q96HybridRrf: Q = (s, dir) => {
+    import s.implicits._
+    val texts = Seq(
+      (0L, "table hash join value"),
+      (1L, "spark window agg batch"),
+      (2L, "fast slow row scan")).toDF("query_id", "query_text")
+    val qvecs = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.Retrieval.hybridTopK(
+      t(s, dir, "documents"), t(s, dir, "embeddings"),
+      texts.join(qvecs, "query_id"), k = 10, depth = 20)
+  }
+
+  val q96Sql: String =
+    """WITH q(query_id, query_text) AS (VALUES
+      |    (CAST(0 AS BIGINT), 'table hash join value'),
+      |    (CAST(1 AS BIGINT), 'spark window agg batch'),
+      |    (CAST(2 AS BIGINT), 'fast slow row scan')),
+      |terms AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |dl AS (
+      |  SELECT doc_id, len(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS dl
+      |  FROM documents),
+      |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+      |qt AS (
+      |  SELECT DISTINCT query_id, unnest(list_filter(
+      |    string_split_regex(lower(query_text), '\s+'), x -> len(x) > 0)) AS term
+      |  FROM q),
+      |bscored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    ROUND(SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |      * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4)
+      |      AS score
+      |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+      |    JOIN dl USING (doc_id) CROSS JOIN stats
+      |  GROUP BY 1, 2),
+      |lex AS (
+      |  SELECT query_id, rank, doc_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rank
+      |    FROM bscored)
+      |  WHERE rank <= 20),
+      |dense AS (
+      |  SELECT query_id, rank, vec_id AS doc_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+      |          c.embedding::DOUBLE[]), 4) DESC, c.vec_id) AS rank
+      |    FROM embeddings q, embeddings c WHERE q.vec_id < 3)
+      |  WHERE rank <= 20),
+      |fused AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(SUM(1000000000 // (rank + 60)) AS BIGINT) AS rrf_score,
+      |    COUNT(*) AS n_lists
+      |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+      |  GROUP BY 1, 2)
+      |SELECT query_id, rank, doc_id, rrf_score, n_lists FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY rrf_score DESC, doc_id) AS rank
+      |  FROM fused)
+      |WHERE rank <= 10""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3479,7 +3554,8 @@ object Battery {
     "q92_budget_mixture" -> (q92BudgetMixture, Some(q92Sql)),
     "q93_bpe_train" -> (q93BpeTrain, Some(q93Sql)),
     "q94_bpe_tokens" -> (q94BpeTokens, Some(q94Sql)),
-    "q95_phrase_search" -> (q95PhraseSearch, Some(q95Sql)))
+    "q95_phrase_search" -> (q95PhraseSearch, Some(q95Sql)),
+    "q96_hybrid_rrf" -> (q96HybridRrf, Some(q96Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -272,6 +272,41 @@ class RetrievalSpec extends SparkSpec {
     assert(hits == Set(1L))
   }
 
+  test("rrfFuse: hand-computed integer fusion; both-lists doc wins") {
+    val lex = Seq((1L, 1, 10L), (1L, 2, 20L)).toDF("query_id", "rank", "doc_id")
+    val dense = Seq((1L, 1, 20L), (1L, 2, 30L)).toDF("query_id", "rank", "doc_id")
+    val got = Retrieval.rrfFuse(Seq(lex, dense), k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 1e9 div 61 = 16393442, div 62 = 16129032 (exact integer arithmetic)
+    assert(got.toSeq == Seq(
+      (1, 20L, 16393442L + 16129032L, 2L),   // rank 2 lex + rank 1 dense
+      (2, 10L, 16393442L, 1L),
+      (3, 30L, 16129032L, 1L)))
+  }
+
+  test("hybridTopK fuses lexical and dense; exact ties break to lower id") {
+    val d = Seq(
+      1L -> "apple banana", 2L -> "apple", 3L -> "cherry", 4L -> "durian x")
+      .toDF("doc_id", "text")
+    val v = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.8f, 0.6f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((7L, "apple", Array(1f, 0f)))
+      .toDF("query_id", "query_text", "embedding")
+    val got = Retrieval.hybridTopK(d, v, q, k = 4, depth = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // lex: doc 2 (shorter) over doc 1; dense: 1, 2, 3, 4 by cosine.
+    // docs 1 and 2 tie exactly (rank pair {1,2} in both) → id order.
+    assert(got.toSeq == Seq(
+      (1, 1L, 16393442L + 16129032L, 2L),
+      (2, 2L, 16393442L + 16129032L, 2L),
+      (3, 3L, 1000000000L / 63, 1L),
+      (4, 4L, 1000000000L / 64, 1L)))
+  }
+
   test("epochKey orders are deterministic and epoch-independent") {
     val ids = (1L to 500L).toDF("doc_id")
     def order(e: Int) = ids
