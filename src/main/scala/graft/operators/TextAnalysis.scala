@@ -72,6 +72,66 @@ object TextAnalysis {
     round((lengthScore + punctScore + stopScore) / 3, 4)
   }
 
+  /**
+   * Gopher/C4-style heuristic quality RULES (Rae et al. 2021 appendix A,
+   * Raffel et al. 2020 — public knowledge): per-document boolean rule
+   * flags plus their conjunction, the interpretable form production
+   * pipelines ship — a document is dropped WITH a reason, not behind a
+   * scalar score ([[qualityScore]] is the scalar sibling). The rules
+   * meaningful for whitespace-token corpora: word-count band,
+   * mean-word-length band, minimum stopword ratio, minimum type-token
+   * ratio (the repetition complement). Thresholds are parameters; place
+   * them inside the corpus's observed distribution so every rule
+   * discriminates (the battery uses the test corpus's p15-p85 band).
+   *
+   * Determinism: every statistic is an integer-over-integer ratio —
+   * token counts, char totals via `length(concat_ws)` (no HOF fold),
+   * stopword occurrences via chained native `array_remove` — divided
+   * once and rounded 4dp; rules compare the ROUNDED values, so the
+   * flags replay engine-independently. One projection over the corpus:
+   * no shuffle, no codegen-fallback HOF in the scan.
+   *
+   * @return `(idCol, n_words, mean_word_len, stop_ratio, ttr,
+   *         r_words, r_word_len, r_stop, r_ttr, pass)` — flags as
+   *         0/1 ints; zero-token docs get null stats and pass = 0
+   */
+  def qualityRuleFlags(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column,
+      minWords: Int = 20, maxWords: Int = 90,
+      minMeanWordLen: Double = 4.25, maxMeanWordLen: Double = 4.75,
+      minStopRatio: Double = 0.03, minTypeTokenRatio: Double = 0.35,
+      stopwords: Seq[String] = EnglishStopwords): org.apache.spark.sql.DataFrame = {
+    require(minWords <= maxWords && minMeanWordLen <= maxMeanWordLen,
+      "rule bands must be non-empty")
+    val toks = tokens(lower(text))
+    val n = size(toks)
+    val nostop = stopwords.foldLeft(toks)((c, w) => array_remove(c, w))
+    val d = n.cast("double")
+    val withStats = docs.select(col(idCol), n.as("__n"),
+        length(concat_ws("", toks)).as("__chars"),
+        (n - size(nostop)).as("__stops"),
+        size(array_distinct(toks)).as("__types"))
+      .select(col(idCol), col("__n").cast("long").as("n_words"),
+        when(col("__n") > 0, round(col("__chars") / col("__n"), 4))
+          .as("mean_word_len"),
+        when(col("__n") > 0, round(col("__stops") / col("__n").cast("double"), 4))
+          .as("stop_ratio"),
+        when(col("__n") > 0, round(col("__types") / col("__n").cast("double"), 4))
+          .as("ttr"))
+    val rWords = col("n_words").between(minWords, maxWords)
+    val rLen = col("mean_word_len").between(minMeanWordLen, maxMeanWordLen)
+    val rStop = col("stop_ratio") >= minStopRatio
+    val rTtr = col("ttr") >= minTypeTokenRatio
+    def flag(c: Column): Column = coalesce(c.cast("int"), lit(0))
+    withStats
+      .withColumn("r_words", flag(rWords))
+      .withColumn("r_word_len", flag(rLen))
+      .withColumn("r_stop", flag(rStop))
+      .withColumn("r_ttr", flag(rTtr))
+      .withColumn("pass",
+        col("r_words") * col("r_word_len") * col("r_stop") * col("r_ttr"))
+  }
+
   /** Tiny per-language stopword profiles for the n-gram/stopword language
     * heuristic. Public knowledge (most frequent function words). */
   val LangProfiles: Map[String, Seq[String]] = Map(

@@ -3454,6 +3454,49 @@ object Battery {
       |  FROM fused)
       |WHERE rank <= 10""".stripMargin
 
+  /** Gopher/C4-style heuristic rule gate
+    * ([[graft.operators.TextAnalysis.qualityRuleFlags]]): per-doc rule
+    * flags + conjunction, thresholds placed inside the corpus's
+    * observed distribution (each rule cuts 17-20% at sf0.01; the
+    * conjunction keeps ~47% — real boundaries, not corners). Every
+    * statistic is an integer ratio rounded 4dp and rules compare the
+    * ROUNDED values, so the oracle replays flag-for-flag. */
+  val q97QualityRules: Q = (s, dir) =>
+    graft.operators.TextAnalysis.qualityRuleFlags(
+      t(s, dir, "documents"), "doc_id", col("text"))
+
+  val q97Sql: String = {
+    val stop = graft.operators.TextAnalysis.EnglishStopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${"\\"}s+'),
+      |    x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+      |    CASE WHEN len(tk) > 0
+      |      THEN ROUND(len(array_to_string(tk, '')) / len(tk), 4) END
+      |      AS mean_word_len,
+      |    CASE WHEN len(tk) > 0
+      |      THEN ROUND((len(tk) - len(list_filter(tk,
+      |        x -> x NOT IN ($stop)))) / len(tk), 4) END AS stop_ratio,
+      |    CASE WHEN len(tk) > 0
+      |      THEN ROUND(len(list_distinct(tk)) / len(tk), 4) END AS ttr
+      |  FROM f),
+      |r AS (
+      |  SELECT *,
+      |    COALESCE(CAST(n_words BETWEEN 20 AND 90 AS INT), 0) AS r_words,
+      |    COALESCE(CAST(mean_word_len BETWEEN 4.25 AND 4.75 AS INT), 0)
+      |      AS r_word_len,
+      |    COALESCE(CAST(stop_ratio >= 0.03 AS INT), 0) AS r_stop,
+      |    COALESCE(CAST(ttr >= 0.35 AS INT), 0) AS r_ttr
+      |  FROM s)
+      |SELECT doc_id, n_words, mean_word_len, stop_ratio, ttr,
+      |  r_words, r_word_len, r_stop, r_ttr,
+      |  r_words * r_word_len * r_stop * r_ttr AS pass
+      |FROM r""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3555,7 +3598,8 @@ object Battery {
     "q93_bpe_train" -> (q93BpeTrain, Some(q93Sql)),
     "q94_bpe_tokens" -> (q94BpeTokens, Some(q94Sql)),
     "q95_phrase_search" -> (q95PhraseSearch, Some(q95Sql)),
-    "q96_hybrid_rrf" -> (q96HybridRrf, Some(q96Sql)))
+    "q96_hybrid_rrf" -> (q96HybridRrf, Some(q96Sql)),
+    "q97_quality_rules" -> (q97QualityRules, Some(q97Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

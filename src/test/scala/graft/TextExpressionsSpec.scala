@@ -143,6 +143,34 @@ class TextExpressionsSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("qualityRuleFlags: hand-computed stats, rule boundaries, null/empty") {
+    val d = Seq(
+      (1L, "the cat runs fast"),      // all rules pass (boundaries below)
+      (2L, "x y"),                    // too short, tiny words, no stopwords
+      (3L, "dog dog dog dog the"),    // ttr 0.4 < 0.6 fails; others at bounds
+      (4L, null.asInstanceOf[String]),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityRuleFlags(d, "doc_id", col("text"),
+        minWords = 3, maxWords = 6, minMeanWordLen = 3.0, maxMeanWordLen = 4.0,
+        minStopRatio = 0.2, minTypeTokenRatio = 0.6)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: n=4, chars=14 → ml 3.5; stops 1/4 = 0.25; ttr 1.0
+    assert(got(1L).getDouble(2) == 3.5 && got(1L).getDouble(3) == 0.25)
+    assert(got(1L).getInt(9) == 1, "doc 1 passes every rule")
+    assert(got(2L).getInt(9) == 0 && got(2L).getInt(8) == 1,
+      "doc 2 fails words/len/stop but r_ttr holds")
+    // doc 3 sits ON the ml and stop boundaries (3.0, 0.2) — inclusive —
+    // and fails only ttr (2/5 = 0.4)
+    assert(got(3L).getDouble(2) == 3.0 && got(3L).getDouble(3) == 0.2)
+    assert(got(3L).getInt(5) == 1 && got(3L).getInt(6) == 1 &&
+      got(3L).getInt(7) == 1 && got(3L).getInt(8) == 0 &&
+      got(3L).getInt(9) == 0)
+    // null / zero-token docs: present, null stats, pass = 0
+    Seq(4L, 5L).foreach { id =>
+      assert(got(id).isNullAt(2) && got(id).getInt(9) == 0)
+    }
+  }
+
   test("bigramLmScores: hand-computed add-one smoothing") {
     val docs = Seq(
       (1L, "a b a b"),
