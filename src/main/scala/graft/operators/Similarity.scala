@@ -76,6 +76,50 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for contrastive embedding training (public
+   * practice — DPR, Karpukhin et al. 2020; SimCSE-style objectives):
+   * for each query vector, the `k` MOST-similar corpus vectors whose
+   * label differs from the query's — the near-boundary negatives that
+   * make a contrastive objective informative (random negatives are
+   * trivially separable; same-label neighbors are positives, not
+   * negatives). Rows with a null label on either side drop (no stance
+   * on unlabeled data).
+   *
+   * Same scale shape as [[bruteForceTopK]]: broadcast queries, one
+   * narrow corpus scan, per-query top-k window. At corpus scale swap
+   * the scan for an ANN candidate stage ([[ivfTopKWithIndex]] /
+   * [[annSearchRerank]] with depth ≫ k) and apply the label filter on
+   * the candidate list.
+   *
+   * @param queries `(queryIdCol, vecCol, labelCol)` — the anchor's
+   *                label defines "negative"
+   * @return `(queryIdCol, rank, idCol, cosine, label)` — the mined
+   *         negative's label rides along for mixing diagnostics
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    require(k > 0, s"need k>0; got $k")
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
+      col(labelCol).as("__qlabel"))
+    val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    val c0 = corpus.select(col(idCol), col(vecCol).as("__cvec"),
+      col(labelCol).as("__clabel"))
+    val c = if (c0.rdd.getNumPartitions < parallelism / 2)
+      c0.repartition(parallelism) else c0
+    val scored = c
+      .crossJoin(broadcast(q))
+      .filter(col("__clabel") =!= col("__qlabel"))
+      .withColumn("cosine", round(cosine(col("__qvec"), col("__cvec")), 4))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"),
+        col("__clabel").as(labelCol))
+  }
+
+  /**
    * Brute-force cosine top-k over int8-QUANTIZED vectors
    * ([[graft.functions.VectorExpressions.QuantizeInt8]], FAISS-SQ8
    * style): 4× smaller vectors at rest and in flight for a rank

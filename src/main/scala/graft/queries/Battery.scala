@@ -3497,6 +3497,31 @@ object Battery {
       |FROM r""".stripMargin
   }
 
+  /** Hard-negative mining
+    * ([[graft.operators.Similarity.hardNegatives]]): for each anchor,
+    * the 5 most-similar embeddings with a DIFFERENT label — the
+    * contrastive-training counterpart of q26's plain knn (which the
+    * oracle shape extends with the label filter). Self-exclusion falls
+    * out of the label inequality. */
+  val q98HardNegatives: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+    graft.operators.Similarity.hardNegatives(emb, queries, k = 5)
+  }
+
+  val q98Sql: String =
+    """SELECT query_id, rank, vec_id, cosine, label FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id, c.label,
+      |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+      |      c.embedding::DOUBLE[]), 4) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |      ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+      |        c.embedding::DOUBLE[]), 4) DESC, c.vec_id) AS rank
+      |  FROM embeddings q, embeddings c
+      |  WHERE q.vec_id < 3 AND c.label <> q.label)
+      |WHERE rank <= 5""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3599,7 +3624,8 @@ object Battery {
     "q94_bpe_tokens" -> (q94BpeTokens, Some(q94Sql)),
     "q95_phrase_search" -> (q95PhraseSearch, Some(q95Sql)),
     "q96_hybrid_rrf" -> (q96HybridRrf, Some(q96Sql)),
-    "q97_quality_rules" -> (q97QualityRules, Some(q97Sql)))
+    "q97_quality_rules" -> (q97QualityRules, Some(q97Sql)),
+    "q98_hard_negatives" -> (q98HardNegatives, Some(q98Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

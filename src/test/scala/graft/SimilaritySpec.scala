@@ -289,6 +289,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rTrained >= 0.9, s"trained recall $rTrained (default $rDefault)")
   }
 
+  test("hardNegatives: same-label neighbors excluded, null labels drop") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f), Some(0L)),
+      (2L, Array(0.99f, 0.1f), Some(0L)),   // nearest overall — but label 0
+      (3L, Array(0.9f, 0.2f), Some(1L)),
+      (4L, Array(0f, 1f), Some(1L)),
+      (5L, Array(-1f, 0f), Some(1L)),
+      (6L, Array(0.95f, 0.05f), None))      // unlabeled: never mined
+      .toDF("vec_id", "embedding", "label")
+    val q = corpus.filter($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"), $"embedding", $"label")
+    val got = Similarity.hardNegatives(corpus, q, k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(4)))
+    // label-0 neighbors (self, 2) and the unlabeled 6 are out; the
+    // mined list is exactly the label-1 vectors by cosine
+    assert(got.toSeq == Seq((1, 3L, 1L), (2, 4L, 1L), (3, 5L, 1L)))
+  }
+
   test("annSearchRerank with full probes and full short list = brute force") {
     val corpus = clustered
     val queries = corpus.filter($"vec_id".isin(5L, 6L, 7L))
