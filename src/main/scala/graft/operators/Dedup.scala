@@ -455,7 +455,18 @@ object Dedup {
    * shingle, matching [[TextAnalysis.wordShingles]].
    */
   def ngramJaccardPairsText(df: DataFrame, idCol: String, text: Column,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double): DataFrame =
+    pairsFromHashedShingles(hashedShingleSetsText(df, idCol, text, n),
+      threshold)
+
+  /** Per-document SORTED distinct word-`n`-gram hash sets (`(__sid,
+    * __sh)`, persisted): the shared front end of the Jaccard and
+    * containment joins. All stages are codegen explode/aggregate — see
+    * [[ngramJaccardPairsText]]'s scaladoc for why this beats the
+    * interpreted HOF chain. Documents with fewer than `n` tokens
+    * contribute one whole-text shingle. */
+  private def hashedShingleSetsText(df: DataFrame, idCol: String,
+      text: Column, n: Int): DataFrame = {
     // tokens materialized behind an exchange so projection collapse
     // can't re-inline the regex split into every element_at below
     val toks = df.select(col(idCol).as("__sid"),
@@ -471,9 +482,76 @@ object Dedup {
       .select(col("__sid"),
         when(col("__i") === 0, xxhash64(concat_ws(" ", col("__t"))))
           .otherwise(ngramHash).as("__h"))
-    val sh = trackPersist(rows.groupBy("__sid")
+    trackPersist(rows.groupBy("__sid")
       .agg(sort_array(collect_set(col("__h"))).as("__sh")))
-    pairsFromHashedShingles(sh, threshold)
+  }
+
+  /**
+   * EXACT n-gram CONTAINMENT join (directional near-dup):
+   * `containment(a→b) = |S_a ∩ S_b| / |S_a|` over distinct word
+   * `n`-gram sets — flags a document whose grams sit mostly inside
+   * another document (verbatim quotation, subset scrape, boilerplate
+   * wrapping), the asymmetric class a symmetric Jaccard threshold
+   * structurally misses when |b| ≫ |a| (the union in the denominator
+   * dilutes it). Broder's containment measure — public knowledge.
+   *
+   * The threshold is a RATIONAL `num/den`, so the required-overlap
+   * ceiling (`req_a = ⌈m_a·num/den⌉`) and the verify predicate
+   * (`inter·den ≥ m_a·num`) are exact integer arithmetic — no
+   * float-boundary loss between candidate generation and verification,
+   * and the DuckDB oracle replays bit-for-bit.
+   *
+   * One-sided prefix filter: with grams ordered by global rarity,
+   * containment ≥ num/den forces overlap ≥ req_a, so a's first
+   * `m_a − req_a + 1` grams must share ≥ 1 element with b (pigeonhole
+   * on a's suffix alone — lossless for ANY shared order, unlike the
+   * symmetric Bayardo filter). Probe side = a's prefixes (its RAREST
+   * grams → short postings); build side = full ranked postings, so the
+   * same ppjoin positional upper bound `min(pa,pb) + min(ma−pa, mb−pb)`
+   * prunes before the merge-walk verify. 100 TB shape: candidates are
+   * bare id pairs; full gram arrays are joined back only for survivors.
+   *
+   * @return ordered pairs `(id_a, id_b, containment)` — id_a is the
+   *         CONTAINED document; both directions surface when both pass
+   */
+  def containmentPairsText(df: DataFrame, idCol: String, text: Column,
+      n: Int, num: Int, den: Int): DataFrame = {
+    require(n >= 1 && num > 0 && den > 0 && num <= den,
+      s"need n>=1 and a threshold num/den in (0,1]; got ($n, $num/$den)")
+    val sh = hashedShingleSetsText(df, idCol, text, n)
+    val inv = sh.select(col("__sid"), size(col("__sh")).as("__m"),
+      explode(col("__sh")).as("shingle"))
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    // both the probe prefixes and the full build postings scan this frame
+    val ranked = trackPersist(inv.join(dfreq, Seq("shingle"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__sid").orderBy(col("__df"), col("shingle"))))
+      .select(col("__sid"), col("shingle"), col("__rk"), col("__m")))
+    def ceilDiv(c: Column): Column =
+      floor((c * num + (den - 1)) / den).cast("int")
+    val a = ranked
+      .filter(col("__rk") <= col("__m") - ceilDiv(col("__m")) + 1)
+      .select(col("__sid").as("id_a"), col("shingle"),
+        col("__rk").as("__rka"), col("__m").as("__ma"))
+    val b = ranked.select(col("__sid").as("id_b"), col("shingle"),
+      col("__rk").as("__rkb"), col("__m").as("__mb"))
+    val reqA = ceilDiv(col("__ma"))
+    val ubound = least(col("__rka"), col("__rkb")) +
+      least(col("__ma") - col("__rka"), col("__mb") - col("__rkb"))
+    val inter = graft.functions.VectorExpressions
+      .sortedIntersectCount(col("sh_a"), col("sh_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("__mb") >= reqA)
+      .filter(ubound >= reqA)
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      .join(sh.select(col("__sid").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col("__sid").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("__inter", inter)
+      .filter(col("__inter") * den >= size(col("sh_a")) * num)
+      .withColumn("containment",
+        round(col("__inter").cast("double") / size(col("sh_a")), 4))
+      .select("id_a", "id_b", "containment")
   }
 
   /** Shared tail of the exact Jaccard join: `sh` is `(__sid, __sh)` with

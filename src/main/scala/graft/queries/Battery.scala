@@ -3522,6 +3522,42 @@ object Battery {
       |  WHERE q.vec_id < 3 AND c.label <> q.label)
       |WHERE rank <= 5""".stripMargin
 
+  /** Directional n-gram containment join
+    * ([[graft.operators.Dedup.containmentPairsText]]): ordered pairs
+    * where ≥ 7/10 of the contained doc's distinct 3-gram set sits
+    * inside the other doc — the asymmetric quotation/subset class q40's
+    * symmetric Jaccard misses when sizes diverge. Rational threshold →
+    * exact integer predicate (`inter·10 ≥ m_a·7`) on both engines; the
+    * oracle replays the full quadratic gram intersection (the engine's
+    * one-sided prefix filter is lossless by pigeonhole). */
+  val q99Containment: Q = (s, dir) =>
+    graft.operators.Dedup.containmentPairsText(
+      t(s, dir, "documents"), "doc_id", col("text"), n = 3,
+      num = 7, den = 10)
+
+  val q99Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(w) - 1),
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |    ELSE [array_to_string(w, ' ')] END AS s
+      |  FROM toks),
+      |m AS (SELECT doc_id, len(s) AS m FROM sh),
+      |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(COUNT(*) AS BIGINT) AS inter
+      |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, ROUND(inter / ma.m, 4) AS containment
+      |FROM p JOIN m ma ON ma.doc_id = p.id_a
+      |WHERE inter * 10 >= ma.m * 7""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3625,7 +3661,8 @@ object Battery {
     "q95_phrase_search" -> (q95PhraseSearch, Some(q95Sql)),
     "q96_hybrid_rrf" -> (q96HybridRrf, Some(q96Sql)),
     "q97_quality_rules" -> (q97QualityRules, Some(q97Sql)),
-    "q98_hard_negatives" -> (q98HardNegatives, Some(q98Sql)))
+    "q98_hard_negatives" -> (q98HardNegatives, Some(q98Sql)),
+    "q99_containment" -> (q99Containment, Some(q99Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

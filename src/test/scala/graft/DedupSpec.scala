@@ -385,6 +385,68 @@ class DedupSpec extends SparkSpec {
     assert(self.length == 1 && self.head.getDouble(2) == 1.0)
   }
 
+  test("containmentPairsText: asymmetric quote caught, Jaccard misses it") {
+    val small = (1 to 12).map(i => s"a$i").mkString(" ")     // 10 3-grams
+    val big = small + " " + (1 to 40).map(i => s"u$i").mkString(" ")
+    val d = Seq(
+      (1L, small), (2L, big),
+      (3L, "entirely different words with no shared grams at all here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairsText(d, "doc_id", col("text"),
+        n = 3, num = 7, den = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every gram of 1 is inside 2; the reverse direction is ~10/50
+    assert(got == Set((1L, 2L, 1.0)))
+    // the symmetric Jaccard join at the same strength cannot see it
+    val jac = Dedup.ngramJaccardPairsText(d, "doc_id", col("text"),
+      n = 3, threshold = 0.7).collect()
+    assert(jac.isEmpty)
+    Dedup.releasePersisted()
+  }
+
+  test("containmentPairsText: exact integer boundary at 7/10") {
+    val xs = (1 to 12).map(i => s"x$i")                      // 10 3-grams
+    def chainTo(k: Int): String =                            // k shared grams
+      (xs.take(k + 2) ++ (1 to 20).map(i => s"f$i")).mkString(" ")
+    val d = Seq(
+      (1L, xs.mkString(" ")),
+      (2L, chainTo(7)),     // shares exactly 7 of doc 1's grams → 0.7, ON the bound
+      (3L, chainTo(6)))     // 6 shared → 0.6, below
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairsText(d, "doc_id", col("text"),
+        n = 3, num = 7, den = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.contains((1L, 2L, 0.7)), s"boundary pair must survive: $got")
+    assert(!got.exists(p => p._1 == 1L && p._2 == 3L), "0.6 must not")
+    Dedup.releasePersisted()
+  }
+
+  test("containmentPairsText equals the quadratic reference on random docs") {
+    val rnd = new scala.util.Random(77)
+    val vocab = Seq("al", "be", "ga", "de", "ep", "ze", "et", "th")
+    val corpus = (1L to 30L).map { id =>
+      id -> Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    def grams(t: String): Set[String] = {
+      val w = t.split("\\s+").filter(_.nonEmpty).toSeq
+      if (w.size >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(w.mkString(" "))
+    }
+    val want = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus if ia != ib
+      ga = grams(ta); inter = (ga intersect grams(tb)).size
+      if inter * 10 >= ga.size * 7
+    } yield (ia, ib,
+      BigDecimal(inter.toDouble / ga.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val got = Dedup.containmentPairsText(corpus.toDF("doc_id", "text"),
+        "doc_id", col("text"), n = 3, num = 7, den = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"got ${got.size} vs want ${want.size}")
+    Dedup.releasePersisted()
+  }
+
   test("semanticDedup collapses planted duplicates to the lowest id") {
     // 4 exact axis clusters (ids ≡ cluster mod 4, all members of a
     // cluster byte-identical): at threshold ~1 every cluster is one
