@@ -57,6 +57,50 @@ object Retrieval {
   }
 
   /**
+   * Incrementally extend a [[Bm25Index]] with a batch of NEW documents —
+   * the recurring-crawl refresh path, mirroring the dedup surface's
+   * incremental story ([[Dedup.dedupAgainstIndex]] /
+   * [[graft.streaming.DedupIngest]]): the already-indexed corpus is never
+   * re-tokenized.
+   *
+   * Cost shape at 100 TB: the tf side is a pure UNION (an append of the
+   * batch's tf rows — with bucketed-table storage, new files only, zero
+   * shuffle of the existing index); the df reconciliation is a
+   * vocabulary-sized full-outer sum join (vocabulary ≪ corpus); stats is
+   * single-row arithmetic. Only the BATCH is tokenized.
+   *
+   * The merged stats are EXACTLY what a full rebuild computes: document
+   * lengths are integers, so each side's token-count sum is recovered
+   * exactly from its (n, avgdl) pair (`round(n·avgdl)` — the double held
+   * the integer sum exactly, only the division was inexact) and the
+   * merged mean is the same single division a rebuild performs. The
+   * equivalence `mergeIndex(buildIndex(A), B) ≡ buildIndex(A ∪ B)` is
+   * spec-checked down to served scores.
+   *
+   * Contract: `batch` doc ids must be disjoint from the ids already in
+   * the index (re-ingesting a doc would double-count its tf rows) —
+   * gate recurring feeds through the dedup ingest surface first.
+   */
+  def mergeIndex(index: Bm25Index, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Bm25Index = {
+    val add = buildIndex(batch, idCol, textCol)
+    val tf = index.tf.unionByName(add.tf)
+    val df = index.df.withColumnRenamed("__df", "__dfa")
+      .join(add.df.withColumnRenamed("__df", "__dfb"), Seq("__t"), "full_outer")
+      .select(col("__t"),
+        (coalesce(col("__dfa"), lit(0L)) +
+          coalesce(col("__dfb"), lit(0L))).as("__df"))
+    val stats = index.stats
+      .crossJoin(add.stats.select(col("__n").as("__n2"),
+        col("__avgdl").as("__avgdl2")))
+      .select((col("__n") + col("__n2")).as("__n"),
+        ((coalesce(round(col("__avgdl") * col("__n")), lit(0.0)) +
+          coalesce(round(col("__avgdl2") * col("__n2")), lit(0.0))) /
+          (col("__n") + col("__n2")).cast("double")).as("__avgdl"))
+    Bm25Index(tf, df, stats)
+  }
+
+  /**
    * BM25 top-k: for each query row, the `k` best-scoring documents.
    *
    * @return `(queryIdCol, rank, idCol, score)` — rank 1..k by

@@ -3558,6 +3558,61 @@ object Battery {
       |FROM p JOIN m ma ON ma.doc_id = p.id_a
       |WHERE inter * 10 >= ma.m * 7""".stripMargin
 
+  /** Incremental BM25 index refresh
+    * ([[graft.operators.Retrieval.mergeIndex]]): the corpus is indexed in
+    * two generations (doc_id % 4 ≠ 0 first, the rest merged in without
+    * re-tokenizing the base), then served. Because the merged stats
+    * reconstruct each generation's exact integer token sum, serving is
+    * bit-identical to a full rebuild — so the oracle is simply BM25 over
+    * the WHOLE corpus, and the hash gate proves merge ≡ rebuild. */
+  val q100Bm25Merge: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val base = graft.operators.Retrieval.buildIndex(
+      docs.filter(col("doc_id") % 4 =!= 0))
+    val merged = graft.operators.Retrieval.mergeIndex(
+      base, docs.filter(col("doc_id") % 4 === 0))
+    val queries = Seq(
+      (1L, "merge scan filter order"),
+      (2L, "group join key column"),
+      (3L, "index batch row value")).toDF("query_id", "query_text")
+    graft.operators.Retrieval.bm25TopKWithIndex(merged, queries, k = 5)
+  }
+
+  val q100Sql: String =
+    """WITH q(query_id, query_text) AS (VALUES
+      |    (CAST(1 AS BIGINT), 'merge scan filter order'),
+      |    (CAST(2 AS BIGINT), 'group join key column'),
+      |    (CAST(3 AS BIGINT), 'index batch row value')),
+      |terms AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |dl AS (
+      |  SELECT doc_id, len(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS dl
+      |  FROM documents),
+      |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+      |qt AS (
+      |  SELECT DISTINCT query_id, unnest(list_filter(
+      |    string_split_regex(lower(query_text), '\s+'), x -> len(x) > 0)) AS term
+      |  FROM q),
+      |scored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    ROUND(SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |      * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4)
+      |      AS score
+      |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+      |    JOIN dl USING (doc_id) CROSS JOIN stats
+      |  GROUP BY 1, 2)
+      |SELECT query_id, rank, doc_id, score FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3662,7 +3717,8 @@ object Battery {
     "q96_hybrid_rrf" -> (q96HybridRrf, Some(q96Sql)),
     "q97_quality_rules" -> (q97QualityRules, Some(q97Sql)),
     "q98_hard_negatives" -> (q98HardNegatives, Some(q98Sql)),
-    "q99_containment" -> (q99Containment, Some(q99Sql)))
+    "q99_containment" -> (q99Containment, Some(q99Sql)),
+    "q100_bm25_merge" -> (q100Bm25Merge, Some(q100Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -89,6 +89,34 @@ class RetrievalSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("mergeIndex ≡ full rebuild: stats exact, served scores identical") {
+    val base = docs.filter($"doc_id" <= 3)
+    val batch = docs.filter($"doc_id" > 3)
+    val merged = Retrieval.mergeIndex(Retrieval.buildIndex(base), batch)
+    val rebuilt = Retrieval.buildIndex(docs)
+    // stats must be EXACT (bit-identical doubles), not approximately equal
+    // — the merged avgdl reconstructs each side's integer token sum
+    val ms = merged.stats.collect().head
+    val rs = rebuilt.stats.collect().head
+    assert(ms.getLong(0) == rs.getLong(0) &&
+      ms.getDouble(1) == rs.getDouble(1), s"stats $ms != $rs")
+    // df reconciliation: term present in both sides ("mat": docs 1 and 4),
+    // one side only ("birds"), sums to the rebuilt df table
+    val mdf = merged.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rdf = rebuilt.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mdf == rdf)
+    // end to end: serving from the merged index = serving from a rebuild
+    def serve(ix: Retrieval.Bm25Index) =
+      Retrieval.bm25TopKWithIndex(ix, queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    assert(serve(merged) == serve(rebuilt))
+    // empty batch is a serving no-op (null-avgdl guard on the stats merge)
+    val noop = Retrieval.mergeIndex(rebuilt, docs.filter($"doc_id" < 0))
+    assert(serve(noop) == serve(rebuilt))
+    graft.operators.PersistTracker.releaseAll()
+  }
+
   test("phraseSearch: contiguity, overlap counting, case, no-hit") {
     val corpus = Seq(
       1L -> "The cat sat on the mat",   // "cat sat" at 2; "the mat" at 5
