@@ -146,6 +146,43 @@ object Retrieval {
   }
 
   /**
+   * Ranking-quality evaluation — the measurement loop every retrieval
+   * deployment needs next to its index: per-query reciprocal rank and
+   * recall@k of a ranking against a relevance-judgment set (qrels).
+   * Standard IR metrics (public knowledge: TREC MRR / recall@k).
+   *
+   * Queries with NO retrieved relevant document surface with rr = 0 and
+   * recall = 0 (they must not silently drop — a collapsed retriever
+   * scoring "no rows" would otherwise look perfect). Corpus-level MRR /
+   * mean recall are one trivial `avg` over the result.
+   *
+   * Scale shape: both inputs are query-bounded (`ranked` ≤ depth·|Q|
+   * rows, `qrels` |judgments| rows) — the corpus itself is never
+   * touched, so evaluation cost is independent of index size.
+   *
+   * @param ranked `(queryIdCol, rank, idCol)` e.g. [[bm25TopK]] output
+   * @param qrels  `(queryIdCol, idCol)` — the relevant ids per query
+   * @return `(queryIdCol, rr, hits_at_k, n_rel, recall_at_k)`, rr and
+   *         recall rounded 4dp
+   */
+  def evalRanking(ranked: DataFrame, qrels: DataFrame, k: Int,
+      idCol: String = "doc_id", queryIdCol: String = "query_id"): DataFrame = {
+    require(k > 0, s"need k>0; got $k")
+    val hits = ranked.filter(col("rank") <= k)
+      .join(qrels.select(col(queryIdCol), col(idCol)), Seq(queryIdCol, idCol))
+    val perQ = hits.groupBy(queryIdCol)
+      .agg(min(col("rank")).as("__first"), count(lit(1)).as("__hits"))
+    qrels.groupBy(queryIdCol).agg(count(lit(1)).as("n_rel"))
+      .join(perQ, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 4).as("rr"),
+        coalesce(col("__hits"), lit(0L)).as("hits_at_k"),
+        col("n_rel"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") / col("n_rel"),
+          4).as("recall_at_k"))
+  }
+
+  /**
    * Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009 — public
    * knowledge): fuse per-query rankings from heterogeneous retrievers
    * into one list, `fused(d) = Σ_lists 1 / (K + rank_list(d))`. RRF is

@@ -3613,6 +3613,76 @@ object Battery {
       |  FROM scored)
       |WHERE rank <= 5""".stripMargin
 
+  /** Retrieval-quality evaluation
+    * ([[graft.operators.Retrieval.evalRanking]]): self-retrieval probe —
+    * every 50th document's first 6 tokens become a query whose one
+    * relevant document is its source; BM25 top-10 is then scored as
+    * per-query reciprocal rank and recall@10. The oracle replays the
+    * whole chain: query derivation, BM25, rank cut, metric arithmetic —
+    * including queries whose source doc falls outside the top 10
+    * (rr = 0 rows must surface, not drop). */
+  val q101IrEval: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 50 === 7)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(graft.operators.TextAnalysis.tokens(
+          lower(col("text"))), 1, 6)).as("query_text"))
+    val qrels = queries.select(col("query_id"),
+      col("query_id").as("doc_id"))
+    val ranked = graft.operators.Retrieval.bm25TopK(docs, queries, k = 10)
+    graft.operators.Retrieval.evalRanking(ranked, qrels, k = 10)
+  }
+
+  val q101Sql: String =
+    """WITH q AS (
+      |  SELECT doc_id AS query_id,
+      |    array_to_string(list_filter(
+      |      string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:6],
+      |      ' ') AS query_text
+      |  FROM documents WHERE doc_id % 50 = 7),
+      |terms AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |dl AS (
+      |  SELECT doc_id, len(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS dl
+      |  FROM documents),
+      |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+      |qt AS (
+      |  SELECT DISTINCT query_id, unnest(list_filter(
+      |    string_split_regex(lower(query_text), '\s+'), x -> len(x) > 0)) AS term
+      |  FROM q),
+      |scored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    ROUND(SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |      * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4)
+      |      AS score
+      |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+      |    JOIN dl USING (doc_id) CROSS JOIN stats
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT query_id, rank, doc_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rank
+      |    FROM scored)
+      |  WHERE rank <= 10),
+      |hits AS (
+      |  SELECT r.query_id, r.rank
+      |  FROM ranked r JOIN q ON r.query_id = q.query_id
+      |    AND r.doc_id = q.query_id),
+      |perq AS (
+      |  SELECT query_id, MIN(rank) AS first, COUNT(*) AS hits_at_k
+      |  FROM hits GROUP BY 1)
+      |SELECT q.query_id,
+      |  ROUND(COALESCE(CAST(1 AS DOUBLE) / first, 0), 4) AS rr,
+      |  COALESCE(hits_at_k, CAST(0 AS BIGINT)) AS hits_at_k,
+      |  CAST(1 AS BIGINT) AS n_rel,
+      |  ROUND(COALESCE(CAST(hits_at_k AS DOUBLE), 0), 4) AS recall_at_k
+      |FROM q LEFT JOIN perq ON q.query_id = perq.query_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3718,7 +3788,8 @@ object Battery {
     "q97_quality_rules" -> (q97QualityRules, Some(q97Sql)),
     "q98_hard_negatives" -> (q98HardNegatives, Some(q98Sql)),
     "q99_containment" -> (q99Containment, Some(q99Sql)),
-    "q100_bm25_merge" -> (q100Bm25Merge, Some(q100Sql)))
+    "q100_bm25_merge" -> (q100Bm25Merge, Some(q100Sql)),
+    "q101_ir_eval" -> (q101IrEval, Some(q101Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

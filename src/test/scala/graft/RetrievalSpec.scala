@@ -117,6 +117,28 @@ class RetrievalSpec extends SparkSpec {
     graft.operators.PersistTracker.releaseAll()
   }
 
+  test("evalRanking: hand-computed MRR/recall incl. the zero-hit query") {
+    val ranked = Seq(
+      // query 1: relevant docs at ranks 2 and 5 (of 2 relevant)
+      (1L, 1, 101L), (1L, 2, 7L), (1L, 3, 102L), (1L, 5, 8L),
+      // query 2: its single relevant doc on top
+      (2L, 1, 9L), (2L, 2, 103L),
+      // query 3: retrieved nothing relevant
+      (3L, 1, 104L), (3L, 2, 105L),
+      // query 4: relevant doc exists at rank 6 — outside k=5
+      (4L, 6, 10L)).toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((1L, 7L), (1L, 8L), (2L, 9L), (3L, 11L), (4L, 10L))
+      .toDF("query_id", "doc_id")
+    val got = Retrieval.evalRanking(ranked, qrels, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((0.5, 2L, 2L, 1.0)))
+    assert(got(2L) == ((1.0, 1L, 1L, 1.0)))
+    assert(got(3L) == ((0.0, 0L, 1L, 0.0)))   // zero-hit query surfaces
+    assert(got(4L) == ((0.0, 0L, 1L, 0.0)))   // rank 6 is outside k=5
+    assert(got.size == 4)
+  }
+
   test("phraseSearch: contiguity, overlap counting, case, no-hit") {
     val corpus = Seq(
       1L -> "The cat sat on the mat",   // "cat sat" at 2; "the mat" at 5
