@@ -552,6 +552,47 @@ object TextAnalysis {
   }
 
   /**
+   * CCNet-style language-model bucketing (Wenzek et al. 2020 — public
+   * knowledge): score every document with the corpus bigram LM
+   * ([[bigramLmScoresAgainst]]), compute PER-LANGUAGE score cutoffs at
+   * `loPct`/`hiPct` (CCNet's perplexity terciles), and label each doc
+   * `head` (most LM-probable third), `middle`, or `tail`. Downstream
+   * keeps head+middle (or mixes them at different rates) — the classic
+   * crawl-filtering move that a single global threshold gets wrong
+   * because perplexity distributions differ per language.
+   *
+   * Determinism devices: LM scores rounded 4dp ([[bigramLmScores]]'s
+   * contract), cutoffs are EXACT interpolated percentiles rounded 4dp
+   * (the q78 `percentile` ≡ `quantile_cont` parity), bucket edges are
+   * `>=` on the rounded values — every boundary is oracle-replayable.
+   * Documents with fewer than 2 tokens have no bigrams and take no part
+   * (CCNet likewise drops them before perplexity filtering).
+   *
+   * Scale shape: scoring is [[bigramLmScoresAgainst]]'s (the count
+   * table is the reusable model); the cutoff aggregate is |languages|
+   * rows broadcast back; the labeling pass is narrow.
+   *
+   * @return `(idCol, lang, n_bigrams, avg_logp, bucket)`
+   */
+  def perplexityBuckets(train: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame, idCol: String, text: Column,
+      langCol: Column, loPct: Double = 1.0 / 3,
+      hiPct: Double = 2.0 / 3): org.apache.spark.sql.DataFrame = {
+    require(loPct > 0 && hiPct < 1 && loPct <= hiPct,
+      s"need 0 < loPct <= hiPct < 1; got ($loPct, $hiPct)")
+    val scored = docs.select(col(idCol), langCol.as("lang"))
+      .join(bigramLmScoresAgainst(train, docs, idCol, text), Seq(idCol))
+    val cuts = scored.groupBy(col("lang").as("__lk"))
+      .agg(round(percentile(col("avg_logp"), lit(loPct)), 4).as("__lo"),
+        round(percentile(col("avg_logp"), lit(hiPct)), 4).as("__hi"))
+    scored.join(broadcast(cuts), col("lang") === col("__lk"))
+      .select(col(idCol), col("lang"), col("n_bigrams"), col("avg_logp"),
+        when(col("avg_logp") >= col("__hi"), lit("head"))
+          .when(col("avg_logp") >= col("__lo"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /**
    * EXACT frequent word n-grams (count ≥ `minCount`) with a Count-Min
    * prefilter — heavy-hitter vocabulary extraction, the phrase-mining /
    * boilerplate-detection primitive of a corpus pipeline.

@@ -3683,6 +3683,50 @@ object Battery {
       |  ROUND(COALESCE(CAST(hits_at_k AS DOUBLE), 0), 4) AS recall_at_k
       |FROM q LEFT JOIN perq ON q.query_id = perq.query_id""".stripMargin
 
+  /** CCNet-style LM bucketing
+    * ([[graft.operators.TextAnalysis.perplexityBuckets]]): every doc
+    * scored by the corpus bigram LM, then labeled head/middle/tail by
+    * PER-LANGUAGE score terciles — the crawl-quality stratification a
+    * global cutoff gets wrong across languages. Oracle replays the LM
+    * (q59's CTEs), the per-lang `quantile_cont` cutoffs (the q78 parity
+    * device), and both `>=` bucket edges. */
+  val q102PerplexityBuckets: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.operators.TextAnalysis.perplexityBuckets(
+      docs, docs, "doc_id", col("text"), col("lang"))
+  }
+
+  val q102Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+      |  FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT term) AS v FROM (
+      |  SELECT unnest(t) AS term FROM toks)),
+      |lm AS (
+      |  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      |    ROUND(AVG(ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 4) AS avg_logp
+      |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      |  GROUP BY bg.doc_id),
+      |sl AS (
+      |  SELECT d.doc_id, d.lang, lm.n_bigrams, lm.avg_logp
+      |  FROM documents d JOIN lm USING (doc_id)),
+      |cuts AS (
+      |  SELECT lang,
+      |    ROUND(quantile_cont(avg_logp, CAST(1 AS DOUBLE) / 3), 4) AS lo,
+      |    ROUND(quantile_cont(avg_logp, CAST(2 AS DOUBLE) / 3), 4) AS hi
+      |  FROM sl GROUP BY lang)
+      |SELECT doc_id, lang, n_bigrams, avg_logp,
+      |  CASE WHEN avg_logp >= hi THEN 'head'
+      |       WHEN avg_logp >= lo THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM sl JOIN cuts USING (lang)""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3789,7 +3833,8 @@ object Battery {
     "q98_hard_negatives" -> (q98HardNegatives, Some(q98Sql)),
     "q99_containment" -> (q99Containment, Some(q99Sql)),
     "q100_bm25_merge" -> (q100Bm25Merge, Some(q100Sql)),
-    "q101_ir_eval" -> (q101IrEval, Some(q101Sql)))
+    "q101_ir_eval" -> (q101IrEval, Some(q101Sql)),
+    "q102_ppl_buckets" -> (q102PerplexityBuckets, Some(q102Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -311,4 +311,50 @@ class TextExpressionsSpec extends SparkSpec {
     assert(self.toSeq == Seq((1L, 3L,
       r4((2 * math.log(3.0 / 4) + math.log(2.0 / 3)) / 3))))
   }
+
+  test("perplexityBuckets: per-language terciles, >= edges, short docs drop") {
+    val rows = Seq(
+      (1L, "en", "a b a b a b a b"),
+      (2L, "en", "a b a b c d"),
+      (3L, "en", "c d c d e f"),
+      (4L, "en", "e f g h i j"),
+      (5L, "en", "g h i j k l"),
+      (6L, "en", "k l m n o p"),
+      (7L, "fr", "u v u v u v"),
+      (8L, "fr", "u v w x"),
+      (9L, "fr", "w x y z q r"),
+      (10L, "en", "solo"))
+    val docs = rows.toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.perplexityBuckets(docs, docs, "doc_id",
+        col("text"), col("lang"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(4)))).toMap
+    assert(!out.contains(10L), "a 1-token doc has no bigrams and must drop")
+    assert(out.size == 9)
+    // replay the bucketing from the LM scores (themselves spec'd above)
+    val scores = TextAnalysis.bigramLmScores(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val langOf = rows.map(t => t._1 -> t._2).toMap
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val h = (s.size - 1) * p
+      val i = h.toInt
+      val v = if (i + 1 < s.size) s(i) + (h - i) * (s(i + 1) - s(i)) else s(i)
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    Seq("en", "fr").foreach { lang =>
+      val ids = out.keys.filter(langOf(_) == lang).toSeq
+      val xs = ids.map(scores)
+      val lo = pct(xs, 1.0 / 3)
+      val hi = pct(xs, 2.0 / 3)
+      ids.foreach { id =>
+        val want = if (scores(id) >= hi) "head"
+          else if (scores(id) >= lo) "middle" else "tail"
+        assert(out(id) == ((lang, want)), s"doc $id: ${out(id)} != $want")
+      }
+    }
+    // the en stratum is big enough that all three buckets must appear
+    assert(out.collect { case (_, ("en", b)) => b }.toSet ==
+      Set("head", "middle", "tail"))
+  }
 }
