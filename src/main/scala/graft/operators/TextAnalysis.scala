@@ -187,6 +187,17 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** ORDER-INSENSITIVE content fingerprint: md5 over the SORTED lowercase
+    * token multiset (duplicates kept — equal counts required, so docs
+    * merely sharing a vocabulary don't collapse). Catches the
+    * shuffled/reflowed verbatim-duplicate class [[fingerprint]] misses —
+    * token-order permutations from re-scraping, table/list reflow, or
+    * markup-order jitter. Feed it to [[Dedup.exactDedup]]; one narrow
+    * codegen projection, same one-shuffle dedup shape. Engine-portable
+    * (`array_sort` ≡ DuckDB `list_sort` on the token strings). */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(tokens(lower(text)))))
+
   /**
    * Winnowing document fingerprints (the rolling-hash sketch of
    * Schleimer/Wilkerson/Aiken's MOSS): hash every k-gram, slide a window

@@ -3727,6 +3727,46 @@ object Battery {
       |       ELSE 'tail' END AS bucket
       |FROM sl JOIN cuts USING (lang)""".stripMargin
 
+  /** Order-insensitive exact dedup
+    * ([[graft.operators.TextAnalysis.bagFingerprint]] through
+    * [[graft.operators.Dedup.exactDedup]]): every 25th document is
+    * re-added with its token order REVERSED (ids +10000) — the
+    * reflowed-scrape duplicate class — and the sorted-multiset
+    * fingerprint must flag exactly those as duplicates while the plain
+    * content fingerprint sees nothing. Oracle replays the derivation,
+    * the sorted-token md5, and the keep-lowest-id ranking. */
+  val q103BagDedup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val toks = graft.operators.TextAnalysis.tokens(lower(col("text")))
+    val reflowed = docs.filter(col("doc_id") % 25 === 3)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat_ws(" ", reverse(toks)).as("text"))
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(reflowed)
+    graft.operators.Dedup.exactDedup(corpus,
+        graft.operators.TextAnalysis.bagFingerprint(col("text")),
+        col("doc_id"))
+      .select(col("doc_id"), col("is_duplicate"))
+  }
+
+  val q103Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, array_to_string(list_reverse(
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> len(x) > 0)), ' ')
+      |  FROM documents WHERE doc_id % 25 = 3),
+      |fp AS (
+      |  SELECT doc_id, md5(array_to_string(list_sort(
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> len(x) > 0)), ' ')) AS fp
+      |  FROM corpus)
+      |SELECT doc_id,
+      |  (ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)) > 1
+      |    AS is_duplicate
+      |FROM fp""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3834,7 +3874,8 @@ object Battery {
     "q99_containment" -> (q99Containment, Some(q99Sql)),
     "q100_bm25_merge" -> (q100Bm25Merge, Some(q100Sql)),
     "q101_ir_eval" -> (q101IrEval, Some(q101Sql)),
-    "q102_ppl_buckets" -> (q102PerplexityBuckets, Some(q102Sql)))
+    "q102_ppl_buckets" -> (q102PerplexityBuckets, Some(q102Sql)),
+    "q103_bag_dedup" -> (q103BagDedup, Some(q103Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -447,6 +447,28 @@ class DedupSpec extends SparkSpec {
     Dedup.releasePersisted()
   }
 
+  test("bagFingerprint: order-insensitive, multiplicity-sensitive, case-folded") {
+    import graft.operators.TextAnalysis.{bagFingerprint, fingerprint}
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "mat the on sat cat the"),   // permutation of 1 → same bag
+      (3L, "THE CAT  SAT on the MAT"),  // case/spacing noise → same bag
+      (4L, "the cat sat on mat"),       // one 'the' fewer → different
+      (5L, "cat cat sat"), (6L, "cat sat sat")) // same set, diff counts
+      .toDF("doc_id", "text")
+    val fps = d.select(col("doc_id"), bagFingerprint(col("text")).as("bfp"),
+        fingerprint(col("text")).as("efp"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(fps(1L)._1 == fps(2L)._1 && fps(1L)._1 == fps(3L)._1)
+    assert(fps(1L)._2 != fps(2L)._2, "plain fingerprint must NOT collapse a permutation")
+    assert(fps(1L)._1 != fps(4L)._1, "multiplicity must matter")
+    assert(fps(5L)._1 != fps(6L)._1, "same vocabulary, different counts")
+    val flagged = Dedup.exactDedup(d, bagFingerprint(col("text")), col("doc_id"))
+      .filter(col("is_duplicate")).collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(2L, 3L), "lowest id of each bag group survives")
+  }
+
   test("semanticDedup collapses planted duplicates to the lowest id") {
     // 4 exact axis clusters (ids ≡ cluster mod 4, all members of a
     // cluster byte-identical): at threshold ~1 every cluster is one
