@@ -253,4 +253,35 @@ object Sampling {
       .filter(hashBucket(id, salt) < col("__cut"))
       .drop("__bk", "__cut")
   }
+
+  /**
+   * D4-style diversity selection (Tirumala et al. 2023 — public
+   * knowledge): cluster the corpus embeddings with the deterministic
+   * k-means ([[Clustering.kmeans]]), then keep at most `quota` members
+   * PER CLUSTER, preferring the LEAST prototypical (lowest 4dp cosine
+   * to the centroid, ties to the lowest id). Two effects in one pass:
+   * no semantic region can dominate the training mix (the quota), and
+   * within a region the most redundant near-prototype examples are the
+   * first dropped (D4's anti-prototypicality pruning).
+   *
+   * Scale shape: clustering is [[Clustering.kmeans]]'s (narrow assign +
+   * k-row integer-sum collects); the quota rank is one shuffle on
+   * cluster id with a per-cluster sort. For clusters too large to sort,
+   * swap the exact rank for a per-cluster cosine cutoff
+   * ([[percentileGate]]'s aggregate-and-broadcast shape) — exactness of
+   * the quota traded for a shuffle-free gate; this implementation keeps
+   * the exact-quota semantics the oracle can replay.
+   *
+   * @return kept rows `(idCol, cluster, cos, rk)` — rk 1..quota within
+   *         the cluster, 1 = least prototypical
+   */
+  def diversitySelect(corpus: DataFrame, k: Int, iters: Int, quota: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(quota > 0, s"quota > 0, got $quota")
+    val assigned = Clustering.kmeans(corpus, k, iters, idCol, vecCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("cos"), col(idCol))
+    assigned.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+  }
 }

@@ -2009,7 +2009,11 @@ object Battery {
     graft.operators.Clustering.kmeans(t(s, dir, "embeddings"), k = 8,
       iters = 2)
 
-  val q68Sql: String = {
+  /** The q68 k-means replay (2 Lloyd rounds over int8-quantized
+    * embeddings, k=8) as a WITH-chain ending in `final(vec_id, q, cl,
+    * cos)` — shared by q68 and the selection queries built on the same
+    * clustering (q104). */
+  private def kmeansReplayWith: String = {
     def assign(src: String, cents: String): String =
       s"""  SELECT vec_id, q, cl, cos FROM (
          |    SELECT z.vec_id, z.q, c.cl,
@@ -2046,9 +2050,11 @@ object Battery {
        |c2 AS (SELECT p.cl, COALESCE(n.s, p.s) AS s
        |       FROM c1 p LEFT JOIN s2 n USING (cl)),
        |final AS (
-       |${assign("qz", "c2")})
-       |SELECT vec_id, CAST(cl AS INT) AS cluster, cos FROM final""".stripMargin
+       |${assign("qz", "c2")})""".stripMargin
   }
+
+  val q68Sql: String = kmeansReplayWith +
+    "\nSELECT vec_id, CAST(cl AS INT) AS cluster, cos FROM final"
 
   /** Edit-distance similarity self-join (fuzzy matching / record
     * linkage): all customer-name pairs within Levenshtein distance 1,
@@ -3767,6 +3773,25 @@ object Battery {
       |    AS is_duplicate
       |FROM fp""".stripMargin
 
+  /** D4-style diversity selection
+    * ([[graft.operators.Sampling.diversitySelect]]): q68's deterministic
+    * k-means, then at most 40 kept per cluster preferring the LEAST
+    * prototypical members (lowest centroid cosine first) — semantic
+    * balance + anti-prototype pruning in one rank. The oracle replays
+    * both Lloyd rounds (the shared q68 CTE chain) plus the per-cluster
+    * rank-and-cut. */
+  val q104DiversitySelect: Q = (s, dir) =>
+    graft.operators.Sampling.diversitySelect(
+      t(s, dir, "embeddings"), k = 8, iters = 2, quota = 40)
+
+  val q104Sql: String = kmeansReplayWith + """
+SELECT vec_id, cluster, cos, rk FROM (
+  SELECT vec_id, CAST(cl AS INT) AS cluster, cos,
+    CAST(ROW_NUMBER() OVER (PARTITION BY cl
+      ORDER BY cos, vec_id) AS INT) AS rk
+  FROM final)
+WHERE rk <= 40"""
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3875,7 +3900,8 @@ object Battery {
     "q100_bm25_merge" -> (q100Bm25Merge, Some(q100Sql)),
     "q101_ir_eval" -> (q101IrEval, Some(q101Sql)),
     "q102_ppl_buckets" -> (q102PerplexityBuckets, Some(q102Sql)),
-    "q103_bag_dedup" -> (q103BagDedup, Some(q103Sql)))
+    "q103_bag_dedup" -> (q103BagDedup, Some(q103Sql)),
+    "q104_diversity_select" -> (q104DiversitySelect, Some(q104Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -156,6 +156,46 @@ class SamplingSpec extends SparkSpec {
     assert(again === plain)
   }
 
+  test("diversitySelect: quota per cluster, least-prototypical first") {
+    val dim = 8
+    def vec(axis: Int, noise: Float): Seq[Float] =
+      (0 until dim).map { i =>
+        if (i == axis) 1.0f
+        else if (i == (axis + 1) % dim) noise else 0.0f
+      }
+    // 4 planted axis clusters of 5 (the ClusteringSpec corpus): ids 0..3
+    // seed one cluster each, later members get increasing off-axis noise
+    // → strictly decreasing prototypicality within each cluster
+    val corpus = (0 until 20).map { id =>
+      (id.toLong, vec(id % 4, if (id < 4) 0.0f else 0.05f + 0.01f * (id / 4)))
+    }.toDF("vec_id", "embedding")
+    val kept = graft.operators.Sampling.diversitySelect(
+        corpus, k = 4, iters = 2, quota = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getInt(3)))
+    // quota binds: 3 of each 5-member cluster survive
+    assert(kept.length == 12)
+    assert(kept.groupBy(_._2).forall(_._2.length == 3))
+    // replay the rank from the (separately spec'd) kmeans assignment:
+    // kept = the quota lowest (cos, id) per cluster, rk in that order
+    val assigned = graft.operators.Clustering.kmeans(corpus, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val want = assigned.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(t => (t._3, t._1)).take(3).zipWithIndex
+        .map { case ((id, cl, cos), i) => (id, cl, cos, i + 1) }
+    }.toSet
+    assert(kept.toSet == want)
+    // rank 1 is the cluster's cosine minimum: no kept row beats it
+    kept.groupBy(_._2).foreach { case (_, rows) =>
+      val r1 = rows.find(_._4 == 1).get
+      assert(rows.forall(t =>
+        t._3 > r1._3 || (t._3 == r1._3 && t._1 >= r1._1)))
+    }
+    // quota above cluster size keeps everything
+    assert(graft.operators.Sampling.diversitySelect(
+      corpus, k = 4, iters = 2, quota = 100).count() == 20)
+  }
+
   test("componentSplit: dup clusters never straddle a split boundary") {
     import graft.operators.Dedup
     // 60 docs, near-dup pairs chaining ids 3k..3k+2 into 20 components
