@@ -1015,6 +1015,34 @@ object Dedup {
   }
 
   /**
+   * Corpus snapshot diff — the version-audit companion of the
+   * incremental surface: classify every doc id across two corpus
+   * versions as `added` (new only), `removed` (old only), `changed`
+   * (both, content fingerprint differs), or `unchanged`. The recurring-
+   * crawl bookkeeping query: what did this refresh actually do, and is
+   * the churn rate sane before the expensive downstream stages run?
+   *
+   * One id-keyed full-outer hash join over (id, md5) projections —
+   * text never moves, only fingerprints. At 100 TB, store versions
+   * bucketed on the id ([[graft.sources.BucketedTables]]) and the join
+   * needs no shuffle at all.
+   *
+   * @return `(idCol, status)` — one row per id in either version
+   */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      text: Column): DataFrame = {
+    val fp = graft.operators.TextAnalysis.fingerprint(text)
+    val a = oldDocs.select(col(idCol), fp.as("__fa"))
+    val b = newDocs.select(col(idCol), fp.as("__fb"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fa").isNull, lit("added"))
+          .when(col("__fb").isNull, lit("removed"))
+          .when(col("__fa") === col("__fb"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /**
    * Semantic deduplication over an embedding column (the SemDeDup shape
    * — Abbas et al. 2023, public knowledge): cluster the corpus with the
    * deterministic k-means ([[graft.operators.Clustering]]), enumerate

@@ -3792,6 +3792,47 @@ SELECT vec_id, cluster, cos, rk FROM (
   FROM final)
 WHERE rk <= 40"""
 
+  /** Corpus snapshot diff ([[graft.operators.Dedup.snapshotDiff]]): a
+    * derived second corpus version (every id ≡1 mod 10 dropped, ≡2
+    * rewritten, ≡3 re-added under a fresh id) classified per id as
+    * added/removed/changed/unchanged — the refresh-churn audit. Oracle
+    * replays the derivation, both md5 fingerprints, and the full-outer
+    * classification. */
+  val q105SnapshotDiff: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val newV = docs.filter(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 2, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("fresh "), col("text")).as("text")))
+    graft.operators.Dedup.snapshotDiff(docs, newV, "doc_id", col("text"))
+  }
+
+  val q105Sql: String =
+    """WITH newv AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 2 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 1
+      |  UNION ALL
+      |  SELECT doc_id + 10000, 'fresh ' || text
+      |  FROM documents WHERE doc_id % 10 = 3),
+      |a AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fa
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fb
+      |  FROM newv)
+      |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN a.doc_id IS NULL THEN 'added'
+      |       WHEN b.doc_id IS NULL THEN 'removed'
+      |       WHEN fa = fb THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3901,7 +3942,8 @@ WHERE rk <= 40"""
     "q101_ir_eval" -> (q101IrEval, Some(q101Sql)),
     "q102_ppl_buckets" -> (q102PerplexityBuckets, Some(q102Sql)),
     "q103_bag_dedup" -> (q103BagDedup, Some(q103Sql)),
-    "q104_diversity_select" -> (q104DiversitySelect, Some(q104Sql)))
+    "q104_diversity_select" -> (q104DiversitySelect, Some(q104Sql)),
+    "q105_snapshot_diff" -> (q105SnapshotDiff, Some(q105Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

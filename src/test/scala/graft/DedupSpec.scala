@@ -469,6 +469,19 @@ class DedupSpec extends SparkSpec {
     assert(flagged == Set(2L, 3L), "lowest id of each bag group survives")
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged, whitespace-invariant") {
+    val old = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "kept text"))
+      .toDF("doc_id", "text")
+    val nw = Seq((2L, "gamma delta REVISED"), (3L, "  kept   TEXT "),
+      (4L, "brand new")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(old, nw, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "removed", 2L -> "changed",
+      3L -> "unchanged",   // fingerprint folds case + whitespace
+      4L -> "added"))
+  }
+
   test("semanticDedup collapses planted duplicates to the lowest id") {
     // 4 exact axis clusters (ids ≡ cluster mod 4, all members of a
     // cluster byte-identical): at threshold ~1 every cluster is one
