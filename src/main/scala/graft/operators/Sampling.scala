@@ -255,6 +255,36 @@ object Sampling {
   }
 
   /**
+   * Split-leakage audit — the measurement complement of
+   * [[componentSplit]]: given near-duplicate pairs (any family:
+   * MinHash, n-gram, embedding) and a per-doc split assignment, count
+   * pairs per UNORDERED split combination. Rows with `is_leak = true`
+   * (endpoints in different splits) are eval contamination: a test
+   * doc's near-copy sitting in train inflates every benchmark number.
+   * Run it against a doc-level split to quantify the damage
+   * [[componentSplit]] prevents, or as a CI gate on the final corpus.
+   *
+   * Scale shape: two id-keyed hash joins of the (small) pair set
+   * against the assignment projection, then a ≤|splits|² aggregate —
+   * the corpus text never moves.
+   *
+   * @return `(split_a, split_b, n_pairs, is_leak)`, split_a ≤ split_b
+   */
+  def splitLeakageAudit(pairs: DataFrame, assign: DataFrame,
+      idCol: String = "doc_id", splitCol: String = "split",
+      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val sa = assign.select(col(idCol).as(idACol), col(splitCol).as("__sa"))
+    val sb = assign.select(col(idCol).as(idBCol), col(splitCol).as("__sb"))
+    pairs.select(col(idACol), col(idBCol))
+      .join(sa, Seq(idACol)).join(sb, Seq(idBCol))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
+  }
+
+  /**
    * D4-style diversity selection (Tirumala et al. 2023 — public
    * knowledge): cluster the corpus embeddings with the deterministic
    * k-means ([[Clustering.kmeans]]), then keep at most `quota` members

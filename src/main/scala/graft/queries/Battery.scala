@@ -3833,6 +3833,43 @@ WHERE rk <= 40"""
       |       ELSE 'changed' END AS status
       |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin
 
+  /** Split-leakage audit
+    * ([[graft.operators.Sampling.splitLeakageAudit]]): q24's MinHash
+    * near-dup pairs against q45's naive doc-level hash split, counted
+    * per unordered split combination — the quantified eval-
+    * contamination report (`is_leak` rows are near-dup pairs straddling
+    * train/val/test) that motivates q91's component-level split. Oracle
+    * reuses q24's shared pair CTEs + q45's bucket arithmetic. */
+  val q106LeakAudit: Q = (s, dir) => {
+    val pairs = q24MinhashDedup(s, dir)
+    val assign = graft.operators.Sampling.assignSplit(
+        t(s, dir, "documents"), col("doc_id"), "exp1")
+      .select(col("doc_id"), col("split"))
+    graft.operators.Sampling.splitLeakageAudit(pairs, assign)
+  }
+
+  val q106Sql: String =
+    s"""WITH $q24PairCtes,
+       |asn AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < 800000 THEN 'train'
+       |         WHEN bucket < 900000 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (
+       |    SELECT doc_id,
+       |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':exp1'), 1, 15))
+       |        ::BIGINT % 1000000 AS bucket
+       |    FROM documents)),
+       |pr AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4),
+       |lab AS (
+       |  SELECT least(a.split, b.split) AS split_a,
+       |    greatest(a.split, b.split) AS split_b
+       |  FROM pr JOIN asn a ON pr.id_a = a.doc_id
+       |    JOIN asn b ON pr.id_b = b.doc_id)
+       |SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  split_a <> split_b AS is_leak
+       |FROM lab GROUP BY split_a, split_b""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3943,7 +3980,8 @@ WHERE rk <= 40"""
     "q102_ppl_buckets" -> (q102PerplexityBuckets, Some(q102Sql)),
     "q103_bag_dedup" -> (q103BagDedup, Some(q103Sql)),
     "q104_diversity_select" -> (q104DiversitySelect, Some(q104Sql)),
-    "q105_snapshot_diff" -> (q105SnapshotDiff, Some(q105Sql)))
+    "q105_snapshot_diff" -> (q105SnapshotDiff, Some(q105Sql)),
+    "q106_leak_audit" -> (q106LeakAudit, Some(q106Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -196,6 +196,28 @@ class SamplingSpec extends SparkSpec {
       corpus, k = 4, iters = 2, quota = 100).count() == 20)
   }
 
+  test("splitLeakageAudit: unordered combos, leak flag, counts") {
+    val pairs = Seq(
+      (1L, 2L),   // train-train
+      (3L, 4L),   // train-test  (leak)
+      (4L, 3L),   // test-train  — must fold into the SAME combo row
+      (5L, 6L),   // val-test    (leak)
+      (7L, 8L)).toDF("id_a", "id_b")
+    val assign = Seq(
+      1L -> "train", 2L -> "train", 3L -> "train", 4L -> "test",
+      5L -> "val", 6L -> "test", 7L -> "val", 8L -> "val")
+      .toDF("doc_id", "split")
+    val got = graft.operators.Sampling.splitLeakageAudit(pairs, assign)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      ("train", "train") -> ((1L, false)),
+      ("test", "train") -> ((2L, true)),   // both orientations folded
+      ("test", "val") -> ((1L, true)),
+      ("val", "val") -> ((1L, false))))
+  }
+
   test("componentSplit: dup clusters never straddle a split boundary") {
     import graft.operators.Dedup
     // 60 docs, near-dup pairs chaining ids 3k..3k+2 into 20 components
