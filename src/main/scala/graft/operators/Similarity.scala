@@ -267,6 +267,54 @@ object Similarity {
       .select(col(queryIdCol), col("rank"), col(idCol), col("cosine"))
   }
 
+  /**
+   * IVF tuning harness: recall@k versus `nprobe` — the accuracy/cost
+   * curve every ANN deployment reads before fixing its probe budget.
+   * For each setting, the IVF result is intersected with the exact
+   * brute-force top-k ground truth, per query.
+   *
+   * Unlike a sampled recall PROBE (q28's rows-only check), every stage
+   * here — assignment, probe ranking, top-k, ground truth, the
+   * intersection counts — is deterministic 4dp-rounded arithmetic, so
+   * the whole sweep is exactly oracle-replayable.
+   *
+   * Scale shape: the index is built once (assigned frame persisted, one
+   * scan per setting probes only its cells); ground truth is ONE
+   * brute-force pass over the corpus — the sweep costs |settings| cheap
+   * probed scans plus a single exact scan, not |settings| exact scans.
+   * Run it on a query SAMPLE at 100 TB: recall estimates need hundreds
+   * of queries, not the production load.
+   *
+   * @return `(nprobe, queryIdCol, hits, recall)` — hits = |IVF@k ∩
+   *         exact@k|, recall = hits/k rounded 4dp
+   */
+  def ivfRecallSweep(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int, nprobes: Seq[Int],
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      vecCol: String = "embedding",
+      centroids: Seq[(Long, Seq[Float])] = Nil): DataFrame = {
+    require(k > 0, s"need k>0; got $k")
+    require(nprobes.nonEmpty && nprobes.forall(_ > 0) &&
+      nprobes.distinct.size == nprobes.size,
+      s"nprobes must be distinct positives; got $nprobes")
+    val index = buildIvfIndex(corpus, numCells, idCol, vecCol, centroids)
+    val ix = IvfIndex(PersistTracker.trackPersist(index.assigned),
+      index.centroids)
+    val truth = PersistTracker.trackPersist(
+      bruteForceTopK(corpus, queries, k, idCol = idCol,
+        queryIdCol = queryIdCol, vecCol = vecCol)
+        .select(col(queryIdCol), col(idCol), lit(1).as("__t")))
+    nprobes.sorted.map { np =>
+      ivfTopKWithIndex(ix, queries, k, np, idCol, queryIdCol, vecCol)
+        .select(lit(np).as("nprobe"), col(queryIdCol), col(idCol))
+    }.reduce(_ unionByName _)
+      .join(truth, Seq(queryIdCol, idCol), "left_outer")
+      .groupBy(col("nprobe"), col(queryIdCol))
+      .agg(sum(coalesce(col("__t"), lit(0))).cast("long").as("hits"),
+        round(sum(coalesce(col("__t"), lit(0))).cast("double") / k, 4)
+          .as("recall"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int, numPlanes: Int = 10, numTables: Int = 6, probeHamming: Int = 2,
       idCol: String = "vec_id", queryIdCol: String = "query_id",

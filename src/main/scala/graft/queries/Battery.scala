@@ -3870,6 +3870,73 @@ WHERE rk <= 40"""
        |  split_a <> split_b AS is_leak
        |FROM lab GROUP BY split_a, split_b""".stripMargin
 
+  /** IVF recall sweep ([[graft.operators.Similarity.ivfRecallSweep]]):
+    * recall@5 of q43's IVF configuration at nprobe ∈ {1, 2, 4} against
+    * the exact brute-force top-5 — the tuning curve, fully
+    * hash-verified (unlike q28's rows-only LSH probe, every discrete
+    * choice here replays in DuckDB: q43's CTEs per setting + the q26
+    * ground-truth shape + integer intersection counts). */
+  val q107IvfRecallSweep: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.Similarity.ivfRecallSweep(emb, queries, k = 5,
+      numCells = 16, nprobes = Seq(1, 2, 4))
+  }
+
+  val q107Sql: String = {
+    def perNp(np: Int): String =
+      s"""cand$np AS (
+         |  SELECT p.query_id, a.vec_id,
+         |    ROUND(list_cosine_similarity(p.qvec::DOUBLE[],
+         |      a.embedding::DOUBLE[]), 4) AS cosine
+         |  FROM (SELECT vec_id AS query_id, embedding AS qvec, cell
+         |        FROM ranked WHERE vec_id < 3 AND rn <= $np) p
+         |  JOIN asg a ON a.cell = p.cell),
+         |top$np AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS rank
+         |    FROM cand$np)
+         |  WHERE rank <= 5)""".stripMargin
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cell, embedding AS cvec
+       |  FROM embeddings ORDER BY vec_id LIMIT 16),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |    ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+       |      c.cvec::DOUBLE[]), 4) AS cos
+       |  FROM embeddings e CROSS JOIN cent c),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, cell) AS rn
+       |  FROM scored),
+       |asg AS (SELECT vec_id, embedding, cell FROM ranked WHERE rn = 1),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+       |          e.embedding::DOUBLE[]), 4) DESC, e.vec_id) AS rk
+       |    FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < 3)
+       |  WHERE rk <= 5),
+       |${perNp(1)},
+       |${perNp(2)},
+       |${perNp(4)},
+       |allr AS (
+       |  SELECT 1 AS nprobe, query_id, vec_id FROM top1
+       |  UNION ALL SELECT 2, query_id, vec_id FROM top2
+       |  UNION ALL SELECT 4, query_id, vec_id FROM top4)
+       |SELECT r.nprobe, r.query_id,
+       |  CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS hits,
+       |  ROUND(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    ::DOUBLE / 5, 4) AS recall
+       |FROM allr r LEFT JOIN truth t
+       |  ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+       |GROUP BY r.nprobe, r.query_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3981,7 +4048,8 @@ WHERE rk <= 40"""
     "q103_bag_dedup" -> (q103BagDedup, Some(q103Sql)),
     "q104_diversity_select" -> (q104DiversitySelect, Some(q104Sql)),
     "q105_snapshot_diff" -> (q105SnapshotDiff, Some(q105Sql)),
-    "q106_leak_audit" -> (q106LeakAudit, Some(q106Sql)))
+    "q106_leak_audit" -> (q106LeakAudit, Some(q106Sql)),
+    "q107_ivf_recall_sweep" -> (q107IvfRecallSweep, Some(q107Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

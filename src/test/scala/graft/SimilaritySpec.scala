@@ -66,6 +66,41 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("ivfRecallSweep: monotone in nprobe, exact at full probe") {
+    val corpus = (0L until 40L).map { id =>
+      (id, (0 until dim).map(i =>
+        math.sin(id * 7.3 + i * 1.9).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val sweep = Similarity.ivfRecallSweep(corpus, queries, k = 5,
+        numCells = 8, nprobes = Seq(1, 2, 8))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(sweep.size == 9)
+    // probing every cell IS brute force: recall 1.0 for every query
+    (0L until 3L).foreach { q =>
+      assert(sweep((8, q)) == ((5L, 1.0)), s"full probe query $q: ${sweep((8, q))}")
+    }
+    // recall is non-decreasing in nprobe per query
+    (0L until 3L).foreach { q =>
+      assert(sweep((1, q))._1 <= sweep((2, q))._1 &&
+        sweep((2, q))._1 <= sweep((8, q))._1)
+    }
+    // replay one setting from the (separately spec'd) components
+    val ivf1 = Similarity.ivfTopK(corpus, queries, k = 5, numCells = 8,
+      nprobe = 1).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    (0L until 3L).foreach { q =>
+      val want = ivf1.filter(_._1 == q).map(_._2)
+        .intersect(exact.filter(_._1 == q).map(_._2)).size.toLong
+      assert(sweep((1, q))._1 == want)
+    }
+    graft.operators.PersistTracker.releaseAll()
+  }
+
   test("assignment ties break to the lowest cell id") {
     // two identical centroids (ids 0, 1): every vector ties between
     // them and must land in cell 0
