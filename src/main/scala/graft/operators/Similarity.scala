@@ -234,6 +234,32 @@ object Similarity {
       cellOf(col(vecCol)).as("__cell")), cents)
   }
 
+  /**
+   * Incrementally extend an [[IvfIndex]] with a batch of new vectors —
+   * the ANN face of the engine's index-refresh story ([[Retrieval
+   * .mergeIndex]] for BM25, [[Dedup.dedupAgainstIndex]] for dedup):
+   * the batch is assigned against the EXISTING centroids and appended;
+   * the already-assigned corpus is never rescanned (with the assigned
+   * frame stored bucketed on `__cell`, the append writes new files
+   * only). Because cell assignment is a pure function of (vector,
+   * centroids), the merged index is IDENTICAL to a full rebuild over
+   * the union corpus with the same centroids — spec-checked down to
+   * served results.
+   *
+   * The classic IVF caveat applies (Jégou et al. — public knowledge):
+   * centroids drift as the corpus grows; retrain periodically
+   * ([[graft.operators.Clustering.ivfCentroids]]) and re-assign, the
+   * same cadence trade as [[graft.streaming.DedupIngest]]'s compaction.
+   *
+   * Contract: batch ids must be disjoint from the indexed ids.
+   */
+  def addToIvfIndex(index: IvfIndex, batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val add = buildIvfIndex(batch, index.centroids.size, idCol, vecCol,
+      index.centroids)
+    IvfIndex(index.assigned.unionByName(add.assigned), index.centroids)
+  }
+
   /** [[ivfTopK]] against a prepared [[IvfIndex]] — the serving form:
     * the probe list broadcasts into the assigned corpus and only the
     * probed cells are scanned. */
@@ -398,6 +424,20 @@ object Similarity {
     * codebook that decodes them. Materialize `codes` once; serving
     * never touches the float corpus. */
   case class PqIndex(codes: DataFrame, codebook: Seq[Seq[Seq[Float]]])
+
+  /** Incrementally extend a [[PqIndex]]: encode ONLY the batch against
+    * the frozen codebook and append its code rows — identical to a
+    * rebuild over the union with the same codebook (encoding is
+    * per-row), so serving equality is by construction; spec-checked
+    * anyway. Same drift caveat and id-disjointness contract as
+    * [[addToIvfIndex]]. */
+  def addToPqIndex(index: PqIndex, batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): PqIndex = {
+    val m = index.codebook.size
+    val add = buildPqIndex(batch, m, index.codebook.head.size, idCol,
+      vecCol, index.codebook)
+    PqIndex(index.codes.unionByName(add.codes), index.codebook)
+  }
 
   /** Encode the corpus: per-subspace argmax code (rounded-dot, ties to
     * the lowest code) in one narrow pass, no shuffle. Codebook defaults

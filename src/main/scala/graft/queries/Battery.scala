@@ -3937,6 +3937,55 @@ WHERE rk <= 40"""
        |GROUP BY r.nprobe, r.query_id""".stripMargin
   }
 
+  /** Incremental IVF index refresh
+    * ([[graft.operators.Similarity.addToIvfIndex]]): the corpus is
+    * indexed in two generations against ONE frozen centroid set (every
+    * 5th vector arrives as the second batch), then served. Assignment
+    * is a pure per-row function of the centroids, so the merged index
+    * serves identically to a full rebuild — the oracle is q43's replay
+    * shape over the whole corpus, and the hash gate proves the
+    * equivalence. */
+  val q108IvfAdd: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val cents = graft.operators.Similarity.buildIvfIndex(emb, 16).centroids
+    val base = graft.operators.Similarity.buildIvfIndex(
+      emb.filter(col("vec_id") % 5 =!= 0), 16, centroids = cents)
+    val merged = graft.operators.Similarity.addToIvfIndex(
+      base, emb.filter(col("vec_id") % 5 === 0))
+    val queries = emb.filter(col("vec_id") >= 3 && col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.Similarity.ivfTopKWithIndex(merged, queries, k = 5,
+      nprobe = 2)
+  }
+
+  val q108Sql: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cell, embedding AS cvec
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |scored AS (
+      |  SELECT e.vec_id, e.embedding, c.cell,
+      |    ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+      |      c.cvec::DOUBLE[]), 4) AS cos
+      |  FROM embeddings e CROSS JOIN cent c),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cos DESC, cell) AS rn
+      |  FROM scored),
+      |asg AS (SELECT vec_id, embedding, cell FROM ranked WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec, cell
+      |  FROM ranked WHERE vec_id >= 3 AND vec_id < 6 AND rn <= 2),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id,
+      |    ROUND(list_cosine_similarity(p.qvec::DOUBLE[],
+      |      a.embedding::DOUBLE[]), 4) AS cosine
+      |  FROM probes p JOIN asg a ON a.cell = p.cell)
+      |SELECT query_id, rank, vec_id, cosine FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM cand)
+      |WHERE rank <= 5""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4049,7 +4098,8 @@ WHERE rk <= 40"""
     "q104_diversity_select" -> (q104DiversitySelect, Some(q104Sql)),
     "q105_snapshot_diff" -> (q105SnapshotDiff, Some(q105Sql)),
     "q106_leak_audit" -> (q106LeakAudit, Some(q106Sql)),
-    "q107_ivf_recall_sweep" -> (q107IvfRecallSweep, Some(q107Sql)))
+    "q107_ivf_recall_sweep" -> (q107IvfRecallSweep, Some(q107Sql)),
+    "q108_ivf_add" -> (q108IvfAdd, Some(q108Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -101,6 +101,37 @@ class SimilaritySpec extends SparkSpec {
     graft.operators.PersistTracker.releaseAll()
   }
 
+  test("addToIvfIndex / addToPqIndex ≡ rebuild over the union") {
+    val corpus = (0L until 32L).map { id =>
+      (id, (0 until dim).map(i =>
+        math.cos(id * 3.7 + i * 2.3).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val base = corpus.filter($"vec_id" % 4 =!= 0)
+    val batch = corpus.filter($"vec_id" % 4 === 0)
+    val queries = corpus.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding")
+    // IVF: freeze centroids from the full corpus, grow incrementally
+    val cents = Similarity.buildIvfIndex(corpus, 4).centroids
+    val merged = Similarity.addToIvfIndex(
+      Similarity.buildIvfIndex(base, 4, centroids = cents), batch)
+    val rebuilt = Similarity.buildIvfIndex(corpus, 4, centroids = cents)
+    def serveIvf(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopKWithIndex(ix, queries, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    assert(serveIvf(merged) == serveIvf(rebuilt))
+    // the assigned frames agree row for row, not just through serving
+    assert(merged.assigned.select("vec_id", "__cell").collect().toSet ==
+      rebuilt.assigned.select("vec_id", "__cell").collect().toSet)
+    // PQ: frozen codebook, appended codes ≡ rebuilt codes
+    val cb = Similarity.buildPqIndex(corpus, m = 4, codebookSize = 8).codebook
+    val mergedPq = Similarity.addToPqIndex(
+      Similarity.buildPqIndex(base, 4, 8, codebook = cb), batch)
+    val rebuiltPq = Similarity.buildPqIndex(corpus, 4, 8, codebook = cb)
+    assert(mergedPq.codes.collect().toSet == rebuiltPq.codes.collect().toSet)
+    graft.operators.PersistTracker.releaseAll()
+  }
+
   test("assignment ties break to the lowest cell id") {
     // two identical centroids (ids 0, 1): every vector ties between
     // them and must land in cell 0
