@@ -182,6 +182,40 @@ object TextAnalysis {
       text: Column): org.apache.spark.sql.DataFrame =
     df.select(col(idCol), langGuess(text).as("lang_guess"))
 
+  /**
+   * Dictionary-based topic tagging — the keyword-prefilter stage of
+   * domain curation (FineWeb-Edu-style subject gates, source routing,
+   * compliance screens): each document is tagged with every topic
+   * whose keyword list it hits at least `minHits` times (token
+   * OCCURRENCES, multiplicity counted).
+   *
+   * All topic lists are matched in ONE native-expression corpus pass
+   * ([[graft.functions.TextExpressions.WordListHitCounts]] — tokenize
+   * once, one hash-set lookup per token, counts for every list at
+   * once, entirely inside whole-stage codegen — the [[langGuess]]
+   * machinery pointed at user dictionaries). The explode that follows
+   * is |topics|-wide per doc, filtered immediately; no join, no
+   * shuffle — tagging is a scalar map over the corpus scan at any
+   * scale.
+   *
+   * @return `(idCol, topic, n_hits)` — one row per qualifying
+   *         (document, topic)
+   */
+  def keywordTag(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, topics: Seq[(String, Seq[String])],
+      minHits: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(topics.nonEmpty && topics.map(_._1).distinct.size == topics.size,
+      "topics must be non-empty with distinct names")
+    require(minHits >= 1, s"minHits >= 1, got $minHits")
+    val counts = graft.functions.TextExpressions.wordListHitCounts(
+      tokens(lower(text)), topics.map(_._2))
+    val names = array(topics.map(t => lit(t._1)): _*)
+    docs.select(col(idCol), posexplode(counts).as(Seq("__i", "__n")))
+      .filter(col("__n") >= minHits)
+      .select(col(idCol), element_at(names, col("__i") + 1).as("topic"),
+        col("__n").cast("long").as("n_hits"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * engine-portable (identical in DuckDB), used for exact dedup. */
   def fingerprint(text: Column): Column =

@@ -3986,6 +3986,40 @@ WHERE rk <= 40"""
       |  FROM cand)
       |WHERE rank <= 5""".stripMargin
 
+  /** Dictionary topic tagging ([[graft.operators.TextAnalysis
+    * .keywordTag]]): three keyword dictionaries matched in one native
+    * WordListHitCounts pass (the langGuess machinery pointed at user
+    * topics); docs tagged with every topic hit ≥ 4 times, occurrence
+    * multiplicity counted. Oracle replays each list's filtered token
+    * count. */
+  val q109KeywordTag: Q = (s, dir) =>
+    graft.operators.TextAnalysis.keywordTag(
+      t(s, dir, "documents"), "doc_id", col("text"),
+      topics = Seq(
+        "joins" -> Seq("join", "merge", "hash"),
+        "ordering" -> Seq("sort", "order", "window"),
+        "io" -> Seq("scan", "read", "write", "line")),
+      minHits = 4)
+
+  val q109Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id, 'joins' AS topic, CAST(len(list_filter(t,
+      |    x -> x IN ('join', 'merge', 'hash'))) AS BIGINT) AS n_hits
+      |  FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, 'ordering', CAST(len(list_filter(t,
+      |    x -> x IN ('sort', 'order', 'window'))) AS BIGINT)
+      |  FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, 'io', CAST(len(list_filter(t,
+      |    x -> x IN ('scan', 'read', 'write', 'line'))) AS BIGINT)
+      |  FROM toks)
+      |SELECT doc_id, topic, n_hits FROM hits WHERE n_hits >= 4""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4099,7 +4133,8 @@ WHERE rk <= 40"""
     "q105_snapshot_diff" -> (q105SnapshotDiff, Some(q105Sql)),
     "q106_leak_audit" -> (q106LeakAudit, Some(q106Sql)),
     "q107_ivf_recall_sweep" -> (q107IvfRecallSweep, Some(q107Sql)),
-    "q108_ivf_add" -> (q108IvfAdd, Some(q108Sql)))
+    "q108_ivf_add" -> (q108IvfAdd, Some(q108Sql)),
+    "q109_keyword_tag" -> (q109KeywordTag, Some(q109Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -312,6 +312,27 @@ class TextExpressionsSpec extends SparkSpec {
       r4((2 * math.log(3.0 / 4) + math.log(2.0 / 3)) / 3))))
   }
 
+  test("keywordTag: multiplicity counted, minHits gate, multi-topic docs") {
+    val docs = Seq(
+      (1L, "join join merge sort"),      // joins=3, ordering=1
+      (2L, "sort sort ORDER window"),    // ordering=4 (case-folded)
+      (3L, "join sort scan"),            // 1 hit each — below every gate
+      (4L, "")).toDF("doc_id", "text")
+    val topics = Seq(
+      "joins" -> Seq("join", "merge", "hash"),
+      "ordering" -> Seq("sort", "order", "window"))
+    val got = TextAnalysis.keywordTag(docs, "doc_id", col("text"),
+        topics, minHits = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "joins", 3L), (2L, "ordering", 4L)))
+    // minHits=1: doc 3 tags BOTH topics; empty doc tags none
+    val loose = TextAnalysis.keywordTag(docs, "doc_id", col("text"),
+        topics, minHits = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(loose.count(_._1 == 3L) == 2)
+    assert(!loose.exists(_._1 == 4L))
+  }
+
   test("perplexityBuckets: per-language terciles, >= edges, short docs drop") {
     val rows = Seq(
       (1L, "en", "a b a b a b a b"),
