@@ -55,6 +55,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"cutoff join shuffled the corpus:\n$p")
   }
 
+  test("keywordTag is a shuffle-free scalar map over the scan") {
+    val p = plan(graft.operators.TextAnalysis.keywordTag(
+      docs, "doc_id", col("text"),
+      Seq("t" -> Seq("alpha", "beta"), "u" -> Seq("gamma"))))
+    assert(!p.contains("Exchange"), s"tagging shuffled:\n$p")
+  }
+
+  test("bagFingerprint dedup adds exactly the one fingerprint shuffle") {
+    // AQE's toString repeats the plan under "== Initial Plan ==" — count
+    // exchanges in the FINAL section only
+    val df = graft.operators.Dedup.exactDedup(docs,
+      graft.operators.TextAnalysis.bagFingerprint(col("text")),
+      col("doc_id"))
+    val p = plan(df).split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly 1 hash shuffle, got $shuffles:\n$p")
+  }
+
+  test("mergeIndex: tf side is a union of the cached sides, no join above") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Union}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val base = Retrieval.buildIndex(docs.filter($"doc_id" <= 100))
+    val merged = Retrieval.mergeIndex(base, docs.filter($"doc_id" > 100))
+    // the per-side tf BUILD legitimately joins (tf ⋈ dl) inside its cached
+    // plan; the MERGE itself must add only a Union above the cache leaves
+    def aboveCache(p: LogicalPlan): Seq[LogicalPlan] = p match {
+      case _: InMemoryRelation => Nil
+      case other => other +: other.children.flatMap(aboveCache)
+    }
+    val nodes = aboveCache(merged.tf.queryExecution.optimizedPlan)
+    assert(nodes.exists(_.isInstanceOf[Union]),
+      s"tf merge must be a union:\n${merged.tf.queryExecution.optimizedPlan}")
+    assert(!nodes.exists(_.isInstanceOf[Join]),
+      s"tf merge joined above the cached sides:\n${merged.tf.queryExecution.optimizedPlan}")
+    graft.operators.Dedup.releasePersisted()
+  }
+
   test("budgetMixture keep-filter is shuffle-free; DSIR model broadcasts") {
     val src = docs.withColumn("src",
       concat(lit("s"), pmod(col("doc_id"), lit(2))))
