@@ -44,6 +44,16 @@ object CorpusDemo {
       println(s"[dedup/near] pairs=${pairs.count()} canonical=${canon.count()}")
       Dedup.releasePersisted()
 
+      val contained = Dedup.containmentPairsText(uniq, "doc_id",
+        col("text"), n = 3, num = 7, den = 10)
+      println(s"[dedup/containment] directed_pairs=${contained.count()}")
+      Dedup.releasePersisted()
+
+      val bags = Dedup.exactDedup(uniq,
+        TextAnalysis.bagFingerprint(col("text")), col("doc_id"))
+      println(s"[dedup/bag] reordered_dups=" +
+        bags.filter(col("is_duplicate")).count())
+
       val spans = TextAnalysis.duplicatedSpanStats(uniq, "doc_id",
         col("text"), n = 8)
       println(s"[spans] docs_with_dup_spans=" +
@@ -65,6 +75,18 @@ object CorpusDemo {
       println(s"[quality] above_per_lang_p25=${gated.count()} " +
         "mean_compress_ratio=" + uniq.agg(round(avg(
           TextAnalysis.compressionRatio(col("text"))), 4)).head.get(0))
+
+      val buckets = TextAnalysis.perplexityBuckets(uniq, uniq, "doc_id",
+        col("text"), col("lang"))
+      println(s"[quality/ppl] " + buckets.groupBy("bucket").count()
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+        .sorted.mkString(" "))
+      Dedup.releasePersisted()
+
+      val tags = TextAnalysis.keywordTag(uniq, "doc_id", col("text"),
+        Seq("joins" -> Seq("join", "merge", "hash"),
+          "ordering" -> Seq("sort", "order", "window")), minHits = 4)
+      println(s"[tag] tagged_rows=${tags.count()}")
 
       val nbSplit = Sampling.assignSplit(uniq, col("doc_id"), "demo-nb")
       val nbModel = Classify.trainTokenNb(
@@ -107,6 +129,17 @@ object CorpusDemo {
       println(s"[mix/leakfree] components_straddling=$straddling")
       Dedup.releasePersisted()
 
+      val leaks = Sampling.splitLeakageAudit(pairs,
+        split.select("doc_id", "split"))
+      println(s"[mix/leak-audit] cross_split_pairs=" +
+        leaks.filter(col("is_leak")).agg(sum("n_pairs")).head.get(0))
+      Dedup.releasePersisted()
+
+      val diverse = Sampling.diversitySelect(emb, k = 4, iters = 2,
+        quota = 60)
+      println(s"[select/diversity] kept=${diverse.count()}")
+      Dedup.releasePersisted()
+
       val tok = TextAnalysis.tokenCount(col("text"))
       val mixKept = Sampling.budgetMixture(uniq, col("source"),
         col("doc_id"), tok,
@@ -127,6 +160,34 @@ object CorpusDemo {
       println(s"[retrieve] top=" + hits.collect()
         .map(r => s"doc${r.getLong(2)}@${r.getDouble(3)}").mkString(" "))
       Dedup.releasePersisted()
+
+      // incremental refresh: index most of the corpus, merge the rest in,
+      // then diff the "refreshed" corpus against the original
+      val baseIx = Retrieval.buildIndex(uniq.filter(col("doc_id") % 7 =!= 0))
+      val merged = Retrieval.mergeIndex(baseIx,
+        uniq.filter(col("doc_id") % 7 === 0))
+      val mergedHits = Retrieval.bm25TopKWithIndex(merged, queries, k = 3)
+      println(s"[retrieve/merge] top=" + mergedHits.collect()
+        .map(r => s"doc${r.getLong(2)}@${r.getDouble(3)}").mkString(" "))
+      Dedup.releasePersisted()
+
+      val sweep = Similarity.ivfRecallSweep(emb,
+        emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5, numCells = 16, nprobes = Seq(1, 4))
+      println(s"[retrieve/ann-sweep] " + sweep.groupBy("nprobe")
+        .agg(round(avg("recall"), 4).as("r")).collect()
+        .map(r => s"nprobe${r.getInt(0)}=${r.getDouble(1)}")
+        .sorted.mkString(" "))
+      Dedup.releasePersisted()
+
+      val diff = Dedup.snapshotDiff(docs,
+        uniq.withColumn("text",
+          when(col("doc_id") % 9 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))), "doc_id", col("text"))
+      println(s"[version/diff] " + diff.groupBy("status").count()
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+        .sorted.mkString(" "))
 
       val bpe = Bpe.trainBpe(Bpe.wordTypes(uniq, col("text")), rounds = 8)
       val costed = Bpe.bpeTokenCounts(bpe, uniq, "doc_id", col("text"))
