@@ -597,6 +597,42 @@ object TextAnalysis {
   }
 
   /**
+   * Inverse-Cloze-Task pair generation (Lee et al. 2019, ICT — public
+   * knowledge): for every document long enough, split the token stream
+   * into a pseudo-QUERY (the middle third) and its CONTEXT (the
+   * remainder) — the self-supervised positive pairs that bootstrap
+   * dense-retriever training before any labeled data exists. Pairs with
+   * [[graft.operators.Similarity.hardNegatives]] for the negative side
+   * of the objective.
+   *
+   * Deterministic span arithmetic (no RNG, unlike the paper's random
+   * sentence draw — reproducibility over variety, the engine's
+   * standing trade): query = tokens `⌊n/3⌋+1 .. ⌊2n/3⌋`, context =
+   * head ++ tail. One narrow codegen projection; docs under
+   * `minTokens` drop.
+   *
+   * @return `(idCol, n_tokens, query_text, context_text)`
+   */
+  def ictPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, minTokens: Int = 9): org.apache.spark.sql.DataFrame = {
+    require(minTokens >= 3, s"minTokens >= 3, got $minTokens")
+    val t = tokens(lower(text))
+    val n = size(t)
+    val qstart = floor(n / 3).cast("int") + 1
+    val qend = floor(n * 2 / 3).cast("int")
+    docs.select(col(idCol), t.as("__t"), n.as("n_tokens"),
+        qstart.as("__a"), qend.as("__b"))
+      .filter(col("n_tokens") >= minTokens)
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("__t"), col("__a"),
+          col("__b") - col("__a") + 1)).as("query_text"),
+        concat_ws(" ", concat(
+          slice(col("__t"), lit(1), col("__a") - 1),
+          slice(col("__t"), col("__b") + 1, col("n_tokens") - col("__b"))))
+          .as("context_text"))
+  }
+
+  /**
    * CCNet-style language-model bucketing (Wenzek et al. 2020 — public
    * knowledge): score every document with the corpus bigram LM
    * ([[bigramLmScoresAgainst]]), compute PER-LANGUAGE score cutoffs at

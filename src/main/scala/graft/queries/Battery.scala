@@ -4020,6 +4020,31 @@ WHERE rk <= 40"""
       |  FROM toks)
       |SELECT doc_id, topic, n_hits FROM hits WHERE n_hits >= 4""".stripMargin
 
+  /** ICT pair generation ([[graft.operators.TextAnalysis.ictPairs]]):
+    * deterministic inverse-cloze query/context splits (middle third vs
+    * remainder) over every document with ≥ 12 tokens — the
+    * self-supervised retriever-training pairs. Oracle replays the
+    * `⌊n/3⌋` span arithmetic and both string reassemblies. */
+  val q110IctPairs: Q = (s, dir) =>
+    graft.operators.TextAnalysis.ictPairs(
+      t(s, dir, "documents"), "doc_id", col("text"), minTokens = 12)
+
+  val q110Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents),
+      |spans AS (
+      |  SELECT doc_id, t, len(t) AS n,
+      |    CAST(floor(len(t) / 3) AS INT) + 1 AS a,
+      |    CAST(floor(len(t) * 2 / 3) AS INT) AS b
+      |  FROM toks WHERE len(t) >= 12)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |  array_to_string(t[a:b], ' ') AS query_text,
+      |  array_to_string(list_concat(t[1:a-1], t[b+1:n]), ' ')
+      |    AS context_text
+      |FROM spans""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4134,7 +4159,8 @@ WHERE rk <= 40"""
     "q106_leak_audit" -> (q106LeakAudit, Some(q106Sql)),
     "q107_ivf_recall_sweep" -> (q107IvfRecallSweep, Some(q107Sql)),
     "q108_ivf_add" -> (q108IvfAdd, Some(q108Sql)),
-    "q109_keyword_tag" -> (q109KeywordTag, Some(q109Sql)))
+    "q109_keyword_tag" -> (q109KeywordTag, Some(q109Sql)),
+    "q110_ict_pairs" -> (q110IctPairs, Some(q110Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

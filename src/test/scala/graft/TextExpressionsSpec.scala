@@ -333,6 +333,25 @@ class TextExpressionsSpec extends SparkSpec {
     assert(!loose.exists(_._1 == 4L))
   }
 
+  test("ictPairs: middle-third query, context covers the rest exactly") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),      // n=9: query d e f, context a b c g h i
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // n=10: a=4, b=6
+      (3L, "too short here")).toDF("doc_id", "text")
+    val got = TextAnalysis.ictPairs(docs, "doc_id", col("text"),
+        minTokens = 9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(got(1L) == ((9L, "d e f", "a b c g h i")))
+    assert(got(2L) == ((10L, "w4 w5 w6", "w1 w2 w3 w7 w8 w9 w10")))
+    assert(!got.contains(3L))
+    // reconstruction invariant: query ++ context is a permutation-free
+    // re-partition of the token stream (counts match)
+    got.values.foreach { case (n, q, c) =>
+      assert(q.split(" ").length + c.split(" ").length == n)
+    }
+  }
+
   test("perplexityBuckets: per-language terciles, >= edges, short docs drop") {
     val rows = Seq(
       (1L, "en", "a b a b a b a b"),
