@@ -346,4 +346,61 @@ object TextExpressions {
       DeflateLen(org.apache.spark.sql.graftbridge.ColumnBridge.expr(str),
         level))
   }
+
+  /** Accent-fold worker: NFD-decompose, then drop every combining mark
+    * (`\p{M}`) — the `java.text.Normalizer` twin of DuckDB's
+    * `strip_accents` on Latin diacritics (á→a, ñ→n, ç→c; verified
+    * char-for-char against DuckDB on the Latin-1 range). Pure-ASCII
+    * inputs — the overwhelming crawl majority — short-circuit without
+    * allocating: UTF8String byte length == char count implies no code
+    * point above 0x7F, hence NFD is the identity. Stateless per row, so
+    * one shared instance rides the codegen references array. */
+  final class FoldWorker extends Serializable {
+    @transient private lazy val marks =
+      java.util.regex.Pattern.compile("\\p{M}+")
+
+    def fold(s: UTF8String): UTF8String = {
+      if (s.numBytes == s.numChars) s // pure ASCII: nothing to decompose
+      else {
+        val d = java.text.Normalizer.normalize(
+          s.toString, java.text.Normalizer.Form.NFD)
+        UTF8String.fromString(marks.matcher(d).replaceAll(""))
+      }
+    }
+  }
+
+  /**
+   * Accent folding (NFD + combining-mark strip) as a native expression:
+   * the pre-fingerprint normalizer for the Unicode-variant duplicate
+   * class — the same prose re-encoded with diacritics from different
+   * crawl renderings. Spark has no built-in `normalize`/`unaccent`, and
+   * a Scala UDF here would break whole-stage codegen on the dedup
+   * scan's hottest projection; this stays fused, with an allocation-free
+   * ASCII fast path.
+   */
+  case class FoldAccents(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.StringType
+    override def prettyName: String = "graft_fold_accents"
+
+    @transient private lazy val worker = new FoldWorker
+
+    override protected def nullSafeEval(input: Any): Any =
+      worker.fold(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("foldWorker", worker,
+        classOf[FoldWorker].getName)
+      nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.fold($s);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column wrapper for [[FoldAccents]]. */
+  def foldAccents(str: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      FoldAccents(org.apache.spark.sql.graftbridge.ColumnBridge.expr(str)))
 }

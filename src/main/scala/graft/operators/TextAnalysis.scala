@@ -232,6 +232,22 @@ object TextAnalysis {
   def bagFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(tokens(lower(text)))))
 
+  /** FOLD-NORMALIZED content fingerprint: md5 over text that has been
+    * accent-folded (NFD, combining marks dropped —
+    * [[graft.functions.TextExpressions.FoldAccents]]), lowercased, and
+    * had every non-alphanumeric run collapsed to one space. Catches the
+    * Unicode-variant duplicate class [[fingerprint]] misses: the same
+    * prose re-encoded with diacritics, case jitter, or
+    * punctuation/markup noise (smart quotes, list bullets, separator
+    * runs) across crawl renderings. Engine-portable — DuckDB:
+    * `md5(trim(regexp_replace(lower(strip_accents(text)),
+    * '[^a-z0-9]+', ' ', 'g')))`. One narrow codegen projection; feed to
+    * [[Dedup.exactDedup]] for the same one-shuffle dedup shape. */
+  def foldedFingerprint(text: Column): Column =
+    md5(trim(regexp_replace(
+      lower(graft.functions.TextExpressions.foldAccents(text)),
+      "[^a-z0-9]+", " ")))
+
   /**
    * Winnowing document fingerprints (the rolling-hash sketch of
    * Schleimer/Wilkerson/Aiken's MOSS): hash every k-gram, slide a window

@@ -4045,6 +4045,51 @@ WHERE rk <= 40"""
       |    AS context_text
       |FROM spans""".stripMargin
 
+  /** Fold-normalized exact dedup ([[graft.operators.TextAnalysis
+    * .foldedFingerprint]]): accent-fold (native NFD expression) +
+    * casefold + punctuation collapse before hashing — the
+    * Unicode-variant duplicate class the plain content fingerprint
+    * structurally misses. The corpus plants two renderings per 25 docs:
+    * a diacritic re-encoding (`a→á` etc.) and an upper-case +
+    * separator-noise copy; both collapse onto their source doc. Oracle:
+    * DuckDB's `strip_accents` chain (verified char-for-char with the
+    * NFD fold on Latin-1). */
+  val q111FoldDedup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val accented = docs.filter(col("doc_id") % 25 === 7)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        translate(col("text"), "aeio", "áéíó")
+          .as("text"))
+    val noisy = docs.filter(col("doc_id") % 25 === 12)
+      .select((col("doc_id") + 40000).as("doc_id"),
+        regexp_replace(upper(col("text")), " ", " -- ").as("text"))
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(accented).unionByName(noisy)
+    graft.operators.Dedup.exactDedup(corpus,
+        graft.operators.TextAnalysis.foldedFingerprint(col("text")),
+        col("doc_id"))
+      .select(col("doc_id"), col("is_duplicate"))
+  }
+
+  val q111Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 20000,
+      |    translate(text, 'aeio', 'áéíó')
+      |  FROM documents WHERE doc_id % 25 = 7
+      |  UNION ALL
+      |  SELECT doc_id + 40000, regexp_replace(upper(text), ' ', ' -- ', 'g')
+      |  FROM documents WHERE doc_id % 25 = 12),
+      |fp AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(strip_accents(text)),
+      |    '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |  FROM corpus)
+      |SELECT doc_id,
+      |  (ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)) > 1
+      |    AS is_duplicate
+      |FROM fp""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4160,7 +4205,8 @@ WHERE rk <= 40"""
     "q107_ivf_recall_sweep" -> (q107IvfRecallSweep, Some(q107Sql)),
     "q108_ivf_add" -> (q108IvfAdd, Some(q108Sql)),
     "q109_keyword_tag" -> (q109KeywordTag, Some(q109Sql)),
-    "q110_ict_pairs" -> (q110IctPairs, Some(q110Sql)))
+    "q110_ict_pairs" -> (q110IctPairs, Some(q110Sql)),
+    "q111_fold_dedup" -> (q111FoldDedup, Some(q111Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -263,6 +263,40 @@ class TextExpressionsSpec extends SparkSpec {
     assert(got == cases.map(_._2))
   }
 
+  test("foldAccents + foldedFingerprint: Unicode-variant dedup class") {
+    val docs = Seq(
+      (1L, "Résumé, Café — niño!"), // accented
+      (2L, "resume cafe nino"),                              // folded twin
+      (3L, "RESUME -- CAFE -- NINO"),                        // case+punct
+      (4L, "plain ascii text stays put"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def cols(codegen: Boolean): Map[Long, (String, String)] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try docs.select(col("doc_id"),
+          TextExpressions.foldAccents(col("text")).as("f"),
+          TextAnalysis.foldedFingerprint(col("text")).as("fp"))
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.getString(1)).orNull, Option(r.getString(2)).orNull))
+        .toMap
+      finally spark.conf.set("spark.sql.codegen.wholeStage", true)
+    }
+    val r = cols(codegen = true)
+    // NFD fold: á→a, é→e, ñ→n; em-dash survives the fold (punct handled
+    // downstream by the fingerprint's [^a-z0-9] collapse)
+    assert(r(1L)._1 == "Resume, Cafe — nino!")
+    assert(r(4L)._1 == "plain ascii text stays put") // ASCII fast path
+    assert(r(5L) == ((null, null)))
+    // all three renderings collapse onto ONE folded fingerprint...
+    assert(r(1L)._2 == r(2L)._2 && r(2L)._2 == r(3L)._2)
+    // ...which the plain content fingerprint provably misses
+    val plain = docs.filter(col("doc_id") <= 3)
+      .select(TextAnalysis.fingerprint(col("text"))).as[String]
+      .collect().toSet
+    assert(plain.size == 3)
+    assert(r == cols(codegen = false)) // interpreted ≡ generated
+  }
+
   test("compressionRatio: repetitive < prose < noise; codegen = interpreted") {
     val rnd = new scala.util.Random(5)
     val docs = Seq(
