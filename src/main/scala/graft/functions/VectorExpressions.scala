@@ -185,6 +185,76 @@ object VectorExpressions {
   }
 
   /**
+   * Signed-projection matrix multiply for Johnson–Lindenstrauss
+   * dimensionality reduction: `out[i] = (Σ_j signs[i][j]·v[j]) /
+   * sqrt(outDim)` with a ±1 sign matrix riding the references array
+   * (constant per query — NO literal tree, and no per-output-dim
+   * unrolled projection, which is exactly the Janino 64 KB shape that
+   * broke the PQ encode at larger m×k). One fused loop over the input
+   * dimensions, all output dims accumulated together, inside
+   * whole-stage codegen.
+   */
+  case class SignedProject(child: Expression, signs: Array[Array[Double]])
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_signed_project"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = math.min(v.numElements(), signs(0).length)
+      val acc = new Array[Double](signs.length)
+      var d = 0
+      while (d < dim) {
+        val x = elemAt(child.dataType, v, d)
+        var r = 0
+        while (r < signs.length) { acc(r) += x * signs(r)(d); r += 1 }
+        d += 1
+      }
+      val scale = math.sqrt(signs.length.toDouble)
+      var r = 0
+      while (r < acc.length) { acc(r) = acc(r) / scale; r += 1 }
+      new GenericArrayData(acc)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = ctx.addReferenceObj("signs", signs, "double[][]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+        val r = ctx.freshName("r"); val x = ctx.freshName("x")
+        val dim = ctx.freshName("dim"); val scale = ctx.freshName("scale")
+        s"""
+           |int $dim = java.lang.Math.min($v.numElements(), $m[0].length);
+           |double[] $acc = new double[$m.length];
+           |for (int $d = 0; $d < $dim; $d++) {
+           |  double $x = ${elemAccessor(child.dataType, v, d)};
+           |  for (int $r = 0; $r < $m.length; $r++) {
+           |    $acc[$r] += $x * $m[$r][$d];
+           |  }
+           |}
+           |double $scale = java.lang.Math.sqrt((double) $m.length);
+           |for (int $r = 0; $r < $m.length; $r++) {
+           |  $acc[$r] = $acc[$r] / $scale;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($acc);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column wrapper for [[SignedProject]]. */
+  def signedProject(vec: Column, signs: Array[Array[Double]]): Column = {
+    require(signs.nonEmpty && signs.forall(_.length == signs(0).length),
+      "sign matrix must be rectangular and non-empty")
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      SignedProject(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec), signs))
+  }
+
+  /**
    * |a ∩ b| for two SORTED long arrays via a linear merge walk — no
    * per-row hash-set allocation (array_intersect builds one per side per
    * row, which dominated the n-gram Jaccard verify step at 400k+

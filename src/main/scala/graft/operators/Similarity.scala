@@ -151,6 +151,41 @@ object Similarity {
   def lshKeysAllTables(vec: Column, tables: Seq[Seq[Seq[Double]]]): Column =
     graft.functions.VectorExpressions.lshKeys(vec, tables)
 
+  /** Deterministic PORTABLE ±1 sign matrix for [[randomProject]]:
+    * `signs(i)(j)` is +1 when the 60-bit md5 prefix of
+    * `"<seed>_<i>_<j>"` is even — replayable in any engine with md5
+    * (DuckDB: `('0x' || substr(md5(seed || '_' || i || '_' || j), 1,
+    * 15))::BIGINT % 2`), unlike a JVM `Random` stream. Rademacher ±1
+    * entries satisfy the Johnson–Lindenstrauss guarantee (Achlioptas
+    * 2003) without Gaussian sampling. */
+  def jlSigns(dim: Int, outDim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, dim) { (i, j) =>
+      val hex = md.digest(s"${seed}_${i}_${j}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /**
+   * Johnson–Lindenstrauss random projection: `dim → outDim` with a
+   * deterministic Rademacher (±1/√outDim) matrix — the cheap
+   * distance-preserving dimensionality reduction that runs BEFORE the
+   * expensive ANN machinery at scale (shorter vectors shrink every
+   * downstream shuffle, LSH hash, and PQ training pass by dim/outDim).
+   *
+   * Plan shape: ONE narrow codegen projection over the corpus
+   * ([[graft.functions.VectorExpressions.SignedProject]] — the sign
+   * matrix rides the references array; no literal tree, no per-dim
+   * unrolling, no shuffle). Returns `(idCol, proj: array<double>)`.
+   */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int = 64, outDim: Int = 16, seed: Long = 7L): DataFrame =
+    df.select(col(idCol),
+      graft.functions.VectorExpressions.signedProject(
+        col(vecCol), jlSigns(dim, outDim, seed)).as("proj"))
+
   /** XOR masks for all keys within Hamming distance `h` of a key. */
   private def probeMasks(bits: Int, h: Int): Seq[Int] = {
     val m0 = Seq(0)

@@ -4090,6 +4090,37 @@ WHERE rk <= 40"""
       |    AS is_duplicate
       |FROM fp""".stripMargin
 
+  /** Johnson–Lindenstrauss random projection ([[graft.operators
+    * .Similarity.randomProject]]): 64 → 16 dims through a deterministic
+    * Rademacher ±1/√16 matrix derived from portable md5 parity — the
+    * cheap distance-preserving reduction that runs BEFORE the ANN
+    * machinery at scale. One narrow codegen projection (sign matrix in
+    * the references array, no unrolling). The oracle rebuilds every
+    * sign with the same md5-parity device and replays each output
+    * component via an ORDERED list dot product. */
+  val q112RandomProj: Q = (s, dir) =>
+    graft.operators.Similarity.randomProject(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, outDim = 16, seed = 7L)
+      .select(col("vec_id"), posexplode(col("proj")))
+      .toDF("vec_id", "dim", "v")
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        // + 0.0 folds IEEE negative zero to +0.0 — the engines round
+        // tiny sums to -0.0 on different rows, and the hash compare is
+        // string-based ('-0.0' != '0.0')
+        (round(col("v"), 4) + lit(0.0)).as("v"))
+
+  val q112Sql: String =
+    """WITH signs AS (
+      |  SELECT i, list_transform(range(0, 64), j ->
+      |    CASE WHEN ('0x' || substr(md5(7 || '_' || i || '_' || j), 1, 15))
+      |      ::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) AS s
+      |  FROM (SELECT unnest(range(0, 16)) AS i))
+      |SELECT e.vec_id, s.i AS dim,
+      |  ROUND(list_dot_product(e.embedding::DOUBLE[], s.s) / sqrt(16), 4)
+      |    + 0.0 AS v
+      |FROM embeddings e CROSS JOIN signs s""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4206,7 +4237,8 @@ WHERE rk <= 40"""
     "q108_ivf_add" -> (q108IvfAdd, Some(q108Sql)),
     "q109_keyword_tag" -> (q109KeywordTag, Some(q109Sql)),
     "q110_ict_pairs" -> (q110IctPairs, Some(q110Sql)),
-    "q111_fold_dedup" -> (q111FoldDedup, Some(q111Sql)))
+    "q111_fold_dedup" -> (q111FoldDedup, Some(q111Sql)),
+    "q112_random_proj" -> (q112RandomProj, Some(q112Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -413,4 +413,44 @@ class SimilaritySpec extends SparkSpec {
       Similarity.annSearchRerank(ivf, pq, queries, k = 5, candidates = 4)
     }
   }
+
+  test("randomProject: manual replay, codegen parity, JL distortion") {
+    // sign matrix: deterministic, ±1, rectangular
+    val signs = Similarity.jlSigns(dim = 8, outDim = 4, seed = 7L)
+    assert(signs.length == 4 && signs.forall(_.length == 8))
+    assert(signs.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(signs.flatten.toSeq ==
+      Similarity.jlSigns(8, 4, 7L).flatten.toSeq) // stable
+    assert(signs.flatten.toSeq !=
+      Similarity.jlSigns(8, 4, 8L).flatten.toSeq) // seed-sensitive
+
+    val vecs = clustered
+    def proj(codegen: Boolean): Map[Long, Seq[Double]] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try Similarity.randomProject(vecs, "vec_id", "embedding",
+          dim = 8, outDim = 4, seed = 7L)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      finally spark.conf.set("spark.sql.codegen.wholeStage", true)
+    }
+    val got = proj(codegen = true)
+    // exact manual replay of one row: out[i] = Σ signs(i)(j)·v[j] / √4
+    val v5 = vecs.filter($"vec_id" === 5L)
+      .collect()(0).getSeq[Float](1).map(_.toDouble)
+    val want = signs.map(row =>
+      row.zip(v5).map { case (s, x) => s * x }.sum / math.sqrt(4.0))
+    assert(got(5L).zip(want).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(got == proj(codegen = false))
+    // JL smoke: projected pairwise euclidean distances stay within a
+    // loose distortion band of the originals (Rademacher, outDim 4)
+    val orig = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def d(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ratios = for {
+      i <- orig.keys.toSeq.sorted; j <- orig.keys.toSeq.sorted if i < j
+      od = d(orig(i), orig(j)) if od > 0.1
+    } yield d(got(i), got(j)) / od
+    assert(ratios.nonEmpty && ratios.forall(r => r > 0.2 && r < 3.0),
+      s"distortion out of band: min=${ratios.min} max=${ratios.max}")
+  }
 }
