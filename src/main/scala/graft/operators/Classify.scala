@@ -199,4 +199,46 @@ object Classify {
         count(lit(1)).as("n_feats"),
         round(avg(coalesce(col("lr"), lit(model.defaultLr))), 4)
           .as("dsir_logratio"))
+
+  /**
+   * kNN label propagation over an embedding table — the semi-supervised
+   * auto-labeler: every row whose `labelCol` is null receives the
+   * MAJORITY label of its `k` nearest labeled neighbors by rounded
+   * cosine (the standard seed-set → full-corpus annotation step for
+   * topic/quality/language tags when only a small labeled set exists).
+   * Fully deterministic: neighbor rank ties break on the 4-dp cosine
+   * then neighbor id ([[Similarity.bruteForceTopK]]'s contract); vote
+   * ties break on (votes desc, label asc).
+   *
+   * Scale shape: labeled seed sets are small — the unlabeled side is
+   * never shuffled (broadcast queries in the scoring pass would invert
+   * at corpus scale, so here the UNLABELED rows are the broadcast
+   * queries only when they fit; for corpus-scale propagation swap the
+   * brute-force stage for an ANN candidate pass —
+   * [[Similarity.ivfTopKWithIndex]] / [[Similarity.annSearchRerank]]
+   * with depth ≫ k — and vote over the candidate list, exactly the
+   * [[Similarity.hardNegatives]] guidance).
+   *
+   * @return `(idCol, pred_label, votes)` — one row per unlabeled input
+   */
+  def knnPropagate(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = emb.filter(col(labelCol).isNotNull)
+    val queries = emb.filter(col(labelCol).isNull)
+      .select(col(idCol).as("query_id"), col(vecCol))
+    val nn = Similarity.bruteForceTopK(
+      labeled.select(col(idCol), col(vecCol)), queries, k,
+      idCol = idCol, vecCol = vecCol)
+    val voted = nn
+      .join(labeled.select(col(idCol), col(labelCol)), Seq(idCol))
+      .groupBy(col("query_id"), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col(labelCol))
+    voted.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id").as(idCol), col(labelCol).as("pred_label"),
+        col("votes"))
+  }
 }

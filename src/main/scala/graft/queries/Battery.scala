@@ -4121,6 +4121,40 @@ WHERE rk <= 40"""
       |    + 0.0 AS v
       |FROM embeddings e CROSS JOIN signs s""".stripMargin
 
+  /** kNN label propagation ([[graft.operators.Classify.knnPropagate]]):
+    * rows with `vec_id % 5 = 0` have their label masked to null, then
+    * receive the majority label of their 5 nearest LABELED neighbors by
+    * 4-dp cosine — the seed-set → full-corpus auto-annotation step.
+    * Vote ties break (votes desc, label asc); neighbor ties on
+    * (cosine desc, id). The oracle replays the mask, every neighbor
+    * rank, and both tie-breaks. */
+  val q113KnnLabel: Q = (s, dir) =>
+    graft.operators.Classify.knnPropagate(
+      t(s, dir, "embeddings").withColumn("label",
+        when(col("vec_id") % 5 === 0, lit(null)).otherwise(col("label"))),
+      "vec_id", "embedding", "label", k = 5)
+
+  val q113Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    CASE WHEN vec_id % 5 = 0 THEN NULL ELSE label END AS label
+      |  FROM embeddings),
+      |nn AS (
+      |  SELECT u.vec_id AS query_id, l.label,
+      |    ROW_NUMBER() OVER (PARTITION BY u.vec_id ORDER BY
+      |      ROUND(list_cosine_similarity(u.embedding::DOUBLE[],
+      |        l.embedding::DOUBLE[]), 4) DESC, l.vec_id) AS rank
+      |  FROM e u CROSS JOIN e l
+      |  WHERE u.label IS NULL AND l.label IS NOT NULL),
+      |votes AS (
+      |  SELECT query_id, label, COUNT(*) AS votes
+      |  FROM nn WHERE rank <= 5 GROUP BY 1, 2)
+      |SELECT query_id AS vec_id, label AS pred_label, votes FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY votes DESC, label) AS rn
+      |  FROM votes)
+      |WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4238,7 +4272,8 @@ WHERE rk <= 40"""
     "q109_keyword_tag" -> (q109KeywordTag, Some(q109Sql)),
     "q110_ict_pairs" -> (q110IctPairs, Some(q110Sql)),
     "q111_fold_dedup" -> (q111FoldDedup, Some(q111Sql)),
-    "q112_random_proj" -> (q112RandomProj, Some(q112Sql)))
+    "q112_random_proj" -> (q112RandomProj, Some(q112Sql)),
+    "q113_knn_label" -> (q113KnnLabel, Some(q113Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -106,4 +106,43 @@ class ClassifySpec extends SparkSpec {
     assert(n20 === 3)
     assert(math.abs(s20 - model.defaultLr) <= 1e-4)
   }
+
+  test("knnPropagate: cluster labels propagate; ties break on low label") {
+    // two tight clusters on orthogonal axes, labels 1 and 2; ids 100/101
+    // are unlabeled members of cluster 1 / cluster 2
+    def v(axis: Int, eps: Float): Seq[Float] =
+      Seq.tabulate(4)(i => (if (i == axis) 1.0f else 0.0f) +
+        (if (i == 3) eps else 0.0f))
+    val emb = (Seq(
+      (100L, v(0, 0.01f), null.asInstanceOf[Integer]),
+      (101L, v(1, 0.01f), null.asInstanceOf[Integer])) ++
+      (0 until 6).map(i => (i.toLong, v(i % 2, 0.02f + 0.01f * i),
+        Integer.valueOf(1 + i % 2))))
+      .toDF("vec_id", "embedding", "label")
+    val out = Classify.knnPropagate(emb, "vec_id", "embedding", "label",
+        k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // k=3 around an axis-0 query: the three axis-0 labeled rows (label 1)
+    assert(out(100L) == ((1, 3L)))
+    assert(out(101L) == ((2, 3L)))
+    assert(out.size == 2, "labeled rows must not be re-predicted")
+    // forced tie: k=2 with one neighbor of each label -> smaller label
+    val tie = Classify.knnPropagate(emb, "vec_id", "embedding", "label",
+        k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // nearest two to an axis-0 query are both label-1 members (cosine
+    // orders within the cluster first), so no tie at k=2 here; build one
+    // explicitly: equidistant pair with labels 5 and 9
+    val eq = Seq(
+      (200L, Seq(1.0f, 0.0f), null.asInstanceOf[Integer]),
+      (201L, Seq(1.0f, 0.1f), Integer.valueOf(9)),
+      (202L, Seq(1.0f, -0.1f), Integer.valueOf(5)))
+      .toDF("vec_id", "embedding", "label")
+    val eqOut = Classify.knnPropagate(eq, "vec_id", "embedding", "label",
+        k = 2).collect()
+    assert(eqOut.length == 1)
+    assert(eqOut(0).getInt(1) == 5, "vote tie must take the smaller label")
+    assert(eqOut(0).getLong(2) == 1L)
+    assert(tie.keySet == Set(100L, 101L))
+  }
 }
