@@ -307,6 +307,62 @@ object TextAnalysis {
   }
 
   /**
+   * Per-(source, language) corpus "data card": the one-pass dataset
+   * profile that documents a training mixture (Gebru et al.'s
+   * datasheets, Dolma/RedPajama-style corpus reports) —
+   *
+   *  - `n_docs`, `total_tokens`: the mixture's raw weights;
+   *  - `mean_tokens`, `p50_tokens`: length profile (mean 2 dp; exact
+   *    interpolated median, the q36/q78 `percentile ≡ quantile_cont`
+   *    parity device);
+   *  - `dup_rate`: `1 − distinct content fingerprints / n_docs` —
+   *    within-slice exact-duplicate share;
+   *  - `trigram_diversity`: distinct word 3-grams / total 3-gram
+   *    occurrences — the distinct-n diversity signal that drops on
+   *    templated or model-generated slices (null when no doc in the
+   *    slice reaches 3 tokens).
+   *
+   * Scale shape: two aggregations over the corpus — one doc-level
+   * rollup (tokenize once, narrow projections) and one trigram
+   * explode+count keyed by the SAME (source, lang) — joined on the
+   * group keys; the join frames are |slices|-sized, never the corpus.
+   * Exact distincts are deliberate (the card is an audit artifact; swap
+   * `approx_count_distinct` in only if slices reach billions of
+   * fingerprints).
+   */
+  def dataCard(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, sourceCol: String = "source",
+      langCol: String = "lang"): org.apache.spark.sql.DataFrame = {
+    val keys = Seq(sourceCol, langCol)
+    val base = docs.select(col(sourceCol), col(langCol),
+        tokens(lower(text)).as("__t"), fingerprint(text).as("__fp"))
+      .withColumn("__n", size(col("__t")))
+    val docStats = base.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__n").cast("long").as("total_tokens"),
+        round(avg("__n"), 2).as("mean_tokens"),
+        round(expr("percentile(__n, 0.5)"), 1).as("p50_tokens"),
+        round(lit(1.0) -
+          count_distinct(col("__fp")).cast("double") / count(lit(1)), 4)
+          .as("dup_rate"))
+    val m = size(col("__t"))
+    val tri = base
+      .filter(m >= 3)
+      .select(col(sourceCol), col(langCol), col("__t"),
+        explode(sequence(lit(1), m - 2)).as("__i"))
+      .select(col(sourceCol), col(langCol), concat_ws(" ",
+        element_at(col("__t"), col("__i")),
+        element_at(col("__t"), col("__i") + 1),
+        element_at(col("__t"), col("__i") + 2)).as("__g"))
+      .groupBy(keys.map(col): _*)
+      .agg(round(
+        count_distinct(col("__g")).cast("double") / count(lit(1)), 4)
+        .as("trigram_diversity"))
+    docStats.join(tri, keys, "left")
+  }
+
+  /**
    * Per-document repetition metrics in the style of the Gopher/C4 data
    * quality rules (occurrence fractions over word n-grams):
    *

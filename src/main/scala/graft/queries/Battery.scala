@@ -4155,6 +4155,46 @@ WHERE rk <= 40"""
       |  FROM votes)
       |WHERE rn = 1""".stripMargin
 
+  /** Per-(source, lang) data card ([[graft.operators.TextAnalysis
+    * .dataCard]]): the dataset-report rollup — doc/token weights,
+    * length profile (exact interpolated median), exact-duplicate share,
+    * and distinct-trigram diversity. Two corpus aggregations joined on
+    * the slice keys; the oracle replays every metric including the
+    * `percentile ≡ quantile_cont` device and the trigram explode. */
+  val q114DataCard: Q = (s, dir) =>
+    graft.operators.TextAnalysis.dataCard(
+      t(s, dir, "documents"), "doc_id", col("text"))
+
+  val q114Sql: String =
+    """WITH base AS (
+      |  SELECT source, lang,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> len(x) > 0) AS t,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |n AS (SELECT source, lang, len(t) AS n, t, fp FROM base),
+      |doc_stats AS (
+      |  SELECT source, lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |    ROUND(AVG(n), 2) AS mean_tokens,
+      |    ROUND(quantile_cont(n, 0.5), 1) AS p50_tokens,
+      |    ROUND(1.0 - COUNT(DISTINCT fp)::DOUBLE / COUNT(*), 4)
+      |      AS dup_rate
+      |  FROM n GROUP BY 1, 2),
+      |tg AS (
+      |  SELECT source, lang, t[CAST(i AS INT)] || ' ' ||
+      |    t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
+      |  FROM n, unnest(range(1, n - 1)) AS u(i) WHERE n >= 3),
+      |tri AS (
+      |  SELECT source, lang,
+      |    ROUND(COUNT(DISTINCT g)::DOUBLE / COUNT(*), 4)
+      |      AS trigram_diversity
+      |  FROM tg GROUP BY 1, 2)
+      |SELECT d.source, d.lang, d.n_docs, d.total_tokens, d.mean_tokens,
+      |  d.p50_tokens, d.dup_rate, t.trigram_diversity
+      |FROM doc_stats d LEFT JOIN tri t
+      |  ON t.source = d.source AND t.lang = d.lang""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4273,7 +4313,8 @@ WHERE rk <= 40"""
     "q110_ict_pairs" -> (q110IctPairs, Some(q110Sql)),
     "q111_fold_dedup" -> (q111FoldDedup, Some(q111Sql)),
     "q112_random_proj" -> (q112RandomProj, Some(q112Sql)),
-    "q113_knn_label" -> (q113KnnLabel, Some(q113Sql)))
+    "q113_knn_label" -> (q113KnnLabel, Some(q113Sql)),
+    "q114_data_card" -> (q114DataCard, Some(q114Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -263,6 +263,34 @@ class TextExpressionsSpec extends SparkSpec {
     assert(got == cases.map(_._2))
   }
 
+  test("dataCard: hand-computed slice metrics; short slices go null") {
+    val docs = Seq(
+      // slice (s1, en): 3 docs; doc 2 duplicates doc 1 (fingerprint
+      // collapses case/whitespace). Trigram occurrences: docs 1 and 2
+      // each give "a b c","b c d"; doc 3 gives "a b c" → 5 total,
+      // 2 distinct
+      (1L, "a b c d", "s1", "en"),
+      (2L, "A  b C d", "s1", "en"),
+      (3L, "a b c", "s1", "en"),
+      // slice (s2, fr): one 2-token doc → no trigram row
+      (4L, "xx yy", "s2", "fr"))
+      .toDF("doc_id", "text", "source", "lang")
+    val out = TextAnalysis.dataCard(docs, "doc_id", col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val s1 = out(("s1", "en"))
+    assert(s1.getLong(2) == 3L)                 // n_docs
+    assert(s1.getLong(3) == 11L)                // total tokens 4+4+3
+    assert(s1.getDouble(4) == 3.67)             // mean
+    assert(s1.getDouble(5) == 4.0)              // median of (3,4,4)
+    assert(s1.getDouble(6) == 0.3333)           // 1 - 2/3
+    // trigram occurrences: "a b c"×3, "b c d"×2 → 2 distinct / 5
+    assert(s1.getDouble(7) == 0.4)
+    val s2 = out(("s2", "fr"))
+    assert(s2.getLong(2) == 1L && s2.getLong(3) == 2L)
+    assert(s2.getDouble(6) == 0.0)
+    assert(s2.isNullAt(7), "no >=3-token doc → null diversity")
+  }
+
   test("foldAccents + foldedFingerprint: Unicode-variant dedup class") {
     val docs = Seq(
       (1L, "Résumé, Café — niño!"), // accented
