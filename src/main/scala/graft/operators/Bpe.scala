@@ -228,4 +228,92 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"),
         sum(col("__len")).cast("long").as("bpe_tokens"))
   }
+
+  /** Deterministic token-id table of a trained model: the model's
+    * distinct subwords ranked in Spark's unsigned-UTF-8 string order,
+    * ids dense from 0 — the id assignment a tokenizer ships alongside
+    * its merges. The global rank window runs over the VOCAB (bounded,
+    * never the corpus). */
+  def tokenIds(model: BpeModel): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("token")
+    model.types.select(explode(split(col("sym"), " ")).as("token"))
+      .distinct()
+      .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /**
+   * Tokenize documents into their learned subword TOKEN STREAMS — the
+   * actual pretraining tokenization step, not just costing. Merges are
+   * still never applied per occurrence: docs explode to words with
+   * positions and equi-join the vocab's PRE-MERGED subword arrays
+   * (broadcast when it fits), then subwords explode with sub-positions;
+   * `pos` is the per-document stream position (window keyed by doc id —
+   * one doc-keyed shuffle). Words outside the training vocabulary fall
+   * back to their characters (fully unmerged, [[bpeTokenCounts]]'s
+   * contract); fallback characters absent from the subword vocabulary
+   * carry a null `token_id`.
+   *
+   * @return `(idCol, pos, token, token_id)`
+   */
+  def encodeDocs(model: BpeModel, docs: DataFrame, idCol: String,
+      text: Column, broadcastVocab: Boolean = true): DataFrame = {
+    val maybeB: DataFrame => DataFrame =
+      if (broadcastVocab) broadcast else identity
+    val subsByWord =
+      model.types.select(col("word"), split(col("sym"), " ").as("__subs"))
+    val words = docs
+      .select(col(idCol), posexplode(TextAnalysis.tokens(lower(text))))
+      .toDF(idCol, "__wp", "word")
+    val subs = words
+      .join(maybeB(subsByWord), Seq("word"), "left")
+      .withColumn("__subs", coalesce(col("__subs"),
+        split(symbolize(col("word")), " ")))
+      .select(col(idCol), col("__wp"), posexplode(col("__subs")))
+      .toDF(idCol, "__wp", "__sp", "token")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__wp"), col("__sp"))
+    subs
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .join(maybeB(tokenIds(model)), Seq("token"), "left")
+      .select(col(idCol), col("pos"), col("token"), col("token_id"))
+  }
+
+  /**
+   * Pack encoded token streams into fixed-capacity training sequences —
+   * concat-and-cut in document order within each `keyCol` partition
+   * (the [[TextAnalysis.packSequences]] device, but materializing the
+   * actual token content): global token position = per-doc prefix-sum
+   * start + stream pos; `seq_id = ⌊global/capacity⌋`. Each output row
+   * is one training sequence with its token count and an order-exact
+   * content hash (md5 over the space-joined token ids, null ids as -1)
+   * — the verifiable stand-in for shipping the packed id array.
+   *
+   * Shuffles: one doc-level aggregate for counts, the per-key
+   * prefix-sum window over DOC-level rows (never tokens), and the final
+   * (key, seq) aggregation. Token rows move once.
+   */
+  def packTokenStream(encoded: DataFrame, keyCol: String, idCol: String,
+      capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val counts = encoded.groupBy(col(keyCol), col(idCol))
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(idCol)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val starts = counts
+      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .select(col(keyCol), col(idCol), col("__start"))
+    encoded
+      .join(starts, Seq(keyCol, idCol))
+      .withColumn("__g", col("__start") + col("pos"))
+      .withColumn("seq_id", floor(col("__g") / capacity).cast("long"))
+      .withColumn("__p", (col("__g") % capacity).cast("long"))
+      .withColumn("__tid", coalesce(col("token_id"), lit(-1L)))
+      .groupBy(col(keyCol), col("seq_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("__p"), col("__tid")))),
+            s => s.getField("__tid").cast("string")))).as("seq_hash"))
+  }
 }

@@ -4195,6 +4195,74 @@ WHERE rk <= 40"""
       |FROM doc_stats d LEFT JOIN tri t
       |  ON t.source = d.source AND t.lang = d.lang""".stripMargin
 
+  /** BPE encode + pack end-to-end ([[graft.operators.Bpe.encodeDocs]] →
+    * [[graft.operators.Bpe.packTokenStream]]): the actual pretraining
+    * data-prep output — every document tokenized into learned subword
+    * ids (merges applied to word TYPES only, vocab arrays joined back),
+    * then concat-and-cut into 128-token training sequences per source,
+    * each sequence hashed order-exactly over its id stream. The oracle
+    * replays the full q93 merge chain, the id assignment, both
+    * position explosions, the prefix-sum pack arithmetic, and every
+    * sequence hash. */
+  val q115BpePack: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val model = graft.operators.Bpe.trainBpe(
+      graft.operators.Bpe.wordTypes(docs, col("text")), bpeRounds)
+    val enc = graft.operators.Bpe.encodeDocs(model, docs, "doc_id",
+      col("text"))
+    graft.operators.Bpe.packTokenStream(
+      enc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+      "source", "doc_id", capacity = 128)
+  }
+
+  val q115Sql: String =
+    s"""WITH $bpeCtes,
+       |sub AS (SELECT word, string_split(sym, ' ') AS subs
+       |  FROM t$bpeRounds),
+       |vocab AS (
+       |  SELECT token,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT)
+       |      AS token_id
+       |  FROM (SELECT DISTINCT unnest(string_split(sym, ' ')) AS token
+       |    FROM t$bpeRounds)),
+       |toks AS (
+       |  SELECT doc_id, source, list_filter(
+       |    string_split_regex(lower(text), '${"\\"}s+'),
+       |    x -> len(x) > 0) AS t
+       |  FROM documents),
+       |dw AS (
+       |  SELECT doc_id, source, CAST(i AS BIGINT) AS wp,
+       |    t[CAST(i AS INT)] AS word
+       |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+       |ds AS (
+       |  SELECT doc_id, source, wp, CAST(j AS BIGINT) AS sp,
+       |    subs[CAST(j AS INT)] AS token
+       |  FROM (SELECT dw.*, sub.subs FROM dw JOIN sub USING (word)),
+       |    unnest(range(1, len(subs) + 1)) AS u(j)),
+       |pos AS (
+       |  SELECT doc_id, source, token,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wp, sp) - 1
+       |      AS pos
+       |  FROM ds),
+       |cnt AS (SELECT source, doc_id, COUNT(*) AS n
+       |  FROM pos GROUP BY 1, 2),
+       |st AS (
+       |  SELECT source, doc_id,
+       |    COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS strt
+       |  FROM cnt),
+       |g AS (
+       |  SELECT p.source, v.token_id, st.strt + p.pos AS gpos
+       |  FROM pos p
+       |  JOIN st ON st.source = p.source AND st.doc_id = p.doc_id
+       |  JOIN vocab v USING (token))
+       |SELECT source, CAST(gpos // 128 AS BIGINT) AS seq_id,
+       |  COUNT(*) AS n_tokens,
+       |  md5(string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY gpos))
+       |    AS seq_hash
+       |FROM g GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4314,7 +4382,8 @@ WHERE rk <= 40"""
     "q111_fold_dedup" -> (q111FoldDedup, Some(q111Sql)),
     "q112_random_proj" -> (q112RandomProj, Some(q112Sql)),
     "q113_knn_label" -> (q113KnnLabel, Some(q113Sql)),
-    "q114_data_card" -> (q114DataCard, Some(q114Sql)))
+    "q114_data_card" -> (q114DataCard, Some(q114Sql)),
+    "q115_bpe_pack" -> (q115BpePack, Some(q115Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -126,4 +126,56 @@ class BpeSpec extends SparkSpec {
         === Set("a", "b", "c"))
     }
   }
+
+  test("encodeDocs: subword streams, dense ids, unseen-word fallback") {
+    // types ab:2 cd:1; round 1 merges "a b"→"ab"; vocab {ab, c, d}
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val model = Bpe.trainBpe(Bpe.wordTypes(docs, col("text")), rounds = 1)
+    val ids = Bpe.tokenIds(model)
+      .as[(String, Long)].collect().toMap
+    assert(ids === Map("ab" -> 0L, "c" -> 1L, "d" -> 2L))
+    val enc = Bpe.encodeDocs(model, docs, "doc_id", col("text"))
+      .orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(enc.toSeq === Seq(
+      (1L, 0L, "ab", 0L), (1L, 1L, "ab", 0L),
+      (1L, 2L, "c", 1L), (1L, 3L, "d", 2L)))
+    // word outside the training vocab → characters; "x"/"y" are not
+    // subwords of the model, so ids are null
+    val out = Bpe.encodeDocs(model,
+        Seq((9L, "xy cd")).toDF("doc_id", "text"), "doc_id", col("text"))
+      .orderBy("pos")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.isNullAt(3)))
+    assert(out.toSeq === Seq((0L, "x", true), (1L, "y", true),
+      (2L, "c", false), (3L, "d", false)))
+  }
+
+  test("packTokenStream: boundary cuts, order-exact hashes, key isolation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // hand-built stream: key k1 docs 1,2 with 4+3 tokens, capacity 5 →
+    // seq 0 = doc1[0..3] + doc2[0], seq 1 = doc2[1..2]; key k2 isolated
+    val enc = Seq(
+      ("k1", 1L, 0L, 10L), ("k1", 1L, 1L, 11L), ("k1", 1L, 2L, 12L),
+      ("k1", 1L, 3L, 13L),
+      ("k1", 2L, 0L, 20L), ("k1", 2L, 1L, 21L), ("k1", 2L, 2L, 22L),
+      ("k2", 3L, 0L, 30L))
+      .map { case (k, d, p, t) => (k, d, p, t.toString, t) }
+      .toDF("source", "doc_id", "pos", "token", "token_id")
+    val got = Bpe.packTokenStream(enc, "source", "doc_id", capacity = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(got(("k1", 0L)) === ((5L, md5hex("10 11 12 13 20"))))
+    assert(got(("k1", 1L)) === ((2L, md5hex("21 22"))))
+    assert(got(("k2", 0L)) === ((1L, md5hex("30"))))
+    assert(got.size === 3)
+    // null token ids hash as -1
+    val n = Bpe.packTokenStream(
+      Seq(("k", 1L, 0L, "t", null.asInstanceOf[java.lang.Long]))
+        .toDF("source", "doc_id", "pos", "token", "token_id"),
+      "source", "doc_id", capacity = 5).collect()
+    assert(n(0).getString(3) === md5hex("-1"))
+  }
 }
