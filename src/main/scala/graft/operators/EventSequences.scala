@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-example extraction from event logs: the behavioral-sequence
+ * complement of the text pipeline's ICT/next-token surfaces. Clickstream
+ * and telemetry corpora become "next-action prediction" training data by
+ * sessionizing per user and emitting (prefix → next event) pairs — the
+ * same shape recommendation/user-model pretraining consumes.
+ *
+ * Reference anchor: the reference pipeline has no event surface; this
+ * extends the engine's streaming/events family (battery q18/q19/q30) to
+ * the training-data story the way ictPairs extends documents.
+ */
+object EventSequences {
+
+  /**
+   * Sessionized next-event prediction pairs:
+   *
+   *  1. gaps-and-islands sessionization per `userCol` — a new session
+   *     starts after `gapMinutes` of silence (the q19 lag/cumsum device,
+   *     exactly replayable in SQL);
+   *  2. within each (user, session), events order by (`tsCol`, `idCol`)
+   *     — the id tie-break pins simultaneous events;
+   *  3. every non-initial event yields one training pair: the space-
+   *     joined types of up to `maxPrefix` PRECEDING same-session events,
+   *     and its own type as the label.
+   *
+   * Scale shape: two user-keyed window passes (sessionize, then rank +
+   * prefix) — the corpus shuffles once on user id; the prefix frame is
+   * ROWS-bounded by `maxPrefix`, so cost is O(events · maxPrefix) and
+   * per-row state never grows with session length. No driver state, no
+   * explode: one output row per input event (minus session heads).
+   *
+   * @return `(userCol, session_idx, step, prefix_text, next_type)`
+   */
+  def sessionPairs(events: DataFrame, userCol: String, idCol: String,
+      tsCol: String, typeCol: String, gapMinutes: Int = 30,
+      maxPrefix: Int = 20): DataFrame = {
+    require(gapMinutes > 0 && maxPrefix > 0,
+      s"need positive gap/maxPrefix, got ($gapMinutes, $maxPrefix)")
+    val wOrd = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+    val sess = events
+      .withColumn("__prev", lag(col(tsCol), 1).over(wOrd))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_micros(col(tsCol)) - unix_micros(col("__prev")) >
+          gapMinutes * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val wSess = Window.partitionBy(col(userCol), col("session_idx"))
+      .orderBy(col(tsCol), col(idCol))
+    sess
+      .withColumn("step", (row_number().over(wSess) - 1).cast("long"))
+      .withColumn("prefix_text", concat_ws(" ",
+        collect_list(col(typeCol)).over(
+          wSess.rowsBetween(-maxPrefix, -1))))
+      .filter(col("step") >= 1)
+      .select(col(userCol), col("session_idx"), col("step"),
+        col("prefix_text"), col(typeCol).as("next_type"))
+  }
+}

@@ -4263,6 +4263,44 @@ WHERE rk <= 40"""
        |    AS seq_hash
        |FROM g GROUP BY 1, 2""".stripMargin
 
+  /** Sessionized next-event training pairs ([[graft.operators
+    * .EventSequences.sessionPairs]]): q19's gaps-and-islands
+    * sessionization extended into training-example extraction — every
+    * non-initial event becomes a (≤5-event prefix → next event type)
+    * pair, the behavioral analogue of next-token data. The oracle
+    * replays the session cumsum, the (ts, id) tie-break, the bounded
+    * prefix window, and every joined prefix string. */
+  val q116SessionPairs: Q = (s, dir) =>
+    graft.operators.EventSequences.sessionPairs(
+      events(s, dir), "user_id", "event_id", "ts", "event_type",
+      gapMinutes = 30, maxPrefix = 5)
+
+  val q116Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s2 AS (
+      |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS session_idx
+      |  FROM s),
+      |p AS (
+      |  SELECT user_id, session_idx,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+      |      ORDER BY ts, event_id) - 1 AS BIGINT) AS step,
+      |    string_agg(event_type, ' ') OVER (
+      |      PARTITION BY user_id, session_idx ORDER BY ts, event_id
+      |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS prefix_text,
+      |    event_type AS next_type
+      |  FROM s2)
+      |SELECT user_id, session_idx, step, prefix_text, next_type
+      |FROM p WHERE step >= 1""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4383,7 +4421,8 @@ WHERE rk <= 40"""
     "q112_random_proj" -> (q112RandomProj, Some(q112Sql)),
     "q113_knn_label" -> (q113KnnLabel, Some(q113Sql)),
     "q114_data_card" -> (q114DataCard, Some(q114Sql)),
-    "q115_bpe_pack" -> (q115BpePack, Some(q115Sql)))
+    "q115_bpe_pack" -> (q115BpePack, Some(q115Sql)),
+    "q116_session_pairs" -> (q116SessionPairs, Some(q116Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
