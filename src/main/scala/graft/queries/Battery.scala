@@ -27,16 +27,20 @@ object Battery {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects. With `spark.sql.legacy.parquet.nanosAsLong=true` (set by
-    * Verify/Bench) it arrives as a LongType of nanoseconds — convert to a
-    * proper timestamp (µs precision; sub-µs truncation is irrelevant for
-    * windowed aggregation). */
+  /** The events table's `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (arrives as LongType nanoseconds under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by Verify/Bench) and
+    * TIMESTAMP(MICROS) without timezone (arrives as TIMESTAMP_NTZ, which
+    * `unix_micros`/`window` reject or treat differently). Normalize both to
+    * a session-timezone TimestampType — the session runs UTC, so wall-clock
+    * values are unchanged either way. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     val df = t(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
