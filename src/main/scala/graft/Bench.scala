@@ -41,16 +41,33 @@ object Bench {
     // so a 3-rep min sits on the slope and moves with JVM state — the
     // r5→r6 "q25-q28 regression" was exactly this, not code
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 to reps).map { _ =>
+    // Reps are INTERLEAVED round-robin (all queries once per round; one
+    // untimed warmup round, then `reps` timed rounds; min per query
+    // across rounds), not run back-to-back per query: this box's noise
+    // comes as multi-second stalls clustered in time (JvmStateProbe r8:
+    // same-JVM reps of one query swing 3.8→16.5 s inside one window
+    // while the same query minutes later is steady), and 6 consecutive
+    // reps of a 0.15 s query all fit inside one stall — the r7
+    // "regressions" on untouched short queries (q21 0.85 vs 0.13 s
+    // steady in-battery) were exactly that. Spreading each query's reps
+    // across the full sweep makes the min robust to any stall shorter
+    // than a whole round. Same executions, same statistic, reordered.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (0 to reps).flatMap { round =>
+      names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // each rep re-caches its own intermediates; release so reps (and
         // queries) are independent and storage never accumulates
         graft.operators.Dedup.releasePersisted()
-        dt
-      }.drop(1).sorted
+        (name, round, dt)
+      }
+    }
+    val results = names.map { case (name, _) =>
+      val times = samples.collect {
+        case (n, round, dt) if n == name && round > 0 => dt
+      }.sorted
       (name, times.min, times(times.size / 2))
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

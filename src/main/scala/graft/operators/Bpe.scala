@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -232,9 +232,44 @@ object Bpe {
   /** Deterministic token-id table of a trained model: the model's
     * distinct subwords ranked in Spark's unsigned-UTF-8 string order,
     * ids dense from 0 — the id assignment a tokenizer ships alongside
-    * its merges. The global rank window runs over the VOCAB (bounded,
-    * never the corpus). */
-  def tokenIds(model: BpeModel): DataFrame = {
+    * its merges.
+    *
+    * Ranked by the two-pass partition-offset device (the W2 mintIds
+    * trick, [[VariantLoader.mintIds]]): range-partition the distinct
+    * tokens, count per partition (ONE bounded collect of ≤ `numParts`
+    * rows), prefix-sum the offsets driver-side, then rank WITHIN each
+    * partition — ids identical to a global `row_number` window (range
+    * partitioning is order-preserving across partitions) with no
+    * single-partition exchange anywhere, so the same 100M-type web
+    * vocabulary that justifies [[trainDistributed]] never serializes id
+    * assignment through one task. The ranged frame is pinned
+    * (persisted) so the count pass and the rank pass see the SAME
+    * sampled range boundaries. */
+  def tokenIds(model: BpeModel, numParts: Int = 32): DataFrame = {
+    val toks = model.types
+      .select(explode(split(col("sym"), " ")).as("token")).distinct()
+    val ranged = PersistTracker.trackPersist(
+      toks.repartitionByRange(numParts, col("token"))
+        .withColumn("__pid", spark_partition_id()))
+    val counts = ranged.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L) { case (acc, (_, n)) => acc + n })
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+      when(col("__pid") === p, lit(off)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("token")
+    ranged
+      .withColumn("token_id",
+        (offCol + row_number().over(w) - 1).cast("long"))
+      .select("token", "token_id")
+  }
+
+  /** The single-partition-window form of [[tokenIds]] — kept as the
+    * equivalence reference for the spec pinning the two-pass rank
+    * identical; never on the serving path. */
+  private[graft] def tokenIdsWindowed(model: BpeModel): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy("token")
     model.types.select(explode(split(col("sym"), " ")).as("token"))
       .distinct()
@@ -277,6 +312,34 @@ object Bpe {
       .join(maybeB(tokenIds(model)), Seq("token"), "left")
       .select(col(idCol), col("pos"), col("token"), col("token_id"))
   }
+
+  /**
+   * Encode-once / pack-many serving split — the index/serve treatment
+   * the BM25 ([[Retrieval.buildIndex]] + bucketed tf) and ANN
+   * ([[Similarity.buildIvfIndex]]) surfaces already have, applied to the
+   * tokenizer: a pretraining pipeline encodes a corpus ONCE and packs it
+   * MANY times (different capacities, epoch orders, mixtures), so the
+   * encoded stream — not the raw text — is the at-rest artifact.
+   *
+   * Lands `encoded` (plus whatever grouping keys ride on it) as a
+   * catalog table bucketed on the pack key and sorted (key, doc, pos)
+   * within buckets. Every later [[packTokenStream]] over the read-back
+   * table then runs with ZERO shuffles of token rows: the scan arrives
+   * hash-clustered on `keyCol`, which satisfies the doc-count
+   * aggregation (keyCol, idCol), the starts join, and the final
+   * (keyCol, seq_id) aggregation alike — the exchanges that remain are
+   * over the DOC-level count/starts frames. Spec-verified by plan shape
+   * and by pack-from-artifact ≡ one-shot equality (BpeServeSpec).
+   */
+  def writeEncoded(encoded: DataFrame, table: String, keyCol: String,
+      idCol: String, buckets: Int = 32): Unit =
+    graft.sources.BucketedTables.writeBucketed(encoded, table, buckets,
+      Seq(keyCol), sortCols = Seq(keyCol, idCol, "pos"))
+
+  /** Read an encoded-stream artifact back (bucket metadata rides with
+    * the catalog entry, so pack-side aggregations skip their shuffle). */
+  def readEncoded(spark: SparkSession, table: String): DataFrame =
+    graft.sources.BucketedTables.read(spark, table)
 
   /**
    * Pack encoded token streams into fixed-capacity training sequences —

@@ -35,10 +35,19 @@ object Battery {
     * a session-timezone TimestampType — the session runs UTC, so wall-clock
     * values are unchanged either way. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
+    // The NTZ→timestamp cast below is value-preserving ONLY under a UTC
+    // session; every entry point sets it, but the invariant lives in many
+    // separate builders — fail fast rather than silently shift events.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "events() requires spark.sql.session.timeZone=UTC (NTZ cast + " +
+        "DuckDB oracle agreement)")
     val df = t(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integer `div`, not `/`: double division rounds at 2026-epoch
+        // nanosecond magnitudes (~1.8e18 ≫ 2^53) and can perturb the
+        // microsecond value by ~1µs at boundary equality
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
@@ -4305,6 +4314,21 @@ WHERE rk <= 40"""
       |SELECT user_id, session_idx, step, prefix_text, next_type
       |FROM p WHERE step >= 1""".stripMargin
 
+  /** Distributed-strategy BPE training ([[graft.operators.Bpe]]
+    * `trainDistributed`): q93's training with the driver route disabled
+    * (`maxDriverVocab = 0`) so the cluster path — one vocab-sized pair
+    * aggregation plus a one-row argmax collect per round, the chosen
+    * merge applied as a narrow shuffle-free projection — runs under the
+    * SAME oracle CTE chain as the driver path. BpeSpec pins the two
+    * strategies equal; this entry makes the 100M-type-web-vocabulary
+    * route itself hash-green rather than only spec-pinned. */
+  val q117BpeDistributed: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.operators.Bpe.trainBpe(
+      graft.operators.Bpe.wordTypes(docs, col("text")), bpeRounds,
+      maxDriverVocab = 0L).merges
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4426,7 +4450,9 @@ WHERE rk <= 40"""
     "q113_knn_label" -> (q113KnnLabel, Some(q113Sql)),
     "q114_data_card" -> (q114DataCard, Some(q114Sql)),
     "q115_bpe_pack" -> (q115BpePack, Some(q115Sql)),
-    "q116_session_pairs" -> (q116SessionPairs, Some(q116Sql)))
+    "q116_session_pairs" -> (q116SessionPairs, Some(q116Sql)),
+    // q117 re-runs q93's oracle against the distributed training strategy
+    "q117_bpe_distributed" -> (q117BpeDistributed, Some(q93Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

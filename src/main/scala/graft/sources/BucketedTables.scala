@@ -18,15 +18,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  */
 object BucketedTables {
 
-  /** Write `df` as a bucketed+sorted catalog table on the given keys. */
+  /** Write `df` as a bucketed+sorted catalog table on the given keys.
+    * `sortCols` (default: the bucket keys) lets a caller sort each
+    * bucket file by a refinement of the keys — e.g. an encoded token
+    * stream bucketed on its pack key but laid out in (key, doc, pos)
+    * order so downstream windows sort runs, not shuffles. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-      keys: Seq[String]): Unit =
+      keys: Seq[String], sortCols: Seq[String] = Seq.empty): Unit = {
+    val s = if (sortCols.isEmpty) keys else sortCols
     df.write
       .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
+      .sortBy(s.head, s.tail: _*)
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Read a bucketed table back (bucket metadata rides with the catalog
     * entry; joins on the bucket keys skip the table-side shuffle). */
