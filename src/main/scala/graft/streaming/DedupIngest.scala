@@ -58,7 +58,7 @@ object DedupIngest {
     * s3a://); on remote storage that would read the index as empty every
     * batch and admit every duplicate while the parquet writes kept
     * succeeding. */
-  private def fs(spark: SparkSession, path: String)
+  private[streaming] def fs(spark: SparkSession, path: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
@@ -69,7 +69,7 @@ object DedupIngest {
     * the live dir EXISTS alongside a stale `.next` (crash between the
     * `.next` write and the live delete), drop the `.next` — it must not
     * survive to fail the next compaction's write. */
-  private def recoverSwap(spark: SparkSession, path: String): Unit = {
+  private[streaming] def recoverSwap(spark: SparkSession, path: String): Unit = {
     val (f, live) = fs(spark, path)
     val next = new org.apache.hadoop.fs.Path(path + ".next")
     if (f.exists(next)) {
@@ -78,7 +78,7 @@ object DedupIngest {
     }
   }
 
-  private def readOrEmpty(spark: SparkSession, path: String,
+  private[streaming] def readOrEmpty(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {
     recoverSwap(spark, path)
     val (f, p) = fs(spark, path)

@@ -1,0 +1,157 @@
+package graft
+
+import graft.operators.{Retrieval, Similarity}
+import graft.streaming.IndexIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming BM25/IVF index maintenance: cross-batch visibility (later
+  * queries see earlier batches), served view ≡ from-scratch build over
+  * the committed union, replay idempotence, orphan-partial invisibility
+  * (the BM25 crash window), and compaction preserving the served view. */
+class IndexIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private val batch1 = Seq(
+    (101L, "apple banana cherry date"),
+    (102L, "apple apple banana fig"),
+    (103L, "grape melon peach plum kiwi"))
+  private val batch2 = Seq(
+    (104L, "banana cherry cherry apple"),
+    (105L, "melon fig date apple banana grape"))
+  private val queries = Seq((1L, "apple banana"), (2L, "melon grape"))
+
+  private def served(dir: String) = {
+    Retrieval.bm25TopKWithIndex(
+      IndexIngest.readBm25(spark, dir), queries.toDF("query_id", "query_text"),
+      k = 3)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .as[(Long, Int, String, Double)].collect().toSet
+  }
+
+  private def batchPath(docs: Seq[(Long, String)]) =
+    Retrieval.bm25TopK(docs.toDF("doc_id", "text"),
+      queries.toDF("query_id", "query_text"), k = 3)
+      .select(col("query_id"), col("rank"),
+        col("doc_id").cast("string"), col("score"))
+      .as[(Long, Int, String, Double)].collect().toSet
+
+  test("bm25: cross-batch serving, ≡ rebuild, replay no-op, orphan, compaction") {
+    implicit val sql = spark.sqlContext
+    val dir = tmp("bm25-ingest")
+    val ck = tmp("bm25-ingest-ck")
+    val input = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = IndexIngest.startBm25(
+        input.toDF().toDF("doc_id", "text"), dir, ck, availableNow = true)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    input.addData(batch1)
+    run()
+    assert(served(dir) === batchPath(batch1), "batch-1 docs must serve")
+
+    input.addData(batch2)
+    run()
+    val full = batchPath(batch1 ++ batch2)
+    assert(served(dir) === full,
+      "cross-batch queries must see batch-1 AND batch-2 docs")
+
+    def tfRows: Long = spark.read.parquet(s"$dir/tf").count()
+    val rowsBefore = tfRows
+
+    // replay: same rows, fresh stream + checkpoint (post-crash re-read)
+    val replay = MemoryStream[(Long, String)]
+    replay.addData(batch1)
+    val q2 = IndexIngest.startBm25(
+      replay.toDF().toDF("doc_id", "text"), dir, tmp("bm25-ck2"),
+      availableNow = true)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(tfRows === rowsBefore, "replay of a committed batch must no-op")
+    assert(served(dir) === full)
+
+    // crash window: orphan df/stats partials for a batch that never
+    // committed its tf rows must be invisible to serving
+    Seq(("apple", 99L, 999L)).toDF("__t", "__df", "__batch")
+      .select(col("__t"), col("__df"), col("__batch"))
+      .write.mode("append").parquet(s"$dir/df")
+    Seq((999L, 1000L, 4000L)).toDF("__batch", "__n", "__dlsum")
+      .write.mode("append").parquet(s"$dir/stats")
+    assert(served(dir) === full, "orphan partials must not serve")
+
+    // compaction folds partials + the tf tail; the served view is
+    // unchanged (orphans dropped by the committed-batch filter)
+    IndexIngest.compactBm25(spark, dir)
+    assert(served(dir) === full, "compaction must preserve the served view")
+    val dfFiles = Option(new java.io.File(s"$dir/df").listFiles())
+      .fold(0)(_.count(_.getName.endsWith(".parquet")))
+    assert(dfFiles === 1, s"df partials should fold to one file, got $dfFiles")
+    // and ingest continues cleanly after compaction
+    input.addData(Seq((106L, "kiwi plum apple")))
+    run()
+    assert(served(dir) === batchPath(
+      batch1 ++ batch2 :+ (106L, "kiwi plum apple")))
+  }
+
+  private val vecs1 = Seq(
+    (201L, Seq(1.0f, 0.0f, 0.0f)),
+    (202L, Seq(0.9f, 0.1f, 0.0f)),
+    (203L, Seq(0.0f, 1.0f, 0.0f)))
+  private val vecs2 = Seq(
+    (204L, Seq(0.0f, 0.9f, 0.2f)),
+    (205L, Seq(0.8f, 0.0f, 0.3f)))
+  private val qvecs = Seq((1L, Seq(1.0f, 0.05f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.1f)))
+
+  test("ivf: frozen-centroid streaming ingest ≡ rebuild; replay no-op") {
+    implicit val sql = spark.sqlContext
+    val dir = tmp("ivf-ingest")
+    val ck = tmp("ivf-ingest-ck")
+    val cents = Seq(0L -> Seq(1.0f, 0.0f, 0.0f), 1L -> Seq(0.0f, 1.0f, 0.0f))
+    IndexIngest.bootstrapIvf(spark, dir, cents)
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    def run(): Unit = {
+      val q = IndexIngest.startIvf(
+        input.toDF().toDF("vec_id", "embedding"), dir, ck,
+        availableNow = true)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def servedIvf = Similarity.ivfTopKWithIndex(
+      IndexIngest.readIvf(spark, dir), qvecs.toDF("query_id", "embedding"),
+      k = 2, nprobe = 1)
+      .as[(Long, Int, Long, Double)].collect().toSet
+
+    input.addData(vecs1)
+    run()
+    input.addData(vecs2)
+    run()
+    val rebuild = Similarity.ivfTopKWithIndex(
+      Similarity.buildIvfIndex((vecs1 ++ vecs2).toDF("vec_id", "embedding"),
+        cents.size, centroids = cents),
+      qvecs.toDF("query_id", "embedding"), k = 2, nprobe = 1)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(servedIvf === rebuild)
+    assert(servedIvf.nonEmpty)
+
+    val rowsBefore = spark.read.parquet(s"$dir/assigned").count()
+    val replay = MemoryStream[(Long, Seq[Float])]
+    replay.addData(vecs1)
+    val q2 = IndexIngest.startIvf(
+      replay.toDF().toDF("vec_id", "embedding"), dir, tmp("ivf-ck2"),
+      availableNow = true)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$dir/assigned").count() === rowsBefore,
+      "replay of a committed batch must no-op")
+    assert(servedIvf === rebuild)
+
+    IndexIngest.compactIvf(spark, dir, smallFileBytes = 32L << 20)
+    assert(servedIvf === rebuild, "compaction must preserve the served view")
+  }
+}
