@@ -1,0 +1,130 @@
+package graft.tools
+
+import graft.queries.Battery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * One-off empirical scale probe (VERDICT r7 item 6): the 100 TB claims
+ * rest on plan-shape arguments validated at sf0.1 — this runs the heavy
+ * query family at `copies`× that (default 10×, ≈ sf1.0) to catch any
+ * super-linear surprise (skewed band keys, window spill, candidate
+ * blowup) that shape arguments can miss.
+ *
+ * Scaled inputs are derived, not synthesized: each copy `i` of sf0.1 is
+ * the same table with ids offset into a disjoint range and its TEXT
+ * Caesar-shifted by `i` over [a-z], [A-Z] and rotated over [0-9] — a
+ * per-copy character bijection, so every copy's INTERNAL duplicate/
+ * similarity structure is exactly sf0.1's (lengths, token counts, dup
+ * clusters all preserved) while cross-copy n-gram overlap is ~zero and
+ * cross-copy edit distances are ~word length. A naive ×10 row copy
+ * would make every doc a 10-way exact duplicate and fabricate quadratic
+ * candidate growth no real corpus has; this keeps the workload's
+ * similarity density scale-invariant, which is the honest 10× test.
+ * Embeddings get disjoint ids and a tiny per-copy perturbation (cell
+ * populations grow 10×, no artificial exact-tie mass).
+ *
+ * Writes under tmp/ inside the repo (never touches /root/testdata);
+ * reuses the scaled dir if it already exists.
+ *
+ * Env: SPARK_GRAFT_SCALE_BASE (default /root/testdata/sf0.1),
+ * SPARK_GRAFT_SCALE_DIR (default /root/repo/tmp/sf1),
+ * SPARK_GRAFT_SCALE_COPIES (default 10), SPARK_GRAFT_BENCH_REPS
+ * (default 3). Args: query names (default the heavy family).
+ */
+object ScaleProbe {
+
+  private val IdOff = 100000000L
+
+  private def shifted(c: Char, i: Int): Char = c match {
+    case l if l >= 'a' && l <= 'z' => (((l - 'a') + i) % 26 + 'a').toChar
+    case u if u >= 'A' && u <= 'Z' => (((u - 'A') + i) % 26 + 'A').toChar
+    case d if d >= '0' && d <= '9' => (((d - '0') + i) % 10 + '0').toChar
+    case other => other
+  }
+
+  private val alphabet =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).mkString
+
+  private def shift(c: org.apache.spark.sql.Column, i: Int)
+      : org.apache.spark.sql.Column =
+    if (i == 0) c
+    else translate(c, alphabet, alphabet.map(shifted(_, i)))
+
+  private def scaleUp(spark: SparkSession, base: String, out: String,
+      copies: Int): Unit = {
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until copies).map { i =>
+      docs.select((col("doc_id") + lit(i * IdOff)).as("doc_id"),
+        shift(col("text"), i).as("text"), col("lang"), col("source"),
+        col("n_chars"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    (0 until copies).map { i =>
+      cust.select((col("c_custkey") + lit(i * IdOff)).as("c_custkey"),
+        shift(col("c_name"), i).as("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until copies).map { i =>
+      emb.select((col("vec_id") + lit(i * IdOff)).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + lit(i * 1e-4f)).cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BASE",
+      "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      "/root/repo/tmp/sf1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val queries = if (args.nonEmpty) args.toSeq
+      else Seq("q40_ngram_jaccard", "q69_edit_join", "q83_banded_dedup",
+        "q89_ann_rerank", "q99_containment", "q115_bpe_pack")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "10000000")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (fsys, probe) = (new org.apache.hadoop.fs.Path(out))
+      .getFileSystem(spark.sessionState.newHadoopConf()) ->
+      new org.apache.hadoop.fs.Path(s"$out/embeddings.parquet")
+    if (!fsys.exists(probe)) {
+      println(s"[scale] building ${copies}x of $base under $out")
+      scaleUp(spark, base, out, copies)
+    } else println(s"[scale] reusing $out")
+
+    // both scales timed in THIS JVM so the ratio is box-consistent
+    for (dir <- Seq(base, out); name <- queries) {
+      val fn = Battery.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.operators.Dedup.releasePersisted()
+        (dt, n)
+      }
+      val tag = if (dir == base) "sf0.1" else s"x$copies"
+      println(f"[scale] $tag $name rows=${times.head._2} " +
+        times.map(t => f"${t._1}%.2f").mkString(" ") +
+        f" min=${times.map(_._1).min}%.2f")
+    }
+    spark.stop()
+  }
+}
