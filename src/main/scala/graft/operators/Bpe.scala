@@ -229,6 +229,44 @@ object Bpe {
         sum(col("__len")).cast("long").as("bpe_tokens"))
   }
 
+  /**
+   * Tokenizer-quality rollup: per-group fertility (BPE tokens per word)
+   * and compression (characters per BPE token) of a trained model over
+   * a corpus — the audit every tokenizer training ships with (public
+   * knowledge: fertility/compression comparisons in the multilingual
+   * tokenizer literature, e.g. Rust et al. 2021 "How Good is Your
+   * Tokenizer?"), and the per-language fairness check a data card
+   * quotes next to its mixture weights: a language with high fertility
+   * pays more sequence length per word of content.
+   *
+   * Same cost shape as [[bpeTokenCounts]]: docs explode to words, the
+   * vocab's precomputed subword lengths join back (broadcast when it
+   * fits), one |groups|-row aggregate. Merges never touch occurrences;
+   * unseen words fall back to their character count (fully unmerged).
+   *
+   * @return per group: `n_docs, n_words, word_chars, bpe_tokens,
+   *         tokens_per_word, chars_per_token` (ratios rounded 4dp)
+   */
+  def fertilityStats(model: BpeModel, docs: DataFrame, idCol: String,
+      text: Column, groupCols: Seq[String],
+      broadcastVocab: Boolean = true): DataFrame = {
+    val lens = if (broadcastVocab) broadcast(tokenLengths(model))
+      else tokenLengths(model)
+    docs.select(col(idCol) +: groupCols.map(col) :+
+        explode(TextAnalysis.tokens(lower(text))).as("word"): _*)
+      .join(lens, Seq("word"), "left")
+      .withColumn("__len", coalesce(col("bpe_len"), length(col("word"))))
+      .groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("word_chars"),
+        sum(col("__len")).cast("long").as("bpe_tokens"))
+      .withColumn("tokens_per_word",
+        round(col("bpe_tokens") / col("n_words"), 4))
+      .withColumn("chars_per_token",
+        round(col("word_chars") / col("bpe_tokens"), 4))
+  }
+
   /** Deterministic token-id table of a trained model: the model's
     * distinct subwords ranked in Spark's unsigned-UTF-8 string order,
     * ids dense from 0 — the id assignment a tokenizer ships alongside

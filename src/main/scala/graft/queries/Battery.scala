@@ -4329,6 +4329,41 @@ WHERE rk <= 40"""
       maxDriverVocab = 0L).merges
   }
 
+  /** Tokenizer fertility/compression audit ([[graft.operators.Bpe
+    * .fertilityStats]]): per-language BPE tokens-per-word and
+    * chars-per-token of the q93-trained model — the fairness table a
+    * data card quotes next to its mixture weights (a high-fertility
+    * language pays more sequence length per word of content). Same
+    * cost shape as q94: merges touch word TYPES only, docs explode to
+    * words and join the broadcast vocab lengths, one |langs|-row
+    * aggregate. The oracle replays the merge chain, the per-word
+    * subword lengths, and every ratio. */
+  val q118BpeFertility: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val model = graft.operators.Bpe.trainBpe(
+      graft.operators.Bpe.wordTypes(docs, col("text")), bpeRounds)
+    graft.operators.Bpe.fertilityStats(model, docs, "doc_id",
+      col("text"), Seq("lang"))
+  }
+
+  val q118Sql: String =
+    s"""WITH $bpeCtes,
+       |tl AS (SELECT word, len(string_split(sym, ' ')) AS bpe_len
+       |  FROM t$bpeRounds),
+       |dw AS (
+       |  SELECT doc_id, lang, unnest(list_filter(
+       |    string_split_regex(lower(text), '${"\\"}s+'),
+       |    x -> len(x) > 0)) AS word FROM documents)
+       |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+       |  COUNT(*) AS n_words,
+       |  CAST(SUM(len(word)) AS BIGINT) AS word_chars,
+       |  CAST(SUM(COALESCE(bpe_len, len(word))) AS BIGINT) AS bpe_tokens,
+       |  ROUND(CAST(SUM(COALESCE(bpe_len, len(word))) AS DOUBLE)
+       |    / COUNT(*), 4) AS tokens_per_word,
+       |  ROUND(CAST(SUM(len(word)) AS DOUBLE)
+       |    / SUM(COALESCE(bpe_len, len(word))), 4) AS chars_per_token
+       |FROM dw LEFT JOIN tl USING (word) GROUP BY lang""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4452,7 +4487,8 @@ WHERE rk <= 40"""
     "q115_bpe_pack" -> (q115BpePack, Some(q115Sql)),
     "q116_session_pairs" -> (q116SessionPairs, Some(q116Sql)),
     // q117 re-runs q93's oracle against the distributed training strategy
-    "q117_bpe_distributed" -> (q117BpeDistributed, Some(q93Sql)))
+    "q117_bpe_distributed" -> (q117BpeDistributed, Some(q93Sql)),
+    "q118_bpe_fertility" -> (q118BpeFertility, Some(q118Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -45,6 +45,34 @@ class BpeServeSpec extends SparkSpec {
     graft.operators.Dedup.releasePersisted()
   }
 
+  test("fertilityStats: hand-computed ratios, unseen-word char fallback") {
+    // train on a corpus where "low" merges fully (freq 5) but rarer
+    // words stay multi-symbol, then score a corpus with an unseen word
+    val train = Seq((1L, "en", "low low low low low newest newest"))
+      .toDF("doc_id", "lang", "text")
+    val m = Bpe.trainBpe(Bpe.wordTypes(train, col("text")), rounds = 2)
+    val lens = Bpe.tokenLengths(m).as[(String, Int)].collect().toMap
+    val score = Seq(
+      (1L, "en", "low low newest"),
+      (2L, "de", "low zz"))   // "zz" unseen → 2 chars
+    val got = Bpe.fertilityStats(m,
+      score.toDF("doc_id", "lang", "text"), "doc_id", col("text"),
+      Seq("lang"))
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val en = got("en")
+    val enTok = 2L * lens("low") + lens("newest")
+    assert(en === (("en", 1L, 3L, 12L, enTok,
+      BigDecimal(enTok / 3.0).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(12.0 / enTok).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    val de = got("de")
+    val deTok = lens("low") + 2L // zz falls back to char count
+    assert(de._4 === 5L && de._5 === deTok)
+    graft.operators.Dedup.releasePersisted()
+  }
+
   test("encode artifact round-trip: pack-from-bucketed ≡ one-shot pack") {
     val m = model
     val enc = Bpe.encodeDocs(m, corpus, "doc_id", col("text"))
