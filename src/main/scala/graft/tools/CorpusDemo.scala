@@ -196,6 +196,28 @@ object CorpusDemo {
         " corpus_bpe_tokens=" + costed.agg(sum("bpe_tokens")).head.get(0) +
         " corpus_words=" + costed.agg(sum("n_words")).head.get(0))
 
+      val fert = Bpe.fertilityStats(bpe, uniq, "doc_id", col("text"),
+        Seq("lang"))
+      println(s"[tokenize/fertility] " + fert.orderBy("lang").collect()
+        .map(r => s"${r.getString(0)}=${r.getAs[Double]("tokens_per_word")}")
+        .mkString(" "))
+      Dedup.releasePersisted()
+
+      // streaming index maintenance: two micro-batches folded into a
+      // served BM25 index; the second query round must see both
+      val ingestDir = java.nio.file.Files
+        .createTempDirectory("demo-bm25").toString
+      val half = uniq.filter(col("doc_id") % 2 === 0)
+      graft.streaming.IndexIngest.ingestBm25Batch(half, 0L, ingestDir)
+      graft.streaming.IndexIngest.ingestBm25Batch(
+        uniq.filter(col("doc_id") % 2 =!= 0), 1L, ingestDir)
+      val servedHits = Retrieval.bm25TopKWithIndex(
+        graft.streaming.IndexIngest.readBm25(spark, ingestDir),
+        queries, k = 3)
+      println(s"[retrieve/stream-ingest] top=" + servedHits.collect()
+        .map(r => s"doc${r.getString(2)}@${r.getDouble(3)}").mkString(" "))
+      Dedup.releasePersisted()
+
       println("[done] corpus pipeline drive complete")
     } finally spark.stop()
   }
