@@ -218,15 +218,23 @@ object Bpe {
    * cost).
    */
   def bpeTokenCounts(model: BpeModel, docs: DataFrame, idCol: String,
-      text: Column, broadcastVocab: Boolean = true): DataFrame = {
-    val lens = if (broadcastVocab) broadcast(tokenLengths(model))
-      else tokenLengths(model)
-    docs.select(col(idCol), explode(TextAnalysis.tokens(lower(text))).as("word"))
-      .join(lens, Seq("word"), "left")
-      .withColumn("__len", coalesce(col("bpe_len"), length(col("word"))))
+      text: Column, broadcastVocab: Boolean = true): DataFrame =
+    wordCosts(model, docs, Seq(col(idCol)), text, broadcastVocab)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"),
         sum(col("__len")).cast("long").as("bpe_tokens"))
+
+  /** Every word occurrence with its subword cost `__len` (vocab-length
+    * join, character fallback for unseen words) — the shared core of
+    * [[bpeTokenCounts]] and [[fertilityStats]], so the fallback rule
+    * cannot drift between the two audits. */
+  private def wordCosts(model: BpeModel, docs: DataFrame,
+      keep: Seq[Column], text: Column, broadcastVocab: Boolean): DataFrame = {
+    val lens = if (broadcastVocab) broadcast(tokenLengths(model))
+      else tokenLengths(model)
+    docs.select(keep :+ explode(TextAnalysis.tokens(lower(text))).as("word"): _*)
+      .join(lens, Seq("word"), "left")
+      .withColumn("__len", coalesce(col("bpe_len"), length(col("word"))))
   }
 
   /**
@@ -250,12 +258,8 @@ object Bpe {
   def fertilityStats(model: BpeModel, docs: DataFrame, idCol: String,
       text: Column, groupCols: Seq[String],
       broadcastVocab: Boolean = true): DataFrame = {
-    val lens = if (broadcastVocab) broadcast(tokenLengths(model))
-      else tokenLengths(model)
-    docs.select(col(idCol) +: groupCols.map(col) :+
-        explode(TextAnalysis.tokens(lower(text))).as("word"): _*)
-      .join(lens, Seq("word"), "left")
-      .withColumn("__len", coalesce(col("bpe_len"), length(col("word"))))
+    wordCosts(model, docs, col(idCol) +: groupCols.map(col), text,
+      broadcastVocab)
       .groupBy(groupCols.map(col): _*)
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_words"),

@@ -17,49 +17,61 @@ import org.apache.spark.sql.types._
  * applies the same reasoning to the two index families whose serving
  * surfaces already exist.
  *
- * == BM25 layout and crash windows ==
+ * == Commit protocol and crash windows ==
  *
- * Three append-only parquet dirs under `dir/`, every row stamped with
- * its `__batch`:
+ * Data dirs are append-only parquet, every row stamped `__batch`; a
+ * `markers/` ledger carries one tiny file per batch in two states —
+ * `<id>.intent`, created atomically BEFORE any append, and `<id>`
+ * (the commit record), created atomically AFTER every append. Ingest:
  *
- *  - `tf/` — per-(doc, term) term frequencies with doc length: the pure
- *    append side (at scale, write bucketed on `__t` — new files only).
- *    Appended LAST: the presence of a batch's rows in `tf/` IS the
- *    commit record for that batch.
+ *  1. commit marker exists → the batch is fully folded; a checkpoint
+ *     REPLAY no-ops in O(1) (one file-existence probe — no index scan
+ *     on the hot path).
+ *  2. intent marker exists without a commit → a previous attempt
+ *     crashed somewhere inside its appends; the batch's rows (possibly
+ *     a PARTIAL append — a parquet job commit is not atomic across
+ *     files) are purged with a filtered rewrite of each data dir
+ *     (recoverable `.next` swap), then the batch re-appends cleanly.
+ *     The rewrite is paid only on this rare post-crash path.
+ *  3. neither → first attempt: write intent, append (BM25: df, stats,
+ *     tf), write commit, drop intent.
+ *
+ * Readers take the committed-marker set as the source of truth: rows
+ * whose `__batch` lacks a commit marker (a crashed attempt not yet
+ * replayed, or an in-flight batch) are filtered out of every served
+ * frame. Net: exactly-once index contents and always-consistent reads
+ * under any crash/replay interleaving.
+ *
+ * Contract: an index dir is bound to ONE streaming checkpoint lineage —
+ * batch ids are the replay identity, so pointing a NEW stream (fresh
+ * checkpoint, ids restarting at 0) at an existing dir would read old
+ * commit markers as "already ingested" and silently drop data. Start a
+ * new dir for a new lineage (or feed batches through
+ * [[ingestBm25Batch]]/[[ingestIvfBatch]] with caller-managed ids).
+ * Doc/vector ids must be disjoint across batches (as for
+ * [[Retrieval.mergeIndex]]) — gate recurring feeds through
+ * [[DedupIngest]] first.
+ *
+ * == BM25 layout ==
+ *
+ *  - `tf/` — per-(doc, term) frequencies with doc length (at scale,
+ *    write bucketed on `__t` — new files only per batch).
  *  - `df/` — PER-BATCH document-frequency partials (vocab-sized each).
- *  - `stats/` — per-batch `(n_docs, dl_sum)` with the length sum kept
- *    as an exact long ([[Retrieval.mergeIndex]]'s recovery trick, made
- *    explicit at rest).
- *
- * An ingest appends df → stats → tf. A crash before the tf append
- * leaves ORPHAN df/stats partials for an uncommitted batch; serving
- * joins partials against the batches present in `tf/`, so orphans are
- * invisible, and the checkpoint replays the batch, whose re-appended
- * partials are byte-identical to the orphans (tokenization is
- * deterministic) — serving collapses duplicates per (batch, term)
- * before summing, so the crash window costs nothing. A REPLAY of a
- * fully-committed batch is detected by its `tf/` rows and skipped
- * whole. Net: exactly-once index contents under any crash/replay
- * interleaving, with no write-ahead log beyond the tf commit record
- * itself. (A crashed tf append itself leaves only uncommitted task
- * files Spark's reader ignores.)
+ *  - `stats/` — per-batch `(n_docs, dl_sum)`, the length sum as an
+ *    exact long ([[Retrieval.mergeIndex]]'s recovery trick at rest).
  *
  * Serving reconstructs exact global df (per-term sum of disjoint
  * batches' partials) and exact corpus stats (integer sums, one final
  * division) — [[readBm25]] ≡ a from-scratch [[Retrieval.buildIndex]]
  * over every committed doc, spec-checked down to served scores.
- * Contract (as for mergeIndex): doc ids disjoint across batches — gate
- * recurring feeds through [[DedupIngest]] first.
  *
  * == IVF layout ==
  *
  * `centroids/` is written once ([[bootstrapIvf]] — cell assignment
  * must be a pure function of (vector, frozen centroids) for increments
- * to equal rebuilds); `assigned/` appends each batch's assignments,
- * stamped `__batch` (the single dir doubles as its own commit record —
- * replays of committed batches are skipped, crashed appends leave only
- * ignorable uncommitted files). Centroid retraining/re-assignment stays
- * a batch-cadence operation ([[Similarity.addToIvfIndex]] scaladoc).
+ * to equal rebuilds); `assigned/` appends each batch's assignments
+ * under the same marker protocol. Centroid retraining/re-assignment
+ * stays a batch-cadence operation ([[Similarity.addToIvfIndex]]).
  *
  * == Compaction ==
  *
@@ -67,10 +79,13 @@ import org.apache.spark.sql.types._
  * [[compactIvf]] fold them on the caller's cadence (single writer —
  * run from the ingest thread between batches, like [[DedupIngest]]):
  * the tf/assigned tails fold through the manifest-logged size-tiered
- * [[DedupIngest.foldCorpusTail]] (large generations never rewritten);
- * the vocab-sized df/stats partials collapse to one summed partial
- * under the reserved batch stamp −1 (always treated as committed) via
- * the `.next`-swap with [[DedupIngest.recoverSwap]] crash recovery.
+ * [[DedupIngest.foldCorpusTail]] (large generations never rewritten;
+ * readers run its recovery before listing, so a crashed fold can never
+ * serve duplicates); the vocab-sized df/stats partials collapse to one
+ * summed partial under the reserved batch stamp −1 (always committed)
+ * via the `.next` swap with [[DedupIngest.recoverSwap]]. Commit
+ * markers are the PERMANENT ledger — they survive compaction so
+ * late replays of folded batches still no-op.
  */
 object IndexIngest {
 
@@ -94,23 +109,79 @@ object IndexIngest {
     StructField("cell_id", LongType),
     StructField("cvec", ArrayType(FloatType))))
 
-  private def committed(spark: SparkSession, markerDir: String,
-      schema: StructType, batchId: Long): Boolean =
-    !DedupIngest.readOrEmpty(spark, markerDir, schema)
-      .filter(col("__batch") === batchId).isEmpty
+  // ------------------------------------------------------------------
+  // Marker ledger
+  // ------------------------------------------------------------------
+
+  private def marker(spark: SparkSession, dir: String, name: String) = {
+    val (f, _) = DedupIngest.fs(spark, s"$dir/markers")
+    (f, new org.apache.hadoop.fs.Path(s"$dir/markers/$name"))
+  }
+
+  private def hasMarker(spark: SparkSession, dir: String,
+      name: String): Boolean = {
+    val (f, p) = marker(spark, dir, name)
+    f.exists(p)
+  }
+
+  private def putMarker(spark: SparkSession, dir: String,
+      name: String): Unit = {
+    val (f, p) = marker(spark, dir, name)
+    f.mkdirs(p.getParent)
+    f.create(p, true).close()
+  }
+
+  private def dropMarker(spark: SparkSession, dir: String,
+      name: String): Unit = {
+    val (f, p) = marker(spark, dir, name)
+    if (f.exists(p)) f.delete(p, false)
+  }
+
+  /** Batch ids with a commit marker (the ledger listing — one small
+    * file per batch ever ingested; bounded driver state). The reserved
+    * compaction stamp is always committed. */
+  private def committedBatches(spark: SparkSession, dir: String): Seq[Long] = {
+    val (f, root) = DedupIngest.fs(spark, s"$dir/markers")
+    val ids = if (!f.exists(root)) Seq.empty[Long]
+      else f.listStatus(root).toSeq.map(_.getPath.getName)
+        .filterNot(_.endsWith(".intent")).flatMap(_.toLongOption)
+    ids :+ CommittedBatch
+  }
+
+  /** Remove every `__batch = batchId` row from a data dir — the
+    * post-crash cleanup for a partially-appended batch. Filtered
+    * rewrite under the recoverable `.next` swap; a no-op when the dir
+    * is absent. Only runs on the intent-without-commit path. */
+  private def purgeBatch(spark: SparkSession, path: String,
+      schema: StructType, batchId: Long): Unit = {
+    DedupIngest.recoverSwap(spark, path)
+    val (f, live) = DedupIngest.fs(spark, path)
+    if (!f.exists(live)) return
+    spark.read.schema(schema).parquet(path)
+      .filter(col("__batch") =!= batchId)
+      .write.parquet(path + ".next")
+    f.delete(live, true)
+    f.rename(new org.apache.hadoop.fs.Path(path + ".next"), live)
+  }
 
   // ------------------------------------------------------------------
   // BM25
   // ------------------------------------------------------------------
 
-  /** Fold one micro-batch into the BM25 dirs (df → stats → tf; see the
-    * object doc for why that order). Returns false on a replay of a
-    * committed batch (no-op) or an empty batch. */
+  /** Fold one micro-batch into the BM25 dirs under the marker protocol
+    * (object doc). Returns false on a replay of a committed batch (an
+    * O(1) no-op) or an empty batch. */
   def ingestBm25Batch(batch: DataFrame, batchId: Long, dir: String,
       idCol: String = "doc_id", textCol: String = "text"): Boolean = {
     val spark = batch.sparkSession
-    if (committed(spark, s"$dir/tf", TfSchema, batchId)) return false
+    if (hasMarker(spark, dir, batchId.toString)) return false
+    if (hasMarker(spark, dir, s"$batchId.intent")) {
+      purgeBatch(spark, s"$dir/tf", TfSchema, batchId)
+      purgeBatch(spark, s"$dir/df", DfSchema, batchId)
+      purgeBatch(spark, s"$dir/stats", StatsSchema, batchId)
+    }
     if (batch.isEmpty) return false
+    putMarker(spark, dir, s"$batchId.intent")
     val idx = Retrieval.buildIndex(batch, idCol, textCol)
     try {
       idx.df.select(col("__t"), col("__df").cast("long"),
@@ -121,32 +192,32 @@ object IndexIngest {
           coalesce(round(col("__avgdl") * col("__n")), lit(0.0))
             .cast("long").as("__dlsum"))
         .write.mode("append").parquet(s"$dir/stats")
-      // LAST: commits the batch
       idx.tf.select(col("__id").cast("string"), col("__t"),
           col("__tf").cast("long"), col("__dl").cast("long"),
           lit(batchId).as("__batch"))
         .write.mode("append").parquet(s"$dir/tf")
+      putMarker(spark, dir, batchId.toString)
+      dropMarker(spark, dir, s"$batchId.intent")
       true
     } finally graft.operators.Dedup.releasePersisted()
   }
 
   /** The served view: exactly [[Retrieval.buildIndex]] over every
-    * committed document. Orphan df/stats partials (crashed ingests) are
-    * excluded by the committed-batch join; duplicate partials (crash +
-    * replay) collapse per (batch, term) before the global sum. Doc ids
-    * serve as strings (at-rest schema stability across feeds). */
+    * committed document. Rows of uncommitted batches (crashed attempts
+    * awaiting replay, in-flight appends) are filtered by the marker
+    * ledger; a crashed compaction fold is completed before listing.
+    * Doc ids serve as strings (at-rest schema stability across
+    * feeds). */
   def readBm25(spark: SparkSession, dir: String): Retrieval.Bm25Index = {
+    DedupIngest.recoverFold(spark, s"$dir/tf")
+    val valid = committedBatches(spark, dir)
     val tf = DedupIngest.readOrEmpty(spark, s"$dir/tf", TfSchema)
-    val valid = tf.select("__batch").distinct()
-      .unionByName(spark.range(1).select(lit(CommittedBatch).as("__batch")))
+      .filter(col("__batch").isInCollection(valid))
     val df = DedupIngest.readOrEmpty(spark, s"$dir/df", DfSchema)
-      .groupBy("__t", "__batch").agg(max("__df").as("__df"))
-      .join(valid, Seq("__batch"), "left_semi")
+      .filter(col("__batch").isInCollection(valid))
       .groupBy("__t").agg(sum("__df").as("__df"))
     val stats = DedupIngest.readOrEmpty(spark, s"$dir/stats", StatsSchema)
-      .groupBy("__batch").agg(max("__n").as("__n"),
-        max("__dlsum").as("__dlsum"))
-      .join(valid, Seq("__batch"), "left_semi")
+      .filter(col("__batch").isInCollection(valid))
       .agg(sum("__n").as("__n"),
         (sum("__dlsum").cast("double") / sum("__n")).as("__avgdl"))
     Retrieval.Bm25Index(tf.drop("__batch"), df, stats)
@@ -173,15 +244,16 @@ object IndexIngest {
   }
 
   /** Fold the BM25 dirs back to bounded size: tf through the
-    * size-tiered manifest-logged tail fold; df/stats partials collapse
-    * to one committed partial each (stamp −1) under a recoverable
-    * `.next` swap. Single-writer cadence (see object doc). */
+    * size-tiered manifest-logged tail fold (file-level — any
+    * uncommitted rows ride along, stay reader-invisible, and are
+    * purged by their batch's replay); df/stats partials collapse to
+    * one committed partial each (stamp −1) under a recoverable `.next`
+    * swap, dropping uncommitted rows in passing. Commit markers
+    * survive as the permanent ledger. Single-writer cadence (object
+    * doc). */
   def compactBm25(spark: SparkSession, dir: String,
       smallFileBytes: Long = 32L << 20): Unit = {
-    val tf = DedupIngest.readOrEmpty(spark, s"$dir/tf", TfSchema)
-    val valid = tf.select("__batch").distinct()
-      .unionByName(spark.range(1).select(lit(CommittedBatch).as("__batch")))
-      .collect().map(_.getLong(0)).toSet
+    val valid = committedBatches(spark, dir)
     def swapFold(path: String, schema: StructType,
         fold: DataFrame => DataFrame): Unit = {
       DedupIngest.recoverSwap(spark, path)
@@ -194,12 +266,9 @@ object IndexIngest {
       f.rename(new org.apache.hadoop.fs.Path(path + ".next"), live)
     }
     swapFold(s"$dir/df", DfSchema, d => d
-      .groupBy("__t", "__batch").agg(max("__df").as("__df"))
       .groupBy("__t").agg(sum("__df").as("__df"))
       .select(col("__t"), col("__df"), lit(CommittedBatch).as("__batch")))
     swapFold(s"$dir/stats", StatsSchema, d => d
-      .groupBy("__batch").agg(max("__n").as("__n"),
-        max("__dlsum").as("__dlsum"))
       .agg(sum("__n").as("__n"), sum("__dlsum").as("__dlsum"))
       .select(lit(CommittedBatch).as("__batch"), col("__n"), col("__dlsum")))
     DedupIngest.foldCorpusTail(spark, s"$dir/tf", smallFileBytes)
@@ -230,16 +299,18 @@ object IndexIngest {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
 
   /** Assign one micro-batch against the bootstrapped centroids and
-    * append. Single-dir append: the batch stamp is its own commit
-    * record, so replays of committed batches no-op. Vector ids must be
-    * long-castable (ranking ties break on the id — string order would
-    * reorder numeric ids). */
+    * append, under the same marker protocol as
+    * [[ingestBm25Batch]]. Vector ids must be long-castable (ranking
+    * ties break on the id — string order would reorder numeric
+    * ids). */
   def ingestIvfBatch(batch: DataFrame, batchId: Long, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
     val spark = batch.sparkSession
-    if (committed(spark, s"$dir/assigned", AssignedSchema, batchId))
-      return false
+    if (hasMarker(spark, dir, batchId.toString)) return false
+    if (hasMarker(spark, dir, s"$batchId.intent"))
+      purgeBatch(spark, s"$dir/assigned", AssignedSchema, batchId)
     if (batch.isEmpty) return false
+    putMarker(spark, dir, s"$batchId.intent")
     val cents = readCentroids(spark, dir)
     val add = Similarity.buildIvfIndex(batch, cents.size, idCol, vecCol,
       cents)
@@ -247,19 +318,26 @@ object IndexIngest {
         col("__cvec").cast(ArrayType(FloatType)),
         col("__cell").cast("long"), lit(batchId).as("__batch"))
       .write.mode("append").parquet(s"$dir/assigned")
+    putMarker(spark, dir, batchId.toString)
+    dropMarker(spark, dir, s"$batchId.intent")
     true
   }
 
   /** The served view: identical to [[Similarity.buildIvfIndex]] over
-    * every ingested vector with the bootstrapped centroids (assignment
-    * is pure, so increments ≡ rebuild — spec-checked on served
-    * results). */
+    * every committed vector with the bootstrapped centroids
+    * (assignment is pure, so increments ≡ rebuild — spec-checked on
+    * served results). Uncommitted rows are filtered by the ledger; a
+    * crashed compaction fold is completed before listing. */
   def readIvf(spark: SparkSession, dir: String,
-      idCol: String = "vec_id"): Similarity.IvfIndex =
+      idCol: String = "vec_id"): Similarity.IvfIndex = {
+    DedupIngest.recoverFold(spark, s"$dir/assigned")
+    val valid = committedBatches(spark, dir)
     Similarity.IvfIndex(
       DedupIngest.readOrEmpty(spark, s"$dir/assigned", AssignedSchema)
+        .filter(col("__batch").isInCollection(valid))
         .select(col("__vid").as(idCol), col("__cvec"), col("__cell")),
       readCentroids(spark, dir))
+  }
 
   /** Maintain the IVF dirs from a streaming vector source. */
   def startIvf(vecs: DataFrame, dir: String, checkpoint: String,
@@ -282,7 +360,8 @@ object IndexIngest {
   }
 
   /** Fold the assigned tail (size-tiered, manifest-logged — large
-    * generations never rewritten). */
+    * generations never rewritten; readers complete a crashed fold
+    * before listing). */
   def compactIvf(spark: SparkSession, dir: String,
       smallFileBytes: Long = 32L << 20): Unit =
     DedupIngest.foldCorpusTail(spark, s"$dir/assigned", smallFileBytes)

@@ -55,8 +55,12 @@ object JvmStateProbe {
         val n = p.getName
         if (n.contains("CodeHeap") || n.contains("Metaspace")) {
           val u = p.getUsage
+          // getMax is -1 for unbounded pools (e.g. Metaspace without a
+          // cap) — printing "used/0MB" would read as an exhausted pool
+          val max = if (u.getMax < 0) "unbounded"
+            else s"${u.getMax / 1048576}MB"
           sb.append(f" ${n.replace(' ', '_').replace("'", "")}=" +
-            f"${u.getUsed / 1048576}%d/${u.getMax / 1048576}%dMB")
+            f"${u.getUsed / 1048576}%d/$max")
         }
       }
       println(sb.toString)

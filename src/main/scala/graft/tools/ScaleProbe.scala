@@ -85,6 +85,10 @@ object ScaleProbe {
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       "/root/repo/tmp/sf1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    // beyond 10 copies the digit rotation cycles (and beyond 26 the
+    // letter shift), re-introducing the cross-copy near-dup mass the
+    // derivation exists to avoid
+    require(copies >= 1 && copies <= 10, s"copies in [1,10], got $copies")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val queries = if (args.nonEmpty) args.toSeq
@@ -110,8 +114,12 @@ object ScaleProbe {
       scaleUp(spark, base, out, copies)
     } else println(s"[scale] reusing $out")
 
-    // both scales timed in THIS JVM so the ratio is box-consistent
-    for (dir <- Seq(base, out); name <- queries) {
+    // both scales timed in THIS JVM so the ratio is box-consistent;
+    // per QUERY the base reps run immediately before the scaled reps
+    // (interleaved by query, not scale-batched) so JIT/codegen warm-up
+    // from the whole base sweep cannot one-sidedly deflate the scaled
+    // minima — the warm-up both scales see is the same query's
+    val results = for (name <- queries; dir <- Seq(base, out)) yield {
       val fn = Battery.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -124,6 +132,11 @@ object ScaleProbe {
       println(f"[scale] $tag $name rows=${times.head._2} " +
         times.map(t => f"${t._1}%.2f").mkString(" ") +
         f" min=${times.map(_._1).min}%.2f")
+      (name, tag, times.map(_._1).min)
+    }
+    results.grouped(2).foreach { case Seq((n, _, b), (_, _, s)) =>
+      println(f"[scale] factor $n ${s / b}%.1fx")
+    case _ => ()
     }
     spark.stop()
   }

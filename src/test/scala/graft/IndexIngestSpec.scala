@@ -76,14 +76,14 @@ class IndexIngestSpec extends SparkSpec {
     assert(tfRows === rowsBefore, "replay of a committed batch must no-op")
     assert(served(dir) === full)
 
-    // crash window: orphan df/stats partials for a batch that never
-    // committed its tf rows must be invisible to serving
+    // crash window: rows of a batch with no commit marker (a crashed
+    // attempt) must be invisible to serving
     Seq(("apple", 99L, 999L)).toDF("__t", "__df", "__batch")
       .select(col("__t"), col("__df"), col("__batch"))
       .write.mode("append").parquet(s"$dir/df")
     Seq((999L, 1000L, 4000L)).toDF("__batch", "__n", "__dlsum")
       .write.mode("append").parquet(s"$dir/stats")
-    assert(served(dir) === full, "orphan partials must not serve")
+    assert(served(dir) === full, "uncommitted rows must not serve")
 
     // compaction folds partials + the tf tail; the served view is
     // unchanged (orphans dropped by the committed-batch filter)
@@ -95,8 +95,31 @@ class IndexIngestSpec extends SparkSpec {
     // and ingest continues cleanly after compaction
     input.addData(Seq((106L, "kiwi plum apple")))
     run()
-    assert(served(dir) === batchPath(
-      batch1 ++ batch2 :+ (106L, "kiwi plum apple")))
+    val corpus3 = batch1 ++ batch2 :+ (106L, "kiwi plum apple")
+    assert(served(dir) === batchPath(corpus3))
+
+    // crashed-attempt replay (the documented on-disk protocol): an
+    // intent marker without a commit plus a PARTIAL tf append for
+    // batch 7 — the replay must purge the partial rows, re-append the
+    // full batch, and serve exactly the rebuild
+    val batch7 = Seq((107L, "kiwi grape grape banana"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/markers/7.intent"))
+    Seq(("107", "kiwi", 1L, 4L, 7L))
+      .toDF("__id", "__t", "__tf", "__dl", "__batch")
+      .write.mode("append").parquet(s"$dir/tf")
+    assert(served(dir) === batchPath(corpus3),
+      "partial crashed append must not serve")
+    assert(IndexIngest.ingestBm25Batch(
+      batch7.toDF("doc_id", "text"), 7L, dir))
+    assert(served(dir) === batchPath(corpus3 :+ batch7.head),
+      "replay must purge the partial rows and fold the full batch")
+    assert(spark.read.parquet(s"$dir/tf")
+      .filter(col("__batch") === 7L && col("__t") === "kiwi")
+      .count() === 1L, "the crashed partial row must not survive twice")
+    // and a second replay of the now-committed batch is an O(1) no-op
+    assert(!IndexIngest.ingestBm25Batch(
+      batch7.toDF("doc_id", "text"), 7L, dir))
   }
 
   private val vecs1 = Seq(
