@@ -274,6 +274,120 @@ object IndexIngest {
     DedupIngest.foldCorpusTail(spark, s"$dir/tf", smallFileBytes)
   }
 
+  /**
+   * Targeted document deletion — the data-governance path
+   * (right-to-be-forgotten, takedown, retraction) a served index needs
+   * next to its ingest. Deletion is the MIRROR of ingest under the
+   * same ledger, with one extra staging step because the evidence
+   * destroys itself: the negative df/stats corrections can only be
+   * derived while the doomed tf rows still exist, so they are
+   * snapshotted to `deletes/<batchId>` first and every later step
+   * derives from that frozen copy —
+   *
+   *  1. intent marker;
+   *  2. stage the affected tf rows (skipped if already staged — a
+   *     replay reuses the snapshot even though tf no longer holds the
+   *     rows);
+   *  3. append NEGATIVE df/stats partials derived from the snapshot
+   *     (purged and re-appended on replay like any partials);
+   *  4. rewrite tf without the deleted docs (recoverable `.next`
+   *     swap; idempotent);
+   *  5. commit marker, drop intent + snapshot.
+   *
+   * Serving needs no special case: the committed negative partials
+   * cancel the deleted docs' contributions exactly, so
+   * [[readBm25]] ≡ a rebuild without them (spec-checked on served
+   * scores). A crash between the tf rewrite and the commit leaves a
+   * transient where candidates are already gone but df still counts
+   * the deleted docs (slightly inflated idf on shared terms) — healed
+   * by the replay, the same reader-visible window class as ingest.
+   *
+   * `batchId` draws from the same ledger id space as ingest batches
+   * and must be fresh (caller-managed; e.g. continue the stream's id
+   * sequence from a side channel).
+   */
+  def deleteBm25Docs(spark: SparkSession, dir: String, ids: Seq[String],
+      batchId: Long): Boolean = {
+    require(ids.nonEmpty, "need at least one doc id to delete")
+    if (hasMarker(spark, dir, batchId.toString)) return false
+    if (hasMarker(spark, dir, s"$batchId.intent")) {
+      purgeBatch(spark, s"$dir/df", DfSchema, batchId)
+      purgeBatch(spark, s"$dir/stats", StatsSchema, batchId)
+    }
+    putMarker(spark, dir, s"$batchId.intent")
+    // the snapshot is written aside and RENAMED into place so its
+    // existence implies completeness (a crash mid-write cannot leave a
+    // partial snapshot a replay would trust)
+    val stage = s"$dir/deletes/$batchId"
+    val (f, stagePath) = DedupIngest.fs(spark, stage)
+    if (!f.exists(stagePath)) {
+      val tmp = new org.apache.hadoop.fs.Path(stage + ".tmp")
+      if (f.exists(tmp)) f.delete(tmp, true)
+      val valid = committedBatches(spark, dir)
+      DedupIngest.readOrEmpty(spark, s"$dir/tf", TfSchema)
+        .filter(col("__batch").isInCollection(valid) &&
+          col("__id").isInCollection(ids))
+        .write.parquet(tmp.toString)
+      f.mkdirs(stagePath.getParent)
+      f.rename(tmp, stagePath)
+    }
+    val removed = spark.read.schema(TfSchema).parquet(stage)
+    removed.groupBy("__t")
+      .agg((-countDistinct("__id")).as("__df"))
+      .select(col("__t"), col("__df").cast("long"),
+        lit(batchId).as("__batch"))
+      .write.mode("append").parquet(s"$dir/df")
+    removed.groupBy("__id").agg(first("__dl").as("__dl"))
+      .agg(coalesce(-count(lit(1)), lit(0L)).as("__n"),
+        coalesce(-sum("__dl"), lit(0L)).as("__dlsum"))
+      .select(lit(batchId).as("__batch"), col("__n").cast("long"),
+        col("__dlsum").cast("long"))
+      .write.mode("append").parquet(s"$dir/stats")
+    purgeDocs(spark, s"$dir/tf", TfSchema, ids)
+    putMarker(spark, dir, batchId.toString)
+    dropMarker(spark, dir, s"$batchId.intent")
+    f.delete(stagePath, true)
+    true
+  }
+
+  /** Remove every row of the given doc ids from a data dir (filtered
+    * rewrite under the recoverable `.next` swap; idempotent). */
+  private def purgeDocs(spark: SparkSession, path: String,
+      schema: StructType, ids: Seq[String]): Unit = {
+    DedupIngest.recoverSwap(spark, path)
+    val (f, live) = DedupIngest.fs(spark, path)
+    if (!f.exists(live)) return
+    spark.read.schema(schema).parquet(path)
+      .filter(!col("__id").isInCollection(ids))
+      .write.parquet(path + ".next")
+    f.delete(live, true)
+    f.rename(new org.apache.hadoop.fs.Path(path + ".next"), live)
+  }
+
+  /** Targeted vector deletion — [[deleteBm25Docs]]' IVF counterpart,
+    * simpler because the assigned dir is self-contained (no derived
+    * partials): one recoverable filtered rewrite plus the ledger
+    * marker (fresh `batchId`, caller-managed). */
+  def deleteIvfVecs(spark: SparkSession, dir: String, ids: Seq[Long],
+      batchId: Long): Boolean = {
+    require(ids.nonEmpty, "need at least one vec id to delete")
+    if (hasMarker(spark, dir, batchId.toString)) return false
+    putMarker(spark, dir, s"$batchId.intent")
+    val path = s"$dir/assigned"
+    DedupIngest.recoverSwap(spark, path)
+    val (f, live) = DedupIngest.fs(spark, path)
+    if (f.exists(live)) {
+      spark.read.schema(AssignedSchema).parquet(path)
+        .filter(!col("__vid").isInCollection(ids))
+        .write.parquet(path + ".next")
+      f.delete(live, true)
+      f.rename(new org.apache.hadoop.fs.Path(path + ".next"), live)
+    }
+    putMarker(spark, dir, batchId.toString)
+    dropMarker(spark, dir, s"$batchId.intent")
+    true
+  }
+
   // ------------------------------------------------------------------
   // IVF
   // ------------------------------------------------------------------

@@ -122,6 +122,68 @@ class IndexIngestSpec extends SparkSpec {
       batch7.toDF("doc_id", "text"), 7L, dir))
   }
 
+  test("bm25 deletion: negative partials cancel exactly; replay no-op") {
+    implicit val sql = spark.sqlContext
+    val dir = tmp("bm25-delete")
+    val ck = tmp("bm25-delete-ck")
+    val input = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = IndexIngest.startBm25(
+        input.toDF().toDF("doc_id", "text"), dir, ck, availableNow = true)
+      try q.processAllAvailable() finally q.stop()
+    }
+    input.addData(batch1)
+    run()
+    input.addData(batch2)
+    run()
+
+    // delete one doc (plus a nonexistent id — must be harmless): the
+    // served view must equal a rebuild that never saw the doc
+    assert(IndexIngest.deleteBm25Docs(spark, dir,
+      Seq("102", "9999"), batchId = 50L))
+    val without102 = batchPath((batch1 ++ batch2).filterNot(_._1 == 102L))
+    assert(served(dir) === without102,
+      "deletion must cancel tf, df, and stats contributions exactly")
+    assert(spark.read.parquet(s"$dir/tf")
+      .filter(col("__id") === "102").count() === 0L,
+      "deleted doc's tf rows must be physically gone")
+
+    // replay of the committed deletion is an O(1) no-op
+    assert(!IndexIngest.deleteBm25Docs(spark, dir, Seq("102"), 50L))
+    assert(served(dir) === without102)
+
+    // compaction folds the negative partials away; view unchanged
+    IndexIngest.compactBm25(spark, dir)
+    assert(served(dir) === without102)
+
+    // and ingest continues after a deletion
+    input.addData(Seq((108L, "fig date cherry")))
+    run()
+    assert(served(dir) === batchPath(
+      (batch1 ++ batch2).filterNot(_._1 == 102L) :+
+        (108L, "fig date cherry")))
+  }
+
+  test("ivf deletion: filtered rewrite; served ≡ rebuild without the vec") {
+    val dir = tmp("ivf-delete")
+    val cents = Seq(0L -> Seq(1.0f, 0.0f, 0.0f), 1L -> Seq(0.0f, 1.0f, 0.0f))
+    IndexIngest.bootstrapIvf(spark, dir, cents)
+    assert(IndexIngest.ingestIvfBatch(
+      (vecs1 ++ vecs2).toDF("vec_id", "embedding"), 0L, dir))
+    assert(IndexIngest.deleteIvfVecs(spark, dir, Seq(202L), 60L))
+    val rebuild = Similarity.ivfTopKWithIndex(
+      Similarity.buildIvfIndex(
+        (vecs1 ++ vecs2).filterNot(_._1 == 202L).toDF("vec_id", "embedding"),
+        cents.size, centroids = cents),
+      qvecs.toDF("query_id", "embedding"), k = 2, nprobe = 1)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(Similarity.ivfTopKWithIndex(
+      IndexIngest.readIvf(spark, dir), qvecs.toDF("query_id", "embedding"),
+      k = 2, nprobe = 1)
+      .as[(Long, Int, Long, Double)].collect().toSet === rebuild)
+    assert(!IndexIngest.deleteIvfVecs(spark, dir, Seq(202L), 60L))
+  }
+
   private val vecs1 = Seq(
     (201L, Seq(1.0f, 0.0f, 0.0f)),
     (202L, Seq(0.9f, 0.1f, 0.0f)),
