@@ -9,14 +9,21 @@ import org.apache.spark.sql.types._
  * `binary` columns with typed metadata, processed in partition-sized
  * batches.
  *
- * The DECODE step is a clearly marked STUB — real codecs (JPEG/PNG/WAV/
- * mp4) are not available in this environment. What IS real, and what this
- * module exercises end-to-end: the schema contract, the batched
- * per-partition execution shape (`mapPartitions` over an iterator — the
- * Scala twin of a pandas-batch UDF: no per-row setup cost, bounded
- * memory), deterministic outputs for testing, and the partitioning
- * controls a 100 TB media corpus needs (payloads never shuffle unless the
- * caller asks).
+ * IMAGE decode and resize are REAL: the JDK ships PNG/JPEG/BMP/GIF/WBMP
+ * codecs in `javax.imageio` (no external libraries), so image payloads
+ * are actually decoded — real dimensions, per-channel means, a
+ * luminance histogram — and actually resized (scaled redraw, PNG
+ * re-encode). AUDIO/VIDEO decode remains a clearly marked STUB (no
+ * WAV-beyond-javax.sound / mp4 codecs in this environment), as does the
+ * fallback for undecodable image bytes: a deterministic byte histogram,
+ * flagged `decoded = false` so downstream can route or drop.
+ *
+ * Real throughout: the schema contract, the batched per-partition
+ * execution shape (`mapPartitions` over an iterator — the Scala twin of
+ * a pandas-batch UDF: no per-row setup cost, bounded memory, codec
+ * state reused within a partition), and the partitioning controls a
+ * 100 TB media corpus needs (payloads never shuffle unless the caller
+ * asks; only the small feature projection continues downstream).
  */
 object Multimodal {
 
@@ -32,20 +39,71 @@ object Multimodal {
       StructField("duration_ms", IntegerType, nullable = true))),
       nullable = true)))
 
-  /** Output schema of [[extractFeatures]]. */
+  /** Output schema of [[extractFeatures]]. `decoded` marks rows whose
+    * features come from a real codec pass; `width`/`height` are real
+    * decoded dimensions (null when not an image or not decodable). */
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("payload_hash", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
     StructField("features", ArrayType(FloatType, containsNull = false),
       nullable = false)))
 
   /**
-   * STUB decoder ???: stands in for image decode / audio PCM read. Real
-   * implementation would parse `payload` with a codec; this deterministic
-   * fake derives a byte histogram so tests have stable expectations.
-   * Marked clearly so it is never mistaken for a real codec.
+   * REAL image decode via the JDK's built-in ImageIO codecs (PNG, JPEG,
+   * BMP, GIF, WBMP — part of the JVM, zero external deps). Features:
+   * `[meanR, meanG, meanB, (dim-3)-bucket luminance histogram]` — the
+   * classic cheap visual-dedup / quality signals. None when the bytes
+   * are not a decodable image (ImageIO yields null), routing the row to
+   * the stub fallback with `decoded = false`.
+   */
+  private[graft] def decodeImage(payload: Array[Byte], dim: Int)
+      : Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Float](dim)
+        var sr = 0.0; var sg = 0.0; var sb = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            sr += r; sg += g; sb += b
+            // integer Rec.601 luma, exact and portable
+            val lum = (r * 299 + g * 587 + b * 114) / 1000
+            out(3 + lum * (dim - 3) / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        out(0) = (sr / n).toFloat
+        out(1) = (sg / n).toFloat
+        out(2) = (sb / n).toFloat
+        var j = 3
+        while (j < dim) { out(j) /= n; j += 1 }
+        Some((w, h, out))
+      }
+    } catch { case _: Throwable => None }
+
+  /**
+   * STUB decoder ???: stands in for audio PCM read / video demux (no
+   * such codecs in this environment) and for undecodable image bytes;
+   * this deterministic fake derives a byte histogram so tests have
+   * stable expectations. Marked clearly so it is never mistaken for a
+   * real codec.
    */
   private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val hist = new Array[Float](dim)
@@ -68,36 +126,88 @@ object Multimodal {
    * (id, hash, features) projection continues downstream.
    */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim > 3, s"dim must exceed the 3 channel means, got $dim")
     val spark = media.sparkSession
     val out = media.select("media_id", "kind", "payload").rdd
       .mapPartitions { it =>
         it.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getLong(0), r.getString(1), payload.length,
-            // xxhash-free deterministic payload id (simple FNV-1a)
-            {
-              var h = 0xcbf29ce484222325L
-              var i = 0
-              while (i < payload.length) {
-                h ^= (payload(i) & 0xFFL); h *= 0x100000001b3L; i += 1
-              }
-              h
-            },
-            decodeStub(payload, dim))
+          val fnv = {
+            var h = 0xcbf29ce484222325L
+            var i = 0
+            while (i < payload.length) {
+              h ^= (payload(i) & 0xFFL); h *= 0x100000001b3L; i += 1
+            }
+            h
+          }
+          val img = if (r.getString(1) == "image")
+            decodeImage(payload, dim) else None
+          img match {
+            case Some((w, h, feats)) =>
+              Row(r.getLong(0), r.getString(1), payload.length, fnv,
+                true, w, h, feats)
+            case None =>
+              Row(r.getLong(0), r.getString(1), payload.length, fnv,
+                false, null, null, decodeStub(payload, dim))
+          }
         }
       }
     spark.createDataFrame(out, featureSchema)
   }
 
-  /** Resize stub for images: records intended dimensions in metadata and
-    * re-extracts features — the ??? decode is the stubbed step; the
-    * metadata/lineage plumbing is real. */
-  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame =
-    media.withColumn("meta",
-      when(col("kind") === "image",
-        struct(lit(w).as("width"), lit(h).as("height"),
-          col("meta.duration_ms").as("duration_ms")))
-        .otherwise(col("meta")))
+  /**
+   * REAL image resize: decodable image payloads are scaled with a
+   * bilinear redraw and re-encoded as PNG (all JDK ImageIO/Graphics2D —
+   * no external libs), metadata updated to the real new dimensions.
+   * Rows whose bytes don't decode (and non-image kinds) pass through
+   * with payload untouched and only the intended-dimension metadata
+   * recorded — the prior stub behavior, now the fallback. Same batched
+   * per-partition shape as [[extractFeatures]].
+   */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    val spark = media.sparkSession
+    val out = media.select("media_id", "kind", "mime", "payload", "meta")
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val kind = r.getString(1)
+          val payload = r.getAs[Array[Byte]]("payload")
+          val meta = r.getAs[Row](4)
+          val durationMs = if (meta == null) null else meta.get(2)
+          def metaRow = Row(w, h, durationMs)
+          if (kind != "image") Row(r.getLong(0), kind, r.getString(2),
+            payload, meta)
+          else {
+            val resized = try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))
+              if (img == null) None
+              else {
+                val dst = new java.awt.image.BufferedImage(w, h,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = dst.createGraphics()
+                try {
+                  g.setRenderingHint(
+                    java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, w, h, null)
+                } finally g.dispose()
+                val buf = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(dst, "png", buf)
+                Some(buf.toByteArray)
+              }
+            } catch { case _: Throwable => None }
+            resized match {
+              case Some(bytes) =>
+                Row(r.getLong(0), kind, "image/png", bytes, metaRow)
+              case None =>
+                Row(r.getLong(0), kind, r.getString(2), payload, metaRow)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(out, mediaSchema)
+  }
 
   /** Frame-sample stub for videos: every `everyMs` ms up to the recorded
     * duration — emits one row per sampled frame offset (the generator

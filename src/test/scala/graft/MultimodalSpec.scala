@@ -27,9 +27,73 @@ class MultimodalSpec extends SparkSpec {
     assert(a.sameElements(b)) // deterministic across runs
     val row = f1.filter($"media_id" === 0L).head()
     assert(row.getAs[Int]("n_bytes") == "hello world".length)
-    val feats = row.getSeq[Float](4)
+    // text bytes are not a decodable image → stub fallback, flagged
+    assert(!row.getAs[Boolean]("decoded"))
+    assert(row.isNullAt(row.fieldIndex("width")))
+    val feats = row.getSeq[Float](row.fieldIndex("features"))
     assert(feats.length == 8)
     assert(math.abs(feats.sum - 1.0f) < 1e-5) // normalized histogram
+  }
+
+  // a real PNG via the JDK's own encoder — the decode tests exercise the
+  // genuine ImageIO codec path end-to-end
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  private def mediaRow(id: Long, kind: String, payload: Array[Byte]) =
+    org.apache.spark.sql.Row(id, kind, "application/octet-stream",
+      payload, null)
+
+  private def mediaOf(rows: org.apache.spark.sql.Row*) =
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+      Multimodal.mediaSchema)
+
+  test("real image decode: dimensions, channel means, luminance bucket") {
+    val media = mediaOf(
+      mediaRow(1L, "image", png(8, 4, 0xFF8040)),   // r=255 g=128 b=64
+      mediaRow(2L, "image", "not an image".getBytes),
+      mediaRow(3L, "audio", png(8, 4, 0xFF8040)))   // non-image: stub
+    val f = Multimodal.extractFeatures(media, dim = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val img = f(1L)
+    assert(img.getAs[Boolean]("decoded"))
+    assert(img.getAs[Int]("width") === 8 && img.getAs[Int]("height") === 4)
+    val feats = img.getSeq[Float](img.fieldIndex("features"))
+    assert(feats(0) === 255f && feats(1) === 128f && feats(2) === 64f)
+    // Rec.601 luma of (255,128,64) = 158; bucket 3 + 158*5/256 = 6
+    assert(feats(6) === 1f)
+    assert(!f(2L).getAs[Boolean]("decoded"), "corrupt bytes → fallback")
+    assert(!f(3L).getAs[Boolean]("decoded"), "audio kind → stub")
+  }
+
+  test("real image resize: output re-decodes at target dims, color kept") {
+    val media = mediaOf(
+      mediaRow(1L, "image", png(16, 16, 0x102030)),
+      mediaRow(2L, "image", "junk".getBytes),
+      mediaRow(3L, "audio", "pcm?".getBytes))
+    val out = Multimodal.resizeImages(media, 4, 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getString(2) === "image/png")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r1.getAs[Array[Byte]]("payload")))
+    assert(back.getWidth === 4 && back.getHeight === 4)
+    // solid color survives bilinear scaling exactly
+    assert((back.getRGB(2, 2) & 0xFFFFFF) === 0x102030)
+    assert(r1.getAs[org.apache.spark.sql.Row]("meta").getInt(0) === 4)
+    // undecodable image: payload untouched, intended dims recorded
+    assert(new String(out(2L).getAs[Array[Byte]]("payload")) === "junk")
+    assert(out(2L).getAs[org.apache.spark.sql.Row]("meta").getInt(0) === 4)
+    // non-image: fully untouched
+    assert(new String(out(3L).getAs[Array[Byte]]("payload")) === "pcm?")
+    assert(out(3L).getAs[org.apache.spark.sql.Row]("meta") === null)
   }
 
   test("resizeImages touches only image metadata") {
