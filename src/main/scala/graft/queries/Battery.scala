@@ -4364,6 +4364,58 @@ WHERE rk <= 40"""
        |    / SUM(COALESCE(bpe_len, len(word))), 4) AS chars_per_token
        |FROM dw LEFT JOIN tl USING (word) GROUP BY lang""".stripMargin
 
+  /** Streamed-index BM25 serving ([[graft.streaming.IndexIngest]]):
+    * the corpus ingested as two micro-batches into an at-rest index dir
+    * (marker-ledger commit protocol), then q70's exact query set served
+    * from the read-back index — under q70's full-corpus oracle, so the
+    * streaming maintenance path itself is hash-gated (the q117
+    * convention: the scale/incremental route gets its own oracle
+    * entry). Served tf ids are cast back to long before ranking so
+    * score ties break numerically, exactly as the batch path. */
+  val q119Bm25StreamServe: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val ingestDir = java.nio.file.Files
+      .createTempDirectory("q119-bm25-stream").toString
+    graft.streaming.IndexIngest.ingestBm25Batch(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), 0L, ingestDir)
+    graft.streaming.IndexIngest.ingestBm25Batch(
+      docs.filter(pmod(col("doc_id"), lit(2)) =!= 0), 1L, ingestDir)
+    val idx = graft.streaming.IndexIngest.readBm25(s, ingestDir)
+    val numericIdx = graft.operators.Retrieval.Bm25Index(
+      idx.tf.withColumn("__id", col("__id").cast("long")),
+      idx.df, idx.stats)
+    val queries = Seq(
+      (1L, "table hash join value"),
+      (2L, "spark window agg batch"),
+      (3L, "fast slow row scan")).toDF("query_id", "query_text")
+    graft.operators.Retrieval.bm25TopKWithIndex(numericIdx, queries, k = 5)
+  }
+
+  /** Streamed-index IVF serving: q43's centroids bootstrapped, the
+    * embedding corpus ingested as two micro-batches against them, the
+    * read-back index served with q43's parameters — hash-gated by
+    * q43's oracle (ingest ≡ rebuild is the operator's contract; this
+    * entry proves it through the at-rest dirs and commit protocol). */
+  val q120IvfStreamServe: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val cents = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy("vec_id").limit(16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    val ingestDir = java.nio.file.Files
+      .createTempDirectory("q120-ivf-stream").toString
+    graft.streaming.IndexIngest.bootstrapIvf(s, ingestDir, cents)
+    graft.streaming.IndexIngest.ingestIvfBatch(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0), 0L, ingestDir)
+    graft.streaming.IndexIngest.ingestIvfBatch(
+      emb.filter(pmod(col("vec_id"), lit(2)) =!= 0), 1L, ingestDir)
+    graft.operators.Similarity.ivfTopKWithIndex(
+      graft.streaming.IndexIngest.readIvf(s, ingestDir), queries,
+      k = 5, nprobe = 4)
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4488,7 +4540,10 @@ WHERE rk <= 40"""
     "q116_session_pairs" -> (q116SessionPairs, Some(q116Sql)),
     // q117 re-runs q93's oracle against the distributed training strategy
     "q117_bpe_distributed" -> (q117BpeDistributed, Some(q93Sql)),
-    "q118_bpe_fertility" -> (q118BpeFertility, Some(q118Sql)))
+    "q118_bpe_fertility" -> (q118BpeFertility, Some(q118Sql)),
+    // q119/q120 re-run q70's/q43's oracles against the streamed indexes
+    "q119_bm25_stream_serve" -> (q119Bm25StreamServe, Some(q70Sql)),
+    "q120_ivf_stream_serve" -> (q120IvfStreamServe, Some(q43Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
