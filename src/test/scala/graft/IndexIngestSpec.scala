@@ -122,6 +122,55 @@ class IndexIngestSpec extends SparkSpec {
       batch7.toDF("doc_id", "text"), 7L, dir))
   }
 
+  test("bm25 crash matrix: every append-prefix crash state converges on replay") {
+    // the ingest append sequence is [intent, df, stats, tf, commit];
+    // construct the on-disk state after a crash at each prefix (the
+    // documented protocol) and assert the replay converges to exactly
+    // the committed union, with no duplicated rows
+    val expect = batchPath(batch1 :+ (200L, "papaya lime lime"))
+    val b2 = Seq((200L, "papaya lime lime"))
+    for (crashAfter <- 0 to 4) {
+      val dir = tmp(s"bm25-crash-$crashAfter")
+      assert(IndexIngest.ingestBm25Batch(batch1.toDF("doc_id", "text"),
+        0L, dir))
+      // hand-build batch 1's appends exactly as ingest would
+      val idx = graft.operators.Retrieval.buildIndex(
+        b2.toDF("doc_id", "text"))
+      val steps: Seq[() => Unit] = Seq(
+        () => idx.df.select(col("__t"), col("__df").cast("long"),
+            lit(1L).as("__batch"))
+          .write.mode("append").parquet(s"$dir/df"),
+        () => idx.stats.select(lit(1L).as("__batch"),
+            col("__n").cast("long"),
+            (round(col("__avgdl") * col("__n"))).cast("long").as("__dlsum"))
+          .write.mode("append").parquet(s"$dir/stats"),
+        () => idx.tf.select(col("__id").cast("string"), col("__t"),
+            col("__tf").cast("long"), col("__dl").cast("long"),
+            lit(1L).as("__batch"))
+          .write.mode("append").parquet(s"$dir/tf"),
+        () => java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(s"$dir/markers/1")))
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$dir/markers/1.intent"))
+      steps.take(crashAfter).foreach(_.apply())
+      graft.operators.Dedup.releasePersisted()
+
+      val folded = IndexIngest.ingestBm25Batch(b2.toDF("doc_id", "text"),
+        1L, dir)
+      assert(folded === (crashAfter < 4),
+        s"crash@$crashAfter: replay folds iff the commit never landed")
+      assert(served(dir) === expect, s"crash@$crashAfter: served ≠ rebuild")
+      assert(spark.read.parquet(s"$dir/tf")
+        .filter(col("__batch") === 1L).count() === idx.tf.count(),
+        s"crash@$crashAfter: tf rows duplicated or lost")
+      assert(spark.read.parquet(s"$dir/df")
+        .filter(col("__batch") === 1L).groupBy("__t").count()
+        .filter(col("count") > 1).isEmpty,
+        s"crash@$crashAfter: df partial duplicated")
+      graft.operators.Dedup.releasePersisted()
+    }
+  }
+
   test("bm25 deletion: negative partials cancel exactly; replay no-op") {
     implicit val sql = spark.sqlContext
     val dir = tmp("bm25-delete")
