@@ -96,7 +96,7 @@ object Multimodal {
         while (j < dim) { out(j) /= n; j += 1 }
         Some((w, h, out))
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /**
    * STUB decoder ???: stands in for audio PCM read / video demux (no
@@ -163,6 +163,9 @@ object Multimodal {
    * with payload untouched and only the intended-dimension metadata
    * recorded — the prior stub behavior, now the fallback. Same batched
    * per-partition shape as [[extractFeatures]].
+   *
+   * Contract: returns exactly [[mediaSchema]] — enrichment columns
+   * beyond it do not survive; re-join them on `media_id`.
    */
   def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
     require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
@@ -196,7 +199,7 @@ object Multimodal {
                 javax.imageio.ImageIO.write(dst, "png", buf)
                 Some(buf.toByteArray)
               }
-            } catch { case _: Throwable => None }
+            } catch { case scala.util.control.NonFatal(_) => None }
             resized match {
               case Some(bytes) =>
                 Row(r.getLong(0), kind, "image/png", bytes, metaRow)

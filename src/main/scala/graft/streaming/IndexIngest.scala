@@ -137,28 +137,83 @@ object IndexIngest {
     if (f.exists(p)) f.delete(p, false)
   }
 
-  /** Batch ids with a commit marker (the ledger listing — one small
-    * file per batch ever ingested; bounded driver state). The reserved
-    * compaction stamp is always committed. */
-  private def committedBatches(spark: SparkSession, dir: String): Seq[Long] = {
+  /** Deletions live in their own marker namespace (`del-<id>`) and
+    * stamp their negative partials `-(id) - 2` — distinct from every
+    * ingest batch id (≥ 0) and from the compaction stamp (−1), so a
+    * deletion id can never collide with a stream micro-batch id. */
+  private def delStamp(deleteId: Long): Long = -deleteId - 2
+
+  /** Marker names in the ledger (commit state only). */
+  private def markerNames(spark: SparkSession, dir: String): Seq[String] = {
     val (f, root) = DedupIngest.fs(spark, s"$dir/markers")
-    val ids = if (!f.exists(root)) Seq.empty[Long]
-      else f.listStatus(root).toSeq.map(_.getPath.getName)
-        .filterNot(_.endsWith(".intent")).flatMap(_.toLongOption)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filterNot(_.endsWith(".intent"))
+  }
+
+  /** Every committed `__batch` stamp: ingest batch ids, committed
+    * deletions' negative stamps, and the compaction stamp. One small
+    * listing — bounded driver state. */
+  private def committedBatches(spark: SparkSession, dir: String): Seq[Long] = {
+    val ids = markerNames(spark, dir).flatMap { n =>
+      if (n.startsWith("del-")) n.drop(4).toLongOption.map(delStamp)
+      else n.toLongOption
+    }
     ids :+ CommittedBatch
   }
 
+  /** Highest ingest batch id the ledger has SEEN (commit or intent) —
+    * the coverage horizon a deletion records so replays of earlier
+    * batches know to re-apply it. */
+  private def maxSeenBatch(spark: SparkSession, dir: String): Long = {
+    val (f, root) = DedupIngest.fs(spark, s"$dir/markers")
+    val ids = if (!f.exists(root)) Seq.empty[Long]
+      else f.listStatus(root).toSeq.map(_.getPath.getName)
+        .filterNot(_.startsWith("del-"))
+        .map(_.stripSuffix(".intent")).flatMap(_.toLongOption)
+    if (ids.isEmpty) -1L else ids.max
+  }
+
+  private val TombSchema = StructType(Seq(
+    StructField("__id", StringType), StructField("__covered", LongType),
+    StructField("__del", LongType)))
+
+  /** Ids a replaying batch must drop: tombstones of COMMITTED deletions
+    * whose coverage horizon includes `batchId`. Bounded by deletion
+    * volume (takedown lists, not corpus scale) — one small collect. */
+  private def tombstonedIds(spark: SparkSession, dir: String,
+      batchId: Long): Seq[String] = {
+    val (f, p) = DedupIngest.fs(spark, s"$dir/tombstones")
+    if (!f.exists(p)) return Seq.empty
+    val dels = markerNames(spark, dir)
+      .filter(_.startsWith("del-")).flatMap(_.drop(4).toLongOption)
+    if (dels.isEmpty) return Seq.empty
+    spark.read.schema(TombSchema).parquet(s"$dir/tombstones")
+      .filter(col("__covered") >= batchId &&
+        col("__del").isInCollection(dels))
+      .select("__id").distinct().collect().map(_.getString(0)).toSeq
+  }
+
   /** Remove every `__batch = batchId` row from a data dir — the
-    * post-crash cleanup for a partially-appended batch. Filtered
-    * rewrite under the recoverable `.next` swap; a no-op when the dir
-    * is absent. Only runs on the intent-without-commit path. */
+    * post-crash cleanup for a partially-appended batch. Completes any
+    * crashed compaction fold FIRST (a rewrite over a half-installed
+    * fold would both materialize its duplicates and orphan its
+    * manifest), then filtered-rewrites under the recoverable `.next`
+    * swap; a no-op when the dir is absent. Only runs on the
+    * intent-without-commit path. */
   private def purgeBatch(spark: SparkSession, path: String,
-      schema: StructType, batchId: Long): Unit = {
+      schema: StructType, batchId: Long): Unit =
+    purgeWhere(spark, path, schema, col("__batch") =!= batchId)
+
+  private def purgeWhere(spark: SparkSession, path: String,
+      schema: StructType,
+      keep: org.apache.spark.sql.Column): Unit = {
+    DedupIngest.recoverFold(spark, path)
     DedupIngest.recoverSwap(spark, path)
     val (f, live) = DedupIngest.fs(spark, path)
     if (!f.exists(live)) return
     spark.read.schema(schema).parquet(path)
-      .filter(col("__batch") =!= batchId)
+      .filter(keep)
       .write.parquet(path + ".next")
     f.delete(live, true)
     f.rename(new org.apache.hadoop.fs.Path(path + ".next"), live)
@@ -180,9 +235,15 @@ object IndexIngest {
       purgeBatch(spark, s"$dir/df", DfSchema, batchId)
       purgeBatch(spark, s"$dir/stats", StatsSchema, batchId)
     }
-    if (batch.isEmpty) return false
+    // drop docs a committed deletion has tombstoned for this horizon —
+    // otherwise replaying a batch that crashed BEFORE the deletion
+    // would resurrect the deleted docs
+    val tomb = tombstonedIds(spark, dir, batchId)
+    val live = if (tomb.isEmpty) batch
+      else batch.filter(!col(idCol).cast("string").isInCollection(tomb))
+    if (live.isEmpty) return false
     putMarker(spark, dir, s"$batchId.intent")
-    val idx = Retrieval.buildIndex(batch, idCol, textCol)
+    val idx = Retrieval.buildIndex(live, idCol, textCol)
     try {
       idx.df.select(col("__t"), col("__df").cast("long"),
           lit(batchId).as("__batch"))
@@ -272,6 +333,18 @@ object IndexIngest {
       .agg(sum("__n").as("__n"), sum("__dlsum").as("__dlsum"))
       .select(lit(CommittedBatch).as("__batch"), col("__n"), col("__dlsum")))
     DedupIngest.foldCorpusTail(spark, s"$dir/tf", smallFileBytes)
+    // sweep committed deletions' staged snapshots (they hold the
+    // forgotten docs' content; normally cleaned at commit, but a crash
+    // in the commit window can orphan one that is never replayed)
+    val (f, delRoot) = DedupIngest.fs(spark, s"$dir/deletes")
+    if (f.exists(delRoot)) {
+      val committed = markerNames(spark, dir)
+        .filter(_.startsWith("del-")).map(_.drop(4)).toSet
+      f.listStatus(delRoot).foreach { s =>
+        if (committed.contains(s.getPath.getName.stripSuffix(".tmp")))
+          f.delete(s.getPath, true)
+      }
+    }
   }
 
   /**
@@ -307,84 +380,111 @@ object IndexIngest {
    * sequence from a side channel).
    */
   def deleteBm25Docs(spark: SparkSession, dir: String, ids: Seq[String],
-      batchId: Long): Boolean = {
+      deleteId: Long): Boolean = {
     require(ids.nonEmpty, "need at least one doc id to delete")
-    if (hasMarker(spark, dir, batchId.toString)) return false
-    if (hasMarker(spark, dir, s"$batchId.intent")) {
-      purgeBatch(spark, s"$dir/df", DfSchema, batchId)
-      purgeBatch(spark, s"$dir/stats", StatsSchema, batchId)
+    require(deleteId >= 0, s"deleteId must be non-negative, got $deleteId")
+    val m = s"del-$deleteId"
+    val stamp = delStamp(deleteId)
+    val stage = s"$dir/deletes/$deleteId"
+    val (f, stagePath) = DedupIngest.fs(spark, stage)
+    if (hasMarker(spark, dir, m)) {
+      // committed replay: O(1) no-op, but clean any residue a crash
+      // between the commit and the cleanup left behind — the staged
+      // snapshot holds the to-be-forgotten docs' content and must not
+      // persist at rest
+      if (f.exists(stagePath)) f.delete(stagePath, true)
+      dropMarker(spark, dir, s"$m.intent")
+      return false
     }
-    putMarker(spark, dir, s"$batchId.intent")
+    if (hasMarker(spark, dir, s"$m.intent")) {
+      purgeBatch(spark, s"$dir/df", DfSchema, stamp)
+      purgeBatch(spark, s"$dir/stats", StatsSchema, stamp)
+      purgeWhere(spark, s"$dir/tombstones", TombSchema,
+        col("__del") =!= deleteId)
+    }
+    putMarker(spark, dir, s"$m.intent")
     // the snapshot is written aside and RENAMED into place so its
     // existence implies completeness (a crash mid-write cannot leave a
-    // partial snapshot a replay would trust)
-    val stage = s"$dir/deletes/$batchId"
-    val (f, stagePath) = DedupIngest.fs(spark, stage)
+    // partial snapshot a replay would trust). It reads ALL rows of the
+    // doomed ids — committed or not — but the negative partials below
+    // derive from the committed slice only (uncommitted rows have no
+    // positive partials to cancel).
+    DedupIngest.recoverFold(spark, s"$dir/tf")
+    val valid = committedBatches(spark, dir)
     if (!f.exists(stagePath)) {
       val tmp = new org.apache.hadoop.fs.Path(stage + ".tmp")
       if (f.exists(tmp)) f.delete(tmp, true)
-      val valid = committedBatches(spark, dir)
       DedupIngest.readOrEmpty(spark, s"$dir/tf", TfSchema)
-        .filter(col("__batch").isInCollection(valid) &&
-          col("__id").isInCollection(ids))
+        .filter(col("__id").isInCollection(ids))
         .write.parquet(tmp.toString)
       f.mkdirs(stagePath.getParent)
       f.rename(tmp, stagePath)
     }
     val removed = spark.read.schema(TfSchema).parquet(stage)
+      .filter(col("__batch").isInCollection(valid))
     removed.groupBy("__t")
       .agg((-countDistinct("__id")).as("__df"))
       .select(col("__t"), col("__df").cast("long"),
-        lit(batchId).as("__batch"))
+        lit(stamp).as("__batch"))
       .write.mode("append").parquet(s"$dir/df")
     removed.groupBy("__id").agg(first("__dl").as("__dl"))
       .agg(coalesce(-count(lit(1)), lit(0L)).as("__n"),
         coalesce(-sum("__dl"), lit(0L)).as("__dlsum"))
-      .select(lit(batchId).as("__batch"), col("__n").cast("long"),
+      .select(lit(stamp).as("__batch"), col("__n").cast("long"),
         col("__dlsum").cast("long"))
       .write.mode("append").parquet(s"$dir/stats")
+    // tombstones: any replay of a batch the ledger has seen so far
+    // must drop these ids, or a batch that crashed BEFORE this deletion
+    // would resurrect them when it replays after
+    val horizon = maxSeenBatch(spark, dir)
+    import spark.implicits._
+    ids.toDF("__id")
+      .select(col("__id"), lit(horizon).as("__covered"),
+        lit(deleteId).as("__del"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
     purgeDocs(spark, s"$dir/tf", TfSchema, ids)
-    putMarker(spark, dir, batchId.toString)
-    dropMarker(spark, dir, s"$batchId.intent")
+    putMarker(spark, dir, m)
+    dropMarker(spark, dir, s"$m.intent")
     f.delete(stagePath, true)
     true
   }
 
-  /** Remove every row of the given doc ids from a data dir (filtered
-    * rewrite under the recoverable `.next` swap; idempotent). */
+  /** Remove every row of the given doc ids from a data dir (fold
+    * recovery first, then a filtered rewrite under the recoverable
+    * `.next` swap; idempotent). */
   private def purgeDocs(spark: SparkSession, path: String,
-      schema: StructType, ids: Seq[String]): Unit = {
-    DedupIngest.recoverSwap(spark, path)
-    val (f, live) = DedupIngest.fs(spark, path)
-    if (!f.exists(live)) return
-    spark.read.schema(schema).parquet(path)
-      .filter(!col("__id").isInCollection(ids))
-      .write.parquet(path + ".next")
-    f.delete(live, true)
-    f.rename(new org.apache.hadoop.fs.Path(path + ".next"), live)
-  }
+      schema: StructType, ids: Seq[String]): Unit =
+    purgeWhere(spark, path, schema, !col("__id").isInCollection(ids))
 
   /** Targeted vector deletion — [[deleteBm25Docs]]' IVF counterpart,
     * simpler because the assigned dir is self-contained (no derived
-    * partials): one recoverable filtered rewrite plus the ledger
-    * marker (fresh `batchId`, caller-managed). */
+    * partials): fold recovery + one recoverable filtered rewrite, a
+    * tombstone append so replays of earlier batches re-drop the ids,
+    * and the namespaced ledger marker (fresh `deleteId`,
+    * caller-managed). */
   def deleteIvfVecs(spark: SparkSession, dir: String, ids: Seq[Long],
-      batchId: Long): Boolean = {
+      deleteId: Long): Boolean = {
     require(ids.nonEmpty, "need at least one vec id to delete")
-    if (hasMarker(spark, dir, batchId.toString)) return false
-    putMarker(spark, dir, s"$batchId.intent")
-    val path = s"$dir/assigned"
-    DedupIngest.recoverSwap(spark, path)
-    val (f, live) = DedupIngest.fs(spark, path)
-    if (f.exists(live)) {
-      spark.read.schema(AssignedSchema).parquet(path)
-        .filter(!col("__vid").isInCollection(ids))
-        .write.parquet(path + ".next")
-      f.delete(live, true)
-      f.rename(new org.apache.hadoop.fs.Path(path + ".next"), live)
+    require(deleteId >= 0, s"deleteId must be non-negative, got $deleteId")
+    val m = s"del-$deleteId"
+    if (hasMarker(spark, dir, m)) {
+      dropMarker(spark, dir, s"$m.intent")
+      return false
     }
-    putMarker(spark, dir, batchId.toString)
-    dropMarker(spark, dir, s"$batchId.intent")
+    if (hasMarker(spark, dir, s"$m.intent"))
+      purgeWhere(spark, s"$dir/tombstones", TombSchema,
+        col("__del") =!= deleteId)
+    putMarker(spark, dir, s"$m.intent")
+    val horizon = maxSeenBatch(spark, dir)
+    import spark.implicits._
+    ids.map(_.toString).toDF("__id")
+      .select(col("__id"), lit(horizon).as("__covered"),
+        lit(deleteId).as("__del"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+    purgeWhere(spark, s"$dir/assigned", AssignedSchema,
+      !col("__vid").isInCollection(ids))
+    putMarker(spark, dir, m)
+    dropMarker(spark, dir, s"$m.intent")
     true
   }
 
@@ -423,10 +523,13 @@ object IndexIngest {
     if (hasMarker(spark, dir, batchId.toString)) return false
     if (hasMarker(spark, dir, s"$batchId.intent"))
       purgeBatch(spark, s"$dir/assigned", AssignedSchema, batchId)
-    if (batch.isEmpty) return false
+    val tomb = tombstonedIds(spark, dir, batchId)
+    val live = if (tomb.isEmpty) batch
+      else batch.filter(!col(idCol).cast("string").isInCollection(tomb))
+    if (live.isEmpty) return false
     putMarker(spark, dir, s"$batchId.intent")
     val cents = readCentroids(spark, dir)
-    val add = Similarity.buildIvfIndex(batch, cents.size, idCol, vecCol,
+    val add = Similarity.buildIvfIndex(live, cents.size, idCol, vecCol,
       cents)
     add.assigned.select(col(idCol).cast("long").as("__vid"),
         col("__cvec").cast(ArrayType(FloatType)),

@@ -213,21 +213,24 @@ object CorpusDemo {
         uniq.filter(col("doc_id") % 2 =!= 0), 1L, ingestDir)
       val servedHits = Retrieval.bm25TopKWithIndex(
         graft.streaming.IndexIngest.readBm25(spark, ingestDir),
-        queries, k = 3).collect()
+        queries, k = 3).orderBy("query_id", "rank").collect()
       println(s"[retrieve/stream-ingest] top=" + servedHits
         .map(r => s"doc${r.getString(2)}@${r.getDouble(3)}").mkString(" "))
       Dedup.releasePersisted()
 
-      // right-to-be-forgotten: delete the top hit from the served index
-      // and confirm it no longer serves
-      val topDoc = servedHits.head.getString(2)
-      graft.streaming.IndexIngest.deleteBm25Docs(spark, ingestDir,
-        Seq(topDoc), batchId = 100L)
-      println(s"[retrieve/delete] removed=doc$topDoc top=" +
-        Retrieval.bm25TopKWithIndex(
-          graft.streaming.IndexIngest.readBm25(spark, ingestDir),
-          queries, k = 3).collect()
-          .map(r => s"doc${r.getString(2)}@${r.getDouble(3)}").mkString(" "))
+      // right-to-be-forgotten: delete the best hit from the served index
+      // and confirm it no longer serves (headOption: empty results would
+      // mean the demo queries matched nothing - skip rather than crash)
+      servedHits.headOption.foreach { top =>
+        val topDoc = top.getString(2)
+        graft.streaming.IndexIngest.deleteBm25Docs(spark, ingestDir,
+          Seq(topDoc), deleteId = 0L)
+        println(s"[retrieve/delete] removed=doc$topDoc top=" +
+          Retrieval.bm25TopKWithIndex(
+            graft.streaming.IndexIngest.readBm25(spark, ingestDir),
+            queries, k = 3).orderBy("query_id", "rank").collect()
+            .map(r => s"doc${r.getString(2)}@${r.getDouble(3)}").mkString(" "))
+      }
       Dedup.releasePersisted()
 
       println("[done] corpus pipeline drive complete")

@@ -171,6 +171,34 @@ class IndexIngestSpec extends SparkSpec {
     }
   }
 
+  test("bm25 tombstones: a committed deletion survives the replay of a crashed batch") {
+    val dir = tmp("bm25-tomb")
+    assert(IndexIngest.ingestBm25Batch(batch1.toDF("doc_id", "text"),
+      0L, dir))
+    // batch 1 (docs 300, 301) crashed mid-append: intent marker plus a
+    // partial tf append for doc 300 only, no commit
+    val bX = Seq((300L, "quince apple quince"), (301L, "apple date"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/markers/1.intent"))
+    Seq(("300", "quince", 2L, 3L, 1L))
+      .toDF("__id", "__t", "__tf", "__dl", "__batch")
+      .write.mode("append").parquet(s"$dir/tf")
+    // takedown for doc 300 arrives and COMMITS while the batch is down
+    assert(IndexIngest.deleteBm25Docs(spark, dir, Seq("300"), 0L))
+    // the crashed batch replays: doc 301 must fold, doc 300 must stay
+    // deleted (the tombstone's horizon covers the intent-seen batch) —
+    // without tombstones the replay would resurrect it
+    assert(IndexIngest.ingestBm25Batch(bX.toDF("doc_id", "text"), 1L, dir))
+    assert(served(dir) === batchPath(batch1 :+ (301L, "apple date")),
+      "replayed batch must not resurrect the deleted doc")
+    assert(spark.read.parquet(s"$dir/tf")
+      .filter(col("__id") === "300").count() === 0L)
+    // deletion markers live in their own namespace: the delete above
+    // used id 0, and ingest batch 0 still serves
+    assert(spark.read.parquet(s"$dir/tf")
+      .filter(col("__batch") === 0L).count() > 0L)
+  }
+
   test("bm25 deletion: negative partials cancel exactly; replay no-op") {
     implicit val sql = spark.sqlContext
     val dir = tmp("bm25-delete")
@@ -189,7 +217,7 @@ class IndexIngestSpec extends SparkSpec {
     // delete one doc (plus a nonexistent id — must be harmless): the
     // served view must equal a rebuild that never saw the doc
     assert(IndexIngest.deleteBm25Docs(spark, dir,
-      Seq("102", "9999"), batchId = 50L))
+      Seq("102", "9999"), deleteId = 50L))
     val without102 = batchPath((batch1 ++ batch2).filterNot(_._1 == 102L))
     assert(served(dir) === without102,
       "deletion must cancel tf, df, and stats contributions exactly")
