@@ -79,6 +79,67 @@ object EventStreams {
       .drop("__fp")
   }
 
+  final case class SessionEvent(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, event_type: String)
+  final case class SessionPairState(sessionIdx: Long, step: Long,
+    lastTsMicros: Long, prefixNewestFirst: List[String])
+  final case class SessionPair(user_id: Long, session_idx: Long,
+    step: Long, prefix_text: String, next_type: String)
+
+  /**
+   * Streaming twin of the oracled batch operator
+   * [[graft.operators.EventSequences.sessionPairs]] (q116): gaps-and-
+   * islands sessionization folded into (≤ maxPrefix-event prefix →
+   * next event) training pairs, INCREMENTALLY across micro-batches via
+   * `flatMapGroupsWithState` — the pretraining-pair extractor as a
+   * continuous query, so behavioral training data is ready the moment
+   * the events land instead of waiting for a batch job.
+   *
+   * State per user is O(maxPrefix) and independent of history length:
+   * the bounded prefix, the session index/step counters, and the last
+   * event time. A session spanning micro-batches continues seamlessly
+   * (the prefix crosses the batch boundary); a gap > `gapMinutes`
+   * starts a new session exactly as the batch window does.
+   *
+   * Contract: per-user event-time order ACROSS batches (the stream
+   * analog of the batch operator's window sort; within a micro-batch
+   * the group's rows are sorted here by (ts, event_id)). Out-of-order
+   * arrival across batches would need a watermark-buffered reorder
+   * stage in front — the documented trade of emitting pairs eagerly.
+   * Batch ≡ stream on ordered feeds is spec-pinned.
+   */
+  def sessionPairStream(events: Dataset[SessionEvent],
+      gapMinutes: Int = 30, maxPrefix: Int = 5): Dataset[SessionPair] = {
+    require(gapMinutes > 0 && maxPrefix > 0,
+      s"need positive gap/maxPrefix, got ($gapMinutes, $maxPrefix)")
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionPairState, SessionPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent],
+            state: GroupState[SessionPairState]) =>
+          var st = state.getOption
+            .getOrElse(SessionPairState(0L, 0L, Long.MinValue, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionPair]
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val tsMicros = micros(e.ts)
+            if (st.lastTsMicros == Long.MinValue ||
+                tsMicros - st.lastTsMicros > gapMicros)
+              st = SessionPairState(st.sessionIdx + 1, 0L, tsMicros, Nil)
+            if (st.step >= 1)
+              out += SessionPair(userId, st.sessionIdx, st.step,
+                st.prefixNewestFirst.reverse.mkString(" "), e.event_type)
+            st = SessionPairState(st.sessionIdx, st.step + 1, tsMicros,
+              (e.event_type :: st.prefixNewestFirst).take(maxPrefix))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 

@@ -35,6 +35,51 @@ class EventStreamsSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("sessionPairStream matches the batch operator across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[EventStreams.SessionEvent]
+    // batch 1 ends mid-session for user 1; batch 2 continues it (the
+    // prefix must cross the micro-batch boundary) and opens a new
+    // session for user 2 (65-min gap)
+    val b1 = Seq(
+      EventStreams.SessionEvent(1L, 1L, ts(0), "a"),
+      EventStreams.SessionEvent(1L, 2L, ts(5), "b"),
+      EventStreams.SessionEvent(2L, 3L, ts(0), "x"))
+    val b2 = Seq(
+      EventStreams.SessionEvent(1L, 4L, ts(10), "c"),
+      EventStreams.SessionEvent(1L, 5L, ts(80), "d"),  // new session u1
+      EventStreams.SessionEvent(2L, 6L, ts(65), "y"),  // new session u2
+      EventStreams.SessionEvent(2L, 7L, ts(70), "z"))
+    // ONE query, two processed micro-batches: user 1's session state
+    // must genuinely cross the batch boundary inside the query
+    val q = EventStreams.sessionPairStream(input.toDS(),
+        gapMinutes = 30, maxPrefix = 2)
+      .toDF().writeStream.format("memory").queryName("t_sess_pairs")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("t_sess_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSet
+    val want = graft.operators.EventSequences.sessionPairs(
+      (b1 ++ b2).map(e => (e.user_id, e.event_id, e.ts, e.event_type))
+        .toDF("user_id", "event_id", "ts", "event_type"),
+      "user_id", "event_id", "ts", "event_type",
+      gapMinutes = 30, maxPrefix = 2)
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    assert(got === want)
+    // the boundary-crossing pair is present: user 1's event "c" at
+    // step 2 with the prefix ("a b") truncated to the last 2 types
+    assert(got.contains((1L, 1L, 2L, "a b", "c")))
+    // and gap-opened sessions restart with empty prefixes at step 1
+    assert(want.exists(p => p._1 == 2L && p._2 == 2L && p._3 == 1L))
+  }
+
   test("tumbling window counts match the batch twin") {
     val got = feed(EventStreams.tumblingCounts(_, "1 hour", "2 hours"),
       "t_tumbling")
