@@ -4381,14 +4381,41 @@ WHERE rk <= 40"""
     * not one per invocation. */
   private def streamIndexDir(tag: String, dir: String,
       table: String): String = {
-    val f = new java.io.File(s"$dir/$table.parquet")
+    // corpus identity = recursive (name, mtime, size) over the table's
+    // files — File.lastModified/length on the directory alone is
+    // filesystem-dependent and would key a regenerated corpus to the
+    // same (stale) index dir
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .map(sig).mkString(f.getName + "{", ",", "}")
+      else s"${f.getName}:${f.lastModified}:${f.length}"
+    val root = new java.io.File(s"$dir/$table.parquet")
+    // pid-scoped: IndexIngest's ledger is single-writer, so the dir is
+    // shared across this process's bench reps but never across
+    // concurrently-running processes; cleaned on JVM exit
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${f.lastModified}|${f.length}"
+      .digest(s"$dir|${sig(root)}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(12)
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft-$tag-$key").getAbsolutePath
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-$tag-$key-p${ProcessHandle.current.pid}")
+    registerCleanup(out)
+    out.getAbsolutePath
   }
+
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def registerCleanup(dir: java.io.File): Unit =
+    if (cleanupRegistered.add(dir.getAbsolutePath))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(dir)
+      }))
 
   val q119Bm25StreamServe: Q = (s, dir) => {
     import s.implicits._

@@ -109,13 +109,16 @@ object EventStreams {
    * Batch ≡ stream on ordered feeds is spec-pinned.
    */
   def sessionPairStream(events: Dataset[SessionEvent],
-      gapMinutes: Int = 30, maxPrefix: Int = 5): Dataset[SessionPair] = {
+      gapMinutes: Int = 30, maxPrefix: Int = 20): Dataset[SessionPair] = {
     require(gapMinutes > 0 && maxPrefix > 0,
       s"need positive gap/maxPrefix, got ($gapMinutes, $maxPrefix)")
     import events.sparkSession.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
+    // floorDiv, not /: truncation-toward-zero misplaces pre-epoch
+    // timestamps by up to a second, diverging from unix_micros' floor
+    // semantics in the batch twin
     def micros(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionPairState, SessionPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {

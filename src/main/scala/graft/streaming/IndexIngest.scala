@@ -183,6 +183,10 @@ object IndexIngest {
     * volume (takedown lists, not corpus scale) — one small collect. */
   private def tombstonedIds(spark: SparkSession, dir: String,
       batchId: Long): Seq[String] = {
+    // a crashed delete-replay tombstone rewrite must be completed, not
+    // read as "no tombstones" — that would let a replaying batch
+    // resurrect every committed deletion's docs
+    DedupIngest.recoverSwap(spark, s"$dir/tombstones")
     val (f, p) = DedupIngest.fs(spark, s"$dir/tombstones")
     if (!f.exists(p)) return Seq.empty
     val dels = markerNames(spark, dir)
@@ -229,6 +233,8 @@ object IndexIngest {
   def ingestBm25Batch(batch: DataFrame, batchId: Long, dir: String,
       idCol: String = "doc_id", textCol: String = "text"): Boolean = {
     val spark = batch.sparkSession
+    require(batchId >= 0, s"batchId must be non-negative, got $batchId" +
+      " (negative stamps are reserved for deletions/compaction)")
     if (hasMarker(spark, dir, batchId.toString)) return false
     if (hasMarker(spark, dir, s"$batchId.intent")) {
       purgeBatch(spark, s"$dir/tf", TfSchema, batchId)
@@ -241,7 +247,13 @@ object IndexIngest {
     val tomb = tombstonedIds(spark, dir, batchId)
     val live = if (tomb.isEmpty) batch
       else batch.filter(!col(idCol).cast("string").isInCollection(tomb))
-    if (live.isEmpty) return false
+    if (live.isEmpty) {
+      // nothing to fold (empty or fully tombstoned) — still COMMIT so
+      // replays are O(1) no-ops and no intent marker dangles
+      putMarker(spark, dir, batchId.toString)
+      dropMarker(spark, dir, s"$batchId.intent")
+      return false
+    }
     putMarker(spark, dir, s"$batchId.intent")
     val idx = Retrieval.buildIndex(live, idCol, textCol)
     try {
@@ -403,23 +415,35 @@ object IndexIngest {
         col("__del") =!= deleteId)
     }
     putMarker(spark, dir, s"$m.intent")
-    // the snapshot is written aside and RENAMED into place so its
+    // The snapshot is written aside and RENAMED into place so its
     // existence implies completeness (a crash mid-write cannot leave a
-    // partial snapshot a replay would trust). It reads ALL rows of the
-    // doomed ids — committed or not — but the negative partials below
-    // derive from the committed slice only (uncommitted rows have no
-    // positive partials to cancel).
+    // partial snapshot a replay would trust), and REFRESHED on every
+    // attempt: a replay may hold a stale snapshot (its rows already
+    // purged from tf) while OTHER rows of the doomed ids were
+    // re-committed by a batch replay in between — the union of the
+    // snapshot with tf's current rows for the ids covers both, and
+    // distinct() collapses the overlap (rows are deterministic per
+    // (batch, id, term)). A half-written refresh is promoted only if
+    // its job committed (_SUCCESS); otherwise it is discarded — tf
+    // still holds the rows in that case, nothing is lost. The negative
+    // partials below derive from the committed slice only (uncommitted
+    // rows have no positive partials to cancel).
     DedupIngest.recoverFold(spark, s"$dir/tf")
     val valid = committedBatches(spark, dir)
-    if (!f.exists(stagePath)) {
-      val tmp = new org.apache.hadoop.fs.Path(stage + ".tmp")
-      if (f.exists(tmp)) f.delete(tmp, true)
-      DedupIngest.readOrEmpty(spark, s"$dir/tf", TfSchema)
-        .filter(col("__id").isInCollection(ids))
-        .write.parquet(tmp.toString)
+    val tmpPath = new org.apache.hadoop.fs.Path(stage + ".tmp")
+    if (!f.exists(stagePath) && f.exists(tmpPath) &&
+        f.exists(new org.apache.hadoop.fs.Path(stage + ".tmp/_SUCCESS"))) {
       f.mkdirs(stagePath.getParent)
-      f.rename(tmp, stagePath)
+      f.rename(tmpPath, stagePath)
     }
+    val prior = DedupIngest.readOrEmpty(spark, stage, TfSchema)
+    val current = DedupIngest.readOrEmpty(spark, s"$dir/tf", TfSchema)
+      .filter(col("__id").isInCollection(ids))
+    if (f.exists(tmpPath)) f.delete(tmpPath, true)
+    prior.unionByName(current).distinct().write.parquet(tmpPath.toString)
+    if (f.exists(stagePath)) f.delete(stagePath, true)
+    f.mkdirs(stagePath.getParent)
+    f.rename(tmpPath, stagePath)
     val removed = spark.read.schema(TfSchema).parquet(stage)
       .filter(col("__batch").isInCollection(valid))
     removed.groupBy("__t")
@@ -520,13 +544,21 @@ object IndexIngest {
   def ingestIvfBatch(batch: DataFrame, batchId: Long, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
     val spark = batch.sparkSession
+    require(batchId >= 0, s"batchId must be non-negative, got $batchId" +
+      " (negative stamps are reserved for deletions/compaction)")
     if (hasMarker(spark, dir, batchId.toString)) return false
     if (hasMarker(spark, dir, s"$batchId.intent"))
       purgeBatch(spark, s"$dir/assigned", AssignedSchema, batchId)
     val tomb = tombstonedIds(spark, dir, batchId)
     val live = if (tomb.isEmpty) batch
       else batch.filter(!col(idCol).cast("string").isInCollection(tomb))
-    if (live.isEmpty) return false
+    if (live.isEmpty) {
+      // nothing to fold (empty or fully tombstoned) — still COMMIT so
+      // replays are O(1) no-ops and no intent marker dangles
+      putMarker(spark, dir, batchId.toString)
+      dropMarker(spark, dir, s"$batchId.intent")
+      return false
+    }
     putMarker(spark, dir, s"$batchId.intent")
     val cents = readCentroids(spark, dir)
     val add = Similarity.buildIvfIndex(live, cents.size, idCol, vecCol,
