@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
   /** Intermediates persisted by the pair-enumeration entry points below
     * (signature/shingle frames feed 3 consumers each and Spark can't
     * reuse the exchange across them — one lands in a BroadcastExchange —
@@ -141,6 +143,46 @@ object Dedup {
       xxhash64(slice(signature, b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
 
   /**
+   * Hot-bucket guard shared by every LSH-style candidate join: a bucket
+   * (band/piece/table key) of size c generates Θ(c²) candidate pairs, so
+   * one template family thousands deep — near-identical boilerplate
+   * pages, a mirrored site — turns the band join into a full quadratic
+   * shuffle on one skewed key: the classic at-scale dedup killer. The
+   * guard counts bucket sizes with ONE small aggregate over the (already
+   * persisted) key frame and, only when some bucket exceeds `cap`,
+   * anti-joins those buckets out of pair enumeration (broadcast — the
+   * overflow list is at most |rows|/cap buckets) and WARN-logs exactly
+   * what was dropped. When nothing overflows — every well-behaved corpus
+   * — the returned plan is the input, untouched: the guard costs one
+   * bounded count and zero plan change.
+   *
+   * Dropping a bucket only suppresses pairs whose EVERY shared bucket
+   * overflows — true near-dups usually still meet in a colder band. For
+   * the cluster/dedup decision, [[nearDupStarEdgesFromSignatures]] is
+   * the lossless linear form; the cap is for consumers where the pair
+   * LIST itself is the product and an overflowing bucket means the
+   * pair list is quadratically large by construction.
+   */
+  private def cappedBuckets(keyed: DataFrame, keyCols: Seq[String],
+      cap: Int, what: String): DataFrame = {
+    if (cap <= 0) return keyed // explicit opt-out
+    val over = keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > cap)
+      .agg(count(lit(1)).as("nb"), sum("__bsz").as("nr")).head()
+    if (over.isNullAt(1) || over.getLong(0) == 0L) keyed
+    else {
+      log.warn(s"$what: ${over.getLong(0)} bucket(s) over maxBucketSize=" +
+        s"$cap (${over.getLong(1)} rows) EXCLUDED from pair enumeration " +
+        "— pairs meeting only in overflowed buckets are not emitted; use " +
+        "nearDupStarEdgesFromSignatures for the lossless linear form")
+      val overKeys = keyed.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > cap)
+        .select(keyCols.map(col): _*)
+      keyed.join(broadcast(overKeys), keyCols, "left_anti")
+    }
+  }
+
+  /**
    * MinHash/LSH near-duplicate pairs `(id_a, id_b, jaccard)` with
    * id_a < id_b and MinHash-estimated Jaccard ≥ `threshold`.
    *
@@ -176,22 +218,26 @@ object Dedup {
     * itself (array<bigint>) — engine-agnostic, identical semantics
     * modulo xxhash collisions (~2⁻⁶⁴), replayed in DuckDB as
     * `list(mh ORDER BY i)` per band. The key is `rowsPerBand` longs wide
-    * instead of one, so production keeps the hashed form. */
+    * instead of one, so production keeps the hashed form.
+    *
+    * `maxBucketSize` is the hot-bucket guard ([[cappedBuckets]]): band
+    * buckets larger than the cap are excluded from pair enumeration
+    * with a WARN log (a bucket of size c costs Θ(c²) pairs — at the
+    * default cap that is already 10⁸ candidate rows from ONE key). Set
+    * 0 to disable. Consumers that need clusters, not the pair list,
+    * should use [[nearDupStarEdgesFromSignatures]] instead — linear in
+    * bucket size with no exclusions. */
   def nearDupPairsFromSignatures(sigs: DataFrame, idCol: String,
       numHashes: Int, bands: Int, threshold: Double,
-      portableBandKeys: Boolean = false): DataFrame = {
-    val rowsPerBand = numHashes / bands
+      portableBandKeys: Boolean = false,
+      maxBucketSize: Int = 10000): DataFrame = {
     // persist: the signature aggregation feeds three consumers (band
     // explode + both sides of the estimate join); released via
     // releasePersisted() once the caller materializes
     val s = trackPersist(sigs)
-    val bandKeyArr =
-      if (portableBandKeys)
-        array((0 until bands).map(b =>
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)
-      else lshBandKeys(col("sig"), bands, rowsPerBand)
-    val banded = s.select(col(idCol).as("__id"),
-      posexplode(bandKeyArr).as(Seq("band_idx", "band_hash")))
+    val banded = cappedBuckets(
+      bandedKeys(s, idCol, numHashes, bands, portableBandKeys),
+      Seq("band_idx", "band_hash"), maxBucketSize, "minhash band join")
     val a = banded.select(col("__id").as("id_a"), col("band_idx"),
       col("band_hash"))
     val b = banded.select(col("__id").as("id_b"), col("band_idx"),
@@ -202,6 +248,75 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
     pairs
+      .join(s.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(s.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("jaccard",
+        round(estimatedJaccard(col("sig_a"), col("sig_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** `(__id, band_idx, band_hash)` rows for a signature frame — the
+    * shared front end of the pair and star-edge enumerators. */
+  private def bandedKeys(s: DataFrame, idCol: String, numHashes: Int,
+      bands: Int, portableBandKeys: Boolean): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandKeyArr =
+      if (portableBandKeys)
+        array((0 until bands).map(b =>
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)
+      else lshBandKeys(col("sig"), bands, rowsPerBand)
+    s.select(col(idCol).as("__id"),
+      posexplode(bandKeyArr).as(Seq("band_idx", "band_hash")))
+  }
+
+  /**
+   * STAR-EDGE candidate enumeration — the linear-in-bucket-size form of
+   * [[nearDupPairsFromSignatures]] for consumers that feed
+   * [[connectedComponents]] (cluster-then-drop dedup, leakage-free
+   * splits): per (band_idx, band_hash) bucket, every member is edged to
+   * the bucket's MINIMUM id (its anchor) instead of to every other
+   * member — c−1 edges where the all-pairs form emits c(c−1)/2, so a
+   * 5000-deep template family costs 5·10³ edge rows per band instead of
+   * 1.25·10⁷, and NO bucket is ever excluded: the guard the pair form
+   * needs ([[cappedBuckets]]) is unnecessary here because the work is
+   * linear by construction.
+   *
+   * Semantics: each star edge is verified against `threshold` exactly
+   * like a pair edge (estimated Jaccard, 4dp-rounded). On the candidate
+   * graph (no verification) star edges connect exactly the same
+   * components as all-pairs edges — every bucket member reaches every
+   * other through the anchor. WITH verification the two forms can
+   * differ on mixed buckets (a, b verify against each other but not
+   * against the anchor); on template families — the case the guard
+   * exists for — members are near-identical, every anchor edge
+   * verifies, and the components are identical (spec-checked on a
+   * planted family). This anchored-verification semantic is the
+   * deterministic, engine-replayable contract; production MinHash dedup
+   * at scale (CCNet/RefinedWeb-style) typically skips verification
+   * entirely, which star edges also express: set `threshold` ≤ 0.
+   *
+   * Plan shape: band explode → per-bucket min (map-side-combinable
+   * hash aggregate, |buckets| rows) → one equi-join of the tiny anchor
+   * frame back onto the banded rows (same key, same partitioning — the
+   * exchange is reused) → distinct (anchor, member) edges → signature
+   * verify joins bounded by edge count.
+   *
+   * @return `(id_a, id_b, jaccard)` — id_a the anchor (min id), so
+   *         id_a < id_b; one row per verified star edge
+   */
+  def nearDupStarEdgesFromSignatures(sigs: DataFrame, idCol: String,
+      numHashes: Int, bands: Int, threshold: Double,
+      portableBandKeys: Boolean = false): DataFrame = {
+    val s = trackPersist(sigs)
+    val banded = bandedKeys(s, idCol, numHashes, bands, portableBandKeys)
+    val anchors = banded.groupBy("band_idx", "band_hash")
+      .agg(min("__id").as("__anchor"))
+    val edges = banded.join(anchors, Seq("band_idx", "band_hash"))
+      .filter(col("__id") =!= col("__anchor"))
+      .select(col("__anchor").as("id_a"), col("__id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    edges
       .join(s.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(s.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("jaccard",
@@ -277,7 +392,8 @@ object Dedup {
     * plain SQL) through the same pigeonhole-piece blocking join the
     * production 64-bit xxhash path uses. */
   def simhashPairsFromHashes(simhashFrame: DataFrame, idCol: String,
-      numBits: Int, maxHamming: Int): DataFrame = {
+      numBits: Int, maxHamming: Int,
+      maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 32), got $maxHamming")
     require(numBits > 0 && numBits <= 64,
@@ -292,11 +408,12 @@ object Dedup {
     // path: the signature aggregation feeds three consumers and the
     // candidate dedup should hash, not sort
     val sh = trackPersist(simhashFrame)
-    val keyed = sh.select(col(idCol).as("__id"),
+    val keyed = cappedBuckets(sh.select(col(idCol).as("__id"),
       posexplode(array((0 until pieces).map(k =>
         shiftright(col("simhash"), pieceOffsets(k))
           .bitwiseAND(mask(widths(k)))): _*))
-        .as(Seq("piece_idx", "piece")))
+        .as(Seq("piece_idx", "piece"))),
+      Seq("piece_idx", "piece"), maxBucketSize, "simhash piece join")
     val a = keyed.select(col("__id").as("id_a"), col("piece_idx"), col("piece"))
     val b = keyed.select(col("__id").as("id_b"), col("piece_idx"), col("piece"))
     a.join(b, Seq("piece_idx", "piece"))
@@ -384,14 +501,15 @@ object Dedup {
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: Column,
       dim: Int, threshold: Double, numPlanes: Int = 8,
-      numTables: Int = 24): DataFrame = {
+      numTables: Int = 24, maxBucketSize: Int = 10000): DataFrame = {
     val tables = (0 until numTables)
       .map(t => Similarity.hyperplanes(dim, numPlanes, seed = 911L + t))
     // persist: feeds the key pass and both vector-fetch joins
     val v = trackPersist(df.select(col(idCol).as("__id"), vecCol.as("__v")))
-    val keyed = v.select(col("__id"),
+    val keyed = cappedBuckets(v.select(col("__id"),
       posexplode(Similarity.lshKeysAllTables(col("__v"), tables))
-        .as(Seq("table", "key")))
+        .as(Seq("table", "key"))),
+      Seq("table", "key"), maxBucketSize, "embedding LSH table join")
     val a = keyed.select(col("__id").as("id_a"), col("table"), col("key"))
     val b = keyed.select(col("__id").as("id_b"), col("table"), col("key"))
     val pairs = a.join(b, Seq("table", "key"))
@@ -947,15 +1065,46 @@ object Dedup {
     * band-key equi-join for candidates (bare ids through the join),
     * then signature-estimate verification at `threshold` (4dp-rounded —
     * the engine-portable arithmetic the whole ANN family uses). Only
-    * candidate ids ever touch the signature frames. */
+    * candidate ids ever touch the signature frames.
+    *
+    * `maxProbePerBucket` guards the index side of the band join: a hot
+    * index bucket (template family c deep) would hand EVERY colliding
+    * incoming doc c candidates to verify. Buckets over the cap are
+    * trimmed to their `maxProbePerBucket` LOWEST-`__mid` members
+    * (deterministic), with a WARN log. A miss requires an incoming doc
+    * whose only verifying matches all rank past the cap inside every
+    * shared bucket — a bucket that deep and that internally dissimilar
+    * is not a real corpus shape (bucket membership already implies a
+    * shared band of the signature). When nothing overflows — one small
+    * count against the bands frame — the plan is unchanged. Set 0 to
+    * disable. */
   def minhashSuppressedIds(incoming: DataFrame, mh: MinHashBandIndex,
-      idCol: String, text: Column): DataFrame = {
+      idCol: String, text: Column,
+      maxProbePerBucket: Int = 10000): DataFrame = {
     val incSigs = trackPersist(mh.signatureOf(incoming, idCol, text)
       .select(col(idCol).as("__iid"), col("sig").as("__isig")))
+    val bands: DataFrame =
+      if (maxProbePerBucket <= 0) mh.bands
+      else {
+        val over = mh.bands.groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxProbePerBucket)
+          .agg(count(lit(1)).as("nb"), sum("__bsz").as("nr")).head()
+        if (over.isNullAt(1) || over.getLong(0) == 0L) mh.bands
+        else {
+          log.warn(s"minhash band index probe: ${over.getLong(0)} " +
+            s"bucket(s) over maxProbePerBucket=$maxProbePerBucket " +
+            s"(${over.getLong(1)} rows) trimmed to their lowest-id " +
+            "members for verification")
+          mh.bands.withColumn("__rk", row_number().over(
+              Window.partitionBy("band_idx", "band_key").orderBy("__mid")))
+            .filter(col("__rk") <= maxProbePerBucket).drop("__rk")
+        }
+      }
     val cand = incSigs
       .select(col("__iid"), posexplode(mh.bandKeysOf(col("__isig")))
         .as(Seq("band_idx", "band_key")))
-      .join(mh.bands, Seq("band_idx", "band_key"))
+      .join(bands, Seq("band_idx", "band_key"))
       .select("__iid", "__mid").distinct()
     cand
       .join(mh.sigs, "__mid")

@@ -568,7 +568,12 @@ object Battery {
     * all pairs; 8-row bands push the random collision rate under 1%
     * while keeping ~99% recall at the planted near-dups' similarity.
     * Per-pair jaccard is k_eq/64 — exact in binary, no float-order risk. */
-  val q24MinhashDedup: Q = (s, dir) => {
+  /** The portable MinHash signature frame shared by the whole banded
+    * family (q24 pairs, q44/q56/q91 components): md5 char-5 shingles,
+    * two 60-bit halves, 64 double-hash min families — DuckDB replays it
+    * with HUGEINT arithmetic ([[q24SigCtes]]). */
+  private def portableMinhashSigs(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
     // the corpus is 1-2 parquet splits: spread on the signature groupBy
     // key or the whole md5 pass runs on 1-2 cores (shuffle is ~doc bytes)
@@ -582,17 +587,32 @@ object Battery {
       .select(col("doc_id"),
         conv(substring(col("__d"), 1, 15), 16, 10).cast("long").as("__h1"),
         conv(substring(col("__d"), 16, 15), 16, 10).cast("long").as("__h2"))
-    val sigs = rows.groupBy("doc_id")
+    rows.groupBy("doc_id")
       .agg(graft.functions.MinHashSig.minhashSigPortable(64)(
         col("__h1"), col("__h2")).as("sig"))
-    graft.operators.Dedup.nearDupPairsFromSignatures(sigs, "doc_id",
-      numHashes = 64, bands = 8, threshold = 0.4, portableBandKeys = true)
   }
 
-  /** CTE chain shared by q24 (pairs) and q44 (components over the same
-    * pairs): portable MinHash signatures → banding → verified pairs in
-    * `j`. Kept as a fragment so the two oracles can never drift. */
-  private val q24PairCtes: String =
+  val q24MinhashDedup: Q = (s, dir) =>
+    graft.operators.Dedup.nearDupPairsFromSignatures(
+      portableMinhashSigs(s, dir), "doc_id",
+      numHashes = 64, bands = 8, threshold = 0.4, portableBandKeys = true)
+
+  /** Verified STAR edges over the same portable signatures — the
+    * linear-in-bucket-size candidate form the CC consumers (q44/q56/
+    * q91) feed ([[graft.operators.Dedup.nearDupStarEdgesFromSignatures]]):
+    * per band bucket, members edge to the bucket-min anchor (c−1 rows,
+    * never c²), each edge verified at the same threshold. */
+  private def q24StarEdges(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Dedup.nearDupStarEdgesFromSignatures(
+      portableMinhashSigs(s, dir), "doc_id",
+      numHashes = 64, bands = 8, threshold = 0.4, portableBandKeys = true)
+
+  /** Portable-signature CTE chain shared by the whole banded family:
+    * md5 char-5 shingles → 64 double-hash minima (`sig`) → 8-row band
+    * keys (`band`). The pair (q24) and star-edge (q44/q56/q91) tails
+    * both build on it, so the families can never drift. */
+  private val q24SigCtes: String =
     """t AS (
       |  SELECT doc_id,
       |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
@@ -618,7 +638,11 @@ object Battery {
       |sig AS (SELECT doc_id, i, MIN(gv) AS mh FROM g GROUP BY doc_id, i),
       |band AS (
       |  SELECT doc_id, i // 8 AS band_idx, list(mh ORDER BY i) AS bkey
-      |  FROM sig GROUP BY doc_id, i // 8),
+      |  FROM sig GROUP BY doc_id, i // 8)""".stripMargin
+
+  /** q24's all-pairs tail: within-bucket candidates → verified pairs in
+    * `j`. */
+  private val q24PairCtes: String = q24SigCtes + """,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM band a JOIN band b
@@ -629,6 +653,28 @@ object Battery {
       |    ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::DOUBLE
       |      / 64, 4) AS jaccard
       |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.id_a
+      |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+      |  GROUP BY c.id_a, c.id_b)""".stripMargin
+
+  /** The STAR-EDGE tail the CC consumers replay
+    * ([[graft.operators.Dedup.nearDupStarEdgesFromSignatures]]): per
+    * band bucket, the min doc id anchors c−1 edges (linear, never c²),
+    * each verified at the same threshold — verified edges in `j`. */
+  private val q24StarCtes: String = q24SigCtes + """,
+      |anchor AS (
+      |  SELECT band_idx, bkey, MIN(doc_id) AS anchor_id
+      |  FROM band GROUP BY band_idx, bkey),
+      |sedge AS (
+      |  SELECT DISTINCT a.anchor_id AS id_a, b.doc_id AS id_b
+      |  FROM band b JOIN anchor a
+      |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey
+      |      AND b.doc_id <> a.anchor_id),
+      |j AS (
+      |  SELECT c.id_a, c.id_b,
+      |    ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::DOUBLE
+      |      / 64, 4) AS jaccard
+      |  FROM sedge c
       |  JOIN sig sa ON sa.doc_id = c.id_a
       |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
       |  GROUP BY c.id_a, c.id_b)""".stripMargin
@@ -1161,24 +1207,28 @@ object Battery {
       |  FROM cand)
       |WHERE rank <= 5""".stripMargin
 
-  /** Connected components over q24's MinHash/LSH near-dup pairs + the
-    * canonical-doc flag — the cluster step a real dedup pipeline runs
-    * between pair enumeration and dropping rows (A~B, B~C must collapse
-    * even when A~C was never enumerated). The fixpoint loop's driver
-    * actions (one sum per round, converges in 2-4 rounds on near-dup
-    * graphs) are inherent to iterative graph algorithms, not incidental
-    * collects. Oracle: the SAME pair CTEs + a recursive reachability CTE
-    * (component = min reachable id — exactly what min-label propagation
-    * computes). */
+  /** Connected components over the banded family's verified STAR edges
+    * + the canonical-doc flag — the cluster step a real dedup pipeline
+    * runs between candidate enumeration and dropping rows (A~B, B~C
+    * must collapse even when A~C was never enumerated). The CC path
+    * deliberately feeds [[q24StarEdges]], not q24's all-pairs list: the
+    * components are what the consumer needs, star edges connect every
+    * bucket exactly as all-pairs do at Θ(c) per bucket instead of
+    * Θ(c²), and a template family thousands deep costs linear work —
+    * the 100 TB shape. The fixpoint loop's driver actions (one sum per
+    * round, converges in 2-4 rounds on near-dup graphs) are inherent to
+    * iterative graph algorithms, not incidental collects. Oracle: the
+    * star-edge CTEs + a recursive reachability CTE (component = min
+    * reachable id — exactly what min-label propagation computes). */
   val q44CcDedup: Q = (s, dir) => {
-    val pairs = q24MinhashDedup(s, dir)
+    val pairs = q24StarEdges(s, dir)
     val nodes = t(s, dir, "documents").select("doc_id")
     graft.operators.Dedup.canonicalByComponent(
       graft.operators.Dedup.connectedComponents(pairs, nodes))
   }
 
   val q44Sql: String =
-    s"""WITH RECURSIVE $q24PairCtes,
+    s"""WITH RECURSIVE $q24StarCtes,
       |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4),
       |edges AS (
       |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1200,14 +1250,14 @@ object Battery {
   val q56CanonQuality: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val cc = graft.operators.Dedup.connectedComponents(
-      q24MinhashDedup(s, dir), docs.select("doc_id"))
+      q24StarEdges(s, dir), docs.select("doc_id"))
     graft.operators.Dedup.canonicalByScore(
       cc.join(docs.select("doc_id", "n_chars"), "doc_id"),
       col("n_chars")).drop("n_chars")
   }
 
   val q56Sql: String =
-    s"""WITH RECURSIVE $q24PairCtes,
+    s"""WITH RECURSIVE $q24StarCtes,
       |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4),
       |edges AS (
       |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -3197,12 +3247,12 @@ object Battery {
     * md5 split case over the component id. */
   val q91LeakfreeSplit: Q = (s, dir) => {
     val cc = graft.operators.Dedup.connectedComponents(
-      q24MinhashDedup(s, dir), t(s, dir, "documents").select("doc_id"))
+      q24StarEdges(s, dir), t(s, dir, "documents").select("doc_id"))
     graft.operators.Sampling.componentSplit(cc, "component", "exp1")
   }
 
   val q91Sql: String =
-    s"""WITH RECURSIVE $q24PairCtes,
+    s"""WITH RECURSIVE $q24StarCtes,
       |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4),
       |edges AS (
       |  SELECT id_a AS src, id_b AS dst FROM pairs

@@ -129,6 +129,105 @@ class DedupSpec extends SparkSpec {
     assert(approx == exact)
   }
 
+  // ------------------------------------------------------------------
+  // Star edges + hot-bucket guards
+  // ------------------------------------------------------------------
+
+  /** A planted template family (near-identical boilerplate, the skewed
+    * web-crawl shape that makes all-pairs band joins quadratic) + a few
+    * unrelated docs. */
+  private def templateCorpus(familySize: Int) = {
+    val tmpl = "breaking news article boilerplate header navigation " +
+      "footer copyright two thousand twenty six all rights reserved " +
+      "subscribe newsletter follow us on social media contact form"
+    (Seq.tabulate(familySize)(i => (i.toLong, s"$tmpl item number $i")) ++
+      Seq((900L, "completely different content about spark catalyst rules"),
+        (901L, "another unrelated string mentioning window functions")))
+      .toDF("doc_id", "text")
+  }
+
+  test("star-edge CC equals all-pairs CC on a planted template family") {
+    val corpus = templateCorpus(60)
+    val sigs = Dedup.minhashSignaturesFromText(corpus, "doc_id",
+      col("text"), n = 5, numHashes = 64)
+    val nodes = corpus.select("doc_id")
+    val viaPairs = Dedup.connectedComponents(
+      Dedup.nearDupPairsFromSignatures(sigs, "doc_id", numHashes = 64,
+        bands = 16, threshold = 0.7, maxBucketSize = 0), nodes)
+      .as[(Long, Long)].collect().toMap
+    val viaStar = Dedup.connectedComponents(
+      Dedup.nearDupStarEdgesFromSignatures(sigs, "doc_id", numHashes = 64,
+        bands = 16, threshold = 0.7), nodes)
+      .as[(Long, Long)].collect().toMap
+    Dedup.releasePersisted()
+    assert(viaStar == viaPairs)
+    // the family really is one component anchored at its min id
+    assert(viaStar(59L) == 0L)
+    assert(viaStar(900L) == 900L && viaStar(901L) == 901L)
+  }
+
+  test("star edges are linear in bucket size where all-pairs is quadratic") {
+    val corpus = templateCorpus(80)
+    val sigs = Dedup.minhashSignaturesFromText(corpus, "doc_id",
+      col("text"), n = 5, numHashes = 64)
+    val star = Dedup.nearDupStarEdgesFromSignatures(sigs, "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val pairs = Dedup.nearDupPairsFromSignatures(sigs, "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.7, maxBucketSize = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    Dedup.releasePersisted()
+    // 80-deep family: ~c−1 star edges per distinct anchor (a few buckets
+    // anchor at a different min when the suffix perturbs a band) vs
+    // c(c−1)/2 all-pairs — linear vs quadratic in the family depth
+    assert(star.length < 2 * 80)
+    assert(pairs.length == 80 * 79 / 2)
+    assert(star.forall(e => e._1 <= 1L)) // anchors are bucket minima
+  }
+
+  test("bucket cap drops only overflowed buckets; no-skew plan unchanged") {
+    val corpus = templateCorpus(40)
+    val sigs = Dedup.minhashSignaturesFromText(corpus, "doc_id",
+      col("text"), n = 5, numHashes = 64)
+    val uncapped = Dedup.nearDupPairsFromSignatures(sigs, "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.7, maxBucketSize = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // cap far above any bucket: bit-identical result
+    val bigCap = Dedup.nearDupPairsFromSignatures(sigs, "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.7, maxBucketSize = 10000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bigCap == uncapped)
+    // cap below the family's bucket size: the family's pairs are excluded
+    // (they only ever meet in overflowed buckets), unrelated docs unaffected
+    val smallCap = Dedup.nearDupPairsFromSignatures(sigs, "doc_id",
+      numHashes = 64, bands = 16, threshold = 0.7, maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    Dedup.releasePersisted()
+    assert(smallCap.isEmpty)
+    assert(uncapped.size == 40 * 39 / 2)
+  }
+
+  test("minhashSuppressedIds: probe cap still suppresses against a " +
+      "template family (anchored members verify)") {
+    val corpus = templateCorpus(30)
+    val mh = Dedup.minhashBandIndex(corpus, "doc_id", col("text"),
+      numHashes = 64, numBands = 16, threshold = 0.7)
+    val incoming = Seq(
+      (5000L, "breaking news article boilerplate header navigation " +
+        "footer copyright two thousand twenty six all rights reserved " +
+        "subscribe newsletter follow us on social media contact form " +
+        "item number fresh"),
+      (5001L, "genuinely novel text with no overlap whatsoever at all"))
+      .toDF("doc_id", "text")
+    val full = Dedup.minhashSuppressedIds(incoming, mh, "doc_id",
+      col("text")).as[Long].collect().toSet
+    val capped = Dedup.minhashSuppressedIds(incoming, mh, "doc_id",
+      col("text"), maxProbePerBucket = 1).as[Long].collect().toSet
+    Dedup.releasePersisted()
+    assert(full == Set(5000L))
+    assert(capped == Set(5000L)) // one anchor per bucket is enough
+  }
+
   test("connectedComponents collapses transitive chains; singletons kept") {
     // chain 1-2, 2-3 (A~C never enumerated) + island pair 10-11 + the
     // isolated nodes 20, 21
