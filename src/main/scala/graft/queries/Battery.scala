@@ -4509,6 +4509,75 @@ WHERE rk <= 40"""
       k = 5, nprobe = 4)
   }
 
+  /** Streamed-index BM25 DELETION
+    * ([[graft.streaming.IndexIngest.deleteBm25Docs]]), oracle-gated:
+    * the corpus ingested as two micro-batches, a known takedown set
+    * (doc_id ≡ 3 mod 10) deleted under the namespaced `del-` ledger
+    * (staged snapshot → negative df/stats partials → tombstones → tf
+    * purge), then q70's exact query set served from the read-back
+    * index — hash-gated by q70's oracle over corpus-MINUS-deleted, so
+    * the deletion protocol's served-score exactness is proven by the
+    * correctness gate, not only by spec (the q119 convention applied
+    * to deletion). Warm bench reps replay ingest AND deletion as O(1)
+    * marker no-ops — the amortized serve shape. */
+  val q121Bm25Delete: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val ingestDir = streamIndexDir("q121", dir, "documents")
+    graft.streaming.IndexIngest.ingestBm25Batch(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), 0L, ingestDir)
+    graft.streaming.IndexIngest.ingestBm25Batch(
+      docs.filter(pmod(col("doc_id"), lit(2)) =!= 0), 1L, ingestDir)
+    // bounded takedown list (a deletion is a governance event, not a
+    // corpus-scale operation)
+    val doomed = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select(col("doc_id").cast("string")).as[String].collect().toSeq
+    graft.streaming.IndexIngest.deleteBm25Docs(s, ingestDir, doomed,
+      deleteId = 0L)
+    val idx = graft.streaming.IndexIngest.readBm25(s, ingestDir)
+    val numericIdx = graft.operators.Retrieval.Bm25Index(
+      idx.tf.withColumn("__id", col("__id").cast("long")),
+      idx.df, idx.stats)
+    val queries = Seq(
+      (1L, "table hash join value"),
+      (2L, "spark window agg batch"),
+      (3L, "fast slow row scan")).toDF("query_id", "query_text")
+    graft.operators.Retrieval.bm25TopKWithIndex(numericIdx, queries, k = 5)
+  }
+
+  /** q70's oracle over the corpus minus the deleted docs — served
+    * scores after deletion must equal a rebuild that never saw them. */
+  val q121Sql: String =
+    q70Sql.replace("FROM documents", "FROM documents WHERE doc_id % 10 <> 3")
+
+  /** Streamed-index PQ serving ([[graft.streaming.IndexIngest
+    * .ingestPqBatch]]): q62's deterministic codebook (the 16 lowest-id
+    * vectors sliced into 8 subspaces) bootstrapped as the frozen
+    * artifact, the embedding corpus ingested as two micro-batches of
+    * code rows under the marker ledger, the read-back index served
+    * with q62's ADC parameters — hash-gated by q62's full-corpus
+    * oracle, completing streamed maintenance for the third index
+    * family (BM25 q119, IVF q120, PQ here). */
+  val q122PqStreamServe: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val base = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy("vec_id").limit(16).collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+    val dim = base.head.size
+    val sd = dim / 8
+    val cb = (0 until 8).map(j => base.map(_.slice(j * sd, j * sd + sd)))
+    val ingestDir = streamIndexDir("q122", dir, "embeddings")
+    graft.streaming.IndexIngest.bootstrapPq(s, ingestDir, cb)
+    graft.streaming.IndexIngest.ingestPqBatch(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0), 0L, ingestDir)
+    graft.streaming.IndexIngest.ingestPqBatch(
+      emb.filter(pmod(col("vec_id"), lit(2)) =!= 0), 1L, ingestDir)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.Similarity.pqTopKWithIndex(
+      graft.streaming.IndexIngest.readPq(s, ingestDir), queries, k = 5)
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4636,7 +4705,9 @@ WHERE rk <= 40"""
     "q118_bpe_fertility" -> (q118BpeFertility, Some(q118Sql)),
     // q119/q120 re-run q70's/q43's oracles against the streamed indexes
     "q119_bm25_stream_serve" -> (q119Bm25StreamServe, Some(q70Sql)),
-    "q120_ivf_stream_serve" -> (q120IvfStreamServe, Some(q43Sql)))
+    "q120_ivf_stream_serve" -> (q120IvfStreamServe, Some(q43Sql)),
+    "q121_bm25_delete" -> (q121Bm25Delete, Some(q121Sql)),
+    "q122_pq_stream_serve" -> (q122PqStreamServe, Some(q62Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -614,4 +614,152 @@ object IndexIngest {
   def compactIvf(spark: SparkSession, dir: String,
       smallFileBytes: Long = 32L << 20): Unit =
     DedupIngest.foldCorpusTail(spark, s"$dir/assigned", smallFileBytes)
+
+  // ------------------------------------------------------------------
+  // PQ
+  // ------------------------------------------------------------------
+
+  private val CodesSchema = StructType(Seq(
+    StructField("__vid", LongType), StructField("__j", IntegerType),
+    StructField("__code", IntegerType), StructField("__batch", LongType)))
+  private val CodebookSchema = StructType(Seq(
+    StructField("__j", IntegerType), StructField("__code", IntegerType),
+    StructField("cvec", ArrayType(FloatType))))
+
+  /** Pin the frozen PQ codebook the ingest encodes against — the PQ
+    * analogue of [[bootstrapIvf]]: encoding is a pure function of
+    * (vector, codebook), so appended code rows equal a rebuild's.
+    * Re-bootstrapping with a DIFFERENT codebook after ingest began is a
+    * re-encoding event (batch cadence), not a bootstrap. */
+  def bootstrapPq(spark: SparkSession, dir: String,
+      codebook: Seq[Seq[Seq[Float]]]): Unit = {
+    require(codebook.nonEmpty && codebook.forall(_.nonEmpty),
+      "need a non-empty m x codebookSize codebook")
+    import spark.implicits._
+    (for { j <- codebook.indices; c <- codebook(j).indices }
+      yield (j, c, codebook(j)(c))).toDF("__j", "__code", "cvec")
+      .select(col("__j").cast("int"), col("__code").cast("int"),
+        col("cvec").cast(ArrayType(FloatType)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+  }
+
+  private def readCodebook(spark: SparkSession,
+      dir: String): Seq[Seq[Seq[Float]]] = {
+    val rows = spark.read.schema(CodebookSchema).parquet(s"$dir/codebook")
+      .orderBy("__j", "__code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toSeq))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+  }
+
+  /** Encode one micro-batch against the bootstrapped codebook and
+    * append its code rows, under the same marker protocol as
+    * [[ingestIvfBatch]] — the codes dir is self-contained (no derived
+    * partials; encoding is per-row against the frozen codebook), so
+    * the protocol is exactly the IVF `assigned` shape. Vector ids must
+    * be long-castable. */
+  def ingestPqBatch(batch: DataFrame, batchId: Long, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    val spark = batch.sparkSession
+    require(batchId >= 0, s"batchId must be non-negative, got $batchId" +
+      " (negative stamps are reserved for deletions/compaction)")
+    if (hasMarker(spark, dir, batchId.toString)) return false
+    if (hasMarker(spark, dir, s"$batchId.intent"))
+      purgeBatch(spark, s"$dir/codes", CodesSchema, batchId)
+    val tomb = tombstonedIds(spark, dir, batchId)
+    val live = if (tomb.isEmpty) batch
+      else batch.filter(!col(idCol).cast("string").isInCollection(tomb))
+    if (live.isEmpty) {
+      // nothing to fold (empty or fully tombstoned) — still COMMIT so
+      // replays are O(1) no-ops and no intent marker dangles
+      putMarker(spark, dir, batchId.toString)
+      dropMarker(spark, dir, s"$batchId.intent")
+      return false
+    }
+    putMarker(spark, dir, s"$batchId.intent")
+    val cb = readCodebook(spark, dir)
+    val add = Similarity.buildPqIndex(live, cb.size, cb.head.size, idCol,
+      vecCol, cb)
+    try {
+      add.codes.select(col(idCol).cast("long").as("__vid"),
+          col("__j").cast("int"), col("__code").cast("int"),
+          lit(batchId).as("__batch"))
+        .write.mode("append").parquet(s"$dir/codes")
+      putMarker(spark, dir, batchId.toString)
+      dropMarker(spark, dir, s"$batchId.intent")
+      true
+    } finally graft.operators.Dedup.releasePersisted()
+  }
+
+  /** The served view: identical to [[Similarity.buildPqIndex]] over
+    * every committed vector with the bootstrapped codebook (encoding is
+    * pure, so increments ≡ rebuild). Uncommitted rows are filtered by
+    * the ledger; a crashed compaction fold is completed before
+    * listing. */
+  def readPq(spark: SparkSession, dir: String,
+      idCol: String = "vec_id"): Similarity.PqIndex = {
+    DedupIngest.recoverFold(spark, s"$dir/codes")
+    val valid = committedBatches(spark, dir)
+    Similarity.PqIndex(
+      DedupIngest.readOrEmpty(spark, s"$dir/codes", CodesSchema)
+        .filter(col("__batch").isInCollection(valid))
+        .select(col("__vid").as(idCol), col("__j"), col("__code")),
+      readCodebook(spark, dir))
+  }
+
+  /** Maintain the PQ codes dir from a streaming vector source. */
+  def startPq(vecs: DataFrame, dir: String, checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      availableNow: Boolean = false,
+      compactEvery: Option[Int] = None,
+      smallFileBytes: Long = 32L << 20): StreamingQuery = {
+    require(compactEvery.forall(_ > 0), "compactEvery must be positive")
+    val writer = vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestPqBatch(batch, batchId, dir, idCol, vecCol)
+        compactEvery.foreach { every =>
+          if ((batchId + 1) % every == 0)
+            compactPq(batch.sparkSession, dir, smallFileBytes)
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Fold the codes tail (size-tiered, manifest-logged). Single-writer
+    * cadence (object doc). */
+  def compactPq(spark: SparkSession, dir: String,
+      smallFileBytes: Long = 32L << 20): Unit =
+    DedupIngest.foldCorpusTail(spark, s"$dir/codes", smallFileBytes)
+
+  /** Targeted PQ vector deletion — [[deleteIvfVecs]]' codes-dir twin:
+    * tombstone append (coverage horizon), then a recoverable filtered
+    * rewrite of the codes. Same single-writer contract and fresh
+    * caller-managed `deleteId`. */
+  def deletePqVecs(spark: SparkSession, dir: String, ids: Seq[Long],
+      deleteId: Long): Boolean = {
+    require(ids.nonEmpty, "need at least one vec id to delete")
+    require(deleteId >= 0, s"deleteId must be non-negative, got $deleteId")
+    val m = s"del-$deleteId"
+    if (hasMarker(spark, dir, m)) {
+      dropMarker(spark, dir, s"$m.intent")
+      return false
+    }
+    if (hasMarker(spark, dir, s"$m.intent"))
+      purgeWhere(spark, s"$dir/tombstones", TombSchema,
+        col("__del") =!= deleteId)
+    putMarker(spark, dir, s"$m.intent")
+    val horizon = maxSeenBatch(spark, dir)
+    import spark.implicits._
+    ids.map(_.toString).toDF("__id")
+      .select(col("__id"), lit(horizon).as("__covered"),
+        lit(deleteId).as("__del"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+    purgeWhere(spark, s"$dir/codes", CodesSchema,
+      !col("__vid").isInCollection(ids))
+    putMarker(spark, dir, m)
+    dropMarker(spark, dir, s"$m.intent")
+    true
+  }
 }

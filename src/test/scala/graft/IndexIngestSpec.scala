@@ -316,4 +316,114 @@ class IndexIngestSpec extends SparkSpec {
     IndexIngest.compactIvf(spark, dir, smallFileBytes = 32L << 20)
     assert(servedIvf === rebuild, "compaction must preserve the served view")
   }
+
+  // 4-dim vectors, m=2 subspaces × 2 codes — tiny but non-trivial PQ
+  private val pqCb: Seq[Seq[Seq[Float]]] = Seq(
+    Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+    Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+  private val pvecs1 = Seq(
+    (301L, Seq(0.9f, 0.1f, 0.2f, 0.8f)),
+    (302L, Seq(0.1f, 0.9f, 0.7f, 0.1f)),
+    (303L, Seq(0.8f, 0.0f, 0.9f, 0.2f)))
+  private val pvecs2 = Seq(
+    (304L, Seq(0.0f, 0.8f, 0.1f, 0.9f)),
+    (305L, Seq(0.7f, 0.2f, 0.8f, 0.0f)))
+  private val pq1 = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+    (2L, Seq(0.0f, 1.0f, 1.0f, 0.0f)))
+
+  private def pqRebuild(vecs: Seq[(Long, Seq[Float])]) =
+    Similarity.pqTopKWithIndex(
+      Similarity.buildPqIndex(vecs.toDF("vec_id", "embedding"),
+        m = 2, codebookSize = 2, codebook = pqCb),
+      pq1.toDF("query_id", "embedding"), k = 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+
+  test("pq: frozen-codebook streaming ingest ≡ rebuild; crash matrix; " +
+      "deletion; compaction") {
+    implicit val sql = spark.sqlContext
+    val dir = tmp("pq-ingest")
+    val ck = tmp("pq-ingest-ck")
+    IndexIngest.bootstrapPq(spark, dir, pqCb)
+
+    def servedPq = Similarity.pqTopKWithIndex(
+      IndexIngest.readPq(spark, dir), pq1.toDF("query_id", "embedding"),
+      k = 3).as[(Long, Int, Long, Double)].collect().toSet
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    def run(): Unit = {
+      val q = IndexIngest.startPq(
+        input.toDF().toDF("vec_id", "embedding"), dir, ck,
+        availableNow = true)
+      try q.processAllAvailable() finally q.stop()
+    }
+    input.addData(pvecs1)
+    run()
+    assert(servedPq === pqRebuild(pvecs1), "batch-1 codes must serve")
+    input.addData(pvecs2)
+    run()
+    val full = pqRebuild(pvecs1 ++ pvecs2)
+    assert(servedPq === full, "cross-batch ADC must see both batches")
+
+    // replay of a committed batch: O(1) no-op, rows unchanged
+    val rowsBefore = spark.read.parquet(s"$dir/codes").count()
+    val replay = MemoryStream[(Long, Seq[Float])]
+    replay.addData(pvecs1)
+    val q2 = IndexIngest.startPq(
+      replay.toDF().toDF("vec_id", "embedding"), dir, tmp("pq-ck2"),
+      availableNow = true)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$dir/codes").count() === rowsBefore)
+    assert(servedPq === full)
+
+    // crash window: intent without commit + PARTIAL codes append for
+    // batch 5 — invisible to serving; the replay purges the partial
+    // rows and folds the whole batch exactly once
+    val b5 = Seq((306L, Seq(0.5f, 0.5f, 0.5f, 0.5f)))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/markers/5.intent"))
+    Seq((306L, 0, 1, 5L)).toDF("__vid", "__j", "__code", "__batch")
+      .write.mode("append").parquet(s"$dir/codes")
+    assert(servedPq === full, "uncommitted partial codes must not serve")
+    assert(IndexIngest.ingestPqBatch(b5.toDF("vec_id", "embedding"),
+      5L, dir))
+    assert(servedPq === pqRebuild(pvecs1 ++ pvecs2 ++ b5),
+      "replay must purge the partial rows and fold the full batch")
+    assert(spark.read.parquet(s"$dir/codes")
+      .filter(col("__vid") === 306L).count() === 2L,
+      "exactly m=2 code rows for the replayed vec — partial purged")
+    assert(!IndexIngest.ingestPqBatch(b5.toDF("vec_id", "embedding"),
+      5L, dir), "second replay of a committed batch must no-op")
+
+    // deletion: served ≡ rebuild without the vec; replay no-op;
+    // physical removal
+    assert(IndexIngest.deletePqVecs(spark, dir, Seq(302L), 70L))
+    val without302 = pqRebuild(
+      (pvecs1 ++ pvecs2 ++ b5).filterNot(_._1 == 302L))
+    assert(servedPq === without302)
+    assert(spark.read.parquet(s"$dir/codes")
+      .filter(col("__vid") === 302L).count() === 0L,
+      "deleted vec's code rows must be physically gone")
+    assert(!IndexIngest.deletePqVecs(spark, dir, Seq(302L), 70L))
+
+    // tombstone horizon: a batch that crashed BEFORE the deletion
+    // replays after it — the deleted vec must stay deleted
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/markers/6.intent"))
+    assert(IndexIngest.deletePqVecs(spark, dir, Seq(305L), 71L))
+    assert(IndexIngest.ingestPqBatch(
+      Seq((305L, Seq(0.7f, 0.2f, 0.8f, 0.0f)),
+        (307L, Seq(0.2f, 0.2f, 0.9f, 0.1f))).toDF("vec_id", "embedding"),
+      6L, dir), "replayed batch folds its un-tombstoned rows")
+    assert(spark.read.parquet(s"$dir/codes")
+      .filter(col("__vid") === 305L).count() === 0L,
+      "replay must not resurrect a tombstoned vec")
+    assert(servedPq === pqRebuild(
+      (pvecs1 ++ pvecs2 ++ b5).filterNot(v => v._1 == 302L || v._1 == 305L)
+        :+ (307L, Seq(0.2f, 0.2f, 0.9f, 0.1f))))
+
+    // compaction folds the codes tail; served view unchanged
+    val after = servedPq
+    IndexIngest.compactPq(spark, dir, smallFileBytes = 32L << 20)
+    assert(servedPq === after, "compaction must preserve the served view")
+  }
 }
