@@ -165,10 +165,21 @@ object Multimodal {
    * per-partition shape as [[extractFeatures]].
    *
    * Contract: returns exactly [[mediaSchema]] — enrichment columns
-   * beyond it do not survive; re-join them on `media_id`.
+   * beyond it do not survive; re-join them on `media_id`. The
+   * narrowing is LOUD: a caller passing extra columns gets an error at
+   * plan time (`allowExtraColumns = true` opts into the silent drop),
+   * not a runtime column loss three operators downstream.
    */
-  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+  def resizeImages(media: DataFrame, w: Int, h: Int,
+      allowExtraColumns: Boolean = false): DataFrame = {
     require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    val mediaCols =
+      Set("media_id", "kind", "mime", "payload", "meta")
+    val extras = media.columns.filterNot(mediaCols)
+    require(allowExtraColumns || extras.isEmpty,
+      s"resizeImages returns exactly mediaSchema; input carries extra " +
+        s"column(s) ${extras.mkString(", ")} that would be dropped — " +
+        "re-join them on media_id, or pass allowExtraColumns = true")
     val spark = media.sparkSession
     val out = media.select("media_id", "kind", "mime", "payload", "meta")
       .rdd.mapPartitions { it =>

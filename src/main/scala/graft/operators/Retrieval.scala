@@ -33,9 +33,13 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** Inverted index: `tf(__id, __t, __tf, __dl)`, `df(__t, __df)`,
-    * `stats(__n, __avgdl)` — the three frames BM25 serving needs.
-    * Columns are engine-internal; persist or bucket-write the frames to
-    * reuse across query batches. */
+    * `stats(__n, __avgdl, __dlsum)` — the three frames BM25 serving
+    * needs. `__dlsum` is the EXACT long token-length sum (scoring only
+    * reads `__avgdl`, but increments and deletions cancel against the
+    * exact integer — a `round(__avgdl·__n)` reconstruction would leave
+    * a ±1 residue once dl_sum approaches 2⁵³). Columns are
+    * engine-internal; persist or bucket-write the frames to reuse
+    * across query batches. */
   case class Bm25Index(tf: DataFrame, df: DataFrame, stats: DataFrame)
 
   /** Derive a [[Bm25Index]]. The per-(doc, term) tf frame is persisted
@@ -53,7 +57,8 @@ object Retrieval {
     Bm25Index(
       tf,
       tf.groupBy("__t").agg(count(lit(1)).as("__df")),
-      dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl")))
+      dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"),
+        coalesce(sum(col("__dl")), lit(0L)).cast("long").as("__dlsum")))
   }
 
   /**
@@ -69,13 +74,12 @@ object Retrieval {
    * vocabulary-sized full-outer sum join (vocabulary ≪ corpus); stats is
    * single-row arithmetic. Only the BATCH is tokenized.
    *
-   * The merged stats are EXACTLY what a full rebuild computes: document
-   * lengths are integers, so each side's token-count sum is recovered
-   * exactly from its (n, avgdl) pair (`round(n·avgdl)` — the double held
-   * the integer sum exactly, only the division was inexact) and the
-   * merged mean is the same single division a rebuild performs. The
-   * equivalence `mergeIndex(buildIndex(A), B) ≡ buildIndex(A ∪ B)` is
-   * spec-checked down to served scores.
+   * The merged stats are EXACTLY what a full rebuild computes: each
+   * side carries its token-count sum as an exact long (`__dlsum`), the
+   * sums add in integer arithmetic, and the merged mean is the same
+   * single division a rebuild performs — no float round-trip at any
+   * corpus size. The equivalence `mergeIndex(buildIndex(A), B) ≡
+   * buildIndex(A ∪ B)` is spec-checked down to served scores.
    *
    * Contract: `batch` doc ids must be disjoint from the ids already in
    * the index (re-ingesting a doc would double-count its tf rows) —
@@ -92,11 +96,11 @@ object Retrieval {
           coalesce(col("__dfb"), lit(0L))).as("__df"))
     val stats = index.stats
       .crossJoin(add.stats.select(col("__n").as("__n2"),
-        col("__avgdl").as("__avgdl2")))
+        col("__dlsum").as("__dlsum2")))
       .select((col("__n") + col("__n2")).as("__n"),
-        ((coalesce(round(col("__avgdl") * col("__n")), lit(0.0)) +
-          coalesce(round(col("__avgdl2") * col("__n2")), lit(0.0))) /
-          (col("__n") + col("__n2")).cast("double")).as("__avgdl"))
+        ((col("__dlsum") + col("__dlsum2")).cast("double") /
+          (col("__n") + col("__n2")).cast("double")).as("__avgdl"),
+        (col("__dlsum") + col("__dlsum2")).as("__dlsum"))
     Bm25Index(tf, df, stats)
   }
 

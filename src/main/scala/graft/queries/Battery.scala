@@ -4437,10 +4437,18 @@ WHERE rk <= 40"""
     // same (stale) index dir
     def sig(f: java.io.File): String =
       if (f.isDirectory)
-        f.listFiles().sortBy(_.getName)
+        // listFiles returns NULL on IO/permission errors — treat as
+        // empty rather than NPE; the root-existence check below still
+        // fails fast on a missing table
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName)
           .map(sig).mkString(f.getName + "{", ",", "}")
       else s"${f.getName}:${f.lastModified}:${f.length}"
     val root = new java.io.File(s"$dir/$table.parquet")
+    // a missing/unreadable table root would otherwise key a constant
+    // ('name:0:0') signature and silently reuse a stale index dir
+    require(root.exists(),
+      s"streamIndexDir: table root ${root.getAbsolutePath} does not exist")
     // pid-scoped: IndexIngest's ledger is single-writer, so the dir is
     // shared across this process's bench reps but never across
     // concurrently-running processes; cleaned on JVM exit

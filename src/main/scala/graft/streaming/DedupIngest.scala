@@ -222,6 +222,74 @@ object DedupIngest {
   }
 
   /**
+   * Targeted corpus-document deletion — right-to-be-forgotten for the
+   * data AT REST, not just the served indexes ([[IndexIngest
+   * .deleteBm25Docs]] covers those): physically removes the doc's
+   * corpus rows, its staged copy, and its MinHash signature/band rows,
+   * under the same intent/commit marker ledger as the index deletions
+   * (namespaced `del-<deleteId>` in `markers/`; fresh caller-managed
+   * id; replay of a committed deletion is an O(1) no-op).
+   *
+   * The exact-fingerprint (`fps/`) and word-gram (`grams/`) entries are
+   * deliberately RETAINED: they are one-way content hashes (md5), not
+   * recoverable content — and they are precisely what makes the
+   * deletion replay-safe with NO tombstone side-channel: a crashed
+   * batch that replays after the deletion re-derives the doc's
+   * fingerprint, finds it still indexed, and suppresses re-admission.
+   * Dropping them would re-admit the forgotten doc on the next crawl
+   * of the same page. What IS removed: the text itself (corpus +
+   * stage), and the id-keyed signature/band rows — so the band index
+   * no longer yields the doc as a near-dup candidate and no id↔content
+   * linkage survives at rest.
+   *
+   * Crash safety: every step is an idempotent filtered rewrite under
+   * the recoverable `.next` swap (fold recovery first); an
+   * intent-without-commit replay simply redoes them. SINGLE-WRITER:
+   * like compaction, run deletions from the ingest thread between
+   * batches — a rewrite racing a concurrent batch append would drop
+   * the append.
+   *
+   * @return false iff this deleteId already committed (replay no-op)
+   */
+  def deleteCorpusDocs(spark: SparkSession, dir: String, ids: Seq[String],
+      deleteId: Long, idCol: String = "doc_id"): Boolean = {
+    require(ids.nonEmpty, "need at least one doc id to delete")
+    require(deleteId >= 0, s"deleteId must be non-negative, got $deleteId")
+    val m = s"del-$deleteId"
+    val (f, root) = fs(spark, s"$dir/markers")
+    def marker(name: String) = new org.apache.hadoop.fs.Path(root, name)
+    if (f.exists(marker(m))) {
+      if (f.exists(marker(s"$m.intent"))) f.delete(marker(s"$m.intent"), false)
+      return false
+    }
+    f.mkdirs(root)
+    f.create(marker(s"$m.intent"), true).close()
+    // corpus + stage: schema is caller-defined — filter on the id cast
+    // to string so the at-rest purge is id-type agnostic
+    def purge(path: String, keep: org.apache.spark.sql.Column): Unit = {
+      recoverFold(spark, path)
+      recoverSwap(spark, path)
+      val (pf, live) = fs(spark, path)
+      if (!pf.exists(live)) return
+      spark.read.parquet(path).filter(keep).write.parquet(path + ".next")
+      pf.delete(live, true)
+      pf.rename(new org.apache.hadoop.fs.Path(path + ".next"), live)
+    }
+    val keepDoc =
+      !org.apache.spark.sql.functions.col(idCol).cast("string")
+        .isInCollection(ids)
+    val keepMid =
+      !org.apache.spark.sql.functions.col("__mid").isInCollection(ids)
+    purge(s"$dir/corpus", keepDoc)
+    purge(s"$dir/stage", keepDoc)
+    purge(s"$dir/msigs", keepMid)
+    purge(s"$dir/mbands", keepMid)
+    f.create(marker(m), true).close()
+    f.delete(marker(s"$m.intent"), false)
+    true
+  }
+
+  /**
    * @param docs       streaming DataFrame with `idCol` and `textCol`
    * @param dir        corpus root: `corpus/`, `fps/`, `grams/` parquet
    *                   (+ `msigs/`, `mbands/` when the MinHash gate is on)

@@ -103,13 +103,25 @@ object EventStreams {
    *
    * Contract: per-user event-time order ACROSS batches (the stream
    * analog of the batch operator's window sort; within a micro-batch
-   * the group's rows are sorted here by (ts, event_id)). Out-of-order
-   * arrival across batches would need a watermark-buffered reorder
-   * stage in front — the documented trade of emitting pairs eagerly.
-   * Batch ≡ stream on ordered feeds is spec-pinned.
+   * the group's rows are sorted here by (ts, event_id)). Cross-batch
+   * disorder is DETECTED, not silently folded: an event strictly older
+   * than the user's last processed timestamp is dropped (folding it in
+   * would sessionize it against the wrong predecessor and corrupt the
+   * prefix order), counted in `lateDropped` when provided, and visible
+   * to monitoring — the alternative to a watermark-buffered reorder
+   * stage in front, the documented trade of emitting pairs eagerly.
+   * Equal-timestamp arrivals across batches are kept (ties are
+   * legitimate; only regression is disorder). Batch ≡ stream on
+   * ordered feeds is spec-pinned.
+   *
+   * @param lateDropped optional accumulator incremented per dropped
+   *                    cross-batch-late event (register with
+   *                    `spark.sparkContext.longAccumulator`)
    */
   def sessionPairStream(events: Dataset[SessionEvent],
-      gapMinutes: Int = 30, maxPrefix: Int = 20): Dataset[SessionPair] = {
+      gapMinutes: Int = 30, maxPrefix: Int = 20,
+      lateDropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[SessionPair] = {
     require(gapMinutes > 0 && maxPrefix > 0,
       s"need positive gap/maxPrefix, got ($gapMinutes, $maxPrefix)")
     import events.sparkSession.implicits._
@@ -129,14 +141,20 @@ object EventStreams {
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionPair]
           rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
             val tsMicros = micros(e.ts)
-            if (st.lastTsMicros == Long.MinValue ||
-                tsMicros - st.lastTsMicros > gapMicros)
-              st = SessionPairState(st.sessionIdx + 1, 0L, tsMicros, Nil)
-            if (st.step >= 1)
-              out += SessionPair(userId, st.sessionIdx, st.step,
-                st.prefixNewestFirst.reverse.mkString(" "), e.event_type)
-            st = SessionPairState(st.sessionIdx, st.step + 1, tsMicros,
-              (e.event_type :: st.prefixNewestFirst).take(maxPrefix))
+            if (tsMicros < st.lastTsMicros) {
+              // arrived in a later batch than events it precedes —
+              // observable drop, never a silent mis-sessionization
+              lateDropped.foreach(_.add(1L))
+            } else {
+              if (st.lastTsMicros == Long.MinValue ||
+                  tsMicros - st.lastTsMicros > gapMicros)
+                st = SessionPairState(st.sessionIdx + 1, 0L, tsMicros, Nil)
+              if (st.step >= 1)
+                out += SessionPair(userId, st.sessionIdx, st.step,
+                  st.prefixNewestFirst.reverse.mkString(" "), e.event_type)
+              st = SessionPairState(st.sessionIdx, st.step + 1, tsMicros,
+                (e.event_type :: st.prefixNewestFirst).take(maxPrefix))
+            }
           }
           state.update(st)
           out.iterator

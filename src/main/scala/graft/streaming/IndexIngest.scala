@@ -57,8 +57,9 @@ import org.apache.spark.sql.types._
  *  - `tf/` — per-(doc, term) frequencies with doc length (at scale,
  *    write bucketed on `__t` — new files only per batch).
  *  - `df/` — PER-BATCH document-frequency partials (vocab-sized each).
- *  - `stats/` — per-batch `(n_docs, dl_sum)`, the length sum as an
- *    exact long ([[Retrieval.mergeIndex]]'s recovery trick at rest).
+ *  - `stats/` — per-batch `(n_docs, dl_sum)`, the length sum stored
+ *    directly from the builder's exact long `__dlsum` (no float
+ *    round-trip — deletions cancel it with exact negatives).
  *
  * Serving reconstructs exact global df (per-term sum of disjoint
  * batches' partials) and exact corpus stats (integer sums, one final
@@ -75,9 +76,23 @@ import org.apache.spark.sql.types._
  *
  * == Compaction ==
  *
+ * == Single-writer contract ==
+ *
+ * Compaction AND deletion are filtered read→rewrite→swap operations
+ * over the data dirs: an append landing between a rewrite's read and
+ * its install would be silently lost, and a batch that passed its
+ * `tombstonedIds` check before a deletion's intent landed would fold
+ * tombstoned rows. So [[compactBm25]]/[[compactIvf]]/[[compactPq]]
+ * AND [[deleteBm25Docs]]/[[deleteIvfVecs]]/[[deletePqVecs]] MUST run
+ * from the ingest thread between batches (the `foreachBatch` body is
+ * the natural place; the compactEvery hooks already do) — never
+ * concurrently with an in-flight ingest of the same dir.
+ *
+ * == Compaction ==
+ *
  * Per-batch files and partials accumulate; [[compactBm25]] /
  * [[compactIvf]] fold them on the caller's cadence (single writer —
- * run from the ingest thread between batches, like [[DedupIngest]]):
+ * see above, like [[DedupIngest]]):
  * the tf/assigned tails fold through the manifest-logged size-tiered
  * [[DedupIngest.foldCorpusTail]] (large generations never rewritten;
  * readers run its recovery before listing, so a crashed fold can never
@@ -261,9 +276,7 @@ object IndexIngest {
           lit(batchId).as("__batch"))
         .write.mode("append").parquet(s"$dir/df")
       idx.stats.select(lit(batchId).as("__batch"),
-          col("__n").cast("long"),
-          coalesce(round(col("__avgdl") * col("__n")), lit(0.0))
-            .cast("long").as("__dlsum"))
+          col("__n").cast("long"), col("__dlsum").cast("long"))
         .write.mode("append").parquet(s"$dir/stats")
       idx.tf.select(col("__id").cast("string"), col("__t"),
           col("__tf").cast("long"), col("__dl").cast("long"),
@@ -292,7 +305,8 @@ object IndexIngest {
     val stats = DedupIngest.readOrEmpty(spark, s"$dir/stats", StatsSchema)
       .filter(col("__batch").isInCollection(valid))
       .agg(sum("__n").as("__n"),
-        (sum("__dlsum").cast("double") / sum("__n")).as("__avgdl"))
+        (sum("__dlsum").cast("double") / sum("__n")).as("__avgdl"),
+        coalesce(sum("__dlsum"), lit(0L)).cast("long").as("__dlsum"))
     Retrieval.Bm25Index(tf.drop("__batch"), df, stats)
   }
 
@@ -387,9 +401,11 @@ object IndexIngest {
    * the deleted docs (slightly inflated idf on shared terms) — healed
    * by the replay, the same reader-visible window class as ingest.
    *
-   * `batchId` draws from the same ledger id space as ingest batches
-   * and must be fresh (caller-managed; e.g. continue the stream's id
-   * sequence from a side channel).
+   * `deleteId` draws from its own `del-` marker namespace and must be
+   * fresh (caller-managed). SINGLE-WRITER: deletions rewrite the data
+   * dirs — run them from the ingest thread between batches, like
+   * compaction (object doc); a concurrent append would be lost in the
+   * rewrite window.
    */
   def deleteBm25Docs(spark: SparkSession, dir: String, ids: Seq[String],
       deleteId: Long): Boolean = {
@@ -485,7 +501,8 @@ object IndexIngest {
     * partials): fold recovery + one recoverable filtered rewrite, a
     * tombstone append so replays of earlier batches re-drop the ids,
     * and the namespaced ledger marker (fresh `deleteId`,
-    * caller-managed). */
+    * caller-managed). SINGLE-WRITER like compaction — run between
+    * batches from the ingest thread (object doc). */
   def deleteIvfVecs(spark: SparkSession, dir: String, ids: Seq[Long],
       deleteId: Long): Boolean = {
     require(ids.nonEmpty, "need at least one vec id to delete")

@@ -140,6 +140,61 @@ class DedupIngestSpec extends SparkSpec {
     assert(corpusIds(noMh) == Set(1L, 2L, 3L))
   }
 
+  test("deleteCorpusDocs: forgotten at rest, never re-admitted, " +
+      "band index no longer yields it") {
+    implicit val sql = spark.sqlContext
+    val original = "alpha bravo charlie delta echo foxtrot golf"
+    val sibling = "november mike lima kilo juliett india hotel"
+    val novel = "zulu yankee xray whiskey victor uniform tango"
+
+    def ingest(dir: String, ck: String, rows: Seq[(Long, String)]): Unit = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(rows)
+      val q = DedupIngest.start(input.toDF().toDF("doc_id", "text"),
+        dir, ck, n = 8, minHits = 1, availableNow = true,
+        minhashHashes = 128)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def corpusIds(dir: String): Set[Long] =
+      spark.read.parquet(s"$dir/corpus").select("doc_id")
+        .as[Long].collect().toSet
+
+    val dir = tmp("ingest-del")
+    ingest(dir, tmp("ingest-del-ck1"), Seq((1L, original), (2L, sibling)))
+    assert(corpusIds(dir) == Set(1L, 2L))
+
+    // takedown of doc 1: gone from corpus + stage, sig/band rows gone
+    assert(DedupIngest.deleteCorpusDocs(spark, dir, Seq("1"), 0L))
+    assert(corpusIds(dir) == Set(2L))
+    assert(spark.read.parquet(s"$dir/stage")
+      .filter($"doc_id" === 1L).count() == 0)
+    assert(spark.read.parquet(s"$dir/msigs")
+      .filter($"__mid" === "1").count() == 0,
+      "id-keyed signature rows must be physically gone")
+    assert(spark.read.parquet(s"$dir/mbands")
+      .filter($"__mid" === "1").count() == 0,
+      "the band index must no longer yield the doc as a candidate")
+    // replay of the committed deletion: O(1) no-op
+    assert(!DedupIngest.deleteCorpusDocs(spark, dir, Seq("1"), 0L))
+
+    // a crashed-then-replayed batch carrying the forgotten doc must NOT
+    // re-admit it: its fingerprint is retained in fps as the tombstone
+    ingest(dir, tmp("ingest-del-ck2"), Seq((1L, original), (3L, novel)))
+    assert(corpusIds(dir) == Set(2L, 3L),
+      "replay must not resurrect the forgotten doc")
+
+    // crash mid-deletion (intent without commit): redo converges
+    assert(DedupIngest.deleteCorpusDocs(spark, dir, Seq("3"), 1L))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/markers/del-2"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/markers/del-2.intent"))
+    assert(DedupIngest.deleteCorpusDocs(spark, dir, Seq("2"), 2L))
+    assert(corpusIds(dir) == Set.empty[Long])
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/markers/del-2.intent")))
+  }
+
   test("corpus compaction is size-tiered: large generations never rewrite") {
     val corpus = tmp("fold-tier") + "/corpus"
     def append(ids: Range): Unit =

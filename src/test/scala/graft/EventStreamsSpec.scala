@@ -80,6 +80,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(want.exists(p => p._1 == 2L && p._2 == 2L && p._3 == 1L))
   }
 
+  test("sessionPairStream drops cross-batch-late events observably") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[EventStreams.SessionEvent]
+    val late = spark.sparkContext.longAccumulator("late_dropped")
+    val q = EventStreams.sessionPairStream(input.toDS(),
+        gapMinutes = 30, maxPrefix = 2, lateDropped = Some(late))
+      .toDF().writeStream.format("memory").queryName("t_sess_late")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        EventStreams.SessionEvent(1L, 1L, ts(0), "a"),
+        EventStreams.SessionEvent(1L, 2L, ts(5), "b")))
+      q.processAllAvailable()
+      // batch 2 delivers an event OLDER than user 1's last processed
+      // timestamp (cross-batch disorder): it must be dropped + counted,
+      // not folded into the session out of order
+      input.addData(Seq(
+        EventStreams.SessionEvent(1L, 3L, ts(2), "STALE"),
+        EventStreams.SessionEvent(1L, 4L, ts(10), "c")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_sess_late").collect()
+      .map(r => (r.getLong(2), r.getString(3), r.getString(4))).toSet
+    assert(late.value === 1L, "the stale event must be counted")
+    assert(!got.exists(p => p._2.contains("STALE") || p._3 == "STALE"),
+      "the stale event must not appear in any pair or prefix")
+    // the in-order continuation still extends the session normally
+    assert(got.contains((2L, "a b", "c")))
+  }
+
   test("tumbling window counts match the batch twin") {
     val got = feed(EventStreams.tumblingCounts(_, "1 hour", "2 hours"),
       "t_tumbling")

@@ -141,8 +141,7 @@ class IndexIngestSpec extends SparkSpec {
             lit(1L).as("__batch"))
           .write.mode("append").parquet(s"$dir/df"),
         () => idx.stats.select(lit(1L).as("__batch"),
-            col("__n").cast("long"),
-            (round(col("__avgdl") * col("__n"))).cast("long").as("__dlsum"))
+            col("__n").cast("long"), col("__dlsum").cast("long"))
           .write.mode("append").parquet(s"$dir/stats"),
         () => idx.tf.select(col("__id").cast("string"), col("__t"),
             col("__tf").cast("long"), col("__dl").cast("long"),
