@@ -449,4 +449,57 @@ object VectorExpressions {
   def quantizeInt8(vec: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.of(
       QuantizeInt8(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec)))
+
+  /**
+   * Element-wise difference a − b as a DOUBLE array — the residual step
+   * of residual-encoded IVF-PQ (r = v − centroid(cell), Jégou et al.'s
+   * IVFADC formulation, public knowledge). `zip_with` would do the same
+   * arithmetic but is CodegenFallback; residuals sit on the encode AND
+   * serve hot paths, so they get the native loop. Inputs may be float
+   * or double arrays (floats widen exactly); length = the common
+   * prefix, mirroring [[DotProduct]].
+   */
+  case class VecDiff(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_vec_diff"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        out(i) = elemAt(left.dataType, x, i) - elemAt(right.dataType, y, i)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val out = ctx.freshName("out")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double[] $out = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = (${elemAccessor(left.dataType, a, i)})
+           |    - (${elemAccessor(right.dataType, b, i)});
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def vecDiff(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      VecDiff(org.apache.spark.sql.graftbridge.ColumnBridge.expr(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expr(b)))
 }

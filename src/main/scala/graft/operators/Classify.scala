@@ -241,4 +241,79 @@ object Classify {
       .select(col("query_id").as(idCol), col(labelCol).as("pred_label"),
         col("votes"))
   }
+
+  // ----- Logistic linear probe over frozen embeddings ------------------
+
+  /** Trained probe: `weights` has one entry per embedding dimension.
+    * Driver state is dim+1 doubles — bounded by construction. */
+  case class LogitModel(weights: Seq[Double], bias: Double,
+      iters: Int, lr: Double)
+
+  /**
+   * Train a binary logistic-regression probe on an embedding column by
+   * FULL-BATCH gradient descent with a fixed iteration count — the
+   * linear-probe-over-frozen-embeddings quality/topic filter (the
+   * discriminative sibling of [[trainTokenNb]]; same role as the
+   * embedding-head classifiers used to score web corpora for training
+   * mixes). Full-batch keeps the NB doc's determinism story intact:
+   * there is no sample order or shuffle dependence — each iteration is
+   * two global aggregations, so the model is reproducible up to
+   * float-summation order (guard any cross-engine comparison with the
+   * battery's 4-dp rounding, as q68's k-means does).
+   *
+   * Update rule (standard GD on mean log-loss, public knowledge):
+   *   p_d = σ(b + w·v_d)
+   *   w  ← w − lr·Σ_d (p_d − y_d)·v_d / n
+   *   b  ← b − lr·Σ_d (p_d − y_d) / n
+   *
+   * Scale shape (100 TB corpus, trainable seed): the train frame is
+   * persisted once and each iteration is (1) one narrow codegen pass —
+   * margin via the native dot against the BROADCAST weight literal —
+   * and (2) one posexplode → groupBy(dim) aggregation whose shuffle is
+   * `dim` rows with map-side combine, plus a single-row bias sum.
+   * Driver state: dim+1 doubles per iteration, `2·iters+1` jobs total.
+   * No per-row UDF, no driver-side data.
+   */
+  def trainLogisticEmb(train: DataFrame, vecCol: Column, label: Column,
+      iters: Int = 3, lr: Double = 0.5): LogitModel = {
+    require(iters > 0 && iters <= 64, s"iters in [1,64], got $iters")
+    val base = PersistTracker.trackPersist(
+      train.select(label.cast("double").as("__y"), vecCol.as("__v")))
+    val n = base.count().toDouble
+    require(n > 0, "empty training set")
+    val dim = base.select(size(col("__v")).as("d")).limit(1)
+      .collect().head.getInt(0)
+    var w: Seq[Double] = Seq.fill(dim)(0.0)
+    var b = 0.0
+    var it = 0
+    while (it < iters) {
+      val p = lit(1.0) / (lit(1.0) +
+        exp(-(lit(b) + Similarity.dotFast(col("__v"), typedlit(w)))))
+      val withD = base.select(col("__v"), (p - col("__y")).as("__d"))
+      val gw = withD
+        .select(col("__d"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+        .groupBy("__dim")
+        .agg(sum(col("__d") * col("__x")).as("__g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val gb = withD.agg(sum(col("__d"))).collect().head.getDouble(0)
+      w = w.zipWithIndex.map { case (wi, i) =>
+        wi - lr * gw.getOrElse(i, 0.0) / n
+      }
+      b = b - lr * gb / n
+      it += 1
+    }
+    LogitModel(w, b, iters, lr)
+  }
+
+  /** Score with a trained [[LogitModel]]: one narrow codegen pass, the
+    * model rides as a broadcast literal. Returns the raw margin
+    * (`logit`, round it before any cross-engine compare) and the sign
+    * prediction. */
+  def scoreLogisticEmb(model: LogitModel, docs: DataFrame, idCol: String,
+      vecCol: Column): DataFrame = {
+    val margin = lit(model.bias) +
+      Similarity.dotFast(vecCol, typedlit(model.weights))
+    docs.select(col(idCol), margin.as("logit"),
+      (margin > 0).cast("int").as("pred"))
+  }
 }

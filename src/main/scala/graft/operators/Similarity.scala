@@ -659,6 +659,166 @@ object Similarity {
   }
 
   /**
+   * Residual-encoded IVF-PQ ADC top-k — the actual IVFADC formulation
+   * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+   * public knowledge): vectors are PQ-encoded as residuals against
+   * their IVF cell centroid (r = v − c_cell), not as raw vectors, so
+   * one small codebook describes every cell's LOCAL geometry and the
+   * quantization error drops for free. [[annSearchRerank]] is the
+   * global-codebook variant; this is the cell-relative one FAISS's
+   * `IndexIVFPQ` defaults to.
+   *
+   * Distances are squared-L2 computed in the algebraic form
+   * `rr − 2·rc + cc` (per subspace: ‖r_j‖² − 2·r_j·cw + ‖cw‖²) so the
+   * serve side never reconstructs a vector: per (query, probed cell)
+   * the query residual subvectors broadcast, and a candidate costs m
+   * code lookups — the corpus floats are touched only at encode time.
+   *
+   * Every discrete choice replays cross-engine (the q43/q62 device):
+   * cell assignment by 4dp-rounded cosine (ties → lowest cell), code
+   * assignment by 4dp-rounded squared-L2 (ties → lowest code), final
+   * rank by 4dp-rounded ADC distance (ties → lowest id). Deterministic
+   * artifacts: centroids = the `numCells` lowest-id vectors; codebook =
+   * the residuals of the NEXT `codebookSize` vectors by id (the first
+   * `numCells` are their own centroids — residual exactly 0 — so they
+   * would train a degenerate all-zero codebook).
+   *
+   * Scale shape: centroids, codebook, probe lists and query residual
+   * subvectors all broadcast; encode is m narrow unioned projections
+   * over one persisted residual frame (no shuffle, the
+   * [[buildPqIndex]] Janino-bound layout); the only exchanges are the
+   * per-(query, candidate) ADC sum and the final top-k window. At rest
+   * this is the same artifact story as [[PqIndex]] — codes bucketed by
+   * `__cell` serve without touching floats.
+   *
+   * @return (queryIdCol, rank, idCol, dist_adc) — dist ASCENDING
+   */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int = 16, nprobe: Int = 4,
+      m: Int = 8, codebookSize: Int = 16,
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(numCells > 0 && numCells <= 4096, s"numCells in [1,4096]")
+    require(nprobe > 0 && nprobe <= numCells, s"nprobe in [1,$numCells]")
+    require(m > 0 && codebookSize > 0 && codebookSize <= 256,
+      s"need m>0 and codebookSize in [1,256], got ($m, $codebookSize)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecDiff = graft.functions.VectorExpressions.vecDiff _
+
+    // coarse quantizer: lowest-id vectors, cells named by their vec_id
+    val cents: Seq[(Long, Seq[Float])] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(numCells).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+    require(cents.size == numCells,
+      s"corpus smaller than numCells=$numCells")
+    val dim = cents.head._2.size
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sd = dim / m
+    val centRows = cents
+      .map { case (cid, v) => (cid, v.map(_.toDouble)) }
+      .toDF("__cell", "__centvec")
+
+    def cellOf(vec: Column): Column = {
+      val scored = cents.map { case (cid, cvec) =>
+        struct(round(cosine(vec, typedlit(cvec)), 4).as("c"),
+          lit(-cid).as("n"))
+      }
+      -array_max(array(scored: _*)).getField("n")
+    }
+
+    // residual frame: one broadcast join + one native vec-diff pass;
+    // persisted because the m encode branches and the codebook seed all
+    // re-read it
+    val resid = graft.operators.PersistTracker.trackPersist(
+      corpus.select(col(idCol), col(vecCol).as("__v"),
+          cellOf(col(vecCol)).as("__cell"))
+        .join(broadcast(centRows), Seq("__cell"))
+        .select(col(idCol), col("__cell"),
+          vecDiff(col("__v"), col("__centvec")).as("__r")))
+
+    // codebook: residuals of rows ranked [numCells, numCells+cbSize) by
+    // id, sliced per subspace (bounded collect — cbSize rows)
+    val cbBase = resid
+      .select(col(idCol).cast("long").as("__oid"), col("__r"))
+      .orderBy(col("__oid")).offset(numCells).limit(codebookSize)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    require(cbBase.size == codebookSize,
+      s"corpus smaller than numCells+codebookSize=${numCells + codebookSize}")
+    val cb: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => cbBase.map(_.slice(j * sd, j * sd + sd)))
+    def sqnorm(v: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.size) { s += v(i) * v(i); i += 1 }
+      s
+    }
+
+    // encode: per-subspace argmin code over rounded squared-L2 in the
+    // rr − 2·rc + cc form; one narrow projection per subspace, unioned
+    // (the buildPqIndex Janino-limit layout)
+    def codeOf(rsub: Column, j: Int): Column = {
+      val rr = dotFast(rsub, rsub)
+      val scored = cb(j).zipWithIndex.map { case (cw, c) =>
+        struct(round(rr - lit(2.0) * dotFast(rsub, typedlit(cw))
+          + lit(sqnorm(cw)), 4).as("d"), lit(c).as("n"))
+      }
+      array_min(array(scored: _*)).getField("n")
+    }
+    val codes = (0 until m).map { j =>
+      resid.select(col(idCol), col("__cell"), lit(j).as("__j"),
+        codeOf(slice(col("__r"), j * sd + 1, sd), j).as("__code"))
+    }.reduce(_.unionAll(_))
+
+    // probe list: every query's nprobe nearest cells by rounded cosine
+    val cellScores = explode(array(cents.map { case (cid, cvec) =>
+      struct(lit(cid).as("cell"),
+        round(cosine(col("__qvec"), typedlit(cvec)), 4).as("cos"))
+    }: _*))
+    val wCells = Window.partitionBy(queryIdCol)
+      .orderBy(col("__cs.cos").desc, col("__cs.cell"))
+    val probes = queries
+      .select(col(queryIdCol), col(vecCol).as("__qvec"))
+      .withColumn("__cs", cellScores)
+      .withColumn("__cr", row_number().over(wCells))
+      .filter(col("__cr") <= nprobe)
+      .select(col(queryIdCol), col("__qvec"), col("__cs.cell").as("__cell"))
+
+    // query residual subvectors per probed cell (+ their rr term)
+    val qsubs = probes.join(broadcast(centRows), Seq("__cell"))
+      .select(col(queryIdCol), col("__cell"),
+        vecDiff(col("__qvec"), col("__centvec")).as("__qr"))
+      .select(col(queryIdCol), col("__cell"),
+        posexplode(array((0 until m).map(j =>
+          slice(col("__qr"), j * sd + 1, sd)): _*))
+          .as(Seq("__j", "__qrsub")))
+      .select(col(queryIdCol), col("__cell"), col("__j"), col("__qrsub"),
+        dotFast(col("__qrsub"), col("__qrsub")).as("__qrr"))
+
+    val cbRows = (for { j <- 0 until m; c <- cb(j).indices }
+      yield (j, c, cb(j)(c))).toDF("__j", "__code", "__cbvec")
+
+    // ADC: candidates = codes of probed cells; per-(query, id) sum of
+    // per-subspace lookup terms, rank ascending
+    val adc = codes
+      .join(broadcast(qsubs), Seq("__cell", "__j"))
+      .join(broadcast(cbRows), Seq("__j", "__code"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("__qrr")
+        - lit(2.0) * dotFast(col("__qrsub"), col("__cbvec"))
+        + dotFast(col("__cbvec"), col("__cbvec"))), 4).as("dist_adc"))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("dist_adc").asc, col(idCol))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      // + 0.0 folds IEEE negative zero: the rr − 2·rc + cc form can
+      // cancel to −1e-16 for a query's own vector and round to −0.0 in
+      // one engine but +0.0 in the other (string-hash mismatch)
+      .select(col(queryIdCol), col("rank"), col(idCol),
+        (col("dist_adc") + lit(0.0)).as("dist_adc"))
+  }
+
+  /**
    * Train a PQ codebook for [[pqTopK]]: per-subspace deterministic
    * k-means ([[Clustering.kmeansCentroidMeans]] — MEANS, not sums,
    * because ADC scores are raw dot products where centroid scale

@@ -4586,6 +4586,243 @@ WHERE rk <= 40"""
       graft.streaming.IndexIngest.readPq(s, ingestDir), queries, k = 5)
   }
 
+  /** Right-to-be-forgotten at REST, oracle-gated
+    * ([[graft.streaming.DedupIngest.deleteCorpusDocs]]): a corpus dir in
+    * the DedupIngest layout (corpus rows + id-keyed MinHash signature
+    * and band-index sides), a known takedown set (doc_id ≡ 3 mod 10)
+    * deleted under the `del-` marker ledger, then served: each surviving
+    * doc with the number of near-dup CANDIDATES its band buckets still
+    * yield. Hash-gated against DuckDB replaying the band index over
+    * corpus-MINUS-deleted — so BOTH purge surfaces are under the
+    * correctness gate: a stale corpus row changes the output grain, a
+    * stale band row changes a candidate count (the deleted doc would
+    * still surface as somebody's candidate). Band keys here are the
+    * PORTABLE form (comma-joined 8-minima slices of [[q24SigCtes]]'s
+    * signatures) so the oracle replays them verbatim; the ingest-side
+    * dedup gates are spec-covered (DedupIngestSpec), this entry gates
+    * the DELETION protocol. Warm bench reps skip the build (marker) and
+    * replay the deletion as an O(1) no-op — the amortized serve shape,
+    * as q119/q121. */
+  val q123CorpusForget: Q = (s, dir) => {
+    import s.implicits._
+    val d = streamIndexDir("q123", dir, "documents")
+    val root = new java.io.File(d)
+    val built = new java.io.File(root, "_built")
+    if (!built.exists()) {
+      // wipe a half-built dir (crash between the writes below) so reuse
+      // never serves a partial corpus; the _built marker commits it
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(root)
+      val docs = t(s, dir, "documents")
+      docs.select("doc_id", "text", "lang").write.parquet(s"$d/corpus")
+      val sigs = portableMinhashSigs(s, dir)
+      sigs.select(col("doc_id").cast("string").as("__mid"), col("sig"))
+        .write.parquet(s"$d/msigs")
+      sigs.select(col("doc_id").cast("string").as("__mid"),
+          posexplode(expr("transform(sequence(0, 7), r -> " +
+            "concat_ws(',', transform(slice(sig, r*8+1, 8), " +
+            "x -> cast(x as string))))"))
+            .as(Seq("band_idx", "band_key")))
+        .select("band_idx", "band_key", "__mid")
+        .write.parquet(s"$d/mbands")
+      graft.operators.Dedup.releasePersisted()
+      built.createNewFile(): Unit
+    }
+    // bounded takedown list — a governance event, not a corpus scan
+    val doomed = t(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select(col("doc_id").cast("string")).as[String].collect().toSeq
+    graft.streaming.DedupIngest.deleteCorpusDocs(s, d, doomed, deleteId = 0L)
+    val corpus = s.read.parquet(s"$d/corpus")
+    val bands = s.read.parquet(s"$d/mbands")
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.__mid") =!= col("b.__mid"))
+      .select(col("a.__mid").as("__mid"), col("b.__mid").as("__other"))
+      .distinct()
+      .groupBy("__mid").agg(count(lit(1)).as("n_cands"))
+    corpus.select(col("doc_id"), col("lang"))
+      .join(cands, col("doc_id").cast("string") === col("__mid"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"))
+  }
+
+  val q123Sql: String = {
+    val sigCtes = q24SigCtes.replace("FROM documents)",
+      "FROM documents WHERE doc_id % 10 <> 3)")
+    s"""WITH $sigCtes,
+       |bk AS (
+       |  SELECT doc_id, band_idx, array_to_string(bkey, ',') AS band_key
+       |  FROM band),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS other
+       |  FROM bk a JOIN bk b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |      AND a.doc_id <> b.doc_id),
+       |nc AS (SELECT doc_id, COUNT(*) AS n_cands FROM cand GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang, COALESCE(nc.n_cands, 0) AS n_cands
+       |FROM documents d LEFT JOIN nc ON nc.doc_id = d.doc_id
+       |WHERE d.doc_id % 10 <> 3""".stripMargin
+  }
+
+  /** Residual-encoded IVF-PQ ADC top-5
+    * ([[graft.operators.Similarity.ivfPqResidualTopK]]) — the IVFADC
+    * composite FAISS's `IndexIVFPQ` defaults to: PQ codes describe the
+    * residual against the assigned cell centroid, distances serve in
+    * the `rr − 2·rc + cc` squared-L2 form with no vector
+    * reconstruction. Every discrete choice (cell assignment, code
+    * assignment, probe ranking, final rank) happens on 4dp-rounded
+    * values with id/code tie-breaks, so DuckDB replays the WHOLE
+    * pipeline — centroids, residuals, the next-16-by-id residual
+    * codebook, per-cell query lookup tables, ADC sums. */
+  val q124IvfPqResidual: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.Similarity.ivfPqResidualTopK(emb, queries, k = 5,
+      numCells = 16, nprobe = 4, m = 8, codebookSize = 16)
+  }
+
+  val q124Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |cent AS (
+      |  SELECT vec_id AS cell, e AS cvec FROM e ORDER BY vec_id LIMIT 16),
+      |scored AS (
+      |  SELECT e.vec_id, e.e, c.cell,
+      |    ROUND(list_cosine_similarity(e.e, c.cvec), 4) AS cos
+      |  FROM e CROSS JOIN cent c),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cos DESC, cell) AS rn
+      |  FROM scored),
+      |asg AS (SELECT vec_id, e, cell FROM ranked WHERE rn = 1),
+      |res AS (
+      |  SELECT a.vec_id, a.cell,
+      |    list_transform(range(1, len(a.e) + 1),
+      |      i -> a.e[i] - c.cvec[i]) AS r
+      |  FROM asg a JOIN cent c ON c.cell = a.cell),
+      |cbsrc AS (
+      |  SELECT vec_id, r FROM res ORDER BY vec_id LIMIT 16 OFFSET 16),
+      |cb AS (
+      |  SELECT CAST(j AS INT) AS j,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1
+      |      AS INT) AS code,
+      |    list_slice(r, j * 8 + 1, j * 8 + 8) AS cvec
+      |  FROM cbsrc, unnest(range(0, 8)) AS u(j)),
+      |subs AS (
+      |  SELECT vec_id, cell, CAST(j AS INT) AS j,
+      |    list_slice(r, j * 8 + 1, j * 8 + 8) AS sub
+      |  FROM res, unnest(range(0, 8)) AS u(j)),
+      |assign AS (
+      |  SELECT s.vec_id, s.cell, s.j, cb.code,
+      |    ROUND(list_dot_product(s.sub, s.sub)
+      |      - 2 * list_dot_product(s.sub, cb.cvec)
+      |      + list_dot_product(cb.cvec, cb.cvec), 4) AS d
+      |  FROM subs s JOIN cb ON cb.j = s.j),
+      |codes AS (
+      |  SELECT vec_id, cell, j, code FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+      |      ORDER BY d ASC, code) AS rn
+      |    FROM assign) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, e AS qvec, cell
+      |  FROM ranked WHERE vec_id < 3 AND rn <= 4),
+      |qres AS (
+      |  SELECT p.query_id, p.cell,
+      |    list_transform(range(1, len(p.qvec) + 1),
+      |      i -> p.qvec[i] - c.cvec[i]) AS qr
+      |  FROM probes p JOIN cent c ON c.cell = p.cell),
+      |qsubs AS (
+      |  SELECT query_id, cell, CAST(j AS INT) AS j,
+      |    list_slice(qr, j * 8 + 1, j * 8 + 8) AS qsub
+      |  FROM qres, unnest(range(0, 8)) AS u(j)),
+      |adc AS (
+      |  SELECT q.query_id, c.vec_id,
+      |    ROUND(SUM(list_dot_product(q.qsub, q.qsub)
+      |      - 2 * list_dot_product(q.qsub, cb.cvec)
+      |      + list_dot_product(cb.cvec, cb.cvec)), 4) AS dist_adc
+      |  FROM codes c
+      |  JOIN cb ON cb.j = c.j AND cb.code = c.code
+      |  JOIN qsubs q ON q.cell = c.cell AND q.j = c.j
+      |  GROUP BY q.query_id, c.vec_id)
+      |SELECT query_id, rank, vec_id, dist_adc + 0.0 AS dist_adc FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY dist_adc ASC, vec_id) AS rank
+      |  FROM adc) WHERE rank <= 5""".stripMargin
+
+  /** Logistic linear probe trained on frozen embeddings
+    * ([[graft.operators.Classify.trainLogisticEmb]]): 3 rounds of
+    * full-batch GD on mean log-loss (y = label < 5), then every vector
+    * scored with the trained margin — the discriminative sibling of
+    * q87's Naive Bayes and the embedding-head quality filter a training
+    * mix actually deploys. Full-batch means no sample-order dependence:
+    * the oracle UNROLLS the three iterations as CTEs (the q93 BPE
+    * device applied to GD) — each round one sigmoid pass and one
+    * per-dimension gradient aggregate — and replays margins to 4 dp.
+    * Scale: each round is a narrow codegen pass (native dot against
+    * the broadcast weight literal) plus a |dim|-row shuffle; driver
+    * state is dim+1 doubles. */
+  val q125LogitProbe: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val model = graft.operators.Classify.trainLogisticEmb(
+      emb, col("embedding"), col("label") < 5, iters = 3, lr = 0.5)
+    graft.operators.Classify.scoreLogisticEmb(
+        model, emb, "vec_id", col("embedding"))
+      // + 0.0 folds IEEE negative zero (q112's device): a margin that
+      // rounds to ±0.0 must hash identically cross-engine
+      .select(col("vec_id"), (round(col("logit"), 4) + lit(0.0)).as("logit"),
+        col("pred"))
+  }
+
+  val q125Sql: String = {
+    val iters = 3
+    val lr = "0.5"
+    val head =
+      """e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    CAST(label < 5 AS DOUBLE) AS y
+        |  FROM embeddings),
+        |n AS (SELECT COUNT(*)::DOUBLE AS n FROM e),
+        |w0 AS (SELECT CAST(i AS INT) AS dim, 0.0 AS wv
+        |  FROM unnest(range(0, 64)) AS t(i)),
+        |b0 AS (SELECT 0.0 AS b)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""p$k AS (
+         |  SELECT vec_id, y,
+         |    1.0 / (1.0 + exp(-((SELECT b FROM b${k - 1})
+         |      + list_dot_product(v, (SELECT list(wv ORDER BY dim)
+         |          FROM w${k - 1}))))) AS p
+         |  FROM e),
+         |g$k AS (
+         |  SELECT CAST(u.i AS INT) AS dim,
+         |    SUM((p.p - p.y) * e.v[CAST(u.i AS INT) + 1]) AS g
+         |  FROM p$k p JOIN e ON e.vec_id = p.vec_id
+         |  CROSS JOIN unnest(range(0, 64)) AS u(i)
+         |  GROUP BY u.i),
+         |w$k AS (
+         |  SELECT w.dim, w.wv - $lr * g.g / (SELECT n FROM n) AS wv
+         |  FROM w${k - 1} w JOIN g$k g ON g.dim = w.dim),
+         |b$k AS (
+         |  SELECT (SELECT b FROM b${k - 1})
+         |    - $lr * (SELECT SUM(p - y) FROM p$k)
+         |      / (SELECT n FROM n) AS b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $head,
+       |$steps
+       |SELECT e.vec_id,
+       |  ROUND((SELECT b FROM b$iters) + list_dot_product(e.v,
+       |    (SELECT list(wv ORDER BY dim) FROM w$iters)), 4) + 0.0 AS logit,
+       |  CAST(((SELECT b FROM b$iters) + list_dot_product(e.v,
+       |    (SELECT list(wv ORDER BY dim) FROM w$iters))) > 0 AS INT)
+       |    AS pred
+       |FROM e""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4715,7 +4952,10 @@ WHERE rk <= 40"""
     "q119_bm25_stream_serve" -> (q119Bm25StreamServe, Some(q70Sql)),
     "q120_ivf_stream_serve" -> (q120IvfStreamServe, Some(q43Sql)),
     "q121_bm25_delete" -> (q121Bm25Delete, Some(q121Sql)),
-    "q122_pq_stream_serve" -> (q122PqStreamServe, Some(q62Sql)))
+    "q122_pq_stream_serve" -> (q122PqStreamServe, Some(q62Sql)),
+    "q123_corpus_forget" -> (q123CorpusForget, Some(q123Sql)),
+    "q124_ivfpq_residual" -> (q124IvfPqResidual, Some(q124Sql)),
+    "q125_logit_probe" -> (q125LogitProbe, Some(q125Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -145,4 +145,56 @@ class ClassifySpec extends SparkSpec {
     assert(eqOut(0).getLong(2) == 1L)
     assert(tie.keySet == Set(100L, 101L))
   }
+
+  test("logistic probe: one GD step matches the closed-form gradient") {
+    // at w=0, b=0 every p is exactly 0.5, so after one step
+    //   w = −lr/n · Σ (0.5 − y)·v,  b = −lr/n · Σ (0.5 − y)
+    val data = Seq(
+      (1L, Seq(1.0f, 2.0f), 1),
+      (2L, Seq(-1.0f, 0.5f), 0),
+      (3L, Seq(2.0f, -1.0f), 1),
+      (4L, Seq(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "y")
+    val m = Classify.trainLogisticEmb(data, col("embedding"), col("y"),
+      iters = 1, lr = 0.5)
+    val rows = Seq(
+      (Seq(1.0, 2.0), 1.0), (Seq(-1.0, 0.5), 0.0),
+      (Seq(2.0, -1.0), 1.0), (Seq(0.0, 1.0), 0.0))
+    val wantW = (0 until 2).map { i =>
+      -0.5 / 4.0 * rows.map { case (v, y) => (0.5 - y) * v(i) }.sum
+    }
+    val wantB = -0.5 / 4.0 * rows.map { case (_, y) => 0.5 - y }.sum
+    m.weights.zip(wantW).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12, s"got ${m.weights} want $wantW")
+    }
+    assert(math.abs(m.bias - wantB) < 1e-12)
+  }
+
+  test("logistic probe separates planted classes; partition-invariant") {
+    // y = 1 iff the first component is positive; margins are dominated
+    // by w(0) after a few full-batch steps
+    val data = (0 until 64).map { i =>
+      val y = i % 2
+      val v = Seq((if (y == 1) 1.0f else -1.0f) + (i % 5) * 0.02f,
+        ((i * 7) % 11 - 5) * 0.05f, ((i * 3) % 7 - 3) * 0.05f)
+      (i.toLong, v, y)
+    }.toDF("vec_id", "embedding", "y")
+    val m = Classify.trainLogisticEmb(data, col("embedding"), col("y"),
+      iters = 5, lr = 1.0)
+    val scored = Classify.scoreLogisticEmb(m, data, "vec_id",
+      col("embedding"))
+      .join(data.select(col("vec_id"), col("y")), "vec_id")
+      .collect()
+    assert(scored.length == 64)
+    scored.foreach { r =>
+      assert(r.getInt(2) == r.getInt(3),
+        s"vec ${r.getLong(0)}: pred ${r.getInt(2)} label ${r.getInt(3)}")
+    }
+    // full-batch GD has no partition dependence beyond float-sum order
+    val m13 = Classify.trainLogisticEmb(data.repartition(13),
+      col("embedding"), col("y"), iters = 5, lr = 1.0)
+    m.weights.zip(m13.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9)
+    }
+    assert(math.abs(m.bias - m13.bias) < 1e-9)
+  }
 }

@@ -453,4 +453,127 @@ class SimilaritySpec extends SparkSpec {
     assert(ratios.nonEmpty && ratios.forall(r => r > 0.2 && r < 3.0),
       s"distortion out of band: min=${ratios.min} max=${ratios.max}")
   }
+
+  /** Plain-Scala IVFADC reference (residual-encoded IVF-PQ): cells by
+    * rounded cosine, codebook = residuals of the next cbSize vectors by
+    * id, codes by rounded `rr − 2rc + cc` squared-L2, ADC per probed
+    * cell — the full [[Similarity.ivfPqResidualTopK]] contract. */
+  private def ivfPqResidualReference(vecs: Seq[(Long, Seq[Float])],
+      queryIds: Seq[Long], k: Int, numCells: Int, nprobe: Int,
+      m: Int, cbSize: Int): Set[(Long, Int, Long, Double)] = {
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dotD(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < math.min(a.size, b.size)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      val den = math.sqrt(nx) * math.sqrt(ny)
+      if (den > 0) dot / den else 0.0
+    }
+    val sd = vecs.head._2.size / m
+    val cents = vecs.sortBy(_._1).take(numCells)
+    def cellOf(v: Seq[Float]): Long = cents
+      .map { case (cid, cv) => (r4(cos(v, cv)), cid) }
+      .maxBy { case (c, cid) => (c, -cid) }._2
+    val centOf = cents.toMap.map { case (cid, cv) =>
+      cid -> cv.map(_.toDouble) }
+    def resid(v: Seq[Float]): (Long, Seq[Double]) = {
+      val cell = cellOf(v)
+      (cell, v.map(_.toDouble).zip(centOf(cell)).map { case (x, c) => x - c })
+    }
+    def subOf(v: Seq[Double], j: Int) = v.slice(j * sd, j * sd + sd)
+    val cbBase = vecs.sortBy(_._1).slice(numCells, numCells + cbSize)
+      .map(v => resid(v._2)._2)
+    val cb = (0 until m).map(j => cbBase.map(subOf(_, j)))
+    def distForm(r: Seq[Double], c: Seq[Double]) =
+      dotD(r, r) - 2.0 * dotD(r, c) + dotD(c, c)
+    val encoded = vecs.map { case (id, v) =>
+      val (cell, r) = resid(v)
+      id -> (cell, (0 until m).map { j =>
+        cb(j).zipWithIndex
+          .map { case (c, i) => (r4(distForm(subOf(r, j), c)), i) }
+          .minBy { case (d, i) => (d, i) }._2
+      })
+    }.toMap
+    val byId = vecs.toMap
+    queryIds.flatMap { qid =>
+      val q = byId(qid)
+      val probed = cents
+        .map { case (cid, cv) => (r4(cos(q, cv)), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }.take(nprobe)
+        .map(_._2).toSet
+      val qr = probed.map { cell =>
+        cell -> q.map(_.toDouble).zip(centOf(cell))
+          .map { case (x, c) => x - c }
+      }.toMap
+      val scored = encoded.toSeq.collect {
+        case (id, (cell, codes)) if probed(cell) =>
+          val d = (0 until m).map { j =>
+            distForm(subOf(qr(cell), j), cb(j)(codes(j)))
+          }.sum
+          (id, r4(d) + 0.0)
+      }
+      scored.sortBy { case (id, d) => (d, id) }.take(k).zipWithIndex
+        .map { case ((id, d), i) => (qid, i + 1, id, d) }
+    }.toSet
+  }
+
+  test("ivfPqResidualTopK matches a plain-Scala IVFADC reference") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(id =>
+      id -> Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id".isin(3L, 25L, 59L))
+      .select($"vec_id".as("query_id"), $"embedding")
+    val want = ivfPqResidualReference(vecs, Seq(3L, 25L, 59L), k = 4,
+      numCells = 8, nprobe = 3, m = 4, cbSize = 8)
+    val got = Similarity.ivfPqResidualTopK(corpus, queries, k = 4,
+      numCells = 8, nprobe = 3, m = 4, codebookSize = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+    // partitioning invariance of the whole pipeline
+    val got7 = Similarity.ivfPqResidualTopK(corpus.repartition(7), queries,
+      k = 4, numCells = 8, nprobe = 3, m = 4, codebookSize = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got7 == got)
+  }
+
+  test("ivfPqResidual: one cell + corpus-as-codebook gives exact sq-L2") {
+    // numCells=1 puts everything in one cell; the codebook is then the
+    // residuals of ALL remaining vectors, so each encodes to ITSELF
+    // (distance exactly 0 at its own codeword) and the ADC estimate of
+    // any query to any codebook member is the EXACT squared L2 distance
+    // between their residuals = between the vectors themselves.
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 9L).map { id =>
+      id -> (0 until 8).map(i => ((id * 3 + i * 5) % 11 - 5).toFloat / 4f)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id".isin(2L, 7L))
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = Similarity.ivfPqResidualTopK(corpus, queries, k = 9,
+      numCells = 1, nprobe = 1, m = 2, codebookSize = 8)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byId = vecs.toMap
+    for (q <- Seq(2L, 7L); v <- 1L until 9L) {
+      val want = r4(byId(q).zip(byId(v))
+        .map { case (a, b) => (a.toDouble - b.toDouble) }
+        .map(d => d * d).sum)
+      val gotD = got((q, v))
+      assert(math.abs(gotD - want) < 1e-9,
+        s"query $q cand $v: got $gotD want $want")
+    }
+    // in particular the query itself is at distance 0, rank 1
+    assert(got((2L, 2L)) == 0.0 && got((7L, 7L)) == 0.0)
+  }
 }

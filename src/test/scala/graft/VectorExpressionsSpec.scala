@@ -123,4 +123,34 @@ class VectorExpressionsSpec extends SparkSpec {
       numPlanes = 6, numTables = 4, probeHamming = 2)
     assert(approx.collect().nonEmpty)
   }
+
+  test("vecDiff ≡ zip_with subtraction; mixed types; common prefix") {
+    // float - float: widens exactly, matches the HOF form bit-for-bit
+    val df = vecs.toDF("id", "a", "b")
+      .withColumn("fast", VectorExpressions.vecDiff($"a", $"b"))
+      .withColumn("slow",
+        zip_with($"a", $"b", (x, y) => x.cast("double") - y.cast("double")))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Double](3) == r.getSeq[Double](4),
+        s"row ${r.getLong(0)}")
+    }
+    // float - double (the residual shape: float corpus, double centroid)
+    val mixed = Seq((Array(1.5f, -2.0f, 0.25f), Array(0.5, 0.5, 0.5)))
+      .toDF("a", "b")
+      .select(VectorExpressions.vecDiff($"a", $"b").as("d"))
+      .collect().head.getSeq[Double](0)
+    assert(mixed == Seq(1.0, -2.5, -0.25))
+    // unequal lengths: the common prefix, like dotProduct
+    val pref = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 1.0)))
+      .toDF("a", "b")
+      .select(VectorExpressions.vecDiff($"a", $"b").as("d"))
+      .collect().head.getSeq[Double](0)
+    assert(pref == Seq(0.0, 1.0))
+    // null propagates
+    val n = Seq((Option.empty[Array[Double]], Option(Array(1.0))))
+      .toDF("a", "b")
+      .select(VectorExpressions.vecDiff($"a", $"b").as("d"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
 }
