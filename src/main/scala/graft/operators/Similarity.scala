@@ -819,6 +819,77 @@ object Similarity {
   }
 
   /**
+   * Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
+   * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
+   * the LASER/CCMatrix criterion, public knowledge): a candidate pair
+   * scores by its cosine RELATIVE to each side's local similarity
+   * neighborhood,
+   *
+   *   margin(x, y) = cos(x, y) / (½·(avgTopK_tgt(x) + avgTopK_src(y)))
+   *
+   * which suppresses hub vectors that are near everything (their
+   * denominator is high) and surfaces genuinely-aligned pairs even in
+   * dense regions. Returns each source's best target with its margin
+   * and an `accepted` flag at `threshold` (the paper operates around
+   * 1.05–1.1; 1.0 = "above your own neighborhood average").
+   *
+   * Replayable end-to-end: cosines round to 4 dp before every rank
+   * (ties → lowest id), margins round to 4 dp, a non-positive
+   * denominator yields a null margin (never ±Inf into a rank).
+   *
+   * Scale shape: `src` is the mining batch (broadcast, as
+   * [[bruteForceTopK]]'s queries); `tgt` streams through one narrow
+   * scored pass and is never shuffled except by the per-side top-k
+   * windows over candidate rows. At corpus scale, gate candidates with
+   * the ANN index first ([[ivfTopKWithIndex]] / [[annSearchRerank]]
+   * with depth ≫ k) and run the margin over the candidate lists — the
+   * actual CCMatrix pipeline; the margin algebra is unchanged.
+   *
+   * @return (src_id, tgt_id, cosine, margin, accepted) — one row per
+   *         src vector (its margin-best target)
+   */
+  def mineBitext(src: DataFrame, tgt: DataFrame, k: Int,
+      threshold: Double = 1.05,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val s = src.select(col(idCol).as("src_id"), col(vecCol).as("__sv"))
+    val x = graft.operators.PersistTracker.trackPersist(
+      tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__tv"))
+        .crossJoin(broadcast(s))
+        .select(col("src_id"), col("tgt_id"),
+          round(cosine(col("__sv"), col("__tv")), 4).as("cos")))
+    val wx = Window.partitionBy("src_id")
+      .orderBy(col("cos").desc, col("tgt_id"))
+    // the averages stay UNROUNDED: the mean of k 4dp-rounded cosines
+    // lands exactly on .00005 rounding ties about 1/k of the time,
+    // where engines' ROUND implementations systematically disagree —
+    // only the final margin is rounded (cross-engine drift there is
+    // 1-ulp sum-order noise, the accepted class)
+    val ax = x.withColumn("__rn", row_number().over(wx))
+      .filter(col("__rn") <= k)
+      .groupBy("src_id").agg(avg("cos").as("__ax"))
+    val wy = Window.partitionBy("tgt_id")
+      .orderBy(col("cos").desc, col("src_id"))
+    val ay = x.withColumn("__rn", row_number().over(wy))
+      .filter(col("__rn") <= k)
+      .groupBy("tgt_id").agg(avg("cos").as("__ay"))
+    val denom = lit(0.5) * (col("__ax") + col("__ay"))
+    val scored = x.join(broadcast(ax), Seq("src_id"))
+      .join(ay, Seq("tgt_id"))
+      .withColumn("margin",
+        when(denom > 0, round(col("cos") / denom, 4)))
+    val wBest = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc_nulls_last, col("tgt_id"))
+    scored.withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cos").as("cosine"),
+        col("margin"),
+        // null margin (non-positive denominator) is never accepted
+        coalesce((col("margin") >= threshold).cast("int"), lit(0))
+          .as("accepted"))
+  }
+
+  /**
    * Train a PQ codebook for [[pqTopK]]: per-subspace deterministic
    * k-means ([[Clustering.kmeansCentroidMeans]] — MEANS, not sums,
    * because ADC scores are raw dot products where centroid scale

@@ -4823,6 +4823,57 @@ WHERE rk <= 40"""
        |FROM e""".stripMargin
   }
 
+  /** Margin-based bitext mining
+    * ([[graft.operators.Similarity.mineBitext]]): every 5th vector is
+    * the "source language" batch, the rest the target pool; each source
+    * aligns to its margin-best target (cosine over the mean of both
+    * sides' top-4 neighborhoods — the LASER/CCMatrix criterion), with
+    * the 1.05 acceptance flag. The oracle replays cosines, both
+    * neighborhood averages, the margin ratio and the accept flag — all
+    * on 4dp-rounded values with id tie-breaks. */
+  val q126BitextMine: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.operators.Similarity.mineBitext(
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+      emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      k = 4, threshold = 1.05)
+  }
+
+  val q126Sql: String =
+    """WITH src AS (
+      |  SELECT vec_id AS src_id, embedding::DOUBLE[] AS sv
+      |  FROM embeddings WHERE vec_id % 5 = 0),
+      |tgt AS (
+      |  SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS tv
+      |  FROM embeddings WHERE vec_id % 5 <> 0),
+      |x AS (
+      |  SELECT s.src_id, t.tgt_id,
+      |    ROUND(list_cosine_similarity(s.sv, t.tv), 4) AS cos
+      |  FROM src s, tgt t),
+      |ax AS (
+      |  SELECT src_id, AVG(cos) AS a FROM (
+      |    SELECT src_id, cos, ROW_NUMBER() OVER (PARTITION BY src_id
+      |      ORDER BY cos DESC, tgt_id) AS rn FROM x)
+      |  WHERE rn <= 4 GROUP BY src_id),
+      |ay AS (
+      |  SELECT tgt_id, AVG(cos) AS a FROM (
+      |    SELECT tgt_id, cos, ROW_NUMBER() OVER (PARTITION BY tgt_id
+      |      ORDER BY cos DESC, src_id) AS rn FROM x)
+      |  WHERE rn <= 4 GROUP BY tgt_id),
+      |m AS (
+      |  SELECT x.src_id, x.tgt_id, x.cos,
+      |    CASE WHEN 0.5 * (ax.a + ay.a) > 0
+      |      THEN ROUND(x.cos / (0.5 * (ax.a + ay.a)), 4) END AS margin
+      |  FROM x JOIN ax ON ax.src_id = x.src_id
+      |  JOIN ay ON ay.tgt_id = x.tgt_id)
+      |SELECT src_id, tgt_id, cos AS cosine, margin,
+      |  CASE WHEN margin >= 1.05 THEN 1 ELSE 0 END AS accepted
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+      |    ORDER BY margin DESC NULLS LAST, tgt_id) AS rn
+      |  FROM m)
+      |WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4955,7 +5006,8 @@ WHERE rk <= 40"""
     "q122_pq_stream_serve" -> (q122PqStreamServe, Some(q62Sql)),
     "q123_corpus_forget" -> (q123CorpusForget, Some(q123Sql)),
     "q124_ivfpq_residual" -> (q124IvfPqResidual, Some(q124Sql)),
-    "q125_logit_probe" -> (q125LogitProbe, Some(q125Sql)))
+    "q125_logit_probe" -> (q125LogitProbe, Some(q125Sql)),
+    "q126_bitext_mine" -> (q126BitextMine, Some(q126Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -576,4 +576,46 @@ class SimilaritySpec extends SparkSpec {
     // in particular the query itself is at distance 0, rank 1
     assert(got((2L, 2L)) == 0.0 && got((7L, 7L)) == 0.0)
   }
+
+  test("mineBitext: planted translations mined, dense-hub pairs rejected") {
+    // The margin is a RATIO against both sides' neighborhood averages,
+    // so it discriminates by CONTRAST, not absolute cosine: a genuine
+    // translation is far above everything else near either vector,
+    // while a member of a dense template cluster (the hub failure mode
+    // of raw-cosine mining) has a best cosine ≈ its whole neighborhood
+    // average on BOTH sides → margin ≈ 1.
+    val rnd = new scala.util.Random(5)
+    def jitter(v: Seq[Float], eps: Float) =
+      v.map(_ + (rnd.nextFloat() * 2 - 1) * eps)
+    val a0 = Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val a1 = Seq(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)
+    val hub = Seq(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f)
+    // srcs: 0/1 have planted translations; 2 sits in the hub cluster,
+    // as do filler srcs 4..6 (dense on BOTH sides)
+    val srcVecs = Seq(0L -> a0, 1L -> a1, 2L -> jitter(hub, 0.03f),
+      4L -> jitter(hub, 0.03f), 5L -> jitter(hub, 0.03f),
+      6L -> jitter(hub, 0.03f))
+    val tgtVecs =
+      Seq(100L -> jitter(a0, 0.01f), 101L -> jitter(a1, 0.01f)) ++
+        (110L until 116L).map(id => id -> jitter(hub, 0.03f)) ++
+        (130L until 140L).map(id =>
+          id -> Seq.fill(8)(rnd.nextFloat() * 0.4f - 0.2f))
+    val src = srcVecs.toDF("vec_id", "embedding")
+    val tgt = tgtVecs.toDF("vec_id", "embedding")
+    val got = Similarity.mineBitext(src, tgt, k = 4, threshold = 1.05)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3), r.getInt(4)))
+      .toMap
+    // one row per src
+    assert(got.keySet == Set(0L, 1L, 2L, 4L, 5L, 6L))
+    // planted translations are each src's margin-best target, accepted
+    assert(got(0L)._1 == 100L && got(0L)._3 == 1, s"src0 got ${got(0L)}")
+    assert(got(1L)._1 == 101L && got(1L)._3 == 1, s"src1 got ${got(1L)}")
+    // the hub src's best cosine is high, but its margin is ≈1: its
+    // neighborhood average matches its best on both sides → rejected,
+    // and dominated by both planted margins
+    assert(got(2L)._3 == 0, s"hub src accepted: ${got(2L)}")
+    assert(got(2L)._2 < got(0L)._2 && got(2L)._2 < got(1L)._2,
+      s"hub margin ${got(2L)._2} vs planted ${got(0L)._2}/${got(1L)._2}")
+  }
 }
