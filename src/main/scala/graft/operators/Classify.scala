@@ -316,4 +316,41 @@ object Classify {
     docs.select(col(idCol), margin.as("logit"),
       (margin > 0).cast("int").as("pred"))
   }
+
+  /**
+   * Domain reweighting from per-group proxy loss — the multiplicative
+   * -weights step of DoReMi (Xie et al., "DoReMi: Optimizing Data
+   * Mixtures Speeds Up Language Model Pretraining", public knowledge),
+   * applied to a FROZEN proxy: domains where the probe's log-loss is
+   * high are upweighted,
+   *
+   *   weight(g) = exp(η·ℓ_g) / Σ_h exp(η·ℓ_h),
+   *   ℓ_g = mean over g of ln(1 + exp(−(2y−1)·logit)),
+   *
+   * i.e. one softmax over per-domain mean excess loss (the full DoReMi
+   * loop re-trains the proxy between rounds; with the proxy frozen the
+   * multiplicative updates telescope into this closed form — use the
+   * resulting weights as [[Sampling]] mixture targets, q92's input).
+   *
+   * `scored` carries the domain, the binary label and the probe margin
+   * ([[scoreLogisticEmb]]'s `logit`). One |domains|-row aggregate plus
+   * a broadcast-window softmax — nothing scales with the corpus except
+   * the first mean.
+   *
+   * @return (groupCol, n_docs, mean_loss, weight) — doubles unrounded
+   */
+  def excessLossWeights(scored: DataFrame, groupCol: String,
+      label: Column, logit: Column, eta: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val loss = log(lit(1.0) +
+      exp(-(lit(2.0) * label.cast("double") - lit(1.0)) * logit))
+    val byG = scored.select(col(groupCol), loss.as("__l"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), avg("__l").as("mean_loss"))
+    val w = Window.partitionBy()
+    byG.withColumn("weight",
+        exp(lit(eta) * col("mean_loss"))
+          / sum(exp(lit(eta) * col("mean_loss"))).over(w))
+      .select(col(groupCol), col("n_docs"), col("mean_loss"), col("weight"))
+  }
 }

@@ -4779,12 +4779,13 @@ WHERE rk <= 40"""
         col("pred"))
   }
 
-  val q125Sql: String = {
-    val iters = 3
-    val lr = "0.5"
+  /** The unrolled-GD CTE chain shared by the probe queries (q125 scores,
+    * q127 reweights): `e` (vectors + binary y + raw label), `n`, and
+    * w0/b0 → w`iters`/b`iters` via per-round sigmoid + gradient CTEs. */
+  private def logitGdCtes(iters: Int, lr: String): String = {
     val head =
       """e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
         |    CAST(label < 5 AS DOUBLE) AS y
         |  FROM embeddings),
         |n AS (SELECT COUNT(*)::DOUBLE AS n FROM e),
@@ -4812,16 +4813,18 @@ WHERE rk <= 40"""
          |    - $lr * (SELECT SUM(p - y) FROM p$k)
          |      / (SELECT n FROM n) AS b)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $head,
-       |$steps
+    s"$head,\n$steps"
+  }
+
+  val q125Sql: String =
+    s"""WITH ${logitGdCtes(3, "0.5")}
        |SELECT e.vec_id,
-       |  ROUND((SELECT b FROM b$iters) + list_dot_product(e.v,
-       |    (SELECT list(wv ORDER BY dim) FROM w$iters)), 4) + 0.0 AS logit,
-       |  CAST(((SELECT b FROM b$iters) + list_dot_product(e.v,
-       |    (SELECT list(wv ORDER BY dim) FROM w$iters))) > 0 AS INT)
+       |  ROUND((SELECT b FROM b3) + list_dot_product(e.v,
+       |    (SELECT list(wv ORDER BY dim) FROM w3)), 4) + 0.0 AS logit,
+       |  CAST(((SELECT b FROM b3) + list_dot_product(e.v,
+       |    (SELECT list(wv ORDER BY dim) FROM w3))) > 0 AS INT)
        |    AS pred
        |FROM e""".stripMargin
-  }
 
   /** Margin-based bitext mining
     * ([[graft.operators.Similarity.mineBitext]]): every 5th vector is
@@ -4873,6 +4876,44 @@ WHERE rk <= 40"""
       |    ORDER BY margin DESC NULLS LAST, tgt_id) AS rn
       |  FROM m)
       |WHERE rn = 1""".stripMargin
+
+  /** Domain reweighting from per-domain proxy loss
+    * ([[graft.operators.Classify.excessLossWeights]]): q125's trained
+    * probe scores every vector, per-label mean log-loss feeds the
+    * DoReMi multiplicative-weights softmax (frozen-proxy closed form)
+    * — the weights a mixture sampler (q92) would consume. The oracle
+    * extends q125's unrolled-GD CTE chain with the loss, the
+    * per-domain means and the softmax. One |domains|-row aggregate +
+    * a bounded single-partition softmax window. */
+  val q127DomainWeights: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val model = graft.operators.Classify.trainLogisticEmb(
+      emb, col("embedding"), col("label") < 5, iters = 3, lr = 0.5)
+    val scored = graft.operators.Classify.scoreLogisticEmb(
+        model, emb, "vec_id", col("embedding"))
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    graft.operators.Classify.excessLossWeights(
+        scored, "label", col("label") < 5, col("logit"), eta = 1.0)
+      .select(col("label"), col("n_docs"),
+        round(col("mean_loss"), 4).as("mean_loss"),
+        round(col("weight"), 4).as("weight"))
+  }
+
+  val q127Sql: String =
+    s"""WITH ${logitGdCtes(3, "0.5")},
+       |sc AS (
+       |  SELECT e.label, e.y,
+       |    (SELECT b FROM b3) + list_dot_product(e.v,
+       |      (SELECT list(wv ORDER BY dim) FROM w3)) AS logit
+       |  FROM e),
+       |byg AS (
+       |  SELECT label, COUNT(*) AS n_docs,
+       |    AVG(ln(1.0 + exp(-(2.0 * y - 1.0) * logit))) AS mean_loss
+       |  FROM sc GROUP BY label)
+       |SELECT label, n_docs, ROUND(mean_loss, 4) AS mean_loss,
+       |  ROUND(exp(1.0 * mean_loss)
+       |    / SUM(exp(1.0 * mean_loss)) OVER (), 4) AS weight
+       |FROM byg""".stripMargin
 
   // ---------------------------------------------------------------------
   // Registry
@@ -5007,7 +5048,8 @@ WHERE rk <= 40"""
     "q123_corpus_forget" -> (q123CorpusForget, Some(q123Sql)),
     "q124_ivfpq_residual" -> (q124IvfPqResidual, Some(q124Sql)),
     "q125_logit_probe" -> (q125LogitProbe, Some(q125Sql)),
-    "q126_bitext_mine" -> (q126BitextMine, Some(q126Sql)))
+    "q126_bitext_mine" -> (q126BitextMine, Some(q126Sql)),
+    "q127_domain_weights" -> (q127DomainWeights, Some(q127Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

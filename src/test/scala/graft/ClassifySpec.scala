@@ -197,4 +197,30 @@ class ClassifySpec extends SparkSpec {
     }
     assert(math.abs(m.bias - m13.bias) < 1e-9)
   }
+
+  test("excessLossWeights: hand-computed softmax; hard domain upweighted") {
+    // domain A is well-classified (high |logit|, right sign), domain B
+    // is misclassified (wrong sign) → higher loss → higher weight
+    val scored = Seq(
+      ("A", 1, 3.0), ("A", 0, -2.5),
+      ("B", 1, -1.0), ("B", 0, 0.5)).toDF("dom", "y", "logit")
+    val got = Classify.excessLossWeights(scored, "dom", col("y"),
+        col("logit"), eta = 1.0)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    def loss(y: Int, m: Double) =
+      math.log(1.0 + math.exp(-(2.0 * y - 1.0) * m))
+    val lA = (loss(1, 3.0) + loss(0, -2.5)) / 2
+    val lB = (loss(1, -1.0) + loss(0, 0.5)) / 2
+    val z = math.exp(lA) + math.exp(lB)
+    assert(got("A")._1 == 2L && got("B")._1 == 2L)
+    assert(math.abs(got("A")._2 - lA) < 1e-12)
+    assert(math.abs(got("B")._2 - lB) < 1e-12)
+    assert(math.abs(got("A")._3 - math.exp(lA) / z) < 1e-12)
+    assert(math.abs(got("B")._3 - math.exp(lB) / z) < 1e-12)
+    // weights are a distribution and the hard domain dominates
+    assert(math.abs(got("A")._3 + got("B")._3 - 1.0) < 1e-12)
+    assert(got("B")._3 > got("A")._3)
+  }
 }
