@@ -502,4 +502,70 @@ object VectorExpressions {
     org.apache.spark.sql.graftbridge.ColumnBridge.of(
       VecDiff(org.apache.spark.sql.graftbridge.ColumnBridge.expr(a),
         org.apache.spark.sql.graftbridge.ColumnBridge.expr(b)))
+
+  /**
+   * dHash difference bits of a row-major grayscale pixel grid (int
+   * array, `h` rows × `w` cols): bit `y·(w−1)+x` = 1 iff
+   * `px[y·w+x+1] > px[y·w+x]` — the classic perceptual "difference
+   * hash" (widely published; gradient direction survives re-encode,
+   * resize and small edits, so near-identical images collide). Packs
+   * into one long, so `h·(w−1)` must be ≤ 63 (8×8 → 56 bits) and the
+   * hash drops straight into the simhash Hamming machinery
+   * ([[graft.operators.Dedup.simhashPairsFromHashes]]). A short array
+   * contributes 0-bits past its end (missing pixels read as 0 > x =
+   * false), keeping the expression total.
+   */
+  case class DHashBits(child: Expression, w: Int, h: Int)
+      extends UnaryExpression {
+    require(w >= 2 && h >= 1 && h * (w - 1) <= 63,
+      s"dhash grid must satisfy 2<=w, 1<=h, h*(w-1)<=63, got ${w}x$h")
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_dhash_bits"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val px = input.asInstanceOf[ArrayData]
+      val n = px.numElements()
+      var bits = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w - 1) {
+          val i = y * w + x
+          if (i + 1 < n && px.getInt(i + 1) > px.getInt(i))
+            bits |= 1L << (y * (w - 1) + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, px => {
+        val n = ctx.freshName("n"); val bits = ctx.freshName("bits")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        val i = ctx.freshName("i")
+        s"""
+           |int $n = $px.numElements();
+           |long $bits = 0L;
+           |for (int $y = 0; $y < $h; $y++) {
+           |  for (int $x = 0; $x < ${w - 1}; $x++) {
+           |    int $i = $y * $w + $x;
+           |    if ($i + 1 < $n && $px.getInt($i + 1) > $px.getInt($i)) {
+           |      $bits |= 1L << ($y * ${w - 1} + $x);
+           |    }
+           |  }
+           |}
+           |${ev.value} = $bits;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def dhashBits(px: Column, w: Int, h: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      DHashBits(org.apache.spark.sql.graftbridge.ColumnBridge.expr(px), w, h))
 }

@@ -223,6 +223,105 @@ object Multimodal {
     spark.createDataFrame(out, mediaSchema)
   }
 
+  /** Output schema of [[decodeGrayPixels]]: the full decoded pixel grid
+    * (row-major band-0 samples), or `decoded = false` with null grid
+    * when the bytes are not a decodable image. */
+  val grayPixelSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("pixels", ArrayType(IntegerType, containsNull = false),
+      nullable = true)))
+
+  /**
+   * REAL PNG encode of grayscale pixel grids (JDK ImageIO, no external
+   * deps): each row's `pixelsCol` (int array, row-major, values 0–255,
+   * length `w·h`) becomes an 8-bit grayscale PNG payload. PNG is
+   * lossless, so [[decodeGrayPixels]] recovers the grid EXACTLY — which
+   * is what lets the perceptual-hash dedup path (q128) run a REAL
+   * codec round-trip under a DuckDB oracle that replays the pixels
+   * from their generating formula: any codec deviation would change
+   * the hash and fail the gate. Iterator-to-iterator, one encoder per
+   * row, no shuffle.
+   */
+  def encodeGrayPngs(df: DataFrame, idCol: String, pixelsCol: String,
+      w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, s"dims must be positive, got ${w}x$h")
+    val spark = df.sparkSession
+    val out = df.select(col(idCol).cast("long").as("media_id"),
+        col(pixelsCol).as("__px")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val px = r.getSeq[Int](1)
+          require(px.length == w * h,
+            s"pixel grid ${px.length} != ${w}x$h")
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, px(y * w + x) & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          Row(r.getLong(0), buf.toByteArray)
+        }
+      }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+  }
+
+  /**
+   * REAL image decode to the full grayscale pixel grid (band-0 raster
+   * samples, row-major) — the per-pixel sibling of [[decodeImage]]'s
+   * summary features, feeding perceptual hashing
+   * ([[graft.functions.VectorExpressions.DHashBits]]) and any other
+   * pixel-level signal. Undecodable bytes route to `decoded = false`
+   * with a null grid (never an exception mid-partition). Same
+   * iterator-to-iterator shape; payloads never shuffle.
+   */
+  def decodeGrayPixels(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val out = df.select(col(idCol).cast("long").as("media_id"),
+        col(payloadCol).as("__payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val img = try {
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+          img match {
+            case Some(im) if im.getWidth > 0 && im.getHeight > 0 =>
+              val w = im.getWidth
+              val h = im.getHeight
+              val raster = im.getRaster
+              val px = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  px(y * w + x) = raster.getSample(x, y, 0)
+                  x += 1
+                }
+                y += 1
+              }
+              Row(r.getLong(0), true, w, h, px.toSeq)
+            case _ => Row(r.getLong(0), false, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(out, grayPixelSchema)
+  }
+
   /** Frame-sample stub for videos: every `everyMs` ms up to the recorded
     * duration — emits one row per sampled frame offset (the generator
     * shape a real frame extractor would follow). */

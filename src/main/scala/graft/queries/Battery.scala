@@ -4915,6 +4915,70 @@ WHERE rk <= 40"""
        |    / SUM(exp(1.0 * mean_loss)) OVER (), 4) AS weight
        |FROM byg""".stripMargin
 
+  /** Perceptual-hash image dedup through a REAL codec round-trip
+    * ([[graft.operators.Multimodal.encodeGrayPngs]] →
+    * [[graft.operators.Multimodal.decodeGrayPixels]] →
+    * [[graft.functions.VectorExpressions.DHashBits]] →
+    * [[graft.operators.Dedup.simhashPairsFromHashes]]): 8×8 grayscale
+    * images are synthesized from a PORTABLE pixel formula (first md5
+    * byte of "pid:i"), PNG-encoded and decoded with actual JDK ImageIO,
+    * dHashed (56 difference bits), and near-dup paired by the
+    * pigeonhole Hamming join. Docs ≡3 (mod 10) carry a one-pixel-edited
+    * copy of doc−3's image — the planted near-dup class (Hamming ≤ 1).
+    * The oracle replays pixels → dHash → brute-force Hamming pairs
+    * from the FORMULA: PNG is lossless, so the decoded grid must equal
+    * the generated grid — any codec deviation changes the hash and
+    * fails the gate, which is what makes a real-codec path oracleable
+    * at all. Payloads never shuffle (iterator-to-iterator codec
+    * passes); the pair join is the guarded simhash piece join. */
+  val q128ImageDedup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(col("doc_id"))
+    val base = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10)) === 3, col("doc_id") - 3)
+        .otherwise(col("doc_id")).as("__pid"))
+    val px = expr(
+      "transform(sequence(0, 63), i -> cast(" +
+        "(cast(conv(substring(md5(concat(cast(__pid as string), ':', " +
+        "cast(i as string))), 1, 2), 16, 10) as int) + " +
+        "(case when doc_id % 10 = 3 and i = 0 then 16 else 0 end)) % 256 " +
+        "as int))")
+    val gen = base.select(col("doc_id"), px.as("__px"))
+    val pngs = graft.operators.Multimodal.encodeGrayPngs(
+      gen, "doc_id", "__px", 8, 8)
+    val dec = graft.operators.Multimodal.decodeGrayPixels(
+      pngs, "media_id", "payload")
+    val hashed = dec.filter(col("decoded"))
+      .select(col("media_id").as("doc_id"),
+        graft.functions.VectorExpressions.dhashBits(col("pixels"), 8, 8)
+          .as("simhash"))
+    graft.operators.Dedup.simhashPairsFromHashes(hashed, "doc_id",
+      numBits = 56, maxHamming = 3)
+  }
+
+  val q128Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN doc_id - 3 ELSE doc_id END AS pid
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, list_transform(range(0, 64), i ->
+      |    CAST((('0x' || substr(md5(pid || ':' || i), 1, 2))::INT
+      |      + CASE WHEN doc_id % 10 = 3 AND i = 0 THEN 16 ELSE 0 END)
+      |      % 256 AS INT)) AS p
+      |  FROM base),
+      |dh AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 56), k ->
+      |    CASE WHEN p[CAST(k // 7 AS INT) * 8 + CAST(k % 7 AS INT) + 2]
+      |            > p[CAST(k // 7 AS INT) * 8 + CAST(k % 7 AS INT) + 1]
+      |      THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+      |      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h
+      |  FROM px)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+      |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5049,7 +5113,8 @@ WHERE rk <= 40"""
     "q124_ivfpq_residual" -> (q124IvfPqResidual, Some(q124Sql)),
     "q125_logit_probe" -> (q125LogitProbe, Some(q125Sql)),
     "q126_bitext_mine" -> (q126BitextMine, Some(q126Sql)),
-    "q127_domain_weights" -> (q127DomainWeights, Some(q127Sql)))
+    "q127_domain_weights" -> (q127DomainWeights, Some(q127Sql)),
+    "q128_image_dedup" -> (q128ImageDedup, Some(q128Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -119,4 +119,53 @@ class MultimodalSpec extends SparkSpec {
       assert(perVideo(id) == dur / 50 + 1)
     }
   }
+
+  test("gray PNG encode → decode round-trips pixels exactly") {
+    val grids = Seq(
+      (0L, (0 until 64).map(i => (i * 4) % 256)),
+      (1L, (0 until 64).map(i => (255 - i) % 256)),
+      (2L, Seq.fill(64)(0)), (3L, Seq.fill(64)(255)))
+      .toDF("media_id", "px")
+    val pngs = Multimodal.encodeGrayPngs(grids, "media_id", "px", 8, 8)
+    val dec = Multimodal.decodeGrayPixels(pngs, "media_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getInt(2), r.getInt(3), r.getSeq[Int](4)))
+      .toMap
+    val want = grids.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(dec.keySet == want.keySet)
+    dec.foreach { case (id, (decoded, w, h, px)) =>
+      assert(decoded && w == 8 && h == 8)
+      assert(px == want(id), s"grid $id did not round-trip")
+    }
+  }
+
+  test("decodeGrayPixels: corrupt bytes route to decoded=false") {
+    val bad = Seq((9L, "not a png at all".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val r = Multimodal.decodeGrayPixels(bad, "media_id", "payload")
+      .collect().head
+    assert(r.getLong(0) == 9L && !r.getBoolean(1) && r.isNullAt(4))
+  }
+
+  test("dHash chain: one-pixel edit stays within Hamming 2 of original") {
+    import graft.functions.VectorExpressions
+    val base = (0 until 64).map(i => (i * 37 + 11) % 256)
+    val edited = base.updated(0, (base(0) + 16) % 256)
+    val far = (0 until 64).map(i => (i * 101 + 3) % 251)
+    val grids = Seq((0L, base), (1L, edited), (2L, far))
+      .toDF("media_id", "px")
+    val pngs = Multimodal.encodeGrayPngs(grids, "media_id", "px", 8, 8)
+    val hashed = Multimodal.decodeGrayPixels(pngs, "media_id", "payload")
+      .filter($"decoded")
+      .select($"media_id".as("doc_id"),
+        VectorExpressions.dhashBits($"pixels", 8, 8).as("simhash"))
+    val pairs = graft.operators.Dedup.simhashPairsFromHashes(
+        hashed, "doc_id", numBits = 56, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.operators.Dedup.releasePersisted()
+    // pixel 0 feeds exactly one difference bit → Hamming ≤ 1 ≤ 2
+    assert(pairs.contains((0L, 1L)), s"edited copy not paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "unrelated image paired")
+  }
 }
