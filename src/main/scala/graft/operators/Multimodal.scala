@@ -130,6 +130,7 @@ object Multimodal {
     val spark = media.sparkSession
     val out = media.select("media_id", "kind", "payload").rdd
       .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // see encodeGrayPngs
         it.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           val fnv = {
@@ -183,6 +184,7 @@ object Multimodal {
     val spark = media.sparkSession
     val out = media.select("media_id", "kind", "mime", "payload", "meta")
       .rdd.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // see encodeGrayPngs
         it.map { r =>
           val kind = r.getString(1)
           val payload = r.getAs[Array[Byte]]("payload")
@@ -252,6 +254,10 @@ object Multimodal {
     val out = df.select(col(idCol).cast("long").as("media_id"),
         col(pixelsCol).as("__px")).rdd
       .mapPartitions { it =>
+        // ImageIO's default stream cache spills every encode through a
+        // temp FILE — per-image disk round-trips that dominate small
+        // payloads; in-memory streams need no cache at all
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { r =>
           val px = r.getSeq[Int](1)
           require(px.length == w * h,
@@ -293,6 +299,7 @@ object Multimodal {
     val out = df.select(col(idCol).cast("long").as("media_id"),
         col(payloadCol).as("__payload")).rdd
       .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // see encodeGrayPngs
         it.map { r =>
           val payload = r.getAs[Array[Byte]](1)
           val img = try {
