@@ -669,6 +669,65 @@ object TextAnalysis {
   }
 
   /**
+   * Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+   * smoothing KenLM ships and CCNet-style perplexity filters actually
+   * run — public knowledge), self-trained on the corpus like
+   * [[bigramLmScores]]:
+   *
+   *   P(w2|w1) = (c(w1,w2) − D)/c1(w1)
+   *            + (D·N1+(w1,·)/c1(w1)) · (N1+(·,w2)/T)
+   *
+   * with discount D, N1+(w1,·)/N1+(·,w2) the distinct continuation/
+   * history counts and T the number of distinct bigram types. The
+   * continuation probability is KN's whole point: a word that appears
+   * often but only ever after ONE history ("francisco") gets a LOW
+   * unseen-context probability where add-one smoothing would flatter
+   * it. In-corpus scoring keeps every term strictly positive (c ≥ 1 >
+   * D), so no floor cases arise; Σ_w2 P(w2|w1) = 1 exactly — the spec
+   * pins that.
+   *
+   * Plan shape: identical to [[bigramLmScores]] — one bigram-count
+   * groupBy (persisted; c1 and N1+(w1,·) fall out of ONE re-aggregation
+   * of it, N1+(·,w2) of another), T broadcast, one join of doc bigrams
+   * back on the pair key, per-doc avg. Nothing touches the driver.
+   *
+   * @return `(idCol, n_bigrams, avg_logp)` for docs with ≥2 tokens
+   */
+  def knBigramLmScores(df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, discount: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val toks = df.select(col(idCol), tokens(lower(text)).as("__t"))
+    val m = size(col("__t"))
+    val bg = toks.filter(m >= 2)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), m - 1)).as("__i"))
+      .select(col(idCol),
+        element_at(col("__t"), col("__i")).as("w1"),
+        element_at(col("__t"), col("__i") + 1).as("w2"))
+    val c2 = PersistTracker.trackPersist(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c2")))
+    val hd = c2.groupBy("w1")
+      .agg(sum(col("__c2")).as("__c1"), count(lit(1)).as("__nf"))
+    val bwd = c2.groupBy("w2").agg(count(lit(1)).as("__nb"))
+    val tt = c2.agg(count(lit(1)).as("__tt"))
+    val d = lit(discount)
+    val scored = bg
+      .join(c2, Seq("w1", "w2"))
+      .join(hd, Seq("w1"))
+      .join(bwd, Seq("w2"))
+      .join(broadcast(tt))
+      .withColumn("__lp",
+        log((col("__c2") - d) / col("__c1")
+          + d * col("__nf") / col("__c1")
+            * (col("__nb") / col("__tt"))))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__lp")), 4).as("avg_logp"))
+  }
+
+  /**
    * Inverse-Cloze-Task pair generation (Lee et al. 2019, ICT — public
    * knowledge): for every document long enough, split the token stream
    * into a pseudo-QUERY (the middle third) and its CONTEXT (the

@@ -4979,6 +4979,41 @@ WHERE rk <= 40"""
       |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin
 
+  /** Interpolated Kneser-Ney bigram perplexity scores
+    * ([[graft.operators.TextAnalysis.knBigramLmScores]]) — the
+    * smoothing the KenLM-based CCNet quality filter actually runs,
+    * next to q59's add-one baseline: discounted bigram mass
+    * interpolates with the CONTINUATION probability (distinct-history
+    * counts), so often-seen-but-single-context words stop being
+    * flattered. Same plan shape as q59 (one pair-keyed shuffle); the
+    * oracle replays counts, both N1+ tables, T and every log term. */
+  val q129KnLm: Q = (s, dir) =>
+    graft.operators.TextAnalysis.knBigramLmScores(
+      t(s, dir, "documents").repartition(col("doc_id")), "doc_id",
+      col("text"))
+
+  val q129Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+      |  FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+      |hd AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1, COUNT(*) AS nf
+      |  FROM c2 GROUP BY w1),
+      |bwd AS (SELECT w2, COUNT(*) AS nb FROM c2 GROUP BY w2),
+      |tt AS (SELECT COUNT(*) AS tt FROM c2),
+      |scored AS (
+      |  SELECT bg.doc_id,
+      |    ln((c2.c2 - 0.75) / hd.c1
+      |      + 0.75 * hd.nf / hd.c1 * (bwd.nb / tt.tt)) AS lp
+      |  FROM bg JOIN c2 USING (w1, w2) JOIN hd USING (w1)
+      |  JOIN bwd USING (w2) CROSS JOIN tt)
+      |SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 4) AS avg_logp
+      |FROM scored GROUP BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5114,7 +5149,8 @@ WHERE rk <= 40"""
     "q125_logit_probe" -> (q125LogitProbe, Some(q125Sql)),
     "q126_bitext_mine" -> (q126BitextMine, Some(q126Sql)),
     "q127_domain_weights" -> (q127DomainWeights, Some(q127Sql)),
-    "q128_image_dedup" -> (q128ImageDedup, Some(q128Sql)))
+    "q128_image_dedup" -> (q128ImageDedup, Some(q128Sql)),
+    "q129_kn_lm" -> (q129KnLm, Some(q129Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -189,6 +189,30 @@ class TextExpressionsSpec extends SparkSpec {
     assert(!out.contains(3L) && out.size == 2)
   }
 
+  test("knBigramLmScores: hand-computed KN terms; P(·|w1) sums to 1") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"),
+      (4L, "solo")) // <2 tokens → excluded
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramLmScores(docs, "doc_id", col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    graft.operators.Dedup.releasePersisted()
+    // c2: (a,b)=2 (a,c)=1; c1(a)=3, N1+(a,·)=2; N1+(·,b)=N1+(·,c)=1; T=2
+    // P(b|a) = (2−.75)/3 + .75·2/3·(1/2) = 2/3
+    // P(c|a) = (1−.75)/3 + .75·2/3·(1/2) = 1/3  → sums to 1 (KN invariant)
+    val pB = (2 - 0.75) / 3 + 0.75 * 2 / 3 * 0.5
+    val pC = (1 - 0.75) / 3 + 0.75 * 2 / 3 * 0.5
+    assert(math.abs(pB + pC - 1.0) < 1e-12)
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    assert(out(1L) == ((1L, r4(math.log(pB)))))
+    assert(out(2L) == ((1L, r4(math.log(pB)))))
+    assert(out(3L) == ((1L, r4(math.log(pC)))))
+    assert(!out.contains(4L) && out.size == 3)
+    // the common bigram scores higher than the rare one
+    assert(out(1L)._2 > out(3L)._2)
+  }
+
   test("frequentNgrams: exact counts, prefilter never drops a frequent gram") {
     // 40 docs sharing "x y" (count 40), plus per-doc unique bigrams
     val docs = (1 to 40).map(i => (i.toLong, s"x y u$i v$i"))
