@@ -568,4 +568,84 @@ object VectorExpressions {
   def dhashBits(px: Column, w: Int, h: Int): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.of(
       DHashBits(org.apache.spark.sql.graftbridge.ColumnBridge.expr(px), w, h))
+
+  /**
+   * Affine projection `M·(v − shift)` in one fused loop — the whitening
+   * / centering / rotation transform of an embedding column
+   * ([[graft.operators.Similarity.whitenEmbeddings]]). The matrix and
+   * shift ride in the references array (constant per query, no literal
+   * tree — the [[SignedProject]] device); output length = M's row
+   * count. Inputs may be float or double arrays; a vector shorter than
+   * `shift` contributes only its prefix.
+   */
+  case class AffineProject(child: Expression, m: Array[Array[Double]],
+      shift: Array[Double]) extends UnaryExpression {
+    require(m.nonEmpty && m.forall(_.length == shift.length),
+      "matrix columns must match shift length")
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_affine_project"
+
+    private val outDim = m.length
+    private val inDim = shift.length
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = math.min(inDim, v.numElements())
+      val centered = new Array[Double](inDim)
+      var i = 0
+      while (i < n) {
+        centered(i) = elemAt(child.dataType, v, i) - shift(i)
+        i += 1
+      }
+      while (i < inDim) { centered(i) = -shift(i); i += 1 }
+      val out = new Array[Double](outDim)
+      var r = 0
+      while (r < outDim) {
+        val row = m(r)
+        var s = 0.0
+        var j = 0
+        while (j < inDim) { s += row(j) * centered(j); j += 1 }
+        out(r) = s
+        r += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mRef = ctx.addReferenceObj("affineM", m, "double[][]")
+      val sRef = ctx.addReferenceObj("affineS", shift, "double[]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val c = ctx.freshName("centered"); val out = ctx.freshName("out")
+        val r = ctx.freshName("r"); val s = ctx.freshName("s")
+        val j = ctx.freshName("j"); val row = ctx.freshName("row")
+        s"""
+           |int $n = java.lang.Math.min($sRef.length, $v.numElements());
+           |double[] $c = new double[$sRef.length];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $c[$i] = (${elemAccessor(child.dataType, v, i)}) - $sRef[$i];
+           |}
+           |for (int $i = $n; $i < $sRef.length; $i++) { $c[$i] = -$sRef[$i]; }
+           |double[] $out = new double[$mRef.length];
+           |for (int $r = 0; $r < $mRef.length; $r++) {
+           |  double[] $row = $mRef[$r];
+           |  double $s = 0.0;
+           |  for (int $j = 0; $j < $row.length; $j++) { $s += $row[$j] * $c[$j]; }
+           |  $out[$r] = $s;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def affineProject(vec: Column, m: Array[Array[Double]],
+      shift: Array[Double]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      AffineProject(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec), m, shift))
 }

@@ -819,6 +819,105 @@ object Similarity {
   }
 
   /**
+   * Per-pair sample covariance of an embedding column, derived from ONE
+   * [[graft.functions.MomentSums]] scan: `cov(i,j) = (Σx_i·x_j −
+   * Σx_i·Σx_j/n)/(n−1)` over the upper triangle (i ≤ j). The corpus is
+   * never pair-exploded — the aggregate's buffer is the only shuffled
+   * state, and the `d(d+1)/2` output rows unfold from the single sums
+   * row joined to a broadcast (k → i, j) index map.
+   *
+   * Round before cross-engine comparison (float-sum order).
+   *
+   * @return (i, j, cov) for i ≤ j — `dim·(dim+1)/2` rows
+   */
+  def embeddingCovariance(df: DataFrame, vecCol: String,
+      dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sums = df.agg(
+      graft.functions.MomentSums.momentSums(dim)(
+        col(vecCol).cast("array<double>")).as("__s"))
+    val triMap = (for {
+      i <- 0 until dim; j <- i until dim
+    } yield (i * dim - i * (i - 1) / 2 + (j - i), i, j))
+      .toDF("__k", "i", "j")
+    sums.select(col("__s"),
+        posexplode(slice(col("__s"), dim + 2, dim * (dim + 1) / 2))
+          .as(Seq("__k", "__sxy")))
+      .join(broadcast(triMap), Seq("__k"))
+      .select(col("i"), col("j"),
+        ((col("__sxy")
+          - element_at(col("__s"), col("i") + 2)
+            * element_at(col("__s"), col("j") + 2)
+            / element_at(col("__s"), lit(1)))
+          / (element_at(col("__s"), lit(1)) - lit(1.0))).as("cov"))
+  }
+
+  /**
+   * Whitening transform for retrieval embeddings (Su et al. 2021,
+   * "Whitening Sentence Representations ..." — public knowledge):
+   * centers the corpus and maps through `L⁻¹` where `cov + εI = L·Lᵀ`
+   * (Cholesky), so the transformed corpus has identity covariance —
+   * the cheap fix for the anisotropy that depresses cosine contrast in
+   * encoder embeddings.
+   *
+   * Shape: one [[graft.functions.MomentSums]] scan collects the
+   * `1 + d + d(d+1)/2` sums to the driver (bounded by construction);
+   * Cholesky + forward substitution on the `d×d` matrix is driver-side
+   * deterministic; the corpus then flows through ONE narrow codegen
+   * pass ([[graft.functions.VectorExpressions.AffineProject]] — matrix
+   * in the references array). Spec-gated: the whitened corpus's own
+   * [[embeddingCovariance]] must be ≈ I (the battery oracles the
+   * covariance path; eigen/Cholesky algebra is not SQL-replayable).
+   *
+   * @return input columns with `vecCol` replaced by the whitened
+   *         double array
+   */
+  def whitenEmbeddings(df: DataFrame, vecCol: String, dim: Int,
+      eps: Double = 1e-8): DataFrame = {
+    val sums = df.agg(
+        graft.functions.MomentSums.momentSums(dim)(
+          col(vecCol).cast("array<double>")).as("__s"))
+      .collect().head.getSeq[Double](0)
+    val n = sums(0)
+    require(n > 1, s"need at least 2 vectors to whiten, got $n")
+    val mu = Array.tabulate(dim)(i => sums(1 + i) / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var k = 1 + dim
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = (sums(k) - sums(1 + i) * sums(1 + j) / n) / (n - 1)
+      cov(i)(j) = c; cov(j)(i) = c
+      k += 1
+    }
+    // Cholesky of cov + εI (standard textbook algorithm, deterministic)
+    val l = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim) {
+      for (j <- 0 to i) {
+        var s = cov(i)(j) + (if (i == j) eps else 0.0)
+        var t = 0
+        while (t < j) { s -= l(i)(t) * l(j)(t); t += 1 }
+        if (i == j) {
+          require(s > 0, s"covariance not positive definite at $i")
+          l(i)(i) = math.sqrt(s)
+        } else l(i)(j) = s / l(j)(j)
+      }
+    }
+    // W = L⁻¹ by forward substitution, row by row
+    val w = Array.ofDim[Double](dim, dim)
+    for (r <- 0 until dim) {
+      w(r)(r) = 1.0 / l(r)(r)
+      for (c <- 0 until r) {
+        var s = 0.0
+        var t = c
+        while (t < r) { s -= l(r)(t) * w(t)(c); t += 1 }
+        w(r)(c) = s / l(r)(r)
+      }
+    }
+    df.withColumn(vecCol,
+      graft.functions.VectorExpressions.affineProject(col(vecCol), w, mu))
+  }
+
+  /**
    * Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
    * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
    * the LASER/CCMatrix criterion, public knowledge): a candidate pair

@@ -5014,6 +5014,34 @@ WHERE rk <= 40"""
       |SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 4) AS avg_logp
       |FROM scored GROUP BY doc_id""".stripMargin
 
+  /** Embedding covariance matrix
+    * ([[graft.operators.Similarity.embeddingCovariance]]): the full
+    * upper-triangle sample covariance from ONE
+    * [[graft.functions.MomentSums]] scan — the statistic behind
+    * whitening ([[graft.operators.Similarity.whitenEmbeddings]],
+    * spec-gated to produce identity covariance), anisotropy audits and
+    * PCA preprocessing. The corpus is never pair-exploded: the typed
+    * aggregate's `1+d+d(d+1)/2`-double buffer is the only shuffled
+    * state. The oracle replays Σx, Σxy and the cov formula per pair. */
+  val q130EmbedCov: Q = (s, dir) =>
+    graft.operators.Similarity.embeddingCovariance(
+        t(s, dir, "embeddings"), "embedding", 64)
+      .select(col("i"), col("j"),
+        (round(col("cov"), 4) + lit(0.0)).as("cov"))
+
+  val q130Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT COUNT(*)::DOUBLE AS n FROM e),
+      |x AS (SELECT vec_id, CAST(i AS INT) AS i, v[CAST(i AS INT) + 1] AS x
+      |  FROM e, unnest(range(0, 64)) AS u(i)),
+      |sx AS (SELECT i, SUM(x) AS sx FROM x GROUP BY i),
+      |p AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy
+      |  FROM x a JOIN x b ON b.vec_id = a.vec_id AND b.i >= a.i
+      |  GROUP BY a.i, b.i)
+      |SELECT p.i, p.j, ROUND((p.sxy - sa.sx * sb.sx / (SELECT n FROM n))
+      |    / ((SELECT n FROM n) - 1.0), 4) + 0.0 AS cov
+      |FROM p JOIN sx sa ON sa.i = p.i JOIN sx sb ON sb.i = p.j""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5150,7 +5178,8 @@ WHERE rk <= 40"""
     "q126_bitext_mine" -> (q126BitextMine, Some(q126Sql)),
     "q127_domain_weights" -> (q127DomainWeights, Some(q127Sql)),
     "q128_image_dedup" -> (q128ImageDedup, Some(q128Sql)),
-    "q129_kn_lm" -> (q129KnLm, Some(q129Sql)))
+    "q129_kn_lm" -> (q129KnLm, Some(q129Sql)),
+    "q130_embed_cov" -> (q130EmbedCov, Some(q130Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -577,6 +577,54 @@ class SimilaritySpec extends SparkSpec {
     assert(got((2L, 2L)) == 0.0 && got((7L, 7L)) == 0.0)
   }
 
+  test("embeddingCovariance matches a driver-computed reference") {
+    val rnd = new scala.util.Random(3)
+    val dim = 6
+    val vecs = (0L until 40L).map(id =>
+      id -> Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.embeddingCovariance(df, "embedding", dim)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.size == dim * (dim + 1) / 2)
+    val n = vecs.size.toDouble
+    val xs = vecs.map(_._2.map(_.toDouble))
+    for (i <- 0 until dim; j <- i until dim) {
+      val sxy = xs.map(v => v(i) * v(j)).sum
+      val sx = xs.map(_(i)).sum
+      val sy = xs.map(_(j)).sum
+      val want = (sxy - sx * sy / n) / (n - 1)
+      assert(math.abs(got((i, j)) - want) < 1e-9,
+        s"cov($i,$j): got ${got((i, j))} want $want")
+    }
+  }
+
+  test("whitenEmbeddings: whitened corpus has identity covariance") {
+    val rnd = new scala.util.Random(9)
+    val dim = 6
+    // anisotropic by construction: dim 0 scaled 5x, dims correlated
+    val vecs = (0L until 60L).map { id =>
+      val base = Seq.fill(dim)(rnd.nextFloat() * 2 - 1)
+      id -> base.zipWithIndex.map { case (v, i) =>
+        if (i == 0) v * 5f else (v + base(0) * 0.5f)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val before = Similarity.embeddingCovariance(df, "embedding", dim)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(before((0, 0)) - 1.0) > 0.5, "fixture not anisotropic")
+    val white = Similarity.whitenEmbeddings(df, "embedding", dim)
+    val after = Similarity.embeddingCovariance(white, "embedding", dim)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    for (i <- 0 until dim; j <- i until dim) {
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(after((i, j)) - want) < 1e-3,
+        s"whitened cov($i,$j) = ${after((i, j))}")
+    }
+  }
+
   test("mineBitext: planted translations mined, dense-hub pairs rejected") {
     // The margin is a RATIO against both sides' neighborhood averages,
     // so it discriminates by CONTRAST, not absolute cosine: a genuine
