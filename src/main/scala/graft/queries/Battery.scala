@@ -5042,6 +5042,121 @@ WHERE rk <= 40"""
       |    / ((SELECT n FROM n) - 1.0), 4) + 0.0 AS cov
       |FROM p JOIN sx sa ON sa.i = p.i JOIN sx sb ON sb.i = p.j""".stripMargin
 
+  /** Generated oracle chain for the unigram-LM tokenizer (q131): one
+    * Viterbi DP unroll = `maxLen` position CTEs (each the argmax over
+    * ≤ `maxPieceLen` split branches, ties (score DESC, split ASC)),
+    * plus a `maxLen`-step backtrack walk — run twice (initial scores,
+    * then the hard-EM re-scores). Integer path scores make every
+    * comparison exact cross-engine ([[graft.operators.UnigramLm]]'s
+    * exactness note); `2²⁰` is the quantization. */
+  private def unigramCtes(maxLen: Int, maxPieceLen: Int,
+      vocabSize: Int): String = {
+    // one DP + backtrack pass against vocabulary table `voc`: emits
+    // b{tag}1..b{tag}maxLen, bp{tag}, wk{tag}0..wk{tag}maxLen,
+    // pieces{tag}, c{tag} (freq-weighted piece counts)
+    def pass(tag: String, voc: String): String = {
+      val dp = (1 to maxLen).map { i =>
+        val branches = (math.max(0, i - maxPieceLen) until i).map { j =>
+          s"""SELECT w.word, b.best + v.s AS best, $j AS bj
+             |      FROM w JOIN b$tag$j b ON b.word = w.word
+             |      JOIN $voc v ON v.p = substr(w.word, $j + 1, ${i - j})
+             |      WHERE len(w.word) >= $i""".stripMargin
+        }.mkString("\n      UNION ALL\n      ")
+        s"""b$tag$i AS MATERIALIZED (
+           |  SELECT word, best, bj FROM (
+           |    SELECT word, best, bj, ROW_NUMBER() OVER (PARTITION BY word
+           |      ORDER BY best DESC, bj ASC) AS rn FROM (
+           |      $branches))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val bp = s"bp$tag AS MATERIALIZED (" + (1 to maxLen)
+        .map(i => s"SELECT word, $i AS i, bj FROM b$tag$i")
+        .mkString(" UNION ALL ") + ")"
+      val walk = (1 to maxLen).map { k =>
+        s"""wk$tag$k AS MATERIALIZED (
+           |  SELECT w.word, bp.bj AS pos,
+           |    substr(w.word, bp.bj + 1, w.pos - bp.bj) AS piece
+           |  FROM wk$tag${k - 1} w JOIN bp$tag bp
+           |    ON bp.word = w.word AND bp.i = w.pos
+           |  WHERE w.pos > 0)""".stripMargin
+      }.mkString(",\n")
+      val pieces = s"pieces$tag AS MATERIALIZED (" + (1 to maxLen)
+        .map(i => s"SELECT word, piece FROM wk$tag$i")
+        .mkString(" UNION ALL ") + ")"
+      s"""b${tag}0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS best, 0 AS bj FROM w),
+         |$dp,
+         |$bp,
+         |wk${tag}0 AS MATERIALIZED (SELECT word, len(word) AS pos FROM w),
+         |$walk,
+         |$pieces,
+         |c$tag AS MATERIALIZED (
+         |  SELECT p.piece AS p, CAST(SUM(w.f) AS BIGINT) AS cnt
+         |  FROM pieces$tag p JOIN w ON w.word = p.word GROUP BY p.piece)"""
+        .stripMargin
+    }
+    s"""w AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(text),
+       |      '\\s+'), x -> len(x) > 0)) AS word FROM documents)
+       |  GROUP BY word),
+       |cand AS MATERIALIZED (
+       |  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS p,
+       |    CAST(SUM(f) AS BIGINT) AS cnt
+       |  FROM w, unnest(range(1, len(word) + 1)) AS u(i),
+       |    unnest(range(1, least($maxPieceLen,
+       |      len(word) - CAST(i AS INT) + 1) + 1)) AS v(l)
+       |  GROUP BY 1),
+       |t0 AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cand),
+       |voc0 AS MATERIALIZED (
+       |  SELECT p, CAST(floor(ln(cnt / (SELECT t FROM t0)) * 1048576
+       |    + 0.5) AS BIGINT) AS s
+       |  FROM (
+       |    SELECT p, cnt FROM cand WHERE len(p) = 1
+       |    UNION ALL
+       |    SELECT p, cnt FROM (
+       |      SELECT p, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, p)
+       |        AS rn FROM cand WHERE len(p) > 1)
+       |    WHERE rn <= $vocabSize)),
+       |${pass("r1_", "voc0")},
+       |t1 AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cr1_),
+       |nv AS MATERIALIZED (SELECT COUNT(*) AS nv FROM voc0),
+       |voc1 AS MATERIALIZED (
+       |  SELECT voc0.p, CAST(floor(ln(
+       |    (COALESCE(c.cnt, 0) + 1) / ((SELECT t FROM t1)
+       |      + (SELECT nv FROM nv))) * 1048576 + 0.5) AS BIGINT) AS s
+       |  FROM voc0 LEFT JOIN cr1_ c ON c.p = voc0.p),
+       |${pass("r2_", "voc1")}""".stripMargin
+  }
+
+  /** Unigram-LM tokenizer trained by hard-EM
+    * ([[graft.operators.UnigramLm]]) — the SentencePiece model family
+    * next to BPE (q93/q117): substring candidates scored by corpus
+    * log-frequency, word types Viterbi-segmented, scores re-estimated
+    * from the segmentation (Laplace over the fixed vocabulary), a
+    * second Viterbi, and the final per-piece usage stats. INTEGER
+    * -quantized log-probs make every DP comparison exact, so the
+    * oracle replays both full Viterbi passes as unrolled position CTEs
+    * with the (score DESC, split ASC) tie-break — float Viterbi would
+    * tie same-multiset paths only up to summation order and could not
+    * be hash-gated. The oracle unrolls to the corpus max word length
+    * (8, all SFs). */
+  val q131UnigramLm: Q = (s, dir) => {
+    // persisted: training runs ~4 actions over the type frame (vocab
+    // collect, total, EM counts, final stats) — without the cache each
+    // re-tokenizes the corpus
+    val words = graft.operators.PersistTracker.trackPersist(
+      graft.operators.Bpe.wordTypes(
+        t(s, dir, "documents").repartition(col("doc_id")), col("text")))
+    val model = graft.operators.UnigramLm.trainUnigram(
+      words, maxPieceLen = 4, vocabSize = 48, rounds = 1)
+    graft.operators.UnigramLm.pieceStats(words, model)
+  }
+
+  val q131Sql: String =
+    s"""WITH ${unigramCtes(maxLen = 8, maxPieceLen = 4, vocabSize = 48)}
+       |SELECT c.p AS piece, c.cnt AS cnt, v.s AS score
+       |FROM cr2_ c JOIN voc1 v ON v.p = c.p""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5179,7 +5294,8 @@ WHERE rk <= 40"""
     "q127_domain_weights" -> (q127DomainWeights, Some(q127Sql)),
     "q128_image_dedup" -> (q128ImageDedup, Some(q128Sql)),
     "q129_kn_lm" -> (q129KnLm, Some(q129Sql)),
-    "q130_embed_cov" -> (q130EmbedCov, Some(q130Sql)))
+    "q130_embed_cov" -> (q130EmbedCov, Some(q130Sql)),
+    "q131_unigram_lm" -> (q131UnigramLm, Some(q131Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
