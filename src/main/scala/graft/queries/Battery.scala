@@ -5157,6 +5157,54 @@ WHERE rk <= 40"""
        |SELECT c.p AS piece, c.cnt AS cnt, v.s AS score
        |FROM cr2_ c JOIN voc1 v ON v.p = c.p""".stripMargin
 
+  /** Corpus-wide apply of the trained unigram model (q118's fertility
+    * audit for the SECOND tokenizer family): per-language
+    * pieces-per-word and chars-per-piece of q131's hard-EM model —
+    * segmentation happens once per word TYPE, documents join the
+    * per-type piece counts (the [[graft.operators.Bpe]] encode-once
+    * device; the type table joins plain, not broadcast — web-scale
+    * vocabularies exceed broadcast budgets and AQE picks the strategy).
+    * Oracle: q131's full chain + the doc-word join + every ratio. */
+  val q132UnigramEncode: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").repartition(col("doc_id"))
+    val words = graft.operators.PersistTracker.trackPersist(
+      graft.operators.Bpe.wordTypes(docs, col("text")))
+    val model = graft.operators.UnigramLm.trainUnigram(
+      words, maxPieceLen = 4, vocabSize = 48, rounds = 1)
+    val np = graft.operators.UnigramLm.segmentWords(words, model)
+      .select(col("word"), size(col("pieces")).cast("long").as("__np"),
+        length(col("word")).cast("long").as("__chars"))
+    docs.select(col("doc_id"), col("lang"),
+        explode(graft.operators.TextAnalysis.tokens(lower(col("text"))))
+          .as("word"))
+      .join(np, Seq("word"))
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("__np")).as("n_pieces"),
+        round(sum(col("__np")).cast("double") / count(lit(1)), 4)
+          .as("pieces_per_word"),
+        round(sum(col("__chars")).cast("double") / sum(col("__np")), 4)
+          .as("chars_per_piece"))
+  }
+
+  val q132Sql: String =
+    s"""WITH ${unigramCtes(maxLen = 8, maxPieceLen = 4, vocabSize = 48)},
+       |wp AS MATERIALIZED (
+       |  SELECT p.word, COUNT(*) AS np, len(p.word) AS chars FROM (
+       |    SELECT word, piece FROM piecesr2_) p
+       |  GROUP BY p.word),
+       |dw AS (
+       |  SELECT doc_id, lang, unnest(list_filter(
+       |    string_split_regex(lower(text), '${"\\"}s+'),
+       |    x -> len(x) > 0)) AS word FROM documents)
+       |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+       |  COUNT(*) AS n_words,
+       |  CAST(SUM(np) AS BIGINT) AS n_pieces,
+       |  ROUND(CAST(SUM(np) AS DOUBLE) / COUNT(*), 4) AS pieces_per_word,
+       |  ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(np), 4) AS chars_per_piece
+       |FROM dw JOIN wp USING (word) GROUP BY lang""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5295,7 +5343,8 @@ WHERE rk <= 40"""
     "q128_image_dedup" -> (q128ImageDedup, Some(q128Sql)),
     "q129_kn_lm" -> (q129KnLm, Some(q129Sql)),
     "q130_embed_cov" -> (q130EmbedCov, Some(q130Sql)),
-    "q131_unigram_lm" -> (q131UnigramLm, Some(q131Sql)))
+    "q131_unigram_lm" -> (q131UnigramLm, Some(q131Sql)),
+    "q132_unigram_encode" -> (q132UnigramEncode, Some(q132Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
