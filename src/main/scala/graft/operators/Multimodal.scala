@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
  * IMAGE decode and resize are REAL: the JDK ships PNG/JPEG/BMP/GIF/WBMP
  * codecs in `javax.imageio` (no external libraries), so image payloads
  * are actually decoded — real dimensions, per-channel means, a
- * luminance histogram — and actually resized (scaled redraw, PNG
- * re-encode). AUDIO/VIDEO decode remains a clearly marked STUB (no
- * WAV-beyond-javax.sound / mp4 codecs in this environment), as does the
- * fallback for undecodable image bytes: a deterministic byte histogram,
- * flagged `decoded = false` so downstream can route or drop.
+ * luminance histogram, full pixel grids ([[decodeGrayPixels]]) — and
+ * actually resized (scaled redraw, PNG re-encode). AUDIO decode is
+ * REAL for PCM containers: `javax.sound.sampled` parses WAV/AIFF/AU in
+ * the JDK with no audio device ([[decodeWavSamples]]). What remains a
+ * clearly marked STUB: compressed audio (mp3/ogg/aac) and VIDEO demux
+ * (no such codecs in the JVM), and the fallback for undecodable bytes
+ * — a deterministic byte histogram, flagged `decoded = false` so
+ * downstream can route or drop.
  *
  * Real throughout: the schema contract, the batched per-partition
  * execution shape (`mapPartitions` over an iterator — the Scala twin of
@@ -327,6 +330,99 @@ object Multimodal {
         }
       }
     spark.createDataFrame(out, grayPixelSchema)
+  }
+
+  /** Output schema of [[decodeWavSamples]]. */
+  val wavSampleSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("samples", ArrayType(IntegerType, containsNull = false),
+      nullable = true)))
+
+  /**
+   * WAV container encode of 8-bit unsigned mono PCM (RIFF header
+   * written directly — 44 deterministic bytes + the sample bytes;
+   * public format). PCM WAV is lossless, so [[decodeWavSamples]]
+   * recovers the samples EXACTLY — the audio twin of
+   * [[encodeGrayPngs]]'s oracle story (q133): synthesize samples from
+   * a portable formula, round-trip through the REAL JDK decoder, and
+   * any codec deviation fails the hash gate.
+   */
+  def encodePcmWavs(df: DataFrame, idCol: String, samplesCol: String,
+      sampleRate: Int = 8000): DataFrame = {
+    require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
+    val spark = df.sparkSession
+    val out = df.select(col(idCol).cast("long").as("media_id"),
+        col(samplesCol).as("__s")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val s = r.getSeq[Int](1)
+          val data = s.map(v => (v & 0xFF).toByte).toArray
+          val buf = java.nio.ByteBuffer
+            .allocate(44 + data.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII"))
+          buf.putInt(36 + data.length)
+          buf.put("WAVE".getBytes("US-ASCII"))
+          buf.put("fmt ".getBytes("US-ASCII"))
+          buf.putInt(16)
+          buf.putShort(1)               // PCM
+          buf.putShort(1)               // mono
+          buf.putInt(sampleRate)
+          buf.putInt(sampleRate)        // byte rate (8-bit mono)
+          buf.putShort(1)               // block align
+          buf.putShort(8)               // bits per sample
+          buf.put("data".getBytes("US-ASCII"))
+          buf.putInt(data.length)
+          buf.put(data)
+          Row(r.getLong(0), buf.array())
+        }
+      }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+  }
+
+  /**
+   * REAL audio decode via the JDK's `javax.sound.sampled` WAV/AIFF/AU
+   * parser (part of the JVM, zero external deps, no audio device
+   * needed for stream reads) — audio is no longer wholly stubbed: PCM
+   * WAV payloads actually decode to their sample values (8-bit
+   * unsigned as 0–255 ints). Undecodable bytes and non-8-bit formats
+   * route to `decoded = false` with a null array, mirroring
+   * [[decodeGrayPixels]]. Compressed audio (mp3/ogg/aac) remains the
+   * honest documented stub — those codecs are NOT in the JDK.
+   * Iterator-to-iterator; payloads never shuffle.
+   */
+  def decodeWavSamples(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val out = df.select(col(idCol).cast("long").as("media_id"),
+        col(payloadCol).as("__payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val parsed = try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              val fmt = in.getFormat
+              if (fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1) {
+                val bytes = in.readAllBytes()
+                Some((fmt.getSampleRate.toInt,
+                  bytes.map(b => (b & 0xFF): Int)))
+              } else None
+            } finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+          parsed match {
+            case Some((rate, samples)) =>
+              Row(r.getLong(0), true, rate, samples.toSeq)
+            case None => Row(r.getLong(0), false, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(out, wavSampleSchema)
   }
 
   /** Frame-sample stub for videos: every `everyMs` ms up to the recorded

@@ -5205,6 +5205,71 @@ WHERE rk <= 40"""
        |  ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(np), 4) AS chars_per_piece
        |FROM dw JOIN wp USING (word) GROUP BY lang""".stripMargin
 
+  /** Audio feature extraction through a REAL codec round-trip
+    * ([[graft.operators.Multimodal.encodePcmWavs]] →
+    * [[graft.operators.Multimodal.decodeWavSamples]]): 8-bit mono PCM
+    * synthesized from the portable md5 formula, wrapped in a RIFF/WAV
+    * container, decoded with the actual JDK `javax.sound.sampled`
+    * parser, then the classic audio-quality signals (peak, RMS
+    * energy, zero-crossing count) computed from the DECODED samples —
+    * the q128 device applied to audio: PCM is lossless, so the oracle
+    * replays the features from the generating formula and any decoder
+    * deviation fails the hash gate. Payloads never shuffle. */
+  val q133AudioFeatures: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(col("doc_id"))
+    val gen = docs.select(col("doc_id"), expr(
+      "transform(sequence(0, 63), i -> cast(conv(substring(md5(" +
+        "concat(cast(doc_id as string), ':a:', cast(i as string))), " +
+        "1, 2), 16, 10) as int))").as("__s"))
+    val wavs = graft.operators.Multimodal.encodePcmWavs(
+      gen, "doc_id", "__s", sampleRate = 8000)
+    val dec = graft.operators.Multimodal.decodeWavSamples(
+      wavs, "media_id", "payload")
+    val base = dec.filter(col("decoded"))
+      .select(col("media_id").as("doc_id"), col("samples"))
+    val stats = base
+      .select(col("doc_id"), explode(col("samples")).as("__v"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_samples"),
+        max(abs(col("__v") - 128)).as("peak"),
+        round(sqrt(avg(((col("__v") - 128) * (col("__v") - 128))
+          .cast("double"))), 4).as("rms"))
+    val zc = base
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("samples")) - 1)).as("__i"),
+        col("samples"))
+      .select(col("doc_id"),
+        (element_at(col("samples"), col("__i")) >= 128).as("__a"),
+        (element_at(col("samples"), col("__i") + 1) >= 128).as("__b"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("__a") =!= col("__b"), 1L).otherwise(0L))
+        .as("zc"))
+    stats.join(zc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_samples"), col("peak"), col("zc"),
+        col("rms"))
+  }
+
+  val q133Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, list_transform(range(0, 64), i ->
+      |    ('0x' || substr(md5(doc_id || ':a:' || i), 1, 2))::INT) AS s
+      |  FROM documents),
+      |v AS (SELECT doc_id, unnest(s) AS v FROM s),
+      |a AS (
+      |  SELECT doc_id, COUNT(*) AS n_samples,
+      |    MAX(abs(v - 128)) AS peak,
+      |    ROUND(sqrt(AVG(CAST((v - 128) * (v - 128) AS DOUBLE))), 4)
+      |      AS rms
+      |  FROM v GROUP BY doc_id),
+      |p AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN (s[CAST(i AS INT)] >= 128)
+      |      <> (s[CAST(i AS INT) + 1] >= 128) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS zc
+      |  FROM s, unnest(range(1, 64)) AS u(i) GROUP BY doc_id)
+      |SELECT a.doc_id, a.n_samples, a.peak, p.zc, a.rms
+      |FROM a JOIN p ON p.doc_id = a.doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5344,7 +5409,8 @@ WHERE rk <= 40"""
     "q129_kn_lm" -> (q129KnLm, Some(q129Sql)),
     "q130_embed_cov" -> (q130EmbedCov, Some(q130Sql)),
     "q131_unigram_lm" -> (q131UnigramLm, Some(q131Sql)),
-    "q132_unigram_encode" -> (q132UnigramEncode, Some(q132Sql)))
+    "q132_unigram_encode" -> (q132UnigramEncode, Some(q132Sql)),
+    "q133_audio_features" -> (q133AudioFeatures, Some(q133Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -147,6 +147,31 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(0) == 9L && !r.getBoolean(1) && r.isNullAt(4))
   }
 
+  test("PCM WAV encode → javax.sound decode round-trips samples exactly") {
+    val waves = Seq(
+      (0L, (0 until 64).map(i => (128 + (i % 16) * 8 - 64) & 0xFF)),
+      (1L, Seq.fill(32)(128)), (2L, Seq(0, 255, 0, 255)))
+      .toDF("media_id", "s")
+    val wavs = Multimodal.encodePcmWavs(waves, "media_id", "s", 8000)
+    val dec = Multimodal.decodeWavSamples(wavs, "media_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getInt(2), r.getSeq[Int](3))).toMap
+    val want = waves.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(dec.keySet == want.keySet)
+    dec.foreach { case (id, (decoded, rate, samples)) =>
+      assert(decoded && rate == 8000)
+      assert(samples == want(id), s"wave $id did not round-trip")
+    }
+  }
+
+  test("decodeWavSamples: corrupt and unsupported bytes route out") {
+    val bad = Seq((7L, "definitely not RIFF".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val r = Multimodal.decodeWavSamples(bad, "media_id", "payload")
+      .collect().head
+    assert(r.getLong(0) == 7L && !r.getBoolean(1) && r.isNullAt(3))
+  }
+
   test("dHash chain: one-pixel edit stays within Hamming 2 of original") {
     import graft.functions.VectorExpressions
     val base = (0 until 64).map(i => (i * 37 + 11) % 256)
