@@ -425,6 +425,90 @@ object Multimodal {
     spark.createDataFrame(out, wavSampleSchema)
   }
 
+  /**
+   * Pack per-frame image payloads into a length-prefixed frame
+   * container (`GFV1` magic + frame count + [len, bytes] per frame —
+   * a deterministic MJPEG-style concatenation): the video twin of the
+   * WAV/PNG encode side. Frames must carry `(idCol, frameIdxCol,
+   * payloadCol)`; one container row per id, frames ordered by index.
+   * HONEST SCOPE: this is a homemade container so the DEMUX + per-
+   * frame ImageIO decode path can be real and oracle-gated (q134);
+   * standard containers (mp4/mkv/avi) have no JDK demuxer and remain
+   * the documented stub.
+   *
+   * Frames of one video shuffle once to their id (they must meet in
+   * one row); containers never shuffle again.
+   */
+  def encodeFrameContainer(frames: DataFrame, idCol: String,
+      frameIdxCol: String, payloadCol: String): DataFrame = {
+    val spark = frames.sparkSession
+    val out = frames
+      .select(col(idCol).cast("long").as("media_id"),
+        struct(col(frameIdxCol).cast("int").as("idx"),
+          col(payloadCol).as("p")).as("__f"))
+      .groupBy("media_id")
+      .agg(sort_array(collect_list(col("__f"))).as("__fs"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val fs = r.getSeq[Row](1)
+          val total = 8 + fs.map(f =>
+            4 + f.getAs[Array[Byte]]("p").length).sum
+          val buf = java.nio.ByteBuffer.allocate(total)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("GFV1".getBytes("US-ASCII"))
+          buf.putInt(fs.size)
+          fs.foreach { f =>
+            val b = f.getAs[Array[Byte]]("p")
+            buf.putInt(b.length)
+            buf.put(b)
+          }
+          Row(r.getLong(0), buf.array())
+        }
+      }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+  }
+
+  /** Demux a [[encodeFrameContainer]] payload back into one row per
+    * frame `(media_id, frame_idx, frame)` — malformed containers yield
+    * zero frames rather than an exception (route on absence). Iterator
+    * -to-iterator; generator shape (one input row → n frame rows). */
+  def demuxFrames(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val out = df.select(col(idCol).cast("long").as("media_id"),
+        col(payloadCol).as("__payload")).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val b = r.getAs[Array[Byte]](1)
+          try {
+            val buf = java.nio.ByteBuffer.wrap(b)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val magic = new Array[Byte](4)
+            buf.get(magic)
+            if (new String(magic, "US-ASCII") != "GFV1") Iterator.empty
+            else {
+              val n = buf.getInt
+              require(n >= 0 && n <= (1 << 20))
+              (0 until n).iterator.map { i =>
+                val len = buf.getInt
+                val frame = new Array[Byte](len)
+                buf.get(frame)
+                Row(r.getLong(0), i, frame)
+              }.toArray.iterator // materialize: fail atomically per row
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => Iterator.empty
+          }
+        }
+      }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false))))
+  }
+
   /** Frame-sample stub for videos: every `everyMs` ms up to the recorded
     * duration — emits one row per sampled frame offset (the generator
     * shape a real frame extractor would follow). */

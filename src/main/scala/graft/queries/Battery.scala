@@ -5270,6 +5270,83 @@ WHERE rk <= 40"""
       |SELECT a.doc_id, a.n_samples, a.peak, p.zc, a.rms
       |FROM a JOIN p ON p.doc_id = a.doc_id""".stripMargin
 
+  /** Video frame pipeline with REAL per-frame decode
+    * ([[graft.operators.Multimodal.encodeFrameContainer]] →
+    * [[graft.operators.Multimodal.demuxFrames]] →
+    * [[graft.operators.Multimodal.decodeGrayPixels]]): 3-frame videos
+    * (synthesized frames with progressive pixel edits), packed into
+    * the length-prefixed frame container, demuxed, each frame decoded
+    * with actual ImageIO, dHashed, and the inter-frame Hamming deltas
+    * aggregated — the temporal scene-change signal of a video dedup
+    * pipeline. Container + PNG are both lossless, so the oracle
+    * replays frames → dHash → consecutive-pair Hamming from the
+    * generating formula (the q128/q133 device); container demux and
+    * frame decode are therefore hash-gated. mp4/mkv demux stays the
+    * documented stub — this entry proves the pipeline SHAPE end to
+    * end with a real codec where the JDK has one. */
+  val q134VideoFrames: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(col("doc_id"))
+    val gen = docs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("f"))
+      .select(col("doc_id"), col("f"), expr(
+        "transform(sequence(0, 63), i -> cast((cast(conv(substring(" +
+          "md5(concat(cast(doc_id as string), ':v:', " +
+          "cast(i as string))), 1, 2), 16, 10) as int) + " +
+          "(case when i < 2 * f then 16 else 0 end)) % 256 as int))")
+        .as("__px"))
+    val pngs = graft.operators.Multimodal.encodeGrayPngs(
+      gen.select((col("doc_id") * 4 + col("f")).as("fid"), col("__px")),
+      "fid", "__px", 8, 8)
+    val packed = graft.operators.Multimodal.encodeFrameContainer(
+      pngs.select(expr("media_id div 4").as("doc_id"),
+        expr("media_id % 4").as("f"), col("payload")),
+      "doc_id", "f", "payload")
+    val demuxed = graft.operators.Multimodal.demuxFrames(
+      packed, "media_id", "payload")
+    val dec = graft.operators.Multimodal.decodeGrayPixels(
+      demuxed.select((col("media_id") * 4 + col("frame_idx")).as("fid"),
+        col("frame")),
+      "fid", "frame")
+    val hashed = dec.filter(col("decoded"))
+      .select(expr("media_id div 4").as("doc_id"),
+        expr("media_id % 4").as("f"),
+        graft.functions.VectorExpressions.dhashBits(col("pixels"), 8, 8)
+          .as("h"))
+    val pairs = hashed.as("a").join(hashed.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.f") === col("a.f") + 1)
+      .select(col("a.doc_id").as("doc_id"),
+        graft.operators.Dedup.hamming64(col("a.h"), col("b.h")).as("hd"))
+    val nf = hashed.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    nf.join(
+      pairs.groupBy("doc_id")
+        .agg(sum("hd").cast("long").as("total_hamming")),
+      Seq("doc_id"))
+  }
+
+  val q134Sql: String =
+    """WITH fr AS (
+      |  SELECT doc_id, f, list_transform(range(0, 64), i ->
+      |    CAST((('0x' || substr(md5(doc_id || ':v:' || i), 1, 2))::INT
+      |      + CASE WHEN i < 2 * f THEN 16 ELSE 0 END) % 256 AS INT)) AS p
+      |  FROM documents, unnest(range(0, 3)) AS u(f)),
+      |dh AS (
+      |  SELECT doc_id, f, CAST(list_sum(list_transform(range(0, 56), k ->
+      |    CASE WHEN p[CAST(k // 7 AS INT) * 8 + CAST(k % 7 AS INT) + 2]
+      |            > p[CAST(k // 7 AS INT) * 8 + CAST(k % 7 AS INT) + 1]
+      |      THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+      |      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h
+      |  FROM fr),
+      |pr AS (
+      |  SELECT a.doc_id, bit_count(xor(a.h, b.h)) AS hd
+      |  FROM dh a JOIN dh b ON b.doc_id = a.doc_id AND b.f = a.f + 1),
+      |nf AS (SELECT doc_id, COUNT(*) AS n_frames FROM dh GROUP BY doc_id)
+      |SELECT nf.doc_id, nf.n_frames,
+      |  CAST(SUM(pr.hd) AS BIGINT) AS total_hamming
+      |FROM nf JOIN pr ON pr.doc_id = nf.doc_id
+      |GROUP BY nf.doc_id, nf.n_frames""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5410,7 +5487,8 @@ WHERE rk <= 40"""
     "q130_embed_cov" -> (q130EmbedCov, Some(q130Sql)),
     "q131_unigram_lm" -> (q131UnigramLm, Some(q131Sql)),
     "q132_unigram_encode" -> (q132UnigramEncode, Some(q132Sql)),
-    "q133_audio_features" -> (q133AudioFeatures, Some(q133Sql)))
+    "q133_audio_features" -> (q133AudioFeatures, Some(q133Sql)),
+    "q134_video_frames" -> (q134VideoFrames, Some(q134Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -172,6 +172,32 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(0) == 7L && !r.getBoolean(1) && r.isNullAt(3))
   }
 
+  test("frame container: pack → demux round-trips frames in order") {
+    val frames = Seq(
+      (1L, 0, Array[Byte](1, 2, 3)),
+      (1L, 1, Array[Byte](4)),
+      (1L, 2, Array.empty[Byte]),
+      (2L, 0, Array[Byte](9, 9)))
+      .toDF("media_id", "f", "payload")
+    val packed = Multimodal.encodeFrameContainer(
+      frames, "media_id", "f", "payload")
+    assert(packed.count() == 2)
+    val got = Multimodal.demuxFrames(packed, "media_id", "payload")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Array[Byte]](2).toSeq)
+      .toMap
+    assert(got.keySet ==
+      Set((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
+    assert(got((1L, 0)) == Seq[Byte](1, 2, 3))
+    assert(got((1L, 1)) == Seq[Byte](4))
+    assert(got((1L, 2)).isEmpty)
+    assert(got((2L, 0)) == Seq[Byte](9, 9))
+    // malformed container → zero frames, no exception
+    val bad = Seq((5L, "GARBAGE".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    assert(Multimodal.demuxFrames(bad, "media_id", "payload").count() == 0)
+  }
+
   test("dHash chain: one-pixel edit stays within Hamming 2 of original") {
     import graft.functions.VectorExpressions
     val base = (0 until 64).map(i => (i * 37 + 11) % 256)
