@@ -36,6 +36,14 @@ object GraftFunctions {
     // int8 scalar quantization: graft_quantize_int8(array<float|double>)
     register1(spark, "graft_quantize_int8",
       es => VectorExpressions.QuantizeInt8(es(0)))
+    // element-wise difference (residual step of IVFADC):
+    // graft_vec_diff(array<float|double>, array<float|double>)
+    register1(spark, "graft_vec_diff",
+      es => VectorExpressions.VecDiff(es(0), es(1)))
+    // perceptual difference hash of an 8x8 row-major gray grid:
+    // graft_dhash64(array<int>) — 56 gradient bits
+    register1(spark, "graft_dhash64",
+      es => VectorExpressions.DHashBits(es(0), 8, 8))
     // language guess over raw text, same kernel as TextAnalysis.langGuess:
     // graft_lang_guess(array<string> tokens)
     val langs = graft.operators.TextAnalysis.LangProfiles.toSeq.sortBy(_._1)

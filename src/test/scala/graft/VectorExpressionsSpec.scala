@@ -72,6 +72,13 @@ class VectorExpressionsSpec extends SparkSpec {
         "graft_lang_guess(array('zzz')) u").collect().head
     assert(s.getInt(0) == 2 && s.getInt(1) == 2)
     assert(s.getString(2) == "en" && s.getString(3) == "und")
+    // vec diff and the perceptual hash
+    val t = spark.sql(
+      "SELECT graft_vec_diff(array(3.0D, 1.0D), array(1.0D, 2.0D)) v, " +
+        "graft_dhash64(transform(sequence(0, 63), i -> " +
+        "cast(i % 7 as int))) h").collect().head
+    assert(t.getSeq[Double](0) == Seq(2.0, -1.0))
+    assert(t.getLong(1) != 0L)
   }
 
   test("quantizeInt8: range, zero vector, scale cancellation in cosine") {
