@@ -5347,6 +5347,60 @@ WHERE rk <= 40"""
       |FROM nf JOIN pr ON pr.doc_id = nf.doc_id
       |GROUP BY nf.doc_id, nf.n_frames""".stripMargin
 
+  /** PageRank over the embedding kNN graph
+    * ([[graft.operators.GraphOps.pageRank]]): each vector points at its
+    * 4 most-cosine-similar peers ([[graft.operators.GraphOps
+    * .knnEdgesExact]], q113's 4dp + id-tie edge discipline), then 3
+    * power iterations at damping 0.85 — the link-analysis hub score
+    * ("which documents are everyone's neighbour") used for
+    * representativeness ranking and dup-cluster centrality. The rank is
+    * FIXED-POINT (longs at 10^12, explicit integer div — see
+    * [[graft.operators.GraphOps]]): float power iteration lands on a
+    * decimal grid after one round, so the next round's quarter-sums sit
+    * EXACTLY on rounding midpoints where one summation-order ulp flips
+    * any float rounding scheme (measured: ~5% of ranks diverged ±1e-12
+    * cross-engine before the integer form). The oracle unrolls all
+    * three iterations as CTEs — the q125 GD device applied to power
+    * iteration, on the q131 integer grid. */
+  val q135PageRank: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val edges = graft.operators.GraphOps.knnEdgesExact(
+      emb, "vec_id", "embedding", k = 4)
+    graft.operators.GraphOps.pageRank(
+      edges, emb.select("vec_id"), "vec_id", iters = 3)
+  }
+
+  val q135Sql: String = {
+    def step(k: Int): String =
+      s"""pr$k AS (
+         |  SELECT e2.vec_id, (SELECT (1000000000000 * 3) // (20 * n) FROM n)
+         |    + COALESCE(CAST(SUM((p.pr * 17) // (20 * d.deg)) AS BIGINT), 0)
+         |    AS pr
+         |  FROM e e2
+         |  LEFT JOIN ed ON ed.dst = e2.vec_id
+         |  LEFT JOIN deg d ON d.src = ed.src
+         |  LEFT JOIN pr${k - 1} p ON p.vec_id = ed.src
+         |  GROUP BY e2.vec_id)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       |ed AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rn FROM x)
+       |  WHERE rn <= 4),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
+       |n AS (SELECT COUNT(*) AS n FROM e),
+       |pr0 AS (
+       |  SELECT vec_id, (SELECT 1000000000000 // n FROM n) AS pr FROM e),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}
+       |SELECT vec_id, CAST(pr AS BIGINT) AS pr_e12 FROM pr3""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5488,7 +5542,8 @@ WHERE rk <= 40"""
     "q131_unigram_lm" -> (q131UnigramLm, Some(q131Sql)),
     "q132_unigram_encode" -> (q132UnigramEncode, Some(q132Sql)),
     "q133_audio_features" -> (q133AudioFeatures, Some(q133Sql)),
-    "q134_video_frames" -> (q134VideoFrames, Some(q134Sql)))
+    "q134_video_frames" -> (q134VideoFrames, Some(q134Sql)),
+    "q135_pagerank" -> (q135PageRank, Some(q135Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
