@@ -314,4 +314,64 @@ object Sampling {
     assigned.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= quota)
   }
+
+  /**
+   * Training-shard planner: assign every document a contiguous shard id
+   * under a per-shard token budget, in the deterministic [[epochKey]]
+   * training order — the manifest a distributed trainer consumes
+   * ("shard s = this exact document sequence, ~budget tokens").
+   *
+   * A document's `start_offset` is the total token count of everything
+   * before it in (epoch key, id) order; `shard_id = start_offset div
+   * budget`. Documents never split; a shard overflows its budget by at
+   * most its last document (the fixed-boundary semantics an oracle can
+   * replay with one window SUM — greedy no-overflow packing is
+   * [[TextAnalysis.packGreedy]]'s job and is order-dependent).
+   *
+   * Scale shape: the global running sum uses the two-pass
+   * partition-offset device ([[Bpe.tokenIds]] / the W2 mintIds trick) —
+   * range-partition by the order key, ONE bounded collect of ≤ numParts
+   * per-partition token sums, driver prefix-sum, then a WITHIN-partition
+   * running-sum window. No single-partition exchange at any size; the
+   * ranged frame is pinned so both passes see the same sampled range
+   * boundaries.
+   *
+   * @param tokenCount token count column evaluated against `df`'s rows
+   * @return `(idCol, n_tokens, start_offset, shard_id)`
+   */
+  def shardPlan(df: DataFrame, idCol: String, tokenCount: Column,
+      budget: Long, epoch: Int = 1, salt: String = "shard",
+      numParts: Int = 32): DataFrame = {
+    require(budget > 0, s"budget > 0, got $budget")
+    val keyed = df.select(col(idCol), tokenCount.cast("long").as("n_tokens"),
+      epochKey(col(idCol), epoch, salt).as("__key"))
+    val ranged = PersistTracker.trackPersist(
+      keyed.repartitionByRange(numParts, col("__key"), col(idCol))
+        .withColumn("__pid", spark_partition_id()))
+    val counts = ranged.groupBy("__pid")
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L) { case (acc, (_, n)) => acc + n })
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+      when(col("__pid") === p, lit(off)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("__key"), col(idCol))
+    ranged
+      .withColumn("start_offset",
+        offCol + sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("shard_id", expr(s"start_offset div ${budget}L"))
+      .select(idCol, "n_tokens", "start_offset", "shard_id")
+  }
+
+  /** Per-shard rollup of a [[shardPlan]]: the manifest row a trainer's
+    * data loader reads (doc count, token count, offset range). One
+    * |shards|-group aggregate. */
+  def shardManifest(plan: DataFrame): DataFrame =
+    plan.groupBy("shard_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      min("start_offset").as("first_offset"),
+      max(col("start_offset") + col("n_tokens")).as("end_offset"))
 }

@@ -5401,6 +5401,37 @@ WHERE rk <= 40"""
        |SELECT vec_id, CAST(pr AS BIGINT) AS pr_e12 FROM pr3""".stripMargin
   }
 
+  /** Training-shard planner ([[graft.operators.Sampling.shardPlan]]):
+    * every document gets a contiguous shard id under a 2000-token
+    * budget in the deterministic epoch-1 training order — the manifest
+    * a trainer's data loader consumes. The global running token sum
+    * uses the two-pass partition-offset device (no single-partition
+    * window); the oracle replays it with one window SUM over the
+    * replayed md5 order key. */
+  val q136ShardPlan: Q = (s, dir) =>
+    graft.operators.Sampling.shardPlan(
+      t(s, dir, "documents"), "doc_id",
+      graft.operators.TextAnalysis.tokenCount(col("text")),
+      budget = 2000L, epoch = 1, salt = "shard")
+
+  val q136Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(text, '\s+'),
+      |      x -> len(x) > 0)) AS n_tokens,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard:e1'),
+      |      1, 15))::BIGINT % 1000000 AS k
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY k, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - n_tokens AS BIGINT) AS start_offset
+      |  FROM toks)
+      |SELECT doc_id, n_tokens, start_offset,
+      |  start_offset // 2000 AS shard_id
+      |FROM c""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5543,7 +5574,8 @@ WHERE rk <= 40"""
     "q132_unigram_encode" -> (q132UnigramEncode, Some(q132Sql)),
     "q133_audio_features" -> (q133AudioFeatures, Some(q133Sql)),
     "q134_video_frames" -> (q134VideoFrames, Some(q134Sql)),
-    "q135_pagerank" -> (q135PageRank, Some(q135Sql)))
+    "q135_pagerank" -> (q135PageRank, Some(q135Sql)),
+    "q136_shard_plan" -> (q136ShardPlan, Some(q136Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

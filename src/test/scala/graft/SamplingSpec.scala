@@ -243,4 +243,54 @@ class SamplingSpec extends SparkSpec {
       .filter(split("split") =!= viaComp("split")).count()
     assert(joined === 0L)
   }
+
+  test("shardPlan: offsets are the ordered prefix sums; partition-invariant") {
+    val docs = (0L until 200L).map(i => (i, "w " * (i % 37 + 1).toInt))
+      .toDF("doc_id", "text")
+    val tc = graft.operators.TextAnalysis.tokenCount(col("text"))
+    val plan = Sampling.shardPlan(docs, "doc_id", tc, budget = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    // reference: single global window over the same (key, id) order
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__key"), col("doc_id"))
+    val ref = docs.select(col("doc_id"), tc.cast("long").as("n"),
+        Sampling.epochKey(col("doc_id"), 1, "shard").as("__key"))
+      .withColumn("start", sum("n").over(w) - col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(3) / 100L)).sortBy(_._1)
+    assert(plan.toSeq == ref.toSeq)
+    // invariance to input partitioning
+    val plan7 = Sampling.shardPlan(docs.repartition(7), "doc_id", tc,
+        budget = 100L, numParts = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(plan7.toSeq == plan.toSeq)
+  }
+
+  test("shardManifest: contiguous shards, totals reconcile, budget overflow bounded by one doc") {
+    val docs = (0L until 300L).map(i => (i, "tok " * (i % 23 + 1).toInt))
+      .toDF("doc_id", "text")
+    val tc = graft.operators.TextAnalysis.tokenCount(col("text"))
+    val plan = Sampling.shardPlan(docs, "doc_id", tc, budget = 150L)
+    val man = Sampling.shardManifest(plan).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    // shard ids dense from 0
+    assert(man.map(_._1).toSeq == (0L until man.length.toLong))
+    // totals reconcile with the plan
+    val total = plan.agg(sum("n_tokens")).head.getLong(0)
+    assert(man.map(_._3).sum == total)
+    // every shard starts within its budget window and overflows by at
+    // most its final document (< max doc tokens = 23)
+    man.foreach { case (sid, _, _, first, end) =>
+      assert(first >= sid * 150L && first < (sid + 1) * 150L)
+      assert(end <= (sid + 1) * 150L + 23L)
+    }
+    // offset ranges tile with no gaps: end of shard s = first of s+1
+    man.sliding(2).foreach {
+      case Array((_, _, _, _, e), (_, _, _, f2, _)) => assert(e == f2)
+      case _ =>
+    }
+  }
 }
