@@ -374,4 +374,61 @@ object Sampling {
       sum("n_tokens").as("n_tokens"),
       min("start_offset").as("first_offset"),
       max(col("start_offset") + col("n_tokens")).as("end_offset"))
+
+  /**
+   * EXACT global quantiles of a numeric column by distributed selection
+   * — what `percentile_approx` trades away, recovered at scale without a
+   * global sort of the data:
+   *
+   *  1. value-count aggregate (shuffle = |distinct values|, with
+   *     map-side combine — never |rows|);
+   *  2. global cumulative counts over the sorted distinct values via the
+   *     two-pass partition-offset device ([[shardPlan]]'s shape:
+   *     range-partition, ONE bounded collect of per-partition count
+   *     sums, driver prefix-sum, within-partition window);
+   *  3. each quantile q resolves to target rank ceil(q·n) (1-based) and
+   *     the answer is the unique value whose cumulative range covers
+   *     that rank — a broadcast non-equi join of |qs| rows against the
+   *     cumulative frame.
+   *
+   * `percentile_disc` semantics: the returned value is always an actual
+   * element of the column (no interpolation — exact, and immune to
+   * float-summation nondeterminism). Driver state: ≤ numParts partition
+   * sums and the |qs| target ranks.
+   *
+   * @return `(q, target_rank, value)` — one row per requested quantile
+   */
+  def exactQuantiles(df: DataFrame, valueCol: Column, qs: Seq[Double],
+      numParts: Int = 32): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1], got $qs")
+    val spark = df.sparkSession
+    val counts = df.select(valueCol.as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val ranged = PersistTracker.trackPersist(
+      counts.repartitionByRange(numParts, col("v"))
+        .withColumn("__pid", spark_partition_id()))
+    val pcounts = ranged.groupBy("__pid").agg(sum("c").as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = pcounts.map(_._2).sum
+    require(n > 0, "exactQuantiles: no non-null values")
+    val offsets = pcounts.map(_._1)
+      .zip(pcounts.scanLeft(0L) { case (acc, (_, c)) => acc + c })
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+      when(col("__pid") === p, lit(off)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("v")
+    val cum = ranged.withColumn("cum", offCol + sum(col("c")).over(w))
+    import spark.implicits._
+    // ceil on the IEEE product q·n — the same double expression an
+    // oracle evaluates, so boundary behaviour replays exactly
+    val targets = qs.map(q => (q, math.ceil(q * n.toDouble).toLong))
+      .toDF("q", "target_rank")
+    cum.join(broadcast(targets),
+        col("cum") - col("c") < col("target_rank") &&
+          col("target_rank") <= col("cum"))
+      .select(col("q"), col("target_rank"), col("v").as("value"))
+  }
 }

@@ -5432,6 +5432,38 @@ WHERE rk <= 40"""
       |  start_offset // 2000 AS shard_id
       |FROM c""".stripMargin
 
+  /** Distributed EXACT quantiles ([[graft.operators.Sampling
+    * .exactQuantiles]]): percentile_disc of o_totalprice at 4 ranks by
+    * value-count + two-pass cumulative selection — no global sort, no
+    * approx sketch, shuffle bounded by |distinct values|. The oracle
+    * replays the rank targets (ceil on the same IEEE q·n product) and
+    * the covering-range join. */
+  val q137ExactQuantile: Q = (s, dir) =>
+    graft.operators.Sampling.exactQuantiles(
+      t(s, dir, "orders"), col("o_totalprice"),
+      Seq(0.25, 0.5, 0.75, 0.95))
+
+  val q137Sql: String =
+    """WITH s AS (
+      |  SELECT o_totalprice AS v, COUNT(*) AS c
+      |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM s),
+      |cum AS (
+      |  SELECT v, CAST(c AS BIGINT) AS c,
+      |    CAST(SUM(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM s),
+      |t AS (
+      |  SELECT CAST(q AS DOUBLE) AS q,
+      |    CAST(CEIL(CAST(q AS DOUBLE) * (SELECT n FROM n)) AS BIGINT)
+      |      AS target_rank
+      |  FROM (VALUES (0.25), (0.5), (0.75), (0.95)) AS qs(q))
+      |SELECT t.q, t.target_rank, cum.v AS value
+      |FROM t JOIN cum
+      |  ON cum.cum - cum.c < t.target_rank AND t.target_rank <= cum.cum"""
+      .stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5575,7 +5607,8 @@ WHERE rk <= 40"""
     "q133_audio_features" -> (q133AudioFeatures, Some(q133Sql)),
     "q134_video_frames" -> (q134VideoFrames, Some(q134Sql)),
     "q135_pagerank" -> (q135PageRank, Some(q135Sql)),
-    "q136_shard_plan" -> (q136ShardPlan, Some(q136Sql)))
+    "q136_shard_plan" -> (q136ShardPlan, Some(q136Sql)),
+    "q137_exact_quantile" -> (q137ExactQuantile, Some(q137Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -293,4 +293,36 @@ class SamplingSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("exactQuantiles: percentile_disc semantics vs sorted reference, with ties") {
+    // heavy ties: values 1..10 each repeated i times → 55 rows
+    val vals = (1 to 10).flatMap(i => Seq.fill(i)(i.toDouble))
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val got = Sampling.exactQuantiles(df, col("v"), qs)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val sorted = vals.sorted
+    val want = qs.map { q =>
+      val r = math.ceil(q * sorted.length).toLong
+      (q, r, sorted(r.toInt - 1))
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("exactQuantiles: partition-invariant and null-safe") {
+    val df = (0L until 500L)
+      .map(i => (i, if (i % 11 == 0) null else java.lang.Double.valueOf((i * 37 % 101).toDouble)))
+      .toDF("id", "v")
+    val a = Sampling.exactQuantiles(df.repartition(1), col("v"), Seq(0.5, 0.95))
+      .collect().map(r => (r.getDouble(0), r.getDouble(2))).sortBy(_._1).toSeq
+    val b = Sampling.exactQuantiles(df.repartition(13), col("v"), Seq(0.5, 0.95), numParts = 5)
+      .collect().map(r => (r.getDouble(0), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(a == b)
+    // reference on the non-null values
+    val nn = (0L until 500L).filter(_ % 11 != 0).map(i => (i * 37 % 101).toDouble).sorted
+    assert(a(0)._2 == nn(math.ceil(0.5 * nn.length).toInt - 1))
+    assert(a(1)._2 == nn(math.ceil(0.95 * nn.length).toInt - 1))
+  }
 }
