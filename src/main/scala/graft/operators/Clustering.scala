@@ -159,4 +159,46 @@ object Clustering {
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Long, Seq[Float])] =
     kmeansCentroidSums(corpus, k, iters, idCol, vecCol).zipWithIndex
       .map { case (s, cl) => cl.toLong -> s.map(_.toFloat) }
+
+  /** The k lowest-id QUANTIZED vectors — the deterministic seed state
+    * shared by batch Lloyd training above and the streamed mini-batch
+    * path ([[graft.streaming.IndexIngest.ingestKmeansBatch]]). Bounded
+    * collect of k rows. */
+  def seedSums(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    require(k > 0 && k <= MaxK, s"k in [1,$MaxK], got $k")
+    val seeds = quantized(corpus, idCol, vecCol)
+      .orderBy(col(idCol)).limit(k).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    require(seeds.size == k, s"corpus smaller than k=$k")
+    seeds
+  }
+
+  /**
+   * One mini-batch's per-cluster INTEGER partials against the given
+   * centroid-sum state: assign each batch row to its best cluster (4dp
+   * cosine, ties to the lowest id — the same codegen pass as training),
+   * then aggregate member count + elementwise quantized sums. The
+   * returned k-or-fewer rows are the exact increment the online
+   * accumulation model adds to its state (mini-batch k-means, public
+   * algorithm: Sculley, WWW 2010 — the order-free batch-aggregate
+   * form): integer sums make `state + partial` associative, so the
+   * accumulated state is independent of partitioning and engine.
+   *
+   * @return `(__cl int, __n long, __s array<double>)` — one row per
+   *         non-empty cluster in the batch
+   */
+  def miniBatchPartials(batch: DataFrame, sums: Seq[Seq[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(sums.nonEmpty && sums.size <= MaxK)
+    val dim = sums.head.size
+    val assigned = quantized(batch, idCol, vecCol)
+      .select(col("__q"), clusterOf(col("__q"), sums).as("__cl"))
+    val sumCols = (0 until dim)
+      .map(j => sum(element_at(col("__q"), j + 1)).as(s"s$j"))
+    assigned.groupBy("__cl")
+      .agg(count(lit(1)).as("__n"), sumCols: _*)
+      .select(col("__cl").cast("int"), col("__n"),
+        array((0 until dim).map(j => col(s"s$j")): _*).as("__s"))
+  }
 }

@@ -5464,6 +5464,79 @@ WHERE rk <= 40"""
       |  ON cum.cum - cum.c < t.target_rank AND t.target_rank <= cum.cum"""
       .stripMargin
 
+  /** Streamed mini-batch k-means under the marker ledger
+    * ([[graft.streaming.IndexIngest.ingestKmeansBatch]]): seed state =
+    * the 8 lowest-id quantized vectors, two micro-batches (even then
+    * odd ids) folded as per-cluster INTEGER partials — batch t assigned
+    * against the state accumulated through t−1 (Sculley's mini-batch
+    * k-means in the order-free batch-aggregate form) — then the full
+    * corpus served against the final state. Extends the streamed-
+    * maintenance family (q119/q120/q122) from indexes to MODELS; same
+    * crash/replay protocol, warm reps replay ingest as O(1) no-ops.
+    * The oracle unrolls both batch updates (assign → integer partial →
+    * elementwise state add) and the final assignment. */
+  val q138KmeansStream: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val ingestDir = streamIndexDir("q138", dir, "embeddings")
+    val seeds = graft.operators.Clustering.seedSums(emb, k = 8)
+    graft.streaming.IndexIngest.bootstrapKmeans(s, ingestDir, seeds)
+    graft.streaming.IndexIngest.ingestKmeansBatch(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0), 0L, ingestDir)
+    graft.streaming.IndexIngest.ingestKmeansBatch(
+      emb.filter(pmod(col("vec_id"), lit(2)) =!= 0), 1L, ingestDir)
+    val sums = graft.streaming.IndexIngest.readKmeansSums(s, ingestDir)
+    graft.operators.Clustering.assignClusters(emb, sums)
+      .select(col("vec_id"), col("cluster"), col("cos"))
+  }
+
+  val q138Sql: String = {
+    def assign(src: String): String =
+      s"""  SELECT vec_id, q, cl, cos FROM (
+         |    SELECT z.vec_id, z.q, c.cl,
+         |      ROUND(list_cosine_similarity(z.q, c.s), 4) AS cos,
+         |      ROW_NUMBER() OVER (PARTITION BY z.vec_id ORDER BY
+         |        ROUND(list_cosine_similarity(z.q, c.s), 4) DESC, c.cl) AS rk
+         |    FROM $src z CROSS JOIN %CENTS% c) WHERE rk = 1""".stripMargin
+    def partial(assigned: String, name: String): String =
+      s"""$name AS (
+         |  SELECT cl, LIST(v ORDER BY i) AS s FROM (
+         |    SELECT a.cl, r.i, SUM(a.q[r.i]) AS v
+         |    FROM $assigned a, range(1, 65) r(i) GROUP BY a.cl, r.i)
+         |  GROUP BY cl)""".stripMargin
+    def accumulate(prev: String, part: String, name: String): String =
+      s"""$name AS (
+         |  SELECT p.cl, CASE WHEN n.s IS NULL THEN p.s
+         |    ELSE list_transform(range(1, 65), i -> p.s[i] + n.s[i])
+         |    END AS s
+         |  FROM $prev p LEFT JOIN $part n USING (cl))""".stripMargin
+    s"""WITH qz AS (
+       |  SELECT vec_id,
+       |    CASE WHEN s > 0 THEN
+       |      list_transform(e, x -> CAST(floor(x*127.0/s + 0.5) AS DOUBLE))
+       |    ELSE list_transform(e, x -> 0.0) END AS q
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |          list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) AS s
+       |        FROM embeddings)),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+       |    q AS s
+       |  FROM qz ORDER BY vec_id LIMIT 8),
+       |b0 AS (SELECT * FROM qz WHERE vec_id % 2 = 0),
+       |a1 AS (
+       |${assign("b0").replace("%CENTS%", "c0")}),
+       |${partial("a1", "p1")},
+       |${accumulate("c0", "p1", "c1")},
+       |b1 AS (SELECT * FROM qz WHERE vec_id % 2 <> 0),
+       |a2 AS (
+       |${assign("b1").replace("%CENTS%", "c1")}),
+       |${partial("a2", "p2")},
+       |${accumulate("c1", "p2", "c2")},
+       |final AS (
+       |${assign("qz").replace("%CENTS%", "c2")})
+       |SELECT vec_id, CAST(cl AS INT) AS cluster, cos FROM final"""
+      .stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5608,7 +5681,8 @@ WHERE rk <= 40"""
     "q134_video_frames" -> (q134VideoFrames, Some(q134Sql)),
     "q135_pagerank" -> (q135PageRank, Some(q135Sql)),
     "q136_shard_plan" -> (q136ShardPlan, Some(q136Sql)),
-    "q137_exact_quantile" -> (q137ExactQuantile, Some(q137Sql)))
+    "q137_exact_quantile" -> (q137ExactQuantile, Some(q137Sql)),
+    "q138_kmeans_stream" -> (q138KmeansStream, Some(q138Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -750,6 +750,124 @@ object IndexIngest {
       smallFileBytes: Long = 32L << 20): Unit =
     DedupIngest.foldCorpusTail(spark, s"$dir/codes", smallFileBytes)
 
+  // ------------------------------------------------------------------
+  // Mini-batch k-means (streamed model maintenance)
+  // ------------------------------------------------------------------
+
+  private val KmSeedSchema = StructType(Seq(
+    StructField("__cl", IntegerType),
+    StructField("__s", ArrayType(DoubleType))))
+  private val KmPartialSchema = StructType(Seq(
+    StructField("__cl", IntegerType), StructField("__n", LongType),
+    StructField("__s", ArrayType(DoubleType)),
+    StructField("__batch", LongType)))
+
+  /** Pin the frozen seed state the mini-batch stream accumulates onto —
+    * the k-means analogue of [[bootstrapIvf]]. Seeds are centroid-SUM
+    * vectors on [[graft.operators.Clustering]]'s integer-quantized grid
+    * (normally [[graft.operators.Clustering.seedSums]] of a reference
+    * slice); the evolving state is always `seed + Σ committed batch
+    * partials`, so an emptied cluster degrades to its seed exactly as
+    * the batch trainer's empty-cluster policy. */
+  def bootstrapKmeans(spark: SparkSession, dir: String,
+      seeds: Seq[Seq[Double]]): Unit = {
+    require(seeds.nonEmpty, "need at least one seed centroid")
+    import spark.implicits._
+    seeds.zipWithIndex.map { case (s, cl) => (cl, s) }.toDF("__cl", "__s")
+      .select(col("__cl").cast("int"),
+        col("__s").cast(ArrayType(DoubleType)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/seeds")
+  }
+
+  /** Accumulated centroid-sum state from the seeds plus every COMMITTED
+    * partial with `__batch < upTo` — the distributive fold (posexplode →
+    * per-(cluster, dim) integer sum → k·dim bounded collect); all terms
+    * are exact small-integer doubles, so the fold is order-free. */
+  private def kmeansStateSums(spark: SparkSession, dir: String,
+      upTo: Long): Seq[Seq[Double]] = {
+    DedupIngest.recoverFold(spark, s"$dir/partials")
+    val seeds = spark.read.schema(KmSeedSchema).parquet(s"$dir/seeds")
+    val valid = committedBatches(spark, dir).filter(_ < upTo)
+    val partials = DedupIngest
+      .readOrEmpty(spark, s"$dir/partials", KmPartialSchema)
+      .filter(col("__batch").isInCollection(valid))
+      .select(col("__cl"), col("__s"))
+    val folded = seeds.select(col("__cl"), col("__s"))
+      .unionByName(partials)
+      .select(col("__cl"), posexplode(col("__s")).as(Seq("__j", "__v")))
+      .groupBy("__cl", "__j").agg(sum(col("__v")).as("__v"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    folded.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+  }
+
+  /**
+   * Fold one micro-batch into the mini-batch k-means state under the
+   * marker protocol: assign the batch against the state accumulated
+   * from STRICTLY EARLIER committed batches (so a crashed batch replays
+   * against exactly the state it first saw), append the per-cluster
+   * integer partials, commit. Unlike the index families the ingest
+   * order is SEMANTIC here — batch t's assignment depends on state
+   * t−1 — so the single-writer contract (object doc) additionally
+   * means monotone batch ids, which is what foreachBatch delivers.
+   */
+  def ingestKmeansBatch(batch: DataFrame, batchId: Long, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    val spark = batch.sparkSession
+    require(batchId >= 0, s"batchId must be non-negative, got $batchId" +
+      " (negative stamps are reserved for compaction)")
+    if (hasMarker(spark, dir, batchId.toString)) return false
+    if (hasMarker(spark, dir, s"$batchId.intent"))
+      purgeBatch(spark, s"$dir/partials", KmPartialSchema, batchId)
+    if (batch.isEmpty) {
+      putMarker(spark, dir, batchId.toString)
+      dropMarker(spark, dir, s"$batchId.intent")
+      return false
+    }
+    putMarker(spark, dir, s"$batchId.intent")
+    val state = kmeansStateSums(spark, dir, upTo = batchId)
+    graft.operators.Clustering
+      .miniBatchPartials(batch, state, idCol, vecCol)
+      .withColumn("__batch", lit(batchId))
+      .coalesce(1).write.mode("append").parquet(s"$dir/partials")
+    putMarker(spark, dir, batchId.toString)
+    dropMarker(spark, dir, s"$batchId.intent")
+    true
+  }
+
+  /** The served model: centroid-sum state over every committed batch —
+    * feed straight into [[graft.operators.Clustering.assignClusters]].
+    * Uncommitted/crashed partials are filtered by the ledger. */
+  def readKmeansSums(spark: SparkSession, dir: String): Seq[Seq[Double]] =
+    kmeansStateSums(spark, dir, upTo = Long.MaxValue)
+
+  /** Maintain the mini-batch k-means state from a streaming vector
+    * source. */
+  def startKmeans(vecs: DataFrame, dir: String, checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      availableNow: Boolean = false,
+      compactEvery: Option[Int] = None,
+      smallFileBytes: Long = 32L << 20): StreamingQuery = {
+    require(compactEvery.forall(_ > 0), "compactEvery must be positive")
+    val writer = vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestKmeansBatch(batch, batchId, dir, idCol, vecCol)
+        compactEvery.foreach { every =>
+          if ((batchId + 1) % every == 0)
+            compactKmeans(batch.sparkSession, dir, smallFileBytes)
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Fold the partials tail (size-tiered, manifest-logged). Single-
+    * writer cadence (object doc). */
+  def compactKmeans(spark: SparkSession, dir: String,
+      smallFileBytes: Long = 32L << 20): Unit =
+    DedupIngest.foldCorpusTail(spark, s"$dir/partials", smallFileBytes)
+
   /** Targeted PQ vector deletion — [[deleteIvfVecs]]' codes-dir twin:
     * tombstone append (coverage horizon), then a recoverable filtered
     * rewrite of the codes. Same single-writer contract and fresh

@@ -316,6 +316,76 @@ class IndexIngestSpec extends SparkSpec {
     assert(servedIvf === rebuild, "compaction must preserve the served view")
   }
 
+  test("kmeans: streamed mini-batch state ≡ sequential reference; crash + replay converge; compaction") {
+    import graft.operators.Clustering
+    implicit val sql = spark.sqlContext
+    val seeds = Seq(Seq(127.0, 0.0, 0.0), Seq(0.0, 127.0, 0.0))
+    val kb1 = Seq((401L, Seq(0.9f, 0.2f, 0.1f)),
+      (402L, Seq(0.1f, 0.8f, 0.3f)), (403L, Seq(0.7f, 0.1f, 0.6f)))
+    val kb2 = Seq((404L, Seq(0.2f, 0.9f, 0.1f)),
+      (405L, Seq(0.8f, 0.1f, 0.1f)))
+
+    // sequential online reference: fold each batch's integer partials
+    // onto the state the batch was assigned against
+    def fold(st: Seq[Seq[Double]],
+        b: Seq[(Long, Seq[Float])]): Seq[Seq[Double]] = {
+      val parts = Clustering
+        .miniBatchPartials(b.toDF("vec_id", "embedding"), st)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](2).toSeq).toMap
+      st.zipWithIndex.map { case (s, cl) =>
+        parts.get(cl)
+          .map(p => s.zip(p).map { case (a, x) => a + x }).getOrElse(s)
+      }
+    }
+    val want = fold(fold(seeds, kb1), kb2)
+
+    val dir = tmp("km-ingest")
+    IndexIngest.bootstrapKmeans(spark, dir, seeds)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val ck = tmp("km-ck")
+    def run(): Unit = {
+      val q = IndexIngest.startKmeans(
+        input.toDF().toDF("vec_id", "embedding"), dir, ck,
+        availableNow = true)
+      try q.processAllAvailable() finally q.stop()
+    }
+    input.addData(kb1); run()
+    input.addData(kb2); run()
+    assert(IndexIngest.readKmeansSums(spark, dir) === want)
+
+    // replay of a committed batch is a no-op
+    val rowsBefore = spark.read.parquet(s"$dir/partials").count()
+    val replay = MemoryStream[(Long, Seq[Float])]
+    replay.addData(kb1)
+    val q2 = IndexIngest.startKmeans(
+      replay.toDF().toDF("vec_id", "embedding"), dir, tmp("km-ck2"),
+      availableNow = true)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$dir/partials").count() === rowsBefore)
+    assert(IndexIngest.readKmeansSums(spark, dir) === want)
+
+    // crash state: intent marker + orphan partial rows for batch 2,
+    // never committed — served state must exclude them, and the replay
+    // must purge + converge
+    val orphan = Clustering
+      .miniBatchPartials(kb2.toDF("vec_id", "embedding"), want)
+      .withColumn("__batch", lit(2L))
+    orphan.write.mode("append").parquet(s"$dir/partials")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/markers/2.intent"))
+    assert(IndexIngest.readKmeansSums(spark, dir) === want,
+      "orphan partials must be invisible to the served state")
+    val kb3 = Seq((406L, Seq(0.1f, 0.1f, 0.9f)))
+    assert(IndexIngest.ingestKmeansBatch(
+      kb3.toDF("vec_id", "embedding"), 2L, dir))
+    val want3 = fold(want, kb3)
+    assert(IndexIngest.readKmeansSums(spark, dir) === want3)
+
+    IndexIngest.compactKmeans(spark, dir, smallFileBytes = 32L << 20)
+    assert(IndexIngest.readKmeansSums(spark, dir) === want3,
+      "compaction must preserve the state")
+  }
+
   // 4-dim vectors, m=2 subspaces × 2 codes — tiny but non-trivial PQ
   private val pqCb: Seq[Seq[Seq[Float]]] = Seq(
     Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
