@@ -81,6 +81,63 @@ case class UnigramSegmentExpr(child: Expression,
     copy(child = newChild)
 }
 
+/**
+ * WordPiece greedy longest-match-first word encoding (public
+ * algorithm: Wu et al. 2016 "Google's Neural Machine Translation
+ * System"; the BERT tokenizer of Devlin et al. 2018): at each
+ * position take the LONGEST vocabulary piece matching the remaining
+ * suffix — word-initial positions match the initial vocabulary,
+ * later positions the continuation vocabulary (emitted with the
+ * "##" prefix) — and a word with any unmatched position becomes the
+ * single piece "[UNK]" (whole-word UNK, the BERT rule).
+ *
+ * No scores, no DP: greedy longest-match is deterministic given the
+ * vocab sets, so cross-engine exactness needs no quantization —
+ * an oracle replays "longest piece matching here" verbatim. At most
+ * one vocab entry can match a given (position, length), so there are
+ * no ties to break. CodegenFallback for the same reason as
+ * [[UnigramSegmentExpr]]: runs at word-TYPE grain, off the corpus
+ * hot path.
+ */
+case class WordPieceEncodeExpr(child: Expression,
+    initial: Set[String], cont: Set[String], maxPieceLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(maxPieceLen >= 1, s"maxPieceLen >= 1, got $maxPieceLen")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_wordpiece_encode"
+
+  private val Unk = UTF8String.fromString("[UNK]")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[UTF8String].toString
+    val n = word.length
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var pos = 0
+    while (pos < n) {
+      val vocab = if (pos == 0) initial else cont
+      var l = math.min(maxPieceLen, n - pos)
+      var found = -1
+      while (l >= 1 && found < 0) {
+        if (vocab.contains(word.substring(pos, pos + l))) found = l
+        else l -= 1
+      }
+      if (found < 0)
+        return new GenericArrayData(Array[AnyRef](Unk))
+      val piece = word.substring(pos, pos + found)
+      out += UTF8String.fromString(
+        if (pos == 0) piece else "##" + piece)
+      pos += found
+    }
+    new GenericArrayData(out.toArray[AnyRef])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object UnigramExpressions {
   def unigramSegment(word: Column, pieces: Map[String, Long],
       maxPieceLen: Int, unkScore: Long = -100L << 20): Column =
@@ -88,4 +145,11 @@ object UnigramExpressions {
       UnigramSegmentExpr(
         org.apache.spark.sql.graftbridge.ColumnBridge.expr(word),
         pieces, maxPieceLen, unkScore))
+
+  def wordPieceEncode(word: Column, initial: Set[String],
+      cont: Set[String], maxPieceLen: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      WordPieceEncodeExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expr(word),
+        initial, cont, maxPieceLen))
 }

@@ -5537,6 +5537,76 @@ WHERE rk <= 40"""
       .stripMargin
   }
 
+  /** WordPiece tokenizer ([[graft.operators.WordPiece]]): the THIRD
+    * family beside BPE (q93/q94) and unigram-LM (q131/q132) —
+    * position-aware frequency vocab (word-initial vs "##" continuation
+    * forms) + BERT's greedy longest-match-first encode, which needs no
+    * score quantization at all: the segmentation is a deterministic
+    * function of the vocab sets with no ties (at most one piece can
+    * match a given position+length). The oracle replays candidate
+    * counting per form, the pooled top-K selection, the longest-match
+    * table, and the greedy walk as a RECURSIVE CTE (positions strictly
+    * advance, one terminal row per word). */
+  val q139WordPiece: Q = (s, dir) => {
+    val words = graft.operators.PersistTracker.trackPersist(
+      graft.operators.Bpe.wordTypes(
+        t(s, dir, "documents").repartition(col("doc_id")), col("text")))
+    val model = graft.operators.WordPiece.trainWordPiece(
+      words, maxPieceLen = 4, vocabSize = 48)
+    graft.operators.WordPiece.pieceStats(words, model)
+  }
+
+  val q139Sql: String =
+    """WITH RECURSIVE w AS MATERIALIZED (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text),
+      |      '\s+'), x -> len(x) > 0)) AS word FROM documents)
+      |  GROUP BY word),
+      |cand AS MATERIALIZED (
+      |  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS p,
+      |    CAST(i AS INT) = 1 AS init,
+      |    CAST(SUM(f) AS BIGINT) AS cnt
+      |  FROM w, unnest(range(1, len(word) + 1)) AS u(i),
+      |    unnest(range(1, least(4,
+      |      len(word) - CAST(i AS INT) + 1) + 1)) AS v(l)
+      |  GROUP BY 1, 2),
+      |voc AS MATERIALIZED (
+      |  SELECT p, init FROM cand WHERE len(p) = 1
+      |  UNION ALL
+      |  SELECT p, init FROM (
+      |    SELECT p, init, ROW_NUMBER() OVER (ORDER BY cnt DESC, p,
+      |      CAST(init AS INT) DESC) AS rn
+      |    FROM cand WHERE len(p) > 1)
+      |  WHERE rn <= 48),
+      |pos_enum AS MATERIALIZED (
+      |  SELECT word, CAST(i AS INT) AS pos
+      |  FROM w, unnest(range(1, len(word) + 1)) AS u(i)),
+      |best AS MATERIALIZED (
+      |  SELECT word, pos, p FROM (
+      |    SELECT pe.word, pe.pos, v.p,
+      |      ROW_NUMBER() OVER (PARTITION BY pe.word, pe.pos
+      |        ORDER BY len(v.p) DESC) AS rn
+      |    FROM pos_enum pe JOIN voc v
+      |      ON v.init = (pe.pos = 1)
+      |      AND substr(pe.word, pe.pos, len(v.p)) = v.p)
+      |  WHERE rn = 1),
+      |seg AS (
+      |  SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM w
+      |  UNION ALL
+      |  SELECT s.word,
+      |    CASE WHEN b.p IS NULL THEN len(s.word) + 1000
+      |      ELSE s.pos + len(b.p) END,
+      |    CASE WHEN b.p IS NULL THEN ['[UNK]']
+      |      ELSE list_append(s.pieces,
+      |        CASE WHEN s.pos = 1 THEN b.p ELSE '##' || b.p END) END
+      |  FROM seg s LEFT JOIN best b ON b.word = s.word AND b.pos = s.pos
+      |  WHERE s.pos <= len(s.word)),
+      |final AS (SELECT word, pieces FROM seg WHERE pos > len(word))
+      |SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt
+      |FROM (SELECT word, unnest(pieces) AS piece FROM final) x
+      |JOIN w USING (word)
+      |GROUP BY piece""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5682,7 +5752,8 @@ WHERE rk <= 40"""
     "q135_pagerank" -> (q135PageRank, Some(q135Sql)),
     "q136_shard_plan" -> (q136ShardPlan, Some(q136Sql)),
     "q137_exact_quantile" -> (q137ExactQuantile, Some(q137Sql)),
-    "q138_kmeans_stream" -> (q138KmeansStream, Some(q138Sql)))
+    "q138_kmeans_stream" -> (q138KmeansStream, Some(q138Sql)),
+    "q139_wordpiece" -> (q139WordPiece, Some(q139Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
