@@ -110,4 +110,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!ps.contains("SortMergeJoin"),
       s"bucket join shuffled the corpus:\n$ps")
   }
+
+  test("shardPlan and exactQuantiles use no single-partition exchange or global window") {
+    val p1 = plan(Sampling.shardPlan(docs, "doc_id",
+      size(split(col("text"), " ")), budget = 40L, numParts = 4))
+    assert(!p1.contains("Exchange SinglePartition"),
+      s"shardPlan serialized through one partition:\n$p1")
+    val p2 = plan(Sampling.exactQuantiles(
+      docs.withColumn("v", col("doc_id") % 17), col("v"),
+      Seq(0.5, 0.9), numParts = 4))
+    assert(!p2.contains("Exchange SinglePartition"),
+      s"exactQuantiles serialized through one partition:\n$p2")
+    // quantile targets must broadcast onto the cumulative frame
+    assert(p2.contains("BroadcastNestedLoopJoin") ||
+      p2.contains("BroadcastExchange"),
+      s"target ranks should broadcast:\n$p2")
+    graft.operators.Dedup.releasePersisted()
+  }
+
+  test("pageRank iterations: contributions aggregate with map-side combine, no global window") {
+    import graft.operators.GraphOps
+    val edges = (1L to 100L).map(i => (i, (i * 7) % 100 + 1))
+      .toDF("src", "dst")
+    val nodes = (1L to 100L).toDF("id")
+    val p = plan(GraphOps.pageRank(edges, nodes, "id", iters = 2))
+    assert(!p.contains("Window"), s"global window crept in:\n$p")
+    // the only SinglePartition exchanges allowed are 1-row scalar
+    // count aggregates (the broadcast node-count stats frame) — never
+    // a data-sized serialization
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    val scalarCounts = "partial_count\\(1\\)".r.findAllIn(p).size
+    assert(singles <= scalarCounts,
+      s"non-scalar single-partition exchange:\n$p")
+    // partial aggregation before the dst shuffle (map-side combine)
+    assert(p.contains("partial_sum"),
+      s"expected map-side combined contribution sums:\n$p")
+    graft.operators.Dedup.releasePersisted()
+  }
 }
