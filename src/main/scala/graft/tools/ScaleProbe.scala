@@ -77,6 +77,18 @@ object ScaleProbe {
         col("label"))
     }.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // orders: ids offset per copy, a tiny per-copy price perturbation so
+    // the distinct-value count grows with the data (a pure row copy
+    // would leave |distinct| flat and understate the value-count
+    // shuffle the quantile probe exists to measure)
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    (0 until copies).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * IdOff))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * IdOff))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(i * 1e-3))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
   }
 
   def main(args: Array[String]): Unit = {
