@@ -233,6 +233,45 @@ object CorpusDemo {
       }
       Dedup.releasePersisted()
 
+      // wordpiece: the third tokenizer family on the same corpus
+      val wpWords = Bpe.wordTypes(uniq, col("text"))
+      val wp = graft.operators.WordPiece.trainWordPiece(wpWords,
+        maxPieceLen = 4, vocabSize = 32)
+      val wpStats = graft.operators.WordPiece.pieceStats(wpWords, wp)
+      println(s"[tokenize/wordpiece] vocab=" +
+        s"${wp.initial.size}+${wp.cont.size}## pieces_used=" +
+        wpStats.count() + " mass=" +
+        wpStats.agg(sum("cnt")).head.get(0))
+      Dedup.releasePersisted()
+
+      // shard plan: token-budget training shards over the clean corpus
+      val plan = graft.operators.Sampling.shardPlan(uniq, "doc_id",
+        graft.operators.TextAnalysis.tokenCount(col("text")),
+        budget = 5000L)
+      val man = graft.operators.Sampling.shardManifest(plan)
+        .orderBy("shard_id").collect()
+      println(s"[shard/plan] shards=${man.length} tokens=" +
+        man.map(_.getLong(2)).sum + " largest=" + man.map(_.getLong(2)).max)
+      Dedup.releasePersisted()
+
+      // exact corpus length quantiles (the data-card numbers, exact)
+      val qs = graft.operators.Sampling.exactQuantiles(
+        uniq, length(col("text")).cast("double"), Seq(0.5, 0.9, 0.99))
+      println(s"[stats/quantiles] " + qs.orderBy("q").collect()
+        .map(r => s"p${(r.getDouble(0) * 100).toInt}=${r.getDouble(2)}")
+        .mkString(" "))
+      Dedup.releasePersisted()
+
+      // pagerank hubs over the embedding kNN graph
+      val pr = graft.operators.GraphOps.pageRank(
+        graft.operators.GraphOps.knnEdgesExact(emb, "vec_id",
+          "embedding", k = 4),
+        emb.select("vec_id"), "vec_id", iters = 3)
+      println(s"[graph/pagerank] top_hubs=" + pr
+        .orderBy(col("pr_e12").desc, col("vec_id")).limit(3).collect()
+        .map(r => s"v${r.getLong(0)}@${r.getLong(1)}").mkString(" "))
+      Dedup.releasePersisted()
+
       println("[done] corpus pipeline drive complete")
     } finally spark.stop()
   }
