@@ -5370,17 +5370,33 @@ WHERE rk <= 40"""
       edges, emb.select("vec_id"), "vec_id", iters = 3)
   }
 
-  val q135Sql: String = {
+  /** The 3-iteration integer-fixed-point PageRank CTE chain shared by
+    * the graph queries (q135 kNN graph, q140 dup-star graph): expects
+    * an `ed(src, dst)` edge CTE and a `$nodes($idCol)` node CTE; emits
+    * deg, n, pr0..pr3. All-integer (see [[graft.operators.GraphOps]]).
+    */
+  private def pageRankCtes(nodes: String, idCol: String): String = {
     def step(k: Int): String =
       s"""pr$k AS (
-         |  SELECT e2.vec_id, (SELECT (1000000000000 * 3) // (20 * n) FROM n)
+         |  SELECT e2.$idCol, (SELECT (1000000000000 * 3) // (20 * n) FROM n)
          |    + COALESCE(CAST(SUM((p.pr * 17) // (20 * d.deg)) AS BIGINT), 0)
          |    AS pr
-         |  FROM e e2
-         |  LEFT JOIN ed ON ed.dst = e2.vec_id
+         |  FROM $nodes e2
+         |  LEFT JOIN ed ON ed.dst = e2.$idCol
          |  LEFT JOIN deg d ON d.src = ed.src
-         |  LEFT JOIN pr${k - 1} p ON p.vec_id = ed.src
-         |  GROUP BY e2.vec_id)""".stripMargin
+         |  LEFT JOIN pr${k - 1} p ON p.$idCol = ed.src
+         |  GROUP BY e2.$idCol)""".stripMargin
+    s"""deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
+       |n AS (SELECT COUNT(*) AS n FROM $nodes),
+       |pr0 AS (
+       |  SELECT $idCol, (SELECT 1000000000000 // n FROM n) AS pr
+       |  FROM $nodes),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}""".stripMargin
+  }
+
+  val q135Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |x AS (
        |  SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -5391,15 +5407,8 @@ WHERE rk <= 40"""
        |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
        |      ORDER BY cos DESC, dst) AS rn FROM x)
        |  WHERE rn <= 4),
-       |deg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
-       |n AS (SELECT COUNT(*) AS n FROM e),
-       |pr0 AS (
-       |  SELECT vec_id, (SELECT 1000000000000 // n FROM n) AS pr FROM e),
-       |${step(1)},
-       |${step(2)},
-       |${step(3)}
+       |${pageRankCtes("e", "vec_id")}
        |SELECT vec_id, CAST(pr AS BIGINT) AS pr_e12 FROM pr3""".stripMargin
-  }
 
   /** Training-shard planner ([[graft.operators.Sampling.shardPlan]]):
     * every document gets a contiguous shard id under a 2000-token
@@ -5607,6 +5616,34 @@ WHERE rk <= 40"""
       |JOIN w USING (word)
       |GROUP BY piece""".stripMargin
 
+  /** PageRank over the near-dup STAR graph — the graph operator
+    * composed with the dedup chain: q44's verified star edges
+    * (symmetrized) feed [[graft.operators.GraphOps.pageRank]], ranking
+    * documents by duplication-cluster centrality (anchors of big
+    * template families accumulate mass; singleton docs sit at the
+    * teleport floor) — the "which boilerplate dominates my corpus"
+    * signal. Shares the portable-signature CTE chain with the whole
+    * banded family and the integer PageRank chain with q135, so
+    * neither can drift. */
+  val q140DupPagerank: Q = (s, dir) => {
+    val pairs = q24StarEdges(s, dir)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(
+        pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    graft.operators.GraphOps.pageRank(
+      edges, t(s, dir, "documents").select("doc_id"), "doc_id", iters = 3)
+  }
+
+  val q140Sql: String =
+    s"""WITH $q24StarCtes,
+       |prs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.4),
+       |ed AS (
+       |  SELECT id_a AS src, id_b AS dst FROM prs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM prs),
+       |nodes AS (SELECT doc_id FROM documents),
+       |${pageRankCtes("nodes", "doc_id")}
+       |SELECT doc_id, CAST(pr AS BIGINT) AS pr_e12 FROM pr3""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5753,7 +5790,8 @@ WHERE rk <= 40"""
     "q136_shard_plan" -> (q136ShardPlan, Some(q136Sql)),
     "q137_exact_quantile" -> (q137ExactQuantile, Some(q137Sql)),
     "q138_kmeans_stream" -> (q138KmeansStream, Some(q138Sql)),
-    "q139_wordpiece" -> (q139WordPiece, Some(q139Sql)))
+    "q139_wordpiece" -> (q139WordPiece, Some(q139Sql)),
+    "q140_dup_pagerank" -> (q140DupPagerank, Some(q140Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
