@@ -295,6 +295,66 @@ object Similarity {
     IvfIndex(index.assigned.unionByName(add.assigned), index.centroids)
   }
 
+  /**
+   * Distributed ANN SELF-join (kNN join): every corpus vector finds its
+   * `k` approximate nearest neighbours — the corpus-scale kNN-graph
+   * builder ([[GraphOps.knnEdgesExact]]'s documented production swap).
+   * Where [[ivfTopKWithIndex]] BROADCASTS a small probe list, here the
+   * probe side IS the corpus, so nothing broadcasts:
+   *
+   *  - per-row probe selection is fully NARROW: the numCells centroid
+   *    cosines ride in one codegen projection as a (1−cos, cell) struct
+   *    array; `sort_array` + `slice` picks the nprobe best (1−cos keeps
+   *    the sort ascending without negating a double — negation creates
+   *    −0.0, whose sort order is engine-dependent; subtraction from 1.0
+   *    is order-preserving at 4dp granularity);
+   *  - the candidate stage is a plain shuffle join on `__cell` — both
+   *    sides hash-partition by cell; with the assigned corpus stored
+   *    bucketed on `__cell` (the [[IvfIndex]] deployment note) the
+   *    corpus side never re-shuffles, and the probe side ships
+   *    n·nprobe (id, vector) rows — the inherent IVF-join cost;
+   *  - per-query top-k is a rank window that Spark's WindowGroupLimit
+   *    rewrites into partial top-k before the exchange, so the final
+   *    shuffle carries ~k rows per query per map partition, not the
+   *    full candidate set.
+   *
+   * numCells sizes the join parallelism (each cell is one join key):
+   * scale it with the corpus (~√n is the classic IVF choice) so cells
+   * stay executor-sized. Self-matches are excluded; ranking follows
+   * the 4dp + id-tie discipline, so the whole join — assignment, probe
+   * ranks, candidates, final ranks — replays exactly in an oracle.
+   */
+  def ivfKnnJoin(corpus: DataFrame, k: Int, numCells: Int = 16,
+      nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroids: Seq[(Long, Seq[Float])] = Nil): DataFrame = {
+    val index = buildIvfIndex(corpus, numCells, idCol, vecCol, centroids)
+    val cents = index.centroids
+    require(nprobe > 0 && nprobe <= cents.size,
+      s"nprobe in [1,${cents.size}]")
+    val cellArr = array(cents.map { case (cid, cvec) =>
+      struct(
+        (lit(1.0) - round(cosine(col("__qvec"), typedlit(cvec)), 4))
+          .as("d"),
+        lit(cid).as("cell"))
+    }: _*)
+    val probes = corpus
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
+      .withColumn("__top", slice(sort_array(cellArr), 1, nprobe))
+      .select(col("__qid"), col("__qvec"),
+        explode(col("__top")).as("__p"))
+      .select(col("__qid"), col("__qvec"), col("__p.cell").as("__cell"))
+    val scored = index.assigned.join(probes, Seq("__cell"))
+      .filter(col(idCol) =!= col("__qid"))
+      .withColumn("cosine", round(cosine(col("__qvec"), col("__cvec")), 4))
+    val w = Window.partitionBy("__qid")
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("rank"), col(idCol),
+        col("cosine"))
+  }
+
   /** [[ivfTopK]] against a prepared [[IvfIndex]] — the serving form:
     * the probe list broadcasts into the assigned corpus and only the
     * probed cells are scanned. */

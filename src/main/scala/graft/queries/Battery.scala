@@ -5644,6 +5644,47 @@ WHERE rk <= 40"""
        |${pageRankCtes("nodes", "doc_id")}
        |SELECT doc_id, CAST(pr AS BIGINT) AS pr_e12 FROM pr3""".stripMargin
 
+  /** Distributed ANN self-join ([[graft.operators.Similarity
+    * .ivfKnnJoin]]): every vector's 3 approximate nearest neighbours
+    * via the cell-partitioned kNN join — the corpus-scale kNN-graph
+    * builder where NOTHING broadcasts: narrow probe selection
+    * (sort_array over the (1−cos, cell) struct — monotone at 4dp, no
+    * −0.0 sort hazard), shuffle join on cell, WindowGroupLimit top-k.
+    * The oracle replays assignment, probe ranks, the self-excluded
+    * candidate join, and final ranks with q43's devices. */
+  val q141KnnJoin: Q = (s, dir) =>
+    graft.operators.Similarity.ivfKnnJoin(
+      t(s, dir, "embeddings"), k = 3, numCells = 16, nprobe = 4)
+
+  val q141Sql: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cell, embedding AS cvec
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |scored AS (
+      |  SELECT e.vec_id, e.embedding, c.cell,
+      |    ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+      |      c.cvec::DOUBLE[]), 4) AS cos
+      |  FROM embeddings e CROSS JOIN cent c),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cos DESC, cell) AS rn
+      |  FROM scored),
+      |asg AS (SELECT vec_id, embedding, cell FROM ranked WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec, cell
+      |  FROM ranked WHERE rn <= 4),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id,
+      |    ROUND(list_cosine_similarity(p.qvec::DOUBLE[],
+      |      a.embedding::DOUBLE[]), 4) AS cosine
+      |  FROM probes p JOIN asg a
+      |    ON a.cell = p.cell AND a.vec_id <> p.query_id)
+      |SELECT query_id, rank, vec_id, cosine FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM cand)
+      |WHERE rank <= 3""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5791,7 +5832,8 @@ WHERE rk <= 40"""
     "q137_exact_quantile" -> (q137ExactQuantile, Some(q137Sql)),
     "q138_kmeans_stream" -> (q138KmeansStream, Some(q138Sql)),
     "q139_wordpiece" -> (q139WordPiece, Some(q139Sql)),
-    "q140_dup_pagerank" -> (q140DupPagerank, Some(q140Sql)))
+    "q140_dup_pagerank" -> (q140DupPagerank, Some(q140Sql)),
+    "q141_knn_join" -> (q141KnnJoin, Some(q141Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

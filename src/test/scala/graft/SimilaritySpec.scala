@@ -666,4 +666,48 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L)._2 < got(0L)._2 && got(2L)._2 < got(1L)._2,
       s"hub margin ${got(2L)._2} vs planted ${got(0L)._2}/${got(1L)._2}")
   }
+
+  test("ivfKnnJoin probing every cell ≡ brute-force kNN without self") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 60L)
+      .map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val ann = Similarity.ivfKnnJoin(corpus, k = 3, numCells = 4,
+        nprobe = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // brute force per query, self excluded, same 4dp + id-tie rank
+    val exact = Similarity.bruteForceTopK(
+        corpus.select(col("vec_id"), col("embedding")),
+        corpus.select(col("vec_id").as("query_id"), col("embedding")),
+        k = 4)
+      .filter(col("query_id") =!= col("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (q, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(3).zipWithIndex
+          .map { case ((_, id, cos), i) => (q, i + 1, id, cos) }
+      }.sortBy(t => (t._1, t._2)).toSeq
+    assert(ann == exact)
+  }
+
+  test("ivfKnnJoin: probe selection is narrow (one Window total, the final top-k)") {
+    val rnd = new scala.util.Random(5)
+    val corpus = (0L until 40L)
+      .map(i => (i, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val df = Similarity.ivfKnnJoin(corpus, k = 2, numCells = 4, nprobe = 2)
+    df.collect()
+    // AQE prints the initial plan after the final one — only the final
+    // section is the plan that ran
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exactly ONE rank window (the final top-k) — probe-cell selection
+    // must stay a narrow sort_array projection, not a per-query window
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"expected exactly one Window node:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
