@@ -5685,6 +5685,55 @@ WHERE rk <= 40"""
       |  FROM cand)
       |WHERE rank <= 3""".stripMargin
 
+  /** PageRank over the SCALABLE kNN graph — q135's documented
+    * production swap made real and oracle-gated: edges come from the
+    * cell-partitioned ANN self-join (q141, nothing broadcasts) instead
+    * of the exact O(n²) build, then the same integer fixed-point
+    * iterations. Non-uniform out-degrees exercise pageRank's general
+    * (pr·17) div (20·deg) path (IVF recall loss can drop edges, so
+    * deg ≤ k varies — handled exactly, per-edge floor semantics). */
+  val q142AnnPagerank: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val edges = graft.operators.Similarity.ivfKnnJoin(
+        emb, k = 4, numCells = 16, nprobe = 4)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"))
+    graft.operators.GraphOps.pageRank(
+      edges, emb.select("vec_id"), "vec_id", iters = 3)
+  }
+
+  val q142Sql: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cell, embedding AS cvec
+       |  FROM embeddings ORDER BY vec_id LIMIT 16),
+       |cscored AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |    ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+       |      c.cvec::DOUBLE[]), 4) AS cos
+       |  FROM embeddings e CROSS JOIN cent c),
+       |cranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, cell) AS rn
+       |  FROM cscored),
+       |asg AS (SELECT vec_id, embedding, cell FROM cranked WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec, cell
+       |  FROM cranked WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    ROUND(list_cosine_similarity(p.qvec::DOUBLE[],
+       |      a.embedding::DOUBLE[]), 4) AS cosine
+       |  FROM probes p JOIN asg a
+       |    ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |ed AS (
+       |  SELECT query_id AS src, vec_id AS dst FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM cand)
+       |  WHERE rank <= 4),
+       |nodes AS (SELECT vec_id FROM embeddings),
+       |${pageRankCtes("nodes", "vec_id")}
+       |SELECT vec_id, CAST(pr AS BIGINT) AS pr_e12 FROM pr3""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5833,7 +5882,8 @@ WHERE rk <= 40"""
     "q138_kmeans_stream" -> (q138KmeansStream, Some(q138Sql)),
     "q139_wordpiece" -> (q139WordPiece, Some(q139Sql)),
     "q140_dup_pagerank" -> (q140DupPagerank, Some(q140Sql)),
-    "q141_knn_join" -> (q141KnnJoin, Some(q141Sql)))
+    "q141_knn_join" -> (q141KnnJoin, Some(q141Sql)),
+    "q142_ann_pagerank" -> (q142AnnPagerank, Some(q142Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
