@@ -327,11 +327,35 @@ object Similarity {
   def ivfKnnJoin(corpus: DataFrame, k: Int, numCells: Int = 16,
       nprobe: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      centroids: Seq[(Long, Seq[Float])] = Nil): DataFrame = {
+      centroids: Seq[(Long, Seq[Float])] = Nil,
+      maxCellSize: Int = 100000): DataFrame = {
     val index = buildIvfIndex(corpus, numCells, idCol, vecCol, centroids)
     val cents = index.centroids
     require(nprobe > 0 && nprobe <= cents.size,
       s"nprobe in [1,${cents.size}]")
+    // hot-cell guard (the Dedup.cappedBuckets discipline): a cell of
+    // size c costs c·(probing queries) candidate rows — a degenerate
+    // corpus (near-identical embeddings) concentrates in ONE cell and
+    // the join goes quadratic on that skewed key. ONE bounded count
+    // detects overflow; when nothing overflows the plan is
+    // byte-identical, otherwise overflowed cells trim to their
+    // lowest-id members (the approximation degrades — log it loudly;
+    // the real fix is retraining centroids so cells balance).
+    val assigned = if (maxCellSize <= 0) index.assigned else {
+      val over = index.assigned.groupBy("__cell")
+        .agg(count(lit(1)).as("__csz")).filter(col("__csz") > maxCellSize)
+        .agg(count(lit(1)).as("nb"), sum("__csz").as("nr")).head()
+      if (over.isNullAt(1) || over.getLong(0) == 0L) index.assigned
+      else {
+        knnJoinLog.warn(s"ivfKnnJoin: ${over.getLong(0)} cell(s) over " +
+          s"maxCellSize=$maxCellSize (${over.getLong(1)} rows) TRIMMED " +
+          "to their lowest-id members — recall degrades in those cells; " +
+          "retrain centroids (Clustering.ivfCentroids) to rebalance")
+        val wCap = Window.partitionBy("__cell").orderBy(col(idCol))
+        index.assigned.withColumn("__cr", row_number().over(wCap))
+          .filter(col("__cr") <= maxCellSize).drop("__cr")
+      }
+    }
     val cellArr = array(cents.map { case (cid, cvec) =>
       struct(
         (lit(1.0) - round(cosine(col("__qvec"), typedlit(cvec)), 4))
@@ -344,7 +368,7 @@ object Similarity {
       .select(col("__qid"), col("__qvec"),
         explode(col("__top")).as("__p"))
       .select(col("__qid"), col("__qvec"), col("__p.cell").as("__cell"))
-    val scored = index.assigned.join(probes, Seq("__cell"))
+    val scored = assigned.join(probes, Seq("__cell"))
       .filter(col(idCol) =!= col("__qid"))
       .withColumn("cosine", round(cosine(col("__qvec"), col("__cvec")), 4))
     val w = Window.partitionBy("__qid")
@@ -354,6 +378,9 @@ object Similarity {
       .select(col("__qid").as("query_id"), col("rank"), col(idCol),
         col("cosine"))
   }
+
+  private lazy val knnJoinLog =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.Similarity")
 
   /** [[ivfTopK]] against a prepared [[IvfIndex]] — the serving form:
     * the probe list broadcasts into the assigned corpus and only the

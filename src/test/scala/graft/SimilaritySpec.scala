@@ -710,4 +710,25 @@ class SimilaritySpec extends SparkSpec {
       s"expected exactly one Window node:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("ivfKnnJoin hot-cell guard trims overflowed cells to lowest ids") {
+    // degenerate corpus: identical vectors → every row lands in ONE cell
+    val corpus = (0L until 40L).map(i => (i, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.ivfKnnJoin(corpus, k = 3, numCells = 2,
+        nprobe = 1, maxCellSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // every served neighbour comes from the 10 lowest-id members
+    assert(capped.nonEmpty)
+    assert(capped.forall(_._2 < 10L),
+      s"neighbour outside the trimmed cell: ${capped.toSeq.take(5)}")
+    // a cap that nothing exceeds leaves results identical to uncapped
+    val a = Similarity.ivfKnnJoin(corpus, k = 3, numCells = 2,
+        nprobe = 1, maxCellSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Similarity.ivfKnnJoin(corpus, k = 3, numCells = 2,
+        nprobe = 1, maxCellSize = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
 }
