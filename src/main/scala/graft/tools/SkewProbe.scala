@@ -87,6 +87,25 @@ object SkewProbe {
         numHashes = 128, bands = 16, threshold = 0.7,
         maxBucketSize = cap).count()
 
+    // hot-CELL twin of the band probe: sf0.1 embeddings plus a planted
+    // near-identical vector family — every family member lands in ONE
+    // Voronoi cell, the ivfKnnJoin skewed-key surface
+    val embBase = spark.read.parquet(s"$base/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val embFamily = {
+      import spark.implicits._
+      embBase.limit(1).crossJoin(spark.range(familySize)
+          .select((col("id") + 500000000L).as("__fid")))
+        .select(col("__fid").as("vec_id"),
+          transform(col("embedding"),
+            x => (x + (col("__fid") % 100).cast("float") * lit(1e-6f))
+              .cast("float")).as("embedding"))
+    }
+    val embSkewed = embBase.unionByName(embFamily)
+    def knnJoin(df: DataFrame, cap: Int): Long =
+      graft.operators.Similarity.ivfKnnJoin(df, k = 4, numCells = 16,
+        nprobe = 4, maxCellSize = cap).count()
+
     val arms: Seq[(String, () => Long)] = Seq(
       ("star/base", () => star(plain)),
       ("star/skewed", () => star(withFamily)),
@@ -94,7 +113,12 @@ object SkewProbe {
       ("capped/skewed", () => pairs(withFamily, 1000))) ++
       (if (runAllPairs) Seq(
         ("allpairs/base", () => pairs(plain, 0)),
-        ("allpairs/skewed", () => pairs(withFamily, 0))) else Seq.empty)
+        ("allpairs/skewed", () => pairs(withFamily, 0))) else Seq.empty) ++
+      Seq(
+        ("knncap/base", () => knnJoin(embBase, 1000)),
+        ("knncap/skewed", () => knnJoin(embSkewed, 1000)),
+        ("knnuncap/base", () => knnJoin(embBase, 0)),
+        ("knnuncap/skewed", () => knnJoin(embSkewed, 0)))
 
     for ((name, fn) <- arms) {
       val times = (1 to reps).map { _ =>
