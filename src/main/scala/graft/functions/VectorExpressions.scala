@@ -123,6 +123,144 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Spark's `round(x, 4)` for doubles, verbatim (BigDecimal.valueOf →
+    * HALF_UP → toDouble) — [[TopCells]] must round exactly as the
+    * `round()` the literal-tree form it replaces used, or 4dp cosine
+    * ties would break differently. Public: called from generated code. */
+  def round4(v: Double): Double =
+    if (v.isNaN || v.isInfinite) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /**
+   * Top-n centroid cells of a vector by (round(cos, 4) DESC, cell ASC)
+   * in ONE fused pass — the codegen-healthy replacement for the
+   * `array_max(array(struct(round(cosine(v, lit₁)), …)))` literal trees
+   * the IVF/k-means family previously built per centroid.
+   *
+   * The literal-tree form is the Janino 64 KB anti-pattern
+   * ([[SignedProject]]'s doc): 16 inlined 64-float literals blow the
+   * generated method past the codegen limits and the WHOLE stage
+   * silently falls back to interpreted eval (measured 65 µs/row for a
+   * 16-cell assignment; and when Catalyst copies the tree into a join
+   * stage, every operator in that stage de-codegens with it). Here the
+   * centroid matrix and cell ids ride the references array — compact
+   * generated code, two nested loops, inside whole-stage codegen.
+   *
+   * Arithmetic is bit-identical to the tree it replaces: per-cell
+   * cosine in [[CosineSimilarity]]'s exact operation order (float
+   * elements promoted per element; query norm recomputed per the same
+   * accumulation sequence), then [[round4]] — so every oracle that
+   * replays `ROUND(list_cosine_similarity(...), 4)` still matches.
+   *
+   * @return `array<struct<cell: long, cos: double>>`, best first
+   */
+  case class TopCells(child: Expression, cents: Array[Array[Double]],
+      cellIds: Array[Long], n: Int)
+      extends UnaryExpression {
+    require(cents.nonEmpty && cents.length == cellIds.length,
+      "one id per centroid")
+    require(n >= 1 && n <= cents.length, s"n in [1,${cents.length}]")
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("cell", LongType, nullable = false),
+        StructField("cos", DoubleType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "graft_top_cells"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val bc = Array.fill(n)(java.lang.Double.NEGATIVE_INFINITY)
+      val bi = new Array[Long](n)
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        val dim = math.min(v.numElements(), cent.length)
+        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < dim) {
+          val xv = elemAt(child.dataType, v, i)
+          val yv = cent(i)
+          dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
+        }
+        val denom = math.sqrt(nx) * math.sqrt(ny)
+        val cos = round4(if (denom > 0) dot / denom else 0.0)
+        val id = cellIds(c)
+        // insertion by (cos DESC, id ASC)
+        var p = n
+        while (p > 0 && (cos > bc(p - 1) ||
+            (cos == bc(p - 1) && id < bi(p - 1)))) p -= 1
+        if (p < n) {
+          var q = n - 1
+          while (q > p) { bc(q) = bc(q - 1); bi(q) = bi(q - 1); q -= 1 }
+          bc(p) = cos; bi(p) = id
+        }
+        c += 1
+      }
+      val rows = new Array[AnyRef](n)
+      var t = 0
+      while (t < n) {
+        rows(t) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](bi(t), bc(t)))
+        t += 1
+      }
+      new GenericArrayData(rows)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = ctx.addReferenceObj("cents", cents, "double[][]")
+      val ids = ctx.addReferenceObj("cellIds", cellIds, "long[]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val bc = ctx.freshName("bc"); val bi = ctx.freshName("bi")
+        val c = ctx.freshName("c"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny"); val dim = ctx.freshName("dim")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        val denom = ctx.freshName("denom"); val cos = ctx.freshName("cos")
+        val id = ctx.freshName("id"); val p = ctx.freshName("p")
+        val q = ctx.freshName("q"); val rows = ctx.freshName("rows")
+        val t = ctx.freshName("t")
+        s"""
+           |double[] $bc = new double[$n];
+           |long[] $bi = new long[$n];
+           |java.util.Arrays.fill($bc, Double.NEGATIVE_INFINITY);
+           |for (int $c = 0; $c < $m.length; $c++) {
+           |  int $dim = java.lang.Math.min($v.numElements(), $m[$c].length);
+           |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+           |  for (int $i = 0; $i < $dim; $i++) {
+           |    double $xv = ${elemAccessor(child.dataType, v, i)};
+           |    double $yv = $m[$c][$i];
+           |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+           |  }
+           |  double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+           |  double $cos = graft.functions.VectorExpressions.round4(
+           |    $denom > 0 ? $dot / $denom : 0.0);
+           |  long $id = $ids[$c];
+           |  int $p = $n;
+           |  while ($p > 0 && ($cos > $bc[$p - 1] ||
+           |      ($cos == $bc[$p - 1] && $id < $bi[$p - 1]))) $p--;
+           |  if ($p < $n) {
+           |    for (int $q = $n - 1; $q > $p; $q--) {
+           |      $bc[$q] = $bc[$q - 1]; $bi[$q] = $bi[$q - 1];
+           |    }
+           |    $bc[$p] = $cos; $bi[$p] = $id;
+           |  }
+           |}
+           |Object[] $rows = new Object[$n];
+           |for (int $t = 0; $t < $n; $t++) {
+           |  $rows[$t] = new org.apache.spark.sql.catalyst.expressions
+           |    .GenericInternalRow(new Object[]{$bi[$t], $bc[$t]});
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util
+           |  .GenericArrayData($rows);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /**
    * All multi-table LSH sign-bit keys of a vector in ONE pass over the
    * dimensions: returns `array<int>` with one bucket key per table. The
@@ -369,6 +507,14 @@ object VectorExpressions {
     org.apache.spark.sql.graftbridge.ColumnBridge.of(
       DotProduct(org.apache.spark.sql.graftbridge.ColumnBridge.expr(a),
         org.apache.spark.sql.graftbridge.ColumnBridge.expr(b)))
+
+  /** Top-n cells of `vec` over `(cellId, centroid)` pairs — see
+    * [[TopCells]]. Returns `array<struct<cell, cos>>`, best first. */
+  def topCells(vec: Column, cents: Seq[(Long, Seq[Double])],
+      n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      TopCells(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec),
+        cents.map(_._2.toArray).toArray, cents.map(_._1).toArray, n))
 
   def lshKeys(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column = {
     val numTables = planes.length

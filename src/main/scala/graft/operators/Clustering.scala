@@ -48,14 +48,18 @@ object Clustering {
   /** Max k: centroid literals must stay a broadcastable codegen array. */
   private val MaxK = 256
 
-  /** Winning (round(cos,4), -cl) struct over centroid-sum literals:
-    * array_max picks the best cosine, ties to the lowest cluster id;
-    * the struct carries BOTH the chosen cluster and its cosine. */
+  /** Winning (round(cos,4), -cl) struct over the centroid sums — via
+    * the [[graft.functions.VectorExpressions.TopCells]] references-
+    * array expression (ties to the lowest cluster id), NOT a per-
+    * centroid literal tree: 16 inlined 64-element literals are the
+    * Janino-limit shape that silently de-codegens the whole stage.
+    * Struct keeps the historical (c, n = -cl) field layout so
+    * consumers and oracles are unchanged. */
   private def bestOf(vec: Column, sums: Seq[Seq[Double]]): Column = {
-    val scored = sums.zipWithIndex.map { case (s, cl) =>
-      struct(round(cosineSim(vec, typedlit(s)), 4).as("c"), lit(-cl).as("n"))
-    }
-    array_max(array(scored: _*))
+    val t = element_at(graft.functions.VectorExpressions.topCells(
+      vec, sums.zipWithIndex.map { case (s, cl) => (cl.toLong, s) }, 1), 1)
+    struct(t.getField("cos").as("c"),
+      (-t.getField("cell")).cast("int").as("n"))
   }
 
   private def clusterOf(vec: Column, sums: Seq[Seq[Double]]): Column =

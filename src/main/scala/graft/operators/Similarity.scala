@@ -244,6 +244,16 @@ object Similarity {
     * lowest-id vectors (deterministic, oracle-replayable); pass
     * [[graft.operators.Clustering.ivfCentroids]]-trained ones at
     * production scale. */
+  /** Centroids as (id, double-vector) for [[graft.functions
+    * .VectorExpressions.TopCells]] — float elements promote exactly as
+    * the literal-tree accessor did. */
+  private def centsD(cents: Seq[(Long, Seq[Float])]): Seq[(Long, Seq[Double])] =
+    cents.map { case (id, v) => (id, v.map(_.toDouble)) }
+
+  private def topCellsOf(vec: Column, cents: Seq[(Long, Seq[Float])],
+      n: Int): Column =
+    graft.functions.VectorExpressions.topCells(vec, centsD(cents), n)
+
   def buildIvfIndex(corpus: DataFrame, numCells: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroids: Seq[(Long, Seq[Float])] = Nil): IvfIndex = {
@@ -258,13 +268,8 @@ object Similarity {
         .select(col(idCol).cast("long"), col(vecCol))
         .orderBy(col(idCol)).limit(numCells).collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
-    def cellOf(vec: Column): Column = {
-      val scored = cents.map { case (cid, cvec) =>
-        struct(round(cosine(vec, typedlit(cvec)), 4).as("c"),
-          lit(-cid).as("n"))
-      }
-      -array_max(array(scored: _*)).getField("n")
-    }
+    def cellOf(vec: Column): Column =
+      element_at(topCellsOf(vec, cents, 1), 1).getField("cell")
     IvfIndex(corpus.select(col(idCol), col(vecCol).as("__cvec"),
       cellOf(col(vecCol)).as("__cell")), cents)
   }
@@ -356,17 +361,9 @@ object Similarity {
           .filter(col("__cr") <= maxCellSize).drop("__cr")
       }
     }
-    val cellArr = array(cents.map { case (cid, cvec) =>
-      struct(
-        (lit(1.0) - round(cosine(col("__qvec"), typedlit(cvec)), 4))
-          .as("d"),
-        lit(cid).as("cell"))
-    }: _*)
     val probes = corpus
       .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
-      .withColumn("__top", slice(sort_array(cellArr), 1, nprobe))
-      .select(col("__qid"), col("__qvec"),
-        explode(col("__top")).as("__p"))
+      .withColumn("__p", explode(topCellsOf(col("__qvec"), cents, nprobe)))
       .select(col("__qid"), col("__qvec"), col("__p.cell").as("__cell"))
     // Exchange barrier on the cell key — load-bearing twice over.
     // (1) Plan health: without it Catalyst inlines the 16-cosine
@@ -402,20 +399,14 @@ object Similarity {
       queryIdCol: String = "query_id", vecCol: String = "embedding"): DataFrame = {
     val cents = index.centroids
     require(nprobe > 0 && nprobe <= cents.size, s"nprobe in [1,${cents.size}]")
-    // probe list: every query's nprobe nearest cells (tiny — explode the
-    // numCells scores and rank per query)
-    val cellScores = explode(array(cents.map { case (cid, cvec) =>
-      struct(lit(cid).as("cell"),
-        round(cosine(col("__qvec"), typedlit(cvec)), 4).as("cos"))
-    }: _*))
-    val wCells = Window.partitionBy(queryIdCol)
-      .orderBy(col("__cs.cos").desc, col("__cs.cell"))
+    // probe list: every query's nprobe nearest cells — one narrow
+    // TopCells projection per query row (no per-query window, no
+    // literal tree; ordering (cos DESC, cell ASC) identical to the
+    // windowed form it replaces)
     val probes = queries
       .select(col(queryIdCol), col(vecCol).as("__qvec"))
-      .withColumn("__cs", cellScores)
-      .withColumn("__cr", row_number().over(wCells))
-      .filter(col("__cr") <= nprobe)
-      .select(col(queryIdCol), col("__qvec"), col("__cs.cell").as("__cell"))
+      .withColumn("__p", explode(topCellsOf(col("__qvec"), cents, nprobe)))
+      .select(col(queryIdCol), col("__qvec"), col("__p.cell").as("__cell"))
 
     // scan only the probed cells, exact cosine re-rank within them
     val scored = index.assigned.join(broadcast(probes), Seq("__cell"))
@@ -706,19 +697,12 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
 
-    // stage 1 — probe list: each query's nprobe nearest cells
-    val cellScores = explode(array(cents.map { case (cid, cvec) =>
-      struct(lit(cid).as("cell"),
-        round(cosine(col("__qvec"), typedlit(cvec)), 4).as("cos"))
-    }: _*))
-    val wCells = Window.partitionBy(queryIdCol)
-      .orderBy(col("__cs.cos").desc, col("__cs.cell"))
+    // stage 1 — probe list: each query's nprobe nearest cells (narrow
+    // TopCells projection; same (cos DESC, cell ASC) ordering)
     val probes = queries
       .select(col(queryIdCol), col(vecCol).as("__qvec"))
-      .withColumn("__cs", cellScores)
-      .withColumn("__cr", row_number().over(wCells))
-      .filter(col("__cr") <= nprobe)
-      .select(col(queryIdCol), col("__cs.cell").as("__cell"))
+      .withColumn("__p", explode(topCellsOf(col("__qvec"), cents, nprobe)))
+      .select(col(queryIdCol), col("__p.cell").as("__cell"))
     // candidate ids = the probed cells' members
     val cand = ivf.assigned.join(broadcast(probes), Seq("__cell"))
       .select(col(queryIdCol), col(idCol))
@@ -819,13 +803,8 @@ object Similarity {
       .map { case (cid, v) => (cid, v.map(_.toDouble)) }
       .toDF("__cell", "__centvec")
 
-    def cellOf(vec: Column): Column = {
-      val scored = cents.map { case (cid, cvec) =>
-        struct(round(cosine(vec, typedlit(cvec)), 4).as("c"),
-          lit(-cid).as("n"))
-      }
-      -array_max(array(scored: _*)).getField("n")
-    }
+    def cellOf(vec: Column): Column =
+      element_at(topCellsOf(vec, cents, 1), 1).getField("cell")
 
     // residual frame: one broadcast join + one native vec-diff pass;
     // persisted because the m encode branches and the codebook seed all
@@ -869,19 +848,12 @@ object Similarity {
         codeOf(slice(col("__r"), j * sd + 1, sd), j).as("__code"))
     }.reduce(_.unionAll(_))
 
-    // probe list: every query's nprobe nearest cells by rounded cosine
-    val cellScores = explode(array(cents.map { case (cid, cvec) =>
-      struct(lit(cid).as("cell"),
-        round(cosine(col("__qvec"), typedlit(cvec)), 4).as("cos"))
-    }: _*))
-    val wCells = Window.partitionBy(queryIdCol)
-      .orderBy(col("__cs.cos").desc, col("__cs.cell"))
+    // probe list: every query's nprobe nearest cells (narrow TopCells
+    // projection; same (cos DESC, cell ASC) ordering)
     val probes = queries
       .select(col(queryIdCol), col(vecCol).as("__qvec"))
-      .withColumn("__cs", cellScores)
-      .withColumn("__cr", row_number().over(wCells))
-      .filter(col("__cr") <= nprobe)
-      .select(col(queryIdCol), col("__qvec"), col("__cs.cell").as("__cell"))
+      .withColumn("__p", explode(topCellsOf(col("__qvec"), cents, nprobe)))
+      .select(col(queryIdCol), col("__qvec"), col("__p.cell").as("__cell"))
 
     // query residual subvectors per probed cell (+ their rr term)
     val qsubs = probes.join(broadcast(centRows), Seq("__cell"))

@@ -160,4 +160,40 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().head
     assert(n.isNullAt(0))
   }
+
+  test("topCells ≡ the literal-tree form it replaced: order, ties, rounding") {
+    val rnd = new scala.util.Random(31)
+    val cents: Seq[(Long, Seq[Double])] = (0 until 16)
+      .map(c => (c * 7L, Seq.fill(8)(rnd.nextGaussian())))
+    val vecs = (0L until 100L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    // reference: the old explode + per-query rank over rounded cosines
+    val scored = explode(array(cents.map { case (cid, cvec) =>
+      struct(lit(cid).as("cell"),
+        round(VectorExpressions.cosineSim($"embedding", typedlit(cvec)), 4)
+          .as("cos"))
+    }: _*))
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy($"__cs.cos".desc, $"__cs.cell")
+    val ref = vecs.withColumn("__cs", scored)
+      .withColumn("rn", row_number().over(wq)).filter($"rn" <= 3)
+      .select($"vec_id", $"rn", $"__cs.cell", $"__cs.cos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val got = vecs.select($"vec_id", posexplode(
+        VectorExpressions.topCells($"embedding", cents, 3)))
+      .select($"vec_id", ($"pos" + 1).as("rn"), $"col.cell", $"col.cos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got == ref)
+    // planted tie: two identical centroids with different ids — the
+    // lower id must rank first (the array_max (cos, -id) tie rule)
+    val tied = Seq((99L, Seq(1.0, 0.0)), (3L, Seq(1.0, 0.0)),
+      (50L, Seq(0.0, 1.0)))
+    val t = Seq((0L, Array(1.0f, 0.1f))).toDF("vec_id", "embedding")
+      .select(VectorExpressions.topCells($"embedding", tied, 2).as("t"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(t.map(_.getLong(0)) == Seq(3L, 99L))
+  }
 }
