@@ -262,6 +262,132 @@ object VectorExpressions {
   }
 
   /**
+   * Product-quantization encode, ALL m subspaces in one pass: for each
+   * subspace j, the argbest code over the sub-codebook — by rounded
+   * raw dot (maximize; the global-codebook PQ form) or by rounded
+   * squared-L2 `rr − 2·dot + cc` (minimize; the residual IVF-PQ form).
+   * Ties go to the LOWEST code (strict comparison over ascending
+   * codes), matching the array_max/array_min literal trees this
+   * replaces. The codebook (and precomputed codeword norms for the L2
+   * form) ride the references array — compact generated code, no
+   * per-subspace union layout, no literal trees, no Janino hazard.
+   *
+   * Arithmetic parity with the replaced form: subvector element j·sd+i
+   * promotes per element exactly as `slice` + the fused-loop dot did;
+   * `rr` accumulates over the same subvector order; the score is
+   * `((rr − (2·dot)) + cc)` in that association order; [[round4]] is
+   * Spark's `round(x, 4)` verbatim.
+   *
+   * @return `array<int>` of length m — subspace j's chosen code
+   */
+  case class PqEncode(child: Expression,
+      codes: Array[Array[Array[Double]]], ccNorms: Array[Array[Double]],
+      l2: Boolean)
+      extends UnaryExpression {
+    require(codes.nonEmpty && codes.forall(_.nonEmpty), "m x cb codebook")
+    require(!l2 || (ccNorms != null && ccNorms.length == codes.length),
+      "L2 mode needs one norm per codeword")
+
+    private val m = codes.length
+    private val sd = codes(0)(0).length
+
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_pq_encode"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val out = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val off = j * sd
+        val dim = math.max(0, math.min(v.numElements() - off, sd))
+        var rr = 0.0
+        if (l2) {
+          var i = 0
+          while (i < dim) {
+            val xv = elemAt(child.dataType, v, off + i)
+            rr += xv * xv; i += 1
+          }
+        }
+        var bs = if (l2) java.lang.Double.POSITIVE_INFINITY
+          else java.lang.Double.NEGATIVE_INFINITY
+        var bcode = 0
+        val sub = codes(j)
+        var c = 0
+        while (c < sub.length) {
+          val cw = sub(c)
+          var dot = 0.0; var i = 0
+          val d2 = math.min(dim, cw.length)
+          while (i < d2) {
+            dot += elemAt(child.dataType, v, off + i) * cw(i); i += 1
+          }
+          val s = round4(
+            if (l2) rr - 2.0 * dot + ccNorms(j)(c) else dot)
+          if (if (l2) s < bs else s > bs) { bs = s; bcode = c }
+          c += 1
+        }
+        out(j) = bcode
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("codes", codes, "double[][][]")
+      val ccRef = if (l2) ctx.addReferenceObj("ccNorms", ccNorms,
+        "double[][]") else "null"
+      nullSafeCodeGen(ctx, ev, v => {
+        val out = ctx.freshName("out"); val j = ctx.freshName("j")
+        val off = ctx.freshName("off"); val dim = ctx.freshName("dim")
+        val rr = ctx.freshName("rr"); val bs = ctx.freshName("bs")
+        val bcode = ctx.freshName("bcode"); val c = ctx.freshName("c")
+        val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
+        val s = ctx.freshName("s"); val d2 = ctx.freshName("d2")
+        val xv = ctx.freshName("xv")
+        val offI = s"$off + $i"
+        val better = if (l2) s"$s < $bs" else s"$s > $bs"
+        val init = if (l2) "Double.POSITIVE_INFINITY"
+          else "Double.NEGATIVE_INFINITY"
+        val rrLoop = if (l2)
+          s"""for (int $i = 0; $i < $dim; $i++) {
+             |  double $xv = ${elemAccessor(child.dataType, v, offI)};
+             |  $rr += $xv * $xv;
+             |}""".stripMargin else ""
+        val score = if (l2) s"$rr - 2.0 * $dot + $ccRef[$j][$c]" else dot
+        s"""
+           |int[] $out = new int[$m];
+           |for (int $j = 0; $j < $m; $j++) {
+           |  int $off = $j * $sd;
+           |  int $dim = java.lang.Math.max(0,
+           |    java.lang.Math.min($v.numElements() - $off, $sd));
+           |  double $rr = 0.0;
+           |  $rrLoop
+           |  double $bs = $init;
+           |  int $bcode = 0;
+           |  for (int $c = 0; $c < $cbRef[$j].length; $c++) {
+           |    double $dot = 0.0;
+           |    int $d2 = java.lang.Math.min($dim, $cbRef[$j][$c].length);
+           |    for (int $i = 0; $i < $d2; $i++) {
+           |      $dot += ${elemAccessor(child.dataType, v, offI)}
+           |        * $cbRef[$j][$c][$i];
+           |    }
+           |    double $s = graft.functions.VectorExpressions.round4($score);
+           |    if ($better) { $bs = $s; $bcode = $c; }
+           |  }
+           |  $out[$j] = $bcode;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util
+           |  .GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /**
    * All multi-table LSH sign-bit keys of a vector in ONE pass over the
    * dimensions: returns `array<int>` with one bucket key per table. The
    * plane matrix (numTables × numPlanes rows, each of length dim) rides in
@@ -515,6 +641,17 @@ object VectorExpressions {
     org.apache.spark.sql.graftbridge.ColumnBridge.of(
       TopCells(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec),
         cents.map(_._2.toArray).toArray, cents.map(_._1).toArray, n))
+
+  /** All-subspace PQ encode — see [[PqEncode]]. `array<int>` of m
+    * codes; dot-argmax form when `ccNorms` is empty, L2-argmin when
+    * provided. */
+  def pqEncode(vec: Column, codebook: Seq[Seq[Seq[Double]]],
+      ccNorms: Seq[Seq[Double]] = Nil): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      PqEncode(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec),
+        codebook.map(_.map(_.toArray).toArray).toArray,
+        if (ccNorms.isEmpty) null else ccNorms.map(_.toArray).toArray,
+        l2 = ccNorms.nonEmpty))
 
   def lshKeys(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column = {
     val numTables = planes.length

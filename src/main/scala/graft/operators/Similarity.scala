@@ -599,31 +599,18 @@ object Similarity {
         val sd = dim / m
         (0 until m).map(j => base.map(_.slice(j * sd, j * sd + sd)))
       }
-    val sd = cb.head.head.size
-    def sub(vec: Column, j: Int): Column = slice(vec, j * sd + 1, sd)
-    // per-subspace argmax code: array_max over (rounded dot, -code)
-    def codeOf(vec: Column, j: Int): Column = {
-      val scored = cb(j).zipWithIndex.map { case (cent, c) =>
-        struct(round(dotFast(sub(vec, j), typedlit(cent)), 4).as("d"),
-          lit(-c).as("n"))
-      }
-      -array_max(array(scored: _*)).getField("n")
-    }
-    // ONE narrow projection PER SUBSPACE, unioned — not a single
-    // posexplode whose generator inlines all m·codebookSize dot products
-    // into one consume method: that tripped Janino's hard 64 KB method
-    // limit at the DEFAULT (m=8, cb=16) and silently fell back to
-    // interpreted evaluation for the whole encode stage. Each union
-    // branch carries only `codebookSize` dots, so generated code stays
-    // bounded by cb alone; the shared slice is persisted so the m
-    // branches re-read one cached frame, not m corpus scans. Still no
+    // ALL m subspaces in ONE narrow projection via the references-array
+    // PqEncode expression — the per-subspace-union layout this replaces
+    // existed to dodge Janino's 64 KB limit on the m·codebookSize
+    // literal-tree form; with the codebook riding the references array
+    // the generated code is two small nested loops, so one corpus pass
+    // (no persisted re-read, no union) encodes everything. Still no
     // shuffle anywhere in the encode.
-    val base = graft.operators.PersistTracker.trackPersist(
-      corpus.select(col(idCol), col(vecCol)))
-    val codes = (0 until m).map { j =>
-      base.select(col(idCol), lit(j).as("__j"),
-        codeOf(col(vecCol), j).as("__code"))
-    }.reduce(_.unionAll(_))
+    val codes = corpus.select(col(idCol), posexplode(
+        graft.functions.VectorExpressions.pqEncode(col(vecCol),
+          cb.map(_.map(_.map(_.toDouble))))))
+      .select(col(idCol), col("pos").cast("int").as("__j"),
+        col("col").cast("int").as("__code"))
     PqIndex(codes, cb)
   }
 
@@ -833,20 +820,14 @@ object Similarity {
     }
 
     // encode: per-subspace argmin code over rounded squared-L2 in the
-    // rr − 2·rc + cc form; one narrow projection per subspace, unioned
-    // (the buildPqIndex Janino-limit layout)
-    def codeOf(rsub: Column, j: Int): Column = {
-      val rr = dotFast(rsub, rsub)
-      val scored = cb(j).zipWithIndex.map { case (cw, c) =>
-        struct(round(rr - lit(2.0) * dotFast(rsub, typedlit(cw))
-          + lit(sqnorm(cw)), 4).as("d"), lit(c).as("n"))
-      }
-      array_min(array(scored: _*)).getField("n")
-    }
-    val codes = (0 until m).map { j =>
-      resid.select(col(idCol), col("__cell"), lit(j).as("__j"),
-        codeOf(slice(col("__r"), j * sd + 1, sd), j).as("__code"))
-    }.reduce(_.unionAll(_))
+    // rr − 2·rc + cc form — all m subspaces in ONE PqEncode projection
+    // (references-array codebook + precomputed codeword norms; see
+    // buildPqIndex)
+    val codes = resid.select(col(idCol), col("__cell"), posexplode(
+        graft.functions.VectorExpressions.pqEncode(col("__r"), cb,
+          cb.map(_.map(sqnorm)))))
+      .select(col(idCol), col("__cell"),
+        col("pos").cast("int").as("__j"), col("col").cast("int").as("__code"))
 
     // probe list: every query's nprobe nearest cells (narrow TopCells
     // projection; same (cos DESC, cell ASC) ordering)
