@@ -431,4 +431,81 @@ object Sampling {
           col("target_rank") <= col("cum"))
       .select(col("q"), col("target_rank"), col("v").as("value"))
   }
+
+  /**
+   * EXACT quantiles PER GROUP — [[exactQuantiles]]'s keyed sibling (the
+   * per-language length profile a data card reports, exact):
+   * value-count aggregate on (key, value), per-key cumulative counts
+   * via a window PARTITIONED BY KEY (each partition holds one key's
+   * distinct values — no global window, no single-partition exchange),
+   * then every requested quantile resolves in the same pass by
+   * exploding the quantile list against the cumulative frame and
+   * keeping the covering row. percentile_disc semantics; rank targets
+   * ceil(q·n_key) on the same IEEE product an oracle evaluates.
+   *
+   * Scale: shuffles are bounded by Σ|distinct values per key|; a
+   * single key's distinct values must fit one task's window (the same
+   * contract as any per-key window) — for unbounded-cardinality value
+   * columns at extreme skew, bucket values first or use
+   * [[exactQuantiles]] per key slice.
+   *
+   * @return `(key, q, target_rank, value)` — |keys|·|qs| rows
+   */
+  def groupQuantiles(df: DataFrame, keyCol: Column, valueCol: Column,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1], got $qs")
+    val counts = df.select(keyCol.as("key"), valueCol.as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("key", "v").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("v")
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    val nk = counts.groupBy("key").agg(sum("c").as("n"))
+    cum.join(nk, "key")
+      .select(col("key"), col("v"), col("c"), col("cum"), col("n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("target_rank",
+        ceil(col("q") * col("n").cast("double")).cast("long"))
+      .filter(col("cum") - col("c") < col("target_rank") &&
+        col("target_rank") <= col("cum"))
+      .select(col("key"), col("q"), col("target_rank"),
+        col("v").as("value"))
+  }
+
+  /**
+   * Temperature-based mixture sampling — the multilingual α-sampling of
+   * public practice (mC4, Raffel et al. 2020; XLM-R, Conneau et al.
+   * 2020): a group with share p keeps documents at a rate ∝ p^(α−1),
+   * flattening the mixture toward uniform as α → 0 (α = 1 is a no-op
+   * pass-through of the natural distribution, α = 0 full balance).
+   * Normalized so the SMALLEST group keeps everything (the
+   * [[balanceMixture]] convention):
+   *
+   *   f_k = (n_min / n_k)^(1−α),   keep ⇔ md5(id:salt) bucket <
+   *                                        floor(f_k·10⁶ + 0.5)
+   *
+   * Deterministic (the [[deterministicSample]] hash device, no RNG) and
+   * one |keys|-row broadcast onto a narrow filter — the corpus never
+   * shuffles. α = 0.5 uses `sqrt` explicitly: IEEE sqrt is correctly
+   * rounded in every engine, while general `pow` is only libm-accurate
+   * — an oracle replaying a non-half α can disagree by one ulp AT the
+   * cutoff boundary (documented caveat; the battery pins α = 0.5).
+   */
+  def temperatureMixture(df: DataFrame, key: Column, id: Column,
+      alpha: Double, salt: String): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")
+    val nk = df.groupBy(key.as("__tk")).agg(count(lit(1)).as("__nk"))
+    val nmin = nk.agg(min("__nk").as("__nmin"))
+    val ratio = col("__nmin").cast("double") / col("__nk").cast("double")
+    val frac = if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 1.0) lit(1.0)
+      else pow(ratio, lit(1.0 - alpha))
+    val cuts = nk.crossJoin(broadcast(nmin))
+      .select(col("__tk"),
+        floor(frac * lit(Buckets) + lit(0.5)).cast("long").as("__cut"))
+    df.join(broadcast(cuts), key === col("__tk"))
+      .filter(hashBucket(id, salt) < col("__cut"))
+      .drop("__tk", "__cut")
+  }
 }

@@ -925,6 +925,41 @@ object Similarity {
    * @return input columns with `vecCol` replaced by the whitened
    *         double array
    */
+  /**
+   * Per-dimension z-score standardization — [[whitenEmbeddings]]'s
+   * diagonal little sibling (feature scaling for mixed-source
+   * embedding corpora): `z_j = (x_j − μ_j) · (1/σ_j)` with μ/σ from
+   * the SAME single [[graft.functions.MomentSums]] scan (the diagonal
+   * of the triangle), a bounded driver collect, and one narrow
+   * [[graft.functions.VectorExpressions.AffineProject]] codegen pass
+   * (diagonal matrix — the off-diagonal zero terms add exact ±0.0 and
+   * cannot perturb the value). σ_j ≤ 0 (constant dimension) maps to 1
+   * so the dimension passes through centered. Unlike whitening, every
+   * arithmetic step here replays in SQL — sample variance, sqrt,
+   * reciprocal-multiply — so the full output is oracle-gateable (4dp,
+   * float-sum-order rounding discipline as the covariance oracle).
+   */
+  def standardizeEmbeddings(df: DataFrame, vecCol: String,
+      dim: Int): DataFrame = {
+    val sums = df.agg(
+        graft.functions.MomentSums.momentSums(dim)(
+          col(vecCol).cast("array<double>")).as("__s"))
+      .collect().head.getSeq[Double](0)
+    val n = sums(0)
+    require(n > 1, s"need at least 2 vectors to standardize, got $n")
+    val mu = Array.tabulate(dim)(j => sums(1 + j) / n)
+    val inv = Array.tabulate(dim) { j =>
+      val sx = sums(1 + j)
+      val sxx = sums(1 + dim + (j * dim - j * (j - 1) / 2))
+      val s = math.sqrt((sxx - sx * sx / n) / (n - 1.0))
+      if (s > 0) 1.0 / s else 1.0
+    }
+    val m = Array.tabulate(dim, dim)((r, c) =>
+      if (r == c) inv(r) else 0.0)
+    df.withColumn(vecCol,
+      graft.functions.VectorExpressions.affineProject(col(vecCol), m, mu))
+  }
+
   def whitenEmbeddings(df: DataFrame, vecCol: String, dim: Int,
       eps: Double = 1e-8): DataFrame = {
     val sums = df.agg(

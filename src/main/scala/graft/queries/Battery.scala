@@ -5734,6 +5734,103 @@ WHERE rk <= 40"""
        |${pageRankCtes("nodes", "vec_id")}
        |SELECT vec_id, CAST(pr AS BIGINT) AS pr_e12 FROM pr3""".stripMargin
 
+  /** Per-group EXACT quantiles ([[graft.operators.Sampling
+    * .groupQuantiles]]): the per-language document-length profile,
+    * exact (q137's keyed sibling) — per-key cumulative counts under a
+    * key-partitioned window, every quantile resolved in one pass by
+    * exploding the quantile list against the covering cumulative
+    * range. */
+  val q143GroupQuantiles: Q = (s, dir) =>
+    graft.operators.Sampling.groupQuantiles(
+        t(s, dir, "documents"), col("lang"),
+        col("n_chars").cast("double"), Seq(0.25, 0.5, 0.9))
+      .withColumnRenamed("key", "lang")
+
+  val q143Sql: String =
+    """WITH s AS (
+      |  SELECT lang, CAST(n_chars AS DOUBLE) AS v, COUNT(*) AS c
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, v, CAST(c AS BIGINT) AS c,
+      |    CAST(SUM(c) OVER (PARTITION BY lang ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM s),
+      |nk AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM s GROUP BY 1)
+      |SELECT cum.lang, CAST(q AS DOUBLE) AS q,
+      |  CAST(CEIL(CAST(q AS DOUBLE) * nk.n) AS BIGINT) AS target_rank,
+      |  cum.v AS value
+      |FROM cum JOIN nk ON nk.lang = cum.lang
+      |CROSS JOIN (VALUES (0.25), (0.5), (0.9)) AS qs(q)
+      |WHERE cum.cum - cum.c < CAST(CEIL(CAST(q AS DOUBLE) * nk.n) AS BIGINT)
+      |  AND CAST(CEIL(CAST(q AS DOUBLE) * nk.n) AS BIGINT) <= cum.cum"""
+      .stripMargin
+
+  /** Temperature mixture sampling ([[graft.operators.Sampling
+    * .temperatureMixture]]): the multilingual α-sampling (mC4/XLM-R) at
+    * α = 0.5 — keep rate per language ∝ √(n_min/n_k), smallest language
+    * fully kept, no RNG, corpus never shuffles. α is pinned to 0.5 in
+    * the battery because IEEE sqrt is correctly rounded on every
+    * engine while general pow is only libm-accurate at the cutoff
+    * boundary. */
+  val q144TempMixture: Q = (s, dir) =>
+    graft.operators.Sampling.temperatureMixture(
+        t(s, dir, "documents"), col("lang"), col("doc_id"),
+        alpha = 0.5, salt = "temp1")
+      .select("doc_id", "lang", "source")
+
+  val q144Sql: String =
+    """WITH nk AS (
+      |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      |nmin AS (SELECT MIN(n) AS nmin FROM nk),
+      |cuts AS (
+      |  SELECT lang, CAST(FLOOR(
+      |    sqrt(CAST((SELECT nmin FROM nmin) AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * 1000000 + 0.5) AS BIGINT) AS cut
+      |  FROM nk)
+      |SELECT d.doc_id, d.lang, d.source
+      |FROM documents d JOIN cuts ON cuts.lang = d.lang
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp1'),
+      |    1, 15))::BIGINT % 1000000 < cuts.cut""".stripMargin
+
+  /** Per-dimension z-score standardization ([[graft.operators
+    * .Similarity.standardizeEmbeddings]]): q130's moment scan turned
+    * into the feature-scaling pass — μ/σ from the same single
+    * aggregate, corpus through one diagonal AffineProject codegen
+    * pass. Every arithmetic step replays in SQL (sample variance,
+    * sqrt, reciprocal-MULTIPLY — written `·(1/σ)` on both sides, not
+    * `/σ`, because those are different doubles), gated at 4dp under
+    * the covariance oracle's float-sum-order discipline. */
+  val q145Standardize: Q = (s, dir) =>
+    graft.operators.Similarity.standardizeEmbeddings(
+        t(s, dir, "embeddings"), "embedding", dim = 64)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "dim", "z")
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        (round(col("z"), 4) + lit(0.0)).as("z"))
+
+  val q145Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+      |stats AS (
+      |  SELECT CAST(j AS INT) AS j,
+      |    SUM(v[CAST(j AS INT) + 1]) AS sx,
+      |    SUM(v[CAST(j AS INT) + 1] * v[CAST(j AS INT) + 1]) AS sxx
+      |  FROM e, unnest(range(0, 64)) AS u(j)
+      |  GROUP BY 1),
+      |scale AS (
+      |  SELECT j, sx / (SELECT n FROM n) AS mu,
+      |    CASE WHEN sqrt((sxx - sx * sx / (SELECT n FROM n))
+      |        / ((SELECT n FROM n) - 1.0)) > 0
+      |      THEN 1.0 / sqrt((sxx - sx * sx / (SELECT n FROM n))
+      |        / ((SELECT n FROM n) - 1.0))
+      |      ELSE 1.0 END AS inv
+      |  FROM stats)
+      |SELECT e.vec_id, CAST(s.j AS BIGINT) AS dim,
+      |  ROUND((e.v[s.j + 1] - s.mu) * s.inv, 4) + 0.0 AS z
+      |FROM e CROSS JOIN scale s""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5883,7 +5980,10 @@ WHERE rk <= 40"""
     "q139_wordpiece" -> (q139WordPiece, Some(q139Sql)),
     "q140_dup_pagerank" -> (q140DupPagerank, Some(q140Sql)),
     "q141_knn_join" -> (q141KnnJoin, Some(q141Sql)),
-    "q142_ann_pagerank" -> (q142AnnPagerank, Some(q142Sql)))
+    "q142_ann_pagerank" -> (q142AnnPagerank, Some(q142Sql)),
+    "q143_group_quantiles" -> (q143GroupQuantiles, Some(q143Sql)),
+    "q144_temp_mixture" -> (q144TempMixture, Some(q144Sql)),
+    "q145_standardize" -> (q145Standardize, Some(q145Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

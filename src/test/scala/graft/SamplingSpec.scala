@@ -311,6 +311,43 @@ class SamplingSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("groupQuantiles: per-key percentile_disc vs sorted references") {
+    val df = (0L until 300L)
+      .map(i => (i, if (i % 3 == 0) "a" else "b", (i * 13 % 47).toDouble))
+      .toDF("id", "k", "v")
+    val got = Sampling.groupQuantiles(df, col("k"), col("v"),
+        Seq(0.5, 0.9))
+      .collect().map(r => ((r.getString(0), r.getDouble(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    for (k <- Seq("a", "b"); q <- Seq(0.5, 0.9)) {
+      val vals = (0L until 300L)
+        .filter(i => (if (i % 3 == 0) "a" else "b") == k)
+        .map(i => (i * 13 % 47).toDouble).sorted
+      val r = math.ceil(q * vals.length).toLong
+      assert(got((k, q)) == ((r, vals(r.toInt - 1))), s"($k, $q)")
+    }
+  }
+
+  test("temperatureMixture: alpha=1 no-op, alpha=0 balances, smallest kept fully, alpha=0.5 between") {
+    val df = ((0L until 800L).map(i => (i, "big")) ++
+      (800L until 900L).map(i => (i, "small"))).toDF("id", "lang")
+    def counts(alpha: Double) = Sampling
+      .temperatureMixture(df, col("lang"), col("id"), alpha, "t1")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a1 = counts(1.0)
+    assert(a1 == Map("big" -> 800L, "small" -> 100L), s"alpha=1: $a1")
+    val a0 = counts(0.0)
+    assert(a0("small") == 100L)
+    // alpha=0: big keeps at rate 100/800 = 12.5% -> ~100 docs
+    assert(math.abs(a0("big") - 100L) < 30, s"alpha=0: $a0")
+    val ah = counts(0.5)
+    assert(ah("small") == 100L)
+    // sqrt(1/8) ~ 35.4% of 800 ~ 283
+    assert(ah("big") > a0("big") && ah("big") < a1("big"), s"alpha=.5: $ah")
+    assert(math.abs(ah("big") - 283L) < 45, s"alpha=.5: $ah")
+  }
+
   test("exactQuantiles: partition-invariant and null-safe") {
     val df = (0L until 500L)
       .map(i => (i, if (i % 11 == 0) null else java.lang.Double.valueOf((i * 37 % 101).toDouble)))

@@ -711,6 +711,25 @@ class SimilaritySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("standardizeEmbeddings: zero mean, unit variance per dimension") {
+    val rnd = new scala.util.Random(17)
+    // anisotropic: dim 0 wide + offset, dim 1 narrow
+    val df = (0L until 400L)
+      .map(i => (i, Array((rnd.nextGaussian() * 5 + 3).toFloat,
+        (rnd.nextGaussian() * 0.2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.standardizeEmbeddings(df, "embedding", dim = 2)
+      .select(posexplode(col("embedding"))).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1))
+    for (d <- 0 to 1) {
+      val vs = z.filter(_._1 == d).map(_._2)
+      val mean = vs.sum / vs.length
+      val varr = vs.map(x => (x - mean) * (x - mean)).sum / (vs.length - 1)
+      assert(math.abs(mean) < 1e-9, s"dim $d mean $mean")
+      assert(math.abs(varr - 1.0) < 1e-9, s"dim $d var $varr")
+    }
+  }
+
   test("ivfKnnJoin hot-cell guard trims overflowed cells to lowest ids") {
     // degenerate corpus: identical vectors → every row lands in ONE cell
     val corpus = (0L until 40L).map(i => (i, Seq(1.0f, 0.0f)))
