@@ -128,12 +128,24 @@ object Retrieval {
     val qterms = queries.select(col(queryIdCol),
         explode(TextAnalysis.tokens(lower(col(queryTextCol)))).as("__t"))
       .distinct()
+    scoreTermFrame(index, qterms, k, k1, b, idCol, queryIdCol)
+  }
+
+  /** The BM25 idf term on an index's (__n, __df) columns. */
+  private def bm25Idf: Column = log(lit(1.0) +
+    (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+
+  /** Score a prepared per-query TERM frame `(queryIdCol, __t)` against
+    * the index — the shared tail of [[bm25TopKWithIndex]] and
+    * [[prfTopK]] (both rounds). Plan shape unchanged from the original
+    * inline form: broadcast term frame + broadcast query-vocab df
+    * slice + broadcast 1-row stats onto the tf scan. */
+  private def scoreTermFrame(index: Bm25Index, qterms: DataFrame, k: Int,
+      k1: Double, b: Double, idCol: String, queryIdCol: String): DataFrame = {
     // df slice for the query vocabulary only — |query terms| rows, so it
     // broadcasts no matter how large the corpus vocabulary is
     val dfq = index.df
       .join(broadcast(qterms.select("__t").distinct()), Seq("__t"))
-    val idf = log(lit(1.0) +
-      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val norm = col("__tf") /
       (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
     val scored = index.tf
@@ -141,12 +153,63 @@ object Retrieval {
       .join(broadcast(dfq), Seq("__t"))
       .crossJoin(broadcast(index.stats))
       .groupBy(col(queryIdCol), col("__id"))
-      .agg(round(sum(idf * norm), 4).as("score"))
+      .agg(round(sum(bm25Idf * norm), 4).as("score"))
     val w = Window.partitionBy(queryIdCol)
       .orderBy(col("score").desc, col("__id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col("rank"), col("__id").as(idCol), col("score"))
+  }
+
+  /**
+   * Pseudo-relevance-feedback retrieval (Rocchio-style query
+   * expansion — public practice: Rocchio 1971; Robertson/Sparck-Jones
+   * term weighting): an initial BM25 round takes each query's top
+   * `fbDocs` documents as presumed-relevant feedback, the `fbTerms`
+   * strongest non-query terms of that feedback set (by idf-weighted
+   * feedback term frequency, ties lexicographic) join the query, and
+   * the expanded term set is rescored for the final top-k — recall
+   * recovered for under-specified queries with no model in the loop.
+   *
+   * Scale shape: two [[scoreTermFrame]] passes (each the standard
+   * broadcast-serving plan) plus a feedback stage whose frames are all
+   * query-bounded: the feedback doc list (|Q|·fbDocs rows) broadcasts
+   * into the tf scan, candidate term weights aggregate at
+   * (query, term) grain, and the expansion pick is a window over
+   * |Q|-bounded rows. The corpus is scanned, never shuffled.
+   *
+   * @return `(queryIdCol, rank, idCol, score)` — final expanded-query
+   *         ranking
+   */
+  def prfTopK(index: Bm25Index, queries: DataFrame, k: Int,
+      fbDocs: Int = 3, fbTerms: Int = 2,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id", queryTextCol: String = "query_text"): DataFrame = {
+    require(fbDocs > 0 && fbTerms >= 0,
+      s"need fbDocs>0, fbTerms>=0; got ($fbDocs, $fbTerms)")
+    val qterms = queries.select(col(queryIdCol),
+        explode(TextAnalysis.tokens(lower(col(queryTextCol)))).as("__t"))
+      .distinct()
+    val first = scoreTermFrame(index, qterms, fbDocs, k1, b, "__fbid",
+      queryIdCol)
+    val fb = first.select(col(queryIdCol), col("__fbid").as("__id"))
+    val cand = index.tf.join(broadcast(fb), Seq("__id"))
+      .groupBy(col(queryIdCol), col("__t")).agg(sum("__tf").as("__ftf"))
+    val dfc = index.df
+      .join(broadcast(cand.select("__t").distinct()), Seq("__t"))
+    val weighted = cand.join(broadcast(dfc), Seq("__t"))
+      .crossJoin(broadcast(index.stats))
+      .select(col(queryIdCol), col("__t"),
+        round(bm25Idf * col("__ftf"), 4).as("__w"))
+      .join(qterms, Seq(queryIdCol, "__t"), "left_anti")
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("__w").desc, col("__t"))
+    val expansion = weighted.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= fbTerms)
+      .select(col(queryIdCol), col("__t"))
+    val allTerms = qterms.unionByName(expansion).distinct()
+    scoreTermFrame(index, allTerms, k, k1, b, idCol, queryIdCol)
   }
 
   /**

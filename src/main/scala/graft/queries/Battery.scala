@@ -5831,6 +5831,90 @@ WHERE rk <= 40"""
       |  ROUND((e.v[s.j + 1] - s.mu) * s.inv, 4) + 0.0 AS z
       |FROM e CROSS JOIN scale s""".stripMargin
 
+  /** Pseudo-relevance-feedback retrieval ([[graft.operators.Retrieval
+    * .prfTopK]]): q70's queries through the Rocchio expansion loop —
+    * top-3 feedback docs, 2 idf·ftf expansion terms (non-query, ties
+    * lexicographic), expanded rescore. The oracle replays BOTH scoring
+    * rounds plus the feedback term selection on q70's CTE chain. */
+  val q146PrfSearch: Q = (s, dir) => {
+    import s.implicits._
+    val queries = Seq(
+      (1L, "table hash join value"),
+      (2L, "spark window agg batch"),
+      (3L, "fast slow row scan")).toDF("query_id", "query_text")
+    graft.operators.Retrieval.prfTopK(
+      graft.operators.Retrieval.buildIndex(t(s, dir, "documents")),
+      queries, k = 5, fbDocs = 3, fbTerms = 2)
+  }
+
+  val q146Sql: String =
+    """WITH q(query_id, query_text) AS (VALUES
+      |    (CAST(1 AS BIGINT), 'table hash join value'),
+      |    (CAST(2 AS BIGINT), 'spark window agg batch'),
+      |    (CAST(3 AS BIGINT), 'fast slow row scan')),
+      |terms AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |dl AS (
+      |  SELECT doc_id, len(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS dl
+      |  FROM documents),
+      |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+      |qt AS (
+      |  SELECT DISTINCT query_id, unnest(list_filter(
+      |    string_split_regex(lower(query_text), '\s+'), x -> len(x) > 0)) AS term
+      |  FROM q),
+      |scored1 AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    ROUND(SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |      * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4)
+      |      AS score
+      |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+      |    JOIN dl USING (doc_id) CROSS JOIN stats
+      |  GROUP BY 1, 2),
+      |fb AS (
+      |  SELECT query_id, doc_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rank
+      |    FROM scored1)
+      |  WHERE rank <= 3),
+      |cand AS (
+      |  SELECT fb.query_id, tf.term, CAST(SUM(tf.tf) AS BIGINT) AS ftf
+      |  FROM tf JOIN fb USING (doc_id) GROUP BY 1, 2),
+      |wexp AS (
+      |  SELECT c.query_id, c.term,
+      |    ROUND(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |      * c.ftf, 4) AS w
+      |  FROM cand c JOIN dfreq ON dfreq.term = c.term CROSS JOIN stats
+      |  WHERE NOT EXISTS (SELECT 1 FROM qt
+      |    WHERE qt.query_id = c.query_id AND qt.term = c.term)),
+      |expn AS (
+      |  SELECT query_id, term FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY w DESC, term) AS r
+      |    FROM wexp)
+      |  WHERE r <= 2),
+      |qt2 AS (
+      |  SELECT query_id, term FROM qt
+      |  UNION
+      |  SELECT query_id, term FROM expn),
+      |scored2 AS (
+      |  SELECT qt2.query_id, tf.doc_id,
+      |    ROUND(SUM(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |      * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4)
+      |      AS score
+      |  FROM tf JOIN qt2 USING (term) JOIN dfreq USING (term)
+      |    JOIN dl USING (doc_id) CROSS JOIN stats
+      |  GROUP BY 1, 2)
+      |SELECT query_id, rank, doc_id, score FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored2)
+      |WHERE rank <= 5""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5983,7 +6067,8 @@ WHERE rk <= 40"""
     "q142_ann_pagerank" -> (q142AnnPagerank, Some(q142Sql)),
     "q143_group_quantiles" -> (q143GroupQuantiles, Some(q143Sql)),
     "q144_temp_mixture" -> (q144TempMixture, Some(q144Sql)),
-    "q145_standardize" -> (q145Standardize, Some(q145Sql)))
+    "q145_standardize" -> (q145Standardize, Some(q145Sql)),
+    "q146_prf_search" -> (q146PrfSearch, Some(q146Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -367,4 +367,36 @@ class RetrievalSpec extends SparkSpec {
     assert(order(1) != order(2), "epochs are fresh permutations")
     assert(order(1).toSet == (1L to 500L).toSet, "a permutation, not a sample")
   }
+
+  test("prfTopK: expansion recovers a doc sharing no original query term") {
+    import graft.operators.Retrieval
+    // feedback docs pair "alpha" with "gamma"; doc 4 has only "gamma"
+    val docs = Seq(
+      (1L, "alpha gamma gamma"),
+      (2L, "alpha gamma"),
+      (3L, "alpha beta"),
+      (4L, "gamma delta epsilon"),
+      (5L, "zeta eta theta")).toDF("doc_id", "text")
+    val q = Seq((1L, "alpha")).toDF("query_id", "query_text")
+    val idx = Retrieval.buildIndex(docs)
+    val base = Retrieval.bm25TopKWithIndex(idx, q, k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!base.contains(4L), "doc 4 must be invisible to the raw query")
+    // fbDocs=3 puts doc 1's double "gamma" into the feedback mass:
+    // w(gamma) = idf·3 beats the rarer beta's idf·1
+    val prf = Retrieval.prfTopK(idx, q, k = 5, fbDocs = 3, fbTerms = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(prf.contains(4L),
+      s"expansion (gamma) must recover doc 4; got $prf")
+    assert(!prf.contains(5L), "unrelated doc stays invisible")
+    // fbTerms = 0 degrades to plain BM25 exactly
+    val zero = Retrieval.prfTopK(idx, q, k = 5, fbDocs = 2, fbTerms = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val plain = Retrieval.bm25TopKWithIndex(idx, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(zero == plain)
+    graft.operators.Dedup.releasePersisted()
+  }
 }
