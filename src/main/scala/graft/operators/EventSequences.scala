@@ -61,4 +61,52 @@ object EventSequences {
       .select(col(userCol), col("session_idx"), col("step"),
         col("prefix_text"), col(typeCol).as("next_type"))
   }
+
+  /**
+   * Ordered funnel analysis — the classic event-analytics progression
+   * query ("who did view → click → purchase, in that order?"): for
+   * every user, the EARLIEST strictly-increasing timestamp chain
+   * through `stages`, greedily (stage i's timestamp is the minimum
+   * occurrence after stage i−1's chosen one — the standard funnel
+   * semantics, and greedy-earliest is optimal: taking the earliest
+   * feasible occurrence at every step dominates any other feasible
+   * chain). Users who stall keep the prefix they reached.
+   *
+   * Shape: one filtered min-aggregate per stage (map-side combinable)
+   * chained by left joins on the user key — |stages| bounded shuffles
+   * of |users|-row frames, no windows, no per-user event materialization
+   * (a heavy user costs nothing beyond their scan). Ties at equal
+   * timestamps resolve by requiring STRICT ts increase across stages —
+   * same-instant repeats of the next stage do not advance the funnel
+   * (replayable; an id tie-break inside equal timestamps would also
+   * need the id to travel, which no funnel consumer wants).
+   *
+   * @return `(userCol, t1_us..tm_us micros BIGINT — null once stalled,
+   *         stage_reached int)`
+   */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.size <= 8,
+      s"1..8 funnel stages, got ${stages.size}")
+    val s1 = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("t1_us"))
+    val chained = stages.zipWithIndex.drop(1)
+      .foldLeft(s1) { case (acc, (stage, i)) =>
+        val prev = s"t${i}_us"
+        val cur = s"t${i + 1}_us"
+        val ev = events.filter(col(typeCol) === stage)
+          .select(col(userCol).as("__fu"),
+            unix_micros(col(tsCol)).as("__fts"))
+        acc.join(ev,
+            acc(userCol) === col("__fu") && col("__fts") > col(prev),
+            "left")
+          .groupBy((acc.columns.map(acc(_))): _*)
+          .agg(min(col("__fts")).as(cur))
+      }
+    chained.withColumn("stage_reached",
+      (1 to stages.size)
+        .map(i => when(col(s"t${i}_us").isNotNull, 1).otherwise(0))
+        .reduce(_ + _))
+  }
 }

@@ -5915,6 +5915,39 @@ WHERE rk <= 40"""
       |  FROM scored2)
       |WHERE rank <= 5""".stripMargin
 
+  /** Ordered funnel progression ([[graft.operators.EventSequences
+    * .funnel]]): every user's earliest strictly-increasing
+    * view → click → purchase chain (greedy-earliest, which dominates
+    * any feasible chain), stalled users keep their prefix. One
+    * filtered min-aggregate per stage chained by left joins — no
+    * windows, heavy users cost only their scan. Timestamps surface as
+    * unix micros (epoch_us on the oracle side). */
+  val q147Funnel: Q = (s, dir) =>
+    graft.operators.EventSequences.funnel(
+      events(s, dir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+
+  val q147Sql: String =
+    """WITH f1 AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t1_us
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |f2 AS (
+      |  SELECT f1.user_id, f1.t1_us, MIN(epoch_us(e.ts)) AS t2_us
+      |  FROM f1 LEFT JOIN events e ON e.user_id = f1.user_id
+      |    AND e.event_type = 'click' AND epoch_us(e.ts) > f1.t1_us
+      |  GROUP BY 1, 2),
+      |f3 AS (
+      |  SELECT f2.user_id, f2.t1_us, f2.t2_us, MIN(epoch_us(e.ts)) AS t3_us
+      |  FROM f2 LEFT JOIN events e ON e.user_id = f2.user_id
+      |    AND e.event_type = 'purchase' AND epoch_us(e.ts) > f2.t2_us
+      |  GROUP BY 1, 2, 3)
+      |SELECT user_id, t1_us, t2_us, t3_us,
+      |  CAST(CASE WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN t2_us IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END AS INT)
+      |    AS stage_reached
+      |FROM f3""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6068,7 +6101,8 @@ WHERE rk <= 40"""
     "q143_group_quantiles" -> (q143GroupQuantiles, Some(q143Sql)),
     "q144_temp_mixture" -> (q144TempMixture, Some(q144Sql)),
     "q145_standardize" -> (q145Standardize, Some(q145Sql)),
-    "q146_prf_search" -> (q146PrfSearch, Some(q146Sql)))
+    "q146_prf_search" -> (q146PrfSearch, Some(q146Sql)),
+    "q147_funnel" -> (q147Funnel, Some(q147Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

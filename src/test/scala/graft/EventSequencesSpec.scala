@@ -39,4 +39,32 @@ class EventSequencesSpec extends SparkSpec {
     // every session head (step 0) is excluded: 8 events, 3 heads
     assert(got.size == 5)
   }
+
+  test("funnel: greedy-earliest chains, strict ordering, stalls keep prefix") {
+    val events = Seq(
+      // user 1 completes, with a decoy click BEFORE the view (must not
+      // count) and the earliest valid click chosen over a later one
+      (1L, ts(0), "click"), (1L, ts(1), "view"), (1L, ts(2), "click"),
+      (1L, ts(5), "click"), (1L, ts(6), "purchase"),
+      // user 2 stalls after view (click only at the SAME instant —
+      // strict increase rejects it)
+      (2L, ts(3), "view"), (2L, ts(3), "click"),
+      // user 3 never views (purchase alone) → absent from the funnel
+      (3L, ts(1), "purchase"),
+      // user 4 views then purchases with no click → stage 1 only
+      (4L, ts(0), "view"), (4L, ts(2), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventSequences.funnel(events, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getInt(4)))).toMap
+    def us(minutes: Int): Long = 1700000000000000L + minutes * 60000000L
+    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got(1L) == ((Some(us(1)), Some(us(2)), Some(us(6)), 3)))
+    assert(got(2L) == ((Some(us(3)), None, None, 1)))
+    assert(got(4L) == ((Some(us(0)), None, None, 1)))
+  }
 }
