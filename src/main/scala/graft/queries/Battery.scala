@@ -5948,6 +5948,62 @@ WHERE rk <= 40"""
       |    AS stage_reached
       |FROM f3""".stripMargin
 
+  /** PRF over the STREAMED index (the engine's convention: every
+    * incremental/streamed route earns its own oracle entry — q119's
+    * pattern applied to q146): two-batch ingest under the marker
+    * ledger, then the full Rocchio expansion loop served from the
+    * committed at-rest index, gated by q146's full-corpus oracle. Warm
+    * bench reps replay the ingest as O(1) no-ops (amortized serve
+    * pricing, as q119-q122). */
+  val q148PrfStreamServe: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val ingestDir = streamIndexDir("q148", dir, "documents")
+    graft.streaming.IndexIngest.ingestBm25Batch(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), 0L, ingestDir)
+    graft.streaming.IndexIngest.ingestBm25Batch(
+      docs.filter(pmod(col("doc_id"), lit(2)) =!= 0), 1L, ingestDir)
+    val idx = graft.streaming.IndexIngest.readBm25(s, ingestDir)
+    val numericIdx = graft.operators.Retrieval.Bm25Index(
+      idx.tf.withColumn("__id", col("__id").cast("long")),
+      idx.df, idx.stats)
+    val queries = Seq(
+      (1L, "table hash join value"),
+      (2L, "spark window agg batch"),
+      (3L, "fast slow row scan")).toDF("query_id", "query_text")
+    graft.operators.Retrieval.prfTopK(numericIdx, queries, k = 5,
+      fbDocs = 3, fbTerms = 2)
+  }
+
+  /** Weekly cohort retention over the event log — the classic
+    * engagement matrix: users cohorted by first-activity week, counted
+    * in each later week they return. Two user-keyed aggregates and a
+    * |user·weeks| join; weeks as epoch-seconds BIGINT so no calendar
+    * formatting crosses engines (both engines' date_trunc('week') is
+    * ISO-Monday, sessions pinned UTC). */
+  val q149Retention: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .select(col("user_id"),
+        unix_seconds(date_trunc("week", col("ts"))).as("__wk"))
+    val cohort = ev.groupBy("user_id").agg(min("__wk").as("__cw"))
+    ev.distinct().join(cohort, "user_id")
+      .groupBy(col("__cw").as("cohort_week_s"),
+        expr("(__wk - __cw) div 604800").as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  val q149Sql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS wk
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, MIN(wk) AS cw FROM ev GROUP BY 1)
+      |SELECT cw AS cohort_week_s, (wk - cw) // 604800 AS week_offset,
+      |  CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+      |FROM ev JOIN cohort USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6102,7 +6158,10 @@ WHERE rk <= 40"""
     "q144_temp_mixture" -> (q144TempMixture, Some(q144Sql)),
     "q145_standardize" -> (q145Standardize, Some(q145Sql)),
     "q146_prf_search" -> (q146PrfSearch, Some(q146Sql)),
-    "q147_funnel" -> (q147Funnel, Some(q147Sql)))
+    "q147_funnel" -> (q147Funnel, Some(q147Sql)),
+    // q148 re-runs q146's oracle against the streamed index
+    "q148_prf_stream_serve" -> (q148PrfStreamServe, Some(q146Sql)),
+    "q149_retention" -> (q149Retention, Some(q149Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
