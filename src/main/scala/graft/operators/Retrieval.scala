@@ -194,8 +194,11 @@ object Retrieval {
     val first = scoreTermFrame(index, qterms, fbDocs, k1, b, "__fbid",
       queryIdCol)
     val fb = first.select(col(queryIdCol), col("__fbid").as("__id"))
-    val cand = index.tf.join(broadcast(fb), Seq("__id"))
-      .groupBy(col(queryIdCol), col("__t")).agg(sum("__tf").as("__ftf"))
+    // pinned: used twice (term-distinct slice + the weight join) and its
+    // lineage re-runs round 1 otherwise
+    val cand = PersistTracker.trackPersist(
+      index.tf.join(broadcast(fb), Seq("__id"))
+        .groupBy(col(queryIdCol), col("__t")).agg(sum("__tf").as("__ftf")))
     val dfc = index.df
       .join(broadcast(cand.select("__t").distinct()), Seq("__t"))
     val weighted = cand.join(broadcast(dfc), Seq("__t"))
@@ -205,10 +208,15 @@ object Retrieval {
       .join(qterms, Seq(queryIdCol, "__t"), "left_anti")
     val w = Window.partitionBy(queryIdCol)
       .orderBy(col("__w").desc, col("__t"))
-    val expansion = weighted.withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= fbTerms)
-      .select(col(queryIdCol), col("__t"))
-    val allTerms = qterms.unionByName(expansion).distinct()
+    // pinned: scoreTermFrame consumes the term frame twice (df slice +
+    // scoring join); without the pin each use replays the entire
+    // feedback pipeline
+    val allTerms = PersistTracker.trackPersist(
+      qterms.unionByName(
+        weighted.withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= fbTerms)
+          .select(col(queryIdCol), col("__t")))
+        .distinct())
     scoreTermFrame(index, allTerms, k, k1, b, idCol, queryIdCol)
   }
 
