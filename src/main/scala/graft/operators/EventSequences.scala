@@ -109,4 +109,46 @@ object EventSequences {
         .map(i => when(col(s"t${i}_us").isNotNull, 1).otherwise(0))
         .reduce(_ + _))
   }
+
+  /**
+   * Last-touch attribution: every conversion event pairs with the
+   * LATEST same-user touch event in the `windowMinutes` before it
+   * (inclusive of the conversion instant; ties at equal timestamps to
+   * the lowest touch id), or null if none — the classic marketing/
+   * funnel-credit assignment, and the batch twin of
+   * [[graft.streaming.EventStreams.attributionPairsStream]]'s
+   * stream-stream interval join.
+   *
+   * Shape: one interval join on the user key (both sides filtered to
+   * their type at the scan) + a per-conversion argmax window (bounded
+   * by touches-in-window per conversion). Timestamps surface as unix
+   * micros.
+   *
+   * @return `(conv_id, userCol, conv_us, touch_id nullable,
+   *         touch_us nullable, gap_us nullable)`
+   */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      idCol: String, tsCol: String, typeCol: String,
+      touchType: String, convType: String,
+      windowMinutes: Int): DataFrame = {
+    require(windowMinutes > 0, "windowMinutes > 0")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(idCol).as("conv_id"), col(userCol),
+        unix_micros(col(tsCol)).as("conv_us"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("__au"), col(idCol).as("touch_id"),
+        unix_micros(col(tsCol)).as("touch_us"))
+    val winUs = windowMinutes * 60000000L
+    val joined = conv.join(touch,
+      col(userCol) === col("__au") &&
+        col("touch_us") <= col("conv_us") &&
+        col("touch_us") > col("conv_us") - lit(winUs), "left")
+    val w = Window.partitionBy("conv_id")
+      .orderBy(col("touch_us").desc_nulls_last, col("touch_id"))
+    joined.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("conv_id"), col(userCol), col("conv_us"),
+        col("touch_id"), col("touch_us"),
+        (col("conv_us") - col("touch_us")).as("gap_us"))
+  }
 }

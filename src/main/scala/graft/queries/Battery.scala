@@ -6004,6 +6004,42 @@ WHERE rk <= 40"""
       |FROM ev JOIN cohort USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Last-touch attribution ([[graft.operators.EventSequences
+    * .lastTouchAttribution]]): every purchase credited to the latest
+    * same-user click in the 30 minutes before it (ties to the lowest
+    * click id), null when unattributed — the batch twin of the
+    * stream-stream interval join ([[graft.streaming.EventStreams
+    * .attributionPairsStream]], spec-gated ≡ across a micro-batch
+    * boundary). One interval join on the user key + a per-conversion
+    * argmax window. */
+  val q150Attribution: Q = (s, dir) =>
+    graft.operators.EventSequences.lastTouchAttribution(
+      events(s, dir), "user_id", "event_id", "ts", "event_type",
+      touchType = "click", convType = "purchase", windowMinutes = 30)
+
+  val q150Sql: String =
+    """WITH conv AS (
+      |  SELECT event_id AS conv_id, user_id,
+      |    CAST(epoch_us(ts) AS BIGINT) AS conv_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |touch AS (
+      |  SELECT user_id AS tu, event_id AS touch_id,
+      |    CAST(epoch_us(ts) AS BIGINT) AS touch_us
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT conv.conv_id, conv.user_id, conv.conv_us,
+      |    touch.touch_id, touch.touch_us,
+      |    ROW_NUMBER() OVER (PARTITION BY conv.conv_id
+      |      ORDER BY touch.touch_us DESC NULLS LAST, touch.touch_id)
+      |      AS r
+      |  FROM conv LEFT JOIN touch
+      |    ON touch.tu = conv.user_id
+      |    AND touch.touch_us <= conv.conv_us
+      |    AND touch.touch_us > conv.conv_us - 1800000000)
+      |SELECT conv_id, user_id, conv_us, touch_id, touch_us,
+      |  conv_us - touch_us AS gap_us
+      |FROM j WHERE r = 1""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6161,7 +6197,8 @@ WHERE rk <= 40"""
     "q147_funnel" -> (q147Funnel, Some(q147Sql)),
     // q148 re-runs q146's oracle against the streamed index
     "q148_prf_stream_serve" -> (q148PrfStreamServe, Some(q146Sql)),
-    "q149_retention" -> (q149Retention, Some(q149Sql)))
+    "q149_retention" -> (q149Retention, Some(q149Sql)),
+    "q150_attribution" -> (q150Attribution, Some(q150Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -241,6 +241,49 @@ object EventStreams {
       }
   }
 
+  /**
+   * STREAM-STREAM interval join — the attribution pair feed: every
+   * conversion event joins all same-user touch events whose timestamp
+   * lies in `(conv.ts − windowMinutes, conv.ts]`. Both sides carry
+   * watermarks, so Spark bounds each side's join state to the interval
+   * + watermark horizon and can emit in append mode — the canonical
+   * Structured Streaming two-stream join shape.
+   *
+   * The LAST-touch pick (a per-conversion argmax) deliberately stays
+   * OUT of the stream: stacking an aggregation on a stream-stream join
+   * would hold every conversion's state open until the watermark
+   * closes it; the pair feed is what a downstream batch/stateful
+   * consumer reduces (the batch twin
+   * [[graft.operators.EventSequences.lastTouchAttribution]] does
+   * exactly that, and the spec pins this stream's pairs ≡ the batch
+   * join's pairs across a micro-batch boundary).
+   *
+   * @param touches     streaming frame `(userCol, idCol, tsCol)` —
+   *                    pre-filtered to touch events
+   * @param conversions streaming frame, same shape, conversion events
+   * @return `(conv_id, user_id, conv_ts, touch_id, touch_ts)` pairs
+   */
+  def attributionPairsStream(touches: DataFrame, conversions: DataFrame,
+      userCol: String, idCol: String, tsCol: String,
+      windowMinutes: Int, watermark: String = "1 hour"): DataFrame = {
+    require(windowMinutes > 0, "windowMinutes > 0")
+    val t = touches
+      .select(col(userCol).as("t_user"), col(idCol).as("touch_id"),
+        col(tsCol).as("touch_ts"))
+      .withWatermark("touch_ts", watermark)
+    val c = conversions
+      .select(col(userCol).as("user_id"), col(idCol).as("conv_id"),
+        col(tsCol).as("conv_ts"))
+      .withWatermark("conv_ts", watermark)
+    c.join(t,
+      col("t_user") === col("user_id") &&
+        col("touch_ts") <= col("conv_ts") &&
+        col("touch_ts") > col("conv_ts")
+          - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("conv_id"), col("user_id"), col("conv_ts"),
+        col("touch_id"), col("touch_ts"))
+  }
+
   /** Convenience: run a streaming transform to a named in-memory sink and
     * block until the available data is processed (testing/demo). */
   def runToMemory(df: DataFrame, queryName: String,

@@ -78,6 +78,16 @@ object ScaleProbe {
     }.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // events: ids offset per copy — each copy is an independent user
+    // population in the same time range (10× event density, the honest
+    // shape for funnel/retention/session probes)
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    (0 until copies).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * IdOff))
+        .withColumn("user_id", col("user_id") + lit(i * IdOff))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
     // orders: ids offset per copy, a tiny per-copy price perturbation so
     // the distinct-value count grows with the data (a pure row copy
     // would leave |distinct| flat and understate the value-count

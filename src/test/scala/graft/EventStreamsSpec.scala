@@ -261,4 +261,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("attributionPairsStream ≡ the batch interval join across micro-batches") {
+    implicit val sql = spark.sqlContext
+    // (user, event_id, ts): touches and conversions on separate streams
+    val touches = MemoryStream[(Long, Long, Timestamp)]
+    val convs = MemoryStream[(Long, Long, Timestamp)]
+    val touchRows = Seq(
+      (1L, 10L, ts(1)), (1L, 11L, ts(25)),   // both within 30min of conv 100
+      (1L, 13L, ts(0)),                       // EXACTLY 30min — open interval excludes
+      (1L, 12L, ts(60)),                      // after conv 100 — excluded
+      (2L, 20L, ts(0)))                       // 40min before conv 200 — out
+    val convRows = Seq((1L, 100L, ts(30)), (2L, 200L, ts(40)))
+    // split across two micro-batches: late touch 11 arrives after conv 100
+    touches.addData(touchRows.take(1)); convs.addData(convRows.take(1))
+    val joined = graft.streaming.EventStreams.attributionPairsStream(
+      touches.toDF().toDF("user_id", "event_id", "ts"),
+      convs.toDF().toDF("user_id", "event_id", "ts"),
+      "user_id", "event_id", "ts", windowMinutes = 30)
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    touches.addData(touchRows.drop(1)); convs.addData(convRows.drop(1))
+    val q2 = joined.writeStream.format("memory").queryName("attrib2")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got = (spark.table("attrib").collect() ++
+      spark.table("attrib2").collect())
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    // batch reference: same join over the union
+    val tB = touchRows.toDF("user_id", "event_id", "ts")
+    val cB = convRows.toDF("user_id", "event_id", "ts")
+    val want = cB.alias("c").join(tB.alias("t"),
+        expr("t.user_id = c.user_id AND t.ts <= c.ts" +
+          " AND t.ts > c.ts - INTERVAL 30 MINUTES"))
+      .select(col("c.event_id"), col("t.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"stream $got vs batch $want")
+    assert(want == Set((100L, 10L), (100L, 11L)),
+      "fixture must exercise in-window, after-conv, and out-of-window")
+  }
 }
