@@ -161,6 +161,70 @@ object EventStreams {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+  /** Per-user funnel progress: micros of each reached stage (parallel
+    * to the configured stage list), plus the order guard. */
+  final case class FunnelState(reached: Seq[Long], lastTsMicros: Long)
+  final case class FunnelRow(user_id: Long, stage_reached: Int,
+      ts_us: Seq[Long])
+
+  /**
+   * STREAMED funnel — [[graft.operators.EventSequences.funnel]]'s
+   * incremental twin, and an exact one: greedy-earliest is an ONLINE
+   * algorithm (taking the first feasible occurrence of the next stage
+   * as events arrive in time order IS the batch chain), so per-user
+   * state is just the reached-stage timestamps — O(|stages|) longs per
+   * user, no event retention. Emits a user's row whenever their funnel
+   * ADVANCES (update-style; the final rows ≡ the batch operator on the
+   * same log, spec-pinned across micro-batch boundaries).
+   *
+   * Same ordering contract as [[sessionPairStream]]: within a batch
+   * the group sorts by event time; a cross-batch regression (event
+   * older than the user's last processed timestamp) is dropped and
+   * counted, never folded in out of order.
+   */
+  def funnelStream(events: Dataset[FunnelEvent], stages: Seq[String],
+      lateDropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[FunnelRow] = {
+    require(stages.nonEmpty && stages.size <= 8,
+      s"1..8 funnel stages, got ${stages.size}")
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val stageIdx = stages.zipWithIndex.toMap
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[FunnelEvent],
+            state: GroupState[FunnelState]) =>
+          var st = state.getOption
+            .getOrElse(FunnelState(Nil, Long.MinValue))
+          var advanced = false
+          rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val tsU = micros(e.ts)
+            if (tsU < st.lastTsMicros) {
+              lateDropped.foreach(_.add(1L))
+            } else {
+              val next = st.reached.size
+              // strict increase across stages, as the batch operator:
+              // stage 0 needs no predecessor; later stages need
+              // ts > previous stage's chosen ts
+              if (next < stages.size &&
+                  stageIdx.get(e.event_type).contains(next) &&
+                  (next == 0 || tsU > st.reached.last)) {
+                st = FunnelState(st.reached :+ tsU, tsU max st.lastTsMicros)
+                advanced = true
+              } else st = st.copy(lastTsMicros = tsU max st.lastTsMicros)
+            }
+          }
+          state.update(st)
+          if (advanced)
+            Iterator(FunnelRow(userId, st.reached.size, st.reached))
+          else Iterator.empty
+      }
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n: Long, total: Double)
 

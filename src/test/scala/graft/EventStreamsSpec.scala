@@ -262,6 +262,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("funnelStream: final state ≡ the batch funnel across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[EventStreams.FunnelEvent]
+    val stages = Seq("view", "click", "purchase")
+    val b1 = Seq(
+      EventStreams.FunnelEvent(1L, ts(0), "click"), // pre-view decoy
+      EventStreams.FunnelEvent(1L, ts(1), "view"),
+      EventStreams.FunnelEvent(2L, ts(3), "view"))
+    val b2 = Seq(
+      EventStreams.FunnelEvent(1L, ts(2), "click"),
+      EventStreams.FunnelEvent(1L, ts(6), "purchase"),
+      EventStreams.FunnelEvent(2L, ts(3), "click")) // same instant: strict reject
+    val q = EventStreams.funnelStream(input.toDS(), stages)
+      .toDF().writeStream.format("memory").queryName("t_funnel")
+      .outputMode("append").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // the LAST emitted row per user is the final funnel state
+    val got = spark.table("t_funnel").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toSeq))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+    val want = graft.operators.EventSequences.funnel(
+      (b1 ++ b2).map(e => (e.user_id, e.ts, e.event_type))
+        .toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", stages)
+      .collect().map(r => r.getLong(0) -> ((
+        r.getInt(4),
+        (1 to 3).flatMap(i => if (r.isNullAt(i)) None
+          else Some(r.getLong(i)))))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (u, (_, stage, tss)) =>
+      assert((stage, tss) == want(u), s"user $u")
+    }
+    // the cross-boundary completion really happened
+    assert(got(1L)._2 == 3)
+    assert(got(2L)._2 == 1, "same-instant click must not advance")
+  }
+
   test("attributionPairsStream ≡ the batch interval join across micro-batches") {
     implicit val sql = spark.sqlContext
     // (user, event_id, ts): touches and conversions on separate streams
