@@ -492,6 +492,39 @@ object Sampling {
    * — an oracle replaying a non-half α can disagree by one ulp AT the
    * cutoff boundary (documented caveat; the battery pins α = 0.5).
    */
+  /**
+   * FIXED-SIZE weighted sampling without replacement — the
+   * Efraimidis–Spirakis exponential-key method (public algorithm,
+   * IPL 2006): each row gets key `ln(u)/w` with `u` a deterministic
+   * (0,1) hash of (id, salt), and the k LARGEST keys are exactly a
+   * weighted sample without replacement. Complements
+   * [[weightedSample]] (per-row Bernoulli, random SIZE): this is the
+   * "exactly k docs, weight-proportional" selection a budgeted
+   * curation step needs.
+   *
+   * Deterministic (no RNG): u = (bucket+1)/(Buckets+1) from the md5
+   * device, so re-runs and engines agree. Keys are snapped to the
+   * 1e-12 grid before ranking (ties → id): ln is libm-accurate, not
+   * correctly rounded, so an unrounded cross-engine comparison could
+   * flip a near-tie; unlike the PageRank case the key distribution is
+   * unstructured, so grid-boundary coincidences are negligible rather
+   * than systematic. The prefix is a distributed TakeOrdered — no
+   * global window.
+   *
+   * @param weight strictly positive weight column
+   * @return the k selected rows with their `__key`
+   */
+  def weightedTopK(df: DataFrame, id: Column, weight: Column, k: Int,
+      salt: String): DataFrame = {
+    require(k > 0, s"k > 0, got $k")
+    val u = (hashBucket(id, salt).cast("double") + lit(1.0)) /
+      lit((Buckets + 1).toDouble)
+    val key = floor(log(u) / weight * lit(1e12) + lit(0.5)) / lit(1e12)
+    df.withColumn("__key", key)
+      .orderBy(col("__key").desc, id)
+      .limit(k)
+  }
+
   def temperatureMixture(df: DataFrame, key: Column, id: Column,
       alpha: Double, salt: String): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")

@@ -6040,6 +6040,29 @@ WHERE rk <= 40"""
       |  conv_us - touch_us AS gap_us
       |FROM j WHERE r = 1""".stripMargin
 
+  /** Fixed-size weighted sampling WITHOUT replacement
+    * ([[graft.operators.Sampling.weightedTopK]], Efraimidis–Spirakis
+    * exponential keys): exactly 40 documents, length-weighted —
+    * q73's Bernoulli sibling with a guaranteed size. Keys ln(u)/w on
+    * the md5-hash u, snapped to the 1e-12 grid before the rank (ln is
+    * libm-accurate, not correctly rounded; unstructured keys make
+    * grid coincidences negligible). Distributed TakeOrdered prefix. */
+  val q151WeightedTopK: Q = (s, dir) =>
+    graft.operators.Sampling.weightedTopK(
+        t(s, dir, "documents"), col("doc_id"),
+        col("n_chars").cast("double"), k = 40, salt = "wtk1")
+      .select(col("doc_id"), col("n_chars"),
+        (col("__key") + lit(0.0)).as("key"))
+
+  val q151Sql: String =
+    """SELECT doc_id, n_chars,
+      |  FLOOR(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+      |      || ':wtk1'), 1, 15))::BIGINT % 1000000 + 1.0) / 1000001.0)
+      |    / CAST(n_chars AS DOUBLE) * 1e12 + 0.5) / 1e12 + 0.0 AS key
+      |FROM documents
+      |ORDER BY key DESC, doc_id
+      |LIMIT 40""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6198,7 +6221,8 @@ WHERE rk <= 40"""
     // q148 re-runs q146's oracle against the streamed index
     "q148_prf_stream_serve" -> (q148PrfStreamServe, Some(q146Sql)),
     "q149_retention" -> (q149Retention, Some(q149Sql)),
-    "q150_attribution" -> (q150Attribution, Some(q150Sql)))
+    "q150_attribution" -> (q150Attribution, Some(q150Sql)),
+    "q151_weighted_topk" -> (q151WeightedTopK, Some(q151Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

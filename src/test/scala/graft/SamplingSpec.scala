@@ -348,6 +348,33 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(ah("big") - 283L) < 45, s"alpha=.5: $ah")
   }
 
+  test("weightedTopK: exact size, weight-proportional inclusion, deterministic, TakeOrdered plan") {
+    // two weight classes: heavy rows 10x the weight of light rows
+    val df = (0L until 1000L)
+      .map(i => (i, if (i < 200) 100.0 else 10.0)).toDF("id", "w")
+    val sel = Sampling.weightedTopK(df, col("id"), col("w"), k = 300,
+      salt = "s1")
+    val ids = sel.select("id").as[Long].collect().toSet
+    assert(ids.size == 300, "exactly k rows")
+    // E-S property: inclusion tracks weight — heavy rows (20% of pop,
+    // ~69% expected inclusion each at these sizes) dominate
+    val heavy = ids.count(_ < 200L)
+    assert(heavy > 120 && heavy < 200, s"heavy included: $heavy")
+    val lightRate = (300 - heavy) / 800.0
+    val heavyRate = heavy / 200.0
+    assert(heavyRate > 2 * lightRate,
+      s"heavy rate $heavyRate vs light $lightRate")
+    // deterministic across runs and partitionings
+    val again = Sampling.weightedTopK(df.repartition(7), col("id"),
+        col("w"), k = 300, salt = "s1")
+      .select("id").as[Long].collect().toSet
+    assert(again == ids)
+    // distributed TakeOrdered, no global window
+    val p = sel.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("exactQuantiles: partition-invariant and null-safe") {
     val df = (0L until 500L)
       .map(i => (i, if (i % 11 == 0) null else java.lang.Double.valueOf((i * 37 % 101).toDouble)))
