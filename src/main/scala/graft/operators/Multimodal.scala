@@ -249,6 +249,14 @@ object Multimodal {
    * from their generating formula: any codec deviation would change
    * the hash and fail the gate. Iterator-to-iterator, one encoder per
    * row, no shuffle.
+   *
+   * Input contract — and why this side THROWS where the decode paths
+   * route to `decoded = false`: decode inputs are UNTRUSTED bytes (a
+   * crawl can contain anything, so a bad payload is data, not a bug);
+   * encode inputs are pipeline-GENERATED pixel grids, so a grid whose
+   * length isn't `w·h` is a caller bug upstream, and failing the job
+   * loudly beats silently dropping or padding frames that would then
+   * hash-diverge from their generating formula.
    */
   def encodeGrayPngs(df: DataFrame, idCol: String, pixelsCol: String,
       w: Int, h: Int): DataFrame = {

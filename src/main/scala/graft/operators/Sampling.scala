@@ -492,6 +492,23 @@ object Sampling {
    * — an oracle replaying a non-half α can disagree by one ulp AT the
    * cutoff boundary (documented caveat; the battery pins α = 0.5).
    */
+  def temperatureMixture(df: DataFrame, key: Column, id: Column,
+      alpha: Double, salt: String): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")
+    val nk = df.groupBy(key.as("__tk")).agg(count(lit(1)).as("__nk"))
+    val nmin = nk.agg(min("__nk").as("__nmin"))
+    val ratio = col("__nmin").cast("double") / col("__nk").cast("double")
+    val frac = if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 1.0) lit(1.0)
+      else pow(ratio, lit(1.0 - alpha))
+    val cuts = nk.crossJoin(broadcast(nmin))
+      .select(col("__tk"),
+        floor(frac * lit(Buckets) + lit(0.5)).cast("long").as("__cut"))
+    df.join(broadcast(cuts), key === col("__tk"))
+      .filter(hashBucket(id, salt) < col("__cut"))
+      .drop("__tk", "__cut")
+  }
+
   /**
    * FIXED-SIZE weighted sampling without replacement — the
    * Efraimidis–Spirakis exponential-key method (public algorithm,
@@ -511,7 +528,13 @@ object Sampling {
    * than systematic. The prefix is a distributed TakeOrdered — no
    * global window.
    *
-   * @param weight strictly positive weight column
+   * A non-positive weight is a contract violation enforced at RUNTIME
+   * (ln(u)/w would yield -Inf/NaN keys whose floor-snap differs across
+   * engines — Spark's LongType floor vs an oracle's -inf double): the
+   * key expression raises on the offending row instead of producing an
+   * engine-dependent ordering.
+   *
+   * @param weight strictly positive weight column (enforced per row)
    * @return the k selected rows with their `__key`
    */
   def weightedTopK(df: DataFrame, id: Column, weight: Column, k: Int,
@@ -519,26 +542,12 @@ object Sampling {
     require(k > 0, s"k > 0, got $k")
     val u = (hashBucket(id, salt).cast("double") + lit(1.0)) /
       lit((Buckets + 1).toDouble)
-    val key = floor(log(u) / weight * lit(1e12) + lit(0.5)) / lit(1e12)
+    val w = when(weight > lit(0.0), weight).otherwise(raise_error(concat(
+      lit("weightedTopK: weight must be strictly positive, got "),
+      weight.cast("string"))))
+    val key = floor(log(u) / w * lit(1e12) + lit(0.5)) / lit(1e12)
     df.withColumn("__key", key)
       .orderBy(col("__key").desc, id)
       .limit(k)
-  }
-
-  def temperatureMixture(df: DataFrame, key: Column, id: Column,
-      alpha: Double, salt: String): DataFrame = {
-    require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")
-    val nk = df.groupBy(key.as("__tk")).agg(count(lit(1)).as("__nk"))
-    val nmin = nk.agg(min("__nk").as("__nmin"))
-    val ratio = col("__nmin").cast("double") / col("__nk").cast("double")
-    val frac = if (alpha == 0.5) sqrt(ratio)
-      else if (alpha == 1.0) lit(1.0)
-      else pow(ratio, lit(1.0 - alpha))
-    val cuts = nk.crossJoin(broadcast(nmin))
-      .select(col("__tk"),
-        floor(frac * lit(Buckets) + lit(0.5)).cast("long").as("__cut"))
-    df.join(broadcast(cuts), key === col("__tk"))
-      .filter(hashBucket(id, salt) < col("__cut"))
-      .drop("__tk", "__cut")
   }
 }

@@ -754,9 +754,11 @@ object Similarity {
    * would train a degenerate all-zero codebook).
    *
    * Scale shape: centroids, codebook, probe lists and query residual
-   * subvectors all broadcast; encode is m narrow unioned projections
-   * over one persisted residual frame (no shuffle, the
-   * [[buildPqIndex]] Janino-bound layout); the only exchanges are the
+   * subvectors all broadcast; encode is ONE [[graft.functions
+   * .VectorExpressions.PqEncode]] projection over one persisted
+   * residual frame — all m subspaces in a single references-array pass
+   * (no per-subspace unions, no shuffle, no Janino hazard; the
+   * [[buildPqIndex]] layout); the only exchanges are the
    * per-(query, candidate) ADC sum and the final top-k window. At rest
    * this is the same artifact story as [[PqIndex]] — codes bucketed by
    * `__cell` serve without touching floats.

@@ -5147,9 +5147,22 @@ WHERE rk <= 40"""
     val words = graft.operators.PersistTracker.trackPersist(
       graft.operators.Bpe.wordTypes(
         t(s, dir, "documents").repartition(col("doc_id")), col("text")))
+    assertMaxWordLen(words, 8, "q131")
     val model = graft.operators.UnigramLm.trainUnigram(
       words, maxPieceLen = 4, vocabSize = 48, rounds = 1)
     graft.operators.UnigramLm.pieceStats(words, model)
+  }
+
+  /** The q131/q132 oracles unroll Viterbi to a FIXED word length; a
+    * corpus whose longest word exceeds it would surface only as an
+    * opaque hash-gate failure — fail loudly here instead (one cheap
+    * 1-row aggregate over the already-persisted type frame). */
+  private def assertMaxWordLen(words: DataFrame, maxLen: Int,
+      tag: String): Unit = {
+    val got = words.agg(max(length(col("word")))).head.getInt(0)
+    require(got <= maxLen,
+      s"$tag: oracle Viterbi unrolls to maxLen=$maxLen but the corpus " +
+        s"max word length is $got — regenerate the CTE chain")
   }
 
   val q131Sql: String =
@@ -5169,6 +5182,7 @@ WHERE rk <= 40"""
     val docs = t(s, dir, "documents").repartition(col("doc_id"))
     val words = graft.operators.PersistTracker.trackPersist(
       graft.operators.Bpe.wordTypes(docs, col("text")))
+    assertMaxWordLen(words, 8, "q132")
     val model = graft.operators.UnigramLm.trainUnigram(
       words, maxPieceLen = 4, vocabSize = 48, rounds = 1)
     val np = graft.operators.UnigramLm.segmentWords(words, model)
