@@ -338,29 +338,7 @@ object Similarity {
     val cents = index.centroids
     require(nprobe > 0 && nprobe <= cents.size,
       s"nprobe in [1,${cents.size}]")
-    // hot-cell guard (the Dedup.cappedBuckets discipline): a cell of
-    // size c costs c·(probing queries) candidate rows — a degenerate
-    // corpus (near-identical embeddings) concentrates in ONE cell and
-    // the join goes quadratic on that skewed key. ONE bounded count
-    // detects overflow; when nothing overflows the plan is
-    // byte-identical, otherwise overflowed cells trim to their
-    // lowest-id members (the approximation degrades — log it loudly;
-    // the real fix is retraining centroids so cells balance).
-    val assigned = if (maxCellSize <= 0) index.assigned else {
-      val over = index.assigned.groupBy("__cell")
-        .agg(count(lit(1)).as("__csz")).filter(col("__csz") > maxCellSize)
-        .agg(count(lit(1)).as("nb"), sum("__csz").as("nr")).head()
-      if (over.isNullAt(1) || over.getLong(0) == 0L) index.assigned
-      else {
-        knnJoinLog.warn(s"ivfKnnJoin: ${over.getLong(0)} cell(s) over " +
-          s"maxCellSize=$maxCellSize (${over.getLong(1)} rows) TRIMMED " +
-          "to their lowest-id members — recall degrades in those cells; " +
-          "retrain centroids (Clustering.ivfCentroids) to rebalance")
-        val wCap = Window.partitionBy("__cell").orderBy(col(idCol))
-        index.assigned.withColumn("__cr", row_number().over(wCap))
-          .filter(col("__cr") <= maxCellSize).drop("__cr")
-      }
-    }
+    val assigned = capCells(index.assigned, idCol, maxCellSize, "ivfKnnJoin")
     val probes = corpus
       .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
       .withColumn("__p", explode(topCellsOf(col("__qvec"), cents, nprobe)))
@@ -390,6 +368,33 @@ object Similarity {
 
   private lazy val knnJoinLog =
     org.slf4j.LoggerFactory.getLogger("graft.operators.Similarity")
+
+  /** Hot-cell guard (the Dedup.cappedBuckets discipline): a cell of
+    * size c costs c·(probing queries) candidate rows — a degenerate
+    * corpus (near-identical embeddings) concentrates in ONE cell and a
+    * cell-partitioned join goes quadratic on that skewed key. ONE
+    * bounded count detects overflow; when nothing overflows the plan is
+    * byte-identical, otherwise overflowed cells trim to their lowest-id
+    * members (the approximation degrades — logged loudly; the real fix
+    * is retraining centroids so cells balance). `maxCellSize <= 0`
+    * disables the guard. */
+  private def capCells(assigned: DataFrame, idCol: String,
+      maxCellSize: Int, tag: String): DataFrame =
+    if (maxCellSize <= 0) assigned else {
+      val over = assigned.groupBy("__cell")
+        .agg(count(lit(1)).as("__csz")).filter(col("__csz") > maxCellSize)
+        .agg(count(lit(1)).as("nb"), sum("__csz").as("nr")).head()
+      if (over.isNullAt(1) || over.getLong(0) == 0L) assigned
+      else {
+        knnJoinLog.warn(s"$tag: ${over.getLong(0)} cell(s) over " +
+          s"maxCellSize=$maxCellSize (${over.getLong(1)} rows) TRIMMED " +
+          "to their lowest-id members — recall degrades in those cells; " +
+          "retrain centroids (Clustering.ivfCentroids) to rebalance")
+        val wCap = Window.partitionBy("__cell").orderBy(col(idCol))
+        assigned.withColumn("__cr", row_number().over(wCap))
+          .filter(col("__cr") <= maxCellSize).drop("__cr")
+      }
+    }
 
   /** [[ivfTopK]] against a prepared [[IvfIndex]] — the serving form:
     * the probe list broadcasts into the assigned corpus and only the
@@ -1025,13 +1030,14 @@ object Similarity {
    * (ties → lowest id), margins round to 4 dp, a non-positive
    * denominator yields a null margin (never ±Inf into a rank).
    *
-   * Scale shape: `src` is the mining batch (broadcast, as
+   * Scale shape: `src` is a BOUNDED mining batch (broadcast, as
    * [[bruteForceTopK]]'s queries); `tgt` streams through one narrow
    * scored pass and is never shuffled except by the per-side top-k
-   * windows over candidate rows. At corpus scale, gate candidates with
-   * the ANN index first ([[ivfTopKWithIndex]] / [[annSearchRerank]]
-   * with depth ≫ k) and run the margin over the candidate lists — the
-   * actual CCMatrix pipeline; the margin algebra is unchanged.
+   * windows over candidate rows. The plan is |src|·|tgt| — linear in
+   * the corpus ONLY while src stays bounded. When BOTH sides are
+   * corpus-proportional (mining one language against another), use
+   * [[mineBitextWithIndex]]: IVF-gated candidate lists on both sides
+   * feeding this same margin algebra — the actual CCMatrix pipeline.
    *
    * @return (src_id, tgt_id, cosine, margin, accepted) — one row per
    *         src vector (its margin-best target)
@@ -1073,6 +1079,126 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"), col("cos").as("cosine"),
         col("margin"),
         // null margin (non-positive denominator) is never accepted
+        coalesce((col("margin") >= threshold).cast("int"), lit(0))
+          .as("accepted"))
+  }
+
+  /**
+   * ANN-gated margin bitext mining — the CCMatrix pipeline (Schwenk et
+   * al., "CCMatrix: Mining Billions of High-Quality Parallel Sentences
+   * on the Web", public knowledge) for the case [[mineBitext]]'s
+   * contract excludes: BOTH sides corpus-proportional. Exact all-pairs
+   * cosines are quadratic there; instead each side gets an IVF index
+   * (deterministic lowest-id centroids, as [[buildIvfIndex]]) and the
+   * margin runs over CANDIDATE LISTS:
+   *
+   *  - forward candidates: every src vector probes its `nprobe`
+   *    nearest cells of the TGT index and keeps its `depth` best
+   *    targets by rounded cosine;
+   *  - backward candidates: every tgt vector probes the SRC index the
+   *    same way (the margin's denominator needs y's own neighborhood,
+   *    not just who found y);
+   *  - each side's neighborhood average is the mean of its top-`k`
+   *    candidate cosines (depth ≫ k so the average is stable);
+   *  - pairs = forward ∪ backward candidate pairs, scored by the
+   *    UNCHANGED margin algebra and reduced to each src's margin-best
+   *    target with the `threshold` accept flag — [[mineBitext]]'s
+   *    output contract, restricted to the candidate graph.
+   *
+   * Scale shape: the [[ivfKnnJoin]] discipline on both directions —
+   * NOTHING broadcasts (both sides are corpus-sized); each direction is
+   * one cell-partitioned shuffle join behind an exchange barrier on
+   * `__cell` (the one-time co-location shuffle a deployment pays when
+   * the assigned corpora are stored bucketed by cell), hot cells capped
+   * by [[capCells]], and the per-probe candidate work is
+   * `nprobe/numCells` of the opposite corpus — size `numCells` with the
+   * corpus (~√n, the classic IVF choice) and the join stays subquadratic
+   * with executor-sized cells. The per-side top-`depth` windows rewrite
+   * to partial top-k before their exchanges (WindowGroupLimit).
+   *
+   * Replayable end-to-end (the q43 + q126 devices): centroid choice,
+   * cell assignment, probe ranking, candidate ranks, both averages, the
+   * margin and the accept flag are all 4dp-rounded with id tie-breaks.
+   * With `nprobe = numCells` and `depth ≥ max(|src|, |tgt|)` the
+   * candidate graph is complete and the result ≡ [[mineBitext]]
+   * exactly (spec-checked) — the gated form degrades only by candidate
+   * coverage, never by algebra.
+   *
+   * @param depth candidate-list depth per vector (≫ k; caps the pair
+   *              fan-out each side contributes)
+   * @return (src_id, tgt_id, cosine, margin, accepted) — one row per
+   *         src vector (its margin-best candidate target)
+   */
+  def mineBitextWithIndex(src: DataFrame, tgt: DataFrame, k: Int,
+      depth: Int, threshold: Double = 1.05,
+      numCells: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCellSize: Int = 100000): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(depth >= k, s"depth must be >= k, got ($depth, $k)")
+
+    // one direction: every `from` vector probes the `to` index and
+    // keeps its `depth` best opposite-side candidates by rounded cosine
+    def candidates(from: DataFrame, to: IvfIndex, fromId: String,
+        toId: String): DataFrame = {
+      val cents = to.centroids
+      require(nprobe > 0 && nprobe <= cents.size,
+        s"nprobe in [1,${cents.size}]")
+      val assigned = capCells(to.assigned, idCol, maxCellSize,
+        "mineBitextWithIndex")
+      val probes = from
+        .select(col(idCol).as(fromId), col(vecCol).as("__qvec"))
+        .withColumn("__p", explode(topCellsOf(col("__qvec"), cents, nprobe)))
+        .select(col(fromId), col("__qvec"), col("__p.cell").as("__cell"))
+      // exchange barrier on the cell key — the ivfKnnJoin rationale:
+      // keeps the 16-cosine assignment expression out of the join stage
+      // (codegen health) and is the honest at-rest bucketing shuffle
+      val scored = assigned.repartition(col("__cell"))
+        .join(probes, Seq("__cell"))
+        .withColumn("cos", round(cosine(col("__qvec"), col("__cvec")), 4))
+      val w = Window.partitionBy(fromId)
+        .orderBy(col("cos").desc, col(idCol))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= depth)
+        .select(col(fromId), col(idCol).as(toId), col("cos"), col("__rn"))
+    }
+
+    val s = src.select(col(idCol), col(vecCol))
+    val t = tgt.select(col(idCol), col(vecCol))
+    // persisted: each direction feeds its side's average AND the pair
+    // union — without the cache the cell joins run twice
+    val fwd = graft.operators.PersistTracker.trackPersist(
+      candidates(s, buildIvfIndex(t, numCells, idCol, vecCol),
+        "src_id", "tgt_id"))
+    val bwd = graft.operators.PersistTracker.trackPersist(
+      candidates(t, buildIvfIndex(s, numCells, idCol, vecCol),
+        "tgt_id", "src_id"))
+
+    // neighborhood averages over each side's own top-k candidates; the
+    // averages stay UNROUNDED (the mineBitext rationale — only the
+    // final margin rounds)
+    val ax = fwd.filter(col("__rn") <= k)
+      .groupBy("src_id").agg(avg("cos").as("__ax"))
+    val ay = bwd.filter(col("__rn") <= k)
+      .groupBy("tgt_id").agg(avg("cos").as("__ay"))
+
+    // candidate pairs from BOTH directions (cos is deterministic per
+    // pair, so distinct collapses the overlap); the ax/ay joins are
+    // plain shuffle joins — both sides are corpus-proportional, nothing
+    // is broadcastable here by design
+    val pairs = fwd.select(col("src_id"), col("tgt_id"), col("cos"))
+      .unionByName(bwd.select(col("src_id"), col("tgt_id"), col("cos")))
+      .distinct()
+    val denom = lit(0.5) * (col("__ax") + col("__ay"))
+    val scored = pairs.join(ax, Seq("src_id")).join(ay, Seq("tgt_id"))
+      .withColumn("margin",
+        when(denom > 0, round(col("cos") / denom, 4)))
+    val wBest = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc_nulls_last, col("tgt_id"))
+    scored.withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cos").as("cosine"),
+        col("margin"),
         coalesce((col("margin") >= threshold).cast("int"), lit(0))
           .as("accepted"))
   }

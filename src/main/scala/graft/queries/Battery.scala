@@ -4826,49 +4826,104 @@ WHERE rk <= 40"""
        |    AS pred
        |FROM e""".stripMargin
 
-  /** Margin-based bitext mining
-    * ([[graft.operators.Similarity.mineBitext]]): every 5th vector is
-    * the "source language" batch, the rest the target pool; each source
-    * aligns to its margin-best target (cosine over the mean of both
-    * sides' top-4 neighborhoods — the LASER/CCMatrix criterion), with
-    * the 1.05 acceptance flag. The oracle replays cosines, both
-    * neighborhood averages, the margin ratio and the accept flag — all
-    * on 4dp-rounded values with id tie-breaks. */
+  /** ANN-gated margin bitext mining
+    * ([[graft.operators.Similarity.mineBitextWithIndex]] — the CCMatrix
+    * pipeline): every 5th vector is the "source language", the rest the
+    * target pool — BOTH sides corpus-proportional, so the exact
+    * all-pairs form ([[graft.operators.Similarity.mineBitext]], whose
+    * contract requires a BOUNDED mining batch) would be quadratic in
+    * SF. Instead each side gets an IVF index (16 lowest-id centroids),
+    * candidates come from nprobe=4 cell-partitioned joins in BOTH
+    * directions at depth 16, and the unchanged margin algebra (top-4
+    * neighborhood means, 1.05 accept) runs over the candidate graph.
+    * The oracle replays the whole gate: both centroid sets, both cell
+    * assignments, both probe rankings, both candidate depth cuts, the
+    * averages, the margin and the flag — all on 4dp-rounded values
+    * with id tie-breaks (the q43 convention applied to q126). The
+    * exact≡gated equivalence at full probes/depth is spec-checked. */
   val q126BitextMine: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    graft.operators.Similarity.mineBitext(
+    // the coarse quantizer must SCALE with the corpus (constant target
+    // cell size ≈ 32, the scaladoc's subquadratic condition — fixed
+    // cells would re-grow the per-probe scan linearly with SF); the
+    // formula is replayed by the oracle's scalar-subquery LIMIT
+    val numCells = math.min(4096L, math.max(16L, emb.count() / 32L)).toInt
+    graft.operators.Similarity.mineBitextWithIndex(
       emb.filter(pmod(col("vec_id"), lit(5)) === 0),
       emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
-      k = 4, threshold = 1.05)
+      k = 4, depth = 16, threshold = 1.05, numCells = numCells, nprobe = 4)
   }
 
   val q126Sql: String =
     """WITH src AS (
-      |  SELECT vec_id AS src_id, embedding::DOUBLE[] AS sv
+      |  SELECT vec_id AS id, embedding::DOUBLE[] AS v
       |  FROM embeddings WHERE vec_id % 5 = 0),
       |tgt AS (
-      |  SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS tv
+      |  SELECT vec_id AS id, embedding::DOUBLE[] AS v
       |  FROM embeddings WHERE vec_id % 5 <> 0),
-      |x AS (
-      |  SELECT s.src_id, t.tgt_id,
-      |    ROUND(list_cosine_similarity(s.sv, t.tv), 4) AS cos
-      |  FROM src s, tgt t),
+      |nc AS (
+      |  SELECT LEAST(4096, GREATEST(16, COUNT(*) // 32)) AS n
+      |  FROM embeddings),
+      |cent_t AS (
+      |  SELECT id AS cell, v AS cv FROM tgt ORDER BY id
+      |  LIMIT (SELECT n FROM nc)),
+      |cent_s AS (
+      |  SELECT id AS cell, v AS cv FROM src ORDER BY id
+      |  LIMIT (SELECT n FROM nc)),
+      |rt AS (
+      |  SELECT t.id, t.v, c.cell, ROW_NUMBER() OVER (PARTITION BY t.id
+      |    ORDER BY ROUND(list_cosine_similarity(t.v, c.cv), 4) DESC,
+      |      c.cell) AS rn
+      |  FROM tgt t CROSS JOIN cent_t c),
+      |asg_t AS (SELECT id, v, cell FROM rt WHERE rn = 1),
+      |rs AS (
+      |  SELECT s.id, s.v, c.cell, ROW_NUMBER() OVER (PARTITION BY s.id
+      |    ORDER BY ROUND(list_cosine_similarity(s.v, c.cv), 4) DESC,
+      |      c.cell) AS rn
+      |  FROM src s CROSS JOIN cent_s c),
+      |asg_s AS (SELECT id, v, cell FROM rs WHERE rn = 1),
+      |ps AS (
+      |  SELECT s.id, s.v, c.cell, ROW_NUMBER() OVER (PARTITION BY s.id
+      |    ORDER BY ROUND(list_cosine_similarity(s.v, c.cv), 4) DESC,
+      |      c.cell) AS rn
+      |  FROM src s CROSS JOIN cent_t c),
+      |pt AS (
+      |  SELECT t.id, t.v, c.cell, ROW_NUMBER() OVER (PARTITION BY t.id
+      |    ORDER BY ROUND(list_cosine_similarity(t.v, c.cv), 4) DESC,
+      |      c.cell) AS rn
+      |  FROM tgt t CROSS JOIN cent_s c),
+      |fwd AS (
+      |  SELECT p.id AS src_id, a.id AS tgt_id,
+      |    ROUND(list_cosine_similarity(p.v, a.v), 4) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY p.id
+      |      ORDER BY ROUND(list_cosine_similarity(p.v, a.v), 4) DESC,
+      |        a.id) AS rn
+      |  FROM (SELECT id, v, cell FROM ps WHERE rn <= 4) p
+      |  JOIN asg_t a ON a.cell = p.cell),
+      |fwdd AS (SELECT * FROM fwd WHERE rn <= 16),
+      |bwd AS (
+      |  SELECT a.id AS src_id, p.id AS tgt_id,
+      |    ROUND(list_cosine_similarity(p.v, a.v), 4) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY p.id
+      |      ORDER BY ROUND(list_cosine_similarity(p.v, a.v), 4) DESC,
+      |        a.id) AS rn
+      |  FROM (SELECT id, v, cell FROM pt WHERE rn <= 4) p
+      |  JOIN asg_s a ON a.cell = p.cell),
+      |bwdd AS (SELECT * FROM bwd WHERE rn <= 16),
       |ax AS (
-      |  SELECT src_id, AVG(cos) AS a FROM (
-      |    SELECT src_id, cos, ROW_NUMBER() OVER (PARTITION BY src_id
-      |      ORDER BY cos DESC, tgt_id) AS rn FROM x)
-      |  WHERE rn <= 4 GROUP BY src_id),
+      |  SELECT src_id, AVG(cos) AS a FROM fwdd WHERE rn <= 4 GROUP BY 1),
       |ay AS (
-      |  SELECT tgt_id, AVG(cos) AS a FROM (
-      |    SELECT tgt_id, cos, ROW_NUMBER() OVER (PARTITION BY tgt_id
-      |      ORDER BY cos DESC, src_id) AS rn FROM x)
-      |  WHERE rn <= 4 GROUP BY tgt_id),
+      |  SELECT tgt_id, AVG(cos) AS a FROM bwdd WHERE rn <= 4 GROUP BY 1),
+      |pairs AS (
+      |  SELECT DISTINCT src_id, tgt_id, cos FROM (
+      |    SELECT src_id, tgt_id, cos FROM fwdd
+      |    UNION ALL SELECT src_id, tgt_id, cos FROM bwdd)),
       |m AS (
-      |  SELECT x.src_id, x.tgt_id, x.cos,
+      |  SELECT p.src_id, p.tgt_id, p.cos,
       |    CASE WHEN 0.5 * (ax.a + ay.a) > 0
-      |      THEN ROUND(x.cos / (0.5 * (ax.a + ay.a)), 4) END AS margin
-      |  FROM x JOIN ax ON ax.src_id = x.src_id
-      |  JOIN ay ON ay.tgt_id = x.tgt_id)
+      |      THEN ROUND(p.cos / (0.5 * (ax.a + ay.a)), 4) END AS margin
+      |  FROM pairs p JOIN ax ON ax.src_id = p.src_id
+      |  JOIN ay ON ay.tgt_id = p.tgt_id)
       |SELECT src_id, tgt_id, cos AS cosine, margin,
       |  CASE WHEN margin >= 1.05 THEN 1 ELSE 0 END AS accepted
       |FROM (

@@ -115,7 +115,8 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val queries = if (args.nonEmpty) args.toSeq
       else Seq("q40_ngram_jaccard", "q69_edit_join", "q83_banded_dedup",
-        "q89_ann_rerank", "q99_containment", "q115_bpe_pack")
+        "q89_ann_rerank", "q99_containment", "q115_bpe_pack",
+        "q126_bitext_mine")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -667,6 +667,49 @@ class SimilaritySpec extends SparkSpec {
       s"hub margin ${got(2L)._2} vs planted ${got(0L)._2}/${got(1L)._2}")
   }
 
+  test("mineBitextWithIndex: full probes/depth ≡ exact mineBitext; gate preserves planted pairs") {
+    val rnd = new scala.util.Random(5)
+    def jitter(v: Seq[Float], eps: Float) =
+      v.map(_ + (rnd.nextFloat() * 2 - 1) * eps)
+    val a0 = Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val a1 = Seq(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)
+    val hub = Seq(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f)
+    val srcVecs = Seq(0L -> a0, 1L -> a1, 2L -> jitter(hub, 0.03f),
+      4L -> jitter(hub, 0.03f), 5L -> jitter(hub, 0.03f),
+      6L -> jitter(hub, 0.03f))
+    val tgtVecs =
+      Seq(100L -> jitter(a0, 0.01f), 101L -> jitter(a1, 0.01f)) ++
+        (110L until 116L).map(id => id -> jitter(hub, 0.03f)) ++
+        (130L until 140L).map(id =>
+          id -> Seq.fill(8)(rnd.nextFloat() * 0.4f - 0.2f))
+    val src = srcVecs.toDF("vec_id", "embedding")
+    val tgt = tgtVecs.toDF("vec_id", "embedding")
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), Option(r.get(3)), r.getInt(4)))
+      .toMap
+    // degeneracy: complete candidate graph (nprobe = numCells, depth ≥
+    // both sides) makes the gated form EXACTLY the all-pairs operator —
+    // same targets, cosines, margins, flags
+    val exact = asMap(
+      Similarity.mineBitext(src, tgt, k = 4, threshold = 1.05).collect())
+    val full = asMap(Similarity.mineBitextWithIndex(src, tgt, k = 4,
+      depth = 40, threshold = 1.05, numCells = 6, nprobe = 6).collect())
+    assert(full == exact)
+    // the gated run (nprobe < numCells, depth < |tgt|) still mines the
+    // planted translations and rejects the dense hub: margins drift
+    // with candidate coverage, the discrete decisions must not. nprobe
+    // covers the hub's cell spread — a SPARSER probe thins the hub's
+    // backward list so much its average collapses and the margin
+    // inflates, the documented depth≫k / coverage requirement.
+    val gated = asMap(Similarity.mineBitextWithIndex(src, tgt, k = 4,
+      depth = 8, threshold = 1.05, numCells = 6, nprobe = 4).collect())
+    assert(gated.keySet == Set(0L, 1L, 2L, 4L, 5L, 6L))
+    assert(gated(0L)._1 == 100L && gated(0L)._4 == 1, s"src0 ${gated(0L)}")
+    assert(gated(1L)._1 == 101L && gated(1L)._4 == 1, s"src1 ${gated(1L)}")
+    assert(gated(2L)._4 == 0, s"hub src accepted: ${gated(2L)}")
+  }
+
   test("ivfKnnJoin probing every cell ≡ brute-force kNN without self") {
     val rnd = new scala.util.Random(11)
     val corpus = (0L until 60L)
