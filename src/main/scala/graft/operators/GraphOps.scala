@@ -88,16 +88,36 @@ object GraphOps {
    * replays exactly; kNN graphs have uniform out-degree k and no dangling
    * nodes at all.
    *
+   * Deep-iteration hardening: small `iters` unroll into one lineage (the
+   * cheapest plan — no materialization); past `truncateEvery` iterations
+   * the rank frame is `localCheckpoint`ed to cut the lineage, because
+   * Catalyst analysis/codegen cost otherwise grows with plan DEPTH (the
+   * values are exact integers, so truncation cannot change them —
+   * spec-pinned truncated ≡ unrolled). `tolE12 >= 0` adds a convergence
+   * stop: iteration ends early once no node's rank moved by more than
+   * `tolE12` fixed-point units — an EXACT integer delta (float PageRank
+   * could never honestly compare to 0), at the cost of one bounded
+   * 1-row driver action per iteration (each iteration materializes via
+   * localCheckpoint in that mode, so the delta action never replays the
+   * whole lineage). A converged state is a fixpoint of the integer
+   * update, so stopping early returns bit-identically what running the
+   * remaining iterations would.
+   *
    * @param edges `(src, dst)` distinct directed edges
    * @param nodes one row per node (the universe — nodes with no in-edges
    *              still receive the teleport term)
+   * @param tolE12 convergence threshold in 10^-12 rank units; negative
+   *               (default) disables the per-iteration delta check
+   * @param truncateEvery cut lineage every this many iterations
    * @return `(idCol, pr_e12)` — one row per node, rank at scale 10^12
    */
   def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
-      iters: Int, dampingNum: Int = 17, dampingDen: Int = 20): DataFrame = {
+      iters: Int, dampingNum: Int = 17, dampingDen: Int = 20,
+      tolE12: Long = -1L, truncateEvery: Int = 8): DataFrame = {
     require(iters >= 1, "pageRank: iters must be >= 1")
     require(dampingNum > 0 && dampingNum < dampingDen,
       "pageRank: damping must be in (0, 1)")
+    require(truncateEvery >= 1, "pageRank: truncateEvery must be >= 1")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     // |E| rows, persisted once, replayed every iteration
     val e = PersistTracker.trackPersist(
@@ -110,15 +130,28 @@ object GraphOps {
     val teleport = expr(
       s"(${PrScale}L * ${dampingDen - dampingNum}) div ($dampingDen * __n)")
     var pr = base.select(col("__nid"), expr(s"${PrScale}L div __n").as("pr"))
-    for (_ <- 1 to iters) {
+    var it = 1
+    var converged = false
+    while (it <= iters && !converged) {
       val contrib = e.join(pr, e("src") === pr("__nid"))
         .groupBy(col("dst"))
         .agg(sum(expr(s"(pr * $dampingNum) div ($dampingDen * __deg)"))
           .as("__in"))
-      pr = base
+      val next = base
         .join(contrib, col("__nid") === col("dst"), "left")
         .select(col("__nid"),
           (teleport + coalesce(col("__in"), lit(0L))).as("pr"))
+      val cut = if (tolE12 >= 0L || it % truncateEvery == 0)
+        next.localCheckpoint(true) else next
+      if (tolE12 >= 0L) {
+        val delta = cut
+          .join(pr.select(col("__nid"), col("pr").as("__prev")), "__nid")
+          .agg(coalesce(max(abs(col("pr") - col("__prev"))), lit(0L)))
+          .head.getLong(0)
+        converged = delta <= tolE12
+      }
+      pr = cut
+      it += 1
     }
     pr.select(col("__nid").as(idCol), col("pr").as("pr_e12"))
   }

@@ -74,6 +74,57 @@ class GraphOpsSpec extends SparkSpec {
     assert(n0.map(_.getLong(1)).toSeq == Seq(1L, 4L))
   }
 
+  test("deep iteration: truncated lineage ≡ unrolled, final plan depth bounded") {
+    val edges = (0L until 20L).flatMap(i =>
+      Seq((i, (i + 1) % 20), (i, (i * 7 + 3) % 20))).toDF("src", "dst")
+    val nodes = (0L until 20L).toDF("id")
+    val cut = GraphOps.pageRank(edges, nodes, "id", iters = 12,
+      truncateEvery = 3)
+    val unrolled = GraphOps.pageRank(edges, nodes, "id", iters = 12,
+      truncateEvery = 100)
+    val a = cut.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    val b = unrolled.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    // integer arithmetic: materialization cannot perturb a single unit
+    assert(a == b)
+    // the truncated form's final frame hangs off a checkpointed RDD, not
+    // the 12-iteration join tree — analysis cost stays flat in iters
+    val planLines = cut.queryExecution.optimizedPlan.treeString.linesIterator.size
+    val unrolledLines =
+      unrolled.queryExecution.optimizedPlan.treeString.linesIterator.size
+    assert(planLines < 10, s"truncated plan has $planLines nodes")
+    assert(unrolledLines > 5 * planLines,
+      s"unrolled $unrolledLines vs truncated $planLines")
+  }
+
+  test("tolE12 stop: a converged state is a fixpoint, early stop ≡ full run") {
+    // directed cycle, uniform out-degree 1: the uniform vector is an
+    // EXACT integer fixpoint (teleport 3S div 20N + (S div N)·17 div 20
+    // = S div N for N | S), so the delta hits 0 at iteration 1 and the
+    // tol run must return iteration-1 values no matter how many
+    // iterations were requested — fast, and bit-identical
+    val edges = (0L until 10L).map(i => (i, (i + 1) % 10)).toDF("src", "dst")
+    val nodes = (0L until 10L).toDF("id")
+    val full = GraphOps.pageRank(edges, nodes, "id", iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val tol = GraphOps.pageRank(edges, nodes, "id", iters = 500,
+      tolE12 = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(tol == full)
+    assert(tol.forall(_._2 == GraphOps.PrScale / 10))
+    // a non-fixpoint graph under a LOOSE tol still equals the plain run
+    // truncated at the stop point: stopping is exact, never approximate
+    val e2 = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val n2 = Seq(0L, 1L, 2L).toDF("id")
+    val t2 = GraphOps.pageRank(e2, n2, "id", iters = 50,
+      tolE12 = GraphOps.PrScale) // huge tol → stops after iteration 1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val one = GraphOps.pageRank(e2, n2, "id", iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(t2 == one)
+  }
+
   test("pageRank is partition-invariant (integer sums are order-free)") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L),
       (1L, 3L), (2L, 0L), (3L, 1L)).toDF("src", "dst")
