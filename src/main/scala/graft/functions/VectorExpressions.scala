@@ -155,6 +155,103 @@ object VectorExpressions {
    *
    * @return `array<struct<cell: long, cos: double>>`, best first
    */
+  private val TopCellsType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cell", LongType, nullable = false),
+      StructField("cos", DoubleType, nullable = false))),
+    containsNull = false)
+
+  /** Interpreted TopCells kernel, shared by the references-array and
+    * broadcast-backed forms (identical arithmetic by construction). */
+  private def topCellsEval(dt: DataType, input: Any,
+      cents: Array[Array[Double]], cellIds: Array[Long], n: Int): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val bc = Array.fill(n)(java.lang.Double.NEGATIVE_INFINITY)
+    val bi = new Array[Long](n)
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val dim = math.min(v.numElements(), cent.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < dim) {
+        val xv = elemAt(dt, v, i)
+        val yv = cent(i)
+        dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
+      }
+      val denom = math.sqrt(nx) * math.sqrt(ny)
+      val cos = round4(if (denom > 0) dot / denom else 0.0)
+      val id = cellIds(c)
+      // insertion by (cos DESC, id ASC)
+      var p = n
+      while (p > 0 && (cos > bc(p - 1) ||
+          (cos == bc(p - 1) && id < bi(p - 1)))) p -= 1
+      if (p < n) {
+        var q = n - 1
+        while (q > p) { bc(q) = bc(q - 1); bi(q) = bi(q - 1); q -= 1 }
+        bc(p) = cos; bi(p) = id
+      }
+      c += 1
+    }
+    val rows = new Array[AnyRef](n)
+    var t = 0
+    while (t < n) {
+      rows(t) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](bi(t), bc(t)))
+      t += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  /** Generated TopCells kernel body; `m`/`ids` are the Java accessor
+    * strings for the centroid matrix and cell ids (a references-array
+    * slot or a broadcast-initialized field — same generated loop). */
+  private def topCellsCode(ctx: CodegenContext, ev: ExprCode, v: String,
+      m: String, ids: String, n: Int, dt: DataType): String = {
+    val bc = ctx.freshName("bc"); val bi = ctx.freshName("bi")
+    val c = ctx.freshName("c"); val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+    val ny = ctx.freshName("ny"); val dim = ctx.freshName("dim")
+    val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+    val denom = ctx.freshName("denom"); val cos = ctx.freshName("cos")
+    val id = ctx.freshName("id"); val p = ctx.freshName("p")
+    val q = ctx.freshName("q"); val rows = ctx.freshName("rows")
+    val t = ctx.freshName("t")
+    s"""
+       |double[] $bc = new double[$n];
+       |long[] $bi = new long[$n];
+       |java.util.Arrays.fill($bc, Double.NEGATIVE_INFINITY);
+       |for (int $c = 0; $c < $m.length; $c++) {
+       |  int $dim = java.lang.Math.min($v.numElements(), $m[$c].length);
+       |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+       |  for (int $i = 0; $i < $dim; $i++) {
+       |    double $xv = ${elemAccessor(dt, v, i)};
+       |    double $yv = $m[$c][$i];
+       |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+       |  }
+       |  double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+       |  double $cos = graft.functions.VectorExpressions.round4(
+       |    $denom > 0 ? $dot / $denom : 0.0);
+       |  long $id = $ids[$c];
+       |  int $p = $n;
+       |  while ($p > 0 && ($cos > $bc[$p - 1] ||
+       |      ($cos == $bc[$p - 1] && $id < $bi[$p - 1]))) $p--;
+       |  if ($p < $n) {
+       |    for (int $q = $n - 1; $q > $p; $q--) {
+       |      $bc[$q] = $bc[$q - 1]; $bi[$q] = $bi[$q - 1];
+       |    }
+       |    $bc[$p] = $cos; $bi[$p] = $id;
+       |  }
+       |}
+       |Object[] $rows = new Object[$n];
+       |for (int $t = 0; $t < $n; $t++) {
+       |  $rows[$t] = new org.apache.spark.sql.catalyst.expressions
+       |    .GenericInternalRow(new Object[]{$bi[$t], $bc[$t]});
+       |}
+       |${ev.value} = new org.apache.spark.sql.catalyst.util
+       |  .GenericArrayData($rows);
+     """.stripMargin
+  }
+
   case class TopCells(child: Expression, cents: Array[Array[Double]],
       cellIds: Array[Long], n: Int)
       extends UnaryExpression {
@@ -162,99 +259,57 @@ object VectorExpressions {
       "one id per centroid")
     require(n >= 1 && n <= cents.length, s"n in [1,${cents.length}]")
 
-    override def dataType: DataType = ArrayType(
-      StructType(Seq(
-        StructField("cell", LongType, nullable = false),
-        StructField("cos", DoubleType, nullable = false))),
-      containsNull = false)
+    override def dataType: DataType = TopCellsType
     override def prettyName: String = "graft_top_cells"
 
-    override protected def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
-      val bc = Array.fill(n)(java.lang.Double.NEGATIVE_INFINITY)
-      val bi = new Array[Long](n)
-      var c = 0
-      while (c < cents.length) {
-        val cent = cents(c)
-        val dim = math.min(v.numElements(), cent.length)
-        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-        while (i < dim) {
-          val xv = elemAt(child.dataType, v, i)
-          val yv = cent(i)
-          dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
-        }
-        val denom = math.sqrt(nx) * math.sqrt(ny)
-        val cos = round4(if (denom > 0) dot / denom else 0.0)
-        val id = cellIds(c)
-        // insertion by (cos DESC, id ASC)
-        var p = n
-        while (p > 0 && (cos > bc(p - 1) ||
-            (cos == bc(p - 1) && id < bi(p - 1)))) p -= 1
-        if (p < n) {
-          var q = n - 1
-          while (q > p) { bc(q) = bc(q - 1); bi(q) = bi(q - 1); q -= 1 }
-          bc(p) = cos; bi(p) = id
-        }
-        c += 1
-      }
-      val rows = new Array[AnyRef](n)
-      var t = 0
-      while (t < n) {
-        rows(t) = new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(Array[Any](bi(t), bc(t)))
-        t += 1
-      }
-      new GenericArrayData(rows)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      topCellsEval(child.dataType, input, cents, cellIds, n)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val m = ctx.addReferenceObj("cents", cents, "double[][]")
       val ids = ctx.addReferenceObj("cellIds", cellIds, "long[]")
-      nullSafeCodeGen(ctx, ev, v => {
-        val bc = ctx.freshName("bc"); val bi = ctx.freshName("bi")
-        val c = ctx.freshName("c"); val i = ctx.freshName("i")
-        val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
-        val ny = ctx.freshName("ny"); val dim = ctx.freshName("dim")
-        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
-        val denom = ctx.freshName("denom"); val cos = ctx.freshName("cos")
-        val id = ctx.freshName("id"); val p = ctx.freshName("p")
-        val q = ctx.freshName("q"); val rows = ctx.freshName("rows")
-        val t = ctx.freshName("t")
-        s"""
-           |double[] $bc = new double[$n];
-           |long[] $bi = new long[$n];
-           |java.util.Arrays.fill($bc, Double.NEGATIVE_INFINITY);
-           |for (int $c = 0; $c < $m.length; $c++) {
-           |  int $dim = java.lang.Math.min($v.numElements(), $m[$c].length);
-           |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-           |  for (int $i = 0; $i < $dim; $i++) {
-           |    double $xv = ${elemAccessor(child.dataType, v, i)};
-           |    double $yv = $m[$c][$i];
-           |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
-           |  }
-           |  double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-           |  double $cos = graft.functions.VectorExpressions.round4(
-           |    $denom > 0 ? $dot / $denom : 0.0);
-           |  long $id = $ids[$c];
-           |  int $p = $n;
-           |  while ($p > 0 && ($cos > $bc[$p - 1] ||
-           |      ($cos == $bc[$p - 1] && $id < $bi[$p - 1]))) $p--;
-           |  if ($p < $n) {
-           |    for (int $q = $n - 1; $q > $p; $q--) {
-           |      $bc[$q] = $bc[$q - 1]; $bi[$q] = $bi[$q - 1];
-           |    }
-           |    $bc[$p] = $cos; $bi[$p] = $id;
-           |  }
-           |}
-           |Object[] $rows = new Object[$n];
-           |for (int $t = 0; $t < $n; $t++) {
-           |  $rows[$t] = new org.apache.spark.sql.catalyst.expressions
-           |    .GenericInternalRow(new Object[]{$bi[$t], $bc[$t]});
-           |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util
-           |  .GenericArrayData($rows);
-         """.stripMargin
-      })
+      nullSafeCodeGen(ctx, ev,
+        v => topCellsCode(ctx, ev, v, m, ids, n, child.dataType))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /**
+   * [[TopCells]] with the centroid matrix riding a BROADCAST VARIABLE
+   * instead of the expression's references array — for production IVF
+   * scale (10⁴–10⁵ cells × high dims), where a references-array matrix
+   * is re-serialized into EVERY task binary while a broadcast ships
+   * once per executor via the torrent protocol. Arithmetic is the
+   * [[TopCells]] kernel verbatim (shared eval + codegen bodies); the
+   * generated class fetches the matrix once in a lazily-initialized
+   * field, so the per-row loop is identical. Wrapper [[topCells]]
+   * auto-selects this form above [[BroadcastElemThreshold]] elements.
+   */
+  case class TopCellsBc(child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[
+        (Array[Array[Double]], Array[Long])], n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"n must be >= 1, got $n")
+
+    @transient private lazy val mats = bc.value
+
+    override def dataType: DataType = TopCellsType
+    override def prettyName: String = "graft_top_cells_bc"
+
+    override protected def nullSafeEval(input: Any): Any =
+      topCellsEval(child.dataType, input, mats._1, mats._2, n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("bcCents", bc,
+        "org.apache.spark.broadcast.Broadcast")
+      val m = ctx.addMutableState("double[][]", "tcCents",
+        v => s"$v = (double[][]) ((scala.Tuple2) $bcRef.value())._1();")
+      val ids = ctx.addMutableState("long[]", "tcIds",
+        v => s"$v = (long[]) ((scala.Tuple2) $bcRef.value())._2();")
+      nullSafeCodeGen(ctx, ev,
+        v => topCellsCode(ctx, ev, v, m, ids, n, child.dataType))
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -280,6 +335,97 @@ object VectorExpressions {
    *
    * @return `array<int>` of length m — subspace j's chosen code
    */
+  /** Interpreted PQ-encode kernel, shared by the references-array and
+    * broadcast-backed forms. */
+  private def pqEncodeEval(dt: DataType, input: Any,
+      codes: Array[Array[Array[Double]]], ccNorms: Array[Array[Double]],
+      l2: Boolean, m: Int, sd: Int): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val off = j * sd
+      val dim = math.max(0, math.min(v.numElements() - off, sd))
+      var rr = 0.0
+      if (l2) {
+        var i = 0
+        while (i < dim) {
+          val xv = elemAt(dt, v, off + i)
+          rr += xv * xv; i += 1
+        }
+      }
+      var bs = if (l2) java.lang.Double.POSITIVE_INFINITY
+        else java.lang.Double.NEGATIVE_INFINITY
+      var bcode = 0
+      val sub = codes(j)
+      var c = 0
+      while (c < sub.length) {
+        val cw = sub(c)
+        var dot = 0.0; var i = 0
+        val d2 = math.min(dim, cw.length)
+        while (i < d2) {
+          dot += elemAt(dt, v, off + i) * cw(i); i += 1
+        }
+        val s = round4(
+          if (l2) rr - 2.0 * dot + ccNorms(j)(c) else dot)
+        if (if (l2) s < bs else s > bs) { bs = s; bcode = c }
+        c += 1
+      }
+      out(j) = bcode
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Generated PQ-encode kernel body; `cbRef`/`ccRef` are Java accessor
+    * strings (references-array slots or broadcast-initialized fields). */
+  private def pqEncodeCode(ctx: CodegenContext, ev: ExprCode, v: String,
+      cbRef: String, ccRef: String, l2: Boolean, m: Int, sd: Int,
+      dt: DataType): String = {
+    val out = ctx.freshName("out"); val j = ctx.freshName("j")
+    val off = ctx.freshName("off"); val dim = ctx.freshName("dim")
+    val rr = ctx.freshName("rr"); val bs = ctx.freshName("bs")
+    val bcode = ctx.freshName("bcode"); val c = ctx.freshName("c")
+    val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
+    val s = ctx.freshName("s"); val d2 = ctx.freshName("d2")
+    val xv = ctx.freshName("xv")
+    val offI = s"$off + $i"
+    val better = if (l2) s"$s < $bs" else s"$s > $bs"
+    val init = if (l2) "Double.POSITIVE_INFINITY"
+      else "Double.NEGATIVE_INFINITY"
+    val rrLoop = if (l2)
+      s"""for (int $i = 0; $i < $dim; $i++) {
+         |  double $xv = ${elemAccessor(dt, v, offI)};
+         |  $rr += $xv * $xv;
+         |}""".stripMargin else ""
+    val score = if (l2) s"$rr - 2.0 * $dot + $ccRef[$j][$c]" else dot
+    s"""
+       |int[] $out = new int[$m];
+       |for (int $j = 0; $j < $m; $j++) {
+       |  int $off = $j * $sd;
+       |  int $dim = java.lang.Math.max(0,
+       |    java.lang.Math.min($v.numElements() - $off, $sd));
+       |  double $rr = 0.0;
+       |  $rrLoop
+       |  double $bs = $init;
+       |  int $bcode = 0;
+       |  for (int $c = 0; $c < $cbRef[$j].length; $c++) {
+       |    double $dot = 0.0;
+       |    int $d2 = java.lang.Math.min($dim, $cbRef[$j][$c].length);
+       |    for (int $i = 0; $i < $d2; $i++) {
+       |      $dot += ${elemAccessor(dt, v, offI)}
+       |        * $cbRef[$j][$c][$i];
+       |    }
+       |    double $s = graft.functions.VectorExpressions.round4($score);
+       |    if ($better) { $bs = $s; $bcode = $c; }
+       |  }
+       |  $out[$j] = $bcode;
+       |}
+       |${ev.value} = new org.apache.spark.sql.catalyst.util
+       |  .GenericArrayData($out);
+     """.stripMargin
+  }
+
   case class PqEncode(child: Expression,
       codes: Array[Array[Array[Double]]], ccNorms: Array[Array[Double]],
       l2: Boolean)
@@ -295,92 +441,57 @@ object VectorExpressions {
       ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "graft_pq_encode"
 
-    override protected def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
-      val out = new Array[Int](m)
-      var j = 0
-      while (j < m) {
-        val off = j * sd
-        val dim = math.max(0, math.min(v.numElements() - off, sd))
-        var rr = 0.0
-        if (l2) {
-          var i = 0
-          while (i < dim) {
-            val xv = elemAt(child.dataType, v, off + i)
-            rr += xv * xv; i += 1
-          }
-        }
-        var bs = if (l2) java.lang.Double.POSITIVE_INFINITY
-          else java.lang.Double.NEGATIVE_INFINITY
-        var bcode = 0
-        val sub = codes(j)
-        var c = 0
-        while (c < sub.length) {
-          val cw = sub(c)
-          var dot = 0.0; var i = 0
-          val d2 = math.min(dim, cw.length)
-          while (i < d2) {
-            dot += elemAt(child.dataType, v, off + i) * cw(i); i += 1
-          }
-          val s = round4(
-            if (l2) rr - 2.0 * dot + ccNorms(j)(c) else dot)
-          if (if (l2) s < bs else s > bs) { bs = s; bcode = c }
-          c += 1
-        }
-        out(j) = bcode
-        j += 1
-      }
-      new GenericArrayData(out)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      pqEncodeEval(child.dataType, input, codes, ccNorms, l2, m, sd)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val cbRef = ctx.addReferenceObj("codes", codes, "double[][][]")
       val ccRef = if (l2) ctx.addReferenceObj("ccNorms", ccNorms,
         "double[][]") else "null"
-      nullSafeCodeGen(ctx, ev, v => {
-        val out = ctx.freshName("out"); val j = ctx.freshName("j")
-        val off = ctx.freshName("off"); val dim = ctx.freshName("dim")
-        val rr = ctx.freshName("rr"); val bs = ctx.freshName("bs")
-        val bcode = ctx.freshName("bcode"); val c = ctx.freshName("c")
-        val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
-        val s = ctx.freshName("s"); val d2 = ctx.freshName("d2")
-        val xv = ctx.freshName("xv")
-        val offI = s"$off + $i"
-        val better = if (l2) s"$s < $bs" else s"$s > $bs"
-        val init = if (l2) "Double.POSITIVE_INFINITY"
-          else "Double.NEGATIVE_INFINITY"
-        val rrLoop = if (l2)
-          s"""for (int $i = 0; $i < $dim; $i++) {
-             |  double $xv = ${elemAccessor(child.dataType, v, offI)};
-             |  $rr += $xv * $xv;
-             |}""".stripMargin else ""
-        val score = if (l2) s"$rr - 2.0 * $dot + $ccRef[$j][$c]" else dot
-        s"""
-           |int[] $out = new int[$m];
-           |for (int $j = 0; $j < $m; $j++) {
-           |  int $off = $j * $sd;
-           |  int $dim = java.lang.Math.max(0,
-           |    java.lang.Math.min($v.numElements() - $off, $sd));
-           |  double $rr = 0.0;
-           |  $rrLoop
-           |  double $bs = $init;
-           |  int $bcode = 0;
-           |  for (int $c = 0; $c < $cbRef[$j].length; $c++) {
-           |    double $dot = 0.0;
-           |    int $d2 = java.lang.Math.min($dim, $cbRef[$j][$c].length);
-           |    for (int $i = 0; $i < $d2; $i++) {
-           |      $dot += ${elemAccessor(child.dataType, v, offI)}
-           |        * $cbRef[$j][$c][$i];
-           |    }
-           |    double $s = graft.functions.VectorExpressions.round4($score);
-           |    if ($better) { $bs = $s; $bcode = $c; }
-           |  }
-           |  $out[$j] = $bcode;
-           |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util
-           |  .GenericArrayData($out);
-         """.stripMargin
-      })
+      nullSafeCodeGen(ctx, ev,
+        v => pqEncodeCode(ctx, ev, v, cbRef, ccRef, l2, m, sd,
+          child.dataType))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /**
+   * [[PqEncode]] with the codebook (and codeword norms) riding a
+   * BROADCAST VARIABLE — the [[TopCellsBc]] rationale applied to the PQ
+   * encode: a production m×256×sd codebook re-serialized per task binary
+   * becomes one torrent-shipped broadcast fetched once per generated
+   * class. Same kernel verbatim; wrapper [[pqEncode]] auto-selects this
+   * form above [[BroadcastElemThreshold]] elements.
+   */
+  case class PqEncodeBc(child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[
+        (Array[Array[Array[Double]]], Array[Array[Double]])],
+      l2: Boolean, m: Int, sd: Int)
+      extends UnaryExpression {
+    require(m >= 1 && sd >= 1, s"need m,sd >= 1, got ($m, $sd)")
+
+    @transient private lazy val mats = bc.value
+
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_pq_encode_bc"
+
+    override protected def nullSafeEval(input: Any): Any =
+      pqEncodeEval(child.dataType, input, mats._1, mats._2, l2, m, sd)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("bcCodes", bc,
+        "org.apache.spark.broadcast.Broadcast")
+      val cbRef = ctx.addMutableState("double[][][]", "pqCodes",
+        v => s"$v = (double[][][]) ((scala.Tuple2) $bcRef.value())._1();")
+      val ccRef = if (l2) ctx.addMutableState("double[][]", "pqNorms",
+        v => s"$v = (double[][]) ((scala.Tuple2) $bcRef.value())._2();")
+        else "null"
+      nullSafeCodeGen(ctx, ev,
+        v => pqEncodeCode(ctx, ev, v, cbRef, ccRef, l2, m, sd,
+          child.dataType))
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -634,24 +745,56 @@ object VectorExpressions {
       DotProduct(org.apache.spark.sql.graftbridge.ColumnBridge.expr(a),
         org.apache.spark.sql.graftbridge.ColumnBridge.expr(b)))
 
+  /** Above this many matrix ELEMENTS (doubles), [[topCells]]/[[pqEncode]]
+    * switch from the references-array expression to the broadcast-backed
+    * one: 64k doubles ≈ 512 KB — harmless once per plan in a references
+    * array, but a task binary carries the references of EVERY expression
+    * in the stage and re-ships per task, so production-scale centroid
+    * sets (10⁴ cells × 64 dims = 640k doubles) ride a broadcast. */
+  val BroadcastElemThreshold: Long = 1L << 16
+
   /** Top-n cells of `vec` over `(cellId, centroid)` pairs — see
-    * [[TopCells]]. Returns `array<struct<cell, cos>>`, best first. */
+    * [[TopCells]]. Returns `array<struct<cell, cos>>`, best first.
+    * Auto-selects [[TopCellsBc]] above [[BroadcastElemThreshold]]
+    * elements (bit-identical results; the broadcast is created here and
+    * lives until the session ends — callers with a tight lifecycle can
+    * broadcast themselves and build [[TopCellsBc]] directly). */
   def topCells(vec: Column, cents: Seq[(Long, Seq[Double])],
-      n: Int): Column =
-    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      n: Int): Column = {
+    val m = cents.map(_._2.toArray).toArray
+    val ids = cents.map(_._1).toArray
+    val elems = m.length.toLong * (if (m.isEmpty) 0 else m(0).length)
+    val sess = org.apache.spark.sql.SparkSession.getActiveSession
+    val e = if (elems > BroadcastElemThreshold && sess.isDefined)
+      TopCellsBc(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec),
+        sess.get.sparkContext.broadcast((m, ids)), n)
+    else
       TopCells(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec),
-        cents.map(_._2.toArray).toArray, cents.map(_._1).toArray, n))
+        m, ids, n)
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(e)
+  }
 
   /** All-subspace PQ encode — see [[PqEncode]]. `array<int>` of m
     * codes; dot-argmax form when `ccNorms` is empty, L2-argmin when
-    * provided. */
+    * provided. Auto-selects [[PqEncodeBc]] above
+    * [[BroadcastElemThreshold]] elements (the [[topCells]] contract). */
   def pqEncode(vec: Column, codebook: Seq[Seq[Seq[Double]]],
-      ccNorms: Seq[Seq[Double]] = Nil): Column =
-    org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      ccNorms: Seq[Seq[Double]] = Nil): Column = {
+    val cb = codebook.map(_.map(_.toArray).toArray).toArray
+    val cc = if (ccNorms.isEmpty) null else ccNorms.map(_.toArray).toArray
+    val l2 = ccNorms.nonEmpty
+    val elems = cb.map(sub =>
+      sub.map(_.length.toLong).sum).sum
+    val sess = org.apache.spark.sql.SparkSession.getActiveSession
+    val e = if (elems > BroadcastElemThreshold && sess.isDefined)
+      PqEncodeBc(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec),
+        sess.get.sparkContext.broadcast((cb, cc)), l2,
+        cb.length, cb(0)(0).length)
+    else
       PqEncode(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec),
-        codebook.map(_.map(_.toArray).toArray).toArray,
-        if (ccNorms.isEmpty) null else ccNorms.map(_.toArray).toArray,
-        l2 = ccNorms.nonEmpty))
+        cb, cc, l2)
+    org.apache.spark.sql.graftbridge.ColumnBridge.of(e)
+  }
 
   def lshKeys(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column = {
     val numTables = planes.length

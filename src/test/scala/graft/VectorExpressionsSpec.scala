@@ -196,4 +196,71 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().head.getSeq[org.apache.spark.sql.Row](0)
     assert(t.map(_.getLong(0)) == Seq(3L, 99L))
   }
+
+  private def javaSize(o: AnyRef): Int = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(buf)
+    oos.writeObject(o); oos.close()
+    buf.size()
+  }
+
+  test("broadcast-backed TopCells/PqEncode: bit-identical, auto-selected, task-binary bounded") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    // battery size (16 cells × 8 dims, under the threshold): the wrapper
+    // must keep the references-array form — zero change to every
+    // existing plan
+    val small: Seq[(Long, Seq[Double])] = (0 until 16)
+      .map(c => (c * 3L, Seq.fill(8)(rnd.nextGaussian())))
+    val smallCol = VectorExpressions.topCells($"embedding", small, 3)
+    assert(org.apache.spark.sql.graftbridge.ColumnBridge.expr(smallCol).toString.contains("graft_top_cells") &&
+      !org.apache.spark.sql.graftbridge.ColumnBridge.expr(smallCol).toString.contains("graft_top_cells_bc"))
+    // planted production-scale centroid set: 10⁴ cells × 8 dims crosses
+    // the element threshold → broadcast form, results BIT-IDENTICAL to
+    // the references-array expression over the same matrix
+    val big: Seq[(Long, Seq[Double])] = (0 until 10000)
+      .map(c => (c.toLong, Seq.fill(8)(rnd.nextGaussian())))
+    val bigCol = VectorExpressions.topCells($"embedding", big, 4)
+    assert(org.apache.spark.sql.graftbridge.ColumnBridge.expr(bigCol).toString.contains("graft_top_cells_bc"))
+    val inline = org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      VectorExpressions.TopCells(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expr($"embedding"),
+        big.map(_._2.toArray).toArray, big.map(_._1).toArray, 4))
+    val a = vecs.select($"vec_id", bigCol.as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getDouble(1))).toSeq).toMap
+    val b = vecs.select($"vec_id", inline.as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getDouble(1))).toSeq).toMap
+    assert(a == b)
+    // the size claim itself: the broadcast form serializes to a handle,
+    // the inline form carries the whole matrix into every task binary
+    val bcBytes = javaSize(org.apache.spark.sql.graftbridge.ColumnBridge.expr(bigCol))
+    val inlineBytes = javaSize(org.apache.spark.sql.graftbridge.ColumnBridge.expr(inline))
+    assert(bcBytes < 64 * 1024, s"broadcast expr is $bcBytes B")
+    assert(inlineBytes > 10 * bcBytes,
+      s"inline $inlineBytes B vs broadcast $bcBytes B")
+    // PqEncode: same contract, L2 mode, big codebook (8 × 256 × 64)
+    val cb: Seq[Seq[Seq[Double]]] = (0 until 8).map(_ =>
+      (0 until 256).map(_ => Seq.fill(64)(rnd.nextGaussian())))
+    val cc: Seq[Seq[Double]] = cb.map(_.map(cw => cw.map(x => x * x).sum))
+    val wide = (0L until 20L)
+      .map(i => (i, Array.fill(512)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val pqBc = VectorExpressions.pqEncode($"embedding", cb, cc)
+    assert(org.apache.spark.sql.graftbridge.ColumnBridge.expr(pqBc).toString.contains("graft_pq_encode_bc"))
+    val pqInline = org.apache.spark.sql.graftbridge.ColumnBridge.of(
+      VectorExpressions.PqEncode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expr($"embedding"),
+        cb.map(_.map(_.toArray).toArray).toArray,
+        cc.map(_.toArray).toArray, l2 = true))
+    val pa = wide.select($"vec_id", pqBc.as("c")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val pb = wide.select($"vec_id", pqInline.as("c")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(pa == pb)
+    assert(javaSize(org.apache.spark.sql.graftbridge.ColumnBridge.expr(pqBc)) < 64 * 1024)
+  }
 }
