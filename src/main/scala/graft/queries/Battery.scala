@@ -6132,6 +6132,90 @@ WHERE rk <= 40"""
       |ORDER BY key DESC, doc_id
       |LIMIT 40""".stripMargin
 
+  /** STREAMED funnel, oracle-gated under q147 (the q148 convention
+    * applied to the event-analytics family: the streaming twin runs
+    * INSIDE the query and the batch oracle hash-gates its final state).
+    * The event log is split at its time midpoint into two parquet files
+    * (per-user order across batches holds by construction — the
+    * [[graft.streaming.EventStreams.funnelStream]] contract), fed as a
+    * real file-source stream with maxFilesPerTrigger=1 under
+    * AvailableNow (two genuine micro-batches through a fresh
+    * checkpoint), folded by flatMapGroupsWithState, and each user's
+    * highest-stage emission projected to q147's schema. The batch-file
+    * dir is corpus-keyed and reused across bench reps (write once);
+    * checkpoint and memory sink are per-invocation. Driver state =
+    * |users|·|stages| emitted rows in the memory sink — bounded by the
+    * funnel's own output size. */
+  val q152FunnelStreamServe: Q = (s, dir) => {
+    val stages = Seq("view", "click", "purchase")
+    val ev = events(s, dir).select(col("user_id"), col("ts"),
+      col("event_type"))
+    val root = streamIndexDir("q152", dir, "events")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sessionState.newHadoopConf())
+    val inDir = new org.apache.hadoop.fs.Path(s"$root/in")
+    if (!fs.exists(inDir)) {
+      val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx")).head()
+      val cut = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
+      fs.mkdirs(inDir)
+      def writeBatch(batch: DataFrame, name: String, mtime: Long): Unit = {
+        val stage = s"$root/stage-$name"
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+          .map(_.getPath).find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part in $stage"))
+        val target = new org.apache.hadoop.fs.Path(inDir, s"$name.parquet")
+        fs.rename(part, target)
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        // the file source takes oldest-first under maxFilesPerTrigger —
+        // mtimes order the two batches deterministically
+        new java.io.File(target.toUri.getPath).setLastModified(mtime): Unit
+      }
+      val now = System.currentTimeMillis()
+      writeBatch(ev.filter(unix_micros(col("ts")) < cut), "b1",
+        now - 120000L)
+      writeBatch(ev.filter(unix_micros(col("ts")) >= cut), "b2", now)
+    }
+    import s.implicits._
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/in")
+      .as[graft.streaming.EventStreams.FunnelEvent]
+    val tbl = s"q152_funnel_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"$tbl-ckpt")
+    registerCleanup(ckpt)
+    val q = graft.streaming.EventStreams.funnelStream(stream, stages)
+      .toDF()
+      .writeStream.format("memory").queryName(tbl).outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // a user's LAST emission (highest stage) is their final funnel state
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("stage_reached").desc)
+    s.table(tbl)
+      .withColumn("__rn", row_number().over(wU))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"),
+        element_at(col("ts_us"), 1).as("t1_us"),
+        when(size(col("ts_us")) >= 2, element_at(col("ts_us"), 2))
+          .as("t2_us"),
+        when(size(col("ts_us")) >= 3, element_at(col("ts_us"), 3))
+          .as("t3_us"),
+        col("stage_reached"))
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6291,7 +6375,9 @@ WHERE rk <= 40"""
     "q148_prf_stream_serve" -> (q148PrfStreamServe, Some(q146Sql)),
     "q149_retention" -> (q149Retention, Some(q149Sql)),
     "q150_attribution" -> (q150Attribution, Some(q150Sql)),
-    "q151_weighted_topk" -> (q151WeightedTopK, Some(q151Sql)))
+    "q151_weighted_topk" -> (q151WeightedTopK, Some(q151Sql)),
+    // q152 re-runs q147's oracle against the STREAMED funnel's final state
+    "q152_funnel_stream_serve" -> (q152FunnelStreamServe, Some(q147Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
