@@ -83,7 +83,8 @@ import org.apache.spark.sql.types._
  * its install would be silently lost, and a batch that passed its
  * `tombstonedIds` check before a deletion's intent landed would fold
  * tombstoned rows. So [[compactBm25]]/[[compactIvf]]/[[compactPq]]
- * AND [[deleteBm25Docs]]/[[deleteIvfVecs]]/[[deletePqVecs]] MUST run
+ * AND [[deleteBm25Docs]]/[[deleteIvfVecs]]/[[deletePqVecs]]/
+ * [[deleteKmeansContribs]] MUST run
  * from the ingest thread between batches (the `foreachBatch` body is
  * the natural place; the compactEvery hooks already do) — never
  * concurrently with an in-flight ingest of the same dir.
@@ -757,10 +758,18 @@ object IndexIngest {
   private val KmSeedSchema = StructType(Seq(
     StructField("__cl", IntegerType),
     StructField("__s", ArrayType(DoubleType))))
+  /** `__h` is the VALIDITY HORIZON: a partial participates in the state
+    * fold for `upTo` only when `__h < upTo`. Ingest partials carry
+    * `__h = batchId` (same semantics as before); a DELETION's negative
+    * partials carry the ledger's max seen batch at deletion time, so a
+    * crashed batch REPLAYING later reconstructs exactly the state it
+    * first assigned against (the deletion didn't exist then), while the
+    * final served state (`upTo = ∞`) includes every committed
+    * cancellation. */
   private val KmPartialSchema = StructType(Seq(
     StructField("__cl", IntegerType), StructField("__n", LongType),
     StructField("__s", ArrayType(DoubleType)),
-    StructField("__batch", LongType)))
+    StructField("__batch", LongType), StructField("__h", LongType)))
 
   /** Pin the frozen seed state the mini-batch stream accumulates onto —
     * the k-means analogue of [[bootstrapIvf]]. Seeds are centroid-SUM
@@ -787,10 +796,14 @@ object IndexIngest {
       upTo: Long): Seq[Seq[Double]] = {
     DedupIngest.recoverFold(spark, s"$dir/partials")
     val seeds = spark.read.schema(KmSeedSchema).parquet(s"$dir/seeds")
-    val valid = committedBatches(spark, dir).filter(_ < upTo)
+    val valid = committedBatches(spark, dir)
+    // committed AND horizon-visible: ingest partials fold when their
+    // batch id < upTo (coalesce covers pre-__h rows), deletion partials
+    // when they were committed before batch `upTo` was first ingested
     val partials = DedupIngest
       .readOrEmpty(spark, s"$dir/partials", KmPartialSchema)
-      .filter(col("__batch").isInCollection(valid))
+      .filter(col("__batch").isInCollection(valid) &&
+        coalesce(col("__h"), col("__batch")) < upTo)
       .select(col("__cl"), col("__s"))
     val folded = seeds.select(col("__cl"), col("__s"))
       .unionByName(partials)
@@ -819,7 +832,12 @@ object IndexIngest {
     if (hasMarker(spark, dir, batchId.toString)) return false
     if (hasMarker(spark, dir, s"$batchId.intent"))
       purgeBatch(spark, s"$dir/partials", KmPartialSchema, batchId)
-    if (batch.isEmpty) {
+    // a batch replaying AFTER a committed deletion must not resurrect
+    // the forgotten docs' contributions (the index families' rule)
+    val tomb = tombstonedIds(spark, dir, batchId)
+    val live = if (tomb.isEmpty) batch
+      else batch.filter(!col(idCol).cast("string").isInCollection(tomb))
+    if (live.isEmpty) {
       putMarker(spark, dir, batchId.toString)
       dropMarker(spark, dir, s"$batchId.intent")
       return false
@@ -827,8 +845,9 @@ object IndexIngest {
     putMarker(spark, dir, s"$batchId.intent")
     val state = kmeansStateSums(spark, dir, upTo = batchId)
     graft.operators.Clustering
-      .miniBatchPartials(batch, state, idCol, vecCol)
+      .miniBatchPartials(live, state, idCol, vecCol)
       .withColumn("__batch", lit(batchId))
+      .withColumn("__h", lit(batchId))
       .coalesce(1).write.mode("append").parquet(s"$dir/partials")
     putMarker(spark, dir, batchId.toString)
     dropMarker(spark, dir, s"$batchId.intent")
@@ -867,6 +886,140 @@ object IndexIngest {
   def compactKmeans(spark: SparkSession, dir: String,
       smallFileBytes: Long = 32L << 20): Unit =
     DedupIngest.foldCorpusTail(spark, s"$dir/partials", smallFileBytes)
+
+  private val KmSnapSchema = StructType(Seq(
+    StructField("__vid", LongType),
+    StructField("__v", ArrayType(FloatType)),
+    StructField("__b", LongType)))
+
+  /**
+   * Right-to-be-forgotten for the streamed k-means state — completes
+   * deletion across EVERY ledgered family: [[ingestKmeansBatch]]'s
+   * integer partials otherwise retain deleted docs' contributions
+   * forever. The [[deleteBm25Docs]] device adapted to a MODEL (the
+   * state holds no per-doc rows, so the caller supplies the
+   * to-be-forgotten vectors with the batch each was ingested in —
+   * `docs = (idCol, vecCol, batchCol)`, e.g. straight from the
+   * [[DedupIngest]] corpus store):
+   *
+   *  1. intent marker; stage the (id, vector, batch) snapshot to
+   *     `deletes/<id>` (rename-into-place — replays reuse the frozen
+   *     input even if the caller's frame changed);
+   *  2. per affected batch `b`, RE-DERIVE each doc's original cluster
+   *     assignment against the state AS OF ingest —
+   *     `kmeansStateSums(upTo = b)`, exact because the `__h` horizon
+   *     rule excludes every deletion committed after `b` was first
+   *     ingested and assignment is a pure function of (vector, state);
+   *  3. append the NEGATED integer partials under this deletion's
+   *     stamp with `__h =` the ledger's max seen batch: integer sums
+   *     make the cancellation exact, and the horizon keeps crashed
+   *     batches' replays assigning against their original state;
+   *  4. tombstone the ids (coverage horizon) so an uncommitted batch
+   *     replaying later drops them, then commit.
+   *
+   * Docs whose batch never committed are skipped (no contribution to
+   * cancel — the replaying batch's tombstone filter handles them), as
+   * are ids already forgotten by a committed deletion (double-delete is
+   * a no-op, not a double-subtraction). Deleting an id that was never
+   * ingested with the claimed batch is a caller error the state cannot
+   * detect — the contract is "these rows were in that batch", exactly
+   * [[deleteBm25Docs]]' trust in its snapshot.
+   *
+   * SEMANTICS: the cancellation is exact at the SUM level; the served
+   * state equals a rebuild-without-them whenever no surviving doc's
+   * assignment flips once the deleted mass is gone (true for separated
+   * clusters; the mini-batch analogue of the IVF centroid-drift caveat
+   * — spec-checked on a separated corpus plus the crash matrix).
+   * SINGLE-WRITER like every deletion (object doc); fresh
+   * caller-managed `deleteId`.
+   */
+  def deleteKmeansContribs(spark: SparkSession, dir: String,
+      docs: DataFrame, deleteId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      batchCol: String = "__batch"): Boolean = {
+    require(deleteId >= 0, s"deleteId must be non-negative, got $deleteId")
+    val m = s"del-$deleteId"
+    val stamp = delStamp(deleteId)
+    val stage = s"$dir/deletes/$deleteId"
+    val (f, stagePath) = DedupIngest.fs(spark, stage)
+    if (hasMarker(spark, dir, m)) {
+      if (f.exists(stagePath)) f.delete(stagePath, true)
+      dropMarker(spark, dir, s"$m.intent")
+      return false
+    }
+    if (hasMarker(spark, dir, s"$m.intent")) {
+      purgeBatch(spark, s"$dir/partials", KmPartialSchema, stamp)
+      purgeWhere(spark, s"$dir/tombstones", TombSchema,
+        col("__del") =!= deleteId)
+    }
+    putMarker(spark, dir, s"$m.intent")
+    val tmpPath = new org.apache.hadoop.fs.Path(stage + ".tmp")
+    if (!f.exists(stagePath)) {
+      // promote a crashed-but-completed earlier stage write, else build
+      // fresh: committed-batch rows only (uncommitted contributions have
+      // no positives to cancel), minus ids a PRIOR committed deletion
+      // already forgot (double-delete must not double-subtract)
+      if (f.exists(tmpPath) && f.exists(
+          new org.apache.hadoop.fs.Path(stage + ".tmp/_SUCCESS"))) {
+        f.mkdirs(stagePath.getParent)
+        f.rename(tmpPath, stagePath)
+      } else {
+        if (f.exists(tmpPath)) f.delete(tmpPath, true)
+        val committed = committedBatches(spark, dir).filter(_ >= 0)
+        val priorDels = markerNames(spark, dir)
+          .filter(_.startsWith("del-")).flatMap(_.drop(4).toLongOption)
+          .filter(_ != deleteId)
+        val priorIds: Seq[String] =
+          if (priorDels.isEmpty) Seq.empty
+          else {
+            DedupIngest.recoverSwap(spark, s"$dir/tombstones")
+            DedupIngest.readOrEmpty(spark, s"$dir/tombstones", TombSchema)
+              .filter(col("__del").isInCollection(priorDels))
+              .select("__id").distinct().collect()
+              .map(_.getString(0)).toSeq
+          }
+        val snap0 = docs.select(col(idCol).cast("long").as("__vid"),
+            col(vecCol).cast(ArrayType(FloatType)).as("__v"),
+            col(batchCol).cast("long").as("__b"))
+          .filter(col("__b").isInCollection(committed))
+        val snap = (if (priorIds.isEmpty) snap0
+          else snap0.filter(
+            !col("__vid").cast("string").isInCollection(priorIds)))
+          .distinct()
+        snap.coalesce(1).write.parquet(tmpPath.toString)
+        f.mkdirs(stagePath.getParent)
+        f.rename(tmpPath, stagePath)
+      }
+    }
+    val snap = spark.read.schema(KmSnapSchema).parquet(stage)
+    val batches = snap.select("__b").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val horizon = maxSeenBatch(spark, dir)
+    // one as-of state per affected batch (bounded: deletions are
+    // takedown lists, not corpus scale), negatives derived with the
+    // SAME assignment kernel the ingest used
+    val negatives = batches.map { b =>
+      val state = kmeansStateSums(spark, dir, upTo = b)
+      graft.operators.Clustering.miniBatchPartials(
+          snap.filter(col("__b") === b)
+            .select(col("__vid").as(idCol), col("__v").as(vecCol)),
+          state, idCol, vecCol)
+        .select(col("__cl"), (-col("__n")).as("__n"),
+          transform(col("__s"), x => -x).as("__s"))
+    }
+    negatives.reduceOption(_ unionByName _).foreach(_
+      .select(col("__cl"), col("__n").cast("long"), col("__s"),
+        lit(stamp).as("__batch"), lit(horizon).as("__h"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/partials"))
+    snap.select(col("__vid").cast("string").as("__id")).distinct()
+      .select(col("__id"), lit(horizon).as("__covered"),
+        lit(deleteId).as("__del"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+    putMarker(spark, dir, m)
+    dropMarker(spark, dir, s"$m.intent")
+    f.delete(stagePath, true)
+    true
+  }
 
   /** Targeted PQ vector deletion — [[deleteIvfVecs]]' codes-dir twin:
     * tombstone append (coverage horizon), then a recoverable filtered

@@ -369,7 +369,7 @@ class IndexIngestSpec extends SparkSpec {
     // must purge + converge
     val orphan = Clustering
       .miniBatchPartials(kb2.toDF("vec_id", "embedding"), want)
-      .withColumn("__batch", lit(2L))
+      .withColumn("__batch", lit(2L)).withColumn("__h", lit(2L))
     orphan.write.mode("append").parquet(s"$dir/partials")
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(s"$dir/markers/2.intent"))
@@ -384,6 +384,83 @@ class IndexIngestSpec extends SparkSpec {
     IndexIngest.compactKmeans(spark, dir, smallFileBytes = 32L << 20)
     assert(IndexIngest.readKmeansSums(spark, dir) === want3,
       "compaction must preserve the state")
+  }
+
+  test("kmeans deletion: streamed-minus-deleted ≡ rebuild-without-them; crash matrix; replay safety") {
+    import graft.operators.Clustering
+    // WELL-SEPARATED clusters so removing docs flips no surviving
+    // assignment — the regime where cancellation ≡ rebuild exactly
+    val seeds = Seq(Seq(127.0, 0.0, 0.0), Seq(0.0, 127.0, 0.0))
+    val kb1 = Seq((501L, Seq(0.9f, 0.05f, 0.0f)),
+      (502L, Seq(0.05f, 0.9f, 0.0f)), (503L, Seq(0.95f, 0.1f, 0.0f)))
+    val kb2 = Seq((504L, Seq(0.1f, 0.95f, 0.0f)),
+      (505L, Seq(0.85f, 0.05f, 0.0f)))
+    def fold(st: Seq[Seq[Double]],
+        b: Seq[(Long, Seq[Float])]): Seq[Seq[Double]] = {
+      val parts = Clustering
+        .miniBatchPartials(b.toDF("vec_id", "embedding"), st)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](2).toSeq).toMap
+      st.zipWithIndex.map { case (s, cl) =>
+        parts.get(cl)
+          .map(p => s.zip(p).map { case (a, x) => a + x }).getOrElse(s)
+      }
+    }
+    val dir = tmp("km-del")
+    IndexIngest.bootstrapKmeans(spark, dir, seeds)
+    assert(IndexIngest.ingestKmeansBatch(kb1.toDF("vec_id", "embedding"),
+      0L, dir))
+    assert(IndexIngest.ingestKmeansBatch(kb2.toDF("vec_id", "embedding"),
+      1L, dir))
+    // forget 503 (batch 0) and 504 (batch 1)
+    val forget = Seq((503L, kb1(2)._2, 0L), (504L, kb2(0)._2, 1L))
+      .toDF("vec_id", "embedding", "__batch")
+    assert(IndexIngest.deleteKmeansContribs(spark, dir, forget, 0L))
+    // rebuild reference: same seeds, same batches WITHOUT the deleted
+    // docs (no assignment flips by construction → must match exactly)
+    val want = fold(fold(seeds, kb1.filterNot(_._1 == 503L)),
+      kb2.filterNot(_._1 == 504L))
+    assert(IndexIngest.readKmeansSums(spark, dir) === want)
+    // committed replay: O(1) no-op
+    assert(!IndexIngest.deleteKmeansContribs(spark, dir, forget, 0L))
+    assert(IndexIngest.readKmeansSums(spark, dir) === want)
+
+    // crash state: a SECOND deletion's intent + orphan negative partials
+    // without a commit — invisible to the served state; replay converges
+    val stamp1 = -1L - 2L // delStamp(1)
+    val orphanNeg = Clustering
+      .miniBatchPartials(Seq((505L, kb2(1)._2)).toDF("vec_id", "embedding"),
+        IndexIngest.readKmeansSums(spark, dir))
+      .select(col("__cl"), (-col("__n")).as("__n"),
+        transform(col("__s"), x => -x).as("__s"))
+      .withColumn("__batch", lit(stamp1)).withColumn("__h", lit(1L))
+    orphanNeg.write.mode("append").parquet(s"$dir/partials")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/markers/del-1.intent"))
+    assert(IndexIngest.readKmeansSums(spark, dir) === want,
+      "uncommitted deletion partials must be invisible")
+    val forget2 = Seq((505L, kb2(1)._2, 1L))
+      .toDF("vec_id", "embedding", "__batch")
+    assert(IndexIngest.deleteKmeansContribs(spark, dir, forget2, 1L))
+    val want2 = fold(fold(seeds, kb1.filterNot(_._1 == 503L)),
+      kb2.filterNot(d => d._1 == 504L || d._1 == 505L))
+    assert(IndexIngest.readKmeansSums(spark, dir) === want2)
+
+    // replay safety: batch 1 crashes and replays AFTER the deletions —
+    // simulate by dropping its commit marker and purging nothing (the
+    // replay purges); the tombstone filter must keep 504/505 out and the
+    // horizon rule must reassign survivors against the original state
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/markers/1"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/markers/1.intent"))
+    assert(IndexIngest.ingestKmeansBatch(kb2.toDF("vec_id", "embedding"),
+      1L, dir))
+    assert(IndexIngest.readKmeansSums(spark, dir) === want2,
+      "replayed batch must drop tombstoned docs and re-derive the same state")
+    // double-delete of an already-forgotten id is a no-op
+    assert(IndexIngest.deleteKmeansContribs(spark, dir, forget2, 2L))
+    assert(IndexIngest.readKmeansSums(spark, dir) === want2,
+      "double-delete must not double-subtract")
   }
 
   // 4-dim vectors, m=2 subspaces × 2 codes — tiny but non-trivial PQ
