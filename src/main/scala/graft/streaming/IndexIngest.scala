@@ -823,6 +823,16 @@ object IndexIngest {
    * order is SEMANTIC here — batch t's assignment depends on state
    * t−1 — so the single-writer contract (object doc) additionally
    * means monotone batch ids, which is what foreachBatch delivers.
+   *
+   * Replay after a deletion: a crashed (intent-only) batch replaying
+   * once a committed [[deleteKmeansContribs]] has tombstoned some of
+   * its doc ids drops those rows; if EVERY row is tombstoned the
+   * replay is a successful no-op — it purges the batch's orphaned
+   * partials, commits the marker (so later replays are O(1)), and
+   * returns false. A batch whose COMMIT marker is lost is outside the
+   * contract: its positives were already cancelled by any committed
+   * deletion's negatives, so re-ingesting it would double-subtract —
+   * commit markers are never deleted (single-writer contract).
    */
   def ingestKmeansBatch(batch: DataFrame, batchId: Long, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {

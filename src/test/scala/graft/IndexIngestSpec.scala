@@ -445,21 +445,63 @@ class IndexIngestSpec extends SparkSpec {
       kb2.filterNot(d => d._1 == 504L || d._1 == 505L))
     assert(IndexIngest.readKmeansSums(spark, dir) === want2)
 
-    // replay safety: batch 1 crashes and replays AFTER the deletions —
-    // simulate by dropping its commit marker and purging nothing (the
-    // replay purges); the tombstone filter must keep 504/505 out and the
-    // horizon rule must reassign survivors against the original state
-    java.nio.file.Files.delete(
-      java.nio.file.Paths.get(s"$dir/markers/1"))
+    // replay safety, the LEGAL crash: batch 2 crashes intent-only (orphan
+    // positives appended, commit marker NEVER written — the single-writer
+    // contract forbids losing a commit), a deletion of a committed
+    // batch-0 doc lands while it is in flight, then batch 2 replays. The
+    // __h horizon must keep the replay assigning against the state it
+    // first saw, and the served state must equal the rebuild without
+    // every deleted doc.
+    val kb3 = Seq((506L, Seq(0.92f, 0.02f, 0.0f)),
+      (507L, Seq(0.02f, 0.92f, 0.0f)))
+    val orphanPos = Clustering
+      .miniBatchPartials(kb3.toDF("vec_id", "embedding"),
+        IndexIngest.readKmeansSums(spark, dir))
+      .withColumn("__batch", lit(2L)).withColumn("__h", lit(2L))
+    orphanPos.write.mode("append").parquet(s"$dir/partials")
     java.nio.file.Files.createFile(
-      java.nio.file.Paths.get(s"$dir/markers/1.intent"))
-    assert(IndexIngest.ingestKmeansBatch(kb2.toDF("vec_id", "embedding"),
-      1L, dir))
+      java.nio.file.Paths.get(s"$dir/markers/2.intent"))
     assert(IndexIngest.readKmeansSums(spark, dir) === want2,
-      "replayed batch must drop tombstoned docs and re-derive the same state")
+      "uncommitted ingest partials must be invisible")
+    val forget3 = Seq((501L, kb1(0)._2, 0L))
+      .toDF("vec_id", "embedding", "__batch")
+    assert(IndexIngest.deleteKmeansContribs(spark, dir, forget3, 2L))
+    val want3 = fold(fold(seeds,
+      kb1.filterNot(d => d._1 == 503L || d._1 == 501L)),
+      kb2.filterNot(d => d._1 == 504L || d._1 == 505L))
+    assert(IndexIngest.readKmeansSums(spark, dir) === want3)
+    assert(IndexIngest.ingestKmeansBatch(kb3.toDF("vec_id", "embedding"),
+      2L, dir), "a crashed uncommitted batch must replay successfully")
+    val want4 = fold(want3, kb3)
+    assert(IndexIngest.readKmeansSums(spark, dir) === want4,
+      "replay must purge its orphans and re-derive against its as-of state")
+
+    // all-tombstoned replay: batch 3 crashes intent-only carrying a
+    // duplicate row of committed doc 506; 506 is then forgotten (del-3's
+    // horizon covers the in-flight batch 3), so the replay drops its
+    // whole payload — a successful no-op committing the marker,
+    // returning false, leaving the state unchanged
+    val dup = Seq((506L, kb3(0)._2))
+    Clustering.miniBatchPartials(dup.toDF("vec_id", "embedding"),
+        IndexIngest.readKmeansSums(spark, dir))
+      .withColumn("__batch", lit(3L)).withColumn("__h", lit(3L))
+      .write.mode("append").parquet(s"$dir/partials")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/markers/3.intent"))
+    val forget4 = Seq((506L, kb3(0)._2, 2L))
+      .toDF("vec_id", "embedding", "__batch")
+    assert(IndexIngest.deleteKmeansContribs(spark, dir, forget4, 3L))
+    val want5 = fold(want3, kb3.filterNot(_._1 == 506L))
+    assert(IndexIngest.readKmeansSums(spark, dir) === want5)
+    assert(!IndexIngest.ingestKmeansBatch(dup.toDF("vec_id", "embedding"),
+      3L, dir), "an all-tombstoned replay ingests nothing")
+    assert(IndexIngest.readKmeansSums(spark, dir) === want5,
+      "all-tombstoned replay must purge its orphans and add nothing")
+    assert(!IndexIngest.ingestKmeansBatch(dup.toDF("vec_id", "embedding"),
+      3L, dir), "the no-op replay must have committed its marker")
     // double-delete of an already-forgotten id is a no-op
-    assert(IndexIngest.deleteKmeansContribs(spark, dir, forget2, 2L))
-    assert(IndexIngest.readKmeansSums(spark, dir) === want2,
+    assert(IndexIngest.deleteKmeansContribs(spark, dir, forget2, 4L))
+    assert(IndexIngest.readKmeansSums(spark, dir) === want5,
       "double-delete must not double-subtract")
   }
 
