@@ -159,6 +159,96 @@ object IndexIngest {
     * deletion id can never collide with a stream micro-batch id. */
   private def delStamp(deleteId: Long): Long = -deleteId - 2
 
+  // ------------------------------------------------------------------
+  // Single-writer lock
+  // ------------------------------------------------------------------
+
+  /** Session-conf key: a lock older than this many milliseconds is
+    * treated as abandoned and broken automatically on the next acquire.
+    * 0 (the default) never auto-breaks — recovery is the operator's
+    * explicit [[breakLedgerLock]]. */
+  val LockStaleMsKey = "graft.ledger.lockStaleMs"
+
+  /** This writer's identity, written into the lock file so contention
+    * errors name the holder: JVM `pid@host` plus a per-JVM nonce. */
+  private lazy val lockOwner: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+      ":" + java.util.UUID.randomUUID().toString.take(8)
+
+  private def lockPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/markers/lock")
+
+  /** Make the single-writer contract (object doc) fail FAST instead of
+    * corrupting silently: every mutator ([[ingestBm25Batch]]-family,
+    * `delete*`, `compact*`) holds `markers/lock` for its duration. The
+    * lock file is created atomically (`create(overwrite = false)` — an
+    * atomic existence claim on HDFS and object-store committers) with
+    * the owner id as content, and removed in a `finally`, so a SECOND
+    * concurrent writer — a mis-wired duplicate stream, a cron compactor
+    * racing the ingest thread — throws [[ConcurrentWriterException]]
+    * naming the holder rather than interleaving rewrites with appends.
+    *
+    * A writer that CRASHES mid-operation leaves the lock behind; that
+    * is deliberate (the dir may hold a half-applied operation and must
+    * not accept writes until someone looks). Recovery is exactly the
+    * ledger's replay story: the operator confirms the old writer is
+    * dead, calls [[breakLedgerLock]], and re-runs — every mutator is
+    * replay-safe behind its intent/commit markers, so break + replay is
+    * always sound. Setting [[LockStaleMsKey]] > 0 in the session conf
+    * turns that manual step into a lease: an acquire finding a lock
+    * whose modification time is older than the threshold breaks it
+    * itself (two recoverers can race the break — benign, because the
+    * subsequent atomic create still admits exactly one). Advisory, not
+    * a correctness primitive: crash-exactness comes from the marker
+    * protocol; the lock exists to catch contract violations early. */
+  private def withLedgerLock[T](spark: SparkSession, dir: String)
+      (body: => T): T = {
+    val (f, p) = DedupIngest.fs(spark, lockPath(dir).toString)
+    f.mkdirs(p.getParent)
+    val staleMs = spark.conf.getOption(LockStaleMsKey)
+      .flatMap(_.toLongOption).getOrElse(0L)
+    def tryAcquire(): Boolean =
+      try {
+        val out = f.create(p, false)
+        out.write(lockOwner.getBytes("UTF-8")); out.close(); true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val holder = try {
+        val in = f.open(p)
+        val b = new Array[Byte](256)
+        val n = in.read(b); in.close()
+        if (n > 0) new String(b, 0, n, "UTF-8") else "unknown"
+      } catch { case _: java.io.IOException => "unknown" }
+      val ageMs = try
+        System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
+      catch { case _: java.io.IOException => 0L }
+      val stale = staleMs > 0 && ageMs > staleMs
+      if (stale) f.delete(p, false)
+      if (!stale || !tryAcquire())
+        throw new ConcurrentWriterException(
+          s"index dir $dir is locked by writer '$holder' (${ageMs}ms old)" +
+            ": a second concurrent writer violates the single-writer " +
+            "contract. If that writer is dead, call " +
+            s"IndexIngest.breakLedgerLock(spark, \"$dir\") and re-run " +
+            s"(all operations are replay-safe), or set $LockStaleMsKey " +
+            "for lease-style auto-recovery.")
+    }
+    try body
+    finally f.delete(p, false)
+  }
+
+  /** A second concurrent writer hit [[withLedgerLock]]'s guard. */
+  final class ConcurrentWriterException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Operator-driven recovery: remove a dead writer's lock (see
+    * [[withLedgerLock]] — call ONLY once the holder is known dead; the
+    * marker protocol makes the subsequent replay exact). */
+  def breakLedgerLock(spark: SparkSession, dir: String): Unit = {
+    val (f, p) = DedupIngest.fs(spark, lockPath(dir).toString)
+    if (f.exists(p)) f.delete(p, false)
+  }
+
   /** Marker names in the ledger (commit state only). */
   private def markerNames(spark: SparkSession, dir: String): Seq[String] = {
     val (f, root) = DedupIngest.fs(spark, s"$dir/markers")
@@ -247,7 +337,8 @@ object IndexIngest {
     * (object doc). Returns false on a replay of a committed batch (an
     * O(1) no-op) or an empty batch. */
   def ingestBm25Batch(batch: DataFrame, batchId: Long, dir: String,
-      idCol: String = "doc_id", textCol: String = "text"): Boolean = {
+      idCol: String = "doc_id", textCol: String = "text"): Boolean =
+      withLedgerLock(batch.sparkSession, dir) {
     val spark = batch.sparkSession
     require(batchId >= 0, s"batchId must be non-negative, got $batchId" +
       " (negative stamps are reserved for deletions/compaction)")
@@ -340,7 +431,7 @@ object IndexIngest {
     * survive as the permanent ledger. Single-writer cadence (object
     * doc). */
   def compactBm25(spark: SparkSession, dir: String,
-      smallFileBytes: Long = 32L << 20): Unit = {
+      smallFileBytes: Long = 32L << 20): Unit = withLedgerLock(spark, dir) {
     val valid = committedBatches(spark, dir)
     def swapFold(path: String, schema: StructType,
         fold: DataFrame => DataFrame): Unit = {
@@ -409,7 +500,7 @@ object IndexIngest {
    * rewrite window.
    */
   def deleteBm25Docs(spark: SparkSession, dir: String, ids: Seq[String],
-      deleteId: Long): Boolean = {
+      deleteId: Long): Boolean = withLedgerLock(spark, dir) {
     require(ids.nonEmpty, "need at least one doc id to delete")
     require(deleteId >= 0, s"deleteId must be non-negative, got $deleteId")
     val m = s"del-$deleteId"
@@ -505,7 +596,7 @@ object IndexIngest {
     * caller-managed). SINGLE-WRITER like compaction — run between
     * batches from the ingest thread (object doc). */
   def deleteIvfVecs(spark: SparkSession, dir: String, ids: Seq[Long],
-      deleteId: Long): Boolean = {
+      deleteId: Long): Boolean = withLedgerLock(spark, dir) {
     require(ids.nonEmpty, "need at least one vec id to delete")
     require(deleteId >= 0, s"deleteId must be non-negative, got $deleteId")
     val m = s"del-$deleteId"
@@ -560,7 +651,8 @@ object IndexIngest {
     * ties break on the id — string order would reorder numeric
     * ids). */
   def ingestIvfBatch(batch: DataFrame, batchId: Long, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean =
+      withLedgerLock(batch.sparkSession, dir) {
     val spark = batch.sparkSession
     require(batchId >= 0, s"batchId must be non-negative, got $batchId" +
       " (negative stamps are reserved for deletions/compaction)")
@@ -631,7 +723,9 @@ object IndexIngest {
     * before listing). */
   def compactIvf(spark: SparkSession, dir: String,
       smallFileBytes: Long = 32L << 20): Unit =
-    DedupIngest.foldCorpusTail(spark, s"$dir/assigned", smallFileBytes)
+    withLedgerLock(spark, dir) {
+      DedupIngest.foldCorpusTail(spark, s"$dir/assigned", smallFileBytes)
+    }
 
   // ------------------------------------------------------------------
   // PQ
@@ -677,7 +771,8 @@ object IndexIngest {
     * the protocol is exactly the IVF `assigned` shape. Vector ids must
     * be long-castable. */
   def ingestPqBatch(batch: DataFrame, batchId: Long, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean =
+      withLedgerLock(batch.sparkSession, dir) {
     val spark = batch.sparkSession
     require(batchId >= 0, s"batchId must be non-negative, got $batchId" +
       " (negative stamps are reserved for deletions/compaction)")
@@ -749,7 +844,9 @@ object IndexIngest {
     * cadence (object doc). */
   def compactPq(spark: SparkSession, dir: String,
       smallFileBytes: Long = 32L << 20): Unit =
-    DedupIngest.foldCorpusTail(spark, s"$dir/codes", smallFileBytes)
+    withLedgerLock(spark, dir) {
+      DedupIngest.foldCorpusTail(spark, s"$dir/codes", smallFileBytes)
+    }
 
   // ------------------------------------------------------------------
   // Mini-batch k-means (streamed model maintenance)
@@ -835,7 +932,8 @@ object IndexIngest {
    * commit markers are never deleted (single-writer contract).
    */
   def ingestKmeansBatch(batch: DataFrame, batchId: Long, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean =
+      withLedgerLock(batch.sparkSession, dir) {
     val spark = batch.sparkSession
     require(batchId >= 0, s"batchId must be non-negative, got $batchId" +
       " (negative stamps are reserved for compaction)")
@@ -895,7 +993,9 @@ object IndexIngest {
     * writer cadence (object doc). */
   def compactKmeans(spark: SparkSession, dir: String,
       smallFileBytes: Long = 32L << 20): Unit =
-    DedupIngest.foldCorpusTail(spark, s"$dir/partials", smallFileBytes)
+    withLedgerLock(spark, dir) {
+      DedupIngest.foldCorpusTail(spark, s"$dir/partials", smallFileBytes)
+    }
 
   private val KmSnapSchema = StructType(Seq(
     StructField("__vid", LongType),
@@ -946,7 +1046,7 @@ object IndexIngest {
   def deleteKmeansContribs(spark: SparkSession, dir: String,
       docs: DataFrame, deleteId: Long,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      batchCol: String = "__batch"): Boolean = {
+      batchCol: String = "__batch"): Boolean = withLedgerLock(spark, dir) {
     require(deleteId >= 0, s"deleteId must be non-negative, got $deleteId")
     val m = s"del-$deleteId"
     val stamp = delStamp(deleteId)
@@ -1036,7 +1136,7 @@ object IndexIngest {
     * rewrite of the codes. Same single-writer contract and fresh
     * caller-managed `deleteId`. */
   def deletePqVecs(spark: SparkSession, dir: String, ids: Seq[Long],
-      deleteId: Long): Boolean = {
+      deleteId: Long): Boolean = withLedgerLock(spark, dir) {
     require(ids.nonEmpty, "need at least one vec id to delete")
     require(deleteId >= 0, s"deleteId must be non-negative, got $deleteId")
     val m = s"del-$deleteId"

@@ -505,6 +505,63 @@ class IndexIngestSpec extends SparkSpec {
       "double-delete must not double-subtract")
   }
 
+  test("ledger lock: second writer fails fast; crash leaves a recoverable " +
+      "lock; lease auto-break") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmp("km-lock")
+    val lockP = Paths.get(s"$dir/markers/lock")
+    IndexIngest.bootstrapKmeans(spark, dir,
+      Seq(Seq(127.0, 0.0), Seq(0.0, 127.0)))
+    def vecs(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
+    // normal operations acquire and release — no lock residue
+    assert(IndexIngest.ingestKmeansBatch(vecs(1L -> Seq(0.9f, 0.1f)), 0L, dir))
+    IndexIngest.compactKmeans(spark, dir)
+    assert(!Files.exists(lockP), "a completed operation must release")
+    val before = IndexIngest.readKmeansSums(spark, dir)
+    // another writer holds (or died holding) the lock → every mutator
+    // fails fast naming the holder, and the state is untouched
+    Files.write(lockP, "9999@otherhost:deadbeef".getBytes("UTF-8"))
+    val e = intercept[IndexIngest.ConcurrentWriterException] {
+      IndexIngest.ingestKmeansBatch(vecs(2L -> Seq(0.1f, 0.9f)), 1L, dir)
+    }
+    assert(e.getMessage.contains("9999@otherhost:deadbeef"))
+    intercept[IndexIngest.ConcurrentWriterException] {
+      IndexIngest.compactKmeans(spark, dir)
+    }
+    intercept[IndexIngest.ConcurrentWriterException] {
+      IndexIngest.deleteKmeansContribs(spark, dir,
+        Seq((1L, Seq(0.9f, 0.1f), 0L)).toDF("vec_id", "embedding", "__batch"),
+        0L)
+    }
+    assert(IndexIngest.readKmeansSums(spark, dir) === before,
+      "a locked-out writer must not have touched the state")
+    // readers are never blocked by the lock
+    assert(IndexIngest.readKmeansSums(spark, dir) === before)
+    // explicit recovery: break the dead writer's lock, replay proceeds
+    IndexIngest.breakLedgerLock(spark, dir)
+    assert(IndexIngest.ingestKmeansBatch(vecs(2L -> Seq(0.1f, 0.9f)), 1L, dir))
+    assert(!Files.exists(lockP))
+    // lease mode: a lock older than LockStaleMsKey is auto-broken …
+    Files.write(lockP, "stale-writer".getBytes("UTF-8"))
+    Files.setLastModifiedTime(lockP, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 60000))
+    spark.conf.set(IndexIngest.LockStaleMsKey, "1000")
+    try {
+      assert(IndexIngest.ingestKmeansBatch(vecs(3L -> Seq(0.95f, 0.0f)),
+        2L, dir))
+      assert(!Files.exists(lockP))
+      // … but a FRESH lock within the lease window still fails fast
+      Files.write(lockP, "live-writer".getBytes("UTF-8"))
+      spark.conf.set(IndexIngest.LockStaleMsKey, "3600000")
+      intercept[IndexIngest.ConcurrentWriterException] {
+        IndexIngest.ingestKmeansBatch(vecs(4L -> Seq(0.0f, 0.95f)), 3L, dir)
+      }
+    } finally {
+      spark.conf.unset(IndexIngest.LockStaleMsKey)
+      IndexIngest.breakLedgerLock(spark, dir)
+    }
+  }
+
   // 4-dim vectors, m=2 subspaces × 2 codes — tiny but non-trivial PQ
   private val pqCb: Seq[Seq[Seq[Float]]] = Seq(
     Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
