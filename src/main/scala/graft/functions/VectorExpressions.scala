@@ -753,6 +753,47 @@ object VectorExpressions {
     * sets (10⁴ cells × 64 dims = 640k doubles) ride a broadcast. */
   val BroadcastElemThreshold: Long = 1L << 16
 
+  /** Content key for the broadcast cache: two matrices with equal
+    * contents share one broadcast regardless of object identity. */
+  private final class MatrixKey(private val arrs: Array[AnyRef]) {
+    override val hashCode: Int = java.util.Arrays.deepHashCode(arrs)
+    override def equals(o: Any): Boolean = o match {
+      case k: MatrixKey => java.util.Arrays.deepEquals(arrs, k.arrs)
+      case _ => false
+    }
+  }
+
+  /** One broadcast per DISTINCT matrix content per application: without
+    * this, every [[topCells]]/[[pqEncode]] call above the threshold
+    * (each `buildIvfIndex` cellOf, each bitext-mine direction) minted a
+    * fresh broadcast that lived until the session died — executor and
+    * driver broadcast blocks accumulating across bench reps. Keyed by
+    * `(applicationId, deep content)`; [[clearCentroidBroadcasts]] is the
+    * lifecycle hook. The one-time `deepHashCode` per call is microseconds
+    * even at 10⁵×10² elements — noise against the broadcast it saves. */
+  private val bcCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, MatrixKey), org.apache.spark.broadcast.Broadcast[_]]()
+
+  private def cachedBroadcast[T](sc: org.apache.spark.SparkContext,
+      key: Array[AnyRef], value: => T)(
+      implicit ct: scala.reflect.ClassTag[T])
+      : org.apache.spark.broadcast.Broadcast[T] =
+    bcCache.computeIfAbsent((sc.applicationId, new MatrixKey(key)),
+      _ => sc.broadcast(value))
+      .asInstanceOf[org.apache.spark.broadcast.Broadcast[T]]
+
+  /** Release executor copies of every cached centroid/codebook broadcast
+    * and empty the cache. Safe at any time: `unpersist` (not `destroy`)
+    * keeps the driver-side value, so plans still holding a handle
+    * re-fetch lazily on next use; subsequent wrapper calls mint fresh
+    * broadcasts. Call between pipeline phases that retire a centroid
+    * generation. */
+  def clearCentroidBroadcasts(): Unit = {
+    val it = bcCache.values().iterator()
+    while (it.hasNext) it.next().unpersist(false)
+    bcCache.clear()
+  }
+
   /** Top-n cells of `vec` over `(cellId, centroid)` pairs — see
     * [[TopCells]]. Returns `array<struct<cell, cos>>`, best first.
     * Auto-selects [[TopCellsBc]] above [[BroadcastElemThreshold]]
@@ -763,11 +804,16 @@ object VectorExpressions {
       n: Int): Column = {
     val m = cents.map(_._2.toArray).toArray
     val ids = cents.map(_._1).toArray
+    // fail fast on BOTH forms — TopCellsBc can't see the matrix length
+    // until executor time and would emit filler rows instead of throwing
+    require(n <= cents.length,
+      s"topCells: n=$n exceeds the ${cents.length} candidate cells")
     val elems = m.length.toLong * (if (m.isEmpty) 0 else m(0).length)
     val sess = org.apache.spark.sql.SparkSession.getActiveSession
     val e = if (elems > BroadcastElemThreshold && sess.isDefined)
       TopCellsBc(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec),
-        sess.get.sparkContext.broadcast((m, ids)), n)
+        cachedBroadcast(sess.get.sparkContext,
+          Array[AnyRef](m, ids), (m, ids)), n)
     else
       TopCells(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec),
         m, ids, n)
@@ -788,7 +834,8 @@ object VectorExpressions {
     val sess = org.apache.spark.sql.SparkSession.getActiveSession
     val e = if (elems > BroadcastElemThreshold && sess.isDefined)
       PqEncodeBc(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec),
-        sess.get.sparkContext.broadcast((cb, cc)), l2,
+        cachedBroadcast(sess.get.sparkContext,
+          Array[AnyRef](cb, cc), (cb, cc)), l2,
         cb.length, cb(0)(0).length)
     else
       PqEncode(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec),

@@ -99,9 +99,12 @@ object GraphOps {
    * could never honestly compare to 0), at the cost of one bounded
    * 1-row driver action per iteration (each iteration materializes via
    * localCheckpoint in that mode, so the delta action never replays the
-   * whole lineage). A converged state is a fixpoint of the integer
-   * update, so stopping early returns bit-identically what running the
-   * remaining iterations would.
+   * whole lineage). With `tolE12 = 0` the stop is EXACT: a zero-delta
+   * integer state is a fixpoint of the update, so stopping returns
+   * bit-identically what running the remaining iterations would. With
+   * `tolE12 > 0` the state may still be moving within the tolerance —
+   * the result equals the run truncated at the stop iteration, not the
+   * full `iters` run.
    *
    * @param edges `(src, dst)` distinct directed edges
    * @param nodes one row per node (the universe — nodes with no in-edges

@@ -6158,14 +6158,19 @@ WHERE rk <= 40"""
       val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"),
         max(unix_micros(col("ts"))).as("mx")).head()
       val cut = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
-      fs.mkdirs(inDir)
+      // build BOTH batch files in a staging dir and rename it into place
+      // as one unit — a crash between the two writes must never leave a
+      // half-populated in/ that later reps would stream as complete
+      val stageIn = new org.apache.hadoop.fs.Path(s"$root/in.stage")
+      if (fs.exists(stageIn)) fs.delete(stageIn, true)
+      fs.mkdirs(stageIn)
       def writeBatch(batch: DataFrame, name: String, mtime: Long): Unit = {
         val stage = s"$root/stage-$name"
         batch.coalesce(1).write.mode("overwrite").parquet(stage)
         val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
           .map(_.getPath).find(_.getName.endsWith(".parquet"))
           .getOrElse(throw new IllegalStateException(s"no part in $stage"))
-        val target = new org.apache.hadoop.fs.Path(inDir, s"$name.parquet")
+        val target = new org.apache.hadoop.fs.Path(stageIn, s"$name.parquet")
         fs.rename(part, target)
         fs.delete(new org.apache.hadoop.fs.Path(stage), true)
         // the file source takes oldest-first under maxFilesPerTrigger —
@@ -6176,6 +6181,7 @@ WHERE rk <= 40"""
       writeBatch(ev.filter(unix_micros(col("ts")) < cut), "b1",
         now - 120000L)
       writeBatch(ev.filter(unix_micros(col("ts")) >= cut), "b2", now)
+      if (!fs.rename(stageIn, inDir)) fs.delete(stageIn, true)
     }
     import s.implicits._
     val stream = s.readStream

@@ -263,4 +263,46 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(pa == pb)
     assert(javaSize(org.apache.spark.sql.graftbridge.ColumnBridge.expr(pqBc)) < 64 * 1024)
   }
+
+  test("centroid broadcast cache: content-equal matrices share one " +
+      "broadcast; clear keeps old plans correct; n fails fast") {
+    val rnd = new scala.util.Random(11)
+    val big: Seq[(Long, Seq[Double])] = (0 until 10000)
+      .map(c => (c.toLong, Seq.fill(8)(rnd.nextGaussian())))
+    // equal content, DISTINCT objects — identity caching would miss
+    val bigCopy: Seq[(Long, Seq[Double])] =
+      big.map { case (id, v) => (id, v.toVector) }
+    def bcId(c: org.apache.spark.sql.Column): Long =
+      org.apache.spark.sql.graftbridge.ColumnBridge.expr(c) match {
+        case VectorExpressions.TopCellsBc(_, bc, _) => bc.id
+        case e => fail(s"expected TopCellsBc, got $e")
+      }
+    VectorExpressions.clearCentroidBroadcasts()
+    val c1 = VectorExpressions.topCells($"embedding", big, 3)
+    val c2 = VectorExpressions.topCells($"embedding", bigCopy, 4)
+    assert(bcId(c1) === bcId(c2),
+      "two plans over the same centroid set must share one broadcast")
+    val vecs = (0L until 20L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    def run(c: org.apache.spark.sql.Column) =
+      vecs.select($"vec_id", c.as("t")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getDouble(1))).toSeq).toMap
+    val before = run(c1)
+    // unpersist, not destroy: a plan still holding the handle re-fetches
+    VectorExpressions.clearCentroidBroadcasts()
+    assert(run(c1) === before,
+      "clearing the cache must leave existing plans correct")
+    // a post-clear call mints a fresh broadcast (the cache is empty)
+    val c3 = VectorExpressions.topCells($"embedding", big, 3)
+    assert(bcId(c3) !== bcId(c1))
+    assert(run(c3) === before)
+    // n > candidate cells fails fast on the broadcast form too (the
+    // references-array form already threw)
+    intercept[IllegalArgumentException] {
+      VectorExpressions.topCells($"embedding", big, big.size + 1)
+    }
+    VectorExpressions.clearCentroidBroadcasts()
+  }
 }
