@@ -6132,6 +6132,73 @@ WHERE rk <= 40"""
       |ORDER BY key DESC, doc_id
       |LIMIT 40""".stripMargin
 
+  /** The two-micro-batch stream harness every oracle-gated stream twin
+    * (q152–q154) feeds from: `ev` — `(…, ts timestamp, …)` — split at
+    * its event-time midpoint into two parquet files (so per-user
+    * event-time order holds across the boundary by construction),
+    * built ONCE per corpus under [[streamIndexDir]]'s content key.
+    * Both files are written into a staging dir renamed into `in/` as
+    * one unit — a crash between the two writes must never leave a
+    * half-populated dir that later reps would stream as complete.
+    * Returns a `readStream` on the dir with `maxFilesPerTrigger = 1`
+    * (mtimes order the files oldest-first), i.e. two GENUINE
+    * micro-batches through whatever stateful operator the caller
+    * stacks on top. */
+  private def eventStreamSource(s: SparkSession, dir: String, tag: String,
+      ev: DataFrame): DataFrame = {
+    val root = streamIndexDir(tag, dir, "events")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sessionState.newHadoopConf())
+    val inDir = new org.apache.hadoop.fs.Path(s"$root/in")
+    if (!fs.exists(inDir)) {
+      val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx")).head()
+      val cut = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
+      val stageIn = new org.apache.hadoop.fs.Path(s"$root/in.stage")
+      if (fs.exists(stageIn)) fs.delete(stageIn, true)
+      fs.mkdirs(stageIn)
+      def writeBatch(batch: DataFrame, name: String, mtime: Long): Unit = {
+        val stage = s"$root/stage-$name"
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+          .map(_.getPath).find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part in $stage"))
+        val target = new org.apache.hadoop.fs.Path(stageIn, s"$name.parquet")
+        fs.rename(part, target)
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        new java.io.File(target.toUri.getPath).setLastModified(mtime): Unit
+      }
+      val now = System.currentTimeMillis()
+      writeBatch(ev.filter(unix_micros(col("ts")) < cut), "b1",
+        now - 120000L)
+      writeBatch(ev.filter(unix_micros(col("ts")) >= cut), "b2", now)
+      if (!fs.rename(stageIn, inDir)) fs.delete(stageIn, true)
+    }
+    s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/in")
+  }
+
+  /** Run an AvailableNow streaming transform into a uniquely-named
+    * in-memory sink (fresh checkpoint per invocation, cleaned on JVM
+    * exit) and block until drained; returns the sink table name. */
+  private def runStreamToTable(s: SparkSession, tag: String,
+      out: DataFrame): String = {
+    val tbl = s"${tag}_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"$tbl-ckpt")
+    registerCleanup(ckpt)
+    val q = out.writeStream.format("memory").queryName(tbl)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    tbl
+  }
+
   /** STREAMED funnel, oracle-gated under q147 (the q148 convention
     * applied to the event-analytics family: the streaming twin runs
     * INSIDE the query and the batch oracle hash-gates its final state).
@@ -6150,63 +6217,11 @@ WHERE rk <= 40"""
     val stages = Seq("view", "click", "purchase")
     val ev = events(s, dir).select(col("user_id"), col("ts"),
       col("event_type"))
-    val root = streamIndexDir("q152", dir, "events")
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      s.sessionState.newHadoopConf())
-    val inDir = new org.apache.hadoop.fs.Path(s"$root/in")
-    if (!fs.exists(inDir)) {
-      val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"),
-        max(unix_micros(col("ts"))).as("mx")).head()
-      val cut = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
-      // build BOTH batch files in a staging dir and rename it into place
-      // as one unit — a crash between the two writes must never leave a
-      // half-populated in/ that later reps would stream as complete
-      val stageIn = new org.apache.hadoop.fs.Path(s"$root/in.stage")
-      if (fs.exists(stageIn)) fs.delete(stageIn, true)
-      fs.mkdirs(stageIn)
-      def writeBatch(batch: DataFrame, name: String, mtime: Long): Unit = {
-        val stage = s"$root/stage-$name"
-        batch.coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-          .map(_.getPath).find(_.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"no part in $stage"))
-        val target = new org.apache.hadoop.fs.Path(stageIn, s"$name.parquet")
-        fs.rename(part, target)
-        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-        // the file source takes oldest-first under maxFilesPerTrigger —
-        // mtimes order the two batches deterministically
-        new java.io.File(target.toUri.getPath).setLastModified(mtime): Unit
-      }
-      val now = System.currentTimeMillis()
-      writeBatch(ev.filter(unix_micros(col("ts")) < cut), "b1",
-        now - 120000L)
-      writeBatch(ev.filter(unix_micros(col("ts")) >= cut), "b2", now)
-      if (!fs.rename(stageIn, inDir)) fs.delete(stageIn, true)
-    }
     import s.implicits._
-    val stream = s.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"$root/in")
+    val stream = eventStreamSource(s, dir, "q152", ev)
       .as[graft.streaming.EventStreams.FunnelEvent]
-    val tbl = s"q152_funnel_${java.util.UUID.randomUUID()
-      .toString.replace("-", "")}"
-    val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"$tbl-ckpt")
-    registerCleanup(ckpt)
-    val q = graft.streaming.EventStreams.funnelStream(stream, stages)
-      .toDF()
-      .writeStream.format("memory").queryName(tbl).outputMode("append")
-      .option("checkpointLocation", ckpt.getAbsolutePath)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val tbl = runStreamToTable(s, "q152_funnel",
+      graft.streaming.EventStreams.funnelStream(stream, stages).toDF())
     // a user's LAST emission (highest stage) is their final funnel state
     val wU = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("stage_reached").desc)
@@ -6220,6 +6235,62 @@ WHERE rk <= 40"""
         when(size(col("ts_us")) >= 3, element_at(col("ts_us"), 3))
           .as("t3_us"),
         col("stage_reached"))
+  }
+
+  /** STREAMED last-touch attribution, oracle-gated under q150 (the q152
+    * convention): the event log streams through the two-file harness,
+    * [[graft.streaming.EventStreams.attributionPairsStream]]'s
+    * stream-stream interval join (both sides watermarked, filtered off
+    * the SAME file source) emits the (conversion × in-window touch)
+    * pair feed across a real micro-batch boundary, and the batch-side
+    * reduction the stream deliberately leaves to its consumer — the
+    * per-conversion argmax, LEFT-joined so unattributed purchases keep
+    * their null row — folds the sink to q150's schema under its
+    * oracle. */
+  val q153AttributionStream: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      col("ts"), col("event_type"))
+    val stream = eventStreamSource(s, dir, "q153", ev)
+    val pairs = graft.streaming.EventStreams.attributionPairsStream(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "purchase"),
+      "user_id", "event_id", "ts", windowMinutes = 30)
+    val tbl = runStreamToTable(s, "q153_attr", pairs)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        unix_micros(col("ts")).as("conv_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id")
+      .orderBy(col("touch_us").desc, col("touch_id"))
+    val best = s.table(tbl)
+      .select(col("conv_id"), col("touch_id"),
+        unix_micros(col("touch_ts")).as("touch_us"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    conv.join(best, Seq("conv_id"), "left")
+      .select(col("conv_id"), col("user_id"), col("conv_us"),
+        col("touch_id"), col("touch_us"),
+        (col("conv_us") - col("touch_us")).as("gap_us"))
+  }
+
+  /** STREAMED sessionized next-event pairs, oracle-gated under q116:
+    * [[graft.streaming.EventStreams.sessionPairStream]]'s
+    * flatMapGroupsWithState sessionization folds the two-file harness's
+    * micro-batches — sessions and prefixes crossing the batch boundary
+    * (per-user order across it holds by the midpoint split) — and the
+    * appended pair set IS the final state, hash-gated against the batch
+    * gaps-and-islands oracle. */
+  val q154SessionPairsStream: Q = (s, dir) => {
+    import s.implicits._
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      col("ts"), col("event_type"))
+    val stream = eventStreamSource(s, dir, "q154", ev)
+      .as[graft.streaming.EventStreams.SessionEvent]
+    val tbl = runStreamToTable(s, "q154_sess",
+      graft.streaming.EventStreams.sessionPairStream(
+        stream, gapMinutes = 30, maxPrefix = 5).toDF())
+    s.table(tbl).select(col("user_id"), col("session_idx"),
+      col("step"), col("prefix_text"), col("next_type"))
   }
 
   // ---------------------------------------------------------------------
@@ -6383,7 +6454,10 @@ WHERE rk <= 40"""
     "q150_attribution" -> (q150Attribution, Some(q150Sql)),
     "q151_weighted_topk" -> (q151WeightedTopK, Some(q151Sql)),
     // q152 re-runs q147's oracle against the STREAMED funnel's final state
-    "q152_funnel_stream_serve" -> (q152FunnelStreamServe, Some(q147Sql)))
+    "q152_funnel_stream_serve" -> (q152FunnelStreamServe, Some(q147Sql)),
+    // q153/q154 re-run q150's/q116's oracles against the streamed twins
+    "q153_attribution_stream" -> (q153AttributionStream, Some(q150Sql)),
+    "q154_session_pairs_stream" -> (q154SessionPairsStream, Some(q116Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
