@@ -254,6 +254,14 @@ object Similarity {
       n: Int): Column =
     graft.functions.VectorExpressions.topCells(vec, centsD(cents), n)
 
+  /** The auto coarse-quantizer size: ≈32 vectors per cell (the classic
+    * IVF ~√n regime at these corpus sizes), clamped to [16, 4096] —
+    * [[mineBitextWithIndex]]'s `numCells = 0` default. Constant target
+    * cell size keeps the per-probe candidate scan flat as the corpus
+    * grows; a fixed cell COUNT would re-grow it linearly with SF. */
+  def scaledCellCount(n: Long): Int =
+    math.min(4096L, math.max(16L, n / 32L)).toInt
+
   def buildIvfIndex(corpus: DataFrame, numCells: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroids: Seq[(Long, Seq[Float])] = Nil): IvfIndex = {
@@ -1126,16 +1134,25 @@ object Similarity {
    *
    * @param depth candidate-list depth per vector (≫ k; caps the pair
    *              fan-out each side contributes)
+   * @param numCells coarse-quantizer size for BOTH directions' indexes;
+   *                 0 (the default) scales each direction with ITS
+   *                 indexed corpus via [[scaledCellCount]] — the
+   *                 subquadratic shape without the caller having to
+   *                 count. A fixed value re-grows the per-probe scan
+   *                 linearly with corpus size; pass one only to replay
+   *                 a pinned configuration.
    * @return (src_id, tgt_id, cosine, margin, accepted) — one row per
    *         src vector (its margin-best candidate target)
    */
   def mineBitextWithIndex(src: DataFrame, tgt: DataFrame, k: Int,
       depth: Int, threshold: Double = 1.05,
-      numCells: Int = 16, nprobe: Int = 4,
+      numCells: Int = 0, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxCellSize: Int = 100000): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(depth >= k, s"depth must be >= k, got ($depth, $k)")
+    require(numCells >= 0 && numCells <= 4096,
+      s"numCells in [0 (auto), 4096], got $numCells")
 
     // one direction: every `from` vector probes the `to` index and
     // keeps its `depth` best opposite-side candidates by rounded cosine
@@ -1165,13 +1182,17 @@ object Similarity {
 
     val s = src.select(col(idCol), col(vecCol))
     val t = tgt.select(col(idCol), col(vecCol))
+    // auto mode: each direction's quantizer scales with the corpus it
+    // indexes (one count per side — cheap against the joins it sizes)
+    val cellsT = if (numCells > 0) numCells else scaledCellCount(t.count())
+    val cellsS = if (numCells > 0) numCells else scaledCellCount(s.count())
     // persisted: each direction feeds its side's average AND the pair
     // union — without the cache the cell joins run twice
     val fwd = graft.operators.PersistTracker.trackPersist(
-      candidates(s, buildIvfIndex(t, numCells, idCol, vecCol),
+      candidates(s, buildIvfIndex(t, cellsT, idCol, vecCol),
         "src_id", "tgt_id"))
     val bwd = graft.operators.PersistTracker.trackPersist(
-      candidates(t, buildIvfIndex(s, numCells, idCol, vecCol),
+      candidates(t, buildIvfIndex(s, cellsS, idCol, vecCol),
         "tgt_id", "src_id"))
 
     // neighborhood averages over each side's own top-k candidates; the

@@ -4847,7 +4847,7 @@ WHERE rk <= 40"""
     // cell size ≈ 32, the scaladoc's subquadratic condition — fixed
     // cells would re-grow the per-probe scan linearly with SF); the
     // formula is replayed by the oracle's scalar-subquery LIMIT
-    val numCells = math.min(4096L, math.max(16L, emb.count() / 32L)).toInt
+    val numCells = graft.operators.Similarity.scaledCellCount(emb.count())
     graft.operators.Similarity.mineBitextWithIndex(
       emb.filter(pmod(col("vec_id"), lit(5)) === 0),
       emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),

@@ -710,6 +710,39 @@ class SimilaritySpec extends SparkSpec {
     assert(gated(2L)._4 == 0, s"hub src accepted: ${gated(2L)}")
   }
 
+  test("mineBitextWithIndex numCells=0 auto-scales: ≡ explicit " +
+      "scaledCellCount; formula clamps") {
+    // the formula itself: ≈32/cell, clamped [16, 4096]
+    assert(Similarity.scaledCellCount(10L) === 16)
+    assert(Similarity.scaledCellCount(512L) === 16)
+    assert(Similarity.scaledCellCount(3200L) === 100)
+    assert(Similarity.scaledCellCount(1L << 40) === 4096)
+    val rnd = new scala.util.Random(17)
+    val src = (0L until 90L)
+      .map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val tgt = (100L until 220L)
+      .map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    def asRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)), r.getInt(4))).sortBy(_._1).toSeq
+    // auto (default) ≡ spelling the per-side formula out by hand
+    val auto = asRows(Similarity.mineBitextWithIndex(src, tgt,
+      k = 3, depth = 8))
+    val explicitCells = asRows(Similarity.mineBitextWithIndex(src, tgt,
+      k = 3, depth = 8,
+      numCells = Similarity.scaledCellCount(120L)))
+    assert(Similarity.scaledCellCount(120L) === 16 &&
+      Similarity.scaledCellCount(90L) === 16,
+      "both sides clamp to 16 here — one explicit value replays both")
+    assert(auto === explicitCells)
+    intercept[IllegalArgumentException] {
+      Similarity.mineBitextWithIndex(src, tgt, k = 3, depth = 8,
+        numCells = 5000)
+    }
+  }
+
   test("ivfKnnJoin probing every cell ≡ brute-force kNN without self") {
     val rnd = new scala.util.Random(11)
     val corpus = (0L until 60L)
