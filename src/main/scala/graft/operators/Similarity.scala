@@ -331,18 +331,29 @@ object Similarity {
    *    shuffle carries ~k rows per query per map partition, not the
    *    full candidate set.
    *
-   * numCells sizes the join parallelism (each cell is one join key):
-   * scale it with the corpus (~√n is the classic IVF choice) so cells
-   * stay executor-sized. Self-matches are excluded; ranking follows
+   * numCells sizes the join parallelism (each cell is one join key)
+   * AND the asymptotics: per-probe candidate work is `nprobe/numCells`
+   * of the corpus, so a FIXED cell count re-grows the join
+   * quadratically with corpus size (measured: 10× corpus at fixed 16
+   * cells = 32× wall; at corpus-scaled cells = ~2×). `numCells = 0`
+   * (the default) therefore scales with the corpus via
+   * [[scaledCellCount]]; pass an explicit value only to replay a
+   * pinned configuration. Self-matches are excluded; ranking follows
    * the 4dp + id-tie discipline, so the whole join — assignment, probe
    * ranks, candidates, final ranks — replays exactly in an oracle.
    */
-  def ivfKnnJoin(corpus: DataFrame, k: Int, numCells: Int = 16,
+  def ivfKnnJoin(corpus: DataFrame, k: Int, numCells: Int = 0,
       nprobe: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding",
       centroids: Seq[(Long, Seq[Float])] = Nil,
       maxCellSize: Int = 100000): DataFrame = {
-    val index = buildIvfIndex(corpus, numCells, idCol, vecCol, centroids)
+    require(numCells >= 0 && numCells <= 4096,
+      s"numCells in [0 (auto), 4096], got $numCells")
+    val cells =
+      if (centroids.nonEmpty) centroids.size
+      else if (numCells > 0) numCells
+      else scaledCellCount(corpus.count())
+    val index = buildIvfIndex(corpus, cells, idCol, vecCol, centroids)
     val cents = index.centroids
     require(nprobe > 0 && nprobe <= cents.size,
       s"nprobe in [1,${cents.size}]")

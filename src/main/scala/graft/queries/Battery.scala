@@ -3962,9 +3962,12 @@ WHERE rk <= 40"""
          |      ORDER BY cosine DESC, vec_id) AS rank
          |    FROM cand$np)
          |  WHERE rank <= 5)""".stripMargin
-    s"""WITH cent AS (
+    s"""WITH nc AS (
+       |  SELECT LEAST(4096, GREATEST(16, COUNT(*) // 32)) AS n
+       |  FROM embeddings),
+       |cent AS (
        |  SELECT vec_id AS cell, embedding AS cvec
-       |  FROM embeddings ORDER BY vec_id LIMIT 16),
+       |  FROM embeddings ORDER BY vec_id LIMIT (SELECT n FROM nc)),
        |scored AS (
        |  SELECT e.vec_id, e.embedding, c.cell,
        |    ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
@@ -5722,13 +5725,20 @@ WHERE rk <= 40"""
     * The oracle replays assignment, probe ranks, the self-excluded
     * candidate join, and final ranks with q43's devices. */
   val q141KnnJoin: Q = (s, dir) =>
+    // numCells = auto (scaledCellCount): the quantizer scales with the
+    // corpus — fixed 16 cells measured 32x wall at 10x corpus (the
+    // per-probe scan is nprobe/numCells of the corpus); the oracle's
+    // nc scalar subquery replays the same formula
     graft.operators.Similarity.ivfKnnJoin(
-      t(s, dir, "embeddings"), k = 3, numCells = 16, nprobe = 4)
+      t(s, dir, "embeddings"), k = 3, nprobe = 4)
 
   val q141Sql: String =
-    """WITH cent AS (
+    """WITH nc AS (
+      |  SELECT LEAST(4096, GREATEST(16, COUNT(*) // 32)) AS n
+      |  FROM embeddings),
+      |cent AS (
       |  SELECT vec_id AS cell, embedding AS cvec
-      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |  FROM embeddings ORDER BY vec_id LIMIT (SELECT n FROM nc)),
       |scored AS (
       |  SELECT e.vec_id, e.embedding, c.cell,
       |    ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
@@ -5764,16 +5774,19 @@ WHERE rk <= 40"""
   val q142AnnPagerank: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val edges = graft.operators.Similarity.ivfKnnJoin(
-        emb, k = 4, numCells = 16, nprobe = 4)
+        emb, k = 4, nprobe = 4)
       .select(col("query_id").as("src"), col("vec_id").as("dst"))
     graft.operators.GraphOps.pageRank(
       edges, emb.select("vec_id"), "vec_id", iters = 3)
   }
 
   val q142Sql: String =
-    s"""WITH cent AS (
+    s"""WITH nc AS (
+       |  SELECT LEAST(4096, GREATEST(16, COUNT(*) // 32)) AS n
+       |  FROM embeddings),
+       |cent AS (
        |  SELECT vec_id AS cell, embedding AS cvec
-       |  FROM embeddings ORDER BY vec_id LIMIT 16),
+       |  FROM embeddings ORDER BY vec_id LIMIT (SELECT n FROM nc)),
        |cscored AS (
        |  SELECT e.vec_id, e.embedding, c.cell,
        |    ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
