@@ -6195,7 +6195,17 @@ WHERE rk <= 40"""
 
   /** Run an AvailableNow streaming transform into a uniquely-named
     * in-memory sink (fresh checkpoint per invocation, cleaned on JVM
-    * exit) and block until drained; returns the sink table name. */
+    * exit) and block until drained; returns the sink table name.
+    *
+    * Stateful-operator shuffle partitions are pinned to 8 for the
+    * stream's lifetime (the conf is captured into the checkpoint at
+    * first batch): each micro-batch pays one HDFS-state-store
+    * commit per partition PER STATEFUL OPERATOR — a stream-stream join
+    * alone carries four stores — and the two-file harness's batches
+    * are far too small to need 32-way state. Measured on q153: 7.9 s →
+    * ~3 s at sf0.1, scale-flat either way (the cost is store count,
+    * not data). Production deployments size this with the cluster;
+    * the pin lives in the bench harness, not the operators. */
   private def runStreamToTable(s: SparkSession, tag: String,
       out: DataFrame): String = {
     val tbl = s"${tag}_${java.util.UUID.randomUUID()
@@ -6203,12 +6213,16 @@ WHERE rk <= 40"""
     val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"$tbl-ckpt")
     registerCleanup(ckpt)
-    val q = out.writeStream.format("memory").queryName(tbl)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt.getAbsolutePath)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = out.writeStream.format("memory").queryName(tbl)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", before)
     tbl
   }
 
