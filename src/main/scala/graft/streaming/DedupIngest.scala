@@ -101,7 +101,7 @@ object DedupIngest {
     * touched again.
     */
   private def compact(spark: SparkSession, dir: String,
-      smallFileBytes: Long): Unit = {
+      smallFileBytes: Long): Unit = LedgerLock.withLock(spark, dir) {
     def swap(path: String, write: String => Unit): Unit = {
       recoverSwap(spark, path)
       val (f, live) = fs(spark, path)
@@ -252,7 +252,8 @@ object DedupIngest {
    * @return false iff this deleteId already committed (replay no-op)
    */
   def deleteCorpusDocs(spark: SparkSession, dir: String, ids: Seq[String],
-      deleteId: Long, idCol: String = "doc_id"): Boolean = {
+      deleteId: Long, idCol: String = "doc_id"): Boolean =
+      LedgerLock.withLock(spark, dir) {
     require(ids.nonEmpty, "need at least one doc id to delete")
     require(deleteId >= 0, s"deleteId must be non-negative, got $deleteId")
     val m = s"del-$deleteId"
@@ -319,6 +320,10 @@ object DedupIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // single-writer guard over the whole read-index → append cycle
+        // (the compaction cadence below takes its own lock — the lock
+        // is not reentrant)
+        LedgerLock.withLock(spark, dir) {
         val mh = if (minhashHashes > 0) Some(Dedup.MinHashBandIndex(
           readOrEmpty(spark, s"$dir/msigs", MsigSchema),
           readOrEmpty(spark, s"$dir/mbands", MbandSchema),
@@ -363,6 +368,7 @@ object DedupIngest {
           // like Verify/Bench) — released once per batch; early release
           // under a concurrent query only costs recomputation
           Dedup.releasePersisted()
+        }
         }
         // batch ids persist in the checkpoint, so the cadence survives
         // restarts (the StreamingVcfLoad.compactEvery pattern)

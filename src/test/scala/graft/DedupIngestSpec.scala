@@ -195,6 +195,43 @@ class DedupIngestSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/markers/del-2.intent")))
   }
 
+  test("ledger lock guards the corpus too: ingest and delete fail fast, " +
+      "break recovers") {
+    import graft.streaming.LedgerLock
+    implicit val sql = spark.sqlContext
+    val dir = tmp("dedup-lock")
+    def ingest(ck: String, rows: Seq[(Long, String)]): Unit = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(rows)
+      val q = DedupIngest.start(input.toDF().toDF("doc_id", "text"),
+        dir, ck, n = 8, minHits = 1, availableNow = true)
+      try q.processAllAvailable() finally q.stop()
+    }
+    ingest(tmp("dedup-lock-ck1"), Seq((1L, "a b c d e f g h i j")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/markers/lock")),
+      "a completed ingest batch must release the lock")
+    // a dead writer's lock: the next micro-batch fails its foreachBatch
+    // (surfacing as a StreamingQueryException) and the delete fails fast
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/markers/lock"),
+      "9999@otherhost:cafe".getBytes("UTF-8"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ingest(tmp("dedup-lock-ck2"), Seq((2L, "k l m n o p q r s t")))
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("9999@otherhost:cafe"), chain)
+    intercept[LedgerLock.ConcurrentWriterException] {
+      DedupIngest.deleteCorpusDocs(spark, dir, Seq("1"), 0L)
+    }
+    LedgerLock.break(spark, dir)
+    ingest(tmp("dedup-lock-ck3"), Seq((2L, "k l m n o p q r s t")))
+    assert(spark.read.parquet(s"$dir/corpus").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("corpus compaction is size-tiered: large generations never rewrite") {
     val corpus = tmp("fold-tier") + "/corpus"
     def append(ids: Range): Unit =
