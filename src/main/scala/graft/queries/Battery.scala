@@ -6320,6 +6320,45 @@ WHERE rk <= 40"""
       col("step"), col("prefix_text"), col("next_type"))
   }
 
+  /** Z-order clustering key ([[graft.operators.Layout.withZOrderKey]] —
+    * the storage-layout lever for multi-dimensional scan pruning): the
+    * event log keyed on (user_id, event time). The derivation is
+    * exact-integer end-to-end — global min/max, `(x−mn)·(2¹⁶−1) div
+    * range` quantization, 32-term Morton interleave — so the oracle
+    * replays every bit; the layout ACTION ([[graft.operators.Layout
+    * .clusterByZOrder]]: range repartition + in-file sort on this key)
+    * is spec-gated instead (sampled range boundaries are not
+    * byte-deterministic; LayoutSpec pins the per-file statistics
+    * property the layout exists for). */
+  val q155ZorderKey: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    graft.operators.Layout.withZOrderKey(
+        ev, Seq(col("user_id"), col("ts_us")), bits = 16, keyCol = "zkey")
+      .select(col("event_id"), col("zkey"))
+  }
+
+  val q155Sql: String = {
+    // bit i of dim j lands at position i·2 + j (user_id is dim 0)
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx
+       |  FROM events),
+       |q AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy
+       |  FROM events)
+       |SELECT event_id, $terms AS zkey FROM q""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6484,7 +6523,8 @@ WHERE rk <= 40"""
     "q152_funnel_stream_serve" -> (q152FunnelStreamServe, Some(q147Sql)),
     // q153/q154 re-run q150's/q116's oracles against the streamed twins
     "q153_attribution_stream" -> (q153AttributionStream, Some(q150Sql)),
-    "q154_session_pairs_stream" -> (q154SessionPairsStream, Some(q116Sql)))
+    "q154_session_pairs_stream" -> (q154SessionPairsStream, Some(q116Sql)),
+    "q155_zorder_key" -> (q155ZorderKey, Some(q155Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

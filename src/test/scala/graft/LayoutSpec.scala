@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+/** Z-order clustering: the Morton key against a bit-twiddling
+  * reference, exact quantization endpoints, and the layout property the
+  * operator exists for — per-file min/max statistics tighten on EVERY
+  * clustered column, where a linear sort leaves the non-leading
+  * column's file ranges at the full domain (zero pruning). */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def refMorton(qs: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    for (j <- qs.indices; i <- 0 until bits)
+      z |= ((qs(j) >> i) & 1L) << (i * qs.size + j)
+    z
+  }
+
+  test("mortonKey ≡ reference interleave; withZOrderKey quantizes with " +
+      "the exact integer formula") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 500).map(i =>
+      (i.toLong, rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val df = rows.toDF("id", "x", "y")
+    val got = df.select($"id", Layout.mortonKey(Seq($"x", $"y"), 16).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, x, y) =>
+      assert(got(id) === refMorton(Seq(x, y), 16))
+    }
+    // three dims interleave too (bit i of dim j at position i·3+j)
+    val g3 = df.select($"id",
+        Layout.mortonKey(Seq($"x", $"y", $"id"), 8).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, x, y) =>
+      assert(g3(id) === refMorton(Seq(x, y, id), 8))
+    }
+    // quantization replays the (x−mn)·k div (mx−mn) formula exactly;
+    // min lands on 0, max on 2^bits−1
+    val mnx = rows.map(_._2).min; val mxx = rows.map(_._2).max
+    val mny = rows.map(_._3).min; val mxy = rows.map(_._3).max
+    val keyed = Layout.withZOrderKey(df, Seq($"x", $"y"), bits = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    rows.foreach { case (id, x, y) =>
+      val qx = (x - mnx) * 15 / (mxx - mnx)
+      val qy = (y - mny) * 15 / (mxy - mny)
+      assert(keyed(id) === refMorton(Seq(qx, qy), 4))
+    }
+    // a constant dimension quantizes to 0 rather than dividing by zero
+    val const = rows.toDF("id", "x", "y").withColumn("c", lit(7L))
+    val ck = Layout.withZOrderKey(const, Seq($"x", $"c"), bits = 4)
+      .select($"id", col("__zkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, x, _) =>
+      val qx = (x - mnx) * 15 / (mxx - mnx)
+      assert(ck(id) === refMorton(Seq(qx, 0L), 4))
+    }
+  }
+
+  test("clusterByZOrder tightens every column's per-file range; a " +
+      "non-leading-column box touches few files where linear touches all") {
+    val pts = for (x <- 0 until 64; y <- 0 until 64)
+      yield (x * 64L + y, x.toLong, y.toLong)
+    val df = pts.toDF("id", "x", "y")
+    val zdir = tmp("zorder") + "/z"
+    Layout.clusterByZOrder(df, Seq($"x", $"y"), numFiles = 16, bits = 6)
+      .write.parquet(zdir)
+    val ldir = tmp("zorder") + "/linear"
+    df.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.parquet(ldir)
+    def fileRanges(dir: String, c: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val ly = fileRanges(ldir, "y")
+    assert(ly.size === 16)
+    assert(ly.forall { case (mn, mx) => mn == 0 && mx == 63 },
+      s"linear-by-x layout: every file's y stats span the full domain: $ly")
+    val zy = fileRanges(zdir, "y")
+    val zx = fileRanges(zdir, "x")
+    // each z-file is ~256 contiguous codes = a small box (files
+    // straddling a quadrant boundary can span more — range boundaries
+    // are sampled, not aligned); on AVERAGE the spans collapse
+    def avgSpan(rs: Seq[(Long, Long)]) =
+      rs.map { case (mn, mx) => (mx - mn).toDouble }.sum / rs.size
+    assert(avgSpan(zy) <= 32.0, s"z-layout y spans: $zy")
+    assert(avgSpan(zx) <= 32.0, s"z-layout x spans: $zx")
+    // the pruning pay-off: a thin y-box (any x) — statistics skip most
+    // z-files, and can skip NOTHING under the linear layout
+    def touching(rs: Seq[(Long, Long)], lo: Long, hi: Long) =
+      rs.count { case (mn, mx) => mx >= lo && mn <= hi }
+    assert(touching(ly, 10L, 13L) === 16)
+    assert(touching(zy, 10L, 13L) <= 12,
+      s"z-layout must prune on the non-leading column: $zy")
+    // the layout reorders, never drops or duplicates
+    assert(spark.read.parquet(zdir).select("id").as[Long].collect().sorted
+      === pts.map(_._1).sorted)
+  }
+}
