@@ -116,7 +116,7 @@ object ScaleProbe {
     val queries = if (args.nonEmpty) args.toSeq
       else Seq("q40_ngram_jaccard", "q69_edit_join", "q83_banded_dedup",
         "q89_ann_rerank", "q99_containment", "q115_bpe_pack",
-        "q126_bitext_mine")
+        "q126_bitext_mine", "q141_knn_join")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
