@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -238,6 +238,34 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("pixels", ArrayType(IntegerType, containsNull = false),
       nullable = true)))
+
+  /**
+   * Exact nearest-neighbor resample of a row-major gray pixel grid —
+   * the RESIZE step of the image pipeline in its oracle-replayable
+   * form: `out(i, j) = in(⌊i·srcH/dstH⌋, ⌊j·srcW/dstW⌋)`, pure integer
+   * index arithmetic over built-in array expressions, so a DuckDB
+   * oracle replays it bit-exactly behind the lossless PNG round trip
+   * (q156). [[resizeImages]] is the real-codec bilinear sibling for
+   * arbitrary payloads (spec-gated — filtered interpolation is not
+   * SQL-replayable). The array-lambda eval is fine here: the REAL
+   * decode it follows dominates, and the output is dstW·dstH elements.
+   * Works both directions (downsample and upsample). The double
+   * divisions are exact-floor at these magnitudes (indices < 2³¹,
+   * fractional parts ≥ 1/dim ≫ the quotient's ulp), matching integer
+   * `//` in the oracle.
+   */
+  def resizeGrayNearest(pixels: Column, srcW: Int, srcH: Int,
+      dstW: Int, dstH: Int): Column = {
+    require(srcW > 0 && srcH > 0 && dstW > 0 && dstH > 0,
+      s"dims must be positive, got ${srcW}x$srcH -> ${dstW}x$dstH")
+    transform(sequence(lit(0), lit(dstW * dstH - 1)), { k =>
+      val i = floor(k.cast("double") / lit(dstW)).cast("int")
+      val j = pmod(k, lit(dstW))
+      val si = floor((i * lit(srcH)).cast("double") / lit(dstH)).cast("int")
+      val sj = floor((j * lit(srcW)).cast("double") / lit(dstW)).cast("int")
+      element_at(pixels, si * lit(srcW) + sj + lit(1))
+    })
+  }
 
   /**
    * REAL PNG encode of grayscale pixel grids (JDK ImageIO, no external

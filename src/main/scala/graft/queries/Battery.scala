@@ -5037,6 +5037,60 @@ WHERE rk <= 40"""
       |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin
 
+  /** Image RESIZE oracle-gated behind the real codec (q128's device
+    * extended one pipeline stage): 8×8 gray pixels from the portable
+    * md5 formula → REAL JDK PNG round trip (lossless → decoded ≡
+    * formula) → [[graft.operators.Multimodal.resizeGrayNearest]] down
+    * to 4×4 → per-image dHash + weighted pixel checksum. DuckDB
+    * replays the formula, the nearest-neighbor index arithmetic, the
+    * 12-bit hash and the checksum verbatim — any codec or resample
+    * deviation fails the gate. */
+  val q156ImageResize: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+      .repartition(col("doc_id"))
+    val px = expr(
+      "transform(sequence(0, 63), i -> cast(" +
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
+        "cast(i as string))), 1, 2), 16, 10) as int) % 256 as int))")
+    val gen = docs.select(col("doc_id"), px.as("__px"))
+    val pngs = graft.operators.Multimodal.encodeGrayPngs(
+      gen, "doc_id", "__px", 8, 8)
+    val dec = graft.operators.Multimodal.decodeGrayPixels(
+      pngs, "media_id", "payload")
+    dec.filter(col("decoded"))
+      .select(col("media_id").as("doc_id"),
+        graft.operators.Multimodal.resizeGrayNearest(
+          col("pixels"), 8, 8, 4, 4).as("__sm"))
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.dhashBits(col("__sm"), 4, 4)
+          .as("dhash"),
+        expr("aggregate(zip_with(__sm, sequence(1, 16), " +
+          "(v, w) -> cast(v * w as bigint)), cast(0 as bigint), " +
+          "(a, x) -> a + x)").as("pixsum"))
+  }
+
+  val q156Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id, list_transform(range(0, 64), i ->
+      |    CAST(('0x' || substr(md5(doc_id || ':' || i), 1, 2))::INT
+      |      % 256 AS INT)) AS p
+      |  FROM documents),
+      |sm AS (
+      |  SELECT doc_id, list_transform(range(0, 16), k ->
+      |    p[(CAST(k // 4 AS INT) * 2) * 8 + (CAST(k % 4 AS INT) * 2) + 1])
+      |    AS q
+      |  FROM px)
+      |SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(0, 12), k ->
+      |    CASE WHEN q[CAST(k // 3 AS INT) * 4 + CAST(k % 3 AS INT) + 2]
+      |            > q[CAST(k // 3 AS INT) * 4 + CAST(k % 3 AS INT) + 1]
+      |      THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+      |      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash,
+      |  CAST(list_sum(list_transform(range(0, 16), k ->
+      |    CAST(q[CAST(k AS INT) + 1] AS BIGINT) * (k + 1))) AS BIGINT)
+      |    AS pixsum
+      |FROM sm""".stripMargin
+
   /** Interpolated Kneser-Ney bigram perplexity scores
     * ([[graft.operators.TextAnalysis.knBigramLmScores]]) — the
     * smoothing the KenLM-based CCNet quality filter actually runs,
@@ -6529,7 +6583,8 @@ WHERE rk <= 40"""
     // q153/q154 re-run q150's/q116's oracles against the streamed twins
     "q153_attribution_stream" -> (q153AttributionStream, Some(q150Sql)),
     "q154_session_pairs_stream" -> (q154SessionPairsStream, Some(q116Sql)),
-    "q155_zorder_key" -> (q155ZorderKey, Some(q155Sql)))
+    "q155_zorder_key" -> (q155ZorderKey, Some(q155Sql)),
+    "q156_image_resize" -> (q156ImageResize, Some(q156Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -96,6 +96,30 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).getAs[org.apache.spark.sql.Row]("meta") === null)
   }
 
+  test("resizeGrayNearest ≡ reference index arithmetic: downsample, " +
+      "non-divisible dims, upsample, identity") {
+    val rnd = new scala.util.Random(9)
+    def ref(px: Seq[Int], sw: Int, sh: Int, dw: Int, dh: Int): Seq[Int] =
+      (0 until dw * dh).map { k =>
+        val i = k / dw; val j = k % dw
+        px((i * sh / dh) * sw + (j * sw / dw))
+      }
+    val shapes = Seq((8, 8, 4, 4), (8, 8, 3, 5), (4, 4, 6, 6),
+      (5, 3, 5, 3), (7, 2, 1, 1))
+    for ((sw, sh, dw, dh) <- shapes) {
+      val rows = (0L until 20L)
+        .map(id => (id, Seq.fill(sw * sh)(rnd.nextInt(256))))
+      val got = rows.toDF("id", "px")
+        .select($"id",
+          Multimodal.resizeGrayNearest($"px", sw, sh, dw, dh).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      rows.foreach { case (id, px) =>
+        assert(got(id) === ref(px, sw, sh, dw, dh),
+          s"shape ${sw}x$sh -> ${dw}x$dh")
+      }
+    }
+  }
+
   test("resizeImages touches only image metadata") {
     val media = Multimodal.mediaFromDocuments(docs)
     val resized = Multimodal.resizeImages(media, 32, 32)
