@@ -57,20 +57,27 @@ object Layout {
   def withZOrderKey(df: DataFrame, cols: Seq[Column], bits: Int = 16,
       keyCol: String = "__zkey"): DataFrame = {
     require(cols.nonEmpty, "withZOrderKey: need at least one column")
+    val (cur, qs) = quantizedDims(df, cols, bits)
+    cur.withColumn(keyCol, mortonKey(qs, bits))
+      .drop(cols.indices.map(j => s"__zn$j"): _*)
+  }
+
+  /** Exact integer quantization of every dim onto [0, 2^bits) from one
+    * tiny global min/max aggregate: the numerator stays under 2^63 for
+    * per-column ranges up to ~1.4e14 per unit of 2^bits−1, and integer
+    * `div` (Spark) agrees with `//` (DuckDB) because every operand is
+    * non-negative — the oracle replays the formula verbatim. `div` has
+    * no Column-API method, so the numerator is materialized as a named
+    * `__znj` column (caller drops them) and divided via expr — still
+    * one codegen projection. */
+  private def quantizedDims(df: DataFrame, cols: Seq[Column],
+      bits: Int): (DataFrame, Seq[Column]) = {
     val longs = cols.map(_.cast("long"))
-    // min/max for every dim in ONE tiny aggregate
     val aggCols = longs.zipWithIndex.flatMap { case (c, j) =>
       Seq(min(c).as(s"mn$j"), max(c).as(s"mx$j"))
     }
     val row = df.agg(aggCols.head, aggCols.tail: _*).head()
     val k = (1L << bits) - 1
-    // exact integer quantization onto [0, 2^bits): the numerator stays
-    // under 2^63 for per-column ranges up to ~1.4e14 per unit of k, and
-    // integer `div` (Spark) agrees with `//` (DuckDB) because every
-    // operand is non-negative — the oracle replays the formula verbatim.
-    // `div` has no Column-API method, so the numerator is materialized
-    // as a named column and divided via expr (still one codegen
-    // projection).
     var cur = df
     val qs = longs.zipWithIndex.map { case (c, j) =>
       val mn = if (row.isNullAt(2 * j)) 0L else row.getLong(2 * j)
@@ -81,8 +88,95 @@ object Layout {
         expr(s"__zn$j div ${mx - mn}")
       }
     }
-    cur.withColumn(keyCol, mortonKey(qs, bits))
-      .drop(longs.indices.map(j => s"__zn$j"): _*)
+    (cur, qs)
+  }
+
+  /**
+   * Hilbert-curve index of a quantized 2-D cell — [[mortonKey]]'s
+   * better-locality sibling (public algorithm; the standard bit-level
+   * xy→d conversion): CONSECUTIVE Hilbert indices are ALWAYS adjacent
+   * cells (Manhattan distance 1 — the curve never jumps, where the
+   * Z-curve teleports across the grid at quadrant seams), so a file
+   * holding a contiguous key range covers an even tighter, always
+   * connected region. The classic loop is unrolled over `bits` levels
+   * into pure built-in integer expressions (~7 per level, one codegen
+   * projection); exact-integer throughout, so a SQL oracle replays it
+   * level by level (q157 generates one CTE per level). 2-D only — the
+   * rotation structure is dimension-specific; use [[mortonKey]] for
+   * higher dims.
+   *
+   * EXPRESSION-FORM CAVEAT: each level substitutes the previous x/y
+   * expressions several times, so this single-Column form's tree grows
+   * ~2.5× per level — fine for small `bits`, analysis/codegen-hostile
+   * beyond ~6 (measured: minutes of planning at 8). [[withHilbertKey]]
+   * materializes every level as named columns (Catalyst keeps the
+   * projections separate when collapsing would duplicate non-trivial
+   * expressions), keeping plan size LINEAR in `bits` — use it for real
+   * keys.
+   */
+  def hilbertKey(qx: Column, qy: Column, bits: Int): Column = {
+    require(bits >= 1 && 2 * bits <= 62,
+      s"hilbertKey: 2x$bits bits must fit a long")
+    val n = 1L << bits
+    var x = qx.cast("long")
+    var y = qy.cast("long")
+    var d = lit(0L)
+    var s = n >> 1
+    while (s > 0) {
+      val rx = when(x.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      d = d + lit(s) * lit(s) * ((lit(3L) * rx).bitwiseXOR(ry))
+      // quadrant rotation: in the lower half (ry = 0) reflect when
+      // rx = 1 (n−1−v flips every bit; only bits below s are examined
+      // again, where it equals the s-local reflection) then swap axes
+      val nx = when(ry === 0,
+        when(rx === 1, lit(n - 1) - y).otherwise(y)).otherwise(x)
+      val ny = when(ry === 0,
+        when(rx === 1, lit(n - 1) - x).otherwise(x)).otherwise(y)
+      x = nx
+      y = ny
+      s >>= 1
+    }
+    d
+  }
+
+  /** [[withZOrderKey]]'s Hilbert twin for the 2-D case: same
+    * quantization, the [[hilbertKey]] recurrence unrolled with every
+    * level's (x, y, d) materialized as named columns — plan size linear
+    * in `bits` (see the caveat on [[hilbertKey]]). */
+  def withHilbertKey(df: DataFrame, xCol: Column, yCol: Column,
+      bits: Int = 16, keyCol: String = "__hkey"): DataFrame = {
+    require(bits >= 1 && 2 * bits <= 62,
+      s"withHilbertKey: 2x$bits bits must fit a long")
+    val (cur0, qs) = quantizedDims(df, Seq(xCol, yCol), bits)
+    val n = 1L << bits
+    var cur = cur0
+      .withColumn("__hx", qs(0).cast("long"))
+      .withColumn("__hy", qs(1).cast("long"))
+      .withColumn("__hd", lit(0L))
+    var s = n >> 1
+    while (s > 0) {
+      val x = col("__hx"); val y = col("__hy")
+      cur = cur
+        .withColumn("__hrx",
+          when(x.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("__hry",
+          when(y.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+      val rx = col("__hrx"); val ry = col("__hry")
+      cur = cur
+        .withColumn("__hd", col("__hd") +
+          lit(s * s) * ((lit(3L) * rx).bitwiseXOR(ry)))
+        .withColumn("__hx2", when(ry === 0,
+          when(rx === 1, lit(n - 1) - y).otherwise(y)).otherwise(x))
+        .withColumn("__hy2", when(ry === 0,
+          when(rx === 1, lit(n - 1) - x).otherwise(x)).otherwise(y))
+        .withColumn("__hx", col("__hx2"))
+        .withColumn("__hy", col("__hy2"))
+        .drop("__hx2", "__hy2", "__hrx", "__hry")
+      s >>= 1
+    }
+    cur.withColumn(keyCol, col("__hd"))
+      .drop("__hx", "__hy", "__hd", "__zn0", "__zn1")
   }
 
   /** Cluster the frame for writing: range-repartition on the z-key into

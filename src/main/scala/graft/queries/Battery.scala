@@ -5091,6 +5091,57 @@ WHERE rk <= 40"""
       |    AS pixsum
       |FROM sm""".stripMargin
 
+  /** Hilbert-curve clustering key ([[graft.operators.Layout
+    * .withHilbertKey]] — q155's better-locality sibling: consecutive
+    * keys are always ADJACENT cells, so range-contiguous files cover
+    * connected regions with no Z-seam teleports). Same exact-integer
+    * quantization; the classic xy→d loop replays level by level — the
+    * oracle generates one CTE per bit level (8 levels at 8 bits/dim),
+    * each applying the rx/ry extraction, the d increment and the
+    * reflect-and-swap rotation in integer SQL. */
+  val q157HilbertKey: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    graft.operators.Layout.withHilbertKey(
+        ev, col("user_id"), col("ts_us"), bits = 8, keyCol = "hkey")
+      .select(col("event_id"), col("hkey"))
+  }
+
+  val q157Sql: String = {
+    val bits = 8
+    val n = 1 << bits
+    val levels = (0 until bits).map { k =>
+      val sVal = n >> (k + 1)
+      s"""l${k + 1} AS (
+         |  SELECT event_id,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+         |      THEN ${n - 1} - y ELSE y END ELSE x END AS x,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+         |      THEN ${n - 1} - x ELSE x END ELSE y END AS y,
+         |    d + ${sVal.toLong * sVal} * xor(3 * rx, ry) AS d
+         |  FROM (SELECT event_id, x, y, d,
+         |    CASE WHEN (x & $sVal) > 0 THEN 1 ELSE 0 END AS rx,
+         |    CASE WHEN (y & $sVal) > 0 THEN 1 ELSE 0 END AS ry
+         |    FROM l$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx
+       |  FROM events),
+       |l0 AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * ${n - 1})
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS x,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * ${n - 1})
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM events),
+       |$levels
+       |SELECT event_id, d AS hkey FROM l$bits""".stripMargin
+  }
+
   /** Interpolated Kneser-Ney bigram perplexity scores
     * ([[graft.operators.TextAnalysis.knBigramLmScores]]) — the
     * smoothing the KenLM-based CCNet quality filter actually runs,
@@ -6584,7 +6635,8 @@ WHERE rk <= 40"""
     "q153_attribution_stream" -> (q153AttributionStream, Some(q150Sql)),
     "q154_session_pairs_stream" -> (q154SessionPairsStream, Some(q116Sql)),
     "q155_zorder_key" -> (q155ZorderKey, Some(q155Sql)),
-    "q156_image_resize" -> (q156ImageResize, Some(q156Sql)))
+    "q156_image_resize" -> (q156ImageResize, Some(q156Sql)),
+    "q157_hilbert_key" -> (q157HilbertKey, Some(q157Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -64,6 +64,67 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hilbertKey: ≡ reference loop; bijection on the grid; " +
+      "consecutive indices are ALWAYS adjacent cells (Z-curve is not)") {
+    def refHilbert(bits: Int, x0: Long, y0: Long): Long = {
+      val n = 1L << bits
+      var x = x0; var y = y0; var d = 0L
+      var s = n >> 1
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val bits = 4; val n = 1 << bits
+    val cells = for (x <- 0 until n; y <- 0 until n)
+      yield (x.toLong, y.toLong)
+    val keyed = cells.toDF("x", "y")
+      .select($"x", $"y", Layout.hilbertKey($"x", $"y", bits).as("d"),
+        Layout.mortonKey(Seq($"x", $"y"), bits).as("z"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    cells.foreach { c =>
+      assert(keyed(c)._1 === refHilbert(bits, c._1, c._2), s"cell $c")
+    }
+    // bijection: the curve visits every cell exactly once
+    assert(keyed.values.map(_._1).toSet === (0L until n.toLong * n).toSet)
+    // THE Hilbert property: step d → d+1 always moves to a Manhattan-
+    // adjacent cell — no jumps anywhere on the grid
+    val byD = keyed.map { case (xy, (d, _)) => d -> xy }
+    val byZ = keyed.map { case (xy, (_, z)) => z -> xy }
+    def jumps(m: Map[Long, (Long, Long)]) =
+      (0L until n.toLong * n - 1).count { d =>
+        val (x1, y1) = m(d); val (x2, y2) = m(d + 1)
+        (x1 - x2).abs + (y1 - y2).abs != 1
+      }
+    assert(jumps(byD) === 0, "the Hilbert walk must never jump")
+    // …which the Z-curve cannot do (the locality Hilbert buys)
+    assert(jumps(byZ) > 0)
+    // withHilbertKey wires the shared quantization to the curve
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 50L).map(i =>
+      (i, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    val mnx = rows.map(_._2).min; val mxx = rows.map(_._2).max
+    val mny = rows.map(_._3).min; val mxy = rows.map(_._3).max
+    val hk = Layout.withHilbertKey(rows.toDF("id", "x", "y"),
+        $"x", $"y", bits = 4)
+      .select($"id", col("__hkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, x, y) =>
+      val qx = (x - mnx) * 15 / (mxx - mnx)
+      val qy = (y - mny) * 15 / (mxy - mny)
+      assert(hk(id) === refHilbert(4, qx, qy))
+    }
+  }
+
   test("clusterByZOrder tightens every column's per-file range; a " +
       "non-leading-column box touches few files where linear touches all") {
     val pts = for (x <- 0 until 64; y <- 0 until 64)
