@@ -193,4 +193,15 @@ object Layout {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
   }
+
+  /** [[clusterByZOrder]] on the Hilbert key (2-D): same layout action,
+    * strictly-connected file regions (see [[hilbertKey]]). */
+  def clusterByHilbert(df: DataFrame, xCol: Column, yCol: Column,
+      numFiles: Int, bits: Int = 16): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    withHilbertKey(df, xCol, yCol, bits)
+      .repartitionByRange(numFiles, col("__hkey"))
+      .sortWithinPartitions("__hkey")
+      .drop("__hkey")
+  }
 }

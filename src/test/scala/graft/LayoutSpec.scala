@@ -164,5 +164,18 @@ class LayoutSpec extends SparkSpec {
     // the layout reorders, never drops or duplicates
     assert(spark.read.parquet(zdir).select("id").as[Long].collect().sorted
       === pts.map(_._1).sorted)
+    // Hilbert layout: at least as tight as the Z layout on both axes
+    // (its contiguous ranges never cross a quadrant seam)
+    val hdir = tmp("zorder") + "/hilbert"
+    Layout.clusterByHilbert(df, $"x", $"y", numFiles = 16, bits = 6)
+      .write.parquet(hdir)
+    val hy = fileRanges(hdir, "y"); val hx = fileRanges(hdir, "x")
+    assert(avgSpan(hy) <= avgSpan(zy) + 1.0,
+      s"hilbert y spans $hy vs z $zy")
+    assert(avgSpan(hx) <= avgSpan(zx) + 1.0,
+      s"hilbert x spans $hx vs z $zx")
+    assert(touching(hy, 10L, 13L) <= 12)
+    assert(spark.read.parquet(hdir).select("id").as[Long].collect().sorted
+      === pts.map(_._1).sorted)
   }
 }
