@@ -84,7 +84,11 @@ object Layout {
       val mx = if (row.isNullAt(2 * j + 1)) 0L else row.getLong(2 * j + 1)
       if (mx == mn) lit(0L)
       else {
-        cur = cur.withColumn(s"__zn$j", (c - lit(mn)) * lit(k))
+        // nulls (ignored by the min/max agg) quantize to 0 — they
+        // cluster with the minimum instead of producing null keys that
+        // range-partition into one catch-all file
+        cur = cur.withColumn(s"__zn$j",
+          (coalesce(c, lit(mn)) - lit(mn)) * lit(k))
         expr(s"__zn$j div ${mx - mn}")
       }
     }

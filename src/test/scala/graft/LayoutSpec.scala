@@ -53,6 +53,21 @@ class LayoutSpec extends SparkSpec {
       val qy = (y - mny) * 15 / (mxy - mny)
       assert(keyed(id) === refMorton(Seq(qx, qy), 4))
     }
+    // null values quantize to 0 (cluster with the minimum) — never a
+    // null key that range-partitions into one catch-all file
+    val withNull = rows.toDF("id", "x", "y")
+      .withColumn("x", when($"id" === 0L, lit(null)).otherwise($"x"))
+    val nk = Layout.withZOrderKey(withNull, Seq($"x", $"y"), bits = 4)
+      .select($"id", col("__zkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mny0 = rows.map(_._3).min; val mxy0 = rows.map(_._3).max
+    val mnx0 = rows.filter(_._1 != 0L).map(_._2).min
+    val mxx0 = rows.filter(_._1 != 0L).map(_._2).max
+    rows.foreach { case (id, x, y) =>
+      val qx = if (id == 0L) 0L else (x - mnx0) * 15 / (mxx0 - mnx0)
+      val qy = (y - mny0) * 15 / (mxy0 - mny0)
+      assert(nk(id) === refMorton(Seq(qx, qy), 4), s"id $id")
+    }
     // a constant dimension quantizes to 0 rather than dividing by zero
     val const = rows.toDF("id", "x", "y").withColumn("c", lit(7L))
     val ck = Layout.withZOrderKey(const, Seq($"x", $"c"), bits = 4)
