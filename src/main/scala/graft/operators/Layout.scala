@@ -53,42 +53,75 @@ object Layout {
     * `unix_micros(col("ts"))`): one tiny global min/max aggregate per
     * call sizes the quantization grid, then the key is a single narrow
     * codegen projection. A constant column quantizes to 0 (it carries
-    * no pruning information). */
+    * no pruning information).
+    *
+    * `clipQuantiles = Some((lo, hi))` sizes the grid from EXACT
+    * percentile bounds instead of min/max — the skew guard: one stray
+    * outlier (a corrupt timestamp, an id from a different epoch) would
+    * otherwise stretch the domain so far that the real mass quantizes
+    * into a handful of cells and every file's statistics cover the same
+    * tiny box, i.e. zero pruning. Values outside the clip bounds clamp
+    * to the edge cells (they still land in the extreme files). Costs
+    * one [[Sampling.exactQuantiles]] value-count pass per column —
+    * worth it exactly when the domain is not trusted. */
   def withZOrderKey(df: DataFrame, cols: Seq[Column], bits: Int = 16,
-      keyCol: String = "__zkey"): DataFrame = {
+      keyCol: String = "__zkey",
+      clipQuantiles: Option[(Double, Double)] = None): DataFrame = {
     require(cols.nonEmpty, "withZOrderKey: need at least one column")
-    val (cur, qs) = quantizedDims(df, cols, bits)
+    val (cur, qs) = quantizedDims(df, cols, bits, clipQuantiles)
     cur.withColumn(keyCol, mortonKey(qs, bits))
       .drop(cols.indices.map(j => s"__zn$j"): _*)
   }
 
   /** Exact integer quantization of every dim onto [0, 2^bits) from one
-    * tiny global min/max aggregate: the numerator stays under 2^63 for
-    * per-column ranges up to ~1.4e14 per unit of 2^bits−1, and integer
-    * `div` (Spark) agrees with `//` (DuckDB) because every operand is
-    * non-negative — the oracle replays the formula verbatim. `div` has
-    * no Column-API method, so the numerator is materialized as a named
-    * `__znj` column (caller drops them) and divided via expr — still
-    * one codegen projection. */
+    * tiny global min/max aggregate (or percentile bounds under
+    * `clip`): the numerator stays under 2^63 for per-column ranges up
+    * to ~1.4e14 per unit of 2^bits−1, and integer `div` (Spark) agrees
+    * with `//` (DuckDB) because every operand is non-negative — the
+    * oracle replays the formula verbatim. `div` has no Column-API
+    * method, so the numerator is materialized as a named `__znj`
+    * column (caller drops them) and divided via expr — still one
+    * codegen projection. */
   private def quantizedDims(df: DataFrame, cols: Seq[Column],
-      bits: Int): (DataFrame, Seq[Column]) = {
-    val longs = cols.map(_.cast("long"))
-    val aggCols = longs.zipWithIndex.flatMap { case (c, j) =>
-      Seq(min(c).as(s"mn$j"), max(c).as(s"mx$j"))
+      bits: Int, clip: Option[(Double, Double)] = None)
+      : (DataFrame, Seq[Column]) = {
+    clip.foreach { case (lo, hi) =>
+      require(0 < lo && lo < hi && hi <= 1,
+        s"clipQuantiles must satisfy 0 < lo < hi <= 1, got ($lo, $hi)")
     }
-    val row = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val longs = cols.map(_.cast("long"))
+    val bounds: Seq[(Long, Long)] = clip match {
+      case None =>
+        val aggCols = longs.zipWithIndex.flatMap { case (c, j) =>
+          Seq(min(c).as(s"mn$j"), max(c).as(s"mx$j"))
+        }
+        val row = df.agg(aggCols.head, aggCols.tail: _*).head()
+        longs.indices.map { j =>
+          (if (row.isNullAt(2 * j)) 0L else row.getLong(2 * j),
+            if (row.isNullAt(2 * j + 1)) 0L else row.getLong(2 * j + 1))
+        }
+      case Some((lo, hi)) =>
+        longs.map { c =>
+          val vs = Sampling
+            .exactQuantiles(df.select(c.as("__qv")), col("__qv"),
+              Seq(lo, hi))
+            .collect().map(r => r.getDouble(0) -> r.getLong(2)).toMap
+          (vs(lo), vs(hi))
+        }
+    }
     val k = (1L << bits) - 1
     var cur = df
     val qs = longs.zipWithIndex.map { case (c, j) =>
-      val mn = if (row.isNullAt(2 * j)) 0L else row.getLong(2 * j)
-      val mx = if (row.isNullAt(2 * j + 1)) 0L else row.getLong(2 * j + 1)
+      val (mn, mx) = bounds(j)
       if (mx == mn) lit(0L)
       else {
-        // nulls (ignored by the min/max agg) quantize to 0 — they
-        // cluster with the minimum instead of producing null keys that
-        // range-partition into one catch-all file
+        // nulls (ignored by the bounds) quantize to 0 — they cluster
+        // with the minimum instead of producing null keys that
+        // range-partition into one catch-all file; under clip, values
+        // beyond the bounds clamp to the edge cells
         cur = cur.withColumn(s"__zn$j",
-          (coalesce(c, lit(mn)) - lit(mn)) * lit(k))
+          (greatest(least(coalesce(c, lit(mn)), lit(mx)), lit(mn))
+            - lit(mn)) * lit(k))
         expr(s"__zn$j div ${mx - mn}")
       }
     }
@@ -149,10 +182,12 @@ object Layout {
     * level's (x, y, d) materialized as named columns — plan size linear
     * in `bits` (see the caveat on [[hilbertKey]]). */
   def withHilbertKey(df: DataFrame, xCol: Column, yCol: Column,
-      bits: Int = 16, keyCol: String = "__hkey"): DataFrame = {
+      bits: Int = 16, keyCol: String = "__hkey",
+      clipQuantiles: Option[(Double, Double)] = None): DataFrame = {
     require(bits >= 1 && 2 * bits <= 62,
       s"withHilbertKey: 2x$bits bits must fit a long")
-    val (cur0, qs) = quantizedDims(df, Seq(xCol, yCol), bits)
+    val (cur0, qs) = quantizedDims(df, Seq(xCol, yCol), bits,
+      clipQuantiles)
     val n = 1L << bits
     var cur = cur0
       .withColumn("__hx", qs(0).cast("long"))

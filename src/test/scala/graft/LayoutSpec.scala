@@ -79,6 +79,33 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("clipQuantiles: a single outlier no longer collapses the key " +
+      "grid; out-of-range values clamp to the edge cells") {
+    val base = (0L until 1000L).map(i => (i, i, (i * 7) % 1000))
+    val data = base :+ (1000L, 1000000000000L, 500L)
+    val df = data.toDF("id", "x", "y")
+    // min/max quantization: the outlier stretches x's domain so every
+    // real x lands in cell 0 — keys discriminate on y alone
+    val plain = Layout.withZOrderKey(df, Seq($"x", $"y"), bits = 8)
+      .select(col("__zkey")).distinct().count()
+    assert(plain <= 257, s"expected collapsed keys, got $plain")
+    // percentile bounds restore the grid; the outlier clamps to the
+    // top edge cell instead of dominating the domain
+    val clippedDf = Layout.withZOrderKey(df, Seq($"x", $"y"), bits = 8,
+      clipQuantiles = Some((0.01, 0.99)))
+    graft.operators.Dedup.releasePersisted()
+    val clipped = clippedDf.select(col("__zkey")).distinct().count()
+    assert(clipped > 600, s"clip must restore discrimination: $clipped")
+    val outlierKey = clippedDf.filter($"id" === 1000L)
+      .select(col("__zkey")).head().getLong(0)
+    val maxQ = 255L
+    // outlier's qx = 255 (clamped); its key has every odd... just
+    // check the x bits decode back to the top cell
+    val qxBits = (0 until 8).map(i => (outlierKey >> (2 * i)) & 1L)
+      .zipWithIndex.map { case (b, i) => b << i }.sum
+    assert(qxBits === maxQ, s"outlier must clamp to the top x cell")
+  }
+
   test("hilbertKey: ≡ reference loop; bijection on the grid; " +
       "consecutive indices are ALWAYS adjacent cells (Z-curve is not)") {
     def refHilbert(bits: Int, x0: Long, y0: Long): Long = {
