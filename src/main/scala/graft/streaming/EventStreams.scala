@@ -126,37 +126,110 @@ object EventStreams {
       s"need positive gap/maxPrefix, got ($gapMinutes, $maxPrefix)")
     import events.sparkSession.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
-    // floorDiv, not /: truncation-toward-zero misplaces pre-epoch
-    // timestamps by up to a second, diverging from unix_micros' floor
-    // semantics in the batch twin
-    def micros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionPairState, SessionPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[SessionEvent],
             state: GroupState[SessionPairState]) =>
-          var st = state.getOption
+          val st0 = state.getOption
             .getOrElse(SessionPairState(0L, 0L, Long.MinValue, Nil))
+          val sorted = rows.toSeq
+            .map(e => (tsMicrosOf(e.ts), e.event_id, e.event_type))
+            .sortBy(p => (p._1, p._2))
+          // the in-batch sort is ascending, so only events older than
+          // the CARRIED lastTs can be late — arrived in a later batch
+          // than events they precede; observable drop, never a silent
+          // mis-sessionization
+          val (kept, late) = sorted.partition(_._1 >= st0.lastTsMicros)
+          lateDropped.foreach(_.add(late.size.toLong))
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionPair]
-          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-            val tsMicros = micros(e.ts)
-            if (tsMicros < st.lastTsMicros) {
-              // arrived in a later batch than events it precedes —
-              // observable drop, never a silent mis-sessionization
-              lateDropped.foreach(_.add(1L))
-            } else {
-              if (st.lastTsMicros == Long.MinValue ||
-                  tsMicros - st.lastTsMicros > gapMicros)
-                st = SessionPairState(st.sessionIdx + 1, 0L, tsMicros, Nil)
-              if (st.step >= 1)
-                out += SessionPair(userId, st.sessionIdx, st.step,
-                  st.prefixNewestFirst.reverse.mkString(" "), e.event_type)
-              st = SessionPairState(st.sessionIdx, st.step + 1, tsMicros,
-                (e.event_type :: st.prefixNewestFirst).take(maxPrefix))
-            }
-          }
+          val st = foldSessionEvents(userId, st0,
+            kept.map(p => (p._1, p._3)), gapMicros, maxPrefix, out)
           state.update(st)
+          out.iterator
+      }
+  }
+
+  /** floorDiv, not /: truncation-toward-zero misplaces pre-epoch
+    * timestamps by up to a second, diverging from unix_micros' floor
+    * semantics in the batch twin. */
+  private def tsMicrosOf(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** One user's ORDERED fold: apply `evs` — ascending `(tsMicros,
+    * event_type)` — to the session state, appending emitted pairs;
+    * shared by [[sessionPairStream]] (drop-late) and
+    * [[sessionPairStreamBuffered]] (watermark reorder). */
+  private def foldSessionEvents(userId: Long, st0: SessionPairState,
+      evs: Seq[(Long, String)], gapMicros: Long, maxPrefix: Int,
+      out: scala.collection.mutable.ArrayBuffer[SessionPair])
+      : SessionPairState = {
+    var st = st0
+    evs.foreach { case (tsMicros, etype) =>
+      if (st.lastTsMicros == Long.MinValue ||
+          tsMicros - st.lastTsMicros > gapMicros)
+        st = SessionPairState(st.sessionIdx + 1, 0L, tsMicros, Nil)
+      if (st.step >= 1)
+        out += SessionPair(userId, st.sessionIdx, st.step,
+          st.prefixNewestFirst.reverse.mkString(" "), etype)
+      st = SessionPairState(st.sessionIdx, st.step + 1, tsMicros,
+        (etype :: st.prefixNewestFirst).take(maxPrefix))
+    }
+    st
+  }
+
+  final case class SessionBufState(
+    pending: List[(Long, Long, String)], fold: SessionPairState)
+
+  /**
+   * [[sessionPairStream]] with a WATERMARK-BUFFERED REORDER stage in
+   * front — the other side of its documented trade: cross-batch
+   * disorder within the watermark horizon is FOLDED IN ORDER instead
+   * of dropped, at the price of emission delayed by the horizon. Each
+   * user's arrivals buffer in state `(tsMicros, event_id, type)`; on
+   * every invocation — new data OR an event-time timeout — the prefix
+   * at or below the CURRENT watermark folds through the same per-event
+   * session algebra, and the remainder re-arms a timeout at its
+   * earliest pending timestamp, so the tail flushes as the watermark
+   * passes it even with no further data for the user. Per-user state
+   * is O(events inside the horizon) — bounded by arrival rate ×
+   * `watermarkDelay`, the standard watermark trade. Events later than
+   * the watermark AT ARRIVAL are dropped by Spark's own pre-state
+   * late-row filter (the watermark contract); everything admitted is
+   * folded exactly once, in `(ts, event_id)` order, so the emitted
+   * pair set over a disordered feed equals the batch operator's over
+   * the same events — spec-pinned, including an event the drop-late
+   * variant would have discarded.
+   */
+  def sessionPairStreamBuffered(events: Dataset[SessionEvent],
+      gapMinutes: Int = 30, maxPrefix: Int = 20,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionPair] = {
+    require(gapMinutes > 0 && maxPrefix > 0,
+      s"need positive gap/maxPrefix, got ($gapMinutes, $maxPrefix)")
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBufState, SessionPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent],
+            state: GroupState[SessionBufState]) =>
+          val st0 = state.getOption.getOrElse(SessionBufState(Nil,
+            SessionPairState(0L, 0L, Long.MinValue, Nil)))
+          val pend = (st0.pending ++ rows
+              .map(e => (tsMicrosOf(e.ts), e.event_id, e.event_type)))
+            .sortBy(p => (p._1, p._2))
+          val wmMs = state.getCurrentWatermarkMs()
+          val (ready, rest) = pend.span(_._1 <= wmMs * 1000L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionPair]
+          val fold = foldSessionEvents(userId, st0.fold,
+            ready.map(p => (p._1, p._3)), gapMicros, maxPrefix, out)
+          state.update(SessionBufState(rest, fold))
+          // re-arm at the earliest pending event (strictly past the
+          // watermark by construction; the max guards the same-ms edge)
+          rest.headOption.foreach { r =>
+            state.setTimeoutTimestamp(math.max(r._1 / 1000L, wmMs + 1L))
+          }
           out.iterator
       }
   }

@@ -110,6 +110,51 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.contains((2L, "a b", "c")))
   }
 
+  test("sessionPairStreamBuffered folds cross-batch disorder IN ORDER " +
+      "— ≡ batch, including the event the drop-late variant loses") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[EventStreams.SessionEvent]
+    val q = EventStreams.sessionPairStreamBuffered(input.toDS(),
+        gapMinutes = 30, maxPrefix = 2, watermarkDelay = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("t_sess_buf")
+      .outputMode("append").start()
+    // minute offsets sit WELL past epoch 0: an event exactly AT the
+    // current watermark is dropped by Spark's pre-state late filter,
+    // and the initial watermark is 0 — ts(0) would silently vanish
+    val b1 = Seq(
+      EventStreams.SessionEvent(1L, 1L, ts(60), "a"),
+      EventStreams.SessionEvent(1L, 2L, ts(68), "c"))
+    // the disordered arrival: BETWEEN b1's events, delivered a batch
+    // later but inside the 10-minute horizon — sessionPairStream would
+    // drop it; the buffer must fold it at its true position
+    val b2 = Seq(
+      EventStreams.SessionEvent(1L, 3L, ts(64), "b"),
+      EventStreams.SessionEvent(9L, 4L, ts(90), "w"))
+    // watermark advancers (single-event users emit no pairs): push the
+    // watermark past every user-1 event so the buffered tail flushes
+    // via its event-time timeout, with NO further user-1 data
+    val b3 = Seq(EventStreams.SessionEvent(8L, 5L, ts(120), "w"))
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_sess_buf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSet
+    val want = graft.operators.EventSequences.sessionPairs(
+      (b1 ++ b2 ++ b3).map(e => (e.user_id, e.event_id, e.ts, e.event_type))
+        .toDF("user_id", "event_id", "ts", "event_type"),
+      "user_id", "event_id", "ts", "event_type",
+      gapMinutes = 30, maxPrefix = 2)
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    assert(got === want)
+    // the disordered event participates at its TRUE position: both as
+    // a next-event target and inside the following pair's prefix
+    assert(got.contains((1L, 1L, 1L, "a", "b")))
+    assert(got.contains((1L, 1L, 2L, "a b", "c")))
+  }
+
   test("tumbling window counts match the batch twin") {
     val got = feed(EventStreams.tumblingCounts(_, "1 hour", "2 hours"),
       "t_tumbling")
