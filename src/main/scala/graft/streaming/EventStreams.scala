@@ -263,37 +263,88 @@ object EventStreams {
     require(stages.nonEmpty && stages.size <= 8,
       s"1..8 funnel stages, got ${stages.size}")
     import events.sparkSession.implicits._
-    def micros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     val stageIdx = stages.zipWithIndex.toMap
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[FunnelEvent],
             state: GroupState[FunnelState]) =>
-          var st = state.getOption
+          val st0 = state.getOption
             .getOrElse(FunnelState(Nil, Long.MinValue))
-          var advanced = false
-          rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
-            val tsU = micros(e.ts)
-            if (tsU < st.lastTsMicros) {
-              lateDropped.foreach(_.add(1L))
-            } else {
-              val next = st.reached.size
-              // strict increase across stages, as the batch operator:
-              // stage 0 needs no predecessor; later stages need
-              // ts > previous stage's chosen ts
-              if (next < stages.size &&
-                  stageIdx.get(e.event_type).contains(next) &&
-                  (next == 0 || tsU > st.reached.last)) {
-                st = FunnelState(st.reached :+ tsU, tsU max st.lastTsMicros)
-                advanced = true
-              } else st = st.copy(lastTsMicros = tsU max st.lastTsMicros)
-            }
-          }
+          val sorted = rows.toSeq
+            .map(e => (tsMicrosOf(e.ts), e.event_type))
+            .sortBy(_._1)
+          // ascending sort ⇒ only events older than the CARRIED lastTs
+          // can regress (the sessionPairStream argument)
+          val (kept, late) = sorted.partition(_._1 >= st0.lastTsMicros)
+          lateDropped.foreach(_.add(late.size.toLong))
+          val (st, advanced) =
+            foldFunnelEvents(st0, kept, stages.size, stageIdx)
           state.update(st)
           if (advanced)
             Iterator(FunnelRow(userId, st.reached.size, st.reached))
+          else Iterator.empty
+      }
+  }
+
+  /** One user's ORDERED funnel fold (ascending `(tsMicros, type)`):
+    * strict increase across stages, as the batch operator — stage 0
+    * needs no predecessor; later stages need ts > the previous stage's
+    * chosen ts. Shared by [[funnelStream]] (drop-late) and
+    * [[funnelStreamBuffered]] (watermark reorder). */
+  private def foldFunnelEvents(st0: FunnelState,
+      evs: Seq[(Long, String)], numStages: Int,
+      stageIdx: Map[String, Int]): (FunnelState, Boolean) = {
+    var st = st0
+    var advanced = false
+    evs.foreach { case (tsU, etype) =>
+      val next = st.reached.size
+      if (next < numStages && stageIdx.get(etype).contains(next) &&
+          (next == 0 || tsU > st.reached.last)) {
+        st = FunnelState(st.reached :+ tsU, tsU max st.lastTsMicros)
+        advanced = true
+      } else st = st.copy(lastTsMicros = tsU max st.lastTsMicros)
+    }
+    (st, advanced)
+  }
+
+  final case class FunnelBufState(
+    pending: List[(Long, String)], fold: FunnelState)
+
+  /** [[funnelStream]] behind the [[sessionPairStreamBuffered]] reorder
+    * device: cross-batch disorder inside the watermark horizon folds
+    * in order (a stage event delivered a batch late still advances the
+    * funnel at its true position) instead of being dropped; emission
+    * delayed by the horizon, per-user state O(events in the horizon),
+    * tail flushed by event-time timeout. */
+  def funnelStreamBuffered(events: Dataset[FunnelEvent],
+      stages: Seq[String], watermarkDelay: String = "10 minutes")
+      : Dataset[FunnelRow] = {
+    require(stages.nonEmpty && stages.size <= 8,
+      s"1..8 funnel stages, got ${stages.size}")
+    import events.sparkSession.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBufState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[FunnelEvent],
+            state: GroupState[FunnelBufState]) =>
+          val st0 = state.getOption.getOrElse(
+            FunnelBufState(Nil, FunnelState(Nil, Long.MinValue)))
+          val pend = (st0.pending ++ rows
+              .map(e => (tsMicrosOf(e.ts), e.event_type)))
+            .sortBy(identity)
+          val wmMs = state.getCurrentWatermarkMs()
+          val (ready, rest) = pend.span(_._1 <= wmMs * 1000L)
+          val (fold, advanced) =
+            foldFunnelEvents(st0.fold, ready, stages.size, stageIdx)
+          state.update(FunnelBufState(rest, fold))
+          rest.headOption.foreach { r =>
+            state.setTimeoutTimestamp(math.max(r._1 / 1000L, wmMs + 1L))
+          }
+          if (advanced)
+            Iterator(FunnelRow(userId, fold.reached.size, fold.reached))
           else Iterator.empty
       }
   }

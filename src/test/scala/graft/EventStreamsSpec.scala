@@ -347,6 +347,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(got(2L)._2 == 1, "same-instant click must not advance")
   }
 
+  test("funnelStreamBuffered: a stage event delivered late-but-in-" +
+      "horizon advances the funnel at its true position") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[EventStreams.FunnelEvent]
+    val stages = Seq("view", "click", "purchase")
+    val q = EventStreams.funnelStreamBuffered(input.toDS(), stages,
+        watermarkDelay = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("t_funnel_buf")
+      .outputMode("append").start()
+    try {
+      // purchase precedes the click in ARRIVAL order — the drop-late
+      // variant would discard the click and strand the funnel at
+      // stage 1 (fixture past epoch 0: see the session-buffer test)
+      input.addData(Seq(
+        EventStreams.FunnelEvent(1L, ts(60), "view"),
+        EventStreams.FunnelEvent(1L, ts(68), "purchase")))
+      q.processAllAvailable()
+      input.addData(Seq(
+        EventStreams.FunnelEvent(1L, ts(64), "click"),
+        EventStreams.FunnelEvent(9L, ts(90), "view")))
+      q.processAllAvailable()
+      input.addData(Seq(EventStreams.FunnelEvent(8L, ts(120), "view")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_funnel_buf")
+      .filter($"user_id" === 1L).collect()
+      .map(r => (r.getInt(1), r.getSeq[Long](2).toSeq))
+    assert(rows.nonEmpty, "the buffered funnel must flush by timeout")
+    // full funnel, every stage at its TRUE event time — ≡ the batch
+    // operator over the time-ordered log
+    assert(rows.maxBy(_._1) ===
+      ((3, Seq(3600000000L, 3840000000L, 4080000000L))))
+  }
+
   test("attributionPairsStream ≡ the batch interval join across micro-batches") {
     implicit val sql = spark.sqlContext
     // (user, event_id, ts): touches and conversions on separate streams
