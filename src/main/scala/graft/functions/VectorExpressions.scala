@@ -763,32 +763,64 @@ object VectorExpressions {
     }
   }
 
+  /** Upper bound on live entries in the centroid-broadcast cache: a
+    * long session planning over many DISTINCT centroid generations
+    * (hyperparameter sweeps re-clustering per trial) would otherwise
+    * accumulate one broadcast per generation until someone remembered
+    * [[clearCentroidBroadcasts]]. 32 covers every sane number of LIVE
+    * centroid sets (the cache exists to dedup re-broadcasts of the SAME
+    * matrix, not to pin history); eviction is LRU with the evictee
+    * unpersisted — in-flight plans still holding its handle re-fetch
+    * lazily, so eviction is invisible to results. */
+  val MaxCentroidBroadcasts = 32
+
   /** One broadcast per DISTINCT matrix content per application: without
     * this, every [[topCells]]/[[pqEncode]] call above the threshold
     * (each `buildIvfIndex` cellOf, each bitext-mine direction) minted a
     * fresh broadcast that lived until the session died — executor and
     * driver broadcast blocks accumulating across bench reps. Keyed by
-    * `(applicationId, deep content)`; [[clearCentroidBroadcasts]] is the
-    * lifecycle hook. The one-time `deepHashCode` per call is microseconds
-    * even at 10⁵×10² elements — noise against the broadcast it saves. */
-  private val bcCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, MatrixKey), org.apache.spark.broadcast.Broadcast[_]]()
+    * `(applicationId, deep content)`, LRU-bounded at
+    * [[MaxCentroidBroadcasts]] (evictees unpersisted);
+    * [[clearCentroidBroadcasts]] is the bulk lifecycle hook. The
+    * one-time `deepHashCode` per call is microseconds even at 10⁵×10²
+    * elements — noise against the broadcast it saves. */
+  private val bcCache = new java.util.LinkedHashMap[
+      (String, MatrixKey), org.apache.spark.broadcast.Broadcast[_]](
+      16, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (String, MatrixKey), org.apache.spark.broadcast.Broadcast[_]])
+        : Boolean = {
+      val evict = size() > MaxCentroidBroadcasts
+      if (evict) e.getValue.unpersist(false)
+      evict
+    }
+  }
+
+  private[graft] def centroidBroadcastCacheSize: Int =
+    bcCache.synchronized(bcCache.size())
 
   private def cachedBroadcast[T](sc: org.apache.spark.SparkContext,
       key: Array[AnyRef], value: => T)(
       implicit ct: scala.reflect.ClassTag[T])
-      : org.apache.spark.broadcast.Broadcast[T] =
-    bcCache.computeIfAbsent((sc.applicationId, new MatrixKey(key)),
-      _ => sc.broadcast(value))
-      .asInstanceOf[org.apache.spark.broadcast.Broadcast[T]]
+      : org.apache.spark.broadcast.Broadcast[T] = bcCache.synchronized {
+    val k = (sc.applicationId, new MatrixKey(key))
+    val cur = bcCache.get(k) // get refreshes LRU order
+    if (cur != null) cur.asInstanceOf[org.apache.spark.broadcast.Broadcast[T]]
+    else {
+      val b = sc.broadcast(value)
+      bcCache.put(k, b)
+      b
+    }
+  }
 
   /** Release executor copies of every cached centroid/codebook broadcast
     * and empty the cache. Safe at any time: `unpersist` (not `destroy`)
     * keeps the driver-side value, so plans still holding a handle
     * re-fetch lazily on next use; subsequent wrapper calls mint fresh
     * broadcasts. Call between pipeline phases that retire a centroid
-    * generation. */
-  def clearCentroidBroadcasts(): Unit = {
+    * generation (steady-state growth is already LRU-bounded at
+    * [[MaxCentroidBroadcasts]]). */
+  def clearCentroidBroadcasts(): Unit = bcCache.synchronized {
     val it = bcCache.values().iterator()
     while (it.hasNext) it.next().unpersist(false)
     bcCache.clear()
@@ -809,7 +841,12 @@ object VectorExpressions {
     require(n <= cents.length,
       s"topCells: n=$n exceeds the ${cents.length} candidate cells")
     val elems = m.length.toLong * (if (m.isEmpty) 0 else m(0).length)
+    // active session is THREAD-LOCAL: a caller thread that never touched
+    // the session (a test-runner pool thread, a user's executor service)
+    // would silently lose the broadcast path without the default-session
+    // fallback
     val sess = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
     val e = if (elems > BroadcastElemThreshold && sess.isDefined)
       TopCellsBc(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec),
         cachedBroadcast(sess.get.sparkContext,
@@ -831,7 +868,12 @@ object VectorExpressions {
     val l2 = ccNorms.nonEmpty
     val elems = cb.map(sub =>
       sub.map(_.length.toLong).sum).sum
+    // active session is THREAD-LOCAL: a caller thread that never touched
+    // the session (a test-runner pool thread, a user's executor service)
+    // would silently lose the broadcast path without the default-session
+    // fallback
     val sess = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
     val e = if (elems > BroadcastElemThreshold && sess.isDefined)
       PqEncodeBc(org.apache.spark.sql.graftbridge.ColumnBridge.expr(vec),
         cachedBroadcast(sess.get.sparkContext,

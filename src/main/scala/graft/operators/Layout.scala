@@ -113,6 +113,24 @@ object Layout {
     var cur = df
     val qs = longs.zipWithIndex.map { case (c, j) =>
       val (mn, mx) = bounds(j)
+      // overflow guard: the quantization numerator (x−mn)·k must stay a
+      // long — Spark long arithmetic WRAPS silently (garbage keys, no
+      // error) while the oracle's would error, so an over-wide domain
+      // fails HERE with the remedy. mx−mn itself can overflow first for
+      // mixed-sign extremes (e.g. an unset Long.MinValue sentinel).
+      val range =
+        try Math.subtractExact(mx, mn)
+        catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"layout column #$j: domain [$mn, $mx] spans more than " +
+              "2^63 — quantization cannot represent it; clipQuantiles " +
+              "away the sentinel extremes or pre-shift the column")
+        }
+      require(range <= Long.MaxValue / k,
+        s"layout column #$j: range $range x (2^$bits - 1) overflows " +
+          "long — use fewer bits, coarsen the unit (e.g. seconds " +
+          "instead of micros), or clipQuantiles the outliers " +
+          s"(max range at $bits bits: ${Long.MaxValue / k})")
       if (mx == mn) lit(0L)
       else {
         // nulls (ignored by the bounds) quantize to 0 — they cluster

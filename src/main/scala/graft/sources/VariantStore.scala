@@ -196,30 +196,39 @@ object VariantStore {
   }
 
   /** K6: apply genic-status updates (changed rows from GenicQcJob) via
-    * read → merge → bucketed rewrite (temp table + directory swap). */
+    * read → merge → bucketed rewrite (temp table + directory swap),
+    * under the store's single-writer lock — two concurrent updaters
+    * would interleave the rename-aside/promote swap steps, so the
+    * second fails fast naming the holder ([[graft.streaming
+    * .LedgerLock]]; the same guard the streamed index families hold). */
   def applyGenicUpdates(spark: SparkSession, dir: String,
-      changes: DataFrame): Unit = {
-    val current = variants(spark, dir)
-    val fixes = changes.select(col("rgd_id").as("u_rgd_id"),
-      col("genic_status").as("u_status"))
-    val merged = current.join(fixes, col("rgd_id") === col("u_rgd_id"), "left")
-      .withColumn("genic_status",
-        coalesce(col("u_status"), col("genic_status")))
-      .drop("u_rgd_id", "u_status")
-    overwriteVariants(spark, dir, merged)
-  }
+      changes: DataFrame): Unit =
+    graft.streaming.LedgerLock.withLock(spark, dir) {
+      val current = variants(spark, dir)
+      val fixes = changes.select(col("rgd_id").as("u_rgd_id"),
+        col("genic_status").as("u_status"))
+      val merged = current
+        .join(fixes, col("rgd_id") === col("u_rgd_id"), "left")
+        .withColumn("genic_status",
+          coalesce(col("u_status"), col("genic_status")))
+        .drop("u_rgd_id", "u_status")
+      overwriteVariants(spark, dir, merged)
+    }
 
-  /** K5: apply end-position drift updates. */
+  /** K5: apply end-position drift updates (locked — see
+    * [[applyGenicUpdates]]). */
   def applyEndPosUpdates(spark: SparkSession, dir: String,
-      updates: DataFrame): Unit = {
-    val current = variants(spark, dir)
-    val fixes = updates.select(col("rgd_id").as("u_rgd_id"),
-      col("end_pos").as("u_end"))
-    val merged = current.join(fixes, col("rgd_id") === col("u_rgd_id"), "left")
-      .withColumn("end_pos", coalesce(col("u_end"), col("end_pos")))
-      .drop("u_rgd_id", "u_end")
-    overwriteVariants(spark, dir, merged)
-  }
+      updates: DataFrame): Unit =
+    graft.streaming.LedgerLock.withLock(spark, dir) {
+      val current = variants(spark, dir)
+      val fixes = updates.select(col("rgd_id").as("u_rgd_id"),
+        col("end_pos").as("u_end"))
+      val merged = current
+        .join(fixes, col("rgd_id") === col("u_rgd_id"), "left")
+        .withColumn("end_pos", coalesce(col("u_end"), col("end_pos")))
+        .drop("u_rgd_id", "u_end")
+      overwriteVariants(spark, dir, merged)
+    }
 
   /** Full rewrite of the variant side: write the merged frame to a temp
     * bucketed table (the old files stay readable while it runs), then

@@ -303,6 +303,17 @@ object DedupIngest {
    *                   the near-dup class the word-gram gate misses when
    *                   edits break every `n`-gram. 0 (default) keeps the
    *                   exact + gram gates only.
+   *
+   * RESTART AFTER A DRIVER CRASH: each micro-batch holds the dir's
+   * [[LedgerLock]], so a crash mid-batch leaves the lock behind. A
+   * restart on the SAME host self-recovers — the lock names its holder
+   * `pid@host`, and an acquire that can prove that pid dead retires the
+   * lock itself before replaying the batch (replay is exact behind the
+   * marker ledger). A restart on a DIFFERENT host (cluster-mode driver
+   * failover) cannot prove death locally: set
+   * [[LedgerLock.LockStaleMsKey]] comfortably above the longest
+   * micro-batch so the new driver lease-breaks instead of dying with
+   * `ConcurrentWriterException`, or `LedgerLock.break` once by hand.
    */
   def start(docs: DataFrame, dir: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text",

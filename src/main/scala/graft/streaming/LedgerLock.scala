@@ -4,30 +4,61 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * Advisory single-writer lock shared by every marker-ledgered store
- * ([[IndexIngest]]'s four index families and [[DedupIngest]]'s corpus):
- * makes the single-writer contract fail FAST instead of corrupting
- * silently. Every mutator (ingest bodies, `delete*`, `compact*`) holds
- * `<dir>/markers/lock` for its duration. The lock file is created
- * atomically (`create(overwrite = false)` — an atomic existence claim
- * on HDFS and object-store committers) with the owner id as content,
- * and removed in a `finally`, so a SECOND concurrent writer — a
- * mis-wired duplicate stream, a cron compactor racing the ingest
- * thread — throws [[LedgerLock.ConcurrentWriterException]] naming the
- * holder rather than interleaving rewrites with appends.
+ * ([[IndexIngest]]'s four index families, [[DedupIngest]]'s corpus,
+ * and [[graft.sources.VariantStore]]'s swap sinks): makes the
+ * single-writer contract fail FAST instead of corrupting silently.
+ * Every mutator (ingest bodies, `delete*`, `compact*`, the store
+ * rewrite-and-swap updates) holds `<dir>/markers/lock` for its
+ * duration, with the owner id (`pid@host:nonce`) as content, removed
+ * in a `finally` — a SECOND concurrent writer (a mis-wired duplicate
+ * stream, a cron compactor racing the ingest thread) throws
+ * [[LedgerLock.ConcurrentWriterException]] naming the holder rather
+ * than interleaving rewrites with appends.
+ *
+ * ATOMICITY SCOPE of the existence claim: on HDFS (and any filesystem
+ * whose `create(overwrite = false)` is a namespace-atomic operation)
+ * the claim is exact. On `file://` URIs Hadoop's LocalFileSystem
+ * implements non-overwrite create as exists-then-create — NOT atomic
+ * across processes — so the local scheme is special-cased through
+ * `java.nio.file` `CREATE_NEW` (O_EXCL), which is: local multi-process
+ * use is genuinely exclusive. On stores with no atomic create-if-absent
+ * (plain S3A without a committer) two racing writers can both
+ * "acquire"; there the lock degrades to best-effort advice — which is
+ * its documented station: crash-exactness always comes from the marker
+ * protocol, the lock exists to catch contract violations early.
  *
  * A writer that CRASHES mid-operation leaves the lock behind; that is
  * deliberate (the dir may hold a half-applied operation and must not
- * accept writes until someone looks). Recovery is exactly the ledger's
- * replay story: the operator confirms the old writer is dead, calls
- * [[break]], and re-runs — every mutator is replay-safe behind its
- * intent/commit markers, so break + replay is always sound. Setting
- * [[LockStaleMsKey]] > 0 in the session conf turns that manual step
- * into a lease: an acquire finding a lock whose modification time is
- * older than the threshold breaks it itself (two recoverers can race
- * the break — benign, because the subsequent atomic create still
- * admits exactly one). Advisory, not a correctness primitive:
- * crash-exactness comes from the marker protocol; the lock exists to
- * catch contract violations early.
+ * accept writes until someone looks). Recovery, in order of automation:
+ *
+ *  1. **Dead-holder auto-break** — the lock names its holder
+ *     `pid@host:nonce`; an acquire that finds the holder's host equal
+ *     to its OWN host and that pid provably not alive
+ *     (`ProcessHandle`) retires the lock itself. This makes a
+ *     single-host streaming deployment's restart-after-driver-crash
+ *     self-recovering (the restarted driver is on the same host; the
+ *     dead pid is evidence enough) — no operator step, no stale-lease
+ *     conf. Cross-host restarts can't prove death this way; use 2/3.
+ *  2. **Stale lease** — setting [[LockStaleMsKey]] > 0 in the session
+ *     conf retires any lock whose modification time is older than the
+ *     threshold. Recommended for multi-host streaming deployments
+ *     (set it comfortably above the longest micro-batch).
+ *  3. **Operator break** — confirm the holder is dead, call [[break]],
+ *     re-run; every mutator is replay-safe behind its intent/commit
+ *     markers, so break + replay is always sound.
+ *
+ * Retiring a lock (paths 1 and 2) is TOCTOU-guarded: the breaker
+ * re-reads the lock, verifies it is STILL the very lock it judged
+ * dead/stale (same owner content and same mtime), and then atomically
+ * RENAMES it aside — rename is the arbiter, exactly one of N racing
+ * recoverers wins, and the losers fall through to the fresh-lock
+ * contention error instead of deleting the winner's new lock. The
+ * verify-then-rename pair narrows but does not fully eliminate the
+ * window (a lock released and re-created by a NEW holder between the
+ * re-read and the rename would be wrongly retired — a sub-millisecond
+ * window requiring the "stale" observation to have been wrong);
+ * closing it entirely would need a compare-and-swap rename no
+ * filesystem API offers. Advisory, not a correctness primitive.
  *
  * NOT reentrant — a mutator must never call another locked mutator on
  * the same dir while holding the lock (the ingest loops run their
@@ -36,9 +67,10 @@ import org.apache.spark.sql.SparkSession
 object LedgerLock {
 
   /** Session-conf key: a lock older than this many milliseconds is
-    * treated as abandoned and broken automatically on the next acquire.
-    * 0 (the default) never auto-breaks — recovery is the operator's
-    * explicit [[break]]. */
+    * treated as abandoned and retired automatically on the next
+    * acquire. 0 (the default) never lease-breaks — recovery is then
+    * the dead-pid path (same host only) or the operator's explicit
+    * [[break]]. */
   val LockStaleMsKey = "graft.ledger.lockStaleMs"
 
   /** A second concurrent writer hit [[withLock]]'s guard. */
@@ -46,42 +78,124 @@ object LedgerLock {
     extends IllegalStateException(msg)
 
   /** This writer's identity, written into the lock file so contention
-    * errors name the holder: JVM `pid@host` plus a per-JVM nonce. */
+    * errors name the holder and dead-holder detection can parse it:
+    * JVM `pid@host` plus a per-JVM nonce. */
   private lazy val lockOwner: String =
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
       ":" + java.util.UUID.randomUUID().toString.take(8)
 
-  private[streaming] def withLock[T](spark: SparkSession, dir: String)
+  private def localHost: String = {
+    val name = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+    name.substring(name.indexOf('@') + 1)
+  }
+
+  /** Parse `pid@host:nonce` and report whether the holder is PROVABLY
+    * dead: same host as this JVM and no live process with that pid.
+    * Unparseable content, a foreign host, or a live pid all return
+    * false — never break on ambiguity. (A recycled pid defeats this;
+    * acceptable for an advisory lock, documented on the object.) */
+  private[streaming] def holderProvablyDead(holder: String): Boolean = {
+    val at = holder.indexOf('@')
+    val colon = holder.lastIndexOf(':')
+    if (at <= 0 || colon <= at + 1) return false
+    holder.substring(0, at).toLongOption.exists { pid =>
+      holder.substring(at + 1, colon) == localHost && {
+        val h = java.lang.ProcessHandle.of(pid)
+        !h.isPresent || !h.get.isAlive
+      }
+    }
+  }
+
+  /** Atomic existence claim. `file://` goes through nio `CREATE_NEW`
+    * (O_EXCL) because Hadoop's LocalFileSystem non-overwrite create is
+    * exists-then-create (see the object doc's atomicity scope). */
+  private def tryAcquire(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    try {
+      if (f.getScheme == "file") {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          lockOwner.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      } else {
+        val out = f.create(p, false)
+        out.write(lockOwner.getBytes("UTF-8")); out.close()
+      }
+      true
+    } catch { case _: java.io.IOException => false }
+
+  private def readOwner(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = f.open(p)
+      val b = new Array[Byte](256)
+      val n = in.read(b); in.close()
+      Some(if (n > 0) new String(b, 0, n, "UTF-8") else "")
+    } catch { case _: java.io.IOException => None }
+
+  /** Retire a lock judged dead/stale, TOCTOU-guarded (object doc):
+    * verify it is still the SAME lock — owner content AND mtime — then
+    * rename it aside (the atomic arbiter; one racing recoverer wins)
+    * and delete the retired copy. False on any mismatch or race. */
+  private def retireAside(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, expectOwner: String,
+      expectMtime: Long): Boolean =
+    try {
+      if (f.getFileStatus(p).getModificationTime != expectMtime) false
+      else if (!readOwner(f, p).contains(expectOwner)) false
+      else {
+        val aside = new org.apache.hadoop.fs.Path(p.getParent,
+          s"lock.retired.${java.util.UUID.randomUUID().toString.take(8)}")
+        if (!f.rename(p, aside)) false
+        else { f.delete(aside, false); true }
+      }
+    } catch { case _: java.io.IOException => false }
+
+  private[graft] def withLock[T](spark: SparkSession, dir: String)
       (body: => T): T = {
     val (f, p) = DedupIngest.fs(spark, s"$dir/markers/lock")
     f.mkdirs(p.getParent)
     val staleMs = spark.conf.getOption(LockStaleMsKey)
       .flatMap(_.toLongOption).getOrElse(0L)
-    def tryAcquire(): Boolean =
-      try {
-        val out = f.create(p, false)
-        out.write(lockOwner.getBytes("UTF-8")); out.close(); true
-      } catch { case _: java.io.IOException => false }
-    if (!tryAcquire()) {
-      val holder = try {
-        val in = f.open(p)
-        val b = new Array[Byte](256)
-        val n = in.read(b); in.close()
-        if (n > 0) new String(b, 0, n, "UTF-8") else "unknown"
-      } catch { case _: java.io.IOException => "unknown" }
-      val ageMs = try
-        System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
-      catch { case _: java.io.IOException => 0L }
-      val stale = staleMs > 0 && ageMs > staleMs
-      if (stale) f.delete(p, false)
-      if (!stale || !tryAcquire())
-        throw new ConcurrentWriterException(
-          s"ledger dir $dir is locked by writer '$holder' (${ageMs}ms old)" +
-            ": a second concurrent writer violates the single-writer " +
-            "contract. If that writer is dead, call " +
-            s"""LedgerLock.break(spark, "$dir") and re-run """ +
-            s"(all operations are replay-safe), or set $LockStaleMsKey " +
-            "for lease-style auto-recovery.")
+    // bounded retry: each pass either acquires, retires a provably
+    // dead/stale lock and retries, retries after watching the lock
+    // vanish (holder released between our create and stat), or throws
+    var acquired = false
+    var attempts = 0
+    while (!acquired) {
+      attempts += 1
+      acquired = tryAcquire(f, p)
+      if (!acquired) {
+        if (attempts >= 4)
+          throw new ConcurrentWriterException(
+            s"ledger dir $dir: lock contention persisted across " +
+              s"$attempts acquire attempts — a live writer is cycling " +
+              "the lock. Single-writer contract violated.")
+        val st = try Some(f.getFileStatus(p))
+          catch { case _: java.io.IOException => None }
+        st.foreach { status =>
+          val holder = readOwner(f, p).getOrElse("unknown")
+          val ageMs = math.max(0L,
+            System.currentTimeMillis() - status.getModificationTime)
+          val stale = staleMs > 0 && ageMs > staleMs
+          val dead = holderProvablyDead(holder)
+          if (!(stale || dead) ||
+              !retireAside(f, p, holder, status.getModificationTime))
+            throw new ConcurrentWriterException(
+              s"ledger dir $dir is locked by writer '$holder' " +
+                s"(${ageMs}ms old): a second concurrent writer violates " +
+                "the single-writer contract. If that writer is dead, " +
+                s"""call LedgerLock.break(spark, "$dir") and re-run """ +
+                "(all operations are replay-safe); same-host dead pids " +
+                s"are retired automatically, and $LockStaleMsKey > 0 " +
+                "enables lease-style recovery across hosts.")
+          // retired a dead/stale lock; loop re-attempts the create. A
+          // racer that slips in is seen next pass as a FRESH lock
+          // (alive holder, age ~0) and produces the contention error.
+        }
+        // st == None: the lock vanished (holder released) — just retry
+      }
     }
     try body
     finally f.delete(p, false)

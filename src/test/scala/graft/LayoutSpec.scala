@@ -220,4 +220,32 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(hdir).select("id").as[Long].collect().sorted
       === pts.map(_._1).sorted)
   }
+
+  test("quantization overflow fails fast with the remedy, never wraps") {
+    // range x (2^16-1) would exceed Long.MaxValue: Spark would wrap to
+    // garbage keys silently — the guard must throw instead
+    val wide = Seq((0L, 0L), (1L, Long.MaxValue / 60000)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Layout.withZOrderKey(wide, Seq($"v"), bits = 16)
+    }
+    assert(e.getMessage.contains("overflows long"), e.getMessage)
+    assert(e.getMessage.contains("fewer bits"), e.getMessage)
+    // mixed-sign extremes: mx-mn itself overflows before the multiply
+    val sentinel = Seq((0L, Long.MinValue), (1L, Long.MaxValue - 2))
+      .toDF("id", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.withZOrderKey(sentinel, Seq($"v"), bits = 4)
+    }
+    assert(e2.getMessage.contains("more than"), e2.getMessage)
+    // the same wide domain is FINE at fewer bits — the remedy works
+    val keyed = Layout.withZOrderKey(wide, Seq($"v"), bits = 2)
+    assert(keyed.select("__zkey").as[Long].collect().toSet === Set(0L, 3L))
+    // and clipQuantiles is the other remedy: clip off the outlier and
+    // the surviving domain quantizes at full width
+    val outlier = ((0L until 99L).map(i => (i, i)) :+ (99L, Long.MaxValue/2))
+      .toDF("id", "v")
+    val clipped = Layout.withZOrderKey(outlier, Seq($"v"), bits = 16,
+      clipQuantiles = Some((0.01, 0.98)))
+    assert(clipped.select("__zkey").as[Long].distinct().count() > 90)
+  }
 }

@@ -264,4 +264,58 @@ class VariantStoreSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
+
+  test("K5/K6 swaps hold the single-writer lock: a concurrent second " +
+      "updater fails fast naming the holder; crash recovery unchanged") {
+    import graft.streaming.LedgerLock
+    val dir = Files.createTempDirectory("graft-store-lock").toString
+    val r1 = VariantLoader.load(spark, vcf, genes,
+      VariantStore.variants(spark, dir),
+      VariantStore.detailKeys(spark, dir), config)
+    VariantStore.append(r1, dir)
+    val before = VariantStore.variants(spark, dir)
+      .select("rgd_id", "genic_status").as[(Long, String)].collect().toSet
+    val change = VariantStore.variants(spark, dir)
+      .select($"rgd_id", lit("GENIC").as("genic_status"))
+
+    // writer 1 holds the store's ledger lock (an in-flight update);
+    // both K5 and K6 from writer 2 must fail fast, state untouched
+    val inside = new java.util.concurrent.CountDownLatch(1)
+    val proceed = new java.util.concurrent.CountDownLatch(1)
+    val t1 = new Thread(() => LedgerLock.withLock(spark, dir) {
+      inside.countDown()
+      assert(proceed.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    })
+    t1.start()
+    assert(inside.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    val e = intercept[LedgerLock.ConcurrentWriterException] {
+      VariantStore.applyGenicUpdates(spark, dir, change)
+    }
+    assert(e.getMessage.contains("locked by writer"))
+    intercept[LedgerLock.ConcurrentWriterException] {
+      VariantStore.applyEndPosUpdates(spark, dir,
+        change.select($"rgd_id", lit(1L).as("end_pos")))
+    }
+    assert(VariantStore.variants(spark, dir)
+      .select("rgd_id", "genic_status").as[(Long, String)]
+      .collect().toSet === before, "locked-out updates must not land")
+    proceed.countDown()
+    t1.join(30000)
+    assert(!t1.isAlive)
+
+    // a writer that DIED holding the lock (foreign host — not provably
+    // dead, no auto-retire): blocks until the operator breaks it, then
+    // the update replays cleanly — the crash story is lock-unchanged
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/markers/lock"),
+      "4242@elsewhere:feed0000".getBytes("UTF-8"))
+    val e2 = intercept[LedgerLock.ConcurrentWriterException] {
+      VariantStore.applyGenicUpdates(spark, dir, change)
+    }
+    assert(e2.getMessage.contains("4242@elsewhere:feed0000"))
+    LedgerLock.break(spark, dir)
+    VariantStore.applyGenicUpdates(spark, dir, change)
+    assert(VariantStore.variants(spark, dir).select("genic_status")
+      .as[String].collect().forall(_ == "GENIC"))
+  }
 }

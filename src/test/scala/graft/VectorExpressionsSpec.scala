@@ -305,4 +305,43 @@ class VectorExpressionsSpec extends SparkSpec {
     }
     VectorExpressions.clearCentroidBroadcasts()
   }
+
+  test("centroid broadcast cache is LRU-bounded: inserting past the " +
+      "bound evicts the oldest, results unchanged") {
+    val rnd = new scala.util.Random(13)
+    // each matrix crosses BroadcastElemThreshold (2^16 elements):
+    // 8300 cells x 8 dims = 66400 doubles
+    def mat(seed: Int): Seq[(Long, Seq[Double])] = {
+      val r = new scala.util.Random(seed)
+      (0 until 8300).map(c => (c.toLong, Seq.fill(8)(r.nextGaussian())))
+    }
+    VectorExpressions.clearCentroidBroadcasts()
+    val bound = VectorExpressions.MaxCentroidBroadcasts
+    val first = VectorExpressions.topCells($"embedding", mat(0), 3)
+    val vecs = (0L until 10L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    def run(c: org.apache.spark.sql.Column) =
+      vecs.select($"vec_id", c.as("t")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getDouble(1))).toSeq).toMap
+    val firstResult = run(first)
+    // flood with `bound` MORE distinct generations: size plateaus at
+    // the bound, the first (least recently used) entry is evicted
+    (1 to bound).foreach(i =>
+      VectorExpressions.topCells($"embedding", mat(i), 3): Unit)
+    assert(VectorExpressions.centroidBroadcastCacheSize === bound,
+      "cache must plateau at MaxCentroidBroadcasts")
+    // the evicted entry was unpersisted, not destroyed: the old plan
+    // still evaluates correctly (executors re-fetch lazily)
+    assert(run(first) === firstResult,
+      "an evicted broadcast's plan must still be correct")
+    // re-requesting the evicted matrix mints a fresh broadcast and the
+    // cache stays at the bound
+    val again = VectorExpressions.topCells($"embedding", mat(0), 3)
+    assert(run(again) === firstResult)
+    assert(VectorExpressions.centroidBroadcastCacheSize === bound)
+    VectorExpressions.clearCentroidBroadcasts()
+    assert(VectorExpressions.centroidBroadcastCacheSize === 0)
+  }
 }

@@ -48,4 +48,65 @@ class LedgerLockSpec extends graft.SparkSpec {
     }
     LedgerLock.withLock(spark, dir) { () }
   }
+
+  private def localHost: String = {
+    val n = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+    n.substring(n.indexOf('@') + 1)
+  }
+
+  /** A pid that PROVABLY belonged to an exited process: spawn a
+    * trivial child, wait for it, return its pid. */
+  private def deadPid(): Long = {
+    val p = new ProcessBuilder("true").start()
+    assert(p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+    // waitFor returning guarantees exit; ProcessHandle may briefly
+    // still resolve while the zombie is reaped — poll it out
+    val deadline = System.currentTimeMillis() + 10000
+    while (java.lang.ProcessHandle.of(p.pid()).isPresent &&
+        java.lang.ProcessHandle.of(p.pid()).get.isAlive &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(10)
+    p.pid()
+  }
+
+  test("dead-holder detection: same-host exited pid is provably dead; " +
+      "live pid, foreign host, and garbage are not") {
+    val dead = deadPid()
+    val live = java.lang.ProcessHandle.current().pid()
+    assert(LedgerLock.holderProvablyDead(s"$dead@$localHost:abcd1234"))
+    assert(!LedgerLock.holderProvablyDead(s"$live@$localHost:abcd1234"),
+      "this JVM's own pid is alive")
+    assert(!LedgerLock.holderProvablyDead(s"$dead@not-this-host:abcd1234"),
+      "a foreign host can never be proven dead locally")
+    assert(!LedgerLock.holderProvablyDead("not-a-lock-owner"))
+    assert(!LedgerLock.holderProvablyDead(""))
+    assert(!LedgerLock.holderProvablyDead(s"pid@$localHost:x"),
+      "unparseable pid is ambiguity, never broken")
+  }
+
+  test("a crashed same-host writer's lock is retired automatically; " +
+      "a live same-host writer's lock still blocks") {
+    val dir = tmp("lock-dead")
+    val lockP = java.nio.file.Paths.get(s"$dir/markers/lock")
+    java.nio.file.Files.createDirectories(lockP.getParent)
+    // dead-pid lock: acquire retires it without staleMs or break()
+    java.nio.file.Files.write(lockP,
+      s"${deadPid()}@$localHost:dead0000".getBytes("UTF-8"))
+    var entered = false
+    LedgerLock.withLock(spark, dir) { entered = true }
+    assert(entered, "dead-holder lock must self-recover")
+    assert(!java.nio.file.Files.exists(lockP))
+    assert(java.nio.file.Files.list(lockP.getParent).count() === 0,
+      "the retired lock copy must not linger")
+    // live-pid lock (this JVM, different nonce — a second local writer
+    // that did NOT crash): fails fast naming it
+    val live = java.lang.ProcessHandle.current().pid()
+    java.nio.file.Files.write(lockP,
+      s"$live@$localHost:cafe0000".getBytes("UTF-8"))
+    val e = intercept[LedgerLock.ConcurrentWriterException] {
+      LedgerLock.withLock(spark, dir) { fail("entered past a live lock") }
+    }
+    assert(e.getMessage.contains(s"$live@$localHost:cafe0000"))
+    java.nio.file.Files.delete(lockP)
+  }
 }
