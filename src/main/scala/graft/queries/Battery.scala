@@ -6272,30 +6272,102 @@ WHERE rk <= 40"""
       val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"),
         max(unix_micros(col("ts"))).as("mx")).head()
       val cut = bounds.getLong(0) / 2 + bounds.getLong(1) / 2
-      val stageIn = new org.apache.hadoop.fs.Path(s"$root/in.stage")
-      if (fs.exists(stageIn)) fs.delete(stageIn, true)
-      fs.mkdirs(stageIn)
-      def writeBatch(batch: DataFrame, name: String, mtime: Long): Unit = {
-        val stage = s"$root/stage-$name"
-        batch.coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-          .map(_.getPath).find(_.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"no part in $stage"))
-        val target = new org.apache.hadoop.fs.Path(stageIn, s"$name.parquet")
-        fs.rename(part, target)
-        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-        new java.io.File(target.toUri.getPath).setLastModified(mtime): Unit
-      }
-      val now = System.currentTimeMillis()
-      writeBatch(ev.filter(unix_micros(col("ts")) < cut), "b1",
-        now - 120000L)
-      writeBatch(ev.filter(unix_micros(col("ts")) >= cut), "b2", now)
-      if (!fs.rename(stageIn, inDir)) fs.delete(stageIn, true)
+      stageStreamFiles(s, root, Seq(
+        ev.filter(unix_micros(col("ts")) < cut),
+        ev.filter(unix_micros(col("ts")) >= cut)))
     }
     s.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$root/in")
+  }
+
+  /** Write `batches` as single parquet files `b1..bN` under `root/in`,
+    * mtimes 2 min apart oldest-first (the file source's arrival
+    * order), staged and renamed into place as ONE unit — a crash
+    * between writes must never leave a half-populated dir that later
+    * reps would stream as complete. */
+  private def stageStreamFiles(s: SparkSession, root: String,
+      batches: Seq[DataFrame]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sessionState.newHadoopConf())
+    val stageIn = new org.apache.hadoop.fs.Path(s"$root/in.stage")
+    if (fs.exists(stageIn)) fs.delete(stageIn, true)
+    fs.mkdirs(stageIn)
+    def writeBatch(batch: DataFrame, name: String, mtime: Long): Unit = {
+      val stage = s"$root/stage-$name"
+      batch.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part in $stage"))
+      val target = new org.apache.hadoop.fs.Path(stageIn, s"$name.parquet")
+      fs.rename(part, target)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      new java.io.File(target.toUri.getPath).setLastModified(mtime): Unit
+    }
+    val now = System.currentTimeMillis()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      writeBatch(b, s"b${i + 1}", now - 120000L * (batches.size - 1 - i))
+    }
+    val inDir = new org.apache.hadoop.fs.Path(s"$root/in")
+    if (!fs.rename(stageIn, inDir)) fs.delete(stageIn, true)
+  }
+
+  /** [[eventStreamSource]]'s DISORDERED twin — built so the drop-late
+    * stream variants are provably WRONG on it and only the
+    * watermark-buffered reorder variants match the batch oracle. The
+    * log splits on event-id PARITY instead of the event-time midpoint,
+    * so the second micro-batch carries events event-time-EARLIER than
+    * the first batch's per-user frontier — genuine cross-batch
+    * disorder, verified at first build (at least one user must have a
+    * batch-2 event strictly older than one of their batch-1 events —
+    * exactly the rows q152/q154's drop-late operators discard and
+    * count). Returns the stream AND the watermark delay, sized to the
+    * full event-time span + 60 s so every late event is still inside
+    * the horizon: the reorder contract, not the drop contract, decides
+    * the output. A third file carries one far-future sentinel row
+    * (user_id −1, type `__flush`, no consuming operator): its only job
+    * is to push the final watermark past every real event so the
+    * buffered operators' event-time timeouts flush all pending state
+    * in the closing no-data batch. The sentinel itself never reaches a
+    * sink — one lone event emits no session pair, and an unknown stage
+    * never advances a funnel. */
+  private def disorderedStreamSource(s: SparkSession, dir: String,
+      tag: String, ev: DataFrame, project: Seq[String])
+      : (DataFrame, String) = {
+    val root = streamIndexDir(tag, dir, "events")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      s.sessionState.newHadoopConf())
+    val inDir = new org.apache.hadoop.fs.Path(s"$root/in")
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).head()
+    val delaySec =
+      (bounds.getLong(1) - bounds.getLong(0)) / 1000000L + 61L
+    if (!fs.exists(inDir)) {
+      val b1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      val b2 = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      val regressedUsers = b1
+        .groupBy("user_id").agg(max(unix_micros(col("ts"))).as("hi1"))
+        .join(b2.groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as("lo2")), "user_id")
+        .filter(col("lo2") < col("hi1")).count()
+      require(regressedUsers > 0,
+        s"disorderedStreamSource($tag): the parity split produced no " +
+          "cross-batch regression — the feed would not exercise the " +
+          "reorder path")
+      val sentinel = s.range(1).select(
+        lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+        timestamp_micros(lit(
+          bounds.getLong(1) + (delaySec + 60L) * 1000000L)).as("ts"),
+        lit("__flush").as("event_type"))
+      stageStreamFiles(s, root,
+        Seq(b1, b2, sentinel).map(_.selectExpr(project: _*)))
+    }
+    (s.readStream
+      .schema(ev.selectExpr(project: _*).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/in"),
+      s"$delaySec seconds")
   }
 
   /** Run an AvailableNow streaming transform into a uniquely-named
@@ -6428,6 +6500,66 @@ WHERE rk <= 40"""
         stream, gapMinutes = 30, maxPrefix = 5).toDF())
     s.table(tbl).select(col("user_id"), col("session_idx"),
       col("step"), col("prefix_text"), col("next_type"))
+  }
+
+  /** The WATERMARK-BUFFERED funnel under q147's oracle over a feed the
+    * drop-late twin provably fails ([[disorderedStreamSource]]: parity
+    * split, second micro-batch event-time-earlier than the first's
+    * per-user frontier): [[graft.streaming.EventStreams
+    * .funnelStreamBuffered]] folds every late-but-in-horizon event at
+    * its true position (per-user pending buffer + event-time-timeout
+    * flush), so the sink's final state still hash-matches the batch
+    * funnel — the oracle gate the r11 verdict asked for on the stream
+    * variant that actually serves disordered crawl feeds. Same final-
+    * state projection as q152 (a user's highest-stage emission). */
+  val q158FunnelStreamReorder: Q = (s, dir) => {
+    val stages = Seq("view", "click", "purchase")
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      col("ts"), col("event_type"))
+    import s.implicits._
+    val (stream, delay) = disorderedStreamSource(s, dir, "q158", ev,
+      Seq("user_id", "ts", "event_type"))
+    val tbl = runStreamToTable(s, "q158_funnel",
+      graft.streaming.EventStreams.funnelStreamBuffered(
+        stream.as[graft.streaming.EventStreams.FunnelEvent], stages,
+        watermarkDelay = delay).toDF())
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("stage_reached").desc)
+    s.table(tbl)
+      // the flush sentinel (user −1) emits nothing — the filter just
+      // documents that it must not reach the oracle comparison
+      .filter(col("user_id") >= 0)
+      .withColumn("__rn", row_number().over(wU))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"),
+        element_at(col("ts_us"), 1).as("t1_us"),
+        when(size(col("ts_us")) >= 2, element_at(col("ts_us"), 2))
+          .as("t2_us"),
+        when(size(col("ts_us")) >= 3, element_at(col("ts_us"), 3))
+          .as("t3_us"),
+        col("stage_reached"))
+  }
+
+  /** The WATERMARK-BUFFERED session pairs under q116's oracle over the
+    * same disordered feed (q158's convention): [[graft.streaming
+    * .EventStreams.sessionPairStreamBuffered]] reorders
+    * late-but-in-horizon events before the session fold, so the
+    * appended pair set over a feed full of cross-batch regressions —
+    * pairs the drop-late q154 operator would strand — still equals the
+    * batch gaps-and-islands extraction, hash-gated. */
+  val q159SessionPairsReorder: Q = (s, dir) => {
+    import s.implicits._
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      col("ts"), col("event_type"))
+    val (stream, delay) = disorderedStreamSource(s, dir, "q159", ev,
+      Seq("user_id", "event_id", "ts", "event_type"))
+    val tbl = runStreamToTable(s, "q159_sess",
+      graft.streaming.EventStreams.sessionPairStreamBuffered(
+        stream.as[graft.streaming.EventStreams.SessionEvent],
+        gapMinutes = 30, maxPrefix = 5, watermarkDelay = delay).toDF())
+    s.table(tbl).filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_idx"),
+        col("step"), col("prefix_text"), col("next_type"))
   }
 
   /** Z-order clustering key ([[graft.operators.Layout.withZOrderKey]] —
@@ -6636,7 +6768,14 @@ WHERE rk <= 40"""
     "q154_session_pairs_stream" -> (q154SessionPairsStream, Some(q116Sql)),
     "q155_zorder_key" -> (q155ZorderKey, Some(q155Sql)),
     "q156_image_resize" -> (q156ImageResize, Some(q156Sql)),
-    "q157_hilbert_key" -> (q157HilbertKey, Some(q157Sql)))
+    "q157_hilbert_key" -> (q157HilbertKey, Some(q157Sql)),
+    // q158/q159 re-run q147's/q116's oracles against the watermark-
+    // buffered REORDER twins over a deliberately disordered feed (the
+    // drop-late q152/q154 operators provably strand events on it)
+    "q158_funnel_stream_reorder" -> (q158FunnelStreamReorder,
+      Some(q147Sql)),
+    "q159_session_pairs_reorder" -> (q159SessionPairsReorder,
+      Some(q116Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
