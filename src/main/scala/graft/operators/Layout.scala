@@ -236,6 +236,97 @@ object Layout {
       .drop("__hx", "__hy", "__hd", "__zn0", "__zn1")
   }
 
+  /**
+   * Dimension-general Hilbert index of quantized cells — the ≥3-dim
+   * answer [[withHilbertKey]]'s 2-D rotation structure could not give.
+   * Public algorithm: the TRANSPOSE form (Skilling, "Programming the
+   * Hilbert curve", AIP Conf. Proc. 707, 2004): an inverse-undo sweep
+   * (per bit level, per dimension: invert the lead axis or exchange
+   * its masked low bits with the current axis), a sequential Gray
+   * fold, a correction term accumulated from the last axis's bits, and
+   * a final [[mortonKey]]-style interleave of the transposed axes (bit
+   * q of axis i lands at `q·D + (D−1−i)`). Everything is built-in
+   * integer column algebra — exact-integer end-to-end, so a SQL oracle
+   * replays it step by step (q160 generates one CTE per (level, axis)
+   * exchange).
+   *
+   * Every intermediate is materialized as a NAMED column (the
+   * [[withHilbertKey]] device): the exchange steps substitute the lead
+   * axis into themselves, so the single-Column form would grow
+   * geometrically per step; named levels keep plan size LINEAR in
+   * `bits × dims`. Consecutive indices are adjacent cells (Manhattan
+   * distance 1) in any dimension count — LayoutSpec pins bijectivity
+   * and the adjacency walk on full small grids for D = 2 and 3. (For
+   * D = 2 the curve is a reflection of [[hilbertKey]]'s classic
+   * orientation — same locality, different labeling; both are valid
+   * Hilbert curves, and the layout contract only needs SOME curve.)
+   */
+  def withHilbertKeyN(df: DataFrame, cols: Seq[Column], bits: Int = 16,
+      keyCol: String = "__hkey",
+      clipQuantiles: Option[(Double, Double)] = None): DataFrame = {
+    val n = cols.size
+    require(n >= 2,
+      "withHilbertKeyN: need >= 2 dims (a 1-D key is the value itself)")
+    require(bits >= 1 && n * bits <= 62,
+      s"withHilbertKeyN: $n dims x $bits bits must fit a long")
+    val (cur0, qs) = quantizedDims(df, cols, bits, clipQuantiles)
+    var cur = cur0
+    qs.zipWithIndex.foreach { case (q, i) =>
+      cur = cur.withColumn(s"__sx$i", q.cast("long"))
+    }
+    def X(i: Int) = col(s"__sx$i")
+    // inverse undo: level masks 2^(bits-1) down to 2; within a level
+    // the axes run SEQUENTIALLY (axis 0 mutates as later axes process)
+    var qMask = 1L << (bits - 1)
+    while (qMask > 1) {
+      val p = qMask - 1
+      for (i <- 0 until n) {
+        val c = X(i).bitwiseAND(lit(qMask)) > 0
+        if (i == 0) {
+          // exchanging axis 0 with itself is a no-op; only invert
+          cur = cur.withColumn("__sx0",
+            when(c, X(0).bitwiseXOR(lit(p))).otherwise(X(0)))
+        } else {
+          cur = cur
+            .withColumn("__st", when(c, lit(0L))
+              .otherwise(X(0).bitwiseXOR(X(i)).bitwiseAND(lit(p))))
+            .withColumn("__sx0n",
+              when(c, X(0).bitwiseXOR(lit(p)))
+                .otherwise(X(0).bitwiseXOR(col("__st"))))
+            .withColumn(s"__sx$i", X(i).bitwiseXOR(col("__st")))
+            .withColumn("__sx0", col("__sx0n"))
+            .drop("__sx0n", "__st")
+        }
+      }
+      qMask >>= 1
+    }
+    // Gray fold (sequential: each axis XORs the UPDATED previous one)
+    for (i <- 1 until n)
+      cur = cur.withColumn(s"__sx$i", X(i).bitwiseXOR(X(i - 1)))
+    // correction term from the last axis's bits
+    var tTerm: Column = lit(0L)
+    var q2 = 1L << (bits - 1)
+    while (q2 > 1) {
+      tTerm = tTerm.bitwiseXOR(
+        when(X(n - 1).bitwiseAND(lit(q2)) > 0, lit(q2 - 1))
+          .otherwise(lit(0L)))
+      q2 >>= 1
+    }
+    cur = cur.withColumn("__st", tTerm)
+    for (i <- 0 until n)
+      cur = cur.withColumn(s"__sx$i", X(i).bitwiseXOR(col("__st")))
+    // interleave the transposed axes into the index
+    val terms = for {
+      i <- 0 until n
+      q <- 0 until bits
+    } yield shiftleft(shiftright(X(i), q).bitwiseAND(lit(1L)),
+      q * n + (n - 1 - i))
+    cur.withColumn(keyCol, terms.reduce(_ + _))
+      .drop("__st")
+      .drop((0 until n).map(i => s"__sx$i"): _*)
+      .drop(cols.indices.map(j => s"__zn$j"): _*)
+  }
+
   /** Cluster the frame for writing: range-repartition on the z-key into
     * `numFiles` output splits and sort inside each, so every written
     * file covers one contiguous z-range = one small box of the
@@ -257,6 +348,17 @@ object Layout {
       numFiles: Int, bits: Int = 16): DataFrame = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     withHilbertKey(df, xCol, yCol, bits)
+      .repartitionByRange(numFiles, col("__hkey"))
+      .sortWithinPartitions("__hkey")
+      .drop("__hkey")
+  }
+
+  /** [[clusterByHilbert]] for any dimension count, on the
+    * [[withHilbertKeyN]] key. */
+  def clusterByHilbertN(df: DataFrame, cols: Seq[Column],
+      numFiles: Int, bits: Int = 16): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    withHilbertKeyN(df, cols, bits)
       .repartitionByRange(numFiles, col("__hkey"))
       .sortWithinPartitions("__hkey")
       .drop("__hkey")

@@ -6562,6 +6562,106 @@ WHERE rk <= 40"""
         col("step"), col("prefix_text"), col("next_type"))
   }
 
+  /** Dimension-general Hilbert clustering key ([[graft.operators
+    * .Layout.withHilbertKeyN]], Skilling's transpose algorithm) over
+    * THREE dims of the event log — the ≥3-dim storage-layout key q157's
+    * 2-D rotation could not express. Exact-integer end-to-end, so the
+    * oracle replays the whole derivation: the quantization, one CTE per
+    * (bit level, axis) inverse-undo exchange (21 of them at 8 bits × 3
+    * dims), the sequential Gray fold, the last-axis correction term,
+    * and the final interleave. LayoutSpec separately pins the curve
+    * properties (bijection, unit-step adjacency) on full grids. */
+  val q160HilbertKey3d: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    graft.operators.Layout.withHilbertKeyN(
+        ev, Seq(col("user_id"), col("ts_us"), col("event_id")),
+        bits = 8, keyCol = "hkey")
+      .select(col("event_id"), col("hkey"))
+  }
+
+  val q160Sql: String = {
+    val bits = 8; val n = 3
+    val k = (1 << bits) - 1
+    // one CTE per (level, axis) inverse-undo step, exactly the
+    // operator's sequential column updates
+    val steps = scala.collection.mutable.ArrayBuffer.empty[String]
+    var prev = "l0"
+    var idx = 0
+    var qMask = 1L << (bits - 1)
+    while (qMask > 1) {
+      val p = qMask - 1
+      for (i <- 0 until n) {
+        idx += 1
+        val cur = s"u$idx"
+        if (i == 0)
+          steps += s"""$cur AS (
+             |  SELECT event_id,
+             |    CASE WHEN (s0 & $qMask) > 0
+             |      THEN xor(s0, $p) ELSE s0 END AS s0,
+             |    s1, s2
+             |  FROM $prev)""".stripMargin
+        else {
+          val others = (1 until n).filter(_ != i)
+            .map(j => s"s$j").mkString(", ")
+          steps += s"""$cur AS (
+             |  SELECT event_id,
+             |    CASE WHEN c THEN xor(s0, $p)
+             |      ELSE xor(s0, t) END AS s0,
+             |    xor(s$i, t) AS s$i${
+               if (others.nonEmpty) ", " + others else ""}
+             |  FROM (SELECT event_id, s0, s1, s2,
+             |    (s$i & $qMask) > 0 AS c,
+             |    CASE WHEN (s$i & $qMask) > 0 THEN 0
+             |      ELSE xor(s0, s$i) & $p END AS t
+             |    FROM $prev))""".stripMargin
+        }
+        prev = cur
+      }
+      qMask >>= 1
+    }
+    // sequential Gray fold: s_i' = xor of s_0..s_i
+    val gray = (0 until n).map { i =>
+      val folded = (0 to i).map(j => s"s$j")
+        .reduce((a, b) => s"xor($a, $b)")
+      s"$folded AS s$i"
+    }.mkString(",\n    ")
+    // correction term from the last axis's bits
+    val tExpr = (1 until bits).map { kk =>
+      val q2 = 1L << (bits - kk)
+      s"CASE WHEN (s${n - 1} & $q2) > 0 THEN ${q2 - 1} ELSE 0 END"
+    }.reduce((a, b) => s"xor($a, $b)")
+    val terms = (for {
+      i <- 0 until n
+      q <- 0 until bits
+    } yield s"(((s$i >> $q) & 1) << ${q * n + (n - 1 - i)})")
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx,
+       |    MIN(event_id) AS emn, MAX(event_id) AS emx
+       |  FROM events),
+       |l0 AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * $k)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS s0,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * $k)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS s1,
+       |    ((event_id - (SELECT emn FROM b)) * $k)
+       |      // ((SELECT emx FROM b) - (SELECT emn FROM b)) AS s2
+       |  FROM events),
+       |${steps.mkString(",\n")},
+       |g AS (SELECT event_id,
+       |    $gray
+       |  FROM $prev),
+       |tc AS (SELECT event_id, s0, s1, s2, $tExpr AS t FROM g),
+       |f AS (SELECT event_id, xor(s0, t) AS s0, xor(s1, t) AS s1,
+       |    xor(s2, t) AS s2 FROM tc)
+       |SELECT event_id, $terms AS hkey FROM f""".stripMargin
+  }
+
   /** Z-order clustering key ([[graft.operators.Layout.withZOrderKey]] —
     * the storage-layout lever for multi-dimensional scan pruning): the
     * event log keyed on (user_id, event time). The derivation is
@@ -6775,7 +6875,8 @@ WHERE rk <= 40"""
     "q158_funnel_stream_reorder" -> (q158FunnelStreamReorder,
       Some(q147Sql)),
     "q159_session_pairs_reorder" -> (q159SessionPairsReorder,
-      Some(q116Sql)))
+      Some(q116Sql)),
+    "q160_hilbert_key_3d" -> (q160HilbertKey3d, Some(q160Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -221,6 +221,62 @@ class LayoutSpec extends SparkSpec {
       === pts.map(_._1).sorted)
   }
 
+  test("withHilbertKeyN: bijection + unit-step adjacency on full 2-D " +
+      "and 3-D grids; a thin box stays contiguous in key ranges") {
+    // identity quantization by construction: the values ARE 0..2^b-1,
+    // so min=0, max=2^b-1 and q = x — the curve itself is under test
+    def fullGrid(n: Int, bits: Int): Seq[Seq[Long]] = {
+      val side = 1L << bits
+      (0L until math.pow(side.toDouble, n.toDouble).toLong).map { c =>
+        (0 until n).map(i =>
+          (c >> (i * bits)) & (side - 1)).toSeq
+      }
+    }
+    def checkCurve(n: Int, bits: Int): Unit = {
+      val side = 1L << bits
+      val total = math.pow(side.toDouble, n.toDouble).toLong
+      val rows = fullGrid(n, bits).zipWithIndex
+        .map { case (cs, id) => (id.toLong, cs) }
+      val df = rows.map { case (id, cs) =>
+        (id, cs.head, cs(1), if (n > 2) cs(2) else 0L)
+      }.toDF("id", "x", "y", "z")
+      val cols = (Seq($"x", $"y") ++ (if (n > 2) Seq($"z") else Nil))
+      val keyed = Layout.withHilbertKeyN(df, cols, bits)
+      val got = keyed.select(
+        col("__hkey"), $"x", $"y", $"z").collect()
+        .map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2),
+          r.getLong(3)).take(n)))
+        .sortBy(_._1)
+      // bijection onto [0, total)
+      assert(got.map(_._1).toSeq === (0L until total),
+        s"n=$n bits=$bits: keys must be exactly 0..${total - 1}")
+      // the defining Hilbert property: consecutive indices are ALWAYS
+      // adjacent cells (Manhattan distance exactly 1)
+      got.sliding(2).foreach { case Array((k1, c1), (k2, c2)) =>
+        val manhattan = c1.zip(c2).map { case (a, b) => (a - b).abs }.sum
+        assert(manhattan === 1L,
+          s"n=$n bits=$bits: keys $k1->$k2 jump from $c1 to $c2")
+      }
+    }
+    checkCurve(2, 3) // 64 cells
+    checkCurve(3, 2) // 64 cells
+    checkCurve(3, 3) // 512 cells
+    // locality on a 3-D thin box (the pruning shape): the box's cells
+    // concentrate in FEW contiguous key runs — against 16 files of a
+    // 4096-cell grid, a 1-wide slab must touch well under half
+    val bits = 4; val side = 1L << bits
+    val slab = fullGrid(3, bits).zipWithIndex.collect {
+      case (cs, id) => (id.toLong, cs.head, cs(1), cs(2))
+    }.toDF("id", "x", "y", "z")
+    val keyed = Layout.withHilbertKeyN(slab, Seq($"x", $"y", $"z"), bits)
+    val keys = keyed.filter($"y" === 7L).select("__hkey")
+      .as[Long].collect().sorted
+    val fileSize = (side * side * side) / 16
+    val filesTouched = keys.map(_ / fileSize).distinct.length
+    assert(filesTouched <= 8,
+      s"a 1-wide y-slab must stay local: touched $filesTouched/16 files")
+  }
+
   test("quantization overflow fails fast with the remedy, never wraps") {
     // range x (2^16-1) would exceed Long.MaxValue: Spark would wrap to
     // garbage keys silently — the guard must throw instead
