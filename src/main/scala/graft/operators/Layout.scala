@@ -73,6 +73,27 @@ object Layout {
       .drop(cols.indices.map(j => s"__zn$j"): _*)
   }
 
+  /** [[withZOrderKey]] with CALLER-FIXED quantization bounds instead of
+    * a per-call min/max aggregate — the form a long-lived clustered
+    * TABLE needs: the grid is a table property sized once at creation
+    * ([[graft.streaming.LayoutIngest]] persists it), so every ingest
+    * batch, every compaction, and every oracle computes the SAME key
+    * for the same row regardless of which slice of data it sees.
+    * Values outside the bounds clamp to the edge cells (late data
+    * drifting past the bootstrap domain still lands in the extreme
+    * files — pruning degrades gracefully there, never corrupts). */
+  def withZOrderKeyFixed(df: DataFrame, cols: Seq[Column],
+      bounds: Seq[(Long, Long)], bits: Int = 16,
+      keyCol: String = "__zkey"): DataFrame = {
+    require(cols.nonEmpty && cols.size == bounds.size,
+      s"withZOrderKeyFixed: ${cols.size} cols vs ${bounds.size} bounds")
+    bounds.foreach { case (mn, mx) => require(mn <= mx,
+      s"withZOrderKeyFixed: bound ($mn, $mx) has min > max") }
+    val (cur, qs) = quantizedDimsWithBounds(df, cols, bits, bounds)
+    cur.withColumn(keyCol, mortonKey(qs, bits))
+      .drop(cols.indices.map(j => s"__zn$j"): _*)
+  }
+
   /** Exact integer quantization of every dim onto [0, 2^bits) from one
     * tiny global min/max aggregate (or percentile bounds under
     * `clip`): the numerator stays under 2^63 for per-column ranges up
@@ -109,6 +130,13 @@ object Layout {
           (vs(lo), vs(hi))
         }
     }
+    quantizedDimsWithBounds(df, cols, bits, bounds)
+  }
+
+  private def quantizedDimsWithBounds(df: DataFrame, cols: Seq[Column],
+      bits: Int, bounds: Seq[(Long, Long)])
+      : (DataFrame, Seq[Column]) = {
+    val longs = cols.map(_.cast("long"))
     val k = (1L << bits) - 1
     var cur = df
     val qs = longs.zipWithIndex.map { case (c, j) =>

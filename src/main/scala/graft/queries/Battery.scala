@@ -6581,6 +6581,49 @@ WHERE rk <= 40"""
       .select(col("event_id"), col("hkey"))
   }
 
+  /** STREAMED CLUSTERED INGEST oracle-gated under q155's key formula
+    * ([[graft.streaming.LayoutIngest]] — the layout lever's write
+    * path): the event log streams through the two-file harness into a
+    * z-order-clustered table (fixed grid bootstrapped from the table's
+    * global min/max — the same bounds q155's oracle reads via scalar
+    * subqueries), each micro-batch publishing sorted range-partitioned
+    * files behind the atomic-rename + commit-marker protocol, the
+    * compaction cadence folding the L0 batch dirs into one
+    * re-clustered generation. The final table's (event_id, zkey) must
+    * hash-match the batch formula — any drift in per-batch
+    * quantization, the publish protocol, or the fold loses rows or
+    * mints different keys and fails the gate. Bench reps reuse the
+    * corpus-keyed table: the marker ledger short-circuits the replayed
+    * batches (the q148 warm-replay convention). */
+  val q161ClusteredIngest: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts"))
+    val root = streamIndexDir("q161", dir, "events")
+    val tableDir = s"$root/table"
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      // table creation sizes the grid ONCE from the known domain —
+      // exactly the min/max the oracle replays as scalar subqueries
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16))
+    }
+    val stream = eventStreamSource(s, dir, "q161", ev)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"q161-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
+    registerCleanup(ckpt)
+    val q = graft.streaming.LayoutIngest.start(stream, tableDir,
+      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
+      compactEvery = Some(2), smallFileBytes = 64L << 20)
+    q.awaitTermination()
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("event_id"), col("zkey"))
+  }
+
   val q160Sql: String = {
     val bits = 8; val n = 3
     val k = (1 << bits) - 1
@@ -6876,7 +6919,10 @@ WHERE rk <= 40"""
       Some(q147Sql)),
     "q159_session_pairs_reorder" -> (q159SessionPairsReorder,
       Some(q116Sql)),
-    "q160_hilbert_key_3d" -> (q160HilbertKey3d, Some(q160Sql)))
+    "q160_hilbert_key_3d" -> (q160HilbertKey3d, Some(q160Sql)),
+    // q161 re-runs q155's key oracle against the STREAMED clustered
+    // table (fixed grid ≡ the oracle's global-min/max subqueries)
+    "q161_clustered_ingest" -> (q161ClusteredIngest, Some(q155Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -1,0 +1,197 @@
+package graft
+
+import graft.operators.Layout
+import graft.streaming.{LayoutIngest, LedgerLock}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streamed clustered ingest: fixed-grid keys identical across batches
+  * (≡ the batch operator over the union), the publish/commit crash
+  * matrix, WAL-manifested compaction that restores non-overlapping
+  * per-file key ranges, read correctness in every crash state, and the
+  * single-writer lock. */
+class LayoutIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private val grid = LayoutIngest.Grid(
+    Seq("x", "y"), Seq((0L, 99L), (0L, 99L)), bits = 4)
+
+  private def rows(ids: Range): Seq[(Long, Long, Long)] =
+    ids.map(i => (i.toLong, (i * 7 % 100).toLong, (i * 13 % 100).toLong))
+
+  test("two-batch streamed ingest ≡ the batch fixed-grid operator; " +
+      "replay is a no-op; out-of-bounds rows clamp") {
+    implicit val sql = spark.sqlContext
+    val dir = tmp("layout-ingest")
+    val ck = tmp("layout-ingest-ck")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    intercept[IllegalArgumentException] {
+      LayoutIngest.bootstrap(spark, dir, grid) // re-grid is a rewrite
+    }
+    val input = MemoryStream[(Long, Long, Long)]
+    def run(): Unit = {
+      val q = LayoutIngest.start(
+        input.toDF().toDF("id", "x", "y"), dir, ck,
+        filesPerBatch = 2, availableNow = true)
+      try q.processAllAvailable() finally q.stop()
+    }
+    input.addData(rows(0 until 50))
+    run()
+    input.addData(rows(50 until 100))
+    run()
+    val got = LayoutIngest.read(spark, dir)
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    val want = Layout.withZOrderKeyFixed(
+        rows(0 until 100).toDF("id", "x", "y"),
+        Seq($"x", $"y"), grid.bounds, grid.bits, "zkey")
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    assert(got === want,
+      "per-batch keys must equal the batch operator's (fixed grid)")
+
+    // replay of a committed batch: false, contents unchanged
+    assert(!LayoutIngest.ingestBatch(
+      rows(0 until 50).toDF("id", "x", "y"), 0L, dir, 2))
+    assert(LayoutIngest.read(spark, dir).count() === 100)
+
+    // rename-published but marker-less (crash between rename and
+    // marker): replay re-stamps without duplicating
+    val marker = java.nio.file.Paths.get(s"$dir/markers/batch-1")
+    java.nio.file.Files.delete(marker)
+    assert(LayoutIngest.ingestBatch(
+      rows(50 until 100).toDF("id", "x", "y"), 1L, dir, 2))
+    assert(java.nio.file.Files.exists(marker))
+    assert(LayoutIngest.read(spark, dir).count() === 100)
+
+    // a crash-leftover stage dir is garbage, replaced on re-ingest
+    val stage = new java.io.File(s"$dir/data.stage-7")
+    assert(stage.mkdirs())
+    java.nio.file.Files.write(stage.toPath.resolve("junk"),
+      "x".getBytes("UTF-8"))
+    assert(LayoutIngest.ingestBatch(
+      Seq((200L, 5L, 5L)).toDF("id", "x", "y"), 7L, dir, 1))
+    assert(!stage.exists())
+    assert(LayoutIngest.read(spark, dir).count() === 101)
+
+    // out-of-bounds values clamp to the edge cells — never fail, and
+    // the key equals the clamped coordinates' key
+    assert(LayoutIngest.ingestBatch(
+      Seq((300L, -50L, 500L)).toDF("id", "x", "y"), 8L, dir, 1))
+    val clamped = LayoutIngest.read(spark, dir)
+      .filter($"id" === 300L).select("zkey").as[Long].head()
+    val edge = Layout.withZOrderKeyFixed(
+        Seq((300L, 0L, 99L)).toDF("id", "x", "y"),
+        Seq($"x", $"y"), grid.bounds, grid.bits, "zkey")
+      .select("zkey").as[Long].head()
+    assert(clamped === edge)
+  }
+
+  test("compaction folds small batch dirs into one re-clustered gen: " +
+      "contents preserved, per-file key ranges non-overlapping, " +
+      "crash states converge, reads correct throughout") {
+    val dir = tmp("layout-compact")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    (0 until 4).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        rows(b * 25 until (b + 1) * 25).toDF("id", "x", "y"),
+        b.toLong, dir, 2))
+    }
+    val before = LayoutIngest.read(spark, dir)
+      .select("id", "zkey").as[(Long, Long)].collect().toSet
+    LayoutIngest.compact(spark, dir, smallFileBytes = 1L << 30)
+    val dataDirs = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dataDirs.length === 1 && dataDirs.head.startsWith("gen-"),
+      s"expected one gen dir, got ${dataDirs.mkString(",")}")
+    assert(LayoutIngest.read(spark, dir)
+      .select("id", "zkey").as[(Long, Long)].collect().toSet === before)
+    // the gen is re-clustered ACROSS the folded rows: per-file key
+    // ranges are disjoint (repartitionByRange's contract, pinned
+    // multi-file in LayoutSpec's clusterByZOrder test; at this tiny
+    // size the fold targets one 8×-threshold output) and every file is
+    // SORTED by the key — the statistics-tightening the fold exists for
+    val genFiles = new java.io.File(s"$dir/data/${dataDirs.head}")
+      .listFiles().filter(f => f.isFile &&
+        f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    val ranges = genFiles.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("zkey"), max("zkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping gen files: ${ranges.toSeq}")
+      case _ => ()
+    }
+    genFiles.foreach { f =>
+      val ks = spark.read.parquet(f).select("zkey").as[Long].collect()
+      assert(ks.sameElements(ks.sorted), s"gen file $f not key-sorted")
+    }
+    // a second compact is a no-op (one dir left — nothing to fold)
+    LayoutIngest.compact(spark, dir, smallFileBytes = 1L << 30)
+    assert(LayoutIngest.read(spark, dir).count() === 100)
+
+    // crash matrix via fabricated WAL states. Committed manifest with
+    // an unpublished stage: READ must still serve the sources (the
+    // rename is the publish point) …
+    val gen = dataDirs.head
+    assert(LayoutIngest.ingestBatch(
+      rows(100 until 125).toDF("id", "x", "y"), 10L, dir, 1))
+    val stage = new java.io.File(s"$dir/gen-test1.stage")
+    // stage a copy of batch-10 (simulating a compact that crashed
+    // after the stage write + manifest, before the publish rename)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$dir/data/batch-10"), stage)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/markers/compact-test1.manifest"),
+      s"S\tbatch-10\nT\tgen-test1\nCOMMIT".getBytes("UTF-8"))
+    assert(LayoutIngest.read(spark, dir).count() === 125,
+      "unpublished compact: sources still live for readers")
+    // … and mutator-side recovery completes it: publish, drop sources
+    LayoutIngest.compact(spark, dir, smallFileBytes = 1L) // recover only
+    assert(!new java.io.File(s"$dir/data/batch-10").exists())
+    assert(new java.io.File(s"$dir/data/gen-test1").exists())
+    assert(LayoutIngest.read(spark, dir).count() === 125)
+    assert(!new java.io.File(
+      s"$dir/markers/compact-test1.manifest").exists())
+
+    // an UNCOMMITTED manifest (crash mid-manifest-write) discards the
+    // stage and touches nothing
+    val stage2 = new java.io.File(s"$dir/gen-test2.stage")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$dir/data/$gen"), stage2)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/markers/compact-test2.manifest"),
+      s"S\t$gen\nT\tgen-test2".getBytes("UTF-8"))
+    assert(LayoutIngest.read(spark, dir).count() === 125,
+      "uncommitted manifest must not hide sources")
+    LayoutIngest.compact(spark, dir, smallFileBytes = 1L)
+    assert(!stage2.exists())
+    assert(new java.io.File(s"$dir/data/$gen").exists())
+    assert(LayoutIngest.read(spark, dir).count() === 125)
+  }
+
+  test("mutators hold the single-writer lock") {
+    val dir = tmp("layout-lock")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    val inside = new java.util.concurrent.CountDownLatch(1)
+    val proceed = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => LedgerLock.withLock(spark, dir) {
+      inside.countDown()
+      assert(proceed.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    })
+    t.start()
+    assert(inside.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    intercept[LedgerLock.ConcurrentWriterException] {
+      LayoutIngest.compact(spark, dir)
+    }
+    proceed.countDown()
+    t.join(30000)
+    LayoutIngest.compact(spark, dir) // released → proceeds (no-op)
+  }
+}
