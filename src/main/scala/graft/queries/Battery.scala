@@ -6624,6 +6624,76 @@ WHERE rk <= 40"""
       .select(col("event_id"), col("zkey"))
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN on the streamed clustered table
+    * ([[graft.streaming.LayoutIngest.deleteBox]]): q161's ingest into
+    * a separate corpus-keyed table, then a targeted delete of a 2%
+    * user slice — the delete rewrites ONLY the data dirs whose parquet
+    * footer statistics intersect the box (the layout paying off on
+    * the WRITE side: a time-ordered table would rewrite everything),
+    * through the same WAL-manifest/commit-marker protocol, idempotent
+    * behind its delete marker (bench reps replay to a no-op — the
+    * IndexIngest RTBF convention). The oracle replays the key formula
+    * over `events` MINUS the same integer-arithmetic slice; a delete
+    * that loses a survivor, resurrects a deleted row, or perturbs one
+    * key fails the hash. */
+  val q162ClusteredDelete: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts"))
+    val root = streamIndexDir("q162", dir, "events")
+    val tableDir = s"$root/table"
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16))
+    }
+    val stream = eventStreamSource(s, dir, "q162", ev)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"q162-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
+    registerCleanup(ckpt)
+    val q = graft.streaming.LayoutIngest.start(stream, tableDir,
+      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
+      compactEvery = Some(2), smallFileBytes = 64L << 20)
+    q.awaitTermination()
+    // the forget box: the middle 2% of the user domain, derived from
+    // the PERSISTED grid with the same integer arithmetic the oracle
+    // replays ((mx-mn)*49//100 — floor division, non-negative)
+    val grid = graft.streaming.LayoutIngest.readGrid(s, tableDir)
+    val (umn, umx) = grid.bounds.head
+    graft.streaming.LayoutIngest.deleteBox(s, tableDir,
+      Seq(("user_id",
+        umn + (umx - umn) * 49 / 100,
+        umn + (umx - umn) * 51 / 100)), deleteId = 1L)
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("event_id"), col("zkey"))
+  }
+
+  val q162Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx
+       |  FROM events),
+       |q AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy
+       |  FROM events
+       |  WHERE NOT (user_id BETWEEN
+       |    (SELECT umn + ((umx - umn) * 49) // 100 FROM b) AND
+       |    (SELECT umn + ((umx - umn) * 51) // 100 FROM b)))
+       |SELECT event_id, $terms AS zkey FROM q""".stripMargin
+  }
+
   val q160Sql: String = {
     val bits = 8; val n = 3
     val k = (1 << bits) - 1
@@ -6922,7 +6992,8 @@ WHERE rk <= 40"""
     "q160_hilbert_key_3d" -> (q160HilbertKey3d, Some(q160Sql)),
     // q161 re-runs q155's key oracle against the STREAMED clustered
     // table (fixed grid ≡ the oracle's global-min/max subqueries)
-    "q161_clustered_ingest" -> (q161ClusteredIngest, Some(q155Sql)))
+    "q161_clustered_ingest" -> (q161ClusteredIngest, Some(q155Sql)),
+    "q162_clustered_delete" -> (q162ClusteredDelete, Some(q162Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -197,6 +197,19 @@ object LayoutIngest {
       dir: String): Unit = {
     val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
     if (!f.exists(markers)) return
+    // a stage dir with no manifest is a crash-before-WAL orphan:
+    // nothing was published, the sources hold every row — discard.
+    // Safe under the single-writer lock every caller holds (an
+    // in-progress writer's stage cannot be seen by another recoverer).
+    val (_, root) = DedupIngest.fs(spark, dir)
+    f.listStatus(root).toSeq
+      .filter(_.getPath.getName.matches("gen-.*\\.stage"))
+      .foreach { s =>
+        val stamp = s.getPath.getName
+          .stripPrefix("gen-").stripSuffix(".stage")
+        if (!f.exists(manifestPath(spark, dir, stamp)))
+          f.delete(s.getPath, true)
+      }
     f.listStatus(markers).toSeq
       .filter(_.getPath.getName.matches("compact-.*\\.manifest"))
       .foreach { m =>
@@ -233,6 +246,109 @@ object LayoutIngest {
           // delete data blindly
         }
       }
+  }
+
+  /**
+   * Targeted delete (the right-to-be-forgotten surface on the
+   * clustered table) — where the layout pays off TWICE: rows inside an
+   * axis-aligned box on the clustered columns are removed by rewriting
+   * ONLY the data dirs whose parquet footer statistics intersect the
+   * box. On a clustered table a thin box touches a handful of dirs
+   * (the LayoutProbe numbers); a time-ordered table would rewrite
+   * everything. Each affected dir rewrites through the SAME WAL
+   * manifest as [[compact]] (stage the filtered copy, record
+   * (target, source, COMMIT), publish by rename, drop the source) —
+   * crash at any point converges via [[recoverCompact]], and readers
+   * stay correct throughout ([[read]]'s publish-point rule). The
+   * whole operation is idempotent behind a `del-<deleteId>` marker:
+   * a replay after a mid-delete crash re-filters the already-filtered
+   * dirs (a no-op rewrite) and finishes the rest. Returns false when
+   * the marker shows the delete already committed.
+   *
+   * `box`: (column, lo, hi) conjunctive ranges, inclusive; rows
+   * matching EVERY range are deleted. Columns must be long-typed
+   * (the clustered columns are — that is what makes the footer
+   * statistics decisive).
+   */
+  def deleteBox(spark: SparkSession, dir: String,
+      box: Seq[(String, Long, Long)], deleteId: Long): Boolean =
+    LedgerLock.withLock(spark, dir) {
+      require(box.nonEmpty, "deleteBox: empty box")
+      recoverCompact(spark, dir)
+      val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+      val marker = new org.apache.hadoop.fs.Path(markers, s"del-$deleteId")
+      if (f.exists(marker)) false
+      else {
+        val (_, data) = DedupIngest.fs(spark, s"$dir/data")
+        val dirs =
+          if (!f.exists(data)) Nil
+          else f.listStatus(data).toSeq.filter(_.isDirectory).map(_.getPath)
+        val affected = dirs.filter { d =>
+          box.forall { case (c, lo, hi) =>
+            dirColumnRange(f, d, c) match {
+              case Some((mn, mx)) => mx >= lo && mn <= hi
+              case None => true // no stats → conservatively rewrite
+            }
+          }
+        }
+        val keep = box.map { case (c, lo, hi) =>
+          !(col(c) >= lo && col(c) <= hi)
+        }.reduce(_ || _)
+        affected.zipWithIndex.foreach { case (d, i) =>
+          // the attempt nonce keeps a REPLAY's target names distinct
+          // from a previous attempt's published gens — without it a
+          // replayed rewrite of gen-delX could manifest X as both
+          // source and target and recovery would drop the data
+          val stamp = s"del$deleteId-$i-" +
+            java.util.UUID.randomUUID().toString.take(6)
+          val stage = new org.apache.hadoop.fs.Path(
+            s"$dir/gen-$stamp.stage")
+          if (f.exists(stage)) f.delete(stage, true)
+          // per-file partitions, narrow filter: key order inside each
+          // written file is inherited from the sorted source files
+          spark.read.parquet(d.toString).filter(keep)
+            .write.mode("overwrite").parquet(stage.toString)
+          val man = manifestPath(spark, dir, stamp)
+          val out = f.create(man, true)
+          try out.write((Seq(s"S\t${d.getName}", s"T\tgen-$stamp",
+              "COMMIT")).mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          recoverCompact(spark, dir)
+        }
+        f.create(marker, true).close()
+        true
+      }
+    }
+
+  /** Per-dir [min, max] of a long column from the parquet footers —
+    * the statistics a pruning reader consumes, reused here to decide
+    * which dirs a delete must touch. None when the dir holds no data
+    * files or a file lacks stats for the column. */
+  private def dirColumnRange(f: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path, colName: String)
+      : Option[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val files = f.listStatus(d).toSeq.filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") &&
+      !s.getPath.getName.startsWith(".") &&
+      s.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) return None
+    val ranges = files.flatMap { st =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          st.getPath, f.getConf))
+      try rdr.getFooter.getBlocks.asScala.toSeq.map { blk =>
+        blk.getColumns.asScala
+          .find(_.getPath.toDotString == colName)
+          .map(_.getStatistics)
+          .filter(s => s != null && s.hasNonNullValue)
+          .map(s => (
+            s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            s.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
+      } finally rdr.close()
+    }
+    if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
+    else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
   }
 
   /** Read the live table — correct in every crash state WITHOUT

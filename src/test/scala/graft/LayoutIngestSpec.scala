@@ -176,6 +176,52 @@ class LayoutIngestSpec extends SparkSpec {
     assert(LayoutIngest.read(spark, dir).count() === 125)
   }
 
+  test("deleteBox rewrites ONLY the stats-affected dirs; survivors " +
+      "keep their keys; replay is a marker no-op") {
+    val dir = tmp("layout-delete")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    // four batches with DISJOINT x ranges so the footer statistics are
+    // decisive about which dirs a box delete must touch
+    def batchRows(b: Int): Seq[(Long, Long, Long)] =
+      (0 until 25).map(i =>
+        ((b * 25 + i).toLong, (b * 25 + i).toLong, (i * 13 % 100).toLong))
+    (0 until 4).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        batchRows(b).toDF("id", "x", "y"), b.toLong, dir, 1))
+    }
+    val before = LayoutIngest.read(spark, dir)
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    // box x ∈ [30, 40]: only batch-1 (x 25..49) can contain matches
+    assert(LayoutIngest.deleteBox(spark, dir, Seq(("x", 30L, 40L)), 1L))
+    val dataDirs = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(Seq("batch-0", "batch-2", "batch-3").forall(dataDirs),
+      s"untouched dirs must survive unrewritten: $dataDirs")
+    assert(!dataDirs("batch-1"), s"affected dir must be replaced: $dataDirs")
+    assert(dataDirs.exists(_.startsWith("gen-del1-")), dataDirs.toString)
+    val after = LayoutIngest.read(spark, dir)
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    assert(after.keySet === before.keySet.filterNot(id =>
+      id >= 30 && id <= 40))
+    assert(after.forall { case (id, k) => before(id) == k },
+      "survivors must keep their exact keys")
+    // replay: the marker short-circuits (false), contents unchanged
+    assert(!LayoutIngest.deleteBox(spark, dir, Seq(("x", 30L, 40L)), 1L))
+    assert(LayoutIngest.read(spark, dir).count() === (100 - 11).toLong)
+    // a 2-dim box spanning two dirs: both rewrite, others stay
+    assert(LayoutIngest.deleteBox(spark, dir,
+      Seq(("x", 20L, 28L), ("y", 0L, 99L)), 2L))
+    val dirs2 = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(Seq("batch-2", "batch-3").forall(dirs2), dirs2.toString)
+    assert(!dirs2("batch-0"), dirs2.toString)
+    val after2 = LayoutIngest.read(spark, dir)
+      .select("id").as[Long].collect().toSet
+    assert(after2 === (0L until 100L).toSet
+      .filterNot(id => id >= 30 && id <= 40)
+      .filterNot(id => id >= 20 && id <= 28))
+  }
+
   test("mutators hold the single-writer lock") {
     val dir = tmp("layout-lock")
     LayoutIngest.bootstrap(spark, dir, grid)
