@@ -298,6 +298,31 @@ object Layout {
     require(bits >= 1 && n * bits <= 62,
       s"withHilbertKeyN: $n dims x $bits bits must fit a long")
     val (cur0, qs) = quantizedDims(df, cols, bits, clipQuantiles)
+    hilbertFromQuantized(cur0, qs, cols, bits, keyCol)
+  }
+
+  /** [[withHilbertKeyN]] with caller-fixed bounds — the
+    * [[withZOrderKeyFixed]] contract (table-property grid, edge-cell
+    * clamping) on the Skilling curve. */
+  def withHilbertKeyNFixed(df: DataFrame, cols: Seq[Column],
+      bounds: Seq[(Long, Long)], bits: Int = 16,
+      keyCol: String = "__hkey"): DataFrame = {
+    val n = cols.size
+    require(n >= 2,
+      "withHilbertKeyNFixed: need >= 2 dims")
+    require(n == bounds.size,
+      s"withHilbertKeyNFixed: $n cols vs ${bounds.size} bounds")
+    require(bits >= 1 && n * bits <= 62,
+      s"withHilbertKeyNFixed: $n dims x $bits bits must fit a long")
+    bounds.foreach { case (mn, mx) => require(mn <= mx,
+      s"withHilbertKeyNFixed: bound ($mn, $mx) has min > max") }
+    val (cur0, qs) = quantizedDimsWithBounds(df, cols, bits, bounds)
+    hilbertFromQuantized(cur0, qs, cols, bits, keyCol)
+  }
+
+  private def hilbertFromQuantized(cur0: DataFrame, qs: Seq[Column],
+      cols: Seq[Column], bits: Int, keyCol: String): DataFrame = {
+    val n = cols.size
     var cur = cur0
     qs.zipWithIndex.foreach { case (q, i) =>
       cur = cur.withColumn(s"__sx$i", q.cast("long"))

@@ -6672,6 +6672,42 @@ WHERE rk <= 40"""
       .select(col("event_id"), col("zkey"))
   }
 
+  /** The HILBERT-curve streamed clustered table under q160's oracle
+    * (q161's protocol, the better-locality curve): grid = 3 dims ×
+    * 8 bits, curve "hilbert" — every micro-batch keys with the
+    * Skilling N-dim form at fixed bounds, so the streamed table's keys
+    * replay q160's 21-CTE derivation exactly. One table property line
+    * switches the curve; everything else (publish, markers, compaction,
+    * replay) is q161's machinery verbatim. */
+  val q163HilbertIngest: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts"))
+    val root = streamIndexDir("q163", dir, "events")
+    val tableDir = s"$root/table"
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+        min("event_id"), max("event_id")).head()
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us", "event_id"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3)),
+            (b.getLong(4), b.getLong(5))),
+          bits = 8, curve = "hilbert"))
+    }
+    val stream = eventStreamSource(s, dir, "q163", ev)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"q163-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
+    registerCleanup(ckpt)
+    val q = graft.streaming.LayoutIngest.start(stream, tableDir,
+      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
+      compactEvery = Some(2), smallFileBytes = 64L << 20)
+    q.awaitTermination()
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("event_id"), col("zkey").as("hkey"))
+  }
+
   val q162Sql: String = {
     val terms = (0 until 16).flatMap(i => Seq(
       s"(((qx >> $i) & 1) << ${2 * i})",
@@ -6993,7 +7029,10 @@ WHERE rk <= 40"""
     // q161 re-runs q155's key oracle against the STREAMED clustered
     // table (fixed grid ≡ the oracle's global-min/max subqueries)
     "q161_clustered_ingest" -> (q161ClusteredIngest, Some(q155Sql)),
-    "q162_clustered_delete" -> (q162ClusteredDelete, Some(q162Sql)))
+    "q162_clustered_delete" -> (q162ClusteredDelete, Some(q162Sql)),
+    // q163 re-runs q160's Skilling-curve oracle against the STREAMED
+    // hilbert-clustered table (q161's protocol, curve switched)
+    "q163_hilbert_ingest" -> (q163HilbertIngest, Some(q160Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

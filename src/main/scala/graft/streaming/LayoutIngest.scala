@@ -57,8 +57,12 @@ object LayoutIngest {
   /** The persisted cluster key column. */
   val KeyCol = "zkey"
 
+  /** `curve`: "zorder" (any dims) or "hilbert" (≥2 dims, the Skilling
+    * N-dim form — tighter locality at the same grid; the LayoutProbe
+    * numbers). A table property like the rest of the grid: every
+    * writer keys with the same curve forever. */
   final case class Grid(cols: Seq[String], bounds: Seq[(Long, Long)],
-      bits: Int)
+      bits: Int, curve: String = "zorder")
 
   /** Create the table: persist the grid (the fixed quantization
     * contract every future writer shares). Fails if the dir already
@@ -67,23 +71,42 @@ object LayoutIngest {
   def bootstrap(spark: SparkSession, dir: String, grid: Grid): Unit = {
     require(grid.cols.nonEmpty && grid.cols.size == grid.bounds.size,
       "bootstrap: cols and bounds must align")
+    require(Set("zorder", "hilbert")(grid.curve),
+      s"bootstrap: unknown curve '${grid.curve}'")
+    require(grid.curve != "hilbert" || grid.cols.size >= 2,
+      "bootstrap: the hilbert curve needs >= 2 dims")
     val (f, p) = DedupIngest.fs(spark, s"$dir/grid")
     require(!f.exists(p), s"LayoutIngest.bootstrap: $dir already has a grid")
     import spark.implicits._
     Seq((grid.cols, grid.bounds.map(_._1), grid.bounds.map(_._2),
-        grid.bits))
-      .toDF("cols", "mns", "mxs", "bits")
+        grid.bits, grid.curve))
+      .toDF("cols", "mns", "mxs", "bits", "curve")
       .coalesce(1).write.parquet(s"$dir/grid")
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/markers"))
   }
 
   def readGrid(spark: SparkSession, dir: String): Grid = {
-    val r = spark.read.parquet(s"$dir/grid").head()
+    val df = spark.read.parquet(s"$dir/grid")
+    val r = df.head()
     Grid(r.getSeq[String](0),
       r.getSeq[Long](1).zip(r.getSeq[Long](2)),
-      r.getInt(3))
+      r.getInt(3),
+      // tables written before the curve column are z-order by contract
+      if (df.schema.fieldNames.contains("curve"))
+        r.getString(df.schema.fieldIndex("curve"))
+      else "zorder")
   }
+
+  /** The grid's key expression over a batch — the ONE place the curve
+    * choice lives. */
+  private def keyed(batch: DataFrame, grid: Grid): DataFrame =
+    grid.curve match {
+      case "hilbert" => Layout.withHilbertKeyNFixed(batch,
+        grid.cols.map(col), grid.bounds, grid.bits, KeyCol)
+      case _ => Layout.withZOrderKeyFixed(batch,
+        grid.cols.map(col), grid.bounds, grid.bits, KeyCol)
+    }
 
   /**
    * Continuous clustered ingest: every micro-batch lands as one
@@ -133,9 +156,7 @@ object LayoutIngest {
       val stage = new org.apache.hadoop.fs.Path(
         s"$dir/data.stage-$batchId")
       if (f.exists(stage)) f.delete(stage, true)
-      val grid = readGrid(spark, dir)
-      Layout.withZOrderKeyFixed(batch,
-          grid.cols.map(col), grid.bounds, grid.bits, KeyCol)
+      keyed(batch, readGrid(spark, dir))
         .repartitionByRange(filesPerBatch, col(KeyCol))
         .sortWithinPartitions(KeyCol)
         .write.mode("overwrite").parquet(stage.toString)

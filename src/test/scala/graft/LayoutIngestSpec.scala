@@ -222,6 +222,37 @@ class LayoutIngestSpec extends SparkSpec {
       .filterNot(id => id >= 20 && id <= 28))
   }
 
+  test("hilbert-curve table: streamed keys ≡ the batch N-dim fixed " +
+      "operator; the curve is a persisted table property") {
+    val dir = tmp("layout-hilbert")
+    val hgrid = LayoutIngest.Grid(
+      Seq("x", "y"), Seq((0L, 99L), (0L, 99L)), bits = 4,
+      curve = "hilbert")
+    LayoutIngest.bootstrap(spark, dir, hgrid)
+    assert(LayoutIngest.readGrid(spark, dir).curve === "hilbert")
+    (0 until 2).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        rows(b * 50 until (b + 1) * 50).toDF("id", "x", "y"),
+        b.toLong, dir, 2))
+    }
+    val got = LayoutIngest.read(spark, dir)
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    val want = Layout.withHilbertKeyNFixed(
+        rows(0 until 100).toDF("id", "x", "y"),
+        Seq($"x", $"y"), hgrid.bounds, hgrid.bits, "zkey")
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // an unknown curve fails fast at bootstrap
+    intercept[IllegalArgumentException] {
+      LayoutIngest.bootstrap(spark, tmp("layout-badcurve"),
+        hgrid.copy(curve = "peano"))
+    }
+    intercept[IllegalArgumentException] {
+      LayoutIngest.bootstrap(spark, tmp("layout-1dh"),
+        LayoutIngest.Grid(Seq("x"), Seq((0L, 9L)), 4, "hilbert"))
+    }
+  }
+
   test("mutators hold the single-writer lock") {
     val dir = tmp("layout-lock")
     LayoutIngest.bootstrap(spark, dir, grid)
