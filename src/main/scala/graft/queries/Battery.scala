@@ -6708,6 +6708,69 @@ WHERE rk <= 40"""
       .select(col("event_id"), col("zkey").as("hkey"))
   }
 
+  /** FILE-LEVEL-PRUNED box scan on the streamed clustered table
+    * ([[graft.streaming.LayoutIngest.scanBox]]): q161's build, then a
+    * box query for the middle 2% user slice — dirs whose footer
+    * statistics are disjoint from the box are never opened (Spark's
+    * own reader only skips row groups inside files it already listed),
+    * the residual predicate makes the result exact regardless of
+    * pruning. Oracle = the events INSIDE the same integer-arithmetic
+    * slice with their keys — a pruner that drops a dir holding one
+    * matching row fails the hash. */
+  val q164ClusteredScan: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts"))
+    val root = streamIndexDir("q164", dir, "events")
+    val tableDir = s"$root/table"
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16))
+    }
+    val stream = eventStreamSource(s, dir, "q164", ev)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"q164-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
+    registerCleanup(ckpt)
+    val q = graft.streaming.LayoutIngest.start(stream, tableDir,
+      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
+      compactEvery = Some(2), smallFileBytes = 64L << 20)
+    q.awaitTermination()
+    val grid = graft.streaming.LayoutIngest.readGrid(s, tableDir)
+    val (umn, umx) = grid.bounds.head
+    graft.streaming.LayoutIngest.scanBox(s, tableDir,
+      Seq(("user_id",
+        umn + (umx - umn) * 49 / 100,
+        umn + (umx - umn) * 51 / 100)))
+      .select(col("event_id"), col("zkey"))
+  }
+
+  val q164Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx
+       |  FROM events),
+       |q AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy
+       |  FROM events
+       |  WHERE user_id BETWEEN
+       |    (SELECT umn + ((umx - umn) * 49) // 100 FROM b) AND
+       |    (SELECT umn + ((umx - umn) * 51) // 100 FROM b))
+       |SELECT event_id, $terms AS zkey FROM q""".stripMargin
+  }
+
   val q162Sql: String = {
     val terms = (0 until 16).flatMap(i => Seq(
       s"(((qx >> $i) & 1) << ${2 * i})",
@@ -7032,7 +7095,8 @@ WHERE rk <= 40"""
     "q162_clustered_delete" -> (q162ClusteredDelete, Some(q162Sql)),
     // q163 re-runs q160's Skilling-curve oracle against the STREAMED
     // hilbert-clustered table (q161's protocol, curve switched)
-    "q163_hilbert_ingest" -> (q163HilbertIngest, Some(q160Sql)))
+    "q163_hilbert_ingest" -> (q163HilbertIngest, Some(q160Sql)),
+    "q164_clustered_scan" -> (q164ClusteredScan, Some(q164Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -372,10 +372,11 @@ object LayoutIngest {
     else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
   }
 
-  /** Read the live table — correct in every crash state WITHOUT
-    * writing (object doc): committed-manifest sources are dropped
-    * exactly when their target gen is published. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  /** The LIVE data dirs under the publish-point rule (object doc):
+    * committed-manifest sources are dropped exactly when their target
+    * gen is published. */
+  private def liveDirs(spark: SparkSession, dir: String)
+      : Seq[org.apache.hadoop.fs.Path] = {
     val (f, data) = DedupIngest.fs(spark, s"$dir/data")
     val (_, markers) = DedupIngest.fs(spark, s"$dir/markers")
     val logicallyDeleted: Set[String] =
@@ -398,17 +399,73 @@ object LayoutIngest {
             lines.collect { case l if l.startsWith("S\t") => l.drop(2) }
           else Nil
         }.toSet
-    val dirs =
-      if (!f.exists(data)) Nil
-      else f.listStatus(data).toSeq.filter(_.isDirectory)
-        .map(_.getPath).filterNot(p => logicallyDeleted(p.getName))
-    if (dirs.isEmpty) {
-      val grid = readGrid(spark, dir)
-      // empty table with the right shape: no rows, key column present
-      spark.range(0).select(
-        (grid.cols.map(c => lit(null).cast("long").as(c)) :+
-          lit(0L).as(KeyCol)): _*)
-    } else spark.read.parquet(dirs.map(_.toString): _*)
+    if (!f.exists(data)) Nil
+    else f.listStatus(data).toSeq.filter(_.isDirectory)
+      .map(_.getPath).filterNot(p => logicallyDeleted(p.getName))
+  }
+
+  /** Read the live table — correct in every crash state WITHOUT
+    * writing ([[liveDirs]]). */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val dirs = liveDirs(spark, dir)
+    if (dirs.isEmpty) emptyShape(spark, dir)
+    else spark.read.parquet(dirs.map(_.toString): _*)
+  }
+
+  /** Empty frame with the table's key shape (no data dirs yet). */
+  private def emptyShape(spark: SparkSession, dir: String): DataFrame = {
+    val grid = readGrid(spark, dir)
+    spark.range(0).select(
+      (grid.cols.map(c => lit(null).cast("long").as(c)) :+
+        lit(0L).as(KeyCol)): _*)
+  }
+
+  /**
+   * Box scan with FILE-LEVEL pruning — the read-side twin of
+   * [[deleteBox]], and the piece Spark's own reader does not do:
+   * parquet scans skip row GROUPS from footer statistics but still
+   * list and open every file (LayoutProbe measured scanFiles = all in
+   * every layout). On a clustered table the per-dir statistics are
+   * decisive, so dirs disjoint from the box are dropped BEFORE the
+   * DataFrame is built — the reader never touches them at all (the
+   * data-lake file-pruning pattern, done here from the parquet footers
+   * the files already carry, no extra metadata). Dirs without stats
+   * are conservatively read; the box predicate is reapplied as the
+   * residual filter, so the result is exact regardless of pruning.
+   * [[prunedBoxDirs]] exposes the (hit, live) counts for gates and
+   * monitoring.
+   */
+  def scanBox(spark: SparkSession, dir: String,
+      box: Seq[(String, Long, Long)]): DataFrame = {
+    require(box.nonEmpty, "scanBox: empty box")
+    val (hit, live) = prunedBoxDirs(spark, dir, box)
+    val pred = box.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    if (hit.nonEmpty)
+      spark.read.parquet(hit.map(_.toString): _*).filter(pred)
+    else if (live.nonEmpty)
+      // zero intersecting dirs: keep the table's FULL schema by
+      // filtering one live dir — its stats already prove the predicate
+      // empty there, so the reader materializes ~nothing
+      spark.read.parquet(live.head.toString).filter(pred)
+    else emptyShape(spark, dir).filter(pred)
+  }
+
+  /** (dirs whose footer stats intersect the box, all live dirs). */
+  private[graft] def prunedBoxDirs(spark: SparkSession, dir: String,
+      box: Seq[(String, Long, Long)])
+      : (Seq[org.apache.hadoop.fs.Path], Seq[org.apache.hadoop.fs.Path]) = {
+    val (f, _) = DedupIngest.fs(spark, s"$dir/data")
+    val dirs = liveDirs(spark, dir)
+    (dirs.filter { d =>
+      box.forall { case (c, lo, hi) =>
+        dirColumnRange(f, d, c) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }, dirs)
   }
 
   private def dirBytes(f: org.apache.hadoop.fs.FileSystem,

@@ -253,6 +253,41 @@ class LayoutIngestSpec extends SparkSpec {
     }
   }
 
+  test("scanBox prunes whole dirs from footer stats, result exact") {
+    val dir = tmp("layout-scan")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    // disjoint x per batch (the deleteBox fixture): stats decisive
+    def batchRows(b: Int): Seq[(Long, Long, Long)] =
+      (0 until 25).map(i =>
+        ((b * 25 + i).toLong, (b * 25 + i).toLong, (i * 13 % 100).toLong))
+    (0 until 4).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        batchRows(b).toDF("id", "x", "y"), b.toLong, dir, 1))
+    }
+    // x ∈ [30, 40] lives entirely in batch-1: one dir read, three pruned
+    val (hit, live) = LayoutIngest.prunedBoxDirs(spark, dir,
+      Seq(("x", 30L, 40L)))
+    assert(live.size === 4)
+    assert(hit.map(_.getName) === Seq("batch-1"),
+      s"expected only batch-1, got ${hit.map(_.getName)}")
+    val got = LayoutIngest.scanBox(spark, dir, Seq(("x", 30L, 40L)))
+      .select("id").as[Long].collect().sorted
+    assert(got === (30L to 40L).toArray,
+      "pruned scan must still return every matching row exactly")
+    // residual filter: a box PARTIALLY covering a dir returns only the
+    // matching rows of that dir
+    val part = LayoutIngest.scanBox(spark, dir,
+      Seq(("x", 20L, 30L), ("y", 0L, 99L)))
+      .select("id").as[Long].collect().sorted
+    assert(part === (20L to 30L).toArray)
+    // an empty box intersection: zero dirs read, empty exact result
+    val (hit0, _) = LayoutIngest.prunedBoxDirs(spark, dir,
+      Seq(("x", 500L, 600L)))
+    assert(hit0.isEmpty)
+    assert(LayoutIngest.scanBox(spark, dir,
+      Seq(("x", 500L, 600L))).count() === 0L)
+  }
+
   test("mutators hold the single-writer lock") {
     val dir = tmp("layout-lock")
     LayoutIngest.bootstrap(spark, dir, grid)
