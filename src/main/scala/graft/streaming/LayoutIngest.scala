@@ -170,40 +170,82 @@ object LayoutIngest {
     true
   }
 
-  /** Fold the small batch/gen dirs into one re-clustered generation —
-    * WAL-manifested (object doc); no-op under two small dirs. */
+  /** A PRUNABLE UNIT of the table — a flat dir of key-sorted parquet
+    * files: an L0 batch dir, a single-dir generation, or one `range-k`
+    * subdir of a RANGE-SPLIT generation. Named relative to `data/`
+    * (`batch-3`, `gen-ab12cd34/range-2`); manifests, logical deletion,
+    * footer pruning, deletes, and reads all operate on units. */
+  private def leafUnits(f: org.apache.hadoop.fs.FileSystem,
+      data: org.apache.hadoop.fs.Path)
+      : Seq[(String, org.apache.hadoop.fs.Path)] =
+    f.listStatus(data).toSeq.filter(_.isDirectory).flatMap { top =>
+      val subs = f.listStatus(top.getPath).toSeq.filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("range-"))
+      if (subs.isEmpty) Seq(top.getPath.getName -> top.getPath)
+      else subs.map(s =>
+        s"${top.getPath.getName}/${s.getPath.getName}" -> s.getPath)
+    }
+
+  /** Fold the small prunable units into one re-clustered generation —
+    * WAL-manifested (object doc); no-op under two small units. A fold
+    * producing more than one output file publishes as a RANGE-SPLIT
+    * generation: each file lands in its own `range-k/` subdir (the
+    * files are range-disjoint by construction), so FILE-LEVEL pruning
+    * ([[scanBox]]/[[deleteBox]]'s unit selection) applies within the
+    * generation — at scale a fold spans many dirs' worth of data, and
+    * one monolithic dir would force every box to open all of it. The
+    * split happens INSIDE the stage, so the publish is still one
+    * atomic rename. `targetFileBytes` sizes the outputs (0 → 8×
+    * `smallFileBytes`, the graduate-and-never-refold tier ladder). */
   def compact(spark: SparkSession, dir: String,
-      smallFileBytes: Long = 32L << 20): Unit =
+      smallFileBytes: Long = 32L << 20,
+      targetFileBytes: Long = 0L): Unit =
     LedgerLock.withLock(spark, dir) {
       recoverCompact(spark, dir)
       val (f, data) = DedupIngest.fs(spark, s"$dir/data")
       val smalls =
         if (!f.exists(data)) Nil
-        else f.listStatus(data).toSeq
-          .filter(_.isDirectory)
-          .filter(d => dirBytes(f, d.getPath) < smallFileBytes)
-          .map(_.getPath)
+        else leafUnits(f, data)
+          .filter { case (_, p) => dirBytes(f, p) < smallFileBytes }
       if (smalls.size >= 2) {
         val stamp = java.util.UUID.randomUUID().toString.take(8)
         val stage = new org.apache.hadoop.fs.Path(s"$dir/gen-$stamp.stage")
-        val parts = math.max(1, math.ceil(
-          smalls.map(p => dirBytes(f, p)).sum.toDouble /
-            (8.0 * smallFileBytes)).toInt)
+        val target = if (targetFileBytes > 0) targetFileBytes
+          else 8L * smallFileBytes
+        val parts = math.min(4096, math.max(1, math.ceil(
+          smalls.map(p => dirBytes(f, p._2)).sum.toDouble /
+            target.toDouble).toInt))
         // the key is PERSISTED, so re-clustering is a pure range
         // repartition on it — no re-quantization pass
-        spark.read.parquet(smalls.map(_.toString): _*)
+        spark.read.parquet(smalls.map(_._2.toString): _*)
           .repartitionByRange(parts, col(KeyCol))
           .sortWithinPartitions(KeyCol)
           .write.mode("overwrite").parquet(stage.toString)
+        // range-split: one subdir per output file, inside the stage
+        val partFiles = f.listStatus(stage).toSeq.filter(s =>
+          s.isFile && isDataFile(s.getPath.getName))
+          .sortBy(_.getPath.getName)
+        if (partFiles.size > 1)
+          partFiles.zipWithIndex.foreach { case (pf, k) =>
+            val sub = new org.apache.hadoop.fs.Path(stage, s"range-$k")
+            f.mkdirs(sub)
+            f.rename(pf.getPath,
+              new org.apache.hadoop.fs.Path(sub, pf.getPath.getName)): Unit
+          }
         val man = manifestPath(spark, dir, stamp)
         val out = f.create(man, true)
-        try out.write((smalls.map(s => s"S\t${s.getName}") ++
+        try out.write((smalls.map(s => s"S\t${s._1}") ++
             Seq(s"T\tgen-$stamp", "COMMIT"))
           .mkString("\n").getBytes("UTF-8"))
         finally out.close()
         recoverCompact(spark, dir) // the happy path IS the replay
       }
     }
+
+  /** A parquet data file (not `_SUCCESS`/hidden). */
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".") &&
+      name.endsWith(".parquet")
 
   private def manifestPath(spark: SparkSession, dir: String,
       stamp: String): org.apache.hadoop.fs.Path =
@@ -253,10 +295,20 @@ object LayoutIngest {
           if (!f.exists(target) && f.exists(stage))
             f.rename(stage, target): Unit
           if (f.exists(target)) {
-            lines.collect { case l if l.startsWith("S\t") => l.drop(2) }
-              .foreach { s =>
-                val sp = new org.apache.hadoop.fs.Path(s"$dir/data/$s")
-                if (f.exists(sp)) f.delete(sp, true)
+            val sources = lines.collect {
+              case l if l.startsWith("S\t") => l.drop(2) }
+            sources.foreach { s =>
+              val sp = new org.apache.hadoop.fs.Path(s"$dir/data/$s")
+              if (f.exists(sp)) f.delete(sp, true)
+            }
+            // a range-split gen whose last leaf was folded away leaves
+            // an empty (or _SUCCESS-only) parent shell — drop it
+            sources.filter(_.contains("/")).map(_.split("/")(0))
+              .distinct.foreach { parent =>
+                val pp = new org.apache.hadoop.fs.Path(s"$dir/data/$parent")
+                if (f.exists(pp) && f.listStatus(pp).forall(st =>
+                    st.isFile && !isDataFile(st.getPath.getName)))
+                  f.delete(pp, true)
               }
             if (f.exists(stage)) f.delete(stage, true)
             f.delete(m.getPath, false)
@@ -301,10 +353,10 @@ object LayoutIngest {
       if (f.exists(marker)) false
       else {
         val (_, data) = DedupIngest.fs(spark, s"$dir/data")
-        val dirs =
+        val units =
           if (!f.exists(data)) Nil
-          else f.listStatus(data).toSeq.filter(_.isDirectory).map(_.getPath)
-        val affected = dirs.filter { d =>
+          else leafUnits(f, data)
+        val affected = units.filter { case (_, d) =>
           box.forall { case (c, lo, hi) =>
             dirColumnRange(f, d, c) match {
               case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -315,7 +367,7 @@ object LayoutIngest {
         val keep = box.map { case (c, lo, hi) =>
           !(col(c) >= lo && col(c) <= hi)
         }.reduce(_ || _)
-        affected.zipWithIndex.foreach { case (d, i) =>
+        affected.zipWithIndex.foreach { case ((name, d), i) =>
           // the attempt nonce keeps a REPLAY's target names distinct
           // from a previous attempt's published gens — without it a
           // replayed rewrite of gen-delX could manifest X as both
@@ -331,7 +383,7 @@ object LayoutIngest {
             .write.mode("overwrite").parquet(stage.toString)
           val man = manifestPath(spark, dir, stamp)
           val out = f.create(man, true)
-          try out.write((Seq(s"S\t${d.getName}", s"T\tgen-$stamp",
+          try out.write((Seq(s"S\t$name", s"T\tgen-$stamp",
               "COMMIT")).mkString("\n").getBytes("UTF-8"))
           finally out.close()
           recoverCompact(spark, dir)
@@ -372,9 +424,11 @@ object LayoutIngest {
     else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
   }
 
-  /** The LIVE data dirs under the publish-point rule (object doc):
-    * committed-manifest sources are dropped exactly when their target
-    * gen is published. */
+  /** The LIVE prunable units under the publish-point rule (object
+    * doc): committed-manifest sources are dropped exactly when their
+    * target gen is published. A source name may be a top-level dir or
+    * a `gen-X/range-k` leaf; a leaf is dead if either its own name or
+    * its whole parent is logically deleted. */
   private def liveDirs(spark: SparkSession, dir: String)
       : Seq[org.apache.hadoop.fs.Path] = {
     val (f, data) = DedupIngest.fs(spark, s"$dir/data")
@@ -400,8 +454,11 @@ object LayoutIngest {
           else Nil
         }.toSet
     if (!f.exists(data)) Nil
-    else f.listStatus(data).toSeq.filter(_.isDirectory)
-      .map(_.getPath).filterNot(p => logicallyDeleted(p.getName))
+    else leafUnits(f, data)
+      .filterNot { case (name, _) =>
+        logicallyDeleted(name) || logicallyDeleted(name.split("/")(0))
+      }
+      .map(_._2)
   }
 
   /** Read the live table — correct in every crash state WITHOUT

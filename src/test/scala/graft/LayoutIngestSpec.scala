@@ -288,6 +288,79 @@ class LayoutIngestSpec extends SparkSpec {
       Seq(("x", 500L, 600L))).count() === 0L)
   }
 
+  test("range-split compaction: a big fold publishes range-disjoint " +
+      "leaf units under ONE atomic gen; pruning, reads and deletes " +
+      "all operate at leaf granularity") {
+    val dir = tmp("layout-split")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    def batchRows(b: Int): Seq[(Long, Long, Long)] =
+      (0 until 25).map(i =>
+        ((b * 25 + i).toLong, (b * 25 + i).toLong, (i * 13 % 100).toLong))
+    (0 until 4).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        batchRows(b).toDF("id", "x", "y"), b.toLong, dir, 1))
+    }
+    def dataBytes(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(dataBytes).sum
+      else if (f.getName.endsWith(".parquet")) f.length else 0L
+    val total = dataBytes(new java.io.File(s"$dir/data"))
+    // target ≈ quarter of the fold → a 4-way range split
+    LayoutIngest.compact(spark, dir, smallFileBytes = 1L << 30,
+      targetFileBytes = total / 4)
+    val tops = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory)
+    assert(tops.length === 1 && tops.head.getName.startsWith("gen-"))
+    val leaves = tops.head.listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("range-"))
+    assert(leaves.length >= 2,
+      s"expected a range split, got ${tops.head.listFiles().toSeq}")
+    // contents intact, keys preserved
+    val all = LayoutIngest.read(spark, dir)
+      .select("id", "zkey").as[(Long, Long)].collect()
+    assert(all.map(_._1).sorted === (0L until 100L).toArray)
+    // leaves are range-DISJOINT in the cluster key
+    val ranges = leaves.map { d =>
+      val r = spark.read.parquet(d.getAbsolutePath)
+        .agg(min("zkey"), max("zkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping leaves: ${ranges.toSeq}")
+      case _ => ()
+    }
+    // a box scan prunes at LEAF granularity inside the generation
+    val (hit, live) = LayoutIngest.prunedBoxDirs(spark, dir,
+      Seq(("x", 30L, 40L)))
+    assert(live.size === leaves.length)
+    assert(hit.size < live.size,
+      s"a thin x box must prune some leaves: ${hit.size}/${live.size}")
+    assert(LayoutIngest.scanBox(spark, dir, Seq(("x", 30L, 40L)))
+      .select("id").as[Long].collect().sorted === (30L to 40L).toArray)
+    // a box delete rewrites only the intersecting leaves; the rest of
+    // the generation survives untouched (leaf names are unique here —
+    // a single gen)
+    val (delHit, delLive) = LayoutIngest.prunedBoxDirs(spark, dir,
+      Seq(("x", 96L, 99L)))
+    val hitNames = delHit.map(_.getName).toSet
+    val surviveNames = delLive.map(_.getName).toSet -- hitNames
+    assert(hitNames.nonEmpty && surviveNames.nonEmpty)
+    assert(LayoutIngest.deleteBox(spark, dir, Seq(("x", 96L, 99L)), 5L))
+    val leavesAfter = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).flatMap { t =>
+        val subs = t.listFiles().filter(d =>
+          d.isDirectory && d.getName.startsWith("range-"))
+        if (subs.isEmpty) Array(t.getName) else subs.map(_.getName)
+      }.toSet
+    assert(hitNames.forall(h => !leavesAfter.contains(h)),
+      s"rewritten leaves must be replaced: $hitNames vs $leavesAfter")
+    assert(surviveNames.forall(leavesAfter.contains),
+      s"non-intersecting leaves must survive: $surviveNames vs $leavesAfter")
+    assert(LayoutIngest.read(spark, dir)
+      .select("id").as[Long].collect().sorted ===
+      (0L until 96L).toArray)
+  }
+
   test("mutators hold the single-writer lock") {
     val dir = tmp("layout-lock")
     LayoutIngest.bootstrap(spark, dir, grid)
