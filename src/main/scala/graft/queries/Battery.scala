@@ -6749,6 +6749,69 @@ WHERE rk <= 40"""
       .select(col("event_id"), col("zkey"))
   }
 
+  /** RANGE-SPLIT COMPACTION under q164's oracle
+    * ([[graft.streaming.LayoutIngest.compact]]'s `targetFileBytes`
+    * path): q161's build, but the fold is forced to publish a
+    * generation of MULTIPLE range-disjoint `range-k/` leaf units
+    * (target ≈ a sixth of the table), then the middle 2% user slice is
+    * scanned THROUGH the split table. This is the shape a 100 TB fold
+    * actually has — one monolithic generation dir would make every
+    * later box open the whole fold; the split keeps file-level pruning
+    * alive across compactions. The query refuses to answer from an
+    * unsplit table (the gate's premise), and the hash gate proves the
+    * split publish + leaf-granularity read rule lose nothing: a leaf
+    * dropped by [[graft.streaming.LayoutIngest.read]]'s liveness rule
+    * or mis-pruned by the box scan fails the oracle. Warm bench reps
+    * reuse the folded table (one gen → the fold guard skips). */
+  val q165SplitCompactScan: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts"))
+    val root = streamIndexDir("q165", dir, "events")
+    val tableDir = s"$root/table"
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16))
+    }
+    val stream = eventStreamSource(s, dir, "q165", ev)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"q165-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
+    registerCleanup(ckpt)
+    val q = graft.streaming.LayoutIngest.start(stream, tableDir,
+      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true)
+    q.awaitTermination()
+    def parquetBytes(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .map(parquetBytes).sum
+      else if (f.getName.endsWith(".parquet")) f.length else 0L
+    val dataDir = new java.io.File(s"$tableDir/data")
+    def tops = Option(dataDir.listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.isDirectory)
+    // fold the whole L0 tail once, sized to force a ~6-way range split
+    if (tops.length >= 2)
+      graft.streaming.LayoutIngest.compact(s, tableDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L, parquetBytes(dataDir) / 6))
+    val leaves = tops.flatMap(t =>
+      Option(t.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(d => d.isDirectory && d.getName.startsWith("range-")))
+    require(leaves.length >= 2,
+      s"q165: expected a range-split generation, got ${leaves.length} leaves")
+    val grid = graft.streaming.LayoutIngest.readGrid(s, tableDir)
+    val (umn, umx) = grid.bounds.head
+    graft.streaming.LayoutIngest.scanBox(s, tableDir,
+      Seq(("user_id",
+        umn + (umx - umn) * 49 / 100,
+        umn + (umx - umn) * 51 / 100)))
+      .select(col("event_id"), col("zkey"))
+  }
+
   val q164Sql: String = {
     val terms = (0 until 16).flatMap(i => Seq(
       s"(((qx >> $i) & 1) << ${2 * i})",
@@ -7096,7 +7159,10 @@ WHERE rk <= 40"""
     // q163 re-runs q160's Skilling-curve oracle against the STREAMED
     // hilbert-clustered table (q161's protocol, curve switched)
     "q163_hilbert_ingest" -> (q163HilbertIngest, Some(q160Sql)),
-    "q164_clustered_scan" -> (q164ClusteredScan, Some(q164Sql)))
+    "q164_clustered_scan" -> (q164ClusteredScan, Some(q164Sql)),
+    // q165 re-runs q164's slice oracle against a table whose fold was
+    // forced to publish a RANGE-SPLIT generation (leaf-unit pruning)
+    "q165_split_compact_scan" -> (q165SplitCompactScan, Some(q164Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
