@@ -131,6 +131,8 @@ object LayoutIngest {
         val spark = batch.sparkSession
         LedgerLock.withLock(spark, dir) {
           ingestBatch(batch, batchId, dir, filesPerBatch): Unit
+          // keep the marker dir at one watermark + the in-flight tail
+          compactMarkersLocked(spark, dir)
         }
         compactEvery.foreach { n =>
           if ((batchId + 1) % n == 0) compact(spark, dir, smallFileBytes)
@@ -149,7 +151,8 @@ object LayoutIngest {
     val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
     recoverCompact(spark, dir)
     val marker = new org.apache.hadoop.fs.Path(markers, s"batch-$batchId")
-    if (f.exists(marker)) return false
+    if (batchId <= batchWatermark(f, markers) || f.exists(marker))
+      return false
     val target = new org.apache.hadoop.fs.Path(s"$dir/data/batch-$batchId")
     if (!f.exists(target)) {
       // crash-leftover stage from a previous attempt is garbage
@@ -240,7 +243,60 @@ object LayoutIngest {
         finally out.close()
         recoverCompact(spark, dir) // the happy path IS the replay
       }
+      compactMarkersLocked(spark, dir)
     }
+
+  /** "All batch ids ≤ n are committed" — the highest published
+    * `batch-upto-<n>` watermark, -1 when none. An id is committed iff
+    * it is ≤ the watermark OR its individual marker exists. */
+  private def batchWatermark(f: org.apache.hadoop.fs.FileSystem,
+      markers: org.apache.hadoop.fs.Path): Long =
+    if (!f.exists(markers)) -1L
+    else f.listStatus(markers).toSeq.map(_.getPath.getName)
+      .filter(_.matches("batch-upto-\\d+"))
+      .map(_.stripPrefix("batch-upto-").toLong)
+      .foldLeft(-1L)(math.max)
+
+  /** Fold the contiguous committed prefix of the L0 batch markers into
+    * ONE `batch-upto-<n>` watermark file. WHY: every ingest and
+    * recovery lists `markers/`, and a long-lived stream mints one
+    * marker per micro-batch forever — at 100 TB (millions of batches)
+    * each listing walks millions of entries, a quadratic over the
+    * stream's lifetime (the q141 cost shape, on metadata instead of
+    * data). The fold keeps the dir at one watermark + the in-flight
+    * tail. Crash-exact and idempotent with NO ordering hazard: the
+    * watermark is an atomic empty-file create whose NAME carries the
+    * state (monotone — readers take the max), the folded markers and
+    * superseded watermarks are deleted after, and a crash between any
+    * two steps leaves a state this fold or any replay converges from.
+    * Ids above a gap (a concurrent writer's in-flight batch) keep
+    * their individual markers until the gap commits. */
+  def compactMarkers(spark: SparkSession, dir: String): Unit =
+    LedgerLock.withLock(spark, dir)(compactMarkersLocked(spark, dir))
+
+  private def compactMarkersLocked(spark: SparkSession,
+      dir: String): Unit = {
+    val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+    if (!f.exists(markers)) return
+    val names = f.listStatus(markers).toSeq.map(_.getPath.getName)
+    val w = names.filter(_.matches("batch-upto-\\d+"))
+      .map(_.stripPrefix("batch-upto-").toLong).foldLeft(-1L)(math.max)
+    val ids = names.filter(_.matches("batch-\\d+"))
+      .map(_.stripPrefix("batch-").toLong).toSet
+    var n = w
+    while (ids.contains(n + 1)) n += 1
+    if (n > w)
+      f.create(new org.apache.hadoop.fs.Path(markers,
+        s"batch-upto-$n"), true).close()
+    if (n >= 0) { // retire folded markers + superseded watermarks
+      ids.filter(_ <= n).foreach(i => f.delete(
+        new org.apache.hadoop.fs.Path(markers, s"batch-$i"), false))
+      names.filter(_.matches("batch-upto-\\d+"))
+        .map(_.stripPrefix("batch-upto-").toLong).filter(_ < n)
+        .foreach(m => f.delete(new org.apache.hadoop.fs.Path(markers,
+          s"batch-upto-$m"), false))
+    }
+  }
 
   /** A parquet data file (not `_SUCCESS`/hidden). */
   private def isDataFile(name: String): Boolean =

@@ -59,14 +59,21 @@ class LayoutIngestSpec extends SparkSpec {
       rows(0 until 50).toDF("id", "x", "y"), 0L, dir, 2))
     assert(LayoutIngest.read(spark, dir).count() === 100)
 
+    // the stream cadence folded the committed markers into the
+    // watermark; a replay of a folded batch is a no-op via its rule
+    assert(!LayoutIngest.ingestBatch(
+      rows(50 until 100).toDF("id", "x", "y"), 1L, dir, 2))
     // rename-published but marker-less (crash between rename and
-    // marker): replay re-stamps without duplicating
-    val marker = java.nio.file.Paths.get(s"$dir/markers/batch-1")
+    // marker, before any fold could see the id): publish id 6
+    // directly, drop its marker — replay re-stamps without duplicating
+    assert(LayoutIngest.ingestBatch(
+      rows(100 until 110).toDF("id", "x", "y"), 6L, dir, 2))
+    val marker = java.nio.file.Paths.get(s"$dir/markers/batch-6")
     java.nio.file.Files.delete(marker)
     assert(LayoutIngest.ingestBatch(
-      rows(50 until 100).toDF("id", "x", "y"), 1L, dir, 2))
+      rows(100 until 110).toDF("id", "x", "y"), 6L, dir, 2))
     assert(java.nio.file.Files.exists(marker))
-    assert(LayoutIngest.read(spark, dir).count() === 100)
+    assert(LayoutIngest.read(spark, dir).count() === 110)
 
     // a crash-leftover stage dir is garbage, replaced on re-ingest
     val stage = new java.io.File(s"$dir/data.stage-7")
@@ -76,7 +83,7 @@ class LayoutIngestSpec extends SparkSpec {
     assert(LayoutIngest.ingestBatch(
       Seq((200L, 5L, 5L)).toDF("id", "x", "y"), 7L, dir, 1))
     assert(!stage.exists())
-    assert(LayoutIngest.read(spark, dir).count() === 101)
+    assert(LayoutIngest.read(spark, dir).count() === 111)
 
     // out-of-bounds values clamp to the edge cells — never fail, and
     // the key equals the clamped coordinates' key
@@ -359,6 +366,59 @@ class LayoutIngestSpec extends SparkSpec {
     assert(LayoutIngest.read(spark, dir)
       .select("id").as[Long].collect().sorted ===
       (0L until 96L).toArray)
+  }
+
+  test("marker-ledger fold: the contiguous committed prefix becomes " +
+      "ONE watermark file, replays of folded batches stay no-ops, ids " +
+      "above a gap keep their markers, and crash leftovers converge") {
+    val dir = tmp("layout-markers")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    def markerNames: Set[String] =
+      new java.io.File(s"$dir/markers").listFiles()
+        .map(_.getName).filter(_.startsWith("batch")).toSet
+    // ids 0,1,3 committed (2 in flight with a concurrent writer)
+    Seq(0, 1, 3).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        rows(b * 10 until b * 10 + 10).toDF("id", "x", "y"),
+        b.toLong, dir, 1))
+    }
+    LayoutIngest.compactMarkers(spark, dir)
+    // fold stops at the gap: watermark 1, batch-3 keeps its marker
+    assert(markerNames === Set("batch-upto-1", "batch-3"))
+    // a replay of a FOLDED batch is still a no-op (watermark rule)
+    assert(!LayoutIngest.ingestBatch(
+      rows(0 until 10).toDF("id", "x", "y"), 0L, dir, 1))
+    assert(LayoutIngest.read(spark, dir).count() === 30)
+    // the gap commits -> the next fold absorbs everything
+    assert(LayoutIngest.ingestBatch(
+      rows(20 until 30).toDF("id", "x", "y"), 2L, dir, 1))
+    LayoutIngest.compactMarkers(spark, dir)
+    assert(markerNames === Set("batch-upto-3"))
+    assert(!LayoutIngest.ingestBatch(
+      rows(20 until 30).toDF("id", "x", "y"), 2L, dir, 1))
+    // crash leftovers (superseded watermark + an already-folded
+    // marker resurrected mid-delete) converge on the next fold
+    new java.io.File(s"$dir/markers/batch-upto-1").createNewFile()
+    new java.io.File(s"$dir/markers/batch-2").createNewFile()
+    LayoutIngest.compactMarkers(spark, dir)
+    assert(markerNames === Set("batch-upto-3"))
+    assert(LayoutIngest.read(spark, dir).count() === 40)
+    // the STREAM cadence folds markers as it goes: after an
+    // availableNow run the dir holds one watermark, no batch tail
+    implicit val sql = spark.sqlContext
+    val dir2 = tmp("layout-markers-stream")
+    val ck2 = tmp("layout-markers-stream-ck")
+    LayoutIngest.bootstrap(spark, dir2, grid)
+    val input = MemoryStream[(Long, Long, Long)]
+    input.addData(rows(0 until 30))
+    val q = LayoutIngest.start(
+      input.toDF().toDF("id", "x", "y"), dir2, ck2,
+      filesPerBatch = 1, availableNow = true)
+    try q.processAllAvailable() finally q.stop()
+    val names2 = new java.io.File(s"$dir2/markers").listFiles()
+      .map(_.getName).filter(_.startsWith("batch")).toSet
+    assert(names2.size === 1 && names2.head.startsWith("batch-upto-"),
+      s"stream cadence must fold the marker tail, got $names2")
   }
 
   test("mutators hold the single-writer lock") {
