@@ -159,10 +159,12 @@ object LayoutIngest {
       val stage = new org.apache.hadoop.fs.Path(
         s"$dir/data.stage-$batchId")
       if (f.exists(stage)) f.delete(stage, true)
-      keyed(batch, readGrid(spark, dir))
+      val grid = readGrid(spark, dir)
+      keyed(batch, grid)
         .repartitionByRange(filesPerBatch, col(KeyCol))
         .sortWithinPartitions(KeyCol)
         .write.mode("overwrite").parquet(stage.toString)
+      writeUnitStats(f, stage, grid.cols :+ KeyCol)
       if (!f.rename(stage, target))
         throw new IllegalStateException(
           s"LayoutIngest: publish rename failed for batch $batchId")
@@ -228,13 +230,19 @@ object LayoutIngest {
         val partFiles = f.listStatus(stage).toSeq.filter(s =>
           s.isFile && isDataFile(s.getPath.getName))
           .sortBy(_.getPath.getName)
-        if (partFiles.size > 1)
+        val statCols = readGrid(spark, dir).cols :+ KeyCol
+        if (partFiles.size > 1) {
           partFiles.zipWithIndex.foreach { case (pf, k) =>
             val sub = new org.apache.hadoop.fs.Path(stage, s"range-$k")
             f.mkdirs(sub)
             f.rename(pf.getPath,
               new org.apache.hadoop.fs.Path(sub, pf.getPath.getName)): Unit
           }
+          (0 until partFiles.size).foreach { k =>
+            writeUnitStats(f,
+              new org.apache.hadoop.fs.Path(stage, s"range-$k"), statCols)
+          }
+        } else writeUnitStats(f, stage, statCols)
         val man = manifestPath(spark, dir, stamp)
         val out = f.create(man, true)
         try out.write((smalls.map(s => s"S\t${s._1}") ++
@@ -437,6 +445,7 @@ object LayoutIngest {
           // written file is inherited from the sorted source files
           spark.read.parquet(d.toString).filter(keep)
             .write.mode("overwrite").parquet(stage.toString)
+          writeUnitStats(f, stage, readGrid(spark, dir).cols :+ KeyCol)
           val man = manifestPath(spark, dir, stamp)
           val out = f.create(man, true)
           try out.write((Seq(s"S\t$name", s"T\tgen-$stamp",
@@ -449,11 +458,83 @@ object LayoutIngest {
       }
     }
 
-  /** Per-dir [min, max] of a long column from the parquet footers —
-    * the statistics a pruning reader consumes, reused here to decide
-    * which dirs a delete must touch. None when the dir holds no data
-    * files or a file lacks stats for the column. */
+  /** Name of the per-unit stats sidecar (a `_`-prefixed file, so the
+    * parquet reader ignores it): one `col\tmin\tmax` line per column
+    * (`col\tnone` when the footers carry no stats for it). Written
+    * into the STAGED dir before the publish rename, so the sidecar is
+    * atomic with the unit itself — a pruning decision then costs one
+    * small read per unit instead of opening every parquet footer in
+    * it (at 100 TB a box touches thousands of units; footer-opening
+    * on the driver was the planning bottleneck). Units without a
+    * sidecar (pre-sidecar tables) fall back to the footers. */
+  private val StatsFile = "_graft_stats.tsv"
+
+  /** Write the sidecar for the columns pruning will ask about, from
+    * the freshly-written (still hot) footers of `unit`. */
+  private def writeUnitStats(f: org.apache.hadoop.fs.FileSystem,
+      unit: org.apache.hadoop.fs.Path, cols: Seq[String]): Unit = {
+    val lines = cols.map { c =>
+      footerColumnRange(f, unit, c) match {
+        case Some((mn, mx)) => s"$c\t$mn\t$mx"
+        case None => s"$c\tnone"
+      }
+    }
+    val out = f.create(new org.apache.hadoop.fs.Path(unit, StatsFile), true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Published units are WRITE-ONCE (atomic-rename publish, never
+    * mutated — deletes and folds mint NEW gen names), so their stats
+    * are immutable and cacheable by path. LRU-bounded; long sessions
+    * over many tables stay flat. */
+  private val MaxStatsCache = 8192
+  private val statsCache = new java.util.LinkedHashMap[
+      (String, String), Option[(Long, Long)]](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (String, String), Option[(Long, Long)]]): Boolean =
+      size() > MaxStatsCache
+  }
+
+  /** Per-dir [min, max] of a long column — the statistics a pruning
+    * reader consumes, reused here to decide which dirs a delete must
+    * touch. Source order: in-memory cache (units are write-once),
+    * sidecar, parquet footers. None when the dir holds no data files
+    * or a file lacks stats for the column. */
   private def dirColumnRange(f: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path, colName: String)
+      : Option[(Long, Long)] = {
+    val key = (d.toString, colName)
+    statsCache.synchronized {
+      val hit = statsCache.get(key)
+      if (hit != null) return hit
+    }
+    // an unreadable/corrupt sidecar (torn disk, checksum mismatch)
+    // degrades to the footer walk — pruning never fails on metadata
+    val fromSidecar: Option[Option[(Long, Long)]] =
+      scala.util.Try {
+        val sp = new org.apache.hadoop.fs.Path(d, StatsFile)
+        if (!f.exists(sp)) None
+        else {
+          val in = f.open(sp)
+          val lines =
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().toList
+            finally in.close()
+          lines.map(_.split("\t")).collectFirst {
+            case Array(c, "none") if c == colName => None
+            case Array(c, mn, mx) if c == colName =>
+              Some((mn.toLong, mx.toLong))
+          }
+        }
+      }.toOption.flatten
+    val r = fromSidecar.getOrElse(footerColumnRange(f, d, colName))
+    statsCache.synchronized(statsCache.put(key, r)): Unit
+    r
+  }
+
+  /** The footer-walk source of truth behind [[dirColumnRange]]. */
+  private def footerColumnRange(f: org.apache.hadoop.fs.FileSystem,
       d: org.apache.hadoop.fs.Path, colName: String)
       : Option[(Long, Long)] = {
     import scala.jdk.CollectionConverters._

@@ -368,6 +368,77 @@ class LayoutIngestSpec extends SparkSpec {
       (0L until 96L).toArray)
   }
 
+  test("publish-time stats sidecars: every published unit carries " +
+      "one, pruning reads it in preference to the footers, and a " +
+      "missing sidecar falls back to the footer walk") {
+    val dir = tmp("layout-stats")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    (0 until 3).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        rows(b * 20 until (b + 1) * 20).toDF("id", "x", "y"),
+        b.toLong, dir, 2))
+    }
+    val units = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory)
+    assert(units.length === 3)
+    units.foreach { u =>
+      val sc = new java.io.File(u, "_graft_stats.tsv")
+      assert(sc.exists(), s"published unit $u must carry a sidecar")
+      val cols = scala.io.Source.fromFile(sc).getLines()
+        .map(_.split("\t")(0)).toSet
+      assert(cols === Set("x", "y", "zkey"))
+    }
+    // PRIORITY: a sidecar claiming a disjoint x range makes pruning
+    // exclude the unit even though its footers intersect — the
+    // sidecar, not the footer walk, is what the pruner consumes
+    // (fresh paths: nothing about this table is cached yet)
+    val poisoned = units.head
+    // write through the Hadoop FS (LocalFileSystem keeps a .crc
+    // sidecar of its own — a raw write would just fail its checksum
+    // and exercise the corrupt-sidecar fallback instead of priority)
+    val hfs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val po = hfs.create(new org.apache.hadoop.fs.Path(
+      new java.io.File(poisoned, "_graft_stats.tsv").getAbsolutePath),
+      true)
+    po.write("x\t100000\t200000\ny\t100000\t200000\nzkey\t0\t0"
+      .getBytes("UTF-8"))
+    po.close()
+    val (hit, live) = LayoutIngest.prunedBoxDirs(spark, dir,
+      Seq(("x", 0L, 99L)))
+    assert(live.size === 3 && hit.size === 2,
+      s"poisoned sidecar must exclude its unit: ${hit.size}/${live.size}")
+    // FALLBACK: units without a sidecar prune from the footers — on a
+    // fresh table (uncached paths) with sidecars removed, a thin box
+    // still prunes and the scan is exact
+    val dir2 = tmp("layout-stats-fb")
+    LayoutIngest.bootstrap(spark, dir2, grid)
+    (0 until 3).foreach { b =>
+      // batch b holds x in [b*20, b*20+19]: disjoint per-unit ranges
+      assert(LayoutIngest.ingestBatch(
+        (b * 20 until (b + 1) * 20).map(i =>
+          (i.toLong, i.toLong, (i * 13 % 100).toLong))
+          .toDF("id", "x", "y"),
+        b.toLong, dir2, 2))
+    }
+    new java.io.File(s"$dir2/data").listFiles().filter(_.isDirectory)
+      .zipWithIndex.foreach { case (u, i) =>
+        val sc = new java.io.File(u, "_graft_stats.tsv")
+        if (i == 0)
+          // CORRUPT (raw write breaks the hadoop .crc): the reader
+          // must degrade to the footer walk, not fail the scan
+          java.nio.file.Files.write(sc.toPath,
+            "garbage".getBytes("UTF-8"))
+        else assert(sc.delete())
+      }
+    val (hit2, live2) = LayoutIngest.prunedBoxDirs(spark, dir2,
+      Seq(("x", 0L, 19L)))
+    assert(live2.size === 3 && hit2.size === 1,
+      s"footer fallback must still prune: ${hit2.size}/${live2.size}")
+    assert(LayoutIngest.scanBox(spark, dir2, Seq(("x", 0L, 19L)))
+      .select("id").as[Long].collect().sorted === (0L to 19L).toArray)
+  }
+
   test("marker-ledger fold: the contiguous committed prefix becomes " +
       "ONE watermark file, replays of folded batches stay no-ops, ids " +
       "above a gap keep their markers, and crash leftovers converge") {
