@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.{Retrieval, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -99,9 +99,13 @@ import org.apache.spark.sql.types._
  * readers run its recovery before listing, so a crashed fold can never
  * serve duplicates); the vocab-sized df/stats partials collapse to one
  * summed partial under the reserved batch stamp −1 (always committed)
- * via the `.next` swap with [[DedupIngest.recoverSwap]]. Commit
- * markers are the PERMANENT ledger — they survive compaction so
- * late replays of folded batches still no-op.
+ * via the `.next` swap with [[DedupIngest.recoverSwap]]. The ledger's
+ * FACTS are permanent — late replays of folded batches still no-op —
+ * but the individual ingest markers themselves fold into a
+ * `batch-upto-<n>` watermark file ([[compactMarkers]]): a long-lived
+ * stream would otherwise mint one marker per micro-batch forever and
+ * every read's marker listing (and its committed-id set) would grow
+ * with stream lifetime rather than index size.
  */
 object IndexIngest {
 
@@ -182,9 +186,11 @@ object IndexIngest {
       .filterNot(_.endsWith(".intent"))
   }
 
-  /** Every committed `__batch` stamp: ingest batch ids, committed
-    * deletions' negative stamps, and the compaction stamp. One small
-    * listing — bounded driver state. */
+  /** Every committed `__batch` stamp still carrying an INDIVIDUAL
+    * marker: the unfolded ingest tail, committed deletions' negative
+    * stamps, and the compaction stamp. Ids folded into the watermark
+    * are NOT here — visibility tests must go through
+    * [[committedPred]], which ORs in the watermark range. */
   private def committedBatches(spark: SparkSession, dir: String): Seq[Long] = {
     val ids = markerNames(spark, dir).flatMap { n =>
       if (n.startsWith("del-")) n.drop(4).toLongOption.map(delStamp)
@@ -193,16 +199,92 @@ object IndexIngest {
     ids :+ CommittedBatch
   }
 
+  /** "Every ingest batch id in [0, n] is committed (and its intent
+    * dropped)" — the highest published `batch-upto-<n>` watermark,
+    * -1 when none. See [[compactMarkers]]. */
+  private def batchWatermark(spark: SparkSession, dir: String): Long = {
+    val (f, root) = DedupIngest.fs(spark, s"$dir/markers")
+    if (!f.exists(root)) -1L
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.matches("batch-upto-\\d+"))
+      .map(_.stripPrefix("batch-upto-").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** The committed-visibility predicate over a batch-stamp column:
+    * inside the watermark's [0, n], OR carrying an individual marker.
+    * This replaces `isInCollection(every historical id)` — both that
+    * literal list and the marker listing behind it grew with stream
+    * LIFETIME (millions of micro-batches at 100 TB), so reads got
+    * slower forever on a table whose size was flat. `ingestOnly`
+    * restricts the tail to non-negative ingest stamps (excludes
+    * deletion/compaction stamps). */
+  private def committedPred(spark: SparkSession, dir: String,
+      c: Column, ingestOnly: Boolean = false): Column = {
+    val w = batchWatermark(spark, dir)
+    val tail = committedBatches(spark, dir)
+      .filter(id => !ingestOnly || id >= 0)
+    (c >= 0L && c <= w) || c.isInCollection(tail)
+  }
+
+  /** Fold the contiguous committed prefix of INGEST batch markers into
+    * ONE `batch-upto-<n>` watermark file ([[LayoutIngest]]'s device):
+    * without it a long-lived stream mints one marker per micro-batch
+    * forever and every read/replay listing walks all of them. The
+    * watermark preserves both ledger facts the individual markers
+    * carried — replay no-ops ([[ingestBm25Batch]] &c. probe it) and
+    * committed visibility ([[committedPred]]). Crash-exact: the
+    * watermark create is atomic and its NAME carries the state
+    * (monotone — readers take the max); folded markers, their leftover
+    * intents (an intent at or below the watermark is by definition a
+    * committed batch's leftover), and superseded watermarks are deleted
+    * after, and every intermediate state converges on the next fold.
+    * Deletion markers (`del-*`) are PERMANENT — deletion volume is
+    * takedown-sized, not stream-lifetime-sized. Runs from the ingest
+    * thread (the single-writer cadence); the stream loops call it
+    * after every batch. */
+  def compactMarkers(spark: SparkSession, dir: String): Unit =
+      withLedgerLock(spark, dir) {
+    val (f, root) = DedupIngest.fs(spark, s"$dir/markers")
+    if (!f.exists(root)) return
+    val names = f.listStatus(root).toSeq.map(_.getPath.getName)
+    val w = names.filter(_.matches("batch-upto-\\d+"))
+      .map(_.stripPrefix("batch-upto-").toLong).foldLeft(-1L)(math.max)
+    val commits = names.filterNot(_.startsWith("del-"))
+      .filterNot(_.endsWith(".intent"))
+      .flatMap(_.toLongOption).filter(_ >= 0).toSet
+    var n = w
+    while (commits.contains(n + 1)) n += 1
+    if (n > w)
+      f.create(new org.apache.hadoop.fs.Path(root,
+        s"batch-upto-$n"), true).close()
+    if (n >= 0) {
+      commits.filter(_ <= n).foreach(i => f.delete(
+        new org.apache.hadoop.fs.Path(root, i.toString), false))
+      names.filter(_.endsWith(".intent"))
+        .flatMap(_.stripSuffix(".intent").toLongOption)
+        .filter(i => i >= 0 && i <= n)
+        .foreach(i => f.delete(
+          new org.apache.hadoop.fs.Path(root, s"$i.intent"), false))
+      names.filter(_.matches("batch-upto-\\d+"))
+        .map(_.stripPrefix("batch-upto-").toLong).filter(_ < n)
+        .foreach(m => f.delete(
+          new org.apache.hadoop.fs.Path(root, s"batch-upto-$m"), false))
+    }
+  }
+
   /** Highest ingest batch id the ledger has SEEN (commit or intent) —
     * the coverage horizon a deletion records so replays of earlier
     * batches know to re-apply it. */
   private def maxSeenBatch(spark: SparkSession, dir: String): Long = {
     val (f, root) = DedupIngest.fs(spark, s"$dir/markers")
-    val ids = if (!f.exists(root)) Seq.empty[Long]
+    val names = if (!f.exists(root)) Seq.empty[String]
       else f.listStatus(root).toSeq.map(_.getPath.getName)
-        .filterNot(_.startsWith("del-"))
-        .map(_.stripSuffix(".intent")).flatMap(_.toLongOption)
-    if (ids.isEmpty) -1L else ids.max
+    val w = names.filter(_.matches("batch-upto-\\d+"))
+      .map(_.stripPrefix("batch-upto-").toLong).foldLeft(-1L)(math.max)
+    val ids = names.filterNot(_.startsWith("del-"))
+      .map(_.stripSuffix(".intent")).flatMap(_.toLongOption)
+    (ids :+ w).max
   }
 
   private val TombSchema = StructType(Seq(
@@ -267,7 +349,8 @@ object IndexIngest {
     val spark = batch.sparkSession
     require(batchId >= 0, s"batchId must be non-negative, got $batchId" +
       " (negative stamps are reserved for deletions/compaction)")
-    if (hasMarker(spark, dir, batchId.toString)) return false
+    if (hasMarker(spark, dir, batchId.toString) ||
+      batchId <= batchWatermark(spark, dir)) return false
     if (hasMarker(spark, dir, s"$batchId.intent")) {
       purgeBatch(spark, s"$dir/tf", TfSchema, batchId)
       purgeBatch(spark, s"$dir/df", DfSchema, batchId)
@@ -313,14 +396,14 @@ object IndexIngest {
     * feeds). */
   def readBm25(spark: SparkSession, dir: String): Retrieval.Bm25Index = {
     DedupIngest.recoverFold(spark, s"$dir/tf")
-    val valid = committedBatches(spark, dir)
+    val vis = committedPred(spark, dir, col("__batch"))
     val tf = DedupIngest.readOrEmpty(spark, s"$dir/tf", TfSchema)
-      .filter(col("__batch").isInCollection(valid))
+      .filter(vis)
     val df = DedupIngest.readOrEmpty(spark, s"$dir/df", DfSchema)
-      .filter(col("__batch").isInCollection(valid))
+      .filter(vis)
       .groupBy("__t").agg(sum("__df").as("__df"))
     val stats = DedupIngest.readOrEmpty(spark, s"$dir/stats", StatsSchema)
-      .filter(col("__batch").isInCollection(valid))
+      .filter(vis)
       .agg(sum("__n").as("__n"),
         (sum("__dlsum").cast("double") / sum("__n")).as("__avgdl"),
         coalesce(sum("__dlsum"), lit(0L)).cast("long").as("__dlsum"))
@@ -338,6 +421,7 @@ object IndexIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBm25Batch(batch, batchId, dir, idCol, textCol)
+        compactMarkers(batch.sparkSession, dir)
         compactEvery.foreach { every =>
           if ((batchId + 1) % every == 0)
             compactBm25(batch.sparkSession, dir, smallFileBytes)
@@ -357,14 +441,14 @@ object IndexIngest {
     * doc). */
   def compactBm25(spark: SparkSession, dir: String,
       smallFileBytes: Long = 32L << 20): Unit = withLedgerLock(spark, dir) {
-    val valid = committedBatches(spark, dir)
+    val vis = committedPred(spark, dir, col("__batch"))
     def swapFold(path: String, schema: StructType,
         fold: DataFrame => DataFrame): Unit = {
       DedupIngest.recoverSwap(spark, path)
       val (f, live) = DedupIngest.fs(spark, path)
       if (!f.exists(live)) return
       val folded = fold(spark.read.schema(schema).parquet(path)
-        .filter(col("__batch").isInCollection(valid)))
+        .filter(vis))
       folded.coalesce(1).write.parquet(path + ".next")
       f.delete(live, true)
       f.rename(new org.apache.hadoop.fs.Path(path + ".next"), live)
@@ -462,7 +546,7 @@ object IndexIngest {
     // partials below derive from the committed slice only (uncommitted
     // rows have no positive partials to cancel).
     DedupIngest.recoverFold(spark, s"$dir/tf")
-    val valid = committedBatches(spark, dir)
+    val vis = committedPred(spark, dir, col("__batch"))
     val tmpPath = new org.apache.hadoop.fs.Path(stage + ".tmp")
     if (!f.exists(stagePath) && f.exists(tmpPath) &&
         f.exists(new org.apache.hadoop.fs.Path(stage + ".tmp/_SUCCESS"))) {
@@ -478,7 +562,7 @@ object IndexIngest {
     f.mkdirs(stagePath.getParent)
     f.rename(tmpPath, stagePath)
     val removed = spark.read.schema(TfSchema).parquet(stage)
-      .filter(col("__batch").isInCollection(valid))
+      .filter(vis)
     removed.groupBy("__t")
       .agg((-countDistinct("__id")).as("__df"))
       .select(col("__t"), col("__df").cast("long"),
@@ -581,7 +665,8 @@ object IndexIngest {
     val spark = batch.sparkSession
     require(batchId >= 0, s"batchId must be non-negative, got $batchId" +
       " (negative stamps are reserved for deletions/compaction)")
-    if (hasMarker(spark, dir, batchId.toString)) return false
+    if (hasMarker(spark, dir, batchId.toString) ||
+      batchId <= batchWatermark(spark, dir)) return false
     if (hasMarker(spark, dir, s"$batchId.intent"))
       purgeBatch(spark, s"$dir/assigned", AssignedSchema, batchId)
     val tomb = tombstonedIds(spark, dir, batchId)
@@ -615,10 +700,9 @@ object IndexIngest {
   def readIvf(spark: SparkSession, dir: String,
       idCol: String = "vec_id"): Similarity.IvfIndex = {
     DedupIngest.recoverFold(spark, s"$dir/assigned")
-    val valid = committedBatches(spark, dir)
     Similarity.IvfIndex(
       DedupIngest.readOrEmpty(spark, s"$dir/assigned", AssignedSchema)
-        .filter(col("__batch").isInCollection(valid))
+        .filter(committedPred(spark, dir, col("__batch")))
         .select(col("__vid").as(idCol), col("__cvec"), col("__cell")),
       readCentroids(spark, dir))
   }
@@ -634,6 +718,7 @@ object IndexIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestIvfBatch(batch, batchId, dir, idCol, vecCol)
+        compactMarkers(batch.sparkSession, dir)
         compactEvery.foreach { every =>
           if ((batchId + 1) % every == 0)
             compactIvf(batch.sparkSession, dir, smallFileBytes)
@@ -701,7 +786,8 @@ object IndexIngest {
     val spark = batch.sparkSession
     require(batchId >= 0, s"batchId must be non-negative, got $batchId" +
       " (negative stamps are reserved for deletions/compaction)")
-    if (hasMarker(spark, dir, batchId.toString)) return false
+    if (hasMarker(spark, dir, batchId.toString) ||
+      batchId <= batchWatermark(spark, dir)) return false
     if (hasMarker(spark, dir, s"$batchId.intent"))
       purgeBatch(spark, s"$dir/codes", CodesSchema, batchId)
     val tomb = tombstonedIds(spark, dir, batchId)
@@ -737,10 +823,9 @@ object IndexIngest {
   def readPq(spark: SparkSession, dir: String,
       idCol: String = "vec_id"): Similarity.PqIndex = {
     DedupIngest.recoverFold(spark, s"$dir/codes")
-    val valid = committedBatches(spark, dir)
     Similarity.PqIndex(
       DedupIngest.readOrEmpty(spark, s"$dir/codes", CodesSchema)
-        .filter(col("__batch").isInCollection(valid))
+        .filter(committedPred(spark, dir, col("__batch")))
         .select(col("__vid").as(idCol), col("__j"), col("__code")),
       readCodebook(spark, dir))
   }
@@ -756,6 +841,7 @@ object IndexIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestPqBatch(batch, batchId, dir, idCol, vecCol)
+        compactMarkers(batch.sparkSession, dir)
         compactEvery.foreach { every =>
           if ((batchId + 1) % every == 0)
             compactPq(batch.sparkSession, dir, smallFileBytes)
@@ -818,13 +904,12 @@ object IndexIngest {
       upTo: Long): Seq[Seq[Double]] = {
     DedupIngest.recoverFold(spark, s"$dir/partials")
     val seeds = spark.read.schema(KmSeedSchema).parquet(s"$dir/seeds")
-    val valid = committedBatches(spark, dir)
     // committed AND horizon-visible: ingest partials fold when their
     // batch id < upTo (coalesce covers pre-__h rows), deletion partials
     // when they were committed before batch `upTo` was first ingested
     val partials = DedupIngest
       .readOrEmpty(spark, s"$dir/partials", KmPartialSchema)
-      .filter(col("__batch").isInCollection(valid) &&
+      .filter(committedPred(spark, dir, col("__batch")) &&
         coalesce(col("__h"), col("__batch")) < upTo)
       .select(col("__cl"), col("__s"))
     val folded = seeds.select(col("__cl"), col("__s"))
@@ -862,7 +947,8 @@ object IndexIngest {
     val spark = batch.sparkSession
     require(batchId >= 0, s"batchId must be non-negative, got $batchId" +
       " (negative stamps are reserved for compaction)")
-    if (hasMarker(spark, dir, batchId.toString)) return false
+    if (hasMarker(spark, dir, batchId.toString) ||
+      batchId <= batchWatermark(spark, dir)) return false
     if (hasMarker(spark, dir, s"$batchId.intent"))
       purgeBatch(spark, s"$dir/partials", KmPartialSchema, batchId)
     // a batch replaying AFTER a committed deletion must not resurrect
@@ -905,6 +991,7 @@ object IndexIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestKmeansBatch(batch, batchId, dir, idCol, vecCol)
+        compactMarkers(batch.sparkSession, dir)
         compactEvery.foreach { every =>
           if ((batchId + 1) % every == 0)
             compactKmeans(batch.sparkSession, dir, smallFileBytes)
@@ -1000,7 +1087,6 @@ object IndexIngest {
         f.rename(tmpPath, stagePath)
       } else {
         if (f.exists(tmpPath)) f.delete(tmpPath, true)
-        val committed = committedBatches(spark, dir).filter(_ >= 0)
         val priorDels = markerNames(spark, dir)
           .filter(_.startsWith("del-")).flatMap(_.drop(4).toLongOption)
           .filter(_ != deleteId)
@@ -1016,7 +1102,8 @@ object IndexIngest {
         val snap0 = docs.select(col(idCol).cast("long").as("__vid"),
             col(vecCol).cast(ArrayType(FloatType)).as("__v"),
             col(batchCol).cast("long").as("__b"))
-          .filter(col("__b").isInCollection(committed))
+          .filter(committedPred(spark, dir, col("__b"),
+            ingestOnly = true))
         val snap = (if (priorIds.isEmpty) snap0
           else snap0.filter(
             !col("__vid").cast("string").isInCollection(priorIds)))

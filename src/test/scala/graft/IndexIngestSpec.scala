@@ -122,6 +122,52 @@ class IndexIngestSpec extends SparkSpec {
       batch7.toDF("doc_id", "text"), 7L, dir))
   }
 
+  test("marker ledger folds into a batch-upto watermark: replays " +
+      "still no-op, serving unchanged, gaps and deletions survive") {
+    val dir = tmp("bm25-markers")
+    def markerNames: Set[String] =
+      new java.io.File(s"$dir/markers").listFiles()
+        .map(_.getName)
+        .filterNot(n => n == "lock" || n.startsWith(".")).toSet
+    // ids 0,1,3 committed (2 in flight with another writer)
+    assert(IndexIngest.ingestBm25Batch(
+      batch1.toDF("doc_id", "text"), 0L, dir))
+    assert(IndexIngest.ingestBm25Batch(
+      batch2.toDF("doc_id", "text"), 1L, dir))
+    val b3 = Seq((106L, "kiwi plum apple"))
+    assert(IndexIngest.ingestBm25Batch(b3.toDF("doc_id", "text"), 3L, dir))
+    // crash between commit and intent-drop leaves a stale intent — the
+    // fold retires it with its committed marker
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/markers/1.intent"))
+    IndexIngest.compactMarkers(spark, dir)
+    assert(markerNames === Set("batch-upto-1", "3"),
+      s"fold must stop at the gap, got $markerNames")
+    val full3 = batchPath(batch1 ++ batch2 ++ b3)
+    assert(served(dir) === full3,
+      "folded batches must stay visible through the watermark")
+    // replay of a FOLDED batch is still a no-op
+    assert(!IndexIngest.ingestBm25Batch(
+      batch1.toDF("doc_id", "text"), 0L, dir))
+    assert(served(dir) === full3)
+    // the gap commits -> the next fold absorbs everything
+    val b2 = Seq((107L, "pear pear banana"))
+    assert(IndexIngest.ingestBm25Batch(b2.toDF("doc_id", "text"), 2L, dir))
+    IndexIngest.compactMarkers(spark, dir)
+    assert(markerNames === Set("batch-upto-3"))
+    assert(served(dir) === batchPath(batch1 ++ batch2 ++ b3 ++ b2))
+    // a deletion AFTER the fold: the del marker is permanent, its
+    // negative partials serve, and a replay of a folded batch still
+    // no-ops (does not resurrect the doc)
+    assert(IndexIngest.deleteBm25Docs(spark, dir, Seq("101"), 9L))
+    IndexIngest.compactMarkers(spark, dir)
+    assert(markerNames === Set("batch-upto-3", "del-9"))
+    assert(served(dir) === batchPath(
+      (batch1.filterNot(_._1 == 101L)) ++ batch2 ++ b3 ++ b2))
+    assert(!IndexIngest.ingestBm25Batch(
+      batch1.toDF("doc_id", "text"), 0L, dir))
+  }
+
   test("bm25 crash matrix: every append-prefix crash state converges on replay") {
     // the ingest append sequence is [intent, df, stats, tf, commit];
     // construct the on-disk state after a crash at each prefix (the
