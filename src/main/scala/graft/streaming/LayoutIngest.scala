@@ -496,6 +496,15 @@ object LayoutIngest {
       size() > MaxStatsCache
   }
 
+  /** Drop the in-process stats cache. The cache is sound because
+    * published units are write-once — the ONE way to violate that is
+    * deleting a whole table dir and re-bootstrapping at the SAME path
+    * (batch-0 of the new lineage collides with the cached batch-0 of
+    * the old). Call this after such a drop-and-recreate; tables at
+    * fresh paths never need it. */
+  def clearStatsCache(): Unit =
+    statsCache.synchronized(statsCache.clear())
+
   /** Per-dir [min, max] of a long column — the statistics a pruning
     * reader consumes, reused here to decide which dirs a delete must
     * touch. Source order: in-memory cache (units are write-once),
