@@ -6812,6 +6812,90 @@ WHERE rk <= 40"""
       .select(col("event_id"), col("zkey"))
   }
 
+  /** BLOOM-SIDECAR POINT LOOKUP on the streamed clustered table
+    * ([[graft.streaming.LayoutIngest.scanPoints]]): q161's build with
+    * a per-unit Bloom filter on `event_id` — a column the layout does
+    * NOT cluster, so min/max statistics cannot prune an equality
+    * probe (every unit's range intersects a mid-domain id). The scan
+    * probes three ids derived from the table's own domain with
+    * integer arithmetic the oracle replays; units whose bloom
+    * excludes all three are never opened (the query refuses to answer
+    * unless the blooms actually pruned), false positives and
+    * bloom-less units are covered by the `isin` residual, so the
+    * hash gate proves exactness end-to-end. Oracle = the key formula
+    * over events restricted to the same IN list. */
+  val q166BloomPointScan: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts"))
+    val root = streamIndexDir("q166", dir, "events")
+    val tableDir = s"$root/table"
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16, bloomCols = Seq("event_id")))
+    }
+    val stream = eventStreamSource(s, dir, "q166", ev)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"q166-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
+    registerCleanup(ckpt)
+    val q = graft.streaming.LayoutIngest.start(stream, tableDir,
+      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true)
+    q.awaitTermination()
+    // fold into a ~8-leaf range-split generation (q165's shape): with
+    // only the two L0 batch dirs every unit holds ids from the whole
+    // domain and a spread probe could not prune anything
+    def parquetBytes(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .map(parquetBytes).sum
+      else if (f.getName.endsWith(".parquet")) f.length else 0L
+    val dataDir = new java.io.File(s"$tableDir/data")
+    if (Option(dataDir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .count(_.isDirectory) >= 2)
+      graft.streaming.LayoutIngest.compact(s, tableDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L, parquetBytes(dataDir) / 8))
+    val eb = ev.agg(min("event_id"), max("event_id")).head()
+    val (emn, emx) = (eb.getLong(0), eb.getLong(1))
+    val probes = Seq(1L, 3L, 5L).map(j => emn + (emx - emn) * j / 7)
+    val (hit, live) = graft.streaming.LayoutIngest.pointProbeDirs(
+      s, tableDir, "event_id", probes)
+    require(hit.size < live.size,
+      s"q166: the bloom must prune some units, got ${hit.size}/${live.size}")
+    graft.streaming.LayoutIngest.scanPoints(s, tableDir, "event_id",
+      probes)
+      .select(col("event_id"), col("zkey"))
+  }
+
+  val q166Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx,
+       |    MIN(event_id) AS emn, MAX(event_id) AS emx
+       |  FROM events),
+       |q AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy
+       |  FROM events
+       |  WHERE event_id IN (
+       |    SELECT emn + ((emx - emn) * 1) // 7 FROM b UNION ALL
+       |    SELECT emn + ((emx - emn) * 3) // 7 FROM b UNION ALL
+       |    SELECT emn + ((emx - emn) * 5) // 7 FROM b))
+       |SELECT event_id, $terms AS zkey FROM q""".stripMargin
+  }
+
   val q164Sql: String = {
     val terms = (0 until 16).flatMap(i => Seq(
       s"(((qx >> $i) & 1) << ${2 * i})",
@@ -7162,7 +7246,8 @@ WHERE rk <= 40"""
     "q164_clustered_scan" -> (q164ClusteredScan, Some(q164Sql)),
     // q165 re-runs q164's slice oracle against a table whose fold was
     // forced to publish a RANGE-SPLIT generation (leaf-unit pruning)
-    "q165_split_compact_scan" -> (q165SplitCompactScan, Some(q164Sql)))
+    "q165_split_compact_scan" -> (q165SplitCompactScan, Some(q164Sql)),
+    "q166_bloom_point_scan" -> (q166BloomPointScan, Some(q166Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

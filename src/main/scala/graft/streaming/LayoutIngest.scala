@@ -60,9 +60,20 @@ object LayoutIngest {
   /** `curve`: "zorder" (any dims) or "hilbert" (≥2 dims, the Skilling
     * N-dim form — tighter locality at the same grid; the LayoutProbe
     * numbers). A table property like the rest of the grid: every
-    * writer keys with the same curve forever. */
+    * writer keys with the same curve forever.
+    *
+    * `bloomCols`: long-typed columns to carry a per-unit Bloom-filter
+    * sidecar for POINT lookups — the clustered columns' min/max stats
+    * prune boxes, but an equality probe on a NON-clustered column
+    * (e.g. `event_id = k` on a (user_id, ts)-clustered table) finds
+    * every unit's range intersecting. A bloom answers "this unit
+    * cannot contain k" with no false negatives, so [[scanPoints]]
+    * prunes exactly like a box scan does; false positives only add
+    * units to read — the residual filter keeps results exact. Costs
+    * one extra pass over each freshly-staged unit per column at
+    * publish time (the lakehouse bloom-index trade). */
   final case class Grid(cols: Seq[String], bounds: Seq[(Long, Long)],
-      bits: Int, curve: String = "zorder")
+      bits: Int, curve: String = "zorder", bloomCols: Seq[String] = Nil)
 
   /** Create the table: persist the grid (the fixed quantization
     * contract every future writer shares). Fails if the dir already
@@ -79,8 +90,8 @@ object LayoutIngest {
     require(!f.exists(p), s"LayoutIngest.bootstrap: $dir already has a grid")
     import spark.implicits._
     Seq((grid.cols, grid.bounds.map(_._1), grid.bounds.map(_._2),
-        grid.bits, grid.curve))
-      .toDF("cols", "mns", "mxs", "bits", "curve")
+        grid.bits, grid.curve, grid.bloomCols))
+      .toDF("cols", "mns", "mxs", "bits", "curve", "bloomCols")
       .coalesce(1).write.parquet(s"$dir/grid")
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/markers"))
@@ -95,7 +106,11 @@ object LayoutIngest {
       // tables written before the curve column are z-order by contract
       if (df.schema.fieldNames.contains("curve"))
         r.getString(df.schema.fieldIndex("curve"))
-      else "zorder")
+      else "zorder",
+      // and before the bloomCols column, bloom-free
+      if (df.schema.fieldNames.contains("bloomCols"))
+        r.getSeq[String](df.schema.fieldIndex("bloomCols"))
+      else Nil)
   }
 
   /** The grid's key expression over a batch — the ONE place the curve
@@ -165,6 +180,7 @@ object LayoutIngest {
         .sortWithinPartitions(KeyCol)
         .write.mode("overwrite").parquet(stage.toString)
       writeUnitStats(f, stage, grid.cols :+ KeyCol)
+      writeUnitBlooms(spark, f, stage, grid.bloomCols)
       if (!f.rename(stage, target))
         throw new IllegalStateException(
           s"LayoutIngest: publish rename failed for batch $batchId")
@@ -230,7 +246,8 @@ object LayoutIngest {
         val partFiles = f.listStatus(stage).toSeq.filter(s =>
           s.isFile && isDataFile(s.getPath.getName))
           .sortBy(_.getPath.getName)
-        val statCols = readGrid(spark, dir).cols :+ KeyCol
+        val gridNow = readGrid(spark, dir)
+        val statCols = gridNow.cols :+ KeyCol
         if (partFiles.size > 1) {
           partFiles.zipWithIndex.foreach { case (pf, k) =>
             val sub = new org.apache.hadoop.fs.Path(stage, s"range-$k")
@@ -239,10 +256,14 @@ object LayoutIngest {
               new org.apache.hadoop.fs.Path(sub, pf.getPath.getName)): Unit
           }
           (0 until partFiles.size).foreach { k =>
-            writeUnitStats(f,
-              new org.apache.hadoop.fs.Path(stage, s"range-$k"), statCols)
+            val sub = new org.apache.hadoop.fs.Path(stage, s"range-$k")
+            writeUnitStats(f, sub, statCols)
+            writeUnitBlooms(spark, f, sub, gridNow.bloomCols)
           }
-        } else writeUnitStats(f, stage, statCols)
+        } else {
+          writeUnitStats(f, stage, statCols)
+          writeUnitBlooms(spark, f, stage, gridNow.bloomCols)
+        }
         val man = manifestPath(spark, dir, stamp)
         val out = f.create(man, true)
         try out.write((smalls.map(s => s"S\t${s._1}") ++
@@ -445,7 +466,9 @@ object LayoutIngest {
           // written file is inherited from the sorted source files
           spark.read.parquet(d.toString).filter(keep)
             .write.mode("overwrite").parquet(stage.toString)
-          writeUnitStats(f, stage, readGrid(spark, dir).cols :+ KeyCol)
+          val gridNow = readGrid(spark, dir)
+          writeUnitStats(f, stage, gridNow.cols :+ KeyCol)
+          writeUnitBlooms(spark, f, stage, gridNow.bloomCols)
           val man = manifestPath(spark, dir, stamp)
           val out = f.create(man, true)
           try out.write((Seq(s"S\t$name", s"T\tgen-$stamp",
@@ -484,6 +507,109 @@ object LayoutIngest {
     finally out.close()
   }
 
+  private def bloomFile(c: String) = s"_graft_bloom_$c"
+
+  /** Write the per-unit Bloom sidecars for the grid's `bloomCols`
+    * (see [[Grid]]) from the freshly-staged unit — one distributed
+    * pass per column, filter sized to the unit's actual row count
+    * (a footer-metadata count, no data read), fpp 1%. Written into
+    * the STAGE like [[writeUnitStats]], so atomic with the unit. */
+  private def writeUnitBlooms(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem,
+      unit: org.apache.hadoop.fs.Path, bloomCols: Seq[String]): Unit =
+    if (bloomCols.nonEmpty) {
+      val df = spark.read.parquet(unit.toString)
+      bloomCols.foreach { c =>
+        require(df.schema.fieldNames.contains(c) &&
+          df.schema(c).dataType ==
+            org.apache.spark.sql.types.LongType,
+          s"bloom column '$c' must be a LONG column of the table " +
+            s"(got ${scala.util.Try(df.schema(c).dataType).toOption})")
+      }
+      val n = math.max(64L, df.count())
+      bloomCols.foreach { c =>
+        val bloom = df.stat.bloomFilter(c, n, 0.01)
+        val out = f.create(
+          new org.apache.hadoop.fs.Path(unit, bloomFile(c)), true)
+        try bloom.writeTo(out) finally out.close()
+      }
+    }
+
+  /** Bloom sidecar bytes, LRU-cached by write-once unit path; None
+    * when absent or unreadable (probe degrades to reading the unit —
+    * same conservative rule as missing stats). */
+  private val MaxBloomCache = 128
+  private val bloomCache = new java.util.LinkedHashMap[
+      (String, String), Option[Array[Byte]]](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (String, String), Option[Array[Byte]]]): Boolean =
+      size() > MaxBloomCache
+  }
+
+  private def unitBloom(f: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path, c: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val key = (d.toString, c)
+    val bytes = bloomCache.synchronized(Option(bloomCache.get(key)))
+      .getOrElse {
+        val r = scala.util.Try {
+          val p = new org.apache.hadoop.fs.Path(d, bloomFile(c))
+          if (!f.exists(p)) None
+          else {
+            val in = f.open(p)
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              val chunk = new Array[Byte](64 << 10)
+              var k = in.read(chunk)
+              while (k >= 0) { buf.write(chunk, 0, k); k = in.read(chunk) }
+              Some(buf.toByteArray)
+            } finally in.close()
+          }
+        }.toOption.flatten
+        bloomCache.synchronized(bloomCache.put(key, r)): Unit
+        r
+      }
+    bytes.flatMap(b => scala.util.Try(
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(b))).toOption)
+  }
+
+  /** (units a point probe must read, all live units): a unit is read
+    * when its bloom might contain ANY probed value, or when it has no
+    * bloom for the column (conservative). No false negatives — a unit
+    * holding a probed value is always read. */
+  private[graft] def pointProbeDirs(spark: SparkSession, dir: String,
+      column: String, values: Seq[Long])
+      : (Seq[org.apache.hadoop.fs.Path], Seq[org.apache.hadoop.fs.Path]) = {
+    val (f, _) = DedupIngest.fs(spark, s"$dir/data")
+    val dirs = liveDirs(spark, dir)
+    (dirs.filter { d =>
+      unitBloom(f, d, column) match {
+        case Some(b) => values.exists(b.mightContainLong)
+        case None => true
+      }
+    }, dirs)
+  }
+
+  /** Point lookup through the Bloom sidecars — the equality twin of
+    * [[scanBox]] for columns the layout does NOT cluster on: units
+    * whose bloom excludes every probed value are never opened; the
+    * `isin` residual keeps the result exact through false positives
+    * and bloom-less units. */
+  def scanPoints(spark: SparkSession, dir: String,
+      column: String, values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "scanPoints: no values to probe")
+    val (hit, live) = pointProbeDirs(spark, dir, column, values)
+    val pred = col(column).isInCollection(values)
+    if (hit.nonEmpty)
+      spark.read.parquet(hit.map(_.toString): _*).filter(pred)
+    else if (live.nonEmpty)
+      // zero candidate units: keep the full schema via one live dir —
+      // its bloom already proves the probe empty there
+      spark.read.parquet(live.head.toString).filter(pred)
+    else emptyShape(spark, dir).filter(pred)
+  }
+
   /** Published units are WRITE-ONCE (atomic-rename publish, never
     * mutated — deletes and folds mint NEW gen names), so their stats
     * are immutable and cacheable by path. LRU-bounded; long sessions
@@ -502,8 +628,10 @@ object LayoutIngest {
     * (batch-0 of the new lineage collides with the cached batch-0 of
     * the old). Call this after such a drop-and-recreate; tables at
     * fresh paths never need it. */
-  def clearStatsCache(): Unit =
+  def clearStatsCache(): Unit = {
     statsCache.synchronized(statsCache.clear())
+    bloomCache.synchronized(bloomCache.clear())
+  }
 
   /** Per-dir [min, max] of a long column — the statistics a pruning
     * reader consumes, reused here to decide which dirs a delete must

@@ -439,6 +439,77 @@ class LayoutIngestSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted === (0L to 19L).toArray)
   }
 
+  test("bloom sidecars: point lookups on a NON-clustered column prune " +
+      "units, never drop a present value, survive compaction and " +
+      "deletes, and degrade conservatively without a bloom") {
+    val dir = tmp("layout-bloom")
+    LayoutIngest.bootstrap(spark, dir,
+      grid.copy(bloomCols = Seq("id")))
+    // ids are spread across batches so NO contiguous unit range could
+    // answer an id probe — x/y stats are useless here, only the bloom
+    // prunes (ids: batch b holds 4*i + b for i in 0..24)
+    def batchRows(b: Int): Seq[(Long, Long, Long)] =
+      (0 until 25).map(i => ((4 * i + b).toLong,
+        (i * 7 % 100).toLong, (i * 13 % 100).toLong))
+    (0 until 4).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        batchRows(b).toDF("id", "x", "y"), b.toLong, dir, 1))
+    }
+    val units = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory)
+    units.foreach { u =>
+      assert(new java.io.File(u, "_graft_bloom_id").exists(),
+        s"published unit $u must carry the id bloom")
+    }
+    // exact scan + pruning: id 42 lives ONLY in batch 2 (42 = 4*10+2)
+    assert(LayoutIngest.scanPoints(spark, dir, "id", Seq(42L))
+      .select("id").as[Long].collect() === Array(42L))
+    val (hit, live) = LayoutIngest.pointProbeDirs(spark, dir, "id",
+      Seq(42L))
+    assert(live.size === 4 && hit.size < 4,
+      s"an id probe must bloom-prune some units: ${hit.size}/4")
+    // no false negatives across EVERY id (the bloom contract)
+    val all = LayoutIngest.scanPoints(spark, dir, "id",
+      (0L until 100L).toSeq).select("id").as[Long].collect().sorted
+    assert(all === (0L until 100L).toArray)
+    // an absent value scans to empty (possibly via false positives)
+    assert(LayoutIngest.scanPoints(spark, dir, "id", Seq(100000L))
+      .count() === 0L)
+    // compaction republishes blooms on the folded generation
+    LayoutIngest.compact(spark, dir, smallFileBytes = 1L << 30)
+    LayoutIngest.clearStatsCache()
+    assert(LayoutIngest.scanPoints(spark, dir, "id", Seq(42L))
+      .select("id").as[Long].collect() === Array(42L))
+    // a targeted delete rebuilds the rewritten unit's bloom; the
+    // deleted slice is gone, the rest exact
+    assert(LayoutIngest.deleteBox(spark, dir,
+      Seq(("x", 0L, 0L)), 3L)) // x==0 <=> i==0 <=> ids 0,1,2,3
+    LayoutIngest.clearStatsCache()
+    assert(LayoutIngest.scanPoints(spark, dir, "id",
+      (0L until 100L).toSeq).select("id").as[Long].collect().sorted ===
+      (4L until 100L).toArray)
+    // bloom-less units (sidecar stripped) are read conservatively
+    new java.io.File(s"$dir/data").listFiles().filter(_.isDirectory)
+      .foreach { u =>
+        val leaves =
+          if (u.listFiles().exists(d => d.isDirectory &&
+            d.getName.startsWith("range-")))
+            u.listFiles().filter(_.isDirectory).toSeq
+          else Seq(u)
+        leaves.foreach { l =>
+          val b = new java.io.File(l, "_graft_bloom_id")
+          if (b.exists()) assert(b.delete())
+        }
+      }
+    LayoutIngest.clearStatsCache()
+    val (hit2, live2) = LayoutIngest.pointProbeDirs(spark, dir, "id",
+      Seq(42L))
+    assert(hit2.size === live2.size,
+      "without blooms every unit must be read")
+    assert(LayoutIngest.scanPoints(spark, dir, "id", Seq(42L))
+      .select("id").as[Long].collect() === Array(42L))
+  }
+
   test("marker-ledger fold: the contiguous committed prefix becomes " +
       "ONE watermark file, replays of folded batches stay no-ops, ids " +
       "above a gap keep their markers, and crash leftovers converge") {
