@@ -802,4 +802,42 @@ object LayoutIngest {
   private def dirBytes(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Long =
     f.listStatus(p).filter(_.isFile).map(_.getLen).sum
+
+  /** Operational view of the table (the DESCRIBE DETAIL every table
+    * format grows): one row per LIVE unit — name, data files, bytes,
+    * exact row count (parquet footer record counts, no data read),
+    * the cluster-key range, and per-clustered-column min/max from the
+    * same statistics pruning consumes. Inspecting what the pruner
+    * sees is how a user debugs a box scan that reads too much (e.g. a
+    * skew-widened unit). Driver-only metadata pass, O(live units). */
+  def describe(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val grid = readGrid(spark, dir)
+    val (f, _) = DedupIngest.fs(spark, s"$dir/data")
+    // unit name relative to data/ (leafUnits' convention), robust to
+    // scheme-qualified listing paths
+    def unitName(d: org.apache.hadoop.fs.Path): String =
+      if (d.getParent.getName == "data") d.getName
+      else s"${d.getParent.getName}/${d.getName}"
+    val rows = liveDirs(spark, dir).map { d =>
+      val files = f.listStatus(d).toSeq.filter(s =>
+        s.isFile && isDataFile(s.getPath.getName))
+      val nRows = files.map { st =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            st.getPath, f.getConf))
+        try rdr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally rdr.close()
+      }.sum
+      val ranges = (grid.cols :+ KeyCol).map(c =>
+        dirColumnRange(f, d, c))
+      (unitName(d), files.size.toLong,
+        files.map(_.getLen).sum, nRows,
+        ranges.map(_.map(_._1)), ranges.map(_.map(_._2)))
+    }
+    import spark.implicits._
+    rows.toDF("unit", "files", "bytes", "rows", "col_mins", "col_maxs")
+      .withColumn("stat_cols",
+        typedLit(grid.cols :+ KeyCol))
+  }
 }

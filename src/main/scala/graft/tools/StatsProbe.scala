@@ -69,6 +69,13 @@ object StatsProbe {
     }
 
     println(s"units=$units filesPerUnit=$filesPer rowsPerUnit=$rowsPer")
+    // operational view sanity: every unit accounted for, exact rows
+    val desc = LayoutIngest.describe(spark, dir)
+      .agg(count(lit(1)), sum("rows"), sum("files")).head()
+    println(s"describe: units=${desc.getLong(0)} rows=${desc.getLong(1)} " +
+      s"files=${desc.getLong(2)}")
+    require(desc.getLong(0) == units && desc.getLong(1) == domain,
+      s"describe mismatch: $desc")
     LayoutIngest.clearStatsCache()
     time("sidecar", clearEach = true)
     time("cached", clearEach = false)

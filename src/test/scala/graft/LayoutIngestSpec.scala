@@ -563,6 +563,38 @@ class LayoutIngestSpec extends SparkSpec {
       s"stream cadence must fold the marker tail, got $names2")
   }
 
+  test("describe: one row per live unit with exact rows/bytes and the " +
+      "pruner's column ranges; folded sources disappear from the view") {
+    val dir = tmp("layout-describe")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    (0 until 3).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        rows(b * 20 until (b + 1) * 20).toDF("id", "x", "y"),
+        b.toLong, dir, 2))
+    }
+    val d1 = LayoutIngest.describe(spark, dir)
+      .select("unit", "files", "rows").as[(String, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(d1.map(_._1).toSeq === Seq("batch-0", "batch-1", "batch-2"))
+    assert(d1.forall(_._2 === 2L), s"filesPerBatch=2: $d1")
+    assert(d1.map(_._3).sum === 60L)
+    // the view's ranges ARE the pruner's: x spans per batch
+    val xr = LayoutIngest.describe(spark, dir)
+      .select("unit", "col_mins", "col_maxs")
+      .as[(String, Seq[Option[Long]], Seq[Option[Long]])]
+      .collect().sortBy(_._1)
+    xr.zipWithIndex.foreach { case ((_, mns, mxs), b) =>
+      val want = rows(b * 20 until (b + 1) * 20).map(_._2)
+      assert(mns.head === Some(want.min) && mxs.head === Some(want.max))
+    }
+    // compaction: sources leave the view, the gen arrives, rows exact
+    LayoutIngest.compact(spark, dir, smallFileBytes = 1L << 30)
+    val d2 = LayoutIngest.describe(spark, dir)
+      .select("unit", "rows").as[(String, Long)].collect()
+    assert(d2.length === 1 && d2.head._1.startsWith("gen-") &&
+      d2.head._2 === 60L, s"post-fold view: ${d2.toSeq}")
+  }
+
   test("mutators hold the single-writer lock") {
     val dir = tmp("layout-lock")
     LayoutIngest.bootstrap(spark, dir, grid)
