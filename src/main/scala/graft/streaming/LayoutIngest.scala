@@ -803,6 +803,50 @@ object LayoutIngest {
       p: org.apache.hadoop.fs.Path): Long =
     f.listStatus(p).filter(_.isFile).map(_.getLen).sum
 
+  /** Re-grid the table into a NEW table dir — the answer to domain
+    * drift. Grid bounds are fixed at [[bootstrap]] and out-of-range
+    * rows CLAMP to the edge cells; when the live domain outgrows the
+    * grid, the edge cells fill up and pruning degrades exactly there.
+    * The grid is immutable by contract (bootstrap rejects an existing
+    * one — every historical writer and oracle keyed under it), so
+    * re-gridding is by design a rewrite into a fresh dir: read the
+    * live table, drop the old key, re-key and re-cluster under
+    * `newGrid` (new bounds, bits, curve, bloom columns all allowed),
+    * publish as a range-split generation with fresh sidecars. The
+    * destination is assembled in a `.stage` dir and installed with
+    * ONE atomic rename — a crash leaves either nothing at `dstDir` or
+    * the complete table (a leftover stage is discarded on retry). The
+    * SOURCE is left untouched; the caller retires it after swapping
+    * pointers (two directories cannot be swapped atomically from a
+    * library). 100 TB: one full shuffle on the new key — the same
+    * cost every lakehouse re-OPTIMIZE pays, amortized by doing it
+    * only on drift. */
+  def regrid(spark: SparkSession, srcDir: String, dstDir: String,
+      newGrid: Grid, targetFileBytes: Long = 256L << 20): Unit = {
+    val (f, dst) = DedupIngest.fs(spark, dstDir)
+    require(!f.exists(dst), s"regrid: $dstDir already exists")
+    require(targetFileBytes > 0, "regrid: targetFileBytes must be > 0")
+    val stage = new org.apache.hadoop.fs.Path(dstDir + ".stage")
+    if (f.exists(stage)) f.delete(stage, true) // crashed attempt
+    bootstrap(spark, stage.toString, newGrid)
+    val live = read(spark, srcDir).drop(KeyCol)
+    // two half-ingests + a sized fold reuse the tested publish and
+    // range-split machinery; the halves only exist to make compact's
+    // >= 2-unit precondition true
+    val (fh, firstCol) = (live, newGrid.cols.head)
+    val half = fh.filter(
+      abs(hash(col(firstCol))) % 2 === 0)
+    val other = fh.filter(
+      abs(hash(col(firstCol))) % 2 =!= 0)
+    ingestBatch(half, 0L, stage.toString, filesPerBatch = 1): Unit
+    ingestBatch(other, 1L, stage.toString, filesPerBatch = 1): Unit
+    compact(spark, stage.toString, smallFileBytes = Long.MaxValue,
+      targetFileBytes = targetFileBytes)
+    if (!f.rename(stage, dst))
+      throw new IllegalStateException(
+        s"regrid: install rename failed for $dstDir")
+  }
+
   /** Operational view of the table (the DESCRIBE DETAIL every table
     * format grows): one row per LIVE unit — name, data files, bytes,
     * exact row count (parquet footer record counts, no data read),

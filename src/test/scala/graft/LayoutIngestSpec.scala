@@ -595,6 +595,72 @@ class LayoutIngestSpec extends SparkSpec {
       d2.head._2 === 60L, s"post-fold view: ${d2.toSeq}")
   }
 
+  test("regrid: rewrite under a new grid into a fresh dir — clamped " +
+      "rows get real keys, the result is range-split with fresh " +
+      "sidecars, the source is untouched, a crashed stage is discarded") {
+    val src = tmp("layout-regrid-src")
+    // narrow grid: bounds 0..9 but data spans 0..99 — most rows clamp
+    // to the edge cells and pruning degrades there
+    LayoutIngest.bootstrap(spark, src, LayoutIngest.Grid(
+      Seq("x", "y"), Seq((0L, 9L), (0L, 9L)), bits = 4))
+    (0 until 4).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        rows(b * 25 until (b + 1) * 25).toDF("id", "x", "y"),
+        b.toLong, src, 1))
+    }
+    val oldKeys = LayoutIngest.read(spark, src)
+      .select("zkey").distinct().count()
+    def dataBytes(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .map(dataBytes).sum
+      else if (f.getName.endsWith(".parquet")) f.length else 0L
+    val srcBytes = dataBytes(new java.io.File(s"$src/data"))
+
+    val dst = tmp("layout-regrid") + "/t"
+    // crashed-attempt leftover stage must be discarded, not resumed
+    val junkStage = new java.io.File(dst + ".stage")
+    assert(junkStage.mkdirs())
+    java.nio.file.Files.write(junkStage.toPath.resolve("junk"),
+      "x".getBytes("UTF-8"))
+    val newGrid = LayoutIngest.Grid(Seq("x", "y"),
+      Seq((0L, 99L), (0L, 99L)), bits = 4, bloomCols = Seq("id"))
+    LayoutIngest.regrid(spark, src, dst, newGrid,
+      targetFileBytes = math.max(1L, srcBytes / 4))
+    assert(!junkStage.exists(), "stage must be consumed by the install")
+
+    // contents exact under the NEW grid's key formula
+    val got = LayoutIngest.read(spark, dst)
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    val want = Layout.withZOrderKeyFixed(
+        rows(0 until 100).toDF("id", "x", "y"),
+        Seq($"x", $"y"), newGrid.bounds, 4, "zkey")
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // de-clamping is the point: the wide grid separates rows the old
+    // edge cells piled together
+    assert(LayoutIngest.read(spark, dst)
+      .select("zkey").distinct().count() > oldKeys)
+    // range-split generation with working blooms on the new table
+    val leaves = new java.io.File(s"$dst/data").listFiles()
+      .filter(_.isDirectory).flatMap(t =>
+        Option(t.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(d => d.isDirectory && d.getName.startsWith("range-")))
+    assert(leaves.length >= 2, s"expected a split, got ${leaves.length}")
+    assert(LayoutIngest.scanPoints(spark, dst, "id", Seq(42L))
+      .select("id").as[Long].collect() === Array(42L))
+    assert(LayoutIngest.scanBox(spark, dst, Seq(("x", 90L, 99L)))
+      .select("id").as[Long].collect().sorted ===
+      rows(0 until 100).filter(r => r._2 >= 90L).map(_._1).sorted.toArray)
+    // the source is untouched
+    assert(LayoutIngest.read(spark, src).count() === 100)
+    assert(LayoutIngest.describe(spark, src).count() === 4)
+    // a second regrid to the SAME dst refuses (dst exists)
+    intercept[IllegalArgumentException] {
+      LayoutIngest.regrid(spark, src, dst, newGrid)
+    }
+  }
+
   test("mutators hold the single-writer lock") {
     val dir = tmp("layout-lock")
     LayoutIngest.bootstrap(spark, dir, grid)
