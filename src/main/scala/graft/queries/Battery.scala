@@ -6872,6 +6872,122 @@ WHERE rk <= 40"""
       .select(col("event_id"), col("zkey"))
   }
 
+  /** REGRID under q155's full-domain oracle
+    * ([[graft.streaming.LayoutIngest.regrid]] — the domain-drift
+    * answer): the event log is ingested under a deliberately-NARROW
+    * grid whose user_id bound stops at mid-domain, so the upper half
+    * of the users clamps to the edge cells (the premise is enforced:
+    * the query refuses unless clamped rows exist). `regrid` then
+    * rewrites into a fresh table under the TRUE domain — exactly the
+    * bounds q155's oracle reads as scalar subqueries — so the gate
+    * proves the rewrite re-keys every row under the new grid with
+    * nothing lost and nothing invented: one clamped key surviving, one
+    * row dropped by the half-split ingest, or one drifted quantization
+    * fails the hash. Warm bench reps read the installed table (regrid
+    * refuses an existing destination by contract). */
+  val q167Regrid: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val root = streamIndexDir("q167", dir, "events")
+    val srcDir = s"$root/src"
+    val dstDir = s"$root/dst"
+    if (!new java.io.File(s"$dstDir/grid").exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val (umn, umx) = (b.getLong(0), b.getLong(1))
+      val (tmn, tmx) = (b.getLong(2), b.getLong(3))
+      val mid = umn + (umx - umn) / 2
+      require(ev.filter(col("user_id") > mid).limit(1).count() > 0,
+        "q167: the narrow grid must actually clamp rows")
+      if (!new java.io.File(s"$srcDir/grid").exists()) {
+        graft.streaming.LayoutIngest.bootstrap(s, srcDir,
+          graft.streaming.LayoutIngest.Grid(
+            Seq("user_id", "ts_us"),
+            Seq((umn, mid), (tmn, tmx)), bits = 16))
+        graft.streaming.LayoutIngest.ingestBatch(ev, 0L, srcDir,
+          filesPerBatch = 4): Unit
+      }
+      graft.streaming.LayoutIngest.regrid(s, srcDir, dstDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((umn, umx), (tmn, tmx)), bits = 16))
+    }
+    graft.streaming.LayoutIngest.read(s, dstDir)
+      .select(col("event_id"), col("zkey"))
+  }
+
+  /** CDC READ on the streamed clustered table
+    * ([[graft.streaming.LayoutIngest.readSince]] — every row carries
+    * the id of the micro-batch that ingested it, immutable through
+    * folds): q161's build with the compaction cadence ON, so both
+    * feed batches land and are folded into ONE generation before the
+    * read — then `readSince(0)` must recover exactly the second
+    * file's events from INSIDE the folded gen (row-level provenance;
+    * the query refuses to answer from an unfolded table). The feed
+    * splits the log at the timestamp midpoint the oracle replays
+    * (`tmn//2 + tmx//2`), so the gate proves batch attribution
+    * end-to-end: a fold that loses the column, a replay that
+    * re-stamps a different id, or an off-by-one at the cut fails the
+    * hash. The file-level pruning half of the contract (a CDC tail
+    * read skips folded generations entirely from the stats sidecars)
+    * is pinned in LayoutIngestSpec. */
+  val q168CdcRead: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts"))
+    val root = streamIndexDir("q168", dir, "events")
+    val tableDir = s"$root/table"
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16))
+    }
+    val stream = eventStreamSource(s, dir, "q168", ev)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"q168-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
+    registerCleanup(ckpt)
+    val q = graft.streaming.LayoutIngest.start(stream, tableDir,
+      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
+      compactEvery = Some(2), smallFileBytes = 1L << 30)
+    q.awaitTermination()
+    // the gate's premise: provenance must be read THROUGH a fold
+    val tops = Option(new java.io.File(s"$tableDir/data").listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.isDirectory)
+    require(tops.exists(_.getName.startsWith("gen-")),
+      s"q168: expected a folded generation, got ${tops.map(_.getName).toSeq}")
+    graft.streaming.LayoutIngest.readSince(s, tableDir, 0L)
+      .select(col("event_id"), col("zkey"))
+  }
+
+  /** q155's key formula restricted to the feed's SECOND file: the
+    * two-file harness cuts the log at the timestamp midpoint
+    * (`tmn/2 + tmx/2` in long arithmetic — positive values, so Scala
+    * truncation ≡ DuckDB floor division). */
+  val q168Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx
+       |  FROM events),
+       |q AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy
+       |  FROM events
+       |  WHERE CAST(epoch_us(ts) AS BIGINT) >=
+       |    (SELECT tmn // 2 + tmx // 2 FROM b))
+       |SELECT event_id, $terms AS zkey FROM q""".stripMargin
+  }
+
   val q166Sql: String = {
     val terms = (0 until 16).flatMap(i => Seq(
       s"(((qx >> $i) & 1) << ${2 * i})",
@@ -7247,7 +7363,11 @@ WHERE rk <= 40"""
     // q165 re-runs q164's slice oracle against a table whose fold was
     // forced to publish a RANGE-SPLIT generation (leaf-unit pruning)
     "q165_split_compact_scan" -> (q165SplitCompactScan, Some(q164Sql)),
-    "q166_bloom_point_scan" -> (q166BloomPointScan, Some(q166Sql)))
+    "q166_bloom_point_scan" -> (q166BloomPointScan, Some(q166Sql)),
+    // q167 re-runs q155's full-domain key oracle against a table
+    // REGRIDDED out of a deliberately-clamping narrow grid
+    "q167_regrid" -> (q167Regrid, Some(q155Sql)),
+    "q168_cdc_read" -> (q168CdcRead, Some(q168Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -57,6 +57,21 @@ object LayoutIngest {
   /** The persisted cluster key column. */
   val KeyCol = "zkey"
 
+  /** The persisted INGEST PROVENANCE column: every row carries the id
+    * of the micro-batch that ingested it, stamped at [[ingestBatch]]
+    * and immutable from then on — compaction folds and delete rewrites
+    * copy it untouched. Two reads fall out of one column plus the
+    * existing statistics machinery ([[readSince]]/[[readAsOf]]): the
+    * per-unit sidecars carry the column's min/max like any other, so
+    * an L0 unit spans exactly its own id and a folded generation spans
+    * the ids it swallowed — a CDC consumer asking "everything after
+    * batch b" skips whole generations of old history at the FILE
+    * level before the reader opens anything. [[read]] hides the
+    * column (the current-state read is provenance-free); the
+    * provenance reads return it so consumers can checkpoint
+    * `max(__batch)`. */
+  val BatchCol = "__batch"
+
   /** `curve`: "zorder" (any dims) or "hilbert" (≥2 dims, the Skilling
     * N-dim form — tighter locality at the same grid; the LayoutProbe
     * numbers). A table property like the rest of the grid: every
@@ -175,11 +190,15 @@ object LayoutIngest {
         s"$dir/data.stage-$batchId")
       if (f.exists(stage)) f.delete(stage, true)
       val grid = readGrid(spark, dir)
+      require(!batch.columns.contains(BatchCol),
+        s"ingestBatch: input already carries $BatchCol (reserved — " +
+          "provenance is stamped here, not by the caller)")
       keyed(batch, grid)
+        .withColumn(BatchCol, lit(batchId))
         .repartitionByRange(filesPerBatch, col(KeyCol))
         .sortWithinPartitions(KeyCol)
         .write.mode("overwrite").parquet(stage.toString)
-      writeUnitStats(f, stage, grid.cols :+ KeyCol)
+      writeUnitStats(f, stage, grid.cols :+ KeyCol :+ BatchCol)
       writeUnitBlooms(spark, f, stage, grid.bloomCols)
       if (!f.rename(stage, target))
         throw new IllegalStateException(
@@ -247,7 +266,7 @@ object LayoutIngest {
           s.isFile && isDataFile(s.getPath.getName))
           .sortBy(_.getPath.getName)
         val gridNow = readGrid(spark, dir)
-        val statCols = gridNow.cols :+ KeyCol
+        val statCols = gridNow.cols :+ KeyCol :+ BatchCol
         if (partFiles.size > 1) {
           partFiles.zipWithIndex.foreach { case (pf, k) =>
             val sub = new org.apache.hadoop.fs.Path(stage, s"range-$k")
@@ -467,7 +486,7 @@ object LayoutIngest {
           spark.read.parquet(d.toString).filter(keep)
             .write.mode("overwrite").parquet(stage.toString)
           val gridNow = readGrid(spark, dir)
-          writeUnitStats(f, stage, gridNow.cols :+ KeyCol)
+          writeUnitStats(f, stage, gridNow.cols :+ KeyCol :+ BatchCol)
           writeUnitBlooms(spark, f, stage, gridNow.bloomCols)
           val man = manifestPath(spark, dir, stamp)
           val out = f.create(man, true)
@@ -740,7 +759,63 @@ object LayoutIngest {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val dirs = liveDirs(spark, dir)
     if (dirs.isEmpty) emptyShape(spark, dir)
-    else spark.read.parquet(dirs.map(_.toString): _*)
+    else spark.read.parquet(dirs.map(_.toString): _*).drop(BatchCol)
+  }
+
+  /** CDC read: every live row ingested by a batch with id >
+    * `afterBatch`, with [[BatchCol]] kept so the consumer can
+    * checkpoint `max(__batch)` and call again — the incremental-
+    * consumption contract downstream pipelines need ("give me what's
+    * new since my last run") without a second event stream. Pruning is
+    * the point: [[BatchCol]] is in every unit's statistics sidecar, an
+    * L0 unit spans exactly its own batch id and a folded generation
+    * spans the ids it swallowed, so old history is skipped at the
+    * FILE level — a consumer polling the tail of a 100 TB table opens
+    * only the units published since its checkpoint, however many
+    * generations the rest has been folded into. Rows REMOVED since the
+    * checkpoint are not reported (this is an append-log view, not a
+    * diff; [[deleteBox]] is the deliberate exception — right-to-be-
+    * forgotten must not re-surface rows anywhere, including here). */
+  def readSince(spark: SparkSession, dir: String,
+      afterBatch: Long): DataFrame = {
+    require(afterBatch >= -1L && afterBatch < Long.MaxValue,
+      s"readSince: afterBatch out of range: $afterBatch")
+    provenanceScan(spark, dir, afterBatch + 1, Long.MaxValue)
+  }
+
+  /** Ingest-time travel: the live rows ingested by batches ≤ `batch`
+    * — the table as the ingest left it after that batch, EXCEPT that
+    * [[deleteBox]] is destructive across history by design: a
+    * forgotten row never reappears in any as-of view (time travel
+    * that resurrects deleted user data is a compliance hole, not a
+    * feature — the reason lakehouse GDPR guides tell operators to cap
+    * time travel at the deletion SLA). Compaction does not disturb
+    * the view: folds copy [[BatchCol]] untouched, so the filter is
+    * exact through any number of generations. */
+  def readAsOf(spark: SparkSession, dir: String, batch: Long): DataFrame = {
+    require(batch >= 0L, s"readAsOf: batch must be >= 0: $batch")
+    provenanceScan(spark, dir, 0L, batch)
+  }
+
+  /** Stats-pruned scan on the provenance column (the [[scanBox]]
+    * machinery on [[BatchCol]]): units whose sidecar batch span is
+    * disjoint from [lo, hi] are never opened; the residual predicate
+    * keeps the result exact. Tables written before the provenance
+    * column carry no per-row batch ids — fail fast rather than guess. */
+  private def provenanceScan(spark: SparkSession, dir: String,
+      lo: Long, hi: Long): DataFrame = {
+    val (hit, live) = prunedBoxDirs(spark, dir, Seq((BatchCol, lo, hi)))
+    if (live.isEmpty)
+      return emptyShape(spark, dir).withColumn(BatchCol, lit(0L))
+        .filter(lit(false))
+    val shape = spark.read.parquet(live.head.toString)
+    require(shape.columns.contains(BatchCol),
+      s"provenance read: $dir predates the $BatchCol column " +
+        "(re-ingest or regrid to enable readSince/readAsOf)")
+    val pred = col(BatchCol) >= lo && col(BatchCol) <= hi
+    if (hit.nonEmpty)
+      spark.read.parquet(hit.map(_.toString): _*).filter(pred)
+    else shape.filter(pred)
   }
 
   /** Empty frame with the table's key shape (no data dirs yet). */
@@ -873,7 +948,7 @@ object LayoutIngest {
         try rdr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
         finally rdr.close()
       }.sum
-      val ranges = (grid.cols :+ KeyCol).map(c =>
+      val ranges = (grid.cols :+ KeyCol :+ BatchCol).map(c =>
         dirColumnRange(f, d, c))
       (unitName(d), files.size.toLong,
         files.map(_.getLen).sum, nRows,
@@ -882,6 +957,6 @@ object LayoutIngest {
     import spark.implicits._
     rows.toDF("unit", "files", "bytes", "rows", "col_mins", "col_maxs")
       .withColumn("stat_cols",
-        typedLit(grid.cols :+ KeyCol))
+        typedLit(grid.cols :+ KeyCol :+ BatchCol))
   }
 }

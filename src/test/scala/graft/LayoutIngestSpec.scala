@@ -386,7 +386,7 @@ class LayoutIngestSpec extends SparkSpec {
       assert(sc.exists(), s"published unit $u must carry a sidecar")
       val cols = scala.io.Source.fromFile(sc).getLines()
         .map(_.split("\t")(0)).toSet
-      assert(cols === Set("x", "y", "zkey"))
+      assert(cols === Set("x", "y", "zkey", "__batch"))
     }
     // PRIORITY: a sidecar claiming a disjoint x range makes pruning
     // exclude the unit even though its footers intersect — the
@@ -659,6 +659,67 @@ class LayoutIngestSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       LayoutIngest.regrid(spark, src, dst, newGrid)
     }
+  }
+
+  test("provenance: __batch survives the fold, readSince/readAsOf are " +
+      "exact, CDC prunes folded history at the file level, read() " +
+      "hides the column") {
+    val dir = tmp("layout-prov")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    (0 until 2).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        rows(b * 20 until (b + 1) * 20).toDF("id", "x", "y"),
+        b.toLong, dir, 2))
+    }
+    // fold batches 0-1 into one generation, then land a fresh batch 2
+    LayoutIngest.compact(spark, dir, smallFileBytes = 1L << 30)
+    assert(LayoutIngest.ingestBatch(
+      rows(40 until 60).toDF("id", "x", "y"), 2L, dir, 2))
+
+    // the current-state read is provenance-free
+    assert(!LayoutIngest.read(spark, dir).columns
+      .contains(LayoutIngest.BatchCol))
+
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").as[Long].collect().sorted.toSeq
+    // row-level exactness THROUGH the fold (the gen holds 0 and 1)
+    assert(ids(LayoutIngest.readAsOf(spark, dir, 0L)) === (0L until 20L))
+    assert(ids(LayoutIngest.readAsOf(spark, dir, 1L)) === (0L until 40L))
+    assert(ids(LayoutIngest.readSince(spark, dir, 1L)) === (40L until 60L))
+    assert(ids(LayoutIngest.readSince(spark, dir, -1L)) === (0L until 60L))
+    assert(LayoutIngest.readSince(spark, dir, 2L).count() === 0)
+    // the consumer checkpoint column is present and exact
+    assert(LayoutIngest.readSince(spark, dir, 1L)
+      .agg(max(LayoutIngest.BatchCol)).as[Long].head() === 2L)
+
+    // FILE-level pruning: the folded generation's sidecar spans
+    // batches 0-1, so a CDC tail read must not even list it
+    val (hit, live) = LayoutIngest.prunedBoxDirs(spark, dir,
+      Seq((LayoutIngest.BatchCol, 2L, Long.MaxValue)))
+    assert(live.size === 2, s"expected gen + batch-2: $live")
+    assert(hit.map(_.getName) === Seq("batch-2"),
+      s"CDC read must prune the folded gen, hit=$hit")
+
+    // deletes are destructive ACROSS history (the RTBF contract):
+    // as-of views never resurrect a forgotten row
+    val victim = rows(5 to 5).head
+    assert(LayoutIngest.deleteBox(spark, dir,
+      Seq(("x", victim._2, victim._2), ("y", victim._3, victim._3)),
+      deleteId = 9L))
+    assert(!ids(LayoutIngest.readAsOf(spark, dir, 1L)).contains(victim._1))
+
+    // pre-provenance tables fail fast, not silently wrong
+    val old = tmp("layout-prov-old")
+    LayoutIngest.bootstrap(spark, old, grid)
+    rows(0 until 5).toDF("id", "x", "y")
+      .withColumn("zkey", lit(0L))
+      .write.parquet(s"$old/data/batch-0")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(
+      s"$old/markers/batch-0"))
+    val e = intercept[IllegalArgumentException] {
+      LayoutIngest.readSince(spark, old, -1L).count()
+    }
+    assert(e.getMessage.contains("predates"), e.getMessage)
   }
 
   test("mutators hold the single-writer lock") {
