@@ -6988,6 +6988,74 @@ WHERE rk <= 40"""
        |SELECT event_id, $terms AS zkey FROM q""".stripMargin
   }
 
+  /** ADDITIVE SCHEMA EVOLUTION on the clustered table
+    * ([[graft.streaming.LayoutIngest.tableSchema]] — the stored-union
+    * sidecar): batch 0 lands the first half of the event log WITHOUT
+    * the `value` column, batch 1 lands the second half WITH it, and
+    * the fold normalizes both into one generation under the union
+    * schema. The read must surface `value` as NULL for every
+    * pre-evolution row and verbatim for every post-evolution row,
+    * with the cluster keys untouched — the oracle replays the key
+    * formula plus a CASE on the same midpoint cut, so a fold that
+    * drops the new column, a read that fills the wrong rows, or a
+    * key perturbed by the schema change fails the hash. The cut is
+    * the two-file harness's (`tmn/2 + tmx/2`, positive longs:
+    * truncation ≡ floor). */
+  val q169SchemaEvolve: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val root = streamIndexDir("q169", dir, "events")
+    val tableDir = s"$root/table"
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val cut = b.getLong(2) / 2 + b.getLong(3) / 2
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(col("ts_us") < cut).drop("value"),
+        0L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(col("ts_us") >= cut),
+        1L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.compact(s, tableDir,
+        smallFileBytes = 1L << 30)
+    }
+    // the gate's premise: the union schema must be read THROUGH a fold
+    val tops = Option(new java.io.File(s"$tableDir/data").listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.isDirectory)
+    require(tops.exists(_.getName.startsWith("gen-")),
+      s"q169: expected a folded generation, got ${tops.map(_.getName).toSeq}")
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("event_id"), col("zkey"), col("value"))
+  }
+
+  val q169Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx
+       |  FROM events),
+       |q AS (
+       |  SELECT event_id, value,
+       |    CAST(epoch_us(ts) AS BIGINT) AS tus,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy
+       |  FROM events)
+       |SELECT event_id, $terms AS zkey,
+       |  CASE WHEN tus >= (SELECT tmn // 2 + tmx // 2 FROM b)
+       |    THEN value END AS value
+       |FROM q""".stripMargin
+  }
+
   val q166Sql: String = {
     val terms = (0 until 16).flatMap(i => Seq(
       s"(((qx >> $i) & 1) << ${2 * i})",
@@ -7367,7 +7435,8 @@ WHERE rk <= 40"""
     // q167 re-runs q155's full-domain key oracle against a table
     // REGRIDDED out of a deliberately-clamping narrow grid
     "q167_regrid" -> (q167Regrid, Some(q155Sql)),
-    "q168_cdc_read" -> (q168CdcRead, Some(q168Sql)))
+    "q168_cdc_read" -> (q168CdcRead, Some(q168Sql)),
+    "q169_schema_evolve" -> (q169SchemaEvolve, Some(q169Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -193,13 +193,16 @@ object LayoutIngest {
       require(!batch.columns.contains(BatchCol),
         s"ingestBatch: input already carries $BatchCol (reserved — " +
           "provenance is stamped here, not by the caller)")
-      keyed(batch, grid)
-        .withColumn(BatchCol, lit(batchId))
+      val toWrite = keyed(batch, grid).withColumn(BatchCol, lit(batchId))
+      toWrite
         .repartitionByRange(filesPerBatch, col(KeyCol))
         .sortWithinPartitions(KeyCol)
         .write.mode("overwrite").parquet(stage.toString)
       writeUnitStats(f, stage, grid.cols :+ KeyCol :+ BatchCol)
       writeUnitBlooms(spark, f, stage, grid.bloomCols)
+      // schema BEFORE data: the stored union is always a superset of
+      // every published file (additive evolution, see tableSchema)
+      publishSchema(spark, dir, toWrite.schema)
       if (!f.rename(stage, target))
         throw new IllegalStateException(
           s"LayoutIngest: publish rename failed for batch $batchId")
@@ -256,8 +259,9 @@ object LayoutIngest {
           smalls.map(p => dirBytes(f, p._2)).sum.toDouble /
             target.toDouble).toInt))
         // the key is PERSISTED, so re-clustering is a pure range
-        // repartition on it — no re-quantization pass
-        spark.read.parquet(smalls.map(_._2.toString): _*)
+        // repartition on it — no re-quantization pass; the stored
+        // schema unifies units written before a payload column
+        readUnits(spark, dir, smalls.map(_._2))
           .repartitionByRange(parts, col(KeyCol))
           .sortWithinPartitions(KeyCol)
           .write.mode("overwrite").parquet(stage.toString)
@@ -483,7 +487,7 @@ object LayoutIngest {
           if (f.exists(stage)) f.delete(stage, true)
           // per-file partitions, narrow filter: key order inside each
           // written file is inherited from the sorted source files
-          spark.read.parquet(d.toString).filter(keep)
+          readUnits(spark, dir, Seq(d)).filter(keep)
             .write.mode("overwrite").parquet(stage.toString)
           val gridNow = readGrid(spark, dir)
           writeUnitStats(f, stage, gridNow.cols :+ KeyCol :+ BatchCol)
@@ -621,11 +625,11 @@ object LayoutIngest {
     val (hit, live) = pointProbeDirs(spark, dir, column, values)
     val pred = col(column).isInCollection(values)
     if (hit.nonEmpty)
-      spark.read.parquet(hit.map(_.toString): _*).filter(pred)
+      readUnits(spark, dir, hit).filter(pred)
     else if (live.nonEmpty)
       // zero candidate units: keep the full schema via one live dir —
       // its bloom already proves the probe empty there
-      spark.read.parquet(live.head.toString).filter(pred)
+      readUnits(spark, dir, Seq(live.head)).filter(pred)
     else emptyShape(spark, dir).filter(pred)
   }
 
@@ -759,8 +763,92 @@ object LayoutIngest {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val dirs = liveDirs(spark, dir)
     if (dirs.isEmpty) emptyShape(spark, dir)
-    else spark.read.parquet(dirs.map(_.toString): _*).drop(BatchCol)
+    else readUnits(spark, dir, dirs).drop(BatchCol)
   }
+
+  // -- additive schema evolution ----------------------------------------
+  //
+  // Later batches may carry NEW payload columns (and drop old ones);
+  // the grid columns and bloomCols are the only mandatory part of a
+  // batch. The TABLE schema is the monotone union of every batch
+  // schema, persisted as a versioned sidecar (`schema/schema-<v>.json`,
+  // readers take the max — the batch-upto watermark pattern, so a
+  // crash leaves either the old or the new version, both valid).
+  // Every multi-unit read applies the stored schema, so units written
+  // before a column surfaces it as nulls — WITHOUT the per-query
+  // footer-walk `mergeSchema` costs at 100 TB unit counts (the sidecar
+  // is one small file; Delta/Iceberg keep schema in the log for the
+  // same reason). Type changes are refused at publish: evolution here
+  // is strictly additive, never rewriting history.
+
+  /** The table's current schema — the stored union when the table has
+    * evolved, otherwise None (homogeneous pre-evolution table; plain
+    * reads are already correct). */
+  def tableSchema(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val (f, sd) = DedupIngest.fs(spark, s"$dir/schema")
+    if (!f.exists(sd)) return None
+    val vs = f.listStatus(sd).toSeq.map(_.getPath.getName)
+      .filter(_.matches("schema-\\d+\\.json"))
+      .map(_.stripPrefix("schema-").stripSuffix(".json").toLong)
+    if (vs.isEmpty) None
+    else {
+      val in = f.open(new org.apache.hadoop.fs.Path(sd,
+        s"schema-${vs.max}.json"))
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Union the staged batch's schema into the stored table schema —
+    * BEFORE the data rename, so the stored schema is always a
+    * superset of every published file (a crash in between leaves a
+    * column all-null until the replay republishes the data: additive
+    * and harmless). Existing columns keep their position, new ones
+    * append; a name reused at a different type fails fast. Caller
+    * holds the lock. */
+  private def publishSchema(spark: SparkSession, dir: String,
+      staged: org.apache.spark.sql.types.StructType): Unit = {
+    val cur = tableSchema(spark, dir)
+    val base = cur.getOrElse(staged)
+    val byName = base.fields.map(f => f.name -> f).toMap
+    staged.fields.foreach { fl =>
+      byName.get(fl.name).foreach { ex =>
+        require(ex.dataType == fl.dataType,
+          s"schema evolution: column '${fl.name}' arrives as " +
+            s"${fl.dataType.simpleString} but the table holds " +
+            s"${ex.dataType.simpleString} — only ADDITIVE evolution " +
+            "is supported (new table via regrid for type changes)")
+      }
+    }
+    val merged = org.apache.spark.sql.types.StructType(
+      base.fields.map(_.copy(nullable = true)) ++
+        staged.fields.filterNot(f => byName.contains(f.name))
+          .map(_.copy(nullable = true)))
+    if (cur.contains(merged)) return
+    val (f, sd) = DedupIngest.fs(spark, s"$dir/schema")
+    f.mkdirs(sd)
+    val vs = f.listStatus(sd).toSeq.map(_.getPath.getName)
+      .filter(_.matches("schema-\\d+\\.json"))
+      .map(_.stripPrefix("schema-").stripSuffix(".json").toLong)
+    val next = vs.foldLeft(-1L)(math.max) + 1
+    val out = f.create(new org.apache.hadoop.fs.Path(sd,
+      s"schema-$next.json"), true)
+    try out.write(merged.json.getBytes("UTF-8")) finally out.close()
+    vs.foreach(v => f.delete(new org.apache.hadoop.fs.Path(sd,
+      s"schema-$v.json"), false)) // superseded; best-effort
+  }
+
+  /** Read units under the stored table schema (nulls for columns a
+    * unit predates); plain read for pre-evolution tables. */
+  private def readUnits(spark: SparkSession, dir: String,
+      units: Seq[org.apache.hadoop.fs.Path]): DataFrame =
+    tableSchema(spark, dir) match {
+      case Some(s) => spark.read.schema(s).parquet(units.map(_.toString): _*)
+      case None => spark.read.parquet(units.map(_.toString): _*)
+    }
 
   /** CDC read: every live row ingested by a batch with id >
     * `afterBatch`, with [[BatchCol]] kept so the consumer can
@@ -808,23 +896,31 @@ object LayoutIngest {
     if (live.isEmpty)
       return emptyShape(spark, dir).withColumn(BatchCol, lit(0L))
         .filter(lit(false))
-    val shape = spark.read.parquet(live.head.toString)
+    val shape = readUnits(spark, dir, Seq(live.head))
     require(shape.columns.contains(BatchCol),
       s"provenance read: $dir predates the $BatchCol column " +
         "(re-ingest or regrid to enable readSince/readAsOf)")
     val pred = col(BatchCol) >= lo && col(BatchCol) <= hi
     if (hit.nonEmpty)
-      spark.read.parquet(hit.map(_.toString): _*).filter(pred)
+      readUnits(spark, dir, hit).filter(pred)
     else shape.filter(pred)
   }
 
-  /** Empty frame with the table's key shape (no data dirs yet). */
-  private def emptyShape(spark: SparkSession, dir: String): DataFrame = {
-    val grid = readGrid(spark, dir)
-    spark.range(0).select(
-      (grid.cols.map(c => lit(null).cast("long").as(c)) :+
-        lit(0L).as(KeyCol)): _*)
-  }
+  /** Empty frame with the table's shape: the stored schema (minus the
+    * provenance column) when the table has one, else the grid's key
+    * shape (no data published yet). */
+  private def emptyShape(spark: SparkSession, dir: String): DataFrame =
+    tableSchema(spark, dir) match {
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          s.fields.filterNot(_.name == BatchCol)))
+      case None =>
+        val grid = readGrid(spark, dir)
+        spark.range(0).select(
+          (grid.cols.map(c => lit(null).cast("long").as(c)) :+
+            lit(0L).as(KeyCol)): _*)
+    }
 
   /**
    * Box scan with FILE-LEVEL pruning — the read-side twin of
@@ -849,12 +945,12 @@ object LayoutIngest {
       col(c) >= lo && col(c) <= hi
     }.reduce(_ && _)
     if (hit.nonEmpty)
-      spark.read.parquet(hit.map(_.toString): _*).filter(pred)
+      readUnits(spark, dir, hit).filter(pred)
     else if (live.nonEmpty)
       // zero intersecting dirs: keep the table's FULL schema by
       // filtering one live dir — its stats already prove the predicate
       // empty there, so the reader materializes ~nothing
-      spark.read.parquet(live.head.toString).filter(pred)
+      readUnits(spark, dir, Seq(live.head)).filter(pred)
     else emptyShape(spark, dir).filter(pred)
   }
 

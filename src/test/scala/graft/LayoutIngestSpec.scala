@@ -722,6 +722,60 @@ class LayoutIngestSpec extends SparkSpec {
     assert(e.getMessage.contains("predates"), e.getMessage)
   }
 
+  test("additive schema evolution: later batches add payload columns, " +
+      "old units surface them as null through reads, folds and scans; " +
+      "type conflicts fail fast") {
+    val dir = tmp("layout-evolve")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    assert(LayoutIngest.ingestBatch(
+      rows(0 until 20).toDF("id", "x", "y"), 0L, dir, 2))
+    // batch 1 arrives with a NEW payload column
+    val withTag = rows(20 until 40).map { case (i, x, y) =>
+      (i, x, y, s"t$i") }
+    assert(LayoutIngest.ingestBatch(
+      withTag.toDF("id", "x", "y", "tag"), 1L, dir, 2))
+    val r1 = LayoutIngest.read(spark, dir)
+    assert(r1.columns.contains("tag"))
+    val tags = r1.select("id", "tag")
+      .as[(Long, Option[String])].collect().toMap
+    assert((0L until 20L).forall(tags(_).isEmpty),
+      "pre-evolution rows must surface the new column as null")
+    assert((20L until 40L).forall(i => tags(i).contains(s"t$i")))
+    // a batch DROPPING the payload column is fine too
+    assert(LayoutIngest.ingestBatch(
+      rows(40 until 50).toDF("id", "x", "y"), 2L, dir, 2))
+    // the fold normalizes everything to the stored union schema
+    LayoutIngest.compact(spark, dir, smallFileBytes = 1L << 30)
+    val tops = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(tops.length === 1 && tops.head.startsWith("gen-"), tops.toSeq)
+    val tags2 = LayoutIngest.read(spark, dir).select("id", "tag")
+      .as[(Long, Option[String])].collect().toMap
+    assert(tags2.size === 50 && tags2(5L).isEmpty && tags2(45L).isEmpty &&
+      (20L until 40L).forall(i => tags2(i).contains(s"t$i")))
+    // keys are untouched by evolution
+    val got = LayoutIngest.read(spark, dir)
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    val want = Layout.withZOrderKeyFixed(
+        rows(0 until 50).toDF("id", "x", "y"),
+        Seq($"x", $"y"), grid.bounds, grid.bits, "zkey")
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // pruned scans and provenance reads keep the evolved schema
+    assert(LayoutIngest.scanBox(spark, dir, Seq(("x", 0L, 9L)))
+      .columns.contains("tag"))
+    assert(LayoutIngest.readSince(spark, dir, 1L)
+      .select("id").as[Long].collect().sorted === (40L until 50L).toArray)
+    // a name reused at a different TYPE is refused at publish
+    val bad = rows(50 until 55).map { case (i, x, y) => (i, x, y, i) }
+    val e = intercept[IllegalArgumentException] {
+      LayoutIngest.ingestBatch(bad.toDF("id", "x", "y", "tag"), 3L, dir, 2)
+    }
+    assert(e.getMessage.contains("ADDITIVE"), e.getMessage)
+    // the refused batch published nothing: contents unchanged
+    assert(LayoutIngest.read(spark, dir).count() === 50)
+  }
+
   test("mutators hold the single-writer lock") {
     val dir = tmp("layout-lock")
     LayoutIngest.bootstrap(spark, dir, grid)
