@@ -7033,6 +7033,88 @@ WHERE rk <= 40"""
       .select(col("event_id"), col("zkey"), col("value"))
   }
 
+  /** STRING-BLOOM point lookup
+    * ([[graft.streaming.LayoutIngest.scanPointsStr]]): q166's gate
+    * through the STRING bloom path — the table carries a
+    * high-cardinality string id (`eid_str = 'e' || event_id`, a
+    * payload column the layout does not cluster and min/max stats
+    * cannot prune), per-unit string blooms are built at publish, and
+    * the scan probes three derived ids the oracle replays with the
+    * same concatenation. The query refuses to answer unless the
+    * blooms pruned; the `isin` residual keeps false positives exact,
+    * so the hash gate proves the string hash path end-to-end (a
+    * bloom whose string hashing disagrees between build and probe
+    * drops a present value and fails the hash). */
+  val q170StrBloomScan: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+      .withColumn("eid_str",
+        concat(lit("e"), col("event_id").cast("string")))
+    val root = streamIndexDir("q170", dir, "events")
+    val tableDir = s"$root/table"
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16, bloomCols = Seq("eid_str")))
+      // two halves + a sized fold: a q165-style range-split generation,
+      // so the probes have many disjoint units to prune against
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, tableDir, filesPerBatch = 4): Unit
+      def parquetBytes(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .map(parquetBytes).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      val dataDir = new java.io.File(s"$tableDir/data")
+      graft.streaming.LayoutIngest.compact(s, tableDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L, parquetBytes(dataDir) / 8))
+    }
+    val eb = ev.agg(min("event_id"), max("event_id")).head()
+    val (emn, emx) = (eb.getLong(0), eb.getLong(1))
+    val probes = Seq(1L, 3L, 5L).map(j => s"e${emn + (emx - emn) * j / 7}")
+    val (hit, live) = graft.streaming.LayoutIngest.pointProbeDirs(
+      s, tableDir, "eid_str", probes)
+    require(hit.size < live.size,
+      s"q170: the string bloom must prune, got ${hit.size}/${live.size}")
+    graft.streaming.LayoutIngest.scanPointsStr(s, tableDir, "eid_str",
+      probes)
+      .select(col("event_id"), col("zkey"), col("eid_str"))
+  }
+
+  val q170Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx,
+       |    MIN(event_id) AS emn, MAX(event_id) AS emx
+       |  FROM events),
+       |q AS (
+       |  SELECT event_id,
+       |    'e' || CAST(event_id AS VARCHAR) AS eid_str,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy
+       |  FROM events
+       |  WHERE event_id IN (
+       |    SELECT emn + ((emx - emn) * 1) // 7 FROM b UNION ALL
+       |    SELECT emn + ((emx - emn) * 3) // 7 FROM b UNION ALL
+       |    SELECT emn + ((emx - emn) * 5) // 7 FROM b))
+       |SELECT event_id, $terms AS zkey, eid_str FROM q""".stripMargin
+  }
+
   val q169Sql: String = {
     val terms = (0 until 16).flatMap(i => Seq(
       s"(((qx >> $i) & 1) << ${2 * i})",
@@ -7436,7 +7518,8 @@ WHERE rk <= 40"""
     // REGRIDDED out of a deliberately-clamping narrow grid
     "q167_regrid" -> (q167Regrid, Some(q155Sql)),
     "q168_cdc_read" -> (q168CdcRead, Some(q168Sql)),
-    "q169_schema_evolve" -> (q169SchemaEvolve, Some(q169Sql)))
+    "q169_schema_evolve" -> (q169SchemaEvolve, Some(q169Sql)),
+    "q170_str_bloom_scan" -> (q170StrBloomScan, Some(q170Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -77,8 +77,9 @@ object LayoutIngest {
     * numbers). A table property like the rest of the grid: every
     * writer keys with the same curve forever.
     *
-    * `bloomCols`: long-typed columns to carry a per-unit Bloom-filter
-    * sidecar for POINT lookups — the clustered columns' min/max stats
+    * `bloomCols`: long- or string-typed columns to carry a per-unit
+    * Bloom-filter sidecar for POINT lookups ([[scanPoints]] /
+    * [[scanPointsStr]]) — the clustered columns' min/max stats
     * prune boxes, but an equality probe on a NON-clustered column
     * (e.g. `event_id = k` on a (user_id, ts)-clustered table) finds
     * every unit's range intersecting. A bloom answers "this unit
@@ -544,10 +545,11 @@ object LayoutIngest {
       val df = spark.read.parquet(unit.toString)
       bloomCols.foreach { c =>
         require(df.schema.fieldNames.contains(c) &&
-          df.schema(c).dataType ==
+          Set[org.apache.spark.sql.types.DataType](
             org.apache.spark.sql.types.LongType,
-          s"bloom column '$c' must be a LONG column of the table " +
-            s"(got ${scala.util.Try(df.schema(c).dataType).toOption})")
+            org.apache.spark.sql.types.StringType)(df.schema(c).dataType),
+          s"bloom column '$c' must be a LONG or STRING column of the " +
+            s"table (got ${scala.util.Try(df.schema(c).dataType).toOption})")
       }
       val n = math.max(64L, df.count())
       bloomCols.foreach { c =>
@@ -602,13 +604,19 @@ object LayoutIngest {
     * bloom for the column (conservative). No false negatives — a unit
     * holding a probed value is always read. */
   private[graft] def pointProbeDirs(spark: SparkSession, dir: String,
-      column: String, values: Seq[Long])
+      column: String, values: Seq[Any])
       : (Seq[org.apache.hadoop.fs.Path], Seq[org.apache.hadoop.fs.Path]) = {
     val (f, _) = DedupIngest.fs(spark, s"$dir/data")
     val dirs = liveDirs(spark, dir)
     (dirs.filter { d =>
       unitBloom(f, d, column) match {
-        case Some(b) => values.exists(b.mightContainLong)
+        case Some(b) => values.exists {
+          case s: String => b.mightContainString(s)
+          case l: Long => b.mightContainLong(l)
+          case v => throw new IllegalArgumentException(
+            s"bloom probe values must be Long or String, got " +
+              s"${v.getClass.getName}")
+        }
         case None => true
       }
     }, dirs)
@@ -620,7 +628,20 @@ object LayoutIngest {
     * `isin` residual keeps the result exact through false positives
     * and bloom-less units. */
   def scanPoints(spark: SparkSession, dir: String,
-      column: String, values: Seq[Long]): DataFrame = {
+      column: String, values: Seq[Long]): DataFrame =
+    scanPointsAny(spark, dir, column, values)
+
+  /** [[scanPoints]] for STRING bloom columns (the [[Grid]] doc: a
+    * bloom column is LONG or STRING — a high-cardinality string id is
+    * as probe-worthy as a numeric one, and min/max statistics are just
+    * as useless for it). Same contract: no false negatives by the
+    * bloom, `isin` residual keeps false positives exact. */
+  def scanPointsStr(spark: SparkSession, dir: String,
+      column: String, values: Seq[String]): DataFrame =
+    scanPointsAny(spark, dir, column, values)
+
+  private def scanPointsAny(spark: SparkSession, dir: String,
+      column: String, values: Seq[Any]): DataFrame = {
     require(values.nonEmpty, "scanPoints: no values to probe")
     val (hit, live) = pointProbeDirs(spark, dir, column, values)
     val pred = col(column).isInCollection(values)

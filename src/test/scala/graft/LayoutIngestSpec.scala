@@ -776,6 +776,45 @@ class LayoutIngestSpec extends SparkSpec {
     assert(LayoutIngest.read(spark, dir).count() === 50)
   }
 
+  test("string bloom sidecars: point lookups on a high-cardinality " +
+      "string column prune units and never drop a present value; " +
+      "non-string/long bloom columns are refused") {
+    val dir = tmp("layout-strbloom")
+    LayoutIngest.bootstrap(spark, dir, LayoutIngest.Grid(
+      Seq("x", "y"), Seq((0L, 99L), (0L, 99L)), bits = 4,
+      bloomCols = Seq("sid")))
+    (0 until 4).foreach { b =>
+      val batch = rows(b * 25 until (b + 1) * 25)
+        .map { case (i, x, y) => (i, x, y, s"s-$i") }
+      assert(LayoutIngest.ingestBatch(
+        batch.toDF("id", "x", "y", "sid"), b.toLong, dir, 1))
+    }
+    // every probed value found, exactly (no false negatives)
+    val got = LayoutIngest.scanPointsStr(spark, dir, "sid",
+      Seq("s-7", "s-42", "s-93"))
+      .select("id").as[Long].collect().sorted
+    assert(got === Array(7L, 42L, 93L))
+    // each value lives in ONE unit: the bloom must prune
+    val (hit, live) = LayoutIngest.pointProbeDirs(spark, dir, "sid",
+      Seq("s-7"))
+    assert(live.size === 4 && hit.size < live.size,
+      s"string bloom must prune, got ${hit.size}/${live.size}")
+    // absent value: zero rows, and typically zero units opened
+    assert(LayoutIngest.scanPointsStr(spark, dir, "sid",
+      Seq("s-nope")).count() === 0)
+    // a non-long/string bloom column is refused at publish
+    val bad = tmp("layout-strbloom-bad")
+    LayoutIngest.bootstrap(spark, bad, LayoutIngest.Grid(
+      Seq("x", "y"), Seq((0L, 99L), (0L, 99L)), bits = 4,
+      bloomCols = Seq("d")))
+    val e = intercept[IllegalArgumentException] {
+      LayoutIngest.ingestBatch(
+        rows(0 until 5).map { case (i, x, y) => (i, x, y, i.toDouble) }
+          .toDF("id", "x", "y", "d"), 0L, bad, 1)
+    }
+    assert(e.getMessage.contains("LONG or STRING"), e.getMessage)
+  }
+
   test("mutators hold the single-writer lock") {
     val dir = tmp("layout-lock")
     LayoutIngest.bootstrap(spark, dir, grid)
