@@ -1,0 +1,149 @@
+package graft.tools
+
+import graft.streaming.LayoutIngest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end drive of the clustered-table surface on the real event
+  * log — the lifecycle a 100 TB deployment runs, at demo scale:
+  * bootstrap (fixed grid + blooms) → batch ingests (one adding a NEW
+  * payload column mid-stream) → range-split fold → CDC tail read →
+  * bloom point lookups → box scan → right-to-be-forgotten delete →
+  * as-of read (must NOT resurrect) → regrid into a wider domain →
+  * describe. Prints per-stage counts and the pruning evidence; exits
+  * nonzero on any broken invariant.
+  *
+  * `runMain graft.tools.LakehouseDemo [sfDir]` (default sf0.001).
+  */
+object LakehouseDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = java.nio.file.Files.createTempDirectory("lakehouse-demo")
+      .toFile.getAbsolutePath
+    val dir = s"$base/events_table"
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select($"event_id", $"user_id",
+        unix_micros($"ts".cast("timestamp")).as("ts_us"),
+        $"event_type", $"value")
+    val n = ev.count()
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min("ts_us"), max("ts_us")).head()
+    val (umn, umx) = (b.getLong(0), b.getLong(1))
+    val (tmn, tmx) = (b.getLong(2), b.getLong(3))
+    println(s"[demo] events rows=$n user_id=[$umn,$umx]")
+
+    println("[demo] 1. bootstrap: (user_id, ts_us) z-order grid, " +
+      "16 bits, blooms on event_id + event_type")
+    LayoutIngest.bootstrap(spark, dir, LayoutIngest.Grid(
+      Seq("user_id", "ts_us"), Seq((umn, umx), (tmn, tmx)), bits = 16,
+      bloomCols = Seq("event_id", "event_type")))
+
+    println("[demo] 2. ingest 3 batches; batch 2 EVOLVES the schema " +
+      "(adds value_eur)")
+    val cut1 = tmn + (tmx - tmn) / 3
+    val cut2 = tmn + 2 * ((tmx - tmn) / 3)
+    def half(lo: Long, hi: Long) =
+      ev.filter($"ts_us" >= lo && $"ts_us" < hi)
+    LayoutIngest.ingestBatch(half(tmn, cut1).drop("value"),
+      0L, dir, filesPerBatch = 2): Unit
+    LayoutIngest.ingestBatch(half(cut1, cut2).drop("value"),
+      1L, dir, filesPerBatch = 2): Unit
+    LayoutIngest.ingestBatch(
+      half(cut2, tmx + 1).withColumn("value_eur", $"value" * 0.92)
+        .drop("value"),
+      2L, dir, filesPerBatch = 2): Unit
+    val live = LayoutIngest.read(spark, dir)
+    require(live.count() == n, s"lost rows: ${live.count()} != $n")
+    val nullEur = live.filter($"value_eur".isNull).count()
+    println(s"[demo]    rows=${live.count()}; value_eur null for " +
+      s"$nullEur pre-evolution rows")
+    require(nullEur == half(tmn, cut2).count(), "wrong null backfill")
+
+    println("[demo] 3. range-split fold (targetFileBytes sized for " +
+      "~6 leaves)")
+    def bytes(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .map(bytes).sum
+      else if (f.getName.endsWith(".parquet")) f.length else 0L
+    LayoutIngest.compact(spark, dir, smallFileBytes = 1L << 30,
+      targetFileBytes = math.max(1L, bytes(new java.io.File(s"$dir/data")) / 6))
+    val units = LayoutIngest.describe(spark, dir)
+      .select("unit").as[String].collect().sorted
+    println(s"[demo]    live units after fold: ${units.mkString(", ")}")
+    require(units.forall(_.startsWith("gen-")), "fold must retire L0")
+
+    println("[demo] 4. CDC tail read: readSince(1) = batch 2 only " +
+      "(through the fold, row-level provenance)")
+    val tail = LayoutIngest.readSince(spark, dir, 1L)
+    require(tail.count() == half(cut2, tmx + 1).count(),
+      s"CDC tail wrong: ${tail.count()}")
+    println(s"[demo]    tail rows=${tail.count()} " +
+      s"max(__batch)=${tail.agg(max("__batch")).as[Long].head()}")
+
+    println("[demo] 5. bloom point lookups (long id + string type)")
+    val someId = ev.select("event_id").as[Long].head()
+    val (hitL, liveL) = LayoutIngest.pointProbeDirs(
+      spark, dir, "event_id", Seq(someId))
+    println(s"[demo]    event_id=$someId opens ${hitL.size}/${liveL.size} units")
+    require(LayoutIngest.scanPoints(spark, dir, "event_id", Seq(someId))
+      .count() == 1, "point lookup must find exactly the row")
+    val (hitS, liveS) = LayoutIngest.pointProbeDirs(
+      spark, dir, "event_type", Seq("signup"))
+    println(s"[demo]    event_type='signup' opens ${hitS.size}/${liveS.size} " +
+      "units (low-cardinality: blooms cannot prune — expected)")
+    require(LayoutIngest.scanPointsStr(spark, dir, "event_type",
+      Seq("signup")).count() ==
+      ev.filter($"event_type" === "signup").count(), "string probe exact")
+
+    println("[demo] 6. box scan: middle 2% user slice, file-level pruned")
+    val (blo, bhi) = (umn + (umx - umn) * 49 / 100,
+      umn + (umx - umn) * 51 / 100)
+    val (hitB, liveB) = LayoutIngest.prunedBoxDirs(spark, dir,
+      Seq(("user_id", blo, bhi)))
+    val boxRows = LayoutIngest.scanBox(spark, dir,
+      Seq(("user_id", blo, bhi))).count()
+    println(s"[demo]    box opens ${hitB.size}/${liveB.size} units, " +
+      s"rows=$boxRows")
+    require(boxRows == ev.filter($"user_id".between(blo, bhi)).count(),
+      "box scan inexact")
+
+    println("[demo] 7. right-to-be-forgotten: delete that user slice")
+    require(LayoutIngest.deleteBox(spark, dir,
+      Seq(("user_id", blo, bhi)), deleteId = 1L), "delete must commit")
+    require(LayoutIngest.read(spark, dir).count() == n - boxRows,
+      "delete lost or kept wrong rows")
+    println("[demo] 8. as-of read must NOT resurrect the forgotten rows")
+    val asOf = LayoutIngest.readAsOf(spark, dir, 2L)
+    require(asOf.filter($"user_id".between(blo, bhi)).count() == 0,
+      "as-of view resurrected deleted rows")
+    println(s"[demo]    readAsOf(2) rows=${asOf.count()} (= live table)")
+
+    println("[demo] 9. regrid: domain grew — rewrite under 2x-wide " +
+      "user bounds with blooms kept")
+    val dst = s"$base/events_regrid"
+    LayoutIngest.regrid(spark, dir, dst, LayoutIngest.Grid(
+      Seq("user_id", "ts_us"), Seq((umn, umx * 2 + 1), (tmn, tmx)),
+      bits = 16, bloomCols = Seq("event_id")),
+      targetFileBytes = math.max(1L,
+        bytes(new java.io.File(s"$dir/data")) / 4))
+    require(LayoutIngest.read(spark, dst).count() == n - boxRows,
+      "regrid lost rows")
+
+    println("[demo] 10. describe() of the regridded table:")
+    LayoutIngest.describe(spark, dst)
+      .select("unit", "files", "rows", "bytes")
+      .show(20, truncate = false)
+    println("[demo] LAKEHOUSE DEMO OK")
+    spark.stop()
+  }
+}
