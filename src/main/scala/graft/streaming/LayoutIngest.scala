@@ -1039,6 +1039,52 @@ object LayoutIngest {
         s"regrid: install rename failed for $dstDir")
   }
 
+  /** CLUSTERING HEALTH: how many live units a cluster-key point query
+    * may have to open, from the per-unit key ranges the pruner
+    * already has — `(maxDepth, meanDepth, liveUnits)`, where depth at
+    * a key k = |units whose [min zkey, max zkey] contains k| and
+    * meanDepth is length-weighted over the covered key domain. Depth
+    * 1 everywhere = perfectly compacted (disjoint generations); depth
+    * ≈ unit count = an unfolded L0 tail (every batch spans the whole
+    * domain). The number an operator watches to decide WHEN to
+    * [[compact]] — the same clustering metric every lakehouse
+    * OPTIMIZE reports. Units without key statistics count as covering
+    * the whole domain (conservative, like the pruner). Driver-only
+    * sweep, O(units log units). */
+  def clusteringDepth(spark: SparkSession, dir: String)
+      : (Int, Double, Int) = {
+    val (f, _) = DedupIngest.fs(spark, s"$dir/data")
+    val dirs = liveDirs(spark, dir)
+    if (dirs.isEmpty) return (0, 0.0, 0)
+    val ranges = dirs.map(d => dirColumnRange(f, d, KeyCol)
+      .getOrElse((Long.MinValue, Long.MaxValue)))
+    // sweep line over interval starts/ends; BigInt lengths (the key
+    // domain spans the full Long range for stat-less units)
+    val events = ranges.flatMap { case (mn, mx) =>
+      Seq((BigInt(mn), 1), (BigInt(mx) + 1, -1)) }
+      .groupBy(_._1).map { case (p, es) => (p, es.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    var depth = 0
+    var maxDepth = 0
+    var covered = BigInt(0)
+    var weighted = BigInt(0)
+    var prev = BigInt(0)
+    events.foreach { case (p, delta) =>
+      if (depth > 0) {
+        val len = p - prev
+        covered += len
+        weighted += len * depth
+      }
+      depth += delta
+      maxDepth = math.max(maxDepth, depth)
+      prev = p
+    }
+    val mean =
+      if (covered == 0) 0.0
+      else (BigDecimal(weighted) / BigDecimal(covered)).toDouble
+    (maxDepth, mean, dirs.size)
+  }
+
   /** Operational view of the table (the DESCRIBE DETAIL every table
     * format grows): one row per LIVE unit — name, data files, bytes,
     * exact row count (parquet footer record counts, no data read),

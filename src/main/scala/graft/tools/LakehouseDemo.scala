@@ -68,6 +68,9 @@ object LakehouseDemo {
       s"$nullEur pre-evolution rows")
     require(nullEur == half(tmn, cut2).count(), "wrong null backfill")
 
+    val d0 = LayoutIngest.clusteringDepth(spark, dir)
+    println(s"[demo]    clusteringDepth before fold: max=${d0._1} " +
+      f"mean=${d0._2}%.2f units=${d0._3} (same-domain L0 tail)")
     println("[demo] 3. range-split fold (targetFileBytes sized for " +
       "~6 leaves)")
     def bytes(f: java.io.File): Long =
@@ -81,6 +84,10 @@ object LakehouseDemo {
       .select("unit").as[String].collect().sorted
     println(s"[demo]    live units after fold: ${units.mkString(", ")}")
     require(units.forall(_.startsWith("gen-")), "fold must retire L0")
+    val d1 = LayoutIngest.clusteringDepth(spark, dir)
+    println(s"[demo]    clusteringDepth after fold: max=${d1._1} " +
+      f"mean=${d1._2}%.2f units=${d1._3}")
+    require(d1._1 == 1, s"range-split leaves must be disjoint: $d1")
 
     println("[demo] 4. CDC tail read: readSince(1) = batch 2 only " +
       "(through the fold, row-level provenance)")

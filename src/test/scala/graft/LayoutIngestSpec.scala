@@ -815,6 +815,35 @@ class LayoutIngestSpec extends SparkSpec {
     assert(e.getMessage.contains("LONG or STRING"), e.getMessage)
   }
 
+  test("clusteringDepth: an unfolded L0 tail reports depth ~ unit " +
+      "count, a fold collapses it to 1, a range-split stays 1") {
+    val dir = tmp("layout-depth")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    assert(LayoutIngest.clusteringDepth(spark, dir) === ((0, 0.0, 0)))
+    // four batches over the SAME key domain: every key overlaps all
+    (0 until 4).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        rows(b * 25 until (b + 1) * 25).toDF("id", "x", "y"),
+        b.toLong, dir, 1))
+    }
+    val (mx1, mean1, n1) = LayoutIngest.clusteringDepth(spark, dir)
+    assert(n1 === 4 && mx1 === 4, s"L0 tail: ($mx1, $mean1, $n1)")
+    assert(mean1 > 2.0, s"same-domain batches must overlap: $mean1")
+    // a sized fold range-splits into disjoint leaves: depth collapses
+    def dataBytes(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .map(dataBytes).sum
+      else if (f.getName.endsWith(".parquet")) f.length else 0L
+    LayoutIngest.compact(spark, dir, smallFileBytes = 1L << 30,
+      targetFileBytes = math.max(1L,
+        dataBytes(new java.io.File(s"$dir/data")) / 4))
+    val (mx2, mean2, n2) = LayoutIngest.clusteringDepth(spark, dir)
+    assert(n2 >= 2, s"expected a range-split, got $n2 units")
+    assert(mx2 === 1 && mean2 === 1.0,
+      s"disjoint leaves must report depth 1: ($mx2, $mean2, $n2)")
+  }
+
   test("mutators hold the single-writer lock") {
     val dir = tmp("layout-lock")
     LayoutIngest.bootstrap(spark, dir, grid)
