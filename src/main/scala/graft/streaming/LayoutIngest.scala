@@ -917,14 +917,23 @@ object LayoutIngest {
     if (live.isEmpty)
       return emptyShape(spark, dir).withColumn(BatchCol, lit(0L))
         .filter(lit(false))
-    val shape = readUnits(spark, dir, Seq(live.head))
-    require(shape.columns.contains(BatchCol),
-      s"provenance read: $dir predates the $BatchCol column " +
-        "(re-ingest or regrid to enable readSince/readAsOf)")
+    // EVERY live unit must carry per-row provenance, not just one
+    // sample: __batch is a non-null long, so a published unit always
+    // has footer (and sidecar) min/max for it — a unit with NO batch
+    // range is a pre-provenance unit, and filtering it would silently
+    // DROP its rows from the as-of/CDC answer (its __batch reads as
+    // null under the stored schema). Mixed tables fail fast instead.
+    val (f, _) = DedupIngest.fs(spark, s"$dir/data")
+    val bare = live.filter(d => dirColumnRange(f, d, BatchCol).isEmpty)
+    require(bare.isEmpty,
+      s"provenance read: unit ${bare.map(_.getName).mkString(", ")} " +
+        s"predates the $BatchCol column — its rows have no batch " +
+        "attribution and would silently vanish from this view " +
+        "(regrid to re-stamp the table, or read() for current state)")
     val pred = col(BatchCol) >= lo && col(BatchCol) <= hi
     if (hit.nonEmpty)
       readUnits(spark, dir, hit).filter(pred)
-    else shape.filter(pred)
+    else readUnits(spark, dir, Seq(live.head)).filter(pred)
   }
 
   /** Empty frame with the table's shape: the stored schema (minus the

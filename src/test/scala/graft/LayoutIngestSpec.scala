@@ -720,6 +720,18 @@ class LayoutIngestSpec extends SparkSpec {
       LayoutIngest.readSince(spark, old, -1L).count()
     }
     assert(e.getMessage.contains("predates"), e.getMessage)
+    // MIXED table: a post-provenance ingest next to the bare unit must
+    // still fail (filtering would silently drop the old unit's rows —
+    // its __batch reads as null under the stored schema), and the
+    // error must name the offending unit
+    assert(LayoutIngest.ingestBatch(
+      rows(10 until 15).toDF("id", "x", "y"), 1L, old, 1))
+    val e2 = intercept[IllegalArgumentException] {
+      LayoutIngest.readAsOf(spark, old, 1L).count()
+    }
+    assert(e2.getMessage.contains("batch-0"), e2.getMessage)
+    // current-state read still serves the whole mixed table
+    assert(LayoutIngest.read(spark, old).count() === 10)
   }
 
   test("additive schema evolution: later batches add payload columns, " +
