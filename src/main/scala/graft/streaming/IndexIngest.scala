@@ -248,29 +248,21 @@ object IndexIngest {
     val (f, root) = DedupIngest.fs(spark, s"$dir/markers")
     if (!f.exists(root)) return
     val names = f.listStatus(root).toSeq.map(_.getPath.getName)
-    val w = names.filter(_.matches("batch-upto-\\d+"))
-      .map(_.stripPrefix("batch-upto-").toLong).foldLeft(-1L)(math.max)
-    val commits = names.filterNot(_.startsWith("del-"))
-      .filterNot(_.endsWith(".intent"))
-      .flatMap(_.toLongOption).filter(_ >= 0).toSet
-    var n = w
-    while (commits.contains(n + 1)) n += 1
-    if (n > w)
-      f.create(new org.apache.hadoop.fs.Path(root,
-        s"batch-upto-$n"), true).close()
-    if (n >= 0) {
-      commits.filter(_ <= n).foreach(i => f.delete(
-        new org.apache.hadoop.fs.Path(root, i.toString), false))
-      names.filter(_.endsWith(".intent"))
+    // shared fold core (MarkerLedger); this family names commit
+    // markers with the bare id, and a fold also retires the folded
+    // batches' stale .intent files — keyed on the watermark, so an
+    // intent whose commit marker went in an earlier crashed pass is
+    // still collected (an intent at or below the watermark is by
+    // definition a committed batch's leftover)
+    MarkerLedger.fold(f, root, names,
+      commitIds = names.filterNot(_.startsWith("del-"))
+        .filterNot(_.endsWith(".intent"))
+        .flatMap(_.toLongOption).filter(_ >= 0).toSet,
+      commitName = i => i.toString,
+      retireBelow = n => names.filter(_.endsWith(".intent"))
         .flatMap(_.stripSuffix(".intent").toLongOption)
         .filter(i => i >= 0 && i <= n)
-        .foreach(i => f.delete(
-          new org.apache.hadoop.fs.Path(root, s"$i.intent"), false))
-      names.filter(_.matches("batch-upto-\\d+"))
-        .map(_.stripPrefix("batch-upto-").toLong).filter(_ < n)
-        .foreach(m => f.delete(
-          new org.apache.hadoop.fs.Path(root, s"batch-upto-$m"), false))
-    }
+        .map(i => s"$i.intent"))
   }
 
   /** Highest ingest batch id the ledger has SEEN (commit or intent) —

@@ -113,7 +113,31 @@ object LayoutIngest {
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/markers"))
   }
 
+  /** The grid is immutable after [[bootstrap]] (regrid = new dir), so
+    * one parquet read per table path serves every later batch, fold
+    * and delete — a long-lived stream otherwise pays a driver job per
+    * micro-batch for a constant. Same invalidation contract as the
+    * stats cache ([[clearStatsCache]] — drop + re-bootstrap at the
+    * SAME path). */
+  private val MaxGridCache = 4096
+  private val gridCache = new java.util.LinkedHashMap[String, Grid](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, Grid]): Boolean =
+      size() > MaxGridCache
+  }
+
   def readGrid(spark: SparkSession, dir: String): Grid = {
+    gridCache.synchronized {
+      val hit = gridCache.get(dir)
+      if (hit != null) return hit
+    }
+    val g = readGridUncached(spark, dir)
+    gridCache.synchronized(gridCache.put(dir, g)): Unit
+    g
+  }
+
+  private def readGridUncached(spark: SparkSession, dir: String): Grid = {
     val df = spark.read.parquet(s"$dir/grid")
     val r = df.head()
     Grid(r.getSeq[String](0),
@@ -194,11 +218,24 @@ object LayoutIngest {
       require(!batch.columns.contains(BatchCol),
         s"ingestBatch: input already carries $BatchCol (reserved — " +
           "provenance is stamped here, not by the caller)")
+      require(!batch.columns.contains(KeyCol),
+        s"ingestBatch: input already carries $KeyCol (reserved — " +
+          "the cluster key is computed here; keyed() would silently " +
+          "overwrite the caller's column)")
       val toWrite = keyed(batch, grid).withColumn(BatchCol, lit(batchId))
       toWrite
         .repartitionByRange(filesPerBatch, col(KeyCol))
         .sortWithinPartitions(KeyCol)
         .write.mode("overwrite").parquet(stage.toString)
+      // an EMPTY micro-batch publishes no data dir (streams emit them
+      // routinely): the marker alone records the commit, replays stay
+      // no-ops, and no zero-row unit accumulates in the listing (the
+      // footer count is one metadata read of the just-written stage)
+      if (footerRowCount(f, stage) == 0L) {
+        f.delete(stage, true)
+        f.create(marker, true).close()
+        return true
+      }
       writeUnitStats(f, stage, grid.cols :+ KeyCol :+ BatchCol)
       writeUnitBlooms(spark, f, stage, grid.bloomCols)
       // schema BEFORE data: the stored union is always a superset of
@@ -276,8 +313,14 @@ object LayoutIngest {
           partFiles.zipWithIndex.foreach { case (pf, k) =>
             val sub = new org.apache.hadoop.fs.Path(stage, s"range-$k")
             f.mkdirs(sub)
-            f.rename(pf.getPath,
-              new org.apache.hadoop.fs.Path(sub, pf.getPath.getName)): Unit
+            // a false here (Hadoop reports most failures via false,
+            // not exceptions) would strand the file at the gen's top
+            // level where leafUnits assigns it to NO unit — its rows
+            // would silently vanish once the manifest commits
+            if (!f.rename(pf.getPath,
+                new org.apache.hadoop.fs.Path(sub, pf.getPath.getName)))
+              throw new IllegalStateException(
+                s"compact: range-split rename failed for ${pf.getPath}")
           }
           (0 until partFiles.size).foreach { k =>
             val sub = new org.apache.hadoop.fs.Path(stage, s"range-$k")
@@ -332,23 +375,12 @@ object LayoutIngest {
     val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
     if (!f.exists(markers)) return
     val names = f.listStatus(markers).toSeq.map(_.getPath.getName)
-    val w = names.filter(_.matches("batch-upto-\\d+"))
-      .map(_.stripPrefix("batch-upto-").toLong).foldLeft(-1L)(math.max)
-    val ids = names.filter(_.matches("batch-\\d+"))
-      .map(_.stripPrefix("batch-").toLong).toSet
-    var n = w
-    while (ids.contains(n + 1)) n += 1
-    if (n > w)
-      f.create(new org.apache.hadoop.fs.Path(markers,
-        s"batch-upto-$n"), true).close()
-    if (n >= 0) { // retire folded markers + superseded watermarks
-      ids.filter(_ <= n).foreach(i => f.delete(
-        new org.apache.hadoop.fs.Path(markers, s"batch-$i"), false))
-      names.filter(_.matches("batch-upto-\\d+"))
-        .map(_.stripPrefix("batch-upto-").toLong).filter(_ < n)
-        .foreach(m => f.delete(new org.apache.hadoop.fs.Path(markers,
-          s"batch-upto-$m"), false))
-    }
+    // shared fold core (MarkerLedger); this family's commit markers
+    // are named batch-<id> and leave no per-id debris
+    MarkerLedger.fold(f, markers, names,
+      commitIds = names.filter(_.matches("batch-\\d+"))
+        .map(_.stripPrefix("batch-").toLong).toSet,
+      commitName = i => s"batch-$i")
   }
 
   /** A parquet data file (not `_SUCCESS`/hidden). */
@@ -473,9 +505,17 @@ object LayoutIngest {
             }
           }
         }
-        val keep = box.map { case (c, lo, hi) =>
-          !(col(c) >= lo && col(c) <= hi)
-        }.reduce(_ || _)
+        // NULL-safe: delete ONLY rows where the whole box predicate is
+        // TRUE. Under three-valued logic a NULL box column makes the
+        // naive NOT(range AND range) evaluate to NULL and filter()
+        // would silently DESTROY the row (nulls are legal in grid
+        // columns — quantization folds them to the minimum cell — and
+        // pre-evolution units read added columns as NULL).
+        val del = box.map { case (c, lo, hi) =>
+          col(c) >= lo && col(c) <= hi
+        }.reduce(_ && _)
+        val keep = !coalesce(del, lit(false))
+        val gridNow = readGrid(spark, dir) // immutable — read once
         affected.zipWithIndex.foreach { case ((name, d), i) =>
           // the attempt nonce keeps a REPLAY's target names distinct
           // from a previous attempt's published gens — without it a
@@ -490,7 +530,6 @@ object LayoutIngest {
           // written file is inherited from the sorted source files
           readUnits(spark, dir, Seq(d)).filter(keep)
             .write.mode("overwrite").parquet(stage.toString)
-          val gridNow = readGrid(spark, dir)
           writeUnitStats(f, stage, gridNow.cols :+ KeyCol :+ BatchCol)
           writeUnitBlooms(spark, f, stage, gridNow.bloomCols)
           val man = manifestPath(spark, dir, stamp)
@@ -516,11 +555,17 @@ object LayoutIngest {
     * sidecar (pre-sidecar tables) fall back to the footers. */
   private val StatsFile = "_graft_stats.tsv"
 
+  /** Sidecar pseudo-column carrying the unit's exact row count (a
+    * footer-metadata sum) — lets [[unitRows]], [[describe]] and the
+    * provenance soundness check answer without a footer walk. */
+  private val RowsStat = "__rows"
+
   /** Write the sidecar for the columns pruning will ask about, from
     * the freshly-written (still hot) footers of `unit`. */
   private def writeUnitStats(f: org.apache.hadoop.fs.FileSystem,
       unit: org.apache.hadoop.fs.Path, cols: Seq[String]): Unit = {
-    val lines = cols.map { c =>
+    val n = footerRowCount(f, unit)
+    val lines = s"$RowsStat\t$n\t$n" +: cols.map { c =>
       footerColumnRange(f, unit, c) match {
         case Some((mn, mx)) => s"$c\t$mn\t$mx"
         case None => s"$c\tnone"
@@ -530,6 +575,31 @@ object LayoutIngest {
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** Exact row count from the parquet footers (no data read). */
+  private def footerRowCount(f: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    f.listStatus(d).toSeq
+      .filter(s => s.isFile && isDataFile(s.getPath.getName))
+      .map { st =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            st.getPath, f.getConf))
+        try rdr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally rdr.close()
+      }.sum
+  }
+
+  /** The unit's row count: sidecar-first (the [[RowsStat]] line, via
+    * the same LRU the pruner uses), footer walk for units written
+    * before the line existed. */
+  private def unitRows(f: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path): Long =
+    dirColumnRange(f, d, RowsStat) match {
+      case Some((n, _)) => n
+      case None => footerRowCount(f, d)
+    }
 
   private def bloomFile(c: String) = s"_graft_bloom_$c"
 
@@ -541,7 +611,10 @@ object LayoutIngest {
   private def writeUnitBlooms(spark: SparkSession,
       f: org.apache.hadoop.fs.FileSystem,
       unit: org.apache.hadoop.fs.Path, bloomCols: Seq[String]): Unit =
-    if (bloomCols.nonEmpty) {
+    if (bloomCols.nonEmpty && f.listStatus(unit).exists(s =>
+        s.isFile && isDataFile(s.getPath.getName))) {
+      // (fileless units — a rewrite that emptied everything — carry no
+      // blooms; scanPoints reads bloom-less units conservatively)
       val df = spark.read.parquet(unit.toString)
       bloomCols.foreach { c =>
         require(df.schema.fieldNames.contains(c) &&
@@ -551,12 +624,18 @@ object LayoutIngest {
           s"bloom column '$c' must be a LONG or STRING column of the " +
             s"table (got ${scala.util.Try(df.schema(c).dataType).toOption})")
       }
-      val n = math.max(64L, df.count())
-      bloomCols.foreach { c =>
-        val bloom = df.stat.bloomFilter(c, n, 0.01)
-        val out = f.create(
-          new org.apache.hadoop.fs.Path(unit, bloomFile(c)), true)
-        try bloom.writeTo(out) finally out.close()
+      val rows = df.count()
+      // a ZERO-ROW unit (a rewrite that emptied it) gets no bloom:
+      // Spark's bloomFilter aggregate returns a null buffer on empty
+      // input, and a bloom-less unit is already read conservatively
+      if (rows > 0) {
+        val n = math.max(64L, rows)
+        bloomCols.foreach { c =>
+          val bloom = df.stat.bloomFilter(c, n, 0.01)
+          val out = f.create(
+            new org.apache.hadoop.fs.Path(unit, bloomFile(c)), true)
+          try bloom.writeTo(out) finally out.close()
+        }
       }
     }
 
@@ -675,6 +754,7 @@ object LayoutIngest {
   def clearStatsCache(): Unit = {
     statsCache.synchronized(statsCache.clear())
     bloomCache.synchronized(bloomCache.clear())
+    gridCache.synchronized(gridCache.clear())
   }
 
   /** Per-dir [min, max] of a long column — the statistics a pruning
@@ -808,19 +888,29 @@ object LayoutIngest {
   def tableSchema(spark: SparkSession, dir: String)
       : Option[org.apache.spark.sql.types.StructType] = {
     val (f, sd) = DedupIngest.fs(spark, s"$dir/schema")
-    if (!f.exists(sd)) return None
-    val vs = f.listStatus(sd).toSeq.map(_.getPath.getName)
-      .filter(_.matches("schema-\\d+\\.json"))
-      .map(_.stripPrefix("schema-").stripSuffix(".json").toLong)
-    if (vs.isEmpty) None
-    else {
-      val in = f.open(new org.apache.hadoop.fs.Path(sd,
-        s"schema-${vs.max}.json"))
-      val json = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString finally in.close()
-      Some(org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    // list-then-open races a concurrent publish retiring old versions
+    // (publishSchema keeps the previous version alive, so one retry
+    // after a fresh listing is enough — the new max always exists)
+    var attempt = 0
+    while (true) {
+      if (!f.exists(sd)) return None
+      val vs = f.listStatus(sd).toSeq.map(_.getPath.getName)
+        .filter(_.matches("schema-\\d+\\.json"))
+        .map(_.stripPrefix("schema-").stripSuffix(".json").toLong)
+      if (vs.isEmpty) return None
+      try {
+        val in = f.open(new org.apache.hadoop.fs.Path(sd,
+          s"schema-${vs.max}.json"))
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString finally in.close()
+        return Some(org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      } catch {
+        case _: java.io.FileNotFoundException if attempt == 0 =>
+          attempt += 1 // re-list; the writer published a newer version
+      }
     }
+    None // unreachable
   }
 
   /** Union the staged batch's schema into the stored table schema —
@@ -858,8 +948,13 @@ object LayoutIngest {
     val out = f.create(new org.apache.hadoop.fs.Path(sd,
       s"schema-$next.json"), true)
     try out.write(merged.json.getBytes("UTF-8")) finally out.close()
-    vs.foreach(v => f.delete(new org.apache.hadoop.fs.Path(sd,
-      s"schema-$v.json"), false)) // superseded; best-effort
+    // retire superseded versions but KEEP the immediately-previous
+    // one: a lock-free reader that listed before this publish may
+    // still be about to open it (list-then-open), and schemas are
+    // monotone supersets, so serving v-1 is stale-but-valid — only
+    // versions two generations back can be deleted without a race
+    vs.filter(_ < next - 1).foreach(v => f.delete(
+      new org.apache.hadoop.fs.Path(sd, s"schema-$v.json"), false))
   }
 
   /** Read units under the stored table schema (nulls for columns a
@@ -924,7 +1019,11 @@ object LayoutIngest {
     // DROP its rows from the as-of/CDC answer (its __batch reads as
     // null under the stored schema). Mixed tables fail fast instead.
     val (f, _) = DedupIngest.fs(spark, s"$dir/data")
-    val bare = live.filter(d => dirColumnRange(f, d, BatchCol).isEmpty)
+    // zero-row units (a delete that emptied a whole unit) have no
+    // stats for ANY column — they are trivially prunable, not
+    // pre-provenance
+    val bare = live.filter(d => dirColumnRange(f, d, BatchCol).isEmpty &&
+      unitRows(f, d) > 0)
     require(bare.isEmpty,
       s"provenance read: unit ${bare.map(_.getName).mkString(", ")} " +
         s"predates the $BatchCol column — its rows have no batch " +
@@ -1013,7 +1112,11 @@ object LayoutIngest {
     * re-gridding is by design a rewrite into a fresh dir: read the
     * live table, drop the old key, re-key and re-cluster under
     * `newGrid` (new bounds, bits, curve, bloom columns all allowed),
-    * publish as a range-split generation with fresh sidecars. The
+    * publish as a range-split generation with fresh sidecars — and
+    * an EMPTY batch ledger (the rewrite's own ingest markers are
+    * stripped before the install; see below), so any future stream,
+    * fresh checkpoint or continuing, ingests normally. Source
+    * history collapses to __batch 0/1 ("as of the rewrite"). The
     * destination is assembled in a `.stage` dir and installed with
     * ONE atomic rename — a crash leaves either nothing at `dstDir` or
     * the complete table (a leftover stage is discarded on retry). The
@@ -1043,6 +1146,22 @@ object LayoutIngest {
     ingestBatch(other, 1L, stage.toString, filesPerBatch = 1): Unit
     compact(spark, stage.toString, smallFileBytes = Long.MaxValue,
       targetFileBytes = targetFileBytes)
+    // strip the rewrite's OWN batch ledger before the install: the
+    // half-ingests' markers (and the fold's batch-upto watermark)
+    // would make a FRESH stream attached to the new table silently
+    // drop its first micro-batches (batchId 0/1 <= the watermark).
+    // regrid needs no replay protection — the single install rename
+    // below is its atomicity — so the new table starts with an empty
+    // ledger and ANY stream (fresh or continuing checkpoint) ingests
+    // normally. Provenance: source history collapses to __batch 0/1,
+    // "as of the rewrite" (documented above).
+    val (_, stageMarkers) = DedupIngest.fs(spark, s"$stage/markers")
+    if (f.exists(stageMarkers))
+      f.listStatus(stageMarkers).toSeq
+        .map(_.getPath)
+        .filter(p => p.getName.matches("batch-\\d+") ||
+          p.getName.matches("batch-upto-\\d+"))
+        .foreach(p => f.delete(p, false): Unit)
     if (!f.rename(stage, dst))
       throw new IllegalStateException(
         s"regrid: install rename failed for $dstDir")
@@ -1113,13 +1232,7 @@ object LayoutIngest {
     val rows = liveDirs(spark, dir).map { d =>
       val files = f.listStatus(d).toSeq.filter(s =>
         s.isFile && isDataFile(s.getPath.getName))
-      val nRows = files.map { st =>
-        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            st.getPath, f.getConf))
-        try rdr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-        finally rdr.close()
-      }.sum
+      val nRows = unitRows(f, d) // sidecar-first, footers as fallback
       val ranges = (grid.cols :+ KeyCol :+ BatchCol).map(c =>
         dirColumnRange(f, d, c))
       (unitName(d), files.size.toLong,

@@ -197,8 +197,30 @@ object LedgerLock {
         // st == None: the lock vanished (holder released) — just retry
       }
     }
+    // release ONLY our own lock: if a lease/dead-pid recovery retired
+    // it mid-body (a long GC pause outliving staleMs), the file now
+    // belongs to the NEW holder — deleting it would admit a third
+    // writer on top of the overlap that already happened. Mutual
+    // exclusion was violated either way (the marker protocol is what
+    // keeps state correct); surface it loudly — without masking a
+    // body exception (suppressed instead).
+    var bodyError: Throwable = null
     try body
-    finally f.delete(p, false)
+    catch { case t: Throwable => bodyError = t; throw t }
+    finally {
+      readOwner(f, p) match {
+        case Some(o) if o == lockOwner => f.delete(p, false): Unit
+        case Some(other) =>
+          val e = new ConcurrentWriterException(
+            s"ledger dir $dir: this writer's lock was lease-retired " +
+              s"mid-operation and is now held by '$other' — the lease " +
+              s"($LockStaleMsKey) expired while the body ran. The " +
+              "marker protocol keeps the ledger replay-safe, but " +
+              "raise the lease or keep bodies shorter.")
+          if (bodyError == null) throw e else bodyError.addSuppressed(e)
+        case None => () // already gone (operator break + no re-acquire)
+      }
+    }
   }
 
   /** Operator-driven recovery: remove a dead writer's lock (see the

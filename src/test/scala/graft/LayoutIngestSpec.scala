@@ -386,7 +386,7 @@ class LayoutIngestSpec extends SparkSpec {
       assert(sc.exists(), s"published unit $u must carry a sidecar")
       val cols = scala.io.Source.fromFile(sc).getLines()
         .map(_.split("\t")(0)).toSet
-      assert(cols === Set("x", "y", "zkey", "__batch"))
+      assert(cols === Set("x", "y", "zkey", "__batch", "__rows"))
     }
     // PRIORITY: a sidecar claiming a disjoint x range makes pruning
     // exclude the unit even though its footers intersect — the
@@ -659,6 +659,13 @@ class LayoutIngestSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       LayoutIngest.regrid(spark, src, dst, newGrid)
     }
+    // the new table's batch ledger is EMPTY: a fresh stream's first
+    // micro-batches (ids 0, 1) must INGEST, not silently no-op
+    // against the rewrite's own markers
+    assert(LayoutIngest.ingestBatch(
+      Seq((1000L, 50L, 50L)).toDF("id", "x", "y"), 0L, dst, 1),
+      "batch 0 after regrid must publish, not replay-skip")
+    assert(LayoutIngest.read(spark, dst).count() === 101)
   }
 
   test("provenance: __batch survives the fold, readSince/readAsOf are " +
@@ -854,6 +861,70 @@ class LayoutIngestSpec extends SparkSpec {
     assert(n2 >= 2, s"expected a range-split, got $n2 units")
     assert(mx2 === 1 && mean2 === 1.0,
       s"disjoint leaves must report depth 1: ($mx2, $mean2, $n2)")
+  }
+
+  test("deleteBox NULL safety + empty units: rows whose box column " +
+      "reads NULL survive a conservative rewrite, a delete that " +
+      "empties a unit leaves every view working, and an empty " +
+      "micro-batch publishes a marker but no unit") {
+    val dir = tmp("layout-nulldel")
+    LayoutIngest.bootstrap(spark, dir, LayoutIngest.Grid(
+      Seq("x", "y"), Seq((0L, 99L), (0L, 99L)), bits = 4,
+      bloomCols = Seq("id")))
+    assert(LayoutIngest.ingestBatch(
+      rows(0 until 20).toDF("id", "x", "y"), 0L, dir, 1))
+    // batch 1 evolves: adds a long payload column
+    assert(LayoutIngest.ingestBatch(
+      rows(20 until 40).map { case (i, x, y) => (i, x, y, i) }
+        .toDF("id", "x", "y", "score"), 1L, dir, 1))
+    // batch 2: a row whose GRID column is null (folds to the min cell)
+    assert(LayoutIngest.ingestBatch(
+      Seq((100L, Option.empty[Long], Option(50L)))
+        .toDF("id", "x", "y"), 2L, dir, 1))
+
+    // delete on the EVOLVED column: batch-0's unit reads score=NULL
+    // for every row and has no score stats → conservatively
+    // rewritten; under the naive NOT(range) predicate all its rows
+    // evaluated NULL and were silently destroyed
+    assert(LayoutIngest.deleteBox(spark, dir,
+      Seq(("score", 25L, 30L)), deleteId = 1L))
+    val want1 = ((0L until 20L) ++
+      (20L until 40L).filterNot(i => i >= 25 && i <= 30) ++
+      Seq(100L)).sorted.toArray
+    assert(LayoutIngest.read(spark, dir).select("id")
+      .as[Long].collect().sorted === want1)
+
+    // delete on a GRID column: the null-x row (y=50) must survive a
+    // box that includes its y — NULL is "not provably in the box"
+    assert(LayoutIngest.deleteBox(spark, dir,
+      Seq(("x", 0L, 99L), ("y", 50L, 50L)), deleteId = 2L))
+    assert(LayoutIngest.read(spark, dir).select("id")
+      .as[Long].collect().sorted === want1)
+
+    // empty a WHOLE unit: batch 3 lands alone in the far corner cell
+    assert(LayoutIngest.ingestBatch(
+      Seq((200L, 99L, 99L), (201L, 99L, 99L)).toDF("id", "x", "y"),
+      3L, dir, 1))
+    assert(LayoutIngest.deleteBox(spark, dir,
+      Seq(("x", 99L, 99L), ("y", 99L, 99L)), deleteId = 3L))
+    // the zero-row unit is trivially prunable, NOT "pre-provenance":
+    // every view keeps working
+    assert(LayoutIngest.read(spark, dir).select("id")
+      .as[Long].collect().sorted === want1)
+    assert(LayoutIngest.readSince(spark, dir, -1L).select("id")
+      .as[Long].collect().sorted === want1)
+    assert(LayoutIngest.readAsOf(spark, dir, 3L).count() === want1.length)
+
+    // an EMPTY micro-batch (routine in streams): marker committed,
+    // replay is a no-op, no data dir published, blooms don't crash
+    assert(LayoutIngest.ingestBatch(
+      rows(0 until 0).toDF("id", "x", "y"), 4L, dir, 1))
+    assert(!LayoutIngest.ingestBatch(
+      rows(0 until 0).toDF("id", "x", "y"), 4L, dir, 1),
+      "replay of the committed empty batch must be a no-op")
+    assert(!new java.io.File(s"$dir/data/batch-4").exists(),
+      "an empty batch must not publish a unit")
+    assert(LayoutIngest.readSince(spark, dir, 3L).count() === 0)
   }
 
   test("mutators hold the single-writer lock") {

@@ -109,4 +109,46 @@ class LedgerLockSpec extends graft.SparkSpec {
     assert(e.getMessage.contains(s"$live@$localHost:cafe0000"))
     java.nio.file.Files.delete(lockP)
   }
+
+  test("release verifies ownership: a lock lease-retired mid-body is " +
+      "NOT deleted out from under its new holder, and the stalled " +
+      "writer is told") {
+    val dir = tmp("lock-steal")
+    val lockP = java.nio.file.Paths.get(s"$dir/markers/lock")
+    // stalled writer enters; while it 'pauses', a recoverer retires
+    // its lock and a NEW writer acquires (simulated by swapping the
+    // lock's content — exactly the on-disk state after a lease break)
+    val e = intercept[LedgerLock.ConcurrentWriterException] {
+      LedgerLock.withLock(spark, dir) {
+        java.nio.file.Files.write(lockP,
+          "9999@other-host:feed0000".getBytes("UTF-8"))
+      }
+    }
+    assert(e.getMessage.contains("lease-retired"), e.getMessage)
+    assert(java.nio.file.Files.exists(lockP),
+      "the new holder's lock must survive the stalled writer's release")
+    assert(new String(java.nio.file.Files.readAllBytes(lockP), "UTF-8")
+      === "9999@other-host:feed0000")
+    java.nio.file.Files.delete(lockP)
+    // a body exception is NOT masked: the ownership error rides along
+    // as a suppressed exception
+    val e2 = intercept[RuntimeException] {
+      LedgerLock.withLock(spark, dir) {
+        java.nio.file.Files.write(lockP,
+          "9999@other-host:feed0001".getBytes("UTF-8"))
+        throw new RuntimeException("body failed first")
+      }
+    }
+    assert(e2.getMessage === "body failed first")
+    assert(e2.getSuppressed.exists(
+      _.isInstanceOf[LedgerLock.ConcurrentWriterException]))
+    java.nio.file.Files.delete(lockP)
+    // vanished lock (operator break, no re-acquire): release is quiet
+    var ran = false
+    LedgerLock.withLock(spark, dir) {
+      ran = true
+      java.nio.file.Files.delete(lockP)
+    }
+    assert(ran)
+  }
 }
