@@ -64,6 +64,21 @@ object DedupIngest {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
+  /** Rename that FAILS LOUDLY: Hadoop reports most rename failures by
+    * returning false, not by throwing, and every swap/fold/promote in
+    * the streamed families sits at a point where continuing past a
+    * false reads as an EMPTY live dir or a missing stage — silently
+    * wrong results (an index that admits every duplicate, a tombstone
+    * set that resurrects deleted docs) instead of a visible error.
+    * Crash recovery heals the on-disk state either way; this makes the
+    * CURRENT process stop instead of computing against it. */
+  private[streaming] def renameOrThrow(f: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+      what: String): Unit =
+    if (!f.rename(src, dst))
+      throw new IllegalStateException(
+        s"$what: rename $src -> $dst failed (filesystem returned false)")
+
   /** Recover a half-finished [[compact]] swap: if the live dir is gone
     * but its staged replacement exists, promote the replacement. When
     * the live dir EXISTS alongside a stale `.next` (crash between the
@@ -73,7 +88,7 @@ object DedupIngest {
     val (f, live) = fs(spark, path)
     val next = new org.apache.hadoop.fs.Path(path + ".next")
     if (f.exists(next)) {
-      if (!f.exists(live)) f.rename(next, live)
+      if (!f.exists(live)) renameOrThrow(f, next, live, "recoverSwap")
       else f.delete(next, true)
     }
   }
@@ -108,7 +123,8 @@ object DedupIngest {
       if (f.exists(live)) {
         write(path + ".next")
         f.delete(live, true)
-        f.rename(new org.apache.hadoop.fs.Path(path + ".next"), live)
+        renameOrThrow(f, new org.apache.hadoop.fs.Path(path + ".next"),
+          live, "compact swap")
       }
     }
     swap(s"$dir/fps", out => spark.read.schema(FpSchema)
@@ -211,7 +227,9 @@ object DedupIngest {
     val entries = lines.init.map(_.split("\t"))
     entries.collect { case Array("F", src, dst) =>
       val s = new org.apache.hadoop.fs.Path(foldDir, src)
-      if (f.exists(s)) f.rename(s, new org.apache.hadoop.fs.Path(live, dst))
+      if (f.exists(s))
+        renameOrThrow(f, s, new org.apache.hadoop.fs.Path(live, dst),
+          "recoverFold")
     }
     entries.collect { case Array("S", name) =>
       val p = new org.apache.hadoop.fs.Path(live, name)
@@ -274,13 +292,19 @@ object DedupIngest {
       if (!pf.exists(live)) return
       spark.read.parquet(path).filter(keep).write.parquet(path + ".next")
       pf.delete(live, true)
-      pf.rename(new org.apache.hadoop.fs.Path(path + ".next"), live)
+      renameOrThrow(pf, new org.apache.hadoop.fs.Path(path + ".next"),
+        live, "purge swap")
     }
-    val keepDoc =
-      !org.apache.spark.sql.functions.col(idCol).cast("string")
-        .isInCollection(ids)
+    // NULL-safe: a null id can never match a tombstone — keep it
+    // (NOT(in-list) alone evaluates NULL and filter would drop the row)
+    val keepDoc = !org.apache.spark.sql.functions.coalesce(
+      org.apache.spark.sql.functions.col(idCol).cast("string")
+        .isInCollection(ids),
+      org.apache.spark.sql.functions.lit(false))
     val keepMid =
-      !org.apache.spark.sql.functions.col("__mid").isInCollection(ids)
+      !org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.col("__mid").isInCollection(ids),
+        org.apache.spark.sql.functions.lit(false))
     purge(s"$dir/corpus", keepDoc)
     purge(s"$dir/stage", keepDoc)
     purge(s"$dir/msigs", keepMid)

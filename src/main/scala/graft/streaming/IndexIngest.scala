@@ -325,7 +325,8 @@ object IndexIngest {
       .filter(keep)
       .write.parquet(path + ".next")
     f.delete(live, true)
-    f.rename(new org.apache.hadoop.fs.Path(path + ".next"), live)
+    DedupIngest.renameOrThrow(f,
+      new org.apache.hadoop.fs.Path(path + ".next"), live, "purge swap")
   }
 
   // ------------------------------------------------------------------
@@ -353,7 +354,8 @@ object IndexIngest {
     // would resurrect the deleted docs
     val tomb = tombstonedIds(spark, dir, batchId)
     val live = if (tomb.isEmpty) batch
-      else batch.filter(!col(idCol).cast("string").isInCollection(tomb))
+      else batch.filter(!coalesce(
+        col(idCol).cast("string").isInCollection(tomb), lit(false)))
     if (live.isEmpty) {
       // nothing to fold (empty or fully tombstoned) — still COMMIT so
       // replays are O(1) no-ops and no intent marker dangles
@@ -443,7 +445,8 @@ object IndexIngest {
         .filter(vis))
       folded.coalesce(1).write.parquet(path + ".next")
       f.delete(live, true)
-      f.rename(new org.apache.hadoop.fs.Path(path + ".next"), live)
+      DedupIngest.renameOrThrow(f,
+        new org.apache.hadoop.fs.Path(path + ".next"), live, "fold swap")
     }
     swapFold(s"$dir/df", DfSchema, d => d
       .groupBy("__t").agg(sum("__df").as("__df"))
@@ -543,7 +546,7 @@ object IndexIngest {
     if (!f.exists(stagePath) && f.exists(tmpPath) &&
         f.exists(new org.apache.hadoop.fs.Path(stage + ".tmp/_SUCCESS"))) {
       f.mkdirs(stagePath.getParent)
-      f.rename(tmpPath, stagePath)
+      DedupIngest.renameOrThrow(f, tmpPath, stagePath, "stage promote")
     }
     val prior = DedupIngest.readOrEmpty(spark, stage, TfSchema)
     val current = DedupIngest.readOrEmpty(spark, s"$dir/tf", TfSchema)
@@ -552,7 +555,7 @@ object IndexIngest {
     prior.unionByName(current).distinct().write.parquet(tmpPath.toString)
     if (f.exists(stagePath)) f.delete(stagePath, true)
     f.mkdirs(stagePath.getParent)
-    f.rename(tmpPath, stagePath)
+    DedupIngest.renameOrThrow(f, tmpPath, stagePath, "stage publish")
     val removed = spark.read.schema(TfSchema).parquet(stage)
       .filter(vis)
     removed.groupBy("__t")
@@ -587,7 +590,8 @@ object IndexIngest {
     * `.next` swap; idempotent). */
   private def purgeDocs(spark: SparkSession, path: String,
       schema: StructType, ids: Seq[String]): Unit =
-    purgeWhere(spark, path, schema, !col("__id").isInCollection(ids))
+    purgeWhere(spark, path, schema,
+      !coalesce(col("__id").isInCollection(ids), lit(false)))
 
   /** Targeted vector deletion — [[deleteBm25Docs]]' IVF counterpart,
     * simpler because the assigned dir is self-contained (no derived
@@ -616,7 +620,7 @@ object IndexIngest {
         lit(deleteId).as("__del"))
       .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
     purgeWhere(spark, s"$dir/assigned", AssignedSchema,
-      !col("__vid").isInCollection(ids))
+      !coalesce(col("__vid").isInCollection(ids), lit(false)))
     putMarker(spark, dir, m)
     dropMarker(spark, dir, s"$m.intent")
     true
@@ -663,7 +667,8 @@ object IndexIngest {
       purgeBatch(spark, s"$dir/assigned", AssignedSchema, batchId)
     val tomb = tombstonedIds(spark, dir, batchId)
     val live = if (tomb.isEmpty) batch
-      else batch.filter(!col(idCol).cast("string").isInCollection(tomb))
+      else batch.filter(!coalesce(
+        col(idCol).cast("string").isInCollection(tomb), lit(false)))
     if (live.isEmpty) {
       // nothing to fold (empty or fully tombstoned) — still COMMIT so
       // replays are O(1) no-ops and no intent marker dangles
@@ -784,7 +789,8 @@ object IndexIngest {
       purgeBatch(spark, s"$dir/codes", CodesSchema, batchId)
     val tomb = tombstonedIds(spark, dir, batchId)
     val live = if (tomb.isEmpty) batch
-      else batch.filter(!col(idCol).cast("string").isInCollection(tomb))
+      else batch.filter(!coalesce(
+        col(idCol).cast("string").isInCollection(tomb), lit(false)))
     if (live.isEmpty) {
       // nothing to fold (empty or fully tombstoned) — still COMMIT so
       // replays are O(1) no-ops and no intent marker dangles
@@ -947,7 +953,8 @@ object IndexIngest {
     // the forgotten docs' contributions (the index families' rule)
     val tomb = tombstonedIds(spark, dir, batchId)
     val live = if (tomb.isEmpty) batch
-      else batch.filter(!col(idCol).cast("string").isInCollection(tomb))
+      else batch.filter(!coalesce(
+        col(idCol).cast("string").isInCollection(tomb), lit(false)))
     if (live.isEmpty) {
       putMarker(spark, dir, batchId.toString)
       dropMarker(spark, dir, s"$batchId.intent")
@@ -1076,7 +1083,7 @@ object IndexIngest {
       if (f.exists(tmpPath) && f.exists(
           new org.apache.hadoop.fs.Path(stage + ".tmp/_SUCCESS"))) {
         f.mkdirs(stagePath.getParent)
-        f.rename(tmpPath, stagePath)
+        DedupIngest.renameOrThrow(f, tmpPath, stagePath, "stage promote")
       } else {
         if (f.exists(tmpPath)) f.delete(tmpPath, true)
         val priorDels = markerNames(spark, dir)
@@ -1098,11 +1105,12 @@ object IndexIngest {
             ingestOnly = true))
         val snap = (if (priorIds.isEmpty) snap0
           else snap0.filter(
-            !col("__vid").cast("string").isInCollection(priorIds)))
+            !coalesce(col("__vid").cast("string")
+              .isInCollection(priorIds), lit(false))))
           .distinct()
         snap.coalesce(1).write.parquet(tmpPath.toString)
         f.mkdirs(stagePath.getParent)
-        f.rename(tmpPath, stagePath)
+        DedupIngest.renameOrThrow(f, tmpPath, stagePath, "stage promote")
       }
     }
     val snap = spark.read.schema(KmSnapSchema).parquet(stage)
@@ -1159,7 +1167,7 @@ object IndexIngest {
         lit(deleteId).as("__del"))
       .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
     purgeWhere(spark, s"$dir/codes", CodesSchema,
-      !col("__vid").isInCollection(ids))
+      !coalesce(col("__vid").isInCollection(ids), lit(false)))
     putMarker(spark, dir, m)
     dropMarker(spark, dir, s"$m.intent")
     true
