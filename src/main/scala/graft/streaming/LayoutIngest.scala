@@ -1001,6 +1001,29 @@ object LayoutIngest {
     provenanceScan(spark, dir, 0L, batch)
   }
 
+  /** The CONTIGUOUS committed batch prefix — "every id in [0, n] is
+    * committed", the exactly-once offset [[LayoutTableSource]] serves:
+    * an id above a gap (a concurrent or crashed writer's in-flight
+    * batch) must hold the offset back, or a consumer would take its
+    * rows and then skip the gap batch when it later commits. -1 when
+    * nothing is committed. */
+  def contiguousCommittedBatch(spark: SparkSession, dir: String): Long = {
+    val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+    if (!f.exists(markers)) return -1L
+    val names = f.listStatus(markers).toSeq.map(_.getPath.getName)
+    val ids = names.filter(_.matches("batch-\\d+"))
+      .map(_.stripPrefix("batch-").toLong).toSet
+    var n = MarkerLedger.watermark(names)
+    while (ids.contains(n + 1)) n += 1
+    n
+  }
+
+  /** Rows of batches lo..hi (inclusive), stats-pruned — the
+    * micro-batch body behind [[LayoutTableSource.getBatch]]. */
+  private[streaming] def readBatchRange(spark: SparkSession,
+      dir: String, lo: Long, hi: Long): DataFrame =
+    provenanceScan(spark, dir, lo, hi)
+
   /** Stats-pruned scan on the provenance column (the [[scanBox]]
     * machinery on [[BatchCol]]): units whose sidecar batch span is
     * disjoint from [lo, hi] are never opened; the residual predicate

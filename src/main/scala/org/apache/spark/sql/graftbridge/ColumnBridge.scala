@@ -30,6 +30,27 @@ object ColumnBridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
 
+  /** Re-flag a batch DataFrame's relation leaves as STREAMING — what a
+    * V1 `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming` on the returned frame; FileStreamSource does the
+    * same thing via a streaming LogicalRelation). */
+  def asStreamingFrame(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val plan = analyzedPlan(df).transform {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.copy(isStreaming = true)
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lr.copy(isStreaming = true)
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        // curried copy (second list carries the session)
+        lr.copy(isStreaming = true)(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          None, None)
+    }
+    ofRows(spark, plan)
+  }
+
   /** Adds a planner strategy to the session (idempotent). */
   def addStrategy(spark: org.apache.spark.sql.SparkSession,
       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {

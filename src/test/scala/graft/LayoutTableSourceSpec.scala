@@ -1,0 +1,100 @@
+package graft
+
+import graft.streaming.{LayoutIngest, LayoutTableSource}
+import org.apache.spark.sql.functions._
+
+/** The clustered table as a Structured Streaming source: checkpointed
+  * incremental consumption (each trigger delivers exactly the newly
+  * committed batches), the gap rule (an id above a gap holds the
+  * offset back until the gap commits — exactly-once ordering), and
+  * schema/provenance fail-fast. */
+class LayoutTableSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private val grid = LayoutIngest.Grid(
+    Seq("x", "y"), Seq((0L, 99L), (0L, 99L)), bits = 4)
+
+  private def rows(ids: Range): Seq[(Long, Long, Long)] =
+    ids.map(i => (i.toLong, (i * 7 % 100).toLong, (i * 13 % 100).toLong))
+
+  test("end-to-end incremental consumption: each trigger delivers the " +
+      "newly committed batches with __batch; a gap holds the offset " +
+      "back until it commits") {
+    val dir = tmp("layout-source")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    (0 until 2).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        rows(b * 10 until (b + 1) * 10).toDF("id", "x", "y"),
+        b.toLong, dir, 1))
+    }
+    assert(LayoutIngest.contiguousCommittedBatch(spark, dir) === 1L)
+
+    val sink = s"layout_src_${System.nanoTime()}"
+    val q = spark.readStream
+      .format(classOf[LayoutTableSource].getName)
+      .option("path", dir)
+      .load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", tmp("layout-source-ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      def got: Map[Long, Long] = spark.table(sink)
+        .select("id", LayoutIngest.BatchCol).as[(Long, Long)]
+        .collect().toMap
+      assert(got.keySet === (0L until 20L).toSet)
+      assert(got(5L) === 0L && got(15L) === 1L,
+        "__batch must ride along for consumer checkpointing")
+
+      // a batch ABOVE A GAP (id 3; 2 is missing) must NOT be served:
+      // serving it would deliver out of order and skip 2 forever
+      assert(LayoutIngest.ingestBatch(
+        rows(30 until 40).toDF("id", "x", "y"), 3L, dir, 1))
+      assert(LayoutIngest.contiguousCommittedBatch(spark, dir) === 1L)
+      q.processAllAvailable()
+      assert(got.keySet === (0L until 20L).toSet,
+        "rows above the gap must stay invisible")
+
+      // the gap commits -> both 2 and 3 arrive, in one or two triggers
+      assert(LayoutIngest.ingestBatch(
+        rows(20 until 30).toDF("id", "x", "y"), 2L, dir, 1))
+      assert(LayoutIngest.contiguousCommittedBatch(spark, dir) === 3L)
+      q.processAllAvailable()
+      assert(got.keySet === (0L until 40L).toSet)
+      assert(got(25L) === 2L && got(35L) === 3L)
+
+      // a fold must not disturb the already-consumed offsets and the
+      // NEXT increment still arrives (provenance survives compaction)
+      LayoutIngest.compact(spark, dir, smallFileBytes = 1L << 30)
+      assert(LayoutIngest.ingestBatch(
+        rows(40 until 45).toDF("id", "x", "y"), 4L, dir, 1))
+      q.processAllAvailable()
+      assert(got.keySet === (0L until 45L).toSet)
+      assert(spark.table(sink).count() === 45,
+        "no batch may be delivered twice")
+    } finally q.stop()
+  }
+
+  test("fail-fast: missing path option; table without a stored schema") {
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format(classOf[LayoutTableSource].getName)
+        .load().writeStream.format("noop").start()
+    }
+    assert(e.getMessage.contains("path"), e.getMessage)
+    // a dir with no schema sidecar (pre-provenance table) is refused
+    // at schema resolution, not silently empty
+    val bare = tmp("layout-source-bare")
+    LayoutIngest.bootstrap(spark, bare, grid)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.readStream.format(classOf[LayoutTableSource].getName)
+        .option("path", bare).load()
+    }
+    assert(e2.getMessage.contains("stored schema"), e2.getMessage)
+  }
+}
