@@ -186,19 +186,6 @@ object IndexIngest {
       .filterNot(_.endsWith(".intent"))
   }
 
-  /** Every committed `__batch` stamp still carrying an INDIVIDUAL
-    * marker: the unfolded ingest tail, committed deletions' negative
-    * stamps, and the compaction stamp. Ids folded into the watermark
-    * are NOT here — visibility tests must go through
-    * [[committedPred]], which ORs in the watermark range. */
-  private def committedBatches(spark: SparkSession, dir: String): Seq[Long] = {
-    val ids = markerNames(spark, dir).flatMap { n =>
-      if (n.startsWith("del-")) n.drop(4).toLongOption.map(delStamp)
-      else n.toLongOption
-    }
-    ids :+ CommittedBatch
-  }
-
   /** "Every ingest batch id in [0, n] is committed (and its intent
     * dropped)" — the highest published `batch-upto-<n>` watermark,
     * -1 when none. See [[compactMarkers]]. */
@@ -218,11 +205,30 @@ object IndexIngest {
     * LIFETIME (millions of micro-batches at 100 TB), so reads got
     * slower forever on a table whose size was flat. `ingestOnly`
     * restricts the tail to non-negative ingest stamps (excludes
-    * deletion/compaction stamps). */
+    * deletion/compaction stamps).
+    *
+    * Watermark and tail come from ONE `listStatus` snapshot: two
+    * listings raced a concurrent [[compactMarkers]] fold (new
+    * watermark created, folded markers deleted, in between) — a
+    * lock-free reader could capture the OLD watermark with the
+    * POST-fold tail and silently drop committed batches. One listing
+    * is atomic enough: a fold never removes a marker without the
+    * covering watermark already existing, so any single snapshot is
+    * complete (it may only over-include, never under-include). */
   private def committedPred(spark: SparkSession, dir: String,
       c: Column, ingestOnly: Boolean = false): Column = {
-    val w = batchWatermark(spark, dir)
-    val tail = committedBatches(spark, dir)
+    val (f, root) = DedupIngest.fs(spark, s"$dir/markers")
+    val names =
+      if (!f.exists(root)) Seq.empty[String]
+      else f.listStatus(root).toSeq.map(_.getPath.getName)
+        .filterNot(_.endsWith(".intent"))
+    val w = names.filter(_.matches("batch-upto-\\d+"))
+      .map(_.stripPrefix("batch-upto-").toLong)
+      .foldLeft(-1L)(math.max)
+    val tail = (names.flatMap { n =>
+      if (n.startsWith("del-")) n.drop(4).toLongOption.map(delStamp)
+      else n.toLongOption
+    } :+ CommittedBatch)
       .filter(id => !ingestOnly || id >= 0)
     (c >= 0L && c <= w) || c.isInCollection(tail)
   }

@@ -46,6 +46,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *  - Every mutator holds the dir's [[LedgerLock]] (single-writer,
  *    fail-fast; same-host dead writers self-recover).
  *
+ * FILESYSTEM CONTRACT: the publish protocol assumes directory rename
+ * is atomic and O(1) — true on HDFS, local filesystems, and
+ * rename-consistent stores (ABFS, GCS); NOT true on plain S3A, where
+ * "rename" is a non-atomic copy+delete and a reader can observe a
+ * half-copied `data/batch-<id>/`. On such stores run the table over an
+ * atomic-rename layer (S3A + a consistent committer/metastore, or an
+ * HDFS/ABFS staging tier) — the marker ledger alone does not repair a
+ * torn rename, because [[read]] deliberately treats dir EXISTENCE (not
+ * the marker) as the publish point so that readers never need the
+ * lock. Same scoping discipline as [[LedgerLock]]'s own S3A caveat.
+ *
  * 100 TB: nothing here is driver-bound — batches shuffle once on the
  * key (the range partition), compaction reads only the small tail, and
  * the table serves statistics-pruned scans the whole time (the
@@ -267,6 +278,38 @@ object LayoutIngest {
         s"${top.getPath.getName}/${s.getPath.getName}" -> s.getPath)
     }
 
+  /** Stamp commit markers for PUBLISHED-BUT-UNMARKED L0 batch dirs (a
+    * crash between the publish rename and the marker create). Must be
+    * called with the ledger lock held, BEFORE [[compact]]/[[deleteBox]]
+    * select units: both pick units by listing `data/`, so without this
+    * an orphan `batch-<id>` dir could be folded into a generation (or
+    * rewritten) first, and the stream's later replay of that id —
+    * finding neither marker nor target dir — would re-ingest it,
+    * duplicating every row (and, after a deleteBox, resurrecting
+    * deleted ones). Stamping is safe by the same argument
+    * [[ingestBatch]]'s own recovery path uses: a published dir is
+    * complete by construction (the rename is the last data step), so
+    * the marker only formalizes a commit the replay would have
+    * re-stamped anyway; with the marker in place that replay becomes a
+    * no-op. Under the lock no live writer can be mid-publish (rename
+    * and marker are one locked section), so dir-without-marker here
+    * always means a crashed attempt. */
+  private def adoptOrphanBatches(spark: SparkSession, dir: String): Unit = {
+    val (f, data) = DedupIngest.fs(spark, s"$dir/data")
+    if (!f.exists(data)) return
+    val (_, markers) = DedupIngest.fs(spark, s"$dir/markers")
+    val w = batchWatermark(f, markers)
+    f.listStatus(data).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.matches("batch-\\d+"))
+      .map(_.stripPrefix("batch-").toLong)
+      .filter(_ > w)
+      .foreach { id =>
+        val m = new org.apache.hadoop.fs.Path(markers, s"batch-$id")
+        if (!f.exists(m)) f.create(m, true).close()
+      }
+  }
+
   /** Fold the small prunable units into one re-clustered generation —
     * WAL-manifested (object doc); no-op under two small units. A fold
     * producing more than one output file publishes as a RANGE-SPLIT
@@ -283,6 +326,7 @@ object LayoutIngest {
       targetFileBytes: Long = 0L): Unit =
     LedgerLock.withLock(spark, dir) {
       recoverCompact(spark, dir)
+      adoptOrphanBatches(spark, dir)
       val (f, data) = DedupIngest.fs(spark, s"$dir/data")
       val smalls =
         if (!f.exists(data)) Nil
@@ -489,6 +533,7 @@ object LayoutIngest {
     LedgerLock.withLock(spark, dir) {
       require(box.nonEmpty, "deleteBox: empty box")
       recoverCompact(spark, dir)
+      adoptOrphanBatches(spark, dir)
       val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
       val marker = new org.apache.hadoop.fs.Path(markers, s"del-$deleteId")
       if (f.exists(marker)) false
@@ -722,6 +767,12 @@ object LayoutIngest {
   private def scanPointsAny(spark: SparkSession, dir: String,
       column: String, values: Seq[Any]): DataFrame = {
     require(values.nonEmpty, "scanPoints: no values to probe")
+    // reject nulls up front: a null can never match the isin residual
+    // (three-valued logic), and letting it reach the bloom probe threw
+    // an NPE (v.getClass on null) instead of a usable message
+    require(values.forall(_ != null),
+      "scanPoints: null probe values are not supported (isin never " +
+        "matches null; probe for nulls with scanBox on a stats column)")
     val (hit, live) = pointProbeDirs(spark, dir, column, values)
     val pred = col(column).isInCollection(values)
     if (hit.nonEmpty)
@@ -888,10 +939,13 @@ object LayoutIngest {
   def tableSchema(spark: SparkSession, dir: String)
       : Option[org.apache.spark.sql.types.StructType] = {
     val (f, sd) = DedupIngest.fs(spark, s"$dir/schema")
-    // list-then-open races a concurrent publish retiring old versions
-    // (publishSchema keeps the previous version alive, so one retry
-    // after a fresh listing is enough — the new max always exists)
+    // list-then-open races a concurrent publish retiring old versions.
+    // Each retry re-lists and the current max always exists, but a
+    // lock-free reader can lose the race MORE than once (two
+    // consecutive publishes each retire versions two back), so retry a
+    // small bounded number of times rather than exactly once.
     var attempt = 0
+    val maxAttempts = 4
     while (true) {
       if (!f.exists(sd)) return None
       val vs = f.listStatus(sd).toSeq.map(_.getPath.getName)
@@ -906,7 +960,8 @@ object LayoutIngest {
         return Some(org.apache.spark.sql.types.DataType.fromJson(json)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
       } catch {
-        case _: java.io.FileNotFoundException if attempt == 0 =>
+        case _: java.io.FileNotFoundException
+            if attempt < maxAttempts - 1 =>
           attempt += 1 // re-list; the writer published a newer version
       }
     }

@@ -508,6 +508,12 @@ class LayoutIngestSpec extends SparkSpec {
       "without blooms every unit must be read")
     assert(LayoutIngest.scanPoints(spark, dir, "id", Seq(42L))
       .select("id").as[Long].collect() === Array(42L))
+    // null probe values are rejected up front (isin never matches
+    // null; letting one reach the bloom probe used to NPE)
+    val en = intercept[IllegalArgumentException] {
+      LayoutIngest.scanPointsStr(spark, dir, "id", Seq("a", null))
+    }
+    assert(en.getMessage.contains("null"), en.getMessage)
   }
 
   test("marker-ledger fold: the contiguous committed prefix becomes " +
@@ -925,6 +931,46 @@ class LayoutIngestSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/data/batch-4").exists(),
       "an empty batch must not publish a unit")
     assert(LayoutIngest.readSince(spark, dir, 3L).count() === 0)
+  }
+
+  test("compact/deleteBox adopt a published-but-unmarked batch dir " +
+      "(crash between rename and marker): the orphan is stamped before " +
+      "unit selection, so a fold cannot orphan its id and the stream's " +
+      "replay is a no-op instead of a row-duplicating re-ingest") {
+    val dir = tmp("layout-orphan")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    assert(LayoutIngest.ingestBatch(
+      rows(0 until 20).toDF("id", "x", "y"), 0L, dir, 2))
+    assert(LayoutIngest.ingestBatch(
+      rows(20 until 40).toDF("id", "x", "y"), 1L, dir, 2))
+    // simulate the crash window: batch 1 published, marker gone
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/markers/batch-1"))
+    // compact folds BOTH units (huge small-file threshold) — before the
+    // fix this folded batch-1's rows into the gen while leaving the id
+    // uncommitted, so the replay below re-ingested all 20 rows
+    LayoutIngest.compact(spark, dir, smallFileBytes = 1L << 30)
+    val tops = Option(new java.io.File(s"$dir/data").listFiles())
+      .getOrElse(Array.empty[java.io.File]).map(_.getName).toSeq
+    assert(tops.exists(_.startsWith("gen-")), s"expected a fold: $tops")
+    assert(!LayoutIngest.ingestBatch(
+      rows(20 until 40).toDF("id", "x", "y"), 1L, dir, 2),
+      "replay of the adopted batch must be a no-op")
+    assert(LayoutIngest.read(spark, dir).count() === 40)
+
+    // same window against deleteBox: batch 2 published-unmarked, a
+    // delete that rewrites its unit must not let the replay resurrect
+    // the deleted rows
+    assert(LayoutIngest.ingestBatch(
+      rows(40 until 60).toDF("id", "x", "y"), 2L, dir, 2))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/markers/batch-2"))
+    assert(LayoutIngest.deleteBox(spark, dir,
+      Seq(("x", 0L, 99L), ("y", 0L, 99L)), deleteId = 1L))
+    assert(!LayoutIngest.ingestBatch(
+      rows(40 until 60).toDF("id", "x", "y"), 2L, dir, 2),
+      "replay after the delete must be a no-op, not a resurrection")
+    assert(LayoutIngest.read(spark, dir).count() === 0)
   }
 
   test("mutators hold the single-writer lock") {

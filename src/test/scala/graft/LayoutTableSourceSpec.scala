@@ -97,4 +97,18 @@ class LayoutTableSourceSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("stored schema"), e2.getMessage)
   }
+
+  test("shortName resolves: .format(\"graft-layout\") finds the source " +
+      "through the DataSourceRegister service file") {
+    // the scaladoc advertises the short name; without the META-INF
+    // services entry only the class-name form resolved
+    val bare = tmp("layout-source-short")
+    LayoutIngest.bootstrap(spark, bare, grid)
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-layout").option("path", bare).load()
+    }
+    // lookup succeeded (we reached OUR schema validation, not Spark's
+    // "Failed to find data source" ClassNotFound path)
+    assert(e.getMessage.contains("stored schema"), e.getMessage)
+  }
 }
