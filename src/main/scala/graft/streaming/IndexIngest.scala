@@ -189,14 +189,8 @@ object IndexIngest {
   /** "Every ingest batch id in [0, n] is committed (and its intent
     * dropped)" — the highest published `batch-upto-<n>` watermark,
     * -1 when none. See [[compactMarkers]]. */
-  private def batchWatermark(spark: SparkSession, dir: String): Long = {
-    val (f, root) = DedupIngest.fs(spark, s"$dir/markers")
-    if (!f.exists(root)) -1L
-    else f.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.matches("batch-upto-\\d+"))
-      .map(_.stripPrefix("batch-upto-").toLong)
-      .foldLeft(-1L)(math.max)
-  }
+  private def batchWatermark(spark: SparkSession, dir: String): Long =
+    MarkerLedger.watermark(markerNames(spark, dir))
 
   /** The committed-visibility predicate over a batch-stamp column:
     * inside the watermark's [0, n], OR carrying an individual marker.
@@ -217,21 +211,25 @@ object IndexIngest {
     * complete (it may only over-include, never under-include). */
   private def committedPred(spark: SparkSession, dir: String,
       c: Column, ingestOnly: Boolean = false): Column = {
-    val (f, root) = DedupIngest.fs(spark, s"$dir/markers")
-    val names =
-      if (!f.exists(root)) Seq.empty[String]
-      else f.listStatus(root).toSeq.map(_.getPath.getName)
-        .filterNot(_.endsWith(".intent"))
-    val w = names.filter(_.matches("batch-upto-\\d+"))
-      .map(_.stripPrefix("batch-upto-").toLong)
-      .foldLeft(-1L)(math.max)
-    val tail = (names.flatMap { n =>
-      if (n.startsWith("del-")) n.drop(4).toLongOption.map(delStamp)
-      else n.toLongOption
-    } :+ CommittedBatch)
+    // ONE snapshot ([[markerNames]] is a single listStatus), then the
+    // shared parsers — the watermark regex lives in MarkerLedger and
+    // the tail parse in [[markerTailIds]], not re-inlined here
+    val names = markerNames(spark, dir)
+    val w = MarkerLedger.watermark(names)
+    val tail = (markerTailIds(names) :+ CommittedBatch)
       .filter(id => !ingestOnly || id >= 0)
     (c >= 0L && c <= w) || c.isInCollection(tail)
   }
+
+  /** Batch-stamp ids carried by INDIVIDUAL markers in `names` (bare
+    * ingest ids and `del-<n>` deletion stamps) — the tail above the
+    * watermark plus permanent deletion markers. The one place this
+    * family's marker names are parsed into stamps. */
+  private def markerTailIds(names: Seq[String]): Seq[Long] =
+    names.flatMap { n =>
+      if (n.startsWith("del-")) n.drop(4).toLongOption.map(delStamp)
+      else n.toLongOption
+    }
 
   /** Fold the contiguous committed prefix of INGEST batch markers into
     * ONE `batch-upto-<n>` watermark file ([[LayoutIngest]]'s device):

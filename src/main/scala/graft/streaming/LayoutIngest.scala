@@ -63,7 +63,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * LayoutProbe numbers: a thin slice materializes 1/64 of a clustered
  * table vs all of a time-ordered one).
  */
-object LayoutIngest {
+object LayoutIngest extends org.apache.spark.internal.Logging {
 
   /** The persisted cluster key column. */
   val KeyCol = "zkey"
@@ -306,7 +306,16 @@ object LayoutIngest {
       .filter(_ > w)
       .foreach { id =>
         val m = new org.apache.hadoop.fs.Path(markers, s"batch-$id")
-        if (!f.exists(m)) f.create(m, true).close()
+        if (!f.exists(m)) {
+          // rare post-crash healing — worth an audit trace: operators
+          // should see that a publish-rename/marker crash window was
+          // adopted, not silently absorbed
+          logWarning(s"LayoutIngest: adopting orphan batch-$id under " +
+            s"$dir (published dir without a commit marker — a writer " +
+            "crashed between the publish rename and the marker create); " +
+            "stamping its marker now")
+          f.create(m, true).close()
+        }
       }
   }
 
@@ -960,9 +969,19 @@ object LayoutIngest {
         return Some(org.apache.spark.sql.types.DataType.fromJson(json)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
       } catch {
-        case _: java.io.FileNotFoundException
-            if attempt < maxAttempts - 1 =>
-          attempt += 1 // re-list; the writer published a newer version
+        case e: java.io.FileNotFoundException =>
+          if (attempt < maxAttempts - 1)
+            attempt += 1 // re-list; the writer published a newer version
+          else
+            // a raw FNF here would read as "the table is broken";
+            // name the real cause (losing the list-then-open race
+            // maxAttempts times needs a pathological publish storm)
+            throw new IllegalStateException(
+              s"tableSchema: lost the schema list-then-open race " +
+                s"$maxAttempts times under $sd — a concurrent writer " +
+                "is retiring schema versions faster than this reader " +
+                "can re-list (publish storm); retry when the table's " +
+                "writer cadence settles", e)
       }
     }
     None // unreachable
