@@ -7115,6 +7115,178 @@ WHERE rk <= 40"""
        |SELECT event_id, $terms AS zkey, eid_str FROM q""".stripMargin
   }
 
+  /** EXACTLY-ONCE STREAM CONSUMPTION of the clustered table through
+    * Spark's own checkpoint machinery
+    * ([[graft.streaming.LayoutTableSource]] — the CDC read side as a
+    * real `readStream.format("graft-layout")` source, resolved via the
+    * DataSourceRegister short name): the event log lands as a GAPPED
+    * multi-batch ingest — batches 0 and 2 published, 1 deliberately
+    * missing — and a file-sink consumer drains the table. The first
+    * drain must deliver ONLY batch 0 (the offset is the contiguous
+    * committed prefix: serving batch 2 over the gap would skip batch 1
+    * forever once it commits — the premise is enforced with a refusal,
+    * not assumed). Then the gap commits, the whole table FOLDS into
+    * one generation, and the SAME checkpoint resumes: the second drain
+    * must deliver exactly batches 1–2, read from INSIDE the fold via
+    * the provenance sidecars. The sink's union is hashed against the
+    * full q155 key formula — a double delivery, a skipped batch, an
+    * offset that jumped the gap, or a fold that perturbed provenance
+    * all fail the hash (the sink would carry dup or missing event
+    * ids). Warm bench reps re-read the finished sink (the file sink's
+    * own _spark_metadata keeps the read exact). */
+  val q171CdcStreamConsume: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val root = streamIndexDir("q171", dir, "events")
+    val tableDir = s"$root/table"
+    val sinkDir = s"$root/sink"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val cut = b.getLong(2) / 2 + b.getLong(3) / 2
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16))
+      val s0 = ev.filter(col("ts_us") < cut)
+      val s1 = ev.filter(col("ts_us") >= cut &&
+        abs(hash(col("event_id"))) % 2 === 0)
+      val s2 = ev.filter(col("ts_us") >= cut &&
+        abs(hash(col("event_id"))) % 2 =!= 0)
+      graft.streaming.LayoutIngest.ingestBatch(s0, 0L, tableDir, 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(s2, 2L, tableDir, 4): Unit
+      require(graft.streaming.LayoutIngest
+          .contiguousCommittedBatch(s, tableDir) == 0L,
+        "q171: the harness must start with a gap at batch 1")
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-layout")
+          .option("path", tableDir).load()
+          .writeStream.format("parquet").option("path", sinkDir)
+          .option("checkpointLocation", s"$root/ckpt")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      drain()
+      val afterFirst = s.read.parquet(sinkDir).count()
+      val n0 = s0.count()
+      require(s2.limit(1).count() > 0,
+        "q171: the batch above the gap must be non-empty for the " +
+          "holdback premise to bite")
+      require(afterFirst == n0,
+        s"q171: the gap must hold the offset back — first drain " +
+          s"consumed $afterFirst rows, expected only batch 0's $n0")
+      // the gap commits; the whole tail folds into ONE generation, so
+      // the second drain reads its range from inside the fold
+      graft.streaming.LayoutIngest.ingestBatch(s1, 1L, tableDir, 4): Unit
+      graft.streaming.LayoutIngest.compact(s, tableDir,
+        smallFileBytes = 1L << 30)
+      val tops = Option(new java.io.File(s"$tableDir/data").listFiles())
+        .getOrElse(Array.empty[java.io.File]).filter(_.isDirectory)
+      require(tops.exists(_.getName.startsWith("gen-")),
+        s"q171: expected a folded generation, got ${tops.map(_.getName).toSeq}")
+      drain()
+      done.createNewFile(): Unit
+    }
+    s.read.parquet(sinkDir).select(col("event_id"), col("zkey"))
+  }
+
+  /** ROW-KEYED MERGE (upsert) on the clustered table
+    * ([[graft.streaming.LayoutIngest.mergeRows]] — the reference's
+    * K5/K6 row-keyed update pattern generalized to the lakehouse
+    * surface): q170's build (two batches, range-split fold, blooms on
+    * `event_id`), then one merge batch that DOUBLES the value of five
+    * mid-domain event ids (the oracle replays the id arithmetic) and
+    * INSERTS one brand-new row at the domain corner (key emx+1000,
+    * user umn, ts tmn → zkey 0 exactly). The bloom sidecars must prune
+    * the rewrite (the query refuses if every unit is touched), and the
+    * final table hashes against events with a CASE on the merged ids
+    * plus the inserted row — a lost survivor, an unreplaced update, a
+    * double-applied merge, or a perturbed key fails the hash. Bench
+    * reps replay the merge to an O(1) no-op behind its marker (the
+    * q162 RTBF convention). */
+  val q172MergeUpsert: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val root = streamIndexDir("q172", dir, "events")
+    val tableDir = s"$root/table"
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min("ts_us"), max("ts_us"), min("event_id"), max("event_id")).head()
+    val (emn, emx) = (b.getLong(4), b.getLong(5))
+    val mergeIds = (1 to 5).map(j => emn + (emx - emn) * j / 7)
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16, bloomCols = Seq("event_id")))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, tableDir, filesPerBatch = 4): Unit
+      def parquetBytes(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .map(parquetBytes).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      val dataDir = new java.io.File(s"$tableDir/data")
+      graft.streaming.LayoutIngest.compact(s, tableDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L, parquetBytes(dataDir) / 8))
+      // the gate's premise: the merge must be a PRUNED rewrite — a
+      // point update that touches every unit is the row-keyed-update
+      // failure mode this surface exists to avoid
+      val (hit, live) = graft.streaming.LayoutIngest.pointProbeDirs(
+        s, tableDir, "event_id", mergeIds :+ (emx + 1000L))
+      require(hit.size < live.size,
+        s"q172: the blooms must prune the merge, got ${hit.size}/${live.size}")
+    }
+    val updates = ev
+      .filter(col("event_id").isInCollection(mergeIds))
+      .withColumn("value", col("value") * 2)
+      .unionByName(s.range(1).select(
+        lit(emx + 1000L).as("event_id"),
+        lit(b.getLong(0)).as("user_id"),
+        lit(b.getLong(2)).as("ts_us"),
+        lit(42.0).as("value")))
+    graft.streaming.LayoutIngest.mergeRows(s, tableDir, "event_id",
+      updates, batchId = 2L): Unit
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("event_id"), col("zkey"), col("value"))
+  }
+
+  val q172Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx,
+       |    MIN(event_id) AS emn, MAX(event_id) AS emx
+       |  FROM events),
+       |k AS (
+       |  SELECT (SELECT emn FROM b) +
+       |    ((SELECT emx FROM b) - (SELECT emn FROM b)) * j // 7 AS kid
+       |  FROM range(1, 6) t(j)),
+       |q AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy,
+       |    CASE WHEN event_id IN (SELECT kid FROM k)
+       |      THEN value * 2 ELSE value END AS value
+       |  FROM events)
+       |SELECT event_id, $terms AS zkey, value FROM q
+       |UNION ALL
+       |SELECT (SELECT emx FROM b) + 1000, CAST(0 AS BIGINT), 42.0""".stripMargin
+  }
+
   val q169Sql: String = {
     val terms = (0 until 16).flatMap(i => Seq(
       s"(((qx >> $i) & 1) << ${2 * i})",
@@ -7519,7 +7691,12 @@ WHERE rk <= 40"""
     "q167_regrid" -> (q167Regrid, Some(q155Sql)),
     "q168_cdc_read" -> (q168CdcRead, Some(q168Sql)),
     "q169_schema_evolve" -> (q169SchemaEvolve, Some(q169Sql)),
-    "q170_str_bloom_scan" -> (q170StrBloomScan, Some(q170Sql)))
+    "q170_str_bloom_scan" -> (q170StrBloomScan, Some(q170Sql)),
+    // q171 re-runs q155's full key oracle against the set a
+    // checkpointed readStream consumer DRAINED from the table across
+    // a gapped ingest + fold (exactly-once through Spark's offsets)
+    "q171_cdc_stream_consume" -> (q171CdcStreamConsume, Some(q155Sql)),
+    "q172_merge_upsert" -> (q172MergeUpsert, Some(q172Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -56,6 +56,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * torn rename, because [[read]] deliberately treats dir EXISTENCE (not
  * the marker) as the publish point so that readers never need the
  * lock. Same scoping discipline as [[LedgerLock]]'s own S3A caveat.
+ * The contract is executable: LayoutIngestSpec's torn-rename test
+ * drives both states — the atomic-rename crash (stage-only, readers
+ * unaffected, replay discards) and the torn half-copied dir (reads
+ * fail LOUDLY on the parquet footer — never a silent wrong answer).
  *
  * 100 TB: nothing here is driver-bound — batches shuffle once on the
  * key (the range partition), compaction reads only the small tail, and
@@ -594,6 +598,181 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           recoverCompact(spark, dir)
         }
         f.create(marker, true).close()
+        true
+      }
+    }
+
+  /** Probing every merge key against every unit bloom is driver work
+    * (keys × units × ~7 hashes); above this many distinct keys the
+    * unit selection falls back to stats-range pruning alone — still
+    * correct (conservative), and a merge that large is mis-sized
+    * anyway (see [[mergeRows]]'s contract). */
+  private val BloomProbeMaxKeys = 1 << 16
+
+  /** Hard ceiling on one merge batch's distinct keys: the keys are
+    * collected to the driver to drive unit pruning, and a "merge"
+    * rewriting a corpus-sized key set is a regrid in disguise — split
+    * it or rewrite the table. */
+  private val MaxMergeKeys = 1 << 22
+
+  /**
+   * Row-keyed MERGE (upsert) — the generalization of the reference's
+   * K5/K6 row-keyed update sinks (reference VariantStore pattern,
+   * `HrdpVariants.java`-style "update these rows by id") to the
+   * clustered table: every live row whose `keyCol` appears in
+   * `updates` is REPLACED by the update row; keys not present yet are
+   * plain inserts. Implemented as delete+append under the existing
+   * WAL/marker protocol, so nothing new has to be trusted:
+   *
+   *  1. units that might hold a matching key are found from the
+   *     sidecars — stats range `[min(keys), max(keys)]` first, then
+   *     the per-unit Bloom filters when `keyCol` is a [[Grid.bloomCols]]
+   *     column (the q166/q170 machinery: a unit whose bloom excludes
+   *     every key is never opened, let alone rewritten);
+   *  2. each affected unit rewrites through the same staged
+   *     WAL-manifest as [[deleteBox]], dropping its matching-key rows
+   *     (a broadcast anti-join on the keys — the data path never
+   *     collects); rows from THIS merge's own appended batch are
+   *     exempt, which is what makes a crash replay converge (below);
+   *  3. the updates land as ONE ordinary ingest batch via
+   *     [[ingestBatch]] — keyed, range-partitioned, published behind
+   *     the atomic rename + `batch-<batchId>` marker, visible to CDC
+   *     consumers as new rows of that batch.
+   *
+   * `batchId` comes from the SAME sequence as the stream's ingest
+   * batches (it IS an ingest batch): it must be fresh — merging under
+   * an id the ledger already committed would delete without appending,
+   * and is refused up front. Run merges when no stream is writing (the
+   * single-writer lock serializes, but the NEXT id is the stream's
+   * checkpoint state — a merge stealing it would make the stream's
+   * future batch replay into a silent no-op).
+   *
+   * Idempotent and crash-exact behind a `merge-<batchId>` marker with
+   * an intent twin (the IndexIngest two-state pattern):
+   * `merge-<batchId>.intent` is created atomically BEFORE any
+   * mutation, the commit marker AFTER everything. Crash matrix:
+   * before the intent → nothing happened; after the intent, anywhere →
+   * a replay (same batchId, same updates — the caller's replay
+   * contract, as for ingestBatch) skips the freshness guard, re-runs
+   * the rewrites (already-filtered units rewrite to themselves; the
+   * appended batch's own rows are protected by the `__batch = batchId`
+   * exemption, so a replay AFTER the append cannot delete the new
+   * rows), re-drives [[ingestBatch]] (a no-op once its marker exists),
+   * re-stamps the commit marker, drops the intent. After the commit
+   * marker → false, O(1).
+   *
+   * Like [[deleteBox]], replaced row versions are destructive across
+   * history: [[readAsOf]] views before `batchId` do not resurrect the
+   * old values of merged keys (the RTBF rule — a correction exists to
+   * supersede the record everywhere).
+   *
+   * Constraints: `keyCol` must be a LONG column; `updates` must carry
+   * distinct, non-null keys (last-wins inside one batch is undefined)
+   * and at most [[MaxMergeKeys]] of them; pruning is only as good as
+   * the sidecars — declare `keyCol` in [[Grid.bloomCols]] or cluster
+   * on a correlate, or every unit conservatively rewrites (correct,
+   * slow). 100 TB: the keys collect once to the driver (correction-
+   * sized by contract), the rewrites touch only sidecar-hit units,
+   * the append is one ordinary clustered batch.
+   */
+  def mergeRows(spark: SparkSession, dir: String, keyCol: String,
+      updates: DataFrame, batchId: Long,
+      filesPerBatch: Int = 4): Boolean =
+    LedgerLock.withLock(spark, dir) {
+      recoverCompact(spark, dir)
+      adoptOrphanBatches(spark, dir)
+      val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+      val marker = new org.apache.hadoop.fs.Path(markers, s"merge-$batchId")
+      if (f.exists(marker)) false
+      else {
+        require(updates.schema.fieldNames.contains(keyCol),
+          s"mergeRows: updates carry no '$keyCol' column")
+        require(updates.schema(keyCol).dataType ==
+            org.apache.spark.sql.types.LongType,
+          s"mergeRows: key column '$keyCol' must be LONG, got " +
+            updates.schema(keyCol).dataType.simpleString)
+        // one aggregate validates the key contract and bounds the
+        // range — read-only, so it runs BEFORE the intent (a refused
+        // merge must leave no ledger debris)
+        val a = updates.agg(
+          count(col(keyCol)), countDistinct(col(keyCol)), count(lit(1)),
+          min(col(keyCol)), max(col(keyCol))).head()
+        require(a.getLong(0) == a.getLong(2),
+          "mergeRows: null merge keys are not supported")
+        require(a.getLong(0) == a.getLong(1),
+          "mergeRows: duplicate keys inside one merge batch — last-wins " +
+            "is undefined; dedup the updates first")
+        val nKeys = a.getLong(1)
+        require(nKeys <= MaxMergeKeys,
+          s"mergeRows: $nKeys distinct keys — a merge this large is a " +
+            "rewrite in disguise; split it or regrid")
+        val intent = new org.apache.hadoop.fs.Path(markers,
+          s"merge-$batchId.intent")
+        if (!f.exists(intent)) {
+          // freshness guard — only on the FIRST attempt (a replay
+          // finds the intent; by then the id is legitimately ours)
+          require(batchId > batchWatermark(f, markers) &&
+            !f.exists(new org.apache.hadoop.fs.Path(markers,
+              s"batch-$batchId")),
+            s"mergeRows: batch id $batchId is already committed in this " +
+              "table's ledger — merging under it would delete without " +
+              "appending; use the next unused ingest id")
+          f.create(intent, true).close()
+        }
+        if (nKeys > 0) {
+          val (kmn, kmx) = (a.getLong(3), a.getLong(4))
+          val (_, data) = DedupIngest.fs(spark, s"$dir/data")
+          val units = if (!f.exists(data)) Nil else leafUnits(f, data)
+          val keysForBloom: Seq[Long] =
+            if (nKeys <= BloomProbeMaxKeys)
+              updates.select(col(keyCol)).distinct()
+                .collect().toSeq.map(_.getLong(0))
+            else Nil
+          val affected = units.filter { case (_, d) =>
+            val statsHit = dirColumnRange(f, d, keyCol) match {
+              case Some((mn, mx)) => mx >= kmn && mn <= kmx
+              case None => unitRows(f, d) > 0 // no stats → conservative
+            }
+            statsHit && (keysForBloom.isEmpty ||
+              (unitBloom(f, d, keyCol) match {
+                case Some(b) => keysForBloom.exists(b.mightContainLong)
+                case None => true
+              }))
+          }
+          val keysDf = broadcast(updates.select(col(keyCol)).distinct()
+            .withColumn("__graft_merge_hit", lit(true)))
+          val gridNow = readGrid(spark, dir)
+          affected.zipWithIndex.foreach { case ((name, d), i) =>
+            // same attempt-nonce discipline as deleteBox: a replay's
+            // target names must not collide with a published one
+            val stamp = s"merge$batchId-$i-" +
+              java.util.UUID.randomUUID().toString.take(6)
+            val stage = new org.apache.hadoop.fs.Path(
+              s"$dir/gen-$stamp.stage")
+            if (f.exists(stage)) f.delete(stage, true)
+            val unitDf = readUnits(spark, dir, Seq(d))
+            val cols = unitDf.columns
+            // keep: key not merged, OR the row IS this merge's append
+            // (the replay-after-append exemption); null keys never
+            // join → kept, the deleteBox null-safety rule
+            unitDf.join(keysDf, Seq(keyCol), "left")
+              .filter(col("__graft_merge_hit").isNull ||
+                col(BatchCol) === lit(batchId))
+              .select(cols.map(col).toIndexedSeq: _*)
+              .write.mode("overwrite").parquet(stage.toString)
+            writeUnitStats(f, stage, gridNow.cols :+ KeyCol :+ BatchCol)
+            writeUnitBlooms(spark, f, stage, gridNow.bloomCols)
+            val man = manifestPath(spark, dir, stamp)
+            val out = f.create(man, true)
+            try out.write(Seq(s"S\t$name", s"T\tgen-$stamp", "COMMIT")
+              .mkString("\n").getBytes("UTF-8"))
+            finally out.close()
+            recoverCompact(spark, dir)
+          }
+          ingestBatch(updates, batchId, dir, filesPerBatch): Unit
+        }
+        f.create(marker, true).close()
+        f.delete(intent, false): Unit
         true
       }
     }

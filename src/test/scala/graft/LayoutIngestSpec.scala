@@ -973,6 +973,140 @@ class LayoutIngestSpec extends SparkSpec {
     assert(LayoutIngest.read(spark, dir).count() === 0)
   }
 
+  test("mergeRows: row-keyed upsert rewrites ONLY the key-affected " +
+      "units (bloom-pruned past the stats range), inserts new keys as " +
+      "one provenance-stamped batch, replays to an O(1) no-op") {
+    val dir = tmp("layout-merge")
+    LayoutIngest.bootstrap(spark, dir,
+      grid.copy(bloomCols = Seq("id")))
+    // disjoint id ranges per batch: the stats range [30, 200] of the
+    // merge keys intersects batches 1..3, so only the BLOOMS can
+    // narrow the rewrite to batch-1 — the pruning ladder under test
+    def batchRows(b: Int): Seq[(Long, Long, Long)] =
+      (0 until 25).map(i =>
+        ((b * 25 + i).toLong, (b * 25 + i).toLong, (i * 13 % 100).toLong))
+    (0 until 4).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        batchRows(b).toDF("id", "x", "y"), b.toLong, dir, 1))
+    }
+    val before = LayoutIngest.read(spark, dir)
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    // two updates (new y → new key) + one brand-new id: the upsert
+    val updates = Seq((30L, 30L, 1L), (35L, 35L, 2L), (200L, 50L, 50L))
+      .toDF("id", "x", "y")
+    val expectedKeys = Layout.withZOrderKeyFixed(updates,
+        Seq(col("x"), col("y")), grid.bounds, grid.bits, "zkey")
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    assert(LayoutIngest.mergeRows(spark, dir, "id", updates, batchId = 4L))
+    val dataDirs = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(Seq("batch-0", "batch-2", "batch-3").forall(dataDirs),
+      s"bloom-excluded units must survive unrewritten: $dataDirs")
+    assert(!dataDirs("batch-1"), s"affected unit must be replaced: $dataDirs")
+    assert(dataDirs.exists(_.startsWith("gen-merge4-")), dataDirs.toString)
+    assert(dataDirs("batch-4"), s"the updates must land as a batch: $dataDirs")
+    val after = LayoutIngest.read(spark, dir)
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    assert(after.keySet === before.keySet + 200L,
+      "merge must replace, never duplicate; insert the new key")
+    assert(after(30L) === expectedKeys(30L) &&
+      after(35L) === expectedKeys(35L) && after(200L) === expectedKeys(200L),
+      "merged rows must carry the UPDATE rows' keys")
+    assert((after - 30L - 35L - 200L).forall { case (id, k) =>
+      before(id) == k }, "untouched rows keep their exact keys")
+    // CDC: the merge batch is ordinary provenance — consumers see the
+    // upserts as new rows of batch 4
+    assert(LayoutIngest.readSince(spark, dir, 3L)
+      .select("id").as[Long].collect().toSet === Set(30L, 35L, 200L))
+    // replay: marker short-circuit, contents unchanged
+    assert(!LayoutIngest.mergeRows(spark, dir, "id", updates, batchId = 4L))
+    assert(LayoutIngest.read(spark, dir).count() === 101L)
+    // freshness guard: an already-committed id would delete without
+    // appending — refused before any mutation
+    val e = intercept[IllegalArgumentException] {
+      LayoutIngest.mergeRows(spark, dir, "id", updates, batchId = 2L)
+    }
+    assert(e.getMessage.contains("already committed"), e.getMessage)
+    // duplicate keys in one batch: last-wins is undefined — refused
+    val e2 = intercept[IllegalArgumentException] {
+      LayoutIngest.mergeRows(spark, dir, "id",
+        Seq((7L, 1L, 1L), (7L, 2L, 2L)).toDF("id", "x", "y"),
+        batchId = 5L)
+    }
+    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+  }
+
+  test("mergeRows crash window: a replay AFTER the append but before " +
+      "the commit marker must not delete the freshly-appended rows") {
+    val dir = tmp("layout-merge-crash")
+    LayoutIngest.bootstrap(spark, dir, grid.copy(bloomCols = Seq("id")))
+    (0 until 2).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        rows(b * 25 until (b + 1) * 25).toDF("id", "x", "y"),
+        b.toLong, dir, 1))
+    }
+    val updates = Seq((10L, 10L, 1L), (300L, 20L, 20L)).toDF("id", "x", "y")
+    assert(LayoutIngest.mergeRows(spark, dir, "id", updates, batchId = 2L))
+    val settled = LayoutIngest.read(spark, dir)
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    // crash state: everything ran EXCEPT the commit marker (intent
+    // still standing) — the replay re-runs the rewrites over a table
+    // that now CONTAINS batch-2; without the __batch exemption the
+    // key-matching new rows would be deleted by their own merge
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/markers/merge-2"))
+    new java.io.File(s"$dir/markers/merge-2.intent").createNewFile()
+    assert(LayoutIngest.mergeRows(spark, dir, "id", updates, batchId = 2L))
+    val replayed = LayoutIngest.read(spark, dir)
+      .select("id", "zkey").as[(Long, Long)].collect().toMap
+    assert(replayed === settled,
+      "the replay must converge to the same table — no loss, no dup")
+    assert(!new java.io.File(s"$dir/markers/merge-2.intent").exists(),
+      "the intent must be retired with the commit marker")
+  }
+
+  test("filesystem contract: a TORN publish rename (the non-atomic-" +
+      "rename state the object doc excludes) fails reads LOUDLY; a " +
+      "crash under atomic rename leaves only a stage dir readers " +
+      "never see") {
+    val dir = tmp("layout-torn")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    assert(LayoutIngest.ingestBatch(
+      rows(0 until 20).toDF("id", "x", "y"), 0L, dir, 1))
+    // the ATOMIC-rename crash state: a leftover write stage. Readers
+    // list only data/ subdirs — the table stays exactly batch 0 — and
+    // the batch's replay discards the garbage stage and publishes.
+    val stage = new java.io.File(s"$dir/data.stage-1")
+    stage.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(stage, "part-garbage.parquet").toPath,
+      Array.fill[Byte](64)(7))
+    assert(LayoutIngest.read(spark, dir).count() === 20L)
+    assert(LayoutIngest.ingestBatch(
+      rows(20 until 40).toDF("id", "x", "y"), 1L, dir, 1))
+    assert(LayoutIngest.read(spark, dir).count() === 40L)
+    assert(!stage.exists(), "the replay must discard the crashed stage")
+    // the TORN state (plain-S3A "rename" = copy+delete observed
+    // mid-copy): a half-copied file inside a visible batch dir. The
+    // publish-point rule makes the dir live — correctness demands the
+    // read FAIL, not silently drop or misread rows.
+    val full = new java.io.File(s"$dir/data/batch-1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(full.toPath)
+    val torn = new java.io.File(s"$dir/data/batch-2")
+    torn.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(torn, full.getName).toPath,
+      bytes.take(bytes.length / 2))
+    val e = intercept[Exception] {
+      LayoutIngest.read(spark, dir).count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: chain(t.getCause)
+    assert(chain(e).exists(_.toLowerCase.contains("parquet")),
+      s"expected a loud parquet read failure, got: ${chain(e)}")
+  }
+
   test("mutators hold the single-writer lock") {
     val dir = tmp("layout-lock")
     LayoutIngest.bootstrap(spark, dir, grid)
