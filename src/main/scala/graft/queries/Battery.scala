@@ -778,10 +778,16 @@ object Battery {
       |    embedding::DOUBLE[])), 4) AS nrm FROM embeddings)
       |GROUP BY label""".stripMargin
 
-  /** LSH ANN recall vs the exact top-5 (rows-only: one row — the
-    * quality/cost gate for the approximate path). ONE Spark job: the
-    * exact side is computed once and recall falls out of a left join +
-    * aggregate, not driver-side counts. */
+  /** LSH ANN recall vs the exact top-5 (one row — the quality/cost
+    * gate for the approximate path). ONE Spark job: the exact side is
+    * computed once and recall falls out of a left join + aggregate,
+    * not driver-side counts. Oracled end-to-end: the sign-bit planes
+    * are seeded-deterministic doubles, so [[q28Sql]] embeds them as
+    * literals and REPLAYS the whole approximate pipeline in DuckDB —
+    * per-table keys (dot ≥ 0 sign bits), the Hamming≤2 probe masks,
+    * the bucket join, dedup, 4dp-rounded cosine ranking, and the
+    * recall aggregate. A drift anywhere (key arithmetic, probe set,
+    * tie-break, recall math) fails the hash. */
   val q28LshRecall: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
@@ -798,6 +804,68 @@ object Battery {
         count(lit(1)).as("n_exact"))
       .select(col("n_hits"), col("n_exact"),
         round(col("n_hits").cast("double") / col("n_exact"), 4).as("recall"))
+  }
+
+  /** The full LSH pipeline replayed in DuckDB with the SAME plane
+    * constants the Spark expression uses (seeded-deterministic, so
+    * they are part of the algorithm definition — embedded as list
+    * literals via Double.toString, whose shortest-round-trip form
+    * DuckDB's correctly-rounded parser reads back to the identical
+    * double; both engines accumulate the 64-term dot in index order,
+    * and the Gaussian-scale dots leave sign flips no room). */
+  val q28Sql: String = {
+    val tables = (0 until 6).map(t =>
+      graft.operators.Similarity.hyperplanes(64, 10, seed = 42L + t))
+    val planeRows = (for {
+      (tab, t) <- tables.zipWithIndex
+      (pl, p) <- tab.zipWithIndex
+    } yield s"($t, $p, [${pl.map(x => java.lang.Double.toString(x))
+      .mkString(", ")}])").mkString(",\n")
+    // Hamming<=2 probe masks over 10 key bits (Similarity.probeMasks)
+    val masks = (Seq(0) ++ (0 until 10).map(1 << _) ++
+      (for (i <- 0 until 10; j <- (i + 1) until 10)
+        yield (1 << i) | (1 << j))).mkString(", ")
+    s"""WITH planes(t, p, pl) AS (VALUES
+       |$planeRows),
+       |ck AS (
+       |  SELECT e.vec_id, pl.t,
+       |    CAST(SUM(CASE WHEN list_dot_product(
+       |        e.embedding::DOUBLE[], pl.pl) >= 0
+       |      THEN (1 << pl.p) ELSE 0 END) AS INT) AS key
+       |  FROM embeddings e, planes pl GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT DISTINCT vec_id AS query_id, t, xor(key, m.m) AS key
+       |  FROM ck, (SELECT unnest([$masks]) AS m) m
+       |  WHERE vec_id < 20),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, c.vec_id
+       |  FROM probes q JOIN ck c ON q.t = c.t AND q.key = c.key),
+       |approx AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT cand.query_id, cand.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY cand.query_id ORDER BY
+       |        ROUND(list_cosine_similarity(qe.embedding::DOUBLE[],
+       |          ce.embedding::DOUBLE[]), 4) DESC, cand.vec_id) AS rank
+       |    FROM cand
+       |    JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |    JOIN embeddings ce ON ce.vec_id = cand.vec_id)
+       |  WHERE rank <= 5),
+       |exact AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+       |          c.embedding::DOUBLE[]), 4) DESC, c.vec_id) AS rank
+       |    FROM embeddings q, embeddings c WHERE q.vec_id < 20)
+       |  WHERE rank <= 5)
+       |SELECT
+       |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits,
+       |  COUNT(*) AS n_exact,
+       |  ROUND(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 4) AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.vec_id = a.vec_id""".stripMargin
   }
 
   /** Multimodal plumbing: documents→media table → batched feature
@@ -7531,7 +7599,7 @@ WHERE rk <= 40"""
     "q25_simhash" -> (q25Simhash, Some(q25Sql)),
     "q26_cosine_knn" -> (q26CosineKnn, Some(q26Sql)),
     "q27_embedding_norms" -> (q27EmbeddingNorms, Some(q27Sql)),
-    "q28_lsh_recall" -> (q28LshRecall, None),
+    "q28_lsh_recall" -> (q28LshRecall, Some(q28Sql)),
     "q29_multimodal" -> (q29Multimodal, Some(q29Sql)),
     "q30_sliding" -> (q30Sliding, Some(q30Sql)),
     "q31_json" -> (q31Json, Some(q31Sql)),
