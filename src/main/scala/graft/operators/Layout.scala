@@ -197,36 +197,18 @@ object Layout {
    * expressions), keeping plan size LINEAR in `bits` — use it for real
    * keys.
    */
-  def hilbertKey(qx: Column, qy: Column, bits: Int): Column = {
-    require(bits >= 1 && 2 * bits <= 62,
-      s"hilbertKey: 2x$bits bits must fit a long")
-    val n = 1L << bits
-    var x = qx.cast("long")
-    var y = qy.cast("long")
-    var d = lit(0L)
-    var s = n >> 1
-    while (s > 0) {
-      val rx = when(x.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
-      val ry = when(y.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
-      d = d + lit(s) * lit(s) * ((lit(3L) * rx).bitwiseXOR(ry))
-      // quadrant rotation: in the lower half (ry = 0) reflect when
-      // rx = 1 (n−1−v flips every bit; only bits below s are examined
-      // again, where it equals the s-local reflection) then swap axes
-      val nx = when(ry === 0,
-        when(rx === 1, lit(n - 1) - y).otherwise(y)).otherwise(x)
-      val ny = when(ry === 0,
-        when(rx === 1, lit(n - 1) - x).otherwise(x)).otherwise(y)
-      x = nx
-      y = ny
-      s >>= 1
-    }
-    d
-  }
+  def hilbertKey(qx: Column, qy: Column, bits: Int): Column =
+    // one native per-row rotation loop
+    // ([[graft.functions.CurveExpressions.HilbertKey2]]): the former
+    // single-Column recurrence duplicated (x, y) into every level's
+    // when() trees — geometric expression growth (the
+    // hilbertFromQuantized lesson, measured there at 30×)
+    graft.functions.CurveExpressions.hilbertKey2(
+      qx.cast("long"), qy.cast("long"), bits)
 
   /** [[withZOrderKey]]'s Hilbert twin for the 2-D case: same
-    * quantization, the [[hilbertKey]] recurrence unrolled with every
-    * level's (x, y, d) materialized as named columns — plan size linear
-    * in `bits` (see the caveat on [[hilbertKey]]). */
+    * quantization, the [[hilbertKey]] rotation as one native
+    * expression. */
   def withHilbertKey(df: DataFrame, xCol: Column, yCol: Column,
       bits: Int = 16, keyCol: String = "__hkey",
       clipQuantiles: Option[(Double, Double)] = None): DataFrame = {
@@ -234,34 +216,8 @@ object Layout {
       s"withHilbertKey: 2x$bits bits must fit a long")
     val (cur0, qs) = quantizedDims(df, Seq(xCol, yCol), bits,
       clipQuantiles)
-    val n = 1L << bits
-    var cur = cur0
-      .withColumn("__hx", qs(0).cast("long"))
-      .withColumn("__hy", qs(1).cast("long"))
-      .withColumn("__hd", lit(0L))
-    var s = n >> 1
-    while (s > 0) {
-      val x = col("__hx"); val y = col("__hy")
-      cur = cur
-        .withColumn("__hrx",
-          when(x.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
-        .withColumn("__hry",
-          when(y.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
-      val rx = col("__hrx"); val ry = col("__hry")
-      cur = cur
-        .withColumn("__hd", col("__hd") +
-          lit(s * s) * ((lit(3L) * rx).bitwiseXOR(ry)))
-        .withColumn("__hx2", when(ry === 0,
-          when(rx === 1, lit(n - 1) - y).otherwise(y)).otherwise(x))
-        .withColumn("__hy2", when(ry === 0,
-          when(rx === 1, lit(n - 1) - x).otherwise(x)).otherwise(y))
-        .withColumn("__hx", col("__hx2"))
-        .withColumn("__hy", col("__hy2"))
-        .drop("__hx2", "__hy2", "__hrx", "__hry")
-      s >>= 1
-    }
-    cur.withColumn(keyCol, col("__hd"))
-      .drop("__hx", "__hy", "__hd", "__zn0", "__zn1")
+    cur0.withColumn(keyCol, hilbertKey(qs(0), qs(1), bits))
+      .drop("__zn0", "__zn1")
   }
 
   /**
@@ -320,63 +276,24 @@ object Layout {
     hilbertFromQuantized(cur0, qs, cols, bits, keyCol)
   }
 
+  /** The Skilling transform over the quantized dims, as ONE native
+    * expression ([[graft.functions.CurveExpressions.HilbertKeyN]]).
+    * It used to be a chain of per-(level, axis) `withColumn`
+    * substitutions — semantically identical, but the transform is a
+    * sequential state machine, so projection collapse inlined every
+    * step into the next and the key's expression tree grew
+    * multiplicatively with bits × dims (~25 µs/row at 8 bits × 3 dims:
+    * the 30× ScaleProbe measured the hilbert ingest 5× slower than the
+    * same-shape z-order ingest, whose interleave tree is linear). The
+    * native loop is exact-integer identical — q160/q163's 21-CTE
+    * DuckDB oracles and LayoutSpec's bijection/adjacency properties
+    * pin it. */
   private def hilbertFromQuantized(cur0: DataFrame, qs: Seq[Column],
       cols: Seq[Column], bits: Int, keyCol: String): DataFrame = {
     val n = cols.size
-    var cur = cur0
-    qs.zipWithIndex.foreach { case (q, i) =>
-      cur = cur.withColumn(s"__sx$i", q.cast("long"))
-    }
-    def X(i: Int) = col(s"__sx$i")
-    // inverse undo: level masks 2^(bits-1) down to 2; within a level
-    // the axes run SEQUENTIALLY (axis 0 mutates as later axes process)
-    var qMask = 1L << (bits - 1)
-    while (qMask > 1) {
-      val p = qMask - 1
-      for (i <- 0 until n) {
-        val c = X(i).bitwiseAND(lit(qMask)) > 0
-        if (i == 0) {
-          // exchanging axis 0 with itself is a no-op; only invert
-          cur = cur.withColumn("__sx0",
-            when(c, X(0).bitwiseXOR(lit(p))).otherwise(X(0)))
-        } else {
-          cur = cur
-            .withColumn("__st", when(c, lit(0L))
-              .otherwise(X(0).bitwiseXOR(X(i)).bitwiseAND(lit(p))))
-            .withColumn("__sx0n",
-              when(c, X(0).bitwiseXOR(lit(p)))
-                .otherwise(X(0).bitwiseXOR(col("__st"))))
-            .withColumn(s"__sx$i", X(i).bitwiseXOR(col("__st")))
-            .withColumn("__sx0", col("__sx0n"))
-            .drop("__sx0n", "__st")
-        }
-      }
-      qMask >>= 1
-    }
-    // Gray fold (sequential: each axis XORs the UPDATED previous one)
-    for (i <- 1 until n)
-      cur = cur.withColumn(s"__sx$i", X(i).bitwiseXOR(X(i - 1)))
-    // correction term from the last axis's bits
-    var tTerm: Column = lit(0L)
-    var q2 = 1L << (bits - 1)
-    while (q2 > 1) {
-      tTerm = tTerm.bitwiseXOR(
-        when(X(n - 1).bitwiseAND(lit(q2)) > 0, lit(q2 - 1))
-          .otherwise(lit(0L)))
-      q2 >>= 1
-    }
-    cur = cur.withColumn("__st", tTerm)
-    for (i <- 0 until n)
-      cur = cur.withColumn(s"__sx$i", X(i).bitwiseXOR(col("__st")))
-    // interleave the transposed axes into the index
-    val terms = for {
-      i <- 0 until n
-      q <- 0 until bits
-    } yield shiftleft(shiftright(X(i), q).bitwiseAND(lit(1L)),
-      q * n + (n - 1 - i))
-    cur.withColumn(keyCol, terms.reduce(_ + _))
-      .drop("__st")
-      .drop((0 until n).map(i => s"__sx$i"): _*)
+    cur0.withColumn(keyCol,
+        graft.functions.CurveExpressions.hilbertKeyN(
+          array(qs.map(_.cast("long")): _*), bits, n))
       .drop(cols.indices.map(j => s"__zn$j"): _*)
   }
 

@@ -668,7 +668,10 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    *
    * Constraints: `keyCol` must be a LONG column; `updates` must carry
    * distinct, non-null keys (last-wins inside one batch is undefined)
-   * and at most [[MaxMergeKeys]] of them; pruning is only as good as
+   * and at most [[MaxMergeKeys]] of them; `updates` must NOT be a lazy
+   * plan over THIS table's own files (the rewrite step retires the
+   * very units such a plan would scan before the append executes —
+   * derive updates from the source, or materialize them first); pruning is only as good as
    * the sidecars — declare `keyCol` in [[Grid.bloomCols]] or cluster
    * on a correlate, or every unit conservatively rewrites (correct,
    * slow). 100 TB: the keys collect once to the driver (correction-

@@ -135,7 +135,39 @@ object LakehouseDemo {
       "as-of view resurrected deleted rows")
     println(s"[demo]    readAsOf(2) rows=${asOf.count()} (= live table)")
 
-    println("[demo] 9. regrid: domain grew — rewrite under 2x-wide " +
+    println("[demo] 9. row-keyed MERGE: correct 3 labels, insert 1 " +
+      "synthetic event (bloom-pruned rewrite)")
+    val mergeIds = LayoutIngest.read(spark, dir).orderBy("event_id")
+      .limit(3).select($"event_id").as[Long].collect().toSeq
+    val newId = ev.agg(max("event_id")).head().getLong(0) + 1000L
+    val (hitM, liveM) = LayoutIngest.pointProbeDirs(
+      spark, dir, "event_id", mergeIds :+ newId)
+    println(s"[demo]    merge touches ${hitM.size}/${liveM.size} units")
+    require(hitM.size < liveM.size, "the merge must be a pruned rewrite")
+    // updates derive from the SOURCE, not the table: mergeRows retires
+    // the rewritten unit files before the append executes, so a lazy
+    // plan over the table itself would scan deleted files (the
+    // scaladoc's materialize-first contract)
+    val updates = ev.drop("value")
+      .filter($"event_id".isInCollection(mergeIds))
+      .withColumn("event_type", lit("corrected"))
+      .unionByName(ev.drop("value").orderBy("event_id").limit(1)
+        .withColumn("event_id", lit(newId))
+        .withColumn("event_type", lit("synthetic")))
+    require(LayoutIngest.mergeRows(spark, dir, "event_id", updates,
+      batchId = 3L), "merge must commit")
+    val merged = LayoutIngest.read(spark, dir)
+    require(merged.count() == n - boxRows + 1,
+      "merge must replace 3 rows and insert 1")
+    require(merged.filter($"event_id".isInCollection(mergeIds) &&
+        $"event_type" =!= "corrected").count() == 0,
+      "merged labels must be corrected everywhere")
+    require(merged.filter($"event_id" === newId).count() == 1,
+      "the inserted key must be present exactly once")
+    require(!LayoutIngest.mergeRows(spark, dir, "event_id", updates,
+      batchId = 3L), "merge replay must be an O(1) marker no-op")
+
+    println("[demo] 10. regrid: domain grew — rewrite under 2x-wide " +
       "user bounds with blooms kept")
     val dst = s"$base/events_regrid"
     LayoutIngest.regrid(spark, dir, dst, LayoutIngest.Grid(
@@ -143,10 +175,10 @@ object LakehouseDemo {
       bits = 16, bloomCols = Seq("event_id")),
       targetFileBytes = math.max(1L,
         bytes(new java.io.File(s"$dir/data")) / 4))
-    require(LayoutIngest.read(spark, dst).count() == n - boxRows,
+    require(LayoutIngest.read(spark, dst).count() == n - boxRows + 1,
       "regrid lost rows")
 
-    println("[demo] 10. describe() of the regridded table:")
+    println("[demo] 11. describe() of the regridded table:")
     LayoutIngest.describe(spark, dst)
       .select("unit", "files", "rows", "bytes")
       .show(20, truncate = false)

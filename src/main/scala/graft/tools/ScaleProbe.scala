@@ -52,7 +52,7 @@ object ScaleProbe {
     else translate(c, alphabet, alphabet.map(shifted(_, i)))
 
   private def scaleUp(spark: SparkSession, base: String, out: String,
-      copies: Int): Unit = {
+      copies: Int, eventsCopies: Int): Unit = {
     val docs = spark.read.parquet(s"$base/documents.parquet")
     (0 until copies).map { i =>
       docs.select((col("doc_id") + lit(i * IdOff)).as("doc_id"),
@@ -80,11 +80,23 @@ object ScaleProbe {
 
     // events: ids offset per copy — each copy is an independent user
     // population in the same time range (10× event density, the honest
-    // shape for funnel/retention/session probes)
+    // shape for funnel/retention/session probes). Offsets are DENSE
+    // (one base span per copy, not the 1e8 jump the other tables use):
+    // the clustered-table probes (q162/q164/q166) derive mid-domain
+    // slices from the table's OWN min/max with integer arithmetic, and
+    // a sparse id space put the slice in the dead gap BETWEEN copies —
+    // the delete/scan bodies matched nothing at sf1 (the r12 sweep
+    // caveat). Dense offsets keep copies disjoint AND the domain
+    // populated, so the sliced bodies are non-empty at every scale.
+    // Text-free, so `eventsCopies` may exceed the letter-shift cap.
     val ev = spark.read.parquet(s"$base/events.parquet")
-    (0 until copies).map { i =>
-      ev.withColumn("event_id", col("event_id") + lit(i * IdOff))
-        .withColumn("user_id", col("user_id") + lit(i * IdOff))
+    val evb = ev.agg(min("user_id"), max("user_id"),
+      min("event_id"), max("event_id")).head()
+    val uOff = evb.getLong(1) - evb.getLong(0) + 1L
+    val eOff = evb.getLong(3) - evb.getLong(2) + 1L
+    (0 until eventsCopies).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * eOff))
+        .withColumn("user_id", col("user_id") + lit(i * uOff))
     }.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
@@ -111,6 +123,13 @@ object ScaleProbe {
     // letter shift), re-introducing the cross-copy near-dup mass the
     // derivation exists to avoid
     require(copies >= 1 && copies <= 10, s"copies in [1,10], got $copies")
+    // the event log has no text, so IT may scale past the cap — the
+    // lever for the 30x clustered-ingest probes (q163's Skilling
+    // keying factor)
+    val eventsCopies = sys.env.get("SPARK_GRAFT_SCALE_EVENTS_COPIES")
+      .map(_.toInt).getOrElse(copies)
+    require(eventsCopies >= 1 && eventsCopies <= 100,
+      s"events copies in [1,100], got $eventsCopies")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val queries = if (args.nonEmpty) args.toSeq
@@ -134,7 +153,7 @@ object ScaleProbe {
       new org.apache.hadoop.fs.Path(s"$out/embeddings.parquet")
     if (!fsys.exists(probe)) {
       println(s"[scale] building ${copies}x of $base under $out")
-      scaleUp(spark, base, out, copies)
+      scaleUp(spark, base, out, copies, eventsCopies)
     } else println(s"[scale] reusing $out")
 
     // both scales timed in THIS JVM so the ratio is box-consistent;
