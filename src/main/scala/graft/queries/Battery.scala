@@ -7327,6 +7327,99 @@ WHERE rk <= 40"""
       .select(col("event_id"), col("zkey"), col("value"))
   }
 
+  /** STRING-KEYED MERGE on the clustered table — q172 through the
+    * string-bloom pruning path (the realistic LLM-corpus shape: RTBF
+    * and corrections arrive keyed on string DOCUMENT ids, not numeric
+    * event ids): q170's table (`eid_str = 'e' || event_id`, string
+    * blooms), one merge batch doubling three mid-domain string keys
+    * and inserting a fresh `'e<emx+1000>'` row at the domain corner.
+    * String keys have NO min/max sidecar range, so the bloom is the
+    * ONLY pruner — the refusal premise proves it actually pruned. */
+  val q173MergeUpsertStr: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("eid_str",
+        concat(lit("e"), col("event_id").cast("string")))
+    val root = streamIndexDir("q173", dir, "events")
+    val tableDir = s"$root/table"
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min("ts_us"), max("ts_us"), min("event_id"), max("event_id")).head()
+    val (emn, emx) = (b.getLong(4), b.getLong(5))
+    val mergeKeys = (1 to 3).map(j => s"e${emn + (emx - emn) * j / 5}")
+    val newKey = s"e${emx + 1000}"
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16, bloomCols = Seq("eid_str")))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, tableDir, filesPerBatch = 4): Unit
+      def parquetBytes(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .map(parquetBytes).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      val dataDir = new java.io.File(s"$tableDir/data")
+      graft.streaming.LayoutIngest.compact(s, tableDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L, parquetBytes(dataDir) / 8))
+      val (hit, live) = graft.streaming.LayoutIngest.pointProbeDirs(
+        s, tableDir, "eid_str", mergeKeys :+ newKey)
+      require(hit.size < live.size,
+        s"q173: the string blooms must prune the merge, got " +
+          s"${hit.size}/${live.size}")
+    }
+    val updates = ev
+      .filter(col("eid_str").isInCollection(mergeKeys))
+      .withColumn("value", col("value") * 2)
+      .unionByName(s.range(1).select(
+        lit(emx + 1000L).as("event_id"),
+        lit(b.getLong(0)).as("user_id"),
+        lit(b.getLong(2)).as("ts_us"),
+        lit(42.0).as("value"),
+        lit(newKey).as("eid_str")))
+    graft.streaming.LayoutIngest.mergeRows(s, tableDir, "eid_str",
+      updates, batchId = 2L): Unit
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("eid_str"), col("zkey"), col("value"))
+  }
+
+  val q173Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx,
+       |    MIN(event_id) AS emn, MAX(event_id) AS emx
+       |  FROM events),
+       |k AS (
+       |  SELECT 'e' || CAST((SELECT emn FROM b) +
+       |    ((SELECT emx FROM b) - (SELECT emn FROM b)) * j // 5
+       |    AS VARCHAR) AS kid
+       |  FROM range(1, 4) t(j)),
+       |q AS (
+       |  SELECT 'e' || CAST(event_id AS VARCHAR) AS eid_str,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy,
+       |    CASE WHEN 'e' || CAST(event_id AS VARCHAR) IN
+       |        (SELECT kid FROM k)
+       |      THEN value * 2 ELSE value END AS value
+       |  FROM events)
+       |SELECT eid_str, $terms AS zkey, value FROM q
+       |UNION ALL
+       |SELECT 'e' || CAST((SELECT emx FROM b) + 1000 AS VARCHAR),
+       |  CAST(0 AS BIGINT), 42.0""".stripMargin
+  }
+
   val q172Sql: String = {
     val terms = (0 until 16).flatMap(i => Seq(
       s"(((qx >> $i) & 1) << ${2 * i})",
@@ -7764,7 +7857,8 @@ WHERE rk <= 40"""
     // checkpointed readStream consumer DRAINED from the table across
     // a gapped ingest + fold (exactly-once through Spark's offsets)
     "q171_cdc_stream_consume" -> (q171CdcStreamConsume, Some(q155Sql)),
-    "q172_merge_upsert" -> (q172MergeUpsert, Some(q172Sql)))
+    "q172_merge_upsert" -> (q172MergeUpsert, Some(q172Sql)),
+    "q173_merge_upsert_str" -> (q173MergeUpsertStr, Some(q173Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

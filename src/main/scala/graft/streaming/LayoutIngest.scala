@@ -666,7 +666,11 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    * old values of merged keys (the RTBF rule — a correction exists to
    * supersede the record everywhere).
    *
-   * Constraints: `keyCol` must be a LONG column; `updates` must carry
+   * Constraints: `keyCol` must be a LONG or STRING column (the bloom
+   * sidecar types — a training corpus keyed on string doc ids merges
+   * as naturally as a numeric event log; string keys prune by bloom
+   * alone, since min/max range sidecars are long-only); `updates`
+   * must carry
    * distinct, non-null keys (last-wins inside one batch is undefined)
    * and at most [[MaxMergeKeys]] of them; `updates` must NOT be a lazy
    * plan over THIS table's own files (the rewrite step retires the
@@ -690,9 +694,12 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       else {
         require(updates.schema.fieldNames.contains(keyCol),
           s"mergeRows: updates carry no '$keyCol' column")
-        require(updates.schema(keyCol).dataType ==
-            org.apache.spark.sql.types.LongType,
-          s"mergeRows: key column '$keyCol' must be LONG, got " +
+        val keyIsLong = updates.schema(keyCol).dataType ==
+          org.apache.spark.sql.types.LongType
+        require(keyIsLong || updates.schema(keyCol).dataType ==
+            org.apache.spark.sql.types.StringType,
+          s"mergeRows: key column '$keyCol' must be LONG or STRING " +
+            s"(the bloom-column types), got " +
             updates.schema(keyCol).dataType.simpleString)
         // one aggregate validates the key contract and bounds the
         // range — read-only, so it runs BEFORE the intent (a refused
@@ -723,22 +730,32 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           f.create(intent, true).close()
         }
         if (nKeys > 0) {
-          val (kmn, kmx) = (a.getLong(3), a.getLong(4))
           val (_, data) = DedupIngest.fs(spark, s"$dir/data")
           val units = if (!f.exists(data)) Nil else leafUnits(f, data)
-          val keysForBloom: Seq[Long] =
+          val keysForBloom: Seq[Any] =
             if (nKeys <= BloomProbeMaxKeys)
               updates.select(col(keyCol)).distinct()
-                .collect().toSeq.map(_.getLong(0))
+                .collect().toSeq.map(_.get(0))
             else Nil
+          // stats-range pruning is long-only (the sidecar contract);
+          // string keys prune by bloom alone
+          val statsHit: org.apache.hadoop.fs.Path => Boolean =
+            if (keyIsLong) {
+              val (kmn, kmx) = (a.getLong(3), a.getLong(4))
+              d => dirColumnRange(f, d, keyCol) match {
+                case Some((mn, mx)) => mx >= kmn && mn <= kmx
+                case None => unitRows(f, d) > 0 // no stats → conservative
+              }
+            } else d => unitRows(f, d) > 0
           val affected = units.filter { case (_, d) =>
-            val statsHit = dirColumnRange(f, d, keyCol) match {
-              case Some((mn, mx)) => mx >= kmn && mn <= kmx
-              case None => unitRows(f, d) > 0 // no stats → conservative
-            }
-            statsHit && (keysForBloom.isEmpty ||
+            statsHit(d) && (keysForBloom.isEmpty ||
               (unitBloom(f, d, keyCol) match {
-                case Some(b) => keysForBloom.exists(b.mightContainLong)
+                case Some(b) => keysForBloom.exists {
+                  case s: String => b.mightContainString(s)
+                  case l: Long => b.mightContainLong(l)
+                  case other => throw new IllegalStateException(
+                    s"unreachable key type: ${other.getClass.getName}")
+                }
                 case None => true
               }))
           }

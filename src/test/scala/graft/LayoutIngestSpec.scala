@@ -1036,6 +1036,41 @@ class LayoutIngestSpec extends SparkSpec {
     assert(e2.getMessage.contains("duplicate"), e2.getMessage)
   }
 
+  test("mergeRows with a STRING key: bloom-only pruning (no long " +
+      "range sidecar), same upsert semantics") {
+    val dir = tmp("layout-merge-str")
+    LayoutIngest.bootstrap(spark, dir, grid.copy(bloomCols = Seq("sid")))
+    def batchRows(b: Int): Seq[(String, Long, Long)] =
+      (0 until 25).map(i =>
+        (s"d${b * 25 + i}", (b * 25 + i).toLong, (i * 13 % 100).toLong))
+    (0 until 4).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        batchRows(b).toDF("sid", "x", "y"), b.toLong, dir, 1))
+    }
+    // string keys carry NO min/max sidecar range — only the blooms can
+    // prune; d30/d35 live in batch-1, d200 nowhere
+    val updates = Seq(("d30", 30L, 1L), ("d35", 35L, 2L),
+      ("d200", 50L, 50L)).toDF("sid", "x", "y")
+    assert(LayoutIngest.mergeRows(spark, dir, "sid", updates, batchId = 4L))
+    val dataDirs = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(Seq("batch-0", "batch-2", "batch-3").forall(dataDirs),
+      s"bloom-excluded units must survive unrewritten: $dataDirs")
+    assert(!dataDirs("batch-1"), s"affected unit must be replaced: $dataDirs")
+    val after = LayoutIngest.read(spark, dir)
+      .select("sid", "y").as[(String, Long)].collect().toMap
+    assert(after.size === 101)
+    assert(after("d30") === 1L && after("d35") === 2L &&
+      after("d200") === 50L, "merged rows must carry the update values")
+    // a non-bloom key type is refused
+    val e = intercept[IllegalArgumentException] {
+      LayoutIngest.mergeRows(spark, dir, "y",
+        Seq((1.0, 1L)).toDF("yy", "x").withColumn("y", col("yy")),
+        batchId = 5L)
+    }
+    assert(e.getMessage.contains("LONG or STRING"), e.getMessage)
+  }
+
   test("mergeRows crash window: a replay AFTER the append but before " +
       "the commit marker must not delete the freshly-appended rows") {
     val dir = tmp("layout-merge-crash")
