@@ -37,6 +37,9 @@ import org.apache.spark.sql.types.StructType
   *    in the consumer's checkpoint, batches are re-served
   *    deterministically on replay (units are write-once and the
   *    range predicate is pure).
+  *  - `.option("maxBatchesPerTrigger", k)` bounds each micro-batch to
+  *    k ingest batches (see [[LayoutTableSource.maxPerTrigger]]) — the
+  *    catch-up rate limit every production source carries.
   *
   * V1 `Source` rather than a DSv2 `MicroBatchStream` deliberately:
   * getBatch returns a DataFrame, which IS this table's natural read
@@ -58,12 +61,36 @@ class LayoutTableSource extends StreamSourceProvider with DataSourceRegister {
       "graft-layout source: .option(\"path\", <table dir>) (or " +
         ".load(<table dir>)) is required"))
 
+  /** `maxBatchesPerTrigger`: rate limit — at most this many ingest
+    * batches per micro-batch (the maxFilesPerTrigger/maxOffsetsPerTrigger
+    * convention every production source has). WITHOUT it, a consumer
+    * attaching to a long-lived table (or resuming an old checkpoint)
+    * gets the ENTIRE backlog as ONE micro-batch — at 100 TB that is an
+    * unbounded unit of work with unbounded sink transaction size; the
+    * cap turns catch-up into bounded, checkpointed steps. Default
+    * unbounded (the tail-poll case, where each trigger sees a handful
+    * of new batches anyway). */
+  private def maxPerTrigger(parameters: Map[String, String]): Long = {
+    val v = parameters.get("maxBatchesPerTrigger")
+      .map(s => s.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-layout source: maxBatchesPerTrigger must be a " +
+            s"positive integer, got '$s'")))
+      .getOrElse(Long.MaxValue)
+    require(v > 0,
+      s"graft-layout source: maxBatchesPerTrigger must be positive, got $v")
+    v
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "graft-layout source: the schema is the table's stored schema; " +
         "a user-supplied schema is not supported")
+    maxPerTrigger(parameters): Unit // validate eagerly, at load() —
+    // createSource runs on the stream thread, where a bad option
+    // would only surface through the query's async failure
     val dir = pathOf(parameters)
     val s = LayoutIngest.tableSchema(sqlContext.sparkSession, dir)
       .getOrElse(throw new IllegalArgumentException(
@@ -76,20 +103,38 @@ class LayoutTableSource extends StreamSourceProvider with DataSourceRegister {
       metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source =
     new LayoutTableStreamSource(sqlContext.sparkSession,
-      pathOf(parameters))
+      pathOf(parameters), maxPerTrigger(parameters))
 }
 
 private[streaming] class LayoutTableStreamSource(
-    spark: SparkSession, dir: String) extends Source {
+    spark: SparkSession, dir: String,
+    maxBatchesPerTrigger: Long = Long.MaxValue) extends Source {
 
   override val schema: StructType =
     LayoutIngest.tableSchema(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"graft-layout source: $dir has no stored schema"))
 
+  /** The rate limit's cursor: the highest batch id this source has
+    * OFFERED (getOffset) or been asked to serve (getBatch — which on a
+    * checkpoint recovery re-seeds the cursor to the engine's planned
+    * offset). In-memory driver state only, deliberately: exactly-once
+    * never depends on it (delivery is always (checkpointed, offered]
+    * on the ENGINE's durable offsets), and after a restart it resets
+    * to −1 and self-heals — either getBatch's recovery call re-seeds
+    * it, or it creeps up by `maxBatchesPerTrigger` per empty poll
+    * until it passes the checkpoint. Same discipline as
+    * FileStreamSource's in-memory seen-files map. */
+  @volatile private var offeredUpTo: Long = -1L
+
   override def getOffset: Option[OffsetV1] = {
     val n = LayoutIngest.contiguousCommittedBatch(spark, dir)
-    if (n < 0) None else Some(LongOffset(n))
+    if (n < 0) return None
+    val capped =
+      if (maxBatchesPerTrigger == Long.MaxValue) n
+      else math.min(n, offeredUpTo + maxBatchesPerTrigger)
+    offeredUpTo = math.max(offeredUpTo, capped)
+    Some(LongOffset(capped))
   }
 
   private def toBatchId(o: OffsetV1): Long = o match {
@@ -102,6 +147,7 @@ private[streaming] class LayoutTableStreamSource(
       end: OffsetV1): DataFrame = {
     val lo = start.map(toBatchId(_) + 1L).getOrElse(0L)
     val hi = toBatchId(end)
+    offeredUpTo = math.max(offeredUpTo, hi)
     ColumnBridge.asStreamingFrame(spark,
       LayoutIngest.readBatchRange(spark, dir, lo, hi))
   }

@@ -98,6 +98,48 @@ class LayoutTableSourceSpec extends SparkSpec {
     assert(e2.getMessage.contains("stored schema"), e2.getMessage)
   }
 
+  test("maxBatchesPerTrigger: catch-up is rate-limited to bounded " +
+      "micro-batches, union still exactly-once") {
+    val dir = tmp("layout-source-rate")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    (0 until 4).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        rows(b * 10 until (b + 1) * 10).toDF("id", "x", "y"),
+        b.toLong, dir, 1))
+    }
+    val sink = s"layout_rate_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-layout")
+      .option("path", dir)
+      .option("maxBatchesPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", tmp("layout-source-rate-ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 40,
+        "the full backlog must drain, just in bounded steps")
+      assert(spark.table(sink).select("id").distinct().count() === 40,
+        "no batch may be delivered twice")
+      // a 4-batch backlog at cap 1 takes >= 4 non-empty micro-batches —
+      // the cap's whole point: no single giant catch-up transaction
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 4,
+        s"expected >= 4 rate-limited micro-batches, got $nonEmpty")
+      assert(q.recentProgress.filter(_.numInputRows > 0)
+          .forall(_.numInputRows <= 10),
+        "each micro-batch must carry at most ONE ingest batch's rows")
+    } finally q.stop()
+    // option validation fails fast — at load(), not asynchronously on
+    // the stream thread
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-layout")
+        .option("path", dir)
+        .option("maxBatchesPerTrigger", "0").load()
+    }
+    assert(e.getMessage.contains("positive"), e.getMessage)
+  }
+
   test("shortName resolves: .format(\"graft-layout\") finds the source " +
       "through the DataSourceRegister service file") {
     // the scaladoc advertises the short name; without the META-INF
