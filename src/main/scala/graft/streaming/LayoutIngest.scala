@@ -43,8 +43,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *    its target dir exists — the rename is the publish point, so before
  *    it the sources are live, after it they are logically deleted even
  *    if the physical deletes haven't run yet.
- *  - Every mutator holds the dir's [[LedgerLock]] (single-writer,
- *    fail-fast; same-host dead writers self-recover).
+ *  - TWO single-writer locks, so maintenance never stalls the stream
+ *    (fail-fast [[LedgerLock]]s; same-host dead writers self-recover):
+ *    the TAIL lock (`<dir>/markers/lock`) serializes the ingest path —
+ *    batch publish, commit markers, the marker-watermark fold, schema
+ *    publication — and the MAINTENANCE lock (`<dir>/maint/…`)
+ *    serializes every unit REWRITER ([[compact]], [[deleteBox]], the
+ *    rewrite half of [[mergeRows]]) plus [[recoverCompact]]. The split
+ *    is safe because the tail only ever CREATES new units and markers,
+ *    never mutates published ones, and readers are lock-free by the
+ *    publish-point rule; the one cross-lock writer, [[mergeRows]],
+ *    takes BOTH in the fixed order tail → maintenance (its append is
+ *    an ingest). Rewriters must still exclude EACH OTHER — two
+ *    manifests naming one source with different targets would
+ *    double-publish its rows. A deleteBox/compact concurrent with a
+ *    live stream is serializable as happening BEFORE any batch
+ *    published after its unit selection (a concurrent insert into the
+ *    deleted box survives — the delete happened first).
  *
  * FILESYSTEM CONTRACT: the publish protocol assumes directory rename
  * is atomic and O(1) — true on HDFS, local filesystems, and
@@ -71,6 +86,14 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
 
   /** The persisted cluster key column. */
   val KeyCol = "zkey"
+
+  /** The MAINTENANCE lock (object doc): serializes the unit rewriters
+    * against each other while the TAIL lock keeps ingesting. Scoped
+    * under `<dir>/maint` so the two locks are distinct files of the
+    * same [[LedgerLock]] machinery. */
+  private def withMaintLock[T](spark: SparkSession, dir: String)
+      (body: => T): T =
+    LedgerLock.withLock(spark, s"$dir/maint")(body)
 
   /** The persisted INGEST PROVENANCE column: every row carries the id
     * of the micro-batch that ingested it, stamped at [[ingestBatch]]
@@ -205,7 +228,16 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           compactMarkersLocked(spark, dir)
         }
         compactEvery.foreach { n =>
-          if ((batchId + 1) % n == 0) compact(spark, dir, smallFileBytes)
+          if ((batchId + 1) % n == 0)
+            // the cadence is best-effort: a concurrently-running manual
+            // fold/delete (maintenance lock held) must not kill the
+            // STREAM — the fold happens on the next cadence instead
+            try compact(spark, dir, smallFileBytes)
+            catch {
+              case e: LedgerLock.ConcurrentWriterException =>
+                logWarning("LayoutIngest: compaction cadence skipped — " +
+                  s"maintenance lock contention on $dir (${e.getMessage})")
+            }
         }
       }
     (if (availableNow)
@@ -219,7 +251,12 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       dir: String, filesPerBatch: Int): Boolean = {
     val spark = batch.sparkSession
     val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
-    recoverCompact(spark, dir)
+    // NO recoverCompact here, by design: the ingest path never touches
+    // gen manifests — recovery is the MAINTENANCE lock's job (compact/
+    // deleteBox/mergeRows all run it), which is what lets a fold run
+    // concurrently with the stream (see the lock-split section of the
+    // object doc). Reads are crash-correct without recovery (liveDirs'
+    // publish-point rule), so deferring it costs only debris lifetime.
     val marker = new org.apache.hadoop.fs.Path(markers, s"batch-$batchId")
     if (batchId <= batchWatermark(f, markers) || f.exists(marker))
       return false
@@ -284,20 +321,23 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
 
   /** Stamp commit markers for PUBLISHED-BUT-UNMARKED L0 batch dirs (a
     * crash between the publish rename and the marker create). Must be
-    * called with the ledger lock held, BEFORE [[compact]]/[[deleteBox]]
-    * select units: both pick units by listing `data/`, so without this
-    * an orphan `batch-<id>` dir could be folded into a generation (or
-    * rewritten) first, and the stream's later replay of that id —
-    * finding neither marker nor target dir — would re-ingest it,
-    * duplicating every row (and, after a deleteBox, resurrecting
-    * deleted ones). Stamping is safe by the same argument
-    * [[ingestBatch]]'s own recovery path uses: a published dir is
-    * complete by construction (the rename is the last data step), so
-    * the marker only formalizes a commit the replay would have
-    * re-stamped anyway; with the marker in place that replay becomes a
-    * no-op. Under the lock no live writer can be mid-publish (rename
-    * and marker are one locked section), so dir-without-marker here
-    * always means a crashed attempt. */
+    * called with the MAINTENANCE lock held, BEFORE
+    * [[compact]]/[[deleteBox]] select units: both pick units by
+    * listing `data/`, so without this an orphan `batch-<id>` dir could
+    * be folded into a generation (or rewritten) first, and the
+    * stream's later replay of that id — finding neither marker nor
+    * target dir — would re-ingest it, duplicating every row (and,
+    * after a deleteBox, resurrecting deleted ones). Stamping is safe
+    * by the same argument [[ingestBatch]]'s own recovery path uses: a
+    * published dir is complete by construction (the rename is the last
+    * data step), so the marker only formalizes a commit the replay
+    * would have re-stamped anyway; with the marker in place that
+    * replay becomes a no-op. Under the LOCK SPLIT a dir-without-marker
+    * here may also be a LIVE tail writer between its rename and marker
+    * create (not only a crashed one) — adoption is still safe: it
+    * stamps exactly the marker that writer is about to create itself
+    * (an idempotent overwrite-create; the writer's return value and
+    * replay contract are unchanged). */
   private def adoptOrphanBatches(spark: SparkSession, dir: String): Unit = {
     val (f, data) = DedupIngest.fs(spark, s"$dir/data")
     if (!f.exists(data)) return
@@ -337,7 +377,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
   def compact(spark: SparkSession, dir: String,
       smallFileBytes: Long = 32L << 20,
       targetFileBytes: Long = 0L): Unit =
-    LedgerLock.withLock(spark, dir) {
+    withMaintLock(spark, dir) {
       recoverCompact(spark, dir)
       adoptOrphanBatches(spark, dir)
       val (f, data) = DedupIngest.fs(spark, s"$dir/data")
@@ -396,7 +436,10 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         finally out.close()
         recoverCompact(spark, dir) // the happy path IS the replay
       }
-      compactMarkersLocked(spark, dir)
+      // NO marker fold here: the batch-marker watermark is TAIL-lock
+      // state (the ingest cadence folds it every batch; batch-mode
+      // tables call compactMarkers()) — folding it from under the
+      // maintenance lock would put two concurrent folds on one ledger
     }
 
   /** "All batch ids ≤ n are committed" — the highest published
@@ -460,8 +503,11 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     if (!f.exists(markers)) return
     // a stage dir with no manifest is a crash-before-WAL orphan:
     // nothing was published, the sources hold every row — discard.
-    // Safe under the single-writer lock every caller holds (an
-    // in-progress writer's stage cannot be seen by another recoverer).
+    // Safe under the MAINTENANCE lock every caller holds: gen stages
+    // and manifests are only ever created by maintenance holders, so
+    // an in-progress writer's stage cannot be seen by another
+    // recoverer (the tail's own stages live at data.stage-<id>,
+    // outside this sweep's gen-*.stage pattern).
     val (_, root) = DedupIngest.fs(spark, dir)
     f.listStatus(root).toSeq
       .filter(_.getPath.getName.matches("gen-.*\\.stage"))
@@ -543,7 +589,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    */
   def deleteBox(spark: SparkSession, dir: String,
       box: Seq[(String, Long, Long)], deleteId: Long): Boolean =
-    LedgerLock.withLock(spark, dir) {
+    withMaintLock(spark, dir) {
       require(box.nonEmpty, "deleteBox: empty box")
       recoverCompact(spark, dir)
       adoptOrphanBatches(spark, dir)
@@ -685,7 +731,11 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
   def mergeRows(spark: SparkSession, dir: String, keyCol: String,
       updates: DataFrame, batchId: Long,
       filesPerBatch: Int = 4): Boolean =
-    LedgerLock.withLock(spark, dir) {
+    // BOTH locks, tail first (the global order): the rewrite half is
+    // maintenance, the append half is an ingest (markers + schema are
+    // tail state). Holding the tail for the whole merge also freezes
+    // the id sequence under the freshness guard.
+    LedgerLock.withLock(spark, dir) { withMaintLock(spark, dir) {
       recoverCompact(spark, dir)
       adoptOrphanBatches(spark, dir)
       val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
@@ -795,7 +845,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         f.delete(intent, false): Unit
         true
       }
-    }
+    } }
 
   /** Name of the per-unit stats sidecar (a `_`-prefixed file, so the
     * parquet reader ignores it): one `col\tmin\tmax` line per column

@@ -1142,22 +1142,66 @@ class LayoutIngestSpec extends SparkSpec {
       s"expected a loud parquet read failure, got: ${chain(e)}")
   }
 
-  test("mutators hold the single-writer lock") {
+  test("lock split: maintenance holders exclude each other but never " +
+      "stall the tail; the tail lock never stalls a fold") {
     val dir = tmp("layout-lock")
     LayoutIngest.bootstrap(spark, dir, grid)
-    val inside = new java.util.concurrent.CountDownLatch(1)
-    val proceed = new java.util.concurrent.CountDownLatch(1)
-    val t = new Thread(() => LedgerLock.withLock(spark, dir) {
-      inside.countDown()
-      assert(proceed.await(30, java.util.concurrent.TimeUnit.SECONDS))
-    })
-    t.start()
-    assert(inside.await(30, java.util.concurrent.TimeUnit.SECONDS))
-    intercept[LedgerLock.ConcurrentWriterException] {
-      LayoutIngest.compact(spark, dir)
+    (0 until 2).foreach { b =>
+      LedgerLock.withLock(spark, dir) { // the stream's tail section
+        assert(LayoutIngest.ingestBatch(
+          rows(b * 10 until (b + 1) * 10).toDF("id", "x", "y"),
+          b.toLong, dir, 1))
+      }
     }
-    proceed.countDown()
-    t.join(30000)
-    LayoutIngest.compact(spark, dir) // released → proceeds (no-op)
+    def holding(lockDir: String)(check: => Unit): Unit = {
+      val inside = new java.util.concurrent.CountDownLatch(1)
+      val proceed = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => LedgerLock.withLock(spark, lockDir) {
+        inside.countDown()
+        assert(proceed.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      })
+      t.start()
+      assert(inside.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      try check finally { proceed.countDown(); t.join(30000) }
+    }
+    // a long-running FOLD (maintenance lock held) excludes the other
+    // rewriters — two manifests naming one source would double-publish
+    holding(s"$dir/maint") {
+      intercept[LedgerLock.ConcurrentWriterException] {
+        LayoutIngest.compact(spark, dir)
+      }
+      intercept[LedgerLock.ConcurrentWriterException] {
+        LayoutIngest.deleteBox(spark, dir, Seq(("x", 0L, 1L)), 9L)
+      }
+      intercept[LedgerLock.ConcurrentWriterException] {
+        LayoutIngest.mergeRows(spark, dir, "id",
+          Seq((5L, 5L, 5L)).toDF("id", "x", "y"), batchId = 9L)
+      }
+      // ...but the TAIL keeps ingesting — the split's whole point
+      LedgerLock.withLock(spark, dir) {
+        assert(LayoutIngest.ingestBatch(
+          rows(20 until 30).toDF("id", "x", "y"), 2L, dir, 1))
+      }
+      LayoutIngest.compactMarkers(spark, dir)
+      assert(LayoutIngest.read(spark, dir).count() === 30L)
+    }
+    // and a busy TAIL (ingest mid-batch) no longer stalls the fold
+    holding(dir) {
+      LayoutIngest.compact(spark, dir, smallFileBytes = 1L << 30)
+      val dataDirs = new java.io.File(s"$dir/data").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dataDirs.exists(_.startsWith("gen-")),
+        s"the fold must land while the tail lock is held: $dataDirs")
+      // mergeRows is the one cross-lock writer (its append IS an
+      // ingest) — it must contend with the tail
+      intercept[LedgerLock.ConcurrentWriterException] {
+        LayoutIngest.mergeRows(spark, dir, "id",
+          Seq((5L, 5L, 5L)).toDF("id", "x", "y"), batchId = 9L)
+      }
+    }
+    // both released → a real merge proceeds end-to-end
+    assert(LayoutIngest.mergeRows(spark, dir, "id",
+      Seq((5L, 5L, 99L)).toDF("id", "x", "y"), batchId = 3L))
+    assert(LayoutIngest.read(spark, dir).count() === 30L)
   }
 }
