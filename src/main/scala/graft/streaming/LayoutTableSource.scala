@@ -40,6 +40,9 @@ import org.apache.spark.sql.types.StructType
   *  - `.option("maxBatchesPerTrigger", k)` bounds each micro-batch to
   *    k ingest batches (see [[LayoutTableSource.maxPerTrigger]]) — the
   *    catch-up rate limit every production source carries.
+  *  - `.option("startingBatch", b)` floors a FRESH checkpoint at batch
+  *    b (see [[LayoutTableSource.startingBatch]]) — the
+  *    bootstrap-from-snapshot contract.
   *
   * V1 `Source` rather than a DSv2 `MicroBatchStream` deliberately:
   * getBatch returns a DataFrame, which IS this table's natural read
@@ -60,6 +63,25 @@ class LayoutTableSource extends StreamSourceProvider with DataSourceRegister {
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-layout source: .option(\"path\", <table dir>) (or " +
         ".load(<table dir>)) is required"))
+
+  /** `startingBatch`: serve only batches ≥ this id (default 0 = full
+    * history). The bootstrap-from-snapshot contract (Delta's
+    * startingVersion, Kafka's startingOffsets): a NEW consumer of a
+    * 100 TB table reads the current state once with
+    * [[LayoutIngest.read]]/[[LayoutIngest.readAsOf]], then TAILS from
+    * the batch after its snapshot — without this floor, its fresh
+    * checkpoint would replay the entire history through the stream. */
+  private def startingBatch(parameters: Map[String, String]): Long = {
+    val v = parameters.get("startingBatch")
+      .map(s => s.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-layout source: startingBatch must be a non-negative " +
+            s"integer, got '$s'")))
+      .getOrElse(0L)
+    require(v >= 0,
+      s"graft-layout source: startingBatch must be non-negative, got $v")
+    v
+  }
 
   /** `maxBatchesPerTrigger`: rate limit — at most this many ingest
     * batches per micro-batch (the maxFilesPerTrigger/maxOffsetsPerTrigger
@@ -89,8 +111,9 @@ class LayoutTableSource extends StreamSourceProvider with DataSourceRegister {
       "graft-layout source: the schema is the table's stored schema; " +
         "a user-supplied schema is not supported")
     maxPerTrigger(parameters): Unit // validate eagerly, at load() —
-    // createSource runs on the stream thread, where a bad option
-    // would only surface through the query's async failure
+    startingBatch(parameters): Unit // createSource runs on the stream
+    // thread, where a bad option would only surface through the
+    // query's async failure
     val dir = pathOf(parameters)
     val s = LayoutIngest.tableSchema(sqlContext.sparkSession, dir)
       .getOrElse(throw new IllegalArgumentException(
@@ -103,12 +126,14 @@ class LayoutTableSource extends StreamSourceProvider with DataSourceRegister {
       metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source =
     new LayoutTableStreamSource(sqlContext.sparkSession,
-      pathOf(parameters), maxPerTrigger(parameters))
+      pathOf(parameters), maxPerTrigger(parameters),
+      startingBatch(parameters))
 }
 
 private[streaming] class LayoutTableStreamSource(
     spark: SparkSession, dir: String,
-    maxBatchesPerTrigger: Long = Long.MaxValue) extends Source {
+    maxBatchesPerTrigger: Long = Long.MaxValue,
+    startingBatch: Long = 0L) extends Source {
 
   override val schema: StructType =
     LayoutIngest.tableSchema(spark, dir).getOrElse(
@@ -145,7 +170,11 @@ private[streaming] class LayoutTableStreamSource(
 
   override def getBatch(start: Option[OffsetV1],
       end: OffsetV1): DataFrame = {
-    val lo = start.map(toBatchId(_) + 1L).getOrElse(0L)
+    // the startingBatch floor applies only to the FIRST range (no
+    // checkpointed start): once a checkpoint exists its offset is the
+    // truth — a floor above it would silently skip delivered-range
+    // batches the consumer has not seen
+    val lo = start.map(toBatchId(_) + 1L).getOrElse(startingBatch)
     val hi = toBatchId(end)
     offeredUpTo = math.max(offeredUpTo, hi)
     ColumnBridge.asStreamingFrame(spark,

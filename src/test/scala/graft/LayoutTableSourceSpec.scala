@@ -140,6 +140,44 @@ class LayoutTableSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("positive"), e.getMessage)
   }
 
+  test("startingBatch: a fresh checkpoint tails from the floor " +
+      "(bootstrap-from-snapshot); later increments still arrive") {
+    val dir = tmp("layout-source-start")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    (0 until 4).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        rows(b * 10 until (b + 1) * 10).toDF("id", "x", "y"),
+        b.toLong, dir, 1))
+    }
+    val sink = s"layout_start_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-layout")
+      .option("path", dir)
+      .option("startingBatch", "2")
+      .load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", tmp("layout-source-start-ck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      def got: Set[Long] = spark.table(sink)
+        .select("id").as[Long].collect().toSet
+      assert(got === (20L until 40L).toSet,
+        "history below the floor must never be served")
+      // the floor applies only to the FIRST range — the checkpointed
+      // tail keeps flowing normally
+      assert(LayoutIngest.ingestBatch(
+        rows(40 until 50).toDF("id", "x", "y"), 4L, dir, 1))
+      q.processAllAvailable()
+      assert(got === (20L until 50L).toSet)
+      assert(spark.table(sink).count() === 30, "no double delivery")
+    } finally q.stop()
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-layout")
+        .option("path", dir).option("startingBatch", "-1").load()
+    }
+    assert(e.getMessage.contains("non-negative"), e.getMessage)
+  }
+
   test("shortName resolves: .format(\"graft-layout\") finds the source " +
       "through the DataSourceRegister service file") {
     // the scaladoc advertises the short name; without the META-INF
