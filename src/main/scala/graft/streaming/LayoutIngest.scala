@@ -1559,6 +1559,51 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     (maxDepth, mean, dirs.size)
   }
 
+  /** Operational view of the LEDGER (the DESCRIBE HISTORY every table
+    * format grows): one row per committed operation — ingest batches
+    * (the watermark's contiguous [0, n] plus individual tail markers),
+    * box deletes, row-keyed merges — plus any IN-FLIGHT merge intent
+    * (committed = false; a standing intent after a crash tells the
+    * operator a replay is owed). `at_ms` is the marker file's mtime
+    * where the file still exists; batches folded into the watermark
+    * keep only their commitment (null mtime — the fold's whole point
+    * is not retaining millions of per-batch files). Driver-only, one
+    * markers listing. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+    val entries: Seq[(String, Long, Boolean, Option[Long])] =
+      if (!f.exists(markers)) Nil
+      else {
+        val st = f.listStatus(markers).toSeq
+        val byName = st.map(s => s.getPath.getName -> s).toMap
+        val names = byName.keySet
+        val w = MarkerLedger.watermark(names.toSeq)
+        val folded = (0L to w).map(i =>
+          ("ingest", i, true,
+            byName.get(s"batch-$i").map(_.getModificationTime)))
+        val tail = names.toSeq.filter(_.matches("batch-\\d+"))
+          .map(_.stripPrefix("batch-").toLong).filter(_ > w).sorted
+          .map(i => ("ingest", i, true,
+            Some(byName(s"batch-$i").getModificationTime)))
+        val dels = names.toSeq.filter(_.matches("del-\\d+"))
+          .map(_.stripPrefix("del-").toLong).sorted
+          .map(i => ("delete", i, true,
+            Some(byName(s"del-$i").getModificationTime)))
+        val merges = names.toSeq.filter(_.matches("merge-\\d+"))
+          .map(_.stripPrefix("merge-").toLong).sorted
+          .map(i => ("merge", i, true,
+            Some(byName(s"merge-$i").getModificationTime)))
+        val intents = names.toSeq.filter(_.matches("merge-\\d+\\.intent"))
+          .map(_.stripPrefix("merge-").stripSuffix(".intent").toLong)
+          .filterNot(i => names(s"merge-$i")).sorted
+          .map(i => ("merge", i, false,
+            Some(byName(s"merge-$i.intent").getModificationTime)))
+        folded ++ tail ++ dels ++ merges ++ intents
+      }
+    import spark.implicits._
+    entries.toDF("kind", "id", "committed", "at_ms")
+  }
+
   /** Operational view of the table (the DESCRIBE DETAIL every table
     * format grows): one row per LIVE unit — name, data files, bytes,
     * exact row count (parquet footer record counts, no data read),

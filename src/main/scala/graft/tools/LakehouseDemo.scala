@@ -182,6 +182,11 @@ object LakehouseDemo {
     LayoutIngest.describe(spark, dst)
       .select("unit", "files", "rows", "bytes")
       .show(20, truncate = false)
+    println("[demo] 12. history() of the source table's ledger:")
+    LayoutIngest.history(spark, dir).show(20, truncate = false)
+    require(LayoutIngest.history(spark, dir)
+        .filter($"kind" === "merge" && $"committed").count() == 1,
+      "the ledger must record the committed merge")
     println("[demo] LAKEHOUSE DEMO OK")
     spark.stop()
   }

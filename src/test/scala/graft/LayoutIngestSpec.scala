@@ -1142,6 +1142,41 @@ class LayoutIngestSpec extends SparkSpec {
       s"expected a loud parquet read failure, got: ${chain(e)}")
   }
 
+  test("history: one row per committed op — folded ingests keep their " +
+      "commitment (null mtime), tail/delete/merge keep mtimes, a " +
+      "standing merge intent reports committed = false") {
+    val dir = tmp("layout-history")
+    LayoutIngest.bootstrap(spark, dir, grid.copy(bloomCols = Seq("id")))
+    (0 until 3).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        rows(b * 10 until (b + 1) * 10).toDF("id", "x", "y"),
+        b.toLong, dir, 1))
+    }
+    LayoutIngest.compactMarkers(spark, dir) // folds 0..2 into upto-2
+    assert(LayoutIngest.ingestBatch(
+      rows(40 until 50).toDF("id", "x", "y"), 4L, dir, 1)) // gap at 3
+    assert(LayoutIngest.deleteBox(spark, dir, Seq(("x", 0L, 5L)), 7L))
+    assert(LayoutIngest.mergeRows(spark, dir, "id",
+      Seq((8L, 8L, 8L)).toDF("id", "x", "y"), batchId = 3L))
+    // a crashed merge: intent standing, no commit marker
+    new java.io.File(s"$dir/markers/merge-11.intent").createNewFile()
+    val h = LayoutIngest.history(spark, dir)
+      .select("kind", "id", "committed")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(h.filter(_._1 == "ingest").map(_._2) === Set(0L, 1L, 2L, 3L, 4L),
+      s"folded [0,2] + merge-append 3 + tail 4: $h")
+    assert(h.contains(("delete", 7L, true)))
+    assert(h.contains(("merge", 3L, true)))
+    assert(h.contains(("merge", 11L, false)),
+      "a standing intent must surface as an uncommitted merge")
+    // folded batches have no mtime; the tail marker does
+    val m = LayoutIngest.history(spark, dir)
+      .select("kind", "id", "at_ms")
+      .as[(String, Long, Option[Long])].collect()
+      .filter(_._1 == "ingest").map(t => t._2 -> t._3.isDefined).toMap
+    assert(!m(0L) && !m(1L) && !m(2L) && m(4L), m.toString)
+  }
+
   test("lock split: maintenance holders exclude each other but never " +
       "stall the tail; the tail lock never stalls a fold") {
     val dir = tmp("layout-lock")

@@ -324,6 +324,31 @@ class LayoutSpec extends SparkSpec {
       s"clustered scan must materialize under half the rows, got $zRows")
   }
 
+  test("curve expressions COMPILE under codegen (no silent interpreted " +
+      "fallback — the chained-projection disease this shape replaced)") {
+    import org.apache.spark.sql.functions._
+    // fallback=false makes a Janino failure THROW instead of silently
+    // dropping the stage to interpreted execution, so this test pins
+    // that HilbertKeyN/HilbertKey2 generate compilable code at the
+    // grid shapes the battery uses (8 bits x 3 dims; 16 bits x 2)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(1000).select(
+        (col("id") % 256).as("a"), (col("id") % 100).as("b"),
+        (col("id") % 7).as("c"))
+      assert(Layout.withHilbertKeyN(df,
+          Seq(col("a"), col("b"), col("c")), bits = 8, keyCol = "k")
+        .agg(countDistinct("k")).head().getLong(0) > 0)
+      assert(Layout.withHilbertKey(df, col("a"), col("b"), bits = 16,
+          keyCol = "k")
+        .agg(countDistinct("k")).head().getLong(0) > 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("quantization overflow fails fast with the remedy, never wraps") {
     // range x (2^16-1) would exceed Long.MaxValue: Spark would wrap to
     // garbage keys silently — the guard must throw instead
