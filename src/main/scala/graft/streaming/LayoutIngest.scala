@@ -1564,11 +1564,15 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * (the watermark's contiguous [0, n] plus individual tail markers),
     * box deletes, row-keyed merges — plus any IN-FLIGHT merge intent
     * (committed = false; a standing intent after a crash tells the
-    * operator a replay is owed). `at_ms` is the marker file's mtime
-    * where the file still exists; batches folded into the watermark
-    * keep only their commitment (null mtime — the fold's whole point
-    * is not retaining millions of per-batch files). Driver-only, one
-    * markers listing. */
+    * operator a replay is owed). The watermark-folded ingest prefix is
+    * ONE `ingest-upto` row (id = n means "[0, n] all committed"), NOT
+    * n+1 rows — a long-lived stream's watermark covers millions of
+    * batches, and the fold's whole point is not retaining (or
+    * re-materializing) per-batch entries. `at_ms` is the marker file's
+    * mtime where one exists (individual tail/delete/merge markers; the
+    * watermark row carries the watermark FILE's mtime — the fold
+    * time, not any batch's). Driver-only, one markers listing,
+    * O(markers on disk). */
   def history(spark: SparkSession, dir: String): DataFrame = {
     val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
     val entries: Seq[(String, Long, Boolean, Option[Long])] =
@@ -1578,9 +1582,10 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         val byName = st.map(s => s.getPath.getName -> s).toMap
         val names = byName.keySet
         val w = MarkerLedger.watermark(names.toSeq)
-        val folded = (0L to w).map(i =>
-          ("ingest", i, true,
-            byName.get(s"batch-$i").map(_.getModificationTime)))
+        val folded =
+          if (w < 0) Nil
+          else Seq(("ingest-upto", w, true,
+            byName.get(s"batch-upto-$w").map(_.getModificationTime)))
         val tail = names.toSeq.filter(_.matches("batch-\\d+"))
           .map(_.stripPrefix("batch-").toLong).filter(_ > w).sorted
           .map(i => ("ingest", i, true,

@@ -150,7 +150,10 @@ private[streaming] class LayoutTableStreamSource(
     * it, or it creeps up by `maxBatchesPerTrigger` per empty poll
     * until it passes the checkpoint. Same discipline as
     * FileStreamSource's in-memory seen-files map. */
-  @volatile private var offeredUpTo: Long = -1L
+  // seeded at the floor so a startingBatch + rate-limit combination
+  // offers useful ranges immediately instead of creeping up from -1
+  // through empty (below-floor) micro-batches
+  @volatile private var offeredUpTo: Long = startingBatch - 1L
 
   override def getOffset: Option[OffsetV1] = {
     val n = LayoutIngest.contiguousCommittedBatch(spark, dir)

@@ -1163,18 +1163,21 @@ class LayoutIngestSpec extends SparkSpec {
     val h = LayoutIngest.history(spark, dir)
       .select("kind", "id", "committed")
       .as[(String, Long, Boolean)].collect().toSet
-    assert(h.filter(_._1 == "ingest").map(_._2) === Set(0L, 1L, 2L, 3L, 4L),
-      s"folded [0,2] + merge-append 3 + tail 4: $h")
+    // the folded prefix is ONE ingest-upto row (O(markers), never
+    // O(stream lifetime)); the merge-append 3 and batch 4 are tail rows
+    assert(h.contains(("ingest-upto", 2L, true)), h.toString)
+    assert(h.filter(_._1 == "ingest").map(_._2) === Set(3L, 4L),
+      s"tail ingests 3 (merge append) + 4: $h")
     assert(h.contains(("delete", 7L, true)))
     assert(h.contains(("merge", 3L, true)))
     assert(h.contains(("merge", 11L, false)),
       "a standing intent must surface as an uncommitted merge")
-    // folded batches have no mtime; the tail marker does
+    // tail markers carry their file mtimes
     val m = LayoutIngest.history(spark, dir)
       .select("kind", "id", "at_ms")
       .as[(String, Long, Option[Long])].collect()
       .filter(_._1 == "ingest").map(t => t._2 -> t._3.isDefined).toMap
-    assert(!m(0L) && !m(1L) && !m(2L) && m(4L), m.toString)
+    assert(m(3L) && m(4L), m.toString)
   }
 
   test("lock split: maintenance holders exclude each other but never " +
