@@ -740,7 +740,13 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       adoptOrphanBatches(spark, dir)
       val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
       val marker = new org.apache.hadoop.fs.Path(markers, s"merge-$batchId")
-      if (f.exists(marker)) false
+      if (f.exists(marker)) {
+        // retire a stale intent (a crash between the commit marker and
+        // the intent delete) so history() and the ledger stay clean
+        f.delete(new org.apache.hadoop.fs.Path(markers,
+          s"merge-$batchId.intent"), false): Unit
+        false
+      }
       else {
         require(updates.schema.fieldNames.contains(keyCol),
           s"mergeRows: updates carry no '$keyCol' column")
