@@ -601,14 +601,15 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         val units =
           if (!f.exists(data)) Nil
           else leafUnits(f, data)
-        val affected = units.filter { case (_, d) =>
+        val affectedPaths = parFilter(units.map(_._2)) { d =>
           box.forall { case (c, lo, hi) =>
             dirColumnRange(f, d, c) match {
               case Some((mn, mx)) => mx >= lo && mn <= hi
               case None => true // no stats → conservatively rewrite
             }
           }
-        }
+        }.toSet
+        val affected = units.filter(u => affectedPaths(u._2))
         // NULL-safe: delete ONLY rows where the whole box predicate is
         // TRUE. Under three-valued logic a NULL box column makes the
         // naive NOT(range AND range) evaluate to NULL and filter()
@@ -803,7 +804,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
                 case None => unitRows(f, d) > 0 // no stats → conservative
               }
             } else d => unitRows(f, d) > 0
-          val affected = units.filter { case (_, d) =>
+          val affectedPaths = parFilter(units.map(_._2)) { d =>
             statsHit(d) && (keysForBloom.isEmpty ||
               (unitBloom(f, d, keyCol) match {
                 case Some(b) => keysForBloom.exists {
@@ -814,7 +815,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
                 }
                 case None => true
               }))
-          }
+          }.toSet
+          val affected = units.filter(u => affectedPaths(u._2))
           val keysDf = broadcast(updates.select(col(keyCol)).distinct()
             .withColumn("__graft_merge_hit", lit(true)))
           val gridNow = readGrid(spark, dir)
@@ -987,23 +989,62 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         new java.io.ByteArrayInputStream(b))).toOption)
   }
 
+  /** Bounded pool for per-unit METADATA probes (bloom/stats sidecar
+    * reads) during planning: the decisions are per-unit independent
+    * and each costs one small remote read, so at 100 TB unit counts a
+    * SERIAL driver walk is the planning bottleneck the sidecars were
+    * built to avoid (the StatsProbe lesson, one level up — reading
+    * 10⁵ sidecars one at a time is as bad as opening 10⁵ footers).
+    * Daemon threads; sized for metadata-read latency hiding, not CPU.
+    * Caches (stats/bloom LRUs) are synchronized; Hadoop FileSystem
+    * reads are thread-safe. */
+  private lazy val probePool =
+    java.util.concurrent.Executors.newFixedThreadPool(16,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-layout-probe")
+        t.setDaemon(true)
+        t
+      })
+
+  /** Evaluate `pred` over `dirs` on [[probePool]], preserving order;
+    * any probe failure propagates (the predicates themselves already
+    * degrade conservatively on missing/corrupt metadata). */
+  private def parFilter(dirs: Seq[org.apache.hadoop.fs.Path])(
+      pred: org.apache.hadoop.fs.Path => Boolean)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    import scala.jdk.CollectionConverters._
+    if (dirs.size <= 2) dirs.filter(pred)
+    else {
+      val tasks = dirs.map(d =>
+        (() => pred(d)): java.util.concurrent.Callable[Boolean])
+      val results = probePool.invokeAll(tasks.asJava).asScala.map(_.get())
+      dirs.zip(results).collect { case (d, true) => d }
+    }
+  }
+
   /** (units a point probe must read, all live units): a unit is read
     * when its bloom might contain ANY probed value, or when it has no
     * bloom for the column (conservative). No false negatives — a unit
-    * holding a probed value is always read. */
+    * holding a probed value is always read. Probes run on
+    * [[probePool]] — per-unit bloom reads in parallel, not a serial
+    * driver walk. */
   private[graft] def pointProbeDirs(spark: SparkSession, dir: String,
       column: String, values: Seq[Any])
       : (Seq[org.apache.hadoop.fs.Path], Seq[org.apache.hadoop.fs.Path]) = {
+    values.foreach {
+      case _: String | _: Long => ()
+      case v => throw new IllegalArgumentException(
+        s"bloom probe values must be Long or String, got " +
+          s"${v.getClass.getName}")
+    }
     val (f, _) = DedupIngest.fs(spark, s"$dir/data")
     val dirs = liveDirs(spark, dir)
-    (dirs.filter { d =>
+    (parFilter(dirs) { d =>
       unitBloom(f, d, column) match {
         case Some(b) => values.exists {
           case s: String => b.mightContainString(s)
           case l: Long => b.mightContainLong(l)
-          case v => throw new IllegalArgumentException(
-            s"bloom probe values must be Long or String, got " +
-              s"${v.getClass.getName}")
+          case _ => true // unreachable — validated above
         }
         case None => true
       }
@@ -1435,13 +1476,14 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     else emptyShape(spark, dir).filter(pred)
   }
 
-  /** (dirs whose footer stats intersect the box, all live dirs). */
+  /** (dirs whose footer stats intersect the box, all live dirs).
+    * Sidecar reads run on [[probePool]], not a serial driver walk. */
   private[graft] def prunedBoxDirs(spark: SparkSession, dir: String,
       box: Seq[(String, Long, Long)])
       : (Seq[org.apache.hadoop.fs.Path], Seq[org.apache.hadoop.fs.Path]) = {
     val (f, _) = DedupIngest.fs(spark, s"$dir/data")
     val dirs = liveDirs(spark, dir)
-    (dirs.filter { d =>
+    (parFilter(dirs) { d =>
       box.forall { case (c, lo, hi) =>
         dirColumnRange(f, d, c) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
