@@ -7261,6 +7261,106 @@ WHERE rk <= 40"""
     s.read.parquet(sinkDir).select(col("event_id"), col("zkey"))
   }
 
+  /** RATE-LIMITED STREAM DRAIN of the clustered table
+    * ([[graft.streaming.LayoutTableSource]]'s `maxBatchesPerTrigger`):
+    * q171's consumer over a gapless three-batch ingest, capped at ONE
+    * ingest batch per micro-batch — the catch-up discipline a 100 TB
+    * backlog needs (one giant micro-batch is an unbounded unit of work
+    * and an unbounded sink transaction). The premise is enforced: the
+    * drain must take ≥ 3 non-empty micro-batches, each carrying at
+    * most one ingest batch's rows, or the query refuses. The drained
+    * union still hashes against the full q155 key formula — the cap
+    * must change the STEPS, never the set. */
+  val q174CdcStreamRatelimit: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val root = streamIndexDir("q174", dir, "events")
+    val tableDir = s"$root/table"
+    val sinkDir = s"$root/sink"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val (tmn, tmx) = (b.getLong(2), b.getLong(3))
+      val cut1 = tmn + (tmx - tmn) / 3
+      val cut2 = tmn + 2 * ((tmx - tmn) / 3)
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (tmn, tmx)), bits = 16))
+      val slices = Seq(
+        ev.filter(col("ts_us") < cut1),
+        ev.filter(col("ts_us") >= cut1 && col("ts_us") < cut2),
+        ev.filter(col("ts_us") >= cut2))
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        graft.streaming.LayoutIngest.ingestBatch(
+          sl, i.toLong, tableDir, 4): Unit
+      }
+      val maxSlice = slices.map(_.count()).max
+      val q = s.readStream.format("graft-layout")
+        .option("path", tableDir)
+        .option("maxBatchesPerTrigger", "1")
+        .load()
+        .writeStream.format("parquet").option("path", sinkDir)
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      q.processAllAvailable()
+      val nonEmpty = q.recentProgress.filter(_.numInputRows > 0)
+      q.stop()
+      require(nonEmpty.length >= 3,
+        s"q174: the cap must split the drain into >= 3 micro-batches, " +
+          s"got ${nonEmpty.length}")
+      require(nonEmpty.forall(_.numInputRows <= maxSlice),
+        s"q174: a micro-batch exceeded one ingest batch's rows: " +
+          nonEmpty.map(_.numInputRows).mkString(","))
+      done.createNewFile(): Unit
+    }
+    s.read.parquet(sinkDir).select(col("event_id"), col("zkey"))
+  }
+
+  /** SNAPSHOT-BOOTSTRAP TAIL of the clustered table
+    * ([[graft.streaming.LayoutTableSource]]'s `startingBatch`): the
+    * two-file midpoint ingest (batches 0 and 1), consumed by a FRESH
+    * checkpoint floored at batch 1 — the Delta-startingVersion shape:
+    * a new consumer reads the snapshot once and tails, instead of
+    * replaying the whole history through the stream. The sink must
+    * hold EXACTLY the second file's events (q168's readSince oracle —
+    * the same midpoint arithmetic), so a floor that leaks history or
+    * clips the tail fails the hash. */
+  val q175CdcStreamTail: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val root = streamIndexDir("q175", dir, "events")
+    val tableDir = s"$root/table"
+    val sinkDir = s"$root/sink"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val cut = b.getLong(2) / 2 + b.getLong(3) / 2
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(col("ts_us") < cut), 0L, tableDir, 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(col("ts_us") >= cut), 1L, tableDir, 4): Unit
+      val q = s.readStream.format("graft-layout")
+        .option("path", tableDir)
+        .option("startingBatch", "1")
+        .load()
+        .writeStream.format("parquet").option("path", sinkDir)
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      done.createNewFile(): Unit
+    }
+    s.read.parquet(sinkDir).select(col("event_id"), col("zkey"))
+  }
+
   /** ROW-KEYED MERGE (upsert) on the clustered table
     * ([[graft.streaming.LayoutIngest.mergeRows]] — the reference's
     * K5/K6 row-keyed update pattern generalized to the lakehouse
@@ -7858,7 +7958,13 @@ WHERE rk <= 40"""
     // a gapped ingest + fold (exactly-once through Spark's offsets)
     "q171_cdc_stream_consume" -> (q171CdcStreamConsume, Some(q155Sql)),
     "q172_merge_upsert" -> (q172MergeUpsert, Some(q172Sql)),
-    "q173_merge_upsert_str" -> (q173MergeUpsertStr, Some(q173Sql)))
+    "q173_merge_upsert_str" -> (q173MergeUpsertStr, Some(q173Sql)),
+    // q174 re-runs q155's full key oracle against a drain CAPPED at one
+    // ingest batch per micro-batch (refused unless it took >= 3 steps)
+    "q174_cdc_stream_ratelimit" -> (q174CdcStreamRatelimit, Some(q155Sql)),
+    // q175 re-runs q168's readSince oracle against a FRESH checkpoint
+    // floored at batch 1 (snapshot-bootstrap: history never served)
+    "q175_cdc_stream_tail" -> (q175CdcStreamTail, Some(q168Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
