@@ -82,8 +82,31 @@ object CurveExpressions {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_hilbert_key"
 
+    /** Typed ANALYSIS error instead of out-of-bounds ArrayData reads:
+      * the transform reads exactly `n` LONG elements, so anything but
+      * `array<long>` is refused at plan time (a wrong element type
+      * would otherwise yield engine-dependent garbage keys). */
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis
+            .TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+            .TypeCheckFailure(s"$prettyName expects array<bigint> " +
+              s"coordinates, got ${other.simpleString}")
+      }
+
     override protected def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
+      // a short array at RUNTIME (the length is data, not schema) must
+      // fail loudly — reading past numElements() is undefined ArrayData
+      // behavior, not an error
+      if (v.numElements() < n)
+        throw new IllegalArgumentException(
+          s"$prettyName: coordinate array has ${v.numElements()} " +
+            s"elements, needs $n")
       val x = Array.tabulate(n)(v.getLong)
       skillingIndex(x, bits)
     }
@@ -96,6 +119,11 @@ object CurveExpressions {
         val t = ctx.freshName("t"); val t2 = ctx.freshName("t2")
         val qm = ctx.freshName("qm"); val p = ctx.freshName("p")
         s"""
+           |if ($v.numElements() < $n) {
+           |  throw new IllegalArgumentException(
+           |    "graft_hilbert_key: coordinate array has " +
+           |      $v.numElements() + " elements, needs $n");
+           |}
            |long[] $x = new long[$n];
            |for (int $k = 0; $k < $n; $k++) $x[$k] = $v.getLong($k);
            |for (long $qm = 1L << ${bits - 1}; $qm > 1; $qm >>= 1) {
@@ -154,6 +182,20 @@ object CurveExpressions {
 
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_hilbert_key2"
+
+    /** Same analysis-time discipline as [[HilbertKeyN]]: both coords
+      * must be LONG, or the unchecked casts below would throw a bare
+      * ClassCastException mid-job instead of a plan-time error. */
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (left.dataType == LongType && right.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis
+          .TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"$prettyName expects two bigint coords, " +
+            s"got (${left.dataType.simpleString}, " +
+            s"${right.dataType.simpleString})")
 
     override protected def nullSafeEval(x: Any, y: Any): Any =
       rotationIndex2(x.asInstanceOf[Long], y.asInstanceOf[Long], bits)

@@ -1007,8 +1007,11 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       })
 
   /** Evaluate `pred` over `dirs` on [[probePool]], preserving order;
-    * any probe failure propagates (the predicates themselves already
-    * degrade conservatively on missing/corrupt metadata). */
+    * any probe failure propagates with its ORIGINAL type (the pool's
+    * ExecutionException wrapper is stripped — callers that handled a
+    * raw IOException from the serial walk keep working), and the
+    * predicates themselves already degrade conservatively on
+    * missing/corrupt metadata. */
   private def parFilter(dirs: Seq[org.apache.hadoop.fs.Path])(
       pred: org.apache.hadoop.fs.Path => Boolean)
       : Seq[org.apache.hadoop.fs.Path] = {
@@ -1017,7 +1020,13 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     else {
       val tasks = dirs.map(d =>
         (() => pred(d)): java.util.concurrent.Callable[Boolean])
-      val results = probePool.invokeAll(tasks.asJava).asScala.map(_.get())
+      val results = probePool.invokeAll(tasks.asJava).asScala.map { fut =>
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
       dirs.zip(results).collect { case (d, true) => d }
     }
   }

@@ -349,6 +349,50 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("curve expressions refuse bad inputs with TYPED errors (no " +
+      "out-of-bounds ArrayData reads, no bare ClassCastException)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CurveExpressions
+    // wrong element type → analysis-time failure, not garbage keys
+    val strs = spark.range(4).select(
+      array(col("id").cast("string")).as("a"))
+    val eType = intercept[Exception] {
+      strs.select(CurveExpressions.hilbertKeyN(col("a"), 4, 2)).collect()
+    }
+    assert(eType.getMessage.contains("array<bigint>") ||
+      eType.getMessage.toLowerCase.contains("type"), eType.getMessage)
+    // wrong LENGTH is data, not schema: must throw at runtime in BOTH
+    // execution modes, never read past numElements()
+    for (codegen <- Seq("true", "false")) {
+      val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+      spark.conf.set("spark.sql.codegen.fallback", codegen)
+      try {
+        val short = spark.range(4).select(array(col("id")).as("a"))
+        val eLen = intercept[Exception] {
+          short.select(CurveExpressions.hilbertKeyN(col("a"), 4, 3))
+            .collect()
+        }
+        def rootMessages(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+        assert(rootMessages(eLen).exists(_.contains("needs 3")),
+          rootMessages(eLen).mkString(" | "))
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+    // HilbertKey2 on non-long coords → plan-time type error
+    val e2 = intercept[Exception] {
+      spark.range(4)
+        .select(col("id").cast("string").as("x"), col("id").as("y"))
+        .select(CurveExpressions.hilbertKey2(col("x"), col("y"), 8))
+        .collect()
+    }
+    assert(e2.getMessage.contains("bigint") ||
+      e2.getMessage.toLowerCase.contains("type"), e2.getMessage)
+  }
+
   test("quantization overflow fails fast with the remedy, never wraps") {
     // range x (2^16-1) would exceed Long.MaxValue: Spark would wrap to
     // garbage keys silently — the guard must throw instead
