@@ -127,13 +127,14 @@ class LayoutTableSource extends StreamSourceProvider with DataSourceRegister {
       providerName: String, parameters: Map[String, String]): Source =
     new LayoutTableStreamSource(sqlContext.sparkSession,
       pathOf(parameters), maxPerTrigger(parameters),
-      startingBatch(parameters))
+      startingBatch(parameters), Option(metadataPath).filter(_.nonEmpty))
 }
 
 private[streaming] class LayoutTableStreamSource(
     spark: SparkSession, dir: String,
     maxBatchesPerTrigger: Long = Long.MaxValue,
-    startingBatch: Long = 0L) extends Source {
+    startingBatch: Long = 0L,
+    metadataPath: Option[String] = None) extends Source {
 
   override val schema: StructType =
     LayoutIngest.tableSchema(spark, dir).getOrElse(
@@ -143,17 +144,60 @@ private[streaming] class LayoutTableStreamSource(
   /** The rate limit's cursor: the highest batch id this source has
     * OFFERED (getOffset) or been asked to serve (getBatch — which on a
     * checkpoint recovery re-seeds the cursor to the engine's planned
-    * offset). In-memory driver state only, deliberately: exactly-once
-    * never depends on it (delivery is always (checkpointed, offered]
-    * on the ENGINE's durable offsets), and after a restart it resets
-    * to −1 and self-heals — either getBatch's recovery call re-seeds
-    * it, or it creeps up by `maxBatchesPerTrigger` per empty poll
-    * until it passes the checkpoint. Same discipline as
-    * FileStreamSource's in-memory seen-files map. */
+    * offset). Exactly-once never depends on it (delivery is always
+    * (checkpointed, offered] on the ENGINE's durable offsets); the
+    * cursor only paces the rate limit. When the rate limit is ON it is
+    * PERSISTED under the engine-scoped `metadataPath` (the
+    * FileStreamSource convention) as a monotone `offered-<n>` empty
+    * file — without that, a CLEAN restart (last batch committed, so
+    * the engine never calls getBatch to re-seed) resets the cursor to
+    * the floor and getOffset offers regressed ranges the engine
+    * rightly ignores: the cursor would creep up by
+    * `maxBatchesPerTrigger` per EMPTY trigger (each a full markers
+    * listing) for ~checkpoint/max cycles before any new data flows.
+    * Persistence is crash-exact by the name-carries-state watermark
+    * pattern: create `offered-<n>` (atomic), then best-effort delete
+    * the superseded names; readers take the max. Unbounded sources
+    * skip all of it — the cursor gates nothing there. */
   // seeded at the floor so a startingBatch + rate-limit combination
   // offers useful ranges immediately instead of creeping up from -1
   // through empty (below-floor) micro-batches
-  @volatile private var offeredUpTo: Long = startingBatch - 1L
+  @volatile private var offeredUpTo: Long =
+    math.max(startingBatch - 1L, persistedOffered())
+
+  private def offeredDir: Option[
+      (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)] =
+    if (maxBatchesPerTrigger == Long.MaxValue) None
+    else metadataPath.map(p => DedupIngest.fs(spark, s"$p/graft-offered"))
+
+  private def persistedOffered(): Long =
+    offeredDir.map { case (f, od) =>
+      if (!f.exists(od)) -1L
+      else f.listStatus(od).toSeq.map(_.getPath.getName)
+        .filter(_.matches("offered-\\d+"))
+        .map(_.stripPrefix("offered-").toLong)
+        .foldLeft(-1L)(math.max)
+    }.getOrElse(-1L)
+
+  /** Advance the cursor (monotone) and persist the new high-water mark
+    * when the rate limit is on. Best-effort on the filesystem side —
+    * a failed persist only costs creep-up time after the next restart,
+    * never correctness. */
+  private def advanceOffered(n: Long): Unit = {
+    if (n <= offeredUpTo) return
+    offeredUpTo = n
+    offeredDir.foreach { case (f, od) =>
+      scala.util.Try {
+        if (!f.exists(od)) f.mkdirs(od): Unit
+        f.create(new org.apache.hadoop.fs.Path(od, s"offered-$n"), true)
+          .close()
+        f.listStatus(od).toSeq.map(_.getPath)
+          .filter(p => p.getName.matches("offered-\\d+") &&
+            p.getName.stripPrefix("offered-").toLong < n)
+          .foreach(p => f.delete(p, false): Unit)
+      }: Unit
+    }
+  }
 
   override def getOffset: Option[OffsetV1] = {
     val n = LayoutIngest.contiguousCommittedBatch(spark, dir)
@@ -161,7 +205,7 @@ private[streaming] class LayoutTableStreamSource(
     val capped =
       if (maxBatchesPerTrigger == Long.MaxValue) n
       else math.min(n, offeredUpTo + maxBatchesPerTrigger)
-    offeredUpTo = math.max(offeredUpTo, capped)
+    advanceOffered(capped)
     Some(LongOffset(capped))
   }
 
@@ -179,7 +223,7 @@ private[streaming] class LayoutTableStreamSource(
     // batches the consumer has not seen
     val lo = start.map(toBatchId(_) + 1L).getOrElse(startingBatch)
     val hi = toBatchId(end)
-    offeredUpTo = math.max(offeredUpTo, hi)
+    advanceOffered(hi)
     ColumnBridge.asStreamingFrame(spark,
       LayoutIngest.readBatchRange(spark, dir, lo, hi))
   }
