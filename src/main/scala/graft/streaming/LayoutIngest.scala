@@ -53,8 +53,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *    is safe because the tail only ever CREATES new units and markers,
  *    never mutates published ones, and readers are lock-free by the
  *    publish-point rule; the one cross-lock writer, [[mergeRows]],
- *    takes BOTH in the fixed order tail → maintenance (its append is
- *    an ingest). Rewriters must still exclude EACH OTHER — two
+ *    holds MAINTENANCE for its whole run (fail-fast at entry, before
+ *    any mutation) and nests a SHORT tail section inside it for just
+ *    the freshness guard + append — the only maint→tail nesting in
+ *    the engine, and no path nests the other way, so no cycle; a live
+ *    stream stalls only for that append, never for the merge's
+ *    rewrites. Rewriters must still exclude EACH OTHER — two
  *    manifests naming one source with different targets would
  *    double-publish its rows. A deleteBox/compact concurrent with a
  *    live stream is serializable as happening BEFORE any batch
@@ -671,28 +675,56 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    * plain inserts. Implemented as delete+append under the existing
    * WAL/marker protocol, so nothing new has to be trusted:
    *
-   *  1. units that might hold a matching key are found from the
-   *     sidecars — stats range `[min(keys), max(keys)]` first, then
-   *     the per-unit Bloom filters when `keyCol` is a [[Grid.bloomCols]]
-   *     column (the q166/q170 machinery: a unit whose bloom excludes
-   *     every key is never opened, let alone rewritten);
-   *  2. each affected unit rewrites through the same staged
+   *  1. the `updates` plan is MATERIALIZED ONCE on entry (an eager
+   *     `localCheckpoint`): validation, key pruning, the anti-join and
+   *     the append all read the same pinned rows, so a
+   *     non-deterministic plan (rand/sample/limit) or a source that
+   *     changes mid-merge — including a plan over THIS table's own
+   *     files — can never make the deleted key set and the appended
+   *     rows disagree (the silent-row-loss hazard every MERGE
+   *     implementation materializes against);
+   *  2. the updates land FIRST, as ONE ordinary ingest batch via
+   *     [[ingestBatch]] under a short tail-lock section — keyed,
+   *     range-partitioned, published behind the atomic rename +
+   *     `batch-<batchId>` marker, visible to CDC consumers as new rows
+   *     of that batch;
+   *  3. units that might hold a PRE-MERGE matching key are found from
+   *     the sidecars — `__batch` span (units entirely ≥ `batchId` are
+   *     exempt by definition, the appended batch first among them),
+   *     stats range `[min(keys), max(keys)]`, then the per-unit Bloom
+   *     filters when `keyCol` is a [[Grid.bloomCols]] column (the
+   *     q166/q170 machinery: a unit whose bloom excludes every key is
+   *     never opened, let alone rewritten);
+   *  4. each affected unit rewrites through the same staged
    *     WAL-manifest as [[deleteBox]], dropping its matching-key rows
-   *     (a broadcast anti-join on the keys — the data path never
-   *     collects); rows from THIS merge's own appended batch are
-   *     exempt, which is what makes a crash replay converge (below);
-   *  3. the updates land as ONE ordinary ingest batch via
-   *     [[ingestBatch]] — keyed, range-partitioned, published behind
-   *     the atomic rename + `batch-<batchId>` marker, visible to CDC
-   *     consumers as new rows of that batch.
+   *     with `__batch < batchId` (a broadcast anti-join on the keys —
+   *     the data path never collects). Because the append is already
+   *     published, a concurrent reader during the rewrites sees AT
+   *     WORST transient duplicates (old + new row both live) — the
+   *     benign anomaly for an upsert; the old append-last order had a
+   *     transient-ABSENCE window (neither version visible), a state no
+   *     serial history produces.
    *
-   * `batchId` comes from the SAME sequence as the stream's ingest
-   * batches (it IS an ingest batch): it must be fresh — merging under
-   * an id the ledger already committed would delete without appending,
-   * and is refused up front. Run merges when no stream is writing (the
-   * single-writer lock serializes, but the NEXT id is the stream's
-   * checkpoint state — a merge stealing it would make the stream's
-   * future batch replay into a silent no-op).
+   * SEMANTICS under concurrency: the merge applies exactly at ledger
+   * position `batchId` — it replaces matching-key rows ingested by
+   * batches `< batchId` and leaves rows of batches `≥ batchId`
+   * (including its own append, and any batch a live stream publishes
+   * while the rewrites run) untouched, so every interleaving
+   * serializes as "the merge happened at its id". `batchId` comes from
+   * the SAME sequence as the stream's ingest batches (it IS an ingest
+   * batch) and must be fresh — merging under a committed id would
+   * delete without appending, and is refused up front, atomically
+   * under the tail lock. With a live stream, coordinate the id with
+   * the stream's checkpoint (the stream's NEXT id is its state — a
+   * merge stealing it would turn that future batch's replay into a
+   * silent no-op); the stream itself keeps flowing: it contends with
+   * the merge only for the short append section, never for the
+   * rewrites.
+   *
+   * A merge with ZERO keys still BURNS its id: it stamps
+   * `batch-<batchId>` (an empty committed batch, the empty-micro-batch
+   * convention) plus its merge marker, so a later stream batch can
+   * never reuse the id and [[history]] stays unambiguous.
    *
    * Idempotent and crash-exact behind a `merge-<batchId>` marker with
    * an intent twin (the IndexIngest two-state pattern):
@@ -700,13 +732,12 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    * mutation, the commit marker AFTER everything. Crash matrix:
    * before the intent → nothing happened; after the intent, anywhere →
    * a replay (same batchId, same updates — the caller's replay
-   * contract, as for ingestBatch) skips the freshness guard, re-runs
-   * the rewrites (already-filtered units rewrite to themselves; the
-   * appended batch's own rows are protected by the `__batch = batchId`
-   * exemption, so a replay AFTER the append cannot delete the new
-   * rows), re-drives [[ingestBatch]] (a no-op once its marker exists),
-   * re-stamps the commit marker, drops the intent. After the commit
-   * marker → false, O(1).
+   * contract, as for ingestBatch) skips the freshness guard, re-drives
+   * [[ingestBatch]] (a no-op once its marker exists), re-runs the
+   * rewrites (already-filtered units rewrite to themselves; the
+   * appended rows are protected by the `__batch ≥ batchId` exemption
+   * wherever a fold may have carried them), re-stamps the commit
+   * marker, drops the intent. After the commit marker → false, O(1).
    *
    * Like [[deleteBox]], replaced row versions are destructive across
    * history: [[readAsOf]] views before `batchId` do not resurrect the
@@ -716,68 +747,72 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    * Constraints: `keyCol` must be a LONG or STRING column (the bloom
    * sidecar types — a training corpus keyed on string doc ids merges
    * as naturally as a numeric event log; string keys prune by bloom
-   * alone, since min/max range sidecars are long-only); `updates`
-   * must carry
-   * distinct, non-null keys (last-wins inside one batch is undefined)
-   * and at most [[MaxMergeKeys]] of them; `updates` must NOT be a lazy
-   * plan over THIS table's own files (the rewrite step retires the
-   * very units such a plan would scan before the append executes —
-   * derive updates from the source, or materialize them first); pruning is only as good as
-   * the sidecars — declare `keyCol` in [[Grid.bloomCols]] or cluster
-   * on a correlate, or every unit conservatively rewrites (correct,
-   * slow). 100 TB: the keys collect once to the driver (correction-
-   * sized by contract), the rewrites touch only sidecar-hit units,
-   * the append is one ordinary clustered batch.
+   * alone, since min/max range sidecars are long-only); `updates` must
+   * carry distinct, non-null keys (last-wins inside one batch is
+   * undefined) and at most [[MaxMergeKeys]] of them; pruning is only
+   * as good as the sidecars — declare `keyCol` in [[Grid.bloomCols]]
+   * or cluster on a correlate, or every pre-merge unit conservatively
+   * rewrites (correct, slow). The materialized updates live as
+   * executor-local blocks for the merge's duration (correction-sized
+   * by contract); an executor loss mid-merge fails the job — replay
+   * it. 100 TB: the keys collect once to the driver (correction-sized
+   * by contract), the rewrites touch only sidecar-hit units, the
+   * append is one ordinary clustered batch.
    */
   def mergeRows(spark: SparkSession, dir: String, keyCol: String,
       updates: DataFrame, batchId: Long,
-      filesPerBatch: Int = 4): Boolean =
-    // BOTH locks, tail first (the global order): the rewrite half is
-    // maintenance, the append half is an ingest (markers + schema are
-    // tail state). Holding the tail for the whole merge also freezes
-    // the id sequence under the freshness guard.
-    LedgerLock.withLock(spark, dir) { withMaintLock(spark, dir) {
+      filesPerBatch: Int = 4): Boolean = {
+    val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+    val marker = new org.apache.hadoop.fs.Path(markers, s"merge-$batchId")
+    if (f.exists(marker)) {
+      // lock-free early exit (markers are create-only): retire a stale
+      // intent (a crash between the commit marker and the intent
+      // delete) so history() and the ledger stay clean
+      f.delete(new org.apache.hadoop.fs.Path(markers,
+        s"merge-$batchId.intent"), false): Unit
+      return false
+    }
+    require(updates.schema.fieldNames.contains(keyCol),
+      s"mergeRows: updates carry no '$keyCol' column")
+    val keyIsLong = updates.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    require(keyIsLong || updates.schema(keyCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"mergeRows: key column '$keyCol' must be LONG or STRING " +
+        s"(the bloom-column types), got " +
+        updates.schema(keyCol).dataType.simpleString)
+    // materialize ONCE (doc item 1) — every later use reads the pinned
+    // snapshot, never re-executes the caller's plan
+    val snap = updates.localCheckpoint(true)
+    // one aggregate validates the key contract and bounds the range —
+    // read-only, so it runs BEFORE the intent (a refused merge must
+    // leave no ledger debris)
+    val a = snap.agg(
+      count(col(keyCol)), countDistinct(col(keyCol)), count(lit(1)),
+      min(col(keyCol)), max(col(keyCol))).head()
+    require(a.getLong(0) == a.getLong(2),
+      "mergeRows: null merge keys are not supported")
+    require(a.getLong(0) == a.getLong(1),
+      "mergeRows: duplicate keys inside one merge batch — last-wins " +
+        "is undefined; dedup the updates first")
+    val nKeys = a.getLong(1)
+    require(nKeys <= MaxMergeKeys,
+      s"mergeRows: $nKeys distinct keys — a merge this large is a " +
+        "rewrite in disguise; split it or regrid")
+    // MAINTENANCE for the whole merge (fail-fast here, before any
+    // mutation — rewriter exclusion), with a SHORT tail section nested
+    // inside for the freshness guard + append (the only maint→tail
+    // nesting; see the object doc's lock-split section)
+    withMaintLock(spark, dir) {
       recoverCompact(spark, dir)
       adoptOrphanBatches(spark, dir)
-      val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
-      val marker = new org.apache.hadoop.fs.Path(markers, s"merge-$batchId")
-      if (f.exists(marker)) {
-        // retire a stale intent (a crash between the commit marker and
-        // the intent delete) so history() and the ledger stay clean
-        f.delete(new org.apache.hadoop.fs.Path(markers,
-          s"merge-$batchId.intent"), false): Unit
-        false
-      }
-      else {
-        require(updates.schema.fieldNames.contains(keyCol),
-          s"mergeRows: updates carry no '$keyCol' column")
-        val keyIsLong = updates.schema(keyCol).dataType ==
-          org.apache.spark.sql.types.LongType
-        require(keyIsLong || updates.schema(keyCol).dataType ==
-            org.apache.spark.sql.types.StringType,
-          s"mergeRows: key column '$keyCol' must be LONG or STRING " +
-            s"(the bloom-column types), got " +
-            updates.schema(keyCol).dataType.simpleString)
-        // one aggregate validates the key contract and bounds the
-        // range — read-only, so it runs BEFORE the intent (a refused
-        // merge must leave no ledger debris)
-        val a = updates.agg(
-          count(col(keyCol)), countDistinct(col(keyCol)), count(lit(1)),
-          min(col(keyCol)), max(col(keyCol))).head()
-        require(a.getLong(0) == a.getLong(2),
-          "mergeRows: null merge keys are not supported")
-        require(a.getLong(0) == a.getLong(1),
-          "mergeRows: duplicate keys inside one merge batch — last-wins " +
-            "is undefined; dedup the updates first")
-        val nKeys = a.getLong(1)
-        require(nKeys <= MaxMergeKeys,
-          s"mergeRows: $nKeys distinct keys — a merge this large is a " +
-            "rewrite in disguise; split it or regrid")
-        val intent = new org.apache.hadoop.fs.Path(markers,
-          s"merge-$batchId.intent")
+      val intent = new org.apache.hadoop.fs.Path(markers,
+        s"merge-$batchId.intent")
+      LedgerLock.withLock(spark, dir) {
         if (!f.exists(intent)) {
           // freshness guard — only on the FIRST attempt (a replay
-          // finds the intent; by then the id is legitimately ours)
+          // finds the intent; by then the id is legitimately ours);
+          // atomic with the append: the tail lock freezes the id
           require(batchId > batchWatermark(f, markers) &&
             !f.exists(new org.apache.hadoop.fs.Path(markers,
               s"batch-$batchId")),
@@ -786,74 +821,89 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
               "appending; use the next unused ingest id")
           f.create(intent, true).close()
         }
-        if (nKeys > 0) {
-          val (_, data) = DedupIngest.fs(spark, s"$dir/data")
-          val units = if (!f.exists(data)) Nil else leafUnits(f, data)
-          val keysForBloom: Seq[Any] =
-            if (nKeys <= BloomProbeMaxKeys)
-              updates.select(col(keyCol)).distinct()
-                .collect().toSeq.map(_.get(0))
-            else Nil
-          // stats-range pruning is long-only (the sidecar contract);
-          // string keys prune by bloom alone
-          val statsHit: org.apache.hadoop.fs.Path => Boolean =
-            if (keyIsLong) {
-              val (kmn, kmx) = (a.getLong(3), a.getLong(4))
-              d => dirColumnRange(f, d, keyCol) match {
-                case Some((mn, mx)) => mx >= kmn && mn <= kmx
-                case None => unitRows(f, d) > 0 // no stats → conservative
-              }
-            } else d => unitRows(f, d) > 0
-          val affectedPaths = parFilter(units.map(_._2)) { d =>
-            statsHit(d) && (keysForBloom.isEmpty ||
-              (unitBloom(f, d, keyCol) match {
-                case Some(b) => keysForBloom.exists {
-                  case s: String => b.mightContainString(s)
-                  case l: Long => b.mightContainLong(l)
-                  case other => throw new IllegalStateException(
-                    s"unreachable key type: ${other.getClass.getName}")
-                }
-                case None => true
-              }))
-          }.toSet
-          val affected = units.filter(u => affectedPaths(u._2))
-          val keysDf = broadcast(updates.select(col(keyCol)).distinct()
-            .withColumn("__graft_merge_hit", lit(true)))
-          val gridNow = readGrid(spark, dir)
-          affected.zipWithIndex.foreach { case ((name, d), i) =>
-            // same attempt-nonce discipline as deleteBox: a replay's
-            // target names must not collide with a published one
-            val stamp = s"merge$batchId-$i-" +
-              java.util.UUID.randomUUID().toString.take(6)
-            val stage = new org.apache.hadoop.fs.Path(
-              s"$dir/gen-$stamp.stage")
-            if (f.exists(stage)) f.delete(stage, true)
-            val unitDf = readUnits(spark, dir, Seq(d))
-            val cols = unitDf.columns
-            // keep: key not merged, OR the row IS this merge's append
-            // (the replay-after-append exemption); null keys never
-            // join → kept, the deleteBox null-safety rule
-            unitDf.join(keysDf, Seq(keyCol), "left")
-              .filter(col("__graft_merge_hit").isNull ||
-                col(BatchCol) === lit(batchId))
-              .select(cols.map(col).toIndexedSeq: _*)
-              .write.mode("overwrite").parquet(stage.toString)
-            writeUnitStats(f, stage, gridNow.cols :+ KeyCol :+ BatchCol)
-            writeUnitBlooms(spark, f, stage, gridNow.bloomCols)
-            val man = manifestPath(spark, dir, stamp)
-            val out = f.create(man, true)
-            try out.write(Seq(s"S\t$name", s"T\tgen-$stamp", "COMMIT")
-              .mkString("\n").getBytes("UTF-8"))
-            finally out.close()
-            recoverCompact(spark, dir)
-          }
-          ingestBatch(updates, batchId, dir, filesPerBatch): Unit
-        }
-        f.create(marker, true).close()
-        f.delete(intent, false): Unit
-        true
+        if (nKeys > 0)
+          ingestBatch(snap, batchId, dir, filesPerBatch): Unit
+        else
+          // burn the id even with nothing to append (doc): a later
+          // stream batch must never reuse a merged id
+          f.create(new org.apache.hadoop.fs.Path(markers,
+            s"batch-$batchId"), true).close()
       }
-    } }
+      if (nKeys > 0) {
+        val (_, data) = DedupIngest.fs(spark, s"$dir/data")
+        val units = if (!f.exists(data)) Nil else leafUnits(f, data)
+        val keysForBloom: Seq[Any] =
+          if (nKeys <= BloomProbeMaxKeys)
+            snap.select(col(keyCol)).distinct()
+              .collect().toSeq.map(_.get(0))
+          else Nil
+        // a unit entirely at __batch >= batchId holds no pre-merge
+        // rows (the appended batch first among them) — exempt wholesale
+        val preMerge: org.apache.hadoop.fs.Path => Boolean = d =>
+          dirColumnRange(f, d, BatchCol) match {
+            case Some((mn, _)) => mn < batchId
+            case None => true
+          }
+        // stats-range pruning is long-only (the sidecar contract);
+        // string keys prune by bloom alone
+        val statsHit: org.apache.hadoop.fs.Path => Boolean =
+          if (keyIsLong) {
+            val (kmn, kmx) = (a.getLong(3), a.getLong(4))
+            d => dirColumnRange(f, d, keyCol) match {
+              case Some((mn, mx)) => mx >= kmn && mn <= kmx
+              case None => unitRows(f, d) > 0 // no stats → conservative
+            }
+          } else d => unitRows(f, d) > 0
+        val affectedPaths = parFilter(units.map(_._2)) { d =>
+          preMerge(d) && statsHit(d) && (keysForBloom.isEmpty ||
+            (unitBloom(f, d, keyCol) match {
+              case Some(b) => keysForBloom.exists {
+                case s: String => b.mightContainString(s)
+                case l: Long => b.mightContainLong(l)
+                case other => throw new IllegalStateException(
+                  s"unreachable key type: ${other.getClass.getName}")
+              }
+              case None => true
+            }))
+        }.toSet
+        val affected = units.filter(u => affectedPaths(u._2))
+        val keysDf = broadcast(snap.select(col(keyCol)).distinct()
+          .withColumn("__graft_merge_hit", lit(true)))
+        val gridNow = readGrid(spark, dir)
+        affected.zipWithIndex.foreach { case ((name, d), i) =>
+          // same attempt-nonce discipline as deleteBox: a replay's
+          // target names must not collide with a published one
+          val stamp = s"merge$batchId-$i-" +
+            java.util.UUID.randomUUID().toString.take(6)
+          val stage = new org.apache.hadoop.fs.Path(
+            s"$dir/gen-$stamp.stage")
+          if (f.exists(stage)) f.delete(stage, true)
+          val unitDf = readUnits(spark, dir, Seq(d))
+          val cols = unitDf.columns
+          // keep: key not merged, OR the row is AT/ABOVE the merge
+          // point (its own append wherever a fold carried it, and any
+          // batch a live stream published meanwhile); null keys never
+          // join → kept, the deleteBox null-safety rule
+          unitDf.join(keysDf, Seq(keyCol), "left")
+            .filter(col("__graft_merge_hit").isNull ||
+              col(BatchCol) >= lit(batchId))
+            .select(cols.map(col).toIndexedSeq: _*)
+            .write.mode("overwrite").parquet(stage.toString)
+          writeUnitStats(f, stage, gridNow.cols :+ KeyCol :+ BatchCol)
+          writeUnitBlooms(spark, f, stage, gridNow.bloomCols)
+          val man = manifestPath(spark, dir, stamp)
+          val out = f.create(man, true)
+          try out.write(Seq(s"S\t$name", s"T\tgen-$stamp", "COMMIT")
+            .mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          recoverCompact(spark, dir)
+        }
+      }
+      f.create(marker, true).close()
+      f.delete(intent, false): Unit
+      true
+    }
+  }
 
   /** Name of the per-unit stats sidecar (a `_`-prefixed file, so the
     * parquet reader ignores it): one `col\tmin\tmax` line per column

@@ -1100,6 +1100,83 @@ class LayoutIngestSpec extends SparkSpec {
       "the intent must be retired with the commit marker")
   }
 
+  test("mergeRows: an EMPTY merge burns its id in the batch ledger — " +
+      "a later stream batch can never reuse it") {
+    val dir = tmp("layout-merge-empty")
+    LayoutIngest.bootstrap(spark, dir, grid.copy(bloomCols = Seq("id")))
+    assert(LayoutIngest.ingestBatch(
+      rows(0 until 10).toDF("id", "x", "y"), 0L, dir, 1))
+    val none = Seq.empty[(Long, Long, Long)].toDF("id", "x", "y")
+    assert(LayoutIngest.mergeRows(spark, dir, "id", none, batchId = 1L))
+    assert(new java.io.File(s"$dir/markers/batch-1").exists(),
+      "the empty merge must stamp the batch marker too")
+    // the id is committed: a stream's replay of it is a silent no-op
+    // (the ingestBatch contract), so the rows can never double-land
+    assert(!LayoutIngest.ingestBatch(
+      rows(10 until 20).toDF("id", "x", "y"), 1L, dir, 1),
+      "a later batch under the burned id must be a no-op replay")
+    assert(LayoutIngest.read(spark, dir).count() === 10L)
+    // and a SECOND merge under the id is the marker short-circuit
+    assert(!LayoutIngest.mergeRows(spark, dir, "id", none, batchId = 1L))
+    val h = LayoutIngest.history(spark, dir)
+      .select("kind", "id", "committed")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(h.contains(("merge", 1L, true)) &&
+      (h.contains(("ingest", 1L, true)) ||
+        h.contains(("ingest-upto", 1L, true))), h.toString)
+  }
+
+  test("mergeRows: a NON-DETERMINISTIC updates plan (and a plan over " +
+      "THIS table's own files) is materialized once — the deleted key " +
+      "set and the appended rows can never disagree") {
+    val dir = tmp("layout-merge-snap")
+    LayoutIngest.bootstrap(spark, dir, grid.copy(bloomCols = Seq("id")))
+    assert(LayoutIngest.ingestBatch(
+      rows(0 until 50).toDF("id", "x", "y"), 0L, dir, 1))
+    // updates derived from the LIVE TABLE ITSELF (the case the old
+    // contract forbade: the rewrite retires the very units the plan
+    // scans) THROUGH a non-deterministic filter: without the eager
+    // snapshot, the key collect, the anti-join and the append would
+    // each re-execute this plan and could pick DIFFERENT rows
+    val updates = LayoutIngest.read(spark, dir)
+      .filter(rand(7) >= 0.0 && col("id") < 10L) // rand: nondeterministic
+      .select(col("id"), col("x"), (col("y") + 1000L).as("y"))
+    assert(LayoutIngest.mergeRows(spark, dir, "id", updates, batchId = 1L))
+    val after = LayoutIngest.read(spark, dir)
+      .select("id", "y").as[(Long, Long)].collect().toMap
+    assert(after.size === 50, s"no loss, no dup: ${after.size}")
+    (0L until 10L).foreach(i => assert(after(i) >= 1000L,
+      s"id $i must carry the update row, got y=${after(i)}"))
+    (10L until 50L).foreach(i => assert(after(i) < 1000L))
+  }
+
+  test("mergeRows applies AT its ledger position: rows of batches " +
+      "above the merge id survive a crash replay (a live stream's " +
+      "concurrent publishes are never merged away)") {
+    val dir = tmp("layout-merge-pos")
+    LayoutIngest.bootstrap(spark, dir, grid.copy(bloomCols = Seq("id")))
+    assert(LayoutIngest.ingestBatch(
+      rows(0 until 25).toDF("id", "x", "y"), 0L, dir, 1))
+    val updates = Seq((10L, 10L, 1L)).toDF("id", "x", "y")
+    assert(LayoutIngest.mergeRows(spark, dir, "id", updates, batchId = 1L))
+    // crash window: commit marker lost, intent standing — and BEFORE
+    // the replay runs, a live stream publishes batch 2 that re-inserts
+    // key 10 (the racy-client case). The replay's rewrites must leave
+    // batch 2's row alone: the merge happened at position 1.
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/markers/merge-1"))
+    new java.io.File(s"$dir/markers/merge-1.intent").createNewFile()
+    assert(LayoutIngest.ingestBatch(
+      Seq((10L, 77L, 77L)).toDF("id", "x", "y"), 2L, dir, 1))
+    assert(LayoutIngest.mergeRows(spark, dir, "id", updates, batchId = 1L))
+    val tens = LayoutIngest.readSince(spark, dir, -1L)
+      .filter(col("id") === 10L)
+      .select(LayoutIngest.BatchCol).as[Long].collect().sorted.toSeq
+    assert(tens === Seq(1L, 2L),
+      s"the merge row (batch 1) AND the later insert (batch 2) must " +
+        s"both survive, got batches $tens")
+  }
+
   test("filesystem contract: a TORN publish rename (the non-atomic-" +
       "rename state the object doc excludes) fails reads LOUDLY; a " +
       "crash under atomic rename leaves only a stage dir readers " +
