@@ -7520,6 +7520,250 @@ WHERE rk <= 40"""
        |  CAST(0 AS BIGINT), 42.0""".stripMargin
   }
 
+  /** TABLE-HISTORY LEDGER VIEW ([[graft.streaming.LayoutIngest.history]]
+    * — the DESCRIBE HISTORY surface, driver-certified like everything
+    * else): replay a KNOWN operation sequence — three ingests folded to
+    * one `ingest-upto` watermark row, a tail ingest above a gap, a box
+    * delete, a gap-filling row-keyed merge (whose append is itself a
+    * ledger ingest), and a deliberately STANDING merge intent (the
+    * crashed-merge state an operator must see as committed = false) —
+    * and hash the (kind, id, committed) set against its literal oracle.
+    * `at_ms` is excluded (file mtimes are not replayable). A watermark
+    * that re-materialized per-batch rows, a lost tail marker, a merge
+    * that failed to burn its ingest id, or an intent misreported as
+    * committed all fail the hash. Every op is idempotent behind its
+    * marker, so bench reps replay to O(metadata) no-ops. */
+  val q176TableHistory: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val root = streamIndexDir("q176", dir, "events")
+    val tableDir = s"$root/table"
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min("ts_us"), max("ts_us"), min("event_id"), max("event_id")).head()
+    val (umn, tmn, tmx) = (b.getLong(0), b.getLong(2), b.getLong(3))
+    val (emn, emx) = (b.getLong(4), b.getLong(5))
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((umn, b.getLong(1)), (tmn, tmx)),
+          bits = 16, bloomCols = Seq("event_id")))
+    }
+    val cut1 = tmn + (tmx - tmn) / 4
+    val cut2 = tmn + (tmx - tmn) / 2
+    val cut3 = tmn + 3 * ((tmx - tmn) / 4)
+    def ing(sl: DataFrame, id: Long): Unit =
+      graft.streaming.LedgerLock.withLock(s, tableDir) {
+        graft.streaming.LayoutIngest.ingestBatch(
+          sl, id, tableDir, 2): Unit
+      }
+    ing(ev.filter(col("ts_us") < cut1), 0L)
+    ing(ev.filter(col("ts_us") >= cut1 && col("ts_us") < cut2), 1L)
+    ing(ev.filter(col("ts_us") >= cut2 && col("ts_us") < cut3), 2L)
+    // fold the contiguous prefix to ONE watermark row, then a tail
+    // ingest ABOVE a gap at 3 (it must keep its individual marker)
+    graft.streaming.LayoutIngest.compactMarkers(s, tableDir)
+    ing(ev.filter(col("ts_us") >= cut3), 4L)
+    graft.streaming.LayoutIngest.deleteBox(s, tableDir,
+      Seq(("user_id", umn, umn)), deleteId = 7L): Unit
+    // the merge FILLS the gap: its append is ingest 3 in the ledger
+    graft.streaming.LayoutIngest.mergeRows(s, tableDir, "event_id",
+      ev.filter(col("event_id") === lit(emn + (emx - emn) / 2))
+        .withColumn("value", col("value") * 2),
+      batchId = 3L): Unit
+    // the crashed-merge state: a standing intent, no commit marker
+    new java.io.File(s"$tableDir/markers/merge-11.intent")
+      .createNewFile(): Unit
+    graft.streaming.LayoutIngest.history(s, tableDir)
+      .select(col("kind"), col("id"), col("committed"))
+  }
+
+  val q176Sql: String =
+    """SELECT kind, id, committed FROM (VALUES
+      |  ('ingest-upto', CAST(2 AS BIGINT), true),
+      |  ('ingest', CAST(3 AS BIGINT), true),
+      |  ('ingest', CAST(4 AS BIGINT), true),
+      |  ('delete', CAST(7 AS BIGINT), true),
+      |  ('merge', CAST(3 AS BIGINT), true),
+      |  ('merge', CAST(11 AS BIGINT), false)
+      |) AS t(kind, id, committed)""".stripMargin
+
+  /** CONCURRENT-WRITER STRESS GATE for the tail/maintenance lock split
+    * (the r14 verdict's #1 ask, end-to-end): a LIVE rate-limited
+    * `graft-layout` consumer (q174's shape, cap 2) drains the table
+    * into a file sink WHILE (a) a writer thread ingests eight batches
+    * under the TAIL lock and (b) a folder thread runs range-split
+    * COMPACT folds under the MAINTENANCE lock — structurally
+    * overlapped: the folder starts once batch 2 commits and must
+    * observe an unfinished ledger at its first fold (enforced), then a
+    * row-keyed MERGE executes against the folded table while the
+    * consumer is still attached. The final TABLE and the consumer's
+    * SINK are hashed together against one oracle: the table must equal
+    * the single-writer q172 result (merge-corrected events + the
+    * corner insert), the sink must hold every ingested row at its
+    * ORIGINAL value plus the merge batch — any fold/ingest interleave
+    * that dropped or doubled a unit, any merge/stream interleave that
+    * lost an append, or any offset served past a gap shows up as a
+    * hash miss on one of the two sides. Premises enforced: the fold
+    * overlapped the writes, the blooms pruned the merge, the capped
+    * drain took ≥ 3 micro-batches. */
+  val q177ConcurrentWriters: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val root = streamIndexDir("q177", dir, "events")
+    val tableDir = s"$root/table"
+    val sinkDir = s"$root/sink"
+    val done = new java.io.File(s"$root/done")
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min("ts_us"), max("ts_us"), min("event_id"), max("event_id")).head()
+    val (umn, tmn, tmx) = (b.getLong(0), b.getLong(2), b.getLong(3))
+    val (emn, emx) = (b.getLong(4), b.getLong(5))
+    val mergeIds = (1 to 5).map(j => emn + (emx - emn) * j / 7)
+    if (!done.exists()) {
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((umn, b.getLong(1)), (tmn, tmx)),
+          bits = 16, bloomCols = Seq("event_id")))
+      // warm-up batch 0 so the consumer has a schema to resolve, then
+      // attach the capped consumer BEFORE the concurrent phase
+      val cuts = (1 to 7).map(k => tmn + k * ((tmx - tmn) / 8))
+      def slice(k: Int): DataFrame = {
+        val lo = if (k == 0) lit(Long.MinValue) else lit(cuts(k - 1))
+        val hi = if (k == 7) lit(Long.MaxValue) else lit(cuts(k))
+        ev.filter(col("ts_us") >= lo && col("ts_us") < hi)
+      }
+      graft.streaming.LedgerLock.withLock(s, tableDir) {
+        graft.streaming.LayoutIngest.ingestBatch(
+          slice(0), 0L, tableDir, 2): Unit
+      }
+      val q = s.readStream.format("graft-layout")
+        .option("path", tableDir)
+        .option("maxBatchesPerTrigger", "2")
+        .load()
+        .writeStream.format("parquet").option("path", sinkDir)
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      val batch2Committed = new java.util.concurrent.CountDownLatch(1)
+      val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      @volatile var writerErr: Throwable = null
+      @volatile var folderErr: Throwable = null
+      @volatile var committedAtFirstFold = -1L
+      val writer = new Thread(() => {
+        try {
+          (1 to 7).foreach { k =>
+            graft.streaming.LedgerLock.withLock(s, tableDir) {
+              graft.streaming.LayoutIngest.ingestBatch(
+                slice(k), k.toLong, tableDir, 2): Unit
+            }
+            if (k == 2) batch2Committed.countDown()
+          }
+        } catch { case t: Throwable => writerErr = t }
+        finally { writerDone.set(true); batch2Committed.countDown() }
+      }, "q177-writer")
+      def parquetBytes(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .map(parquetBytes).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      // range-split targets (~8 leaves per fold) keep the table
+      // multi-unit at every SF so the merge-prune premise can bite
+      def fold(): Unit = graft.streaming.LayoutIngest.compact(
+        s, tableDir, smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L,
+          parquetBytes(new java.io.File(s"$tableDir/data")) / 8))
+      val folder = new Thread(() => {
+        try {
+          batch2Committed.await()
+          committedAtFirstFold = graft.streaming.LayoutIngest
+            .contiguousCommittedBatch(s, tableDir)
+          // fold continuously while the writer runs, plus one final
+          // fold over the complete tail
+          while (!writerDone.get()) fold()
+          fold()
+        } catch { case t: Throwable => folderErr = t }
+      }, "q177-folder")
+      writer.start(); folder.start()
+      writer.join(600000); folder.join(600000)
+      if (writerErr != null) throw writerErr
+      if (folderErr != null) throw folderErr
+      require(committedAtFirstFold >= 0 && committedAtFirstFold < 7,
+        s"q177: the fold must overlap the writes — first fold saw the " +
+          s"ledger at $committedAtFirstFold of 7")
+      // the merge runs with the consumer still ATTACHED and draining
+      val (hit, live) = graft.streaming.LayoutIngest.pointProbeDirs(
+        s, tableDir, "event_id", mergeIds :+ (emx + 1000L))
+      require(hit.size < live.size,
+        s"q177: the blooms must prune the merge, got ${hit.size}/${live.size}")
+      val updates = ev
+        .filter(col("event_id").isInCollection(mergeIds))
+        .withColumn("value", col("value") * 2)
+        .unionByName(s.range(1).select(
+          lit(emx + 1000L).as("event_id"),
+          lit(umn).as("user_id"),
+          lit(tmn).as("ts_us"),
+          lit(42.0).as("value")))
+      graft.streaming.LayoutIngest.mergeRows(s, tableDir, "event_id",
+        updates, batchId = 8L): Unit
+      q.processAllAvailable()
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      require(nonEmpty >= 3,
+        s"q177: the cap must split the drain into >= 3 micro-batches, " +
+          s"got $nonEmpty")
+      val sunk = s.read.parquet(sinkDir).count()
+      val expect = ev.count() + 6
+      require(sunk == expect,
+        s"q177: sink must hold every ingested row exactly once plus " +
+          s"the merge batch — got $sunk, expected $expect")
+      done.createNewFile(): Unit
+    }
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(lit("table").as("src"), col("event_id"), col("zkey"),
+        col("value"))
+      .unionByName(s.read.parquet(sinkDir)
+        .select(lit("sink").as("src"), col("event_id"), col("zkey"),
+          col("value")))
+  }
+
+  val q177Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx,
+       |    MIN(event_id) AS emn, MAX(event_id) AS emx
+       |  FROM events),
+       |k AS (
+       |  SELECT (SELECT emn FROM b) +
+       |    ((SELECT emx FROM b) - (SELECT emn FROM b)) * j // 7 AS kid
+       |  FROM range(1, 6) t(j)),
+       |q AS (
+       |  SELECT event_id, value,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy
+       |  FROM events),
+       |z AS (SELECT event_id, $terms AS zkey, value FROM q)
+       |SELECT 'table' AS src, event_id, zkey,
+       |  CASE WHEN event_id IN (SELECT kid FROM k)
+       |    THEN value * 2 ELSE value END AS value
+       |FROM z
+       |UNION ALL
+       |SELECT 'table', (SELECT emx FROM b) + 1000, CAST(0 AS BIGINT), 42.0
+       |UNION ALL
+       |SELECT 'sink' AS src, event_id, zkey, value FROM z
+       |UNION ALL
+       |SELECT 'sink', event_id, zkey, value * 2
+       |FROM z WHERE event_id IN (SELECT kid FROM k)
+       |UNION ALL
+       |SELECT 'sink', (SELECT emx FROM b) + 1000, CAST(0 AS BIGINT),
+       |  42.0""".stripMargin
+  }
+
   val q172Sql: String = {
     val terms = (0 until 16).flatMap(i => Seq(
       s"(((qx >> $i) & 1) << ${2 * i})",
@@ -7964,7 +8208,9 @@ WHERE rk <= 40"""
     "q174_cdc_stream_ratelimit" -> (q174CdcStreamRatelimit, Some(q155Sql)),
     // q175 re-runs q168's readSince oracle against a FRESH checkpoint
     // floored at batch 1 (snapshot-bootstrap: history never served)
-    "q175_cdc_stream_tail" -> (q175CdcStreamTail, Some(q168Sql)))
+    "q175_cdc_stream_tail" -> (q175CdcStreamTail, Some(q168Sql)),
+    "q176_table_history" -> (q176TableHistory, Some(q176Sql)),
+    "q177_concurrent_writers" -> (q177ConcurrentWriters, Some(q177Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
