@@ -7538,42 +7538,50 @@ WHERE rk <= 40"""
       unix_micros(col("ts")).as("ts_us"), col("value"))
     val root = streamIndexDir("q176", dir, "events")
     val tableDir = s"$root/table"
-    val b = ev.agg(min("user_id"), max("user_id"),
-      min("ts_us"), max("ts_us"), min("event_id"), max("event_id")).head()
-    val (umn, tmn, tmx) = (b.getLong(0), b.getLong(2), b.getLong(3))
-    val (emn, emx) = (b.getLong(4), b.getLong(5))
-    if (!new java.io.File(s"$tableDir/grid").exists()) {
+    // the build must run EXACTLY once per table: the ops are each
+    // idempotent, but a replayed compactMarkers would legitimately
+    // fold the gap-filled 3/4 tail markers into the watermark — a
+    // DIFFERENT (also valid) ledger presentation than the one the
+    // oracle pins
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us"), min("event_id"), max("event_id"))
+        .head()
+      val (umn, tmn, tmx) = (b.getLong(0), b.getLong(2), b.getLong(3))
+      val (emn, emx) = (b.getLong(4), b.getLong(5))
       graft.streaming.LayoutIngest.bootstrap(s, tableDir,
         graft.streaming.LayoutIngest.Grid(
           Seq("user_id", "ts_us"),
           Seq((umn, b.getLong(1)), (tmn, tmx)),
           bits = 16, bloomCols = Seq("event_id")))
+      val cut1 = tmn + (tmx - tmn) / 4
+      val cut2 = tmn + (tmx - tmn) / 2
+      val cut3 = tmn + 3 * ((tmx - tmn) / 4)
+      def ing(sl: DataFrame, id: Long): Unit =
+        graft.streaming.LedgerLock.withLock(s, tableDir) {
+          graft.streaming.LayoutIngest.ingestBatch(
+            sl, id, tableDir, 2): Unit
+        }
+      ing(ev.filter(col("ts_us") < cut1), 0L)
+      ing(ev.filter(col("ts_us") >= cut1 && col("ts_us") < cut2), 1L)
+      ing(ev.filter(col("ts_us") >= cut2 && col("ts_us") < cut3), 2L)
+      // fold the contiguous prefix to ONE watermark row, then a tail
+      // ingest ABOVE a gap at 3 (it must keep its individual marker)
+      graft.streaming.LayoutIngest.compactMarkers(s, tableDir)
+      ing(ev.filter(col("ts_us") >= cut3), 4L)
+      graft.streaming.LayoutIngest.deleteBox(s, tableDir,
+        Seq(("user_id", umn, umn)), deleteId = 7L): Unit
+      // the merge FILLS the gap: its append is ingest 3 in the ledger
+      graft.streaming.LayoutIngest.mergeRows(s, tableDir, "event_id",
+        ev.filter(col("event_id") === lit(emn + (emx - emn) / 2))
+          .withColumn("value", col("value") * 2),
+        batchId = 3L): Unit
+      // the crashed-merge state: a standing intent, no commit marker
+      new java.io.File(s"$tableDir/markers/merge-11.intent")
+        .createNewFile(): Unit
+      done.createNewFile(): Unit
     }
-    val cut1 = tmn + (tmx - tmn) / 4
-    val cut2 = tmn + (tmx - tmn) / 2
-    val cut3 = tmn + 3 * ((tmx - tmn) / 4)
-    def ing(sl: DataFrame, id: Long): Unit =
-      graft.streaming.LedgerLock.withLock(s, tableDir) {
-        graft.streaming.LayoutIngest.ingestBatch(
-          sl, id, tableDir, 2): Unit
-      }
-    ing(ev.filter(col("ts_us") < cut1), 0L)
-    ing(ev.filter(col("ts_us") >= cut1 && col("ts_us") < cut2), 1L)
-    ing(ev.filter(col("ts_us") >= cut2 && col("ts_us") < cut3), 2L)
-    // fold the contiguous prefix to ONE watermark row, then a tail
-    // ingest ABOVE a gap at 3 (it must keep its individual marker)
-    graft.streaming.LayoutIngest.compactMarkers(s, tableDir)
-    ing(ev.filter(col("ts_us") >= cut3), 4L)
-    graft.streaming.LayoutIngest.deleteBox(s, tableDir,
-      Seq(("user_id", umn, umn)), deleteId = 7L): Unit
-    // the merge FILLS the gap: its append is ingest 3 in the ledger
-    graft.streaming.LayoutIngest.mergeRows(s, tableDir, "event_id",
-      ev.filter(col("event_id") === lit(emn + (emx - emn) / 2))
-        .withColumn("value", col("value") * 2),
-      batchId = 3L): Unit
-    // the crashed-merge state: a standing intent, no commit marker
-    new java.io.File(s"$tableDir/markers/merge-11.intent")
-      .createNewFile(): Unit
     graft.streaming.LayoutIngest.history(s, tableDir)
       .select(col("kind"), col("id"), col("committed"))
   }
@@ -7645,6 +7653,7 @@ WHERE rk <= 40"""
         .option("checkpointLocation", s"$root/ckpt")
         .start()
       val batch2Committed = new java.util.concurrent.CountDownLatch(1)
+      val folderSampled = new java.util.concurrent.CountDownLatch(1)
       val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
       @volatile var writerErr: Throwable = null
       @volatile var folderErr: Throwable = null
@@ -7656,7 +7665,16 @@ WHERE rk <= 40"""
               graft.streaming.LayoutIngest.ingestBatch(
                 slice(k), k.toLong, tableDir, 2): Unit
             }
-            if (k == 2) batch2Committed.countDown()
+            if (k == 2) {
+              // handshake: the folder must OBSERVE the mid-flight
+              // ledger before the writer races ahead — on a loaded box
+              // thread starvation could otherwise let five more tiny
+              // batches land before the folder's first listing, and
+              // the overlap premise below would flake
+              batch2Committed.countDown()
+              folderSampled.await(60,
+                java.util.concurrent.TimeUnit.SECONDS): Unit
+            }
           }
         } catch { case t: Throwable => writerErr = t }
         finally { writerDone.set(true); batch2Committed.countDown() }
@@ -7677,11 +7695,13 @@ WHERE rk <= 40"""
           batch2Committed.await()
           committedAtFirstFold = graft.streaming.LayoutIngest
             .contiguousCommittedBatch(s, tableDir)
+          folderSampled.countDown()
           // fold continuously while the writer runs, plus one final
           // fold over the complete tail
           while (!writerDone.get()) fold()
           fold()
         } catch { case t: Throwable => folderErr = t }
+        finally folderSampled.countDown()
       }, "q177-folder")
       writer.start(); folder.start()
       writer.join(600000); folder.join(600000)
