@@ -53,19 +53,43 @@ object Bench {
     // across the full sweep makes the min robust to any stall shorter
     // than a whole round. Same executions, same statistic, reordered.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val samples = (0 to reps).flatMap { round =>
-      names.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // each rep re-caches its own intermediates; release so reps (and
-        // queries) are independent and storage never accumulates
-        graft.operators.Dedup.releasePersisted()
-        (name, round, dt)
-      }
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // each rep re-caches its own intermediates; release so reps (and
+      // queries) are independent and storage never accumulates
+      graft.operators.Dedup.releasePersisted()
+      dt
     }
+    val samples = (0 to reps).flatMap { round =>
+      names.map { case (name, fn) => (name, round, timeOne(name, fn)) }
+    }
+    // EXTRA interleaved rounds for the SLOWEST queries only: at 5 reps
+    // the >1 s queries still carried ±30% same-path cross-JVM spread
+    // (the r14 NOTES box-variance table) — exactly the queries where a
+    // regression matters most had the least statistical power. A
+    // deeper min for the tail costs ~extraRounds × sum(slow mins),
+    // bounded and small relative to the full sweep; the short queries'
+    // 5-rep min was already stable (their noise is the multi-second
+    // stall the round-robin already rides over).
+    val slowN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_N", "12").toInt
+    val extraRounds =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_ROUNDS", "5").toInt
+    val prelimMin: Map[String, Double] = names.map { case (name, _) =>
+      name -> samples.collect {
+        case (n, round, dt) if n == name && round > 0 => dt }.min
+    }.toMap
+    val slow = names.sortBy { case (n, _) => -prelimMin(n) }.take(slowN)
+    val extras = (1 to extraRounds).flatMap { round =>
+      slow.map { case (name, fn) =>
+        (name, reps + round, timeOne(name, fn)) }
+    }
+    val all = samples ++ extras
     val results = names.map { case (name, _) =>
-      val times = samples.collect {
+      val times = all.collect {
         case (n, round, dt) if n == name && round > 0 => dt
       }.sorted
       (name, times.min, times(times.size / 2))
