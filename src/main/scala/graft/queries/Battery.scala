@@ -7784,6 +7784,114 @@ WHERE rk <= 40"""
        |  42.0""".stripMargin
   }
 
+  /** SQL-SURFACE BOX SCAN — q164's pruned slice through the BATCH
+    * relation ([[graft.streaming.LayoutTableRelation]]): the clustered
+    * table read with plain `spark.read.format("graft-layout")` and a
+    * `WHERE user_id BETWEEN …` that Spark pushes down as catalyst
+    * filters — the relation turns them into stats-sidecar UNIT pruning
+    * before any parquet reader opens, and the premise is enforced
+    * (refuses unless units were actually pruned, via the relation's
+    * scan counters — the hash alone cannot distinguish a pruned scan
+    * from a full one). Same build and oracle as q164: the SQL surface
+    * must be value-identical to the API surface. */
+  val q178SqlBoxScan: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts"))
+    val root = streamIndexDir("q178", dir, "events")
+    val tableDir = s"$root/table"
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16))
+    }
+    val stream = eventStreamSource(s, dir, "q178", ev)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"q178-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
+    registerCleanup(ckpt)
+    val q = graft.streaming.LayoutIngest.start(stream, tableDir,
+      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true)
+    q.awaitTermination()
+    // q165's range-split fold: leaf-granular units give the pushed
+    // box something to prune (one monolithic gen would force 1/1)
+    def parquetBytes(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .map(parquetBytes).sum
+      else if (f.getName.endsWith(".parquet")) f.length else 0L
+    val dataDir = new java.io.File(s"$tableDir/data")
+    def tops = Option(dataDir.listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.isDirectory)
+    if (tops.length >= 2)
+      graft.streaming.LayoutIngest.compact(s, tableDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L, parquetBytes(dataDir) / 6))
+    val grid = graft.streaming.LayoutIngest.readGrid(s, tableDir)
+    val (umn, umx) = grid.bounds.head
+    // the 70–72% band, NOT the mid-domain one: a slice straddling the
+    // 50% point sits on the user-MSB boundary of the z-order key, the
+    // one band every coarse zkey-range leaf intersects — pruning is
+    // structurally impossible there, and the premise below would
+    // refuse a correctly-working pruner
+    val out = s.read.format("graft-layout").load(tableDir)
+      .where(col("user_id") >= umn + (umx - umn) * 70 / 100 &&
+        col("user_id") <= umn + (umx - umn) * 72 / 100)
+      .select(col("event_id"), col("zkey"))
+    out.limit(1).count(): Unit // force one scan so the counters are live
+    require(graft.streaming.LayoutScanStats.lastUnitsRead <
+        graft.streaming.LayoutScanStats.lastUnitsLive,
+      s"q178: the pushed-down box must prune units, read " +
+        s"${graft.streaming.LayoutScanStats.lastUnitsRead}/" +
+        s"${graft.streaming.LayoutScanStats.lastUnitsLive}")
+    out
+  }
+
+  /** SQL-SURFACE CDC VIEW — q168's readSince contract through the
+    * batch relation's `sinceBatch` option: the two-file midpoint feed
+    * lands as two L0 batch units (no fold, so the provenance span is
+    * DECISIVE per unit), and
+    * `spark.read.format("graft-layout").option("sinceBatch", 0)` must
+    * serve exactly the second file's events — with the batch-0 unit
+    * never opened (premise enforced via the scan counters; the
+    * through-a-fold provenance exactness is q168's gate). */
+  val q179SqlSince: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts"))
+    val root = streamIndexDir("q179", dir, "events")
+    val tableDir = s"$root/table"
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16))
+    }
+    val stream = eventStreamSource(s, dir, "q179", ev)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"q179-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
+    registerCleanup(ckpt)
+    val q = graft.streaming.LayoutIngest.start(stream, tableDir,
+      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true)
+    q.awaitTermination()
+    val out = s.read.format("graft-layout")
+      .option("sinceBatch", "0").load(tableDir)
+      .select(col("event_id"), col("zkey"))
+    out.limit(1).count(): Unit
+    require(graft.streaming.LayoutScanStats.lastUnitsRead <
+        graft.streaming.LayoutScanStats.lastUnitsLive,
+      s"q179: the provenance span must prune the batch-0 unit, read " +
+        s"${graft.streaming.LayoutScanStats.lastUnitsRead}/" +
+        s"${graft.streaming.LayoutScanStats.lastUnitsLive}")
+    out
+  }
+
   val q172Sql: String = {
     val terms = (0 until 16).flatMap(i => Seq(
       s"(((qx >> $i) & 1) << ${2 * i})",
@@ -7859,7 +7967,11 @@ WHERE rk <= 40"""
        |SELECT event_id, $terms AS zkey FROM q""".stripMargin
   }
 
-  val q164Sql: String = {
+  /** q164's slice oracle, parameterized on the user percentile band
+    * (q178 probes an OFF-mid-domain band: a slice straddling the 50%
+    * point sits exactly on the user-MSB boundary of the z-order key,
+    * the one place a coarse range-split cannot prune). */
+  private def userSliceSql(loPct: Int, hiPct: Int): String = {
     val terms = (0 until 16).flatMap(i => Seq(
       s"(((qx >> $i) & 1) << ${2 * i})",
       s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
@@ -7876,10 +7988,14 @@ WHERE rk <= 40"""
        |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy
        |  FROM events
        |  WHERE user_id BETWEEN
-       |    (SELECT umn + ((umx - umn) * 49) // 100 FROM b) AND
-       |    (SELECT umn + ((umx - umn) * 51) // 100 FROM b))
+       |    (SELECT umn + ((umx - umn) * $loPct) // 100 FROM b) AND
+       |    (SELECT umn + ((umx - umn) * $hiPct) // 100 FROM b))
        |SELECT event_id, $terms AS zkey FROM q""".stripMargin
   }
+
+  val q164Sql: String = userSliceSql(49, 51)
+
+  val q178Sql: String = userSliceSql(70, 72)
 
   val q162Sql: String = {
     val terms = (0 until 16).flatMap(i => Seq(
@@ -8230,7 +8346,13 @@ WHERE rk <= 40"""
     // floored at batch 1 (snapshot-bootstrap: history never served)
     "q175_cdc_stream_tail" -> (q175CdcStreamTail, Some(q168Sql)),
     "q176_table_history" -> (q176TableHistory, Some(q176Sql)),
-    "q177_concurrent_writers" -> (q177ConcurrentWriters, Some(q177Sql)))
+    "q177_concurrent_writers" -> (q177ConcurrentWriters, Some(q177Sql)),
+    // q178/q179 re-run q164's slice-oracle shape (off-mid band) and
+    // q168's readSince oracle through the BATCH SQL relation
+    // (pushdown pruning, sinceBatch) — the SQL surface must be
+    // value-identical to the API surface
+    "q178_sql_box_scan" -> (q178SqlBoxScan, Some(q178Sql)),
+    "q179_sql_since" -> (q179SqlSince, Some(q168Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

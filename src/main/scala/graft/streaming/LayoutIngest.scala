@@ -1487,6 +1487,73 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     else readUnits(spark, dir, Seq(live.head)).filter(pred)
   }
 
+  /** Scan body behind the BATCH relation
+    * ([[LayoutTableRelation]]) — one unit-selection pass combining
+    * every pruning source the sidecars offer: conjunctive long RANGES
+    * (the scanBox machinery, fed from pushed-down catalyst filters),
+    * Bloom POINT probes on declared bloom columns (pushed-down
+    * equality/IN), and the PROVENANCE span for `sinceBatch`/
+    * `asOfBatch` reads. Pruning is advisory-only for the pushed
+    * filters (Spark reapplies them above the scan — the
+    * PrunedFilteredScan contract), so conservative inclusion is
+    * always safe; the provenance bound is SEMANTIC (it defines the
+    * view, not a user predicate) and is applied here as the residual.
+    * Returns (frame, unitsRead, unitsLive) so the relation can expose
+    * pruning observability. */
+  private[streaming] def relationScan(spark: SparkSession, dir: String,
+      box: Seq[(String, Long, Long)],
+      points: Seq[(String, Seq[Any])],
+      batchLo: Long, batchHi: Long,
+      keepBatch: Boolean): (DataFrame, Int, Int) = {
+    val (f, _) = DedupIngest.fs(spark, s"$dir/data")
+    val live = liveDirs(spark, dir)
+    val bounded = batchLo > 0L || batchHi < Long.MaxValue
+    if (bounded && live.nonEmpty) {
+      // same soundness rule as provenanceScan: a provenance-bounded
+      // view over pre-provenance units would silently drop their rows
+      val bare = live.filter(d =>
+        dirColumnRange(f, d, BatchCol).isEmpty && unitRows(f, d) > 0)
+      require(bare.isEmpty,
+        s"provenance read: unit ${bare.map(_.getName).mkString(", ")} " +
+          s"predates the $BatchCol column — its rows have no batch " +
+          "attribution and would silently vanish from this view " +
+          "(regrid to re-stamp the table, or read() for current state)")
+    }
+    val fullBox = box ++
+      (if (bounded) Seq((BatchCol, batchLo, batchHi)) else Nil)
+    val hit = parFilter(live) { d =>
+      fullBox.forall { case (c, lo, hi) =>
+        dirColumnRange(f, d, c) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      } && points.forall { case (c, vs) =>
+        unitBloom(f, d, c) match {
+          case Some(b) => vs.exists {
+            case s: String => b.mightContainString(s)
+            case l: Long => b.mightContainLong(l)
+            case _ => true // non-probe types never reach here
+          }
+          case None => true
+        }
+      }
+    }
+    val base =
+      if (hit.nonEmpty) readUnits(spark, dir, hit)
+      else if (live.nonEmpty)
+        // keep the full schema via one live unit — its sidecars
+        // already prove the predicate empty there, and Spark's
+        // reapplied filters keep the result exact
+        readUnits(spark, dir, Seq(live.head))
+      else emptyShape(spark, dir)
+        .withColumn(BatchCol, lit(0L)).filter(lit(false))
+    val residual = if (bounded)
+      base.filter(col(BatchCol) >= batchLo && col(BatchCol) <= batchHi)
+    else base
+    (if (keepBatch) residual else residual.drop(BatchCol),
+      hit.size, live.size)
+  }
+
   /** Empty frame with the table's shape: the stored schema (minus the
     * provenance column) when the table has one, else the grid's key
     * shape (no data published yet). */

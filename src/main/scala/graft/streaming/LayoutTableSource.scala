@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** The clustered table as a Structured Streaming SOURCE — the read
@@ -55,9 +55,37 @@ import org.apache.spark.sql.types.StructType
   * pre-provenance tables fail at schema resolution), and
   * [[LayoutIngest.deleteBox]] removals are NOT emitted (append-log
   * view; RTBF must not re-surface rows — the readSince contract). */
-class LayoutTableSource extends StreamSourceProvider with DataSourceRegister {
+class LayoutTableSource extends StreamSourceProvider
+    with RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-layout"
+
+  /** BATCH read of the same format name ([[LayoutTableRelation]]):
+    * `spark.read.format("graft-layout").load(dir)`, with optional
+    * `sinceBatch` (CDC view — rows of batches > b, `__batch` kept) or
+    * `asOfBatch` (ingest-time travel — rows of batches ≤ b), mutually
+    * exclusive. Pushed-down filters prune UNITS via the stats/bloom
+    * sidecars before any parquet reader opens. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val dir = pathOf(parameters)
+    def longOpt(key: String, min: Long): Option[Long] =
+      parameters.get(key).map { s =>
+        val v = s.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-layout relation: $key must be an integer, got '$s'"))
+        require(v >= min,
+          s"graft-layout relation: $key must be >= $min, got $v")
+        v
+      }
+    val since = longOpt("sinceBatch", -1L)
+    val asOf = longOpt("asOfBatch", 0L)
+    require(since.isEmpty || asOf.isEmpty,
+      "graft-layout relation: sinceBatch and asOfBatch are mutually " +
+        "exclusive (a CDC tail and a time-travel snapshot are " +
+        "different views)")
+    new LayoutTableRelation(sqlContext, dir, since, asOf)
+  }
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(

@@ -1,0 +1,118 @@
+package graft
+
+import graft.streaming.{LayoutIngest, LayoutScanStats}
+import org.apache.spark.sql.functions._
+
+/** The clustered table's BATCH SQL surface
+  * ([[graft.streaming.LayoutTableRelation]]): `spark.read.format
+  * ("graft-layout")` must equal the API reads exactly, pushed-down
+  * filters must prune UNITS (observable via LayoutScanStats — the
+  * result hash alone cannot distinguish a pruned scan from a full
+  * one), and the `sinceBatch`/`asOfBatch` options must replay the
+  * provenance views. */
+class LayoutRelationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  /** 4 batches with DISJOINT x ranges (25 ids each) and a bloom on
+    * `id` — the same decisive-sidecar shape the API pruning specs
+    * use. */
+  private def build(dir: String): Unit = {
+    LayoutIngest.bootstrap(spark, dir, LayoutIngest.Grid(
+      Seq("x", "y"), Seq((0L, 99L), (0L, 99L)), bits = 4,
+      bloomCols = Seq("id")))
+    (0 until 4).foreach { b =>
+      assert(LayoutIngest.ingestBatch(
+        (0 until 25).map { i =>
+          val id = (b * 25 + i).toLong
+          (id, id, (i * 13 % 100).toLong)
+        }.toDF("id", "x", "y"),
+        b.toLong, dir, 1))
+    }
+  }
+
+  private def rel(dir: String) =
+    spark.read.format("graft-layout").load(dir)
+
+  test("full read ≡ LayoutIngest.read; __batch hidden; SQL view works") {
+    val dir = tmp("layout-rel")
+    build(dir)
+    val api = LayoutIngest.read(spark, dir)
+      .select("id", "x", "y").as[(Long, Long, Long)].collect().toSet
+    val sql = rel(dir).select("id", "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sql === api)
+    assert(!rel(dir).columns.contains(LayoutIngest.BatchCol))
+    rel(dir).createOrReplaceTempView("graft_rel_t")
+    assert(spark.sql("SELECT count(*) FROM graft_rel_t").head().getLong(0)
+      === 100L)
+  }
+
+  test("pushed-down range filter prunes units via the stats sidecars; " +
+      "result stays exact (Spark reapplies the predicate)") {
+    val dir = tmp("layout-rel-box")
+    build(dir)
+    val got = rel(dir).where(col("x") >= 30L && col("x") <= 40L)
+      .select("id").as[Long].collect().toSet
+    assert(got === (30L to 40L).toSet)
+    assert(LayoutScanStats.lastUnitsRead < LayoutScanStats.lastUnitsLive,
+      s"range pushdown must prune: read ${LayoutScanStats.lastUnitsRead}" +
+        s"/${LayoutScanStats.lastUnitsLive}")
+    // strict > on the boundary: conservative inclusive pruning, exact
+    // result
+    val strict = rel(dir).where(col("x") > 97L)
+      .select("id").as[Long].collect().toSet
+    assert(strict === Set(98L, 99L))
+    // an OR shape prunes nothing but stays correct
+    val or = rel(dir).where(col("x") < 2L || col("x") > 97L)
+      .select("id").as[Long].collect().toSet
+    assert(or === Set(0L, 1L, 98L, 99L))
+    assert(LayoutScanStats.lastUnitsRead === LayoutScanStats.lastUnitsLive)
+  }
+
+  test("pushed-down equality/IN on a bloom column prunes units via " +
+      "the bloom sidecars") {
+    val dir = tmp("layout-rel-pt")
+    build(dir)
+    val one = rel(dir).where(col("id") === 30L)
+      .select("y").as[Long].collect().toSeq
+    assert(one === Seq((5 * 13 % 100).toLong))
+    assert(LayoutScanStats.lastUnitsRead < LayoutScanStats.lastUnitsLive,
+      s"point pushdown must prune: read ${LayoutScanStats.lastUnitsRead}" +
+        s"/${LayoutScanStats.lastUnitsLive}")
+    val in = rel(dir).where(col("id").isin(3L, 77L))
+      .select("id").as[Long].collect().toSet
+    assert(in === Set(3L, 77L))
+    assert(LayoutScanStats.lastUnitsRead < LayoutScanStats.lastUnitsLive)
+    // column pruning: a single-column projection still runs
+    assert(rel(dir).select("y").count() === 100L)
+  }
+
+  test("sinceBatch = CDC view (keeps __batch); asOfBatch = time " +
+      "travel; the two options are mutually exclusive") {
+    val dir = tmp("layout-rel-prov")
+    build(dir)
+    val since = spark.read.format("graft-layout")
+      .option("sinceBatch", "2").load(dir)
+    assert(since.columns.contains(LayoutIngest.BatchCol))
+    assert(since.select("id").as[Long].collect().toSet
+      === (75L until 100L).toSet)
+    assert(LayoutScanStats.lastUnitsRead < LayoutScanStats.lastUnitsLive,
+      "the provenance span must prune old units")
+    val asOf = spark.read.format("graft-layout")
+      .option("asOfBatch", "0").load(dir)
+    assert(!asOf.columns.contains(LayoutIngest.BatchCol))
+    assert(asOf.select("id").as[Long].collect().toSet
+      === (0L until 25L).toSet)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-layout")
+        .option("sinceBatch", "1").option("asOfBatch", "2").load(dir)
+    }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+  }
+}
