@@ -7892,6 +7892,45 @@ WHERE rk <= 40"""
     out
   }
 
+  /** SQL-SURFACE WRITE — the DataFrameWriter append path
+    * ([[graft.streaming.LayoutTableSource.createRelation]] with data):
+    * the event log lands as TWO `df.write.format("graft-layout")`
+    * appends split at the timestamp midpoint, each minting the next
+    * unused ledger id under the tail lock and publishing as an
+    * ordinary clustered batch; the table then reads back (through the
+    * batch relation, closing the loop SQL-in → SQL-out) against
+    * q155's full key formula — a dropped row, a double-published
+    * append, or a write that perturbed the fixed-grid keying fails
+    * the hash. The premise pins the id sequencing: the second append
+    * must land as batch 1, not a replay of 0. */
+  val q180SqlWrite: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val root = streamIndexDir("q180", dir, "events")
+    val tableDir = s"$root/table"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val cut = b.getLong(2) / 2 + b.getLong(3) / 2
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16))
+      ev.filter(col("ts_us") < cut)
+        .write.format("graft-layout").mode("append").save(tableDir)
+      ev.filter(col("ts_us") >= cut)
+        .write.format("graft-layout").mode("append").save(tableDir)
+      require(graft.streaming.LayoutIngest
+          .contiguousCommittedBatch(s, tableDir) == 1L,
+        "q180: the two appends must land as ledger ids 0 and 1")
+      done.createNewFile(): Unit
+    }
+    s.read.format("graft-layout").load(tableDir)
+      .select(col("event_id"), col("zkey"))
+  }
+
   val q172Sql: String = {
     val terms = (0 until 16).flatMap(i => Seq(
       s"(((qx >> $i) & 1) << ${2 * i})",
@@ -8352,7 +8391,10 @@ WHERE rk <= 40"""
     // (pushdown pruning, sinceBatch) — the SQL surface must be
     // value-identical to the API surface
     "q178_sql_box_scan" -> (q178SqlBoxScan, Some(q178Sql)),
-    "q179_sql_since" -> (q179SqlSince, Some(q168Sql)))
+    "q179_sql_since" -> (q179SqlSince, Some(q168Sql)),
+    // q180 re-runs q155's full key oracle against a table built
+    // entirely through the DataFrameWriter append surface
+    "q180_sql_write" -> (q180SqlWrite, Some(q155Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

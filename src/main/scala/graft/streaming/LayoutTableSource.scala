@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** The clustered table as a Structured Streaming SOURCE — the read
@@ -56,7 +56,8 @@ import org.apache.spark.sql.types.StructType
   * [[LayoutIngest.deleteBox]] removals are NOT emitted (append-log
   * view; RTBF must not re-surface rows — the readSince contract). */
 class LayoutTableSource extends StreamSourceProvider
-    with RelationProvider with DataSourceRegister {
+    with RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-layout"
 
@@ -85,6 +86,78 @@ class LayoutTableSource extends StreamSourceProvider
         "exclusive (a CDC tail and a time-travel snapshot are " +
         "different views)")
     new LayoutTableRelation(sqlContext, dir, since, asOf)
+  }
+
+  /** BATCH WRITE of the same format name:
+    * `df.write.format("graft-layout").mode("append").save(dir)` lands
+    * the frame as ONE ordinary clustered ingest batch — keyed under
+    * the table's fixed grid, range-partitioned into
+    * `.option("filesPerBatch", k)` sorted files (default 4), published
+    * behind the atomic rename + commit marker, provenance-stamped with
+    * the next unused ledger id (taken under the TAIL lock, so a
+    * concurrent writer can never mint the same id). Append-only by
+    * design: Overwrite/ErrorIfExists/Ignore are refused — replacing a
+    * clustered table is [[LayoutIngest.regrid]] (a deliberate rewrite
+    * into a fresh dir), and "ignore if exists" has no meaning for a
+    * table whose existence IS the bootstrap contract. NOT exactly-once
+    * across driver retries (a retried save() mints a NEW id — that is
+    * every DataFrameWriter sink's contract; use [[LayoutIngest.start]]
+    * or explicit [[LayoutIngest.ingestBatch]] ids for replay-safe
+    * ingest). The table must already be [[LayoutIngest.bootstrap]]ped:
+    * the grid (bounds, bits, curve, blooms) is a design decision, not
+    * something a write should improvise from one batch's value range. */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    require(mode == org.apache.spark.sql.SaveMode.Append,
+      s"graft-layout write: only SaveMode.Append is supported (got " +
+        s"$mode) — a clustered table is replaced via regrid, never " +
+        "silently overwritten")
+    val dir = pathOf(parameters)
+    val filesPerBatch = parameters.get("filesPerBatch")
+      .map(s => s.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-layout write: filesPerBatch must be a positive " +
+          s"integer, got '$s'"))).getOrElse(4)
+    require(filesPerBatch >= 1,
+      s"graft-layout write: filesPerBatch must be >= 1, got $filesPerBatch")
+    val spark = sqlContext.sparkSession
+    LedgerLock.withLock(spark, dir) {
+      // next unused id = one past everything committed, INCLUDING ids
+      // above a gap (an id below the max would collide with a crashed
+      // writer's replay; the gap itself stays a gap — the stream
+      // source's offset correctly holds back at it until it commits)
+      val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+      val ids =
+        if (!f.exists(markers)) Nil
+        else f.listStatus(markers).toSeq.map(_.getPath.getName).collect {
+          case n if n.matches("batch-\\d+") =>
+            n.stripPrefix("batch-").toLong
+          case n if n.matches("batch-upto-\\d+") =>
+            n.stripPrefix("batch-upto-").toLong
+          // a standing merge intent RESERVES its id: the owed replay
+          // will append under it, and a write stealing it would turn
+          // that replay's append into a no-op (the merge's updates
+          // would silently never land)
+          case n if n.matches("merge-\\d+\\.intent") =>
+            n.stripPrefix("merge-").stripSuffix(".intent").toLong
+          case n if n.matches("merge-\\d+") =>
+            n.stripPrefix("merge-").toLong
+        }
+      // published-but-unmarked orphan dirs count too: ingestBatch under
+      // an orphan's id would ADOPT the orphan's data (its
+      // target-exists recovery path) and silently drop THIS frame
+      val (_, dataP) = DedupIngest.fs(spark, s"$dir/data")
+      val dirIds =
+        if (!f.exists(dataP)) Nil
+        else f.listStatus(dataP).toSeq.map(_.getPath.getName).collect {
+          case n if n.matches("batch-\\d+") =>
+            n.stripPrefix("batch-").toLong
+        }
+      val next = (ids ++ dirIds).foldLeft(-1L)(math.max) + 1L
+      LayoutIngest.ingestBatch(data, next, dir, filesPerBatch): Unit
+    }
+    createRelation(sqlContext, parameters)
   }
 
   private def pathOf(parameters: Map[String, String]): String =

@@ -93,6 +93,39 @@ class LayoutRelationSpec extends SparkSpec {
     assert(rel(dir).select("y").count() === 100L)
   }
 
+  test("df.write.format(\"graft-layout\") appends ONE clustered ingest " +
+      "batch under the next unused id; Append-only; orphan dirs and " +
+      "merge intents reserve their ids") {
+    val dir = tmp("layout-rel-write")
+    build(dir)
+    (100 until 110).map(i => (i.toLong, (i % 100).toLong, 7L))
+      .toDF("id", "x", "y")
+      .write.format("graft-layout").mode("append").save(dir)
+    assert(rel(dir).count() === 110L)
+    assert(LayoutIngest.readSince(spark, dir, 3L)
+      .select("id").as[Long].collect().toSet === (100L until 110L).toSet,
+      "the write must land as batch 4 (next unused id)")
+    // append-only: every other SaveMode is refused loudly
+    val e = intercept[Exception] {
+      spark.range(1).select(col("id"), col("id").as("x"),
+        col("id").as("y"))
+        .write.format("graft-layout").mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("Append"), e.getMessage)
+    // a published-but-unmarked orphan dir reserves its id — writing
+    // under it would ADOPT the orphan's data and drop this frame
+    new java.io.File(s"$dir/data/batch-7").mkdirs()
+    // ...and a standing merge intent reserves its id too
+    new java.io.File(s"$dir/markers/merge-9.intent").createNewFile()
+    Seq((200L, 50L, 50L)).toDF("id", "x", "y")
+      .write.format("graft-layout").mode("append").save(dir)
+    val got = LayoutIngest.readSince(spark, dir, 4L)
+      .select("id", LayoutIngest.BatchCol).as[(Long, Long)]
+      .collect().toMap
+    assert(got === Map(200L -> 10L),
+      s"the write must skip past orphan 7 and intent 9 to id 10: $got")
+  }
+
   test("sinceBatch = CDC view (keeps __batch); asOfBatch = time " +
       "travel; the two options are mutually exclusive") {
     val dir = tmp("layout-rel-prov")
