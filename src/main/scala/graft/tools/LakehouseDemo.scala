@@ -144,10 +144,9 @@ object LakehouseDemo {
       spark, dir, "event_id", mergeIds :+ newId)
     println(s"[demo]    merge touches ${hitM.size}/${liveM.size} units")
     require(hitM.size < liveM.size, "the merge must be a pruned rewrite")
-    // updates derive from the SOURCE, not the table: mergeRows retires
-    // the rewritten unit files before the append executes, so a lazy
-    // plan over the table itself would scan deleted files (the
-    // scaladoc's materialize-first contract)
+    // (updates may derive from the table itself since the r15
+    // materialize-once rework — mergeRows pins the plan on entry; the
+    // demo keeps the source-derived shape for clarity)
     val updates = ev.drop("value")
       .filter($"event_id".isInCollection(mergeIds))
       .withColumn("event_type", lit("corrected"))
@@ -187,6 +186,32 @@ object LakehouseDemo {
     require(LayoutIngest.history(spark, dir)
         .filter($"kind" === "merge" && $"committed").count() == 1,
       "the ledger must record the committed merge")
+
+    println("[demo] 13. SQL surface: spark.read/df.write " +
+      "format(\"graft-layout\") with pushdown pruning")
+    val rel = spark.read.format("graft-layout").load(dir)
+    rel.createOrReplaceTempView("events_table")
+    val sqlN = spark.sql("SELECT count(*) FROM events_table")
+      .head().getLong(0)
+    require(sqlN == n - boxRows + 1, s"SQL count mismatch: $sqlN")
+    val probeId = mergeIds.head
+    val viaSql = spark.sql(
+      s"SELECT event_type FROM events_table WHERE event_id = $probeId")
+      .as[String].collect().toSeq
+    require(viaSql == Seq("corrected"),
+      s"SQL point lookup must see the merged row: $viaSql")
+    println(s"[demo]    point lookup read " +
+      s"${graft.streaming.LayoutScanStats.lastUnitsRead}/" +
+      s"${graft.streaming.LayoutScanStats.lastUnitsLive} units " +
+      "(bloom-pruned through the pushed-down filter)")
+    val beforeWrite = rel.count()
+    ev.drop("value").limit(5)
+      .withColumn("event_id", $"event_id" + 5000L)
+      .withColumn("event_type", lit("appended"))
+      .write.format("graft-layout").mode("append").save(dir)
+    require(spark.read.format("graft-layout").load(dir).count()
+        == beforeWrite + 5,
+      "DataFrameWriter append must land exactly the new rows")
     println("[demo] LAKEHOUSE DEMO OK")
     spark.stop()
   }
