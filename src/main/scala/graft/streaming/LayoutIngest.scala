@@ -1487,6 +1487,45 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     else readUnits(spark, dir, Seq(live.head)).filter(pred)
   }
 
+  /** Append `df` as ONE clustered ingest batch under the NEXT UNUSED
+    * ledger id, taken under the tail lock — the body behind both
+    * DataFrameWriter `.mode("append")` and SQL `INSERT INTO` on the
+    * relation. The id scan counts committed markers, the watermark,
+    * published-but-unmarked orphan dirs (ingesting under one would
+    * ADOPT the orphan's data and silently drop `df` — ingestBatch's
+    * target-exists recovery path), and standing merge intents (their
+    * owed replay appends under that id). NOT exactly-once across
+    * driver retries — a retried call mints a NEW id (every
+    * DataFrameWriter sink's contract; use [[start]] or explicit
+    * [[ingestBatch]] ids for replay-safe ingest). Returns the id. */
+  private[streaming] def appendNext(spark: SparkSession, dir: String,
+      df: DataFrame, filesPerBatch: Int): Long =
+    LedgerLock.withLock(spark, dir) {
+      val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+      val ids =
+        if (!f.exists(markers)) Nil
+        else f.listStatus(markers).toSeq.map(_.getPath.getName).collect {
+          case n if n.matches("batch-\\d+") =>
+            n.stripPrefix("batch-").toLong
+          case n if n.matches("batch-upto-\\d+") =>
+            n.stripPrefix("batch-upto-").toLong
+          case n if n.matches("merge-\\d+\\.intent") =>
+            n.stripPrefix("merge-").stripSuffix(".intent").toLong
+          case n if n.matches("merge-\\d+") =>
+            n.stripPrefix("merge-").toLong
+        }
+      val (_, dataP) = DedupIngest.fs(spark, s"$dir/data")
+      val dirIds =
+        if (!f.exists(dataP)) Nil
+        else f.listStatus(dataP).toSeq.map(_.getPath.getName).collect {
+          case n if n.matches("batch-\\d+") =>
+            n.stripPrefix("batch-").toLong
+        }
+      val next = (ids ++ dirIds).foldLeft(-1L)(math.max) + 1L
+      ingestBatch(df, next, dir, filesPerBatch): Unit
+      next
+    }
+
   /** Scan body behind the BATCH relation
     * ([[LayoutTableRelation]]) — one unit-selection pass combining
     * every pruning source the sidecars offer: conjunctive long RANGES

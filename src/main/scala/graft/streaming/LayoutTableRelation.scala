@@ -51,7 +51,32 @@ private[graft] object LayoutScanStats {
 private[streaming] class LayoutTableRelation(
     override val sqlContext: SQLContext, dir: String,
     sinceBatch: Option[Long], asOfBatch: Option[Long])
-  extends BaseRelation with PrunedFilteredScan {
+  extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** SQL `INSERT INTO <view>` — same append body as the
+    * DataFrameWriter path ([[LayoutIngest.appendNext]]): one clustered
+    * ingest batch under the next unused ledger id. Spark resolves the
+    * insert against the relation's FULL schema, which includes the
+    * persisted cluster key — a COMPUTED column here: whatever the
+    * statement supplies in the `zkey` position is DISCARDED and the
+    * key is recomputed from the table's fixed grid (the generated-
+    * column convention; accepting a caller-supplied key would let one
+    * bad INSERT break every pruning invariant the table guarantees).
+    * `INSERT OVERWRITE` is refused (replace = regrid); inserting into
+    * a provenance VIEW (sinceBatch/asOfBatch) is refused — those are
+    * reads of history, not tables. */
+  override def insert(data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean): Unit = {
+    require(!overwrite,
+      "graft-layout insert: INSERT OVERWRITE is not supported — a " +
+        "clustered table is replaced via regrid, never silently " +
+        "overwritten")
+    require(sinceBatch.isEmpty && asOfBatch.isEmpty,
+      "graft-layout insert: cannot insert into a sinceBatch/asOfBatch " +
+        "view — load the table without provenance options to append")
+    val payload = data.drop(LayoutIngest.KeyCol, LayoutIngest.BatchCol)
+    LayoutIngest.appendNext(spark, dir, payload, filesPerBatch = 4): Unit
+  }
 
   private def spark = sqlContext.sparkSession
 

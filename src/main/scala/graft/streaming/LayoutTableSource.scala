@@ -121,42 +121,8 @@ class LayoutTableSource extends StreamSourceProvider
           s"integer, got '$s'"))).getOrElse(4)
     require(filesPerBatch >= 1,
       s"graft-layout write: filesPerBatch must be >= 1, got $filesPerBatch")
-    val spark = sqlContext.sparkSession
-    LedgerLock.withLock(spark, dir) {
-      // next unused id = one past everything committed, INCLUDING ids
-      // above a gap (an id below the max would collide with a crashed
-      // writer's replay; the gap itself stays a gap — the stream
-      // source's offset correctly holds back at it until it commits)
-      val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
-      val ids =
-        if (!f.exists(markers)) Nil
-        else f.listStatus(markers).toSeq.map(_.getPath.getName).collect {
-          case n if n.matches("batch-\\d+") =>
-            n.stripPrefix("batch-").toLong
-          case n if n.matches("batch-upto-\\d+") =>
-            n.stripPrefix("batch-upto-").toLong
-          // a standing merge intent RESERVES its id: the owed replay
-          // will append under it, and a write stealing it would turn
-          // that replay's append into a no-op (the merge's updates
-          // would silently never land)
-          case n if n.matches("merge-\\d+\\.intent") =>
-            n.stripPrefix("merge-").stripSuffix(".intent").toLong
-          case n if n.matches("merge-\\d+") =>
-            n.stripPrefix("merge-").toLong
-        }
-      // published-but-unmarked orphan dirs count too: ingestBatch under
-      // an orphan's id would ADOPT the orphan's data (its
-      // target-exists recovery path) and silently drop THIS frame
-      val (_, dataP) = DedupIngest.fs(spark, s"$dir/data")
-      val dirIds =
-        if (!f.exists(dataP)) Nil
-        else f.listStatus(dataP).toSeq.map(_.getPath.getName).collect {
-          case n if n.matches("batch-\\d+") =>
-            n.stripPrefix("batch-").toLong
-        }
-      val next = (ids ++ dirIds).foldLeft(-1L)(math.max) + 1L
-      LayoutIngest.ingestBatch(data, next, dir, filesPerBatch): Unit
-    }
+    LayoutIngest.appendNext(sqlContext.sparkSession, dir, data,
+      filesPerBatch): Unit
     createRelation(sqlContext, parameters)
   }
 

@@ -126,6 +126,46 @@ class LayoutRelationSpec extends SparkSpec {
       s"the write must skip past orphan 7 and intent 9 to id 10: $got")
   }
 
+  test("SQL INSERT INTO the relation view appends a clustered batch; " +
+      "INSERT OVERWRITE and provenance-view inserts are refused") {
+    val dir = tmp("layout-rel-insert")
+    build(dir)
+    rel(dir).createOrReplaceTempView("graft_ins_t")
+    // the zkey position is a COMPUTED column: the supplied 0 is
+    // discarded and the key recomputed from the grid
+    spark.sql("INSERT INTO graft_ins_t " +
+      "SELECT id + 300, id % 100, 9L, 0L FROM range(5)")
+    assert(rel(dir).count() === 105L)
+    val inserted = LayoutIngest.readSince(spark, dir, 3L)
+      .select("id", "x", "y", "zkey")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(inserted.map(_._1).toSet === (300L until 305L).toSet,
+      "the insert must land as the next ledger batch")
+    val expected = graft.operators.Layout.withZOrderKeyFixed(
+      inserted.toSeq.toDF("id", "x", "y", "ignored").drop("ignored"),
+      Seq(col("x"), col("y")), Seq((0L, 99L), (0L, 99L)), 4, "k")
+      .select("id", "k").as[(Long, Long)].collect().toMap
+    assert(inserted.forall { case (id, _, _, z) => expected(id) == z },
+      "inserted keys must be recomputed from the grid, not taken " +
+        "from the statement")
+    val e = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE TABLE graft_ins_t " +
+        "SELECT id, id % 100, 9L, 0L FROM range(1)")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("regrid")), chain(e).toString)
+    spark.read.format("graft-layout").option("asOfBatch", "1").load(dir)
+      .createOrReplaceTempView("graft_ins_asof")
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO graft_ins_asof " +
+        "SELECT id, id % 100, 9L, 0L FROM range(1)")
+    }
+    assert(chain(e2).exists(m => m.contains("provenance") ||
+      m.contains("sinceBatch/asOfBatch")), chain(e2).toString)
+  }
+
   test("sinceBatch = CDC view (keeps __batch); asOfBatch = time " +
       "travel; the two options are mutually exclusive") {
     val dir = tmp("layout-rel-prov")
