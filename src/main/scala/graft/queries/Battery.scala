@@ -1036,15 +1036,37 @@ object Battery {
       |  ROUND(quantile_cont(l_quantity, 0.75), 3) AS p75
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
-  /** HLL sketch (approx_count_distinct) next to the exact count —
-    * rows-only: sketch estimates are engine-specific by construction. */
+  /** HLL sketch (approx_count_distinct) pinned inside its error
+    * envelope: the estimate itself is engine-specific by construction
+    * (DuckDB has no HLL twin), so the query emits the EXACT distinct
+    * counts plus a BIGINT verdict `abs(est − exact)/exact ≤ 0.05` per
+    * column. DuckDB computes the exact counts and the literal 1s, so
+    * the hash gate now verifies the estimator stays within tolerance
+    * instead of not checking it at all (the rsd asked of Spark is
+    * 0.02, so the 0.05 gate is 2.5 standard errors — stable). */
   val q37Hll: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
         countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+      .select(
+        col("exact_parts"),
+        (abs(col("ap") - col("exact_parts")) <=
+          col("exact_parts").cast("double") * 0.05)
+          .cast("long").as("parts_in_tol"),
+        col("exact_orders"),
+        (abs(col("ao") - col("exact_orders")) <=
+          col("exact_orders").cast("double") * 0.05)
+          .cast("long").as("orders_in_tol"))
+
+  val q37Sql: String =
+    """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  CAST(1 AS BIGINT) AS parts_in_tol,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  CAST(1 AS BIGINT) AS orders_in_tol
+      |FROM lineitem""".stripMargin
 
   /** Backward as-of join: each event matched to the user's most recent
     * 'click' at-or-before it; checked against DuckDB's native ASOF JOIN.
@@ -8220,7 +8242,7 @@ WHERE rk <= 40"""
     "q34_salted_join" -> (q34SaltedJoin, Some(q34Sql)),
     "q35_rollup" -> (q35Rollup, Some(q35Sql)),
     "q36_percentile" -> (q36Percentile, Some(q36Sql)),
-    "q37_hll" -> (q37Hll, None),
+    "q37_hll" -> (q37Hll, Some(q37Sql)),
     "q38_asof_join" -> (q38AsofJoin, Some(q38Sql)),
     "q39_kmv_sketch" -> (q39Kmv, Some(q39Sql)),
     "q40_ngram_jaccard" -> (q40NgramJaccard, Some(q40Sql)),
