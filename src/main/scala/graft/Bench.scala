@@ -92,20 +92,26 @@ object Bench {
       val times = all.collect {
         case (n, round, dt) if n == name && round > 0 => dt
       }.sorted
-      (name, times.min, times(times.size / 2))
+      (name, times.min, times(times.size / 2), times.size)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // both statistics recorded so cross-round comparisons are
     // apples-to-apples regardless of which one a prior round used:
     // "queries"/"value" = min of reps (official since r04; noise on this
     // box is one-sided), "queries_median"/"value_median" = median.
-    val qsMed = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
+    val qsMed = results.map { case (k, _, m, _) => s"\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    // per-query rep count: the min-deepening protocol gives the slowest
+    // SLOW_N queries extra rounds, so published mins come from different
+    // sample sizes — tagged per query so a cross-window comparison can
+    // never silently mix 5-rep and 10-rep protocols
+    val qsReps = results.map { case (k, _, _, r) => s"\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalMed = results.map(_._3).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","value_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","value_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"queries_reps":$qsReps,"sf":"$sfDir"}"""
     println(json)
     // also land the JSON in a file so round-over-round comparison doesn't
     // depend on scraping the sbt log tail

@@ -107,6 +107,18 @@ object CurveExpressions {
         throw new IllegalArgumentException(
           s"$prettyName: coordinate array has ${v.numElements()} " +
             s"elements, needs $n")
+      // a null ELEMENT is data too (the analysis check accepts
+      // containsNull arrays because Spark's array() builder marks them
+      // whenever any input is nullable) — ArrayData.getLong on a null
+      // slot is undefined, so it must fail loudly, not key as garbage
+      var k = 0
+      while (k < n) {
+        if (v.isNullAt(k))
+          throw new IllegalArgumentException(
+            s"$prettyName: coordinate $k is null — quantized " +
+              "coordinates must be non-null longs")
+        k += 1
+      }
       val x = Array.tabulate(n)(v.getLong)
       skillingIndex(x, bits)
     }
@@ -125,7 +137,14 @@ object CurveExpressions {
            |      $v.numElements() + " elements, needs $n");
            |}
            |long[] $x = new long[$n];
-           |for (int $k = 0; $k < $n; $k++) $x[$k] = $v.getLong($k);
+           |for (int $k = 0; $k < $n; $k++) {
+           |  if ($v.isNullAt($k)) {
+           |    throw new IllegalArgumentException(
+           |      "graft_hilbert_key: coordinate " + $k + " is null - " +
+           |        "quantized coordinates must be non-null longs");
+           |  }
+           |  $x[$k] = $v.getLong($k);
+           |}
            |for (long $qm = 1L << ${bits - 1}; $qm > 1; $qm >>= 1) {
            |  long $p = $qm - 1;
            |  for (int $i = 0; $i < $n; $i++) {

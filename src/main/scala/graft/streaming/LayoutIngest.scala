@@ -219,14 +219,19 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       filesPerBatch: Int = 4,
       availableNow: Boolean = false,
       compactEvery: Option[Int] = None,
-      smallFileBytes: Long = 32L << 20): StreamingQuery = {
+      smallFileBytes: Long = 32L << 20,
+      lockWaitMs: Long = 30000L): StreamingQuery = {
     require(filesPerBatch >= 1, "filesPerBatch must be >= 1")
     require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     val writer = df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        LedgerLock.withLock(spark, dir) {
+        // bounded wait, not fail-fast: a mergeRows append section or a
+        // batch appendNext holding the tail for tens of ms must not
+        // fail the streaming query — only a holder outliving the
+        // budget (a stuck or duplicate writer) does
+        LedgerLock.withLockWait(spark, dir, lockWaitMs) {
           ingestBatch(batch, batchId, dir, filesPerBatch): Unit
           // keep the marker dir at one watermark + the in-flight tail
           compactMarkersLocked(spark, dir)
@@ -719,7 +724,14 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    * merge stealing it would turn that future batch's replay into a
    * silent no-op); the stream itself keeps flowing: it contends with
    * the merge only for the short append section, never for the
-   * rewrites.
+   * rewrites — and tail-lock contention is resolved by BOUNDED
+   * WAITING, not failure: the merge's inner tail acquire waits out a
+   * live holder for up to `tailWaitMs` (and the stream's ingest
+   * section waits `lockWaitMs` on [[start]]), so the loser of the
+   * race sleeps through the winner's short marker-metadata section
+   * instead of failing the job; only a holder that outlives the
+   * budget (a stuck writer — a genuine contract violation) still
+   * throws [[LedgerLock.ConcurrentWriterException]] naming it.
    *
    * A merge with ZERO keys still BURNS its id: it stamps
    * `batch-<batchId>` (an empty committed batch, the empty-micro-batch
@@ -761,7 +773,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    */
   def mergeRows(spark: SparkSession, dir: String, keyCol: String,
       updates: DataFrame, batchId: Long,
-      filesPerBatch: Int = 4): Boolean = {
+      filesPerBatch: Int = 4, tailWaitMs: Long = 5000L): Boolean = {
     val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
     val marker = new org.apache.hadoop.fs.Path(markers, s"merge-$batchId")
     if (f.exists(marker)) {
@@ -808,7 +820,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       adoptOrphanBatches(spark, dir)
       val intent = new org.apache.hadoop.fs.Path(markers,
         s"merge-$batchId.intent")
-      LedgerLock.withLock(spark, dir) {
+      LedgerLock.withLockWait(spark, dir, tailWaitMs) {
         if (!f.exists(intent)) {
           // freshness guard — only on the FIRST attempt (a replay
           // finds the intent; by then the id is legitimately ours);
@@ -1498,9 +1510,10 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * driver retries — a retried call mints a NEW id (every
     * DataFrameWriter sink's contract; use [[start]] or explicit
     * [[ingestBatch]] ids for replay-safe ingest). Returns the id. */
-  private[streaming] def appendNext(spark: SparkSession, dir: String,
-      df: DataFrame, filesPerBatch: Int): Long =
-    LedgerLock.withLock(spark, dir) {
+  private[graft] def appendNext(spark: SparkSession, dir: String,
+      df: DataFrame, filesPerBatch: Int,
+      lockWaitMs: Long = 30000L): Long =
+    LedgerLock.withLockWait(spark, dir, lockWaitMs) {
       val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
       val ids =
         if (!f.exists(markers)) Nil

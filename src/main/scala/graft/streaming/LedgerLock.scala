@@ -73,6 +73,13 @@ object LedgerLock {
     * [[break]]. */
   val LockStaleMsKey = "graft.ledger.lockStaleMs"
 
+  /** Session-conf key: a GLOBAL floor (milliseconds) on how long any
+    * acquire waits out a LIVE holder before throwing
+    * [[ConcurrentWriterException]] — the per-call `waitMs` of
+    * [[withLockWait]] and this conf combine as max. 0 (the default)
+    * keeps every plain [[withLock]] fail-fast. */
+  val LockWaitMsKey = "graft.ledger.lockWaitMs"
+
   /** A second concurrent writer hit [[withLock]]'s guard. */
   final class ConcurrentWriterException(msg: String)
     extends IllegalStateException(msg)
@@ -153,21 +160,41 @@ object LedgerLock {
     } catch { case _: java.io.IOException => false }
 
   private[graft] def withLock[T](spark: SparkSession, dir: String)
-      (body: => T): T = {
+      (body: => T): T = withLockWait(spark, dir, 0L)(body)
+
+  /** [[withLock]] with a BOUNDED CONTENTION WAIT: a LIVE holder is
+    * retried with short sleeps for up to `waitMs` (max of the
+    * parameter and [[LockWaitMsKey]]) before the
+    * [[ConcurrentWriterException]] fires. This is what lets writers
+    * that legitimately interleave on one table — a streaming tail
+    * writer, a concurrent batch append, a merge's short tail
+    * section — wait out each other's SHORT critical sections instead
+    * of failing the job, while a genuinely stuck or duplicate writer
+    * still surfaces loudly once the budget is spent. Dead-holder and
+    * stale-lease retirement run on every pass, so a crashed holder is
+    * recovered immediately rather than waited on. `waitMs = 0` is the
+    * classic fail-fast single-writer contract. */
+  private[graft] def withLockWait[T](spark: SparkSession, dir: String,
+      waitMs: Long)(body: => T): T = {
     val (f, p) = DedupIngest.fs(spark, s"$dir/markers/lock")
     f.mkdirs(p.getParent)
     val staleMs = spark.conf.getOption(LockStaleMsKey)
       .flatMap(_.toLongOption).getOrElse(0L)
+    val budgetMs = math.max(waitMs, spark.conf.getOption(LockWaitMsKey)
+      .flatMap(_.toLongOption).getOrElse(0L))
+    val deadline = System.currentTimeMillis() + budgetMs
     // bounded retry: each pass either acquires, retires a provably
     // dead/stale lock and retries, retries after watching the lock
-    // vanish (holder released between our create and stat), or throws
+    // vanish (holder released between our create and stat), sleeps on
+    // a live holder while the wait budget lasts, or throws
     var acquired = false
     var attempts = 0
     while (!acquired) {
       attempts += 1
       acquired = tryAcquire(f, p)
       if (!acquired) {
-        if (attempts >= 4)
+        val waiting = System.currentTimeMillis() < deadline
+        if (attempts >= 4 && !waiting)
           throw new ConcurrentWriterException(
             s"ledger dir $dir: lock contention persisted across " +
               s"$attempts acquire attempts — a live writer is cycling " +
@@ -181,15 +208,25 @@ object LedgerLock {
           val stale = staleMs > 0 && ageMs > staleMs
           val dead = holderProvablyDead(holder)
           if (!(stale || dead) ||
-              !retireAside(f, p, holder, status.getModificationTime))
-            throw new ConcurrentWriterException(
-              s"ledger dir $dir is locked by writer '$holder' " +
-                s"(${ageMs}ms old): a second concurrent writer violates " +
-                "the single-writer contract. If that writer is dead, " +
-                s"""call LedgerLock.break(spark, "$dir") and re-run """ +
-                "(all operations are replay-safe); same-host dead pids " +
-                s"are retired automatically, and $LockStaleMsKey > 0 " +
-                "enables lease-style recovery across hosts.")
+              !retireAside(f, p, holder, status.getModificationTime)) {
+            if (waiting)
+              // live holder, budget remains: wait out its critical
+              // section (coarse 50ms ticks — these sections are
+              // marker-file metadata work, tens of ms)
+              Thread.sleep(50L)
+            else
+              throw new ConcurrentWriterException(
+                s"ledger dir $dir is locked by writer '$holder' " +
+                  s"(${ageMs}ms old): a second concurrent writer " +
+                  "violates " +
+                  "the single-writer contract. If that writer is dead, " +
+                  s"""call LedgerLock.break(spark, "$dir") and re-run """ +
+                  "(all operations are replay-safe); same-host dead pids " +
+                  s"are retired automatically, and $LockStaleMsKey > 0 " +
+                  "enables lease-style recovery across hosts" +
+                  (if (budgetMs > 0) s"; this acquire waited ${budgetMs}" +
+                    s"ms ($LockWaitMsKey) before giving up" else "") + ".")
+          }
           // retired a dead/stale lock; loop re-attempts the create. A
           // racer that slips in is seen next pass as a FRESH lock
           // (alive holder, age ~0) and produces the contention error.

@@ -1308,11 +1308,30 @@ class LayoutIngestSpec extends SparkSpec {
       assert(dataDirs.exists(_.startsWith("gen-")),
         s"the fold must land while the tail lock is held: $dataDirs")
       // mergeRows is the one cross-lock writer (its append IS an
-      // ingest) — it must contend with the tail
+      // ingest) — it must contend with the tail (tailWaitMs = 0 pins
+      // the fail-fast floor of the bounded-wait contract)
       intercept[LedgerLock.ConcurrentWriterException] {
         LayoutIngest.mergeRows(spark, dir, "id",
-          Seq((5L, 5L, 5L)).toDF("id", "x", "y"), batchId = 9L)
+          Seq((5L, 5L, 5L)).toDF("id", "x", "y"), batchId = 9L,
+          tailWaitMs = 0L)
       }
+    }
+    // bounded wait: a merge racing a SHORT tail section (the live
+    // stream's marker-metadata window) WAITS it out and succeeds
+    // instead of failing the job — the mergeRows doc's concurrency
+    // claim, now true by construction
+    locally {
+      val inside = new java.util.concurrent.CountDownLatch(1)
+      val t = new Thread(() => LedgerLock.withLock(spark, dir) {
+        inside.countDown()
+        Thread.sleep(700)
+      })
+      t.start()
+      assert(inside.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      // holder live right now; default tailWaitMs rides over it
+      assert(LayoutIngest.mergeRows(spark, dir, "id",
+        Seq((6L, 6L, 42L)).toDF("id", "x", "y"), batchId = 5L))
+      t.join(30000)
     }
     // both released → a real merge proceeds end-to-end
     assert(LayoutIngest.mergeRows(spark, dir, "id",

@@ -382,6 +382,29 @@ class LayoutSpec extends SparkSpec {
         case None => spark.conf.unset("spark.sql.codegen.fallback")
       }
     }
+    // a null ELEMENT is data too (array() marks containsNull whenever
+    // an input is nullable): ArrayData.getLong on a null slot is
+    // undefined — must throw in BOTH modes, never key as garbage
+    for (codegen <- Seq("true", "false")) {
+      val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+      spark.conf.set("spark.sql.codegen.fallback", codegen)
+      try {
+        val withNull = spark.range(4).select(
+          array(col("id"), lit(null).cast("long")).as("a"))
+        val eNull = intercept[Exception] {
+          withNull.select(CurveExpressions.hilbertKeyN(col("a"), 4, 2))
+            .collect()
+        }
+        def rootMessages(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+        assert(rootMessages(eNull).exists(_.contains("is null")),
+          rootMessages(eNull).mkString(" | "))
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
     // HilbertKey2 on non-long coords → plan-time type error
     val e2 = intercept[Exception] {
       spark.range(4)
