@@ -91,6 +91,14 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
   /** The persisted cluster key column. */
   val KeyCol = "zkey"
 
+  /** [[mergeRows]]'s freshness guard fired: the requested batch id is
+    * already committed in (or reserved against) the ledger. TYPED so
+    * advisory-id callers ([[nextUnusedId]] mint-then-merge, the SQL
+    * MERGE command) can distinguish "lost the id race — re-mint and
+    * retry" from genuine contract violations. */
+  final class StaleBatchIdException(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** The MAINTENANCE lock (object doc): serializes the unit rewriters
     * against each other while the TAIL lock keeps ingesting. Scoped
     * under `<dir>/maint` so the two locks are distinct files of the
@@ -214,13 +222,39 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    * [[DedupIngest.start]] contract — same-host restarts self-recover
    * via the dead-pid lock break; cross-host failover sets
    * [[LedgerLock.LockStaleMsKey]].
+   *
+   * TWO LEDGER-ID REGIMES, chosen by `txnIds`:
+   *
+   *  - `false` (default) — EPOCH-KEYED: ledger id = the checkpoint's
+   *    micro-batch epoch. With a deterministic source this makes ids
+   *    CONTENT-ADDRESSED: a replay from a fresh checkpoint re-offers
+   *    the same rows under the same ids and every ingest is a marker
+   *    no-op — re-running a whole pipeline is idempotent end to end.
+   *    The price is an EXCLUSIVE ledger: nothing else may mint ids
+   *    while such a stream is attached — a batch append
+   *    ([[appendNext]], `df.write`/`INSERT INTO`) or a [[mergeRows]]
+   *    would take the stream's next epoch id and turn that future
+   *    batch into a silent row-dropping no-op.
+   *  - `true` — TXN-MINTED: each (queryId, epoch) RESERVES the next
+   *    unused ledger id under the tail lock, bound durably by a
+   *    `txn-e<epoch>-i<id>-<qid>` marker ([[streamLedgerId]]) — the
+   *    idempotent-sink pattern. Batch appends, merges and other
+   *    txn streams interleave freely and nothing is ever dropped;
+   *    in-flight-epoch replays are exact via the reservation. The
+   *    price: a replay from a FRESH checkpoint re-ingests (ids are
+   *    allocation order, not content) — at-least-once across
+   *    checkpoint RESETS, exactly-once across restarts of the same
+   *    checkpoint. Pre-txn tables: quiesce and keep using the old
+   *    regime, or restart from a fresh checkpoint on a fresh table —
+   *    the reservation ledger is the compatibility boundary.
    */
   def start(df: DataFrame, dir: String, checkpoint: String,
       filesPerBatch: Int = 4,
       availableNow: Boolean = false,
       compactEvery: Option[Int] = None,
       smallFileBytes: Long = 32L << 20,
-      lockWaitMs: Long = 30000L): StreamingQuery = {
+      lockWaitMs: Long = 30000L,
+      txnIds: Boolean = false): StreamingQuery = {
     require(filesPerBatch >= 1, "filesPerBatch must be >= 1")
     require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     val writer = df.writeStream
@@ -232,7 +266,12 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         // fail the streaming query — only a holder outliving the
         // budget (a stuck or duplicate writer) does
         LedgerLock.withLockWait(spark, dir, lockWaitMs) {
-          ingestBatch(batch, batchId, dir, filesPerBatch): Unit
+          val ledgerId =
+            if (txnIds)
+              streamLedgerId(spark, dir,
+                checkpointQueryId(spark, checkpoint), batchId)
+            else batchId
+          ingestBatch(batch, ledgerId, dir, filesPerBatch): Unit
           // keep the marker dir at one watermark + the in-flight tail
           compactMarkersLocked(spark, dir)
         }
@@ -490,6 +529,19 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       commitIds = names.filter(_.matches("batch-\\d+"))
         .map(_.stripPrefix("batch-").toLong).toSet,
       commitName = i => s"batch-$i")
+    // txn reservations: keep only each query's LATEST (highest-epoch)
+    // reservation. Older epochs are checkpoint-committed — Spark
+    // replays only the newest uncommitted epoch, so an older
+    // reservation can never be asked for again, and its id stays
+    // claimed through its batch marker/watermark/data dir. One marker
+    // per (live or dead) stream remains — O(#streams), not O(epochs).
+    val txns = names.collect { case n @ TxnMarker(e, _, q) => (q, e, n) }
+    txns.groupBy(_._1).valuesIterator.foreach { g =>
+      val newest = g.maxBy(_._2)._3
+      g.iterator.filter(_._3 != newest).foreach { case (_, _, n) =>
+        f.delete(new org.apache.hadoop.fs.Path(markers, n), false): Unit
+      }
+    }
   }
 
   /** A parquet data file (not `_SUCCESS`/hidden). */
@@ -658,6 +710,62 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       }
     }
 
+  /** [[deleteBox]] under the NEXT UNUSED delete id — the body behind
+    * SQL `DELETE FROM` on the relation. Delete ids are their own
+    * marker namespace (`del-<id>`), scanned fresh per attempt; a
+    * concurrent SQL DELETE that wins the id turns this attempt's
+    * deleteBox into a marker no-op (returns false), and the loop
+    * re-mints — bounded, since every loss means another delete
+    * COMMITTED. Same retry caveat as [[appendNext]]: a driver-level
+    * retry of the whole statement is a new delete, not a replay.
+    * Returns the id the delete committed under. */
+  private[graft] def deleteBoxNext(spark: SparkSession, dir: String,
+      box: Seq[(String, Long, Long)]): Long = {
+    var attempts = 0
+    while (true) {
+      val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+      val next =
+        if (!f.exists(markers)) 0L
+        else f.listStatus(markers).toSeq.map(_.getPath.getName)
+          .filter(_.matches("del-\\d+"))
+          .map(_.stripPrefix("del-").toLong)
+          .foldLeft(-1L)(math.max) + 1L
+      if (deleteBox(spark, dir, box, next)) return next
+      attempts += 1
+      require(attempts < 16,
+        s"deleteBoxNext: lost the delete-id race $attempts times on " +
+          s"$dir — a pathological storm of concurrent DELETEs")
+    }
+    -1L // unreachable
+  }
+
+  /** [[mergeRows]] under the NEXT UNUSED ledger id — the body behind
+    * SQL `MERGE INTO` on the relation. Mint-then-merge with a bounded
+    * retry on [[StaleBatchIdException]] (a concurrent writer claiming
+    * the advisory id between the mint and the merge's atomic freshness
+    * guard); every retry means another writer COMMITTED, so the loop
+    * terminates. Returns the ledger id the merge committed under. */
+  private[graft] def mergeRowsNext(spark: SparkSession, dir: String,
+      keyCol: String, updates: DataFrame,
+      filesPerBatch: Int = 4): Long = {
+    var attempts = 0
+    while (true) {
+      val id = nextUnusedId(spark, dir)
+      try {
+        mergeRows(spark, dir, keyCol, updates, id, filesPerBatch): Unit
+        return id
+      } catch {
+        case e: StaleBatchIdException =>
+          attempts += 1
+          require(attempts < 16,
+            s"mergeRowsNext: lost the ledger-id race $attempts times " +
+              s"on $dir — a pathological storm of concurrent writers " +
+              s"(last: ${e.getMessage})")
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Probing every merge key against every unit bloom is driver work
     * (keys × units × ~7 hashes); above this many distinct keys the
     * unit selection falls back to stats-range pruning alone — still
@@ -825,12 +933,25 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           // freshness guard — only on the FIRST attempt (a replay
           // finds the intent; by then the id is legitimately ours);
           // atomic with the append: the tail lock freezes the id
-          require(batchId > batchWatermark(f, markers) &&
-            !f.exists(new org.apache.hadoop.fs.Path(markers,
-              s"batch-$batchId")),
-            s"mergeRows: batch id $batchId is already committed in this " +
-              "table's ledger — merging under it would delete without " +
-              "appending; use the next unused ingest id")
+          if (batchId <= batchWatermark(f, markers) ||
+              f.exists(new org.apache.hadoop.fs.Path(markers,
+                s"batch-$batchId")))
+            throw new StaleBatchIdException(
+              s"mergeRows: batch id $batchId is already committed in " +
+                "this table's ledger — merging under it would delete " +
+                "without appending; use the next unused ingest id")
+          // a txn-stream's reservation owns its id even before the
+          // batch marker lands (the stream's owed in-flight replay)
+          val reserved = f.listStatus(markers).toSeq
+            .map(_.getPath.getName).exists {
+              case TxnMarker(_, i, _) => i == batchId
+              case _ => false
+            }
+          if (reserved)
+            throw new StaleBatchIdException(
+              s"mergeRows: batch id $batchId is reserved by a live " +
+                "stream transaction — its owed replay would collide; " +
+                "use the next unused ingest id")
           f.create(intent, true).close()
         }
         if (nKeys > 0)
@@ -1499,45 +1620,147 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     else readUnits(spark, dir, Seq(live.head)).filter(pred)
   }
 
+  /** Highest ledger id ANY artifact claims, plus one: committed batch
+    * markers, the `batch-upto` watermark, published-but-unmarked
+    * orphan batch dirs (ingesting under one would ADOPT the orphan's
+    * data and silently drop the new frame — ingestBatch's
+    * target-exists recovery path), merge markers and standing intents
+    * (their owed replay appends under that id), and live stream TXN
+    * RESERVATIONS (`txn-e<epoch>-i<id>-<qid>` — a [[start]] writer in
+    * `txnIds` mode that crashed between reserving and committing still
+    * OWNS its id; see [[streamLedgerId]]). Callers must hold the tail
+    * lock for mint-then-use atomicity; [[nextUnusedId]] wraps this for
+    * advisory (mint-then-release) uses. */
+  private def nextUnusedIdLocked(spark: SparkSession,
+      dir: String): Long = {
+    val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+    val ids =
+      if (!f.exists(markers)) Nil
+      else f.listStatus(markers).toSeq.map(_.getPath.getName).collect {
+        case n if n.matches("batch-\\d+") =>
+          n.stripPrefix("batch-").toLong
+        case n if n.matches("batch-upto-\\d+") =>
+          n.stripPrefix("batch-upto-").toLong
+        case n if n.matches("merge-\\d+\\.intent") =>
+          n.stripPrefix("merge-").stripSuffix(".intent").toLong
+        case n if n.matches("merge-\\d+") =>
+          n.stripPrefix("merge-").toLong
+        case TxnMarker(_, id, _) => id
+      }
+    val (_, dataP) = DedupIngest.fs(spark, s"$dir/data")
+    val dirIds =
+      if (!f.exists(dataP)) Nil
+      else f.listStatus(dataP).toSeq.map(_.getPath.getName).collect {
+        case n if n.matches("batch-\\d+") =>
+          n.stripPrefix("batch-").toLong
+      }
+    (ids ++ dirIds).foldLeft(-1L)(math.max) + 1L
+  }
+
+  /** ADVISORY next-unused ledger id (taken and released under the tail
+    * lock): by the time the caller uses it, another writer may have
+    * claimed it — [[mergeRows]]'s freshness guard then throws
+    * [[StaleBatchIdException]] and the caller re-mints (the SQL MERGE
+    * command's retry loop). For atomic mint-and-use, see
+    * [[appendNext]]. */
+  private[graft] def nextUnusedId(spark: SparkSession,
+      dir: String): Long =
+    LedgerLock.withLockWait(spark, dir, 5000L)(
+      nextUnusedIdLocked(spark, dir))
+
   /** Append `df` as ONE clustered ingest batch under the NEXT UNUSED
     * ledger id, taken under the tail lock — the body behind both
     * DataFrameWriter `.mode("append")` and SQL `INSERT INTO` on the
-    * relation. The id scan counts committed markers, the watermark,
-    * published-but-unmarked orphan dirs (ingesting under one would
-    * ADOPT the orphan's data and silently drop `df` — ingestBatch's
-    * target-exists recovery path), and standing merge intents (their
-    * owed replay appends under that id). NOT exactly-once across
-    * driver retries — a retried call mints a NEW id (every
-    * DataFrameWriter sink's contract; use [[start]] or explicit
-    * [[ingestBatch]] ids for replay-safe ingest). Returns the id. */
+    * relation ([[nextUnusedIdLocked]] documents the id scan). NOT
+    * exactly-once across driver retries — a retried call mints a NEW
+    * id (every DataFrameWriter sink's contract; use [[start]] or
+    * explicit [[ingestBatch]] ids for replay-safe ingest). Returns the
+    * id.
+    *
+    * CONCURRENT STREAMS: safe next to a `txnIds = true` stream writer
+    * (both mint from one lock-serialized sequence, and the stream's
+    * in-flight reservation is counted). Do NOT batch-append while an
+    * EPOCH-KEYED stream (the [[start]] default) is attached: that
+    * stream's next id is its checkpoint state, this append would take
+    * it, and the stream's future batch would replay as a silent
+    * ingest no-op — its rows dropped (the [[mergeRows]] id-coordination
+    * hazard, automated). */
   private[graft] def appendNext(spark: SparkSession, dir: String,
       df: DataFrame, filesPerBatch: Int,
       lockWaitMs: Long = 30000L): Long =
     LedgerLock.withLockWait(spark, dir, lockWaitMs) {
-      val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
-      val ids =
-        if (!f.exists(markers)) Nil
-        else f.listStatus(markers).toSeq.map(_.getPath.getName).collect {
-          case n if n.matches("batch-\\d+") =>
-            n.stripPrefix("batch-").toLong
-          case n if n.matches("batch-upto-\\d+") =>
-            n.stripPrefix("batch-upto-").toLong
-          case n if n.matches("merge-\\d+\\.intent") =>
-            n.stripPrefix("merge-").stripSuffix(".intent").toLong
-          case n if n.matches("merge-\\d+") =>
-            n.stripPrefix("merge-").toLong
-        }
-      val (_, dataP) = DedupIngest.fs(spark, s"$dir/data")
-      val dirIds =
-        if (!f.exists(dataP)) Nil
-        else f.listStatus(dataP).toSeq.map(_.getPath.getName).collect {
-          case n if n.matches("batch-\\d+") =>
-            n.stripPrefix("batch-").toLong
-        }
-      val next = (ids ++ dirIds).foldLeft(-1L)(math.max) + 1L
+      val next = nextUnusedIdLocked(spark, dir)
       ingestBatch(df, next, dir, filesPerBatch): Unit
       next
     }
+
+  /** A stream txn reservation marker: `txn-e<epoch>-i<id>-<qid>` —
+    * the name IS the durable (queryId, epoch) → ledgerId binding
+    * (name-carries-state, like the batch markers). Extractor yields
+    * (epoch, ledgerId, queryId). */
+  private object TxnMarker {
+    private val Pat = "txn-e(\\d+)-i(\\d+)-(.+)".r
+    def unapply(name: String): Option[(Long, Long, String)] =
+      name match {
+        case Pat(e, i, q) => Some((e.toLong, i.toLong, q))
+        case _ => None
+      }
+    def name(epoch: Long, id: Long, qid: String): String =
+      s"txn-e$epoch-i$id-$qid"
+  }
+
+  /** Checkpoint location → the stream's DURABLE query id (the
+    * `<checkpoint>/metadata` JSON MicroBatchExecution writes at query
+    * start — stable across restarts of the same checkpoint, unlike
+    * `runId`). Read once per location per JVM. */
+  private val queryIdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def checkpointQueryId(spark: SparkSession,
+      checkpoint: String): String =
+    queryIdCache.computeIfAbsent(checkpoint, ckpt => {
+      val (f, p) = DedupIngest.fs(spark, s"$ckpt/metadata")
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse(throw new IllegalStateException(
+          s"LayoutIngest: no query id in $ckpt/metadata — not a " +
+            "structured-streaming checkpoint?"))
+    })
+
+  /** The `txnIds` micro-batch body: resolve this (queryId, epoch) to
+    * its ledger id — the reservation marker if one exists (a REPLAY of
+    * the one in-flight epoch after a crash: same id, so the re-driven
+    * [[ingestBatch]] is exact), else the next unused id, RESERVED
+    * atomically (marker created before any data moves, under the
+    * caller-held tail lock). The idempotent-sink pattern every
+    * shared-ledger lakehouse sink uses (appId + epoch → version):
+    * decouples the stream's ids from its epochs, so batch appends,
+    * merges and OTHER txn streams can interleave freely on one table.
+    * Crash matrix: before the reservation → nothing happened, the
+    * replay mints fresh; after it, anywhere → the replay finds the
+    * reservation and re-drives ingestBatch under the same id (a no-op
+    * once its batch marker exists). The reservation is retired by
+    * [[compactMarkersLocked]] once a LATER epoch of the same query
+    * reserves (Spark replays only the newest checkpoint-uncommitted
+    * epoch, so an older reservation can never be asked for again). */
+  private[graft] def streamLedgerId(spark: SparkSession, dir: String,
+      qid: String, epoch: Long): Long = {
+    val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+    val existing =
+      if (!f.exists(markers)) None
+      else f.listStatus(markers).toSeq.map(_.getPath.getName)
+        .collectFirst {
+          case TxnMarker(e, i, q) if e == epoch && q == qid => i
+        }
+    existing.getOrElse {
+      val id = nextUnusedIdLocked(spark, dir)
+      f.create(new org.apache.hadoop.fs.Path(markers,
+        TxnMarker.name(epoch, id, qid)), true).close()
+      id
+    }
+  }
 
   /** Scan body behind the BATCH relation
     * ([[LayoutTableRelation]]) — one unit-selection pass combining
