@@ -10,6 +10,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SQL DML on the clustered table (DELETE/MERGE routing)
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       // typed aggregates carry small fixed buffers; the 128-key fallback
       // to sort-based aggregation costs a full sort of the exploded input
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",

@@ -15,6 +15,8 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); read as long, converted in
       // the battery's events loader
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SQL DML on the clustered table (DELETE/MERGE routing)
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       // typed aggregates (MinHashSig/SimhashVotes/KmvSketch) carry small
       // fixed buffers; the default 128-key fallback to sort-based
       // aggregation costs a full sort of the exploded input

@@ -7953,6 +7953,131 @@ WHERE rk <= 40"""
       .select(col("event_id"), col("zkey"))
   }
 
+  /** SQL DELETE on the clustered table — q162's RTBF semantics driven
+    * entirely through the SQL surface: [[graft.sql.GraftSqlExtensions]]
+    * intercepts the analyzed `DeleteFromTable` over the V1 relation
+    * (the Delta-style post-hoc resolution pattern) and routes it to
+    * [[graft.streaming.LayoutIngest.deleteBoxNext]]. The statement's
+    * conjunctive long ranges (`BETWEEN` over the middle 2% of the user
+    * domain, q162's integer arithmetic) translate EXACTLY into the
+    * deleteBox box — pruned WAL-manifested rewrite under the next
+    * unused delete id — and the table hashes against q162's oracle
+    * (events MINUS the slice, keys replayed). A translation that
+    * widened or narrowed the box by one user id fails the hash. */
+  val q181SqlDelete: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val root = streamIndexDir("q181", dir, "events")
+    val tableDir = s"$root/table"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, tableDir, filesPerBatch = 4): Unit
+      def parquetBytes(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .map(parquetBytes).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      graft.streaming.LayoutIngest.compact(s, tableDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L,
+          parquetBytes(new java.io.File(s"$tableDir/data")) / 8))
+      val (umn, umx) = graft.streaming.LayoutIngest
+        .readGrid(s, tableDir).bounds.head
+      val lo = umn + (umx - umn) * 49 / 100
+      val hi = umn + (umx - umn) * 51 / 100
+      s.read.format("graft-layout").load(tableDir)
+        .createOrReplaceTempView("q181_t")
+      s.sql(s"DELETE FROM q181_t WHERE user_id BETWEEN $lo AND $hi")
+      done.createNewFile(): Unit
+    }
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("event_id"), col("zkey"))
+  }
+
+  /** SQL MERGE INTO the clustered table — q172's whole-row upsert
+    * driven entirely through the SQL surface (the
+    * [[graft.sql.GraftSqlExtensions]] post-hoc rule validates the
+    * resolved merge — single-equality key, unconditional whole-row
+    * UPDATE/INSERT agreeing column for column, source-only
+    * references — and routes it to
+    * [[graft.streaming.LayoutIngest.mergeRowsNext]]): the same five
+    * mid-domain value-doubling corrections plus the domain-corner
+    * insert, the same bloom-pruning premise, the same q172 oracle. A
+    * statement translation that dropped a column, swapped the key, or
+    * double-applied the merge fails the hash. */
+  val q182SqlMerge: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val root = streamIndexDir("q182", dir, "events")
+    val tableDir = s"$root/table"
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min("ts_us"), max("ts_us"), min("event_id"), max("event_id")).head()
+    val (emn, emx) = (b.getLong(4), b.getLong(5))
+    val mergeIds = (1 to 5).map(j => emn + (emx - emn) * j / 7)
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16, bloomCols = Seq("event_id")))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, tableDir, filesPerBatch = 4): Unit
+      def parquetBytes(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .map(parquetBytes).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      graft.streaming.LayoutIngest.compact(s, tableDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L,
+          parquetBytes(new java.io.File(s"$tableDir/data")) / 8))
+      val (hit, live) = graft.streaming.LayoutIngest.pointProbeDirs(
+        s, tableDir, "event_id", mergeIds :+ (emx + 1000L))
+      require(hit.size < live.size,
+        s"q182: the blooms must prune the merge, got " +
+          s"${hit.size}/${live.size}")
+    }
+    val merged = Option(new java.io.File(s"$tableDir/markers").list())
+      .exists(_.exists(_.startsWith("merge-")))
+    if (!merged) {
+      ev.filter(col("event_id").isInCollection(mergeIds))
+        .withColumn("value", col("value") * 2)
+        .unionByName(s.range(1).select(
+          lit(emx + 1000L).as("event_id"),
+          lit(b.getLong(0)).as("user_id"),
+          lit(b.getLong(2)).as("ts_us"),
+          lit(42.0).as("value")))
+        .createOrReplaceTempView("q182_src")
+      s.read.format("graft-layout").load(tableDir)
+        .createOrReplaceTempView("q182_t")
+      s.sql("""MERGE INTO q182_t USING q182_src
+        |ON q182_t.event_id = q182_src.event_id
+        |WHEN MATCHED THEN UPDATE SET user_id = q182_src.user_id,
+        |  ts_us = q182_src.ts_us, value = q182_src.value
+        |WHEN NOT MATCHED THEN INSERT (event_id, user_id, ts_us, value)
+        |  VALUES (q182_src.event_id, q182_src.user_id,
+        |    q182_src.ts_us, q182_src.value)""".stripMargin)
+    }
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("event_id"), col("zkey"), col("value"))
+  }
+
   val q172Sql: String = {
     val terms = (0 until 16).flatMap(i => Seq(
       s"(((qx >> $i) & 1) << ${2 * i})",
@@ -8414,6 +8539,11 @@ WHERE rk <= 40"""
     // value-identical to the API surface
     "q178_sql_box_scan" -> (q178SqlBoxScan, Some(q178Sql)),
     "q179_sql_since" -> (q179SqlSince, Some(q168Sql)),
+    // q181/q182 re-run q162's/q172's oracles against tables whose
+    // delete/merge ran through SQL DELETE / MERGE INTO (the
+    // GraftSqlExtensions DML routing) instead of the API
+    "q181_sql_delete" -> (q181SqlDelete, Some(q162Sql)),
+    "q182_sql_merge" -> (q182SqlMerge, Some(q172Sql)),
     // q180 re-runs q155's full key oracle against a table built
     // entirely through the DataFrameWriter append surface
     "q180_sql_write" -> (q180SqlWrite, Some(q155Sql)))

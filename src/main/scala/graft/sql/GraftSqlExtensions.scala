@@ -1,0 +1,333 @@
+package graft.sql
+
+import graft.streaming.{LayoutIngest, LayoutTableRelation}
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+  ShortType}
+
+/**
+ * SQL DML for the clustered table: `DELETE FROM` and `MERGE INTO`
+ * over a `graft-layout` temp view route to [[LayoutIngest.deleteBox]]
+ * and [[LayoutIngest.mergeRows]] — the relation stays a V1
+ * `PrunedFilteredScan` (see the trade-off note on
+ * [[LayoutTableRelation]]) and the statements are intercepted as a
+ * POST-HOC RESOLUTION rule, the standard pattern for V1-relation
+ * lakehouse layers (Spark's own analyzer fully resolves the
+ * statement — target, source, condition, merge assignments — and the
+ * rule converts the resolved command into a runnable one before the
+ * v2-only checks fire).
+ *
+ * Install at session build (extensions bind at construction):
+ * {{{
+ *   SparkSession.builder()
+ *     .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
+ *     // or .withExtensions(new GraftSqlExtensions()(_))
+ * }}}
+ *
+ * Supported shapes (anything else is refused with a typed error, never
+ * silently narrowed):
+ *
+ *  - `DELETE FROM t [WHERE <conjunctive long ranges>]` — the condition
+ *    must be a conjunction of `=`, `<`, `<=`, `>`, `>=`, `BETWEEN`
+ *    over LONG columns and integral literals: exactly the
+ *    [[LayoutIngest.deleteBox]] box contract, translated EXACTLY
+ *    (`>`/`<` shift by one — integers make open bounds closed). No
+ *    WHERE deletes every row. Runs under the next unused delete id
+ *    ([[LayoutIngest.deleteBoxNext]]).
+ *  - `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET
+ *    ... WHEN NOT MATCHED THEN INSERT ...` — the WHOLE-ROW upsert
+ *    ([[LayoutIngest.mergeRows]]'s contract: a matched row is
+ *    REPLACED): both actions must be unconditional, assign every
+ *    payload column, agree with each other, and reference only source
+ *    columns; the INSERT must key on the ON condition's source key.
+ *    Assignments to the computed cluster key are DISCARDED (the
+ *    INSERT INTO convention — the key is recomputed from the grid).
+ *    Runs under the next unused ledger id
+ *    ([[LayoutIngest.mergeRowsNext]], safe next to txn streams).
+ */
+class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPostHocResolutionRule(session => new GraftDmlRule(session))
+}
+
+/** Unwraps the alias/view chain the analyzer leaves over a resolved
+  * temp view down to the layout relation. */
+private[graft] object LayoutTarget {
+  def unapply(plan: LogicalPlan): Option[LayoutTableRelation] =
+    plan match {
+      case SubqueryAlias(_, child) => unapply(child)
+      case v: View => unapply(v.child)
+      case lr: LogicalRelation => lr.relation match {
+        case r: LayoutTableRelation => Some(r)
+        case _ => None
+      }
+      case _ => None
+    }
+}
+
+private[graft] class GraftDmlRule(session: SparkSession)
+  extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case DeleteFromTable(t @ LayoutTarget(rel), cond) =>
+      refuseProvenance(rel, "DELETE")
+      GraftDeleteCommand(rel.tableDir,
+        DmlTranslate.toBox(cond, t.outputSet))
+    case m: MergeIntoTable => m.targetTable match {
+      case t @ LayoutTarget(rel) if m.resolved =>
+        refuseProvenance(rel, "MERGE INTO")
+        DmlTranslate.toMergeCommand(m, t, rel)
+      case _ => plan
+    }
+    case _ => plan
+  }
+
+  private def refuseProvenance(rel: LayoutTableRelation,
+      what: String): Unit =
+    require(!rel.isProvenanceView,
+      s"graft-layout $what: cannot write through a sinceBatch/" +
+        "asOfBatch view — those are reads of history; load the table " +
+        "without provenance options")
+}
+
+/** Statement → operator translation, EXACT or refused. */
+private[graft] object DmlTranslate {
+
+  private def err(msg: String): Nothing =
+    throw new IllegalArgumentException(s"graft-layout SQL DML: $msg")
+
+  /** Foldable integral expression (a literal, possibly under the
+    * coercion cast the analyzer inserts) → its long value. */
+  private def litLong(e: Expression): Option[Long] = e match {
+    case _ if !e.foldable => None
+    case _ => e.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Option(e.eval()).map(_.asInstanceOf[Number].longValue())
+      case _ => None
+    }
+  }
+
+  /** Substitute every CommonExpressionRef in a `With` tree by its
+    * definition — the pre-CSE form the box walk understands. */
+  private def inlineWith(e: Expression): Expression = e match {
+    case w: With =>
+      val byId = w.defs.map(d => d.id -> inlineWith(d.child)).toMap
+      inlineWith(w.child).transform {
+        case r: CommonExpressionRef => byId.getOrElse(r.id, r)
+      }
+    case other => other
+  }
+
+  private def longAttr(e: Expression,
+      target: AttributeSet): Option[String] = e match {
+    case a: AttributeReference
+      if target.contains(a) && a.dataType == LongType => Some(a.name)
+    case _ => None
+  }
+
+  /** DELETE condition → the EXACT conjunctive box, or refuse. Open
+    * bounds close by ±1 (long columns — integral, so exact); multiple
+    * conjuncts on one column intersect. `true` (no WHERE) deletes
+    * everything via a full-domain box on the never-null cluster key. */
+  def toBox(cond: Expression,
+      target: AttributeSet): Seq[(String, Long, Long)] = {
+    val lo = scala.collection.mutable.Map.empty[String, Long]
+    val hi = scala.collection.mutable.Map.empty[String, Long]
+    def tighten(c: String, l: Long, h: Long): Unit = {
+      lo(c) = math.max(lo.getOrElse(c, Long.MinValue), l)
+      hi(c) = math.min(hi.getOrElse(c, Long.MaxValue), h)
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(a, b) => walk(a); walk(b)
+      case EqualTo(a, v) if bind(a, v, e, (c, l) => tighten(c, l, l)) =>
+      case EqualTo(v, a) if bind(a, v, e, (c, l) => tighten(c, l, l)) =>
+      case GreaterThanOrEqual(a, v)
+        if bind(a, v, e, (c, l) => tighten(c, l, Long.MaxValue)) =>
+      case GreaterThanOrEqual(v, a)
+        if bind(a, v, e, (c, l) => tighten(c, Long.MinValue, l)) =>
+      case LessThanOrEqual(a, v)
+        if bind(a, v, e, (c, l) => tighten(c, Long.MinValue, l)) =>
+      case LessThanOrEqual(v, a)
+        if bind(a, v, e, (c, l) => tighten(c, l, Long.MaxValue)) =>
+      case GreaterThan(a, v) if bind(a, v, e, (c, l) =>
+        tighten(c, if (l == Long.MaxValue) err(emptyGt(e)) else l + 1,
+          Long.MaxValue)) =>
+      case GreaterThan(v, a) if bind(a, v, e, (c, l) =>
+        tighten(c, Long.MinValue,
+          if (l == Long.MinValue) err(emptyGt(e)) else l - 1)) =>
+      case LessThan(a, v) if bind(a, v, e, (c, l) =>
+        tighten(c, Long.MinValue,
+          if (l == Long.MinValue) err(emptyGt(e)) else l - 1)) =>
+      case LessThan(v, a) if bind(a, v, e, (c, l) =>
+        tighten(c, if (l == Long.MaxValue) err(emptyGt(e)) else l + 1,
+          Long.MaxValue)) =>
+      case Literal(true, _) => // no WHERE — full-table delete
+        tighten(LayoutIngest.KeyCol, Long.MinValue, Long.MaxValue)
+      // analyzed plans keep sugar (BETWEEN, ...) as RuntimeReplaceable
+      // nodes until the optimizer; their replacement IS the semantics.
+      // A replacement may be a `With` (common-subexpression form:
+      // Between's is `with(ref >= lo AND ref <= hi, def(input))`) —
+      // inline the refs before walking.
+      case r: RuntimeReplaceable => walk(inlineWith(r.replacement))
+      case other => err(
+        s"DELETE condition '${other.sql}' is not a conjunction of " +
+          "=/</<=/>/>=/BETWEEN ranges over LONG columns and integral " +
+          "literals — the exact deleteBox contract. Anything else " +
+          "(OR, string predicates, expressions over columns) needs " +
+          "the API: LayoutIngest.deleteBox / mergeRows.")
+    }
+    // bind returns false (falls through to `other`) unless BOTH sides
+    // fit the attr-vs-literal shape — a guard, not an action
+    def bind(a: Expression, v: Expression, whole: Expression,
+        f: (String, Long) => Unit): Boolean =
+      (longAttr(a, target), litLong(v)) match {
+        case (Some(c), Some(l)) => f(c, l); true
+        case _ => false
+      }
+    def emptyGt(e: Expression): String =
+      s"range '${e.sql}' is empty at the long domain edge"
+    walk(cond)
+    (lo.keySet ++ hi.keySet).toSeq.sorted.map { c =>
+      (c, lo.getOrElse(c, Long.MinValue), hi.getOrElse(c, Long.MaxValue))
+    }
+  }
+
+  /** Resolved MergeIntoTable → [[GraftMergeCommand]], or refuse. */
+  def toMergeCommand(m: MergeIntoTable, target: LogicalPlan,
+      rel: LayoutTableRelation): LogicalPlan = {
+    require(!m.withSchemaEvolution,
+      "graft-layout MERGE: WITH SCHEMA EVOLUTION is not supported — " +
+        "schema evolution happens additively at ingest")
+    require(m.notMatchedBySourceActions.isEmpty,
+      "graft-layout MERGE: WHEN NOT MATCHED BY SOURCE is not " +
+        "supported — a whole-row upsert never touches unmatched " +
+        "target rows")
+    val sourceOut = m.sourceTable.outputSet
+    // the ON condition names the key: t.k = s.k, either order
+    val (keyCol, srcKey) = m.mergeCondition match {
+      case EqualTo(t: AttributeReference, s: AttributeReference)
+        if target.outputSet.contains(t) && sourceOut.contains(s) =>
+        (t.name, s)
+      case EqualTo(s: AttributeReference, t: AttributeReference)
+        if target.outputSet.contains(t) && sourceOut.contains(s) =>
+        (t.name, s)
+      case other => err(
+        s"MERGE condition '${other.sql}' must be a single equality " +
+          "between one target column and one source column (the " +
+          "mergeRows key)")
+    }
+    val uas = m.matchedActions match {
+      case Seq(UpdateAction(None, as, _)) => as
+      case Seq(UpdateAction(Some(c), _, _)) => err(
+        s"conditional WHEN MATCHED AND ${c.sql} is not supported — " +
+          "pre-filter the source instead")
+      case other => err(
+        s"WHEN MATCHED must be exactly one unconditional UPDATE " +
+          s"(got ${other.map(_.getClass.getSimpleName).mkString(", ")})" +
+          " — for MATCHED DELETE use LayoutIngest.deleteBox")
+    }
+    val ias = m.notMatchedActions match {
+      case Seq(InsertAction(None, as)) => as
+      case Seq(InsertAction(Some(c), _)) => err(
+        s"conditional WHEN NOT MATCHED AND ${c.sql} is not supported " +
+          "— pre-filter the source instead")
+      case other => err(
+        s"WHEN NOT MATCHED must be exactly one unconditional INSERT " +
+          s"(got ${other.map(_.getClass.getSimpleName).mkString(", ")})")
+    }
+    def toMap(as: Seq[Assignment], which: String)
+        : Map[String, Expression] =
+      as.map {
+        case Assignment(k: AttributeReference, v) =>
+          require(v.references.subsetOf(sourceOut),
+            s"graft-layout MERGE: $which assignment to '${k.name}' " +
+              s"references target columns (${v.sql}) — a whole-row " +
+              "upsert reads only the source")
+          k.name -> v
+        case Assignment(k, _) => err(
+          s"$which assigns a non-column target '${k.sql}' — only " +
+            "flat payload columns are assignable")
+      }.toMap
+    val u = toMap(uas, "UPDATE")
+    val i = toMap(ias, "INSERT")
+    // the INSERT must key on the ON condition's source key; an UPDATE
+    // key assignment, if present, must agree (key rewrites aren't
+    // upserts)
+    i.get(keyCol) match {
+      case Some(v) if v.semanticEquals(srcKey) => ()
+      case Some(v) => err(
+        s"INSERT assigns key '$keyCol' from '${v.sql}', but the ON " +
+          s"condition keys on '${srcKey.sql}' — a merged row cannot " +
+          "land under a different key than it matched on")
+      case None => err(
+        s"INSERT must assign the merge key '$keyCol' (from the ON " +
+          "condition's source column)")
+    }
+    u.get(keyCol).foreach { v =>
+      require(v.semanticEquals(srcKey),
+        s"graft-layout MERGE: UPDATE reassigns the merge key " +
+          s"'$keyCol' to '${v.sql}' — key rewrites are not upserts; " +
+          "delete + insert instead")
+    }
+    // whole-row contract: both actions assign every payload column and
+    // agree — SQL's "unassigned UPDATE column keeps its old value"
+    // cannot hold when a matched row is REPLACED, so partial SETs are
+    // refused rather than silently nulled
+    val payload = rel.schema.fieldNames.toSeq
+      .filterNot(c => c == LayoutIngest.KeyCol || c == keyCol)
+    payload.foreach { c =>
+      (u.get(c), i.get(c)) match {
+        case (Some(uv), Some(iv)) =>
+          require(uv.semanticEquals(iv),
+            s"graft-layout MERGE: column '$c' is assigned " +
+              s"'${uv.sql}' on MATCH but '${iv.sql}' on NOT MATCH — " +
+              "mergeRows lands ONE updates row per key, so both " +
+              "paths must agree")
+        case (None, _) => err(
+          s"UPDATE SET must assign every payload column (missing " +
+            s"'$c') — a matched row is REPLACED whole; partial " +
+            "updates need the API")
+        case (_, None) => err(
+          s"INSERT must assign every payload column (missing '$c')")
+      }
+    }
+    // assignments to the computed cluster key are discarded (the
+    // INSERT INTO convention); everything else was validated above
+    GraftMergeCommand(rel.tableDir, keyCol, m.sourceTable,
+      (keyCol -> (srcKey: Expression)) +: payload.map(c => c -> i(c)))
+  }
+}
+
+/** `DELETE FROM <layout view> WHERE <box>` — runs
+  * [[LayoutIngest.deleteBoxNext]] (WAL-manifested pruned rewrite under
+  * the next unused delete id). */
+private[graft] case class GraftDeleteCommand(dir: String,
+    box: Seq[(String, Long, Long)]) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    LayoutIngest.deleteBoxNext(sparkSession, dir, box): Unit
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <layout view>` — projects the resolved source through
+  * the validated assignments and runs [[LayoutIngest.mergeRowsNext]]
+  * (bloom/stats-pruned whole-row upsert under the next unused ledger
+  * id). The source plan rides inside the command (already analyzed);
+  * `innerChildren` surfaces it in EXPLAIN. */
+private[graft] case class GraftMergeCommand(dir: String, keyCol: String,
+    source: LogicalPlan, cols: Seq[(String, Expression)])
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val updates = ColumnBridge.ofRows(sparkSession, source).select(
+      cols.map { case (n, e) => ColumnBridge.of(e).as(n) }: _*)
+    LayoutIngest.mergeRowsNext(sparkSession, dir, keyCol, updates): Unit
+    Seq.empty
+  }
+}

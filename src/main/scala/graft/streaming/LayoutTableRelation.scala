@@ -48,10 +48,20 @@ private[graft] object LayoutScanStats {
   * reading this engine already gets for free. The one cost is the
   * Row boundary at `df.rdd` — acceptable for the SQL convenience
   * surface; the hot API paths stay pure DataFrame. */
-private[streaming] class LayoutTableRelation(
+private[graft] class LayoutTableRelation(
     override val sqlContext: SQLContext, dir: String,
     sinceBatch: Option[Long], asOfBatch: Option[Long])
   extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** The table dir — for the DML rules ([[graft.sql.GraftDmlRule]])
+    * that route SQL DELETE/MERGE over this relation to
+    * [[LayoutIngest.deleteBox]]/[[LayoutIngest.mergeRows]]. */
+  private[graft] def tableDir: String = dir
+
+  /** sinceBatch/asOfBatch views are reads of HISTORY — every write
+    * surface (insert, DELETE, MERGE) refuses them. */
+  private[graft] def isProvenanceView: Boolean =
+    sinceBatch.isDefined || asOfBatch.isDefined
 
   /** SQL `INSERT INTO <view>` — same append body as the
     * DataFrameWriter path ([[LayoutIngest.appendNext]]): one clustered

@@ -17,6 +17,8 @@ object VerifyOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SQL DML on the clustered table (DELETE/MERGE routing)
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "10000000")
       .config("spark.sql.codegen.cache.maxEntries", "5000")

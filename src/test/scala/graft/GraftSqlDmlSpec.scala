@@ -1,0 +1,149 @@
+package graft
+
+import graft.streaming.LayoutIngest
+import org.apache.spark.sql.functions._
+
+/** SQL DELETE / MERGE INTO routing over the V1 layout relation
+  * ([[graft.sql.GraftSqlExtensions]], installed by SparkSpec's
+  * session): exact box translation, whole-row merge validation, and
+  * the typed refusals for every unsupported shape. */
+class GraftSqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    val dir = d.getAbsolutePath + "/t"
+    LayoutIngest.bootstrap(spark, dir, LayoutIngest.Grid(
+      Seq("a", "b"), Seq((0L, 100L), (0L, 100L)), bits = 8,
+      bloomCols = Seq("a")))
+    LayoutIngest.ingestBatch(
+      (0L to 50L).map(i => (i, i * 2 % 100, s"v$i")).toDF("a", "b", "s"),
+      0L, dir, 2): Unit
+    dir
+  }
+
+  private def view(dir: String, name: String): Unit =
+    spark.read.format("graft-layout").load(dir)
+      .createOrReplaceTempView(name)
+
+  test("DELETE translates the condition EXACTLY: open bounds close " +
+      "by one, conjuncts intersect, reversed operands bind, no WHERE " +
+      "deletes all") {
+    val dir = freshTable("sqldml-del")
+    view(dir, "sdel")
+    // a > 9 AND a < 21 AND 15 >= a  ≡  a ∈ [10, 15]
+    spark.sql("DELETE FROM sdel WHERE a > 9 AND a < 21 AND 15 >= a")
+    val left = LayoutIngest.read(spark, dir)
+      .select("a").as[Long].collect().toSet
+    assert(left === ((0L to 9L) ++ (16L to 50L)).toSet,
+      "exactly [10,15] must be gone — off-by-one = unsound translation")
+    // equality is a degenerate box; the delete id auto-mints (a second
+    // statement must not collide with the first)
+    spark.sql("DELETE FROM sdel WHERE a = 20")
+    assert(!LayoutIngest.read(spark, dir)
+      .select("a").as[Long].collect().contains(20L))
+    // BETWEEN arrives as a RuntimeReplaceable node in the analyzed plan
+    spark.sql("DELETE FROM sdel WHERE a BETWEEN 30 AND 32")
+    val left2 = LayoutIngest.read(spark, dir)
+      .select("a").as[Long].collect().toSet
+    assert(Seq(30L, 31L, 32L).forall(!left2.contains(_)) &&
+      left2.contains(29L) && left2.contains(33L))
+    spark.sql("DELETE FROM sdel")
+    assert(LayoutIngest.read(spark, dir).count() === 0L)
+  }
+
+  test("DELETE ≡ deleteBox API twin on the same slice") {
+    val dirSql = freshTable("sqldml-twin-sql")
+    val dirApi = freshTable("sqldml-twin-api")
+    view(dirSql, "stwin")
+    spark.sql("DELETE FROM stwin WHERE b >= 30 AND b <= 60")
+    LayoutIngest.deleteBox(spark, dirApi,
+      Seq(("b", 30L, 60L)), deleteId = 0L)
+    val got = LayoutIngest.read(spark, dirSql)
+      .select("a", "zkey").as[(Long, Long)].collect().toSet
+    val want = LayoutIngest.read(spark, dirApi)
+      .select("a", "zkey").as[(Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("MERGE upserts whole rows ≡ mergeRows API twin; zkey " +
+      "assignment is discarded (computed column)") {
+    val dirSql = freshTable("sqldml-m-sql")
+    val dirApi = freshTable("sqldml-m-api")
+    val updates = (48L to 53L).map(i => (i, 7L, s"new$i"))
+      .toDF("a", "b", "s")
+    view(dirSql, "smerge")
+    updates.createOrReplaceTempView("smerge_src")
+    // assigning zkey is ALLOWED and discarded — the key recomputes
+    spark.sql("""MERGE INTO smerge USING smerge_src
+      ON smerge.a = smerge_src.a
+      WHEN MATCHED THEN UPDATE SET b = smerge_src.b, s = smerge_src.s,
+        zkey = CAST(-1 AS BIGINT)
+      WHEN NOT MATCHED THEN INSERT (a, b, s, zkey)
+        VALUES (smerge_src.a, smerge_src.b, smerge_src.s,
+          CAST(-1 AS BIGINT))""")
+    assert(LayoutIngest.mergeRows(spark, dirApi, "a", updates,
+      batchId = 1L))
+    val got = LayoutIngest.read(spark, dirSql)
+      .select("a", "b", "s", "zkey")
+      .as[(Long, Long, String, Long)].collect().toSet
+    val want = LayoutIngest.read(spark, dirApi)
+      .select("a", "b", "s", "zkey")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got === want)
+    assert(!got.exists(_._4 == -1L),
+      "the statement's zkey value must be discarded, never stored")
+  }
+
+  test("unsupported shapes are refused with typed errors, supported " +
+      "ones on provenance views too") {
+    val dir = freshTable("sqldml-refuse")
+    view(dir, "sref")
+    (1L to 3L).map(i => (i, i, s"x$i")).toDF("a", "b", "s")
+      .createOrReplaceTempView("sref_src")
+    def refuses(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains(needle)),
+        s"$sql -> ${msgs(e).mkString(" | ")}")
+    }
+    refuses("DELETE FROM sref WHERE s = 'v3'", "not a conjunction")
+    refuses("DELETE FROM sref WHERE a = 1 OR a = 2", "not a conjunction")
+    refuses("DELETE FROM sref WHERE a + 1 = 2", "not a conjunction")
+    refuses("""MERGE INTO sref USING sref_src ON sref.a = sref_src.a
+      WHEN MATCHED THEN UPDATE SET b = sref_src.b
+      WHEN NOT MATCHED THEN INSERT (a, b, s)
+        VALUES (sref_src.a, sref_src.b, sref_src.s)""",
+      "assign every payload column")
+    refuses("""MERGE INTO sref USING sref_src ON sref.a = sref_src.a
+      WHEN MATCHED THEN DELETE""", "unconditional UPDATE")
+    refuses("""MERGE INTO sref USING sref_src
+      ON sref.a = sref_src.a AND sref.b = sref_src.b
+      WHEN MATCHED THEN UPDATE SET b = sref_src.b, s = sref_src.s
+      WHEN NOT MATCHED THEN INSERT (a, b, s)
+        VALUES (sref_src.a, sref_src.b, sref_src.s)""",
+      "single equality")
+    // key reassignment is not an upsert
+    refuses("""MERGE INTO sref USING sref_src ON sref.a = sref_src.a
+      WHEN MATCHED THEN UPDATE SET a = sref_src.b, b = sref_src.b,
+        s = sref_src.s
+      WHEN NOT MATCHED THEN INSERT (a, b, s)
+        VALUES (sref_src.a, sref_src.b, sref_src.s)""",
+      "reassigns the merge key")
+    // UPDATE may not read target columns (whole-row replace)
+    refuses("""MERGE INTO sref USING sref_src ON sref.a = sref_src.a
+      WHEN MATCHED THEN UPDATE SET b = sref.b + 1, s = sref_src.s
+      WHEN NOT MATCHED THEN INSERT (a, b, s)
+        VALUES (sref_src.a, sref_src.b, sref_src.s)""",
+      "references target columns")
+    // provenance views refuse writes
+    spark.read.format("graft-layout").option("asOfBatch", "0").load(dir)
+      .createOrReplaceTempView("sref_asof")
+    refuses("DELETE FROM sref_asof WHERE a = 1", "reads of history")
+    // nothing above mutated the table
+    assert(LayoutIngest.read(spark, dir).count() === 51L)
+  }
+}

@@ -14,6 +14,8 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS) — same conf as Verify/Bench
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SQL DML on the clustered table (DELETE/MERGE routing)
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
