@@ -7340,6 +7340,81 @@ WHERE rk <= 40"""
     s.read.parquet(sinkDir).select(col("event_id"), col("zkey"))
   }
 
+  /** CLEAN-RESTART FRONTIER OFFER of the rate-limited CDC stream —
+    * the battery gate for the persisted offered-cursor
+    * ([[graft.streaming.LayoutTableSource]], `offered-<n>` under the
+    * engine metadataPath): q174's capped drain, STOPPED cleanly, three
+    * more batches ingested, then the SAME checkpoint restarted. The
+    * premise pins the cursor's whole point: the restarted query's
+    * FIRST trigger must deliver rows (the cursor re-seeds at the
+    * persisted frontier, so getOffset offers past the checkpoint
+    * immediately) — without persistence the cursor resets to the
+    * floor and the first ~checkpoint/cap triggers are EMPTY
+    * full-listing creep-up rounds (exactly what a 100 TB consumer
+    * restarting against a million-batch ledger cannot afford). The
+    * cap discipline must survive the restart (each micro-batch ≤ one
+    * ingest batch) and the two drains' union still hashes against the
+    * full q155 key formula — pacing changed, the set never. */
+  val q184CursorRestart: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val root = streamIndexDir("q184", dir, "events")
+    val tableDir = s"$root/table"
+    val sinkDir = s"$root/sink"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val (tmn, tmx) = (b.getLong(2), b.getLong(3))
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (tmn, tmx)), bits = 16))
+      val cuts = (1 to 5).map(i => tmn + i * ((tmx - tmn) / 6))
+      val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+      val slices = bounds.sliding(2).toSeq.map { case Seq(lo, hi) =>
+        ev.filter(col("ts_us") >= lo && col("ts_us") < hi) }
+      def drain(): Seq[org.apache.spark.sql.streaming
+          .StreamingQueryProgress] = {
+        val q = s.readStream.format("graft-layout")
+          .option("path", tableDir)
+          .option("maxBatchesPerTrigger", "1")
+          .load()
+          .writeStream.format("parquet").option("path", sinkDir)
+          .option("checkpointLocation", s"$root/ckpt")
+          .start()
+        q.processAllAvailable()
+        val progress = q.recentProgress.toSeq
+        q.stop()
+        progress
+      }
+      slices.take(3).zipWithIndex.foreach { case (sl, i) =>
+        graft.streaming.LayoutIngest.ingestBatch(
+          sl, i.toLong, tableDir, 4): Unit
+      }
+      drain(): Unit
+      slices.drop(3).zipWithIndex.foreach { case (sl, i) =>
+        graft.streaming.LayoutIngest.ingestBatch(
+          sl, 3L + i, tableDir, 4): Unit
+      }
+      val p2 = drain()
+      require(p2.nonEmpty && p2.head.numInputRows > 0,
+        s"q184: the restarted stream's FIRST trigger must deliver " +
+          "rows (frontier offered from the persisted cursor), got " +
+          p2.map(_.numInputRows).mkString(","))
+      val nonEmpty = p2.filter(_.numInputRows > 0)
+      val maxSlice = slices.drop(3).map(_.count()).max
+      require(nonEmpty.length >= 3,
+        s"q184: the cap must split the second drain into >= 3 " +
+          s"micro-batches, got ${nonEmpty.length}")
+      require(nonEmpty.forall(_.numInputRows <= maxSlice),
+        s"q184: a post-restart micro-batch exceeded one ingest " +
+          s"batch's rows: ${nonEmpty.map(_.numInputRows).mkString(",")}")
+      done.createNewFile(): Unit
+    }
+    s.read.parquet(sinkDir).select(col("event_id"), col("zkey"))
+  }
+
   /** SNAPSHOT-BOOTSTRAP TAIL of the clustered table
     * ([[graft.streaming.LayoutTableSource]]'s `startingBatch`): the
     * two-file midpoint ingest (batches 0 and 1), consumed by a FRESH
@@ -8078,6 +8153,132 @@ WHERE rk <= 40"""
       .select(col("event_id"), col("zkey"), col("value"))
   }
 
+  /** READER VISIBILITY through a slow multi-unit merge — the gate for
+    * the append-first rework's central claim
+    * ([[graft.streaming.LayoutIngest.mergeRows]] doc item 4): a
+    * concurrent reader sees AT WORST transient duplicates, NEVER
+    * transient absence. Adversarial setup: the table clusters on
+    * (ts_us, event_id) and the merge keys on UNCLUSTERED, bloom-less
+    * `user_id` — every unit's stats range spans the whole user domain,
+    * so the merge must rewrite ALL 8 units (the worst case the pruning
+    * machinery exists to avoid, here exactly the point: a LONG
+    * rewrite window). The busiest user's 80+ rows are merged down to
+    * one while a reader thread polls that user's row count in a tight
+    * loop; the premises require ≥3 polls landed INSIDE the merge
+    * window, every poll stayed within [1, pre+1] (0 = the
+    * transient-absence bug the append-first order eliminated; pre+1 =
+    * the benign duplicate), the first poll saw the pre-merge count and
+    * the last the post-merge 1. The observed verdict persists to the
+    * table root, so the HASH covers the live run's invariant; DuckDB
+    * supplies the pre-count and the literal verdicts. */
+  val q183MergeVisibility: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val root = streamIndexDir("q183", dir, "events")
+    val tableDir = s"$root/table"
+    val u = ev.groupBy("user_id").count()
+      .orderBy(col("count").desc, col("user_id")).head()
+    val (user, preCount) = (u.getLong(0), u.getLong(1))
+    val verdict = new java.io.File(s"$root/never_absent")
+    if (!verdict.exists()) {
+      val b = ev.agg(min("ts_us"), max("ts_us"),
+        min("event_id"), max("event_id")).head()
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("ts_us", "event_id"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16))
+      (0 until 8).foreach { i =>
+        graft.streaming.LayoutIngest.ingestBatch(
+          ev.filter(abs(hash(col("event_id"))) % 8 === i),
+          i.toLong, tableDir, filesPerBatch = 1): Unit
+      }
+      val inFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val polls =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Boolean, Long)]()
+      val retried = new java.util.concurrent.atomic.AtomicLong(0)
+      val reader = new Thread(() => {
+        while (!stop.get()) {
+          val during = inFlight.get()
+          // a poll may FAIL transiently under concurrent maintenance
+          // (the publish-point rule is exactly-once for every read
+          // that RUNS, but a fold/merge can retire a listed unit's
+          // files between the reader's plan and its tasks — the
+          // file-listing-table contract, LayoutIngest object doc). A
+          // failed poll is a RETRY, never an observation: the read
+          // returned no answer, let alone 0.
+          try {
+            val n = graft.streaming.LayoutIngest.read(s, tableDir)
+              .filter(col("user_id") === user).count()
+            // classify by the flag BEFORE the read started: a poll
+            // that began inside the window counts as in-window even
+            // if the merge finished mid-read (conservative)
+            polls.add((during && inFlight.get(), n))
+          } catch {
+            case _: Throwable => retried.incrementAndGet(): Unit
+          }
+        }
+      })
+      reader.start()
+      def awaitPolls(target: Int): Unit = {
+        val deadline = System.currentTimeMillis() + 120000L
+        while (polls.size() < target) {
+          require(System.currentTimeMillis() < deadline &&
+            reader.isAlive,
+            s"q183: reader stalled (${polls.size()}/$target polls, " +
+              s"${retried.get()} transient retries)")
+          Thread.sleep(10)
+        }
+      }
+      // let the reader observe the pre-merge state at least once
+      awaitPolls(1)
+      inFlight.set(true)
+      graft.streaming.LayoutIngest.mergeRows(s, tableDir, "user_id",
+        s.range(1).select(lit(user).as("user_id"),
+          lit(b.getLong(0)).as("ts_us"),
+          lit(b.getLong(3) + 1000L).as("event_id")),
+        batchId = 8L): Unit
+      inFlight.set(false)
+      // one guaranteed post-merge observation, then stop
+      awaitPolls(polls.size() + 1)
+      stop.set(true)
+      reader.join(30000)
+      val obs = polls.toArray(Array.empty[(Boolean, Long)]).toSeq
+      val during = obs.filter(_._1).map(_._2)
+      require(during.size >= 3,
+        s"q183 premise: need >=3 polls inside the merge window to " +
+          s"claim anything, got ${during.size} of ${obs.size} " +
+          s"(${retried.get()} transient retries)")
+      require(obs.head._2 == preCount,
+        s"q183 premise: first poll must see the pre-merge count " +
+          s"$preCount, got ${obs.head._2}")
+      require(obs.last._2 == 1L,
+        s"q183 premise: last poll must see the merged single row, " +
+          s"got ${obs.last._2}")
+      val neverAbsent = obs.forall { case (_, n) =>
+        n >= 1L && n <= preCount + 1L }
+      val w = new java.io.PrintWriter(verdict)
+      try w.print(if (neverAbsent) "1" else "0") finally w.close()
+    }
+    val observed =
+      scala.io.Source.fromFile(verdict).mkString.trim.toLong
+    val post = graft.streaming.LayoutIngest.read(s, tableDir)
+      .filter(col("user_id") === user).count()
+    import s.implicits._
+    Seq((observed, preCount, post))
+      .toDF("never_absent", "pre_count", "post_count")
+  }
+
+  val q183Sql: String =
+    """WITH u AS (
+      |  SELECT user_id FROM events GROUP BY 1
+      |  ORDER BY COUNT(*) DESC, user_id LIMIT 1)
+      |SELECT CAST(1 AS BIGINT) AS never_absent,
+      |  (SELECT COUNT(*) FROM events
+      |   WHERE user_id = (SELECT user_id FROM u)) AS pre_count,
+      |  CAST(1 AS BIGINT) AS post_count""".stripMargin
+
   val q172Sql: String = {
     val terms = (0 until 16).flatMap(i => Seq(
       s"(((qx >> $i) & 1) << ${2 * i})",
@@ -8544,6 +8745,10 @@ WHERE rk <= 40"""
     // GraftSqlExtensions DML routing) instead of the API
     "q181_sql_delete" -> (q181SqlDelete, Some(q162Sql)),
     "q182_sql_merge" -> (q182SqlMerge, Some(q172Sql)),
+    "q183_merge_visibility" -> (q183MergeVisibility, Some(q183Sql)),
+    // q184's two capped drains (clean stop/restart between them) union
+    // to the whole event log — q155's full key formula is the oracle
+    "q184_cursor_restart" -> (q184CursorRestart, Some(q155Sql)),
     // q180 re-runs q155's full key oracle against a table built
     // entirely through the DataFrameWriter append surface
     "q180_sql_write" -> (q180SqlWrite, Some(q155Sql)))
