@@ -23,6 +23,8 @@ object LakehouseDemo {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SQL DELETE FROM / MERGE INTO routing (stage 14)
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -212,6 +214,42 @@ object LakehouseDemo {
     require(spark.read.format("graft-layout").load(dir).count()
         == beforeWrite + 5,
       "DataFrameWriter append must land exactly the new rows")
+
+    println("[demo] 14. SQL DML: DELETE FROM / MERGE INTO route to " +
+      "deleteBox/mergeRows (GraftSqlExtensions)")
+    val beforeDml = spark.table("events_table").count()
+    // the five appended rows live at event_id 5000+; DELETE them by box
+    spark.sql("DELETE FROM events_table WHERE event_id >= 5000")
+    val afterDelete = spark.table("events_table").count()
+    require(afterDelete == beforeDml - 5,
+      s"SQL DELETE must remove exactly the appended 5: $beforeDml -> " +
+        s"$afterDelete")
+    // whole-row upsert via SQL: relabel the probe row + insert a fresh
+    // one, through a temp-view source
+    spark.table("events_table")
+      .filter($"event_id" === probeId)
+      .withColumn("event_type", lit("sql-merged"))
+      .drop("zkey")
+      .unionByName(spark.table("events_table").limit(1)
+        .withColumn("event_id", lit(7777L))
+        .withColumn("event_type", lit("sql-inserted"))
+        .drop("zkey"))
+      .createOrReplaceTempView("dml_src")
+    val cols = spark.table("dml_src").columns
+    spark.sql(s"""MERGE INTO events_table USING dml_src
+      ON events_table.event_id = dml_src.event_id
+      WHEN MATCHED THEN UPDATE SET ${cols.filterNot(_ == "event_id")
+        .map(c => s"$c = dml_src.$c").mkString(", ")}
+      WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+        VALUES (${cols.map(c => s"dml_src.$c").mkString(", ")})""")
+    val dmlLabels = spark.sql(s"SELECT event_type FROM events_table " +
+      s"WHERE event_id IN ($probeId, 7777)").as[String].collect().toSet
+    require(dmlLabels == Set("sql-merged", "sql-inserted"),
+      s"SQL MERGE must relabel + insert: $dmlLabels")
+    require(spark.table("events_table").count() == afterDelete + 1,
+      "SQL MERGE must add exactly the one unmatched row")
+    println("[demo]    DELETE removed the appended box; MERGE " +
+      "relabeled 1 + inserted 1 (both under auto-minted ledger ids)")
     println("[demo] LAKEHOUSE DEMO OK")
     spark.stop()
   }
