@@ -85,6 +85,16 @@ private[graft] class GraftDmlRule(session: SparkSession)
         DmlTranslate.toMergeCommand(m, t, rel)
       case _ => plan
     }
+    // a typed, actionable refusal instead of Spark's generic
+    // "UPDATE TABLE is not supported" internal error: an in-place
+    // UPDATE reads matched target rows, which the whole-row upsert
+    // deliberately never does
+    case UpdateTable(LayoutTarget(_), _, _) =>
+      throw new IllegalArgumentException(
+        "graft-layout SQL DML: UPDATE is not supported — a clustered " +
+          "table corrects rows by WHOLE-ROW upsert. Use MERGE INTO " +
+          "with a source carrying the full replacement rows, or the " +
+          "API (LayoutIngest.mergeRows / deleteBox).")
     case _ => plan
   }
 

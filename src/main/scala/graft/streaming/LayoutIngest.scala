@@ -44,7 +44,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *    it the sources are live, after it they are logically deleted even
  *    if the physical deletes haven't run yet.
  *  - TWO single-writer locks, so maintenance never stalls the stream
- *    (fail-fast [[LedgerLock]]s; same-host dead writers self-recover):
+ *    ([[LedgerLock]]s — fail-fast for the maintenance holders, a
+ *    BOUNDED WAIT on the tail acquires ([[LedgerLock.withLockWait]])
+ *    so writers that legitimately interleave sleep through each
+ *    other's short marker sections; same-host dead writers
+ *    self-recover):
  *    the TAIL lock (`<dir>/markers/lock`) serializes the ingest path —
  *    batch publish, commit markers, the marker-watermark fold, schema
  *    publication — and the MAINTENANCE lock (`<dir>/maint/…`)

@@ -139,6 +139,9 @@ class GraftSqlDmlSpec extends SparkSpec {
       WHEN NOT MATCHED THEN INSERT (a, b, s)
         VALUES (sref_src.a, sref_src.b, sref_src.s)""",
       "references target columns")
+    // UPDATE gets the actionable whole-row-upsert refusal, not
+    // Spark's generic unsupported-operation internal error
+    refuses("UPDATE sref SET b = 1 WHERE a = 2", "WHOLE-ROW upsert")
     // provenance views refuse writes
     spark.read.format("graft-layout").option("asOfBatch", "0").load(dir)
       .createOrReplaceTempView("sref_asof")
