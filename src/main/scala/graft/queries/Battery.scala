@@ -7415,6 +7415,111 @@ WHERE rk <= 40"""
     s.read.parquet(sinkDir).select(col("event_id"), col("zkey"))
   }
 
+  /** LIVE txn-stream + batch-append INTERLEAVE — the end-to-end gate
+    * for `txnIds` ([[graft.streaming.LayoutIngest.start]]): the event
+    * log lands through BOTH write surfaces on ONE table, interleaved
+    * in ledger order 0,1 (stream) → 2,3 (batch appends) → 4,5 (stream,
+    * same checkpoint restarted) → 6 (a batch append WHILE the stream
+    * query is live) → 7 (the stream mints PAST the concurrent append —
+    * a file staged after it, picked up by the still-running query).
+    * Every id is premised exactly: under the default epoch-keyed
+    * regime the restarted stream's epoch 2 would collide with append
+    * id 2 and silently drop a slice — the ADVICE-1 hazard this mode
+    * removes. The final table hashes against q155's full key formula:
+    * a dropped slice, a duplicated replay, or an id collision fails
+    * the hash. */
+  val q185TxnInterleave: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val root = streamIndexDir("q185", dir, "events")
+    val tableDir = s"$root/table"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val (tmn, tmx) = (b.getLong(2), b.getLong(3))
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (tmn, tmx)), bits = 16))
+      val cuts = (1 to 7).map(i => tmn + i * ((tmx - tmn) / 8))
+      val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+      val slices = bounds.sliding(2).toSeq.map { case Seq(lo, hi) =>
+        ev.filter(col("ts_us") >= lo && col("ts_us") < hi) }
+      val total = ev.count()
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sessionState.newHadoopConf())
+      // one more arrival into the live stream's in-dir (the
+      // stageStreamFiles convention, one file at a time)
+      def addStreamFile(df: DataFrame, name: String): Unit = {
+        val stage = s"$root/stage-$name"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+          .map(_.getPath).find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part: $stage"))
+        fs.rename(part, new org.apache.hadoop.fs.Path(
+          s"$root/in", s"$name.parquet")): Unit
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+      }
+      def stream(availableNow: Boolean) = graft.streaming.LayoutIngest
+        .start(
+          s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/in"),
+          tableDir, s"$root/ckpt", filesPerBatch = 2,
+          availableNow = availableNow, txnIds = true)
+      def committed(): Long = graft.streaming.LayoutIngest
+        .contiguousCommittedBatch(s, tableDir)
+      def awaitLedger(n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 120000L
+        while (committed() < n) {
+          require(System.currentTimeMillis() < deadline,
+            s"q185: ledger stuck at ${committed()}, waiting for $n")
+          Thread.sleep(25)
+        }
+      }
+      // phase 1: stream drains slices 0,1 -> txn-minted ids 0,1
+      stageStreamFiles(s, root, slices.take(2))
+      val qa = stream(availableNow = true)
+      qa.awaitTermination()
+      require(committed() == 1L, s"q185: stream ids 0,1 first, " +
+        s"ledger at ${committed()}")
+      // phase 2: batch appends take 2,3 — under the default regime the
+      // restarted stream's epochs would now collide here
+      require(graft.streaming.LayoutIngest.appendNext(
+        s, tableDir, slices(2), 2) == 2L, "q185: append must mint 2")
+      require(graft.streaming.LayoutIngest.appendNext(
+        s, tableDir, slices(3), 2) == 3L, "q185: append must mint 3")
+      // phase 3: same checkpoint restarted LIVE; two more arrivals
+      // mint 4,5 above the appends
+      addStreamFile(slices(4), "b3")
+      addStreamFile(slices(5), "b4")
+      val qb = stream(availableNow = false)
+      try {
+        awaitLedger(5L)
+        // phase 4: append WHILE the query is live — the tail lock
+        // serializes, the reservation machinery keeps ids disjoint
+        require(qb.isActive, "q185: the stream must be live here")
+        val appendId = graft.streaming.LayoutIngest.appendNext(
+          s, tableDir, slices(6), 2)
+        require(appendId == 6L,
+          s"q185: the live-phase append must mint 6, got $appendId")
+        // phase 5: the stream mints PAST the concurrent append
+        addStreamFile(slices(7), "b5")
+        awaitLedger(7L)
+        val deadline = System.currentTimeMillis() + 120000L
+        while (graft.streaming.LayoutIngest.read(s, tableDir).count()
+            < total) {
+          require(System.currentTimeMillis() < deadline,
+            "q185: rows missing after ledger 7")
+          Thread.sleep(25)
+        }
+      } finally qb.stop()
+      done.createNewFile(): Unit
+    }
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("event_id"), col("zkey"))
+  }
+
   /** SNAPSHOT-BOOTSTRAP TAIL of the clustered table
     * ([[graft.streaming.LayoutTableSource]]'s `startingBatch`): the
     * two-file midpoint ingest (batches 0 and 1), consumed by a FRESH
@@ -7631,15 +7736,25 @@ WHERE rk <= 40"""
     * committed all fail the hash. Every op is idempotent behind its
     * marker, so bench reps replay to O(metadata) no-ops. */
   val q176TableHistory: Q = (s, dir) => {
+    val tableDir = buildHistoryLedger(s, dir, "q176")
+    graft.streaming.LayoutIngest.history(s, tableDir)
+      .select(col("kind"), col("id"), col("committed"))
+  }
+
+  /** The q176 ledger fixture: ingest 0-2, marker fold, gap-tail ingest
+    * 4, delete 7, gap-filling merge 3, a standing intent 11 — one
+    * exact ledger presentation both the API view (q176) and the SQL
+    * TVF view (q186) hash against the same literal oracle. Built
+    * EXACTLY once per table: the ops are each idempotent, but a
+    * replayed compactMarkers would legitimately fold the gap-filled
+    * 3/4 tail markers into the watermark — a DIFFERENT (also valid)
+    * presentation than the one the oracle pins. */
+  private def buildHistoryLedger(s: SparkSession, dir: String,
+      tag: String): String = {
     val ev = events(s, dir).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"), col("value"))
-    val root = streamIndexDir("q176", dir, "events")
+    val root = streamIndexDir(tag, dir, "events")
     val tableDir = s"$root/table"
-    // the build must run EXACTLY once per table: the ops are each
-    // idempotent, but a replayed compactMarkers would legitimately
-    // fold the gap-filled 3/4 tail markers into the watermark — a
-    // DIFFERENT (also valid) ledger presentation than the one the
-    // oracle pins
     val done = new java.io.File(s"$root/done")
     if (!done.exists()) {
       val b = ev.agg(min("user_id"), max("user_id"),
@@ -7679,8 +7794,18 @@ WHERE rk <= 40"""
         .createNewFile(): Unit
       done.createNewFile(): Unit
     }
-    graft.streaming.LayoutIngest.history(s, tableDir)
-      .select(col("kind"), col("id"), col("committed"))
+    tableDir
+  }
+
+  /** `graft_history` TVF — q176's ledger through the SQL surface
+    * ([[graft.sql.GraftTvf]]): the same exact fixture, read as
+    * `SELECT ... FROM graft_history('<dir>')` against the same literal
+    * VALUES oracle — the TVF must present the ledger identically to
+    * the API view. */
+  val q186SqlHistory: Q = (s, dir) => {
+    val tableDir = buildHistoryLedger(s, dir, "q186")
+    s.sql("SELECT kind, id, committed " +
+      s"FROM graft_history('$tableDir')")
   }
 
   val q176Sql: String =
@@ -8749,6 +8874,12 @@ WHERE rk <= 40"""
     // q184's two capped drains (clean stop/restart between them) union
     // to the whole event log — q155's full key formula is the oracle
     "q184_cursor_restart" -> (q184CursorRestart, Some(q155Sql)),
+    // q185: the event log lands through interleaved txn-stream +
+    // batch-append writers; the whole table ≡ q155's key formula
+    "q185_txn_interleave" -> (q185TxnInterleave, Some(q155Sql)),
+    // q186: q176's exact ledger fixture read through the
+    // graft_history SQL table function, same literal oracle
+    "q186_sql_history" -> (q186SqlHistory, Some(q176Sql)),
     // q180 re-runs q155's full key oracle against a table built
     // entirely through the DataFrameWriter append surface
     "q180_sql_write" -> (q180SqlWrite, Some(q155Sql)))

@@ -52,8 +52,49 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
  *    ([[LayoutIngest.mergeRowsNext]], safe next to txn streams).
  */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(session => new GraftDmlRule(session))
+    // table-valued metadata views — the DESCRIBE HISTORY / DESCRIBE
+    // DETAIL equivalents, so operations tooling needs no library
+    // imports: SELECT * FROM graft_history('/path/to/table')
+    ext.injectTableFunction(GraftTvf.history)
+    ext.injectTableFunction(GraftTvf.describe)
+  }
+}
+
+/** Table-valued functions over the clustered table's METADATA (the
+  * marker ledger and the unit listing) — resolved at analysis time
+  * into the corresponding API frame's plan. The path argument must be
+  * one string literal: the listing is driver-side metadata work (the
+  * same cost the API call pays), done once during resolution. */
+private[graft] object GraftTvf {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.types.StringType
+
+  private def one(name: String,
+      f: (SparkSession, String) => org.apache.spark.sql.DataFrame) = (
+    FunctionIdentifier(name),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      GraftTvf.getClass.getName, name),
+    (args: Seq[Expression]) => {
+      val dir = args match {
+        case Seq(e) if e.foldable && e.dataType == StringType &&
+            e.eval() != null => e.eval().toString
+        case _ => throw new IllegalArgumentException(
+          s"$name expects exactly one non-null string literal: the " +
+            "table path")
+      }
+      ColumnBridge.analyzedPlan(f(SparkSession.active, dir))
+    })
+
+  /** `graft_history('<dir>')` — one row per committed ledger op
+    * ([[LayoutIngest.history]]: kind, id, committed, at_ms). */
+  val history = one("graft_history", LayoutIngest.history)
+
+  /** `graft_describe('<dir>')` — one row per live unit
+    * ([[LayoutIngest.describe]]: unit, files, rows, bytes + the
+    * pruner's column ranges). */
+  val describe = one("graft_describe", LayoutIngest.describe)
 }
 
 /** Unwraps the alias/view chain the analyzer leaves over a resolved

@@ -96,6 +96,33 @@ class GraftSqlDmlSpec extends SparkSpec {
       "the statement's zkey value must be discarded, never stored")
   }
 
+  test("graft_history / graft_describe table functions ≡ the API " +
+      "views; non-literal args refused") {
+    val dir = freshTable("sqldml-tvf")
+    LayoutIngest.deleteBox(spark, dir, Seq(("a", 5L, 9L)), 0L)
+    val histSql = spark.sql(s"SELECT * FROM graft_history('$dir')")
+      .collect().toSet
+    val histApi = LayoutIngest.history(spark, dir).collect().toSet
+    assert(histSql === histApi && histSql.nonEmpty)
+    val descSql = spark.sql(
+      s"SELECT unit, files, rows FROM graft_describe('$dir')")
+      .collect().toSet
+    val descApi = LayoutIngest.describe(spark, dir)
+      .select("unit", "files", "rows").collect().toSet
+    assert(descSql === descApi && descSql.nonEmpty)
+    // TVFs compose with plain SQL on top
+    assert(spark.sql(s"SELECT count(*) FROM graft_history('$dir') " +
+      "WHERE kind = 'delete'").head().getLong(0) === 1L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_history(1)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("string literal")),
+      msgs(e).mkString(" | "))
+  }
+
   test("unsupported shapes are refused with typed errors, supported " +
       "ones on provenance views too") {
     val dir = freshTable("sqldml-refuse")
