@@ -74,7 +74,14 @@ private[graft] class LayoutTableRelation(
     * bad INSERT break every pruning invariant the table guarantees).
     * `INSERT OVERWRITE` is refused (replace = regrid); inserting into
     * a provenance VIEW (sinceBatch/asOfBatch) is refused — those are
-    * reads of history, not tables. */
+    * reads of history, not tables.
+    *
+    * CONCURRENT STREAMS: safe next to a `txnIds = true` stream writer;
+    * do NOT insert while an EPOCH-KEYED stream (the [[LayoutIngest
+    * .start]] default) is attached — the [[LayoutIngest.appendNext]]
+    * exclusive-ledger warning applies verbatim (this insert would take
+    * the stream's next epoch id and silently drop that future
+    * batch). */
   override def insert(data: org.apache.spark.sql.DataFrame,
       overwrite: Boolean): Unit = {
     require(!overwrite,

@@ -206,6 +206,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "10000000")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
