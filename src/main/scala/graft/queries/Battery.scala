@@ -7808,6 +7808,52 @@ WHERE rk <= 40"""
       s"FROM graft_history('$tableDir')")
   }
 
+  /** FORMAT-LEVEL STREAMING SINK under q155's key oracle — q161's
+    * streamed clustered ingest driven entirely through
+    * `writeStream.format("graft-layout")`
+    * ([[graft.streaming.LayoutStreamSink]]) instead of the library
+    * API: the two-file harness streams the event log into the sink
+    * (epoch-keyed ids, so bench reps replay the same content under
+    * the same epochs and no-op on the marker ledger — q161's warm
+    * convention), each micro-batch landing through the SAME publish
+    * protocol (fixed-grid keying, atomic rename, commit marker,
+    * compaction cadence). The final table's (event_id, zkey) must
+    * hash-match the batch formula — an option-wiring slip, a dropped
+    * epoch, or a sink-side re-execution of the micro-batch plan fails
+    * the hash. */
+  val q187StreamSink: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts"))
+    val root = streamIndexDir("q187", dir, "events")
+    val tableDir = s"$root/table"
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16))
+    }
+    val stream = eventStreamSource(s, dir, "q187", ev)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"q187-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
+    registerCleanup(ckpt)
+    val q = stream.writeStream
+      .format("graft-layout")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .option("filesPerBatch", "8")
+      .option("epochIds", "true")
+      .option("compactEvery", "2")
+      .option("smallFileBytes", (64L << 20).toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(tableDir)
+    q.awaitTermination()
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("event_id"), col("zkey"))
+  }
+
   val q176Sql: String =
     """SELECT kind, id, committed FROM (VALUES
       |  ('ingest-upto', CAST(2 AS BIGINT), true),
@@ -8882,7 +8928,10 @@ WHERE rk <= 40"""
     "q186_sql_history" -> (q186SqlHistory, Some(q176Sql)),
     // q180 re-runs q155's full key oracle against a table built
     // entirely through the DataFrameWriter append surface
-    "q180_sql_write" -> (q180SqlWrite, Some(q155Sql)))
+    "q180_sql_write" -> (q180SqlWrite, Some(q155Sql)),
+    // q187 re-runs q155's key oracle against a table built entirely
+    // through the writeStream.format("graft-layout") sink
+    "q187_stream_sink" -> (q187StreamSink, Some(q155Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -264,37 +264,52 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     val writer = df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // bounded wait, not fail-fast: a mergeRows append section or a
-        // batch appendNext holding the tail for tens of ms must not
-        // fail the streaming query — only a holder outliving the
-        // budget (a stuck or duplicate writer) does
-        LedgerLock.withLockWait(spark, dir, lockWaitMs) {
-          val ledgerId =
-            if (txnIds)
-              streamLedgerId(spark, dir,
-                checkpointQueryId(spark, checkpoint), batchId)
-            else batchId
-          ingestBatch(batch, ledgerId, dir, filesPerBatch): Unit
-          // keep the marker dir at one watermark + the in-flight tail
-          compactMarkersLocked(spark, dir)
-        }
-        compactEvery.foreach { n =>
-          if ((batchId + 1) % n == 0)
-            // the cadence is best-effort: a concurrently-running manual
-            // fold/delete (maintenance lock held) must not kill the
-            // STREAM — the fold happens on the next cadence instead
-            try compact(spark, dir, smallFileBytes)
-            catch {
-              case e: LedgerLock.ConcurrentWriterException =>
-                logWarning("LayoutIngest: compaction cadence skipped — " +
-                  s"maintenance lock contention on $dir (${e.getMessage})")
-            }
-        }
+        microBatchIngest(batch, batchId, dir, checkpoint, filesPerBatch,
+          compactEvery, smallFileBytes, lockWaitMs, txnIds)
       }
     (if (availableNow)
       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
     else writer).start()
+  }
+
+  /** ONE micro-batch's whole sink body — the shared engine behind
+    * [[start]]'s foreachBatch AND the format-level streaming sink
+    * ([[LayoutStreamSink]], `df.writeStream.format("graft-layout")`):
+    * resolve the ledger id for this epoch (txn reservation or the
+    * epoch itself — [[start]] documents the two regimes), ingest under
+    * the tail lock, fold the marker ledger, and run the best-effort
+    * compaction cadence. */
+  private[streaming] def microBatchIngest(batch: DataFrame, epoch: Long,
+      dir: String, checkpoint: String, filesPerBatch: Int,
+      compactEvery: Option[Int], smallFileBytes: Long,
+      lockWaitMs: Long, txnIds: Boolean): Unit = {
+    val spark = batch.sparkSession
+    // bounded wait, not fail-fast: a mergeRows append section or a
+    // batch appendNext holding the tail for tens of ms must not
+    // fail the streaming query — only a holder outliving the
+    // budget (a stuck or duplicate writer) does
+    LedgerLock.withLockWait(spark, dir, lockWaitMs) {
+      val ledgerId =
+        if (txnIds)
+          streamLedgerId(spark, dir,
+            checkpointQueryId(spark, checkpoint), epoch)
+        else epoch
+      ingestBatch(batch, ledgerId, dir, filesPerBatch): Unit
+      // keep the marker dir at one watermark + the in-flight tail
+      compactMarkersLocked(spark, dir)
+    }
+    compactEvery.foreach { n =>
+      if ((epoch + 1) % n == 0)
+        // the cadence is best-effort: a concurrently-running manual
+        // fold/delete (maintenance lock held) must not kill the
+        // STREAM — the fold happens on the next cadence instead
+        try compact(spark, dir, smallFileBytes)
+        catch {
+          case e: LedgerLock.ConcurrentWriterException =>
+            logWarning("LayoutIngest: compaction cadence skipped — " +
+              s"maintenance lock contention on $dir (${e.getMessage})")
+        }
+    }
   }
 
   /** One batch's ingest under the caller-held lock; false = replay of

@@ -1,10 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** The clustered table as a Structured Streaming SOURCE — the read
@@ -57,7 +58,7 @@ import org.apache.spark.sql.types.StructType
   * view; RTBF must not re-surface rows — the readSince contract). */
 class LayoutTableSource extends StreamSourceProvider
     with RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-layout"
 
@@ -195,6 +196,107 @@ class LayoutTableSource extends StreamSourceProvider
     new LayoutTableStreamSource(sqlContext.sparkSession,
       pathOf(parameters), maxPerTrigger(parameters),
       startingBatch(parameters), Option(metadataPath).filter(_.nonEmpty))
+
+  /** STREAMING WRITE of the same format name — the sink half of the
+    * format symmetry ([[LayoutIngest.start]] without the library
+    * import):
+    *
+    * {{{
+    *   df.writeStream.format("graft-layout")
+    *     .option("checkpointLocation", ckpt)   // REQUIRED (see below)
+    *     .start(tableDir)
+    * }}}
+    *
+    * Each micro-batch lands through the SAME body as [[LayoutIngest
+    * .start]]'s foreachBatch ([[LayoutIngest.microBatchIngest]]):
+    * keyed under the fixed grid, published behind the atomic rename +
+    * commit marker, marker ledger folded, best-effort compaction
+    * cadence. Ledger-id regime defaults to TXN-MINTED (`(queryId,
+    * epoch)` reserves the next unused id under the tail lock — safe
+    * next to batch appends, merges, and other txn streams);
+    * `.option("epochIds", "true")` opts into the EPOCH-KEYED exclusive
+    * regime (content-addressed replay — [[LayoutIngest.start]]
+    * documents the trade). `checkpointLocation` must be set as a
+    * WRITER OPTION, not inherited from the session default dir: the
+    * checkpoint's durable query id keys the txn reservations.
+    *
+    * Options: `filesPerBatch` (default 4), `compactEvery` (fold the
+    * small-unit tail every n epochs; default off), `smallFileBytes`,
+    * `lockWaitMs`, `epochIds`. Append output mode only (the table is
+    * an append log with explicit DML for corrections — aggregations
+    * stream in with watermark+append, or through foreachBatch);
+    * partitionBy is refused (the physical layout IS the grid). */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-layout sink: only Append output mode is supported (got " +
+        s"$outputMode) — the clustered table is an append log; " +
+        "Update/Complete rewrites are MERGE INTO / mergeRows on a " +
+        "watermarked append stream or a foreachBatch body")
+    require(partitionColumns.isEmpty,
+      "graft-layout sink: partitionBy is not supported — the table's " +
+        "physical layout is its bootstrap grid (cluster columns + " +
+        "curve), not a directory partitioning")
+    val dir = pathOf(parameters)
+    val checkpoint = parameters.getOrElse("checkpointLocation",
+      throw new IllegalArgumentException(
+        "graft-layout sink: .option(\"checkpointLocation\", <dir>) is " +
+          "required on the WRITER (the checkpoint's durable query id " +
+          "keys the ledger txn reservations; a session-default " +
+          "checkpoint root is not visible to the sink)"))
+    def intOpt(key: String, default: Int, min: Int): Int = {
+      val v = parameters.get(key).map(s => s.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-layout sink: $key must be an integer, got '$s'")))
+        .getOrElse(default)
+      require(v >= min, s"graft-layout sink: $key must be >= $min, got $v")
+      v
+    }
+    def longOpt(key: String, default: Long, min: Long): Long = {
+      val v = parameters.get(key).map(s => s.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-layout sink: $key must be an integer, got '$s'")))
+        .getOrElse(default)
+      require(v >= min, s"graft-layout sink: $key must be >= $min, got $v")
+      v
+    }
+    val epochIds = parameters.get("epochIds").map(_.toLowerCase) match {
+      case None | Some("false") => false
+      case Some("true") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft-layout sink: epochIds must be true or false, got '$other'")
+    }
+    new LayoutStreamSink(dir, checkpoint,
+      filesPerBatch = intOpt("filesPerBatch", 4, 1),
+      compactEvery = parameters.get("compactEvery")
+        .map(_ => intOpt("compactEvery", 0, 1)),
+      smallFileBytes = longOpt("smallFileBytes", 32L << 20, 1L),
+      lockWaitMs = longOpt("lockWaitMs", 30000L, 0L),
+      txnIds = !epochIds)
+  }
+}
+
+/** The V1 sink behind `writeStream.format("graft-layout")` — a thin
+  * shell over [[LayoutIngest.microBatchIngest]] (the exact foreachBatch
+  * body [[LayoutIngest.start]] runs): idempotence and replay come from
+  * the marker ledger / txn reservations, NOT from the sink object, so
+  * a restart (which constructs a fresh Sink) is exactly-once by the
+  * same argument as a start() restart. The micro-batch frame Spark
+  * hands addBatch is re-wrapped as a batch frame over the
+  * already-planned row RDD ([[ColumnBridge.asBatchFrame]]) — the
+  * clustered write re-shuffles it on the key, which a streaming-flagged
+  * plan would refuse. */
+private[streaming] class LayoutStreamSink(dir: String, checkpoint: String,
+    filesPerBatch: Int, compactEvery: Option[Int], smallFileBytes: Long,
+    lockWaitMs: Long, txnIds: Boolean) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    LayoutIngest.microBatchIngest(
+      ColumnBridge.asBatchFrame(spark, data), batchId, dir, checkpoint,
+      filesPerBatch, compactEvery, smallFileBytes, lockWaitMs, txnIds)
+  }
+  override def toString: String = s"LayoutStreamSink[$dir]"
 }
 
 private[streaming] class LayoutTableStreamSource(

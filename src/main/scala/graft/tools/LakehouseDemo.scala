@@ -250,6 +250,35 @@ object LakehouseDemo {
       "SQL MERGE must add exactly the one unmatched row")
     println("[demo]    DELETE removed the appended box; MERGE " +
       "relabeled 1 + inserted 1 (both under auto-minted ledger ids)")
+
+    println("[demo] 15. streaming sink: writeStream.format" +
+      "(\"graft-layout\") — txn-minted ids next to the batch DML above")
+    val beforeSink = spark.table("events_table").count()
+    val sinkIn = new org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long](1000, spark)
+    sinkIn.addData(8801L, 8802L, 8803L)
+    val template = spark.table("events_table").limit(1)
+      .drop("zkey").cache()
+    val sinkCk = java.nio.file.Files
+      .createTempDirectory("demo-sink-ck").toString
+    val sq = sinkIn.toDF().toDF("new_id")
+      .join(org.apache.spark.sql.functions.broadcast(template))
+      .withColumn("event_id", $"new_id").drop("new_id")
+      .withColumn("event_type", lit("stream-sunk"))
+      .select(template.columns.map(col): _*)
+      .writeStream.format("graft-layout")
+      .option("checkpointLocation", sinkCk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dir)
+    sq.awaitTermination()
+    val sunk = spark.read.format("graft-layout").load(dir)
+      .filter($"event_type" === "stream-sunk").count()
+    require(sunk == 3 &&
+        spark.read.format("graft-layout").load(dir).count()
+          == beforeSink + 3,
+      s"stream sink must land exactly 3 rows, got $sunk")
+    println("[demo]    3 rows streamed in; ledger ids reserved via " +
+      "txn markers, batch DML and stream writers share one table")
     println("[demo] LAKEHOUSE DEMO OK")
     spark.stop()
   }

@@ -51,6 +51,23 @@ object ColumnBridge {
     ofRows(spark, plan)
   }
 
+  /** BATCH frame from the micro-batch frame a V1 `Sink.addBatch`
+    * receives: that frame's leaves are flagged streaming, so any
+    * re-analysis (`.write`, re-planning transforms) is refused by the
+    * UnsupportedOperationChecker — the standard V1-sink move (what
+    * FileStreamSink does via FileFormatWriter) is to take the
+    * ALREADY-PLANNED IncrementalExecution's row RDD and wrap it as a
+    * plain batch frame. Rows are defensively copied: the scan reuses
+    * unsafe-row buffers, and the sink body range-shuffles them. */
+  def asBatchFrame(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val rows = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.toRdd.map(_.copy())
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rows, df.schema, isStreaming = false)
+  }
+
   /** Adds a planner strategy to the session (idempotent). */
   def addStrategy(spark: org.apache.spark.sql.SparkSession,
       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
