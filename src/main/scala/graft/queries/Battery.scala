@@ -7854,6 +7854,71 @@ WHERE rk <= 40"""
       .select(col("event_id"), col("zkey"))
   }
 
+  /** VACUUM under q162's delete oracle
+    * ([[graft.streaming.LayoutIngest.vacuum]] — the retention sweep):
+    * the event log lands as TWO batch splits chosen so the q162 forget
+    * box exactly covers the first unit (its rewrite publishes a
+    * ZERO-ROW replacement — the debris class deletes leave behind),
+    * plus a planted dead ingest stage (the crash class a txn-regime
+    * restart never revisits). Premises pin both classes present, then
+    * vacuum must count and physically drop exactly them — and the
+    * table must STILL hash against q162's oracle (events minus the
+    * slice, keys replayed): a vacuum that touched one live row, one
+    * live unit, or the provenance views fails the gate. */
+  val q188Vacuum: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val root = streamIndexDir("q188", dir, "events")
+    val tableDir = s"$root/table"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val (umn, umx) = (b.getLong(0), b.getLong(1))
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((umn, umx), (b.getLong(2), b.getLong(3))),
+          bits = 16))
+      // q162's forget box, derived with the oracle's integer
+      // arithmetic; batch 0 = exactly the box's rows, so the delete
+      // rewrite empties that whole unit
+      val (blo, bhi) = (umn + (umx - umn) * 49 / 100,
+        umn + (umx - umn) * 51 / 100)
+      val inBox = col("user_id") >= blo && col("user_id") <= bhi
+      require(graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(inBox), 0L, tableDir, 1), "q188: batch 0")
+      require(graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(!inBox), 1L, tableDir, 4), "q188: batch 1")
+      require(graft.streaming.LayoutIngest.deleteBox(s, tableDir,
+        Seq(("user_id", blo, bhi)), deleteId = 0L), "q188: delete")
+      // premise: the emptied unit is PHYSICALLY present pre-vacuum
+      val unitsBefore = Option(
+        new java.io.File(s"$tableDir/data").list()).map(_.length)
+        .getOrElse(0)
+      require(unitsBefore == 2,
+        s"q188 premise: want empty gen + live gen, got $unitsBefore")
+      // premise: a crashed writer's ingest stage
+      val dead = new java.io.File(s"$tableDir/data.stage-9")
+      require(dead.mkdirs(), "q188: plant stage")
+      java.nio.file.Files.write(
+        new java.io.File(dead, "part-junk.parquet").toPath,
+        Array[Byte](1, 2, 3))
+      val st = graft.streaming.LayoutIngest.vacuum(s, tableDir)
+      require(st.emptyUnitsDropped == 1 && st.ingestStagesDropped == 1,
+        s"q188: vacuum must sweep exactly the planted debris, got $st")
+      require(!dead.exists(), "q188: stage must be gone")
+      val unitsAfter = Option(
+        new java.io.File(s"$tableDir/data").list()).map(_.length)
+        .getOrElse(0)
+      require(unitsAfter == 1,
+        s"q188 premise: one live unit after vacuum, got $unitsAfter")
+      done.createNewFile(): Unit
+    }
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("event_id"), col("zkey"))
+  }
+
   val q176Sql: String =
     """SELECT kind, id, committed FROM (VALUES
       |  ('ingest-upto', CAST(2 AS BIGINT), true),
@@ -8931,7 +8996,10 @@ WHERE rk <= 40"""
     "q180_sql_write" -> (q180SqlWrite, Some(q155Sql)),
     // q187 re-runs q155's key oracle against a table built entirely
     // through the writeStream.format("graft-layout") sink
-    "q187_stream_sink" -> (q187StreamSink, Some(q155Sql)))
+    "q187_stream_sink" -> (q187StreamSink, Some(q155Sql)),
+    // q188 re-runs q162's delete oracle against a table vacuumed with
+    // planted debris (an emptied unit + a dead ingest stage)
+    "q188_vacuum" -> (q188Vacuum, Some(q162Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -537,6 +537,105 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
   def compactMarkers(spark: SparkSession, dir: String): Unit =
     LedgerLock.withLock(spark, dir)(compactMarkersLocked(spark, dir))
 
+  /** What [[vacuum]] swept, for operations logging/asserts. */
+  final case class VacuumStats(manifestsReplayed: Int,
+      genStagesDropped: Int, ingestStagesDropped: Int,
+      emptyUnitsDropped: Int)
+
+  /** The retention/VACUUM op — one call that physically clears every
+    * debris class the crash-exact protocol can leave behind, none of
+    * which affects CORRECTNESS (reads are exact in every crash state;
+    * this is about storage and listing hygiene on a long-lived table):
+    *
+    *  1. committed-but-unfinished compaction/delete/merge manifests
+    *     (replayed to completion) and WAL-less `gen-*.stage` orphans —
+    *     [[recoverCompact]], which inline maintenance already runs;
+    *     vacuum exists so an operator can run it WITHOUT also folding
+    *     or deleting anything;
+    *  2. dead `data.stage-<id>` ingest stages: a stage is only ever
+    *     written under the TAIL lock, so under a short nested tail
+    *     section any existing one belongs to a crashed writer whose id
+    *     moved on (a txn-regime or fresh-checkpoint restart never
+    *     revisits the id, so [[ingestBatch]]'s own replay cleanup
+    *     never fires for it) — swept;
+    *  3. ZERO-ROW live units (a [[deleteBox]]/[[mergeRows]] rewrite
+    *     that emptied a whole unit publishes an empty dir — trivially
+    *     pruned by every read, but it costs a listing + sidecar stat
+    *     probe per scan forever): dropped WITHOUT a WAL manifest,
+    *     which is safe precisely because the unit holds no rows — any
+    *     crash mid-drop leaves a subset of its zero rows, i.e. still
+    *     zero; a range-split generation whose last leaf drops loses
+    *     its empty parent shell too;
+    *  4. the marker ledger fold ([[compactMarkersLocked]], inside the
+    *     same tail section).
+    *
+    * Holds the MAINTENANCE lock throughout (vacuum is a rewriter-class
+    * op: manifests name sources, and two recoverers must not race)
+    * with the one short maint→tail nesting the engine already uses
+    * ([[mergeRows]]' order — no cycle). Concurrent readers stay
+    * correct by the same argument as compaction's source deletes: the
+    * transient FAILED_READ_FILE on a just-dropped (empty) unit is the
+    * documented file-listing-read contract, never a wrong answer.
+    * Retired txn reservations are NOT swept (one per stream is the
+    * documented O(#streams) floor — the newest reservation of a live
+    * stream is load-bearing state), and `del-<id>` markers are the
+    * deletes' idempotence record — permanent by design. */
+  def vacuum(spark: SparkSession, dir: String,
+      lockWaitMs: Long = 30000L): VacuumStats =
+    withMaintLock(spark, dir) {
+      val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+      val (_, root) = DedupIngest.fs(spark, dir)
+      def genStages: Int =
+        if (!f.exists(root)) 0
+        else f.listStatus(root).toSeq
+          .count(_.getPath.getName.matches("gen-.*\\.stage"))
+      def manifests: Int =
+        if (!f.exists(markers)) 0
+        else f.listStatus(markers).toSeq
+          .count(_.getPath.getName.matches("compact-.*\\.manifest"))
+      val (g0, m0) = (genStages, manifests)
+      recoverCompact(spark, dir)
+      adoptOrphanBatches(spark, dir)
+      val (g1, m1) = (genStages, manifests)
+
+      // zero-row live units (class 3). liveDirs, not a raw listing:
+      // recoverCompact just ran under this lock, so no committed
+      // manifest still names a source — every listed dir is live.
+      var emptied = 0
+      liveDirs(spark, dir).foreach { d =>
+        if (unitRows(f, d) == 0L) {
+          logWarning(s"LayoutIngest.vacuum: dropping zero-row unit " +
+            s"$d under $dir")
+          f.delete(d, true)
+          emptied += 1
+          val parent = d.getParent
+          if (parent.getName.startsWith("gen-") && f.exists(parent) &&
+              f.listStatus(parent).forall(st =>
+                st.isFile && !isDataFile(st.getPath.getName)))
+            f.delete(parent, true): Unit
+        }
+      }
+
+      // dead ingest stages + marker fold (classes 2 and 4), under the
+      // short nested tail section
+      var stages = 0
+      LedgerLock.withLockWait(spark, dir, lockWaitMs) {
+        if (f.exists(root))
+          f.listStatus(root).toSeq
+            .filter(_.getPath.getName.matches("data\\.stage-\\d+"))
+            .foreach { s =>
+              logWarning(s"LayoutIngest.vacuum: dropping dead ingest " +
+                s"stage ${s.getPath} under $dir")
+              f.delete(s.getPath, true)
+              stages += 1
+            }
+        compactMarkersLocked(spark, dir)
+      }
+      VacuumStats(manifestsReplayed = m0 - m1,
+        genStagesDropped = math.max(0, g0 - g1 - (m0 - m1)),
+        ingestStagesDropped = stages, emptyUnitsDropped = emptied)
+    }
+
   private def compactMarkersLocked(spark: SparkSession,
       dir: String): Unit = {
     val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")

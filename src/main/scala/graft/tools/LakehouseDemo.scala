@@ -279,6 +279,13 @@ object LakehouseDemo {
       s"stream sink must land exactly 3 rows, got $sunk")
     println("[demo]    3 rows streamed in; ledger ids reserved via " +
       "txn markers, batch DML and stream writers share one table")
+
+    println("[demo] 16. vacuum: retention sweep after all that churn")
+    val vacBefore = spark.read.format("graft-layout").load(dir).count()
+    val vst = LayoutIngest.vacuum(spark, dir)
+    require(spark.read.format("graft-layout").load(dir).count()
+        == vacBefore, "vacuum must never change the live rows")
+    println(s"[demo]    $vst; live rows unchanged ($vacBefore)")
     println("[demo] LAKEHOUSE DEMO OK")
     spark.stop()
   }
