@@ -7919,6 +7919,59 @@ WHERE rk <= 40"""
       .select(col("event_id"), col("zkey"))
   }
 
+  /** TABLE→TABLE CDC REPLICATION in one Structured Streaming pipeline
+    * — the use case the two stream halves compose for:
+    * `readStream.format("graft-layout")` (exactly-once offsets over
+    * the source ledger) feeding `writeStream.format("graft-layout")`
+    * (txn-minted ids on the destination), rate-limited to one ingest
+    * batch per micro-batch so the replication genuinely runs in
+    * checkpointed steps. The destination re-keys under its own copy of
+    * the grid, so its (event_id, zkey) must hash against the SAME
+    * q155 formula as the source — a dropped/duplicated micro-batch or
+    * a provenance/key column leaking through the pipeline fails the
+    * gate (the sink REFUSES frames carrying reserved columns; the
+    * replication projects them away like any real consumer). */
+  val q189CdcReplicate: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val root = streamIndexDir("q189", dir, "events")
+    val srcDir = s"$root/src"
+    val dstDir = s"$root/dst"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val grid = graft.streaming.LayoutIngest.Grid(
+        Seq("user_id", "ts_us"),
+        Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+        bits = 16)
+      graft.streaming.LayoutIngest.bootstrap(s, srcDir, grid)
+      graft.streaming.LayoutIngest.bootstrap(s, dstDir, grid)
+      val cut = b.getLong(2) / 2 + b.getLong(3) / 2
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(col("ts_us") < cut), 0L, srcDir, 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(col("ts_us") >= cut), 1L, srcDir, 4): Unit
+      val q = s.readStream.format("graft-layout")
+        .option("path", srcDir)
+        .option("maxBatchesPerTrigger", "1")
+        .load()
+        .drop(graft.streaming.LayoutIngest.KeyCol,
+          graft.streaming.LayoutIngest.BatchCol)
+        .writeStream.format("graft-layout")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start(dstDir)
+      q.processAllAvailable()
+      q.stop()
+      require(graft.streaming.LayoutIngest
+          .contiguousCommittedBatch(s, dstDir) >= 1L,
+        "q189 premise: the cap must replicate in >= 2 micro-batches")
+      done.createNewFile(): Unit
+    }
+    graft.streaming.LayoutIngest.read(s, dstDir)
+      .select(col("event_id"), col("zkey"))
+  }
+
   val q176Sql: String =
     """SELECT kind, id, committed FROM (VALUES
       |  ('ingest-upto', CAST(2 AS BIGINT), true),
@@ -8999,7 +9052,10 @@ WHERE rk <= 40"""
     "q187_stream_sink" -> (q187StreamSink, Some(q155Sql)),
     // q188 re-runs q162's delete oracle against a table vacuumed with
     // planted debris (an emptied unit + a dead ingest stage)
-    "q188_vacuum" -> (q188Vacuum, Some(q162Sql)))
+    "q188_vacuum" -> (q188Vacuum, Some(q162Sql)),
+    // q189 re-runs q155's key oracle against a table REPLICATED from
+    // another through one readStream→writeStream format pipeline
+    "q189_cdc_replicate" -> (q189CdcReplicate, Some(q155Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

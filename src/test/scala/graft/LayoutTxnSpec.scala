@@ -147,4 +147,39 @@ class LayoutTxnSpec extends SparkSpec {
       rows(90 until 95).toDF("id", "x", "y"), replayId, dir, 1))
     assert(LayoutIngest.read(spark, dir).count() === 25L)
   }
+
+  test("appendNext's id scan skips ORPHAN batch dirs and STANDING " +
+      "merge intents (the adversarial INSERT-INTO window)") {
+    val dir = tmp("txn-orphan-intent")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    assert(LayoutIngest.ingestBatch(
+      rows(0 until 10).toDF("id", "x", "y"), 0L, dir, 1))
+    // a writer crashed between the publish rename and the marker
+    // create: batch-5 exists with NO marker — minting 5 would ADOPT
+    // its data and silently drop the new frame (ingestBatch's
+    // target-exists recovery)
+    val orphanSrc = tmp("txn-orphan-src")
+    LayoutIngest.bootstrap(spark, orphanSrc, grid)
+    assert(LayoutIngest.ingestBatch(
+      rows(40 until 45).toDF("id", "x", "y"), 5L, orphanSrc, 1))
+    java.nio.file.Files.move(
+      new java.io.File(s"$orphanSrc/data/batch-5").toPath,
+      new java.io.File(s"$dir/data/batch-5").toPath)
+    // a merge crashed after recording its intent under id 7: the owed
+    // replay appends under 7, so 7 is claimed too
+    assert(new java.io.File(s"$dir/markers/merge-7.intent")
+      .createNewFile())
+    val minted = LayoutIngest.appendNext(spark, dir,
+      rows(20 until 30).toDF("id", "x", "y"), 1)
+    assert(minted === 8L,
+      s"appendNext must mint past the orphan (5) and the intent (7), " +
+        s"got $minted")
+    // the orphan's rows and the append's rows both survive (the orphan
+    // is adopted by the next maintenance pass; its data was live all
+    // along by the publish-point rule)
+    assert(LayoutIngest.read(spark, dir)
+      .select("id").as[Long].collect().toSet ===
+      ((0 until 10) ++ (40 until 45) ++ (20 until 30))
+        .map(_.toLong).toSet)
+  }
 }
