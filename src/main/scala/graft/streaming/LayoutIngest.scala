@@ -537,7 +537,11 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
   def compactMarkers(spark: SparkSession, dir: String): Unit =
     LedgerLock.withLock(spark, dir)(compactMarkersLocked(spark, dir))
 
-  /** What [[vacuum]] swept, for operations logging/asserts. */
+  /** What [[vacuum]] swept, for operations logging/asserts.
+    * `manifestsReplayed` counts manifests RESOLVED by the recovery
+    * pass — committed ones replayed to completion plus uncommitted
+    * (crash-mid-write) ones discarded with their stages;
+    * `genStagesDropped` is the WAL-less stage orphans beyond those. */
   final case class VacuumStats(manifestsReplayed: Int,
       genStagesDropped: Int, ingestStagesDropped: Int,
       emptyUnitsDropped: Int)
@@ -585,18 +589,25 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     withMaintLock(spark, dir) {
       val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
       val (_, root) = DedupIngest.fs(spark, dir)
-      def genStages: Int =
-        if (!f.exists(root)) 0
-        else f.listStatus(root).toSeq
-          .count(_.getPath.getName.matches("gen-.*\\.stage"))
       def manifests: Int =
         if (!f.exists(markers)) 0
         else f.listStatus(markers).toSeq
           .count(_.getPath.getName.matches("compact-.*\\.manifest"))
-      val (g0, m0) = (genStages, manifests)
+      // WAL-less orphan stages counted DIRECTLY (a stage with no
+      // manifest — recoverCompact discards exactly these), not
+      // inferred from before/after listing deltas: a committed
+      // manifest whose stage was already consumed would skew a delta
+      val orphanStages =
+        if (!f.exists(root)) 0
+        else f.listStatus(root).toSeq
+          .map(_.getPath.getName)
+          .filter(_.matches("gen-.*\\.stage"))
+          .count(n => !f.exists(manifestPath(spark, dir,
+            n.stripPrefix("gen-").stripSuffix(".stage"))))
+      val m0 = manifests
       recoverCompact(spark, dir)
       adoptOrphanBatches(spark, dir)
-      val (g1, m1) = (genStages, manifests)
+      val m1 = manifests
 
       // zero-row live units (class 3). liveDirs, not a raw listing:
       // recoverCompact just ran under this lock, so no committed
@@ -632,7 +643,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         compactMarkersLocked(spark, dir)
       }
       VacuumStats(manifestsReplayed = m0 - m1,
-        genStagesDropped = math.max(0, g0 - g1 - (m0 - m1)),
+        genStagesDropped = orphanStages,
         ingestStagesDropped = stages, emptyUnitsDropped = emptied)
     }
 
@@ -1830,22 +1841,24 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
   /** Checkpoint location → the stream's DURABLE query id (the
     * `<checkpoint>/metadata` JSON MicroBatchExecution writes at query
     * start — stable across restarts of the same checkpoint, unlike
-    * `runId`). Read once per location per JVM. */
-  private val queryIdCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
+    * `runId`). Read FRESH per call, never cached per-JVM: a checkpoint
+    * dir deleted and recreated at the same path gets a NEW query id,
+    * and a cached old id would match the old query's surviving e0
+    * reservation — resolving the fresh stream's epoch 0 to an
+    * already-committed ledger id and silently dropping its rows. One
+    * tiny metadata read per micro-batch (under the tail lock the
+    * caller already holds) is noise next to the ingest itself. */
   private def checkpointQueryId(spark: SparkSession,
-      checkpoint: String): String =
-    queryIdCache.computeIfAbsent(checkpoint, ckpt => {
-      val (f, p) = DedupIngest.fs(spark, s"$ckpt/metadata")
-      val in = f.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
-        .map(_.group(1)).getOrElse(throw new IllegalStateException(
-          s"LayoutIngest: no query id in $ckpt/metadata — not a " +
-            "structured-streaming checkpoint?"))
-    })
+      checkpoint: String): String = {
+    val (f, p) = DedupIngest.fs(spark, s"$checkpoint/metadata")
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse(throw new IllegalStateException(
+        s"LayoutIngest: no query id in $checkpoint/metadata — not a " +
+          "structured-streaming checkpoint?"))
+  }
 
   /** The `txnIds` micro-batch body: resolve this (queryId, epoch) to
     * its ledger id — the reservation marker if one exists (a REPLAY of

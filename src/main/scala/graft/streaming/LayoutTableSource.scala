@@ -245,22 +245,16 @@ class LayoutTableSource extends StreamSourceProvider
           "required on the WRITER (the checkpoint's durable query id " +
           "keys the ledger txn reservations; a session-default " +
           "checkpoint root is not visible to the sink)"))
-    def intOpt(key: String, default: Int, min: Int): Int = {
-      val v = parameters.get(key).map(s => s.toIntOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"graft-layout sink: $key must be an integer, got '$s'")))
-        .getOrElse(default)
+    // one parser for every numeric sink option: parse the value the
+    // caller already retrieved (no re-lookup, no impossible defaults)
+    def num(key: String, s: String, min: Long): Long = {
+      val v = s.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-layout sink: $key must be an integer, got '$s'"))
       require(v >= min, s"graft-layout sink: $key must be >= $min, got $v")
       v
     }
-    def longOpt(key: String, default: Long, min: Long): Long = {
-      val v = parameters.get(key).map(s => s.toLongOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"graft-layout sink: $key must be an integer, got '$s'")))
-        .getOrElse(default)
-      require(v >= min, s"graft-layout sink: $key must be >= $min, got $v")
-      v
-    }
+    def numOr(key: String, default: Long, min: Long): Long =
+      parameters.get(key).map(num(key, _, min)).getOrElse(default)
     val epochIds = parameters.get("epochIds").map(_.toLowerCase) match {
       case None | Some("false") => false
       case Some("true") => true
@@ -268,11 +262,11 @@ class LayoutTableSource extends StreamSourceProvider
         s"graft-layout sink: epochIds must be true or false, got '$other'")
     }
     new LayoutStreamSink(dir, checkpoint,
-      filesPerBatch = intOpt("filesPerBatch", 4, 1),
+      filesPerBatch = numOr("filesPerBatch", 4, 1).toInt,
       compactEvery = parameters.get("compactEvery")
-        .map(_ => intOpt("compactEvery", 0, 1)),
-      smallFileBytes = longOpt("smallFileBytes", 32L << 20, 1L),
-      lockWaitMs = longOpt("lockWaitMs", 30000L, 0L),
+        .map(num("compactEvery", _, 1).toInt),
+      smallFileBytes = numOr("smallFileBytes", 32L << 20, 1L),
+      lockWaitMs = numOr("lockWaitMs", 30000L, 0L),
       txnIds = !epochIds)
   }
 }

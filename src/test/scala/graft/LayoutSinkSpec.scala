@@ -99,6 +99,35 @@ class LayoutSinkSpec extends SparkSpec {
     assert(LayoutIngest.read(spark, dir).count() === 30L)
   }
 
+  test("a checkpoint dir DELETED and RECREATED at the same path is a " +
+      "new query: its epoch 0 mints a fresh id (no stale-cached query " +
+      "id resolving the old e0 reservation into a silent drop)") {
+    implicit val sql = spark.sqlContext
+    val dir = tmp("sink-ckreuse")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    val ckpt = tmp("sink-ckreuse-ck")
+    def run(ids: Range): Unit = {
+      val input = MemoryStream[(Long, Long, Long)]
+      input.addData(rows(ids))
+      val q = input.toDF().toDF("id", "x", "y").writeStream
+        .format("graft-layout")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dir)
+      try q.awaitTermination() finally q.stop()
+    }
+    run(0 until 10) // old query: epoch 0 → ledger id 0, reservation kept
+    // the user "starts fresh": same PATH, new checkpoint → new query id
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(ckpt))
+    run(20 until 30) // epoch 0 AGAIN — must mint id 1, not replay id 0
+    val byBatch = LayoutIngest.readSince(spark, dir, -1L)
+      .groupBy(LayoutIngest.BatchCol).count()
+      .as[(Long, Long)].collect().toMap
+    assert(byBatch === Map(0L -> 10L, 1L -> 10L),
+      s"recreated checkpoint's epoch 0 must not collide: $byBatch")
+  }
+
   test("compactEvery cadence folds through the sink") {
     implicit val sql = spark.sqlContext
     val dir = tmp("sink-fold")
