@@ -7972,6 +7972,68 @@ WHERE rk <= 40"""
       .select(col("event_id"), col("zkey"))
   }
 
+  /** SQL TIME TRAVEL via the `graft_table` TVF
+    * ([[graft.sql.GraftTvf.table]]): the event log lands as two
+    * batches split at the ts midpoint, and
+    * `SELECT ... FROM graft_table('<dir>', 0)` must serve EXACTLY the
+    * first batch's rows with their persisted keys — the as-of snapshot
+    * through pure SQL, resolved to the relation plan (pushdown and
+    * provenance pruning intact; the premise pins the full read too).
+    * Oracle: q155's key formula restricted by the same integer
+    * midpoint arithmetic. */
+  val q190SqlTimeTravel: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val root = streamIndexDir("q190", dir, "events")
+    val tableDir = s"$root/table"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val cut = b.getLong(2) / 2 + b.getLong(3) / 2
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(col("ts_us") < cut), 0L, tableDir, 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(col("ts_us") >= cut), 1L, tableDir, 4): Unit
+      // premise: the no-arg TVF serves the CURRENT state
+      require(s.sql(s"SELECT count(*) FROM graft_table('$tableDir')")
+          .head().getLong(0) == ev.count(),
+        "q190 premise: graft_table('<dir>') must serve the full table")
+      done.createNewFile(): Unit
+    }
+    s.sql("SELECT event_id, zkey " +
+      s"FROM graft_table('$tableDir', 0)")
+  }
+
+  /** q155's formula restricted to batch 0's slice (ts below the
+    * integer midpoint — the same `/2 + /2` floor arithmetic the
+    * builder uses). */
+  val q190Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx
+       |  FROM events),
+       |q AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy
+       |  FROM events
+       |  WHERE CAST(epoch_us(ts) AS BIGINT) <
+       |    (SELECT tmn // 2 + tmx // 2 FROM b))
+       |SELECT event_id, $terms AS zkey FROM q""".stripMargin
+  }
+
   val q176Sql: String =
     """SELECT kind, id, committed FROM (VALUES
       |  ('ingest-upto', CAST(2 AS BIGINT), true),
@@ -9055,7 +9117,10 @@ WHERE rk <= 40"""
     "q188_vacuum" -> (q188Vacuum, Some(q162Sql)),
     // q189 re-runs q155's key oracle against a table REPLICATED from
     // another through one readStream→writeStream format pipeline
-    "q189_cdc_replicate" -> (q189CdcReplicate, Some(q155Sql)))
+    "q189_cdc_replicate" -> (q189CdcReplicate, Some(q155Sql)),
+    // q190: SQL time travel — graft_table('<dir>', 0) must serve
+    // exactly batch 0's slice under q155's formula
+    "q190_sql_time_travel" -> (q190SqlTimeTravel, Some(q190Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

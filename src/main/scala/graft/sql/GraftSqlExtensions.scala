@@ -59,6 +59,12 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // imports: SELECT * FROM graft_history('/path/to/table')
     ext.injectTableFunction(GraftTvf.history)
     ext.injectTableFunction(GraftTvf.describe)
+    // ad-hoc DATA reads without DDL: graft_table('<dir>'[, asOf]) /
+    // graft_table_since('<dir>', b) resolve to the RELATION's plan, so
+    // pushdown unit pruning and the provenance bounds work exactly as
+    // through CREATE TEMP VIEW ... USING graft-layout
+    ext.injectTableFunction(GraftTvf.table)
+    ext.injectTableFunction(GraftTvf.tableSince)
   }
 }
 
@@ -95,6 +101,59 @@ private[graft] object GraftTvf {
     * ([[LayoutIngest.describe]]: unit, files, rows, bytes + the
     * pruner's column ranges). */
   val describe = one("graft_describe", LayoutIngest.describe)
+
+  private def strLit(e: Expression): Option[String] =
+    if (e.foldable && e.dataType == StringType && e.eval() != null)
+      Some(e.eval().toString)
+    else None
+
+  private def longLit(e: Expression): Option[Long] = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType
+        if e.foldable && e.eval() != null =>
+      Some(e.eval().toString.toLong)
+    case _ => None
+  }
+
+  private def relationPlan(dir: String, since: Option[Long],
+      asOf: Option[Long]) = {
+    val spark = SparkSession.active
+    var r = spark.read.format("graft-layout").option("path", dir)
+    since.foreach(b => r = r.option("sinceBatch", b.toString))
+    asOf.foreach(b => r = r.option("asOfBatch", b.toString))
+    ColumnBridge.analyzedPlan(r.load())
+  }
+
+  /** `graft_table('<dir>')` = the current state;
+    * `graft_table('<dir>', b)` = the as-of-batch-b snapshot
+    * ([[LayoutIngest.readAsOf]]'s view). Resolves to the
+    * [[LayoutTableRelation]] plan — pushdown pruning intact. */
+  val table = (
+    FunctionIdentifier("graft_table"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      GraftTvf.getClass.getName, "graft_table"),
+    (args: Seq[Expression]) => args match {
+      case Seq(p) if strLit(p).nonEmpty =>
+        relationPlan(strLit(p).get, None, None)
+      case Seq(p, b) if strLit(p).nonEmpty && longLit(b).nonEmpty =>
+        relationPlan(strLit(p).get, None, longLit(b))
+      case _ => throw new IllegalArgumentException(
+        "graft_table expects ('<table dir>') or ('<table dir>', " +
+          "<asOfBatch integer literal>)")
+    })
+
+  /** `graft_table_since('<dir>', b)` — the CDC view, rows of batches
+    * > b with `__batch` kept ([[LayoutIngest.readSince]]). */
+  val tableSince = (
+    FunctionIdentifier("graft_table_since"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      GraftTvf.getClass.getName, "graft_table_since"),
+    (args: Seq[Expression]) => args match {
+      case Seq(p, b) if strLit(p).nonEmpty && longLit(b).nonEmpty =>
+        relationPlan(strLit(p).get, longLit(b), None)
+      case _ => throw new IllegalArgumentException(
+        "graft_table_since expects ('<table dir>', <afterBatch " +
+          "integer literal>)")
+    })
 }
 
 /** Unwraps the alias/view chain the analyzer leaves over a resolved

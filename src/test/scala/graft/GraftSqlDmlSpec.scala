@@ -123,6 +123,49 @@ class GraftSqlDmlSpec extends SparkSpec {
       msgs(e).mkString(" | "))
   }
 
+  test("graft_table / graft_table_since ≡ the API data views, with " +
+      "pushdown intact and bad args refused") {
+    val dir = freshTable("sqldml-tbl")
+    LayoutIngest.ingestBatch(
+      (51L to 60L).map(i => (i, i % 100, s"w$i")).toDF("a", "b", "s"),
+      1L, dir, 1): Unit
+    // current state
+    assert(spark.sql(s"SELECT a, b, s FROM graft_table('$dir')")
+        .collect().toSet ===
+      LayoutIngest.read(spark, dir).select("a", "b", "s")
+        .collect().toSet)
+    // as-of batch 0
+    assert(spark.sql(s"SELECT a FROM graft_table('$dir', 0)")
+        .as[Long].collect().toSet === (0L to 50L).toSet)
+    // CDC since batch 0 (carries __batch)
+    val since = spark.sql(
+      s"SELECT a, __batch FROM graft_table_since('$dir', 0)")
+      .as[(Long, Long)].collect().toSet
+    assert(since === (51L to 60L).map(i => (i, 1L)).toSet)
+    // the TVF resolves to the RELATION plan: a pushed point filter on
+    // the bloom column must prune like the temp-view path does
+    graft.streaming.LayoutScanStats.lastUnitsRead = -1
+    graft.streaming.LayoutScanStats.lastUnitsLive = -1
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_table('$dir') WHERE a = 55")
+      .head().getLong(0) === 1L)
+    val read = graft.streaming.LayoutScanStats.lastUnitsRead
+    val live = graft.streaming.LayoutScanStats.lastUnitsLive
+    assert(read >= 0 && read < live,
+      s"bloom pushdown must prune through the TVF: read $read/$live")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table('$dir', 'zero')") }
+    assert(msgs(e1).exists(_.contains("graft_table expects")),
+      msgs(e1).mkString(" | "))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_table_since('/nope')") }
+    assert(msgs(e2).exists(_.contains("graft_table_since expects")),
+      msgs(e2).mkString(" | "))
+  }
+
   test("unsupported shapes are refused with typed errors, supported " +
       "ones on provenance views too") {
     val dir = freshTable("sqldml-refuse")
