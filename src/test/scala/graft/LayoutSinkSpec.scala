@@ -99,6 +99,39 @@ class LayoutSinkSpec extends SparkSpec {
     assert(LayoutIngest.read(spark, dir).count() === 30L)
   }
 
+  test("restart of the SAME checkpoint is exactly-once through a " +
+      "fresh Sink object: ids and idempotence live in the ledger, " +
+      "not the sink instance") {
+    val dir = tmp("sink-restart")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    val ckpt = tmp("sink-restart-ck")
+    val in = tmp("sink-restart-in")
+    val schema = rows(0 until 1).toDF("id", "x", "y").schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$in/*")
+        .writeStream
+        .format("graft-layout")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dir)
+      try q.awaitTermination() finally q.stop()
+    }
+    rows(0 until 10).toDF("id", "x", "y").coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/b1")
+    run() // epoch 0 → ledger id 0
+    rows(10 until 20).toDF("id", "x", "y").coalesce(1)
+      .write.mode("overwrite").parquet(s"$in/b2")
+    run() // restart: a NEW LayoutStreamSink serves ONLY the new file
+    val byBatch = LayoutIngest.readSince(spark, dir, -1L)
+      .groupBy(LayoutIngest.BatchCol).count()
+      .as[(Long, Long)].collect().toMap
+    assert(byBatch === Map(0L -> 10L, 1L -> 10L),
+      s"restart must continue the ledger exactly-once: $byBatch")
+    assert(LayoutIngest.read(spark, dir)
+      .select("id").as[Long].collect().toSet ===
+      (0 until 20).map(_.toLong).toSet)
+  }
+
   test("a checkpoint dir DELETED and RECREATED at the same path is a " +
       "new query: its epoch 0 mints a fresh id (no stale-cached query " +
       "id resolving the old e0 reservation into a silent drop)") {
