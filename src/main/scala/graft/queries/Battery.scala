@@ -6485,8 +6485,13 @@ WHERE rk <= 40"""
     // native store init dominates when state is a few thousand rows);
     // the default HDFS-backed store stays. At production state sizes
     // the trade reverses — that's a deployment conf, not a harness one.
+    // 8 vs 4 vs 2 re-measured (r16, TimeQ steady-state on
+    // q153/q152/q158): identical within noise — below 8 partitions the
+    // cost floor is per-OPERATOR commit overhead, not partition count.
+    // The env knob stays for deployment experiments.
     val before = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "8"))
     try {
       val q = out.writeStream.format("memory").queryName(tbl)
         .outputMode("append")

@@ -89,6 +89,30 @@ class LayoutVacuumSpec extends SparkSpec {
     assert(LayoutIngest.read(spark, dir).count() === 100L)
   }
 
+  test("vacuum against a LIVE streaming table: the stream keeps " +
+      "ingesting (tail nest is short), reads stay exact") {
+    implicit val sql = spark.sqlContext
+    val dir = tmp("vac-live")
+    LayoutIngest.bootstrap(spark, dir, grid)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)](900, spark)
+    val q = LayoutIngest.start(input.toDF().toDF("id", "x", "y"),
+      dir, tmp("vac-live-ck"), txnIds = true)
+    try {
+      input.addData(rows(0 until 20)); q.processAllAvailable()
+      // debris to sweep while the stream is attached
+      val dead = new java.io.File(s"$dir/data.stage-42")
+      dead.mkdirs()
+      val st = LayoutIngest.vacuum(spark, dir)
+      assert(st.ingestStagesDropped === 1)
+      input.addData(rows(20 until 40)); q.processAllAvailable()
+    } finally q.stop()
+    assert(LayoutIngest.read(spark, dir)
+      .select("id").as[Long].collect().toSet ===
+      (0 until 40).map(_.toLong).toSet,
+      "rows ingested before and after the vacuum must all be present")
+  }
+
   test("vacuum replays a committed-but-unfinished manifest to " +
       "completion (the recoverCompact half)") {
     val dir = tmp("vac-manifest")
