@@ -6352,6 +6352,14 @@ WHERE rk <= 40"""
     * (mtimes order the files oldest-first), i.e. two GENUINE
     * micro-batches through whatever stateful operator the caller
     * stacks on top. */
+  /** Recursive on-disk parquet byte count of a fixture dir (bench
+    * premises; sidecars and hidden files excluded by suffix). */
+  private def parquetBytes(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .map(parquetBytes).sum
+    else if (f.getName.endsWith(".parquet")) f.length else 0L
+
   private def eventStreamSource(s: SparkSession, dir: String, tag: String,
       ev: DataFrame): DataFrame = {
     val root = streamIndexDir(tag, dir, "events")
@@ -6880,11 +6888,6 @@ WHERE rk <= 40"""
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
       ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true)
     q.awaitTermination()
-    def parquetBytes(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-          .map(parquetBytes).sum
-      else if (f.getName.endsWith(".parquet")) f.length else 0L
     val dataDir = new java.io.File(s"$tableDir/data")
     def tops = Option(dataDir.listFiles())
       .getOrElse(Array.empty[java.io.File]).filter(_.isDirectory)
@@ -6944,11 +6947,6 @@ WHERE rk <= 40"""
     // fold into a ~8-leaf range-split generation (q165's shape): with
     // only the two L0 batch dirs every unit holds ids from the whole
     // domain and a spread probe could not prune anything
-    def parquetBytes(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-          .map(parquetBytes).sum
-      else if (f.getName.endsWith(".parquet")) f.length else 0L
     val dataDir = new java.io.File(s"$tableDir/data")
     if (Option(dataDir.listFiles()).getOrElse(Array.empty[java.io.File])
         .count(_.isDirectory) >= 2)
@@ -7163,11 +7161,6 @@ WHERE rk <= 40"""
       graft.streaming.LayoutIngest.ingestBatch(
         ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
         1L, tableDir, filesPerBatch = 4): Unit
-      def parquetBytes(f: java.io.File): Long =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .map(parquetBytes).sum
-        else if (f.getName.endsWith(".parquet")) f.length else 0L
       val dataDir = new java.io.File(s"$tableDir/data")
       graft.streaming.LayoutIngest.compact(s, tableDir,
         smallFileBytes = 1L << 30,
@@ -7603,11 +7596,6 @@ WHERE rk <= 40"""
       graft.streaming.LayoutIngest.ingestBatch(
         ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
         1L, tableDir, filesPerBatch = 4): Unit
-      def parquetBytes(f: java.io.File): Long =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .map(parquetBytes).sum
-        else if (f.getName.endsWith(".parquet")) f.length else 0L
       val dataDir = new java.io.File(s"$tableDir/data")
       graft.streaming.LayoutIngest.compact(s, tableDir,
         smallFileBytes = 1L << 30,
@@ -7666,11 +7654,6 @@ WHERE rk <= 40"""
       graft.streaming.LayoutIngest.ingestBatch(
         ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
         1L, tableDir, filesPerBatch = 4): Unit
-      def parquetBytes(f: java.io.File): Long =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .map(parquetBytes).sum
-        else if (f.getName.endsWith(".parquet")) f.length else 0L
       val dataDir = new java.io.File(s"$tableDir/data")
       graft.streaming.LayoutIngest.compact(s, tableDir,
         smallFileBytes = 1L << 30,
@@ -8132,11 +8115,6 @@ WHERE rk <= 40"""
         } catch { case t: Throwable => writerErr = t }
         finally { writerDone.set(true); batch2Committed.countDown() }
       }, "q177-writer")
-      def parquetBytes(f: java.io.File): Long =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .map(parquetBytes).sum
-        else if (f.getName.endsWith(".parquet")) f.length else 0L
       // range-split targets (~8 leaves per fold) keep the table
       // multi-unit at every SF so the merge-prune premise can bite
       def fold(): Unit = graft.streaming.LayoutIngest.compact(
@@ -8271,11 +8249,6 @@ WHERE rk <= 40"""
     q.awaitTermination()
     // q165's range-split fold: leaf-granular units give the pushed
     // box something to prune (one monolithic gen would force 1/1)
-    def parquetBytes(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-          .map(parquetBytes).sum
-      else if (f.getName.endsWith(".parquet")) f.length else 0L
     val dataDir = new java.io.File(s"$tableDir/data")
     def tops = Option(dataDir.listFiles())
       .getOrElse(Array.empty[java.io.File]).filter(_.isDirectory)
@@ -8415,11 +8388,6 @@ WHERE rk <= 40"""
       graft.streaming.LayoutIngest.ingestBatch(
         ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
         1L, tableDir, filesPerBatch = 4): Unit
-      def parquetBytes(f: java.io.File): Long =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .map(parquetBytes).sum
-        else if (f.getName.endsWith(".parquet")) f.length else 0L
       graft.streaming.LayoutIngest.compact(s, tableDir,
         smallFileBytes = 1L << 30,
         targetFileBytes = math.max(1L,
@@ -8469,11 +8437,6 @@ WHERE rk <= 40"""
       graft.streaming.LayoutIngest.ingestBatch(
         ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
         1L, tableDir, filesPerBatch = 4): Unit
-      def parquetBytes(f: java.io.File): Long =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .map(parquetBytes).sum
-        else if (f.getName.endsWith(".parquet")) f.length else 0L
       graft.streaming.LayoutIngest.compact(s, tableDir,
         smallFileBytes = 1L << 30,
         targetFileBytes = math.max(1L,
@@ -8596,8 +8559,24 @@ WHERE rk <= 40"""
           lit(b.getLong(3) + 1000L).as("event_id")),
         batchId = 8L): Unit
       inFlight.set(false)
-      // one guaranteed post-merge observation, then stop
-      awaitPolls(polls.size() + 1)
+      // await a poll that OBSERVES the converged post-merge state: a
+      // poll completed after mergeRows returned may still have PLANNED
+      // its scan mid-merge (reads bind their file listing at plan
+      // time), so "one more poll" alone can record a mid-merge count
+      // as the final observation — a scheduling fluke, not a
+      // visibility violation. At most a handful of stale-planned polls
+      // can precede a fresh one; cap defensively.
+      var spins = 0
+      var converged = false
+      while (!converged) {
+        awaitPolls(polls.size() + 1)
+        converged =
+          polls.toArray(Array.empty[(Boolean, Long)]).last._2 == 1L
+        spins += 1
+        require(spins < 100,
+          "q183: post-merge polls never converged to the merged " +
+            "single row — a real visibility bug, not scheduling")
+      }
       stop.set(true)
       reader.join(30000)
       val obs = polls.toArray(Array.empty[(Boolean, Long)]).toSeq

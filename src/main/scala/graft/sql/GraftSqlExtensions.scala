@@ -175,7 +175,13 @@ private[graft] class GraftDmlRule(session: SparkSession)
   extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    case DeleteFromTable(t @ LayoutTarget(rel), cond) =>
+    // `d.resolved` guard (mirroring the MERGE case): post-hoc rules
+    // run before CheckAnalysis, so without it a typo'd column reaches
+    // toBox as an UnresolvedAttribute and the user gets "not a
+    // conjunction of ranges" instead of Spark's proper
+    // UNRESOLVED_COLUMN error with suggestions
+    case d @ DeleteFromTable(t @ LayoutTarget(rel), cond)
+        if d.resolved =>
       refuseProvenance(rel, "DELETE")
       GraftDeleteCommand(rel.tableDir,
         DmlTranslate.toBox(cond, t.outputSet))
@@ -332,6 +338,16 @@ private[graft] object DmlTranslate {
           "between one target column and one source column (the " +
           "mergeRows key)")
     }
+    // refuse a COMPUTED-column key UP FRONT (before any command is
+    // built): keying on zkey would pass every shape check here and
+    // then die inside mergeRows AFTER its intent marker is created —
+    // a permanently uncommitted intent in the ledger for a statement
+    // that never could have run (the key must identify rows the way
+    // the user wrote them; the cluster key is derived state)
+    if (keyCol == LayoutIngest.KeyCol) err(
+      s"the merge key cannot be the computed cluster key " +
+        s"'${LayoutIngest.KeyCol}' — it is derived from the grid, not " +
+        "row identity; key the MERGE on a payload column")
     val uas = m.matchedActions match {
       case Seq(UpdateAction(None, as, _)) => as
       case Seq(UpdateAction(Some(c), _, _)) => err(

@@ -194,21 +194,19 @@ object LedgerLock {
       acquired = tryAcquire(f, p)
       if (!acquired) {
         val waiting = System.currentTimeMillis() < deadline
-        if (attempts >= 4 && !waiting)
-          throw new ConcurrentWriterException(
-            s"ledger dir $dir: lock contention persisted across " +
-              s"$attempts acquire attempts — a live writer is cycling " +
-              "the lock. Single-writer contract violated.")
         val st = try Some(f.getFileStatus(p))
           catch { case _: java.io.IOException => None }
+        var retiredThisPass = false
         st.foreach { status =>
           val holder = readOwner(f, p).getOrElse("unknown")
           val ageMs = math.max(0L,
             System.currentTimeMillis() - status.getModificationTime)
           val stale = staleMs > 0 && ageMs > staleMs
           val dead = holderProvablyDead(holder)
-          if (!(stale || dead) ||
-              !retireAside(f, p, holder, status.getModificationTime)) {
+          val retired = (stale || dead) &&
+            retireAside(f, p, holder, status.getModificationTime)
+          retiredThisPass = retired
+          if (!retired) {
             if (waiting)
               // live holder, budget remains: wait out its critical
               // section (coarse 50ms ticks — these sections are
@@ -231,7 +229,18 @@ object LedgerLock {
           // racer that slips in is seen next pass as a FRESH lock
           // (alive holder, age ~0) and produces the contention error.
         }
-        // st == None: the lock vanished (holder released) — just retry
+        // st == None: the lock vanished (holder released) — just retry.
+        // Loop backstop AFTER the status pass (so a budget-expired
+        // LIVE holder always gets the informative holder/age/break
+        // message above, with a final dead-holder retirement attempt,
+        // never this generic one), and NOT on a pass that just retired
+        // (the next create attempt is owed): only vanish churn that
+        // never yields the create reaches here out of budget
+        if (attempts >= 4 && !waiting && !retiredThisPass)
+          throw new ConcurrentWriterException(
+            s"ledger dir $dir: lock contention persisted across " +
+              s"$attempts acquire attempts — a live writer is cycling " +
+              "the lock. Single-writer contract violated.")
       }
     }
     // release ONLY our own lock: if a lease/dead-pid recovery retired

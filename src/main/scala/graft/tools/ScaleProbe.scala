@@ -216,11 +216,36 @@ object ScaleProbe {
     val (fsys, probe) = (new org.apache.hadoop.fs.Path(out))
       .getFileSystem(spark.sessionState.newHadoopConf()) ->
       new org.apache.hadoop.fs.Path(s"$out/embeddings.parquet")
+    // mode stamp: the reuse probe must VALIDATE the derivation mode,
+    // not just existence — a heaps-mode run silently measuring a
+    // previously-built bijection corpus (or vice versa) would produce
+    // exactly the generator-artifact ratios the mode distinction
+    // exists to separate
+    val stamp = new org.apache.hadoop.fs.Path(s"$out/textmode")
+    def readStamp(): Option[String] =
+      if (!fsys.exists(stamp)) None
+      else {
+        val in = fsys.open(stamp)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim)
+        finally in.close()
+      }
     if (!fsys.exists(probe)) {
       println(s"[scale] building ${copies}x ($textMode) of $base " +
         s"under $out")
       scaleUp(spark, base, out, copies, eventsCopies, textMode)
-    } else println(s"[scale] reusing $out")
+      val os = fsys.create(stamp, true)
+      try os.write(textMode.getBytes("UTF-8")) finally os.close()
+    } else {
+      // pre-stamp dirs (built before this check) default to the
+      // default mode — exactly what they were built with
+      val built = readStamp().getOrElse("bijection")
+      require(built == textMode,
+        s"[scale] $out was built with textMode=$built but this run " +
+          s"asked for $textMode — use a distinct SPARK_GRAFT_SCALE_DIR " +
+          "per mode (the derivations are not comparable)")
+      println(s"[scale] reusing $out (textMode=$built)")
+    }
 
     // both scales timed in THIS JVM so the ratio is box-consistent;
     // per QUERY the base reps run immediately before the scaled reps

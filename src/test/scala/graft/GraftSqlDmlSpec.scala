@@ -212,6 +212,34 @@ class GraftSqlDmlSpec extends SparkSpec {
     // UPDATE gets the actionable whole-row-upsert refusal, not
     // Spark's generic unsupported-operation internal error
     refuses("UPDATE sref SET b = 1 WHERE a = 2", "WHOLE-ROW upsert")
+    // the computed cluster key cannot be the merge KEY — refused
+    // BEFORE any command (a mergeRows attempt would die AFTER its
+    // intent marker, burning a ledger id on an impossible statement)
+    spark.read.format("graft-layout").load(dir)
+      .createOrReplaceTempView("sref_zk")
+    spark.table("sref_zk").limit(1).createOrReplaceTempView("sref_zksrc")
+    refuses("""MERGE INTO sref_zk USING sref_zksrc
+      ON sref_zk.zkey = sref_zksrc.zkey
+      WHEN MATCHED THEN UPDATE SET a = sref_zksrc.a, b = sref_zksrc.b,
+        s = sref_zksrc.s
+      WHEN NOT MATCHED THEN INSERT (a, b, s, zkey)
+        VALUES (sref_zksrc.a, sref_zksrc.b, sref_zksrc.s,
+          sref_zksrc.zkey)""",
+      "cannot be the computed cluster key")
+    // no standing merge intent was left by the refusal
+    assert(!Option(new java.io.File(s"$dir/markers").list())
+      .exists(_.exists(_.endsWith(".intent"))),
+      "a refused MERGE must not burn a ledger id")
+    // a typo'd DELETE column surfaces Spark's unresolved-column error
+    // (with suggestions), not the box-translation refusal
+    val te = intercept[Exception](
+      spark.sql("DELETE FROM sref WHERE a_typo = 1"))
+    def msgs2(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs2(x.getCause))
+    assert(msgs2(te).exists(m => m.contains("a_typo") &&
+        !m.contains("not a conjunction")),
+      msgs2(te).mkString(" | "))
     // provenance views refuse writes
     spark.read.format("graft-layout").option("asOfBatch", "0").load(dir)
       .createOrReplaceTempView("sref_asof")
