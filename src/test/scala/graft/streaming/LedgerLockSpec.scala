@@ -69,6 +69,39 @@ class LedgerLockSpec extends graft.SparkSpec {
     p.pid()
   }
 
+  test("withLockWait budget expiry on a LIVE holder throws the " +
+      "INFORMATIVE holder-naming error, not the generic cycling " +
+      "backstop (whose tick count always exceeds 4 on real budgets)") {
+    val dir = tmp("lock-wait-expire")
+    val inside = new java.util.concurrent.CountDownLatch(1)
+    val proceed = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      LedgerLock.withLock(spark, dir) {
+        inside.countDown()
+        proceed.await(30, java.util.concurrent.TimeUnit.SECONDS): Unit
+      }
+    })
+    holder.start()
+    assert(inside.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      // 400ms budget = ~8 ticks, attempts well past the backstop's 4
+      val e = intercept[LedgerLock.ConcurrentWriterException] {
+        LedgerLock.withLockWait(spark, dir, 400L) { fail("must not enter") }
+      }
+      assert(e.getMessage.contains("locked by writer"),
+        s"budget expiry must name the holder: ${e.getMessage}")
+      assert(e.getMessage.contains("waited 400ms"),
+        s"and report the spent budget: ${e.getMessage}")
+    } finally {
+      proceed.countDown()
+      holder.join(10000)
+    }
+    // the dir is reusable once the holder releases
+    var entered = false
+    LedgerLock.withLockWait(spark, dir, 400L) { entered = true }
+    assert(entered)
+  }
+
   test("dead-holder detection: same-host exited pid is provably dead; " +
       "live pid, foreign host, and garbage are not") {
     val dead = deadPid()
