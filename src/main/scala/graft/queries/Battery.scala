@@ -6340,6 +6340,14 @@ WHERE rk <= 40"""
       |ORDER BY key DESC, doc_id
       |LIMIT 40""".stripMargin
 
+  /** Recursive on-disk parquet byte count of a fixture dir (bench
+    * premises; sidecars and hidden files excluded by suffix). */
+  private def parquetBytes(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .map(parquetBytes).sum
+    else if (f.getName.endsWith(".parquet")) f.length else 0L
+
   /** The two-micro-batch stream harness every oracle-gated stream twin
     * (q152–q154) feeds from: `ev` — `(…, ts timestamp, …)` — split at
     * its event-time midpoint into two parquet files (so per-user
@@ -6352,14 +6360,6 @@ WHERE rk <= 40"""
     * (mtimes order the files oldest-first), i.e. two GENUINE
     * micro-batches through whatever stateful operator the caller
     * stacks on top. */
-  /** Recursive on-disk parquet byte count of a fixture dir (bench
-    * premises; sidecars and hidden files excluded by suffix). */
-  private def parquetBytes(f: java.io.File): Long =
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        .map(parquetBytes).sum
-    else if (f.getName.endsWith(".parquet")) f.length else 0L
-
   private def eventStreamSource(s: SparkSession, dir: String, tag: String,
       ev: DataFrame): DataFrame = {
     val root = streamIndexDir(tag, dir, "events")

@@ -102,16 +102,17 @@ private[graft] object GraftTvf {
     * pruner's column ranges). */
   val describe = one("graft_describe", LayoutIngest.describe)
 
-  private def strLit(e: Expression): Option[String] =
-    if (e.foldable && e.dataType == StringType && e.eval() != null)
-      Some(e.eval().toString)
-    else None
-
-  private def longLit(e: Expression): Option[Long] = e.dataType match {
-    case ByteType | ShortType | IntegerType | LongType
-        if e.foldable && e.eval() != null =>
-      Some(e.eval().toString.toLong)
-    case _ => None
+  /** Extractor forms (bind once in match arms, no double-eval); the
+    * integral case delegates to the ONE literal-to-Long reading
+    * ([[DmlTranslate.litLong]] — shared with the DELETE translation). */
+  private object Str {
+    def unapply(e: Expression): Option[String] =
+      if (e.foldable && e.dataType == StringType && e.eval() != null)
+        Some(e.eval().toString)
+      else None
+  }
+  private object Lng {
+    def unapply(e: Expression): Option[Long] = DmlTranslate.litLong(e)
   }
 
   private def relationPlan(dir: String, since: Option[Long],
@@ -132,10 +133,8 @@ private[graft] object GraftTvf {
     new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
       GraftTvf.getClass.getName, "graft_table"),
     (args: Seq[Expression]) => args match {
-      case Seq(p) if strLit(p).nonEmpty =>
-        relationPlan(strLit(p).get, None, None)
-      case Seq(p, b) if strLit(p).nonEmpty && longLit(b).nonEmpty =>
-        relationPlan(strLit(p).get, None, longLit(b))
+      case Seq(Str(d)) => relationPlan(d, None, None)
+      case Seq(Str(d), Lng(b)) => relationPlan(d, None, Some(b))
       case _ => throw new IllegalArgumentException(
         "graft_table expects ('<table dir>') or ('<table dir>', " +
           "<asOfBatch integer literal>)")
@@ -148,8 +147,7 @@ private[graft] object GraftTvf {
     new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
       GraftTvf.getClass.getName, "graft_table_since"),
     (args: Seq[Expression]) => args match {
-      case Seq(p, b) if strLit(p).nonEmpty && longLit(b).nonEmpty =>
-        relationPlan(strLit(p).get, longLit(b), None)
+      case Seq(Str(d), Lng(b)) => relationPlan(d, Some(b), None)
       case _ => throw new IllegalArgumentException(
         "graft_table_since expects ('<table dir>', <afterBatch " +
           "integer literal>)")
@@ -220,7 +218,7 @@ private[graft] object DmlTranslate {
 
   /** Foldable integral expression (a literal, possibly under the
     * coercion cast the analyzer inserts) → its long value. */
-  private def litLong(e: Expression): Option[Long] = e match {
+  private[sql] def litLong(e: Expression): Option[Long] = e match {
     case _ if !e.foldable => None
     case _ => e.dataType match {
       case LongType | IntegerType | ShortType | ByteType =>

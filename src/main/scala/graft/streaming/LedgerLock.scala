@@ -189,6 +189,7 @@ object LedgerLock {
     // a live holder while the wait budget lasts, or throws
     var acquired = false
     var attempts = 0
+    var retiresPastBudget = 0
     while (!acquired) {
       attempts += 1
       acquired = tryAcquire(f, p)
@@ -234,13 +235,19 @@ object LedgerLock {
         // LIVE holder always gets the informative holder/age/break
         // message above, with a final dead-holder retirement attempt,
         // never this generic one), and NOT on a pass that just retired
-        // (the next create attempt is owed): only vanish churn that
-        // never yields the create reaches here out of budget
-        if (attempts >= 4 && !waiting && !retiredThisPass)
+        // (the next create attempt is owed). Retire passes past the
+        // budget are themselves BOUNDED — a crash-looping co-writer
+        // (or skewed lease judgments) minting fresh dead locks forever
+        // must not spin this acquire unboundedly.
+        if (!waiting && retiredThisPass) retiresPastBudget += 1
+        if (attempts >= 4 && !waiting &&
+            (!retiredThisPass || retiresPastBudget > 8))
           throw new ConcurrentWriterException(
             s"ledger dir $dir: lock contention persisted across " +
-              s"$attempts acquire attempts — a live writer is cycling " +
-              "the lock. Single-writer contract violated.")
+              s"$attempts acquire attempts ($retiresPastBudget " +
+              "dead/stale retirements past the wait budget) — a " +
+              "writer is cycling the lock. Single-writer contract " +
+              "violated.")
       }
     }
     // release ONLY our own lock: if a lease/dead-pid recovery retired

@@ -233,9 +233,13 @@ object ScaleProbe {
     if (!fsys.exists(probe)) {
       println(s"[scale] building ${copies}x ($textMode) of $base " +
         s"under $out")
-      scaleUp(spark, base, out, copies, eventsCopies, textMode)
+      // stamp BEFORE the build: a crash mid-scaleUp leaves stamp
+      // without probe (next run rebuilds and re-stamps), never probe
+      // without stamp (which would fall into the legacy default and
+      // could mislabel a half-built heaps dir as bijection)
       val os = fsys.create(stamp, true)
       try os.write(textMode.getBytes("UTF-8")) finally os.close()
+      scaleUp(spark, base, out, copies, eventsCopies, textMode)
     } else {
       // pre-stamp dirs (built before this check) default to the
       // default mode — exactly what they were built with

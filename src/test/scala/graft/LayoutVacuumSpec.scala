@@ -103,7 +103,20 @@ class LayoutVacuumSpec extends SparkSpec {
       // debris to sweep while the stream is attached
       val dead = new java.io.File(s"$dir/data.stage-42")
       dead.mkdirs()
+      // GENUINE overlap, deterministic: a foreign thread HOLDS the
+      // tail lock (a publishing micro-batch's critical section) while
+      // vacuum runs — vacuum's nested tail section must WAIT it out
+      // (bounded wait), not fail, and must not sweep from under it
+      val inside = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() =>
+        graft.streaming.LedgerLock.withLock(spark, dir) {
+          inside.countDown()
+          Thread.sleep(400)
+        })
+      holder.start()
+      assert(inside.await(10, java.util.concurrent.TimeUnit.SECONDS))
       val st = LayoutIngest.vacuum(spark, dir)
+      holder.join(10000)
       assert(st.ingestStagesDropped === 1)
       input.addData(rows(20 until 40)); q.processAllAvailable()
     } finally q.stop()
