@@ -7414,18 +7414,20 @@ WHERE rk <= 40"""
   }
 
   /** LIVE txn-stream + batch-append INTERLEAVE — the end-to-end gate
-    * for `txnIds` ([[graft.streaming.LayoutIngest.start]]): the event
-    * log lands through BOTH write surfaces on ONE table, interleaved
-    * in ledger order 0,1 (stream) → 2,3 (batch appends) → 4,5 (stream,
-    * same checkpoint restarted) → 6 (a batch append WHILE the stream
-    * query is live) → 7 (the stream mints PAST the concurrent append —
-    * a file staged after it, picked up by the still-running query).
-    * Every id is premised exactly: under the default epoch-keyed
-    * regime the restarted stream's epoch 2 would collide with append
-    * id 2 and silently drop a slice — the ADVICE-1 hazard this mode
-    * removes. The final table hashes against q155's full key formula:
-    * a dropped slice, a duplicated replay, or an id collision fails
-    * the hash. */
+    * for the DEFAULT txn-minted regime
+    * ([[graft.streaming.LayoutIngest.start]], no flag passed): the
+    * event log lands through BOTH write surfaces on ONE table,
+    * interleaved in ledger order 0,1 (stream) → 2,3 (batch appends) →
+    * 4,5 (stream, same checkpoint restarted) → 6 (a batch append WHILE
+    * the stream query is live) → 7 (the stream mints PAST the
+    * concurrent append — a file staged after it, picked up by the
+    * still-running query). Every id is premised exactly: under the
+    * `epochIds = true` opt-in the restarted stream's epoch 2 would
+    * collide with append id 2 and silently drop a slice — the hazard
+    * whose demonstrated severity got the default FLIPPED to txn-minted
+    * (r16 verdict #1). The final table hashes against q155's full key
+    * formula: a dropped slice, a duplicated replay, or an id collision
+    * fails the hash. */
   val q185TxnInterleave: Q = (s, dir) => {
     val ev = events(s, dir).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"))
@@ -7464,7 +7466,7 @@ WHERE rk <= 40"""
           s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
             .parquet(s"$root/in"),
           tableDir, s"$root/ckpt", filesPerBatch = 2,
-          availableNow = availableNow, txnIds = true)
+          availableNow = availableNow)
       def committed(): Long = graft.streaming.LayoutIngest
         .contiguousCommittedBatch(s, tableDir)
       def awaitLedger(n: Long): Unit = {

@@ -107,9 +107,10 @@ private[graft] object GraftTvf {
     * ([[DmlTranslate.litLong]] — shared with the DELETE translation). */
   private object Str {
     def unapply(e: Expression): Option[String] =
-      if (e.foldable && e.dataType == StringType && e.eval() != null)
-        Some(e.eval().toString)
-      else None
+      if (e.foldable && e.dataType == StringType) {
+        val v = e.eval()
+        Option(v).map(_.toString)
+      } else None
   }
   private object Lng {
     def unapply(e: Expression): Option[Long] = DmlTranslate.litLong(e)

@@ -227,30 +227,36 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    * via the dead-pid lock break; cross-host failover sets
    * [[LedgerLock.LockStaleMsKey]].
    *
-   * TWO LEDGER-ID REGIMES, chosen by `txnIds`:
+   * TWO LEDGER-ID REGIMES, chosen by `epochIds` (the same option and
+   * default as the format-level sink, `writeStream.format(
+   * "graft-layout")`):
    *
-   *  - `false` (default) — EPOCH-KEYED: ledger id = the checkpoint's
-   *    micro-batch epoch. With a deterministic source this makes ids
+   *  - `false` (default) — TXN-MINTED: each (queryId, epoch) RESERVES
+   *    the next unused ledger id under the tail lock, bound durably by
+   *    a `txn-e<epoch>-i<id>-<qid>` marker ([[streamLedgerId]]) — the
+   *    idempotent-sink pattern. Batch appends ([[appendNext]],
+   *    `df.write`/`INSERT INTO`), [[mergeRows]] and other streams
+   *    interleave freely on one table and nothing is ever dropped;
+   *    in-flight-epoch replays are exact via the reservation.
+   *    The price: a replay from a FRESH checkpoint re-ingests (ids are
+   *    allocation order, not content) — at-least-once across
+   *    checkpoint RESETS, exactly-once across restarts of the same
+   *    checkpoint.
+   *  - `true` — EPOCH-KEYED: ledger id = the checkpoint's micro-batch
+   *    epoch. With a deterministic source this makes ids
    *    CONTENT-ADDRESSED: a replay from a fresh checkpoint re-offers
    *    the same rows under the same ids and every ingest is a marker
    *    no-op — re-running a whole pipeline is idempotent end to end.
    *    The price is an EXCLUSIVE ledger: nothing else may mint ids
-   *    while such a stream is attached — a batch append
-   *    ([[appendNext]], `df.write`/`INSERT INTO`) or a [[mergeRows]]
+   *    while such a stream is attached — a batch append or a merge
    *    would take the stream's next epoch id and turn that future
-   *    batch into a silent row-dropping no-op.
-   *  - `true` — TXN-MINTED: each (queryId, epoch) RESERVES the next
-   *    unused ledger id under the tail lock, bound durably by a
-   *    `txn-e<epoch>-i<id>-<qid>` marker ([[streamLedgerId]]) — the
-   *    idempotent-sink pattern. Batch appends, merges and other
-   *    txn streams interleave freely and nothing is ever dropped;
-   *    in-flight-epoch replays are exact via the reservation. The
-   *    price: a replay from a FRESH checkpoint re-ingests (ids are
-   *    allocation order, not content) — at-least-once across
-   *    checkpoint RESETS, exactly-once across restarts of the same
-   *    checkpoint. Pre-txn tables: quiesce and keep using the old
-   *    regime, or restart from a fresh checkpoint on a fresh table —
-   *    the reservation ledger is the compatibility boundary.
+   *    batch into a silent row-dropping no-op. Opt in ONLY for a
+   *    single-writer table fed by one deterministic pipeline.
+   *
+   *  Pre-flip tables written by the old epoch-keyed default: quiesce
+   *  and keep using `epochIds = true`, or restart from a fresh
+   *  checkpoint on a fresh table — the reservation ledger is the
+   *  compatibility boundary.
    */
   def start(df: DataFrame, dir: String, checkpoint: String,
       filesPerBatch: Int = 4,
@@ -258,14 +264,14 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       compactEvery: Option[Int] = None,
       smallFileBytes: Long = 32L << 20,
       lockWaitMs: Long = 30000L,
-      txnIds: Boolean = false): StreamingQuery = {
+      epochIds: Boolean = false): StreamingQuery = {
     require(filesPerBatch >= 1, "filesPerBatch must be >= 1")
     require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     val writer = df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         microBatchIngest(batch, batchId, dir, checkpoint, filesPerBatch,
-          compactEvery, smallFileBytes, lockWaitMs, txnIds)
+          compactEvery, smallFileBytes, lockWaitMs, txnIds = !epochIds)
       }
     (if (availableNow)
       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -558,10 +564,13 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     *     or deleting anything;
     *  2. dead `data.stage-<id>` ingest stages: a stage is only ever
     *     written under the TAIL lock, so under a short nested tail
-    *     section any existing one belongs to a crashed writer whose id
-    *     moved on (a txn-regime or fresh-checkpoint restart never
-    *     revisits the id, so [[ingestBatch]]'s own replay cleanup
-    *     never fires for it) — swept;
+    *     section any existing one belongs to a crashed writer — swept.
+    *     Safe even if that id IS later replayed (a txn-regime restart
+    *     with a surviving (queryId, epoch) reservation resolves to the
+    *     same id and re-runs [[ingestBatch]]): the replay deletes and
+    *     rewrites its stage itself, so sweeping it early only does the
+    *     replay's first step for it; only a fresh-checkpoint restart
+    *     never revisits the id at all;
     *  3. ZERO-ROW live units (a [[deleteBox]]/[[mergeRows]] rewrite
     *     that emptied a whole unit publishes an empty dir — trivially
     *     pruned by every read, but it costs a listing + sidecar stat
@@ -1755,8 +1764,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * data and silently drop the new frame — ingestBatch's
     * target-exists recovery path), merge markers and standing intents
     * (their owed replay appends under that id), and live stream TXN
-    * RESERVATIONS (`txn-e<epoch>-i<id>-<qid>` — a [[start]] writer in
-    * `txnIds` mode that crashed between reserving and committing still
+    * RESERVATIONS (`txn-e<epoch>-i<id>-<qid>` — a default-regime
+    * [[start]] writer that crashed between reserving and committing still
     * OWNS its id; see [[streamLedgerId]]). Callers must hold the tail
     * lock for mint-then-use atomicity; [[nextUnusedId]] wraps this for
     * advisory (mint-then-release) uses. */
@@ -1806,10 +1815,11 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * explicit [[ingestBatch]] ids for replay-safe ingest). Returns the
     * id.
     *
-    * CONCURRENT STREAMS: safe next to a `txnIds = true` stream writer
-    * (both mint from one lock-serialized sequence, and the stream's
-    * in-flight reservation is counted). Do NOT batch-append while an
-    * EPOCH-KEYED stream (the [[start]] default) is attached: that
+    * CONCURRENT STREAMS: safe next to a default (txn-minted) stream
+    * writer (both mint from one lock-serialized sequence, and the
+    * stream's in-flight reservation is counted). Do NOT batch-append
+    * while an EPOCH-KEYED stream ([[start]] `epochIds = true`) is
+    * attached: that
     * stream's next id is its checkpoint state, this append would take
     * it, and the stream's future batch would replay as a silent
     * ingest no-op — its rows dropped (the [[mergeRows]] id-coordination
@@ -1860,7 +1870,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           "structured-streaming checkpoint?"))
   }
 
-  /** The `txnIds` micro-batch body: resolve this (queryId, epoch) to
+  /** The txn-minted (default-regime) micro-batch body: resolve this
+    * (queryId, epoch) to
     * its ledger id — the reservation marker if one exists (a REPLAY of
     * the one in-flight epoch after a crash: same id, so the re-driven
     * [[ingestBatch]] is exact), else the next unused id, RESERVED

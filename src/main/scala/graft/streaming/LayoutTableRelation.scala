@@ -76,9 +76,10 @@ private[graft] class LayoutTableRelation(
     * a provenance VIEW (sinceBatch/asOfBatch) is refused — those are
     * reads of history, not tables.
     *
-    * CONCURRENT STREAMS: safe next to a `txnIds = true` stream writer;
-    * do NOT insert while an EPOCH-KEYED stream (the [[LayoutIngest
-    * .start]] default) is attached — the [[LayoutIngest.appendNext]]
+    * CONCURRENT STREAMS: safe next to a default (txn-minted) stream
+    * writer; do NOT insert while an EPOCH-KEYED stream (the
+    * [[LayoutIngest.start]] `epochIds = true` opt-in) is attached —
+    * the [[LayoutIngest.appendNext]]
     * exclusive-ledger warning applies verbatim (this insert would take
     * the stream's next epoch id and silently drop that future
     * batch). */

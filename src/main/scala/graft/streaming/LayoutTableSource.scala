@@ -246,15 +246,21 @@ class LayoutTableSource extends StreamSourceProvider
           "keys the ledger txn reservations; a session-default " +
           "checkpoint root is not visible to the sink)"))
     // one parser for every numeric sink option: parse the value the
-    // caller already retrieved (no re-lookup, no impossible defaults)
-    def num(key: String, s: String, min: Long): Long = {
+    // caller already retrieved (no re-lookup, no impossible defaults);
+    // max defaults to Int.MaxValue for the Int-valued options so an
+    // out-of-range value is refused HERE (typed) instead of being
+    // silently truncated by .toInt (4294967297 would wrap to 1)
+    def num(key: String, s: String, min: Long,
+        max: Long = Int.MaxValue): Long = {
       val v = s.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"graft-layout sink: $key must be an integer, got '$s'"))
       require(v >= min, s"graft-layout sink: $key must be >= $min, got $v")
+      require(v <= max, s"graft-layout sink: $key must be <= $max, got $v")
       v
     }
-    def numOr(key: String, default: Long, min: Long): Long =
-      parameters.get(key).map(num(key, _, min)).getOrElse(default)
+    def numOr(key: String, default: Long, min: Long,
+        max: Long = Int.MaxValue): Long =
+      parameters.get(key).map(num(key, _, min, max)).getOrElse(default)
     val epochIds = parameters.get("epochIds").map(_.toLowerCase) match {
       case None | Some("false") => false
       case Some("true") => true
@@ -265,8 +271,9 @@ class LayoutTableSource extends StreamSourceProvider
       filesPerBatch = numOr("filesPerBatch", 4, 1).toInt,
       compactEvery = parameters.get("compactEvery")
         .map(num("compactEvery", _, 1).toInt),
-      smallFileBytes = numOr("smallFileBytes", 32L << 20, 1L),
-      lockWaitMs = numOr("lockWaitMs", 30000L, 0L),
+      smallFileBytes = numOr("smallFileBytes", 32L << 20, 1L,
+        max = Long.MaxValue),
+      lockWaitMs = numOr("lockWaitMs", 30000L, 0L, max = Long.MaxValue),
       txnIds = !epochIds)
   }
 }

@@ -223,5 +223,25 @@ class LayoutSinkSpec extends SparkSpec {
         .trigger(Trigger.AvailableNow()).start(dir)
     }
     assert(e4.getMessage.contains("epochIds must be true or false"))
+
+    // Int-valued options refuse values past Int.MaxValue with the
+    // sink's typed message instead of silently truncating via .toInt
+    // (4294967297 would have wrapped to filesPerBatch = 1)
+    val e5 = intercept[Exception] {
+      base.writeStream.format("graft-layout")
+        .option("checkpointLocation", tmp("sr-ck5"))
+        .option("filesPerBatch", "4294967297")
+        .trigger(Trigger.AvailableNow()).start(dir)
+    }
+    assert(e5.getMessage.contains(
+      s"filesPerBatch must be <= ${Int.MaxValue}"))
+    val e6 = intercept[Exception] {
+      base.writeStream.format("graft-layout")
+        .option("checkpointLocation", tmp("sr-ck6"))
+        .option("compactEvery", "4294967297")
+        .trigger(Trigger.AvailableNow()).start(dir)
+    }
+    assert(e6.getMessage.contains(
+      s"compactEvery must be <= ${Int.MaxValue}"))
   }
 }

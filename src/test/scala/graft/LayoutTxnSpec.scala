@@ -4,11 +4,11 @@ import graft.streaming.LayoutIngest
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-/** The `txnIds` stream regime: (queryId, epoch) → ledger-id
-  * reservations decouple a stream's ids from its epochs, so batch
-  * appends and other streams interleave on one table without the
-  * epoch-collision silent-drop hazard the default (epoch-keyed,
-  * content-addressed) regime documents. */
+/** The txn-minted stream regime (the DEFAULT): (queryId, epoch) →
+  * ledger-id reservations decouple a stream's ids from its epochs, so
+  * batch appends and other streams interleave on one table without
+  * the epoch-collision silent-drop hazard the `epochIds = true`
+  * opt-in (epoch-keyed, content-addressed) regime documents. */
 class LayoutTxnSpec extends SparkSpec {
   import spark.implicits._
 
@@ -28,13 +28,13 @@ class LayoutTxnSpec extends SparkSpec {
     Option(new java.io.File(s"$dir/markers").list())
       .map(_.toSet).getOrElse(Set.empty)
 
-  test("txn stream on a PRE-SEEDED table mints fresh ids — no epoch-0 " +
-      "collision drop (the hazard the default regime documents)") {
+  test("DEFAULT stream on a PRE-SEEDED table mints fresh ids — no " +
+      "epoch-0 collision drop (the hazard the epochIds opt-in documents)") {
     implicit val sql = spark.sqlContext
-    // CONTRAST, default regime: batch 0 pre-seeded, fresh stream's
+    // CONTRAST, epochIds opt-in: batch 0 pre-seeded, fresh stream's
     // epoch 0 replays as a no-op and its rows silently vanish — the
-    // exact failure txnIds exists to remove (and why the default's doc
-    // forbids mixing writers)
+    // exact failure the txn-minted default exists to remove (and why
+    // the epoch regime's doc forbids mixing writers)
     locally {
       val dir = tmp("txn-contrast")
       LayoutIngest.bootstrap(spark, dir, grid)
@@ -43,14 +43,15 @@ class LayoutTxnSpec extends SparkSpec {
       val input = MemoryStream[(Long, Long, Long)]
       input.addData(rows(100 until 110))
       val q = LayoutIngest.start(input.toDF().toDF("id", "x", "y"),
-        dir, tmp("txn-contrast-ck"), availableNow = true)
+        dir, tmp("txn-contrast-ck"), availableNow = true,
+        epochIds = true)
       try q.processAllAvailable() finally q.stop()
       assert(LayoutIngest.read(spark, dir).count() === 10L,
-        "default regime: epoch 0 collides with the seeded batch 0 " +
-          "and no-ops (documented; txnIds is the fix)")
+        "epoch regime: epoch 0 collides with the seeded batch 0 " +
+          "and no-ops (documented; the txn-minted default is the fix)")
     }
-    // txnIds: same setup, the stream RESERVES the next unused id and
-    // nothing is dropped
+    // the default: same setup, the stream RESERVES the next unused id
+    // and nothing is dropped
     val dir = tmp("txn-seeded")
     LayoutIngest.bootstrap(spark, dir, grid)
     assert(LayoutIngest.ingestBatch(
@@ -58,7 +59,7 @@ class LayoutTxnSpec extends SparkSpec {
     val input = MemoryStream[(Long, Long, Long)]
     input.addData(rows(100 until 110))
     val q = LayoutIngest.start(input.toDF().toDF("id", "x", "y"),
-      dir, tmp("txn-seeded-ck"), availableNow = true, txnIds = true)
+      dir, tmp("txn-seeded-ck"), availableNow = true)
     try q.processAllAvailable() finally q.stop()
     assert(LayoutIngest.read(spark, dir).count() === 20L)
     // per-row provenance: the seed stays batch 0, the stream's epoch 0
@@ -81,25 +82,25 @@ class LayoutTxnSpec extends SparkSpec {
     val in1 = MemoryStream[(Long, Long, Long)]
     in1.addData(rows(0 until 10))
     val q1 = LayoutIngest.start(in1.toDF().toDF("id", "x", "y"),
-      dir, ck1, availableNow = true, txnIds = true)
+      dir, ck1, availableNow = true)
     try q1.processAllAvailable() finally q1.stop()
     // batch append takes the next id
     val appended = LayoutIngest.appendNext(spark, dir,
       rows(10 until 20).toDF("id", "x", "y"), 1)
     assert(appended === 1L)
     // stream 2 (different checkpoint = different query id), epoch 0:
-    // in the epoch-keyed regime this would no-op against the stream-1
+    // in the epoch-keyed opt-in this would no-op against the stream-1
     // batch 0; here it mints id 2
     val in2 = MemoryStream[(Long, Long, Long)]
     in2.addData(rows(20 until 30))
     val q2 = LayoutIngest.start(in2.toDF().toDF("id", "x", "y"),
-      dir, tmp("txn-il-ck2"), availableNow = true, txnIds = true)
+      dir, tmp("txn-il-ck2"), availableNow = true)
     try q2.processAllAvailable() finally q2.stop()
     // stream 1 RESTARTS on its own checkpoint with new data: epoch 1
     // must mint ABOVE everything, not collide with id 1
     in1.addData(rows(30 until 40))
     val q1b = LayoutIngest.start(in1.toDF().toDF("id", "x", "y"),
-      dir, ck1, availableNow = true, txnIds = true)
+      dir, ck1, availableNow = true)
     try q1b.processAllAvailable() finally q1b.stop()
     val got = LayoutIngest.read(spark, dir)
       .select("id").as[Long].collect().toSet

@@ -97,7 +97,7 @@ class LayoutVacuumSpec extends SparkSpec {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, Long)](900, spark)
     val q = LayoutIngest.start(input.toDF().toDF("id", "x", "y"),
-      dir, tmp("vac-live-ck"), txnIds = true)
+      dir, tmp("vac-live-ck"))
     try {
       input.addData(rows(0 until 20)); q.processAllAvailable()
       // debris to sweep while the stream is attached
