@@ -8474,6 +8474,184 @@ WHERE rk <= 40"""
       .select(col("event_id"), col("zkey"), col("value"))
   }
 
+  /** SQL DELETE with a TOP-LEVEL OR — the union-of-boxes surface
+    * ([[graft.streaming.LayoutIngest.deleteBoxes]] behind
+    * `DELETE ... WHERE <box> OR <box>`): one statement removes the
+    * q162 user slice AND a disjoint early-time slice in ONE delete op
+    * (premised: history gains exactly one `delete` entry — a
+    * per-disjunct loop would gain two and rewrite shared units twice).
+    * The surviving table hashes against a DuckDB twin of the exact
+    * union predicate; a translation that widened a disjunct, dropped
+    * one, or intersected instead of unioned fails the hash. */
+  val q191SqlDeleteOr: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val root = streamIndexDir("q191", dir, "events")
+    val tableDir = s"$root/table"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val (umn, umx, tmn, tmx) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"), Seq((umn, umx), (tmn, tmx)),
+          bits = 16))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.compact(s, tableDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L,
+          parquetBytes(new java.io.File(s"$tableDir/data")) / 8))
+      val ulo = umn + (umx - umn) * 49 / 100
+      val uhi = umn + (umx - umn) * 51 / 100
+      val tlo = tmn + (tmx - tmn) * 10 / 100
+      val thi = tmn + (tmx - tmn) * 12 / 100
+      s.read.format("graft-layout").load(tableDir)
+        .createOrReplaceTempView("q191_t")
+      s.sql(s"""DELETE FROM q191_t
+        |WHERE (user_id BETWEEN $ulo AND $uhi)
+        |  OR (ts_us BETWEEN $tlo AND $thi)""".stripMargin)
+      val delOps = graft.streaming.LayoutIngest.history(s, tableDir)
+        .filter(col("kind") === "delete").count()
+      require(delOps == 1L,
+        s"q191 premise: a two-box OR DELETE must be ONE delete op " +
+          s"in history, got $delOps")
+      done.createNewFile(): Unit
+    }
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("event_id"), col("zkey"))
+  }
+
+  /** CONDITIONAL SQL MERGE — `WHEN MATCHED AND c / WHEN NOT MATCHED
+    * AND c` with the SAME source-only condition on both actions runs
+    * as an exact source pre-filter
+    * ([[graft.sql.GraftSqlExtensions]]'s rewrite): q182's five
+    * value-doubling corrections plus TWO domain-corner inserts all
+    * flow through one statement gated on `event_id % 2 = 0`, so only
+    * the even-id corrections apply and only the even corner row
+    * inserts. The oracle applies the same parity gate in DuckDB — a
+    * rewrite that filtered just one action (or none) fails the hash
+    * on the odd-id rows. */
+  val q192SqlMergeCond: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val root = streamIndexDir("q192", dir, "events")
+    val tableDir = s"$root/table"
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min("ts_us"), max("ts_us"), min("event_id"), max("event_id")).head()
+    val (emn, emx) = (b.getLong(4), b.getLong(5))
+    val mergeIds = (1 to 5).map(j => emn + (emx - emn) * j / 7)
+    require(mergeIds.exists(_ % 2 == 0) && mergeIds.exists(_ % 2 != 0),
+      "q192 premise: the parity gate must pass some corrections and " +
+        "block others")
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16, bloomCols = Seq("event_id")))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.compact(s, tableDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L,
+          parquetBytes(new java.io.File(s"$tableDir/data")) / 8))
+    }
+    val merged = Option(new java.io.File(s"$tableDir/markers").list())
+      .exists(_.exists(_.startsWith("merge-")))
+    if (!merged) {
+      // two corner candidates, consecutive ids — exactly one passes
+      // the parity gate, proving the INSERT side is filtered too
+      ev.filter(col("event_id").isInCollection(mergeIds))
+        .withColumn("value", col("value") * 2)
+        .unionByName(s.range(2).select(
+          (lit(emx + 1000L) + col("id")).as("event_id"),
+          lit(b.getLong(0)).as("user_id"),
+          lit(b.getLong(2)).as("ts_us"),
+          lit(42.0).as("value")))
+        .createOrReplaceTempView("q192_src")
+      s.read.format("graft-layout").load(tableDir)
+        .createOrReplaceTempView("q192_t")
+      s.sql("""MERGE INTO q192_t USING q192_src
+        |ON q192_t.event_id = q192_src.event_id
+        |WHEN MATCHED AND q192_src.event_id % 2 = 0 THEN UPDATE
+        |  SET user_id = q192_src.user_id, ts_us = q192_src.ts_us,
+        |    value = q192_src.value
+        |WHEN NOT MATCHED AND q192_src.event_id % 2 = 0 THEN
+        |  INSERT (event_id, user_id, ts_us, value)
+        |  VALUES (q192_src.event_id, q192_src.user_id,
+        |    q192_src.ts_us, q192_src.value)""".stripMargin)
+    }
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("event_id"), col("zkey"), col("value"))
+  }
+
+  val q191Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx
+       |  FROM events),
+       |q AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy
+       |  FROM events
+       |  WHERE NOT ((user_id BETWEEN
+       |      (SELECT umn + ((umx - umn) * 49) // 100 FROM b) AND
+       |      (SELECT umn + ((umx - umn) * 51) // 100 FROM b))
+       |    OR (CAST(epoch_us(ts) AS BIGINT) BETWEEN
+       |      (SELECT tmn + ((tmx - tmn) * 10) // 100 FROM b) AND
+       |      (SELECT tmn + ((tmx - tmn) * 12) // 100 FROM b))))
+       |SELECT event_id, $terms AS zkey FROM q""".stripMargin
+  }
+
+  val q192Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx,
+       |    MIN(event_id) AS emn, MAX(event_id) AS emx
+       |  FROM events),
+       |k AS (
+       |  SELECT (SELECT emn FROM b) +
+       |    ((SELECT emx FROM b) - (SELECT emn FROM b)) * j // 7 AS kid
+       |  FROM range(1, 6) t(j)),
+       |q AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy,
+       |    CASE WHEN event_id IN (SELECT kid FROM k WHERE kid % 2 = 0)
+       |      THEN value * 2 ELSE value END AS value
+       |  FROM events)
+       |SELECT event_id, $terms AS zkey, value FROM q
+       |UNION ALL
+       |SELECT cid, CAST(0 AS BIGINT) AS zkey, 42.0 AS value
+       |FROM (SELECT (SELECT emx FROM b) + 1000 + g.j AS cid
+       |      FROM range(0, 2) g(j)) c
+       |WHERE cid % 2 = 0""".stripMargin
+  }
+
   /** READER VISIBILITY through a slow multi-unit merge — the gate for
     * the append-first rework's central claim
     * ([[graft.streaming.LayoutIngest.mergeRows]] doc item 4): a
@@ -9106,7 +9284,13 @@ WHERE rk <= 40"""
     "q189_cdc_replicate" -> (q189CdcReplicate, Some(q155Sql)),
     // q190: SQL time travel — graft_table('<dir>', 0) must serve
     // exactly batch 0's slice under q155's formula
-    "q190_sql_time_travel" -> (q190SqlTimeTravel, Some(q190Sql)))
+    "q190_sql_time_travel" -> (q190SqlTimeTravel, Some(q190Sql)),
+    // q191: one DELETE statement with a top-level OR removes the
+    // union of two boxes in ONE ledger op (deleteBoxes)
+    "q191_sql_delete_or" -> (q191SqlDeleteOr, Some(q191Sql)),
+    // q192: conditional MERGE (same source-only condition on both
+    // actions) ≡ the parity-gated DuckDB twin
+    "q192_sql_merge_cond" -> (q192SqlMergeCond, Some(q192Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

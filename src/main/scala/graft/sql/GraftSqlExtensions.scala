@@ -33,19 +33,24 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
  * Supported shapes (anything else is refused with a typed error, never
  * silently narrowed):
  *
- *  - `DELETE FROM t [WHERE <conjunctive long ranges>]` — the condition
- *    must be a conjunction of `=`, `<`, `<=`, `>`, `>=`, `BETWEEN`
- *    over LONG columns and integral literals: exactly the
+ *  - `DELETE FROM t [WHERE <box> [OR <box>]...]` — each disjunct must
+ *    be a conjunction of `=`, `<`, `<=`, `>`, `>=`, `BETWEEN` over
+ *    LONG columns and integral literals: exactly the
  *    [[LayoutIngest.deleteBox]] box contract, translated EXACTLY
- *    (`>`/`<` shift by one — integers make open bounds closed). No
- *    WHERE deletes every row. Runs under the next unused delete id
- *    ([[LayoutIngest.deleteBoxNext]]).
- *  - `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET
- *    ... WHEN NOT MATCHED THEN INSERT ...` — the WHOLE-ROW upsert
- *    ([[LayoutIngest.mergeRows]]'s contract: a matched row is
- *    REPLACED): both actions must be unconditional, assign every
+ *    (`>`/`<` shift by one — integers make open bounds closed). A
+ *    top-level OR of such conjunctions runs as ONE union-of-boxes
+ *    delete ([[LayoutIngest.deleteBoxes]]: one ledger entry, at most
+ *    one rewrite per affected unit, overlap harmless). No WHERE
+ *    deletes every row. Runs under the next unused delete id
+ *    ([[LayoutIngest.deleteBoxesNext]]).
+ *  - `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED [AND c] THEN
+ *    UPDATE SET ... WHEN NOT MATCHED [AND c] THEN INSERT ...` — the
+ *    WHOLE-ROW upsert ([[LayoutIngest.mergeRows]]'s contract: a
+ *    matched row is REPLACED): both actions must assign every
  *    payload column, agree with each other, and reference only source
  *    columns; the INSERT must key on the ON condition's source key.
+ *    A condition is allowed when BOTH actions carry the SAME
+ *    source-only condition — it runs as an exact source pre-filter.
  *    Assignments to the computed cluster key are DISCARDED (the
  *    INSERT INTO convention — the key is recomputed from the grid).
  *    Runs under the next unused ledger id
@@ -183,7 +188,7 @@ private[graft] class GraftDmlRule(session: SparkSession)
         if d.resolved =>
       refuseProvenance(rel, "DELETE")
       GraftDeleteCommand(rel.tableDir,
-        DmlTranslate.toBox(cond, t.outputSet))
+        DmlTranslate.toBoxes(cond, t.outputSet))
     case m: MergeIntoTable => m.targetTable match {
       case t @ LayoutTarget(rel) if m.resolved =>
         refuseProvenance(rel, "MERGE INTO")
@@ -246,6 +251,29 @@ private[graft] object DmlTranslate {
     case _ => None
   }
 
+  /** DELETE condition → the EXACT union of conjunctive boxes, or
+    * refuse: the condition splits on its TOP-LEVEL ORs and each
+    * disjunct goes through [[toBox]]. Identical disjuncts collapse
+    * (`x = 1 OR x = 1` is one box); overlap needs no special casing —
+    * the union executes as a single OR predicate in ONE
+    * [[LayoutIngest.deleteBoxes]] pass, so a doubly-covered row is
+    * simply deleted once and history records one delete. */
+  def toBoxes(cond: Expression,
+      target: AttributeSet): Seq[Seq[(String, Long, Long)]] = {
+    def disjuncts(e: Expression): Seq[Expression] = e match {
+      case Or(a, b) => disjuncts(a) ++ disjuncts(b)
+      // BETWEEN-style sugar can wrap an OR (e.g. a future NOT BETWEEN
+      // rewrite); inline before testing so a top-level replaceable OR
+      // still splits
+      case r: RuntimeReplaceable => inlineWith(r.replacement) match {
+        case o: Or => disjuncts(o)
+        case _ => Seq(e) // not an OR — let toBox translate the sugar
+      }
+      case other => Seq(other)
+    }
+    disjuncts(cond).map(toBox(_, target)).distinct
+  }
+
   /** DELETE condition → the EXACT conjunctive box, or refuse. Open
     * bounds close by ±1 (long columns — integral, so exact); multiple
     * conjuncts on one column intersect. `true` (no WHERE) deletes
@@ -293,9 +321,11 @@ private[graft] object DmlTranslate {
       case other => err(
         s"DELETE condition '${other.sql}' is not a conjunction of " +
           "=/</<=/>/>=/BETWEEN ranges over LONG columns and integral " +
-          "literals — the exact deleteBox contract. Anything else " +
-          "(OR, string predicates, expressions over columns) needs " +
-          "the API: LayoutIngest.deleteBox / mergeRows.")
+          "literals — the exact deleteBox contract (OR is supported " +
+          "only at the TOP level, between whole conjunctions). " +
+          "Anything else (nested OR, string predicates, expressions " +
+          "over columns) needs the API: LayoutIngest.deleteBoxes / " +
+          "mergeRows.")
     }
     // bind returns false (falls through to `other`) unless BOTH sides
     // fit the attr-vs-literal shape — a guard, not an action
@@ -347,24 +377,44 @@ private[graft] object DmlTranslate {
       s"the merge key cannot be the computed cluster key " +
         s"'${LayoutIngest.KeyCol}' — it is derived from the grid, not " +
         "row identity; key the MERGE on a payload column")
-    val uas = m.matchedActions match {
-      case Seq(UpdateAction(None, as, _)) => as
-      case Seq(UpdateAction(Some(c), _, _)) => err(
-        s"conditional WHEN MATCHED AND ${c.sql} is not supported — " +
-          "pre-filter the source instead")
+    val (matchedCond, uas) = m.matchedActions match {
+      case Seq(UpdateAction(c, as, _)) => (c, as)
       case other => err(
-        s"WHEN MATCHED must be exactly one unconditional UPDATE " +
+        s"WHEN MATCHED must be exactly one UPDATE " +
           s"(got ${other.map(_.getClass.getSimpleName).mkString(", ")})" +
           " — for MATCHED DELETE use LayoutIngest.deleteBox")
     }
-    val ias = m.notMatchedActions match {
-      case Seq(InsertAction(None, as)) => as
-      case Seq(InsertAction(Some(c), _)) => err(
-        s"conditional WHEN NOT MATCHED AND ${c.sql} is not supported " +
-          "— pre-filter the source instead")
+    val (insertCond, ias) = m.notMatchedActions match {
+      case Seq(InsertAction(c, as)) => (c, as)
       case other => err(
-        s"WHEN NOT MATCHED must be exactly one unconditional INSERT " +
+        s"WHEN NOT MATCHED must be exactly one INSERT " +
           s"(got ${other.map(_.getClass.getSimpleName).mkString(", ")})")
+    }
+    // conditional actions run as a SOURCE PRE-FILTER — exact only when
+    // BOTH actions gate on the SAME source-only condition: the
+    // whole-row upsert decides per source row (replace-or-insert), so
+    // "matched AND c → update, not-matched (unconditional) → insert"
+    // is NOT a source filter (a non-matching row failing c must still
+    // insert). One-sided or disagreeing conditions are refused rather
+    // than approximated.
+    val preFilter = (matchedCond, insertCond) match {
+      case (None, None) => None
+      case (Some(a), Some(b)) if a.semanticEquals(b) =>
+        require(a.references.subsetOf(sourceOut),
+          s"graft-layout MERGE: condition '${a.sql}' references " +
+            "target columns — a whole-row upsert never reads matched " +
+            "target rows; gate on source columns only")
+        Some(a)
+      case (Some(a), Some(b)) => err(
+        s"WHEN MATCHED AND ${a.sql} / WHEN NOT MATCHED AND ${b.sql} " +
+          "disagree — conditional merge runs as a source pre-filter, " +
+          "so both actions must carry the SAME source-only condition")
+      case (one, _) => err(
+        s"conditional WHEN ${if (one.isDefined) "MATCHED" else
+          "NOT MATCHED"} AND ... needs the SAME condition on the " +
+          "other action too (the condition pre-filters the source, " +
+          "which gates update and insert alike) — or pre-filter the " +
+          "source by hand")
     }
     def toMap(as: Seq[Assignment], which: String)
         : Map[String, Expression] =
@@ -423,19 +473,24 @@ private[graft] object DmlTranslate {
       }
     }
     // assignments to the computed cluster key are discarded (the
-    // INSERT INTO convention); everything else was validated above
-    GraftMergeCommand(rel.tableDir, keyCol, m.sourceTable,
+    // INSERT INTO convention); everything else was validated above.
+    // The validated condition lands as a Filter over the analyzed
+    // source plan — the exact "pre-filter the source" rewrite the
+    // unconditional contract's refusal used to point at.
+    val src = preFilter.map(Filter(_, m.sourceTable))
+      .getOrElse(m.sourceTable)
+    GraftMergeCommand(rel.tableDir, keyCol, src,
       (keyCol -> (srcKey: Expression)) +: payload.map(c => c -> i(c)))
   }
 }
 
-/** `DELETE FROM <layout view> WHERE <box>` — runs
-  * [[LayoutIngest.deleteBoxNext]] (WAL-manifested pruned rewrite under
-  * the next unused delete id). */
+/** `DELETE FROM <layout view> WHERE <box> [OR <box>]...` — runs
+  * [[LayoutIngest.deleteBoxesNext]] (ONE WAL-manifested pruned rewrite
+  * over the union of boxes, under the next unused delete id). */
 private[graft] case class GraftDeleteCommand(dir: String,
-    box: Seq[(String, Long, Long)]) extends LeafRunnableCommand {
+    boxes: Seq[Seq[(String, Long, Long)]]) extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    LayoutIngest.deleteBoxNext(sparkSession, dir, box): Unit
+    LayoutIngest.deleteBoxesNext(sparkSession, dir, boxes): Unit
     Seq.empty
   }
 }

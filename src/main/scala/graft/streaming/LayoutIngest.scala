@@ -788,8 +788,23 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    */
   def deleteBox(spark: SparkSession, dir: String,
       box: Seq[(String, Long, Long)], deleteId: Long): Boolean =
+    deleteBoxes(spark, dir, Seq(box), deleteId)
+
+  /** UNION-of-boxes delete — [[deleteBox]] generalized to remove rows
+    * matching ANY of several conjunctive boxes in ONE operation: one
+    * maintenance hold, one ledger entry (`del-<deleteId>`), and at
+    * most ONE rewrite per affected unit no matter how many boxes name
+    * it (N sequential deleteBox calls would rewrite a shared unit N
+    * times and log N delete ops for what the caller means as one
+    * statement). Overlapping boxes are fine — the row predicate is a
+    * single OR, so a doubly-covered row is simply deleted. A unit is
+    * rewritten iff its footer stats intersect at least one box. The
+    * body behind SQL `DELETE ... WHERE <box> OR <box>`. */
+  def deleteBoxes(spark: SparkSession, dir: String,
+      boxes: Seq[Seq[(String, Long, Long)]], deleteId: Long): Boolean =
     withMaintLock(spark, dir) {
-      require(box.nonEmpty, "deleteBox: empty box")
+      require(boxes.nonEmpty && boxes.forall(_.nonEmpty),
+        "deleteBoxes: empty box")
       recoverCompact(spark, dir)
       adoptOrphanBatches(spark, dir)
       val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
@@ -801,12 +816,12 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           if (!f.exists(data)) Nil
           else leafUnits(f, data)
         val affectedPaths = parFilter(units.map(_._2)) { d =>
-          box.forall { case (c, lo, hi) =>
+          boxes.exists(_.forall { case (c, lo, hi) =>
             dirColumnRange(f, d, c) match {
               case Some((mn, mx)) => mx >= lo && mn <= hi
               case None => true // no stats → conservatively rewrite
             }
-          }
+          })
         }.toSet
         val affected = units.filter(u => affectedPaths(u._2))
         // NULL-safe: delete ONLY rows where the whole box predicate is
@@ -815,9 +830,9 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         // would silently DESTROY the row (nulls are legal in grid
         // columns — quantization folds them to the minimum cell — and
         // pre-evolution units read added columns as NULL).
-        val del = box.map { case (c, lo, hi) =>
+        val del = boxes.map(_.map { case (c, lo, hi) =>
           col(c) >= lo && col(c) <= hi
-        }.reduce(_ && _)
+        }.reduce(_ && _)).reduce(_ || _)
         val keep = !coalesce(del, lit(false))
         val gridNow = readGrid(spark, dir) // immutable — read once
         affected.zipWithIndex.foreach { case ((name, d), i) =>
@@ -858,7 +873,13 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * retry of the whole statement is a new delete, not a replay.
     * Returns the id the delete committed under. */
   private[graft] def deleteBoxNext(spark: SparkSession, dir: String,
-      box: Seq[(String, Long, Long)]): Long = {
+      box: Seq[(String, Long, Long)]): Long =
+    deleteBoxesNext(spark, dir, Seq(box))
+
+  /** [[deleteBoxes]] under the next unused delete id (same id-race
+    * loop as the single-box form). */
+  private[graft] def deleteBoxesNext(spark: SparkSession, dir: String,
+      boxes: Seq[Seq[(String, Long, Long)]]): Long = {
     var attempts = 0
     while (true) {
       val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
@@ -868,7 +889,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           .filter(_.matches("del-\\d+"))
           .map(_.stripPrefix("del-").toLong)
           .foldLeft(-1L)(math.max) + 1L
-      if (deleteBox(spark, dir, box, next)) return next
+      if (deleteBoxes(spark, dir, boxes, next)) return next
       attempts += 1
       require(attempts < 16,
         s"deleteBoxNext: lost the delete-id race $attempts times on " +

@@ -250,6 +250,43 @@ object LakehouseDemo {
       "SQL MERGE must add exactly the one unmatched row")
     println("[demo]    DELETE removed the appended box; MERGE " +
       "relabeled 1 + inserted 1 (both under auto-minted ledger ids)")
+    // union-of-boxes DELETE: a top-level OR runs as ONE delete op
+    val delOpsBefore = LayoutIngest.history(spark, dir)
+      .filter($"kind" === "delete").count()
+    val twoPoints = spark.sql("SELECT event_id FROM events_table " +
+      "ORDER BY event_id DESC LIMIT 2").as[Long].collect()
+    spark.sql(s"DELETE FROM events_table WHERE event_id = " +
+      s"${twoPoints(0)} OR event_id = ${twoPoints(1)}")
+    require(spark.table("events_table").count() == afterDelete - 1,
+      "OR DELETE must remove both point boxes (7777 + the last row)")
+    require(LayoutIngest.history(spark, dir)
+        .filter($"kind" === "delete").count() == delOpsBefore + 1,
+      "a two-box OR DELETE is ONE history op, not two")
+    // conditional MERGE: the SAME source-only condition on both
+    // actions pre-filters the source — the false-gated row is ignored
+    spark.table("events_table").limit(1)
+      .withColumn("event_id", lit(8888L))
+      .withColumn("event_type", lit("sql-cond-inserted"))
+      .drop("zkey")
+      .unionByName(spark.table("events_table").limit(1)
+        .withColumn("event_id", lit(9999L))
+        .withColumn("event_type", lit("sql-cond-blocked"))
+        .drop("zkey"))
+      .createOrReplaceTempView("dml_cond_src")
+    spark.sql(s"""MERGE INTO events_table USING dml_cond_src
+      ON events_table.event_id = dml_cond_src.event_id
+      WHEN MATCHED AND dml_cond_src.event_id = 8888 THEN UPDATE SET
+        ${cols.filterNot(_ == "event_id")
+          .map(c => s"$c = dml_cond_src.$c").mkString(", ")}
+      WHEN NOT MATCHED AND dml_cond_src.event_id = 8888 THEN
+        INSERT (${cols.mkString(", ")})
+        VALUES (${cols.map(c => s"dml_cond_src.$c").mkString(", ")})""")
+    val condIds = spark.sql("SELECT event_id FROM events_table " +
+      "WHERE event_id IN (8888, 9999)").as[Long].collect().toSet
+    require(condIds == Set(8888L),
+      s"conditional MERGE must insert only the gated row: $condIds")
+    println("[demo]    OR DELETE swept two boxes as one ledger op; " +
+      "conditional MERGE inserted only the row passing its gate")
 
     println("[demo] 15. streaming sink: writeStream.format" +
       "(\"graft-layout\") — txn-minted ids next to the batch DML above")

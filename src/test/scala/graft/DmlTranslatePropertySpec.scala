@@ -59,4 +59,48 @@ class DmlTranslatePropertySpec extends SparkSpec {
           s"diff ${(byBox diff bySpark) ++ (bySpark diff byBox)}")
     }
   }
+
+  test("toBoxes ≡ Spark's own evaluation for 60 seeded random " +
+      "DISJUNCTIONS of conjunctions over the same grid") {
+    val grid = for (a <- -2L to 12L; b <- -2L to 12L) yield (a, b)
+    val df = grid.toDF("a", "b")
+    val Seq(attrA, attrB) = ColumnBridge.analyzedPlan(df).output
+    val target = AttributeSet(Seq(attrA, attrB))
+    val rnd = new scala.util.Random(20260817L)
+    def randCmp(): Expression = {
+      val attr = if (rnd.nextBoolean()) attrA else attrB
+      val lit = Literal(rnd.nextInt(16).toLong - 3L)
+      val flip = rnd.nextBoolean()
+      def mk(l: Expression, r: Expression): Expression =
+        rnd.nextInt(5) match {
+          case 0 => EqualTo(l, r)
+          case 1 => LessThan(l, r)
+          case 2 => LessThanOrEqual(l, r)
+          case 3 => GreaterThan(l, r)
+          case 4 => GreaterThanOrEqual(l, r)
+        }
+      if (flip) mk(lit, attr) else mk(attr, lit)
+    }
+    (1 to 60).foreach { i =>
+      // 1–3 disjuncts of 1–3 conjuncts each: overlapping, disjoint,
+      // duplicated and unsatisfiable disjuncts all occur across seeds
+      val cond = Seq.fill(1 + rnd.nextInt(3))(
+        Seq.fill(1 + rnd.nextInt(3))(randCmp())
+          .reduce[Expression](And(_, _)))
+        .reduce[Expression](Or(_, _))
+      val boxes = DmlTranslate.toBoxes(cond, target)
+      val byBoxes = grid.filter { case (a, b) =>
+        boxes.exists(_.forall { case (c, lo, hi) =>
+          val v = if (c == "a") a else b
+          v >= lo && v <= hi
+        })
+      }.toSet
+      val bySpark = df.filter(ColumnBridge.of(cond))
+        .as[(Long, Long)].collect().toSet
+      assert(byBoxes === bySpark,
+        s"case $i: '${cond.sql}' → boxes $boxes selected " +
+          s"${byBoxes.size} rows, Spark selected ${bySpark.size}; " +
+          s"diff ${(byBoxes diff bySpark) ++ (bySpark diff byBoxes)}")
+    }
+  }
 }
