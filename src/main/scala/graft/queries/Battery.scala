@@ -8652,6 +8652,206 @@ WHERE rk <= 40"""
        |WHERE cid % 2 = 0""".stripMargin
   }
 
+  /** VACUUM UNDER LIVE CONCURRENCY — the retention sweep
+    * ([[graft.streaming.LayoutIngest.vacuum]]) racing a q177-style
+    * trio: a rate-limited CDC consumer stays ATTACHED throughout, a
+    * writer thread ingests batches 1–7 under the tail lock, and the
+    * vacuum fires MID-FLIGHT (premised: the contiguous ledger stood at
+    * exactly 3 of 7 when it launched) while the writer keeps landing
+    * batches — tail (writer) and maintenance (vacuum) are different
+    * locks, so they genuinely interleave, with the session lock-wait
+    * budget covering vacuum's one short maint→tail nesting. The
+    * debris is planted up front (a delete-emptied unit + a dead ingest
+    * stage) and VacuumStats must be EXACTLY (0, 0, 1, 1): sweeping
+    * anything beyond the two planted debris classes — e.g. a racing
+    * writer's in-flight stage, which is protected by the tail
+    * section — would show up in the stats, and any row loss fails the
+    * hash. After the dust settles a fold compacts the tail and the
+    * final TABLE and the consumer's SINK hash together against the
+    * q162-style forget oracle on both sides. */
+  val q193VacuumLive: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val root = streamIndexDir("q193", dir, "events")
+    val tableDir = s"$root/table"
+    val sinkDir = s"$root/sink"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val waitKey = graft.streaming.LedgerLock.LockWaitMsKey
+      val oldWait = s.conf.getOption(waitKey)
+      s.conf.set(waitKey, "60000")
+      try {
+        val b = ev.agg(min("user_id"), max("user_id"),
+          min("ts_us"), max("ts_us")).head()
+        val (umn, umx, tmn, tmx) =
+          (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+          graft.streaming.LayoutIngest.Grid(
+            Seq("user_id", "ts_us"), Seq((umn, umx), (tmn, tmx)),
+            bits = 16))
+        val (blo, bhi) = (umn + (umx - umn) * 49 / 100,
+          umn + (umx - umn) * 51 / 100)
+        val inBox = col("user_id") >= blo && col("user_id") <= bhi
+        // batch 0 = exactly the forget box; deleting it pre-attach
+        // empties that whole unit (debris class 3) and makes the
+        // sink's batch-0 serve deterministically empty
+        require(graft.streaming.LayoutIngest.ingestBatch(
+          ev.filter(inBox), 0L, tableDir, 1), "q193: batch 0")
+        require(graft.streaming.LayoutIngest.deleteBox(s, tableDir,
+          Seq(("user_id", blo, bhi)), deleteId = 0L), "q193: delete")
+        require(Option(new java.io.File(s"$tableDir/data").list())
+            .exists(_.length == 1),
+          "q193 premise: the emptied unit must be physically present")
+        val dead = new java.io.File(s"$tableDir/data.stage-99")
+        require(dead.mkdirs(), "q193: plant stage")
+        java.nio.file.Files.write(
+          new java.io.File(dead, "part-junk.parquet").toPath,
+          Array[Byte](1, 2, 3))
+        // the rest of the corpus lands as 7 time slices while the
+        // consumer drains and the vacuum races
+        val rest = ev.filter(!inBox)
+        val cuts = (1 to 6).map(i => tmn + i * ((tmx - tmn) / 7))
+        val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+        def slice(k: Int): DataFrame =
+          rest.filter(col("ts_us") >= bounds(k - 1) &&
+            col("ts_us") < bounds(k))
+        val q = s.readStream.format("graft-layout")
+          .option("path", tableDir)
+          .option("maxBatchesPerTrigger", "2")
+          .load()
+          .writeStream.format("parquet").option("path", sinkDir)
+          .option("checkpointLocation", s"$root/ckpt")
+          .start()
+        val batch3Committed = new java.util.concurrent.CountDownLatch(1)
+        val vacStarted = new java.util.concurrent.CountDownLatch(1)
+        val vacDone = new java.util.concurrent.CountDownLatch(1)
+        val writerDone =
+          new java.util.concurrent.atomic.AtomicBoolean(false)
+        @volatile var writerErr: Throwable = null
+        @volatile var folderErr: Throwable = null
+        @volatile var vacErr: Throwable = null
+        @volatile var committedAtVacStart = -1L
+        @volatile var vacStats: graft.streaming.LayoutIngest.VacuumStats =
+          null
+        val writer = new Thread(() => {
+          try {
+            (1 to 7).foreach { k =>
+              graft.streaming.LedgerLock.withLock(s, tableDir) {
+                graft.streaming.LayoutIngest.ingestBatch(
+                  slice(k), k.toLong, tableDir, 2): Unit
+              }
+              if (k == 3) {
+                batch3Committed.countDown()
+                // resume as soon as the vacuum LAUNCHES (not when it
+                // finishes) — batches 4..7 land while it runs
+                require(vacStarted.await(120,
+                    java.util.concurrent.TimeUnit.SECONDS),
+                  "q193: vacuum never launched")
+              }
+            }
+          } catch { case t: Throwable => writerErr = t }
+          finally { writerDone.set(true); batch3Committed.countDown() }
+        }, "q193-writer")
+        val vac = new Thread(() => {
+          try {
+            batch3Committed.await()
+            // let the consumer get past the empty unit's batch-0
+            // serve before that unit is dropped from under a
+            // plan-time listing (the documented transient-read
+            // contract is a batch-reader retry story; a streaming
+            // micro-batch failure would fail the gate)
+            val deadline = System.currentTimeMillis() + 120000L
+            def sunk(): Long =
+              try s.read.parquet(sinkDir).count()
+              catch { case _: Exception => 0L }
+            while (sunk() == 0L &&
+                System.currentTimeMillis() < deadline)
+              Thread.sleep(25)
+            require(sunk() > 0L, "q193: consumer never progressed")
+            committedAtVacStart = graft.streaming.LayoutIngest
+              .contiguousCommittedBatch(s, tableDir)
+            vacStarted.countDown()
+            vacStats = graft.streaming.LayoutIngest.vacuum(
+              s, tableDir, lockWaitMs = 60000L)
+          } catch { case t: Throwable => vacErr = t }
+          finally { vacStarted.countDown(); vacDone.countDown() }
+        }, "q193-vacuum")
+        val folder = new Thread(() => {
+          try {
+            vacDone.await()
+            // fold the tail only AFTER the sweep: a 1 GiB
+            // smallFileBytes fold consumes zero-row units too, so an
+            // earlier fold would race the emptied-unit premise away
+            graft.streaming.LayoutIngest.compact(s, tableDir,
+              smallFileBytes = 1L << 30,
+              targetFileBytes = math.max(1L,
+                parquetBytes(new java.io.File(s"$tableDir/data")) / 8))
+          } catch { case t: Throwable => folderErr = t }
+        }, "q193-folder")
+        writer.start(); vac.start(); folder.start()
+        writer.join(600000); vac.join(600000); folder.join(600000)
+        if (writerErr != null) throw writerErr
+        if (vacErr != null) throw vacErr
+        if (folderErr != null) throw folderErr
+        require(committedAtVacStart == 3L,
+          s"q193 premise: vacuum must launch with the ledger at 3 of " +
+            s"7, got $committedAtVacStart")
+        require(vacStats == graft.streaming.LayoutIngest.VacuumStats(
+            0, 0, 1, 1),
+          s"q193: vacuum next to a LIVE writer must sweep exactly the " +
+            s"planted debris (0 manifests, 0 gen stages, 1 ingest " +
+            s"stage, 1 empty unit), got $vacStats")
+        require(!dead.exists(), "q193: planted stage must be gone")
+        q.processAllAvailable()
+        val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+        q.stop()
+        require(nonEmpty >= 3,
+          s"q193: the cap must split the drain into >= 3 " +
+            s"micro-batches, got $nonEmpty")
+        val expect = rest.count()
+        val sunk = s.read.parquet(sinkDir).count()
+        require(sunk == expect,
+          s"q193: sink must hold every non-box row exactly once — " +
+            s"got $sunk, expected $expect")
+        done.createNewFile(): Unit
+      } finally {
+        oldWait match {
+          case Some(v) => s.conf.set(waitKey, v)
+          case None => s.conf.unset(waitKey)
+        }
+      }
+    }
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(lit("table").as("src"), col("event_id"), col("zkey"))
+      .unionByName(s.read.parquet(sinkDir)
+        .select(lit("sink").as("src"), col("event_id"), col("zkey")))
+  }
+
+  val q193Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx
+       |  FROM events),
+       |q AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy
+       |  FROM events
+       |  WHERE NOT (user_id BETWEEN
+       |    (SELECT umn + ((umx - umn) * 49) // 100 FROM b) AND
+       |    (SELECT umn + ((umx - umn) * 51) // 100 FROM b))),
+       |z AS (SELECT event_id, $terms AS zkey FROM q)
+       |SELECT 'table' AS src, event_id, zkey FROM z
+       |UNION ALL
+       |SELECT 'sink' AS src, event_id, zkey FROM z""".stripMargin
+  }
+
   /** READER VISIBILITY through a slow multi-unit merge — the gate for
     * the append-first rework's central claim
     * ([[graft.streaming.LayoutIngest.mergeRows]] doc item 4): a
@@ -9290,7 +9490,10 @@ WHERE rk <= 40"""
     "q191_sql_delete_or" -> (q191SqlDeleteOr, Some(q191Sql)),
     // q192: conditional MERGE (same source-only condition on both
     // actions) ≡ the parity-gated DuckDB twin
-    "q192_sql_merge_cond" -> (q192SqlMergeCond, Some(q192Sql)))
+    "q192_sql_merge_cond" -> (q192SqlMergeCond, Some(q192Sql)),
+    // q193: vacuum races a live writer + attached CDC consumer and
+    // must sweep EXACTLY the planted debris; table + sink both hash
+    "q193_vacuum_live" -> (q193VacuumLive, Some(q193Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
