@@ -8512,11 +8512,18 @@ WHERE rk <= 40"""
       val uhi = umn + (umx - umn) * 51 / 100
       val tlo = tmn + (tmx - tmn) * 10 / 100
       val thi = tmn + (tmx - tmn) * 12 / 100
-      s.read.format("graft-layout").load(tableDir)
-        .createOrReplaceTempView("q191_t")
-      s.sql(s"""DELETE FROM q191_t
-        |WHERE (user_id BETWEEN $ulo AND $uhi)
-        |  OR (ts_us BETWEEN $tlo AND $thi)""".stripMargin)
+      // the statement runs against a PERSISTED catalog table
+      // (CREATE TABLE ... USING), not a temp view — the DDL premise:
+      // the DML interception and the relation resolve identically
+      // through the session catalog
+      s.sql("DROP TABLE IF EXISTS q191_t")
+      s.sql("CREATE TABLE q191_t USING `graft-layout` " +
+        s"OPTIONS (path '$tableDir')")
+      try {
+        s.sql(s"""DELETE FROM q191_t
+          |WHERE (user_id BETWEEN $ulo AND $uhi)
+          |  OR (ts_us BETWEEN $tlo AND $thi)""".stripMargin)
+      } finally s.sql("DROP TABLE IF EXISTS q191_t")
       val delOps = graft.streaming.LayoutIngest.history(s, tableDir)
         .filter(col("kind") === "delete").count()
       require(delOps == 1L,

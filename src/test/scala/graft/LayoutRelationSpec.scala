@@ -166,6 +166,60 @@ class LayoutRelationSpec extends SparkSpec {
       m.contains("sinceBatch/asOfBatch")), chain(e2).toString)
   }
 
+  test("CREATE TABLE ... USING graft-layout: a PERSISTED catalog " +
+      "table round-trips read / pruned scan / INSERT / DELETE / MERGE " +
+      "identically to the temp-view path; DROP TABLE keeps the data") {
+    val dir = tmp("layout-rel-catalog")
+    build(dir)
+    spark.sql("DROP TABLE IF EXISTS graft_cat")
+    spark.sql(
+      s"CREATE TABLE graft_cat USING `graft-layout` OPTIONS (path '$dir')")
+    try {
+      // read ≡ API; the computed key column is part of the catalog
+      // schema like the temp-view schema
+      assert(spark.table("graft_cat").count() === 100L)
+      assert(spark.table("graft_cat").columns.contains("zkey"))
+      val sql = spark.sql(
+        "SELECT id, x, y FROM graft_cat WHERE x >= 30 AND x <= 40")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(sql.map(_._1) === (30L to 40L).toSet)
+      // pushdown pruning survives catalog resolution (the V1 relation
+      // is the same object the temp view wraps)
+      assert(LayoutScanStats.lastUnitsRead < LayoutScanStats.lastUnitsLive,
+        s"catalog-table pushdown must prune: read " +
+          s"${LayoutScanStats.lastUnitsRead}/${LayoutScanStats.lastUnitsLive}")
+      // INSERT INTO appends under the next ledger id; zkey recomputed
+      spark.sql("INSERT INTO graft_cat " +
+        "SELECT id + 500, id % 100, 9L, 0L FROM range(3)")
+      assert(LayoutIngest.readSince(spark, dir, 3L)
+        .select("id").as[Long].collect().toSet ===
+        (500L until 503L).toSet,
+        "the catalog INSERT must land as the next ledger batch")
+      // DELETE routes through the same GraftDmlRule interception
+      spark.sql("DELETE FROM graft_cat WHERE id BETWEEN 500 AND 501")
+      assert(spark.table("graft_cat").count() === 101L)
+      // MERGE through the catalog name (whole-row upsert)
+      spark.sql("SELECT 502L AS id, 77L AS x, 77L AS y")
+        .createOrReplaceTempView("graft_cat_src")
+      spark.sql("""MERGE INTO graft_cat USING graft_cat_src
+        ON graft_cat.id = graft_cat_src.id
+        WHEN MATCHED THEN UPDATE SET x = graft_cat_src.x,
+          y = graft_cat_src.y
+        WHEN NOT MATCHED THEN INSERT (id, x, y)
+          VALUES (graft_cat_src.id, graft_cat_src.x, graft_cat_src.y)""")
+      val merged = spark.sql(
+        "SELECT x, y FROM graft_cat WHERE id = 502")
+        .as[(Long, Long)].collect().toSeq
+      assert(merged === Seq((77L, 77L)))
+      assert(spark.table("graft_cat").count() === 101L,
+        "the merge must replace, not add")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_cat")
+    // an OPTIONS-path table is EXTERNAL: dropping the catalog entry
+    // must not touch the table directory
+    assert(LayoutIngest.read(spark, dir).count() === 101L,
+      "DROP TABLE on the external catalog entry must keep the data")
+  }
+
   test("sinceBatch = CDC view (keeps __batch); asOfBatch = time " +
       "travel; the two options are mutually exclusive") {
     val dir = tmp("layout-rel-prov")
