@@ -8476,13 +8476,17 @@ WHERE rk <= 40"""
 
   /** SQL DELETE with a TOP-LEVEL OR — the union-of-boxes surface
     * ([[graft.streaming.LayoutIngest.deleteBoxes]] behind
-    * `DELETE ... WHERE <box> OR <box>`): one statement removes the
-    * q162 user slice AND a disjoint early-time slice in ONE delete op
-    * (premised: history gains exactly one `delete` entry — a
-    * per-disjunct loop would gain two and rewrite shared units twice).
-    * The surviving table hashes against a DuckDB twin of the exact
-    * union predicate; a translation that widened a disjunct, dropped
-    * one, or intersected instead of unioned fails the hash. */
+    * `DELETE ... WHERE <box> OR <box> OR col IN (...)`): one statement
+    * removes the q162 user slice, a disjoint early-time slice AND an
+    * IN-list of three mid-domain event ids (the forget-these-ids
+    * shape, one point box per value) in ONE delete op (premised:
+    * history gains exactly one `delete` entry — a per-disjunct loop
+    * would gain five and rewrite shared units repeatedly). The
+    * statement runs against a `CREATE TABLE ... USING` catalog entry,
+    * not a temp view. The surviving table hashes against a DuckDB twin
+    * of the exact union predicate; a translation that widened a
+    * disjunct, dropped one, or intersected instead of unioned fails
+    * the hash. */
   val q191SqlDeleteOr: Q = (s, dir) => {
     val ev = events(s, dir).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"))
@@ -8519,10 +8523,17 @@ WHERE rk <= 40"""
       s.sql("DROP TABLE IF EXISTS q191_t")
       s.sql("CREATE TABLE q191_t USING `graft-layout` " +
         s"OPTIONS (path '$tableDir')")
+      // third disjunct: an IN-list of three mid-domain event ids
+      // (q166's arithmetic) — the forget-these-ids shape, one point
+      // box per value, all still ONE delete op
+      val eb = ev.agg(min("event_id"), max("event_id")).head()
+      val (emn, emx) = (eb.getLong(0), eb.getLong(1))
+      val ids = Seq(1, 3, 5).map(k => emn + (emx - emn) * k / 7)
       try {
         s.sql(s"""DELETE FROM q191_t
           |WHERE (user_id BETWEEN $ulo AND $uhi)
-          |  OR (ts_us BETWEEN $tlo AND $thi)""".stripMargin)
+          |  OR (ts_us BETWEEN $tlo AND $thi)
+          |  OR event_id IN (${ids.mkString(", ")})""".stripMargin)
       } finally s.sql("DROP TABLE IF EXISTS q191_t")
       val delOps = graft.streaming.LayoutIngest.history(s, tableDir)
         .filter(col("kind") === "delete").count()
@@ -8610,7 +8621,8 @@ WHERE rk <= 40"""
     s"""WITH b AS (
        |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
        |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
-       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx,
+       |    MIN(event_id) AS emn, MAX(event_id) AS emx
        |  FROM events),
        |q AS (
        |  SELECT event_id,
@@ -8624,7 +8636,11 @@ WHERE rk <= 40"""
        |      (SELECT umn + ((umx - umn) * 51) // 100 FROM b))
        |    OR (CAST(epoch_us(ts) AS BIGINT) BETWEEN
        |      (SELECT tmn + ((tmx - tmn) * 10) // 100 FROM b) AND
-       |      (SELECT tmn + ((tmx - tmn) * 12) // 100 FROM b))))
+       |      (SELECT tmn + ((tmx - tmn) * 12) // 100 FROM b))
+       |    OR event_id IN (
+       |      SELECT emn + ((emx - emn) * 1) // 7 FROM b UNION ALL
+       |      SELECT emn + ((emx - emn) * 3) // 7 FROM b UNION ALL
+       |      SELECT emn + ((emx - emn) * 5) // 7 FROM b)))
        |SELECT event_id, $terms AS zkey FROM q""".stripMargin
   }
 

@@ -35,14 +35,15 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
  *
  *  - `DELETE FROM t [WHERE <box> [OR <box>]...]` — each disjunct must
  *    be a conjunction of `=`, `<`, `<=`, `>`, `>=`, `BETWEEN` over
- *    LONG columns and integral literals: exactly the
- *    [[LayoutIngest.deleteBox]] box contract, translated EXACTLY
- *    (`>`/`<` shift by one — integers make open bounds closed). A
- *    top-level OR of such conjunctions runs as ONE union-of-boxes
- *    delete ([[LayoutIngest.deleteBoxes]]: one ledger entry, at most
- *    one rewrite per affected unit, overlap harmless). No WHERE
- *    deletes every row. Runs under the next unused delete id
- *    ([[LayoutIngest.deleteBoxesNext]]).
+ *    LONG columns and integral literals (exactly the
+ *    [[LayoutIngest.deleteBox]] box contract, translated EXACTLY —
+ *    `>`/`<` shift by one, integers make open bounds closed), or a
+ *    whole `col IN (literals)` (one point box per value — the
+ *    forget-these-ids statement). A top-level OR of such disjuncts
+ *    runs as ONE union-of-boxes delete ([[LayoutIngest.deleteBoxes]]:
+ *    one ledger entry, at most one rewrite per affected unit, overlap
+ *    harmless). No WHERE deletes every row. Runs under the next
+ *    unused delete id ([[LayoutIngest.deleteBoxesNext]]).
  *  - `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED [AND c] THEN
  *    UPDATE SET ... WHEN NOT MATCHED [AND c] THEN INSERT ...` — the
  *    WHOLE-ROW upsert ([[LayoutIngest.mergeRows]]'s contract: a
@@ -253,7 +254,9 @@ private[graft] object DmlTranslate {
 
   /** DELETE condition → the EXACT union of conjunctive boxes, or
     * refuse: the condition splits on its TOP-LEVEL ORs and each
-    * disjunct goes through [[toBox]]. Identical disjuncts collapse
+    * disjunct goes through [[toBox]]. A disjunct that is
+    * `col IN (literals)` — the canonical forget-these-ids statement —
+    * expands to one point box per value. Identical disjuncts collapse
     * (`x = 1 OR x = 1` is one box); overlap needs no special casing —
     * the union executes as a single OR predicate in ONE
     * [[LayoutIngest.deleteBoxes]] pass, so a doubly-covered row is
@@ -271,7 +274,24 @@ private[graft] object DmlTranslate {
       }
       case other => Seq(other)
     }
-    disjuncts(cond).map(toBox(_, target)).distinct
+    // IN coercion casts BOTH sides to the common type (unlike binary
+    // comparisons, which cast only the literal) — a long→long cast on
+    // the attribute is identity, unwrap it
+    def inAttr(e: Expression): Option[String] = e match {
+      case c: Cast if c.dataType == LongType => longAttr(c.child, target)
+      case other => longAttr(other, target)
+    }
+    def expand(d: Expression): Seq[Seq[(String, Long, Long)]] = d match {
+      // IN only as a WHOLE disjunct: inside a conjunction it would
+      // need the cross-product distribution (a IN (1,2) AND b = 3 →
+      // two boxes), which the conjunctive walk deliberately refuses
+      case In(a, vs) if inAttr(a).isDefined && vs.nonEmpty &&
+          vs.forall(litLong(_).isDefined) =>
+        val c = inAttr(a).get
+        vs.flatMap(litLong).map(v => Seq((c, v, v)))
+      case other => Seq(toBox(other, target))
+    }
+    disjuncts(cond).flatMap(expand).distinct
   }
 
   /** DELETE condition → the EXACT conjunctive box, or refuse. Open
@@ -321,11 +341,11 @@ private[graft] object DmlTranslate {
       case other => err(
         s"DELETE condition '${other.sql}' is not a conjunction of " +
           "=/</<=/>/>=/BETWEEN ranges over LONG columns and integral " +
-          "literals — the exact deleteBox contract (OR is supported " +
-          "only at the TOP level, between whole conjunctions). " +
-          "Anything else (nested OR, string predicates, expressions " +
-          "over columns) needs the API: LayoutIngest.deleteBoxes / " +
-          "mergeRows.")
+          "literals — the exact deleteBox contract (OR and IN are " +
+          "supported only at the TOP level, between/as whole " +
+          "disjuncts). Anything else (nested OR, IN inside a " +
+          "conjunction, string predicates, expressions over columns) " +
+          "needs the API: LayoutIngest.deleteBoxes / mergeRows.")
     }
     // bind returns false (falls through to `other`) unless BOTH sides
     // fit the attr-vs-literal shape — a guard, not an action

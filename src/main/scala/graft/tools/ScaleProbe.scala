@@ -51,13 +51,21 @@ object ScaleProbe {
   private val LetterMults = Seq(1, 3, 5, 7, 9, 11) // units mod 26
   private val DigitMults = Seq(1, 3, 7, 9) // units mod 10
 
+  /** Letters have 6 × 26 = 156 distinct affine maps; digits only
+    * 4 × 10 = 40, so past copy 39 the DIGIT family cycles (`% 40`).
+    * Two copies sharing a digit map can only collide on ALL-digit
+    * tokens — any letter in a token keeps the cross-copy overlap at
+    * ~zero (the letter maps stay distinct through copy 155), so the
+    * bijection derivation stays honest for the shingle/n-gram probes
+    * up to 156 copies, with a bounded all-digit-token exception the
+    * corpus barely contains. */
   private def shifted(c: Char, i: Int): Char = c match {
     case l if l >= 'a' && l <= 'z' =>
       ((LetterMults(i / 26) * (l - 'a') + i % 26) % 26 + 'a').toChar
     case u if u >= 'A' && u <= 'Z' =>
       ((LetterMults(i / 26) * (u - 'A') + i % 26) % 26 + 'A').toChar
     case d if d >= '0' && d <= '9' =>
-      ((DigitMults(i / 10) * (d - '0') + i % 10) % 10 + '0').toChar
+      ((DigitMults(i % 40 / 10) * (d - '0') + i % 10) % 10 + '0').toChar
     case other => other
   }
 
@@ -175,10 +183,12 @@ object ScaleProbe {
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       "/root/repo/tmp/sf1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
-    // the affine families run out at 40 distinct digit bijections
-    // (4 multipliers × 10 shifts) — beyond that copies would share a
-    // digit map and re-introduce cross-copy near-dup mass
-    require(copies >= 1 && copies <= 40, s"copies in [1,40], got $copies")
+    // the LETTER affine family has 156 distinct bijections (6
+    // multipliers × 26 shifts); the digit family cycles past 40 with
+    // only an all-digit-token collision exception (see [[shifted]]) —
+    // the 100× text-sweep lever (r16 verdict item 2)
+    require(copies >= 1 && copies <= 155,
+      s"copies in [1,155], got $copies")
     // the event log has no text, so IT may scale past the cap — the
     // lever for the 30x clustered-ingest probes (q163's Skilling
     // keying factor)

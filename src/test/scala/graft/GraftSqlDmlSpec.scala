@@ -96,6 +96,24 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(!LayoutIngest.read(spark, dir)
       .select("a").as[Long].collect().contains(45L))
     assert(deleteOps() === before + 2)
+    // IN = one point box per value (the forget-these-ids statement),
+    // composable with the other disjuncts; still one ledger op
+    spark.sql("DELETE FROM sor WHERE a IN (1, 2, 3) OR a BETWEEN 48 AND 49")
+    val left3 = LayoutIngest.read(spark, dir)
+      .select("a").as[Long].collect().toSet
+    assert(Seq(1L, 2L, 3L, 48L, 49L).forall(!left3.contains(_)) &&
+      left3.contains(0L) && left3.contains(4L) && left3.contains(47L) &&
+      left3.contains(50L))
+    assert(deleteOps() === before + 3)
+    // ...but IN inside a conjunction would need the cross-product
+    // distribution — refused typed, not approximated
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM sor WHERE a IN (11, 12) AND b = 44"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("not a conjunction")),
+      msgs(e).mkString(" | "))
   }
 
   test("DELETE with OR ≡ the deleteBoxes API twin on the same union") {
