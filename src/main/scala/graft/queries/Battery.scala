@@ -6719,9 +6719,14 @@ WHERE rk <= 40"""
     val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"q161-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
     registerCleanup(ckpt)
+    // single-writer content-addressed rebuild: a FRESH checkpoint per
+    // invocation re-offers the same files under the same epoch ids and
+    // every re-run is a marker no-op — the documented epochIds opt-in
+    // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
       ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
-      compactEvery = Some(2), smallFileBytes = 64L << 20)
+      compactEvery = Some(2), smallFileBytes = 64L << 20,
+      epochIds = true)
     q.awaitTermination()
     graft.streaming.LayoutIngest.read(s, tableDir)
       .select(col("event_id"), col("zkey"))
@@ -6758,9 +6763,14 @@ WHERE rk <= 40"""
     val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"q162-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
     registerCleanup(ckpt)
+    // single-writer content-addressed rebuild: a FRESH checkpoint per
+    // invocation re-offers the same files under the same epoch ids and
+    // every re-run is a marker no-op — the documented epochIds opt-in
+    // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
       ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
-      compactEvery = Some(2), smallFileBytes = 64L << 20)
+      compactEvery = Some(2), smallFileBytes = 64L << 20,
+      epochIds = true)
     q.awaitTermination()
     // the forget box: the middle 2% of the user domain, derived from
     // the PERSISTED grid with the same integer arithmetic the oracle
@@ -6803,9 +6813,14 @@ WHERE rk <= 40"""
     val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"q163-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
     registerCleanup(ckpt)
+    // single-writer content-addressed rebuild: a FRESH checkpoint per
+    // invocation re-offers the same files under the same epoch ids and
+    // every re-run is a marker no-op — the documented epochIds opt-in
+    // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
       ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
-      compactEvery = Some(2), smallFileBytes = 64L << 20)
+      compactEvery = Some(2), smallFileBytes = 64L << 20,
+      epochIds = true)
     q.awaitTermination()
     graft.streaming.LayoutIngest.read(s, tableDir)
       .select(col("event_id"), col("zkey").as("hkey"))
@@ -6839,9 +6854,14 @@ WHERE rk <= 40"""
     val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"q164-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
     registerCleanup(ckpt)
+    // single-writer content-addressed rebuild: a FRESH checkpoint per
+    // invocation re-offers the same files under the same epoch ids and
+    // every re-run is a marker no-op — the documented epochIds opt-in
+    // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
       ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
-      compactEvery = Some(2), smallFileBytes = 64L << 20)
+      compactEvery = Some(2), smallFileBytes = 64L << 20,
+      epochIds = true)
     q.awaitTermination()
     val grid = graft.streaming.LayoutIngest.readGrid(s, tableDir)
     val (umn, umx) = grid.bounds.head
@@ -6885,8 +6905,13 @@ WHERE rk <= 40"""
     val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"q165-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
     registerCleanup(ckpt)
+    // single-writer content-addressed rebuild: a FRESH checkpoint per
+    // invocation re-offers the same files under the same epoch ids and
+    // every re-run is a marker no-op — the documented epochIds opt-in
+    // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
-      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true)
+      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
+      epochIds = true)
     q.awaitTermination()
     val dataDir = new java.io.File(s"$tableDir/data")
     def tops = Option(dataDir.listFiles())
@@ -6941,8 +6966,13 @@ WHERE rk <= 40"""
     val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"q166-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
     registerCleanup(ckpt)
+    // single-writer content-addressed rebuild: a FRESH checkpoint per
+    // invocation re-offers the same files under the same epoch ids and
+    // every re-run is a marker no-op — the documented epochIds opt-in
+    // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
-      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true)
+      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
+      epochIds = true)
     q.awaitTermination()
     // fold into a ~8-leaf range-split generation (q165's shape): with
     // only the two L0 batch dirs every unit holds ids from the whole
@@ -7043,9 +7073,14 @@ WHERE rk <= 40"""
     val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"q168-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
     registerCleanup(ckpt)
+    // single-writer content-addressed rebuild: a FRESH checkpoint per
+    // invocation re-offers the same files under the same epoch ids and
+    // every re-run is a marker no-op — the documented epochIds opt-in
+    // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
       ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
-      compactEvery = Some(2), smallFileBytes = 1L << 30)
+      compactEvery = Some(2), smallFileBytes = 1L << 30,
+      epochIds = true)
     q.awaitTermination()
     // the gate's premise: provenance must be read THROUGH a fold
     val tops = Option(new java.io.File(s"$tableDir/data").listFiles())
@@ -8246,8 +8281,13 @@ WHERE rk <= 40"""
     val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"q178-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
     registerCleanup(ckpt)
+    // single-writer content-addressed rebuild: a FRESH checkpoint per
+    // invocation re-offers the same files under the same epoch ids and
+    // every re-run is a marker no-op — the documented epochIds opt-in
+    // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
-      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true)
+      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
+      epochIds = true)
     q.awaitTermination()
     // q165's range-split fold: leaf-granular units give the pushed
     // box something to prune (one monolithic gen would force 1/1)
@@ -8305,8 +8345,13 @@ WHERE rk <= 40"""
     val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"q179-${java.util.UUID.randomUUID().toString.take(12)}-ckpt")
     registerCleanup(ckpt)
+    // single-writer content-addressed rebuild: a FRESH checkpoint per
+    // invocation re-offers the same files under the same epoch ids and
+    // every re-run is a marker no-op — the documented epochIds opt-in
+    // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
-      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true)
+      ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
+      epochIds = true)
     q.awaitTermination()
     val out = s.read.format("graft-layout")
       .option("sinceBatch", "0").load(tableDir)
