@@ -8920,6 +8920,78 @@ WHERE rk <= 40"""
        |SELECT 'sink' AS src, event_id, zkey FROM z""".stripMargin
   }
 
+  /** RETENTION SWEEP through SQL — `DELETE ... WHERE ts_us NOT
+    * BETWEEN <window>`: the negated-shape decomposition
+    * ([[graft.sql.GraftSqlExtensions]]) turns the complement of the
+    * retention window into its two exact interval boxes and runs them
+    * as ONE union delete (premised: one history op). On the
+    * ts-clustered table the two boxes are exactly the prunable cold
+    * head and tail — the statement a 100 TB deployment runs on a
+    * schedule. The kept table hashes against the events INSIDE the
+    * window. */
+  val q194SqlRetention: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val root = streamIndexDir("q194", dir, "events")
+    val tableDir = s"$root/table"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val (tmn, tmx) = (b.getLong(2), b.getLong(3))
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (tmn, tmx)), bits = 16))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.compact(s, tableDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L,
+          parquetBytes(new java.io.File(s"$tableDir/data")) / 8))
+      val tlo = tmn + (tmx - tmn) * 25 / 100
+      val thi = tmn + (tmx - tmn) * 75 / 100
+      s.read.format("graft-layout").load(tableDir)
+        .createOrReplaceTempView("q194_t")
+      s.sql(
+        s"DELETE FROM q194_t WHERE ts_us NOT BETWEEN $tlo AND $thi")
+      val delOps = graft.streaming.LayoutIngest.history(s, tableDir)
+        .filter(col("kind") === "delete").count()
+      require(delOps == 1L,
+        s"q194 premise: the retention sweep must be ONE delete op, " +
+          s"got $delOps")
+      done.createNewFile(): Unit
+    }
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("event_id"), col("zkey"))
+  }
+
+  val q194Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx
+       |  FROM events),
+       |q AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy
+       |  FROM events
+       |  WHERE CAST(epoch_us(ts) AS BIGINT) BETWEEN
+       |    (SELECT tmn + ((tmx - tmn) * 25) // 100 FROM b) AND
+       |    (SELECT tmn + ((tmx - tmn) * 75) // 100 FROM b))
+       |SELECT event_id, $terms AS zkey FROM q""".stripMargin
+  }
+
   /** READER VISIBILITY through a slow multi-unit merge — the gate for
     * the append-first rework's central claim
     * ([[graft.streaming.LayoutIngest.mergeRows]] doc item 4): a
@@ -9561,7 +9633,10 @@ WHERE rk <= 40"""
     "q192_sql_merge_cond" -> (q192SqlMergeCond, Some(q192Sql)),
     // q193: vacuum races a live writer + attached CDC consumer and
     // must sweep EXACTLY the planted debris; table + sink both hash
-    "q193_vacuum_live" -> (q193VacuumLive, Some(q193Sql)))
+    "q193_vacuum_live" -> (q193VacuumLive, Some(q193Sql)),
+    // q194: SQL retention sweep — NOT BETWEEN decomposes to the two
+    // complement interval boxes, one union delete
+    "q194_sql_retention" -> (q194SqlRetention, Some(q194Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -39,11 +39,16 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
  *    [[LayoutIngest.deleteBox]] box contract, translated EXACTLY —
  *    `>`/`<` shift by one, integers make open bounds closed), or a
  *    whole `col IN (literals)` (one point box per value — the
- *    forget-these-ids statement). A top-level OR of such disjuncts
- *    runs as ONE union-of-boxes delete ([[LayoutIngest.deleteBoxes]]:
- *    one ledger entry, at most one rewrite per affected unit, overlap
- *    harmless). No WHERE deletes every row. Runs under the next
- *    unused delete id ([[LayoutIngest.deleteBoxesNext]]).
+ *    forget-these-ids statement), or a whole NEGATED point shape —
+ *    `col != v`, `col NOT IN (literals)`, `col NOT BETWEEN lo AND hi`
+ *    (the retention statement) — decomposed EXACTLY into the
+ *    complement intervals on the long domain (NULL column values stay
+ *    kept, matching SQL's three-valued NOT). A top-level OR of such
+ *    disjuncts runs as ONE union-of-boxes delete
+ *    ([[LayoutIngest.deleteBoxes]]: one ledger entry, at most one
+ *    rewrite per affected unit, overlap harmless). No WHERE deletes
+ *    every row. Runs under the next unused delete id
+ *    ([[LayoutIngest.deleteBoxesNext]]).
  *  - `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED [AND c] THEN
  *    UPDATE SET ... WHEN NOT MATCHED [AND c] THEN INSERT ...` — the
  *    WHOLE-ROW upsert ([[LayoutIngest.mergeRows]]'s contract: a
@@ -281,6 +286,25 @@ private[graft] object DmlTranslate {
       case c: Cast if c.dataType == LongType => longAttr(c.child, target)
       case other => longAttr(other, target)
     }
+    // the COMPLEMENT of k points on a long column = up to k+1 closed
+    // intervals (empties at the domain edges drop out) — exact under
+    // three-valued logic too: a NULL column value fails every interval
+    // here exactly as `a != v` / `a NOT IN (...)` evaluates to NULL
+    // (row kept) in SQL
+    def complement(c: String, points: Seq[Long])
+        : Seq[Seq[(String, Long, Long)]] = {
+      val ps = points.distinct.sorted
+      val iv = scala.collection.mutable.Buffer.empty[(Long, Long)]
+      var lo = Long.MinValue
+      ps.foreach { p =>
+        // [lo, p-1] — empty when p is the domain minimum (no left
+        // side) or consecutive with the previous point
+        if (p != Long.MinValue && lo <= p - 1) iv += ((lo, p - 1))
+        if (p != Long.MaxValue) lo = p + 1
+      }
+      if (ps.last != Long.MaxValue) iv += ((lo, Long.MaxValue))
+      iv.toSeq.map { case (l, h) => Seq((c, l, h)) }
+    }
     def expand(d: Expression): Seq[Seq[(String, Long, Long)]] = d match {
       // IN only as a WHOLE disjunct: inside a conjunction it would
       // need the cross-product distribution (a IN (1,2) AND b = 3 →
@@ -289,6 +313,39 @@ private[graft] object DmlTranslate {
           vs.forall(litLong(_).isDefined) =>
         val c = inAttr(a).get
         vs.flatMap(litLong).map(v => Seq((c, v, v)))
+      // negated point shapes — the retention statements: `a != v`,
+      // `a NOT IN (...)` (all-literal, NULL-free list: a NULL element
+      // makes SQL's NOT IN delete nothing, refused rather than
+      // silently honored), `a NOT BETWEEN lo AND hi`
+      case Not(EqualTo(a, v)) if inAttr(a).isDefined &&
+          litLong(v).isDefined =>
+        complement(inAttr(a).get, Seq(litLong(v).get))
+      case Not(EqualTo(v, a)) if inAttr(a).isDefined &&
+          litLong(v).isDefined =>
+        complement(inAttr(a).get, Seq(litLong(v).get))
+      case Not(In(a, vs)) if inAttr(a).isDefined && vs.nonEmpty &&
+          vs.forall(litLong(_).isDefined) =>
+        complement(inAttr(a).get, vs.flatMap(litLong))
+      case Not(r: RuntimeReplaceable) =>
+        // NOT BETWEEN arrives as Not over the replaceable; its inlined
+        // replacement is `a >= lo AND a <= hi` — De Morgan by hand for
+        // exactly that one-column shape, refuse anything else
+        inlineWith(r.replacement) match {
+          case And(GreaterThanOrEqual(a1, lo), LessThanOrEqual(a2, hi))
+            if longAttr(a1, target).isDefined &&
+              longAttr(a1, target) == longAttr(a2, target) &&
+              litLong(lo).isDefined && litLong(hi).isDefined =>
+            val c = longAttr(a1, target).get
+            val (l, h) = (litLong(lo).get, litLong(hi).get)
+            if (l > h) Seq(Seq((c, Long.MinValue, Long.MaxValue)))
+            else Seq(
+              if (l == Long.MinValue) Nil
+              else Seq(Seq((c, Long.MinValue, l - 1))),
+              if (h == Long.MaxValue) Nil
+              else Seq(Seq((c, h + 1, Long.MaxValue))))
+              .flatten
+          case _ => Seq(toBox(d, target)) // refuses with the pointer
+        }
       case other => Seq(toBox(other, target))
     }
     disjuncts(cond).flatMap(expand).distinct

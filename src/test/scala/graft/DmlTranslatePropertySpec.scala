@@ -81,12 +81,25 @@ class DmlTranslatePropertySpec extends SparkSpec {
         }
       if (flip) mk(lit, attr) else mk(attr, lit)
     }
+    // whole-disjunct shapes beyond plain conjunctions: IN and the
+    // negated point forms (!=, NOT IN, NOT BETWEEN — the complement
+    // decomposition), each exact on the grid
+    def randDisjunct(): Expression = {
+      val attr = if (rnd.nextBoolean()) attrA else attrB
+      def lit() = Literal(rnd.nextInt(16).toLong - 3L)
+      rnd.nextInt(8) match {
+        case 0 => In(attr, Seq.fill(1 + rnd.nextInt(3))(lit()))
+        case 1 => Not(EqualTo(attr, lit()))
+        case 2 => Not(In(attr, Seq.fill(1 + rnd.nextInt(3))(lit())))
+        case 3 => Not(Between(attr, lit(), lit()))
+        case _ => Seq.fill(1 + rnd.nextInt(3))(randCmp())
+          .reduce[Expression](And(_, _))
+      }
+    }
     (1 to 60).foreach { i =>
-      // 1–3 disjuncts of 1–3 conjuncts each: overlapping, disjoint,
-      // duplicated and unsatisfiable disjuncts all occur across seeds
-      val cond = Seq.fill(1 + rnd.nextInt(3))(
-        Seq.fill(1 + rnd.nextInt(3))(randCmp())
-          .reduce[Expression](And(_, _)))
+      // 1–3 disjuncts: overlapping, disjoint, duplicated and
+      // unsatisfiable disjuncts all occur across seeds
+      val cond = Seq.fill(1 + rnd.nextInt(3))(randDisjunct())
         .reduce[Expression](Or(_, _))
       val boxes = DmlTranslate.toBoxes(cond, target)
       val byBoxes = grid.filter { case (a, b) =>

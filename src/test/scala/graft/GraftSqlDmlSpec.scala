@@ -116,6 +116,39 @@ class GraftSqlDmlSpec extends SparkSpec {
       msgs(e).mkString(" | "))
   }
 
+  test("negated DELETE shapes decompose exactly: !=, NOT IN, and NOT " +
+      "BETWEEN (the retention statement); a NULL in NOT IN is refused") {
+    val dir = freshTable("sqldml-neg") // rows a = 0..50
+    view(dir, "sneg")
+    // retention sweep: keep ONLY the [20, 30] window
+    spark.sql("DELETE FROM sneg WHERE a NOT BETWEEN 20 AND 30")
+    def left(): Set[Long] = LayoutIngest.read(spark, dir)
+      .select("a").as[Long].collect().toSet
+    assert(left() === (20L to 30L).toSet,
+      "NOT BETWEEN must delete exactly the complement of the window")
+    // != : two complement intervals around the point
+    spark.sql("DELETE FROM sneg WHERE a != 25")
+    assert(left() === Set(25L))
+    // NOT IN keeps exactly the listed ids — and is ONE ledger op
+    // (complement of 3 points = 4 interval boxes, one delete entry)
+    val dir2 = freshTable("sqldml-neg2")
+    view(dir2, "sneg2")
+    spark.sql("DELETE FROM sneg2 WHERE a NOT IN (10, 11, 40)")
+    assert(LayoutIngest.read(spark, dir2)
+      .select("a").as[Long].collect().toSet === Set(10L, 11L, 40L))
+    assert(LayoutIngest.history(spark, dir2)
+      .filter(col("kind") === "delete").count() === 1L)
+    // SQL's NOT IN with a NULL element deletes NOTHING (three-valued
+    // logic) — refused typed rather than silently honored either way
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM sneg2 WHERE a NOT IN (10, NULL)"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("not a conjunction")),
+      msgs(e).mkString(" | "))
+  }
+
   test("DELETE with OR ≡ the deleteBoxes API twin on the same union") {
     val dirSql = freshTable("sqldml-or-sql")
     val dirApi = freshTable("sqldml-or-api")
