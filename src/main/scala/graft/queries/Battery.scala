@@ -8992,6 +8992,93 @@ WHERE rk <= 40"""
        |SELECT event_id, $terms AS zkey FROM q""".stripMargin
   }
 
+  /** SQL UPDATE — the box-scoped in-place REDACTION rewrite
+    * ([[graft.streaming.LayoutIngest.updateBoxes]] behind
+    * `UPDATE ... SET <payload> WHERE <boxes>`): statement 1 shifts the
+    * mid-time window's values through an expression over the row's
+    * own column (`value = value + 1`), statement 2 NULLs the q162 user
+    * slice (the redaction a deployment runs when deletion is too
+    * blunt) — overlapping rows take both in order. Premised: exactly
+    * two `update` ops in history. The table hashes against the same
+    * CASE cascade in DuckDB; a rewrite that dropped rows (redaction
+    * must never delete), applied an assignment outside its box, or
+    * read post-update values fails the hash. */
+  val q195SqlRedact: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val root = streamIndexDir("q195", dir, "events")
+    val tableDir = s"$root/table"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val (umn, umx, tmn, tmx) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"), Seq((umn, umx), (tmn, tmx)),
+          bits = 16))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.compact(s, tableDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L,
+          parquetBytes(new java.io.File(s"$tableDir/data")) / 8))
+      val tlo = tmn + (tmx - tmn) * 25 / 100
+      val thi = tmn + (tmx - tmn) * 75 / 100
+      val ulo = umn + (umx - umn) * 49 / 100
+      val uhi = umn + (umx - umn) * 51 / 100
+      s.read.format("graft-layout").load(tableDir)
+        .createOrReplaceTempView("q195_t")
+      s.sql(s"UPDATE q195_t SET value = value + 1 " +
+        s"WHERE ts_us BETWEEN $tlo AND $thi")
+      s.sql(s"UPDATE q195_t SET value = NULL " +
+        s"WHERE user_id BETWEEN $ulo AND $uhi")
+      val updOps = graft.streaming.LayoutIngest.history(s, tableDir)
+        .filter(col("kind") === "update").count()
+      require(updOps == 2L,
+        s"q195 premise: two UPDATE statements = two update ops, " +
+          s"got $updOps")
+      done.createNewFile(): Unit
+    }
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("event_id"), col("zkey"), col("value"))
+  }
+
+  val q195Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx
+       |  FROM events),
+       |q AS (
+       |  SELECT event_id, user_id, value,
+       |    CAST(epoch_us(ts) AS BIGINT) AS tus,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy
+       |  FROM events)
+       |SELECT event_id, $terms AS zkey,
+       |  CASE WHEN user_id BETWEEN
+       |      (SELECT umn + ((umx - umn) * 49) // 100 FROM b) AND
+       |      (SELECT umn + ((umx - umn) * 51) // 100 FROM b)
+       |    THEN NULL
+       |  WHEN tus BETWEEN
+       |      (SELECT tmn + ((tmx - tmn) * 25) // 100 FROM b) AND
+       |      (SELECT tmn + ((tmx - tmn) * 75) // 100 FROM b)
+       |    THEN value + 1
+       |  ELSE value END AS value
+       |FROM q""".stripMargin
+  }
+
   /** READER VISIBILITY through a slow multi-unit merge — the gate for
     * the append-first rework's central claim
     * ([[graft.streaming.LayoutIngest.mergeRows]] doc item 4): a
@@ -9636,7 +9723,10 @@ WHERE rk <= 40"""
     "q193_vacuum_live" -> (q193VacuumLive, Some(q193Sql)),
     // q194: SQL retention sweep — NOT BETWEEN decomposes to the two
     // complement interval boxes, one union delete
-    "q194_sql_retention" -> (q194SqlRetention, Some(q194Sql)))
+    "q194_sql_retention" -> (q194SqlRetention, Some(q194Sql)),
+    // q195: SQL UPDATE — box-scoped in-place redaction (expression
+    // shift + NULL-out), two update ops in history, CASE-cascade twin
+    "q195_sql_redact" -> (q195SqlRedact, Some(q195Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

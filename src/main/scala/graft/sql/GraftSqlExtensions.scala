@@ -61,6 +61,15 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
  *    INSERT INTO convention — the key is recomputed from the grid).
  *    Runs under the next unused ledger id
  *    ([[LayoutIngest.mergeRowsNext]], safe next to txn streams).
+ *  - `UPDATE t SET <payload> = <expr over the row> [WHERE <boxes>]` —
+ *    the in-place REDACTION rewrite ([[LayoutIngest.updateBoxes]]):
+ *    the WHERE meets the same union-of-boxes contract as DELETE, the
+ *    assignments target flat payload columns only (grid columns and
+ *    the cluster key decide where a row LIVES — row moves stay a
+ *    DELETE + INSERT or a whole-row MERGE), values are deterministic
+ *    subquery-free expressions over the row's own pre-update columns.
+ *    Only stats-intersecting units rewrite; one `upd-<id>` ledger
+ *    entry per statement.
  */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -201,16 +210,15 @@ private[graft] class GraftDmlRule(session: SparkSession)
         DmlTranslate.toMergeCommand(m, t, rel)
       case _ => plan
     }
-    // a typed, actionable refusal instead of Spark's generic
-    // "UPDATE TABLE is not supported" internal error: an in-place
-    // UPDATE reads matched target rows, which the whole-row upsert
-    // deliberately never does
-    case UpdateTable(LayoutTarget(_), _, _) =>
-      throw new IllegalArgumentException(
-        "graft-layout SQL DML: UPDATE is not supported — a clustered " +
-          "table corrects rows by WHOLE-ROW upsert. Use MERGE INTO " +
-          "with a source carrying the full replacement rows, or the " +
-          "API (LayoutIngest.mergeRows / deleteBox).")
+    // UPDATE = the box-scoped in-place REDACTION rewrite
+    // ([[LayoutIngest.updateBoxes]]): payload assignments over the
+    // row's own values, condition = the same union-of-boxes contract
+    // as DELETE. Key/row-moving updates stay refused (the whole-row
+    // upsert is the correction surface for those).
+    case u @ UpdateTable(t @ LayoutTarget(rel), assigns, cond)
+        if u.resolved =>
+      refuseProvenance(rel, "UPDATE")
+      DmlTranslate.toUpdateCommand(rel, t, assigns, cond)
     case _ => plan
   }
 
@@ -420,6 +428,48 @@ private[graft] object DmlTranslate {
     }
   }
 
+  /** Resolved UPDATE → [[GraftUpdateCommand]], or refuse: the
+    * condition must meet the DELETE box contract ([[toBoxes]] — OR,
+    * IN and the negated shapes all work; no WHERE updates every row),
+    * every assignment target must be a flat PAYLOAD column (the grid
+    * columns and the cluster key decide where a row LIVES — changing
+    * them in place would strand the row under a stale key, so row
+    * moves stay a delete + insert or a whole-row MERGE), and every
+    * assigned value must be a deterministic, subquery-free expression
+    * over the row's own columns. */
+  def toUpdateCommand(rel: LayoutTableRelation, target: LogicalPlan,
+      assigns: Seq[Assignment], cond: Option[Expression])
+      : LogicalPlan = {
+    val boxes = toBoxes(cond.getOrElse(Literal(true)), target.outputSet)
+    val grid = LayoutIngest.readGrid(SparkSession.active, rel.tableDir)
+    val reserved =
+      (grid.cols :+ LayoutIngest.KeyCol :+ LayoutIngest.BatchCol).toSet
+    val sets = assigns.map {
+      case Assignment(k: AttributeReference, v) =>
+        if (reserved(k.name)) err(
+          s"UPDATE assigns '${k.name}' — a cluster/provenance column " +
+            "decides where the row lives and is not assignable in " +
+            "place; move rows with DELETE + INSERT, MERGE INTO, or " +
+            "regrid")
+        require(v.deterministic,
+          s"graft-layout UPDATE: assignment to '${k.name}' is " +
+            s"non-deterministic (${v.sql}) — a WAL replay must " +
+            "rewrite the same bytes")
+        if (v.exists(_.isInstanceOf[SubqueryExpression])) err(
+          s"UPDATE assignment to '${k.name}' contains a subquery — " +
+            "only expressions over the row's own columns; join through " +
+            "MERGE INTO instead")
+        require(v.references.subsetOf(target.outputSet),
+          s"graft-layout UPDATE: assignment to '${k.name}' references " +
+            s"columns outside the target row (${v.sql})")
+        k.name -> v
+      case Assignment(k, _) => err(
+        s"UPDATE assigns a non-column target '${k.sql}' — only flat " +
+          "payload columns are assignable")
+    }
+    GraftUpdateCommand(rel.tableDir, boxes, sets)
+  }
+
   /** Resolved MergeIntoTable → [[GraftMergeCommand]], or refuse. */
   def toMergeCommand(m: MergeIntoTable, target: LogicalPlan,
       rel: LayoutTableRelation): LogicalPlan = {
@@ -568,6 +618,27 @@ private[graft] case class GraftDeleteCommand(dir: String,
     boxes: Seq[Seq[(String, Long, Long)]]) extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
     LayoutIngest.deleteBoxesNext(sparkSession, dir, boxes): Unit
+    Seq.empty
+  }
+}
+
+/** `UPDATE <layout view> SET ... [WHERE <boxes>]` — runs
+  * [[LayoutIngest.updateBoxesNext]] (box-pruned in-place rewrite of
+  * the affected units under the next unused update id). Assignment
+  * expressions re-bind to the rewrite frames BY NAME (the analyzed
+  * attrs belong to the statement's own relation instance). */
+private[graft] case class GraftUpdateCommand(dir: String,
+    boxes: Seq[Seq[(String, Long, Long)]],
+    sets: Seq[(String, Expression)]) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val cols = sets.map { case (n, e) =>
+      n -> ColumnBridge.of(e.transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
+      })
+    }
+    LayoutIngest.updateBoxesNext(sparkSession, dir, boxes, cols): Unit
     Seq.empty
   }
 }

@@ -591,8 +591,9 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * documented file-listing-read contract, never a wrong answer.
     * Retired txn reservations are NOT swept (one per stream is the
     * documented O(#streams) floor — the newest reservation of a live
-    * stream is load-bearing state), and `del-<id>` markers are the
-    * deletes' idempotence record — permanent by design. */
+    * stream is load-bearing state), and `del-<id>` / `upd-<id>`
+    * markers are the deletes'/updates' idempotence record — permanent
+    * by design. */
   def vacuum(spark: SparkSession, dir: String,
       lockWaitMs: Long = 30000L): VacuumStats =
     withMaintLock(spark, dir) {
@@ -802,13 +803,87 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * body behind SQL `DELETE ... WHERE <box> OR <box>`. */
   def deleteBoxes(spark: SparkSession, dir: String,
       boxes: Seq[Seq[(String, Long, Long)]], deleteId: Long): Boolean =
+    // NULL-safe: delete ONLY rows where the box predicate is TRUE.
+    // Under three-valued logic a NULL box column makes the naive
+    // NOT(range AND range) evaluate to NULL and filter() would
+    // silently DESTROY the row (nulls are legal in grid columns —
+    // quantization folds them to the minimum cell — and pre-evolution
+    // units read added columns as NULL). `hit` arrives coalesced.
+    rewriteBoxedUnits(spark, dir, s"del-$deleteId", s"del$deleteId",
+      boxes)((df, hit) => df.filter(!hit))
+
+  /** In-place BOX-SCOPED UPDATE — the REDACTION surface (null out or
+    * overwrite a payload column for a user/time slice WITHOUT deleting
+    * the rows — the compliance op deletion is too blunt for). Same
+    * machinery as [[deleteBoxes]]: only units whose footer statistics
+    * intersect a box are rewritten, each through the WAL manifest,
+    * idempotent behind an `upd-<updateId>` marker, one ledger entry
+    * for the whole union of boxes.
+    *
+    * `sets` assigns payload columns from expressions over the row's
+    * OWN (pre-update) values — all assignments read the original row,
+    * SQL UPDATE's simultaneous-assignment semantics. Rows outside the
+    * boxes (or where the predicate is NULL — three-valued logic, the
+    * row is NOT hit) keep every column untouched.
+    *
+    * The CLUSTER-DERIVED columns are not assignable: the grid columns
+    * and [[KeyCol]] decide where a row lives (stats, blooms,
+    * range-split leaves), so changing them in place would strand the
+    * row under a stale key — move rows with delete + insert, or
+    * [[regrid]]. [[BatchCol]] is immutable provenance; consistent
+    * with [[deleteBox]], an in-place redaction is NOT re-emitted to
+    * CDC readers (the row keeps its original `__batch`). */
+  def updateBoxes(spark: SparkSession, dir: String,
+      boxes: Seq[Seq[(String, Long, Long)]],
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      updateId: Long): Boolean = {
+    require(sets.nonEmpty, "updateBoxes: no assignments")
+    require(sets.map(_._1).distinct.size == sets.size,
+      s"updateBoxes: duplicate assignment targets in ${sets.map(_._1)}")
+    val gridNow = readGrid(spark, dir)
+    val reserved = (gridNow.cols :+ KeyCol :+ BatchCol).toSet
+    sets.foreach { case (c, _) =>
+      require(!reserved(c),
+        s"updateBoxes: '$c' is a cluster-derived or provenance " +
+          "column — not assignable in place (delete + insert, or " +
+          "regrid, to move rows)")
+    }
+    val known = tableSchema(spark, dir)
+      .map(_.fieldNames.toSet).getOrElse(Set.empty)
+    sets.foreach { case (c, _) =>
+      require(known.isEmpty || known(c),
+        s"updateBoxes: unknown column '$c' (table has $known)")
+    }
+    val setMap = sets.toMap
+    rewriteBoxedUnits(spark, dir, s"upd-$updateId", s"upd$updateId",
+      boxes) { (df, hit) =>
+      df.select(df.columns.toSeq.map { c =>
+        setMap.get(c)
+          .map(e => when(hit, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
+  }
+
+  /** The shared core of the box-scoped unit REWRITERS ([[deleteBoxes]]
+    * filters, [[updateBoxes]] projects): under the maintenance lock,
+    * idempotent behind `markerName`, rewrite exactly the units whose
+    * stats intersect at least one box, each through the same WAL
+    * manifest as [[compact]]. `transform` receives the unit frame and
+    * the NULL-SAFE union-of-boxes predicate (already coalesced to
+    * false — a NULL box column never hits). */
+  private def rewriteBoxedUnits(spark: SparkSession, dir: String,
+      markerName: String, stampPrefix: String,
+      boxes: Seq[Seq[(String, Long, Long)]])(
+      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame)
+      : Boolean =
     withMaintLock(spark, dir) {
       require(boxes.nonEmpty && boxes.forall(_.nonEmpty),
-        "deleteBoxes: empty box")
+        s"$stampPrefix: empty box")
       recoverCompact(spark, dir)
       adoptOrphanBatches(spark, dir)
       val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
-      val marker = new org.apache.hadoop.fs.Path(markers, s"del-$deleteId")
+      val marker = new org.apache.hadoop.fs.Path(markers, markerName)
       if (f.exists(marker)) false
       else {
         val (_, data) = DedupIngest.fs(spark, s"$dir/data")
@@ -824,30 +899,25 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           })
         }.toSet
         val affected = units.filter(u => affectedPaths(u._2))
-        // NULL-safe: delete ONLY rows where the whole box predicate is
-        // TRUE. Under three-valued logic a NULL box column makes the
-        // naive NOT(range AND range) evaluate to NULL and filter()
-        // would silently DESTROY the row (nulls are legal in grid
-        // columns — quantization folds them to the minimum cell — and
-        // pre-evolution units read added columns as NULL).
-        val del = boxes.map(_.map { case (c, lo, hi) =>
+        val inBox = boxes.map(_.map { case (c, lo, hi) =>
           col(c) >= lo && col(c) <= hi
         }.reduce(_ && _)).reduce(_ || _)
-        val keep = !coalesce(del, lit(false))
+        val hit = coalesce(inBox, lit(false))
         val gridNow = readGrid(spark, dir) // immutable — read once
         affected.zipWithIndex.foreach { case ((name, d), i) =>
           // the attempt nonce keeps a REPLAY's target names distinct
           // from a previous attempt's published gens — without it a
           // replayed rewrite of gen-delX could manifest X as both
           // source and target and recovery would drop the data
-          val stamp = s"del$deleteId-$i-" +
+          val stamp = s"$stampPrefix-$i-" +
             java.util.UUID.randomUUID().toString.take(6)
           val stage = new org.apache.hadoop.fs.Path(
             s"$dir/gen-$stamp.stage")
           if (f.exists(stage)) f.delete(stage, true)
-          // per-file partitions, narrow filter: key order inside each
-          // written file is inherited from the sorted source files
-          readUnits(spark, dir, Seq(d)).filter(keep)
+          // per-file partitions, narrow transform: key order inside
+          // each written file is inherited from the sorted source
+          // files (a filter or a row-local projection preserves it)
+          transform(readUnits(spark, dir, Seq(d)), hit)
             .write.mode("overwrite").parquet(stage.toString)
           writeUnitStats(f, stage, gridNow.cols :+ KeyCol :+ BatchCol)
           writeUnitBlooms(spark, f, stage, gridNow.bloomCols)
@@ -894,6 +964,30 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       require(attempts < 16,
         s"deleteBoxNext: lost the delete-id race $attempts times on " +
           s"$dir — a pathological storm of concurrent DELETEs")
+    }
+    -1L // unreachable
+  }
+
+  /** [[updateBoxes]] under the next unused update id — the body
+    * behind SQL `UPDATE` on the relation. `upd-<id>` is its own
+    * marker namespace, same id-race loop as [[deleteBoxesNext]]. */
+  private[graft] def updateBoxesNext(spark: SparkSession, dir: String,
+      boxes: Seq[Seq[(String, Long, Long)]],
+      sets: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    var attempts = 0
+    while (true) {
+      val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+      val next =
+        if (!f.exists(markers)) 0L
+        else f.listStatus(markers).toSeq.map(_.getPath.getName)
+          .filter(_.matches("upd-\\d+"))
+          .map(_.stripPrefix("upd-").toLong)
+          .foldLeft(-1L)(math.max) + 1L
+      if (updateBoxes(spark, dir, boxes, sets, next)) return next
+      attempts += 1
+      require(attempts < 16,
+        s"updateBoxesNext: lost the update-id race $attempts times " +
+          s"on $dir — a pathological storm of concurrent UPDATEs")
     }
     -1L // unreachable
   }
@@ -2206,6 +2300,10 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           .map(_.stripPrefix("del-").toLong).sorted
           .map(i => ("delete", i, true,
             Some(byName(s"del-$i").getModificationTime)))
+        val upds = names.toSeq.filter(_.matches("upd-\\d+"))
+          .map(_.stripPrefix("upd-").toLong).sorted
+          .map(i => ("update", i, true,
+            Some(byName(s"upd-$i").getModificationTime)))
         val merges = names.toSeq.filter(_.matches("merge-\\d+"))
           .map(_.stripPrefix("merge-").toLong).sorted
           .map(i => ("merge", i, true,
@@ -2215,7 +2313,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           .filterNot(i => names(s"merge-$i")).sorted
           .map(i => ("merge", i, false,
             Some(byName(s"merge-$i.intent").getModificationTime)))
-        folded ++ tail ++ dels ++ merges ++ intents
+        folded ++ tail ++ dels ++ upds ++ merges ++ intents
       }
     import spark.implicits._
     entries.toDF("kind", "id", "committed", "at_ms")

@@ -285,8 +285,25 @@ object LakehouseDemo {
       "WHERE event_id IN (8888, 9999)").as[Long].collect().toSet
     require(condIds == Set(8888L),
       s"conditional MERGE must insert only the gated row: $condIds")
+    // UPDATE = box-scoped in-place redaction: null a payload column
+    // for a user slice WITHOUT deleting the rows
+    val (rlo, rhi) = (umn + (umx - umn) * 70 / 100,
+      umn + (umx - umn) * 72 / 100)
+    val preRedact = spark.table("events_table").count()
+    spark.sql(s"UPDATE events_table SET event_type = NULL " +
+      s"WHERE user_id BETWEEN $rlo AND $rhi")
+    val redacted = spark.sql("SELECT count(*) FROM events_table " +
+      s"WHERE user_id BETWEEN $rlo AND $rhi AND event_type IS NULL")
+      .head().getLong(0)
+    require(spark.table("events_table").count() == preRedact &&
+      redacted > 0 &&
+      spark.sql("SELECT count(*) FROM events_table " +
+        s"WHERE user_id BETWEEN $rlo AND $rhi AND event_type IS NOT " +
+        "NULL").head().getLong(0) == 0,
+      "UPDATE must redact the slice in place without deleting rows")
     println("[demo]    OR DELETE swept two boxes as one ledger op; " +
-      "conditional MERGE inserted only the row passing its gate")
+      "conditional MERGE inserted only the row passing its gate; " +
+      s"UPDATE redacted $redacted rows in place")
 
     println("[demo] 15. streaming sink: writeStream.format" +
       "(\"graft-layout\") — txn-minted ids next to the batch DML above")

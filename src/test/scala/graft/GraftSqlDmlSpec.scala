@@ -116,6 +116,83 @@ class GraftSqlDmlSpec extends SparkSpec {
       msgs(e).mkString(" | "))
   }
 
+  test("UPDATE redacts in place: box-scoped payload rewrite with " +
+      "simultaneous assignment semantics ≡ the updateBoxes API twin; " +
+      "cluster/provenance targets and unsafe values refused") {
+    def build(name: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(name).toFile
+      d.deleteOnExit()
+      val dir = d.getAbsolutePath + "/t"
+      LayoutIngest.bootstrap(spark, dir, LayoutIngest.Grid(
+        Seq("a", "b"), Seq((0L, 100L), (0L, 100L)), bits = 8,
+        bloomCols = Seq("a")))
+      LayoutIngest.ingestBatch(
+        (0L to 50L).map(i => (i, i * 2 % 100, i * 10, i + 1000, s"v$i"))
+          .toDF("a", "b", "v", "w", "s"),
+        0L, dir, 2): Unit
+      dir
+    }
+    val dir = build("sqldml-upd")
+    view(dir, "supd")
+    // simultaneous assignment: both values read the PRE-update row —
+    // a swap, SQL UPDATE semantics (sequential application would
+    // collapse both columns to the same value)
+    spark.sql("UPDATE supd SET v = w, w = v WHERE a BETWEEN 10 AND 12")
+    val rows = LayoutIngest.read(spark, dir)
+      .select("a", "v", "w").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    (10L to 12L).foreach { a =>
+      assert(rows(a) === ((a + 1000, a * 10)), s"swap at $a: ${rows(a)}")
+    }
+    assert(rows(9L) === ((90L, 1009L)) && rows(13L) === ((130L, 1013L)),
+      "rows outside the box must be untouched")
+    // NULL redaction through an IN-list box; one history op per stmt
+    spark.sql("UPDATE supd SET s = NULL WHERE a IN (5, 7)")
+    val sByA = LayoutIngest.read(spark, dir)
+      .select("a", "s").as[(Long, Option[String])].collect().toMap
+    assert(sByA(5L).isEmpty && sByA(7L).isEmpty && sByA(6L).contains("v6"))
+    assert(LayoutIngest.history(spark, dir)
+      .filter(col("kind") === "update").count() === 2L)
+    // API twin on a fresh table
+    val dirApi = build("sqldml-upd-api")
+    assert(LayoutIngest.updateBoxes(spark, dirApi,
+      Seq(Seq(("a", 10L, 12L))),
+      Seq("v" -> col("w"), "w" -> col("v")), updateId = 0L))
+    assert(LayoutIngest.updateBoxes(spark, dirApi,
+      Seq(Seq(("a", 5L, 5L)), Seq(("a", 7L, 7L))),
+      Seq("s" -> lit(null).cast("string")), updateId = 1L))
+    val got = LayoutIngest.read(spark, dir)
+      .select("a", "v", "w", "s", "zkey")
+      .as[(Long, Long, Long, Option[String], Long)].collect().toSet
+    val want = LayoutIngest.read(spark, dirApi)
+      .select("a", "v", "w", "s", "zkey")
+      .as[(Long, Long, Long, Option[String], Long)].collect().toSet
+    assert(got === want, "SQL UPDATE ≡ updateBoxes API twin")
+
+    def refuses(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains(needle)),
+        s"$sql -> ${msgs(e).mkString(" | ")}")
+    }
+    // the cluster key and grid columns decide where the row LIVES
+    refuses("UPDATE supd SET zkey = 0 WHERE a = 1",
+      "not assignable in place")
+    refuses("UPDATE supd SET a = 99 WHERE a = 1",
+      "not assignable in place")
+    // unsafe values: non-deterministic, subquery
+    refuses("UPDATE supd SET v = CAST(rand() * 10 AS BIGINT) WHERE a = 1",
+      "non-deterministic")
+    refuses("UPDATE supd SET v = (SELECT MAX(a) FROM supd) WHERE a = 1",
+      "subquery")
+    // the WHERE contract is DELETE's box contract
+    refuses("UPDATE supd SET v = 0 WHERE s = 'v3'", "not a conjunction")
+    // nothing the refusals touched changed the table
+    assert(LayoutIngest.read(spark, dir).count() === 51L)
+  }
+
   test("negated DELETE shapes decompose exactly: !=, NOT IN, and NOT " +
       "BETWEEN (the retention statement); a NULL in NOT IN is refused") {
     val dir = freshTable("sqldml-neg") // rows a = 0..50
@@ -371,9 +448,10 @@ class GraftSqlDmlSpec extends SparkSpec {
       WHEN NOT MATCHED THEN INSERT (a, b, s)
         VALUES (sref_src.a, sref_src.b, sref_src.s)""",
       "references target columns")
-    // UPDATE gets the actionable whole-row-upsert refusal, not
-    // Spark's generic unsupported-operation internal error
-    refuses("UPDATE sref SET b = 1 WHERE a = 2", "WHOLE-ROW upsert")
+    // UPDATE of a GRID column is refused typed (it decides where the
+    // row lives), not Spark's generic unsupported-operation error
+    refuses("UPDATE sref SET b = 1 WHERE a = 2",
+      "not assignable in place")
     // the computed cluster key cannot be the merge KEY — refused
     // BEFORE any command (a mergeRows attempt would die AFTER its
     // intent marker, burning a ledger id on an impossible statement)
