@@ -213,6 +213,17 @@ class LayoutRelationSpec extends SparkSpec {
       assert(merged === Seq((77L, 77L)))
       assert(spark.table("graft_cat").count() === 101L,
         "the merge must replace, not add")
+      // UPDATE (in-place redaction) through the catalog name too;
+      // the updated column carries a BLOOM sidecar, so the point
+      // lookup on the NEW value only works if the rewrite regenerated
+      // the unit's bloom (a stale bloom would false-negative the row
+      // out of the pushed-down point scan)
+      spark.sql("UPDATE graft_cat SET id = 777777 WHERE id = 502")
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_cat WHERE id = 777777")
+        .head().getLong(0) === 1L)
+      assert(spark.table("graft_cat").count() === 101L,
+        "the update must rewrite in place, not add or drop")
     } finally spark.sql("DROP TABLE IF EXISTS graft_cat")
     // an OPTIONS-path table is EXTERNAL: dropping the catalog entry
     // must not touch the table directory

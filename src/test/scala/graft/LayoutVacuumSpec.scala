@@ -62,6 +62,19 @@ class LayoutVacuumSpec extends SparkSpec {
     // resurrected rows)
     assert(LayoutIngest.readSince(spark, dir, 0L).count() === 50L)
     assert(LayoutIngest.readAsOf(spark, dir, 1L).count() === 50L)
+    // the idempotence records are PERMANENT: the delete's marker and
+    // an update's marker both survive the sweep (a replay of either
+    // op must still no-op)
+    assert(LayoutIngest.updateBoxes(spark, dir,
+      Seq(Seq(("x", 60L, 62L))), Seq("id" -> lit(-1L)), updateId = 0L))
+    LayoutIngest.vacuum(spark, dir): Unit
+    val markers = Option(new java.io.File(s"$dir/markers").list())
+      .map(_.toSet).getOrElse(Set.empty)
+    assert(markers.contains("del-0") && markers.contains("upd-0"),
+      s"del-/upd- idempotence markers must survive vacuum: $markers")
+    assert(!LayoutIngest.updateBoxes(spark, dir,
+      Seq(Seq(("x", 60L, 62L))), Seq("id" -> lit(-1L)), updateId = 0L),
+      "a replayed update id must still no-op after vacuum")
   }
 
   test("dead ingest stage and WAL-less gen stage are swept; live " +
