@@ -116,4 +116,52 @@ class DmlTranslatePropertySpec extends SparkSpec {
           s"diff ${(byBoxes diff bySpark) ++ (bySpark diff byBoxes)}")
     }
   }
+
+  test("updateBoxes ≡ Spark's own conditional projection for 8 " +
+      "seeded random box/assignment combinations on a REAL table") {
+    import graft.streaming.LayoutIngest
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val rnd = new scala.util.Random(20260818L)
+    val base = (for (a <- 0L to 14L; b <- 0L to 14L)
+      yield (a, b, a * 10 + b, a + 100)).toDF("a", "b", "v", "w")
+    (1 to 8).foreach { i =>
+      val dir = java.nio.file.Files.createTempDirectory(s"updprop$i")
+        .toFile
+      dir.deleteOnExit()
+      val t = dir.getAbsolutePath + "/t"
+      LayoutIngest.bootstrap(spark, t, LayoutIngest.Grid(
+        Seq("a", "b"), Seq((0L, 14L), (0L, 14L)), bits = 4))
+      LayoutIngest.ingestBatch(base, 0L, t, 2): Unit
+      // 1–2 disjunct boxes over the grid columns (possibly empty or
+      // overlapping), and 1–2 payload assignments reading BOTH
+      // payload columns (the simultaneous-read contract)
+      def box() = {
+        val c = if (rnd.nextBoolean()) "a" else "b"
+        val lo = rnd.nextInt(16).toLong - 1
+        Seq((c, lo, lo + rnd.nextInt(5)))
+      }
+      val boxes = Seq.fill(1 + rnd.nextInt(2))(box())
+      val sets = rnd.nextInt(3) match {
+        case 0 => Seq("v" -> (col("w") + lit(1L)))
+        case 1 => Seq("v" -> col("w"), "w" -> col("v"))
+        case _ => Seq("w" -> lit(null).cast("long"))
+      }
+      assert(LayoutIngest.updateBoxes(spark, t, boxes, sets, 0L))
+      val hit = coalesce(boxes.map(_.map { case (c, lo, hi) =>
+        col(c) >= lo && col(c) <= hi
+      }.reduce(_ && _)).reduce(_ || _), lit(false))
+      val setMap = sets.toMap
+      val want = base.select(base.columns.toSeq.map { c =>
+        setMap.get(c).map(e => when(hit, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*).as[(Long, Long, Option[Long], Option[Long])]
+        .collect().toSet
+      val got = LayoutIngest.read(spark, t)
+        .select("a", "b", "v", "w")
+        .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(got === want,
+        s"case $i: boxes $boxes sets ${sets.map(_._1)} — " +
+          s"diff ${(got diff want) ++ (want diff got)}")
+    }
+  }
 }
