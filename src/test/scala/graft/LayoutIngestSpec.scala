@@ -791,6 +791,22 @@ class LayoutIngestSpec extends SparkSpec {
       .columns.contains("tag"))
     assert(LayoutIngest.readSince(spark, dir, 1L)
       .select("id").as[Long].collect().sorted === (40L until 50L).toArray)
+    // an in-place UPDATE of the EVOLVED column applies to
+    // pre-evolution rows too (readUnits rewrites under the stored
+    // union schema, so the old unit materializes the column instead
+    // of silently skipping the assignment)
+    assert(LayoutIngest.updateBoxes(spark, dir,
+      Seq(Seq(("x", 3L, 5L))),
+      Seq("tag" -> org.apache.spark.sql.functions.lit("redacted")),
+      updateId = 0L))
+    val tags3 = LayoutIngest.read(spark, dir).select("id", "x", "tag")
+      .as[(Long, Long, Option[String])].collect()
+    tags3.foreach { case (id, x, tag) =>
+      if (x >= 3L && x <= 5L)
+        assert(tag.contains("redacted"), s"row $id (x=$x): $tag")
+      else assert(tag === tags2(id),
+        s"row $id (x=$x) must be untouched: $tag vs ${tags2(id)}")
+    }
     // a name reused at a different TYPE is refused at publish
     val bad = rows(50 until 55).map { case (i, x, y) => (i, x, y, i) }
     val e = intercept[IllegalArgumentException] {
