@@ -826,6 +826,18 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * boxes (or where the predicate is NULL — three-valued logic, the
     * row is NOT hit) keep every column untouched.
     *
+    * REPLAY after a mid-operation crash (same updateId): exact even
+    * for NON-idempotent assignments — the replay skips the crashed
+    * attempt's own published rewrites by their `gen-upd<id>-` name
+    * prefix, so `value = value + 1` applies exactly once per row (a
+    * plain re-transform would double-apply to the units that
+    * published before the crash; [[deleteBox]] never had this hazard
+    * — filtering is idempotent). The contract assumes the standard
+    * crash-recovery discipline: replay the owed op before any OTHER
+    * maintenance renames those units (the maintenance lock's
+    * break-then-look rule). The SQL path never replays — a driver
+    * retry mints a new id.
+    *
     * The CLUSTER-DERIVED columns are not assignable: the grid columns
     * and [[KeyCol]] decide where a row lives (stats, blooms,
     * range-split leaves), so changing them in place would strand the
@@ -898,7 +910,18 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
             }
           })
         }.toSet
-        val affected = units.filter(u => affectedPaths(u._2))
+        // a REPLAY after a mid-operation crash (marker not yet
+        // created) must not re-transform units the crashed attempt
+        // already PUBLISHED — its own outputs are recognizable by the
+        // id-scoped name prefix. For a delete this only saves a no-op
+        // rewrite; for an UPDATE it is what makes a non-idempotent
+        // assignment (value = value + 1) replay-safe. Holds under the
+        // crash-recovery discipline the maintenance lock imposes
+        // (break the dead holder's lock, replay the owed op BEFORE
+        // any other maintenance renames those units).
+        val ownOutput = s"gen-$stampPrefix-"
+        val affected = units.filter(u =>
+          affectedPaths(u._2) && !u._1.startsWith(ownOutput))
         val inBox = boxes.map(_.map { case (c, lo, hi) =>
           col(c) >= lo && col(c) <= hi
         }.reduce(_ && _)).reduce(_ || _)

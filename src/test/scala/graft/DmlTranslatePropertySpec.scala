@@ -164,4 +164,42 @@ class DmlTranslatePropertySpec extends SparkSpec {
           s"diff ${(got diff want) ++ (want diff got)}")
     }
   }
+
+  test("updateBoxes crash-replay is exact for a NON-idempotent " +
+      "assignment: the replay skips the crashed attempt's published " +
+      "rewrites (no double-apply)") {
+    import graft.streaming.LayoutIngest
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("updreplay")
+      .toFile
+    dir.deleteOnExit()
+    val t = dir.getAbsolutePath + "/t"
+    LayoutIngest.bootstrap(spark, t, LayoutIngest.Grid(
+      Seq("a", "b"), Seq((0L, 99L), (0L, 99L)), bits = 4))
+    // two units, both intersecting the box
+    LayoutIngest.ingestBatch((0L to 49L).map(i => (i, i, i * 10))
+      .toDF("a", "b", "v"), 0L, t, 1): Unit
+    LayoutIngest.ingestBatch((50L to 99L).map(i => (i, i, i * 10))
+      .toDF("a", "b", "v"), 1L, t, 1): Unit
+    assert(LayoutIngest.updateBoxes(spark, t,
+      Seq(Seq(("b", 40L, 60L))), Seq("v" -> (col("v") + lit(1L))),
+      updateId = 0L))
+    // simulate the WORST crash window: every unit rewrite published,
+    // the upd-0 marker not yet created
+    val marker = new java.io.File(s"$t/markers/upd-0")
+    assert(marker.exists() && marker.delete())
+    // the replay must return true (it "completes" the op) WITHOUT
+    // re-applying +1 to the already-rewritten units
+    assert(LayoutIngest.updateBoxes(spark, t,
+      Seq(Seq(("b", 40L, 60L))), Seq("v" -> (col("v") + lit(1L))),
+      updateId = 0L))
+    val got = LayoutIngest.read(spark, t)
+      .select("b", "v").as[(Long, Long)].collect().toMap
+    (0L to 99L).foreach { b =>
+      val want = if (b >= 40L && b <= 60L) b * 10 + 1 else b * 10
+      assert(got(b) === want,
+        s"b=$b: got ${got(b)}, want $want — a double-applied replay " +
+          "shows up as +2 in the box")
+    }
+  }
 }
