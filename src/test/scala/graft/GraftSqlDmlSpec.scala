@@ -191,6 +191,19 @@ class GraftSqlDmlSpec extends SparkSpec {
     refuses("UPDATE supd SET v = 0 WHERE s = 'v3'", "not a conjunction")
     // nothing the refusals touched changed the table
     assert(LayoutIngest.read(spark, dir).count() === 51L)
+    // ...and the FULL box grammar works for UPDATE too: a negated
+    // window plus an OR'd point (the retention-redaction combo)
+    spark.sql(
+      "UPDATE supd SET v = -1 WHERE (a NOT BETWEEN 3 AND 47) OR a = 20")
+    val vByA = LayoutIngest.read(spark, dir)
+      .select("a", "v").as[(Long, Long)].collect().toMap
+    (0L to 50L).foreach { a =>
+      if (a < 3 || a > 47 || a == 20)
+        assert(vByA(a) === -1L, s"a=$a must be redacted: ${vByA(a)}")
+      else if (a >= 10 && a <= 12)
+        assert(vByA(a) === a + 1000, s"a=$a keeps the swapped value")
+      else assert(vByA(a) === a * 10, s"a=$a must be untouched")
+    }
   }
 
   test("negated DELETE shapes decompose exactly: !=, NOT IN, and NOT " +
