@@ -6721,12 +6721,12 @@ WHERE rk <= 40"""
     registerCleanup(ckpt)
     // single-writer content-addressed rebuild: a FRESH checkpoint per
     // invocation re-offers the same files under the same epoch ids and
-    // every re-run is a marker no-op — the documented epochIds opt-in
+    // every re-run is a marker no-op — the documented EpochKeyedIds opt-in
     // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
       ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
       compactEvery = Some(2), smallFileBytes = 64L << 20,
-      epochIds = true)
+      ids = graft.streaming.LayoutIngest.EpochKeyedIds)
     q.awaitTermination()
     graft.streaming.LayoutIngest.read(s, tableDir)
       .select(col("event_id"), col("zkey"))
@@ -6765,12 +6765,12 @@ WHERE rk <= 40"""
     registerCleanup(ckpt)
     // single-writer content-addressed rebuild: a FRESH checkpoint per
     // invocation re-offers the same files under the same epoch ids and
-    // every re-run is a marker no-op — the documented epochIds opt-in
+    // every re-run is a marker no-op — the documented EpochKeyedIds opt-in
     // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
       ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
       compactEvery = Some(2), smallFileBytes = 64L << 20,
-      epochIds = true)
+      ids = graft.streaming.LayoutIngest.EpochKeyedIds)
     q.awaitTermination()
     // the forget box: the middle 2% of the user domain, derived from
     // the PERSISTED grid with the same integer arithmetic the oracle
@@ -6815,12 +6815,12 @@ WHERE rk <= 40"""
     registerCleanup(ckpt)
     // single-writer content-addressed rebuild: a FRESH checkpoint per
     // invocation re-offers the same files under the same epoch ids and
-    // every re-run is a marker no-op — the documented epochIds opt-in
+    // every re-run is a marker no-op — the documented EpochKeyedIds opt-in
     // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
       ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
       compactEvery = Some(2), smallFileBytes = 64L << 20,
-      epochIds = true)
+      ids = graft.streaming.LayoutIngest.EpochKeyedIds)
     q.awaitTermination()
     graft.streaming.LayoutIngest.read(s, tableDir)
       .select(col("event_id"), col("zkey").as("hkey"))
@@ -6856,12 +6856,12 @@ WHERE rk <= 40"""
     registerCleanup(ckpt)
     // single-writer content-addressed rebuild: a FRESH checkpoint per
     // invocation re-offers the same files under the same epoch ids and
-    // every re-run is a marker no-op — the documented epochIds opt-in
+    // every re-run is a marker no-op — the documented EpochKeyedIds opt-in
     // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
       ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
       compactEvery = Some(2), smallFileBytes = 64L << 20,
-      epochIds = true)
+      ids = graft.streaming.LayoutIngest.EpochKeyedIds)
     q.awaitTermination()
     val grid = graft.streaming.LayoutIngest.readGrid(s, tableDir)
     val (umn, umx) = grid.bounds.head
@@ -6907,11 +6907,11 @@ WHERE rk <= 40"""
     registerCleanup(ckpt)
     // single-writer content-addressed rebuild: a FRESH checkpoint per
     // invocation re-offers the same files under the same epoch ids and
-    // every re-run is a marker no-op — the documented epochIds opt-in
+    // every re-run is a marker no-op — the documented EpochKeyedIds opt-in
     // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
       ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
-      epochIds = true)
+      ids = graft.streaming.LayoutIngest.EpochKeyedIds)
     q.awaitTermination()
     val dataDir = new java.io.File(s"$tableDir/data")
     def tops = Option(dataDir.listFiles())
@@ -6968,11 +6968,11 @@ WHERE rk <= 40"""
     registerCleanup(ckpt)
     // single-writer content-addressed rebuild: a FRESH checkpoint per
     // invocation re-offers the same files under the same epoch ids and
-    // every re-run is a marker no-op — the documented epochIds opt-in
+    // every re-run is a marker no-op — the documented EpochKeyedIds opt-in
     // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
       ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
-      epochIds = true)
+      ids = graft.streaming.LayoutIngest.EpochKeyedIds)
     q.awaitTermination()
     // fold into a ~8-leaf range-split generation (q165's shape): with
     // only the two L0 batch dirs every unit holds ids from the whole
@@ -7075,12 +7075,12 @@ WHERE rk <= 40"""
     registerCleanup(ckpt)
     // single-writer content-addressed rebuild: a FRESH checkpoint per
     // invocation re-offers the same files under the same epoch ids and
-    // every re-run is a marker no-op — the documented epochIds opt-in
+    // every re-run is a marker no-op — the documented EpochKeyedIds opt-in
     // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
       ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
       compactEvery = Some(2), smallFileBytes = 1L << 30,
-      epochIds = true)
+      ids = graft.streaming.LayoutIngest.EpochKeyedIds)
     q.awaitTermination()
     // the gate's premise: provenance must be read THROUGH a fold
     val tops = Option(new java.io.File(s"$tableDir/data").listFiles())
@@ -7457,7 +7457,7 @@ WHERE rk <= 40"""
     * the stream query is live) → 7 (the stream mints PAST the
     * concurrent append — a file staged after it, picked up by the
     * still-running query). Every id is premised exactly: under the
-    * `epochIds = true` opt-in the restarted stream's epoch 2 would
+    * `ids = EpochKeyedIds` opt-in the restarted stream's epoch 2 would
     * collide with append id 2 and silently drop a slice — the hazard
     * whose demonstrated severity got the default FLIPPED to txn-minted
     * (r16 verdict #1). The final table hashes against q155's full key
@@ -7767,7 +7767,9 @@ WHERE rk <= 40"""
   }
 
   /** The q176 ledger fixture: ingest 0-2, marker fold, gap-tail ingest
-    * 4, delete 7, gap-filling merge 3, a standing intent 11 — one
+    * 4, delete 7, update 2, the DML-marker fold (del-7/upd-2
+    * consolidate into one dml-log — history must read identically),
+    * gap-filling merge 3, a standing intent 11 — one
     * exact ledger presentation both the API view (q176) and the SQL
     * TVF view (q186) hash against the same literal oracle. Built
     * EXACTLY once per table: the ops are each idempotent, but a
@@ -7809,6 +7811,22 @@ WHERE rk <= 40"""
       ing(ev.filter(col("ts_us") >= cut3), 4L)
       graft.streaming.LayoutIngest.deleteBox(s, tableDir,
         Seq(("user_id", umn, umn)), deleteId = 7L): Unit
+      // a recorded UPDATE (id 2), then the DML-marker FOLD: both
+      // statements' permanent records consolidate into ONE dml-log
+      // file and history() must present them EXACTLY as before — the
+      // r17 verdict's bound-the-DML-namespace ask, gated here because
+      // this fixture is the ledger-presentation oracle (the identity
+      // assignment keeps row content byte-stable; only the ledger
+      // matters to this gate)
+      graft.streaming.LayoutIngest.updateBoxes(s, tableDir,
+        Seq(Seq(("user_id", umn + 1, umn + 1))),
+        Seq("value" -> col("value")), updateId = 2L): Unit
+      require(graft.streaming.LayoutIngest
+          .compactDmlMarkers(s, tableDir) == 2,
+        s"$tag premise: the fold must retire exactly del-7 and upd-2")
+      require(!new java.io.File(s"$tableDir/markers/del-7").exists() &&
+          !new java.io.File(s"$tableDir/markers/upd-2").exists(),
+        s"$tag premise: individual DML markers must be gone post-fold")
       // the merge FILLS the gap: its append is ingest 3 in the ledger
       graft.streaming.LayoutIngest.mergeRows(s, tableDir, "event_id",
         ev.filter(col("event_id") === lit(emn + (emx - emn) / 2))
@@ -7929,9 +7947,20 @@ WHERE rk <= 40"""
       java.nio.file.Files.write(
         new java.io.File(dead, "part-junk.parquet").toPath,
         Array[Byte](1, 2, 3))
-      val st = graft.streaming.LayoutIngest.vacuum(s, tableDir)
-      require(st.emptyUnitsDropped == 1 && st.ingestStagesDropped == 1,
-        s"q188: vacuum must sweep exactly the planted debris, got $st")
+      // the sweep runs through SQL — ops parity for the one
+      // maintenance verb ([[graft.sql.GraftTvf.vacuum]]); the returned
+      // row is the VacuumStats, including the del-0 marker folding
+      // into the dml-log
+      val st = s.sql(s"SELECT * FROM graft_vacuum('$tableDir')").head()
+      require(st.getInt(2) == 1 && st.getInt(3) == 1 &&
+          st.getInt(4) == 1,
+        s"q188: SQL vacuum must sweep exactly the planted debris " +
+          s"(1 ingest stage, 1 empty unit, 1 folded DML marker), " +
+          s"got $st")
+      require(new java.io.File(s"$tableDir/markers").list()
+          .count(_.startsWith("dml-log-")) == 1 &&
+          !new java.io.File(s"$tableDir/markers/del-0").exists(),
+        "q188: the delete marker must have folded into one dml-log")
       require(!dead.exists(), "q188: stage must be gone")
       val unitsAfter = Option(
         new java.io.File(s"$tableDir/data").list()).map(_.length)
@@ -8065,6 +8094,7 @@ WHERE rk <= 40"""
       |  ('ingest', CAST(3 AS BIGINT), true),
       |  ('ingest', CAST(4 AS BIGINT), true),
       |  ('delete', CAST(7 AS BIGINT), true),
+      |  ('update', CAST(2 AS BIGINT), true),
       |  ('merge', CAST(3 AS BIGINT), true),
       |  ('merge', CAST(11 AS BIGINT), false)
       |) AS t(kind, id, committed)""".stripMargin
@@ -8283,11 +8313,11 @@ WHERE rk <= 40"""
     registerCleanup(ckpt)
     // single-writer content-addressed rebuild: a FRESH checkpoint per
     // invocation re-offers the same files under the same epoch ids and
-    // every re-run is a marker no-op — the documented epochIds opt-in
+    // every re-run is a marker no-op — the documented EpochKeyedIds opt-in
     // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
       ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
-      epochIds = true)
+      ids = graft.streaming.LayoutIngest.EpochKeyedIds)
     q.awaitTermination()
     // q165's range-split fold: leaf-granular units give the pushed
     // box something to prune (one monolithic gen would force 1/1)
@@ -8347,11 +8377,11 @@ WHERE rk <= 40"""
     registerCleanup(ckpt)
     // single-writer content-addressed rebuild: a FRESH checkpoint per
     // invocation re-offers the same files under the same epoch ids and
-    // every re-run is a marker no-op — the documented epochIds opt-in
+    // every re-run is a marker no-op — the documented EpochKeyedIds opt-in
     // (the txn-minted default would re-ingest per run)
     val q = graft.streaming.LayoutIngest.start(stream, tableDir,
       ckpt.getAbsolutePath, filesPerBatch = 8, availableNow = true,
-      epochIds = true)
+      ids = graft.streaming.LayoutIngest.EpochKeyedIds)
     q.awaitTermination()
     val out = s.read.format("graft-layout")
       .option("sinceBatch", "0").load(tableDir)
@@ -8865,10 +8895,10 @@ WHERE rk <= 40"""
           s"q193 premise: vacuum must launch with the ledger at 3 of " +
             s"7, got $committedAtVacStart")
         require(vacStats == graft.streaming.LayoutIngest.VacuumStats(
-            0, 0, 1, 1),
+            0, 0, 1, 1, 1),
           s"q193: vacuum next to a LIVE writer must sweep exactly the " +
             s"planted debris (0 manifests, 0 gen stages, 1 ingest " +
-            s"stage, 1 empty unit), got $vacStats")
+            s"stage, 1 empty unit, 1 folded del marker), got $vacStats")
         require(!dead.exists(), "q193: planted stage must be gone")
         q.processAllAvailable()
         val nonEmpty = q.recentProgress.count(_.numInputRows > 0)

@@ -55,8 +55,14 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
  *    matched row is REPLACED): both actions must assign every
  *    payload column, agree with each other, and reference only source
  *    columns; the INSERT must key on the ON condition's source key.
- *    A condition is allowed when BOTH actions carry the SAME
- *    source-only condition — it runs as an exact source pre-filter.
+ *    Action conditions must be source-only. The SAME condition on
+ *    both actions runs as an exact source pre-filter; a ONE-SIDED or
+ *    per-side condition splits the source on target-key membership
+ *    (one join against the target's distinct keys) and gates each
+ *    side independently — still exact ([[GraftMergeCommand]]).
+ *    A provably-empty DELETE/UPDATE condition (contradictory
+ *    conjunction, no-op NOT BETWEEN) runs as a clean no-op — no
+ *    rewrite, no ledger entry.
  *    Assignments to the computed cluster key are DISCARDED (the
  *    INSERT INTO convention — the key is recomputed from the grid).
  *    Runs under the next unused ledger id
@@ -79,6 +85,8 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // imports: SELECT * FROM graft_history('/path/to/table')
     ext.injectTableFunction(GraftTvf.history)
     ext.injectTableFunction(GraftTvf.describe)
+    // the one ACTING statement in the TVF family: VACUUM as SQL
+    ext.injectTableFunction(GraftTvf.vacuum)
     // ad-hoc DATA reads without DDL: graft_table('<dir>'[, asOf]) /
     // graft_table_since('<dir>', b) resolve to the RELATION's plan, so
     // pushdown unit pruning and the provenance bounds work exactly as
@@ -121,6 +129,23 @@ private[graft] object GraftTvf {
     * ([[LayoutIngest.describe]]: unit, files, rows, bytes + the
     * pruner's column ranges). */
   val describe = one("graft_describe", LayoutIngest.describe)
+
+  /** `SELECT * FROM graft_vacuum('<dir>')` — RUNS the retention sweep
+    * ([[LayoutIngest.vacuum]]) and returns its [[LayoutIngest
+    * .VacuumStats]] as one row: ops parity for the one maintenance
+    * verb that was Scala-only (the other TVFs read metadata; this one
+    * acts, like every engine's `VACUUM <table>` statement — the
+    * statement IS the sweep, so EXPLAIN-ing it sweeps too). */
+  val vacuum = one("graft_vacuum", (spark, dir) => {
+    val st = LayoutIngest.vacuum(spark, dir)
+    import spark.implicits._
+    Seq((st.manifestsReplayed, st.genStagesDropped,
+        st.ingestStagesDropped, st.emptyUnitsDropped,
+        st.dmlMarkersFolded))
+      .toDF("manifests_replayed", "gen_stages_dropped",
+        "ingest_stages_dropped", "empty_units_dropped",
+        "dml_markers_folded")
+  })
 
   /** Extractor forms (bind once in match arms, no double-eval); the
     * integral case delegates to the ONE literal-to-Long reading
@@ -356,7 +381,16 @@ private[graft] object DmlTranslate {
         }
       case other => Seq(toBox(other, target))
     }
+    // provably-empty boxes drop out EXACTLY: an inverted range
+    // (lo > hi, e.g. the contradictory `a = 1 AND a = 2`) matches no
+    // row on the long domain, and a no-op shape whose complement
+    // decomposition yields nothing (`a NOT BETWEEN MinValue AND
+    // MaxValue`) produces zero disjuncts. The command layer runs an
+    // empty union as a DELETE/UPDATE of NOTHING — no unit rewrite, no
+    // minted id, no ledger entry — rather than an internal error or a
+    // burned permanent marker for a statement that touches no rows.
     disjuncts(cond).flatMap(expand).distinct
+      .filter(_.forall { case (_, lo, hi) => lo <= hi })
   }
 
   /** DELETE condition → the EXACT conjunctive box, or refuse. Open
@@ -517,31 +551,40 @@ private[graft] object DmlTranslate {
         s"WHEN NOT MATCHED must be exactly one INSERT " +
           s"(got ${other.map(_.getClass.getSimpleName).mkString(", ")})")
     }
-    // conditional actions run as a SOURCE PRE-FILTER — exact only when
-    // BOTH actions gate on the SAME source-only condition: the
-    // whole-row upsert decides per source row (replace-or-insert), so
-    // "matched AND c → update, not-matched (unconditional) → insert"
-    // is NOT a source filter (a non-matching row failing c must still
-    // insert). One-sided or disagreeing conditions are refused rather
-    // than approximated.
-    val preFilter = (matchedCond, insertCond) match {
-      case (None, None) => None
+    // conditional actions, source-only conditions either way. The
+    // SYMMETRIC case (both actions gate on the SAME condition) runs as
+    // a plain source pre-filter — no join. ONE-SIDED or DISAGREEING
+    // conditions are NOT a pre-filter (a non-matching row failing a
+    // matched-only gate must still insert), but they ARE exact under a
+    // per-side split: decide each source row's side by target-key
+    // membership (ONE left-outer join against the target's distinct
+    // keys inside the command), gate each side by its own condition,
+    // and upsert the union. Target-COLUMN conditions stay refused —
+    // the whole-row upsert never reads matched target rows.
+    def srcOnly(c: Expression, side: String): Expression = {
+      require(c.references.subsetOf(sourceOut),
+        s"graft-layout MERGE: WHEN $side condition '${c.sql}' " +
+          "references target columns — a whole-row upsert never reads " +
+          "matched target rows; gate on source columns only")
+      c
+    }
+    val (preFilter, sideGate) = (matchedCond, insertCond) match {
+      case (None, None) => (None, None)
       case (Some(a), Some(b)) if a.semanticEquals(b) =>
-        require(a.references.subsetOf(sourceOut),
-          s"graft-layout MERGE: condition '${a.sql}' references " +
-            "target columns — a whole-row upsert never reads matched " +
-            "target rows; gate on source columns only")
-        Some(a)
-      case (Some(a), Some(b)) => err(
-        s"WHEN MATCHED AND ${a.sql} / WHEN NOT MATCHED AND ${b.sql} " +
-          "disagree — conditional merge runs as a source pre-filter, " +
-          "so both actions must carry the SAME source-only condition")
-      case (one, _) => err(
-        s"conditional WHEN ${if (one.isDefined) "MATCHED" else
-          "NOT MATCHED"} AND ... needs the SAME condition on the " +
-          "other action too (the condition pre-filters the source, " +
-          "which gates update and insert alike) — or pre-filter the " +
-          "source by hand")
+        (Some(srcOnly(a, "MATCHED AND/NOT MATCHED AND")), None)
+      case (mc, ic) =>
+        val g = (mc.map(srcOnly(_, "MATCHED AND")),
+          ic.map(srcOnly(_, "NOT MATCHED AND")))
+        // the split's per-side gates evaluate as DataFrame filter
+        // columns over the joined frame — a correlated subquery there
+        // would re-plan outside its statement; keep those on the API
+        (mc.toSeq ++ ic.toSeq).foreach { c =>
+          if (c.exists(_.isInstanceOf[SubqueryExpression])) err(
+            s"conditional MERGE gate '${c.sql}' contains a subquery — " +
+              "gate on the source's own columns, or pre-filter the " +
+              "source by hand")
+        }
+        (None, Some(g))
     }
     def toMap(as: Seq[Assignment], which: String)
         : Map[String, Expression] =
@@ -601,23 +644,27 @@ private[graft] object DmlTranslate {
     }
     // assignments to the computed cluster key are discarded (the
     // INSERT INTO convention); everything else was validated above.
-    // The validated condition lands as a Filter over the analyzed
-    // source plan — the exact "pre-filter the source" rewrite the
-    // unconditional contract's refusal used to point at.
+    // The validated symmetric condition lands as a Filter over the
+    // analyzed source plan — the exact "pre-filter the source" rewrite
+    // the unconditional contract's refusal used to point at.
     val src = preFilter.map(Filter(_, m.sourceTable))
       .getOrElse(m.sourceTable)
     GraftMergeCommand(rel.tableDir, keyCol, src,
-      (keyCol -> (srcKey: Expression)) +: payload.map(c => c -> i(c)))
+      (keyCol -> (srcKey: Expression)) +: payload.map(c => c -> i(c)),
+      sideGate)
   }
 }
 
 /** `DELETE FROM <layout view> WHERE <box> [OR <box>]...` — runs
   * [[LayoutIngest.deleteBoxesNext]] (ONE WAL-manifested pruned rewrite
-  * over the union of boxes, under the next unused delete id). */
+  * over the union of boxes, under the next unused delete id). An
+  * empty union (every box provably empty — [[DmlTranslate.toBoxes]])
+  * is a clean no-op: nothing to delete, no id minted. */
 private[graft] case class GraftDeleteCommand(dir: String,
     boxes: Seq[Seq[(String, Long, Long)]]) extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    LayoutIngest.deleteBoxesNext(sparkSession, dir, boxes): Unit
+    if (boxes.nonEmpty)
+      LayoutIngest.deleteBoxesNext(sparkSession, dir, boxes): Unit
     Seq.empty
   }
 }
@@ -626,11 +673,14 @@ private[graft] case class GraftDeleteCommand(dir: String,
   * [[LayoutIngest.updateBoxesNext]] (box-pruned in-place rewrite of
   * the affected units under the next unused update id). Assignment
   * expressions re-bind to the rewrite frames BY NAME (the analyzed
-  * attrs belong to the statement's own relation instance). */
+  * attrs belong to the statement's own relation instance). An empty
+  * box union (condition provably matches nothing) is a clean no-op:
+  * no rewrite, no id minted. */
 private[graft] case class GraftUpdateCommand(dir: String,
     boxes: Seq[Seq[(String, Long, Long)]],
     sets: Seq[(String, Expression)]) extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
+    if (boxes.isEmpty) return Seq.empty
     val cols = sets.map { case (n, e) =>
       n -> ColumnBridge.of(e.transform {
         case a: AttributeReference =>
@@ -647,13 +697,46 @@ private[graft] case class GraftUpdateCommand(dir: String,
   * the validated assignments and runs [[LayoutIngest.mergeRowsNext]]
   * (bloom/stats-pruned whole-row upsert under the next unused ledger
   * id). The source plan rides inside the command (already analyzed);
-  * `innerChildren` surfaces it in EXPLAIN. */
+  * `innerChildren` surfaces it in EXPLAIN.
+  *
+  * `sideGate` carries ONE-SIDED / per-side action conditions
+  * `(matchedCond, insertCond)`: the source splits on target-key
+  * membership via one left-outer join against the target's DISTINCT
+  * keys (shuffle-joined on the merge key — broadcast when small under
+  * AQE; never a scan of target payload columns), each side keeps only
+  * rows passing its own gate (an absent gate keeps the side whole),
+  * and the union upserts. Exact by construction: a matched row
+  * failing the MATCHED gate is dropped — the target row stays; an
+  * unmatched row failing the NOT-MATCHED gate is dropped — nothing
+  * inserts. NULL source keys never match (SQL ON semantics) and land
+  * on the insert side. */
 private[graft] case class GraftMergeCommand(dir: String, keyCol: String,
-    source: LogicalPlan, cols: Seq[(String, Expression)])
+    source: LogicalPlan, cols: Seq[(String, Expression)],
+    sideGate: Option[(Option[Expression], Option[Expression])] = None)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    val updates = ColumnBridge.ofRows(sparkSession, source).select(
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = ColumnBridge.ofRows(sparkSession, source)
+    val src = sideGate match {
+      case None => base
+      case Some((mc, ic)) =>
+        val tk = "__graft_target_key"
+        require(!base.columns.contains(tk),
+          s"graft-layout MERGE: source carries reserved column '$tk'")
+        val tgtKeys = sparkSession.read.format("graft-layout")
+          .option("path", dir).load()
+          .select(col(keyCol).as(tk)).distinct()
+        val joined = base.join(tgtKeys,
+          ColumnBridge.of(cols.head._2) === col(tk), "left_outer")
+        val matched = col(tk).isNotNull
+        def gate(c: Option[Expression]) =
+          c.map(ColumnBridge.of).getOrElse(lit(true))
+        joined.filter((matched && gate(mc)) ||
+            (!matched && gate(ic)))
+          .select(source.output.map(ColumnBridge.of): _*)
+    }
+    val updates = src.select(
       cols.map { case (n, e) => ColumnBridge.of(e).as(n) }: _*)
     LayoutIngest.mergeRowsNext(sparkSession, dir, keyCol, updates): Unit
     Seq.empty

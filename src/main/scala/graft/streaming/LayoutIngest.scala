@@ -93,6 +93,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object LayoutIngest extends org.apache.spark.internal.Logging {
 
   /** The persisted cluster key column. */
+  /** [[start]]'s ledger-id regime — a dedicated type rather than a
+    * Boolean so the two regimes can never be swapped by a positional
+    * argument (the epoch-keyed opt-in flips a writer into an
+    * EXCLUSIVE ledger; see the regime section on [[start]]). */
+  sealed abstract class IdRegime
+  /** Txn-minted ledger ids — the safe, multi-writer default. */
+  case object TxnMintedIds extends IdRegime
+  /** Epoch-keyed ids — content-addressed replays, single-writer
+    * EXCLUSIVE opt-in. */
+  case object EpochKeyedIds extends IdRegime
+
   val KeyCol = "zkey"
 
   /** [[mergeRows]]'s freshness guard fired: the requested batch id is
@@ -227,11 +238,16 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    * via the dead-pid lock break; cross-host failover sets
    * [[LedgerLock.LockStaleMsKey]].
    *
-   * TWO LEDGER-ID REGIMES, chosen by `epochIds` (the same option and
-   * default as the format-level sink, `writeStream.format(
-   * "graft-layout")`):
+   * TWO LEDGER-ID REGIMES, chosen by `ids` (a dedicated [[IdRegime]]
+   * type, NOT a Boolean: the r17 rename inverted the old `txnIds`
+   * flag's sense, and a positional `true` from an external caller
+   * compiled under the old signature would have silently flipped a
+   * writer into the exclusive epoch-keyed regime — the exact
+   * silent-row-drop hazard the default flip retired; same option
+   * names and default as the format-level sink, `writeStream.format(
+   * "graft-layout")` `.option("epochIds", ...)`):
    *
-   *  - `false` (default) — TXN-MINTED: each (queryId, epoch) RESERVES
+   *  - [[TxnMintedIds]] (default): each (queryId, epoch) RESERVES
    *    the next unused ledger id under the tail lock, bound durably by
    *    a `txn-e<epoch>-i<id>-<qid>` marker ([[streamLedgerId]]) — the
    *    idempotent-sink pattern. Batch appends ([[appendNext]],
@@ -242,7 +258,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    *    allocation order, not content) — at-least-once across
    *    checkpoint RESETS, exactly-once across restarts of the same
    *    checkpoint.
-   *  - `true` — EPOCH-KEYED: ledger id = the checkpoint's micro-batch
+   *  - [[EpochKeyedIds]]: ledger id = the checkpoint's micro-batch
    *    epoch. With a deterministic source this makes ids
    *    CONTENT-ADDRESSED: a replay from a fresh checkpoint re-offers
    *    the same rows under the same ids and every ingest is a marker
@@ -254,7 +270,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    *    single-writer table fed by one deterministic pipeline.
    *
    *  Pre-flip tables written by the old epoch-keyed default: quiesce
-   *  and keep using `epochIds = true`, or restart from a fresh
+   *  and keep using `ids = EpochKeyedIds`, or restart from a fresh
    *  checkpoint on a fresh table — the reservation ledger is the
    *  compatibility boundary.
    */
@@ -264,14 +280,15 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       compactEvery: Option[Int] = None,
       smallFileBytes: Long = 32L << 20,
       lockWaitMs: Long = 30000L,
-      epochIds: Boolean = false): StreamingQuery = {
+      ids: IdRegime = TxnMintedIds): StreamingQuery = {
     require(filesPerBatch >= 1, "filesPerBatch must be >= 1")
     require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     val writer = df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         microBatchIngest(batch, batchId, dir, checkpoint, filesPerBatch,
-          compactEvery, smallFileBytes, lockWaitMs, txnIds = !epochIds)
+          compactEvery, smallFileBytes, lockWaitMs,
+          txnIds = ids == TxnMintedIds)
       }
     (if (availableNow)
       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -550,7 +567,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * `genStagesDropped` is the WAL-less stage orphans beyond those. */
   final case class VacuumStats(manifestsReplayed: Int,
       genStagesDropped: Int, ingestStagesDropped: Int,
-      emptyUnitsDropped: Int)
+      emptyUnitsDropped: Int, dmlMarkersFolded: Int = 0)
 
   /** The retention/VACUUM op — one call that physically clears every
     * debris class the crash-exact protocol can leave behind, none of
@@ -580,7 +597,10 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     *     zero; a range-split generation whose last leaf drops loses
     *     its empty parent shell too;
     *  4. the marker ledger fold ([[compactMarkersLocked]], inside the
-    *     same tail section).
+    *     same tail section);
+    *  5. the DML marker fold ([[foldDmlMarkers]]): the permanent
+    *     `del-*`/`upd-*`/`sdml-*` statement records consolidate into
+    *     one `dml-log` file — facts kept exactly, listing bounded.
     *
     * Holds the MAINTENANCE lock throughout (vacuum is a rewriter-class
     * op: manifests name sources, and two recoverers must not race)
@@ -591,9 +611,11 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * documented file-listing-read contract, never a wrong answer.
     * Retired txn reservations are NOT swept (one per stream is the
     * documented O(#streams) floor — the newest reservation of a live
-    * stream is load-bearing state), and `del-<id>` / `upd-<id>`
-    * markers are the deletes'/updates' idempotence record — permanent
-    * by design. */
+    * stream is load-bearing state). `del-<id>` / `upd-<id>` / `sdml-*`
+    * markers are each statement's PERMANENT idempotence + replay
+    * record — their FACTS are never dropped, but the files fold into
+    * one `dml-log` ([[foldDmlMarkers]], class 5) so the marker listing
+    * stays bounded at any DML cadence. */
   def vacuum(spark: SparkSession, dir: String,
       lockWaitMs: Long = 30000L): VacuumStats =
     withMaintLock(spark, dir) {
@@ -618,6 +640,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       recoverCompact(spark, dir)
       adoptOrphanBatches(spark, dir)
       val m1 = manifests
+      val dmlFolded = foldDmlMarkers(spark, dir)
 
       // zero-row live units (class 3). liveDirs, not a raw listing:
       // recoverCompact just ran under this lock, so no committed
@@ -654,7 +677,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       }
       VacuumStats(manifestsReplayed = m0 - m1,
         genStagesDropped = orphanStages,
-        ingestStagesDropped = stages, emptyUnitsDropped = emptied)
+        ingestStagesDropped = stages, emptyUnitsDropped = emptied,
+        dmlMarkersFolded = dmlFolded)
     }
 
   private def compactMarkersLocked(spark: SparkSession,
@@ -765,6 +789,197 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       }
   }
 
+  /** One recorded box-DML statement — the durable payload behind a
+    * `del-<id>` / `upd-<id>` / `sdml-<srcSeq>` marker (or its folded
+    * [[foldDmlMarkers]] record). WHY statements are recorded, not just
+    * marked: a marker name alone can prove idempotence, but it cannot
+    * tell a REPLICA what the statement did — and a redaction that
+    * never reaches replicas isn't a redaction (the RTBF gap). `seq` is
+    * the table-global DML order (del and upd are separate id
+    * namespaces, so ids alone cannot order an interleaved history);
+    * `upto` is the contiguous committed batch watermark at statement
+    * time — the provenance scope a replica replays under (rows of
+    * later batches were not visible to the statement). `sets` carries
+    * assignment expressions as re-parseable SQL text (empty for a
+    * delete). `seq < 0` marks a pre-v1 (payload-less) or unparseable
+    * record: idempotence and history stay exact, replication refuses
+    * typed. */
+  private[graft] final case class DmlRecord(kind: String, id: Long,
+      seq: Long, upto: Long, boxes: Seq[Seq[(String, Long, Long)]],
+      sets: Seq[(String, String)], atMs: Option[Long])
+
+  private[graft] object DmlRecord {
+    /** Line-based, tab-separated record body (columns are identifiers
+      * — tabs/newlines in names or a newline in an assignment's SQL
+      * are refused at write). */
+    def serialize(r: DmlRecord): String = {
+      def clean(s: String, what: String): String = {
+        require(!s.exists(c => c == '\t' || c == '\n' || c == '\r'),
+          s"DmlRecord: $what contains a tab/newline: '$s'")
+        s
+      }
+      val header = s"graft-dml v1 ${clean(r.kind, "kind")} ${r.id} " +
+        s"${r.seq} ${r.upto}"
+      val at = r.atMs.map(t => s"T\t$t").toSeq
+      val bs = r.boxes.map(b => "B\t" + b.map { case (c, lo, hi) =>
+        s"${clean(c, "column")}\t$lo\t$hi" }.mkString("\t"))
+      val ss = r.sets.map { case (c, e) =>
+        s"S\t${clean(c, "column")}\t${clean(e, "assignment SQL")}" }
+      (header +: (at ++ bs ++ ss)).mkString("\n")
+    }
+
+    /** Parse one record's lines; `fallback` covers pre-v1 empty
+      * markers and any unparseable payload (seq = -1 — never replayed,
+      * still exact for idempotence and history). */
+    def parse(kind: String, id: Long, lines: Seq[String],
+        atMs: Option[Long]): DmlRecord = {
+      def fallback = DmlRecord(kind, id, -1L, -1L, Nil, Nil, atMs)
+      lines.headOption match {
+        case Some(h) if h.startsWith("graft-dml v1 ") =>
+          try {
+            val Array(k, i, q, u) = h.stripPrefix("graft-dml v1 ")
+              .split(" ")
+            require(k == kind && i.toLong == id,
+              s"record header ($k, $i) under marker ($kind, $id)")
+            val at = lines.collectFirst {
+              case l if l.startsWith("T\t") => l.drop(2).toLong }
+            val boxes = lines.filter(_.startsWith("B\t")).map { l =>
+              l.drop(2).split("\t", -1).grouped(3).map { t =>
+                (t(0), t(1).toLong, t(2).toLong) }.toSeq
+            }
+            val sets = lines.filter(_.startsWith("S\t")).map { l =>
+              val p = l.drop(2).split("\t", 2)
+              (p(0), p(1))
+            }
+            DmlRecord(kind, id, q.toLong, u.toLong, boxes, sets,
+              at.orElse(atMs))
+          } catch { case scala.util.control.NonFatal(_) => fallback }
+        case _ => fallback
+      }
+    }
+  }
+
+  /** The DML kinds that mark + record through [[rewriteBoxedUnits]]:
+    * local deletes, local updates, and replicated source statements
+    * ([[replicate]]'s `sdml-<srcSeq>` replays). */
+  private val DmlKinds = Seq("del", "upd", "sdml")
+
+  private def readMarkerLines(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+    finally in.close()
+  }
+
+  /** Records folded out of the live marker listing by
+    * [[foldDmlMarkers]] — the union of every `dml-log-<k>` file
+    * (normally one; a crash between a fold's publish and its cleanup
+    * leaves a superseded log or still-live markers, deduped by
+    * (kind, id) everywhere downstream). */
+  private def dmlLogEntries(spark: SparkSession,
+      dir: String): Seq[DmlRecord] = {
+    val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+    if (!f.exists(markers)) return Nil
+    val logs = f.listStatus(markers).toSeq
+      .filter(_.getPath.getName.matches("dml-log-\\d+"))
+    logs.flatMap { s =>
+      val lines = readMarkerLines(f, s.getPath)
+      // split on record headers; each group parses independently
+      val groups = scala.collection.mutable.Buffer
+        .empty[scala.collection.mutable.Buffer[String]]
+      lines.foreach { l =>
+        if (l.startsWith("graft-dml v1 "))
+          groups += scala.collection.mutable.Buffer(l)
+        else if (groups.nonEmpty) groups.last += l
+      }
+      groups.toSeq.flatMap { g =>
+        g.head.stripPrefix("graft-dml v1 ").split(" ") match {
+          case Array(k, i, _, _) if DmlKinds.contains(k) =>
+            Some(DmlRecord.parse(k, i.toLong, g.toSeq, None))
+          case _ => None
+        }
+      }
+    }.groupBy(r => (r.kind, r.id)).values.map(_.head).toSeq
+  }
+
+  /** Fold the individual `del-*`/`upd-*`/`sdml-*` markers into ONE
+    * `dml-log-<k>` file — the DML ledger's analogue of the ingest
+    * fold ([[compactMarkers]]). WHY: the markers are each statement's
+    * permanent idempotence + replay record, and
+    * [[deleteBoxesNext]]/[[updateBoxesNext]]/[[history]]/[[replicate]]
+    * all list (and for records, READ) the whole namespace — at a
+    * daily-retention cadence on a 100 TB deployment that listing
+    * grows without bound. The fold keeps the dir at one log file +
+    * the statements since. EXACT: every record survives with its
+    * boxes, assignment SQL, global seq, scope watermark, and commit
+    * mtime (stamped into the record at fold time), so [[history]] and
+    * replica replay read the same facts before and after. Crash-safe:
+    * the new log is written whole and renamed, markers and superseded
+    * logs are deleted after, and every intermediate state reads
+    * correctly because [[dmlRecords]] dedupes (kind, id) across live
+    * markers and ALL surviving logs. Runs from [[vacuum]] under the
+    * maintenance lock (DML markers are maintenance-lock state — the
+    * per-batch ingest fold must not race it on the same dir). */
+  private def foldDmlMarkers(spark: SparkSession, dir: String): Int = {
+    val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+    if (!f.exists(markers)) return 0
+    val names = f.listStatus(markers).toSeq.map(_.getPath.getName)
+    val liveNames = names.filter(n =>
+      DmlKinds.exists(k => n.matches(s"$k-\\d+")))
+    if (liveNames.isEmpty) return 0
+    val all = dmlRecords(spark, dir).map(r =>
+      // pin the commit time into the folded record — after the marker
+      // is gone the record is the only witness
+      if (r.atMs.isDefined) r
+      else r.copy(atMs = Some(System.currentTimeMillis())))
+    val oldLogs = names.filter(_.matches("dml-log-\\d+"))
+    val k = oldLogs.map(_.stripPrefix("dml-log-").toLong)
+      .foldLeft(-1L)(math.max) + 1L
+    val tmp = new org.apache.hadoop.fs.Path(markers, s"dml-log-$k.tmp")
+    if (f.exists(tmp)) f.delete(tmp, false)
+    val out = f.create(tmp, true)
+    try out.write(all.sortBy(_.seq).map(DmlRecord.serialize)
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val log = new org.apache.hadoop.fs.Path(markers, s"dml-log-$k")
+    if (!f.rename(tmp, log))
+      throw new IllegalStateException(
+        s"LayoutIngest: dml-log publish failed for $dir")
+    liveNames.foreach(n =>
+      f.delete(new org.apache.hadoop.fs.Path(markers, n), false): Unit)
+    oldLogs.foreach(n =>
+      f.delete(new org.apache.hadoop.fs.Path(markers, n), false): Unit)
+    liveNames.size
+  }
+
+  /** The [[foldDmlMarkers]] class-5 sweep on its own (the DML
+    * analogue of [[compactMarkers]]) — under the maintenance lock,
+    * like every DML-marker writer. Returns how many individual
+    * markers folded. */
+  def compactDmlMarkers(spark: SparkSession, dir: String): Int =
+    withMaintLock(spark, dir)(foldDmlMarkers(spark, dir))
+
+  /** EVERY recorded DML statement on `dir` — folded log entries plus
+    * live `del-* `/`upd-*`/`sdml-*` markers (live wins the dedupe: its
+    * mtime is fresher than a superseded log's copy). */
+  private[graft] def dmlRecords(spark: SparkSession,
+      dir: String): Seq[DmlRecord] = {
+    val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+    val live =
+      if (!f.exists(markers)) Nil
+      else f.listStatus(markers).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        DmlKinds.find(k => n.matches(s"$k-\\d+")).map { k =>
+          DmlRecord.parse(k, n.stripPrefix(s"$k-").toLong,
+            readMarkerLines(f, s.getPath),
+            Some(s.getModificationTime))
+        }
+      }
+    val liveKeys = live.map(r => (r.kind, r.id)).toSet
+    live ++ dmlLogEntries(spark, dir)
+      .filterNot(r => liveKeys((r.kind, r.id)))
+  }
+
   /**
    * Targeted delete (the right-to-be-forgotten surface on the
    * clustered table) — where the layout pays off TWICE: rows inside an
@@ -809,8 +1024,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     // silently DESTROY the row (nulls are legal in grid columns —
     // quantization folds them to the minimum cell — and pre-evolution
     // units read added columns as NULL). `hit` arrives coalesced.
-    rewriteBoxedUnits(spark, dir, s"del-$deleteId", s"del$deleteId",
-      boxes)((df, hit) => df.filter(!hit))
+    rewriteBoxedUnits(spark, dir, "del", deleteId,
+      boxes, Nil)((df, hit) => df.filter(!hit))
 
   /** In-place BOX-SCOPED UPDATE — the REDACTION surface (null out or
     * overwrite a payload column for a user/time slice WITHOUT deleting
@@ -836,7 +1051,10 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * crash-recovery discipline: replay the owed op before any OTHER
     * maintenance renames those units (the maintenance lock's
     * break-then-look rule). The SQL path never replays — a driver
-    * retry mints a new id.
+    * retry mints a new id, and [[occupiedDmlIds]] counts a crashed
+    * statement's published debris as occupying its id, so the fresh
+    * statement can never collide with (and silently skip) the dead
+    * one's outputs.
     *
     * The CLUSTER-DERIVED columns are not assignable: the grid columns
     * and [[KeyCol]] decide where a row lives (stats, blooms,
@@ -860,15 +1078,31 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           "column — not assignable in place (delete + insert, or " +
           "regrid, to move rows)")
     }
+    // no stored schema (a pre-publishSchema table) falls back to the
+    // columns the table actually SERVES — without it a typo'd target
+    // would pass validation and the per-unit projection (keyed on the
+    // frame's columns) would silently never apply it; every sibling
+    // path refuses typed, so this one must too. A table with neither
+    // schema nor data has no rows to miss: the empty fallback skips
+    // the check and the statement no-ops.
     val known = tableSchema(spark, dir)
-      .map(_.fieldNames.toSet).getOrElse(Set.empty)
+      .map(_.fieldNames.toSet)
+      .orElse {
+        val (df0, data0) = DedupIngest.fs(spark, s"$dir/data")
+        if (!df0.exists(data0) || leafUnits(df0, data0).isEmpty) None
+        else Some(read(spark, dir).columns.toSet)
+      }
+      .getOrElse(Set.empty)
     sets.foreach { case (c, _) =>
       require(known.isEmpty || known(c),
         s"updateBoxes: unknown column '$c' (table has $known)")
     }
     val setMap = sets.toMap
-    rewriteBoxedUnits(spark, dir, s"upd-$updateId", s"upd$updateId",
-      boxes) { (df, hit) =>
+    rewriteBoxedUnits(spark, dir, "upd", updateId, boxes,
+      sets.map { case (c, e) =>
+        c -> org.apache.spark.sql.graftbridge.ColumnBridge
+          .catalystExpr(e).sql
+      }) { (df, hit) =>
       df.select(df.columns.toSeq.map { c =>
         setMap.get(c)
           .map(e => when(hit, e).otherwise(col(c)).as(c))
@@ -878,26 +1112,43 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
   }
 
   /** The shared core of the box-scoped unit REWRITERS ([[deleteBoxes]]
-    * filters, [[updateBoxes]] projects): under the maintenance lock,
-    * idempotent behind `markerName`, rewrite exactly the units whose
+    * filters, [[updateBoxes]] projects, [[replicate]] replays): under
+    * the maintenance lock,
+    * idempotent behind the `<kind>-<id>` marker (live or folded into
+    * the [[foldDmlMarkers]] log), rewrite exactly the units whose
     * stats intersect at least one box, each through the same WAL
     * manifest as [[compact]]. `transform` receives the unit frame and
     * the NULL-SAFE union-of-boxes predicate (already coalesced to
-    * false — a NULL box column never hits). */
+    * false — a NULL box column never hits). The commit marker carries
+    * the full statement as a [[DmlRecord]] (boxes, `setsRecord`
+    * assignment SQL, the global DML `seq`, the batch watermark `upto`)
+    * — what [[replicate]] replays on a replica. */
   private def rewriteBoxedUnits(spark: SparkSession, dir: String,
-      markerName: String, stampPrefix: String,
-      boxes: Seq[Seq[(String, Long, Long)]])(
+      kind: String, id: Long,
+      boxes: Seq[Seq[(String, Long, Long)]],
+      setsRecord: Seq[(String, String)])(
       transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame)
       : Boolean =
     withMaintLock(spark, dir) {
+      val stampPrefix = s"$kind$id"
       require(boxes.nonEmpty && boxes.forall(_.nonEmpty),
         s"$stampPrefix: empty box")
       recoverCompact(spark, dir)
       adoptOrphanBatches(spark, dir)
       val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
-      val marker = new org.apache.hadoop.fs.Path(markers, markerName)
-      if (f.exists(marker)) false
+      val marker = new org.apache.hadoop.fs.Path(markers, s"$kind-$id")
+      if (f.exists(marker) ||
+          dmlLogEntries(spark, dir)
+            .exists(r => r.kind == kind && r.id == id)) false
       else {
+        // recorded BEFORE the unit listing: batches committing during
+        // the rewrite are not in the listing, so the statement's scope
+        // is exactly "rows of batches <= upto" (plus any committed
+        // above a gap — served post-rewrite to any later reader, so a
+        // replica stays exact either way; see [[replicate]])
+        val upto = contiguousCommittedBatch(spark, dir)
+        val seq = dmlRecords(spark, dir).map(_.seq)
+          .foldLeft(-1L)(math.max) + 1L
         val (_, data) = DedupIngest.fs(spark, s"$dir/data")
         val units =
           if (!f.exists(data)) Nil
@@ -951,14 +1202,78 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           finally out.close()
           recoverCompact(spark, dir)
         }
-        f.create(marker, true).close()
+        // the marker is the statement's commit record AND its durable
+        // payload — written whole to a tmp and renamed, so an existing
+        // marker always parses (a crash mid-write leaves only the tmp;
+        // the owed replay rewrites nothing — every unit carries the
+        // op's stamp — and re-publishes the marker)
+        val tmp = new org.apache.hadoop.fs.Path(markers,
+          s"$kind-$id.tmp")
+        if (f.exists(tmp)) f.delete(tmp, false)
+        val out = f.create(tmp, true)
+        try out.write(DmlRecord.serialize(DmlRecord(kind, id, seq,
+          upto, boxes, setsRecord, None)).getBytes("UTF-8"))
+        finally out.close()
+        if (!f.rename(tmp, marker))
+          throw new IllegalStateException(
+            s"LayoutIngest: DML marker publish failed for $kind-$id")
         true
       }
     }
 
+  /** Every delete/update id OCCUPIED on `dir` for `prefix` (`del` or
+    * `upd`): committed markers PLUS the id-stamped debris a statement
+    * that crashed after publishing rewrites but before its marker
+    * leaves behind — published `gen-<prefix><id>-*` units in the data
+    * tree, staged `gen-<prefix><id>-*.stage` dirs, and
+    * `compact-<prefix><id>-*.manifest` WAL entries. WHY the debris
+    * counts: [[rewriteBoxedUnits]]'s replay path skips units carrying
+    * the operation's OWN id stamp (what makes a non-idempotent UPDATE
+    * replay exact), so a LATER, semantically different statement that
+    * re-minted a crashed id would silently treat the dead statement's
+    * outputs as its own published rewrites and exempt those units from
+    * its delete/update — a missed redaction. Minting past the debris
+    * makes a fresh statement's id collision-free; the explicit-id API
+    * replay of the crashed statement itself keeps the skip. */
+  private def occupiedDmlIds(spark: SparkSession, dir: String,
+      prefix: String): Set[Long] = {
+    val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+    val stamp = s"gen-$prefix(\\d+)-.*"
+    val markerIds =
+      if (!f.exists(markers)) Seq.empty[Long]
+      else f.listStatus(markers).toSeq.map(_.getPath.getName).flatMap {
+        case n if n.matches(s"$prefix-\\d+") =>
+          Some(n.stripPrefix(s"$prefix-").toLong)
+        case n if n.matches(s"compact-$prefix(\\d+)-.*\\.manifest") =>
+          Some(n.stripPrefix(s"compact-$prefix")
+            .takeWhile(_.isDigit).toLong)
+        case _ => None
+      }
+    val logIds = dmlLogEntries(spark, dir)
+      .filter(_.kind == prefix).map(_.id)
+    val (_, root) = DedupIngest.fs(spark, dir)
+    val stageIds =
+      if (!f.exists(root)) Seq.empty[Long]
+      else f.listStatus(root).toSeq.map(_.getPath.getName).collect {
+        case n if n.matches(s"$stamp\\.stage") =>
+          n.stripPrefix(s"gen-$prefix").takeWhile(_.isDigit).toLong
+      }
+    val (_, data) = DedupIngest.fs(spark, s"$dir/data")
+    val unitIds =
+      if (!f.exists(data)) Seq.empty[Long]
+      else f.listStatus(data).toSeq.map(_.getPath.getName).collect {
+        case n if n.matches(stamp) =>
+          n.stripPrefix(s"gen-$prefix").takeWhile(_.isDigit).toLong
+      }
+    (markerIds ++ logIds ++ stageIds ++ unitIds).toSet
+  }
+
   /** [[deleteBox]] under the NEXT UNUSED delete id — the body behind
     * SQL `DELETE FROM` on the relation. Delete ids are their own
-    * marker namespace (`del-<id>`), scanned fresh per attempt; a
+    * marker namespace (`del-<id>`), scanned fresh per attempt
+    * INCLUDING id-stamped crash debris ([[occupiedDmlIds]] — a crashed
+    * statement's published-but-unmarked rewrites occupy its id, so a
+    * fresh statement never adopts them); a
     * concurrent SQL DELETE that wins the id turns this attempt's
     * deleteBox into a marker no-op (returns false), and the loop
     * re-mints — bounded, since every loss means another delete
@@ -975,13 +1290,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       boxes: Seq[Seq[(String, Long, Long)]]): Long = {
     var attempts = 0
     while (true) {
-      val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
       val next =
-        if (!f.exists(markers)) 0L
-        else f.listStatus(markers).toSeq.map(_.getPath.getName)
-          .filter(_.matches("del-\\d+"))
-          .map(_.stripPrefix("del-").toLong)
-          .foldLeft(-1L)(math.max) + 1L
+        occupiedDmlIds(spark, dir, "del").foldLeft(-1L)(math.max) + 1L
       if (deleteBoxes(spark, dir, boxes, next)) return next
       attempts += 1
       require(attempts < 16,
@@ -993,19 +1303,15 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
 
   /** [[updateBoxes]] under the next unused update id — the body
     * behind SQL `UPDATE` on the relation. `upd-<id>` is its own
-    * marker namespace, same id-race loop as [[deleteBoxesNext]]. */
+    * marker namespace (crash debris counted — [[occupiedDmlIds]]),
+    * same id-race loop as [[deleteBoxesNext]]. */
   private[graft] def updateBoxesNext(spark: SparkSession, dir: String,
       boxes: Seq[Seq[(String, Long, Long)]],
       sets: Seq[(String, org.apache.spark.sql.Column)]): Long = {
     var attempts = 0
     while (true) {
-      val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
       val next =
-        if (!f.exists(markers)) 0L
-        else f.listStatus(markers).toSeq.map(_.getPath.getName)
-          .filter(_.matches("upd-\\d+"))
-          .map(_.stripPrefix("upd-").toLong)
-          .foldLeft(-1L)(math.max) + 1L
+        occupiedDmlIds(spark, dir, "upd").foldLeft(-1L)(math.max) + 1L
       if (updateBoxes(spark, dir, boxes, sets, next)) return next
       attempts += 1
       require(attempts < 16,
@@ -1013,6 +1319,162 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           s"on $dir — a pathological storm of concurrent UPDATEs")
     }
     -1L // unreachable
+  }
+
+  /** What one [[replicate]] sync did, for operations logging and the
+    * battery's premises. */
+  final case class ReplicateStats(batchesPulled: Int, dmlReplayed: Int,
+      dmlSkippedAsBootstrap: Int)
+
+  /** Incremental REPLICA sync — the answer to "RTBF that doesn't
+    * reach replicas isn't RTBF": pull the source's new committed batch
+    * prefix, then REPLAY the source's recorded DML statements
+    * ([[DmlRecord]] — every [[deleteBoxes]]/[[updateBoxes]] commit
+    * marker carries its boxes, assignment SQL, global order `seq`, and
+    * batch-watermark scope `upto`), so a redaction or deletion on the
+    * source converges on every replica that syncs, INCLUDING rows the
+    * replica consumed before the statement ran. Call on a cadence (or
+    * after any compliance statement) — each call is one incremental,
+    * idempotent step.
+    *
+    * THE CONTRACT, piece by piece:
+    *  - The replica ingests each source batch under the SOURCE's
+    *    ledger id ([[ingestBatch]] is idempotent per id), so replica
+    *    [[BatchCol]] provenance mirrors the source and the replica's
+    *    own contiguous watermark IS its applied-prefix cursor — no
+    *    second offset store. Pulls take only the contiguous prefix
+    *    (the same exactly-once rule as the CDC stream source).
+    *  - Replayed statements are scoped `AND __batch <= upto`: rows of
+    *    batches the source ingested AFTER the statement were never
+    *    touched by it and must not be touched on the replica; rows of
+    *    batches <= upto pulled LATER arrive post-statement from the
+    *    source (the statement completed before its marker is
+    *    visible), so a replay over them must be a no-op — which is
+    *    exactly why assignments whose value reads an ASSIGNED column
+    *    (`value = value + 1`) are REFUSED here, typed: under
+    *    snapshot/replay interleaving they cannot be made exact.
+    *    Assignments reading only unassigned columns (null-out,
+    *    constant, mask-from-siblings — the redaction shapes) are
+    *    idempotent under re-application, so every interleaving
+    *    converges to the source's bytes.
+    *  - Each replay runs through [[rewriteBoxedUnits]] behind an
+    *    `sdml-<srcSeq>` marker: exactly-once per source statement,
+    *    crash-replay-exact (own-output skip), stats-pruned to the
+    *    affected units, and recorded — a replica can itself be
+    *    replicated (chained replays stay scoped by the embedded
+    *    provenance bounds).
+    *  - A FRESH replica (no batches yet) pulls post-statement bytes
+    *    for everything, so source statements recorded before the
+    *    bootstrap pull are stamped applied WITHOUT rewriting anything
+    *    (an empty `__batch <= -1` scope publishes just the marker +
+    *    record) — a 100 TB bootstrap does not re-run years of
+    *    retention deletes.
+    *  - REFUSED, typed: a source ledger containing MERGE ops (a merge
+    *    replaces matched rows in place under their ORIGINAL
+    *    provenance — a batch-prefix replica cannot see or replay the
+    *    replacement; rebuild the replica, or maintain replicated
+    *    tables with append + box DML only), and payload-less DML
+    *    markers from before the record format.
+    *
+    * NOT a lock-step mirror: between syncs the replica lags by
+    * whatever the cadence allows (the standard async-replica
+    * contract); after a sync that returns, every source batch <= the
+    * source watermark observed at entry and every source statement
+    * recorded before it are applied. */
+  def replicate(spark: SparkSession, srcDir: String, dstDir: String,
+      filesPerBatch: Int = 4, lockWaitMs: Long = 30000L)
+      : ReplicateStats = {
+    val (sf, smarkers) = DedupIngest.fs(spark, s"$srcDir/markers")
+    if (sf.exists(smarkers)) {
+      val names = sf.listStatus(smarkers).toSeq.map(_.getPath.getName)
+      require(!names.exists(n => n.matches("merge-\\d+") ||
+          n.matches("merge-\\d+\\.intent")),
+        s"replicate: the source ledger at $srcDir contains MERGE ops " +
+          "— a merge replaces matched rows in place under their " +
+          "original provenance, which a batch-prefix replica cannot " +
+          "replay; rebuild the replica from a full read, or maintain " +
+          "replicated tables with append + box DML only")
+    }
+    val (df0, dgrid) = DedupIngest.fs(spark, s"$dstDir/grid")
+    if (!df0.exists(dgrid))
+      bootstrap(spark, dstDir, readGrid(spark, srcDir))
+    // source statements recorded BEFORE the pull snapshot: their
+    // effects are in every byte the pull serves
+    val srcOps = dmlRecords(spark, srcDir)
+      .filter(r => DmlKinds.contains(r.kind)).sortBy(_.seq)
+    srcOps.find(_.seq < 0).foreach { r =>
+      throw new IllegalArgumentException(
+        s"replicate: source DML marker ${r.kind}-${r.id} predates " +
+          "the statement-record format (no payload) — it cannot be " +
+          "replayed on a replica; rebuild the replica from a full read")
+    }
+    val dstW = contiguousCommittedBatch(spark, dstDir)
+    val dstFresh = dstW < 0
+    val srcW = contiguousCommittedBatch(spark, srcDir)
+    var pulled = 0
+    if (srcW > dstW) {
+      // ONE pinned snapshot for every slice: per-batch re-reads could
+      // tear across a concurrent source rewrite; the checkpoint's
+      // single listing is a consistent publish-point view
+      val fresh = readSince(spark, srcDir, dstW)
+        .filter(col(BatchCol) <= srcW)
+        .localCheckpoint(true)
+      try {
+        (dstW + 1 to srcW).foreach { b =>
+          val slice = fresh.filter(col(BatchCol) === b)
+            .drop(KeyCol, BatchCol)
+          LedgerLock.withLockWait(spark, dstDir, lockWaitMs) {
+            if (ingestBatch(slice, b, dstDir, filesPerBatch))
+              pulled += 1
+            compactMarkersLocked(spark, dstDir)
+          }
+        }
+      } finally fresh.unpersist()
+    }
+    // replay (or bootstrap-stamp) the source statements, in the
+    // recorded global order
+    val appliedSeqs = dmlRecords(spark, dstDir)
+      .filter(_.kind == "sdml").map(_.id).toSet
+    var replayed = 0
+    var stamped = 0
+    srcOps.filterNot(r => appliedSeqs(r.seq)).foreach { r =>
+      val scopeUpto = if (dstFresh) -1L else r.upto
+      val scoped = r.boxes.map(_ :+ ((BatchCol, Long.MinValue,
+        scopeUpto)))
+      if (r.sets.isEmpty) {
+        rewriteBoxedUnits(spark, dstDir, "sdml", r.seq, scoped,
+          Nil)((d, hit) => d.filter(!hit)): Unit
+      } else {
+        val assigned = r.sets.map(_._1.toLowerCase).toSet
+        val sets = r.sets.map { case (c, sql) =>
+          val e = org.apache.spark.sql.graftbridge.ColumnBridge
+            .catalystExpr(org.apache.spark.sql.functions.expr(sql))
+          val refs = e.collect {
+            case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => u.nameParts.last.toLowerCase
+          }
+          require(refs.toSet.intersect(assigned).isEmpty,
+            s"replicate: source update seq ${r.seq} assigns '$c' " +
+              s"from '$sql', which reads an assigned column — " +
+              "self-referential assignments cannot replay exactly " +
+              "under at-least-once replication (a replica may see " +
+              "pre- or post-statement bytes); redactions must read " +
+              "only columns the statement leaves untouched")
+          c -> org.apache.spark.sql.functions.expr(sql)
+        }
+        val setMap = sets.toMap
+        rewriteBoxedUnits(spark, dstDir, "sdml", r.seq, scoped,
+          r.sets) { (d, hit) =>
+          d.select(d.columns.toSeq.map { c =>
+            setMap.get(c)
+              .map(e => when(hit, e).otherwise(col(c)).as(c))
+              .getOrElse(col(c))
+          }: _*)
+        }: Unit
+      }
+      if (dstFresh) stamped += 1 else replayed += 1
+    }
+    ReplicateStats(pulled, replayed, stamped)
   }
 
   /** [[mergeRows]] under the NEXT UNUSED ledger id — the body behind
@@ -2319,14 +2781,17 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           .map(_.stripPrefix("batch-").toLong).filter(_ > w).sorted
           .map(i => ("ingest", i, true,
             Some(byName(s"batch-$i").getModificationTime)))
-        val dels = names.toSeq.filter(_.matches("del-\\d+"))
-          .map(_.stripPrefix("del-").toLong).sorted
-          .map(i => ("delete", i, true,
-            Some(byName(s"del-$i").getModificationTime)))
-        val upds = names.toSeq.filter(_.matches("upd-\\d+"))
-          .map(_.stripPrefix("upd-").toLong).sorted
-          .map(i => ("update", i, true,
-            Some(byName(s"upd-$i").getModificationTime)))
+        // DML ops come from the RECORDS (live markers + the folded
+        // dml-log), so the presentation is identical before and after
+        // a [[foldDmlMarkers]] — the folded record carries the marker's
+        // commit mtime
+        val dml = dmlRecords(spark, dir)
+        def dmlKind(kind: String, as: String) =
+          dml.filter(_.kind == kind).sortBy(_.id)
+            .map(r => (as, r.id, true, r.atMs))
+        val dels = dmlKind("del", "delete")
+        val upds = dmlKind("upd", "update")
+        val replays = dmlKind("sdml", "replay")
         val merges = names.toSeq.filter(_.matches("merge-\\d+"))
           .map(_.stripPrefix("merge-").toLong).sorted
           .map(i => ("merge", i, true,
@@ -2336,7 +2801,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           .filterNot(i => names(s"merge-$i")).sorted
           .map(i => ("merge", i, false,
             Some(byName(s"merge-$i.intent").getModificationTime)))
-        folded ++ tail ++ dels ++ upds ++ merges ++ intents
+        folded ++ tail ++ dels ++ upds ++ replays ++ merges ++ intents
       }
     import spark.implicits._
     entries.toDF("kind", "id", "committed", "at_ms")

@@ -15,6 +15,14 @@ object ColumnBridge {
   def of(e: Expression): Column = ExpressionUtils.column(e)
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGERLY converted Catalyst expression of a Column — [[expr]]
+    * returns a lazy `ColumnNodeExpression` wrapper whose `.sql`
+    * renders as `columnnodeexpression(...)` (not re-parseable); this
+    * runs the classic converter so `.sql` yields real SQL text (what
+    * the DML statement record persists). */
+  def catalystExpr(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** DataFrame from a LogicalPlan (classic Dataset.ofRows is
     * private[sql]) — needed to hand custom logical operators to the
     * planner. */

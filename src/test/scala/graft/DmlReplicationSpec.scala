@@ -1,0 +1,289 @@
+package graft
+
+import graft.streaming.LayoutIngest
+import org.apache.spark.sql.functions._
+
+/** The DML statement-record machinery and the replica surface
+  * ([[LayoutIngest.replicate]]): crash-debris id occupation, the
+  * marker fold, and redaction/deletion convergence on replicas —
+  * "RTBF that doesn't reach replicas isn't RTBF" (r17 verdict #2). */
+class DmlReplicationSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Fresh two-unit table: a = 0..99 split at 50, b = a, v = a*10. */
+  private def freshTable(name: String, rows: Range.Inclusive = 0 to 99)
+      : String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    val t = d.getAbsolutePath + "/t"
+    LayoutIngest.bootstrap(spark, t, LayoutIngest.Grid(
+      Seq("a", "b"), Seq((0L, 99L), (0L, 99L)), bits = 4))
+    val (lo, hi) = (rows.head.toLong, rows.last.toLong)
+    val mid = (lo + hi) / 2
+    LayoutIngest.ingestBatch((lo to mid).map(i => (i, i, i * 10))
+      .toDF("a", "b", "v"), 0L, t, 1): Unit
+    LayoutIngest.ingestBatch((mid + 1 to hi).map(i => (i, i, i * 10))
+      .toDF("a", "b", "v"), 1L, t, 1): Unit
+    t
+  }
+
+  /** Full replica-comparison view: payload, key AND provenance (the
+    * CDC read keeps [[LayoutIngest.BatchCol]]; plain read drops it). */
+  private def snap(dir: String): Set[(Long, Long, Long, Long, Long)] =
+    LayoutIngest.readSince(spark, dir, -1L)
+      .select("a", "b", "v", "zkey", "__batch")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+  test("a crashed DELETE's published debris OCCUPIES its id: the " +
+      "next DIFFERENT statement mints past it and its predicate " +
+      "applies INSIDE the debris units") {
+    val t = freshTable("dmldebris-del")
+    // statement A: delete b in [40,60] — rewrites BOTH units
+    assert(LayoutIngest.deleteBoxes(spark, t,
+      Seq(Seq(("b", 40L, 60L))), deleteId = 0L))
+    // worst crash window: all rewrites published, marker never lands
+    val marker = new java.io.File(s"$t/markers/del-0")
+    assert(marker.exists() && marker.delete())
+    assert(Option(new java.io.File(s"$t/data").list()).get
+      .exists(_.startsWith("gen-del0-")),
+      "premise: A's published rewrites must survive as gen-del0-*")
+    // statement B, semantically DIFFERENT, through the mint-next path
+    // (the SQL DELETE body). Pre-fix, B minted id 0 and the replay
+    // skip exempted A's debris — b=10 and b=90 survived inside them.
+    val view = spark.read.format("graft-layout").load(t)
+    view.createOrReplaceTempView("debris_del")
+    spark.sql("DELETE FROM debris_del WHERE b = 10 OR b = 90")
+    val left = LayoutIngest.read(spark, t)
+      .select("b").as[Long].collect().toSet
+    assert(!left.contains(10L) && !left.contains(90L),
+      "B's predicate must apply inside A's published debris units")
+    assert(new java.io.File(s"$t/markers/del-1").exists(),
+      "B must have minted PAST the crashed id 0")
+    // A's owed replay still converges behind its own id (the same-id
+    // skip is for true replays only)
+    assert(LayoutIngest.deleteBoxes(spark, t,
+      Seq(Seq(("b", 40L, 60L))), deleteId = 0L))
+    assert(LayoutIngest.read(spark, t).select("b").as[Long]
+      .collect().toSet === ((0L to 99L).toSet -- (40L to 60L) - 10L -
+        90L))
+  }
+
+  test("a crashed UPDATE's debris occupies its id too — a later " +
+      "statement's redaction reaches the debris (the missed-redaction " +
+      "hazard)") {
+    val t = freshTable("dmldebris-upd")
+    assert(LayoutIngest.updateBoxes(spark, t,
+      Seq(Seq(("b", 0L, 99L))), Seq("v" -> (col("v") + lit(1L))),
+      updateId = 0L))
+    val marker = new java.io.File(s"$t/markers/upd-0")
+    assert(marker.exists() && marker.delete())
+    // a DIFFERENT statement: a redaction on a slice covering rows
+    // inside the debris units, through the SQL mint-next path
+    val view = spark.read.format("graft-layout").load(t)
+    view.createOrReplaceTempView("debris_upd")
+    spark.sql("UPDATE debris_upd SET v = 0 WHERE b >= 10 AND b <= 20")
+    val got = LayoutIngest.read(spark, t)
+      .select("b", "v").as[(Long, Long)].collect().toMap
+    (10L to 20L).foreach { b =>
+      assert(got(b) === 0L,
+        s"b=$b: the new statement's redaction must reach the crashed " +
+          s"statement's published units, got ${got(b)}")
+    }
+    assert(new java.io.File(s"$t/markers/upd-1").exists(),
+      "the new UPDATE must mint past the crashed id 0")
+  }
+
+  test("DML markers carry the statement record; the fold " +
+      "consolidates EXACTLY: history identical, replays stay no-ops, " +
+      "minting scans the log") {
+    val t = freshTable("dmlfold")
+    assert(LayoutIngest.deleteBoxes(spark, t,
+      Seq(Seq(("b", 90L, 99L))), deleteId = 0L))
+    assert(LayoutIngest.updateBoxes(spark, t,
+      Seq(Seq(("a", 0L, 9L)), Seq(("a", 20L, 29L))),
+      Seq("v" -> lit(-1L)), updateId = 0L))
+    val before = LayoutIngest.history(spark, t)
+      .select("kind", "id", "committed", "at_ms")
+      .collect().map(_.toSeq).toSet
+    assert(LayoutIngest.compactDmlMarkers(spark, t) === 2)
+    val names = new java.io.File(s"$t/markers").list().toSeq
+    assert(names.count(_.startsWith("dml-log-")) === 1 &&
+      !names.contains("del-0") && !names.contains("upd-0"),
+      s"fold must leave ONE log and no individual markers: $names")
+    assert(LayoutIngest.history(spark, t)
+      .select("kind", "id", "committed", "at_ms")
+      .collect().map(_.toSeq).toSet === before,
+      "history must present folded DML ops EXACTLY as before " +
+        "(kind, id, committed, commit mtime)")
+    // a replay of a folded statement is still a marker no-op
+    assert(!LayoutIngest.deleteBoxes(spark, t,
+      Seq(Seq(("b", 90L, 99L))), deleteId = 0L),
+      "a folded op must stay idempotent")
+    // mint-next scans the log: the next ids are 1, not 0
+    spark.read.format("graft-layout").load(t)
+      .createOrReplaceTempView("dmlfold_t")
+    spark.sql("DELETE FROM dmlfold_t WHERE b = 0")
+    spark.sql("UPDATE dmlfold_t SET v = 7 WHERE b = 1")
+    val names2 = new java.io.File(s"$t/markers").list().toSeq
+    assert(names2.contains("del-1") && names2.contains("upd-1"),
+      s"mint must scan the folded log for occupied ids: $names2")
+    // a second fold folds the new markers into a fresh single log
+    assert(LayoutIngest.compactDmlMarkers(spark, t) === 2)
+    assert(new java.io.File(s"$t/markers").list()
+      .count(_.startsWith("dml-log-")) === 1)
+    assert(LayoutIngest.history(spark, t)
+      .filter(col("kind").isin("delete", "update")).count() === 4)
+  }
+
+  test("replicate pulls the committed batch prefix: bytes, keys and " +
+      "provenance mirror the source") {
+    val src = freshTable("repl-basic-src")
+    val dst = src.stripSuffix("/t") + "/r"
+    val st = LayoutIngest.replicate(spark, src, dst)
+    assert(st.batchesPulled === 2 && st.dmlReplayed === 0)
+    assert(snap(dst) === snap(src),
+      "a replica must serve the source's rows, keys AND __batch ids")
+    // idempotent: a second sync pulls and replays nothing
+    val st2 = LayoutIngest.replicate(spark, src, dst)
+    assert(st2 === LayoutIngest.ReplicateStats(0, 0, 0))
+  }
+
+  test("a deletion AND a redaction on the source CONVERGE on a " +
+      "replica that already consumed the rows — the RTBF gap, closed") {
+    val src = freshTable("repl-rtbf-src")
+    val dst = src.stripSuffix("/t") + "/r"
+    LayoutIngest.replicate(spark, src, dst): Unit
+    // the replica now holds unredacted rows; the source forgets a
+    // user slice and redacts another — through the SQL surface
+    spark.read.format("graft-layout").load(src)
+      .createOrReplaceTempView("rtbf_src")
+    spark.sql("DELETE FROM rtbf_src WHERE a BETWEEN 10 AND 19")
+    spark.sql("UPDATE rtbf_src SET v = -1 WHERE a BETWEEN 30 AND 39")
+    assert(snap(dst) !== snap(src),
+      "premise: the replica must actually be stale before the sync")
+    val st = LayoutIngest.replicate(spark, src, dst)
+    assert(st.batchesPulled === 0 && st.dmlReplayed === 2)
+    assert(snap(dst) === snap(src),
+      "after the sync the replica must converge: deleted rows gone, " +
+        "redacted values overwritten")
+    // the replays are recorded and exactly-once
+    assert(LayoutIngest.replicate(spark, src, dst) ===
+      LayoutIngest.ReplicateStats(0, 0, 0))
+    assert(LayoutIngest.history(spark, dst)
+      .filter(col("kind") === "replay").count() === 2)
+  }
+
+  test("rows the source ingested AFTER a statement are NEVER " +
+      "transformed on the replica (the upto scope)") {
+    val src = freshTable("repl-scope-src")
+    val dst = src.stripSuffix("/t") + "/r"
+    LayoutIngest.replicate(spark, src, dst): Unit
+    // redact v for EVERY row present now (batches 0..1)
+    LayoutIngest.updateBoxesNext(spark, src,
+      Seq(Seq(("a", 0L, 99L))), Seq("v" -> lit(0L))): Unit
+    // then a THIRD batch lands in the same box — the statement never
+    // saw it, so neither side may redact it
+    LayoutIngest.ingestBatch((0L to 9L).map(i => (i, i, 777L))
+      .toDF("a", "b", "v"), 2L, src, 1): Unit
+    val st = LayoutIngest.replicate(spark, src, dst)
+    assert(st.batchesPulled === 1 && st.dmlReplayed === 1)
+    assert(snap(dst) === snap(src))
+    assert(LayoutIngest.readSince(spark, dst, 1L)
+      .select("v").as[Long].collect().toSet === Set(777L),
+      "batch-2 rows postdate the statement — a replica replay scoped " +
+        "by upto must leave them untouched")
+  }
+
+  test("a FRESH replica bootstraps without re-running history: " +
+      "statements stamp applied, nothing rewrites") {
+    val src = freshTable("repl-boot-src")
+    LayoutIngest.deleteBoxNext(spark, src,
+      Seq(("a", 0L, 4L))): Unit
+    LayoutIngest.updateBoxesNext(spark, src,
+      Seq(Seq(("a", 90L, 99L))), Seq("v" -> lit(-5L))): Unit
+    val dst = src.stripSuffix("/t") + "/r"
+    val st = LayoutIngest.replicate(spark, src, dst)
+    assert(st.batchesPulled === 2 && st.dmlReplayed === 0 &&
+      st.dmlSkippedAsBootstrap === 2,
+      s"bootstrap must stamp, not replay: $st")
+    assert(snap(dst) === snap(src))
+    assert(!Option(new java.io.File(s"$dst/data").list()).get
+      .exists(_.startsWith("gen-sdml")),
+      "a bootstrap stamp must not rewrite any unit")
+    // the stamps are real records: a LATER statement still replays
+    LayoutIngest.deleteBoxNext(spark, src, Seq(("a", 50L, 54L))): Unit
+    val st2 = LayoutIngest.replicate(spark, src, dst)
+    assert(st2.dmlReplayed === 1 && snap(dst) === snap(src))
+  }
+
+  test("a replica of a replica converges (chained replication)") {
+    val src = freshTable("repl-chain-src")
+    val r1 = src.stripSuffix("/t") + "/r1"
+    val r2 = src.stripSuffix("/t") + "/r2"
+    LayoutIngest.replicate(spark, src, r1): Unit
+    LayoutIngest.replicate(spark, r1, r2): Unit
+    LayoutIngest.deleteBoxNext(spark, src, Seq(("b", 40L, 49L))): Unit
+    LayoutIngest.updateBoxesNext(spark, src,
+      Seq(Seq(("b", 60L, 69L))), Seq("v" -> lit(0L))): Unit
+    LayoutIngest.replicate(spark, src, r1): Unit
+    val st = LayoutIngest.replicate(spark, r1, r2)
+    assert(st.dmlReplayed === 2)
+    assert(snap(r2) === snap(src),
+      "the grand-replica must converge to the source through the " +
+        "middle replica's recorded replays")
+  }
+
+  test("replicate refuses, typed: merge ledgers, self-referential " +
+      "assignments, pre-record markers") {
+    def refuses(f: => Any, needle: String): Unit = {
+      val e = intercept[Exception](f)
+      assert(Option(e.getMessage).exists(_.contains(needle)),
+        s"wanted '$needle', got: ${e.getMessage}")
+    }
+    // a source that MERGEd: matched rows were replaced in place —
+    // not replicable from the ledger
+    val srcM = freshTable("repl-ref-merge")
+    LayoutIngest.mergeRows(spark, srcM, "a",
+      Seq((5L, 5L, 123L)).toDF("a", "b", "v"), batchId = 2L): Unit
+    refuses(LayoutIngest.replicate(spark, srcM,
+      srcM.stripSuffix("/t") + "/r"), "MERGE ops")
+    // a self-referential update CANNOT replay exactly under
+    // at-least-once replication — refused at replay, typed
+    val srcS = freshTable("repl-ref-self")
+    val dstS = srcS.stripSuffix("/t") + "/r"
+    LayoutIngest.replicate(spark, srcS, dstS): Unit
+    LayoutIngest.updateBoxesNext(spark, srcS,
+      Seq(Seq(("a", 0L, 9L))), Seq("v" -> (col("v") + lit(1L)))): Unit
+    refuses(LayoutIngest.replicate(spark, srcS, dstS),
+      "self-referential")
+    // a payload-less marker (pre-record format) cannot be replayed
+    val srcP = freshTable("repl-ref-prerec")
+    val dstP = srcP.stripSuffix("/t") + "/r"
+    assert(LayoutIngest.deleteBoxes(spark, srcP,
+      Seq(Seq(("a", 0L, 0L))), deleteId = 3L))
+    val m = new java.io.File(s"$srcP/markers/del-3")
+    java.nio.file.Files.write(m.toPath, Array.empty[Byte])
+    refuses(LayoutIngest.replicate(spark, srcP, dstP),
+      "predates")
+  }
+
+  test("updateBoxes on a SCHEMA-LESS table refuses an unknown " +
+      "column typed (no silent projection no-op)") {
+    val t = freshTable("updnoschema")
+    // simulate a legacy table written before publishSchema
+    val sd = new java.io.File(s"$t/schema")
+    assert(sd.exists())
+    sd.listFiles().foreach(_.delete())
+    assert(sd.delete())
+    val e = intercept[IllegalArgumentException](
+      LayoutIngest.updateBoxes(spark, t, Seq(Seq(("a", 0L, 9L))),
+        Seq("v_typo" -> lit(0L)), updateId = 0L))
+    assert(e.getMessage.contains("unknown column 'v_typo'"))
+    // a REAL column still updates (the fallback reads the served
+    // columns, not nothing)
+    assert(LayoutIngest.updateBoxes(spark, t, Seq(Seq(("a", 0L, 9L))),
+      Seq("v" -> lit(1L)), updateId = 0L))
+    assert(LayoutIngest.read(spark, t).filter(col("a") <= 9L)
+      .select("v").as[Long].collect().toSet === Set(1L))
+  }
+}

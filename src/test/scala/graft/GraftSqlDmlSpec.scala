@@ -257,8 +257,7 @@ class GraftSqlDmlSpec extends SparkSpec {
   }
 
   test("conditional MERGE (same condition on both actions) ≡ the " +
-      "pre-filtered plain merge; one-sided or disagreeing conditions " +
-      "refused") {
+      "pre-filtered plain merge") {
     val dirSql = freshTable("sqldml-cm-sql")
     val dirApi = freshTable("sqldml-cm-api")
     // keys 48..53 straddle the existing 0..50 rows; the condition
@@ -284,36 +283,98 @@ class GraftSqlDmlSpec extends SparkSpec {
       "conditional MERGE must equal mergeRows on the pre-filtered " +
         "source — rows failing the condition neither update nor insert")
 
-    def refuses(sql: String, needle: String): Unit = {
-      val e = intercept[Exception](spark.sql(sql))
-      def msgs(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x =>
-          Option(x.getMessage).toSeq ++ msgs(x.getCause))
-      assert(msgs(e).exists(_.contains(needle)),
-        s"$sql -> ${msgs(e).mkString(" | ")}")
-    }
-    // one-sided condition: the unconditional INSERT would still have
-    // to see rows the filter drops — not a source filter
-    refuses("""MERGE INTO scmerge USING scmerge_src
-      ON scmerge.a = scmerge_src.a
-      WHEN MATCHED AND scmerge_src.b % 2 = 0 THEN UPDATE
-        SET b = scmerge_src.b, s = scmerge_src.s
-      WHEN NOT MATCHED THEN INSERT (a, b, s)
-        VALUES (scmerge_src.a, scmerge_src.b, scmerge_src.s)""",
-      "SAME condition on the other action")
-    // disagreeing conditions
-    refuses("""MERGE INTO scmerge USING scmerge_src
-      ON scmerge.a = scmerge_src.a
-      WHEN MATCHED AND scmerge_src.b % 2 = 0 THEN UPDATE
-        SET b = scmerge_src.b, s = scmerge_src.s
-      WHEN NOT MATCHED AND scmerge_src.b % 2 = 1 THEN INSERT (a, b, s)
-        VALUES (scmerge_src.a, scmerge_src.b, scmerge_src.s)""",
-      "disagree")
     // (a TARGET-referencing condition cannot reach the translator's
     // source-only guard through SQL: the analyzer resolves a NOT
     // MATCHED condition against the source alone, so a target ref
-    // either fails resolution or the pair lands in the one-sided/
-    // disagree refusals above — the guard stays as defense in depth)
+    // either fails resolution or lands in the per-side split's
+    // source-only refusal — the guard stays as defense in depth)
+  }
+
+  test("ONE-SIDED / per-side conditional MERGE splits the source on " +
+      "target-key membership — exact vs the hand-built semi/anti twin") {
+    // table rows a = 0..50; update keys 48..53 straddle the boundary,
+    // so matched = {48,49,50}, unmatched = {51,52,53}; gate c keeps
+    // b % 2 = 0 where b = a % 4 → c holds for 48 (0), 50 (2), 52 (0)
+    val updates = (48L to 53L).map(i => (i, i % 4, s"new$i"))
+      .toDF("a", "b", "s")
+    updates.createOrReplaceTempView("soss_src")
+    def run(tag: String, sql: String => String,
+        twinKeys: Seq[Long]): Unit = {
+      val dirSql = freshTable(s"sqldml-oss-$tag")
+      val dirApi = freshTable(s"sqldml-oss-$tag-api")
+      view(dirSql, s"soss_$tag")
+      spark.sql(sql(s"soss_$tag"))
+      // the exact twin: a matched row failing the MATCHED gate is
+      // DROPPED (its target row survives untouched); an unmatched row
+      // failing the NOT-MATCHED gate is DROPPED (nothing inserts)
+      assert(LayoutIngest.mergeRows(spark, dirApi, "a",
+        updates.filter(col("a").isin(twinKeys: _*)), batchId = 1L))
+      val got = LayoutIngest.read(spark, dirSql)
+        .select("a", "b", "s", "zkey")
+        .as[(Long, Long, String, Long)].collect().toSet
+      val want = LayoutIngest.read(spark, dirApi)
+        .select("a", "b", "s", "zkey")
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(got === want, s"$tag: one-sided merge must equal the " +
+        "hand-split twin (matched gated, unmatched whole, or vice " +
+        "versa)")
+    }
+    // WHEN MATCHED AND c alone: gate updates only; EVERY unmatched
+    // row still inserts (48,50 pass c; 49 fails -> old row stays;
+    // 51,52,53 insert)
+    run("m", t => s"""MERGE INTO $t USING soss_src
+      ON $t.a = soss_src.a
+      WHEN MATCHED AND soss_src.b % 2 = 0 THEN UPDATE
+        SET b = soss_src.b, s = soss_src.s
+      WHEN NOT MATCHED THEN INSERT (a, b, s)
+        VALUES (soss_src.a, soss_src.b, soss_src.s)""",
+      Seq(48L, 50L, 51L, 52L, 53L))
+    // WHEN NOT MATCHED AND c alone: gate inserts only; every matched
+    // row updates (52 passes c; 51,53 fail -> never inserted)
+    run("nm", t => s"""MERGE INTO $t USING soss_src
+      ON $t.a = soss_src.a
+      WHEN MATCHED THEN UPDATE SET b = soss_src.b, s = soss_src.s
+      WHEN NOT MATCHED AND soss_src.b % 2 = 0 THEN INSERT (a, b, s)
+        VALUES (soss_src.a, soss_src.b, soss_src.s)""",
+      Seq(48L, 49L, 50L, 52L))
+    // DISAGREEING conditions: each side gated by its own (matched by
+    // even b -> 48,50; unmatched by odd b -> 51,53)
+    run("dis", t => s"""MERGE INTO $t USING soss_src
+      ON $t.a = soss_src.a
+      WHEN MATCHED AND soss_src.b % 2 = 0 THEN UPDATE
+        SET b = soss_src.b, s = soss_src.s
+      WHEN NOT MATCHED AND soss_src.b % 2 = 1 THEN INSERT (a, b, s)
+        VALUES (soss_src.a, soss_src.b, soss_src.s)""",
+      Seq(48L, 50L, 51L, 53L))
+  }
+
+  test("provably-empty DELETE/UPDATE conditions are clean no-ops: " +
+      "rows untouched, NO ledger entry, NO minted id") {
+    val dir = freshTable("sqldml-noop")
+    view(dir, "snoop")
+    val before = LayoutIngest.read(spark, dir)
+      .select("a", "b", "s").as[(Long, Long, String)].collect().toSet
+    def dmlOps(): Long = LayoutIngest.history(spark, dir)
+      .filter(col("kind").isin("delete", "update")).count()
+    val ops = dmlOps()
+    // contradictory conjunction -> inverted box (lo > hi) -> dropped
+    spark.sql("DELETE FROM snoop WHERE a = 1 AND a = 2")
+    // a no-op retention shape whose complement decomposition is empty
+    spark.sql("DELETE FROM snoop WHERE a NOT BETWEEN " +
+      s"${Long.MinValue} AND ${Long.MaxValue}")
+    // UPDATE under a contradictory predicate
+    spark.sql("UPDATE snoop SET s = 'x' WHERE a = 3 AND a = 4")
+    assert(LayoutIngest.read(spark, dir)
+      .select("a", "b", "s").as[(Long, Long, String)].collect().toSet
+      === before, "a provably-empty statement must touch no rows")
+    assert(dmlOps() === ops,
+      "a provably-empty statement must not mint an id or burn a " +
+        "permanent ledger marker")
+    // an empty disjunct DROPS while a live sibling still executes
+    spark.sql("DELETE FROM snoop WHERE (a = 1 AND a = 2) OR a = 5")
+    assert(!LayoutIngest.read(spark, dir)
+      .select("a").as[Long].collect().contains(5L))
+    assert(dmlOps() === ops + 1)
   }
 
   test("MERGE upserts whole rows ≡ mergeRows API twin; zkey " +

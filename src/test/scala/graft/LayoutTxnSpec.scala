@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** The txn-minted stream regime (the DEFAULT): (queryId, epoch) →
   * ledger-id reservations decouple a stream's ids from its epochs, so
   * batch appends and other streams interleave on one table without
-  * the epoch-collision silent-drop hazard the `epochIds = true`
+  * the epoch-collision silent-drop hazard the `ids = EpochKeyedIds`
   * opt-in (epoch-keyed, content-addressed) regime documents. */
 class LayoutTxnSpec extends SparkSpec {
   import spark.implicits._
@@ -44,7 +44,7 @@ class LayoutTxnSpec extends SparkSpec {
       input.addData(rows(100 until 110))
       val q = LayoutIngest.start(input.toDF().toDF("id", "x", "y"),
         dir, tmp("txn-contrast-ck"), availableNow = true,
-        epochIds = true)
+        ids = graft.streaming.LayoutIngest.EpochKeyedIds)
       try q.processAllAvailable() finally q.stop()
       assert(LayoutIngest.read(spark, dir).count() === 10L,
         "epoch regime: epoch 0 collides with the seeded batch 0 " +

@@ -55,26 +55,32 @@ class LayoutVacuumSpec extends SparkSpec {
     assert(withEmpty.size === 2, s"expected empty gen + batch-1: $withEmpty")
     assert(LayoutIngest.read(spark, dir).count() === 50L)
     val st = LayoutIngest.vacuum(spark, dir)
-    assert(st.emptyUnitsDropped === 1, s"stats: $st")
+    assert(st.emptyUnitsDropped === 1 && st.dmlMarkersFolded === 1,
+      s"stats: $st")
     assert(dataDirs(dir).size === 1)
     assert(LayoutIngest.read(spark, dir).count() === 50L)
     // provenance views survive the drop (no bare-unit complaint, no
     // resurrected rows)
     assert(LayoutIngest.readSince(spark, dir, 0L).count() === 50L)
     assert(LayoutIngest.readAsOf(spark, dir, 1L).count() === 50L)
-    // the idempotence records are PERMANENT: the delete's marker and
-    // an update's marker both survive the sweep (a replay of either
-    // op must still no-op)
+    // the idempotence RECORDS are permanent but the marker FILES fold:
+    // vacuum consolidates del-/upd- markers into one dml-log (class 5)
+    // and a replay of either op must still no-op from the log
     assert(LayoutIngest.updateBoxes(spark, dir,
       Seq(Seq(("x", 60L, 62L))), Seq("id" -> lit(-1L)), updateId = 0L))
-    LayoutIngest.vacuum(spark, dir): Unit
+    val st2 = LayoutIngest.vacuum(spark, dir)
+    assert(st2.dmlMarkersFolded === 1, s"stats: $st2")
     val markers = Option(new java.io.File(s"$dir/markers").list())
       .map(_.toSet).getOrElse(Set.empty)
-    assert(markers.contains("del-0") && markers.contains("upd-0"),
-      s"del-/upd- idempotence markers must survive vacuum: $markers")
+    assert(!markers.contains("del-0") && !markers.contains("upd-0") &&
+      markers.count(_.startsWith("dml-log-")) === 1,
+      s"DML markers must fold into ONE dml-log under vacuum: $markers")
     assert(!LayoutIngest.updateBoxes(spark, dir,
       Seq(Seq(("x", 60L, 62L))), Seq("id" -> lit(-1L)), updateId = 0L),
-      "a replayed update id must still no-op after vacuum")
+      "a replayed update id must still no-op after the fold")
+    assert(!LayoutIngest.deleteBox(spark, dir,
+      Seq(("x", 0L, 49L)), deleteId = 0L),
+      "a replayed delete id must still no-op after the fold")
   }
 
   test("dead ingest stage and WAL-less gen stage are swept; live " +
