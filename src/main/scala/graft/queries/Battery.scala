@@ -9109,6 +9109,202 @@ WHERE rk <= 40"""
        |FROM q""".stripMargin
   }
 
+  /** REDACTION REACHES REPLICAS — the r17 verdict's #2 ("RTBF that
+    * doesn't reach replicas isn't RTBF"), end to end through
+    * [[graft.streaming.LayoutIngest.replicate]]: a replica syncs the
+    * source's two batches (through a range-split fold — the pull is
+    * row-level `__batch` provenance, not unit names), THEN the source
+    * forgets a user slice (SQL DELETE) and nulls a time slice's values
+    * (SQL UPDATE) — statements the replica's rows predate — and a
+    * second sync must replay both recorded statements: the premise
+    * pins ReplicateStats to (0 pulled, 2 replayed) and two `replay`
+    * ledger ops on the replica. The gate hashes the REPLICA's rows,
+    * keys and values against the q162/q195-style oracle: a replica
+    * that kept the unredacted values (the pre-r18 CDC contract) fails
+    * on every redacted row. */
+  val q196ReplicaRedact: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val root = streamIndexDir("q196", dir, "events")
+    val srcDir = s"$root/src"
+    val dstDir = s"$root/dst"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us")).head()
+      val (umn, umx, tmn, tmx) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      graft.streaming.LayoutIngest.bootstrap(s, srcDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"), Seq((umn, umx), (tmn, tmx)),
+          bits = 16))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, srcDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, srcDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.compact(s, srcDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L,
+          parquetBytes(new java.io.File(s"$srcDir/data")) / 8))
+      val st1 = graft.streaming.LayoutIngest.replicate(s, srcDir, dstDir)
+      require(st1.batchesPulled == 2 && st1.dmlReplayed == 0,
+        s"q196 premise: the first sync pulls both batches, got $st1")
+      // the replica is now CAUGHT UP and holds the unredacted rows;
+      // the source forgets + redacts through the SQL surface
+      val ulo = umn + (umx - umn) * 49 / 100
+      val uhi = umn + (umx - umn) * 51 / 100
+      val tlo = tmn + (tmx - tmn) * 25 / 100
+      val thi = tmn + (tmx - tmn) * 75 / 100
+      s.read.format("graft-layout").load(srcDir)
+        .createOrReplaceTempView("q196_t")
+      s.sql(s"DELETE FROM q196_t WHERE user_id BETWEEN $ulo AND $uhi")
+      s.sql(s"UPDATE q196_t SET value = NULL " +
+        s"WHERE ts_us BETWEEN $tlo AND $thi")
+      val st2 = graft.streaming.LayoutIngest.replicate(s, srcDir, dstDir)
+      require(st2 == graft.streaming.LayoutIngest
+          .ReplicateStats(0, 2, 0),
+        s"q196 premise: the second sync must REPLAY exactly the two " +
+          s"statements (nothing to pull), got $st2")
+      require(graft.streaming.LayoutIngest.history(s, dstDir)
+          .filter(col("kind") === "replay").count() == 2L,
+        "q196 premise: the replica ledger must record both replays")
+      done.createNewFile(): Unit
+    }
+    graft.streaming.LayoutIngest.read(s, dstDir)
+      .select(col("event_id"), col("zkey"), col("value"))
+  }
+
+  val q196Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx
+       |  FROM events),
+       |q AS (
+       |  SELECT event_id, value,
+       |    CAST(epoch_us(ts) AS BIGINT) AS tus,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy
+       |  FROM events
+       |  WHERE NOT (user_id BETWEEN
+       |      (SELECT umn + ((umx - umn) * 49) // 100 FROM b) AND
+       |      (SELECT umn + ((umx - umn) * 51) // 100 FROM b)))
+       |SELECT event_id, $terms AS zkey,
+       |  CASE WHEN tus BETWEEN
+       |      (SELECT tmn + ((tmx - tmn) * 25) // 100 FROM b) AND
+       |      (SELECT tmn + ((tmx - tmn) * 75) // 100 FROM b)
+       |    THEN NULL
+       |  ELSE value END AS value
+       |FROM q""".stripMargin
+  }
+
+  /** ONE-SIDED conditional SQL MERGE — `WHEN MATCHED AND c` alone,
+    * with an UNCONDITIONAL insert: q192's shape minus the symmetric
+    * gate, the shape the r17 verdict called "the most common MERGE in
+    * the wild after the symmetric one". Runs through the target-key
+    * membership split ([[graft.sql.GraftMergeCommand]]'s one
+    * left-outer join against the target's distinct keys): only the
+    * even-id corrections replace their rows, the odd corrections
+    * leave their target rows UNTOUCHED (a pre-filter would have had
+    * to drop or insert them — both wrong), and BOTH corner candidates
+    * insert regardless of parity. The oracle re-derives exactly that
+    * in DuckDB. */
+  val q197SqlMergeOneSided: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val root = streamIndexDir("q197", dir, "events")
+    val tableDir = s"$root/table"
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min("ts_us"), max("ts_us"), min("event_id"), max("event_id")).head()
+    val (emn, emx) = (b.getLong(4), b.getLong(5))
+    val mergeIds = (1 to 5).map(k => emn + (emx - emn) * k / 7)
+    require(mergeIds.exists(_ % 2 == 0) && mergeIds.exists(_ % 2 != 0),
+      "q197 premise: the parity gate must pass some corrections and " +
+        "block others")
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"),
+          Seq((b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3))),
+          bits = 16, bloomCols = Seq("event_id")))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.compact(s, tableDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L,
+          parquetBytes(new java.io.File(s"$tableDir/data")) / 8))
+    }
+    val merged = Option(new java.io.File(s"$tableDir/markers").list())
+      .exists(_.exists(_.startsWith("merge-")))
+    if (!merged) {
+      // two corner candidates, consecutive ids: with the one-sided
+      // gate BOTH must insert (q192's symmetric gate inserted only
+      // the even one — the difference under test)
+      ev.filter(col("event_id").isInCollection(mergeIds))
+        .withColumn("value", col("value") * 2)
+        .unionByName(s.range(2).select(
+          (lit(emx + 1000L) + col("id")).as("event_id"),
+          lit(b.getLong(0)).as("user_id"),
+          lit(b.getLong(2)).as("ts_us"),
+          lit(42.0).as("value")))
+        .createOrReplaceTempView("q197_src")
+      s.read.format("graft-layout").load(tableDir)
+        .createOrReplaceTempView("q197_t")
+      s.sql("""MERGE INTO q197_t USING q197_src
+        |ON q197_t.event_id = q197_src.event_id
+        |WHEN MATCHED AND q197_src.event_id % 2 = 0 THEN UPDATE
+        |  SET user_id = q197_src.user_id, ts_us = q197_src.ts_us,
+        |    value = q197_src.value
+        |WHEN NOT MATCHED THEN
+        |  INSERT (event_id, user_id, ts_us, value)
+        |  VALUES (q197_src.event_id, q197_src.user_id,
+        |    q197_src.ts_us, q197_src.value)""".stripMargin)
+    }
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("event_id"), col("zkey"), col("value"))
+  }
+
+  val q197Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx,
+       |    MIN(event_id) AS emn, MAX(event_id) AS emx
+       |  FROM events),
+       |k AS (
+       |  SELECT (SELECT emn FROM b) +
+       |    ((SELECT emx FROM b) - (SELECT emn FROM b)) * j // 7 AS kid
+       |  FROM range(1, 6) t(j)),
+       |q AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy,
+       |    CASE WHEN event_id IN (SELECT kid FROM k WHERE kid % 2 = 0)
+       |      THEN value * 2 ELSE value END AS value
+       |  FROM events)
+       |SELECT event_id, $terms AS zkey, value FROM q
+       |UNION ALL
+       |SELECT (SELECT emx FROM b) + 1000 + g.j AS event_id,
+       |  CAST(0 AS BIGINT) AS zkey, 42.0 AS value
+       |FROM range(0, 2) g(j)""".stripMargin
+  }
+
   /** READER VISIBILITY through a slow multi-unit merge — the gate for
     * the append-first rework's central claim
     * ([[graft.streaming.LayoutIngest.mergeRows]] doc item 4): a
@@ -9756,7 +9952,11 @@ WHERE rk <= 40"""
     "q194_sql_retention" -> (q194SqlRetention, Some(q194Sql)),
     // q195: SQL UPDATE — box-scoped in-place redaction (expression
     // shift + NULL-out), two update ops in history, CASE-cascade twin
-    "q195_sql_redact" -> (q195SqlRedact, Some(q195Sql)))
+    "q195_sql_redact" -> (q195SqlRedact, Some(q195Sql)),
+    // q196: deletions/redactions REPLAYED onto a replica (replicate)
+    "q196_replica_redact" -> (q196ReplicaRedact, Some(q196Sql)),
+    // q197: one-sided conditional MERGE via the target-key split
+    "q197_sql_merge_onesided" -> (q197SqlMergeOneSided, Some(q197Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 
