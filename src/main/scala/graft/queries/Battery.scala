@@ -9116,7 +9116,8 @@ WHERE rk <= 40"""
     * row-level `__batch` provenance, not unit names), THEN the source
     * forgets a user slice (SQL DELETE) and nulls a time slice's values
     * (SQL UPDATE) — statements the replica's rows predate — and a
-    * second sync must replay both recorded statements: the premise
+    * second sync — run through the `graft_replicate` SQL TVF, the ops
+    * cadence verb — must replay both recorded statements: the premise
     * pins ReplicateStats to (0 pulled, 2 replayed) and two `replay`
     * ledger ops on the replica. The gate hashes the REPLICA's rows,
     * keys and values against the q162/q195-style oracle: a replica
@@ -9162,9 +9163,12 @@ WHERE rk <= 40"""
       s.sql(s"DELETE FROM q196_t WHERE user_id BETWEEN $ulo AND $uhi")
       s.sql(s"UPDATE q196_t SET value = NULL " +
         s"WHERE ts_us BETWEEN $tlo AND $thi")
-      val st2 = graft.streaming.LayoutIngest.replicate(s, srcDir, dstDir)
-      require(st2 == graft.streaming.LayoutIngest
-          .ReplicateStats(0, 2, 0),
+      // the second sync runs through SQL (graft_replicate — the ops
+      // cadence verb); the returned row is the ReplicateStats
+      val st2 = s.sql(
+        s"SELECT * FROM graft_replicate('$srcDir', '$dstDir')").head()
+      require(st2.getInt(0) == 0 && st2.getInt(1) == 2 &&
+          st2.getInt(2) == 0,
         s"q196 premise: the second sync must REPLAY exactly the two " +
           s"statements (nothing to pull), got $st2")
       require(graft.streaming.LayoutIngest.history(s, dstDir)

@@ -85,8 +85,10 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // imports: SELECT * FROM graft_history('/path/to/table')
     ext.injectTableFunction(GraftTvf.history)
     ext.injectTableFunction(GraftTvf.describe)
-    // the one ACTING statement in the TVF family: VACUUM as SQL
+    // the ACTING statements in the TVF family: VACUUM and replica
+    // sync as SQL
     ext.injectTableFunction(GraftTvf.vacuum)
+    ext.injectTableFunction(GraftTvf.replicate)
     // ad-hoc DATA reads without DDL: graft_table('<dir>'[, asOf]) /
     // graft_table_since('<dir>', b) resolve to the RELATION's plan, so
     // pushdown unit pruning and the provenance bounds work exactly as
@@ -129,6 +131,30 @@ private[graft] object GraftTvf {
     * ([[LayoutIngest.describe]]: unit, files, rows, bytes + the
     * pruner's column ranges). */
   val describe = one("graft_describe", LayoutIngest.describe)
+
+  /** `SELECT * FROM graft_replicate('<src>', '<dst>')` — runs ONE
+    * replica sync ([[LayoutIngest.replicate]]: pull the committed
+    * batch prefix, replay recorded DML statements) and returns its
+    * [[LayoutIngest.ReplicateStats]] as one row — the async-replica
+    * cadence verb as SQL, same acting-statement caveat as
+    * [[vacuum]]. */
+  val replicate = (
+    FunctionIdentifier("graft_replicate"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      GraftTvf.getClass.getName, "graft_replicate"),
+    (args: Seq[Expression]) => args match {
+      case Seq(Str(src), Str(dst)) =>
+        val spark = SparkSession.active
+        val st = LayoutIngest.replicate(spark, src, dst)
+        import spark.implicits._
+        ColumnBridge.analyzedPlan(Seq((st.batchesPulled,
+            st.dmlReplayed, st.dmlSkippedAsBootstrap))
+          .toDF("batches_pulled", "dml_replayed",
+            "dml_skipped_as_bootstrap"))
+      case _ => throw new IllegalArgumentException(
+        "graft_replicate expects two string literals: " +
+          "('<source dir>', '<replica dir>')")
+    })
 
   /** `SELECT * FROM graft_vacuum('<dir>')` — RUNS the retention sweep
     * ([[LayoutIngest.vacuum]]) and returns its [[LayoutIngest

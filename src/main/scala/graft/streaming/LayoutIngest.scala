@@ -1413,23 +1413,27 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     val srcW = contiguousCommittedBatch(spark, srcDir)
     var pulled = 0
     if (srcW > dstW) {
-      // ONE pinned snapshot for every slice: per-batch re-reads could
-      // tear across a concurrent source rewrite; the checkpoint's
-      // single listing is a consistent publish-point view
-      val fresh = readSince(spark, srcDir, dstW)
-        .filter(col(BatchCol) <= srcW)
-        .localCheckpoint(true)
-      try {
-        (dstW + 1 to srcW).foreach { b =>
-          val slice = fresh.filter(col(BatchCol) === b)
-            .drop(KeyCol, BatchCol)
-          LedgerLock.withLockWait(spark, dstDir, lockWaitMs) {
-            if (ingestBatch(slice, b, dstDir, filesPerBatch))
-              pulled += 1
-            compactMarkersLocked(spark, dstDir)
-          }
+      // ONE provenance-pruned scan per batch, nothing materialized:
+      // [[BatchCol]] is in every unit's statistics, so an incremental
+      // sync opens only the source's tail units and a bootstrap never
+      // checkpoints table-sized state to executor storage (the 100 TB
+      // constraint; the cost ceiling is re-reading a folded generation
+      // once per batch it spans — bounded by the fold width, and only
+      // during bootstrap). Each slice read is individually exact (the
+      // publish-point rule); a source statement COMMITTING between two
+      // slice jobs can leave early slices pre-statement and late ones
+      // post-statement, and the replay step below is what makes every
+      // such interleaving converge — the same argument that already
+      // covers statements committing between whole syncs.
+      (dstW + 1 to srcW).foreach { b =>
+        val slice = provenanceScan(spark, srcDir, b, b)
+          .drop(KeyCol, BatchCol)
+        LedgerLock.withLockWait(spark, dstDir, lockWaitMs) {
+          if (ingestBatch(slice, b, dstDir, filesPerBatch))
+            pulled += 1
+          compactMarkersLocked(spark, dstDir)
         }
-      } finally fresh.unpersist()
+      }
     }
     // replay (or bootstrap-stamp) the source statements, in the
     // recorded global order

@@ -135,6 +135,34 @@ class DmlReplicationSpec extends SparkSpec {
       .filter(col("kind").isin("delete", "update")).count() === 4)
   }
 
+  test("DmlRecord serialize/parse round-trips over seeded shapes; " +
+      "tab/newline in identifiers refuse at write") {
+    val rnd = new scala.util.Random(18)
+    (0 until 60).foreach { i =>
+      val kind = Seq("del", "upd", "sdml")(rnd.nextInt(3))
+      val id = rnd.nextLong(1L << 40)
+      val boxes = Seq.fill(1 + rnd.nextInt(3))(
+        Seq.fill(1 + rnd.nextInt(3))(
+          (s"c${rnd.nextInt(5)}", rnd.nextLong(), rnd.nextLong())))
+      val sets =
+        if (kind == "del") Nil
+        else Seq.fill(rnd.nextInt(3))(
+          (s"p${rnd.nextInt(4)}", "(coalesce(`x`, 0) + 1)"))
+      val at = if (rnd.nextBoolean()) Some(rnd.nextLong(1L << 45)) else None
+      val r = LayoutIngest.DmlRecord(kind, id, i.toLong,
+        rnd.nextLong() >> 16, boxes, sets, at)
+      val back = LayoutIngest.DmlRecord.parse(kind, id,
+        LayoutIngest.DmlRecord.serialize(r).split("\n", -1).toSeq, None)
+      assert(back === r, s"case $i: $r -> $back")
+    }
+    intercept[IllegalArgumentException](LayoutIngest.DmlRecord.serialize(
+      LayoutIngest.DmlRecord("del", 0L, 0L, 0L,
+        Seq(Seq(("a\tb", 0L, 1L))), Nil, None)))
+    intercept[IllegalArgumentException](LayoutIngest.DmlRecord.serialize(
+      LayoutIngest.DmlRecord("upd", 0L, 0L, 0L,
+        Seq(Seq(("a", 0L, 1L))), Seq("v" -> "line1\nline2"), None)))
+  }
+
   test("replicate pulls the committed batch prefix: bytes, keys and " +
       "provenance mirror the source") {
     val src = freshTable("repl-basic-src")
@@ -167,6 +195,14 @@ class DmlReplicationSpec extends SparkSpec {
       "after the sync the replica must converge: deleted rows gone, " +
         "redacted values overwritten")
     // the replays are recorded and exactly-once
+    assert(LayoutIngest.replicate(spark, src, dst) ===
+      LayoutIngest.ReplicateStats(0, 0, 0))
+    assert(LayoutIngest.history(spark, dst)
+      .filter(col("kind") === "replay").count() === 2)
+    // ...and survive the replica's own marker fold: vacuum folds the
+    // sdml markers into the dml-log, and a re-sync still replays
+    // nothing (the applied set reads the log)
+    assert(LayoutIngest.vacuum(spark, dst).dmlMarkersFolded === 2)
     assert(LayoutIngest.replicate(spark, src, dst) ===
       LayoutIngest.ReplicateStats(0, 0, 0))
     assert(LayoutIngest.history(spark, dst)
