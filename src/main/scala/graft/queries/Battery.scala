@@ -9309,6 +9309,118 @@ WHERE rk <= 40"""
        |FROM range(0, 2) g(j)""".stripMargin
   }
 
+  /** MERGE REPLAYS ON REPLICAS — the one statement kind q196's replay
+    * surface still refused: a replica consumes the source's two
+    * batches, THEN the source runs an unconditional correction MERGE
+    * (5 mid-domain value-doublings + one corner insert, through SQL)
+    * followed by a NULL-redaction UPDATE over a time slice that covers
+    * merged rows — and one sync must replay BOTH in source order
+    * ([[graft.streaming.LayoutIngest.replicate]]: the merge re-runs
+    * [[graft.streaming.LayoutIngest.mergeRows]] on the replica at its
+    * exact ledger position from the recorded key + updates snapshot;
+    * the update follows by global seq). The premise pins the stats to
+    * (0 pulled, 1 dml, 1 merge); the gate hashes the REPLICA — a
+    * replica that only pulled the merge's append keeps the matched OLD
+    * versions and fails the hash on every corrected key; one that
+    * misorders the two statements keeps unredacted merged values. */
+  val q198ReplicaMerge: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val root = streamIndexDir("q198", dir, "events")
+    val srcDir = s"$root/src"
+    val dstDir = s"$root/dst"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us"), min("event_id"), max("event_id"))
+        .head()
+      val (umn, umx, tmn, tmx) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val (emn, emx) = (b.getLong(4), b.getLong(5))
+      graft.streaming.LayoutIngest.bootstrap(s, srcDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"), Seq((umn, umx), (tmn, tmx)),
+          bits = 16, bloomCols = Seq("event_id")))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, srcDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, srcDir, filesPerBatch = 4): Unit
+      val st1 = graft.streaming.LayoutIngest.replicate(s, srcDir, dstDir)
+      require(st1.batchesPulled == 2,
+        s"q198 premise: the first sync pulls both batches, got $st1")
+      // the replica is CAUGHT UP on pre-merge rows; now the source
+      // corrects and redacts
+      val mergeIds = (1 to 5).map(k => emn + (emx - emn) * k / 7)
+      ev.filter(col("event_id").isInCollection(mergeIds))
+        .withColumn("value", col("value") * 2)
+        .unionByName(s.range(1).select(
+          (lit(emx + 1000L) + col("id")).as("event_id"),
+          lit(umn).as("user_id"), lit(tmn).as("ts_us"),
+          lit(42.0).as("value")))
+        .createOrReplaceTempView("q198_src")
+      s.read.format("graft-layout").load(srcDir)
+        .createOrReplaceTempView("q198_t")
+      s.sql("""MERGE INTO q198_t USING q198_src
+        |ON q198_t.event_id = q198_src.event_id
+        |WHEN MATCHED THEN UPDATE
+        |  SET user_id = q198_src.user_id, ts_us = q198_src.ts_us,
+        |    value = q198_src.value
+        |WHEN NOT MATCHED THEN
+        |  INSERT (event_id, user_id, ts_us, value)
+        |  VALUES (q198_src.event_id, q198_src.user_id,
+        |    q198_src.ts_us, q198_src.value)""".stripMargin)
+      val tlo = tmn + (tmx - tmn) * 25 / 100
+      val thi = tmn + (tmx - tmn) * 75 / 100
+      s.sql(s"UPDATE q198_t SET value = NULL " +
+        s"WHERE ts_us BETWEEN $tlo AND $thi")
+      val st2 = graft.streaming.LayoutIngest.replicate(s, srcDir, dstDir)
+      require(st2 == graft.streaming.LayoutIngest
+          .ReplicateStats(0, 1, 0, 1),
+        s"q198 premise: one merge replay + one statement replay, " +
+          s"nothing to pull, got $st2")
+      done.createNewFile(): Unit
+    }
+    graft.streaming.LayoutIngest.read(s, dstDir)
+      .select(col("event_id"), col("zkey"), col("value"))
+  }
+
+  val q198Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx,
+       |    MIN(event_id) AS emn, MAX(event_id) AS emx
+       |  FROM events),
+       |k AS (
+       |  SELECT (SELECT emn FROM b) +
+       |    ((SELECT emx FROM b) - (SELECT emn FROM b)) * j // 7 AS kid
+       |  FROM range(1, 6) t(j)),
+       |q AS (
+       |  SELECT event_id,
+       |    CAST(epoch_us(ts) AS BIGINT) AS tus,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy,
+       |    CASE WHEN event_id IN (SELECT kid FROM k)
+       |      THEN value * 2 ELSE value END AS v
+       |  FROM events)
+       |SELECT event_id, $terms AS zkey,
+       |  CASE WHEN tus BETWEEN
+       |      (SELECT tmn + ((tmx - tmn) * 25) // 100 FROM b) AND
+       |      (SELECT tmn + ((tmx - tmn) * 75) // 100 FROM b)
+       |    THEN NULL ELSE v END AS value
+       |FROM q
+       |UNION ALL
+       |SELECT (SELECT emx + 1000 FROM b) AS event_id,
+       |  CAST(0 AS BIGINT) AS zkey, 42.0 AS value""".stripMargin
+  }
+
   /** READER VISIBILITY through a slow multi-unit merge — the gate for
     * the append-first rework's central claim
     * ([[graft.streaming.LayoutIngest.mergeRows]] doc item 4): a
@@ -9960,7 +10072,9 @@ WHERE rk <= 40"""
     // q196: deletions/redactions REPLAYED onto a replica (replicate)
     "q196_replica_redact" -> (q196ReplicaRedact, Some(q196Sql)),
     // q197: one-sided conditional MERGE via the target-key split
-    "q197_sql_merge_onesided" -> (q197SqlMergeOneSided, Some(q197Sql)))
+    "q197_sql_merge_onesided" -> (q197SqlMergeOneSided, Some(q197Sql)),
+    // q198: a MERGE + later redaction replayed onto a replica in order
+    "q198_replica_merge" -> (q198ReplicaMerge, Some(q198Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

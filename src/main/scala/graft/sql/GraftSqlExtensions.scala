@@ -148,9 +148,10 @@ private[graft] object GraftTvf {
         val st = LayoutIngest.replicate(spark, src, dst)
         import spark.implicits._
         ColumnBridge.analyzedPlan(Seq((st.batchesPulled,
-            st.dmlReplayed, st.dmlSkippedAsBootstrap))
+            st.dmlReplayed, st.dmlSkippedAsBootstrap,
+            st.mergesReplayed))
           .toDF("batches_pulled", "dml_replayed",
-            "dml_skipped_as_bootstrap"))
+            "dml_skipped_as_bootstrap", "merges_replayed"))
       case _ => throw new IllegalArgumentException(
         "graft_replicate expects two string literals: " +
           "('<source dir>', '<replica dir>')")

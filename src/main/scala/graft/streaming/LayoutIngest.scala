@@ -859,10 +859,13 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     }
   }
 
-  /** The DML kinds that mark + record through [[rewriteBoxedUnits]]:
-    * local deletes, local updates, and replicated source statements
-    * ([[replicate]]'s `sdml-<srcSeq>` replays). */
-  private val DmlKinds = Seq("del", "upd", "sdml")
+  /** The statement-record kinds sharing one global `seq` and one fold:
+    * local deletes and updates (marked through [[rewriteBoxedUnits]]),
+    * replicated source statements ([[replicate]]'s `sdml-<srcSeq>`
+    * replays), and merges (`mrg-<ledgerId>`, recorded at commit by
+    * [[mergeRows]] — `boxes` empty, `sets` = the merge key by
+    * convention, the updates snapshot at `markers/mrg-<id>.updates`). */
+  private val DmlKinds = Seq("del", "upd", "sdml", "mrg")
 
   private def readMarkerLines(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Seq[String] = {
@@ -1324,7 +1327,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
   /** What one [[replicate]] sync did, for operations logging and the
     * battery's premises. */
   final case class ReplicateStats(batchesPulled: Int, dmlReplayed: Int,
-      dmlSkippedAsBootstrap: Int)
+      dmlSkippedAsBootstrap: Int, mergesReplayed: Int = 0)
 
   /** Incremental REPLICA sync — the answer to "RTBF that doesn't
     * reach replicas isn't RTBF": pull the source's new committed batch
@@ -1363,69 +1366,123 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     *    affected units, and recorded — a replica can itself be
     *    replicated (chained replays stay scoped by the embedded
     *    provenance bounds).
+    *  - A ledger id that was a MERGE replays as the merge itself —
+    *    [[mergeRows]] on the replica under the SOURCE id, from the
+    *    recorded key + updates snapshot (`mrg-<id>` record +
+    *    `markers/mrg-<id>.updates`, written at the source commit):
+    *    the append alone would leave the replica's matched old
+    *    versions alive forever. Replayed at its exact ledger
+    *    position; merges vs box statements order by the shared
+    *    global `seq` (all serialized by the source's maintenance
+    *    lock), and a statement's batch scope excludes every batch a
+    *    later merge appended — the pair always either runs in source
+    *    order here or provably commutes. An IN-FLIGHT or owed-replay
+    *    merge (intent/record without its commit marker) HOLDS the
+    *    pull at the previous id and defers statement replay to the
+    *    next sync — the replay arguments need every committed merge
+    *    below the cursor applied first.
     *  - A FRESH replica (no batches yet) pulls post-statement bytes
-    *    for everything, so source statements recorded before the
-    *    bootstrap pull are stamped applied WITHOUT rewriting anything
-    *    (an empty `__batch <= -1` scope publishes just the marker +
-    *    record) — a 100 TB bootstrap does not re-run years of
-    *    retention deletes.
-    *  - REFUSED, typed: a source ledger containing MERGE ops (a merge
-    *    replaces matched rows in place under their ORIGINAL
-    *    provenance — a batch-prefix replica cannot see or replay the
-    *    replacement; rebuild the replica, or maintain replicated
-    *    tables with append + box DML only), and payload-less DML
-    *    markers from before the record format.
+    *    for everything — committed merges pull as plain batches (the
+    *    removal already happened at the source) and source statements
+    *    recorded before the bootstrap are stamped applied WITHOUT
+    *    rewriting anything (an empty `__batch <= -1` scope publishes
+    *    just the marker + record) — a 100 TB bootstrap does not
+    *    re-run years of retention deletes or corrections.
+    *  - REFUSED, typed: payload-less DML markers and merges from
+    *    before the record format, and a merge claimed over a
+    *    NON-contiguous ledger (its removal listing cannot be aligned
+    *    with a batch-prefix replica) — rebuild the replica.
     *
     * NOT a lock-step mirror: between syncs the replica lags by
     * whatever the cadence allows (the standard async-replica
-    * contract); after a sync that returns, every source batch <= the
-    * source watermark observed at entry and every source statement
-    * recorded before it are applied. */
+    * contract); after a sync that returns without holding, every
+    * source batch <= the source watermark observed at entry and every
+    * source statement recorded before it are applied. */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,
       filesPerBatch: Int = 4, lockWaitMs: Long = 30000L)
       : ReplicateStats = {
     val (sf, smarkers) = DedupIngest.fs(spark, s"$srcDir/markers")
-    if (sf.exists(smarkers)) {
-      val names = sf.listStatus(smarkers).toSeq.map(_.getPath.getName)
-      require(!names.exists(n => n.matches("merge-\\d+") ||
-          n.matches("merge-\\d+\\.intent")),
-        s"replicate: the source ledger at $srcDir contains MERGE ops " +
-          "— a merge replaces matched rows in place under their " +
-          "original provenance, which a batch-prefix replica cannot " +
-          "replay; rebuild the replica from a full read, or maintain " +
-          "replicated tables with append + box DML only")
-    }
+    val srcNames =
+      if (!sf.exists(smarkers)) Seq.empty[String]
+      else sf.listStatus(smarkers).toSeq.map(_.getPath.getName)
     val (df0, dgrid) = DedupIngest.fs(spark, s"$dstDir/grid")
     if (!df0.exists(dgrid))
       bootstrap(spark, dstDir, readGrid(spark, srcDir))
-    // source statements recorded BEFORE the pull snapshot: their
-    // effects are in every byte the pull serves
-    val srcOps = dmlRecords(spark, srcDir)
-      .filter(r => DmlKinds.contains(r.kind)).sortBy(_.seq)
-    srcOps.find(_.seq < 0).foreach { r =>
+    // source statements recorded BEFORE the pull: their effects are in
+    // every byte the pull serves
+    val srcRecords = dmlRecords(spark, srcDir)
+    srcRecords.filterNot(_.kind == "mrg").find(_.seq < 0).foreach { r =>
       throw new IllegalArgumentException(
         s"replicate: source DML marker ${r.kind}-${r.id} predates " +
           "the statement-record format (no payload) — it cannot be " +
           "replayed on a replica; rebuild the replica from a full read")
     }
+    val mergeRec = srcRecords.filter(_.kind == "mrg")
+      .map(r => r.id -> r).toMap
+    val committedMerges = srcNames.filter(_.matches("merge-\\d+"))
+      .map(_.stripPrefix("merge-").toLong).toSet
+    committedMerges.find(id => !mergeRec.contains(id) ||
+        mergeRec(id).seq < 0).foreach { id =>
+      throw new IllegalArgumentException(
+        s"replicate: source merge-$id predates the merge-record " +
+          "format (no mrg record / updates snapshot) — its in-place " +
+          "row replacement cannot be replayed; rebuild the replica " +
+          "from a full read")
+    }
+    val mergeIntents = srcNames
+      .filter(_.matches("merge-\\d+\\.intent"))
+      .map(_.stripPrefix("merge-").stripSuffix(".intent").toLong).toSet
+    val srcOps = srcRecords.filterNot(_.kind == "mrg").sortBy(_.seq)
     val dstW = contiguousCommittedBatch(spark, dstDir)
     val dstFresh = dstW < 0
     val srcW = contiguousCommittedBatch(spark, srcDir)
     var pulled = 0
-    if (srcW > dstW) {
-      // ONE provenance-pruned scan per batch, nothing materialized:
-      // [[BatchCol]] is in every unit's statistics, so an incremental
-      // sync opens only the source's tail units and a bootstrap never
-      // checkpoints table-sized state to executor storage (the 100 TB
-      // constraint; the cost ceiling is re-reading a folded generation
-      // once per batch it spans — bounded by the fold width, and only
-      // during bootstrap). Each slice read is individually exact (the
-      // publish-point rule); a source statement COMMITTING between two
-      // slice jobs can leave early slices pre-statement and late ones
-      // post-statement, and the replay step below is what makes every
-      // such interleaving converge — the same argument that already
-      // covers statements committing between whole syncs.
-      (dstW + 1 to srcW).foreach { b =>
+    var mergesReplayed = 0
+    // ONE provenance-pruned scan per batch, nothing materialized:
+    // [[BatchCol]] is in every unit's statistics, so an incremental
+    // sync opens only the source's tail units and a bootstrap never
+    // checkpoints table-sized state to executor storage (the 100 TB
+    // constraint; the cost ceiling is re-reading a folded generation
+    // once per batch it spans — bounded by the fold width, and only
+    // during bootstrap). Each slice read is individually exact (the
+    // publish-point rule); a source statement COMMITTING between two
+    // slice jobs can leave early slices pre-statement and late ones
+    // post-statement, and the replay step below is what makes every
+    // such interleaving converge — the same argument that already
+    // covers statements committing between whole syncs.
+    //
+    // A ledger id that was a MERGE replays as the merge itself
+    // (mergeRows on the replica from the recorded key + updates
+    // snapshot, under the SOURCE id) — the append alone would leave
+    // the replica's matched old versions alive forever. Exact at this
+    // position because the record's `upto` (the claim-instant
+    // watermark) must equal id-1: every batch the source merge's
+    // removal pass saw is already on the replica, and batches the
+    // source ingested after are not yet (a merge claimed over a GAP is
+    // refused — its removal listing and the replica's prefix cannot be
+    // aligned). A batch id carrying a merge intent or record WITHOUT
+    // its commit marker is an IN-FLIGHT (or owed-replay) merge: the
+    // pull holds at id-1 until the source completes it — the same
+    // replay-the-owed-op discipline the source itself runs under.
+    var b = dstW + 1
+    var stalled = false
+    while (b <= srcW && !stalled) {
+      if (committedMerges(b) && !dstFresh) {
+        val r = mergeRec(b)
+        require(r.upto == b - 1,
+          s"replicate: source merge-$b was claimed over a " +
+            s"non-contiguous ledger (watermark was ${r.upto}) — its " +
+            "removal pass cannot be aligned with a batch-prefix " +
+            "replica; rebuild the replica from a full read")
+        val updates = spark.read.parquet(
+          s"$srcDir/markers/mrg-$b.updates")
+        if (mergeRows(spark, dstDir, r.sets.head._1, updates, b,
+            filesPerBatch))
+          mergesReplayed += 1
+      } else if (!committedMerges(b) &&
+          (mergeIntents(b) || mergeRec.contains(b))) {
+        stalled = true
+      } else {
         val slice = provenanceScan(spark, srcDir, b, b)
           .drop(KeyCol, BatchCol)
         LedgerLock.withLockWait(spark, dstDir, lockWaitMs) {
@@ -1434,6 +1491,19 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           compactMarkersLocked(spark, dstDir)
         }
       }
+      if (!stalled) b += 1
+    }
+    // A STALLED pull skips the statement replay entirely: the replay
+    // arguments below lean on "every committed merge <= the position
+    // reached is applied before any statement replays" — replaying a
+    // statement past an unapplied merge could order it before a merge
+    // it followed on the source. The held-back work lands on the next
+    // sync, after the source completes its owed merge.
+    if (stalled) {
+      logWarning(s"LayoutIngest.replicate: pull held at batch $b — " +
+        s"the source has an in-flight (or owed-replay) merge there; " +
+        "statement replay deferred to the next sync")
+      return ReplicateStats(pulled, 0, 0, mergesReplayed)
     }
     // replay (or bootstrap-stamp) the source statements, in the
     // recorded global order
@@ -1450,6 +1520,19 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           Nil)((d, hit) => d.filter(!hit)): Unit
       } else {
         val assigned = r.sets.map(_._1.toLowerCase).toSet
+        // an assigned column the replica has never seen (schema
+        // evolution via a still-gapped source batch) must refuse, not
+        // silently no-op the projection — the sync retries after the
+        // gap commits and the evolving batch arrives
+        val known = tableSchema(spark, dstDir)
+          .map(_.fieldNames.toSet).getOrElse(Set.empty)
+        r.sets.foreach { case (c, _) =>
+          require(dstFresh || known.isEmpty || known(c),
+            s"replicate: source update seq ${r.seq} assigns '$c', a " +
+              "column this replica has not seen yet (schema evolution " +
+              "above a source ledger gap) — re-sync after the gap " +
+              "commits")
+        }
         val sets = r.sets.map { case (c, sql) =>
           val e = org.apache.spark.sql.graftbridge.ColumnBridge
             .catalystExpr(org.apache.spark.sql.functions.expr(sql))
@@ -1457,7 +1540,10 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
             case u: org.apache.spark.sql.catalyst.analysis
               .UnresolvedAttribute => u.nameParts.last.toLowerCase
           }
-          require(refs.toSet.intersect(assigned).isEmpty,
+          // a BOOTSTRAP stamp (empty scope) never evaluates the
+          // assignment, so even a self-referential statement is safe
+          // to mark applied — its effects are in every pulled byte
+          require(dstFresh || refs.toSet.intersect(assigned).isEmpty,
             s"replicate: source update seq ${r.seq} assigns '$c' " +
               s"from '$sql', which reads an assigned column — " +
               "self-referential assignments cannot replay exactly " +
@@ -1478,7 +1564,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       }
       if (dstFresh) stamped += 1 else replayed += 1
     }
-    ReplicateStats(pulled, replayed, stamped)
+    ReplicateStats(pulled, replayed, stamped, mergesReplayed)
   }
 
   /** [[mergeRows]] under the NEXT UNUSED ledger id — the body behind
@@ -1694,7 +1780,23 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
               s"mergeRows: batch id $batchId is reserved by a live " +
                 "stream transaction — its owed replay would collide; " +
                 "use the next unused ingest id")
-          f.create(intent, true).close()
+          // the intent CARRIES the contiguous watermark at the claim
+          // instant (guaranteed <= batchId - 1: the guard just proved
+          // batch-<batchId> is unminted) — the provenance scope a
+          // REPLICA replays this merge under. Written whole + renamed
+          // so an existing intent always parses; a crashed attempt's
+          // replay must not recompute it (its own appended batch
+          // marker would fake a tighter prefix than the merge saw).
+          val itmp = new org.apache.hadoop.fs.Path(markers,
+            s"merge-$batchId.intent.tmp")
+          if (f.exists(itmp)) f.delete(itmp, false)
+          val iout = f.create(itmp, true)
+          try iout.write(contiguousCommittedBatch(spark, dir)
+            .toString.getBytes("UTF-8"))
+          finally iout.close()
+          if (!f.rename(itmp, intent))
+            throw new IllegalStateException(
+              s"mergeRows: intent publish failed for merge-$batchId")
         }
         if (nKeys > 0)
           ingestBatch(snap, batchId, dir, filesPerBatch): Unit
@@ -1704,6 +1806,13 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           f.create(new org.apache.hadoop.fs.Path(markers,
             s"batch-$batchId"), true).close()
       }
+      // durable REPLAY INPUT for replicas ([[replicate]]): the exact
+      // updates snapshot, written before any removal rewrite — the
+      // commit marker below is the barrier that makes it load-bearing
+      // (bounded by MaxMergeKeys; the price of a merge that replicas
+      // can replay, the same trade the DML records make)
+      snap.write.mode("overwrite").parquet(
+        s"$dir/markers/mrg-$batchId.updates")
       if (nKeys > 0) {
         val (_, data) = DedupIngest.fs(spark, s"$dir/data")
         val units = if (!f.exists(data)) Nil else leafUnits(f, data)
@@ -1773,6 +1882,38 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           finally out.close()
           recoverCompact(spark, dir)
         }
+      }
+      // the merge's statement RECORD (kind `mrg`), minted in COMMIT
+      // order from the same global seq as the DML records (merges and
+      // box DML are all serialized by the maintenance lock, so seq is
+      // the exact statement order a replica must apply): `upto` comes
+      // from the intent (the claim-instant watermark), `sets` carries
+      // the merge key by convention. upto = -2 marks a pre-format
+      // (empty) intent — recorded but refused at replay.
+      val recordPath = new org.apache.hadoop.fs.Path(markers,
+        s"mrg-$batchId")
+      // a crash between the record rename and the marker create leaves
+      // the record standing — the REPLAY must keep it: its seq is the
+      // position the merge's effects actually committed at (statements
+      // landing between the crash and the replay minted later seqs,
+      // and a re-mint here would tell replicas the wrong order)
+      if (!f.exists(recordPath)) {
+        val uptoRec = readMarkerLines(f, intent).headOption
+          .flatMap(l => scala.util.Try(l.trim.toLong).toOption)
+          .getOrElse(-2L)
+        val seqRec = dmlRecords(spark, dir).map(_.seq)
+          .foldLeft(-1L)(math.max) + 1L
+        val rtmp = new org.apache.hadoop.fs.Path(markers,
+          s"mrg-$batchId.tmp")
+        if (f.exists(rtmp)) f.delete(rtmp, false)
+        val rout = f.create(rtmp, true)
+        try rout.write(DmlRecord.serialize(DmlRecord("mrg", batchId,
+          seqRec, uptoRec, Nil, Seq((keyCol, "merge-key")), None))
+          .getBytes("UTF-8"))
+        finally rout.close()
+        if (!f.rename(rtmp, recordPath))
+          throw new IllegalStateException(
+            s"mergeRows: record publish failed for mrg-$batchId")
       }
       f.create(marker, true).close()
       f.delete(intent, false): Unit

@@ -269,20 +269,95 @@ class DmlReplicationSpec extends SparkSpec {
         "middle replica's recorded replays")
   }
 
-  test("replicate refuses, typed: merge ledgers, self-referential " +
+  test("a MERGE on the source REPLAYS on the replica at its exact " +
+      "ledger position: matched old versions go, inserts land, " +
+      "interleaved statements keep source order") {
+    val src = freshTable("repl-merge-src")
+    val dst = src.stripSuffix("/t") + "/r"
+    LayoutIngest.replicate(spark, src, dst): Unit
+    // the replica holds pre-merge rows; the source corrects 3 keys
+    // (one per unit boundary side) and inserts a new one, then a
+    // LATER statement redacts a slice covering a merged row
+    val updates = Seq((5L, 5L, 111L), (60L, 60L, 222L),
+      (150L, 7L, 333L)).toDF("a", "b", "v")
+    val mid = LayoutIngest.mergeRowsNext(spark, src, "a", updates)
+    LayoutIngest.updateBoxesNext(spark, src,
+      Seq(Seq(("b", 0L, 10L))), Seq("v" -> lit(-1L))): Unit
+    val st = LayoutIngest.replicate(spark, src, dst)
+    assert(st.mergesReplayed === 1 && st.dmlReplayed === 1,
+      s"one merge + one update must replay: $st")
+    assert(snap(dst) === snap(src),
+      "the replica must converge through the merge replay: old " +
+        "versions removed, insert landed, the later redaction " +
+        "applied over the merged value")
+    // the merged-then-redacted row proves the seq ORDER: merge set
+    // v=111 (b=5 in the redaction box), the update then nulled it
+    assert(LayoutIngest.read(spark, dst).filter(col("a") === 5L)
+      .select("v").as[Long].head() === -1L)
+    // exactly-once across re-syncs (the replica's own merge marker)
+    assert(LayoutIngest.replicate(spark, src, dst) ===
+      LayoutIngest.ReplicateStats(0, 0, 0, 0))
+    mid: Unit
+  }
+
+  test("a merge committed BEFORE the replica existed pulls as a " +
+      "plain batch (bootstrap never re-runs removals); an IN-FLIGHT " +
+      "merge holds the pull; a gap-claimed merge refuses") {
+    // bootstrap-after-merge: plain pull, zero merge replays
+    val srcB = freshTable("repl-merge-boot")
+    LayoutIngest.mergeRowsNext(spark, srcB, "a",
+      Seq((5L, 5L, 111L), (150L, 7L, 333L)).toDF("a", "b", "v")): Unit
+    val dstB = srcB.stripSuffix("/t") + "/rb"
+    val stB = LayoutIngest.replicate(spark, srcB, dstB)
+    assert(stB.mergesReplayed === 0 && stB.batchesPulled === 3,
+      s"bootstrap pulls a committed merge as a plain batch: $stB")
+    assert(snap(dstB) === snap(srcB))
+    // in-flight merge: fake the crash window (record + batch marker,
+    // commit marker gone, intent restored) — the pull must HOLD and
+    // defer statement replay; the source's owed replay then completes
+    // it and the next sync converges
+    val srcS = freshTable("repl-merge-stall")
+    val dstS = srcS.stripSuffix("/t") + "/rs"
+    LayoutIngest.replicate(spark, srcS, dstS): Unit
+    val ups = Seq((7L, 7L, 444L)).toDF("a", "b", "v")
+    val mid = LayoutIngest.mergeRowsNext(spark, srcS, "a", ups)
+    LayoutIngest.deleteBoxNext(spark, srcS, Seq(("b", 90L, 99L))): Unit
+    val mk = new java.io.File(s"$srcS/markers/merge-$mid")
+    assert(mk.exists() && mk.delete())
+    java.nio.file.Files.write(
+      new java.io.File(s"$srcS/markers/merge-$mid.intent").toPath,
+      (mid - 1).toString.getBytes("UTF-8"))
+    val held = LayoutIngest.replicate(spark, srcS, dstS)
+    assert(held === LayoutIngest.ReplicateStats(0, 0, 0, 0),
+      s"an in-flight merge must hold the pull AND the replay: $held")
+    assert(LayoutIngest.mergeRows(spark, srcS, "a", ups, mid),
+      "the source's owed replay must complete the merge")
+    val after = LayoutIngest.replicate(spark, srcS, dstS)
+    assert(after.mergesReplayed === 1 && after.dmlReplayed === 1)
+    assert(snap(dstS) === snap(srcS))
+    // gap-claimed merge: id minted while the ledger had a hole —
+    // refused typed once the gap fills and the replica reaches it
+    val srcG = freshTable("repl-merge-gap")
+    val dstG = srcG.stripSuffix("/t") + "/rg"
+    LayoutIngest.replicate(spark, srcG, dstG): Unit
+    LayoutIngest.ingestBatch((0L to 3L).map(i => (i, i, 1L))
+      .toDF("a", "b", "v"), 3L, srcG, 1): Unit // hole at 2
+    LayoutIngest.mergeRows(spark, srcG, "a",
+      Seq((5L, 5L, 555L)).toDF("a", "b", "v"), batchId = 4L): Unit
+    LayoutIngest.ingestBatch((4L to 6L).map(i => (i, i, 2L))
+      .toDF("a", "b", "v"), 2L, srcG, 1): Unit // gap fills
+    val e = intercept[IllegalArgumentException](
+      LayoutIngest.replicate(spark, srcG, dstG))
+    assert(e.getMessage.contains("non-contiguous"))
+  }
+
+  test("replicate refuses, typed: self-referential " +
       "assignments, pre-record markers") {
     def refuses(f: => Any, needle: String): Unit = {
       val e = intercept[Exception](f)
       assert(Option(e.getMessage).exists(_.contains(needle)),
         s"wanted '$needle', got: ${e.getMessage}")
     }
-    // a source that MERGEd: matched rows were replaced in place —
-    // not replicable from the ledger
-    val srcM = freshTable("repl-ref-merge")
-    LayoutIngest.mergeRows(spark, srcM, "a",
-      Seq((5L, 5L, 123L)).toDF("a", "b", "v"), batchId = 2L): Unit
-    refuses(LayoutIngest.replicate(spark, srcM,
-      srcM.stripSuffix("/t") + "/r"), "MERGE ops")
     // a self-referential update CANNOT replay exactly under
     // at-least-once replication — refused at replay, typed
     val srcS = freshTable("repl-ref-self")
