@@ -599,8 +599,12 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     *  4. the marker ledger fold ([[compactMarkersLocked]], inside the
     *     same tail section);
     *  5. the DML marker fold ([[foldDmlMarkers]]): the permanent
-    *     `del-*`/`upd-*`/`sdml-*` statement records consolidate into
-    *     one `dml-log` file — facts kept exactly, listing bounded.
+    *     `del-*`/`upd-*`/`sdml-*`/`mrg-*` statement records — and the
+    *     `merge-<id>` commit markers of the folded merges —
+    *     consolidate into one `dml-log` file: facts kept exactly,
+    *     every per-statement listing entry bounded (the replay
+    *     snapshots `mrg-<id>.updates` stay until
+    *     [[dropMergeSnapshots]] retention).
     *
     * Holds the MAINTENANCE lock throughout (vacuum is a rewriter-class
     * op: manifests name sources, and two recoverers must not race)
@@ -886,7 +890,11 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     val logs = f.listStatus(markers).toSeq
       .filter(_.getPath.getName.matches("dml-log-\\d+"))
     logs.flatMap { s =>
-      val lines = readMarkerLines(f, s.getPath)
+      // lock-free readers (history, records) can race a fold's
+      // old-log delete — the superseding log carries every record
+      val lines =
+        try readMarkerLines(f, s.getPath)
+        catch { case _: java.io.FileNotFoundException => Nil }
       // split on record headers; each group parses independently
       val groups = scala.collection.mutable.Buffer
         .empty[scala.collection.mutable.Buffer[String]]
@@ -927,14 +935,37 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
     if (!f.exists(markers)) return 0
     val names = f.listStatus(markers).toSeq.map(_.getPath.getName)
+    val nameSet = names.toSet
+    // an mrg record whose COMMIT marker is still absent is in-flight
+    // state (the crash window between record and marker): it must stay
+    // a live file — the owed replay's record-exists check reads it,
+    // and folding it would let that replay re-mint a misordered seq
     val liveNames = names.filter(n =>
-      DmlKinds.exists(k => n.matches(s"$k-\\d+")))
+      DmlKinds.exists(k => n.matches(s"$k-\\d+")) &&
+        !(n.startsWith("mrg-") &&
+          !nameSet(s"merge-${n.stripPrefix("mrg-")}")))
     if (liveNames.isEmpty) return 0
-    val all = dmlRecords(spark, dir).map(r =>
-      // pin the commit time into the folded record — after the marker
-      // is gone the record is the only witness
-      if (r.atMs.isDefined) r
-      else r.copy(atMs = Some(System.currentTimeMillis())))
+    val byName = f.listStatus(markers).toSeq
+      .map(s => s.getPath.getName -> s).toMap
+    val all = dmlRecords(spark, dir)
+      // same rule for the log side: an uncommitted mrg record never
+      // enters the log — so a FOLDED mrg record always means
+      // COMMITTED, which is what lets the merge-<id> commit marker
+      // itself retire below (the ledger-id occupation survives via
+      // the merge's own batch marker / watermark)
+      .filter(r => r.kind != "mrg" || !nameSet(s"mrg-${r.id}") ||
+        nameSet(s"merge-${r.id}"))
+      .map { r =>
+        // pin the commit time into the folded record — after the
+        // marker is gone the record is the only witness. A merge's
+        // history row shows the COMMIT marker's mtime, so that is
+        // what its record must carry.
+        if (r.kind == "mrg" && nameSet(s"mrg-${r.id}"))
+          r.copy(atMs = byName.get(s"merge-${r.id}")
+            .map(_.getModificationTime).orElse(r.atMs))
+        else if (r.atMs.isDefined) r
+        else r.copy(atMs = Some(System.currentTimeMillis()))
+      }
     val oldLogs = names.filter(_.matches("dml-log-\\d+"))
     val k = oldLogs.map(_.stripPrefix("dml-log-").toLong)
       .foldLeft(-1L)(math.max) + 1L
@@ -948,11 +979,18 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     if (!f.rename(tmp, log))
       throw new IllegalStateException(
         s"LayoutIngest: dml-log publish failed for $dir")
-    liveNames.foreach(n =>
+    // the COMMIT markers of folded merges retire with their records:
+    // the folded mrg record is the committed-proof, the batch marker /
+    // watermark keeps the ledger id occupied, and history reads the
+    // record — the merge namespace stops growing per statement
+    val mergeMarkers = liveNames.filter(_.startsWith("mrg-"))
+      .map(n => s"merge-${n.stripPrefix("mrg-")}")
+      .filter(nameSet)
+    (liveNames ++ mergeMarkers).foreach(n =>
       f.delete(new org.apache.hadoop.fs.Path(markers, n), false): Unit)
     oldLogs.foreach(n =>
       f.delete(new org.apache.hadoop.fs.Path(markers, n), false): Unit)
-    liveNames.size
+    liveNames.size + mergeMarkers.size
   }
 
   /** The [[foldDmlMarkers]] class-5 sweep on its own (the DML
@@ -1419,8 +1457,14 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     }
     val mergeRec = srcRecords.filter(_.kind == "mrg")
       .map(r => r.id -> r).toMap
-    val committedMerges = srcNames.filter(_.matches("merge-\\d+"))
-      .map(_.stripPrefix("merge-").toLong).toSet
+    // committed = live commit marker OR a folded mrg record (only
+    // committed merges fold); a LIVE record without its marker is the
+    // in-flight crash window — the stall case, never committed
+    val srcNameSet = srcNames.toSet
+    val committedMerges = (srcNames.filter(_.matches("merge-\\d+"))
+      .map(_.stripPrefix("merge-").toLong) ++
+      srcRecords.filter(r => r.kind == "mrg" &&
+        !srcNameSet(s"mrg-${r.id}")).map(_.id)).toSet
     committedMerges.find(id => !mergeRec.contains(id) ||
         mergeRec(id).seq < 0).foreach { id =>
       throw new IllegalArgumentException(
@@ -1474,8 +1518,14 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
             s"non-contiguous ledger (watermark was ${r.upto}) — its " +
             "removal pass cannot be aligned with a batch-prefix " +
             "replica; rebuild the replica from a full read")
-        val updates = spark.read.parquet(
+        val snapPath = new org.apache.hadoop.fs.Path(
           s"$srcDir/markers/mrg-$b.updates")
+        require(sf.exists(snapPath),
+          s"replicate: merge-$b's updates snapshot was dropped by " +
+            "retention (dropMergeSnapshots) — this replica's cursor " +
+            "predates the retention window; rebuild it (a fresh " +
+            "bootstrap needs no snapshots)")
+        val updates = spark.read.parquet(snapPath.toString)
         if (mergeRows(spark, dstDir, r.sets.head._1, updates, b,
             filesPerBatch))
           mergesReplayed += 1
@@ -1566,6 +1616,30 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     }
     ReplicateStats(pulled, replayed, stamped, mergesReplayed)
   }
+
+  /** RETENTION for the merge replay snapshots: drop the
+    * `markers/mrg-<id>.updates` frames for merge ids <= `uptoBatch` —
+    * the knob that keeps a merge-heavy table's replay state bounded
+    * (every CDC system's retention trade: Kafka ages out segments the
+    * same way). The statement RECORDS (`mrg-<id>`) and idempotence
+    * markers are NOT touched — history, minting and in-flight
+    * detection stay exact. A replica whose cursor still predates a
+    * dropped snapshot can no longer sync incrementally
+    * ([[replicate]] refuses typed at that merge); rebuild it — a
+    * FRESH bootstrap never reads snapshots. Returns how many
+    * snapshots dropped. */
+  def dropMergeSnapshots(spark: SparkSession, dir: String,
+      uptoBatch: Long): Int =
+    withMaintLock(spark, dir) {
+      val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+      if (!f.exists(markers)) 0
+      else f.listStatus(markers).toSeq.map(_.getPath.getName)
+        .filter(_.matches("mrg-\\d+\\.updates"))
+        .filter(_.stripPrefix("mrg-").stripSuffix(".updates")
+          .toLong <= uptoBatch)
+        .count(n => f.delete(
+          new org.apache.hadoop.fs.Path(markers, n), true))
+    }
 
   /** [[mergeRows]] under the NEXT UNUSED ledger id — the body behind
     * SQL `MERGE INTO` on the relation. Mint-then-merge with a bounded
@@ -1712,8 +1786,11 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       filesPerBatch: Int = 4, tailWaitMs: Long = 5000L): Boolean = {
     val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
     val marker = new org.apache.hadoop.fs.Path(markers, s"merge-$batchId")
-    if (f.exists(marker)) {
-      // lock-free early exit (markers are create-only): retire a stale
+    if (f.exists(marker) || dmlLogEntries(spark, dir)
+        .exists(r => r.kind == "mrg" && r.id == batchId)) {
+      // lock-free early exit (markers are create-only, and a FOLDED
+      // mrg record in the dml-log is the same committed-proof — only
+      // committed merges fold): retire a stale
       // intent (a crash between the commit marker and the intent
       // delete) so history() and the ledger stay clean
       f.delete(new org.apache.hadoop.fs.Path(markers,
@@ -2937,13 +3014,27 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         val dels = dmlKind("del", "delete")
         val upds = dmlKind("upd", "update")
         val replays = dmlKind("sdml", "replay")
-        val merges = names.toSeq.filter(_.matches("merge-\\d+"))
-          .map(_.stripPrefix("merge-").toLong).sorted
-          .map(i => ("merge", i, true,
-            Some(byName(s"merge-$i").getModificationTime)))
+        // committed merges come from live commit markers AND folded
+        // mrg records (a record in the dml-log is committed by the
+        // fold rule; a LIVE mrg record without its marker is the
+        // in-flight crash window — not committed). Legacy merges
+        // (pre-record format) have only the marker.
+        val recMerges = dml.filter(_.kind == "mrg")
+          .filter(r => names(s"merge-${r.id}") || !names(s"mrg-${r.id}"))
+          .map(r => (r.id, byName.get(s"merge-${r.id}")
+            .map(_.getModificationTime).orElse(r.atMs)))
+        val recIds = recMerges.map(_._1).toSet
+        val legacyMerges = names.toSeq.filter(_.matches("merge-\\d+"))
+          .map(_.stripPrefix("merge-").toLong)
+          .filterNot(recIds)
+          .map(i => (i, Some(byName(s"merge-$i").getModificationTime)
+            : Option[Long]))
+        val committedMergeIds = recIds ++ legacyMerges.map(_._1)
+        val merges = (recMerges ++ legacyMerges).sortBy(_._1)
+          .map { case (i, at) => ("merge", i, true, at) }
         val intents = names.toSeq.filter(_.matches("merge-\\d+\\.intent"))
           .map(_.stripPrefix("merge-").stripSuffix(".intent").toLong)
-          .filterNot(i => names(s"merge-$i")).sorted
+          .filterNot(committedMergeIds).sorted
           .map(i => ("merge", i, false,
             Some(byName(s"merge-$i.intent").getModificationTime)))
         folded ++ tail ++ dels ++ upds ++ replays ++ merges ++ intents

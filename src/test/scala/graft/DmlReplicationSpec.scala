@@ -351,6 +351,63 @@ class DmlReplicationSpec extends SparkSpec {
     assert(e.getMessage.contains("non-contiguous"))
   }
 
+  test("a committed merge's markers FOLD with its record: history " +
+      "identical, explicit-id replay still no-ops, a replica still " +
+      "replays it from the log") {
+    val src = freshTable("repl-merge-fold")
+    val dst = src.stripSuffix("/t") + "/r"
+    LayoutIngest.replicate(spark, src, dst): Unit // pre-merge cursor
+    val ups = Seq((5L, 5L, 111L), (150L, 7L, 333L)).toDF("a", "b", "v")
+    val mid = LayoutIngest.mergeRowsNext(spark, src, "a", ups)
+    val before = LayoutIngest.history(spark, src)
+      .select("kind", "id", "committed", "at_ms")
+      .collect().map(_.toSeq).toSet
+    // one statement record + the merge commit marker retire together
+    assert(LayoutIngest.compactDmlMarkers(spark, src) === 2)
+    val names = new java.io.File(s"$src/markers").list().toSet
+    assert(!names(s"merge-$mid") && !names(s"mrg-$mid") &&
+      names.count(_.startsWith("dml-log-")) === 1,
+      s"merge markers must fold into the log: $names")
+    assert(LayoutIngest.history(spark, src)
+      .select("kind", "id", "committed", "at_ms")
+      .collect().map(_.toSeq).toSet === before,
+      "history must present a folded merge exactly as before " +
+        "(commit-marker mtime pinned into the record)")
+    assert(!LayoutIngest.mergeRows(spark, src, "a", ups, mid),
+      "a folded merge id must stay a replay no-op")
+    // the replica replays the folded merge from the log record
+    val st = LayoutIngest.replicate(spark, src, dst)
+    assert(st.mergesReplayed === 1 && snap(dst) === snap(src))
+  }
+
+  test("merge-snapshot RETENTION: dropMergeSnapshots bounds the " +
+      "replay state; a lagging replica refuses typed, a fresh " +
+      "bootstrap still works, records and minting stay exact") {
+    val src = freshTable("repl-merge-ret")
+    val lag = src.stripSuffix("/t") + "/lag"
+    LayoutIngest.replicate(spark, src, lag): Unit // lagging cursor = 1
+    val mid = LayoutIngest.mergeRowsNext(spark, src, "a",
+      Seq((5L, 5L, 111L), (150L, 7L, 333L)).toDF("a", "b", "v"))
+    assert(LayoutIngest.dropMergeSnapshots(spark, src, mid) === 1)
+    assert(!new java.io.File(
+      s"$src/markers/mrg-$mid.updates").exists())
+    // the lagging replica needs the dropped snapshot — typed refusal
+    val e = intercept[IllegalArgumentException](
+      LayoutIngest.replicate(spark, src, lag))
+    assert(e.getMessage.contains("retention"))
+    // a FRESH bootstrap pulls the merge as a plain batch — no snapshot
+    val boot = src.stripSuffix("/t") + "/boot"
+    val st = LayoutIngest.replicate(spark, src, boot)
+    assert(st.batchesPulled === 3 && st.mergesReplayed === 0)
+    assert(snap(boot) === snap(src))
+    // the record and idempotence marker survive: history still shows
+    // the merge, a replayed id still no-ops, minting scans past it
+    assert(LayoutIngest.history(spark, src)
+      .filter(col("kind") === "merge").count() === 1)
+    assert(!LayoutIngest.mergeRows(spark, src, "a",
+      Seq((5L, 5L, 111L)).toDF("a", "b", "v"), mid))
+  }
+
   test("replicate refuses, typed: self-referential " +
       "assignments, pre-record markers") {
     def refuses(f: => Any, needle: String): Unit = {
