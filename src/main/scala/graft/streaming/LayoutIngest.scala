@@ -982,9 +982,12 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     // the COMMIT markers of folded merges retire with their records:
     // the folded mrg record is the committed-proof, the batch marker /
     // watermark keeps the ledger id occupied, and history reads the
-    // record — the merge namespace stops growing per statement
-    val mergeMarkers = liveNames.filter(_.startsWith("mrg-"))
-      .map(n => s"merge-${n.stripPrefix("mrg-")}")
+    // record — the merge namespace stops growing per statement. Swept
+    // from the NEW log's mrg ids (not just this round's live records):
+    // a crash between a previous fold's record delete and marker
+    // delete leaves a marker whose record is already folded.
+    val mergeMarkers = all.filter(_.kind == "mrg")
+      .map(r => s"merge-${r.id}")
       .filter(nameSet)
     (liveNames ++ mergeMarkers).foreach(n =>
       f.delete(new org.apache.hadoop.fs.Path(markers, n), false): Unit)
@@ -1435,7 +1438,11 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * whatever the cadence allows (the standard async-replica
     * contract); after a sync that returns without holding, every
     * source batch <= the source watermark observed at entry and every
-    * source statement recorded before it are applied. */
+    * source statement recorded before it are applied. The replica
+    * must not take LOCAL writes: its batch ledger mirrors the
+    * source's, so a locally-minted id would shadow the source batch
+    * with that id and the pull would silently skip it (read replicas
+    * are read-only — the contract every replication system shares). */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,
       filesPerBatch: Int = 4, lockWaitMs: Long = 30000L)
       : ReplicateStats = {
@@ -1526,6 +1533,9 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
             "predates the retention window; rebuild it (a fresh " +
             "bootstrap needs no snapshots)")
         val updates = spark.read.parquet(snapPath.toString)
+        require(r.sets.nonEmpty,
+          s"replicate: merge-$b's record carries no merge key — " +
+            "corrupted record; rebuild the replica from a full read")
         if (mergeRows(spark, dstDir, r.sets.head._1, updates, b,
             filesPerBatch))
           mergesReplayed += 1
@@ -2501,7 +2511,11 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * generations the rest has been folded into. Rows REMOVED since the
     * checkpoint are not reported (this is an append-log view, not a
     * diff; [[deleteBox]] is the deliberate exception — right-to-be-
-    * forgotten must not re-surface rows anywhere, including here). */
+    * forgotten must not re-surface rows anywhere, including here).
+    * A downstream TABLE built from this view keeps rows the source
+    * later deletes or redacts — use [[replicate]] for a replica that
+    * converges through deletions, redactions and merges (it replays
+    * the recorded statements, not just the append log). */
   def readSince(spark: SparkSession, dir: String,
       afterBatch: Long): DataFrame = {
     require(afterBatch >= -1L && afterBatch < Long.MaxValue,
