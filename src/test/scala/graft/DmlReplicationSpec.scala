@@ -435,6 +435,55 @@ class DmlReplicationSpec extends SparkSpec {
       "predates")
   }
 
+  test("replication TORTURE: seeded random interleavings of appends, " +
+      "deletes, redactions, merges and mid-stream syncs all converge") {
+    (0 until 5).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val src = freshTable(s"repl-torture-$seed", 0 to 79)
+      val dst = src.stripSuffix("/t") + "/r"
+      var nextKey = 200L
+      def randBox() = {
+        val lo = rnd.nextInt(90).toLong
+        Seq(Seq(("b", lo, lo + 2 + rnd.nextInt(20))))
+      }
+      // start some runs mid-history so the replica holds pre-statement
+      // bytes for later ops
+      if (rnd.nextBoolean()) LayoutIngest.replicate(spark, src, dst): Unit
+      (0 until 10).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 =>
+            val base = nextKey
+            nextKey += 5
+            LayoutIngest.appendNext(spark, src,
+              (base until base + 5).map(i => (i, i % 100, i))
+                .toDF("a", "b", "v"), filesPerBatch = 1): Unit
+          case 1 =>
+            LayoutIngest.deleteBoxesNext(spark, src, randBox()): Unit
+          case 2 =>
+            // idempotent-safe redaction (reads no assigned column)
+            LayoutIngest.updateBoxesNext(spark, src, randBox(),
+              Seq("v" -> lit(rnd.nextInt(1000).toLong))): Unit
+          case 3 =>
+            // some existing keys (replace), some fresh (insert)
+            val hit = rnd.nextInt(80).toLong
+            val fresh = { nextKey += 1; nextKey - 1 }
+            LayoutIngest.mergeRowsNext(spark, src, "a",
+              Seq((hit, hit, 9999L), (fresh, fresh % 100, 8888L))
+                .toDF("a", "b", "v")): Unit
+          case 4 =>
+            LayoutIngest.replicate(spark, src, dst): Unit
+        }
+      }
+      LayoutIngest.replicate(spark, src, dst): Unit
+      assert(LayoutIngest.replicate(spark, src, dst) ===
+        LayoutIngest.ReplicateStats(0, 0, 0, 0),
+        s"seed $seed: a second sync after convergence must be empty")
+      assert(snap(dst) === snap(src),
+        s"seed $seed: replica must converge to the source through " +
+          "the random statement interleaving")
+    }
+  }
+
   test("updateBoxes on a SCHEMA-LESS table refuses an unknown " +
       "column typed (no silent projection no-op)") {
     val t = freshTable("updnoschema")
