@@ -15,6 +15,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
 private[graft] object LayoutScanStats {
   @volatile var lastUnitsRead: Int = -1
   @volatile var lastUnitsLive: Int = -1
+  /** Columns the last scan materialized (Catalyst's pushed
+    * `requiredColumns`) — what lets a spec assert column PRUNING
+    * reached the V1 scan (e.g. the one-sided MERGE's target-key read
+    * must touch only the key, never payload). */
+  @volatile var lastColumnsRead: Seq[String] = Nil
 }
 
 /** The clustered table as a BATCH relation — the SQL-surface twin of
@@ -194,6 +199,7 @@ private[graft] class LayoutTableRelation(
       box, pts.toSeq.sortBy(_._1), batchLo, batchHi, keepBatch)
     LayoutScanStats.lastUnitsRead = read
     LayoutScanStats.lastUnitsLive = live
+    LayoutScanStats.lastColumnsRead = requiredColumns.toSeq
     val projected =
       if (requiredColumns.isEmpty) df.select()
       else df.select(requiredColumns.toIndexedSeq.map(col): _*)

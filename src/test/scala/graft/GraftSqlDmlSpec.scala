@@ -329,6 +329,13 @@ class GraftSqlDmlSpec extends SparkSpec {
       WHEN NOT MATCHED THEN INSERT (a, b, s)
         VALUES (soss_src.a, soss_src.b, soss_src.s)""",
       Seq(48L, 50L, 51L, 52L, 53L))
+    // the split's target-key read is COLUMN-PRUNED to the merge key:
+    // the last relation scan (the key-membership join's build side —
+    // mergeRows' own unit reads bypass the relation) must have pushed
+    // requiredColumns = [a], never payload
+    assert(graft.streaming.LayoutScanStats.lastColumnsRead === Seq("a"),
+      "the one-sided split must scan ONLY the target's key column, " +
+        s"got ${graft.streaming.LayoutScanStats.lastColumnsRead}")
     // WHEN NOT MATCHED AND c alone: gate inserts only; every matched
     // row updates (52 passes c; 51,53 fail -> never inserted)
     run("nm", t => s"""MERGE INTO $t USING soss_src
