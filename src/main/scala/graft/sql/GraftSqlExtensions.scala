@@ -132,47 +132,44 @@ private[graft] object GraftTvf {
     * pruner's column ranges). */
   val describe = one("graft_describe", LayoutIngest.describe)
 
-  /** `SELECT * FROM graft_replicate('<src>', '<dst>')` — runs ONE
-    * replica sync ([[LayoutIngest.replicate]]: pull the committed
-    * batch prefix, replay recorded DML statements) and returns its
+  /** `SELECT * FROM graft_replicate('<src>', '<dst>')` — ONE replica
+    * sync ([[LayoutIngest.replicate]]: pull the committed batch
+    * prefix, replay recorded DML statements), returning its
     * [[LayoutIngest.ReplicateStats]] as one row — the async-replica
-    * cadence verb as SQL, same acting-statement caveat as
-    * [[vacuum]]. */
+    * cadence verb as SQL. Resolves to a RUNNABLE COMMAND
+    * ([[GraftReplicateCommand]]), so the sync runs when the statement
+    * EXECUTES — EXPLAIN, view expansion, and plan re-analysis never
+    * act (the DML commands' discipline; both acting TVFs share it). */
   val replicate = (
     FunctionIdentifier("graft_replicate"),
     new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
       GraftTvf.getClass.getName, "graft_replicate"),
     (args: Seq[Expression]) => args match {
       case Seq(Str(src), Str(dst)) =>
-        val spark = SparkSession.active
-        val st = LayoutIngest.replicate(spark, src, dst)
-        import spark.implicits._
-        ColumnBridge.analyzedPlan(Seq((st.batchesPulled,
-            st.dmlReplayed, st.dmlSkippedAsBootstrap,
-            st.mergesReplayed))
-          .toDF("batches_pulled", "dml_replayed",
-            "dml_skipped_as_bootstrap", "merges_replayed"))
+        GraftReplicateCommand(src, dst): LogicalPlan
       case _ => throw new IllegalArgumentException(
         "graft_replicate expects two string literals: " +
           "('<source dir>', '<replica dir>')")
     })
 
-  /** `SELECT * FROM graft_vacuum('<dir>')` — RUNS the retention sweep
-    * ([[LayoutIngest.vacuum]]) and returns its [[LayoutIngest
-    * .VacuumStats]] as one row: ops parity for the one maintenance
-    * verb that was Scala-only (the other TVFs read metadata; this one
-    * acts, like every engine's `VACUUM <table>` statement — the
-    * statement IS the sweep, so EXPLAIN-ing it sweeps too). */
-  val vacuum = one("graft_vacuum", (spark, dir) => {
-    val st = LayoutIngest.vacuum(spark, dir)
-    import spark.implicits._
-    Seq((st.manifestsReplayed, st.genStagesDropped,
-        st.ingestStagesDropped, st.emptyUnitsDropped,
-        st.dmlMarkersFolded))
-      .toDF("manifests_replayed", "gen_stages_dropped",
-        "ingest_stages_dropped", "empty_units_dropped",
-        "dml_markers_folded")
-  })
+  /** `SELECT * FROM graft_vacuum('<dir>')` — the retention sweep
+    * ([[LayoutIngest.vacuum]]) returning its
+    * [[LayoutIngest.VacuumStats]] as one row: ops parity for the one
+    * maintenance verb that was Scala-only. Resolves to a RUNNABLE
+    * COMMAND ([[GraftVacuumCommand]]) — the sweep runs at statement
+    * EXECUTION, never at analysis (EXPLAIN-ing it no longer sweeps;
+    * both ops are idempotent either way, this is about surprise, not
+    * corruption). */
+  val vacuum = (
+    FunctionIdentifier("graft_vacuum"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      GraftTvf.getClass.getName, "graft_vacuum"),
+    (args: Seq[Expression]) => args match {
+      case Seq(Str(dir)) => GraftVacuumCommand(dir): LogicalPlan
+      case _ => throw new IllegalArgumentException(
+        "graft_vacuum expects exactly one non-null string literal: " +
+          "the table path")
+    })
 
   /** Extractor forms (bind once in match arms, no double-eval); the
     * integral case delegates to the ONE literal-to-Long reading
@@ -512,10 +509,17 @@ private[graft] object DmlTranslate {
             "decides where the row lives and is not assignable in " +
             "place; move rows with DELETE + INSERT, MERGE INTO, or " +
             "regrid")
-        require(v.deterministic,
-          s"graft-layout UPDATE: assignment to '${k.name}' is " +
-            s"non-deterministic (${v.sql}) — a WAL replay must " +
-            "rewrite the same bytes")
+        // nondeterminism AND environment-bound values (rand(), uuid(),
+        // current_timestamp(), current_user()): the assignment is
+        // recorded as SQL and re-evaluated per unit rewrite and at
+        // replica replay — it must be a pure function of the row
+        // ([[LayoutIngest.environmentBound]]; updateBoxes enforces the
+        // same gate for API callers)
+        LayoutIngest.environmentBound(v).foreach(bad => err(
+          s"UPDATE assignment to '${k.name}' reads the evaluation " +
+            s"environment ($bad) — a WAL replay and a replica sync " +
+            "must rewrite the same bytes; evaluate it once and " +
+            "assign the resulting literal"))
         if (v.exists(_.isInstanceOf[SubqueryExpression])) err(
           s"UPDATE assignment to '${k.name}' contains a subquery — " +
             "only expressions over the row's own columns; join through " +
@@ -682,6 +686,39 @@ private[graft] object DmlTranslate {
   }
 }
 
+/** `SELECT * FROM graft_vacuum('<dir>')`'s body — the retention sweep
+  * as a leaf command, executed when the statement RUNS (the analysis
+  * step only resolves the TVF to this node). One row:
+  * [[LayoutIngest.VacuumStats]]. */
+private[graft] case class GraftVacuumCommand(dir: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq("manifests_replayed",
+      "gen_stages_dropped", "ingest_stages_dropped",
+      "empty_units_dropped", "dml_markers_folded")
+    .map(n => AttributeReference(n, IntegerType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val st = LayoutIngest.vacuum(sparkSession, dir)
+    Seq(Row(st.manifestsReplayed, st.genStagesDropped,
+      st.ingestStagesDropped, st.emptyUnitsDropped,
+      st.dmlMarkersFolded))
+  }
+}
+
+/** `SELECT * FROM graft_replicate('<src>', '<dst>')`'s body — one
+  * replica sync as a leaf command, executed when the statement RUNS.
+  * One row: [[LayoutIngest.ReplicateStats]]. */
+private[graft] case class GraftReplicateCommand(srcDir: String,
+    dstDir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq("batches_pulled",
+      "dml_replayed", "dml_skipped_as_bootstrap", "merges_replayed")
+    .map(n => AttributeReference(n, IntegerType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val st = LayoutIngest.replicate(sparkSession, srcDir, dstDir)
+    Seq(Row(st.batchesPulled, st.dmlReplayed,
+      st.dmlSkippedAsBootstrap, st.mergesReplayed))
+  }
+}
+
 /** `DELETE FROM <layout view> WHERE <box> [OR <box>]...` — runs
   * [[LayoutIngest.deleteBoxesNext]] (ONE WAL-manifested pruned rewrite
   * over the union of boxes, under the next unused delete id). An
@@ -736,7 +773,21 @@ private[graft] case class GraftUpdateCommand(dir: String,
   * failing the MATCHED gate is dropped — the target row stays; an
   * unmatched row failing the NOT-MATCHED gate is dropped — nothing
   * inserts. NULL source keys never match (SQL ON semantics) and land
-  * on the insert side. */
+  * on the insert side.
+  *
+  * SERIALIZABLE under concurrency: the membership read and the merge
+  * commit are bracketed by [[LayoutIngest.ledgerStamp]] — the stamp
+  * observed BEFORE the classification join rides into
+  * [[LayoutIngest.mergeRows]] (`classifiedAt`), which re-reads it at
+  * the claim instant under both locks and throws
+  * [[LayoutIngest.StaleClassificationException]] if ANY write (batch,
+  * delete, another merge) committed in between; this command then
+  * REDOES the classification against the new state and retries —
+  * bounded, since every retry means another writer committed. Without
+  * the guard a concurrent writer committing the same keys between the
+  * membership join and the commit could mis-gate rows (a row
+  * classified unmatched bypassing the WHEN MATCHED AND condition it
+  * should have been subject to). */
 private[graft] case class GraftMergeCommand(dir: String, keyCol: String,
     source: LogicalPlan, cols: Seq[(String, Expression)],
     sideGate: Option[(Option[Expression], Option[Expression])] = None)
@@ -745,27 +796,48 @@ private[graft] case class GraftMergeCommand(dir: String, keyCol: String,
   override def run(sparkSession: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, lit}
     val base = ColumnBridge.ofRows(sparkSession, source)
-    val src = sideGate match {
-      case None => base
+    def updatesOf(src: org.apache.spark.sql.DataFrame) = src.select(
+      cols.map { case (n, e) => ColumnBridge.of(e).as(n) }: _*)
+    sideGate match {
+      case None =>
+        LayoutIngest.mergeRowsNext(sparkSession, dir, keyCol,
+          updatesOf(base)): Unit
       case Some((mc, ic)) =>
         val tk = "__graft_target_key"
         require(!base.columns.contains(tk),
           s"graft-layout MERGE: source carries reserved column '$tk'")
-        val tgtKeys = sparkSession.read.format("graft-layout")
-          .option("path", dir).load()
-          .select(col(keyCol).as(tk)).distinct()
-        val joined = base.join(tgtKeys,
-          ColumnBridge.of(cols.head._2) === col(tk), "left_outer")
-        val matched = col(tk).isNotNull
-        def gate(c: Option[Expression]) =
-          c.map(ColumnBridge.of).getOrElse(lit(true))
-        joined.filter((matched && gate(mc)) ||
-            (!matched && gate(ic)))
-          .select(source.output.map(ColumnBridge.of): _*)
+        var attempts = 0
+        var committed = false
+        while (!committed) {
+          // stamp FIRST, classify after: a write committing between
+          // the two is caught by the claim-time re-read (the stamp it
+          // sees differs), never silently raced past
+          val stamp = LayoutIngest.ledgerStamp(sparkSession, dir)
+          val tgtKeys = sparkSession.read.format("graft-layout")
+            .option("path", dir).load()
+            .select(col(keyCol).as(tk)).distinct()
+          val joined = base.join(tgtKeys,
+            ColumnBridge.of(cols.head._2) === col(tk), "left_outer")
+          val matched = col(tk).isNotNull
+          def gate(c: Option[Expression]) =
+            c.map(ColumnBridge.of).getOrElse(lit(true))
+          val src = joined.filter((matched && gate(mc)) ||
+              (!matched && gate(ic)))
+            .select(source.output.map(ColumnBridge.of): _*)
+          try {
+            LayoutIngest.mergeRowsNext(sparkSession, dir, keyCol,
+              updatesOf(src), classifiedAt = Some(stamp)): Unit
+            committed = true
+          } catch {
+            case e: LayoutIngest.StaleClassificationException =>
+              attempts += 1
+              require(attempts < 16,
+                s"graft-layout MERGE: the classification read went " +
+                  s"stale $attempts times on $dir — a pathological " +
+                  s"storm of concurrent writers (last: ${e.getMessage})")
+          }
+        }
     }
-    val updates = src.select(
-      cols.map { case (n, e) => ColumnBridge.of(e).as(n) }: _*)
-    LayoutIngest.mergeRowsNext(sparkSession, dir, keyCol, updates): Unit
     Seq.empty
   }
 }

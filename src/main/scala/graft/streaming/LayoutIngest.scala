@@ -114,6 +114,17 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
   final class StaleBatchIdException(msg: String)
     extends IllegalArgumentException(msg)
 
+  /** [[mergeRows]]' `classifiedAt` guard fired: the table committed a
+    * write between the caller's read of the ledger (its matched /
+    * unmatched classification of source rows — the conditional SQL
+    * MERGE's key-membership split) and the merge's claim of its id.
+    * TYPED and DISTINCT from [[StaleBatchIdException]]: re-minting the
+    * id is not enough — the caller must REDO the classification read
+    * against the new table state and retry the whole statement
+    * ([[graft.sql.GraftMergeCommand]]'s loop). */
+  final class StaleClassificationException(msg: String)
+    extends IllegalStateException(msg)
+
   /** The MAINTENANCE lock (object doc): serializes the unit rewriters
     * against each other while the TAIL lock keeps ingesting. Scoped
     * under `<dir>/maint` so the two locks are distinct files of the
@@ -863,6 +874,41 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** SQL function names bound to the EVALUATION ENVIRONMENT — wall
+    * clock, session identity, RNG, task placement — rather than to the
+    * row. Matched by name because the guard must fire on BOTH resolved
+    * trees (the SQL DML rule's analyzed assignments) and the unresolved
+    * trees a record's SQL parses back into at replica replay. */
+  private val EnvBoundFns = Set(
+    "current_timestamp", "now", "current_date", "localtimestamp",
+    "current_timezone", "current_user", "user", "session_user",
+    "current_database", "current_schema", "current_catalog",
+    "uuid", "rand", "random", "randn", "randstr", "uniform", "shuffle",
+    "monotonically_increasing_id", "spark_partition_id",
+    "input_file_name", "input_file_block_start",
+    "input_file_block_length", "version")
+
+  /** First sub-expression of `e` whose value depends on the evaluation
+    * environment (non-deterministic, or an [[EnvBoundFns]] call), as
+    * display text — None when the expression is a pure function of the
+    * row. WHY a WRITE-TIME contract: an UPDATE assignment is recorded
+    * as SQL text and re-EVALUATED at replica replay
+    * ([[replicate]]), and even on the source each affected unit
+    * rewrites in its own job — `current_timestamp()` would stamp
+    * different values per unit and diverge replica bytes from source
+    * bytes silently. Refused typed at record time ([[updateBoxes]])
+    * and, defense-in-depth for records minted by foreign writers, at
+    * replay time. */
+  private[graft] def environmentBound(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[String] =
+    e.collectFirst {
+      case x if !x.deterministic => x
+      case x: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if EnvBoundFns(x.nameParts.last.toLowerCase) => x
+      case x if EnvBoundFns(x.prettyName.toLowerCase) => x
+    }.map(x => scala.util.Try(x.sql).getOrElse(x.toString))
+
   /** The statement-record kinds sharing one global `seq` and one fold:
     * local deletes and updates (marked through [[rewriteBoxedUnits]]),
     * replicated source statements ([[replicate]]'s `sdml-<srcSeq>`
@@ -1013,10 +1059,18 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       if (!f.exists(markers)) Nil
       else f.listStatus(markers).toSeq.flatMap { s =>
         val n = s.getPath.getName
-        DmlKinds.find(k => n.matches(s"$k-\\d+")).map { k =>
-          DmlRecord.parse(k, n.stripPrefix(s"$k-").toLong,
+        DmlKinds.find(k => n.matches(s"$k-\\d+")).flatMap { k =>
+          // a lock-free reader (history(), replicate() on the source)
+          // can list a marker just before a concurrent vacuum's
+          // [[foldDmlMarkers]] deletes it — drop the entry and let the
+          // log side recover the record (the fold publishes the new
+          // dml-log BEFORE deleting markers, so the fact is never
+          // lost); same race-tolerance [[dmlLogEntries]] grants the
+          // fold's old-log delete
+          try Some(DmlRecord.parse(k, n.stripPrefix(s"$k-").toLong,
             readMarkerLines(f, s.getPath),
-            Some(s.getModificationTime))
+            Some(s.getModificationTime)))
+          catch { case _: java.io.FileNotFoundException => None }
         }
       }
     val liveKeys = live.map(r => (r.kind, r.id)).toSet
@@ -1141,12 +1195,27 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       require(known.isEmpty || known(c),
         s"updateBoxes: unknown column '$c' (table has $known)")
     }
+    // RECORD-TIME replayability gate: the assignment is recorded as
+    // SQL text and re-evaluated later — at replica replay, and even on
+    // the source once per affected unit — so a value bound to the
+    // evaluation environment (current_timestamp(), rand(), uuid(),
+    // current_user()) would write DIFFERENT bytes per evaluation and
+    // silently diverge replicas. Fail the statement here, where the
+    // user can fix it (compute the value once and assign the literal).
+    val setExprs = sets.map { case (c, e) =>
+      val ex = org.apache.spark.sql.graftbridge.ColumnBridge
+        .catalystExpr(e)
+      environmentBound(ex).foreach(bad =>
+        throw new IllegalArgumentException(
+          s"updateBoxes: assignment to '$c' reads the evaluation " +
+            s"environment ($bad) — it cannot rewrite the same bytes " +
+            "on replay or replica sync; evaluate it once and assign " +
+            "the resulting literal instead"))
+      c -> ex.sql
+    }
     val setMap = sets.toMap
     rewriteBoxedUnits(spark, dir, "upd", updateId, boxes,
-      sets.map { case (c, e) =>
-        c -> org.apache.spark.sql.graftbridge.ColumnBridge
-          .catalystExpr(e).sql
-      }) { (df, hit) =>
+      setExprs) { (df, hit) =>
       df.select(df.columns.toSeq.map { c =>
         setMap.get(c)
           .map(e => when(hit, e).otherwise(col(c)).as(c))
@@ -1610,6 +1679,20 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
               "under at-least-once replication (a replica may see " +
               "pre- or post-statement bytes); redactions must read " +
               "only columns the statement leaves untouched")
+          // defense-in-depth twin of [[updateBoxes]]'s record-time
+          // gate, for records minted by foreign/older writers: an
+          // environment-bound value (now(), rand()) re-evaluates to
+          // DIFFERENT bytes here than it did at the source — silent
+          // divergence, refused typed (a fresh bootstrap never
+          // evaluates the assignment; the stamp stays safe)
+          if (!dstFresh) environmentBound(e).foreach(bad =>
+            throw new IllegalArgumentException(
+              s"replicate: source update seq ${r.seq} assigns '$c' " +
+                s"from '$sql', which reads the evaluation environment " +
+                s"($bad) — re-evaluating it at replay time diverges " +
+                "replica bytes from source bytes; such statements " +
+                "cannot replicate (and current writers refuse them at " +
+                "record time)"))
           c -> org.apache.spark.sql.functions.expr(sql)
         }
         val setMap = sets.toMap
@@ -1659,12 +1742,14 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * terminates. Returns the ledger id the merge committed under. */
   private[graft] def mergeRowsNext(spark: SparkSession, dir: String,
       keyCol: String, updates: DataFrame,
-      filesPerBatch: Int = 4): Long = {
+      filesPerBatch: Int = 4,
+      classifiedAt: Option[String] = None): Long = {
     var attempts = 0
     while (true) {
       val id = nextUnusedId(spark, dir)
       try {
-        mergeRows(spark, dir, keyCol, updates, id, filesPerBatch): Unit
+        mergeRows(spark, dir, keyCol, updates, id, filesPerBatch,
+          classifiedAt = classifiedAt): Unit
         return id
       } catch {
         case e: StaleBatchIdException =>
@@ -1793,7 +1878,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    */
   def mergeRows(spark: SparkSession, dir: String, keyCol: String,
       updates: DataFrame, batchId: Long,
-      filesPerBatch: Int = 4, tailWaitMs: Long = 5000L): Boolean = {
+      filesPerBatch: Int = 4, tailWaitMs: Long = 5000L,
+      classifiedAt: Option[String] = None): Boolean = {
     val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
     val marker = new org.apache.hadoop.fs.Path(markers, s"merge-$batchId")
     if (f.exists(marker) || dmlLogEntries(spark, dir)
@@ -1867,6 +1953,27 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
               s"mergeRows: batch id $batchId is reserved by a live " +
                 "stream transaction — its owed replay would collide; " +
                 "use the next unused ingest id")
+          // CLASSIFICATION GUARD (first attempt only — a replay's
+          // classification already committed with the intent): the
+          // caller read the table to classify its source rows
+          // (matched/unmatched key membership) and recorded the
+          // [[ledgerStamp]] it saw BEFORE that read; if any write
+          // committed since — a batch, a delete, another merge — the
+          // classification may be stale, and committing this merge
+          // would gate rows against a state no serial history
+          // produces. Atomic here: this merge holds MAINTENANCE (no
+          // DML/merge can commit) and the TAIL lock (no batch can
+          // commit), so an equal stamp proves the read is still
+          // current at the claim instant.
+          classifiedAt.foreach { st =>
+            val now = ledgerStamp(spark, dir)
+            if (now != st)
+              throw new StaleClassificationException(
+                s"mergeRows: the table committed writes between the " +
+                  s"caller's classification read ($st) and this " +
+                  s"merge's claim ($now) — redo the classification " +
+                  "and retry the statement")
+          }
           // the intent CARRIES the contiguous watermark at the claim
           // instant (guaranteed <= batchId - 1: the guard just proved
           // batch-<batchId> is unminted) — the provenance scope a
@@ -2552,6 +2659,33 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     var n = MarkerLedger.watermark(names)
     while (ids.contains(n + 1)) n += 1
     n
+  }
+
+  /** Canonical fingerprint of everything that can change a key's
+    * LIVENESS on `dir`: the committed batch-id SET (contiguous
+    * watermark + the ids committed above it — REPRESENTATION-invariant
+    * across the marker fold, which only moves ids from the live
+    * listing into the watermark) and the max recorded DML `seq`
+    * (deletes/updates/merges all mint from it at commit). Two reads of
+    * an unchanged stamp bracket a window in which no row was added or
+    * removed — what lets the conditional SQL MERGE prove its
+    * matched/unmatched classification is still the state its merge
+    * commits against ([[mergeRows]]' `classifiedAt`). Driver-side
+    * metadata work, statement-cadence cost. */
+  private[graft] def ledgerStamp(spark: SparkSession,
+      dir: String): String = {
+    val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+    val names =
+      if (!f.exists(markers)) Nil
+      else f.listStatus(markers).toSeq.map(_.getPath.getName)
+    val w = MarkerLedger.watermark(names)
+    var n = w
+    val ids = names.filter(_.matches("batch-\\d+"))
+      .map(_.stripPrefix("batch-").toLong).filter(_ > w).toSet
+    while (ids.contains(n + 1)) n += 1
+    val above = ids.filter(_ > n).toSeq.sorted
+    val dmlSeq = dmlRecords(spark, dir).map(_.seq).foldLeft(-1L)(math.max)
+    s"upto=$n;above=${above.mkString(",")};dml=$dmlSeq"
   }
 
   /** Rows of batches lo..hi (inclusive), stats-pruned — the

@@ -503,4 +503,46 @@ class DmlReplicationSpec extends SparkSpec {
     assert(LayoutIngest.read(spark, t).filter(col("a") <= 9L)
       .select("v").as[Long].collect().toSet === Set(1L))
   }
+
+  test("environment-bound assignments refuse at RECORD time (API), " +
+      "and a foreign writer's record refuses at REPLAY time") {
+    def refuses(f: => Any, needle: String): Unit = {
+      val e = intercept[Exception](f)
+      assert(Option(e.getMessage).exists(_.contains(needle)),
+        s"wanted '$needle', got: ${e.getMessage}")
+    }
+    val t = freshTable("repl-envbound")
+    // record time: the statement's value would re-evaluate per unit
+    // rewrite and at replica replay — refused before any mutation
+    refuses(LayoutIngest.updateBoxes(spark, t, Seq(Seq(("a", 0L, 9L))),
+        Seq("v" -> expr("cast(current_timestamp() as bigint)")),
+        updateId = 0L),
+      "evaluation environment")
+    refuses(LayoutIngest.updateBoxes(spark, t, Seq(Seq(("a", 0L, 9L))),
+        Seq("v" -> expr("cast(rand() * 100 as bigint)")),
+        updateId = 0L),
+      "evaluation environment")
+    assert(LayoutIngest.history(spark, t)
+      .filter(col("kind") === "update").count() === 0L,
+      "a refused statement must not burn an update id")
+    // replay time (defense in depth — current writers cannot mint such
+    // a record): a hand-written foreign record assigning now() must
+    // refuse on a NON-fresh replica instead of silently diverging it
+    val dst = t.stripSuffix("/t") + "/r"
+    LayoutIngest.replicate(spark, t, dst): Unit
+    val rec = LayoutIngest.DmlRecord("upd", 0L, 0L, 1L,
+      Seq(Seq(("a", 0L, 9L))),
+      Seq(("v", "CAST(now() AS BIGINT)")), None)
+    java.nio.file.Files.write(
+      new java.io.File(s"$t/markers/upd-0").toPath,
+      LayoutIngest.DmlRecord.serialize(rec).getBytes("UTF-8"))
+    refuses(LayoutIngest.replicate(spark, t, dst),
+      "evaluation environment")
+    // a FRESH bootstrap never evaluates the assignment — the record
+    // stamps applied (its effects are in every pulled byte)
+    val fresh = t.stripSuffix("/t") + "/r2"
+    val st = LayoutIngest.replicate(spark, t, fresh)
+    assert(st.dmlSkippedAsBootstrap === 1,
+      s"fresh bootstrap stamps the record without evaluating, got $st")
+  }
 }

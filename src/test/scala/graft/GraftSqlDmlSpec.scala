@@ -182,9 +182,9 @@ class GraftSqlDmlSpec extends SparkSpec {
       "not assignable in place")
     refuses("UPDATE supd SET a = 99 WHERE a = 1",
       "not assignable in place")
-    // unsafe values: non-deterministic, subquery
+    // unsafe values: environment-bound (non-deterministic), subquery
     refuses("UPDATE supd SET v = CAST(rand() * 10 AS BIGINT) WHERE a = 1",
-      "non-deterministic")
+      "evaluation environment")
     refuses("UPDATE supd SET v = (SELECT MAX(a) FROM supd) WHERE a = 1",
       "subquery")
     // the WHERE contract is DELETE's box contract
@@ -567,5 +567,111 @@ class GraftSqlDmlSpec extends SparkSpec {
     refuses("DELETE FROM sref_asof WHERE a = 1", "reads of history")
     // nothing above mutated the table
     assert(LayoutIngest.read(spark, dir).count() === 51L)
+  }
+
+  test("environment-bound UPDATE assignments are refused typed: the " +
+      "recorded SQL re-evaluates per unit and at replica replay") {
+    val dir = freshTable("sqldml-envbound")
+    view(dir, "senv")
+    def refuses(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("evaluation environment")),
+        s"$sql -> ${msgs(e).mkString(" | ")}")
+    }
+    // current_timestamp() is DETERMINISTIC to Catalyst (folded per
+    // query) — the naive v.deterministic check missed it; each unit
+    // rewrite is its own query, so even the SOURCE would stamp
+    // different values per unit, and a replica replay later still
+    // different ones
+    refuses("UPDATE senv SET s = cast(current_timestamp() as string) " +
+      "WHERE a = 2")
+    refuses("UPDATE senv SET s = uuid() WHERE a = 2")
+    refuses("UPDATE senv SET s = cast(rand() as string) WHERE a = 2")
+    refuses("UPDATE senv SET s = current_user() WHERE a = 2")
+    // nothing mutated, no update id burned
+    assert(LayoutIngest.read(spark, dir).count() === 51L)
+    assert(LayoutIngest.history(spark, dir)
+      .filter(col("kind") === "update").count() === 0L)
+    // a pure-function-of-the-row assignment still runs
+    spark.sql("UPDATE senv SET s = concat(s, '!') WHERE a = 2")
+    assert(LayoutIngest.read(spark, dir).filter(col("a") === 2)
+      .select("s").as[String].head() === "v2!")
+  }
+
+  test("acting TVFs run at EXECUTION, not analysis: EXPLAIN-ing " +
+      "graft_vacuum/graft_replicate acts nothing; SELECT acts once") {
+    val dir = freshTable("sqldml-tvfexec")
+    // plant sweepable debris: an orphan stage dir with no manifest
+    val stage = new java.io.File(s"$dir/gen-zz-0-abc.stage")
+    assert(stage.mkdirs())
+    spark.sql(s"EXPLAIN SELECT * FROM graft_vacuum('$dir')").collect()
+    assert(stage.exists(),
+      "EXPLAIN must not run the sweep (analysis-time side effect)")
+    val vrow = spark.sql(s"SELECT * FROM graft_vacuum('$dir')").head()
+    assert(!stage.exists(), "SELECT must run the sweep")
+    assert(vrow.getInt(1) + vrow.getInt(2) >= 1,
+      s"the stats row must count the dropped stage, got $vrow")
+    // replicate: EXPLAIN must not bootstrap the replica
+    val dst = java.nio.file.Files.createTempDirectory("tvfexec-dst")
+      .toFile.getAbsolutePath + "/r"
+    spark.sql(
+      s"EXPLAIN SELECT * FROM graft_replicate('$dir', '$dst')").collect()
+    assert(!new java.io.File(s"$dst/grid").exists(),
+      "EXPLAIN must not run the sync")
+    val rrow = spark.sql(
+      s"SELECT * FROM graft_replicate('$dir', '$dst')").head()
+    assert(rrow.getInt(0) === 1, s"one batch pulled, got $rrow")
+    assert(LayoutIngest.read(spark, dst).count() ===
+      LayoutIngest.read(spark, dir).count())
+  }
+
+  test("one-sided MERGE classification is SERIALIZABLE: a write " +
+      "committing between the membership read and the claim is " +
+      "detected (ledgerStamp) and the statement re-classifies") {
+    val dir = freshTable("sqldml-staleclass")
+    // the stamp moves on every commit kind: batch, delete, merge
+    val s0 = LayoutIngest.ledgerStamp(spark, dir)
+    LayoutIngest.ingestBatch(
+      Seq((60L, 60L, "x60")).toDF("a", "b", "s"), 1L, dir, 1): Unit
+    val s1 = LayoutIngest.ledgerStamp(spark, dir)
+    assert(s1 !== s0, "a committed batch must move the stamp")
+    spark.read.format("graft-layout").load(dir)
+      .createOrReplaceTempView("sstale")
+    spark.sql("DELETE FROM sstale WHERE a = 60")
+    val s2 = LayoutIngest.ledgerStamp(spark, dir)
+    assert(s2 !== s1, "a committed DELETE must move the stamp")
+    // a merge claiming against a STALE stamp throws the typed retry
+    // signal instead of committing a mis-classified statement
+    val upd = Seq((5L, 5L, "new5")).toDF("a", "b", "s")
+    intercept[LayoutIngest.StaleClassificationException] {
+      LayoutIngest.mergeRowsNext(spark, dir, "a", upd,
+        classifiedAt = Some(s0))
+    }
+    assert(LayoutIngest.read(spark, dir)
+      .filter(col("a") === 5).select("s").as[String].head() === "v5",
+      "the stale-classified merge must not have committed")
+    // against the CURRENT stamp it commits
+    LayoutIngest.mergeRowsNext(spark, dir, "a", upd,
+      classifiedAt = Some(LayoutIngest.ledgerStamp(spark, dir))): Unit
+    assert(LayoutIngest.read(spark, dir)
+      .filter(col("a") === 5).select("s").as[String].head() === "new5")
+    // the SQL one-sided path (which brackets classify/commit with the
+    // stamp internally) still commits end to end
+    Seq((6L, 6L, "new6"), (7L, 7L, "new7"))
+      .toDF("a", "b", "s").createOrReplaceTempView("sstale_src")
+    spark.sql("""MERGE INTO sstale USING sstale_src
+      ON sstale.a = sstale_src.a
+      WHEN MATCHED AND sstale_src.a % 2 = 0 THEN UPDATE
+        SET b = sstale_src.b, s = sstale_src.s
+      WHEN NOT MATCHED THEN INSERT (a, b, s)
+        VALUES (sstale_src.a, sstale_src.b, sstale_src.s)""")
+    val got = LayoutIngest.read(spark, dir)
+      .filter(col("a").isin(6L, 7L))
+      .select("a", "s").as[(Long, String)].collect().toMap
+    assert(got === Map(6L -> "new6", 7L -> "v7"),
+      "even id replaces, odd id keeps its target row")
   }
 }
