@@ -9421,6 +9421,109 @@ WHERE rk <= 40"""
        |  CAST(0 AS BIGINT) AS zkey, 42.0 AS value""".stripMargin
   }
 
+  /** STRING-KEYED SQL DELETE — the doc-id TAKEDOWN statement (the r18
+    * verdict's #1: "the RTBF statement every LLM-corpus operator
+    * actually writes"), end to end: a (user_id, ts_us)-clustered table
+    * carries a STRING document key (`doc_key`, Bloom-indexed), a
+    * replica catches up, then the source runs
+    * `DELETE FROM t WHERE doc_key IN ('ev-a','ev-b','ev-c')` — routed
+    * by [[graft.sql.GraftSqlExtensions]] to
+    * [[graft.streaming.LayoutIngest.deleteKeysNext]]. Premises pin
+    * the mechanism: ONE `delete_keys` ledger op, the rewrite
+    * BLOOM-PRUNED (strictly fewer units rewritten than live — string
+    * keys have no stats range, the bloom sidecar is what prunes), and
+    * one `graft_replicate` sync REPLAYING the statement (0 pulled / 1
+    * replayed). The gate hashes the REPLICA against the DuckDB
+    * minus-set twin — a replica that kept the taken-down docs (or a
+    * translation that deleted one key too many) fails the hash. */
+  val q199SqlDeleteKeys: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"),
+      concat(lit("ev-"), col("event_id")).as("doc_key"))
+    val root = streamIndexDir("q199", dir, "events")
+    val srcDir = s"$root/src"
+    val dstDir = s"$root/dst"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us"), min("event_id"), max("event_id"))
+        .head()
+      val (umn, umx, tmn, tmx) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val (emn, emx) = (b.getLong(4), b.getLong(5))
+      graft.streaming.LayoutIngest.bootstrap(s, srcDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"), Seq((umn, umx), (tmn, tmx)),
+          bits = 16, bloomCols = Seq("doc_key")))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, srcDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, srcDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.compact(s, srcDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L,
+          parquetBytes(new java.io.File(s"$srcDir/data")) / 8))
+      val st1 = graft.streaming.LayoutIngest.replicate(s, srcDir, dstDir)
+      require(st1.batchesPulled == 2 && st1.dmlReplayed == 0,
+        s"q199 premise: the first sync pulls both batches, got $st1")
+      // three mid-domain doc keys — the governance takedown list
+      val keys = (1 to 3).map(k => s"ev-${emn + (emx - emn) * k / 7}")
+      val unitsBefore = graft.streaming.LayoutIngest
+        .describe(s, srcDir).count()
+      s.read.format("graft-layout").load(srcDir)
+        .createOrReplaceTempView("q199_t")
+      s.sql("DELETE FROM q199_t WHERE doc_key IN (" +
+        keys.map(k => s"'$k'").mkString(", ") + ")")
+      require(graft.streaming.LayoutIngest.history(s, srcDir)
+          .filter(col("kind") === "delete_keys").count() == 1L,
+        "q199 premise: one keyed-delete ledger op")
+      val rewritten = Option(new java.io.File(s"$srcDir/data").list())
+        .get.count(_.startsWith("gen-delk0-"))
+      require(rewritten >= 1 && rewritten < unitsBefore,
+        s"q199 premise: the bloom must prune the rewrite (rewrote " +
+          s"$rewritten of $unitsBefore units) — rewriting everything " +
+          "means the string-key pruning is dead")
+      // the sync replays the takedown through the SQL cadence verb
+      val st2 = s.sql(
+        s"SELECT * FROM graft_replicate('$srcDir', '$dstDir')").head()
+      require(st2.getInt(0) == 0 && st2.getInt(1) == 1,
+        s"q199 premise: nothing to pull, ONE keyed replay, got $st2")
+      require(graft.streaming.LayoutIngest.history(s, dstDir)
+          .filter(col("kind") === "replay").count() == 1L,
+        "q199 premise: the replica ledger records the replay")
+      done.createNewFile(): Unit
+    }
+    graft.streaming.LayoutIngest.read(s, dstDir)
+      .select(col("event_id"), col("zkey"), col("value"))
+  }
+
+  val q199Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx,
+       |    MIN(event_id) AS emn, MAX(event_id) AS emx
+       |  FROM events),
+       |k AS (
+       |  SELECT (SELECT emn FROM b) +
+       |    ((SELECT emx FROM b) - (SELECT emn FROM b)) * j // 7 AS kid
+       |  FROM range(1, 4) t(j)),
+       |q AS (
+       |  SELECT event_id, value,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy
+       |  FROM events
+       |  WHERE event_id NOT IN (SELECT kid FROM k))
+       |SELECT event_id, $terms AS zkey, value FROM q""".stripMargin
+  }
+
   /** READER VISIBILITY through a slow multi-unit merge — the gate for
     * the append-first rework's central claim
     * ([[graft.streaming.LayoutIngest.mergeRows]] doc item 4): a
@@ -10074,7 +10177,10 @@ WHERE rk <= 40"""
     // q197: one-sided conditional MERGE via the target-key split
     "q197_sql_merge_onesided" -> (q197SqlMergeOneSided, Some(q197Sql)),
     // q198: a MERGE + later redaction replayed onto a replica in order
-    "q198_replica_merge" -> (q198ReplicaMerge, Some(q198Sql)))
+    "q198_replica_merge" -> (q198ReplicaMerge, Some(q198Sql)),
+    // q199: string-keyed SQL DELETE (the doc-id takedown) —
+    // bloom-pruned, recorded, replayed on a replica
+    "q199_sql_delete_keys" -> (q199SqlDeleteKeys, Some(q199Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -9,7 +9,7 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
-  ShortType}
+  ShortType, StringType}
 
 /**
  * SQL DML for the clustered table: `DELETE FROM` and `MERGE INTO`
@@ -49,6 +49,13 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
  *    rewrite per affected unit, overlap harmless). No WHERE deletes
  *    every row. Runs under the next unused delete id
  *    ([[LayoutIngest.deleteBoxesNext]]).
+ *  - `DELETE FROM t WHERE <stringCol> = '...' / IN (...)` (and
+ *    top-level ORs of those over ONE string column) — the doc-id
+ *    TAKEDOWN statement, routed to [[LayoutIngest.deleteKeysNext]]:
+ *    Bloom-sidecar-pruned unit rewrite (declare the column in
+ *    `Grid.bloomCols`), one `delk-<id>` ledger entry recording every
+ *    key, replayed on replicas by `graft_replicate`. NULL literals
+ *    drop out exactly (three-valued IN).
  *  - `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED [AND c] THEN
  *    UPDATE SET ... WHEN NOT MATCHED [AND c] THEN INSERT ...` — the
  *    WHOLE-ROW upsert ([[LayoutIngest.mergeRows]]'s contract: a
@@ -251,8 +258,16 @@ private[graft] class GraftDmlRule(session: SparkSession)
     case d @ DeleteFromTable(t @ LayoutTarget(rel), cond)
         if d.resolved =>
       refuseProvenance(rel, "DELETE")
-      GraftDeleteCommand(rel.tableDir,
-        DmlTranslate.toBoxes(cond, t.outputSet))
+      // STRING point shapes (= / IN over one string column — the
+      // doc-id takedown) route to the keyed delete; everything else
+      // takes the long-box translation
+      DmlTranslate.strKeyDelete(cond, t.outputSet) match {
+        case Some((keyCol, keys)) =>
+          GraftDeleteKeysCommand(rel.tableDir, keyCol, keys)
+        case None =>
+          GraftDeleteCommand(rel.tableDir,
+            DmlTranslate.toBoxes(cond, t.outputSet))
+      }
     case m: MergeIntoTable => m.targetTable match {
       case t @ LayoutTarget(rel) if m.resolved =>
         refuseProvenance(rel, "MERGE INTO")
@@ -312,6 +327,52 @@ private[graft] object DmlTranslate {
     case a: AttributeReference
       if target.contains(a) && a.dataType == LongType => Some(a.name)
     case _ => None
+  }
+
+  /** STRING-keyed DELETE detection: a condition that is entirely
+    * point shapes over ONE string column — `c = 'v'`, `c IN (...)`,
+    * and top-level ORs of those (the doc-id takedown statement) —
+    * yields (column, keys) for [[GraftDeleteKeysCommand]]
+    * ([[LayoutIngest.deleteKeys]]: bloom-pruned unit rewrite, recorded
+    * for replica replay). Anything else returns None and falls to the
+    * long-box translation. NULL literals drop out EXACTLY (SQL's
+    * three-valued IN: `c IN (NULL, 'a')` deletes only c='a' rows —
+    * the NULL element can never make the predicate TRUE); a list of
+    * ONLY nulls deletes nothing (clean no-op at the command). */
+  def strKeyDelete(cond: Expression,
+      target: AttributeSet): Option[(String, Seq[String])] = {
+    def strAttr(e: Expression): Option[String] = e match {
+      case a: AttributeReference
+        if target.contains(a) && a.dataType == StringType => Some(a.name)
+      // IN coercion can wrap the attribute in an identity cast
+      case c: Cast if c.dataType == StringType => strAttr(c.child)
+      case _ => None
+    }
+    // Some(keys-from-this-literal): empty for a NULL literal
+    def litStr(e: Expression): Option[Seq[String]] =
+      if (e.foldable && e.dataType == StringType)
+        Some(Option(e.eval()).map(_.toString).toSeq)
+      else None
+    def disj(e: Expression): Seq[Expression] = e match {
+      case Or(a, b) => disj(a) ++ disj(b)
+      case other => Seq(other)
+    }
+    val parts = disj(cond).map {
+      case EqualTo(a, v) if strAttr(a).isDefined && litStr(v).isDefined =>
+        Some(strAttr(a).get -> litStr(v).get)
+      case EqualTo(v, a) if strAttr(a).isDefined && litStr(v).isDefined =>
+        Some(strAttr(a).get -> litStr(v).get)
+      case In(a, vs) if strAttr(a).isDefined && vs.nonEmpty &&
+          vs.forall(litStr(_).isDefined) =>
+        Some(strAttr(a).get -> vs.flatMap(v => litStr(v).get))
+      case _ => None
+    }
+    if (parts.exists(_.isEmpty)) None
+    else {
+      val cols = parts.flatten.map(_._1).distinct
+      if (cols.size != 1) None
+      else Some(cols.head -> parts.flatten.flatMap(_._2).distinct)
+    }
   }
 
   /** DELETE condition → the EXACT union of conjunctive boxes, or
@@ -466,9 +527,12 @@ private[graft] object DmlTranslate {
           "=/</<=/>/>=/BETWEEN ranges over LONG columns and integral " +
           "literals — the exact deleteBox contract (OR and IN are " +
           "supported only at the TOP level, between/as whole " +
-          "disjuncts). Anything else (nested OR, IN inside a " +
-          "conjunction, string predicates, expressions over columns) " +
-          "needs the API: LayoutIngest.deleteBoxes / mergeRows.")
+          "disjuncts; string =/IN point shapes route to the keyed " +
+          "delete when the WHOLE condition is over one string " +
+          "column). Anything else (nested OR, IN inside a " +
+          "conjunction, string ranges/negations, expressions over " +
+          "columns) needs the API: LayoutIngest.deleteBoxes / " +
+          "deleteKeys / mergeRows.")
     }
     // bind returns false (falls through to `other`) unless BOTH sides
     // fit the attr-vs-literal shape — a guard, not an action
@@ -729,6 +793,21 @@ private[graft] case class GraftDeleteCommand(dir: String,
   override def run(sparkSession: SparkSession): Seq[Row] = {
     if (boxes.nonEmpty)
       LayoutIngest.deleteBoxesNext(sparkSession, dir, boxes): Unit
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM <layout view> WHERE <stringCol> = '...' / IN (...)` —
+  * the doc-id TAKEDOWN statement, routed to
+  * [[LayoutIngest.deleteKeysNext]] (bloom-pruned unit rewrite under
+  * the next unused `delk` id, recorded so replicas replay it). An
+  * empty key list (`IN (NULL)` — SQL's three-valued IN can never be
+  * TRUE) is a clean no-op: nothing to delete, no id minted. */
+private[graft] case class GraftDeleteKeysCommand(dir: String,
+    keyCol: String, keys: Seq[String]) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    if (keys.nonEmpty)
+      LayoutIngest.deleteKeysNext(sparkSession, dir, keyCol, keys): Unit
     Seq.empty
   }
 }

@@ -910,12 +910,48 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     }.map(x => scala.util.Try(x.sql).getOrElse(x.toString))
 
   /** The statement-record kinds sharing one global `seq` and one fold:
-    * local deletes and updates (marked through [[rewriteBoxedUnits]]),
-    * replicated source statements ([[replicate]]'s `sdml-<srcSeq>`
-    * replays), and merges (`mrg-<ledgerId>`, recorded at commit by
-    * [[mergeRows]] — `boxes` empty, `sets` = the merge key by
-    * convention, the updates snapshot at `markers/mrg-<id>.updates`). */
-  private val DmlKinds = Seq("del", "upd", "sdml", "mrg")
+    * local box deletes and updates (marked through
+    * [[rewriteBoxedUnits]]), KEYED deletes (`delk`, marked through
+    * [[rewriteKeyedUnits]] — the doc-id takedown statement), replicated
+    * source statements ([[replicate]]'s `sdml-<srcSeq>` replays), and
+    * merges (`mrg-<ledgerId>`, recorded at commit by [[mergeRows]] —
+    * `boxes` empty, `sets` = the merge key by convention, the updates
+    * snapshot at `markers/mrg-<id>.updates`). */
+  private val DmlKinds = Seq("del", "delk", "upd", "sdml", "mrg")
+
+  /** Sentinel first `sets` pair of a KEYED-delete record: marks the
+    * payload as (keyCol, type, keys) rather than update assignments,
+    * so [[replicate]] replays it as a keyed delete even out of an
+    * `sdml` record (chained replication). `__graft`-prefixed names are
+    * reserved (update assignment targets refuse them), so a real
+    * assignment can never forge the tag. */
+  private val KeyedDeleteTag = "__graft_delete_keys"
+  private val KeyedTypeTag = "__graft_key_type"
+
+  /** Keyed-delete record payload: the key column, its type, and every
+    * key URL-encoded (keys are user data — tabs/newlines/unicode must
+    * survive the line-based record format exactly). */
+  private def encodeKeyedSets(keyCol: String, keyIsLong: Boolean,
+      keys: Seq[Any]): Seq[(String, String)] =
+    (KeyedDeleteTag -> keyCol) +:
+      (KeyedTypeTag -> (if (keyIsLong) "long" else "string")) +:
+      keys.map(k => "k" ->
+        java.net.URLEncoder.encode(k.toString, "UTF-8"))
+
+  private def decodeKeyedSets(sets: Seq[(String, String)])
+      : (String, Boolean, Seq[Any]) = {
+    val keyCol = sets.collectFirst {
+      case (KeyedDeleteTag, c) => c }.getOrElse(
+      throw new IllegalStateException(
+        "keyed-delete record carries no key column — corrupted record"))
+    val keyIsLong = sets.collectFirst {
+      case (KeyedTypeTag, t) => t }.contains("long")
+    val keys = sets.collect { case ("k", v) =>
+      val s = java.net.URLDecoder.decode(v, "UTF-8")
+      if (keyIsLong) (s.toLong: Any) else (s: Any)
+    }
+    (keyCol, keyIsLong, keys)
+  }
 
   private def readMarkerLines(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Seq[String] = {
@@ -1175,6 +1211,12 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         s"updateBoxes: '$c' is a cluster-derived or provenance " +
           "column — not assignable in place (delete + insert, or " +
           "regrid, to move rows)")
+      // the engine's internal record tags live under this prefix (the
+      // keyed-delete payload sentinel) — an assignment there could
+      // forge a record a replica would mis-replay
+      require(!c.startsWith("__graft"),
+        s"updateBoxes: '$c' — the __graft prefix is reserved for " +
+          "engine-internal columns and record tags")
     }
     // no stored schema (a pre-publishSchema table) falls back to the
     // columns the table actually SERVES — without it a typo'd target
@@ -1241,11 +1283,40 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       boxes: Seq[Seq[(String, Long, Long)]],
       setsRecord: Seq[(String, String)])(
       transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame)
-      : Boolean =
+      : Boolean = {
+    require(boxes.nonEmpty && boxes.forall(_.nonEmpty),
+      s"$kind$id: empty box")
+    val inBox = boxes.map(_.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)).reduce(_ || _)
+    val hit = coalesce(inBox, lit(false))
+    rewriteMarkedUnits(spark, dir, kind, id, boxes, setsRecord,
+      affects = (f, d) => boxes.exists(_.forall { case (c, lo, hi) =>
+        dirColumnRange(f, d, c) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true // no stats → conservatively rewrite
+        }
+      }))(df => transform(df, hit))
+  }
+
+  /** The shared scaffold under every marked unit REWRITER
+    * ([[rewriteBoxedUnits]]'s box ops and [[rewriteKeyedUnits]]'s
+    * keyed deletes): under the maintenance lock, idempotent behind the
+    * `<kind>-<id>` marker (live or folded into the [[foldDmlMarkers]]
+    * log), rewrite exactly the units `affects` admits (a conservative
+    * pruner — stats for boxes, blooms for keys), each through the same
+    * WAL manifest as [[compact]]. The commit marker carries the full
+    * statement as a [[DmlRecord]] (`recBoxes`/`recSets` — what
+    * [[replicate]] replays on a replica). */
+  private def rewriteMarkedUnits(spark: SparkSession, dir: String,
+      kind: String, id: Long,
+      recBoxes: Seq[Seq[(String, Long, Long)]],
+      recSets: Seq[(String, String)],
+      affects: (org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path) => Boolean)(
+      transform: DataFrame => DataFrame): Boolean =
     withMaintLock(spark, dir) {
       val stampPrefix = s"$kind$id"
-      require(boxes.nonEmpty && boxes.forall(_.nonEmpty),
-        s"$stampPrefix: empty box")
       recoverCompact(spark, dir)
       adoptOrphanBatches(spark, dir)
       val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
@@ -1266,14 +1337,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         val units =
           if (!f.exists(data)) Nil
           else leafUnits(f, data)
-        val affectedPaths = parFilter(units.map(_._2)) { d =>
-          boxes.exists(_.forall { case (c, lo, hi) =>
-            dirColumnRange(f, d, c) match {
-              case Some((mn, mx)) => mx >= lo && mn <= hi
-              case None => true // no stats → conservatively rewrite
-            }
-          })
-        }.toSet
+        val affectedPaths =
+          parFilter(units.map(_._2))(d => affects(f, d)).toSet
         // a REPLAY after a mid-operation crash (marker not yet
         // created) must not re-transform units the crashed attempt
         // already PUBLISHED — its own outputs are recognizable by the
@@ -1286,10 +1351,6 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         val ownOutput = s"gen-$stampPrefix-"
         val affected = units.filter(u =>
           affectedPaths(u._2) && !u._1.startsWith(ownOutput))
-        val inBox = boxes.map(_.map { case (c, lo, hi) =>
-          col(c) >= lo && col(c) <= hi
-        }.reduce(_ && _)).reduce(_ || _)
-        val hit = coalesce(inBox, lit(false))
         val gridNow = readGrid(spark, dir) // immutable — read once
         affected.zipWithIndex.foreach { case ((name, d), i) =>
           // the attempt nonce keeps a REPLAY's target names distinct
@@ -1304,7 +1365,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           // per-file partitions, narrow transform: key order inside
           // each written file is inherited from the sorted source
           // files (a filter or a row-local projection preserves it)
-          transform(readUnits(spark, dir, Seq(d)), hit)
+          transform(readUnits(spark, dir, Seq(d)))
             .write.mode("overwrite").parquet(stage.toString)
           writeUnitStats(f, stage, gridNow.cols :+ KeyCol :+ BatchCol)
           writeUnitBlooms(spark, f, stage, gridNow.bloomCols)
@@ -1325,7 +1386,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         if (f.exists(tmp)) f.delete(tmp, false)
         val out = f.create(tmp, true)
         try out.write(DmlRecord.serialize(DmlRecord(kind, id, seq,
-          upto, boxes, setsRecord, None)).getBytes("UTF-8"))
+          upto, recBoxes, recSets, None)).getBytes("UTF-8"))
         finally out.close()
         if (!f.rename(tmp, marker))
           throw new IllegalStateException(
@@ -1430,6 +1491,154 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       require(attempts < 16,
         s"updateBoxesNext: lost the update-id race $attempts times " +
           s"on $dir — a pathological storm of concurrent UPDATEs")
+    }
+    -1L // unreachable
+  }
+
+  /** Hard ceiling on one keyed delete's keys: the keys drive
+    * driver-side bloom probing AND ride inside the statement's
+    * permanent record (what replicas replay) — a takedown list is
+    * governance-sized by nature, and a "delete" of corpus-sized keys
+    * is a rewrite in disguise (the [[MaxMergeKeys]] argument, tighter
+    * because the record stores every key). */
+  private val MaxDeleteKeys = 1 << 16
+
+  /** The unit pruner + row predicate behind a KEYED delete, shared by
+    * the source statement ([[deleteKeys]], unscoped) and its replica
+    * replay ([[replicate]], scoped `__batch <= scopeUpto`): a unit
+    * rewrites only if it has rows, intersects the batch scope, and —
+    * when `keyCol` carries sidecars — its stats range (long keys) or
+    * Bloom filter (both types; the [[mergeRows]] q166/q170 machinery)
+    * admits at least one key. The row predicate is a codegen'd IN-set,
+    * NULL-safe (a NULL key is never deleted — SQL's three-valued IN). */
+  private def rewriteKeyedUnits(spark: SparkSession, dir: String,
+      kind: String, id: Long, keyCol: String, keyIsLong: Boolean,
+      keys: Seq[Any], scopeUpto: Long,
+      recBoxes: Seq[Seq[(String, Long, Long)]]): Boolean = {
+    val (longMin, longMax) =
+      if (keyIsLong && keys.nonEmpty) {
+        val ls = keys.map(_.asInstanceOf[Long])
+        (ls.min, ls.max)
+      } else (Long.MinValue, Long.MaxValue)
+    val affects = (f: org.apache.hadoop.fs.FileSystem,
+        d: org.apache.hadoop.fs.Path) =>
+      unitRows(f, d) > 0 &&
+        (scopeUpto == Long.MaxValue ||
+          (dirColumnRange(f, d, BatchCol) match {
+            case Some((mn, _)) => mn <= scopeUpto
+            case None => true // no stats → conservative
+          })) &&
+        (!keyIsLong || (dirColumnRange(f, d, keyCol) match {
+          case Some((mn, mx)) => mx >= longMin && mn <= longMax
+          case None => true
+        })) &&
+        (unitBloom(f, d, keyCol) match {
+          case Some(b) => keys.exists {
+            case s: String => b.mightContainString(s)
+            case l: Long => b.mightContainLong(l)
+            case other => throw new IllegalStateException(
+              s"unreachable key type: ${other.getClass.getName}")
+          }
+          case None => true // no bloom sidecar → conservative
+        })
+    val inKeys = coalesce(
+      col(keyCol).isin(keys: _*), lit(false))
+    val hit =
+      if (scopeUpto == Long.MaxValue) inKeys
+      else inKeys && col(BatchCol) <= scopeUpto
+    rewriteMarkedUnits(spark, dir, kind, id, recBoxes,
+      encodeKeyedSets(keyCol, keyIsLong, keys), affects)(
+      df => df.filter(!hit))
+  }
+
+  /** Targeted KEY delete — the doc-id TAKEDOWN statement (the RTBF
+    * shape every LLM-corpus operator actually writes: "forget these
+    * document ids"), where the box machinery cannot reach: string keys
+    * have no enumerable complement and no long-range stats, but they
+    * DO have per-unit Bloom sidecars ([[Grid.bloomCols]] — the
+    * [[mergeRows]] string path's pruning), so the statement rewrites
+    * only the units whose bloom admits at least one key. Long keys
+    * work too (stats range + bloom); for those the box surface
+    * (`deleteBoxes` point boxes) is equivalent — this form just skips
+    * the per-key box bookkeeping.
+    *
+    * Same contract family as [[deleteBoxes]]: one maintenance hold,
+    * ONE ledger entry (`delk-<deleteId>`), at most one WAL-manifested
+    * rewrite per affected unit, idempotent behind the marker, replayed
+    * crash-exact (filtering is idempotent), and RECORDED — the marker
+    * carries the key column and every key (URL-encoded, bounded by
+    * [[MaxDeleteKeys]]), so [[replicate]] replays the statement on
+    * every replica scoped `__batch <= upto`, exactly like a box
+    * delete. NULL keys are refused (they can never match — SQL IN);
+    * rows whose key IS NULL are kept (three-valued logic, the
+    * [[deleteBoxes]] rule). `keyCol` must be LONG or STRING (the bloom
+    * sidecar types) and SHOULD be in [[Grid.bloomCols]] — without a
+    * bloom every unit conservatively rewrites (correct, slow).
+    *
+    * 100 TB: the keys are driver-held by contract (governance-sized,
+    * ≤ [[MaxDeleteKeys]]); pruning is metadata-only; each affected
+    * unit rewrites once through a codegen'd IN-set filter; the data
+    * path never collects or shuffles. */
+  def deleteKeys(spark: SparkSession, dir: String, keyCol: String,
+      keys: Seq[Any], deleteId: Long): Boolean = {
+    require(keys.nonEmpty, "deleteKeys: no keys")
+    require(!keys.contains(null),
+      "deleteKeys: NULL keys are not supported — a NULL never matches " +
+        "(SQL IN semantics), so the statement could not delete anything")
+    val distinctKeys = keys.distinct
+    require(distinctKeys.size <= MaxDeleteKeys,
+      s"deleteKeys: ${distinctKeys.size} distinct keys — a delete " +
+        "this large is a rewrite in disguise; split it or use a box " +
+        "delete on a range")
+    val keyIsLong = distinctKeys.head.isInstanceOf[Long]
+    require(distinctKeys.forall(k =>
+        if (keyIsLong) k.isInstanceOf[Long] else k.isInstanceOf[String]),
+      "deleteKeys: keys must be all Long or all String (the bloom " +
+        "sidecar types)")
+    // refuse a typo'd or wrongly-typed key column typed, like every
+    // sibling write path (the updateBoxes fallback rule: no stored
+    // schema falls back to the served columns; neither → nothing to
+    // delete, the statement still validates against nothing)
+    tableSchema(spark, dir)
+      .map(s => s.fields.map(fd => fd.name -> fd.dataType).toMap)
+      .orElse {
+        val (df0, data0) = DedupIngest.fs(spark, s"$dir/data")
+        if (!df0.exists(data0) || leafUnits(df0, data0).isEmpty) None
+        else Some(read(spark, dir).schema.fields
+          .map(fd => fd.name -> fd.dataType).toMap)
+      }
+      .foreach { known =>
+        val dt = known.getOrElse(keyCol,
+          throw new IllegalArgumentException(
+            s"deleteKeys: unknown column '$keyCol' (table has " +
+              s"${known.keySet})"))
+        val want =
+          if (keyIsLong) org.apache.spark.sql.types.LongType
+          else org.apache.spark.sql.types.StringType
+        require(dt == want,
+          s"deleteKeys: column '$keyCol' is ${dt.simpleString} but " +
+            s"the keys are ${want.simpleString} — a mistyped key can " +
+            "never match; cast the keys, not the column")
+      }
+    rewriteKeyedUnits(spark, dir, "delk", deleteId, keyCol, keyIsLong,
+      distinctKeys, Long.MaxValue, Nil)
+  }
+
+  /** [[deleteKeys]] under the NEXT UNUSED delete-keys id — the body
+    * behind SQL `DELETE FROM t WHERE <stringCol> IN (...)`. `delk-<id>`
+    * is its own marker namespace (crash debris counted —
+    * [[occupiedDmlIds]]), same id-race loop as [[deleteBoxesNext]]. */
+  private[graft] def deleteKeysNext(spark: SparkSession, dir: String,
+      keyCol: String, keys: Seq[Any]): Long = {
+    var attempts = 0
+    while (true) {
+      val next =
+        occupiedDmlIds(spark, dir, "delk").foldLeft(-1L)(math.max) + 1L
+      if (deleteKeys(spark, dir, keyCol, keys, next)) return next
+      attempts += 1
+      require(attempts < 16,
+        s"deleteKeysNext: lost the delete-id race $attempts times on " +
+          s"$dir — a pathological storm of concurrent DELETEs")
     }
     -1L // unreachable
   }
@@ -1644,7 +1853,30 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       val scopeUpto = if (dstFresh) -1L else r.upto
       val scoped = r.boxes.map(_ :+ ((BatchCol, Long.MinValue,
         scopeUpto)))
-      if (r.sets.isEmpty) {
+      if (r.sets.headOption.exists(_._1 == KeyedDeleteTag)) {
+        // a KEYED delete (source `delk`, or a chained replica's `sdml`
+        // replay of one — the tag, not the kind, marks the payload):
+        // replay scoped `__batch <= upto` like every box statement; a
+        // chained record also carries the scope it ITSELF applied
+        // under (its recBoxes batch box) — intersect, so a
+        // replica-of-a-replica never widens the original statement
+        val (kc, keyIsLong, keys) = decodeKeyedSets(r.sets)
+        val recordedScope = r.boxes.flatten.collectFirst {
+          case (c, _, hi) if c == BatchCol => hi }
+        val keyScope =
+          if (dstFresh) -1L
+          else math.min(r.upto, recordedScope.getOrElse(Long.MaxValue))
+        val known = tableSchema(spark, dstDir)
+          .map(_.fieldNames.toSet).getOrElse(Set.empty)
+        require(dstFresh || known.isEmpty || known(kc),
+          s"replicate: source keyed delete seq ${r.seq} keys on " +
+            s"'$kc', a column this replica has not seen yet (schema " +
+            "evolution above a source ledger gap) — re-sync after " +
+            "the gap commits")
+        rewriteKeyedUnits(spark, dstDir, "sdml", r.seq, kc, keyIsLong,
+          keys, keyScope,
+          recBoxes = Seq(Seq((BatchCol, Long.MinValue, keyScope)))): Unit
+      } else if (r.sets.isEmpty) {
         rewriteBoxedUnits(spark, dstDir, "sdml", r.seq, scoped,
           Nil)((d, hit) => d.filter(!hit)): Unit
       } else {
@@ -3160,6 +3392,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           dml.filter(_.kind == kind).sortBy(_.id)
             .map(r => (as, r.id, true, r.atMs))
         val dels = dmlKind("del", "delete")
+        val delks = dmlKind("delk", "delete_keys")
         val upds = dmlKind("upd", "update")
         val replays = dmlKind("sdml", "replay")
         // committed merges come from live commit markers AND folded
@@ -3185,7 +3418,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           .filterNot(committedMergeIds).sorted
           .map(i => ("merge", i, false,
             Some(byName(s"merge-$i.intent").getModificationTime)))
-        folded ++ tail ++ dels ++ upds ++ replays ++ merges ++ intents
+        folded ++ tail ++ dels ++ delks ++ upds ++ replays ++ merges ++
+          intents
       }
     import spark.implicits._
     entries.toDF("kind", "id", "committed", "at_ms")

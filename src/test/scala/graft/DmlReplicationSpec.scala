@@ -504,6 +504,118 @@ class DmlReplicationSpec extends SparkSpec {
       .select("v").as[Long].collect().toSet === Set(1L))
   }
 
+  /** Fresh string-keyed table: doc = "doc-<i>" (bloom-indexed), one
+    * NULL-keyed row, v = i*10; two single-file batches split at 50. */
+  private def freshKeyedTable(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    val t = d.getAbsolutePath + "/t"
+    LayoutIngest.bootstrap(spark, t, LayoutIngest.Grid(
+      Seq("a", "b"), Seq((0L, 99L), (0L, 99L)), bits = 4,
+      bloomCols = Seq("doc")))
+    def frame(r: Range) = r.map(i =>
+        (i.toLong, i.toLong, if (i == 7) null else s"doc-$i", i * 10L))
+      .toDF("a", "b", "doc", "v")
+    LayoutIngest.ingestBatch(frame(0 to 49), 0L, t, 1): Unit
+    LayoutIngest.ingestBatch(frame(50 to 99), 1L, t, 1): Unit
+    t
+  }
+
+  test("deleteKeys removes exactly the keyed rows, bloom-prunes the " +
+      "unit selection, keeps NULL-keyed rows, and is idempotent") {
+    val t = freshKeyedTable("delk-api")
+    // doc-10 lives in batch 0's unit only; batch 1's bloom excludes it
+    assert(LayoutIngest.deleteKeys(spark, t, "doc", Seq("doc-10"),
+      deleteId = 0L))
+    val rewritten = Option(new java.io.File(s"$t/data").list()).get
+      .count(_.startsWith("gen-delk0-"))
+    assert(rewritten === 1,
+      s"bloom must exempt the other unit, rewrote $rewritten")
+    val docs = LayoutIngest.read(spark, t)
+      .select("doc").as[Option[String]].collect()
+    assert(docs.length === 99 && !docs.contains(Some("doc-10")))
+    assert(docs.count(_.isEmpty) === 1, "the NULL-keyed row is KEPT")
+    // replay of the same id is a marker no-op
+    assert(!LayoutIngest.deleteKeys(spark, t, "doc", Seq("doc-10"), 0L))
+    // a second statement auto-mints past the first; multi-key +
+    // record-hostile key content (tab/newline/unicode) round-trips
+    LayoutIngest.ingestBatch(
+      Seq((3L, 3L, "we\tird\nkeyé", 1L)).toDF("a", "b", "doc", "v"),
+      2L, t, 1): Unit
+    val id = LayoutIngest.deleteKeysNext(spark, t, "doc",
+      Seq("doc-20", "we\tird\nkeyé", "absent"))
+    assert(id === 1L)
+    val left = LayoutIngest.read(spark, t)
+      .select("doc").as[Option[String]].collect()
+    assert(left.length === 98 &&
+      !left.contains(Some("doc-20")) &&
+      !left.contains(Some("we\tird\nkeyé")))
+    assert(LayoutIngest.history(spark, t)
+      .filter(col("kind") === "delete_keys").count() === 2L)
+    // long keys work through the same surface (stats + bloom types)
+    val tl = freshTable("delk-long")
+    assert(LayoutIngest.deleteKeys(spark, tl, "a", Seq(5L, 95L), 0L))
+    assert(LayoutIngest.read(spark, tl).select("a").as[Long]
+      .collect().toSet === ((0L to 99L).toSet -- Set(5L, 95L)))
+    // refusals: null key, unknown column, mistyped keys
+    intercept[IllegalArgumentException](
+      LayoutIngest.deleteKeys(spark, t, "doc", Seq("x", null), 9L))
+    intercept[IllegalArgumentException](
+      LayoutIngest.deleteKeys(spark, t, "nope", Seq("x"), 9L))
+    intercept[IllegalArgumentException](
+      LayoutIngest.deleteKeys(spark, t, "v", Seq("x"), 9L))
+  }
+
+  test("a keyed delete REPLAYS on replicas scoped to the batches it " +
+      "saw; fresh bootstraps stamp; chained replicas converge; the " +
+      "fold keeps it replayable") {
+    val src = freshKeyedTable("delk-repl")
+    val dst = src.stripSuffix("/t") + "/r"
+    val dst3 = src.stripSuffix("/t") + "/r3"
+    assert(LayoutIngest.replicate(spark, src, dst).batchesPulled === 2)
+    assert(LayoutIngest.replicate(spark, dst, dst3).batchesPulled === 2)
+    // the statement; then the SAME key re-appears in a LATER batch —
+    // the upto scope must keep the re-added row alive on every replica
+    assert(LayoutIngest.deleteKeys(spark, src, "doc",
+      Seq("doc-30", "doc-77"), deleteId = 0L))
+    LayoutIngest.ingestBatch(
+      Seq((30L, 30L, "doc-30", 999L)).toDF("a", "b", "doc", "v"),
+      2L, src, 1): Unit
+    val st = LayoutIngest.replicate(spark, src, dst)
+    assert(st.batchesPulled === 1 && st.dmlReplayed === 1,
+      s"one pull + one keyed replay, got $st")
+    assert(snapKeyed(dst) === snapKeyed(src),
+      "replica must equal source bytes (keys deleted, re-add kept)")
+    assert(LayoutIngest.read(spark, dst).filter(col("doc") === "doc-30")
+      .count() === 1L, "the re-added doc-30 survives the scoped replay")
+    // fresh bootstrap: statement stamps applied without rewriting
+    val dst2 = src.stripSuffix("/t") + "/r2"
+    val st2 = LayoutIngest.replicate(spark, src, dst2)
+    assert(st2.dmlSkippedAsBootstrap === 1 && st2.batchesPulled === 3,
+      s"got $st2")
+    assert(snapKeyed(dst2) === snapKeyed(src))
+    // chained: dst3 replays the keyed statement out of dst's sdml
+    // record (the payload tag, not the kind, marks it)
+    val st3 = LayoutIngest.replicate(spark, dst, dst3)
+    assert(st3.dmlReplayed === 1 && st3.batchesPulled === 1,
+      s"chained keyed replay, got $st3")
+    assert(snapKeyed(dst3) === snapKeyed(src))
+    // the marker fold keeps the record replayable: fold on the source,
+    // a brand-new replica still refuses nothing and converges
+    LayoutIngest.compactDmlMarkers(spark, src): Unit
+    assert(!new java.io.File(s"$src/markers/delk-0").exists(),
+      "premise: the fold retired the live delk marker")
+    val dst4 = src.stripSuffix("/t") + "/r4"
+    LayoutIngest.replicate(spark, src, dst4): Unit
+    assert(snapKeyed(dst4) === snapKeyed(src))
+  }
+
+  private def snapKeyed(dir: String)
+      : Set[(Long, Long, Option[String], Long, Long, Long)] =
+    LayoutIngest.readSince(spark, dir, -1L)
+      .select("a", "b", "doc", "v", "zkey", "__batch")
+      .as[(Long, Long, Option[String], Long, Long, Long)].collect().toSet
+
   test("environment-bound assignments refuse at RECORD time (API), " +
       "and a foreign writer's record refuses at REPLAY time") {
     def refuses(f: => Any, needle: String): Unit = {

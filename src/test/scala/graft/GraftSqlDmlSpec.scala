@@ -497,7 +497,9 @@ class GraftSqlDmlSpec extends SparkSpec {
       assert(msgs(e).exists(_.contains(needle)),
         s"$sql -> ${msgs(e).mkString(" | ")}")
     }
-    refuses("DELETE FROM sref WHERE s = 'v3'", "not a conjunction")
+    // string POINT shapes route to the keyed delete now; a string
+    // RANGE has no keyed or box form and still refuses
+    refuses("DELETE FROM sref WHERE s > 'v3'", "not a conjunction")
     // OR is supported only BETWEEN whole conjunctions — nested under
     // an AND it is not a box
     refuses("DELETE FROM sref WHERE a = 1 AND (b = 2 OR b = 3)",
@@ -567,6 +569,63 @@ class GraftSqlDmlSpec extends SparkSpec {
     refuses("DELETE FROM sref_asof WHERE a = 1", "reads of history")
     // nothing above mutated the table
     assert(LayoutIngest.read(spark, dir).count() === 51L)
+  }
+
+  test("STRING point DELETE routes to the keyed delete: =, IN, " +
+      "top-level OR; NULL literals drop exactly; everything else " +
+      "still refuses or takes the box path") {
+    val dir = freshTable("sqldml-strdel")
+    view(dir, "sdoc")
+    def kinds(k: String): Long = LayoutIngest.history(spark, dir)
+      .filter(col("kind") === k).count()
+    spark.sql("DELETE FROM sdoc WHERE s = 'v3'")
+    assert(kinds("delete_keys") === 1L && kinds("delete") === 0L,
+      "a string point delete must be a keyed op, not a box op")
+    assert(LayoutIngest.read(spark, dir).filter(col("s") === "v3")
+      .count() === 0L)
+    // IN with a NULL element: SQL three-valued IN — only the non-null
+    // keys delete; a list of ONLY NULLs is a clean no-op (no id)
+    spark.sql("DELETE FROM sdoc WHERE s IN ('v5', NULL, 'v6')")
+    assert(LayoutIngest.read(spark, dir)
+      .filter(col("s").isin("v5", "v6")).count() === 0L)
+    assert(kinds("delete_keys") === 2L)
+    spark.sql("DELETE FROM sdoc WHERE s IN (CAST(NULL AS STRING))")
+    assert(kinds("delete_keys") === 2L,
+      "an all-NULL key list deletes nothing and mints nothing")
+    // top-level OR of same-column point shapes = ONE keyed statement
+    spark.sql("DELETE FROM sdoc WHERE s = 'v8' OR s IN ('v9', 'v8')")
+    assert(kinds("delete_keys") === 3L)
+    assert(LayoutIngest.read(spark, dir)
+      .filter(col("s").isin("v8", "v9")).count() === 0L)
+    assert(LayoutIngest.read(spark, dir).count() === 51L - 5L)
+    // a LONG point delete still takes the box path (exact as before)
+    spark.sql("DELETE FROM sdoc WHERE a IN (30, 31)")
+    assert(kinds("delete") === 1L && kinds("delete_keys") === 3L)
+    // refusals: string shapes with no exact keyed form
+    def refuses(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains(needle)),
+        s"$sql -> ${msgs(e).mkString(" | ")}")
+    }
+    refuses("DELETE FROM sdoc WHERE s != 'v1'", "not a conjunction")
+    refuses("DELETE FROM sdoc WHERE s = 'v1' AND a = 1",
+      "not a conjunction")
+    refuses("DELETE FROM sdoc WHERE s = 'v1' OR a = 1",
+      "not a conjunction")
+    refuses("DELETE FROM sdoc WHERE s LIKE 'v1%'", "not a conjunction")
+    // SQL ≡ the deleteKeys API twin
+    val dirApi = freshTable("sqldml-strdel-api")
+    LayoutIngest.deleteKeys(spark, dirApi, "s",
+      Seq("v3", "v5", "v6", "v8", "v9"), 0L): Unit
+    LayoutIngest.deleteBox(spark, dirApi,
+      Seq(("a", 30L, 31L)), 0L): Unit
+    assert(LayoutIngest.read(spark, dir).select("a", "s", "zkey")
+        .as[(Long, String, Long)].collect().toSet ===
+      LayoutIngest.read(spark, dirApi).select("a", "s", "zkey")
+        .as[(Long, String, Long)].collect().toSet)
   }
 
   test("environment-bound UPDATE assignments are refused typed: the " +
