@@ -9524,6 +9524,124 @@ WHERE rk <= 40"""
        |SELECT event_id, $terms AS zkey, value FROM q""".stripMargin
   }
 
+  /** PARTIAL-COLUMN SQL MERGE — the r18 verdict's #2 ("the single
+    * most common MERGE shape users write"): `UPDATE SET value = ...`
+    * leaving user_id/ts_us INTACT, through the synthesis path
+    * ([[graft.sql.GraftMergeCommand]]: matched source rows join the
+    * target's current rows — key-pushdown pruned through the
+    * event_id bloom — and unassigned columns keep the target's
+    * values). Two statements: an ACCUMULATOR merge
+    * (`SET value = t.value + s.value`, reading BOTH sides) whose
+    * source carries DECOY corner user_id/ts_us that a whole-row merge
+    * would have applied — the hash catches any leak because zkey
+    * recomputes from the kept coordinates — plus one corner insert
+    * (the INSERT side takes the source whole); then a plain partial
+    * `SET value = s.value` on a sixth key. The oracle re-derives the
+    * CASE cascade in DuckDB. */
+  val q200SqlMergePartial: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val root = streamIndexDir("q200", dir, "events")
+    val tableDir = s"$root/table"
+    val b = ev.agg(min("user_id"), max("user_id"),
+      min("ts_us"), max("ts_us"), min("event_id"), max("event_id"))
+      .head()
+    val (umn, umx, tmn, tmx) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val (emn, emx) = (b.getLong(4), b.getLong(5))
+    val accIds = (1 to 5).map(k => emn + (emx - emn) * k / 7)
+    val plainId = emn + (emx - emn) * 6 / 7
+    if (!new java.io.File(s"$tableDir/grid").exists()) {
+      graft.streaming.LayoutIngest.bootstrap(s, tableDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"), Seq((umn, umx), (tmn, tmx)),
+          bits = 16, bloomCols = Seq("event_id")))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, tableDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.compact(s, tableDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L,
+          parquetBytes(new java.io.File(s"$tableDir/data")) / 8))
+    }
+    val merged = Option(new java.io.File(s"$tableDir/markers").list())
+      .exists(_.exists(_.startsWith("merge-")))
+    if (!merged) {
+      // DECOY coordinates: a whole-row merge would move these rows to
+      // the domain corner; the partial SET must keep the originals
+      ev.filter(col("event_id").isInCollection(accIds))
+        .select(col("event_id"), lit(umn).as("user_id"),
+          lit(tmn).as("ts_us"), (col("value") * 2).as("value"))
+        .unionByName(s.range(1).select(
+          (lit(emx + 1000L) + col("id")).as("event_id"),
+          lit(umn).as("user_id"), lit(tmn).as("ts_us"),
+          lit(42.0).as("value")))
+        .createOrReplaceTempView("q200_src")
+      s.read.format("graft-layout").load(tableDir)
+        .createOrReplaceTempView("q200_t")
+      s.sql("""MERGE INTO q200_t USING q200_src
+        |ON q200_t.event_id = q200_src.event_id
+        |WHEN MATCHED THEN UPDATE
+        |  SET value = q200_t.value + q200_src.value
+        |WHEN NOT MATCHED THEN
+        |  INSERT (event_id, user_id, ts_us, value)
+        |  VALUES (q200_src.event_id, q200_src.user_id,
+        |    q200_src.ts_us, q200_src.value)""".stripMargin)
+      ev.filter(col("event_id") === plainId)
+        .select(col("event_id"), lit(umn).as("user_id"),
+          lit(tmn).as("ts_us"), lit(7.5).as("value"))
+        .createOrReplaceTempView("q200_src2")
+      s.sql("""MERGE INTO q200_t USING q200_src2
+        |ON q200_t.event_id = q200_src2.event_id
+        |WHEN MATCHED THEN UPDATE SET value = q200_src2.value
+        |WHEN NOT MATCHED THEN
+        |  INSERT (event_id, user_id, ts_us, value)
+        |  VALUES (q200_src2.event_id, q200_src2.user_id,
+        |    q200_src2.ts_us, q200_src2.value)""".stripMargin)
+      require(graft.streaming.LayoutIngest.history(s, tableDir)
+          .filter(col("kind") === "merge").count() == 2L,
+        "q200 premise: two partial MERGE statements = two merge ops")
+    }
+    graft.streaming.LayoutIngest.read(s, tableDir)
+      .select(col("event_id"), col("zkey"), col("value"))
+  }
+
+  val q200Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx,
+       |    MIN(event_id) AS emn, MAX(event_id) AS emx
+       |  FROM events),
+       |k AS (
+       |  SELECT (SELECT emn FROM b) +
+       |    ((SELECT emx FROM b) - (SELECT emn FROM b)) * j // 7 AS kid
+       |  FROM range(1, 6) t(j)),
+       |q AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy,
+       |    CASE WHEN event_id = (SELECT emn FROM b) +
+       |        ((SELECT emx FROM b) - (SELECT emn FROM b)) * 6 // 7
+       |      THEN 7.5
+       |    WHEN event_id IN (SELECT kid FROM k)
+       |      THEN value * 3
+       |    ELSE value END AS value
+       |  FROM events)
+       |SELECT event_id, $terms AS zkey, value FROM q
+       |UNION ALL
+       |SELECT (SELECT emx + 1000 FROM b) AS event_id,
+       |  CAST(0 AS BIGINT) AS zkey, 42.0 AS value""".stripMargin
+  }
+
   /** READER VISIBILITY through a slow multi-unit merge — the gate for
     * the append-first rework's central claim
     * ([[graft.streaming.LayoutIngest.mergeRows]] doc item 4): a
@@ -10180,7 +10298,10 @@ WHERE rk <= 40"""
     "q198_replica_merge" -> (q198ReplicaMerge, Some(q198Sql)),
     // q199: string-keyed SQL DELETE (the doc-id takedown) —
     // bloom-pruned, recorded, replayed on a replica
-    "q199_sql_delete_keys" -> (q199SqlDeleteKeys, Some(q199Sql)))
+    "q199_sql_delete_keys" -> (q199SqlDeleteKeys, Some(q199Sql)),
+    // q200: partial-column MERGE UPDATE SET (accumulator + plain) via
+    // the matched-rows synthesis join
+    "q200_sql_merge_partial" -> (q200SqlMergePartial, Some(q200Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

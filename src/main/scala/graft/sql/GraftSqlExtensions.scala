@@ -58,15 +58,24 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
  *    drop out exactly (three-valued IN).
  *  - `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED [AND c] THEN
  *    UPDATE SET ... WHEN NOT MATCHED [AND c] THEN INSERT ...` — the
- *    WHOLE-ROW upsert ([[LayoutIngest.mergeRows]]'s contract: a
- *    matched row is REPLACED): both actions must assign every
- *    payload column, agree with each other, and reference only source
- *    columns; the INSERT must key on the ON condition's source key.
- *    Action conditions must be source-only. The SAME condition on
- *    both actions runs as an exact source pre-filter; a ONE-SIDED or
- *    per-side condition splits the source on target-key membership
- *    (one join against the target's distinct keys) and gates each
- *    side independently — still exact ([[GraftMergeCommand]]).
+ *    row-keyed upsert ([[LayoutIngest.mergeRows]]). The INSERT must
+ *    assign every payload column from source-only expressions and key
+ *    on the ON condition's source key. The UPDATE may be PARTIAL
+ *    (`SET value = s.value` — unassigned columns keep the target's
+ *    current value) and may READ TARGET columns
+ *    (`SET hits = t.hits + s.inc` — the accumulator shape), as may
+ *    the MATCHED gate (`WHEN MATCHED AND t.v < 0`); those shapes join
+ *    matched source rows to the target's current rows inside the
+ *    command and synthesize the full replacement row, key-pushdown-
+ *    pruned and bracketed by the [[LayoutIngest.ledgerStamp]]
+ *    classification guard. The NOT-MATCHED gate stays source-only.
+ *    When the UPDATE assigns every payload column source-only and
+ *    agrees with the INSERT, the statement runs WHOLE-ROW with no
+ *    target read: the SAME condition on both actions is an exact
+ *    source pre-filter; a ONE-SIDED or per-side condition splits the
+ *    source on target-key membership (one join against the target's
+ *    distinct keys) and gates each side independently — still exact
+ *    ([[GraftMergeCommand]]).
  *    A provably-empty DELETE/UPDATE condition (contradictory
  *    conjunction, no-op NOT BETWEEN) runs as a clean no-op — no
  *    rewrite, no ledger entry.
@@ -646,56 +655,48 @@ private[graft] object DmlTranslate {
         s"WHEN NOT MATCHED must be exactly one INSERT " +
           s"(got ${other.map(_.getClass.getSimpleName).mkString(", ")})")
     }
-    // conditional actions, source-only conditions either way. The
-    // SYMMETRIC case (both actions gate on the SAME condition) runs as
-    // a plain source pre-filter — no join. ONE-SIDED or DISAGREEING
-    // conditions are NOT a pre-filter (a non-matching row failing a
-    // matched-only gate must still insert), but they ARE exact under a
-    // per-side split: decide each source row's side by target-key
-    // membership (ONE left-outer join against the target's distinct
-    // keys inside the command), gate each side by its own condition,
-    // and upsert the union. Target-COLUMN conditions stay refused —
-    // the whole-row upsert never reads matched target rows.
-    def srcOnly(c: Expression, side: String): Expression = {
+    // gates: subqueries refused on both sides (they would re-plan
+    // outside their statement inside the command's DataFrame filters);
+    // the NOT-MATCHED gate must be source-only (an unmatched row HAS
+    // no target row to read); the MATCHED gate MAY read target columns
+    // ("update only if the current value ...") — that routes through
+    // the partial/join path below, where the matched side carries the
+    // target row.
+    (matchedCond.toSeq ++ insertCond.toSeq).foreach { c =>
+      if (c.exists(_.isInstanceOf[SubqueryExpression])) err(
+        s"conditional MERGE gate '${c.sql}' contains a subquery — " +
+          "gate on the statement's own columns, or pre-filter the " +
+          "source by hand")
+    }
+    insertCond.foreach { c =>
       require(c.references.subsetOf(sourceOut),
-        s"graft-layout MERGE: WHEN $side condition '${c.sql}' " +
-          "references target columns — a whole-row upsert never reads " +
-          "matched target rows; gate on source columns only")
-      c
+        s"graft-layout MERGE: WHEN NOT MATCHED AND condition " +
+          s"'${c.sql}' references target columns — an unmatched row " +
+          "has no target row to read; gate on source columns only")
     }
-    val (preFilter, sideGate) = (matchedCond, insertCond) match {
-      case (None, None) => (None, None)
-      case (Some(a), Some(b)) if a.semanticEquals(b) =>
-        (Some(srcOnly(a, "MATCHED AND/NOT MATCHED AND")), None)
-      case (mc, ic) =>
-        val g = (mc.map(srcOnly(_, "MATCHED AND")),
-          ic.map(srcOnly(_, "NOT MATCHED AND")))
-        // the split's per-side gates evaluate as DataFrame filter
-        // columns over the joined frame — a correlated subquery there
-        // would re-plan outside its statement; keep those on the API
-        (mc.toSeq ++ ic.toSeq).foreach { c =>
-          if (c.exists(_.isInstanceOf[SubqueryExpression])) err(
-            s"conditional MERGE gate '${c.sql}' contains a subquery — " +
-              "gate on the source's own columns, or pre-filter the " +
-              "source by hand")
-        }
-        (None, Some(g))
-    }
-    def toMap(as: Seq[Assignment], which: String)
-        : Map[String, Expression] =
+    def toMap(as: Seq[Assignment], which: String,
+        allowTarget: Boolean): Map[String, Expression] =
       as.map {
         case Assignment(k: AttributeReference, v) =>
-          require(v.references.subsetOf(sourceOut),
+          if (!allowTarget) require(v.references.subsetOf(sourceOut),
             s"graft-layout MERGE: $which assignment to '${k.name}' " +
-              s"references target columns (${v.sql}) — a whole-row " +
-              "upsert reads only the source")
+              s"references target columns (${v.sql}) — an inserted " +
+              "row has no target row to read")
+          if (v.exists(_.isInstanceOf[SubqueryExpression])) err(
+            s"$which assignment to '${k.name}' contains a subquery — " +
+              "only expressions over the statement's own columns")
           k.name -> v
         case Assignment(k, _) => err(
           s"$which assigns a non-column target '${k.sql}' — only " +
             "flat payload columns are assignable")
       }.toMap
-    val u = toMap(uas, "UPDATE")
-    val i = toMap(ias, "INSERT")
+    // UPDATE SET may read target columns (SET v = t.v + s.inc — the
+    // accumulator shape): the command joins matched source rows to the
+    // target's CURRENT rows, and mergeRows snapshots the evaluated
+    // frame before recording, so replays and replicas see the pinned
+    // values, never a re-evaluation
+    val u = toMap(uas, "UPDATE", allowTarget = true)
+    val i = toMap(ias, "INSERT", allowTarget = false)
     // the INSERT must key on the ON condition's source key; an UPDATE
     // key assignment, if present, must agree (key rewrites aren't
     // upserts)
@@ -715,38 +716,61 @@ private[graft] object DmlTranslate {
           s"'$keyCol' to '${v.sql}' — key rewrites are not upserts; " +
           "delete + insert instead")
     }
-    // whole-row contract: both actions assign every payload column and
-    // agree — SQL's "unassigned UPDATE column keeps its old value"
-    // cannot hold when a matched row is REPLACED, so partial SETs are
-    // refused rather than silently nulled
+    // the INSERT side must still assign every payload column (an
+    // inserted row has no old values to keep); assignments to the
+    // computed cluster key are discarded (the INSERT INTO convention)
     val payload = rel.schema.fieldNames.toSeq
       .filterNot(c => c == LayoutIngest.KeyCol || c == keyCol)
     payload.foreach { c =>
-      (u.get(c), i.get(c)) match {
-        case (Some(uv), Some(iv)) =>
-          require(uv.semanticEquals(iv),
-            s"graft-layout MERGE: column '$c' is assigned " +
-              s"'${uv.sql}' on MATCH but '${iv.sql}' on NOT MATCH — " +
-              "mergeRows lands ONE updates row per key, so both " +
-              "paths must agree")
-        case (None, _) => err(
-          s"UPDATE SET must assign every payload column (missing " +
-            s"'$c') — a matched row is REPLACED whole; partial " +
-            "updates need the API")
-        case (_, None) => err(
-          s"INSERT must assign every payload column (missing '$c')")
-      }
+      if (!i.contains(c)) err(
+        s"INSERT must assign every payload column (missing '$c')")
     }
-    // assignments to the computed cluster key are discarded (the
-    // INSERT INTO convention); everything else was validated above.
-    // The validated symmetric condition lands as a Filter over the
-    // analyzed source plan — the exact "pre-filter the source" rewrite
-    // the unconditional contract's refusal used to point at.
-    val src = preFilter.map(Filter(_, m.sourceTable))
-      .getOrElse(m.sourceTable)
-    GraftMergeCommand(rel.tableDir, keyCol, src,
-      (keyCol -> (srcKey: Expression)) +: payload.map(c => c -> i(c)),
-      sideGate)
+    // TWO execution shapes. WHOLE-ROW (the fast path, no target read):
+    // the UPDATE assigns every payload column, source-only, agreeing
+    // with the INSERT, and the MATCHED gate (if any) is source-only —
+    // one updates row per key serves both sides; a symmetric gate runs
+    // as a plain source pre-filter, one-sided gates split on
+    // target-key membership. PARTIAL (everything else — a partial SET
+    // keeping unassigned target values, a target-reading assignment,
+    // sides that disagree, a target-reading MATCHED gate): the command
+    // joins matched source rows to the target's current rows and
+    // synthesizes the full replacement row (`matchedSets`), bracketed
+    // by the ledgerStamp classification guard.
+    val mcSourceOnly =
+      matchedCond.forall(_.references.subsetOf(sourceOut))
+    val wholeRow = mcSourceOnly &&
+      u.values.forall(_.references.subsetOf(sourceOut)) &&
+      payload.forall(c => u.get(c).exists(uv =>
+        i.get(c).exists(uv.semanticEquals)))
+    val insertCols =
+      (keyCol -> (srcKey: Expression)) +: payload.map(c => c -> i(c))
+    if (wholeRow) {
+      val (preFilter, sideGate) = (matchedCond, insertCond) match {
+        case (None, None) => (None, None)
+        case (Some(a), Some(b)) if a.semanticEquals(b) => (Some(a), None)
+        case (mc, ic) => (None, Some((mc, ic)))
+      }
+      val src = preFilter.map(Filter(_, m.sourceTable))
+        .getOrElse(m.sourceTable)
+      GraftMergeCommand(rel.tableDir, keyCol, src, insertCols, sideGate)
+    } else {
+      // target attribute references (in assignments and the matched
+      // gate) re-bind BY NAME against the command's re-read of the
+      // target, renamed under the reserved __graft_t_ prefix — the
+      // statement's own relation instance does not survive into run()
+      def retag(e: Expression): Expression = e.transform {
+        case a: AttributeReference if target.outputSet.contains(a) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(s"__graft_t_${a.name}")
+      }
+      val matchedSets = (u - keyCol - LayoutIngest.KeyCol).toSeq
+        .map { case (c, e) => c -> retag(e) }
+      GraftMergeCommand(rel.tableDir, keyCol, m.sourceTable, insertCols,
+        sideGate =
+          if (matchedCond.isEmpty && insertCond.isEmpty) None
+          else Some((matchedCond.map(retag), insertCond)),
+        matchedSets = Some(matchedSets))
+    }
   }
 }
 
@@ -854,6 +878,21 @@ private[graft] case class GraftUpdateCommand(dir: String,
   * inserts. NULL source keys never match (SQL ON semantics) and land
   * on the insert side.
   *
+  * `matchedSets` switches to the PARTIAL path (partial `UPDATE SET`,
+  * target-reading assignments, sides that disagree, a target-reading
+  * matched gate): matched source rows join the target's CURRENT rows
+  * — renamed `__graft_t_*`; target refs in the statement were
+  * re-tagged to those names at translation — and each payload column
+  * takes its assignment if present, else the target's value; the
+  * unmatched side inserts through `cols` as usual, and the union runs
+  * [[LayoutIngest.mergeRows]]. The target read pushes the source's
+  * key set as an IN filter when probe-sized, so the relation's
+  * bloom/stats pushdown prunes the scan to the hit units (exact for
+  * this statement's questions: a source key is in the pruned target
+  * iff it is in the target). mergeRows snapshots the synthesized
+  * frame before recording, so replays and replicas see the pinned
+  * values — a target-reading assignment replays exactly.
+  *
   * SERIALIZABLE under concurrency: the membership read and the merge
   * commit are bracketed by [[LayoutIngest.ledgerStamp]] — the stamp
   * observed BEFORE the classification join rides into
@@ -869,53 +908,116 @@ private[graft] case class GraftUpdateCommand(dir: String,
   * should have been subject to). */
 private[graft] case class GraftMergeCommand(dir: String, keyCol: String,
     source: LogicalPlan, cols: Seq[(String, Expression)],
-    sideGate: Option[(Option[Expression], Option[Expression])] = None)
+    sideGate: Option[(Option[Expression], Option[Expression])] = None,
+    matchedSets: Option[Seq[(String, Expression)]] = None)
   extends LeafRunnableCommand {
+
+  /** Above this many distinct source keys the partial path's target
+    * read stops pushing an IN-set filter (the bloom/stats pruning
+    * lever) and scans the table — still correct; a merge that large is
+    * near the [[LayoutIngest]] MaxMergeKeys refusal anyway. */
+  private val KeyPushdownMax = 1 << 16
+
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.col
     val base = ColumnBridge.ofRows(sparkSession, source)
     def updatesOf(src: org.apache.spark.sql.DataFrame) = src.select(
       cols.map { case (n, e) => ColumnBridge.of(e).as(n) }: _*)
-    sideGate match {
-      case None =>
-        LayoutIngest.mergeRowsNext(sparkSession, dir, keyCol,
-          updatesOf(base)): Unit
-      case Some((mc, ic)) =>
-        val tk = "__graft_target_key"
-        require(!base.columns.contains(tk),
-          s"graft-layout MERGE: source carries reserved column '$tk'")
-        var attempts = 0
-        var committed = false
-        while (!committed) {
-          // stamp FIRST, classify after: a write committing between
-          // the two is caught by the claim-time re-read (the stamp it
-          // sees differs), never silently raced past
-          val stamp = LayoutIngest.ledgerStamp(sparkSession, dir)
-          val tgtKeys = sparkSession.read.format("graft-layout")
-            .option("path", dir).load()
-            .select(col(keyCol).as(tk)).distinct()
+    if (sideGate.isEmpty && matchedSets.isEmpty) {
+      // whole-row, unconditional: one updates row per key, no target
+      // read, no classification to guard
+      LayoutIngest.mergeRowsNext(sparkSession, dir, keyCol,
+        updatesOf(base)): Unit
+      return Seq.empty
+    }
+    require(!base.columns.exists(_.startsWith("__graft")),
+      "graft-layout MERGE: source carries a __graft-prefixed column — " +
+        "that prefix is reserved for the command's internal join names")
+    val (mc, ic) = sideGate.getOrElse((None, None))
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      // stamp FIRST, classify after: a write committing between the
+      // two is caught by the claim-time re-read (the stamp it sees
+      // differs), never silently raced past
+      val stamp = LayoutIngest.ledgerStamp(sparkSession, dir)
+      val tgtAll = sparkSession.read.format("graft-layout")
+        .option("path", dir).load()
+      val updates = matchedSets match {
+        case None =>
+          // whole-row with one-sided/per-side gates: split the source
+          // on target-key membership (one join against the DISTINCT
+          // keys — never a scan of target payload), gate each side
+          val tk = "__graft_target_key"
+          val tgtKeys = tgtAll.select(col(keyCol).as(tk)).distinct()
           val joined = base.join(tgtKeys,
             ColumnBridge.of(cols.head._2) === col(tk), "left_outer")
           val matched = col(tk).isNotNull
-          def gate(c: Option[Expression]) =
-            c.map(ColumnBridge.of).getOrElse(lit(true))
-          val src = joined.filter((matched && gate(mc)) ||
+          def gate(c: Option[Expression]) = c.map(ColumnBridge.of)
+            .getOrElse(org.apache.spark.sql.functions.lit(true))
+          updatesOf(joined.filter((matched && gate(mc)) ||
               (!matched && gate(ic)))
-            .select(source.output.map(ColumnBridge.of): _*)
-          try {
-            LayoutIngest.mergeRowsNext(sparkSession, dir, keyCol,
-              updatesOf(src), classifiedAt = Some(stamp)): Unit
-            committed = true
-          } catch {
-            case e: LayoutIngest.StaleClassificationException =>
-              attempts += 1
-              require(attempts < 16,
-                s"graft-layout MERGE: the classification read went " +
-                  s"stale $attempts times on $dir — a pathological " +
-                  s"storm of concurrent writers (last: ${e.getMessage})")
-          }
-        }
+            .select(source.output.map(ColumnBridge.of): _*))
+        case Some(sets) =>
+          // PARTIAL path: matched source rows join the target's
+          // CURRENT rows (renamed __graft_t_*) to synthesize the full
+          // replacement row — assigned columns from the statement
+          // (which may read both sides), unassigned columns keep the
+          // target's value. The source pins once (localCheckpoint) so
+          // the key pushdown, both joins and the final union read the
+          // same rows. When the key set is probe-sized, the target
+          // read pushes an IN-set filter — the relation's bloom/stats
+          // pushdown prunes the scan to the hit units (the 100 TB
+          // shape: the target never scans whole for a bounded
+          // correction).
+          val snap = base.localCheckpoint(true)
+          val keyExpr = ColumnBridge.of(cols.head._2)
+          val someKeys = snap.select(keyExpr.as("__graft_k")).distinct()
+            .limit(KeyPushdownMax + 1).collect()
+          val tgt0 =
+            if (someKeys.length > KeyPushdownMax) tgtAll
+            else {
+              val ks = someKeys.toSeq.map(_.get(0)).filter(_ != null)
+              // pruned EXACTLY for this statement's questions: every
+              // source key is in tgt0 iff it is in the target, and
+              // matched rows join only on source keys
+              if (ks.isEmpty)
+                tgtAll.filter(org.apache.spark.sql.functions.lit(false))
+              else tgtAll.filter(col(keyCol).isin(ks: _*))
+            }
+          val tgtRen = tgt0.select(tgt0.columns.toSeq.map(c =>
+            col(c).as(s"__graft_t_$c")): _*)
+          val setMap = sets.toMap
+          val matched0 = snap.join(tgtRen,
+            keyExpr === col(s"__graft_t_$keyCol"), "inner")
+          val matchedG = mc.map(e => matched0.filter(ColumnBridge.of(e)))
+            .getOrElse(matched0)
+          val matchedSel = matchedG.select(cols.map { case (n, e) =>
+            (if (n == keyCol) ColumnBridge.of(e)
+             else setMap.get(n).map(ColumnBridge.of)
+               .getOrElse(col(s"__graft_t_$n"))).as(n)
+          }: _*)
+          val tgtKeys = tgt0.select(col(keyCol).as("__graft_tk"))
+            .distinct()
+          val unmatched0 = snap.join(tgtKeys,
+            keyExpr === col("__graft_tk"), "left_anti")
+          val unmatchedG = ic.map(e =>
+            unmatched0.filter(ColumnBridge.of(e))).getOrElse(unmatched0)
+          matchedSel.unionByName(updatesOf(unmatchedG))
+      }
+      try {
+        LayoutIngest.mergeRowsNext(sparkSession, dir, keyCol,
+          updates, classifiedAt = Some(stamp)): Unit
+        committed = true
+      } catch {
+        case e: LayoutIngest.StaleClassificationException =>
+          attempts += 1
+          require(attempts < 16,
+            s"graft-layout MERGE: the classification read went " +
+              s"stale $attempts times on $dir — a pathological " +
+              s"storm of concurrent writers (last: ${e.getMessage})")
+      }
     }
     Seq.empty
   }

@@ -505,10 +505,13 @@ class GraftSqlDmlSpec extends SparkSpec {
     refuses("DELETE FROM sref WHERE a = 1 AND (b = 2 OR b = 3)",
       "not a conjunction")
     refuses("DELETE FROM sref WHERE a + 1 = 2", "not a conjunction")
+    // a partial UPDATE SET is supported now (the synthesis path);
+    // the INSERT side must still assign everything — an inserted row
+    // has no old values to keep
     refuses("""MERGE INTO sref USING sref_src ON sref.a = sref_src.a
-      WHEN MATCHED THEN UPDATE SET b = sref_src.b
-      WHEN NOT MATCHED THEN INSERT (a, b, s)
-        VALUES (sref_src.a, sref_src.b, sref_src.s)""",
+      WHEN MATCHED THEN UPDATE SET b = sref_src.b, s = sref_src.s
+      WHEN NOT MATCHED THEN INSERT (a, b)
+        VALUES (sref_src.a, sref_src.b)""",
       "assign every payload column")
     refuses("""MERGE INTO sref USING sref_src ON sref.a = sref_src.a
       WHEN MATCHED THEN DELETE""", "exactly one UPDATE")
@@ -525,12 +528,15 @@ class GraftSqlDmlSpec extends SparkSpec {
       WHEN NOT MATCHED THEN INSERT (a, b, s)
         VALUES (sref_src.a, sref_src.b, sref_src.s)""",
       "reassigns the merge key")
-    // UPDATE may not read target columns (whole-row replace)
+    // UPDATE assignments may read target columns now (the synthesis
+    // path); a SUBQUERY in an assignment still refuses — it would
+    // re-plan outside its statement
     refuses("""MERGE INTO sref USING sref_src ON sref.a = sref_src.a
-      WHEN MATCHED THEN UPDATE SET b = sref.b + 1, s = sref_src.s
+      WHEN MATCHED THEN UPDATE SET b = (SELECT MAX(b) FROM sref_src),
+        s = sref_src.s
       WHEN NOT MATCHED THEN INSERT (a, b, s)
         VALUES (sref_src.a, sref_src.b, sref_src.s)""",
-      "references target columns")
+      "contains a subquery")
     // UPDATE of a GRID column is refused typed (it decides where the
     // row lives), not Spark's generic unsupported-operation error
     refuses("UPDATE sref SET b = 1 WHERE a = 2",
@@ -569,6 +575,72 @@ class GraftSqlDmlSpec extends SparkSpec {
     refuses("DELETE FROM sref_asof WHERE a = 1", "reads of history")
     // nothing above mutated the table
     assert(LayoutIngest.read(spark, dir).count() === 51L)
+  }
+
+  test("PARTIAL MERGE UPDATE SET keeps unassigned target columns; " +
+      "target-reading assignments accumulate; target-reading MATCHED " +
+      "gates work; disagreeing sides are exact") {
+    val dir = freshTable("sqldml-partial") // rows a=0..50, b=a*2%100, s=v<a>
+    view(dir, "spar")
+    // 1. partial SET: only s changes; b keeps the target's value
+    Seq((1L, 111L, "X"), (2L, 222L, "Y"), (99L, 990L, "Z"))
+      .toDF("a", "b", "s").createOrReplaceTempView("spar_src")
+    spark.sql("""MERGE INTO spar USING spar_src ON spar.a = spar_src.a
+      WHEN MATCHED THEN UPDATE SET s = spar_src.s
+      WHEN NOT MATCHED THEN INSERT (a, b, s)
+        VALUES (spar_src.a, spar_src.b, spar_src.s)""")
+    val after1 = LayoutIngest.read(spark, dir)
+      .select("a", "b", "s").as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(after1(1L) === ((2L, "X")),
+      "matched: s from source, b KEPT from target")
+    assert(after1(2L) === ((4L, "Y")))
+    assert(after1(99L) === ((990L, "Z")), "unmatched: full insert")
+    assert(after1(3L) === ((6L, "v3")), "untouched rows untouched")
+    assert(after1.size === 52)
+    // 2. target-reading assignment: the accumulator merge
+    Seq((1L, 1000L, "-"), (2L, 2000L, "-"))
+      .toDF("a", "b", "s").createOrReplaceTempView("spar_acc")
+    spark.sql("""MERGE INTO spar USING spar_acc ON spar.a = spar_acc.a
+      WHEN MATCHED THEN UPDATE SET b = spar.b + spar_acc.b
+      WHEN NOT MATCHED THEN INSERT (a, b, s)
+        VALUES (spar_acc.a, spar_acc.b, spar_acc.s)""")
+    val after2 = LayoutIngest.read(spark, dir)
+      .select("a", "b", "s").as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(after2(1L) === ((1002L, "X")),
+      "b = old target b + source b; s kept from the previous merge")
+    assert(after2(2L) === ((2004L, "Y")))
+    // 3. target-reading MATCHED gate + one-sided insert
+    Seq((1L, 1L, "small"), (2L, 1L, "big"), (98L, 1L, "new"))
+      .toDF("a", "b", "s").createOrReplaceTempView("spar_gate")
+    spark.sql("""MERGE INTO spar USING spar_gate ON spar.a = spar_gate.a
+      WHEN MATCHED AND spar.b > 1500 THEN UPDATE SET s = spar_gate.s
+      WHEN NOT MATCHED THEN INSERT (a, b, s)
+        VALUES (spar_gate.a, spar_gate.b, spar_gate.s)""")
+    val after3 = LayoutIngest.read(spark, dir)
+      .select("a", "b", "s").as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(after3(1L) === ((1002L, "X")),
+      "target gate b>1500 FAILS for a=1 (b=1002): row untouched")
+    assert(after3(2L) === ((2004L, "big")),
+      "target gate passes for a=2: s updates, b kept")
+    assert(after3(98L) === ((1L, "new")), "unconditional insert side")
+    // 4. whole-column SETs that DISAGREE between sides are exact too
+    Seq((5L, 500L, "m5"), (97L, 970L, "i97"))
+      .toDF("a", "b", "s").createOrReplaceTempView("spar_dis")
+    spark.sql("""MERGE INTO spar USING spar_dis ON spar.a = spar_dis.a
+      WHEN MATCHED THEN UPDATE SET b = spar_dis.b * 10, s = spar_dis.s
+      WHEN NOT MATCHED THEN INSERT (a, b, s)
+        VALUES (spar_dis.a, spar_dis.b, spar_dis.s)""")
+    val after4 = LayoutIngest.read(spark, dir)
+      .select("a", "b", "s").as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(after4(5L) === ((5000L, "m5")), "matched takes the UPDATE row")
+    assert(after4(97L) === ((970L, "i97")), "unmatched takes the INSERT")
+    // every merge minted its own ledger id; history shows 4 merges
+    assert(LayoutIngest.history(spark, dir)
+      .filter(col("kind") === "merge").count() === 4L)
   }
 
   test("STRING point DELETE routes to the keyed delete: =, IN, " +
