@@ -321,8 +321,14 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     // bounded wait, not fail-fast: a mergeRows append section or a
     // batch appendNext holding the tail for tens of ms must not
     // fail the streaming query — only a holder outliving the
-    // budget (a stuck or duplicate writer) does
-    LedgerLock.withLockWait(spark, dir, lockWaitMs) {
+    // budget (a stuck or duplicate writer) does. The STREAM default
+    // stale lease ([[LedgerLock.StreamLockStaleMsDefault]]) makes a
+    // CROSS-HOST failover self-recover: a tail holder ten minutes old
+    // under a live stream is a dead foreign writer (sections are tens
+    // of ms) — retired automatically where the same-host dead-pid
+    // break cannot reach; LockStaleMsKey overrides when set.
+    LedgerLock.withLockWait(spark, dir, lockWaitMs,
+      LedgerLock.StreamLockStaleMsDefault) {
       val ledgerId =
         if (txnIds)
           streamLedgerId(spark, dir,
@@ -351,6 +357,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
   private[graft] def ingestBatch(batch: DataFrame, batchId: Long,
       dir: String, filesPerBatch: Int): Boolean = {
     val spark = batch.sparkSession
+    refuseReplicaWrite(spark, dir, "ingestBatch")
     val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
     // NO recoverCompact here, by design: the ingest path never touches
     // gen manifests — recovery is the MAINTENANCE lock's job (compact/
@@ -964,13 +971,52 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * [[foldDmlMarkers]] — the union of every `dml-log-<k>` file
     * (normally one; a crash between a fold's publish and its cleanup
     * leaves a superseded log or still-live markers, deduped by
-    * (kind, id) everywhere downstream). */
+    * (kind, id) everywhere downstream).
+    *
+    * CACHED on the log files' (name, mtime, length) fingerprint (the
+    * grid-cache pattern): every DML statement, mint, [[history]] call
+    * and replica sync reads the log, and while one read is small
+    * (statements are compliance-cadence ops), hot paths — per-sync
+    * minting, battery warm replays — re-parse an unchanged file. Logs
+    * are IMMUTABLE once published (written whole + renamed; a fold
+    * mints a NEW `dml-log-<k>`), so an equal fingerprint is an exact
+    * hit; any fold/crash-cleanup changes the listing and misses. */
+  private val MaxDmlLogCache = 1024
+  private val dmlLogCache = new java.util.LinkedHashMap[String,
+      (Seq[(String, Long, Long)], Seq[DmlRecord])](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String,
+        (Seq[(String, Long, Long)], Seq[DmlRecord])]): Boolean =
+      size() > MaxDmlLogCache
+  }
+  /** Test instrumentation for the cache (no behavior rides on them). */
+  private[graft] var dmlLogCacheHits = 0L
+  private[graft] var dmlLogCacheMisses = 0L
+
   private def dmlLogEntries(spark: SparkSession,
       dir: String): Seq[DmlRecord] = {
     val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
     if (!f.exists(markers)) return Nil
     val logs = f.listStatus(markers).toSeq
       .filter(_.getPath.getName.matches("dml-log-\\d+"))
+    val print = logs.map(s => (s.getPath.getName,
+      s.getModificationTime, s.getLen)).sortBy(_._1)
+    dmlLogCache.synchronized {
+      val hit = dmlLogCache.get(dir)
+      if (hit != null && hit._1 == print) {
+        dmlLogCacheHits += 1
+        return hit._2
+      }
+    }
+    val parsed = parseDmlLogs(f, logs)
+    dmlLogCache.synchronized {
+      dmlLogCacheMisses += 1
+      dmlLogCache.put(dir, (print, parsed)): Unit
+    }
+    parsed
+  }
+
+  private def parseDmlLogs(f: org.apache.hadoop.fs.FileSystem,
+      logs: Seq[org.apache.hadoop.fs.FileStatus]): Seq[DmlRecord] = {
     logs.flatMap { s =>
       // lock-free readers (history, records) can race a fold's
       // old-log delete — the superseding log carries every record
@@ -1314,7 +1360,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       recSets: Seq[(String, String)],
       affects: (org.apache.hadoop.fs.FileSystem,
         org.apache.hadoop.fs.Path) => Boolean)(
-      transform: DataFrame => DataFrame): Boolean =
+      transform: DataFrame => DataFrame): Boolean = {
+    refuseReplicaWrite(spark, dir, s"$kind-$id")
     withMaintLock(spark, dir) {
       val stampPrefix = s"$kind$id"
       recoverCompact(spark, dir)
@@ -1394,6 +1441,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         true
       }
     }
+  }
 
   /** Every delete/update id OCCUPIED on `dir` for `prefix` (`del` or
     * `upd`): committed markers PLUS the id-stamped debris a statement
@@ -1648,6 +1696,92 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
   final case class ReplicateStats(batchesPulled: Int, dmlReplayed: Int,
       dmlSkippedAsBootstrap: Int, mergesReplayed: Int = 0)
 
+  /** `markers/replica-of` marks a dir [[replicate]] writes into;
+    * `markers/promoted` (content: the watermark at promotion) is the
+    * PROMOTION fence. Between them they ENFORCE what was previously
+    * only documented: an un-promoted replica refuses local writes
+    * TYPED (a locally-minted id would shadow the source batch with
+    * that id and the next pull would silently skip it), and a promoted
+    * replica refuses further pulls (a pull would ingest a source batch
+    * under an id the promoted table may have locally reused). */
+  private val ReplicaOfMarker = "replica-of"
+  private val PromotedMarker = "promoted"
+
+  /** [[replicate]] runs with this > 0 on its thread: the sync IS the
+    * replica's one legitimate writer, so the write guards stand down
+    * for its own ingests/replays (same-thread only — replicate drives
+    * its mutations from the driver thread). */
+  private val replicaSyncDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
+  private def isUnpromotedReplica(
+      f: org.apache.hadoop.fs.FileSystem,
+      markers: org.apache.hadoop.fs.Path): Boolean =
+    f.exists(new org.apache.hadoop.fs.Path(markers, ReplicaOfMarker)) &&
+      !f.exists(new org.apache.hadoop.fs.Path(markers, PromotedMarker))
+
+  private def isPromoted(f: org.apache.hadoop.fs.FileSystem,
+      markers: org.apache.hadoop.fs.Path): Boolean =
+    f.exists(new org.apache.hadoop.fs.Path(markers, PromotedMarker))
+
+  /** Refuse a LOCAL write on an un-promoted replica, typed. Called by
+    * every mutator entry ([[ingestBatch]], [[mergeRows]], the
+    * [[rewriteMarkedUnits]] core); [[replicate]]'s own writes pass via
+    * [[replicaSyncDepth]]. */
+  private def refuseReplicaWrite(spark: SparkSession, dir: String,
+      what: String): Unit = {
+    if (replicaSyncDepth.get() > 0) return
+    val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+    require(!isUnpromotedReplica(f, markers),
+      s"LayoutIngest.$what: $dir is a REPLICA (markers/replica-of) — " +
+        "its batch ledger mirrors its source, so a locally-minted id " +
+        "would shadow the source batch with that id and the next sync " +
+        "would silently skip it. Read replicas are read-only; to take " +
+        "writes, promoteReplica(dir) first (this permanently fences " +
+        "further replicate() pulls).")
+  }
+
+  /** PROMOTE a replica to a free-standing writable table — the
+    * fail-over/cut-over verb: durably fence the sync cursor
+    * (`markers/promoted`, atomic create under the tail lock so a
+    * racing sync's pull section observes it), after which local
+    * writes mint normally ABOVE the replica's committed watermark
+    * (the standard [[nextUnusedIdLocked]] scan — pulls were
+    * prefix-only, so everything below is occupied by mirrored source
+    * batches) and every further [[replicate]] pull into this dir
+    * refuses typed (a pull after local writes could collide with a
+    * locally-minted id — the shadow hazard in reverse). Idempotent:
+    * promoting twice returns the recorded watermark. Refuses on a dir
+    * that was never a replica (nothing to promote — and stamping the
+    * fence would be a lie in the ledger). Returns the watermark the
+    * promotion fenced at. */
+  def promoteReplica(spark: SparkSession, dir: String): Long =
+    LedgerLock.withLockWait(spark, dir, 5000L) {
+      val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+      require(f.exists(new org.apache.hadoop.fs.Path(markers,
+          ReplicaOfMarker)),
+        s"promoteReplica: $dir is not a replica (no markers/" +
+          s"$ReplicaOfMarker) — only replicate() targets promote")
+      val p = new org.apache.hadoop.fs.Path(markers, PromotedMarker)
+      if (f.exists(p))
+        readMarkerLines(f, p).headOption
+          .flatMap(_.trim.toLongOption).getOrElse(-1L)
+      else {
+        val w = contiguousCommittedBatch(spark, dir)
+        val tmp = new org.apache.hadoop.fs.Path(markers,
+          s"$PromotedMarker.tmp")
+        if (f.exists(tmp)) f.delete(tmp, false)
+        val out = f.create(tmp, true)
+        try out.write(w.toString.getBytes("UTF-8"))
+        finally out.close()
+        if (!f.rename(tmp, p))
+          throw new IllegalStateException(
+            s"promoteReplica: fence publish failed for $dir")
+        w
+      }
+    }
+
   /** Incremental REPLICA sync — the answer to "RTBF that doesn't
     * reach replicas isn't RTBF": pull the source's new committed batch
     * prefix, then REPLAY the source's recorded DML statements
@@ -1724,6 +1858,19 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,
       filesPerBatch: Int = 4, lockWaitMs: Long = 30000L)
       : ReplicateStats = {
+    val (df1, dmarkers) = DedupIngest.fs(spark, s"$dstDir/markers")
+    require(!isPromoted(df1, dmarkers),
+      s"replicate: $dstDir was PROMOTED (markers/$PromotedMarker) — " +
+        "it takes local writes now, and a pull could collide with a " +
+        "locally-minted ledger id; promoted tables never sync again")
+    replicaSyncDepth.set(replicaSyncDepth.get() + 1)
+    try replicateBody(spark, srcDir, dstDir, filesPerBatch, lockWaitMs)
+    finally replicaSyncDepth.set(replicaSyncDepth.get() - 1)
+  }
+
+  private def replicateBody(spark: SparkSession, srcDir: String,
+      dstDir: String, filesPerBatch: Int, lockWaitMs: Long)
+      : ReplicateStats = {
     val (sf, smarkers) = DedupIngest.fs(spark, s"$srcDir/markers")
     val srcNames =
       if (!sf.exists(smarkers)) Seq.empty[String]
@@ -1731,6 +1878,17 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     val (df0, dgrid) = DedupIngest.fs(spark, s"$dstDir/grid")
     if (!df0.exists(dgrid))
       bootstrap(spark, dstDir, readGrid(spark, srcDir))
+    // stamp the dir a replica (idempotent; also adopts pre-marker
+    // replicas on their next sync): from here on, LOCAL writes refuse
+    // typed until promoteReplica — the read-only contract, enforced
+    val (dmf, dmarkers0) = DedupIngest.fs(spark, s"$dstDir/markers")
+    val replicaOf = new org.apache.hadoop.fs.Path(dmarkers0,
+      ReplicaOfMarker)
+    if (!dmf.exists(replicaOf)) {
+      val out = dmf.create(replicaOf, true)
+      try out.write(srcDir.getBytes("UTF-8"))
+      finally out.close()
+    }
     // source statements recorded BEFORE the pull: their effects are in
     // every byte the pull serves
     val srcRecords = dmlRecords(spark, srcDir)
@@ -1824,6 +1982,10 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         val slice = provenanceScan(spark, srcDir, b, b)
           .drop(KeyCol, BatchCol)
         LedgerLock.withLockWait(spark, dstDir, lockWaitMs) {
+          // a promotion racing this sync fences mid-pull: the fence is
+          // created under this same lock, so the check is exact
+          require(!isPromoted(dmf, dmarkers0),
+            s"replicate: $dstDir was promoted mid-sync — pull aborted")
           if (ingestBatch(slice, b, dstDir, filesPerBatch))
             pulled += 1
           compactMarkersLocked(spark, dstDir)
@@ -1995,6 +2157,73 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     -1L // unreachable
   }
 
+  /** [[mergeRows]] auto-split for CORPUS-SCALE backfills: a merge
+    * whose distinct keys exceed `maxKeysPerMerge` lands as N
+    * sub-merges over DISJOINT deterministic key buckets
+    * (`xxhash64(key) mod N` — disjointness is what makes the split
+    * exact: every target row matches at most one sub-merge, so the N
+    * statements commute and any serial order yields the same table),
+    * each an ordinary [[mergeRowsNext]]: its own ledger id, its own
+    * recorded statement + updates snapshot, so REPLICAS converge by
+    * replaying the sub-merges at their exact positions with no new
+    * machinery. The updates plan pins ONCE (localCheckpoint) — every
+    * bucket filter reads the same rows, the usual MERGE
+    * materialization argument. Bucket counts are VERIFIED before any
+    * commit (hash skew on distinct keys is tiny, but a pathological
+    * key set gets more buckets, doubling until every bucket fits —
+    * bounded: log2 rounds).
+    *
+    * NOT one atomic statement: sub-merges commit one by one, and a
+    * crash between them leaves a prefix applied (each sub-merge is
+    * itself crash-exact); a caller retry is a NEW statement over the
+    * same updates — re-merging identical rows is value-idempotent
+    * (matched keys replace to the same bytes), at the cost of fresh
+    * ledger ids. Callers needing single-statement atomicity stay under
+    * [[MaxMergeKeys]].
+    *
+    * Returns the committed ledger ids in commit order. 100 TB: the
+    * split adds ONE hash-filter pass per bucket over the pinned
+    * updates (executor-local blocks, no shuffle); everything else is
+    * N ordinary bounded merges — driver key collections and record
+    * sizes stay under the per-merge caps by construction. */
+  def mergeRowsChunkedNext(spark: SparkSession, dir: String,
+      keyCol: String, updates: DataFrame, filesPerBatch: Int = 4,
+      maxKeysPerMerge: Int = MaxMergeKeys.toInt): Seq[Long] = {
+    require(maxKeysPerMerge > 0 && maxKeysPerMerge <= MaxMergeKeys,
+      s"mergeRowsChunkedNext: maxKeysPerMerge must be in " +
+        s"[1, $MaxMergeKeys]")
+    val snap = updates.localCheckpoint(true)
+    val nKeys = snap.agg(countDistinct(col(keyCol))).head().getLong(0)
+    if (nKeys <= maxKeysPerMerge)
+      return Seq(mergeRowsNext(spark, dir, keyCol, snap, filesPerBatch))
+    // slack so hash skew rarely needs a second round; verify exactly
+    var buckets = math.max(2,
+      math.ceil(nKeys / (maxKeysPerMerge * 0.8)).toInt)
+    var rounds = 0
+    while (true) {
+      rounds += 1
+      require(rounds <= 20,
+        "mergeRowsChunkedNext: bucket sizing failed to converge — " +
+          "pathological key distribution")
+      val bucket = pmod(xxhash64(col(keyCol)), lit(buckets.toLong))
+      val maxInBucket = snap.groupBy(bucket.as("__b"))
+        .agg(countDistinct(col(keyCol)).as("__n"))
+        .agg(max(col("__n"))).head().getLong(0)
+      if (maxInBucket <= maxKeysPerMerge) {
+        val ids = (0 until buckets).flatMap { c =>
+          val chunk = snap.filter(bucket === c.toLong)
+          // an empty bucket merges nothing and must not burn an id
+          if (chunk.isEmpty) None
+          else Some(mergeRowsNext(spark, dir, keyCol, chunk,
+            filesPerBatch))
+        }
+        return ids
+      }
+      buckets *= 2
+    }
+    Nil // unreachable
+  }
+
   /** Probing every merge key against every unit bloom is driver work
     * (keys × units × ~7 hashes); above this many distinct keys the
     * unit selection falls back to stats-range pruning alone — still
@@ -2112,6 +2341,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       updates: DataFrame, batchId: Long,
       filesPerBatch: Int = 4, tailWaitMs: Long = 5000L,
       classifiedAt: Option[String] = None): Boolean = {
+    refuseReplicaWrite(spark, dir, "mergeRows")
     val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
     val marker = new org.apache.hadoop.fs.Path(markers, s"merge-$batchId")
     if (f.exists(marker) || dmlLogEntries(spark, dir)
@@ -2151,7 +2381,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     val nKeys = a.getLong(1)
     require(nKeys <= MaxMergeKeys,
       s"mergeRows: $nKeys distinct keys — a merge this large is a " +
-        "rewrite in disguise; split it or regrid")
+        "rewrite in disguise; use mergeRowsChunkedNext (disjoint " +
+        "key-bucket sub-merges) or regrid")
     // MAINTENANCE for the whole merge (fail-fast here, before any
     // mutation — rewriter exclusion), with a SHORT tail section nested
     // inside for the freshness guard + append (the only maint→tail

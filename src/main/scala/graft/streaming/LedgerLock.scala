@@ -80,6 +80,21 @@ object LedgerLock {
     * keeps every plain [[withLock]] fail-fast. */
   val LockWaitMsKey = "graft.ledger.lockWaitMs"
 
+  /** Default stale lease for the STREAMING sink's tail acquires
+    * ([[graft.streaming.LayoutIngest]] `microBatchIngest`), applied
+    * when [[LockStaleMsKey]] is unset: a tail-lock critical section is
+    * marker-file metadata work (tens of milliseconds), so a holder ten
+    * MINUTES old under a live stream is a dead writer on another host
+    * — the one recovery case the same-host dead-pid break cannot
+    * prove. With this default a multi-host streaming failover
+    * self-recovers without operator conf, while a legitimate
+    * interleaving writer (whose sections are 4 orders of magnitude
+    * shorter) is never lease-broken. Batch/maintenance acquires keep
+    * the conservative 0 (explicit [[LockStaleMsKey]] or operator
+    * [[break]]) — their sections can legitimately run long.
+    * [[LockStaleMsKey]], when set, overrides this default too. */
+  val StreamLockStaleMsDefault = 600000L
+
   /** A second concurrent writer hit [[withLock]]'s guard. */
   final class ConcurrentWriterException(msg: String)
     extends IllegalStateException(msg)
@@ -175,11 +190,11 @@ object LedgerLock {
     * recovered immediately rather than waited on. `waitMs = 0` is the
     * classic fail-fast single-writer contract. */
   private[graft] def withLockWait[T](spark: SparkSession, dir: String,
-      waitMs: Long)(body: => T): T = {
+      waitMs: Long, staleMsDefault: Long = 0L)(body: => T): T = {
     val (f, p) = DedupIngest.fs(spark, s"$dir/markers/lock")
     f.mkdirs(p.getParent)
     val staleMs = spark.conf.getOption(LockStaleMsKey)
-      .flatMap(_.toLongOption).getOrElse(0L)
+      .flatMap(_.toLongOption).getOrElse(staleMsDefault)
     val budgetMs = math.max(waitMs, spark.conf.getOption(LockWaitMsKey)
       .flatMap(_.toLongOption).getOrElse(0L))
     val deadline = System.currentTimeMillis() + budgetMs

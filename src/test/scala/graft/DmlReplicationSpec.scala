@@ -616,6 +616,110 @@ class DmlReplicationSpec extends SparkSpec {
       .select("a", "b", "doc", "v", "zkey", "__batch")
       .as[(Long, Long, Option[String], Long, Long, Long)].collect().toSet
 
+  test("REPLICAS are read-only TYPED until promoted; promotion fences " +
+      "the sync and opens local writes above the mirrored ledger") {
+    def refuses(f: => Any, needle: String): Unit = {
+      val e = intercept[Exception](f)
+      assert(Option(e.getMessage).exists(_.contains(needle)),
+        s"wanted '$needle', got: ${e.getMessage}")
+    }
+    val src = freshTable("promo-src")
+    val dst = src.stripSuffix("/t") + "/r"
+    assert(LayoutIngest.replicate(spark, src, dst).batchesPulled === 2)
+    // every local mutator refuses typed on the un-promoted replica
+    refuses(LayoutIngest.ingestBatch(
+      Seq((1L, 1L, 1L)).toDF("a", "b", "v"), 2L, dst, 1), "REPLICA")
+    refuses(LayoutIngest.deleteBoxes(spark, dst,
+      Seq(Seq(("a", 0L, 9L))), 0L), "REPLICA")
+    refuses(LayoutIngest.deleteKeys(spark, dst, "a", Seq(1L), 0L),
+      "REPLICA")
+    refuses(LayoutIngest.updateBoxes(spark, dst, Seq(Seq(("a", 0L, 9L))),
+      Seq("v" -> lit(0L)), 0L), "REPLICA")
+    refuses(LayoutIngest.mergeRows(spark, dst, "a",
+      Seq((1L, 1L, 1L)).toDF("a", "b", "v"), 9L), "REPLICA")
+    // ...but the SYNC still writes (it is the one legitimate writer)
+    LayoutIngest.deleteBoxes(spark, src, Seq(Seq(("a", 0L, 4L))), 0L): Unit
+    assert(LayoutIngest.replicate(spark, src, dst).dmlReplayed === 1)
+    // promotion on a non-replica refuses
+    refuses(LayoutIngest.promoteReplica(spark, src), "not a replica")
+    // promote: returns the fenced watermark, idempotent
+    assert(LayoutIngest.promoteReplica(spark, dst) === 1L)
+    assert(LayoutIngest.promoteReplica(spark, dst) === 1L)
+    // further syncs refuse typed — the promoted table owns its ledger
+    refuses(LayoutIngest.replicate(spark, src, dst), "PROMOTED")
+    // local writes mint ABOVE the mirrored prefix and work end to end
+    val id = LayoutIngest.appendNext(spark, dst,
+      Seq((200L, 0L, 0L)).toDF("a", "b", "v"), 1)
+    assert(id === 2L, s"first local id above the mirrored prefix, got $id")
+    LayoutIngest.deleteBoxesNext(spark, dst, Seq(Seq(("a", 5L, 9L)))): Unit
+    val left = LayoutIngest.read(spark, dst)
+      .select("a").as[Long].collect().toSet
+    assert(left === ((10L to 99L).toSet + 200L),
+      "source's delete [0,4] replayed pre-promote; local [5,9] delete " +
+        "and local append both applied post-promote")
+    assert(LayoutIngest.history(spark, dst)
+      .filter(col("kind") === "ingest").count() >= 1L)
+  }
+
+  test("mergeRowsChunkedNext splits a too-large merge into disjoint " +
+      "key-bucket sub-merges; a replica converges by replaying them") {
+    val t = freshTable("chunked-merge")
+    val dst = t.stripSuffix("/t") + "/r"
+    LayoutIngest.replicate(spark, t, dst): Unit
+    // 60 keys against a 25-key cap → >= 3 sub-merges, each its own
+    // recorded ledger op; 50 matched replacements + 10 inserts
+    val updates = (25L to 84L).map(i => (i, i, i * 1000L))
+      .toDF("a", "b", "v")
+    val ids = LayoutIngest.mergeRowsChunkedNext(spark, t, "a", updates,
+      maxKeysPerMerge = 25)
+    assert(ids.size >= 3 && ids == ids.sorted,
+      s"disjoint sub-merges in commit order, got $ids")
+    assert(LayoutIngest.history(spark, t)
+      .filter(col("kind") === "merge").count() === ids.size.toLong)
+    val want = ((0L to 24L).map(i => i -> (i * 10L)) ++
+      (25L to 84L).map(i => i -> (i * 1000L)) ++
+      (85L to 99L).map(i => i -> (i * 10L))).toMap
+    val got = LayoutIngest.read(spark, t)
+      .select("a", "v").as[(Long, Long)].collect().toMap
+    assert(got === want, "exactly the 60 keys replaced/inserted once")
+    // a small merge stays ONE statement through the same surface
+    val one = LayoutIngest.mergeRowsChunkedNext(spark, t, "a",
+      Seq((5L, 5L, 42L)).toDF("a", "b", "v"), maxKeysPerMerge = 25)
+    assert(one.size === 1)
+    // the replica replays every sub-merge at its position
+    val st = LayoutIngest.replicate(spark, t, dst)
+    assert(st.mergesReplayed === ids.size + 1, s"got $st")
+    assert(snap(dst) === snap(t), "replica ≡ source bytes")
+  }
+
+  test("dml-log cache: fingerprint-keyed, exact across folds (no " +
+      "behavior change), hit on unchanged logs") {
+    val t = freshTable("dmllog-cache")
+    LayoutIngest.deleteBoxes(spark, t, Seq(Seq(("a", 0L, 1L))), 0L): Unit
+    LayoutIngest.updateBoxesNext(spark, t, Seq(Seq(("a", 90L, 99L))),
+      Seq("v" -> lit(-1L))): Unit
+    val beforeFold = LayoutIngest.history(spark, t).collect()
+      .map(_.toString).sorted.toSeq
+    // fold → the records move into dml-log-0; history identical
+    assert(LayoutIngest.compactDmlMarkers(spark, t) > 0)
+    val h0 = LayoutIngest.dmlLogCacheHits
+    val afterFold = LayoutIngest.history(spark, t).collect()
+      .map(_.toString).sorted.toSeq
+    assert(afterFold === beforeFold, "the fold changes no facts")
+    // unchanged log → the next reads hit the cache
+    LayoutIngest.history(spark, t).collect()
+    assert(LayoutIngest.dmlLogCacheHits > h0,
+      "re-reads of an unchanged dml-log must hit the cache")
+    // a NEW statement + fold mints a new log → miss → fresh parse,
+    // and the facts stay exact
+    LayoutIngest.deleteBoxesNext(spark, t, Seq(Seq(("a", 50L, 50L)))): Unit
+    assert(LayoutIngest.compactDmlMarkers(spark, t) > 0)
+    assert(LayoutIngest.history(spark, t)
+      .filter(col("kind") === "delete").count() === 2L)
+    assert(LayoutIngest.read(spark, t).select("a").as[Long]
+      .collect().toSet === ((2L to 99L).toSet - 50L))
+  }
+
   test("environment-bound assignments refuse at RECORD time (API), " +
       "and a foreign writer's record refuses at REPLAY time") {
     def refuses(f: => Any, needle: String): Unit = {

@@ -184,4 +184,47 @@ class LedgerLockSpec extends graft.SparkSpec {
     }
     assert(ran)
   }
+
+  test("streaming stale-lease default: a FOREIGN-host holder older " +
+      "than the default is retired by the stream acquire; batch " +
+      "acquires (no default) still refuse it; LockStaleMsKey overrides") {
+    def plantForeign(dir: String, ageMs: Long): java.io.File = {
+      val markers = new java.io.File(s"$dir/markers")
+      markers.mkdirs()
+      val lock = new java.io.File(markers, "lock")
+      java.nio.file.Files.write(lock.toPath,
+        "12345@some-other-host:abcdef12".getBytes("UTF-8"))
+      assert(lock.setLastModified(System.currentTimeMillis() - ageMs))
+      lock
+    }
+    // the dead-pid path cannot prove a foreign host's death…
+    assert(!LedgerLock.holderProvablyDead("12345@some-other-host:ab"))
+    // …so a plain batch acquire (staleMsDefault 0, no conf) refuses
+    val dirA = tmp("lock-stream-stale-a")
+    plantForeign(dirA, ageMs = 60L * 60 * 1000)
+    intercept[LedgerLock.ConcurrentWriterException](
+      LedgerLock.withLockWait(spark, dirA, 0L) { fail("must not enter") })
+    // the STREAM acquire's default lease retires it (hour-old holder
+    // vs the 10-minute default) and the body runs
+    var ran = false
+    LedgerLock.withLockWait(spark, dirA, 0L,
+      LedgerLock.StreamLockStaleMsDefault) { ran = true }
+    assert(ran, "a dead cross-host stream writer must self-recover")
+    // a FRESH foreign holder is NOT lease-broken by the default —
+    // only waited on (live writers' sections are never this long)
+    val dirB = tmp("lock-stream-stale-b")
+    plantForeign(dirB, ageMs = 0L)
+    intercept[LedgerLock.ConcurrentWriterException](
+      LedgerLock.withLockWait(spark, dirB, 0L,
+        LedgerLock.StreamLockStaleMsDefault) { fail("must not enter") })
+    // an explicit conf overrides the default (here: tighter)
+    val dirC = tmp("lock-stream-stale-c")
+    plantForeign(dirC, ageMs = 5000L)
+    spark.conf.set(LedgerLock.LockStaleMsKey, "1000")
+    try {
+      var ranC = false
+      LedgerLock.withLockWait(spark, dirC, 0L) { ranC = true }
+      assert(ranC, "the conf lease must retire the 5s-old holder")
+    } finally spark.conf.unset(LedgerLock.LockStaleMsKey)
+  }
 }
