@@ -105,6 +105,7 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // sync as SQL
     ext.injectTableFunction(GraftTvf.vacuum)
     ext.injectTableFunction(GraftTvf.replicate)
+    ext.injectTableFunction(GraftTvf.promote)
     // ad-hoc DATA reads without DDL: graft_table('<dir>'[, asOf]) /
     // graft_table_since('<dir>', b) resolve to the RELATION's plan, so
     // pushdown unit pruning and the provenance bounds work exactly as
@@ -185,6 +186,22 @@ private[graft] object GraftTvf {
       case _ => throw new IllegalArgumentException(
         "graft_vacuum expects exactly one non-null string literal: " +
           "the table path")
+    })
+
+  /** `SELECT * FROM graft_promote('<dir>')` — promote a replica to a
+    * writable table ([[LayoutIngest.promoteReplica]]: durable fence,
+    * further syncs refuse, local writes mint above the mirrored
+    * prefix); one row with the fenced watermark. Runnable command —
+    * the fence lands at EXECUTION, like its acting siblings. */
+  val promote = (
+    FunctionIdentifier("graft_promote"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      GraftTvf.getClass.getName, "graft_promote"),
+    (args: Seq[Expression]) => args match {
+      case Seq(Str(dir)) => GraftPromoteCommand(dir): LogicalPlan
+      case _ => throw new IllegalArgumentException(
+        "graft_promote expects exactly one non-null string literal: " +
+          "the replica path")
     })
 
   /** Extractor forms (bind once in match arms, no double-eval); the
@@ -790,6 +807,17 @@ private[graft] case class GraftVacuumCommand(dir: String)
       st.ingestStagesDropped, st.emptyUnitsDropped,
       st.dmlMarkersFolded))
   }
+}
+
+/** `SELECT * FROM graft_promote('<dir>')`'s body — the replica
+  * promotion fence as a leaf command, executed when the statement
+  * RUNS. One row: the watermark the fence landed at. */
+private[graft] case class GraftPromoteCommand(dir: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("fenced_watermark", LongType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(LayoutIngest.promoteReplica(sparkSession, dir)))
 }
 
 /** `SELECT * FROM graft_replicate('<src>', '<dst>')`'s body — one

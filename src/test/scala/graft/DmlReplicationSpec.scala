@@ -642,9 +642,12 @@ class DmlReplicationSpec extends SparkSpec {
     assert(LayoutIngest.replicate(spark, src, dst).dmlReplayed === 1)
     // promotion on a non-replica refuses
     refuses(LayoutIngest.promoteReplica(spark, src), "not a replica")
-    // promote: returns the fenced watermark, idempotent
+    // promote: returns the fenced watermark, idempotent — through the
+    // API and the SQL ops verb
     assert(LayoutIngest.promoteReplica(spark, dst) === 1L)
     assert(LayoutIngest.promoteReplica(spark, dst) === 1L)
+    assert(spark.sql(s"SELECT * FROM graft_promote('$dst')")
+      .head().getLong(0) === 1L)
     // further syncs refuse typed — the promoted table owns its ledger
     refuses(LayoutIngest.replicate(spark, src, dst), "PROMOTED")
     // local writes mint ABOVE the mirrored prefix and work end to end
