@@ -202,4 +202,88 @@ class DmlTranslatePropertySpec extends SparkSpec {
           "shows up as +2 in the box")
     }
   }
+
+  test("PARTIAL MERGE ≡ a hand-built join/union expected state for 6 " +
+      "seeded random statements (partial SETs, target-reading " +
+      "assignments, per-side gates)") {
+    import graft.streaming.LayoutIngest
+    val rnd = new scala.util.Random(20260817L)
+    (1 to 6).foreach { seed =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"merge-prop-$seed").toFile
+      dir.deleteOnExit()
+      val t = dir.getAbsolutePath + "/t"
+      // grid on (a, g) — g is never assigned, so b and v stay free
+      // payload targets for the random SETs
+      LayoutIngest.bootstrap(spark, t, LayoutIngest.Grid(
+        Seq("a", "g"), Seq((0L, 59L), (0L, 59L)), bits = 4))
+      val tgtRows = (0L to 39L).map(i => (i, i, i % 7, i * 10))
+      LayoutIngest.ingestBatch(
+        tgtRows.toDF("a", "g", "b", "v"), 0L, t, 2): Unit
+      // 12 random keys in [0, 59] — a mix of matched and unmatched
+      val keys = rnd.shuffle((0L to 59L).toList).take(12)
+      val srcRows = keys.map(k =>
+        (k, rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      val src = srcRows.toDF("k", "b2", "v2")
+      src.createOrReplaceTempView(s"mp_src_$seed")
+      spark.read.format("graft-layout").load(t)
+        .createOrReplaceTempView(s"mp_t_$seed")
+      // random statement shape: which payload columns the UPDATE
+      // assigns, from which sides, under which gates
+      def randExpr(c: String): (String, (Long, Long, Long, Long) => Long) =
+        rnd.nextInt(4) match {
+          // (oldB, oldV, b2, v2) => assigned value
+          case 0 => (s"mp_src_$seed.b2", (_, _, b2, _) => b2)
+          case 1 => (s"mp_t_$seed.$c + mp_src_$seed.v2",
+            (ob, ov, _, v2) => (if (c == "b") ob else ov) + v2)
+          case 2 => (s"mp_t_$seed.b + mp_t_$seed.v", (ob, ov, _, _) => ob + ov)
+          case 3 => (s"mp_src_$seed.b2 * 2 + 1", (_, _, b2, _) => b2 * 2 + 1)
+        }
+      val assignB = rnd.nextBoolean()
+      val assignV = !assignB || rnd.nextBoolean() // at least one
+      val (bSql, bF) = randExpr("b")
+      val (vSql, vF) = randExpr("v")
+      val sets = (if (assignB) Seq(s"b = $bSql") else Nil) ++
+        (if (assignV) Seq(s"v = $vSql") else Nil)
+      val (mGateSql, mGateF): (String, (Long, Long, Long, Long) => Boolean) =
+        rnd.nextInt(3) match {
+          case 0 => ("", (_, _, _, _) => true)
+          case 1 => (s"AND mp_src_$seed.b2 % 2 = 0",
+            (_, _, b2, _) => b2 % 2 == 0)
+          case 2 => (s"AND mp_t_$seed.v % 3 = 0", (_, ov, _, _) => ov % 3 == 0)
+        }
+      val (iGateSql, iGateF): (String, Long => Boolean) =
+        if (rnd.nextBoolean()) ("", _ => true)
+        else (s"AND mp_src_$seed.v2 % 2 = 1", v2 => v2 % 2 == 1)
+      spark.sql(s"""MERGE INTO mp_t_$seed USING mp_src_$seed
+        ON mp_t_$seed.a = mp_src_$seed.k
+        WHEN MATCHED $mGateSql THEN UPDATE SET ${sets.mkString(", ")}
+        WHEN NOT MATCHED $iGateSql THEN INSERT (a, g, b, v)
+          VALUES (mp_src_$seed.k, mp_src_$seed.k % 60,
+            mp_src_$seed.b2, mp_src_$seed.v2)""")
+      // hand-built expected state (plain Scala, no engine code)
+      val tgtMap = tgtRows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val expected = scala.collection.mutable.Map(
+        tgtRows.map(r => r._1 -> ((r._2, r._3, r._4))): _*)
+      srcRows.foreach { case (k, b2, v2) =>
+        tgtMap.get(k) match {
+          case Some((g, ob, ov)) =>
+            if (mGateF(ob, ov, b2, v2)) {
+              val nb = if (assignB) bF(ob, ov, b2, v2) else ob
+              val nv = if (assignV) vF(ob, ov, b2, v2) else ov
+              expected(k) = (g, nb, nv)
+            }
+          case None =>
+            if (iGateF(v2)) expected(k) = (k % 60, b2, v2)
+        }
+      }
+      val got = LayoutIngest.read(spark, t)
+        .select("a", "g", "b", "v").as[(Long, Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === expected.toMap,
+        s"seed $seed: SETs=$sets mGate='$mGateSql' iGate='$iGateSql' " +
+          s"diff=${(got.toSet diff expected.toSet) ++
+            (expected.toSet diff got.toSet)}")
+    }
+  }
 }
