@@ -9642,6 +9642,99 @@ WHERE rk <= 40"""
        |  CAST(0 AS BIGINT) AS zkey, 42.0 AS value""".stripMargin
   }
 
+  /** KEYED SQL UPDATE — redaction BY DOC ID, the q199 takedown's
+    * gentler sibling (null the payload, keep the rows):
+    * `UPDATE t SET value = NULL WHERE doc_key IN (...)` routes to
+    * [[graft.streaming.LayoutIngest.updateKeys]] (the `updk` ledger
+    * kind), bloom-pruned like the keyed delete and RECORDED with keys
+    * AND assignment SQL so `graft_replicate` replays the redaction on
+    * the replica. Premises pin ONE `update_keys` op, a bloom-pruned
+    * rewrite, and a (0 pulled, 1 replayed) sync; the gate hashes the
+    * REPLICA against the DuckDB CASE twin — a replica holding the
+    * unredacted values fails on every keyed row. */
+  val q201SqlUpdateKeys: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"),
+      concat(lit("ev-"), col("event_id")).as("doc_key"))
+    val root = streamIndexDir("q201", dir, "events")
+    val srcDir = s"$root/src"
+    val dstDir = s"$root/dst"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us"), min("event_id"), max("event_id"))
+        .head()
+      val (umn, umx, tmn, tmx) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val (emn, emx) = (b.getLong(4), b.getLong(5))
+      graft.streaming.LayoutIngest.bootstrap(s, srcDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"), Seq((umn, umx), (tmn, tmx)),
+          bits = 16, bloomCols = Seq("doc_key")))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, srcDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, srcDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.compact(s, srcDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L,
+          parquetBytes(new java.io.File(s"$srcDir/data")) / 8))
+      val st1 = graft.streaming.LayoutIngest.replicate(s, srcDir, dstDir)
+      require(st1.batchesPulled == 2 && st1.dmlReplayed == 0,
+        s"q201 premise: the first sync pulls both batches, got $st1")
+      val keys = (1 to 3).map(k => s"ev-${emn + (emx - emn) * k / 4}")
+      val unitsBefore = graft.streaming.LayoutIngest
+        .describe(s, srcDir).count()
+      s.read.format("graft-layout").load(srcDir)
+        .createOrReplaceTempView("q201_t")
+      s.sql("UPDATE q201_t SET value = NULL WHERE doc_key IN (" +
+        keys.map(k => s"'$k'").mkString(", ") + ")")
+      require(graft.streaming.LayoutIngest.history(s, srcDir)
+          .filter(col("kind") === "update_keys").count() == 1L,
+        "q201 premise: one keyed-update ledger op")
+      val rewritten = Option(new java.io.File(s"$srcDir/data").list())
+        .get.count(_.startsWith("gen-updk0-"))
+      require(rewritten >= 1 && rewritten < unitsBefore,
+        s"q201 premise: the bloom must prune the rewrite (rewrote " +
+          s"$rewritten of $unitsBefore units)")
+      val st2 = s.sql(
+        s"SELECT * FROM graft_replicate('$srcDir', '$dstDir')").head()
+      require(st2.getInt(0) == 0 && st2.getInt(1) == 1,
+        s"q201 premise: nothing to pull, ONE keyed replay, got $st2")
+      done.createNewFile(): Unit
+    }
+    graft.streaming.LayoutIngest.read(s, dstDir)
+      .select(col("event_id"), col("zkey"), col("value"))
+  }
+
+  val q201Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx,
+       |    MIN(event_id) AS emn, MAX(event_id) AS emx
+       |  FROM events),
+       |k AS (
+       |  SELECT (SELECT emn FROM b) +
+       |    ((SELECT emx FROM b) - (SELECT emn FROM b)) * j // 4 AS kid
+       |  FROM range(1, 4) t(j)),
+       |q AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((CAST(epoch_us(ts) AS BIGINT) - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy,
+       |    CASE WHEN event_id IN (SELECT kid FROM k)
+       |      THEN NULL ELSE value END AS value
+       |  FROM events)
+       |SELECT event_id, $terms AS zkey, value FROM q""".stripMargin
+  }
+
   /** READER VISIBILITY through a slow multi-unit merge — the gate for
     * the append-first rework's central claim
     * ([[graft.streaming.LayoutIngest.mergeRows]] doc item 4): a
@@ -10301,7 +10394,10 @@ WHERE rk <= 40"""
     "q199_sql_delete_keys" -> (q199SqlDeleteKeys, Some(q199Sql)),
     // q200: partial-column MERGE UPDATE SET (accumulator + plain) via
     // the matched-rows synthesis join
-    "q200_sql_merge_partial" -> (q200SqlMergePartial, Some(q200Sql)))
+    "q200_sql_merge_partial" -> (q200SqlMergePartial, Some(q200Sql)),
+    // q201: keyed SQL UPDATE — redaction by doc id, bloom-pruned,
+    // recorded, replayed on a replica
+    "q201_sql_update_keys" -> (q201SqlUpdateKeys, Some(q201Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -89,9 +89,12 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
  *    assignments target flat payload columns only (grid columns and
  *    the cluster key decide where a row LIVES — row moves stay a
  *    DELETE + INSERT or a whole-row MERGE), values are deterministic
- *    subquery-free expressions over the row's own pre-update columns.
- *    Only stats-intersecting units rewrite; one `upd-<id>` ledger
- *    entry per statement.
+ *    environment-free subquery-free expressions over the row's own
+ *    pre-update columns. Only stats-intersecting units rewrite; one
+ *    `upd-<id>` ledger entry per statement. A WHERE that is a string
+ *    point shape (`<stringCol> = '...'` / `IN (...)`) routes to the
+ *    KEYED update instead ([[LayoutIngest.updateKeys]] — redaction by
+ *    doc id, bloom-pruned, `updk-<id>`, replayed on replicas).
  */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -588,7 +591,31 @@ private[graft] object DmlTranslate {
   def toUpdateCommand(rel: LayoutTableRelation, target: LogicalPlan,
       assigns: Seq[Assignment], cond: Option[Expression])
       : LogicalPlan = {
-    val boxes = toBoxes(cond.getOrElse(Literal(true)), target.outputSet)
+    val sets = validateUpdateAssigns(rel, target, assigns)
+    // string point shapes route to the KEYED update (the redact-by-
+    // doc-id statement — [[LayoutIngest.updateKeys]]); everything
+    // else takes the box translation
+    cond.flatMap(strKeyDelete(_, target.outputSet)) match {
+      case Some((keyCol, keys)) =>
+        if (sets.exists(_._1 == keyCol)) err(
+          s"UPDATE assigns the key column '$keyCol' it selects by — " +
+            "rewriting row identity in place is not an update; use " +
+            "MERGE INTO or DELETE + INSERT")
+        GraftUpdateKeysCommand(rel.tableDir, keyCol, keys, sets)
+      case None =>
+        GraftUpdateCommand(rel.tableDir,
+          toBoxes(cond.getOrElse(Literal(true)), target.outputSet),
+          sets)
+    }
+  }
+
+  /** The UPDATE assignment contract shared by the box and keyed
+    * forms: flat PAYLOAD columns only (grid columns and the cluster
+    * key decide where a row LIVES), deterministic environment-free
+    * subquery-free expressions over the row's own columns. */
+  private def validateUpdateAssigns(rel: LayoutTableRelation,
+      target: LogicalPlan, assigns: Seq[Assignment])
+      : Seq[(String, Expression)] = {
     val grid = LayoutIngest.readGrid(SparkSession.active, rel.tableDir)
     val reserved =
       (grid.cols :+ LayoutIngest.KeyCol :+ LayoutIngest.BatchCol).toSet
@@ -622,7 +649,7 @@ private[graft] object DmlTranslate {
         s"UPDATE assigns a non-column target '${k.sql}' — only flat " +
           "payload columns are assignable")
     }
-    GraftUpdateCommand(rel.tableDir, boxes, sets)
+    sets
   }
 
   /** Resolved MergeIntoTable → [[GraftMergeCommand]], or refuse. */
@@ -860,6 +887,31 @@ private[graft] case class GraftDeleteKeysCommand(dir: String,
   override def run(sparkSession: SparkSession): Seq[Row] = {
     if (keys.nonEmpty)
       LayoutIngest.deleteKeysNext(sparkSession, dir, keyCol, keys): Unit
+    Seq.empty
+  }
+}
+
+/** `UPDATE <layout view> SET ... WHERE <stringCol> = '...' / IN (...)`
+  * — the REDACT-BY-DOC-ID statement, routed to
+  * [[LayoutIngest.updateKeysNext]] (bloom-pruned in-place rewrite
+  * under the next unused `updk` id; the record carries keys AND
+  * assignment SQL, so replicas replay it). Assignment expressions
+  * re-bind BY NAME like the box form. An empty key list (`IN (NULL)`)
+  * is a clean no-op: nothing to redact, no id minted. */
+private[graft] case class GraftUpdateKeysCommand(dir: String,
+    keyCol: String, keys: Seq[String],
+    sets: Seq[(String, Expression)]) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    if (keys.isEmpty) return Seq.empty
+    val cols = sets.map { case (n, e) =>
+      n -> ColumnBridge.of(e.transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
+      })
+    }
+    LayoutIngest.updateKeysNext(sparkSession, dir, keyCol, keys,
+      cols): Unit
     Seq.empty
   }
 }

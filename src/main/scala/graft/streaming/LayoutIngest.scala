@@ -924,40 +924,54 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * merges (`mrg-<ledgerId>`, recorded at commit by [[mergeRows]] —
     * `boxes` empty, `sets` = the merge key by convention, the updates
     * snapshot at `markers/mrg-<id>.updates`). */
-  private val DmlKinds = Seq("del", "delk", "upd", "sdml", "mrg")
+  private val DmlKinds = Seq("del", "delk", "upd", "updk", "sdml",
+    "mrg")
 
-  /** Sentinel first `sets` pair of a KEYED-delete record: marks the
-    * payload as (keyCol, type, keys) rather than update assignments,
-    * so [[replicate]] replays it as a keyed delete even out of an
+  /** Sentinel first `sets` pair of a KEYED DML record (`delk` deletes
+    * and `updk` updates): marks the payload as (keyCol, type, keys
+    * [, assignments]) rather than plain box-update assignments, so
+    * [[replicate]] replays it as a keyed statement even out of an
     * `sdml` record (chained replication). `__graft`-prefixed names are
     * reserved (update assignment targets refuse them), so a real
     * assignment can never forge the tag. */
-  private val KeyedDeleteTag = "__graft_delete_keys"
+  private val KeyedDmlTag = "__graft_keyed_dml"
   private val KeyedTypeTag = "__graft_key_type"
 
-  /** Keyed-delete record payload: the key column, its type, and every
-    * key URL-encoded (keys are user data — tabs/newlines/unicode must
-    * survive the line-based record format exactly). */
+  /** Keyed-DML record payload: the key column, its type, every key
+    * URL-encoded (keys are user data — tabs/newlines/unicode must
+    * survive the line-based record format exactly), and for a keyed
+    * UPDATE the assignments as `enc(col) enc(sql)` pairs (URL-encoding
+    * never emits a space, so the space splits exactly). */
   private def encodeKeyedSets(keyCol: String, keyIsLong: Boolean,
-      keys: Seq[Any]): Seq[(String, String)] =
-    (KeyedDeleteTag -> keyCol) +:
+      keys: Seq[Any], assigns: Seq[(String, String)] = Nil)
+      : Seq[(String, String)] = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    (KeyedDmlTag -> keyCol) +:
       (KeyedTypeTag -> (if (keyIsLong) "long" else "string")) +:
-      keys.map(k => "k" ->
-        java.net.URLEncoder.encode(k.toString, "UTF-8"))
+      (keys.map(k => "k" -> enc(k.toString)) ++
+        assigns.map { case (c, sql) => "set" -> s"${enc(c)} ${enc(sql)}" })
+  }
 
   private def decodeKeyedSets(sets: Seq[(String, String)])
-      : (String, Boolean, Seq[Any]) = {
+      : (String, Boolean, Seq[Any], Seq[(String, String)]) = {
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
     val keyCol = sets.collectFirst {
-      case (KeyedDeleteTag, c) => c }.getOrElse(
+      case (KeyedDmlTag, c) => c }.getOrElse(
       throw new IllegalStateException(
-        "keyed-delete record carries no key column — corrupted record"))
+        "keyed-DML record carries no key column — corrupted record"))
     val keyIsLong = sets.collectFirst {
       case (KeyedTypeTag, t) => t }.contains("long")
     val keys = sets.collect { case ("k", v) =>
-      val s = java.net.URLDecoder.decode(v, "UTF-8")
-      if (keyIsLong) (s.toLong: Any) else (s: Any)
+      if (keyIsLong) (dec(v).toLong: Any) else (dec(v): Any)
     }
-    (keyCol, keyIsLong, keys)
+    val assigns = sets.collect { case ("set", v) =>
+      v.split(" ", 2) match {
+        case Array(c, sql) => dec(c) -> dec(sql)
+        case _ => throw new IllegalStateException(
+          s"keyed-DML record carries a malformed assignment: '$v'")
+      }
+    }
+    (keyCol, keyIsLong, keys, assigns)
   }
 
   private def readMarkerLines(f: org.apache.hadoop.fs.FileSystem,
@@ -1247,30 +1261,50 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       boxes: Seq[Seq[(String, Long, Long)]],
       sets: Seq[(String, org.apache.spark.sql.Column)],
       updateId: Long): Boolean = {
-    require(sets.nonEmpty, "updateBoxes: no assignments")
+    val setExprs = validateAssignSets(spark, dir, "updateBoxes", sets)
+    val setMap = sets.toMap
+    rewriteBoxedUnits(spark, dir, "upd", updateId, boxes,
+      setExprs) { (df, hit) =>
+      df.select(df.columns.toSeq.map { c =>
+        setMap.get(c)
+          .map(e => when(hit, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
+  }
+
+  /** Shared assignment contract of the in-place UPDATE statements
+    * ([[updateBoxes]] and [[updateKeys]]): non-empty distinct targets;
+    * cluster-derived/provenance columns and the reserved `__graft`
+    * prefix refused (the grid columns and [[KeyCol]] decide where a
+    * row LIVES; the prefix carries engine record tags a forged
+    * assignment could make a replica mis-replay); targets must exist
+    * (no stored schema falls back to the served columns — without it a
+    * typo'd target would silently never apply; a table with neither
+    * schema nor data has no rows to miss); and the RECORD-TIME
+    * replayability gate — the assignment is recorded as SQL text and
+    * re-evaluated at replica replay (and once per affected unit even
+    * on the source), so an environment-bound value
+    * (current_timestamp(), rand(), uuid(), current_user()) would write
+    * DIFFERENT bytes per evaluation and silently diverge replicas.
+    * Returns the (column, SQL) record pairs. */
+  private def validateAssignSets(spark: SparkSession, dir: String,
+      what: String, sets: Seq[(String, org.apache.spark.sql.Column)])
+      : Seq[(String, String)] = {
+    require(sets.nonEmpty, s"$what: no assignments")
     require(sets.map(_._1).distinct.size == sets.size,
-      s"updateBoxes: duplicate assignment targets in ${sets.map(_._1)}")
+      s"$what: duplicate assignment targets in ${sets.map(_._1)}")
     val gridNow = readGrid(spark, dir)
     val reserved = (gridNow.cols :+ KeyCol :+ BatchCol).toSet
     sets.foreach { case (c, _) =>
       require(!reserved(c),
-        s"updateBoxes: '$c' is a cluster-derived or provenance " +
+        s"$what: '$c' is a cluster-derived or provenance " +
           "column — not assignable in place (delete + insert, or " +
           "regrid, to move rows)")
-      // the engine's internal record tags live under this prefix (the
-      // keyed-delete payload sentinel) — an assignment there could
-      // forge a record a replica would mis-replay
       require(!c.startsWith("__graft"),
-        s"updateBoxes: '$c' — the __graft prefix is reserved for " +
+        s"$what: '$c' — the __graft prefix is reserved for " +
           "engine-internal columns and record tags")
     }
-    // no stored schema (a pre-publishSchema table) falls back to the
-    // columns the table actually SERVES — without it a typo'd target
-    // would pass validation and the per-unit projection (keyed on the
-    // frame's columns) would silently never apply it; every sibling
-    // path refuses typed, so this one must too. A table with neither
-    // schema nor data has no rows to miss: the empty fallback skips
-    // the check and the statement no-ops.
     val known = tableSchema(spark, dir)
       .map(_.fieldNames.toSet)
       .orElse {
@@ -1281,34 +1315,18 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       .getOrElse(Set.empty)
     sets.foreach { case (c, _) =>
       require(known.isEmpty || known(c),
-        s"updateBoxes: unknown column '$c' (table has $known)")
+        s"$what: unknown column '$c' (table has $known)")
     }
-    // RECORD-TIME replayability gate: the assignment is recorded as
-    // SQL text and re-evaluated later — at replica replay, and even on
-    // the source once per affected unit — so a value bound to the
-    // evaluation environment (current_timestamp(), rand(), uuid(),
-    // current_user()) would write DIFFERENT bytes per evaluation and
-    // silently diverge replicas. Fail the statement here, where the
-    // user can fix it (compute the value once and assign the literal).
-    val setExprs = sets.map { case (c, e) =>
+    sets.map { case (c, e) =>
       val ex = org.apache.spark.sql.graftbridge.ColumnBridge
         .catalystExpr(e)
       environmentBound(ex).foreach(bad =>
         throw new IllegalArgumentException(
-          s"updateBoxes: assignment to '$c' reads the evaluation " +
+          s"$what: assignment to '$c' reads the evaluation " +
             s"environment ($bad) — it cannot rewrite the same bytes " +
             "on replay or replica sync; evaluate it once and assign " +
             "the resulting literal instead"))
       c -> ex.sql
-    }
-    val setMap = sets.toMap
-    rewriteBoxedUnits(spark, dir, "upd", updateId, boxes,
-      setExprs) { (df, hit) =>
-      df.select(df.columns.toSeq.map { c =>
-        setMap.get(c)
-          .map(e => when(hit, e).otherwise(col(c)).as(c))
-          .getOrElse(col(c))
-      }: _*)
     }
   }
 
@@ -1551,18 +1569,22 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * because the record stores every key). */
   private val MaxDeleteKeys = 1 << 16
 
-  /** The unit pruner + row predicate behind a KEYED delete, shared by
-    * the source statement ([[deleteKeys]], unscoped) and its replica
-    * replay ([[replicate]], scoped `__batch <= scopeUpto`): a unit
-    * rewrites only if it has rows, intersects the batch scope, and —
-    * when `keyCol` carries sidecars — its stats range (long keys) or
-    * Bloom filter (both types; the [[mergeRows]] q166/q170 machinery)
-    * admits at least one key. The row predicate is a codegen'd IN-set,
-    * NULL-safe (a NULL key is never deleted — SQL's three-valued IN). */
+  /** The unit pruner + row predicate behind the KEYED statements,
+    * shared by the source forms ([[deleteKeys]]/[[updateKeys]],
+    * unscoped) and their replica replays ([[replicate]], scoped
+    * `__batch <= scopeUpto`): a unit rewrites only if it has rows,
+    * intersects the batch scope, and — when `keyCol` carries sidecars
+    * — its stats range (long keys) or Bloom filter (both types; the
+    * [[mergeRows]] q166/q170 machinery) admits at least one key. The
+    * row predicate handed to `transform` is a codegen'd IN-set,
+    * NULL-safe (a NULL key never hits — SQL's three-valued IN). */
   private def rewriteKeyedUnits(spark: SparkSession, dir: String,
       kind: String, id: Long, keyCol: String, keyIsLong: Boolean,
       keys: Seq[Any], scopeUpto: Long,
-      recBoxes: Seq[Seq[(String, Long, Long)]]): Boolean = {
+      recBoxes: Seq[Seq[(String, Long, Long)]],
+      assigns: Seq[(String, String)] = Nil)(
+      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame =
+        (df, hit) => df.filter(!hit)): Boolean = {
     val (longMin, longMax) =
       if (keyIsLong && keys.nonEmpty) {
         val ls = keys.map(_.asInstanceOf[Long])
@@ -1595,8 +1617,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       if (scopeUpto == Long.MaxValue) inKeys
       else inKeys && col(BatchCol) <= scopeUpto
     rewriteMarkedUnits(spark, dir, kind, id, recBoxes,
-      encodeKeyedSets(keyCol, keyIsLong, keys), affects)(
-      df => df.filter(!hit))
+      encodeKeyedSets(keyCol, keyIsLong, keys, assigns), affects)(
+      df => transform(df, hit))
   }
 
   /** Targeted KEY delete — the doc-id TAKEDOWN statement (the RTBF
@@ -1629,24 +1651,36 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * path never collects or shuffles. */
   def deleteKeys(spark: SparkSession, dir: String, keyCol: String,
       keys: Seq[Any], deleteId: Long): Boolean = {
-    require(keys.nonEmpty, "deleteKeys: no keys")
+    val (distinctKeys, keyIsLong) =
+      validateKeyedArgs(spark, dir, "deleteKeys", keyCol, keys)
+    rewriteKeyedUnits(spark, dir, "delk", deleteId, keyCol, keyIsLong,
+      distinctKeys, Long.MaxValue, Nil)()
+  }
+
+  /** Shared argument contract of the keyed statements: non-empty
+    * NULL-free keys (a NULL never matches — SQL IN), deduped, bounded
+    * by [[MaxDeleteKeys]] (they ride in the record and drive driver
+    * bloom probes), homogeneous Long-or-String, and the key column
+    * must exist with the matching type (the updateBoxes fallback rule:
+    * no stored schema falls back to the served columns; neither →
+    * nothing to touch, validates against nothing). */
+  private def validateKeyedArgs(spark: SparkSession, dir: String,
+      what: String, keyCol: String, keys: Seq[Any])
+      : (Seq[Any], Boolean) = {
+    require(keys.nonEmpty, s"$what: no keys")
     require(!keys.contains(null),
-      "deleteKeys: NULL keys are not supported — a NULL never matches " +
-        "(SQL IN semantics), so the statement could not delete anything")
+      s"$what: NULL keys are not supported — a NULL never matches " +
+        "(SQL IN semantics), so the statement could not touch anything")
     val distinctKeys = keys.distinct
     require(distinctKeys.size <= MaxDeleteKeys,
-      s"deleteKeys: ${distinctKeys.size} distinct keys — a delete " +
+      s"$what: ${distinctKeys.size} distinct keys — a keyed statement " +
         "this large is a rewrite in disguise; split it or use a box " +
-        "delete on a range")
+        "statement on a range")
     val keyIsLong = distinctKeys.head.isInstanceOf[Long]
     require(distinctKeys.forall(k =>
         if (keyIsLong) k.isInstanceOf[Long] else k.isInstanceOf[String]),
-      "deleteKeys: keys must be all Long or all String (the bloom " +
+      s"$what: keys must be all Long or all String (the bloom " +
         "sidecar types)")
-    // refuse a typo'd or wrongly-typed key column typed, like every
-    // sibling write path (the updateBoxes fallback rule: no stored
-    // schema falls back to the served columns; neither → nothing to
-    // delete, the statement still validates against nothing)
     tableSchema(spark, dir)
       .map(s => s.fields.map(fd => fd.name -> fd.dataType).toMap)
       .orElse {
@@ -1658,18 +1692,71 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       .foreach { known =>
         val dt = known.getOrElse(keyCol,
           throw new IllegalArgumentException(
-            s"deleteKeys: unknown column '$keyCol' (table has " +
+            s"$what: unknown column '$keyCol' (table has " +
               s"${known.keySet})"))
         val want =
           if (keyIsLong) org.apache.spark.sql.types.LongType
           else org.apache.spark.sql.types.StringType
         require(dt == want,
-          s"deleteKeys: column '$keyCol' is ${dt.simpleString} but " +
+          s"$what: column '$keyCol' is ${dt.simpleString} but " +
             s"the keys are ${want.simpleString} — a mistyped key can " +
             "never match; cast the keys, not the column")
       }
-    rewriteKeyedUnits(spark, dir, "delk", deleteId, keyCol, keyIsLong,
-      distinctKeys, Long.MaxValue, Nil)
+    (distinctKeys, keyIsLong)
+  }
+
+  /** KEY-scoped in-place UPDATE — the REDACTION twin of
+    * [[deleteKeys]] (null out or overwrite payload columns for a list
+    * of document ids WITHOUT deleting the rows — the statement a
+    * string-keyed corpus writes when deletion is too blunt), where the
+    * box surface cannot reach (string keys have no boxes). Same
+    * machinery and contracts: Bloom-sidecar unit pruning, one
+    * `updk-<updateId>` ledger entry recording the key column, every
+    * key AND every assignment's SQL (all URL-encoded), replica replay
+    * scoped `__batch <= upto`, crash-replay exact even for
+    * non-idempotent assignments (the [[rewriteMarkedUnits]] own-output
+    * skip), and [[updateBoxes]]' assignment contract — payload columns
+    * only, deterministic environment-free expressions over the row's
+    * own pre-update values (simultaneous-assignment semantics), rows
+    * whose key is NULL or absent untouched. */
+  def updateKeys(spark: SparkSession, dir: String, keyCol: String,
+      keys: Seq[Any], sets: Seq[(String, org.apache.spark.sql.Column)],
+      updateId: Long): Boolean = {
+    val (distinctKeys, keyIsLong) =
+      validateKeyedArgs(spark, dir, "updateKeys", keyCol, keys)
+    val setExprs = validateAssignSets(spark, dir, "updateKeys", sets)
+    require(!sets.exists(_._1 == keyCol),
+      s"updateKeys: assigning the key column '$keyCol' itself under a " +
+        "key predicate rewrites row identity — use MERGE (whole-row) " +
+        "or delete + insert")
+    val setMap = sets.toMap
+    rewriteKeyedUnits(spark, dir, "updk", updateId, keyCol, keyIsLong,
+      distinctKeys, Long.MaxValue, Nil, setExprs) { (df, hit) =>
+      df.select(df.columns.toSeq.map { c =>
+        setMap.get(c)
+          .map(e => when(hit, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }
+  }
+
+  /** [[updateKeys]] under the next unused keyed-update id — the body
+    * behind SQL `UPDATE t SET ... WHERE <stringCol> IN (...)`. Same
+    * id-race loop as its siblings; `updk-<id>` debris counted. */
+  private[graft] def updateKeysNext(spark: SparkSession, dir: String,
+      keyCol: String, keys: Seq[Any],
+      sets: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    var attempts = 0
+    while (true) {
+      val next =
+        occupiedDmlIds(spark, dir, "updk").foldLeft(-1L)(math.max) + 1L
+      if (updateKeys(spark, dir, keyCol, keys, sets, next)) return next
+      attempts += 1
+      require(attempts < 16,
+        s"updateKeysNext: lost the update-id race $attempts times on " +
+          s"$dir — a pathological storm of concurrent UPDATEs")
+    }
+    -1L // unreachable
   }
 
   /** [[deleteKeys]] under the NEXT UNUSED delete-keys id — the body
@@ -2015,14 +2102,15 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       val scopeUpto = if (dstFresh) -1L else r.upto
       val scoped = r.boxes.map(_ :+ ((BatchCol, Long.MinValue,
         scopeUpto)))
-      if (r.sets.headOption.exists(_._1 == KeyedDeleteTag)) {
-        // a KEYED delete (source `delk`, or a chained replica's `sdml`
-        // replay of one — the tag, not the kind, marks the payload):
-        // replay scoped `__batch <= upto` like every box statement; a
-        // chained record also carries the scope it ITSELF applied
-        // under (its recBoxes batch box) — intersect, so a
-        // replica-of-a-replica never widens the original statement
-        val (kc, keyIsLong, keys) = decodeKeyedSets(r.sets)
+      if (r.sets.headOption.exists(_._1 == KeyedDmlTag)) {
+        // a KEYED statement (source `delk`/`updk`, or a chained
+        // replica's `sdml` replay of one — the tag, not the kind,
+        // marks the payload): replay scoped `__batch <= upto` like
+        // every box statement; a chained record also carries the
+        // scope it ITSELF applied under (its recBoxes batch box) —
+        // intersect, so a replica-of-a-replica never widens the
+        // original statement
+        val (kc, keyIsLong, keys, assigns) = decodeKeyedSets(r.sets)
         val recordedScope = r.boxes.flatten.collectFirst {
           case (c, _, hi) if c == BatchCol => hi }
         val keyScope =
@@ -2030,14 +2118,55 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           else math.min(r.upto, recordedScope.getOrElse(Long.MaxValue))
         val known = tableSchema(spark, dstDir)
           .map(_.fieldNames.toSet).getOrElse(Set.empty)
-        require(dstFresh || known.isEmpty || known(kc),
-          s"replicate: source keyed delete seq ${r.seq} keys on " +
-            s"'$kc', a column this replica has not seen yet (schema " +
-            "evolution above a source ledger gap) — re-sync after " +
-            "the gap commits")
-        rewriteKeyedUnits(spark, dstDir, "sdml", r.seq, kc, keyIsLong,
-          keys, keyScope,
-          recBoxes = Seq(Seq((BatchCol, Long.MinValue, keyScope)))): Unit
+        (kc +: assigns.map(_._1)).foreach { c =>
+          require(dstFresh || known.isEmpty || known(c),
+            s"replicate: source keyed statement seq ${r.seq} touches " +
+              s"'$c', a column this replica has not seen yet (schema " +
+              "evolution above a source ledger gap) — re-sync after " +
+              "the gap commits")
+        }
+        if (assigns.isEmpty)
+          rewriteKeyedUnits(spark, dstDir, "sdml", r.seq, kc, keyIsLong,
+            keys, keyScope,
+            recBoxes =
+              Seq(Seq((BatchCol, Long.MinValue, keyScope))))(): Unit
+        else {
+          // keyed UPDATE replay: same replayability gates as the box
+          // update below — self-referential and environment-bound
+          // assignments cannot re-evaluate to the source's bytes
+          val assigned = assigns.map(_._1.toLowerCase).toSet
+          val sets = assigns.map { case (c, sql) =>
+            val e = org.apache.spark.sql.graftbridge.ColumnBridge
+              .catalystExpr(org.apache.spark.sql.functions.expr(sql))
+            val refs = e.collect {
+              case u: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => u.nameParts.last.toLowerCase
+            }
+            require(dstFresh || refs.toSet.intersect(assigned).isEmpty,
+              s"replicate: source keyed update seq ${r.seq} assigns " +
+                s"'$c' from '$sql', which reads an assigned column — " +
+                "self-referential assignments cannot replay exactly " +
+                "under at-least-once replication")
+            if (!dstFresh) environmentBound(e).foreach(bad =>
+              throw new IllegalArgumentException(
+                s"replicate: source keyed update seq ${r.seq} " +
+                  s"assigns '$c' from '$sql', which reads the " +
+                  s"evaluation environment ($bad) — re-evaluating it " +
+                  "at replay time diverges replica bytes"))
+            c -> org.apache.spark.sql.functions.expr(sql)
+          }
+          val setMap = sets.toMap
+          rewriteKeyedUnits(spark, dstDir, "sdml", r.seq, kc, keyIsLong,
+            keys, keyScope,
+            recBoxes = Seq(Seq((BatchCol, Long.MinValue, keyScope))),
+            assigns = assigns) { (d, hit) =>
+            d.select(d.columns.toSeq.map { c =>
+              setMap.get(c)
+                .map(e => when(hit, e).otherwise(col(c)).as(c))
+                .getOrElse(col(c))
+            }: _*)
+          }: Unit
+        }
       } else if (r.sets.isEmpty) {
         rewriteBoxedUnits(spark, dstDir, "sdml", r.seq, scoped,
           Nil)((d, hit) => d.filter(!hit)): Unit
@@ -3625,6 +3754,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         val dels = dmlKind("del", "delete")
         val delks = dmlKind("delk", "delete_keys")
         val upds = dmlKind("upd", "update")
+        val updks = dmlKind("updk", "update_keys")
         val replays = dmlKind("sdml", "replay")
         // committed merges come from live commit markers AND folded
         // mrg records (a record in the dml-log is committed by the
@@ -3649,8 +3779,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           .filterNot(committedMergeIds).sorted
           .map(i => ("merge", i, false,
             Some(byName(s"merge-$i.intent").getModificationTime)))
-        folded ++ tail ++ dels ++ delks ++ upds ++ replays ++ merges ++
-          intents
+        folded ++ tail ++ dels ++ delks ++ upds ++ updks ++ replays ++
+          merges ++ intents
       }
     import spark.implicits._
     entries.toDF("kind", "id", "committed", "at_ms")

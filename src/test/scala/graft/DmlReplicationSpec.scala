@@ -616,6 +616,71 @@ class DmlReplicationSpec extends SparkSpec {
       .select("a", "b", "doc", "v", "zkey", "__batch")
       .as[(Long, Long, Option[String], Long, Long, Long)].collect().toSet
 
+  test("updateKeys redacts by doc id: bloom-pruned in place, NULL " +
+      "rows kept, SQL routes string point WHEREs to it, replicas " +
+      "replay it scoped") {
+    val src = freshKeyedTable("updk")
+    val dst = src.stripSuffix("/t") + "/r"
+    assert(LayoutIngest.replicate(spark, src, dst).batchesPulled === 2)
+    // SQL: a string point WHERE routes to the KEYED update; both keys
+    // live in batch 0's unit — the other unit's bloom exempts it
+    spark.read.format("graft-layout").load(src)
+      .createOrReplaceTempView("updk_t")
+    spark.sql("UPDATE updk_t SET v = -1 " +
+      "WHERE doc IN ('doc-10', 'doc-20', NULL)")
+    assert(LayoutIngest.history(spark, src)
+      .filter(col("kind") === "update_keys").count() === 1L)
+    assert(LayoutIngest.history(spark, src)
+      .filter(col("kind") === "update").count() === 0L,
+      "must be a keyed op, not a box op")
+    val rewritten = Option(new java.io.File(s"$src/data").list()).get
+      .count(_.startsWith("gen-updk0-"))
+    assert(rewritten === 1,
+      s"bloom must exempt batch 1's unit, rewrote $rewritten")
+    val vByDoc = LayoutIngest.read(spark, src)
+      .select("doc", "v").as[(Option[String], Long)].collect().toMap
+    assert(vByDoc(Some("doc-10")) === -1L &&
+      vByDoc(Some("doc-20")) === -1L)
+    assert(vByDoc(Some("doc-11")) === 110L, "non-keyed rows untouched")
+    assert(vByDoc(None) === 70L, "the NULL-keyed row is KEPT untouched")
+    // the same key re-appears in a LATER batch; the replica replay's
+    // upto scope must leave the new row unredacted
+    LayoutIngest.ingestBatch(
+      Seq((10L, 10L, "doc-10", 999L)).toDF("a", "b", "doc", "v"),
+      2L, src, 1): Unit
+    val st = LayoutIngest.replicate(spark, src, dst)
+    assert(st.batchesPulled === 1 && st.dmlReplayed === 1, s"got $st")
+    assert(snapKeyed(dst) === snapKeyed(src),
+      "replica ≡ source bytes (old doc-10 redacted, re-added kept)")
+    // fresh bootstrap stamps without evaluating
+    val dst2 = src.stripSuffix("/t") + "/r2"
+    val st2 = LayoutIngest.replicate(spark, src, dst2)
+    assert(st2.dmlSkippedAsBootstrap === 1)
+    assert(snapKeyed(dst2) === snapKeyed(src))
+    // refusals: key-column assignment, grid column, env-bound value
+    def refuses(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains(needle)),
+        s"$sql -> ${msgs(e).mkString(" | ")}")
+    }
+    refuses("UPDATE updk_t SET doc = 'x' WHERE doc = 'doc-30'",
+      "rewriting row identity")
+    refuses("UPDATE updk_t SET a = 0 WHERE doc = 'doc-30'",
+      "not assignable in place")
+    refuses("UPDATE updk_t SET v = cast(rand()*9 as bigint) " +
+      "WHERE doc = 'doc-30'", "evaluation environment")
+    // the API twin with LONG keys and a row-reading assignment
+    val tl = freshTable("updk-long")
+    assert(LayoutIngest.updateKeys(spark, tl, "a", Seq(5L, 7L),
+      Seq("v" -> (col("b") * 1000L)), updateId = 0L))
+    val got = LayoutIngest.read(spark, tl)
+      .select("a", "v").as[(Long, Long)].collect().toMap
+    assert(got(5L) === 5000L && got(7L) === 7000L && got(6L) === 60L)
+  }
+
   test("REPLICAS are read-only TYPED until promoted; promotion fences " +
       "the sync and opens local writes above the mirrored ledger") {
     def refuses(f: => Any, needle: String): Unit = {
