@@ -9024,15 +9024,21 @@ WHERE rk <= 40"""
 
   /** SQL UPDATE — the box-scoped in-place REDACTION rewrite
     * ([[graft.streaming.LayoutIngest.updateBoxes]] behind
-    * `UPDATE ... SET <payload> WHERE <boxes>`): statement 1 shifts the
-    * mid-time window's values through an expression over the row's
-    * own column (`value = value + 1`), statement 2 NULLs the q162 user
-    * slice (the redaction a deployment runs when deletion is too
-    * blunt) — overlapping rows take both in order. Premised: exactly
-    * two `update` ops in history. The table hashes against the same
-    * CASE cascade in DuckDB; a rewrite that dropped rows (redaction
-    * must never delete), applied an assignment outside its box, or
-    * read post-update values fails the hash. */
+    * `UPDATE ... SET <payload> WHERE <boxes>`): statement 1 overwrites
+    * the mid-time window's values through an expression over the
+    * row's UNTOUCHED columns (`value = user_id % 97 + 1` — the
+    * replayable shape), statement 2 NULLs the q162 user slice (the
+    * redaction a deployment runs when deletion is too blunt) —
+    * overlapping rows take both in order. A SELF-REFERENTIAL
+    * assignment (`value = value + 1`) must refuse typed at record
+    * time (the replica-replayability gate — such a record would
+    * poison every later sync; MERGE's snapshot-replayed partial SET
+    * is its sanctioned spelling, q200). Premised: the refusal fires
+    * AND exactly two `update` ops reach history. The table hashes
+    * against the same CASE cascade in DuckDB; a rewrite that dropped
+    * rows (redaction must never delete), applied an assignment
+    * outside its box, or let the refused statement through fails the
+    * hash. */
   val q195SqlRedact: Q = (s, dir) => {
     val ev = events(s, dir).select(col("event_id"), col("user_id"),
       unix_micros(col("ts")).as("ts_us"), col("value"))
@@ -9064,7 +9070,20 @@ WHERE rk <= 40"""
       val uhi = umn + (umx - umn) * 51 / 100
       s.read.format("graft-layout").load(tableDir)
         .createOrReplaceTempView("q195_t")
-      s.sql(s"UPDATE q195_t SET value = value + 1 " +
+      val selfRef = try {
+        s.sql(s"UPDATE q195_t SET value = value + 1 " +
+          s"WHERE ts_us BETWEEN $tlo AND $thi")
+        None
+      } catch { case e: Exception =>
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ msgs(x.getCause))
+        Some(msgs(e))
+      }
+      require(selfRef.exists(_.exists(_.contains("assigned column"))),
+        s"q195 premise: a self-referential SET must refuse typed at " +
+          s"record time, got $selfRef")
+      s.sql(s"UPDATE q195_t SET value = CAST(user_id % 97 + 1 AS DOUBLE) " +
         s"WHERE ts_us BETWEEN $tlo AND $thi")
       s.sql(s"UPDATE q195_t SET value = NULL " +
         s"WHERE user_id BETWEEN $ulo AND $uhi")
@@ -9104,7 +9123,7 @@ WHERE rk <= 40"""
        |  WHEN tus BETWEEN
        |      (SELECT tmn + ((tmx - tmn) * 25) // 100 FROM b) AND
        |      (SELECT tmn + ((tmx - tmn) * 75) // 100 FROM b)
-       |    THEN value + 1
+       |    THEN CAST(user_id % 97 + 1 AS DOUBLE)
        |  ELSE value END AS value
        |FROM q""".stripMargin
   }

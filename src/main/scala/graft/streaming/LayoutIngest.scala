@@ -993,8 +993,20 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * (statements are compliance-cadence ops), hot paths — per-sync
     * minting, battery warm replays — re-parse an unchanged file. Logs
     * are IMMUTABLE once published (written whole + renamed; a fold
-    * mints a NEW `dml-log-<k>`), so an equal fingerprint is an exact
-    * hit; any fold/crash-cleanup changes the listing and misses. */
+    * mints a NEW `dml-log-<k>`, and `k` is MONOTONIC — the fold
+    * computes max-existing + 1 and deletes superseded logs only
+    * AFTER the higher log publishes, so a name is never reused), so
+    * an equal fingerprint is an exact hit; any fold/crash-cleanup
+    * changes the listing and misses. Two belts against the
+    * fingerprint's edges: the cache KEY is the filesystem-qualified
+    * markers path (two spellings of one dir — trailing slash, scheme
+    * — share one entry), and a fingerprint whose newest mtime is
+    * within the last [[DmlLogMtimeSlackMs]] is never served from
+    * cache (coarse-mtime filesystems stamp whole seconds; a
+    * hypothetical same-name same-length rewrite inside that second
+    * would be indistinguishable, so the window re-reads; var — the
+    * cache spec pins the hit path without waiting the window out). */
+  private[graft] var DmlLogMtimeSlackMs = 2000L
   private val MaxDmlLogCache = 1024
   private val dmlLogCache = new java.util.LinkedHashMap[String,
       (Seq[(String, Long, Long)], Seq[DmlRecord])](16, 0.75f, true) {
@@ -1014,8 +1026,13 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       .filter(_.getPath.getName.matches("dml-log-\\d+"))
     val print = logs.map(s => (s.getPath.getName,
       s.getModificationTime, s.getLen)).sortBy(_._1)
-    dmlLogCache.synchronized {
-      val hit = dmlLogCache.get(dir)
+    val key = f.makeQualified(markers).toString
+    // a just-written log's mtime second may not have closed yet —
+    // inside the slack window the fingerprint is not yet decisive
+    val settled = print.forall(p =>
+      System.currentTimeMillis() - p._2 >= DmlLogMtimeSlackMs)
+    if (settled) dmlLogCache.synchronized {
+      val hit = dmlLogCache.get(key)
       if (hit != null && hit._1 == print) {
         dmlLogCacheHits += 1
         return hit._2
@@ -1024,7 +1041,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     val parsed = parseDmlLogs(f, logs)
     dmlLogCache.synchronized {
       dmlLogCacheMisses += 1
-      dmlLogCache.put(dir, (print, parsed)): Unit
+      dmlLogCache.put(key, (print, parsed)): Unit
     }
     parsed
   }
@@ -1229,19 +1246,26 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * idempotent behind an `upd-<updateId>` marker, one ledger entry
     * for the whole union of boxes.
     *
-    * `sets` assigns payload columns from expressions over the row's
-    * OWN (pre-update) values — all assignments read the original row,
-    * SQL UPDATE's simultaneous-assignment semantics. Rows outside the
+    * `sets` assigns payload columns from deterministic expressions
+    * over the row's UNTOUCHED columns — an assignment may read any
+    * column the statement does not assign. Reading an ASSIGNED column
+    * (`value = value + 1`, swaps) is refused at record time, like
+    * environment-bound values: the statement is recorded as SQL text
+    * and re-evaluated on replica sync, where at-least-once replay
+    * over pre- or post-statement bytes cannot re-apply a self-read
+    * exactly ([[validateAssignSets]]; MERGE's partial UPDATE SET is
+    * the replica-exact spelling of those shapes — its updates
+    * snapshot replays bytes, not expressions). Rows outside the
     * boxes (or where the predicate is NULL — three-valued logic, the
     * row is NOT hit) keep every column untouched.
     *
-    * REPLAY after a mid-operation crash (same updateId): exact even
-    * for NON-idempotent assignments — the replay skips the crashed
-    * attempt's own published rewrites by their `gen-upd<id>-` name
-    * prefix, so `value = value + 1` applies exactly once per row (a
-    * plain re-transform would double-apply to the units that
-    * published before the crash; [[deleteBox]] never had this hazard
-    * — filtering is idempotent). The contract assumes the standard
+    * REPLAY after a mid-operation crash (same updateId): exact — and
+    * belt-and-braces: the replay skips the crashed attempt's own
+    * published rewrites by their `gen-upd<id>-` name prefix, so even
+    * a NON-idempotent assignment (none are recordable today — that
+    * would need a self-read — but the skip predates the gate and
+    * guards records minted by older writers) applies exactly once
+    * per row. The contract assumes the standard
     * crash-recovery discipline: replay the owed op before any OTHER
     * maintenance renames those units (the maintenance lock's
     * break-then-look rule). The SQL path never replays — a driver
@@ -1282,11 +1306,15 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * (no stored schema falls back to the served columns — without it a
     * typo'd target would silently never apply; a table with neither
     * schema nor data has no rows to miss); and the RECORD-TIME
-    * replayability gate — the assignment is recorded as SQL text and
+    * replayability gates — the assignment is recorded as SQL text and
     * re-evaluated at replica replay (and once per affected unit even
     * on the source), so an environment-bound value
     * (current_timestamp(), rand(), uuid(), current_user()) would write
-    * DIFFERENT bytes per evaluation and silently diverge replicas.
+    * DIFFERENT bytes per evaluation, and a SELF-REFERENTIAL value
+    * (reading any assigned column) cannot re-apply exactly over a
+    * replica's pre- or post-statement bytes — both silently diverge
+    * replicas, both refused here rather than poisoning the record
+    * stream for every later sync.
     * Returns the (column, SQL) record pairs. */
   private def validateAssignSets(spark: SparkSession, dir: String,
       what: String, sets: Seq[(String, org.apache.spark.sql.Column)])
@@ -1317,6 +1345,22 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       require(known.isEmpty || known(c),
         s"$what: unknown column '$c' (table has $known)")
     }
+    // RECORD-TIME twin of the replica-replay gates (replicateBody):
+    // a recorded statement must be replayable, and two value shapes
+    // can never be — environment-bound expressions (re-evaluate to
+    // different bytes) and SELF-REFERENTIAL ones (an assignment
+    // reading any ASSIGNED column: under at-least-once replay a
+    // replica may hold pre- OR post-statement bytes, so `v = v + 1`
+    // or a `v = w, w = v` swap cannot be re-applied exactly).
+    // Refusing them HERE, not at sync time, is what keeps one bad
+    // statement from minting a poison record that permanently fails
+    // every subsequent replicate() of the table. The replay-side
+    // gates stay as defense-in-depth against foreign/older writers.
+    // Self-referential shapes still have a replica-exact spelling:
+    // MERGE's partial UPDATE SET (`SET value = t.value + s.delta`)
+    // snapshots the post-statement rows, so replicas replay bytes,
+    // not expressions.
+    val assigned = sets.map(_._1.toLowerCase).toSet
     sets.map { case (c, e) =>
       val ex = org.apache.spark.sql.graftbridge.ColumnBridge
         .catalystExpr(e)
@@ -1326,6 +1370,20 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
             s"environment ($bad) — it cannot rewrite the same bytes " +
             "on replay or replica sync; evaluate it once and assign " +
             "the resulting literal instead"))
+      val refs = ex.collect {
+        case u: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => u.nameParts.last.toLowerCase
+        case a: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference => a.name.toLowerCase
+      }
+      refs.toSet.intersect(assigned).headOption.foreach(bad =>
+        throw new IllegalArgumentException(
+          s"$what: assignment to '$c' reads an assigned column " +
+            s"('$bad') — self-referential assignments cannot " +
+            "replay exactly under at-least-once replica sync, so they " +
+            "are refused at record time; read only untouched columns, " +
+            "or use MERGE (its updates snapshot replays bytes, not " +
+            "expressions)"))
       c -> ex.sql
     }
   }
@@ -1381,6 +1439,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       transform: DataFrame => DataFrame): Boolean = {
     refuseReplicaWrite(spark, dir, s"$kind-$id")
     withMaintLock(spark, dir) {
+      fencePromotedMidSync(spark, dir, s"$kind-$id")
       val stampPrefix = s"$kind$id"
       recoverCompact(spark, dir)
       adoptOrphanBatches(spark, dir)
@@ -1713,12 +1772,13 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * machinery and contracts: Bloom-sidecar unit pruning, one
     * `updk-<updateId>` ledger entry recording the key column, every
     * key AND every assignment's SQL (all URL-encoded), replica replay
-    * scoped `__batch <= upto`, crash-replay exact even for
-    * non-idempotent assignments (the [[rewriteMarkedUnits]] own-output
-    * skip), and [[updateBoxes]]' assignment contract — payload columns
-    * only, deterministic environment-free expressions over the row's
-    * own pre-update values (simultaneous-assignment semantics), rows
-    * whose key is NULL or absent untouched. */
+    * scoped `__batch <= upto`, crash-replay exact (the
+    * [[rewriteMarkedUnits]] own-output skip), and [[updateBoxes]]'
+    * assignment contract — payload columns only, deterministic
+    * environment-free expressions over columns the statement does NOT
+    * assign (self-reads refused at record time, the replica
+    * replayability gate; [[validateAssignSets]]), rows whose key is
+    * NULL or absent untouched. */
   def updateKeys(spark: SparkSession, dir: String, keyCol: String,
       keys: Seq[Any], sets: Seq[(String, org.apache.spark.sql.Column)],
       updateId: Long): Boolean = {
@@ -1842,8 +1902,17 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * promoting twice returns the recorded watermark. Refuses on a dir
     * that was never a replica (nothing to promote — and stamping the
     * fence would be a lie in the ledger). Returns the watermark the
-    * promotion fenced at. */
+    * promotion fenced at.
+    *
+    * LOCKING: maintenance THEN tail (the [[mergeRows]] order). The
+    * tail lock makes a racing sync's per-batch pull observe the fence
+    * exactly; the maintenance lock does the same for the sync's
+    * STATEMENT-REPLAY phase ([[rewriteMarkedUnits]] and replayed
+    * merges re-check the fence under it) — without it a promotion
+    * landing between two replayed statements would let source DML
+    * keep applying to a table that just went locally writable. */
   def promoteReplica(spark: SparkSession, dir: String): Long =
+    LedgerLock.withLockWait(spark, s"$dir/maint", 5000L) {
     LedgerLock.withLockWait(spark, dir, 5000L) {
       val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
       require(f.exists(new org.apache.hadoop.fs.Path(markers,
@@ -1868,6 +1937,23 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         w
       }
     }
+    }
+
+  /** The PROMOTION fence for a sync's own writes: a statement replay
+    * or merge replay racing [[promoteReplica]] re-checks the fence at
+    * its write's claim point ([[rewriteMarkedUnits]]/[[mergeRows]]
+    * call this inside the maintenance section; the pull path checks
+    * under the tail lock) — exact, because the promotion holds BOTH
+    * locks. Outside a sync (depth 0) this is a no-op: promoted tables
+    * legitimately take local writes. */
+  private def fencePromotedMidSync(spark: SparkSession, dir: String,
+      what: String): Unit = {
+    if (replicaSyncDepth.get() <= 0) return
+    val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+    require(!isPromoted(f, markers),
+      s"replicate: $dir was promoted mid-sync — $what replay " +
+        "aborted (promoted tables never sync again)")
+  }
 
   /** Incremental REPLICA sync — the answer to "RTBF that doesn't
     * reach replicas isn't RTBF": pull the source's new committed batch
@@ -1955,7 +2041,11 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     finally replicaSyncDepth.set(replicaSyncDepth.get() - 1)
   }
 
-  private def replicateBody(spark: SparkSession, srcDir: String,
+  /** Package-private for the promotion-fence spec, which drives the
+    * body directly to simulate a promotion landing AFTER
+    * [[replicate]]'s entry check (the race window the in-loop fences
+    * close). */
+  private[graft] def replicateBody(spark: SparkSession, srcDir: String,
       dstDir: String, filesPerBatch: Int, lockWaitMs: Long)
       : ReplicateStats = {
     val (sf, smarkers) = DedupIngest.fs(spark, s"$srcDir/markers")
@@ -2099,6 +2189,13 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     var replayed = 0
     var stamped = 0
     srcOps.filterNot(r => appliedSeqs(r.seq)).foreach { r =>
+      // promotion fence, re-checked per record (and exactly, under
+      // the maintenance lock, inside each rewrite): a promoteReplica
+      // landing mid-replay must stop source statements from applying
+      // to the now-locally-writable table
+      require(!isPromoted(dmf, dmarkers0),
+        s"replicate: $dstDir was promoted mid-sync — statement " +
+          "replay aborted (promoted tables never sync again)")
       val scopeUpto = if (dstFresh) -1L else r.upto
       val scoped = r.boxes.map(_ :+ ((BatchCol, Long.MinValue,
         scopeUpto)))
@@ -2517,6 +2614,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     // inside for the freshness guard + append (the only maint→tail
     // nesting; see the object doc's lock-split section)
     withMaintLock(spark, dir) {
+      fencePromotedMidSync(spark, dir, s"merge-$batchId")
       recoverCompact(spark, dir)
       adoptOrphanBatches(spark, dir)
       val intent = new org.apache.hadoop.fs.Path(markers,

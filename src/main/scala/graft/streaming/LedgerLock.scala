@@ -41,8 +41,11 @@ import org.apache.spark.sql.SparkSession
  *     conf. Cross-host restarts can't prove death this way; use 2/3.
  *  2. **Stale lease** — setting [[LockStaleMsKey]] > 0 in the session
  *     conf retires any lock whose modification time is older than the
- *     threshold. Recommended for multi-host streaming deployments
- *     (set it comfortably above the longest micro-batch).
+ *     threshold. Live holders RENEW their lock's mtime on the
+ *     [[LockRenewMsKey]] heartbeat while the body runs, so the
+ *     threshold bounds missed heartbeats, not section length — set it
+ *     comfortably above the renewal interval (several multiples), not
+ *     above the longest operation.
  *  3. **Operator break** — confirm the holder is dead, call [[break]],
  *     re-run; every mutator is replay-safe behind its intent/commit
  *     markers, so break + replay is always sound.
@@ -82,18 +85,37 @@ object LedgerLock {
 
   /** Default stale lease for the STREAMING sink's tail acquires
     * ([[graft.streaming.LayoutIngest]] `microBatchIngest`), applied
-    * when [[LockStaleMsKey]] is unset: a tail-lock critical section is
-    * marker-file metadata work (tens of milliseconds), so a holder ten
-    * MINUTES old under a live stream is a dead writer on another host
-    * — the one recovery case the same-host dead-pid break cannot
-    * prove. With this default a multi-host streaming failover
-    * self-recovers without operator conf, while a legitimate
-    * interleaving writer (whose sections are 4 orders of magnitude
-    * shorter) is never lease-broken. Batch/maintenance acquires keep
-    * the conservative 0 (explicit [[LockStaleMsKey]] or operator
-    * [[break]]) — their sections can legitimately run long.
-    * [[LockStaleMsKey]], when set, overrides this default too. */
+    * when [[LockStaleMsKey]] is unset: every live holder RENEWS its
+    * lock's mtime on the [[LockRenewMsKey]] heartbeat (one minute by
+    * default), so a lock ten MINUTES old is a holder that missed ten
+    * consecutive renewals — a dead or wedged writer on another host,
+    * the one recovery case the same-host dead-pid break cannot prove.
+    * With this default a multi-host streaming failover self-recovers
+    * without operator conf, while a legitimate long-running holder —
+    * a merge's tail section spans its whole append, minutes at
+    * [[graft.streaming.LayoutIngest]]'s 4M-key ceiling — stays fresh
+    * under its heartbeat and is never lease-broken. Batch/maintenance
+    * acquires keep the conservative 0 (explicit [[LockStaleMsKey]] or
+    * operator [[break]]). [[LockStaleMsKey]], when set, overrides
+    * this default too. */
   val StreamLockStaleMsDefault = 600000L
+
+  /** Session-conf key: the holder-side lock-renewal heartbeat
+    * interval (milliseconds). While a body runs, a daemon timer
+    * touches the lock's mtime every interval, so AGE-based lease
+    * judgments ([[LockStaleMsKey]], [[StreamLockStaleMsDefault]])
+    * measure "time since the holder last proved liveness", not "time
+    * since acquire" — a live merge holding the tail lock across a
+    * minutes-long append can no longer be retired by a concurrent
+    * streaming writer's lease. <= 0 disables renewal (test hook).
+    * The first touch fires one full interval after acquire, so the
+    * tens-of-milliseconds marker sections never pay it. */
+  val LockRenewMsKey = "graft.ledger.lockRenewMs"
+
+  /** Default renewal interval: 1/10 of [[StreamLockStaleMsDefault]] —
+    * a lease judgment at the streaming default tolerates ~10 missed
+    * heartbeats before retiring a holder. */
+  val LockRenewMsDefault = 60000L
 
   /** A second concurrent writer hit [[withLock]]'s guard. */
   final class ConcurrentWriterException(msg: String)
@@ -146,6 +168,34 @@ object LedgerLock {
       }
       true
     } catch { case _: java.io.IOException => false }
+
+  /** One shared daemon timer drives every held lock's renewal — a
+    * touch is sub-millisecond metadata work, and holds are one per
+    * writer by contract, so a single thread never falls behind. */
+  private lazy val renewTimer = java.util.concurrent.Executors
+    .newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-ledger-lock-renew")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Start the holder's heartbeat: every `renewMs`, touch the lock's
+    * mtime — but ONLY while the file still carries OUR owner line (a
+    * lock lease-retired and re-acquired mid-body belongs to the new
+    * holder; extending a foreign lease is harmless but pointless, and
+    * the release path surfaces the overlap loudly). IO errors are
+    * swallowed: a missed touch degrades to the pre-renewal behavior,
+    * never fails the body. */
+  private def startRenewal(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, renewMs: Long)
+      : Option[java.util.concurrent.ScheduledFuture[_]] =
+    if (renewMs <= 0) None
+    else Some(renewTimer.scheduleAtFixedRate(
+      () => try {
+        if (readOwner(f, p).contains(lockOwner))
+          f.setTimes(p, System.currentTimeMillis(), -1L)
+      } catch { case _: Exception => () },
+      renewMs, renewMs, java.util.concurrent.TimeUnit.MILLISECONDS))
 
   private def readOwner(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[String] =
@@ -265,6 +315,13 @@ object LedgerLock {
               "violated.")
       }
     }
+    // hold heartbeat (see [[LockRenewMsKey]]): while the body runs,
+    // the lock's mtime is refreshed so lease judgments measure missed
+    // heartbeats, not section length — a long merge under a
+    // concurrent stream's lease default is a LIVE holder and stays one
+    val renewal = startRenewal(f, p,
+      spark.conf.getOption(LockRenewMsKey).flatMap(_.toLongOption)
+        .getOrElse(LockRenewMsDefault))
     // release ONLY our own lock: if a lease/dead-pid recovery retired
     // it mid-body (a long GC pause outliving staleMs), the file now
     // belongs to the NEW holder — deleting it would admit a third
@@ -276,6 +333,7 @@ object LedgerLock {
     try body
     catch { case t: Throwable => bodyError = t; throw t }
     finally {
+      renewal.foreach(_.cancel(false))
       readOwner(f, p) match {
         case Some(o) if o == lockOwner => f.delete(p, false): Unit
         case Some(other) =>

@@ -73,7 +73,7 @@ class DmlReplicationSpec extends SparkSpec {
       "hazard)") {
     val t = freshTable("dmldebris-upd")
     assert(LayoutIngest.updateBoxes(spark, t,
-      Seq(Seq(("b", 0L, 99L))), Seq("v" -> (col("v") + lit(1L))),
+      Seq(Seq(("b", 0L, 99L))), Seq("v" -> (col("b") * 10L + 1L)),
       updateId = 0L))
     val marker = new java.io.File(s"$t/markers/upd-0")
     assert(marker.exists() && marker.delete())
@@ -416,12 +416,35 @@ class DmlReplicationSpec extends SparkSpec {
         s"wanted '$needle', got: ${e.getMessage}")
     }
     // a self-referential update CANNOT replay exactly under
-    // at-least-once replication — refused at replay, typed
+    // at-least-once replication — refused at RECORD time now (the
+    // poison-record fix: the statement never reaches the log)
     val srcS = freshTable("repl-ref-self")
     val dstS = srcS.stripSuffix("/t") + "/r"
     LayoutIngest.replicate(spark, srcS, dstS): Unit
+    refuses(LayoutIngest.updateBoxesNext(spark, srcS,
+      Seq(Seq(("a", 0L, 9L))), Seq("v" -> (col("v") + lit(1L)))),
+      "assigned column")
+    // …and the sync stays healthy afterwards (nothing was recorded)
+    LayoutIngest.replicate(spark, srcS, dstS): Unit
+    // defense-in-depth: the REPLAY gate still refuses a
+    // self-referential record minted by a foreign/older writer —
+    // simulated by doctoring a legal statement's marker on disk
     LayoutIngest.updateBoxesNext(spark, srcS,
-      Seq(Seq(("a", 0L, 9L))), Seq("v" -> (col("v") + lit(1L)))): Unit
+      Seq(Seq(("a", 0L, 9L))), Seq("v" -> lit(0L))): Unit
+    val updMarker = new java.io.File(s"$srcS/markers")
+      .listFiles().filter(_.getName.matches("upd-\\d+"))
+      .maxBy(_.getName)
+    val doctored = LayoutIngest.DmlRecord.serialize(
+      LayoutIngest.DmlRecord("upd",
+        updMarker.getName.stripPrefix("upd-").toLong,
+        seq = 9L, upto = 1L, boxes = Seq(Seq(("a", 0L, 9L))),
+        sets = Seq("v" -> "(v + 1)"), atMs = None))
+    java.nio.file.Files.write(updMarker.toPath,
+      doctored.getBytes("UTF-8"))
+    // the marker was Hadoop-written (checksummed local FS) — drop the
+    // now-stale .crc sidecar so the doctored bytes read back
+    new java.io.File(updMarker.getParentFile,
+      s".${updMarker.getName}.crc").delete(): Unit
     refuses(LayoutIngest.replicate(spark, srcS, dstS),
       "self-referential")
     // a payload-less marker (pre-record format) cannot be replayed
@@ -729,6 +752,30 @@ class DmlReplicationSpec extends SparkSpec {
       .filter(col("kind") === "ingest").count() >= 1L)
   }
 
+  test("a promotion landing MID-SYNC fences the statement-replay " +
+      "phase: source DML never applies to the just-promoted table") {
+    val src = freshTable("promo-midsync-src")
+    val dst = src.stripSuffix("/t") + "/r"
+    assert(LayoutIngest.replicate(spark, src, dst).batchesPulled === 2)
+    // a source statement the NEXT sync would replay
+    LayoutIngest.updateBoxesNext(spark, src, Seq(Seq(("a", 0L, 9L))),
+      Seq("v" -> lit(-5L))): Unit
+    // the race window: replicate() passed its ENTRY check, then a
+    // promotion landed before the replay phase — simulated by driving
+    // the body directly with the fence already on disk
+    assert(LayoutIngest.promoteReplica(spark, dst) === 1L)
+    val e = intercept[Exception](
+      LayoutIngest.replicateBody(spark, src, dst, 4, 1000L))
+    assert(Option(e.getMessage).exists(_.contains("promoted mid-sync")),
+      s"got: ${e.getMessage}")
+    // nothing replayed: the promoted table keeps its pre-statement
+    // bytes and carries no sdml record
+    assert(LayoutIngest.read(spark, dst).filter(col("v") === -5L)
+      .count() === 0L, "source DML leaked onto a promoted table")
+    assert(LayoutIngest.history(spark, dst)
+      .filter(col("kind") === "replay").count() === 0L)
+  }
+
   test("mergeRowsChunkedNext splits a too-large merge into disjoint " +
       "key-bucket sub-merges; a replica converges by replaying them") {
     val t = freshTable("chunked-merge")
@@ -761,7 +808,8 @@ class DmlReplicationSpec extends SparkSpec {
   }
 
   test("dml-log cache: fingerprint-keyed, exact across folds (no " +
-      "behavior change), hit on unchanged logs") {
+      "behavior change), hit on unchanged logs; a just-written log " +
+      "(coarse-mtime window) is never served from cache") {
     val t = freshTable("dmllog-cache")
     LayoutIngest.deleteBoxes(spark, t, Seq(Seq(("a", 0L, 1L))), 0L): Unit
     LayoutIngest.updateBoxesNext(spark, t, Seq(Seq(("a", 90L, 99L))),
@@ -770,14 +818,32 @@ class DmlReplicationSpec extends SparkSpec {
       .map(_.toString).sorted.toSeq
     // fold → the records move into dml-log-0; history identical
     assert(LayoutIngest.compactDmlMarkers(spark, t) > 0)
-    val h0 = LayoutIngest.dmlLogCacheHits
-    val afterFold = LayoutIngest.history(spark, t).collect()
-      .map(_.toString).sorted.toSeq
-    assert(afterFold === beforeFold, "the fold changes no facts")
-    // unchanged log → the next reads hit the cache
+    // inside the mtime slack window the fingerprint is not decisive
+    // (a same-second same-length rewrite would be invisible) — reads
+    // must BYPASS the cache, not risk serving stale (slack widened so
+    // a slow box cannot let the window lapse mid-assertion)
+    val slack0 = LayoutIngest.DmlLogMtimeSlackMs
+    LayoutIngest.DmlLogMtimeSlackMs = 3600000L
+    val hFresh = LayoutIngest.dmlLogCacheHits
     LayoutIngest.history(spark, t).collect()
-    assert(LayoutIngest.dmlLogCacheHits > h0,
-      "re-reads of an unchanged dml-log must hit the cache")
+    LayoutIngest.history(spark, t).collect()
+    assert(LayoutIngest.dmlLogCacheHits === hFresh,
+      "a log inside the mtime slack window must not be served " +
+        "from cache")
+    // settled logs hit (the spec pins the path without waiting the
+    // window out)
+    LayoutIngest.DmlLogMtimeSlackMs = 0L
+    try {
+      LayoutIngest.history(spark, t).collect(): Unit // prime
+      val h0 = LayoutIngest.dmlLogCacheHits
+      val afterFold = LayoutIngest.history(spark, t).collect()
+        .map(_.toString).sorted.toSeq
+      assert(afterFold === beforeFold, "the fold changes no facts")
+      // unchanged log → the next reads hit the cache
+      LayoutIngest.history(spark, t).collect()
+      assert(LayoutIngest.dmlLogCacheHits > h0,
+        "re-reads of an unchanged dml-log must hit the cache")
+    } finally LayoutIngest.DmlLogMtimeSlackMs = slack0
     // a NEW statement + fold mints a new log → miss → fresh parse,
     // and the facts stay exact
     LayoutIngest.deleteBoxesNext(spark, t, Seq(Seq(("a", 50L, 50L)))): Unit

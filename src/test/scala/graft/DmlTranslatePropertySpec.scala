@@ -133,8 +133,8 @@ class DmlTranslatePropertySpec extends SparkSpec {
         Seq("a", "b"), Seq((0L, 14L), (0L, 14L)), bits = 4))
       LayoutIngest.ingestBatch(base, 0L, t, 2): Unit
       // 1–2 disjunct boxes over the grid columns (possibly empty or
-      // overlapping), and 1–2 payload assignments reading BOTH
-      // payload columns (the simultaneous-read contract)
+      // overlapping), and 1–2 payload assignments reading only
+      // UNTOUCHED columns (the record-time replayability contract)
       def box() = {
         val c = if (rnd.nextBoolean()) "a" else "b"
         val lo = rnd.nextInt(16).toLong - 1
@@ -143,7 +143,7 @@ class DmlTranslatePropertySpec extends SparkSpec {
       val boxes = Seq.fill(1 + rnd.nextInt(2))(box())
       val sets = rnd.nextInt(3) match {
         case 0 => Seq("v" -> (col("w") + lit(1L)))
-        case 1 => Seq("v" -> col("w"), "w" -> col("v"))
+        case 1 => Seq("v" -> (col("a") * lit(3L)), "w" -> col("b"))
         case _ => Seq("w" -> lit(null).cast("long"))
       }
       assert(LayoutIngest.updateBoxes(spark, t, boxes, sets, 0L))
@@ -165,9 +165,9 @@ class DmlTranslatePropertySpec extends SparkSpec {
     }
   }
 
-  test("updateBoxes crash-replay is exact for a NON-idempotent " +
-      "assignment: the replay skips the crashed attempt's published " +
-      "rewrites (no double-apply)") {
+  test("self-referential assignments refuse at RECORD time (the " +
+      "replica-replayability gate); crash-replay of a legal " +
+      "assignment converges exactly behind the same id") {
     import graft.streaming.LayoutIngest
     import org.apache.spark.sql.functions.{col, lit}
     val dir = java.nio.file.Files.createTempDirectory("updreplay")
@@ -177,29 +177,44 @@ class DmlTranslatePropertySpec extends SparkSpec {
     LayoutIngest.bootstrap(spark, t, LayoutIngest.Grid(
       Seq("a", "b"), Seq((0L, 99L), (0L, 99L)), bits = 4))
     // two units, both intersecting the box
-    LayoutIngest.ingestBatch((0L to 49L).map(i => (i, i, i * 10))
-      .toDF("a", "b", "v"), 0L, t, 1): Unit
-    LayoutIngest.ingestBatch((50L to 99L).map(i => (i, i, i * 10))
-      .toDF("a", "b", "v"), 1L, t, 1): Unit
+    LayoutIngest.ingestBatch((0L to 49L).map(i => (i, i, i * 10, i + 7))
+      .toDF("a", "b", "v", "w"), 0L, t, 1): Unit
+    LayoutIngest.ingestBatch((50L to 99L).map(i => (i, i, i * 10, i + 7))
+      .toDF("a", "b", "v", "w"), 1L, t, 1): Unit
+    // `v = v + 1` would mint a record no replica could ever replay —
+    // refused BEFORE any marker or rewrite, nothing burned
+    val e = intercept[IllegalArgumentException](
+      LayoutIngest.updateBoxes(spark, t,
+        Seq(Seq(("b", 40L, 60L))), Seq("v" -> (col("v") + lit(1L))),
+        updateId = 0L))
+    assert(e.getMessage.contains("assigned column"), e.getMessage)
+    assert(!new java.io.File(s"$t/markers/upd-0").exists(),
+      "a refused statement must not mint its marker")
+    // same for a swap — each side reads the OTHER assigned column
+    val e2 = intercept[IllegalArgumentException](
+      LayoutIngest.updateBoxes(spark, t,
+        Seq(Seq(("b", 40L, 60L))),
+        Seq("v" -> col("w"), "w" -> col("v")), updateId = 0L))
+    assert(e2.getMessage.contains("assigned column"), e2.getMessage)
+    // a LEGAL assignment (reads only untouched columns) records, and
+    // its crash-replay converges exactly: the replay skips the
+    // crashed attempt's own published rewrites by gen-name prefix
     assert(LayoutIngest.updateBoxes(spark, t,
-      Seq(Seq(("b", 40L, 60L))), Seq("v" -> (col("v") + lit(1L))),
+      Seq(Seq(("b", 40L, 60L))), Seq("v" -> (col("b") * 10L + 1L)),
       updateId = 0L))
     // simulate the WORST crash window: every unit rewrite published,
     // the upd-0 marker not yet created
     val marker = new java.io.File(s"$t/markers/upd-0")
     assert(marker.exists() && marker.delete())
-    // the replay must return true (it "completes" the op) WITHOUT
-    // re-applying +1 to the already-rewritten units
     assert(LayoutIngest.updateBoxes(spark, t,
-      Seq(Seq(("b", 40L, 60L))), Seq("v" -> (col("v") + lit(1L))),
+      Seq(Seq(("b", 40L, 60L))), Seq("v" -> (col("b") * 10L + 1L)),
       updateId = 0L))
     val got = LayoutIngest.read(spark, t)
       .select("b", "v").as[(Long, Long)].collect().toMap
     (0L to 99L).foreach { b =>
       val want = if (b >= 40L && b <= 60L) b * 10 + 1 else b * 10
       assert(got(b) === want,
-        s"b=$b: got ${got(b)}, want $want — a double-applied replay " +
-          "shows up as +2 in the box")
+        s"b=$b: got ${got(b)}, want $want")
     }
   }
 

@@ -116,9 +116,9 @@ class GraftSqlDmlSpec extends SparkSpec {
       msgs(e).mkString(" | "))
   }
 
-  test("UPDATE redacts in place: box-scoped payload rewrite with " +
-      "simultaneous assignment semantics ≡ the updateBoxes API twin; " +
-      "cluster/provenance targets and unsafe values refused") {
+  test("UPDATE redacts in place: box-scoped payload rewrite over " +
+      "untouched columns ≡ the updateBoxes API twin; cluster/" +
+      "provenance targets, self-referential and unsafe values refused") {
     def build(name: String): String = {
       val d = java.nio.file.Files.createTempDirectory(name).toFile
       d.deleteOnExit()
@@ -134,15 +134,15 @@ class GraftSqlDmlSpec extends SparkSpec {
     }
     val dir = build("sqldml-upd")
     view(dir, "supd")
-    // simultaneous assignment: both values read the PRE-update row —
-    // a swap, SQL UPDATE semantics (sequential application would
-    // collapse both columns to the same value)
-    spark.sql("UPDATE supd SET v = w, w = v WHERE a BETWEEN 10 AND 12")
+    // an assignment may read any column the statement does NOT
+    // assign — here v is rewritten from w (and the box column)
+    spark.sql("UPDATE supd SET v = w + a WHERE a BETWEEN 10 AND 12")
     val rows = LayoutIngest.read(spark, dir)
       .select("a", "v", "w").as[(Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
     (10L to 12L).foreach { a =>
-      assert(rows(a) === ((a + 1000, a * 10)), s"swap at $a: ${rows(a)}")
+      assert(rows(a) === ((a + 1000 + a, a + 1000)),
+        s"cross-column assignment at $a: ${rows(a)}")
     }
     assert(rows(9L) === ((90L, 1009L)) && rows(13L) === ((130L, 1013L)),
       "rows outside the box must be untouched")
@@ -157,7 +157,7 @@ class GraftSqlDmlSpec extends SparkSpec {
     val dirApi = build("sqldml-upd-api")
     assert(LayoutIngest.updateBoxes(spark, dirApi,
       Seq(Seq(("a", 10L, 12L))),
-      Seq("v" -> col("w"), "w" -> col("v")), updateId = 0L))
+      Seq("v" -> (col("w") + col("a"))), updateId = 0L))
     assert(LayoutIngest.updateBoxes(spark, dirApi,
       Seq(Seq(("a", 5L, 5L)), Seq(("a", 7L, 7L))),
       Seq("s" -> lit(null).cast("string")), updateId = 1L))
@@ -182,6 +182,12 @@ class GraftSqlDmlSpec extends SparkSpec {
       "not assignable in place")
     refuses("UPDATE supd SET a = 99 WHERE a = 1",
       "not assignable in place")
+    // self-referential values cannot replay exactly on a replica —
+    // refused at record time (the increment AND the swap; MERGE's
+    // snapshot-replayed partial SET is their sanctioned spelling)
+    refuses("UPDATE supd SET v = v + 1 WHERE a = 1", "assigned column")
+    refuses("UPDATE supd SET v = w, w = v WHERE a = 1",
+      "assigned column")
     // unsafe values: environment-bound (non-deterministic), subquery
     refuses("UPDATE supd SET v = CAST(rand() * 10 AS BIGINT) WHERE a = 1",
       "evaluation environment")
@@ -203,7 +209,8 @@ class GraftSqlDmlSpec extends SparkSpec {
       if (a < 3 || a > 47 || a == 20)
         assert(vByA(a) === -1L, s"a=$a must be redacted: ${vByA(a)}")
       else if (a >= 10 && a <= 12)
-        assert(vByA(a) === a + 1000, s"a=$a keeps the swapped value")
+        assert(vByA(a) === a + 1000 + a,
+          s"a=$a keeps the cross-column value")
       else assert(vByA(a) === a * 10, s"a=$a must be untouched")
     }
   }
@@ -728,10 +735,11 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(LayoutIngest.read(spark, dir).count() === 51L)
     assert(LayoutIngest.history(spark, dir)
       .filter(col("kind") === "update").count() === 0L)
-    // a pure-function-of-the-row assignment still runs
-    spark.sql("UPDATE senv SET s = concat(s, '!') WHERE a = 2")
+    // a pure function of the row's UNTOUCHED columns still runs
+    spark.sql(
+      "UPDATE senv SET s = concat('u', cast(a as string)) WHERE a = 2")
     assert(LayoutIngest.read(spark, dir).filter(col("a") === 2)
-      .select("s").as[String].head() === "v2!")
+      .select("s").as[String].head() === "u2")
   }
 
   test("acting TVFs run at EXECUTION, not analysis: EXPLAIN-ing " +

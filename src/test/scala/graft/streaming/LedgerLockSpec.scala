@@ -185,6 +185,52 @@ class LedgerLockSpec extends graft.SparkSpec {
     assert(ran)
   }
 
+  test("a LIVE holder outliving the stale lease is NOT lease-broken: " +
+      "the renewal heartbeat keeps the lock fresh for the whole hold; " +
+      "after release the dir reopens") {
+    val dir = tmp("lock-renew")
+    spark.conf.set(LedgerLock.LockRenewMsKey, "100")
+    spark.conf.set(LedgerLock.LockStaleMsKey, "500")
+    try {
+      val inside = new java.util.concurrent.CountDownLatch(1)
+      val proceed = new java.util.concurrent.CountDownLatch(1)
+      val t1 = new Thread(() => {
+        LedgerLock.withLock(spark, dir) {
+          inside.countDown()
+          // a 1.5s hold — far past the 500ms lease; without renewal a
+          // concurrent lease acquire would retire this LIVE holder
+          assert(proceed.await(30,
+            java.util.concurrent.TimeUnit.SECONDS))
+        }
+      })
+      t1.start()
+      assert(inside.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      val deadline = System.currentTimeMillis() + 1500L
+      var contentions = 0
+      while (System.currentTimeMillis() < deadline) {
+        // every acquire during the hold must see a LIVE (fresh)
+        // holder and refuse — never retire it and enter
+        intercept[LedgerLock.ConcurrentWriterException](
+          LedgerLock.withLock(spark, dir) {
+            fail("lease-broke a live renewing holder")
+          })
+        contentions += 1
+        Thread.sleep(150L)
+      }
+      assert(contentions >= 5, s"only $contentions contention checks")
+      proceed.countDown()
+      t1.join(30000)
+      assert(!t1.isAlive)
+      // released: the next acquire enters normally
+      var ran = false
+      LedgerLock.withLock(spark, dir) { ran = true }
+      assert(ran)
+    } finally {
+      spark.conf.unset(LedgerLock.LockRenewMsKey)
+      spark.conf.unset(LedgerLock.LockStaleMsKey)
+    }
+  }
+
   test("streaming stale-lease default: a FOREIGN-host holder older " +
       "than the default is retired by the stream acquire; batch " +
       "acquires (no default) still refuse it; LockStaleMsKey overrides") {
