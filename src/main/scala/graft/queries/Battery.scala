@@ -9754,6 +9754,118 @@ WHERE rk <= 40"""
        |SELECT event_id, $terms AS zkey, value FROM q""".stripMargin
   }
 
+  /** STRING-PREFIX SQL DELETE — the DOMAIN TAKEDOWN statement (the
+    * r19 verdict's #1: "the most common corpus governance statement
+    * after doc-id lists"): the table clusters on (event_id, user_id)
+    * and carries `doc_key = 'doc-' || lpad(event_id, 12, '0')` —
+    * lexicographic order ≡ id order, the realistic shape of a
+    * URL/doc-id scheme — then the source runs
+    * `DELETE FROM t WHERE doc_key LIKE 'doc-…%'` over a band at the
+    * quarter point of the id domain, routed by
+    * [[graft.sql.GraftSqlExtensions]] to
+    * [[graft.streaming.LayoutIngest.deleteStrNext]]. Premises pin the
+    * mechanism: ONE `delete_range` ledger op, the rewrite pruned by
+    * the per-unit STRING min/max sidecars (strictly fewer units
+    * rewritten than live — the lower-quarter band can never reach the
+    * upper-half leaves of the z-order fold), and one
+    * `graft_replicate` sync replaying the statement (0 pulled / 1
+    * replayed). The gate hashes the REPLICA against the DuckDB
+    * NOT-LIKE twin computing the SAME prefix — a replica keeping the
+    * taken-down domain, a translation deleting a band too wide, or a
+    * byte-order disagreement between pruning and predicate all fail
+    * the hash. */
+  val q202SqlDeleteStrPrefix: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("value"),
+      concat(lit("doc-"), lpad(col("event_id").cast("string"), 12, "0"))
+        .as("doc_key"))
+    val root = streamIndexDir("q202", dir, "events")
+    val srcDir = s"$root/src"
+    val dstDir = s"$root/dst"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("event_id"), max("event_id")).head()
+      val (umn, umx) = (b.getLong(0), b.getLong(1))
+      val (emn, emx) = (b.getLong(2), b.getLong(3))
+      graft.streaming.LayoutIngest.bootstrap(s, srcDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("event_id", "user_id"), Seq((emn, emx), (umn, umx)),
+          bits = 16, bloomCols = Seq("doc_key")))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, srcDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, srcDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.compact(s, srcDir,
+        smallFileBytes = 1L << 30,
+        targetFileBytes = math.max(1L,
+          parquetBytes(new java.io.File(s"$srcDir/data")) / 8))
+      val st1 = graft.streaming.LayoutIngest.replicate(s, srcDir, dstDir)
+      require(st1.batchesPulled == 2 && st1.dmlReplayed == 0,
+        s"q202 premise: the first sync pulls both batches, got $st1")
+      // the takedown band: ids sharing the pivot's first 12-k padded
+      // digits, where 10^k <= idRange/8 (so the band sits inside the
+      // domain's lower half — integer digit-count arithmetic, no
+      // floats, so the DuckDB twin derives the IDENTICAL prefix)
+      val pivot = emn + (emx - emn) / 4
+      val k = math.max(1L, (emx - emn + 1) / 8).toString.length - 1
+      val prefix = "doc-" + f"$pivot%012d".substring(0, 12 - k)
+      val unitsBefore = graft.streaming.LayoutIngest
+        .describe(s, srcDir).count()
+      s.read.format("graft-layout").load(srcDir)
+        .createOrReplaceTempView("q202_t")
+      s.sql(s"DELETE FROM q202_t WHERE doc_key LIKE '$prefix%'")
+      require(graft.streaming.LayoutIngest.history(s, srcDir)
+          .filter(col("kind") === "delete_range").count() == 1L,
+        "q202 premise: one string-range ledger op")
+      val rewritten = Option(new java.io.File(s"$srcDir/data").list())
+        .get.count(_.startsWith("gen-dels0-"))
+      require(rewritten >= 1 && rewritten < unitsBefore,
+        s"q202 premise: the string stats must prune the rewrite " +
+          s"(rewrote $rewritten of $unitsBefore units) — rewriting " +
+          "everything means the string min/max sidecar is dead")
+      val st2 = s.sql(
+        s"SELECT * FROM graft_replicate('$srcDir', '$dstDir')").head()
+      require(st2.getInt(0) == 0 && st2.getInt(1) == 1,
+        s"q202 premise: nothing to pull, ONE range replay, got $st2")
+      require(graft.streaming.LayoutIngest.history(s, dstDir)
+          .filter(col("kind") === "replay").count() == 1L,
+        "q202 premise: the replica ledger records the replay")
+      done.createNewFile(): Unit
+    }
+    graft.streaming.LayoutIngest.read(s, dstDir)
+      .select(col("event_id"), col("zkey"), col("value"))
+  }
+
+  val q202Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(event_id) AS emn, MAX(event_id) AS emx
+       |  FROM events),
+       |p AS (
+       |  SELECT 'doc-' || substring(
+       |    lpad(CAST((SELECT emn + (emx - emn) // 4 FROM b)
+       |      AS VARCHAR), 12, '0'),
+       |    1,
+       |    12 - (LENGTH(CAST((SELECT GREATEST((emx - emn + 1) // 8, 1)
+       |      FROM b) AS VARCHAR)) - 1)) AS pfx),
+       |q AS (
+       |  SELECT event_id, value,
+       |    ((event_id - (SELECT emn FROM b)) * 65535)
+       |      // ((SELECT emx FROM b) - (SELECT emn FROM b)) AS qx,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qy
+       |  FROM events
+       |  WHERE NOT (('doc-' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+       |    LIKE ((SELECT pfx FROM p) || '%')))
+       |SELECT event_id, $terms AS zkey, value FROM q""".stripMargin
+  }
+
   /** READER VISIBILITY through a slow multi-unit merge — the gate for
     * the append-first rework's central claim
     * ([[graft.streaming.LayoutIngest.mergeRows]] doc item 4): a
@@ -10416,7 +10528,11 @@ WHERE rk <= 40"""
     "q200_sql_merge_partial" -> (q200SqlMergePartial, Some(q200Sql)),
     // q201: keyed SQL UPDATE — redaction by doc id, bloom-pruned,
     // recorded, replayed on a replica
-    "q201_sql_update_keys" -> (q201SqlUpdateKeys, Some(q201Sql)))
+    "q201_sql_update_keys" -> (q201SqlUpdateKeys, Some(q201Sql)),
+    // q202: string-PREFIX SQL DELETE (the domain takedown) — pruned
+    // by the string min/max sidecars, recorded, replayed on a replica
+    "q202_sql_delete_str_prefix" ->
+      (q202SqlDeleteStrPrefix, Some(q202Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -288,14 +288,21 @@ private[graft] class GraftDmlRule(session: SparkSession)
         if d.resolved =>
       refuseProvenance(rel, "DELETE")
       // STRING point shapes (= / IN over one string column — the
-      // doc-id takedown) route to the keyed delete; everything else
-      // takes the long-box translation
+      // doc-id takedown) route to the keyed delete; string PREFIX /
+      // RANGE shapes (LIKE 'p%', BETWEEN — the domain takedown) to
+      // the string-range delete; everything else takes the long-box
+      // translation
       DmlTranslate.strKeyDelete(cond, t.outputSet) match {
         case Some((keyCol, keys)) =>
           GraftDeleteKeysCommand(rel.tableDir, keyCol, keys)
         case None =>
-          GraftDeleteCommand(rel.tableDir,
-            DmlTranslate.toBoxes(cond, t.outputSet))
+          DmlTranslate.strRangeDelete(cond, t.outputSet) match {
+            case Some((c, shape)) =>
+              GraftDeleteStrRangeCommand(rel.tableDir, c, shape)
+            case None =>
+              GraftDeleteCommand(rel.tableDir,
+                DmlTranslate.toBoxes(cond, t.outputSet))
+          }
       }
     case m: MergeIntoTable => m.targetTable match {
       case t @ LayoutTarget(rel) if m.resolved =>
@@ -401,6 +408,143 @@ private[graft] object DmlTranslate {
       val cols = parts.flatten.map(_._1).distinct
       if (cols.size != 1) None
       else Some(cols.head -> parts.flatten.flatMap(_._2).distinct)
+    }
+  }
+
+  /** STRING-RANGE detection — the DOMAIN TAKEDOWN statement
+    * (`WHERE url LIKE 'https://spam.example/%'`, `WHERE s BETWEEN 'a'
+    * AND 'b'`, `WHERE s >= 'a' AND s < 'b'`): a condition that is
+    * entirely a CONJUNCTION over ONE string column of either exactly
+    * one clean PREFIX pattern (`LIKE 'p%'` with no other wildcards,
+    * or `startswith(s, 'p')`) or range comparisons (BETWEEN, the four
+    * inequalities, `=` as a closed point) yields the column and the
+    * [[LayoutIngest.StrShape]] for the string-range commands
+    * (stats-pruned unit rewrite in binary UTF-8 order, recorded for
+    * replica replay). Checked AFTER [[strKeyDelete]] (pure point
+    * shapes route keyed — bloom-pruned); anything else returns None
+    * and falls to the long-box translation. Mixing a prefix with
+    * range bounds, OR disjunctions of ranges, or a general pattern
+    * (`'%x%'`, `'_x'`) all return None — refused downstream with the
+    * API pointer, never silently narrowed. An empty combined range
+    * (lo > hi) is legal: the command layer runs it as a clean no-op. */
+  def strRangeDelete(cond: Expression, target: AttributeSet)
+      : Option[(String, LayoutIngest.StrShape)] = {
+    def strAttr(e: Expression): Option[String] = e match {
+      case a: AttributeReference
+        if target.contains(a) && a.dataType == StringType => Some(a.name)
+      case c: Cast if c.dataType == StringType => strAttr(c.child)
+      case _ => None
+    }
+    def litStr1(e: Expression): Option[String] =
+      if (e.foldable && e.dataType == StringType)
+        Option(e.eval()).map(_.toString)
+      else None
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conj(a) ++ conj(b)
+      case r: RuntimeReplaceable => inlineWith(r.replacement) match {
+        case a: And => conj(a)
+        case other => Seq(other)
+      }
+      case other => Seq(other)
+    }
+    // one conjunct → (column, its bounds): lo/hi carry (value,
+    // inclusive); a prefix is its own marker
+    sealed trait B
+    final case class Lo(v: String, inc: Boolean) extends B
+    final case class Hi(v: String, inc: Boolean) extends B
+    final case class Pfx(p: String) extends B
+    def cleanPrefix(pat: String): Option[String] = {
+      if (pat.isEmpty || pat.last != '%') None
+      else {
+        val p = pat.dropRight(1)
+        if (p.exists(ch => ch == '%' || ch == '_' || ch == '\\')) None
+        else Some(p)
+      }
+    }
+    val parts: Seq[Option[(String, Seq[B])]] = conj(cond).map {
+      case Like(a, v, esc) if strAttr(a).isDefined &&
+          litStr1(v).isDefined && esc == '\\' =>
+        cleanPrefix(litStr1(v).get)
+          .map(p => strAttr(a).get -> Seq(Pfx(p)))
+      case StartsWith(a, v)
+          if strAttr(a).isDefined && litStr1(v).isDefined =>
+        Some(strAttr(a).get -> Seq(Pfx(litStr1(v).get)))
+      case GreaterThanOrEqual(a, v)
+          if strAttr(a).isDefined && litStr1(v).isDefined =>
+        Some(strAttr(a).get -> Seq(Lo(litStr1(v).get, true)))
+      case GreaterThanOrEqual(v, a)
+          if strAttr(a).isDefined && litStr1(v).isDefined =>
+        Some(strAttr(a).get -> Seq(Hi(litStr1(v).get, true)))
+      case GreaterThan(a, v)
+          if strAttr(a).isDefined && litStr1(v).isDefined =>
+        Some(strAttr(a).get -> Seq(Lo(litStr1(v).get, false)))
+      case GreaterThan(v, a)
+          if strAttr(a).isDefined && litStr1(v).isDefined =>
+        Some(strAttr(a).get -> Seq(Hi(litStr1(v).get, false)))
+      case LessThanOrEqual(a, v)
+          if strAttr(a).isDefined && litStr1(v).isDefined =>
+        Some(strAttr(a).get -> Seq(Hi(litStr1(v).get, true)))
+      case LessThanOrEqual(v, a)
+          if strAttr(a).isDefined && litStr1(v).isDefined =>
+        Some(strAttr(a).get -> Seq(Lo(litStr1(v).get, true)))
+      case LessThan(a, v)
+          if strAttr(a).isDefined && litStr1(v).isDefined =>
+        Some(strAttr(a).get -> Seq(Hi(litStr1(v).get, false)))
+      case LessThan(v, a)
+          if strAttr(a).isDefined && litStr1(v).isDefined =>
+        Some(strAttr(a).get -> Seq(Lo(litStr1(v).get, false)))
+      case EqualTo(a, v)
+          if strAttr(a).isDefined && litStr1(v).isDefined =>
+        val s = litStr1(v).get
+        Some(strAttr(a).get -> Seq(Lo(s, true), Hi(s, true)))
+      case EqualTo(v, a)
+          if strAttr(a).isDefined && litStr1(v).isDefined =>
+        val s = litStr1(v).get
+        Some(strAttr(a).get -> Seq(Lo(s, true), Hi(s, true)))
+      case _ => None
+    }
+    if (parts.exists(_.isEmpty)) return None
+    val flat = parts.flatten
+    val cols = flat.map(_._1).distinct
+    if (cols.size != 1) return None
+    val bounds = flat.flatMap(_._2)
+    val pfxs = bounds.collect { case Pfx(p) => p }.distinct
+    if (pfxs.nonEmpty) {
+      // a prefix stands alone (mixing it with bounds would need the
+      // not-well-defined-on-UTF-8 next-prefix intersection — refuse
+      // to the API instead of approximating)
+      if (pfxs.size == 1 && bounds.forall(_.isInstanceOf[Pfx]))
+        Some(cols.head -> LayoutIngest.StrPrefix(pfxs.head))
+      else None
+    } else {
+      def cmp(a: String, b: String): Int = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+      // strictest bound wins; at an equal value, exclusive is stricter
+      val lo = bounds.collect { case l: Lo => l }
+        .reduceOption((a, b) => cmp(a.v, b.v) match {
+          case c if c > 0 => a
+          case c if c < 0 => b
+          case _ => Lo(a.v, a.inc && b.inc)
+        })
+      val hi = bounds.collect { case h: Hi => h }
+        .reduceOption((a, b) => cmp(a.v, b.v) match {
+          case c if c < 0 => a
+          case c if c > 0 => b
+          case _ => Hi(a.v, a.inc && b.inc)
+        })
+      if (lo.isEmpty && hi.isEmpty) None
+      else Some(cols.head -> LayoutIngest.StrRange(
+        lo.map(_.v), lo.forall(_.inc), hi.map(_.v), hi.forall(_.inc)))
     }
   }
 
@@ -557,11 +701,13 @@ private[graft] object DmlTranslate {
           "literals — the exact deleteBox contract (OR and IN are " +
           "supported only at the TOP level, between/as whole " +
           "disjuncts; string =/IN point shapes route to the keyed " +
-          "delete when the WHOLE condition is over one string " +
-          "column). Anything else (nested OR, IN inside a " +
-          "conjunction, string ranges/negations, expressions over " +
-          "columns) needs the API: LayoutIngest.deleteBoxes / " +
-          "deleteKeys / mergeRows.")
+          "delete, and string LIKE-'p%'/BETWEEN/inequality " +
+          "conjunctions to the string-range delete, when the WHOLE " +
+          "condition is over one string column). Anything else " +
+          "(nested OR, IN inside a conjunction, general LIKE " +
+          "patterns, string negations, expressions over columns) " +
+          "needs the API: LayoutIngest.deleteBoxes / deleteKeys / " +
+          "deleteStrPrefix / mergeRows.")
     }
     // bind returns false (falls through to `other`) unless BOTH sides
     // fit the attr-vs-literal shape — a guard, not an action
@@ -602,10 +748,18 @@ private[graft] object DmlTranslate {
             "rewriting row identity in place is not an update; use " +
             "MERGE INTO or DELETE + INSERT")
         GraftUpdateKeysCommand(rel.tableDir, keyCol, keys, sets)
-      case None =>
-        GraftUpdateCommand(rel.tableDir,
-          toBoxes(cond.getOrElse(Literal(true)), target.outputSet),
-          sets)
+      case None => cond.flatMap(strRangeDelete(_, target.outputSet)) match {
+        case Some((c, shape)) =>
+          if (sets.exists(_._1 == c)) err(
+            s"UPDATE assigns the string column '$c' it selects by — " +
+              "rewriting what the predicate means on replay is not an " +
+              "update; use MERGE INTO or DELETE + INSERT")
+          GraftUpdateStrRangeCommand(rel.tableDir, c, shape, sets)
+        case None =>
+          GraftUpdateCommand(rel.tableDir,
+            toBoxes(cond.getOrElse(Literal(true)), target.outputSet),
+            sets)
+      }
     }
   }
 
@@ -911,6 +1065,44 @@ private[graft] case class GraftUpdateKeysCommand(dir: String,
       })
     }
     LayoutIngest.updateKeysNext(sparkSession, dir, keyCol, keys,
+      cols): Unit
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM <layout view> WHERE <stringCol> LIKE 'p%' /
+  * BETWEEN ...` — the DOMAIN TAKEDOWN statement, routed to
+  * [[LayoutIngest.deleteStrNext]] (string-stats-pruned unit rewrite
+  * under the next unused `dels` id; the record carries column + shape,
+  * so replicas replay it). A provably-empty range is a clean no-op:
+  * nothing matches, no id minted. */
+private[graft] case class GraftDeleteStrRangeCommand(dir: String,
+    col: String, shape: LayoutIngest.StrShape)
+  extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    if (!LayoutIngest.strShapeEmpty(shape))
+      LayoutIngest.deleteStrNext(sparkSession, dir, col, shape): Unit
+    Seq.empty
+  }
+}
+
+/** `UPDATE <layout view> SET ... WHERE <stringCol> LIKE 'p%' /
+  * BETWEEN ...` — the redact-by-domain statement, routed to
+  * [[LayoutIngest.updateStrNext]]. Assignment expressions re-bind BY
+  * NAME like the box form; an empty range is a clean no-op. */
+private[graft] case class GraftUpdateStrRangeCommand(dir: String,
+    col: String, shape: LayoutIngest.StrShape,
+    sets: Seq[(String, Expression)]) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    if (LayoutIngest.strShapeEmpty(shape)) return Seq.empty
+    val cols = sets.map { case (n, e) =>
+      n -> ColumnBridge.of(e.transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
+      })
+    }
+    LayoutIngest.updateStrNext(sparkSession, dir, col, shape,
       cols): Unit
     Seq.empty
   }

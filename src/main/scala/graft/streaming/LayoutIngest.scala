@@ -396,7 +396,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         f.create(marker, true).close()
         return true
       }
-      writeUnitStats(f, stage, grid.cols :+ KeyCol :+ BatchCol)
+      writeUnitStats(f, stage, grid.cols :+ KeyCol :+ BatchCol,
+        grid.bloomCols)
       writeUnitBlooms(spark, f, stage, grid.bloomCols)
       // schema BEFORE data: the stored union is always a superset of
       // every published file (additive evolution, see tableSchema)
@@ -529,11 +530,11 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           }
           (0 until partFiles.size).foreach { k =>
             val sub = new org.apache.hadoop.fs.Path(stage, s"range-$k")
-            writeUnitStats(f, sub, statCols)
+            writeUnitStats(f, sub, statCols, gridNow.bloomCols)
             writeUnitBlooms(spark, f, sub, gridNow.bloomCols)
           }
         } else {
-          writeUnitStats(f, stage, statCols)
+          writeUnitStats(f, stage, statCols, gridNow.bloomCols)
           writeUnitBlooms(spark, f, stage, gridNow.bloomCols)
         }
         val man = manifestPath(spark, dir, stamp)
@@ -924,8 +925,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * merges (`mrg-<ledgerId>`, recorded at commit by [[mergeRows]] —
     * `boxes` empty, `sets` = the merge key by convention, the updates
     * snapshot at `markers/mrg-<id>.updates`). */
-  private val DmlKinds = Seq("del", "delk", "upd", "updk", "sdml",
-    "mrg")
+  private val DmlKinds = Seq("del", "delk", "dels", "upd", "updk",
+    "upds", "sdml", "mrg")
 
   /** Sentinel first `sets` pair of a KEYED DML record (`delk` deletes
     * and `updk` updates): marks the payload as (keyCol, type, keys
@@ -972,6 +973,77 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       }
     }
     (keyCol, keyIsLong, keys, assigns)
+  }
+
+  /** One STRING-RANGE takedown shape — the DOMAIN statement
+    * (`WHERE url LIKE 'https://spam.example/%'`, `WHERE s BETWEEN 'a'
+    * AND 'b'`) the point-keyed surface cannot express: either a
+    * PREFIX (every string starting with `p` — `LIKE 'p%'` with no
+    * other wildcards) or a one-column RANGE with optional bounds and
+    * per-bound inclusivity. Comparisons are Spark/DuckDB's binary
+    * (UTF-8 byte) string order — the same order the driver-side unit
+    * pruning uses ([[utf8Cmp]]), so a pruning decision and the
+    * rewrite predicate can never disagree. */
+  sealed trait StrShape
+  final case class StrPrefix(prefix: String) extends StrShape
+  final case class StrRange(lo: Option[String], loInc: Boolean,
+      hi: Option[String], hiInc: Boolean) extends StrShape {
+    require(lo.nonEmpty || hi.nonEmpty,
+      "StrRange: at least one bound (an unbounded string rewrite is " +
+        "a full-table statement — use a box delete on the cluster key)")
+  }
+
+  /** Sentinel first `sets` pair of a STRING-RANGE DML record (`dels`
+    * deletes and `upds` updates) — the [[KeyedDmlTag]] convention for
+    * the range shapes, so [[replicate]] replays them out of `sdml`
+    * records too (chained replication). */
+  private val StrRangeDmlTag = "__graft_str_range_dml"
+
+  /** String-range record payload: the column, the shape (`pfx`, or
+    * `lo`/`hi` with an `i`/`x` inclusivity flag), and for an update
+    * the assignments — all URL-encoded (bounds are user data). */
+  private def encodeStrRangeSets(col: String, shape: StrShape,
+      assigns: Seq[(String, String)] = Nil): Seq[(String, String)] = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val shapePart = shape match {
+      case StrPrefix(p) => Seq("pfx" -> enc(p))
+      case StrRange(lo, loInc, hi, hiInc) =>
+        lo.map(l => "lo" -> s"${if (loInc) "i" else "x"} ${enc(l)}")
+          .toSeq ++
+          hi.map(h => "hi" -> s"${if (hiInc) "i" else "x"} ${enc(h)}")
+    }
+    (StrRangeDmlTag -> col) +: (shapePart ++
+      assigns.map { case (c, sql) => "set" -> s"${enc(c)} ${enc(sql)}" })
+  }
+
+  private def decodeStrRangeSets(sets: Seq[(String, String)])
+      : (String, StrShape, Seq[(String, String)]) = {
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val col = sets.collectFirst { case (StrRangeDmlTag, c) => c }
+      .getOrElse(throw new IllegalStateException(
+        "string-range DML record carries no column — corrupted record"))
+    def bound(key: String): Option[(String, Boolean)] =
+      sets.collectFirst { case (`key`, v) => v.split(" ", 2) match {
+        case Array(flag, b) => (dec(b), flag == "i")
+        case _ => throw new IllegalStateException(
+          s"string-range DML record carries a malformed bound: '$v'")
+      } }
+    val shape = sets.collectFirst { case ("pfx", p) => StrPrefix(dec(p)) }
+      .getOrElse {
+        val lo = bound("lo")
+        val hi = bound("hi")
+        StrRange(lo.map(_._1), lo.forall(_._2),
+          hi.map(_._1), hi.forall(_._2))
+      }
+    val assigns = sets.collect { case ("set", v) =>
+      v.split(" ", 2) match {
+        case Array(c, sql) => dec(c) -> dec(sql)
+        case _ => throw new IllegalStateException(
+          s"string-range DML record carries a malformed assignment: " +
+            s"'$v'")
+      }
+    }
+    (col, shape, assigns)
   }
 
   private def readMarkerLines(f: org.apache.hadoop.fs.FileSystem,
@@ -1491,7 +1563,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           // files (a filter or a row-local projection preserves it)
           transform(readUnits(spark, dir, Seq(d)))
             .write.mode("overwrite").parquet(stage.toString)
-          writeUnitStats(f, stage, gridNow.cols :+ KeyCol :+ BatchCol)
+          writeUnitStats(f, stage, gridNow.cols :+ KeyCol :+ BatchCol,
+            gridNow.bloomCols)
           writeUnitBlooms(spark, f, stage, gridNow.bloomCols)
           val man = manifestPath(spark, dir, stamp)
           val out = f.create(man, true)
@@ -1834,6 +1907,232 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       require(attempts < 16,
         s"deleteKeysNext: lost the delete-id race $attempts times on " +
           s"$dir — a pathological storm of concurrent DELETEs")
+    }
+    -1L // unreachable
+  }
+
+  /** The rewrite predicate of a [[StrShape]], NULL-safe: a NULL
+    * string never matches (three-valued logic — the row is kept /
+    * untouched, the [[deleteBoxes]] rule); comparisons are Spark's
+    * binary UTF-8 order, matching the driver-side pruning. */
+  private def strShapeHit(c: String, shape: StrShape)
+      : org.apache.spark.sql.Column = {
+    val raw = shape match {
+      case StrPrefix(p) => col(c).startsWith(lit(p))
+      case StrRange(lo, loInc, hi, hiInc) =>
+        (lo.map(l => if (loInc) col(c) >= l else col(c) > l).toSeq ++
+          hi.map(h => if (hiInc) col(c) <= h else col(c) < h))
+          .reduce(_ && _)
+    }
+    coalesce(raw, lit(false))
+  }
+
+  /** Can this unit's string stats admit a [[StrShape]] hit?
+    * Conservative: no stats (pre-string-sidecar units, all-null
+    * columns) → true. Byte-order comparisons throughout ([[utf8Cmp]],
+    * [[utf8PrefixLeq]]) — the same order the predicate evaluates in. */
+  private def strShapeMayHit(f: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path, c: String, shape: StrShape)
+      : Boolean =
+    dirColumnRangeStr(f, d, c) match {
+      case Some((mn, mx)) => shape match {
+        case StrPrefix(p) =>
+          utf8Cmp(mx, p) >= 0 && utf8PrefixLeq(mn, p)
+        case StrRange(lo, _, hi, _) =>
+          // inclusivity ignored — conservative by a boundary point
+          lo.forall(l => utf8Cmp(mx, l) >= 0) &&
+            hi.forall(h => utf8Cmp(mn, h) <= 0)
+      }
+      case None => true
+    }
+
+  /** Shared argument contract of the string-range statements: the
+    * column must exist and be STRING (same fallback ladder as the
+    * keyed statements), and a bounded range must be non-empty in byte
+    * order. */
+  /** PROVABLY-EMPTY string shape: a bounded range whose lo exceeds
+    * hi in byte order, or meets it with an exclusive end — matches no
+    * string. The SQL commands run these as clean no-ops (no rewrite,
+    * no minted id, no ledger entry — the empty-box rule); the
+    * explicit-id API refuses them instead (an empty statement given a
+    * permanent id is a caller bug). */
+  private[graft] def strShapeEmpty(shape: StrShape): Boolean =
+    shape match {
+      case StrRange(Some(l), loInc, Some(h), hiInc) =>
+        utf8Cmp(l, h) > 0 ||
+          (utf8Cmp(l, h) == 0 && !(loInc && hiInc))
+      case _ => false
+    }
+
+  private def validateStrRangeArgs(spark: SparkSession, dir: String,
+      what: String, c: String, shape: StrShape): Unit = {
+    require(!strShapeEmpty(shape),
+      s"$what: provably-empty range ($shape) — it matches no string; " +
+        "the SQL surface no-ops these, the explicit-id API refuses " +
+        "them")
+    tableSchema(spark, dir)
+      .map(s => s.fields.map(fd => fd.name -> fd.dataType).toMap)
+      .orElse {
+        val (df0, data0) = DedupIngest.fs(spark, s"$dir/data")
+        if (!df0.exists(data0) || leafUnits(df0, data0).isEmpty) None
+        else Some(read(spark, dir).schema.fields
+          .map(fd => fd.name -> fd.dataType).toMap)
+      }
+      .foreach { known =>
+        val dt = known.getOrElse(c,
+          throw new IllegalArgumentException(
+            s"$what: unknown column '$c' (table has ${known.keySet})"))
+        require(dt == org.apache.spark.sql.types.StringType,
+          s"$what: column '$c' is ${dt.simpleString} — string-range " +
+            "statements only apply to STRING columns; long columns " +
+            "take the box surface")
+      }
+  }
+
+  /** The string-range analogue of [[rewriteKeyedUnits]]: rewrite
+    * exactly the units whose STRING stats sidecar admits the shape,
+    * behind the `<kind>-<id>` marker, recording column + shape (+
+    * assignments) for replica replay. */
+  private def rewriteStrRangeUnits(spark: SparkSession, dir: String,
+      kind: String, id: Long, c: String, shape: StrShape,
+      scopeUpto: Long,
+      recBoxes: Seq[Seq[(String, Long, Long)]],
+      assigns: Seq[(String, String)] = Nil)(
+      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame =
+        (df, hit) => df.filter(!hit)): Boolean = {
+    val affects = (f: org.apache.hadoop.fs.FileSystem,
+        d: org.apache.hadoop.fs.Path) =>
+      unitRows(f, d) > 0 &&
+        (scopeUpto == Long.MaxValue ||
+          (dirColumnRange(f, d, BatchCol) match {
+            case Some((mn, _)) => mn <= scopeUpto
+            case None => true
+          })) &&
+        strShapeMayHit(f, d, c, shape)
+    val inShape = strShapeHit(c, shape)
+    val hit =
+      if (scopeUpto == Long.MaxValue) inShape
+      else inShape && col(BatchCol) <= scopeUpto
+    rewriteMarkedUnits(spark, dir, kind, id, recBoxes,
+      encodeStrRangeSets(c, shape, assigns), affects)(
+      df => transform(df, hit))
+  }
+
+  /** STRING-RANGE DELETE — the DOMAIN TAKEDOWN statement
+    * (`DELETE ... WHERE url LIKE 'https://spam.example/%'`, the most
+    * common corpus governance statement after doc-id lists), where
+    * neither the box surface (long-only) nor the keyed surface
+    * (enumerated points) can reach: the shape selects an open set of
+    * strings, pruned by the per-unit STRING min/max sidecar in binary
+    * UTF-8 order. Same contract family as [[deleteKeys]]: one
+    * maintenance hold, ONE ledger entry (`dels-<deleteId>`), at most
+    * one WAL-manifested rewrite per admitted unit, idempotent behind
+    * the marker, and RECORDED — [[replicate]] replays the statement on
+    * every replica scoped `__batch <= upto`. NULL values never match
+    * (kept). Pruning is only as good as the sidecars: units written
+    * before the string-stats line (or whose column carries no binary
+    * footer stats) conservatively rewrite — correct, slow; `c` SHOULD
+    * be a [[Grid.bloomCols]] column, which is what gets the sidecar
+    * written.
+    *
+    * 100 TB: pruning is metadata-only (one small sidecar read per
+    * unit, pooled); each admitted unit rewrites once through a
+    * codegen'd StartsWith/range filter; nothing collects or
+    * shuffles. A prefix that covers the table IS a rewrite — that is
+    * what the statement means. */
+  def deleteStrPrefix(spark: SparkSession, dir: String, c: String,
+      prefix: String, deleteId: Long): Boolean =
+    deleteStr(spark, dir, c, StrPrefix(prefix), deleteId)
+
+  /** [[deleteStrPrefix]]'s general form: a one-column string RANGE
+    * with optional bounds and per-bound inclusivity (SQL
+    * `s BETWEEN 'a' AND 'b'`, `s >= 'a' AND s < 'b'`). */
+  def deleteStrRange(spark: SparkSession, dir: String, c: String,
+      lo: Option[String], loInc: Boolean,
+      hi: Option[String], hiInc: Boolean, deleteId: Long): Boolean =
+    deleteStr(spark, dir, c, StrRange(lo, loInc, hi, hiInc), deleteId)
+
+  private[graft] def deleteStr(spark: SparkSession, dir: String,
+      c: String, shape: StrShape, deleteId: Long): Boolean = {
+    validateStrRangeArgs(spark, dir, "deleteStr", c, shape)
+    rewriteStrRangeUnits(spark, dir, "dels", deleteId, c, shape,
+      Long.MaxValue, Nil)()
+  }
+
+  /** STRING-RANGE in-place UPDATE — [[deleteStrPrefix]]'s REDACTION
+    * twin (null out or overwrite payload columns for a domain/prefix
+    * slice WITHOUT deleting the rows). [[updateBoxes]]' assignment
+    * contract applies unchanged: payload columns only, deterministic
+    * environment-free expressions over columns the statement does NOT
+    * assign, the selecting column itself not assignable; rows whose
+    * value is NULL or outside the shape untouched. */
+  def updateStrPrefix(spark: SparkSession, dir: String, c: String,
+      prefix: String,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      updateId: Long): Boolean =
+    updateStr(spark, dir, c, StrPrefix(prefix), sets, updateId)
+
+  def updateStrRange(spark: SparkSession, dir: String, c: String,
+      lo: Option[String], loInc: Boolean,
+      hi: Option[String], hiInc: Boolean,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      updateId: Long): Boolean =
+    updateStr(spark, dir, c, StrRange(lo, loInc, hi, hiInc), sets,
+      updateId)
+
+  private[graft] def updateStr(spark: SparkSession, dir: String,
+      c: String, shape: StrShape,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      updateId: Long): Boolean = {
+    validateStrRangeArgs(spark, dir, "updateStr", c, shape)
+    val setExprs = validateAssignSets(spark, dir, "updateStr", sets)
+    require(!sets.exists(_._1 == c),
+      s"updateStr: assigning the selecting column '$c' itself under " +
+        "a string-range predicate rewrites what the statement means " +
+        "on replay — use MERGE (whole-row) or delete + insert")
+    val setMap = sets.toMap
+    rewriteStrRangeUnits(spark, dir, "upds", updateId, c, shape,
+      Long.MaxValue, Nil, setExprs) { (df, hit) =>
+      df.select(df.columns.toSeq.map { cc =>
+        setMap.get(cc)
+          .map(e => when(hit, e).otherwise(col(cc)).as(cc))
+          .getOrElse(col(cc))
+      }: _*)
+    }
+  }
+
+  /** [[deleteStr]] under the next unused `dels` id — the body behind
+    * SQL `DELETE ... WHERE <stringCol> LIKE 'p%' / BETWEEN ...`.
+    * Same id-race loop as its siblings; crash debris counted. */
+  private[graft] def deleteStrNext(spark: SparkSession, dir: String,
+      c: String, shape: StrShape): Long = {
+    var attempts = 0
+    while (true) {
+      val next =
+        occupiedDmlIds(spark, dir, "dels").foldLeft(-1L)(math.max) + 1L
+      if (deleteStr(spark, dir, c, shape, next)) return next
+      attempts += 1
+      require(attempts < 16,
+        s"deleteStrNext: lost the delete-id race $attempts times on " +
+          s"$dir — a pathological storm of concurrent DELETEs")
+    }
+    -1L // unreachable
+  }
+
+  /** [[updateStr]] under the next unused `upds` id — the body behind
+    * SQL `UPDATE ... WHERE <stringCol> LIKE 'p%' / BETWEEN ...`. */
+  private[graft] def updateStrNext(spark: SparkSession, dir: String,
+      c: String, shape: StrShape,
+      sets: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    var attempts = 0
+    while (true) {
+      val next =
+        occupiedDmlIds(spark, dir, "upds").foldLeft(-1L)(math.max) + 1L
+      if (updateStr(spark, dir, c, shape, sets, next)) return next
+      attempts += 1
+      require(attempts < 16,
+        s"updateStrNext: lost the update-id race $attempts times on " +
+          s"$dir — a pathological storm of concurrent UPDATEs")
     }
     -1L // unreachable
   }
@@ -2257,6 +2556,69 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
             keys, keyScope,
             recBoxes = Seq(Seq((BatchCol, Long.MinValue, keyScope))),
             assigns = assigns) { (d, hit) =>
+            d.select(d.columns.toSeq.map { c =>
+              setMap.get(c)
+                .map(e => when(hit, e).otherwise(col(c)).as(c))
+                .getOrElse(col(c))
+            }: _*)
+          }: Unit
+        }
+      } else if (r.sets.headOption.exists(_._1 == StrRangeDmlTag)) {
+        // a STRING-RANGE statement (source `dels`/`upds`, or a
+        // chained replica's `sdml` replay of one): replay scoped
+        // `__batch <= upto` like every statement; a chained record's
+        // own batch box intersects, so a replica-of-a-replica never
+        // widens the original
+        val (sc, shape, strAssigns) = decodeStrRangeSets(r.sets)
+        val recordedScope = r.boxes.flatten.collectFirst {
+          case (c, _, hi) if c == BatchCol => hi }
+        val strScope =
+          if (dstFresh) -1L
+          else math.min(r.upto, recordedScope.getOrElse(Long.MaxValue))
+        val known = tableSchema(spark, dstDir)
+          .map(_.fieldNames.toSet).getOrElse(Set.empty)
+        (sc +: strAssigns.map(_._1)).foreach { c =>
+          require(dstFresh || known.isEmpty || known(c),
+            s"replicate: source string-range statement seq ${r.seq} " +
+              s"touches '$c', a column this replica has not seen yet " +
+              "(schema evolution above a source ledger gap) — " +
+              "re-sync after the gap commits")
+        }
+        if (strAssigns.isEmpty)
+          rewriteStrRangeUnits(spark, dstDir, "sdml", r.seq, sc, shape,
+            strScope,
+            recBoxes =
+              Seq(Seq((BatchCol, Long.MinValue, strScope))))(): Unit
+        else {
+          // string-range UPDATE replay: the same replayability gates
+          // as the keyed/box updates — defense-in-depth for records
+          // minted by foreign/older writers
+          val assigned = strAssigns.map(_._1.toLowerCase).toSet
+          val sets = strAssigns.map { case (c, sql) =>
+            val e = org.apache.spark.sql.graftbridge.ColumnBridge
+              .catalystExpr(org.apache.spark.sql.functions.expr(sql))
+            val refs = e.collect {
+              case u: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => u.nameParts.last.toLowerCase
+            }
+            require(dstFresh || refs.toSet.intersect(assigned).isEmpty,
+              s"replicate: source string-range update seq ${r.seq} " +
+                s"assigns '$c' from '$sql', which reads an assigned " +
+                "column — self-referential assignments cannot replay " +
+                "exactly under at-least-once replication")
+            if (!dstFresh) environmentBound(e).foreach(bad =>
+              throw new IllegalArgumentException(
+                s"replicate: source string-range update seq ${r.seq} " +
+                  s"assigns '$c' from '$sql', which reads the " +
+                  s"evaluation environment ($bad) — re-evaluating it " +
+                  "at replay time diverges replica bytes"))
+            c -> org.apache.spark.sql.functions.expr(sql)
+          }
+          val setMap = sets.toMap
+          rewriteStrRangeUnits(spark, dstDir, "sdml", r.seq, sc, shape,
+            strScope,
+            recBoxes = Seq(Seq((BatchCol, Long.MinValue, strScope))),
+            assigns = strAssigns) { (d, hit) =>
             d.select(d.columns.toSeq.map { c =>
               setMap.get(c)
                 .map(e => when(hit, e).otherwise(col(c)).as(c))
@@ -2757,7 +3119,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
               col(BatchCol) >= lit(batchId))
             .select(cols.map(col).toIndexedSeq: _*)
             .write.mode("overwrite").parquet(stage.toString)
-          writeUnitStats(f, stage, gridNow.cols :+ KeyCol :+ BatchCol)
+          writeUnitStats(f, stage, gridNow.cols :+ KeyCol :+ BatchCol,
+            gridNow.bloomCols)
           writeUnitBlooms(spark, f, stage, gridNow.bloomCols)
           val man = manifestPath(spark, dir, stamp)
           val out = f.create(man, true)
@@ -2822,16 +3185,28 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
   private val RowsStat = "__rows"
 
   /** Write the sidecar for the columns pruning will ask about, from
-    * the freshly-written (still hot) footers of `unit`. */
+    * the freshly-written (still hot) footers of `unit`. `strCols` get
+    * STRING min/max lines (`c str encMin encMax`, URL-encoded — the
+    * [[StrShape]] statements' pruning input; four fields, so readers
+    * of the long format never mis-parse them); a strCol whose footer
+    * stats are not binary (a long bloom column) or are absent writes
+    * `c str-none` — read conservatively. */
   private def writeUnitStats(f: org.apache.hadoop.fs.FileSystem,
-      unit: org.apache.hadoop.fs.Path, cols: Seq[String]): Unit = {
+      unit: org.apache.hadoop.fs.Path, cols: Seq[String],
+      strCols: Seq[String] = Nil): Unit = {
     val n = footerRowCount(f, unit)
-    val lines = s"$RowsStat\t$n\t$n" +: cols.map { c =>
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val lines = s"$RowsStat\t$n\t$n" +: (cols.map { c =>
       footerColumnRange(f, unit, c) match {
         case Some((mn, mx)) => s"$c\t$mn\t$mx"
         case None => s"$c\tnone"
       }
-    }
+    } ++ strCols.filterNot(cols.contains).map { c =>
+      footerColumnRangeStr(f, unit, c) match {
+        case Some((mn, mx)) => s"$c\tstr\t${enc(mn)}\t${enc(mx)}"
+        case None => s"$c\tstr-none"
+      }
+    })
     val out = f.create(new org.apache.hadoop.fs.Path(unit, StatsFile), true)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -3068,6 +3443,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * fresh paths never need it. */
   def clearStatsCache(): Unit = {
     statsCache.synchronized(statsCache.clear())
+    statsStrCache.synchronized(statsStrCache.clear())
     bloomCache.synchronized(bloomCache.clear())
     gridCache.synchronized(gridCache.clear())
   }
@@ -3136,6 +3512,130 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
     else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
   }
+
+  /** UTF-8 BYTE comparison — the string order Spark's comparisons
+    * (UTF8String), DuckDB's default collation AND parquet's
+    * binary-column statistics all share. Driver-side pruning MUST use
+    * it too: Java's String.compareTo orders by UTF-16 unit, which
+    * disagrees for supplementary characters vs U+E000..U+FFFF, and a
+    * pruning order that disagrees with the predicate's order can skip
+    * a unit holding matching rows. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** `mn` can precede SOME string carrying prefix `p` — the byte-land
+    * lower-bound test of the prefix pruner: true iff mn's first
+    * |p|-in-bytes bytes are <= p's bytes (if they were greater, mn
+    * would exceed every p-prefixed string). Pure byte logic, no
+    * next-prefix increment (which is not well-defined on UTF-8). */
+  private def utf8PrefixLeq(mn: String, p: String): Boolean = {
+    val m = mn.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(m.length, pb.length)
+    while (i < n) {
+      val c = (m(i) & 0xff) - (pb(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    true // equal up to min length: mn is a prefix of p or p-prefixed
+  }
+
+  private val statsStrCache = new java.util.LinkedHashMap[
+      (String, String), Option[(String, String)]](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (String, String), Option[(String, String)]]): Boolean =
+      size() > MaxStatsCache
+  }
+
+  /** Per-dir [min, max] of a STRING column in UTF-8 byte order — the
+    * [[StrShape]] statements' pruning input. Source order mirrors
+    * [[dirColumnRange]]: cache, sidecar (`c str encMin encMax`
+    * lines), parquet footers. None (read conservatively) when the dir
+    * has no data, the column has no binary stats, or the unit predates
+    * the string-stats sidecar. */
+  private def dirColumnRangeStr(f: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path, colName: String)
+      : Option[(String, String)] = {
+    val key = (d.toString, colName)
+    statsStrCache.synchronized {
+      val hit = statsStrCache.get(key)
+      if (hit != null) return hit
+    }
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val fromSidecar: Option[Option[(String, String)]] =
+      scala.util.Try {
+        val sp = new org.apache.hadoop.fs.Path(d, StatsFile)
+        if (!f.exists(sp)) None
+        else {
+          val in = f.open(sp)
+          val lines =
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().toList
+            finally in.close()
+          lines.map(_.split("\t")).collectFirst {
+            case Array(c, "str-none") if c == colName => None
+            case Array(c, "str", mn, mx) if c == colName =>
+              Some((dec(mn), dec(mx)))
+          }
+        }
+      }.toOption.flatten
+    val r = fromSidecar.getOrElse(footerColumnRangeStr(f, d, colName))
+    statsStrCache.synchronized(statsStrCache.put(key, r)): Unit
+    r
+  }
+
+  /** The footer-walk source of truth behind [[dirColumnRangeStr]]:
+    * parquet binary statistics decode as UTF-8 (parquet orders binary
+    * stats by unsigned byte comparison — exactly [[utf8Cmp]]). Any
+    * non-binary column or footer oddity yields None, never a wrong
+    * bound. */
+  private def footerColumnRangeStr(f: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path, colName: String)
+      : Option[(String, String)] = scala.util.Try {
+    import scala.jdk.CollectionConverters._
+    val files = f.listStatus(d).toSeq.filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") &&
+      !s.getPath.getName.startsWith(".") &&
+      s.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) None
+    else {
+      val ranges = files.flatMap { st =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            st.getPath, f.getConf))
+        try rdr.getFooter.getBlocks.asScala.toSeq.map { blk =>
+          blk.getColumns.asScala
+            .find(_.getPath.toDotString == colName)
+            .map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue)
+            .map(s => (
+              new String(s.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary]
+                .getBytes, java.nio.charset.StandardCharsets.UTF_8),
+              new String(s.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary]
+                .getBytes, java.nio.charset.StandardCharsets.UTF_8)))
+        } finally rdr.close()
+      }
+      if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
+      else Some((
+        ranges.flatten.map(_._1).reduce((a, b) =>
+          if (utf8Cmp(a, b) <= 0) a else b),
+        ranges.flatten.map(_._2).reduce((a, b) =>
+          if (utf8Cmp(a, b) >= 0) a else b)))
+    }
+  }.toOption.flatten
 
   /** The LIVE prunable units under the publish-point rule (object
     * doc): committed-manifest sources are dropped exactly when their
@@ -3851,8 +4351,10 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
             .map(r => (as, r.id, true, r.atMs))
         val dels = dmlKind("del", "delete")
         val delks = dmlKind("delk", "delete_keys")
+        val delrs = dmlKind("dels", "delete_range")
         val upds = dmlKind("upd", "update")
         val updks = dmlKind("updk", "update_keys")
+        val updrs = dmlKind("upds", "update_range")
         val replays = dmlKind("sdml", "replay")
         // committed merges come from live commit markers AND folded
         // mrg records (a record in the dml-log is committed by the
@@ -3877,7 +4379,8 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           .filterNot(committedMergeIds).sorted
           .map(i => ("merge", i, false,
             Some(byName(s"merge-$i.intent").getModificationTime)))
-        folded ++ tail ++ dels ++ delks ++ upds ++ updks ++ replays ++
+        folded ++ tail ++ dels ++ delks ++ delrs ++ upds ++ updks ++
+          updrs ++ replays ++
           merges ++ intents
       }
     import spark.implicits._
