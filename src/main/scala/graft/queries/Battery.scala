@@ -9866,6 +9866,113 @@ WHERE rk <= 40"""
        |SELECT event_id, $terms AS zkey, value FROM q""".stripMargin
   }
 
+  /** MERGE `WHEN NOT MATCHED BY SOURCE THEN DELETE` — the FULL-SYNC
+    * dimension statement (the r19 verdict's #2): one three-way MERGE
+    * replaces the matched third (values doubled), inserts a corner
+    * row, and deletes the unmatched rows inside the early time
+    * window through a TARGET-READING gate
+    * (`AND t.ts_us < tmid`) — all as ONE atomic ledger op
+    * ([[graft.streaming.LayoutIngest.mergeRows]] `dropUnmatched`:
+    * membership decided per row against the pinned snapshot inside
+    * the rewrite, so no classification read can go stale). The flag
+    * and gate ride in the `mrg` record, so `graft_replicate` replays
+    * the full sync from the updates snapshot WITHOUT enumerating the
+    * complement. Premises pin ONE merge op and a (0 pulled, 1 merge
+    * replayed) sync; the gate hashes the REPLICA against the DuckDB
+    * three-way CASE/filter twin — a replica keeping unmatched-window
+    * rows, a gate leak to the matched side, or a delete reaching past
+    * the window all fail the hash. */
+  val q203SqlMergeFullSync: Q = (s, dir) => {
+    import s.implicits._
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val root = streamIndexDir("q203", dir, "events")
+    val srcDir = s"$root/src"
+    val dstDir = s"$root/dst"
+    val done = new java.io.File(s"$root/done")
+    if (!done.exists()) {
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min("ts_us"), max("ts_us"), min("event_id"), max("event_id"))
+        .head()
+      val (umn, umx, tmn, tmx) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val emx = b.getLong(5)
+      graft.streaming.LayoutIngest.bootstrap(s, srcDir,
+        graft.streaming.LayoutIngest.Grid(
+          Seq("user_id", "ts_us"), Seq((umn, umx), (tmn, tmx)),
+          bits = 16))
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 === 0),
+        0L, srcDir, filesPerBatch = 4): Unit
+      graft.streaming.LayoutIngest.ingestBatch(
+        ev.filter(abs(hash(col("event_id"))) % 2 =!= 0),
+        1L, srcDir, filesPerBatch = 4): Unit
+      val st1 = graft.streaming.LayoutIngest.replicate(s, srcDir, dstDir)
+      require(st1.batchesPulled == 2,
+        s"q203 premise: the first sync pulls both batches, got $st1")
+      val tmid = tmn + (tmx - tmn) / 2
+      s.read.format("graft-layout").load(srcDir)
+        .createOrReplaceTempView("q203_t")
+      ev.filter(col("event_id") % 3 === 0)
+        .withColumn("value", col("value") * 2)
+        .unionByName(Seq((emx + 1000L, umn, tmn, 99.0))
+          .toDF("event_id", "user_id", "ts_us", "value"))
+        .createOrReplaceTempView("q203_src")
+      s.sql(s"""MERGE INTO q203_t USING q203_src
+        ON q203_t.event_id = q203_src.event_id
+        WHEN MATCHED THEN UPDATE SET event_id = q203_src.event_id,
+          user_id = q203_src.user_id, ts_us = q203_src.ts_us,
+          value = q203_src.value
+        WHEN NOT MATCHED THEN INSERT (event_id, user_id, ts_us, value)
+          VALUES (q203_src.event_id, q203_src.user_id,
+            q203_src.ts_us, q203_src.value)
+        WHEN NOT MATCHED BY SOURCE AND q203_t.ts_us < $tmid
+          THEN DELETE""")
+      require(graft.streaming.LayoutIngest.history(s, srcDir)
+          .filter(col("kind") === "merge").count() == 1L,
+        "q203 premise: the full sync is ONE atomic merge op")
+      val st2 = s.sql(
+        s"SELECT * FROM graft_replicate('$srcDir', '$dstDir')").head()
+      require(st2.getInt(0) == 0 && st2.getInt(3) == 1,
+        s"q203 premise: nothing to pull, ONE merge replay, got $st2")
+      done.createNewFile(): Unit
+    }
+    graft.streaming.LayoutIngest.read(s, dstDir)
+      .select(col("event_id"), col("zkey"), col("value"))
+  }
+
+  val q203Sql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((qx >> $i) & 1) << ${2 * i})",
+      s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+       |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS tmn,
+       |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS tmx,
+       |    MAX(event_id) AS emx
+       |  FROM events),
+       |q AS (
+       |  SELECT event_id, user_id,
+       |    CAST(epoch_us(ts) AS BIGINT) AS tus,
+       |    CASE WHEN event_id % 3 = 0 THEN value * 2
+       |      ELSE value END AS value
+       |  FROM events
+       |  WHERE event_id % 3 = 0 OR NOT (CAST(epoch_us(ts) AS BIGINT) <
+       |    (SELECT tmn + (tmx - tmn) // 2 FROM b))),
+       |z AS (
+       |  SELECT event_id,
+       |    ((user_id - (SELECT umn FROM b)) * 65535)
+       |      // ((SELECT umx FROM b) - (SELECT umn FROM b)) AS qx,
+       |    ((tus - (SELECT tmn FROM b)) * 65535)
+       |      // ((SELECT tmx FROM b) - (SELECT tmn FROM b)) AS qy,
+       |    value
+       |  FROM q)
+       |SELECT event_id, $terms AS zkey, value FROM z
+       |UNION ALL
+       |SELECT (SELECT emx + 1000 FROM b) AS event_id,
+       |  CAST(0 AS BIGINT) AS zkey, 99.0 AS value""".stripMargin
+  }
+
   /** READER VISIBILITY through a slow multi-unit merge — the gate for
     * the append-first rework's central claim
     * ([[graft.streaming.LayoutIngest.mergeRows]] doc item 4): a
@@ -10532,7 +10639,12 @@ WHERE rk <= 40"""
     // q202: string-PREFIX SQL DELETE (the domain takedown) — pruned
     // by the string min/max sidecars, recorded, replayed on a replica
     "q202_sql_delete_str_prefix" ->
-      (q202SqlDeleteStrPrefix, Some(q202Sql)))
+      (q202SqlDeleteStrPrefix, Some(q202Sql)),
+    // q203: MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE (the
+    // full-sync dimension statement) — one atomic merge, gated
+    // target-reading delete, replica-replayed from the snapshot
+    "q203_sql_merge_fullsync" ->
+      (q203SqlMergeFullSync, Some(q203Sql)))
 
   def queries: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
 

@@ -812,10 +812,6 @@ private[graft] object DmlTranslate {
     require(!m.withSchemaEvolution,
       "graft-layout MERGE: WITH SCHEMA EVOLUTION is not supported — " +
         "schema evolution happens additively at ingest")
-    require(m.notMatchedBySourceActions.isEmpty,
-      "graft-layout MERGE: WHEN NOT MATCHED BY SOURCE is not " +
-        "supported — a whole-row upsert never touches unmatched " +
-        "target rows")
     val sourceOut = m.sourceTable.outputSet
     // the ON condition names the key: t.k = s.k, either order
     val (keyCol, srcKey) = m.mergeCondition match {
@@ -853,6 +849,35 @@ private[graft] object DmlTranslate {
         s"WHEN NOT MATCHED must be exactly one INSERT " +
           s"(got ${other.map(_.getClass.getSimpleName).mkString(", ")})")
     }
+    // WHEN NOT MATCHED BY SOURCE [AND gate] THEN DELETE — the
+    // full-sync dimension statement: target rows absent from the
+    // source delete inside the SAME merge rewrite (one atomic
+    // statement, recorded + replica-replayed from the updates
+    // snapshot; [[LayoutIngest.mergeRows]] `dropUnmatched`). The gate
+    // is a target-row predicate: deterministic, environment-free,
+    // subquery-free — it is recorded as SQL and re-evaluated per unit
+    // rewrite and at replay. UPDATE-by-absence stays refused (an
+    // unmatched update is a box/range UPDATE, not a merge side).
+    val unmatchedDel: Option[Option[Expression]] =
+      m.notMatchedBySourceActions match {
+        case Seq() => None
+        case Seq(DeleteAction(c)) =>
+          c.foreach { cc =>
+            if (cc.exists(_.isInstanceOf[SubqueryExpression])) err(
+              s"NOT MATCHED BY SOURCE gate '${cc.sql}' contains a " +
+                "subquery — gate on the target row's own columns")
+            require(cc.references.subsetOf(target.outputSet),
+              s"graft-layout MERGE: NOT MATCHED BY SOURCE gate " +
+                s"'${cc.sql}' references source columns — a " +
+                "not-matched-by-source row has no source row to read")
+          }
+          Some(c)
+        case other => err(
+          s"WHEN NOT MATCHED BY SOURCE must be exactly one DELETE " +
+            s"(got ${other.map(_.getClass.getSimpleName).mkString(", ")})" +
+            " — update-by-absence is a box/range UPDATE, not a merge " +
+            "side")
+      }
     // gates: subqueries refused on both sides (they would re-plan
     // outside their statement inside the command's DataFrame filters);
     // the NOT-MATCHED gate must be source-only (an unmatched row HAS
@@ -950,7 +975,8 @@ private[graft] object DmlTranslate {
       }
       val src = preFilter.map(Filter(_, m.sourceTable))
         .getOrElse(m.sourceTable)
-      GraftMergeCommand(rel.tableDir, keyCol, src, insertCols, sideGate)
+      GraftMergeCommand(rel.tableDir, keyCol, src, insertCols, sideGate,
+        unmatchedDelete = unmatchedDel)
     } else {
       // target attribute references (in assignments and the matched
       // gate) re-bind BY NAME against the command's re-read of the
@@ -967,7 +993,8 @@ private[graft] object DmlTranslate {
         sideGate =
           if (matchedCond.isEmpty && insertCond.isEmpty) None
           else Some((matchedCond.map(retag), insertCond)),
-        matchedSets = Some(matchedSets))
+        matchedSets = Some(matchedSets),
+        unmatchedDelete = unmatchedDel)
     }
   }
 }
@@ -1181,8 +1208,21 @@ private[graft] case class GraftUpdateCommand(dir: String,
 private[graft] case class GraftMergeCommand(dir: String, keyCol: String,
     source: LogicalPlan, cols: Seq[(String, Expression)],
     sideGate: Option[(Option[Expression], Option[Expression])] = None,
-    matchedSets: Option[Seq[(String, Expression)]] = None)
+    matchedSets: Option[Seq[(String, Expression)]] = None,
+    unmatchedDelete: Option[Option[Expression]] = None)
   extends LeafRunnableCommand {
+
+  /** `WHEN NOT MATCHED BY SOURCE THEN DELETE` as the
+    * [[LayoutIngest.mergeRows]] flag: the gate (a target-row
+    * predicate) re-binds BY NAME against the rewrite frames, like the
+    * box UPDATE assignments. */
+  private def dropUnmatched: Option[LayoutIngest.UnmatchedDelete] =
+    unmatchedDelete.map(g => LayoutIngest.UnmatchedDelete(
+      g.map(e => ColumnBridge.of(e.transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
+      }))))
 
   /** Above this many distinct source keys the partial path's target
     * read stops pushing an IN-set filter (the bloom/stats pruning
@@ -1198,9 +1238,11 @@ private[graft] case class GraftMergeCommand(dir: String, keyCol: String,
       cols.map { case (n, e) => ColumnBridge.of(e).as(n) }: _*)
     if (sideGate.isEmpty && matchedSets.isEmpty) {
       // whole-row, unconditional: one updates row per key, no target
-      // read, no classification to guard
+      // read, no classification to guard (a NOT-MATCHED-BY-SOURCE
+      // delete needs none either — membership is decided per row
+      // against the pinned snapshot inside the rewrite)
       LayoutIngest.mergeRowsNext(sparkSession, dir, keyCol,
-        updatesOf(base)): Unit
+        updatesOf(base), dropUnmatched = dropUnmatched): Unit
       return Seq.empty
     }
     require(!base.columns.exists(_.startsWith("__graft")),
@@ -1280,7 +1322,8 @@ private[graft] case class GraftMergeCommand(dir: String, keyCol: String,
       }
       try {
         LayoutIngest.mergeRowsNext(sparkSession, dir, keyCol,
-          updates, classifiedAt = Some(stamp)): Unit
+          updates, classifiedAt = Some(stamp),
+          dropUnmatched = dropUnmatched): Unit
         committed = true
       } catch {
         case e: LayoutIngest.StaleClassificationException =>

@@ -2448,8 +2448,18 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         require(r.sets.nonEmpty,
           s"replicate: merge-$b's record carries no merge key — " +
             "corrupted record; rebuild the replica from a full read")
+        // a NOT-MATCHED-BY-SOURCE delete rides in the record: replay
+        // it with the merge — the snapshot carries every kept key, so
+        // the replica decides membership exactly as the source did
+        val unmatchedDel = r.sets.collectFirst {
+          case (UnmatchedDelTag, v) =>
+            val sql = java.net.URLDecoder.decode(v, "UTF-8")
+            UnmatchedDelete(
+              if (sql.isEmpty) None
+              else Some(org.apache.spark.sql.functions.expr(sql)))
+        }
         if (mergeRows(spark, dstDir, r.sets.head._1, updates, b,
-            filesPerBatch))
+            filesPerBatch, dropUnmatched = unmatchedDel))
           mergesReplayed += 1
       } else if (!committedMerges(b) &&
           (mergeIntents(b) || mergeRec.contains(b))) {
@@ -2725,13 +2735,15 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
   private[graft] def mergeRowsNext(spark: SparkSession, dir: String,
       keyCol: String, updates: DataFrame,
       filesPerBatch: Int = 4,
-      classifiedAt: Option[String] = None): Long = {
+      classifiedAt: Option[String] = None,
+      dropUnmatched: Option[UnmatchedDelete] = None): Long = {
     var attempts = 0
     while (true) {
       val id = nextUnusedId(spark, dir)
       try {
         mergeRows(spark, dir, keyCol, updates, id, filesPerBatch,
-          classifiedAt = classifiedAt): Unit
+          classifiedAt = classifiedAt,
+          dropUnmatched = dropUnmatched): Unit
         return id
       } catch {
         case e: StaleBatchIdException =>
@@ -2892,6 +2904,30 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    * convention) plus its merge marker, so a later stream batch can
    * never reuse the id and [[history]] stays unambiguous.
    *
+   * `dropUnmatched` is SQL's `WHEN NOT MATCHED BY SOURCE [AND gate]
+   * THEN DELETE` — the full-sync dimension statement (target rows
+   * whose key is ABSENT from `updates`, optionally gated by a
+   * deterministic target-row predicate, are deleted in the SAME
+   * rewrite pass, scoped `__batch < batchId` like the replacement
+   * drops). ONE atomic statement, one ledger id, crash-exact behind
+   * the same markers; serializable for free — membership is decided
+   * per row AGAINST THE PINNED SNAPSHOT at apply position `batchId`,
+   * no classification read to go stale. Recorded in the `mrg` record
+   * (gate SQL URL-encoded), and replayed on replicas from the updates
+   * snapshot — the complement is never enumerated, so the statement
+   * scales to any target size (it IS a table-wide rewrite: every
+   * pre-merge unit may hold an unmatched row, so pruning is off by
+   * construction — that is what a full sync means). Standard SQL
+   * semantics for NULL keys: a NULL-keyed target row matches nothing,
+   * so it is "not matched by source" and deletes (gate permitting) —
+   * the ONE spot where the engine's keep-NULL-rows delete rule yields
+   * to the SQL MERGE contract. The gate must be environment-free
+   * (recorded SQL, re-evaluated at replay — the [[updateBoxes]]
+   * rule); an empty `updates` with `dropUnmatched` is a gated
+   * FULL-TABLE delete (nothing appends, everything unmatched).
+   * Incompatible with the chunked split ([[mergeRowsChunkedNext]] —
+   * each sub-merge would delete its own bucket's complement).
+   *
    * Idempotent and crash-exact behind a `merge-<batchId>` marker with
    * an intent twin (the IndexIngest two-state pattern):
    * `merge-<batchId>.intent` is created atomically BEFORE any
@@ -2925,11 +2961,36 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
    * by contract), the rewrites touch only sidecar-hit units, the
    * append is one ordinary clustered batch.
    */
+  /** The NOT-MATCHED-BY-SOURCE side of a [[mergeRows]]: delete target
+    * rows whose key is absent from the updates, `gate` (target-row
+    * predicate) permitting. */
+  final case class UnmatchedDelete(
+      gate: Option[org.apache.spark.sql.Column] = None)
+
+  /** `sets` tag carrying [[UnmatchedDelete]] in the `mrg` record:
+    * value = URL-encoded gate SQL, empty for ungated. */
+  private val UnmatchedDelTag = "__graft_unmatched_del"
+
   def mergeRows(spark: SparkSession, dir: String, keyCol: String,
       updates: DataFrame, batchId: Long,
       filesPerBatch: Int = 4, tailWaitMs: Long = 5000L,
-      classifiedAt: Option[String] = None): Boolean = {
+      classifiedAt: Option[String] = None,
+      dropUnmatched: Option[UnmatchedDelete] = None): Boolean = {
     refuseReplicaWrite(spark, dir, "mergeRows")
+    // the gate is recorded as SQL and re-evaluated per unit rewrite
+    // and at replica replay — the updateBoxes record-time rule
+    val unmatchedRec: Option[String] = dropUnmatched.map { ud =>
+      ud.gate.map { g =>
+        val ex = org.apache.spark.sql.graftbridge.ColumnBridge
+          .catalystExpr(g)
+        environmentBound(ex).foreach(bad =>
+          throw new IllegalArgumentException(
+            "mergeRows: the NOT MATCHED BY SOURCE gate reads the " +
+              s"evaluation environment ($bad) — it cannot decide the " +
+              "same rows on replay or replica sync"))
+        ex.sql
+      }.getOrElse("")
+    }
     val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
     val marker = new org.apache.hadoop.fs.Path(markers, s"merge-$batchId")
     if (f.exists(marker) || dmlLogEntries(spark, dir)
@@ -3059,11 +3120,11 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
       // can replay, the same trade the DML records make)
       snap.write.mode("overwrite").parquet(
         s"$dir/markers/mrg-$batchId.updates")
-      if (nKeys > 0) {
+      if (nKeys > 0 || dropUnmatched.nonEmpty) {
         val (_, data) = DedupIngest.fs(spark, s"$dir/data")
         val units = if (!f.exists(data)) Nil else leafUnits(f, data)
         val keysForBloom: Seq[Any] =
-          if (nKeys <= BloomProbeMaxKeys)
+          if (nKeys > 0 && nKeys <= BloomProbeMaxKeys)
             snap.select(col(keyCol)).distinct()
               .collect().toSeq.map(_.get(0))
           else Nil
@@ -3077,24 +3138,30 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         // stats-range pruning is long-only (the sidecar contract);
         // string keys prune by bloom alone
         val statsHit: org.apache.hadoop.fs.Path => Boolean =
-          if (keyIsLong) {
+          if (keyIsLong && nKeys > 0) {
             val (kmn, kmx) = (a.getLong(3), a.getLong(4))
             d => dirColumnRange(f, d, keyCol) match {
               case Some((mn, mx)) => mx >= kmn && mn <= kmx
               case None => unitRows(f, d) > 0 // no stats → conservative
             }
           } else d => unitRows(f, d) > 0
+        // a NOT-MATCHED-BY-SOURCE delete can hit ANY pre-merge unit
+        // (every unit may hold an unmatched key — the complement is
+        // un-prunable by construction): key pruning is off, only the
+        // batch-span exemption stands
         val affectedPaths = parFilter(units.map(_._2)) { d =>
-          preMerge(d) && statsHit(d) && (keysForBloom.isEmpty ||
-            (unitBloom(f, d, keyCol) match {
-              case Some(b) => keysForBloom.exists {
-                case s: String => b.mightContainString(s)
-                case l: Long => b.mightContainLong(l)
-                case other => throw new IllegalStateException(
-                  s"unreachable key type: ${other.getClass.getName}")
-              }
-              case None => true
-            }))
+          preMerge(d) && (
+            if (dropUnmatched.nonEmpty) unitRows(f, d) > 0
+            else statsHit(d) && (keysForBloom.isEmpty ||
+              (unitBloom(f, d, keyCol) match {
+                case Some(b) => keysForBloom.exists {
+                  case s: String => b.mightContainString(s)
+                  case l: Long => b.mightContainLong(l)
+                  case other => throw new IllegalStateException(
+                    s"unreachable key type: ${other.getClass.getName}")
+                }
+                case None => true
+              })))
         }.toSet
         val affected = units.filter(u => affectedPaths(u._2))
         val keysDf = broadcast(snap.select(col(keyCol)).distinct()
@@ -3113,10 +3180,23 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           // keep: key not merged, OR the row is AT/ABOVE the merge
           // point (its own append wherever a fold carried it, and any
           // batch a live stream published meanwhile); null keys never
-          // join → kept, the deleteBox null-safety rule
+          // join → kept, the deleteBox null-safety rule. With
+          // dropUnmatched, an UNMATCHED pre-merge row (null-keyed
+          // included — SQL MERGE semantics, the doc) survives only if
+          // the gate spares it.
+          val keepRow = dropUnmatched match {
+            case None =>
+              col("__graft_merge_hit").isNull ||
+                col(BatchCol) >= lit(batchId)
+            case Some(ud) =>
+              val kill = ud.gate
+                .map(g => coalesce(g, lit(false)))
+                .getOrElse(lit(true))
+              col(BatchCol) >= lit(batchId) ||
+                (col("__graft_merge_hit").isNull && !kill)
+          }
           unitDf.join(keysDf, Seq(keyCol), "left")
-            .filter(col("__graft_merge_hit").isNull ||
-              col(BatchCol) >= lit(batchId))
+            .filter(keepRow)
             .select(cols.map(col).toIndexedSeq: _*)
             .write.mode("overwrite").parquet(stage.toString)
           writeUnitStats(f, stage, gridNow.cols :+ KeyCol :+ BatchCol,
@@ -3154,8 +3234,11 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           s"mrg-$batchId.tmp")
         if (f.exists(rtmp)) f.delete(rtmp, false)
         val rout = f.create(rtmp, true)
+        val recSets = Seq((keyCol, "merge-key")) ++
+          unmatchedRec.map(g => (UnmatchedDelTag,
+            java.net.URLEncoder.encode(g, "UTF-8")))
         try rout.write(DmlRecord.serialize(DmlRecord("mrg", batchId,
-          seqRec, uptoRec, Nil, Seq((keyCol, "merge-key")), None))
+          seqRec, uptoRec, Nil, recSets, None))
           .getBytes("UTF-8"))
         finally rout.close()
         if (!f.rename(rtmp, recordPath))

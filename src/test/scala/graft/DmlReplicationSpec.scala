@@ -776,6 +776,55 @@ class DmlReplicationSpec extends SparkSpec {
       .filter(col("kind") === "replay").count() === 0L)
   }
 
+  test("NOT MATCHED BY SOURCE deletes are ONE atomic merge: NULL-" +
+      "keyed target rows follow SQL MERGE semantics (deleted), an " +
+      "empty source is a gated full-table delete, and replicas " +
+      "converge by replaying the recorded flag from the snapshot") {
+    val t = freshTable("nmbs-repl") // a = 0..99, v = a*10
+    val dst = t.stripSuffix("/t") + "/r"
+    assert(LayoutIngest.replicate(spark, t, dst).batchesPulled === 2)
+    // a NULL-keyed row (merge will key on v): SQL MERGE semantics say
+    // it matches nothing → "not matched by source" → deleted
+    LayoutIngest.appendNext(spark, t,
+      Seq((90L, 90L, None: Option[Long])).toDF("a", "b", "v"), 1): Unit
+    LayoutIngest.replicate(spark, t, dst): Unit
+    // FULL SYNC keyed on v: keep only a < 50 (replaced byte-for-byte),
+    // delete every unmatched row including the NULL-keyed one
+    val updates = (0L until 50L).map(i => (i, i, i * 10))
+      .toDF("a", "b", "v")
+    LayoutIngest.mergeRowsNext(spark, t, "v", updates,
+      dropUnmatched = Some(LayoutIngest.UnmatchedDelete(None))): Unit
+    val left = LayoutIngest.read(spark, t)
+      .select("a").as[Long].collect().toSet
+    assert(left === (0L until 50L).toSet,
+      "unmatched rows (a >= 50) AND the NULL-keyed row deleted")
+    assert(LayoutIngest.history(spark, t)
+      .filter(col("kind") === "merge").count() === 1L,
+      "one atomic ledger op")
+    // EMPTY source + gate: nothing appends, every row is unmatched,
+    // the gate decides — a gated retention sweep through MERGE
+    LayoutIngest.mergeRowsNext(spark, t, "v",
+      Seq.empty[(Long, Long, Long)].toDF("a", "b", "v"),
+      dropUnmatched = Some(LayoutIngest.UnmatchedDelete(
+        Some(col("a") >= 40L)))): Unit
+    assert(LayoutIngest.read(spark, t)
+      .select("a").as[Long].collect().toSet === (0L until 40L).toSet,
+      "empty-source gated sync deletes exactly the gated rows")
+    // both merges replay on the replica from their records/snapshots
+    val st = LayoutIngest.replicate(spark, t, dst)
+    assert(st.mergesReplayed === 2, s"got $st")
+    assert(snap(dst) === snap(t), "replica ≡ source bytes")
+    // the gate is recorded — environment-bound gates refuse at
+    // record time, so no poison record can reach a replica
+    val e = intercept[IllegalArgumentException](
+      LayoutIngest.mergeRowsNext(spark, t, "v",
+        Seq.empty[(Long, Long, Long)].toDF("a", "b", "v"),
+        dropUnmatched = Some(LayoutIngest.UnmatchedDelete(
+          Some(rand() < 0.5)))))
+    assert(e.getMessage.contains("evaluation environment"),
+      e.getMessage)
+  }
+
   test("mergeRowsChunkedNext splits a too-large merge into disjoint " +
       "key-bucket sub-merges; a replica converges by replaying them") {
     val t = freshTable("chunked-merge")

@@ -815,4 +815,89 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(got === Map(6L -> "new6", 7L -> "v7"),
       "even id replaces, odd id keeps its target row")
   }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE: the full-sync " +
+      "dimension statement — one atomic three-way merge; gated " +
+      "variant; typed refusals for update-by-absence, source-reading " +
+      "and environment-bound gates") {
+    def refuses(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains(needle)),
+        s"$sql -> ${msgs(e).mkString(" | ")}")
+    }
+    // FULL SYNC: after the merge the table must equal the source
+    // exactly — matched rows replaced, unmatched-source inserted,
+    // unmatched-target deleted, all as ONE ledger op
+    val dir = freshTable("sqldml-nmbs") // rows a = 0..50
+    view(dir, "snmbs")
+    Seq.range(40L, 61L).map(i => (i, i + 7L, s"sync$i"))
+      .toDF("a", "b", "s").createOrReplaceTempView("snmbs_src")
+    spark.sql("""MERGE INTO snmbs USING snmbs_src
+      ON snmbs.a = snmbs_src.a
+      WHEN MATCHED THEN UPDATE
+        SET a = snmbs_src.a, b = snmbs_src.b, s = snmbs_src.s
+      WHEN NOT MATCHED THEN INSERT (a, b, s)
+        VALUES (snmbs_src.a, snmbs_src.b, snmbs_src.s)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val got = LayoutIngest.read(spark, dir)
+      .select("a", "b", "s").as[(Long, Long, String)].collect().toSet
+    val want = Seq.range(40L, 61L).map(i => (i, i + 7L, s"sync$i")).toSet
+    assert(got === want, "table ≡ source after the full sync")
+    assert(LayoutIngest.history(spark, dir)
+      .filter(col("kind") === "merge").count() === 1L,
+      "one atomic statement, one ledger op")
+    // GATED variant: only unmatched target rows passing the
+    // target-row gate delete; the rest survive the sync untouched
+    val dir2 = freshTable("sqldml-nmbs-gate")
+    view(dir2, "snmbsg")
+    Seq((50L, 1L, "k50")).toDF("a", "b", "s")
+      .createOrReplaceTempView("snmbsg_src")
+    spark.sql("""MERGE INTO snmbsg USING snmbsg_src
+      ON snmbsg.a = snmbsg_src.a
+      WHEN MATCHED THEN UPDATE
+        SET a = snmbsg_src.a, b = snmbsg_src.b, s = snmbsg_src.s
+      WHEN NOT MATCHED THEN INSERT (a, b, s)
+        VALUES (snmbsg_src.a, snmbsg_src.b, snmbsg_src.s)
+      WHEN NOT MATCHED BY SOURCE AND snmbsg.a < 10 THEN DELETE""")
+    val left2 = LayoutIngest.read(spark, dir2)
+      .select("a").as[Long].collect().toSet
+    assert(left2 === (10L to 50L).toSet,
+      "gate: only unmatched rows with a < 10 deleted")
+    assert(LayoutIngest.read(spark, dir2)
+      .filter(col("a") === 50L).select("s").as[String].head() === "k50",
+      "the matched row still replaced")
+    // refusals
+    refuses("""MERGE INTO snmbsg USING snmbsg_src
+      ON snmbsg.a = snmbsg_src.a
+      WHEN MATCHED THEN UPDATE SET s = snmbsg_src.s
+      WHEN NOT MATCHED THEN INSERT (a, b, s)
+        VALUES (snmbsg_src.a, snmbsg_src.b, snmbsg_src.s)
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET s = 'gone'""",
+      "must be exactly one DELETE")
+    // a source-reading gate never even resolves: Spark's analyzer
+    // binds NOT MATCHED BY SOURCE conditions against the target only
+    // (the translator's subset require is defense-in-depth behind it)
+    refuses("""MERGE INTO snmbsg USING snmbsg_src
+      ON snmbsg.a = snmbsg_src.a
+      WHEN MATCHED THEN UPDATE
+        SET a = snmbsg_src.a, b = snmbsg_src.b, s = snmbsg_src.s
+      WHEN NOT MATCHED THEN INSERT (a, b, s)
+        VALUES (snmbsg_src.a, snmbsg_src.b, snmbsg_src.s)
+      WHEN NOT MATCHED BY SOURCE AND snmbsg_src.b = 1 THEN DELETE""",
+      "snmbsg_src.b")
+    refuses("""MERGE INTO snmbsg USING snmbsg_src
+      ON snmbsg.a = snmbsg_src.a
+      WHEN MATCHED THEN UPDATE
+        SET a = snmbsg_src.a, b = snmbsg_src.b, s = snmbsg_src.s
+      WHEN NOT MATCHED THEN INSERT (a, b, s)
+        VALUES (snmbsg_src.a, snmbsg_src.b, snmbsg_src.s)
+      WHEN NOT MATCHED BY SOURCE AND rand() < 2 THEN DELETE""",
+      "evaluation environment")
+    // nothing the refusals touched changed the table
+    assert(LayoutIngest.read(spark, dir2)
+      .select("a").as[Long].collect().toSet === (10L to 50L).toSet)
+  }
 }
