@@ -300,8 +300,16 @@ private[graft] class GraftDmlRule(session: SparkSession)
             case Some((c, shape)) =>
               GraftDeleteStrRangeCommand(rel.tableDir, c, shape)
             case None =>
-              GraftDeleteCommand(rel.tableDir,
-                DmlTranslate.toBoxes(cond, t.outputSet))
+              // a governance-sized LONG IN list above the cutover
+              // takes the keyed path too (bloom probes beat N point
+              // boxes); small lists keep the box history kind
+              DmlTranslate.longKeyDelete(cond, t.outputSet) match {
+                case Some((c, keys)) =>
+                  GraftDeleteLongKeysCommand(rel.tableDir, c, keys)
+                case None =>
+                  GraftDeleteCommand(rel.tableDir,
+                    DmlTranslate.toBoxes(cond, t.outputSet))
+              }
           }
       }
     case m: MergeIntoTable => m.targetTable match {
@@ -548,6 +556,37 @@ private[graft] object DmlTranslate {
     }
   }
 
+  /** LONG IN-list cutover: a DELETE/UPDATE whose WHOLE condition is
+    * one `longCol IN (...)` with MORE than this many distinct values
+    * routes to the KEYED path (`delk`/`updk` — per-unit bloom probes,
+    * O(hit units)) instead of N point boxes (N × units driver-side
+    * box checks — the r19 NOTES' known margin). Small lists stay
+    * box-routed: exact either way, and the box form is the history
+    * kind existing premises count on. */
+  private[sql] val LongInKeyedMin = 64
+
+  private def longInAttr(e: Expression,
+      target: AttributeSet): Option[String] = e match {
+    // IN coercion casts BOTH sides; a long→long cast is identity
+    case c: Cast if c.dataType == LongType => longAttr(c.child, target)
+    case other => longAttr(other, target)
+  }
+
+  /** The long IN-list shapes [[LongInKeyedMin]] governs: the whole
+    * condition is a single `IN` over one long column, all-literal,
+    * above the cutover. NULL literals drop exactly (three-valued IN). */
+  def longKeyDelete(cond: Expression, target: AttributeSet)
+      : Option[(String, Seq[Long])] = cond match {
+    case In(a, vs) if vs.nonEmpty &&
+        vs.forall(v => litLong(v).isDefined ||
+          (v.foldable && Option(v.eval()).isEmpty)) =>
+      longInAttr(a, target).flatMap { c =>
+        val keys = vs.flatMap(litLong).distinct
+        if (keys.size > LongInKeyedMin) Some(c -> keys) else None
+      }
+    case _ => None
+  }
+
   /** DELETE condition → the EXACT union of conjunctive boxes, or
     * refuse: the condition splits on its TOP-LEVEL ORs and each
     * disjunct goes through [[toBox]]. A disjunct that is
@@ -755,10 +794,18 @@ private[graft] object DmlTranslate {
               "rewriting what the predicate means on replay is not an " +
               "update; use MERGE INTO or DELETE + INSERT")
           GraftUpdateStrRangeCommand(rel.tableDir, c, shape, sets)
-        case None =>
-          GraftUpdateCommand(rel.tableDir,
-            toBoxes(cond.getOrElse(Literal(true)), target.outputSet),
-            sets)
+        case None => cond.flatMap(longKeyDelete(_, target.outputSet)) match {
+          case Some((c, keys)) =>
+            if (sets.exists(_._1 == c)) err(
+              s"UPDATE assigns the key column '$c' it selects by — " +
+                "rewriting row identity in place is not an update; " +
+                "use MERGE INTO or DELETE + INSERT")
+            GraftUpdateLongKeysCommand(rel.tableDir, c, keys, sets)
+          case None =>
+            GraftUpdateCommand(rel.tableDir,
+              toBoxes(cond.getOrElse(Literal(true)), target.outputSet),
+              sets)
+        }
       }
     }
   }
@@ -1081,6 +1128,41 @@ private[graft] case class GraftDeleteKeysCommand(dir: String,
   * is a clean no-op: nothing to redact, no id minted. */
 private[graft] case class GraftUpdateKeysCommand(dir: String,
     keyCol: String, keys: Seq[String],
+    sets: Seq[(String, Expression)]) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    if (keys.isEmpty) return Seq.empty
+    val cols = sets.map { case (n, e) =>
+      n -> ColumnBridge.of(e.transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
+      })
+    }
+    LayoutIngest.updateKeysNext(sparkSession, dir, keyCol, keys,
+      cols): Unit
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM <layout view> WHERE <longCol> IN (many values)` — a
+  * long IN list above [[DmlTranslate.LongInKeyedMin]] routed to
+  * [[LayoutIngest.deleteKeysNext]] (per-unit bloom + stats probes)
+  * instead of N point boxes; same record/replay contract as the
+  * string-keyed form. */
+private[graft] case class GraftDeleteLongKeysCommand(dir: String,
+    keyCol: String, keys: Seq[Long]) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    if (keys.nonEmpty)
+      LayoutIngest.deleteKeysNext(sparkSession, dir, keyCol, keys): Unit
+    Seq.empty
+  }
+}
+
+/** `UPDATE <layout view> SET ... WHERE <longCol> IN (many values)` —
+  * the long-IN cutover's UPDATE twin, routed to
+  * [[LayoutIngest.updateKeysNext]]. */
+private[graft] case class GraftUpdateLongKeysCommand(dir: String,
+    keyCol: String, keys: Seq[Long],
     sets: Seq[(String, Expression)]) extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
     if (keys.isEmpty) return Seq.empty

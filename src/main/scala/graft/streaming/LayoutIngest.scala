@@ -1710,6 +1710,20 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * [[mergeRows]] q166/q170 machinery) admits at least one key. The
     * row predicate handed to `transform` is a codegen'd IN-set,
     * NULL-safe (a NULL key never hits — SQL's three-valued IN). */
+  /** Ceiling on ONE keyed statement's total driver bloom-probe work,
+    * keys × live units (each probe is ~7 hash lookups): above it the
+    * unit selection falls back to stats-range pruning alone — the
+    * [[BloomProbeMaxKeys]] rule from [[mergeRows]], scaled by unit
+    * count, so a max-size (2^16-key) list against a many-unit table
+    * with NO bloom hits cannot spin the driver through keys × units
+    * misses (`exists` short-circuits only on HITS). Conservative,
+    * never wrong: skipping blooms rewrites more units, not fewer.
+    * Var — the spec pins the fallback without building 4M probes. */
+  private[graft] var KeyedBloomProbeBudget = 1L << 22
+  /** Test instrumentation: statements whose bloom probing was skipped
+    * for budget (no behavior rides on it). */
+  private[graft] var keyedBloomBudgetSkips = 0L
+
   private def rewriteKeyedUnits(spark: SparkSession, dir: String,
       kind: String, id: Long, keyCol: String, keyIsLong: Boolean,
       keys: Seq[Any], scopeUpto: Long,
@@ -1722,6 +1736,13 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         val ls = keys.map(_.asInstanceOf[Long])
         (ls.min, ls.max)
       } else (Long.MinValue, Long.MaxValue)
+    val unitCount = {
+      val (f0, data0) = DedupIngest.fs(spark, s"$dir/data")
+      if (!f0.exists(data0)) 0 else leafUnits(f0, data0).size
+    }
+    val probeBloom =
+      keys.size.toLong * math.max(1, unitCount) <= KeyedBloomProbeBudget
+    if (!probeBloom) keyedBloomBudgetSkips += 1
     val affects = (f: org.apache.hadoop.fs.FileSystem,
         d: org.apache.hadoop.fs.Path) =>
       unitRows(f, d) > 0 &&
@@ -1734,7 +1755,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
           case Some((mn, mx)) => mx >= longMin && mn <= longMax
           case None => true
         })) &&
-        (unitBloom(f, d, keyCol) match {
+        (!probeBloom || (unitBloom(f, d, keyCol) match {
           case Some(b) => keys.exists {
             case s: String => b.mightContainString(s)
             case l: Long => b.mightContainLong(l)
@@ -1742,7 +1763,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
               s"unreachable key type: ${other.getClass.getName}")
           }
           case None => true // no bloom sidecar → conservative
-        })
+        }))
     val inKeys = coalesce(
       col(keyCol).isin(keys: _*), lit(false))
     val hit =

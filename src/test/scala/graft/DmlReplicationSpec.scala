@@ -776,6 +776,30 @@ class DmlReplicationSpec extends SparkSpec {
       .filter(col("kind") === "replay").count() === 0L)
   }
 
+  test("keyed-statement bloom probing is BUDGET-capped (keys x " +
+      "units): above it the selection falls back to stats/scope " +
+      "pruning — exact, conservative, bounded driver work") {
+    val t = freshTable("keyed-budget") // 2 units: a in [0,50] / [51,99]
+    val b0 = LayoutIngest.KeyedBloomProbeBudget
+    val s0 = LayoutIngest.keyedBloomBudgetSkips
+    LayoutIngest.KeyedBloomProbeBudget = 4L // 3 keys x 2 units = 6 > 4
+    try {
+      assert(LayoutIngest.deleteKeys(spark, t, "a", Seq(5L, 7L, 9L),
+        deleteId = 0L))
+      assert(LayoutIngest.keyedBloomBudgetSkips === s0 + 1,
+        "the over-budget statement must skip bloom probing")
+      assert(LayoutIngest.read(spark, t).select("a").as[Long]
+        .collect().toSet === ((0L to 99L).toSet -- Set(5L, 7L, 9L)),
+        "budget fallback never changes results")
+      // stats-range pruning STILL applies under the fallback: the
+      // [51,99] unit's range misses [5,9], so only one unit rewrote
+      val rewritten = Option(new java.io.File(s"$t/data").list()).get
+        .count(_.startsWith("gen-delk0-"))
+      assert(rewritten === 1,
+        s"stats pruning must survive the bloom skip, rewrote $rewritten")
+    } finally LayoutIngest.KeyedBloomProbeBudget = b0
+  }
+
   test("NOT MATCHED BY SOURCE deletes are ONE atomic merge: NULL-" +
       "keyed target rows follow SQL MERGE semantics (deleted), an " +
       "empty source is a gated full-table delete, and replicas " +

@@ -193,10 +193,12 @@ class GraftSqlDmlSpec extends SparkSpec {
       "evaluation environment")
     refuses("UPDATE supd SET v = (SELECT MAX(a) FROM supd) WHERE a = 1",
       "subquery")
-    // the WHERE contract is DELETE's: boxes or string POINT shapes
-    // (those route to the keyed update — DmlReplicationSpec covers
-    // them); a string RANGE has neither form and still refuses
-    refuses("UPDATE supd SET v = 0 WHERE s > 'v3'", "not a conjunction")
+    // the WHERE contract is DELETE's: boxes, string POINT shapes
+    // (keyed update) or string RANGES (string-range update —
+    // StrRangeDmlSpec); an OR mixing a string range with a long box
+    // has no exact form and still refuses
+    refuses("UPDATE supd SET v = 0 WHERE s > 'v3' OR a = 1",
+      "not a conjunction")
     // nothing the refusals touched changed the table
     assert(LayoutIngest.read(spark, dir).count() === 51L)
     // ...and the FULL box grammar works for UPDATE too: a negated
@@ -506,9 +508,10 @@ class GraftSqlDmlSpec extends SparkSpec {
       assert(msgs(e).exists(_.contains(needle)),
         s"$sql -> ${msgs(e).mkString(" | ")}")
     }
-    // string POINT shapes route to the keyed delete now; a string
-    // RANGE has no keyed or box form and still refuses
-    refuses("DELETE FROM sref WHERE s > 'v3'", "not a conjunction")
+    // string POINT shapes route to the keyed delete and string
+    // RANGES to the string-range delete now; a string NEGATION has
+    // neither form and still refuses
+    refuses("DELETE FROM sref WHERE s != 'v3'", "not a conjunction")
     // OR is supported only BETWEEN whole conjunctions — nested under
     // an AND it is not a box
     refuses("DELETE FROM sref WHERE a = 1 AND (b = 2 OR b = 3)",
@@ -696,7 +699,8 @@ class GraftSqlDmlSpec extends SparkSpec {
       "not a conjunction")
     refuses("DELETE FROM sdoc WHERE s = 'v1' OR a = 1",
       "not a conjunction")
-    refuses("DELETE FROM sdoc WHERE s LIKE 'v1%'", "not a conjunction")
+    // (string LIKE-'p%' no longer refuses — it routes to the
+    // string-RANGE delete; StrRangeDmlSpec owns that surface)
     // SQL ≡ the deleteKeys API twin
     val dirApi = freshTable("sqldml-strdel-api")
     LayoutIngest.deleteKeys(spark, dirApi, "s",
@@ -707,6 +711,37 @@ class GraftSqlDmlSpec extends SparkSpec {
         .as[(Long, String, Long)].collect().toSet ===
       LayoutIngest.read(spark, dirApi).select("a", "s", "zkey")
         .as[(Long, String, Long)].collect().toSet)
+  }
+
+  test("a LONG IN list ABOVE the cutover routes to the KEYED " +
+      "delete/update (bloom probes, not N point boxes); at or below " +
+      "it keeps the box history kind") {
+    val dir = freshTable("sqldml-longin") // a = 0..50, blooms on a
+    view(dir, "slin")
+    def kinds(k: String): Long = LayoutIngest.history(spark, dir)
+      .filter(col("kind") === k).count()
+    // 65 distinct values (> 64) → ONE keyed op
+    val many = (0L to 64L).map(_ * 2 + 1) // odds 1..129
+    spark.sql(s"DELETE FROM slin WHERE a IN (${many.mkString(", ")})")
+    assert(kinds("delete_keys") === 1L && kinds("delete") === 0L,
+      "a 65-value long IN list must take the keyed path")
+    assert(LayoutIngest.read(spark, dir).select("a").as[Long]
+      .collect().toSet === (0L to 50L).filter(_ % 2 == 0).toSet,
+      "exactly the listed odds deleted")
+    // 64 values (== cutover) stays a box op — history continuity
+    val few = (100L to 163L)
+    spark.sql(s"DELETE FROM slin WHERE a IN (${few.mkString(", ")})")
+    assert(kinds("delete") === 1L && kinds("delete_keys") === 1L,
+      "a 64-value list keeps the box history kind")
+    // the UPDATE twin
+    val evens = (0L to 70L).map(_ * 2)
+    spark.sql("UPDATE slin SET s = 'redacted' " +
+      s"WHERE a IN (${evens.mkString(", ")})")
+    assert(kinds("update_keys") === 1L,
+      "a 71-value long IN UPDATE must take the keyed path")
+    assert(LayoutIngest.read(spark, dir)
+      .filter(col("s") =!= "redacted").count() === 0L,
+      "every surviving (even) row redacted")
   }
 
   test("environment-bound UPDATE assignments are refused typed: the " +
