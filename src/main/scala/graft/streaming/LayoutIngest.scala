@@ -640,7 +640,14 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * one `dml-log` ([[foldDmlMarkers]], class 5) so the marker listing
     * stays bounded at any DML cadence. */
   def vacuum(spark: SparkSession, dir: String,
-      lockWaitMs: Long = 30000L): VacuumStats =
+      lockWaitMs: Long = 30000L): VacuumStats = {
+    // owed chunked-merge buckets FIRST, outside the maintenance hold
+    // (each sub-merge takes its own locks; LedgerLock is not
+    // reentrant) — dead-owner plans only, the crash-recovery path
+    val resumed = resumeChunkedMerges(spark, dir)
+    if (resumed > 0)
+      logWarning(s"LayoutIngest.vacuum: completed $resumed owed " +
+        s"chunked-merge bucket(s) on $dir (crashed writer's plan)")
     withMaintLock(spark, dir) {
       val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
       val (_, root) = DedupIngest.fs(spark, dir)
@@ -703,6 +710,7 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         ingestStagesDropped = stages, emptyUnitsDropped = emptied,
         dmlMarkersFolded = dmlFolded)
     }
+  }
 
   private def compactMarkersLocked(spark: SparkSession,
       dir: String): Unit = {
@@ -2224,6 +2232,18 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     * fence would be a lie in the ledger). Returns the watermark the
     * promotion fenced at.
     *
+    * PROMOTION IS ONE-WAY — the fail-back story is REBUILD, not
+    * re-seed: once a promoted table has minted local ids inside what
+    * used to be the mirrored prefix's future, no cursor can make the
+    * source's and this table's ledgers line up again, so the
+    * sanctioned re-subscription is `replicate(src, freshDir)` (a
+    * fresh bootstrap pulls current bytes and stamps the statement
+    * history without replaying anything — the cheap path by design)
+    * and retiring the promoted dir once its unique local writes have
+    * been merged back into the source (an ordinary `mergeRows` /
+    * append of the post-promotion tail, read via
+    * `readSince(promotedAt)`).
+    *
     * LOCKING: maintenance THEN tail (the [[mergeRows]] order). The
     * tail lock makes a racing sync's per-batch pull observe the fence
     * exactly; the maintenance lock does the same for the sync's
@@ -2355,7 +2375,13 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     require(!isPromoted(df1, dmarkers),
       s"replicate: $dstDir was PROMOTED (markers/$PromotedMarker) — " +
         "it takes local writes now, and a pull could collide with a " +
-        "locally-minted ledger id; promoted tables never sync again")
+        "locally-minted ledger id; promoted tables never sync again. " +
+        "To re-subscribe after a fail-back, REBUILD: replicate into a " +
+        "FRESH dir (a bootstrap pulls the source's current bytes and " +
+        "stamps its statement history — no snapshots or replays " +
+        "needed) and retire this one; there is no in-place re-seed, " +
+        "because locally-minted ids cannot be un-minted from the " +
+        "mirrored ledger prefix.")
     replicaSyncDepth.set(replicaSyncDepth.get() + 1)
     try replicateBody(spark, srcDir, dstDir, filesPerBatch, lockWaitMs)
     finally replicaSyncDepth.set(replicaSyncDepth.get() - 1)
@@ -2796,17 +2822,30 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
     *
     * NOT one atomic statement: sub-merges commit one by one, and a
     * crash between them leaves a prefix applied (each sub-merge is
-    * itself crash-exact); a caller retry is a NEW statement over the
-    * same updates — re-merging identical rows is value-idempotent
-    * (matched keys replace to the same bytes), at the cost of fresh
-    * ledger ids. Callers needing single-statement atomicity stay under
-    * [[MaxMergeKeys]].
+    * itself crash-exact). The split is CRASH-RESUMABLE: before any
+    * sub-merge commits, the updates pin DURABLY
+    * (`markers/chunk-<nonce>.updates` — a localCheckpoint dies with
+    * the JVM) and a PLAN file (`markers/chunk-<nonce>.plan`, written
+    * whole + renamed after every sub-merge) records the owner, the
+    * bucket layout, the planned non-empty buckets and each committed
+    * (bucket, ledgerId) pair; [[resumeChunkedMerges]] — run by
+    * [[vacuum]] — finishes the remaining buckets of a provably-dead
+    * owner's plan, so the committed prefix keeps its ids and only the
+    * owed suffix merges (a blind caller retry would re-merge
+    * everything under all-fresh ids). A crash BETWEEN a sub-merge's
+    * commit and its plan rewrite re-merges that ONE bucket — value-
+    * idempotent (same keys replace to the same bytes), one extra
+    * ledger id, the bounded version of the old full-retry cost.
+    * Callers needing single-statement atomicity stay under
+    * [[MaxMergeKeys]] (or use `dropUnmatched` for full syncs).
     *
     * Returns the committed ledger ids in commit order. 100 TB: the
     * split adds ONE hash-filter pass per bucket over the pinned
-    * updates (executor-local blocks, no shuffle); everything else is
-    * N ordinary bounded merges — driver key collections and record
-    * sizes stay under the per-merge caps by construction. */
+    * updates plus one durable write of the updates (the resume
+    * input); per-bucket emptiness comes from the SIZING pass's counts
+    * (no extra job per bucket); everything else is N ordinary bounded
+    * merges — driver key collections and record sizes stay under the
+    * per-merge caps by construction. */
   def mergeRowsChunkedNext(spark: SparkSession, dir: String,
       keyCol: String, updates: DataFrame, filesPerBatch: Int = 4,
       maxKeysPerMerge: Int = MaxMergeKeys.toInt): Seq[Long] = {
@@ -2827,22 +2866,159 @@ object LayoutIngest extends org.apache.spark.internal.Logging {
         "mergeRowsChunkedNext: bucket sizing failed to converge — " +
           "pathological key distribution")
       val bucket = pmod(xxhash64(col(keyCol)), lit(buckets.toLong))
-      val maxInBucket = snap.groupBy(bucket.as("__b"))
+      // ONE sizing job returns every bucket's distinct-key count:
+      // both the cap check and per-bucket emptiness (an empty bucket
+      // merges nothing and must not burn an id) come from it — no
+      // per-bucket isEmpty jobs
+      val counts = snap.groupBy(bucket.as("__b"))
         .agg(countDistinct(col(keyCol)).as("__n"))
-        .agg(max(col("__n"))).head().getLong(0)
-      if (maxInBucket <= maxKeysPerMerge) {
-        val ids = (0 until buckets).flatMap { c =>
-          val chunk = snap.filter(bucket === c.toLong)
-          // an empty bucket merges nothing and must not burn an id
-          if (chunk.isEmpty) None
-          else Some(mergeRowsNext(spark, dir, keyCol, chunk,
-            filesPerBatch))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      if (counts.values.forall(_ <= maxKeysPerMerge)) {
+        val planned = (0 until buckets).map(_.toLong)
+          .filter(counts.contains)
+        val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+        f.mkdirs(markers)
+        val nonce = java.util.UUID.randomUUID().toString.take(8)
+        snap.write.mode("overwrite")
+          .parquet(s"$dir/markers/chunk-$nonce.updates")
+        var committed = Seq.empty[(Long, Long)]
+        var seq = 0
+        def writePlan(): Unit = {
+          writeChunkPlan(f, markers, nonce, seq, keyCol, buckets,
+            filesPerBatch, planned, committed)
+          seq += 1
         }
+        writePlan()
+        val ids = planned.map { c =>
+          val id = mergeRowsNext(spark, dir, keyCol,
+            snap.filter(bucket === c), filesPerBatch)
+          committed :+= (c -> id)
+          writePlan()
+          id
+        }
+        dropChunkPlan(f, markers, nonce)
         return ids
       }
       buckets *= 2
     }
     Nil // unreachable
+  }
+
+  /** Publish plan version `seq` (written whole + renamed to a NEW
+    * name — there is never a moment with no readable plan: version
+    * `seq-1` survives until `seq` is live), then drop the superseded
+    * versions. A torn superseded-delete leaves extra versions;
+    * readers take the highest, and a missing B line only re-merges a
+    * value-idempotent bucket. */
+  private def writeChunkPlan(f: org.apache.hadoop.fs.FileSystem,
+      markers: org.apache.hadoop.fs.Path, nonce: String, seq: Int,
+      keyCol: String, buckets: Int, filesPerBatch: Int,
+      planned: Seq[Long], committed: Seq[(Long, Long)]): Unit = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val owner = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName
+    val lines = Seq(s"graft-chunk v1 $nonce", s"O\t$owner",
+      s"K\t${enc(keyCol)}", s"N\t$buckets", s"F\t$filesPerBatch") ++
+      planned.map(c => s"P\t$c") ++
+      committed.map { case (c, id) => s"B\t$c\t$id" }
+    val tmp = new org.apache.hadoop.fs.Path(markers,
+      s"chunk-$nonce.plan-$seq.tmp")
+    if (f.exists(tmp)) f.delete(tmp, false)
+    val out = f.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val plan = new org.apache.hadoop.fs.Path(markers,
+      s"chunk-$nonce.plan-$seq")
+    if (f.exists(plan)) f.delete(plan, false)
+    if (!f.rename(tmp, plan))
+      throw new IllegalStateException(
+        s"mergeRowsChunkedNext: plan publish failed for chunk-$nonce")
+    chunkPlanVersions(f, markers, nonce).filter(_._1 < seq)
+      .foreach(v => f.delete(v._2, false): Unit)
+  }
+
+  private def chunkPlanVersions(f: org.apache.hadoop.fs.FileSystem,
+      markers: org.apache.hadoop.fs.Path, nonce: String)
+      : Seq[(Int, org.apache.hadoop.fs.Path)] =
+    f.listStatus(markers).toSeq.map(_.getPath)
+      .filter(_.getName.matches(
+        s"chunk-$nonce\\.plan-\\d+"))
+      .map(p => (p.getName.split("-").last.toInt, p))
+
+  private def dropChunkPlan(f: org.apache.hadoop.fs.FileSystem,
+      markers: org.apache.hadoop.fs.Path, nonce: String): Unit = {
+    chunkPlanVersions(f, markers, nonce)
+      .foreach(v => f.delete(v._2, false): Unit)
+    f.delete(new org.apache.hadoop.fs.Path(markers,
+      s"chunk-$nonce.updates"), true): Unit
+  }
+
+  /** Finish the owed buckets of CRASHED chunked merges (the
+    * [[mergeRowsChunkedNext]] plan files): for each plan whose owner
+    * is PROVABLY dead (same-host exited pid — the [[LedgerLock]]
+    * rule; a live or foreign-host owner is skipped unless `force`,
+    * the operator's cross-host break), merge the planned-minus-
+    * committed buckets from the durable updates snapshot, then retire
+    * the plan. Run by [[vacuum]] OUTSIDE its maintenance hold (each
+    * sub-merge takes its own locks — [[LedgerLock]] is not
+    * reentrant). Returns sub-merges completed. */
+  def resumeChunkedMerges(spark: SparkSession, dir: String,
+      force: Boolean = false): Int = {
+    val (f, markers) = DedupIngest.fs(spark, s"$dir/markers")
+    if (!f.exists(markers)) return 0
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    var done = 0
+    val nonces = f.listStatus(markers).toSeq.map(_.getPath.getName)
+      .flatMap {
+        case n if n.matches("chunk-[0-9a-f]{8}\\.plan-\\d+") =>
+          Some(n.stripPrefix("chunk-").takeWhile(_ != '.'))
+        case _ => None
+      }.distinct
+    nonces.foreach { nonce =>
+      val versions = chunkPlanVersions(f, markers, nonce)
+      if (versions.nonEmpty) {
+        val (topSeq, p) = versions.maxBy(_._1)
+        val lines = readMarkerLines(f, p)
+        val owner = lines.collectFirst {
+          case l if l.startsWith("O\t") => l.drop(2) }.getOrElse("")
+        val ownerDead =
+          LedgerLock.holderProvablyDead(s"$owner:plan")
+        if (ownerDead || force) {
+          val keyCol = lines.collectFirst {
+            case l if l.startsWith("K\t") => dec(l.drop(2)) }.get
+          val buckets = lines.collectFirst {
+            case l if l.startsWith("N\t") => l.drop(2).toInt }.get
+          val filesPerBatch = lines.collectFirst {
+            case l if l.startsWith("F\t") => l.drop(2).toInt }.get
+          val planned = lines.filter(_.startsWith("P\t"))
+            .map(_.drop(2).toLong)
+          var committedPairs = lines.filter(_.startsWith("B\t"))
+            .map { l =>
+              val t = l.drop(2).split("\t")
+              (t(0).toLong, t(1).toLong)
+            }
+          val owed = planned.filterNot(committedPairs.map(_._1).toSet)
+          if (owed.nonEmpty) {
+            val snap = spark.read
+              .parquet(s"$dir/markers/chunk-$nonce.updates")
+            val bucket = pmod(xxhash64(col(keyCol)),
+              lit(buckets.toLong))
+            var seq = topSeq + 1
+            owed.foreach { c =>
+              val id = mergeRowsNext(spark, dir, keyCol,
+                snap.filter(bucket === c), filesPerBatch)
+              committedPairs :+= (c -> id)
+              writeChunkPlan(f, markers, nonce, seq, keyCol, buckets,
+                filesPerBatch, planned, committedPairs)
+              seq += 1
+              done += 1
+            }
+          }
+          dropChunkPlan(f, markers, nonce)
+        }
+      }
+    }
+    done
   }
 
   /** Probing every merge key against every unit bloom is driver work

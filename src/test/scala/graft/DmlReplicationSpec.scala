@@ -93,6 +93,78 @@ class DmlReplicationSpec extends SparkSpec {
       "the new UPDATE must mint past the crashed id 0")
   }
 
+  test("a CRASHED chunked merge auto-completes at the next vacuum: " +
+      "owed buckets merge from the durable plan + snapshot, the " +
+      "committed prefix keeps its ids (no re-merge), replicas replay " +
+      "every sub-merge; LIVE owners' plans are left alone (force " +
+      "overrides)") {
+    val t = freshTable("chunked-resume") // a = 0..99, v = a*10
+    val dst = t.stripSuffix("/t") + "/r"
+    LayoutIngest.replicate(spark, t, dst): Unit
+    val updates = (25L to 84L).map(i => (i, i, i * 1000L))
+      .toDF("a", "b", "v")
+    val nB = 4
+    val bucketCol = pmod(xxhash64(col("a")), lit(nB.toLong))
+    val planned = updates.groupBy(bucketCol.as("__b")).count()
+      .select("__b").as[Long].collect().sorted.toSeq
+    // CRASH STATE, as mergeRowsChunkedNext would leave it: durable
+    // updates snapshot + a plan (dead owner, pid past pid_max) with
+    // the FIRST planned bucket already committed
+    updates.write.mode("overwrite")
+      .parquet(s"$t/markers/chunk-deadbeef.updates")
+    val id0 = LayoutIngest.mergeRowsNext(spark, t, "a",
+      updates.filter(bucketCol === planned.head))
+    val host = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName.split("@").last
+    val planLines = Seq("graft-chunk v1 deadbeef", s"O\t4999999@$host",
+      "K\ta", s"N\t$nB", "F\t4") ++
+      planned.map(c => s"P\t$c") :+ s"B\t${planned.head}\t$id0"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/markers/chunk-deadbeef.plan-3"),
+      planLines.mkString("\n").getBytes("UTF-8"))
+    // next maintenance converges: owed buckets merge, plan retires
+    LayoutIngest.vacuum(spark, t): Unit
+    val got = LayoutIngest.read(spark, t)
+      .select("a", "v").as[(Long, Long)].collect().toMap
+    val want = ((0L to 24L) ++ (85L to 99L)).map(i => i -> i * 10L)
+      .toMap ++ (25L to 84L).map(i => i -> i * 1000L).toMap
+    assert(got === want, "every bucket applied exactly once")
+    assert(LayoutIngest.history(spark, t)
+      .filter(col("kind") === "merge").count() === planned.size.toLong,
+      "committed prefix kept its id — owed buckets only")
+    assert(!new java.io.File(s"$t/markers").listFiles()
+      .exists(_.getName.startsWith("chunk-deadbeef")),
+      "the completed plan and its snapshot retire")
+    // the replica converges by replaying every sub-merge
+    val st = LayoutIngest.replicate(spark, t, dst)
+    assert(st.mergesReplayed === planned.size, s"got $st")
+    assert(snap(dst) === snap(t))
+    // a LIVE owner's plan is NOT auto-resumed (it is mid-flight);
+    // force completes it — the operator's cross-host break
+    Seq((200L, 0L, 1L)).toDF("a", "b", "v").write.mode("overwrite")
+      .parquet(s"$t/markers/chunk-cafe0000.updates")
+    val liveBucket = java.lang.Math.floorMod(
+      spark.sql("SELECT xxhash64(CAST(200 AS BIGINT))")
+        .head().getLong(0), nB.toLong)
+    val livePlan = Seq("graft-chunk v1 cafe0000",
+      s"O\t${java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getName}",
+      "K\ta", s"N\t$nB", "F\t4", s"P\t$liveBucket")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/markers/chunk-cafe0000.plan-0"),
+      livePlan.mkString("\n").getBytes("UTF-8"))
+    LayoutIngest.vacuum(spark, t): Unit
+    assert(new java.io.File(s"$t/markers/chunk-cafe0000.plan-0")
+      .exists(), "a live owner's plan must survive vacuum")
+    assert(LayoutIngest.resumeChunkedMerges(spark, t,
+      force = true) === 1)
+    assert(LayoutIngest.read(spark, t)
+      .filter(col("a") === 200L).count() === 1L,
+      "the forced resume applied the owed bucket")
+    assert(!new java.io.File(s"$t/markers").listFiles()
+      .exists(_.getName.startsWith("chunk-cafe0000")))
+  }
+
   test("DML markers carry the statement record; the fold " +
       "consolidates EXACTLY: history identical, replays stay no-ops, " +
       "minting scans the log") {
@@ -736,8 +808,12 @@ class DmlReplicationSpec extends SparkSpec {
     assert(LayoutIngest.promoteReplica(spark, dst) === 1L)
     assert(spark.sql(s"SELECT * FROM graft_promote('$dst')")
       .head().getLong(0) === 1L)
-    // further syncs refuse typed — the promoted table owns its ledger
+    // further syncs refuse typed — the promoted table owns its
+    // ledger — and the refusal NAMES the sanctioned re-subscription
+    // (rebuild into a fresh dir; promotion is one-way)
     refuses(LayoutIngest.replicate(spark, src, dst), "PROMOTED")
+    refuses(LayoutIngest.replicate(spark, src, dst), "REBUILD")
+    refuses(LayoutIngest.replicate(spark, src, dst), "FRESH dir")
     // local writes mint ABOVE the mirrored prefix and work end to end
     val id = LayoutIngest.appendNext(spark, dst,
       Seq((200L, 0L, 0L)).toDF("a", "b", "v"), 1)
