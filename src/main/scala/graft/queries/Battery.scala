@@ -7815,12 +7815,14 @@ WHERE rk <= 40"""
       // statements' permanent records consolidate into ONE dml-log
       // file and history() must present them EXACTLY as before — the
       // r17 verdict's bound-the-DML-namespace ask, gated here because
-      // this fixture is the ledger-presentation oracle (the identity
-      // assignment keeps row content byte-stable; only the ledger
-      // matters to this gate)
+      // this fixture is the ledger-presentation oracle (the
+      // assignment reads only an UNTOUCHED column — the replayable
+      // shape the record-time self-ref gate now requires; only the
+      // ledger, never row content, matters to this gate)
       graft.streaming.LayoutIngest.updateBoxes(s, tableDir,
         Seq(Seq(("user_id", umn + 1, umn + 1))),
-        Seq("value" -> col("value")), updateId = 2L): Unit
+        Seq("value" -> (col("user_id") % 97).cast("double")),
+        updateId = 2L): Unit
       require(graft.streaming.LayoutIngest
           .compactDmlMarkers(s, tableDir) == 2,
         s"$tag premise: the fold must retire exactly del-7 and upd-2")
