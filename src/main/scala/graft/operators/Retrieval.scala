@@ -43,22 +43,49 @@ object Retrieval {
   case class Bm25Index(tf: DataFrame, df: DataFrame, stats: DataFrame)
 
   /** Derive a [[Bm25Index]]. The per-(doc, term) tf frame is persisted
-    * (it feeds the df aggregation AND every scoring pass); doc length
-    * rides ON the tf rows so serving never joins a per-doc frame. */
+    * (it feeds the df aggregation AND every scoring pass); df and
+    * stats are cheap derivations over it, deduplicated per execution
+    * by Spark's broadcast-exchange reuse (persisting them measured
+    * strictly slower at bench scale — cache materialization overhead
+    * with no reuse the exchange reuse wasn't already providing).
+    *
+    * One tokenize pass (r20, guide §2.3/§2.4): doc length rides the
+    * grouping key (constant per doc), so tf needs no per-doc join —
+    * the original form tokenized the corpus three times (terms, the
+    * dl side of a corpus-scale shuffle join, and the stats aggregate)
+    * and paid that join's exchanges. Stats derive exactly: `__n` is a
+    * token-free count of docs, `__dlsum` is `sum(__tf)` over tf
+    * (every token counted once), and `__avgdl = __dlsum / __n` — the
+    * same double division `avg(__dl)` performs (Spark averages
+    * integral columns as sum/count), and the identity [[mergeIndex]]
+    * already relies on. */
   def buildIndex(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Bm25Index = {
-    val dl = docs.select(col(idCol).as("__id"),
-      size(TextAnalysis.tokens(lower(col(textCol)))).as("__dl"))
-    val terms = docs.select(col(idCol).as("__id"),
-      explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
-    val tf = PersistTracker.trackPersist(terms
-      .groupBy("__id", "__t").agg(count(lit(1)).as("__tf"))
-      .join(dl, Seq("__id")))
-    Bm25Index(
-      tf,
-      tf.groupBy("__t").agg(count(lit(1)).as("__df")),
-      dl.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"),
-        coalesce(sum(col("__dl")), lit(0L)).cast("long").as("__dlsum")))
+    // the token array MUST be aliased in its own select before
+    // size/explode consume it: inlined, the optimizer rewrites `__dl`
+    // as size(tokenize(text)) ABOVE the Generate — re-tokenizing the
+    // doc once per OUTPUT TOKEN (measured 6x slower, TfShapeProbe)
+    val tf = PersistTracker.trackPersist(docs
+      .select(col(idCol).as("__id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("__id"), size(col("__toks")).as("__dl"),
+        explode(col("__toks")).as("__t"))
+      .groupBy("__id", "__t", "__dl").agg(count(lit(1)).as("__tf"))
+      .select("__id", "__t", "__tf", "__dl"))
+    val df = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val stats = docs
+      .agg(count(lit(1)).as("__n"))
+      .crossJoin(
+        tf.agg(coalesce(sum(col("__tf")), lit(0L)).cast("long")
+          .as("__dlsum")))
+      .select(col("__n"),
+        // empty corpus: avg() over no rows is NULL, 0.0/0.0 is NaN —
+        // keep the original NULL
+        when(col("__n") === 0, lit(null).cast("double"))
+          .otherwise(col("__dlsum").cast("double") /
+            col("__n").cast("double")).as("__avgdl"),
+        col("__dlsum"))
+    Bm25Index(tf, df, stats)
   }
 
   /**
