@@ -185,6 +185,45 @@ object Classify {
       defaultLr = math.log((nr + b).toDouble / (nt + b)), numBuckets)
   }
 
+  /** [[trainDsir]] + [[dsirScores]] fused for the self-trained case —
+    * the target corpus is a predicate over the raw pool itself (the
+    * "more like my seed slice" selection q90 gates): ONE gram/bucket
+    * pass over the pool serves both the per-bucket counts and the
+    * per-doc scoring, where the separate train-then-score chain grams
+    * and md5-buckets the corpus three times (target counts, raw
+    * counts, scoring) — the dominant cost of the chain (r20, guide
+    * §1.2/§2.3). The arithmetic is [[trainDsir]]'s exactly: per-bucket
+    * target count = grams of rows satisfying `targetPred`, raw count =
+    * all grams, identical Laplace smoothing — scores are
+    * bit-identical to the two-call form (spec-pinned). */
+  def dsirSelfScores(docs: DataFrame, targetPred: Column, idCol: String,
+      text: Column, numBuckets: Int = 10000): DataFrame = {
+    // one persisted (doc, is-target, bucket) gram frame — both
+    // aggregations below consume it
+    val gb = PersistTracker.trackPersist(
+      gramRows(docs.withColumn("__is_t", targetPred.cast("long")),
+        Seq(idCol, "__is_t"), text)
+        .select(col(idCol), col("__is_t"),
+          bucketOf(col("__g"), numBuckets).as("bucket")))
+    val counts = gb.groupBy("bucket").agg(
+      sum(col("__is_t")).as("__ct"),
+      count(lit(1)).as("__cr"))
+    val Array(nt, nr) = counts.agg(sum("__ct"), sum("__cr"))
+      .head().toSeq.map(v => v.asInstanceOf[Long]).toArray
+    val b = numBuckets.toLong
+    val logRatios = counts.select(col("bucket"),
+      (log((col("__ct") + 1.0) / lit(nt + b).cast("double")) -
+        log((col("__cr") + 1.0) / lit(nr + b).cast("double"))).as("lr"))
+    val defaultLr = math.log((nr + b).toDouble / (nt + b))
+    gb.select(col(idCol), col("bucket"))
+      .join(broadcast(logRatios), Seq("bucket"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_feats"),
+        round(avg(coalesce(col("lr"), lit(defaultLr))), 4)
+          .as("dsir_logratio"))
+  }
+
   /** Per-document importance weight under a trained DSIR model: the
     * feature-occurrence count and the mean log-ratio (4 dp). Zero-token
     * documents drop out (explode of an empty array), like

@@ -3277,14 +3277,14 @@ object Battery {
     * weight, and the quantile cutoff. */
   val q90DsirSelect: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val model = graft.operators.Classify.trainDsir(
-      docs.filter(col("lang") === "en"), docs, col("text"))
     // Persisted: the quantile cutoff and the final gate both consume
     // the scored frame; without the cache the explode + broadcast-join
-    // scoring pass runs twice.
+    // scoring pass runs twice. The fused self-trained form grams the
+    // corpus ONCE (train-then-score grams it three times) — same
+    // arithmetic, bit-identical scores (r20).
     val scores = graft.operators.PersistTracker.trackPersist(
-      graft.operators.Classify.dsirScores(
-        model, docs, "doc_id", col("text")))
+      graft.operators.Classify.dsirSelfScores(
+        docs, col("lang") === "en", "doc_id", col("text")))
     val cut = scores.agg(
       round(percentile(col("dsir_logratio"), lit(0.7)), 4).as("__cut"))
     scores.crossJoin(broadcast(cut))

@@ -107,6 +107,28 @@ class ClassifySpec extends SparkSpec {
     assert(math.abs(s20 - model.defaultLr) <= 1e-4)
   }
 
+  test("dsirSelfScores ≡ trainDsir + dsirScores (one-pass fusion, r20)") {
+    val raw = Seq(
+      (10L, "en", "apple banana apple"),
+      (11L, "de", "cherry durian"),
+      (12L, "en", "banana cherry banana split"),
+      (13L, "fr", "zebra yak zebra yak zebra"),
+      (14L, "en", "  ")).toDF("doc_id", "lang", "text")
+    val twoCall = Classify.dsirScores(
+      Classify.trainDsir(raw.filter(col("lang") === "en"), raw,
+        col("text")),
+      raw, "doc_id", col("text"))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val fused = Classify.dsirSelfScores(raw, col("lang") === "en",
+      "doc_id", col("text"))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    graft.operators.PersistTracker.releaseAll()
+    assert(fused === twoCall,
+      "the fused one-pass form must be bit-identical to train+score")
+    assert(fused.nonEmpty && fused.map(_._1) === Seq(10L, 11L, 12L, 13L),
+      "zero-token doc must drop out of both forms")
+  }
+
   test("knnPropagate: cluster labels propagate; ties break on low label") {
     // two tight clusters on orthogonal axes, labels 1 and 2; ids 100/101
     // are unlabeled members of cluster 1 / cluster 2
