@@ -588,7 +588,7 @@ object Dedup {
     // tokens materialized behind an exchange so projection collapse
     // can't re-inline the regex split into every element_at below
     val toks = df.select(col(idCol).as("__sid"),
-      filter(split(lower(text), "\\s+"), t => length(t) > 0).as("__t"))
+      graft.operators.TextAnalysis.tokens(lower(text)).as("__t"))
       .repartition(col("__sid"))
     val m = size(col("__t"))
     val ngramHash = xxhash64(concat_ws(" ",

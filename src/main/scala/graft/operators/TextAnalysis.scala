@@ -17,7 +17,13 @@ object TextAnalysis {
 
   /** Whitespace tokens (empty tokens from leading/trailing space removed). */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    // ≡ filter(split(text, "\\s+"), len > 0): a \s+ split can only
+    // yield "" at the array EDGES (consecutive whitespace is one
+    // separator), so removing "" IS the length filter — without the
+    // interpreted per-element lambda the higher-order `filter` costs
+    // (r20 TokensProbe: 0.42 vs 0.60 s for the tf stage at sf0.1;
+    // parity exact on corpus + whitespace edge cases)
+    array_remove(split(text, "\\s+"), "")
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
