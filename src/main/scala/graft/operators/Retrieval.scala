@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
 
 /**
  * Sparse lexical retrieval over a document corpus — the ranking side of
@@ -152,33 +154,78 @@ object Retrieval {
       queryIdCol: String = "query_id", queryTextCol: String = "query_text"): DataFrame = {
     require(k > 0 && k1 >= 0 && b >= 0 && b <= 1,
       s"need k>0, k1>=0, b in [0,1]; got ($k, $k1, $b)")
-    val qterms = queries.select(col(queryIdCol),
-        explode(TextAnalysis.tokens(lower(col(queryTextCol)))).as("__t"))
-      .distinct()
-    scoreTermFrame(index, qterms, k, k1, b, idCol, queryIdCol)
+    val (qterms, qvocab) = localTermFrames(queries, queryIdCol,
+      queryTextCol)
+    scoreTermFrame(index, qterms, qvocab, localStats(index), k, k1, b,
+      idCol, queryIdCol)
   }
+
+  /** The single stats row as a LOCAL relation — broadcast into every
+    * scoring pass without re-running the stats aggregation per
+    * broadcast build (one bounded collect per serve call). */
+  private def localStats(index: Bm25Index): DataFrame =
+    localRows(index.stats.sparkSession, index.stats.collect().toSeq,
+      index.stats.schema)
 
   /** The BM25 idf term on an index's (__n, __df) columns. */
   private def bm25Idf: Column = log(lit(1.0) +
     (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
 
-  /** Score a prepared per-query TERM frame `(queryIdCol, __t)` against
-    * the index — the shared tail of [[bm25TopKWithIndex]] and
-    * [[prfTopK]] (both rounds). Plan shape unchanged from the original
-    * inline form: broadcast term frame + broadcast query-vocab df
-    * slice + broadcast 1-row stats onto the tf scan. */
-  private def scoreTermFrame(index: Bm25Index, qterms: DataFrame, k: Int,
+  /** Re-create a contract-bounded frame as a driver-LOCAL relation.
+    * Serving's query-side frames (query terms, feedback ids, expansion
+    * picks) are exactly the rows every broadcast join already collects
+    * to the driver — but as DISTRIBUTED subtrees each broadcast build
+    * ran as its own Spark job, with its own AQE shuffle stages for any
+    * distinct/union in the subtree (r20 JobCountProbe: 40 of the PRF
+    * serve's 50 jobs were broadcast builds). A broadcast over a local
+    * relation builds jobless, and driver-side distinct/union replace
+    * the shuffles outright (guide §2.4). */
+  private def localRows(session: org.apache.spark.sql.SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    session.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+      schema)
+
+  /** The per-query term frame `(queryIdCol, __t)` and its distinct-term
+    * vocabulary `(__t)`, both as LOCAL relations (one bounded collect —
+    * |query batch| · |terms| rows, the broadcast bound serving already
+    * had). */
+  private def localTermFrames(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String): (DataFrame, DataFrame) = {
+    val raw = queries.select(col(queryIdCol),
+      explode(TextAnalysis.tokens(lower(col(queryTextCol)))).as("__t"))
+    val rows = raw.collect().toSeq.distinct
+    val session = queries.sparkSession
+    val qterms = localRows(session, rows, raw.schema)
+    val vocab = localRows(session,
+      rows.map(r => Row(r.get(1))).distinct,
+      org.apache.spark.sql.types.StructType(Seq(raw.schema.fields(1))))
+    (qterms, vocab)
+  }
+
+  /** Score a prepared per-query TERM frame `(queryIdCol, __t)` (with
+    * its distinct vocabulary `qvocab(__t)`) against the index — the
+    * shared tail of [[bm25TopKWithIndex]] and [[prfTopK]] (both
+    * rounds). Plan shape unchanged from the original inline form:
+    * broadcast term frame + broadcast query-vocab df slice + broadcast
+    * 1-row stats onto the tf scan. */
+  private def scoreTermFrame(index: Bm25Index, qterms: DataFrame,
+      qvocab: DataFrame, stats: DataFrame, k: Int,
       k1: Double, b: Double, idCol: String, queryIdCol: String): DataFrame = {
-    // df slice for the query vocabulary only — |query terms| rows, so it
-    // broadcasts no matter how large the corpus vocabulary is
-    val dfq = index.df
-      .join(broadcast(qterms.select("__t").distinct()), Seq("__t"))
+    // df slice for the query vocabulary only — |query terms| rows, so
+    // it broadcasts no matter how large the corpus vocabulary is; the
+    // slice round-trips through the driver so the scoring action's
+    // broadcast build does not re-run the vocabulary aggregation
+    val dfqDf = index.df.join(broadcast(qvocab), Seq("__t"))
+    val dfq = localRows(dfqDf.sparkSession, dfqDf.collect().toSeq,
+      dfqDf.schema)
     val norm = col("__tf") /
       (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
     val scored = index.tf
       .join(broadcast(qterms), Seq("__t"))
       .join(broadcast(dfq), Seq("__t"))
-      .crossJoin(broadcast(index.stats))
+      .crossJoin(broadcast(stats))
       .groupBy(col(queryIdCol), col("__id"))
       .agg(round(sum(bm25Idf * norm), 4).as("score"))
     val w = Window.partitionBy(queryIdCol)
@@ -203,7 +250,14 @@ object Retrieval {
    * query-bounded: the feedback doc list (|Q|·fbDocs rows) broadcasts
    * into the tf scan, candidate term weights aggregate at
    * (query, term) grain, and the expansion pick is a window over
-   * |Q|-bounded rows. The corpus is scanned, never shuffled.
+   * |Q|-bounded rows. The corpus is scanned, never shuffled. The
+   * query-bounded frames round-trip through the driver as LOCAL
+   * relations between stages (r20): each is at most |Q|·fbDocs or
+   * |Q|·fbTerms rows — rows the old lazy plan collected anyway to
+   * build its broadcasts, but as distributed subtrees whose builds ran
+   * ~40 separate Spark jobs per serve (JobCountProbe); localized, the
+   * serve runs 3 corpus-side actions (round 1, expansion weights,
+   * round 2) and the persisted all-terms/union shuffles disappear.
    *
    * @return `(queryIdCol, rank, idCol, score)` — final expanded-query
    *         ranking
@@ -215,36 +269,43 @@ object Retrieval {
       queryIdCol: String = "query_id", queryTextCol: String = "query_text"): DataFrame = {
     require(fbDocs > 0 && fbTerms >= 0,
       s"need fbDocs>0, fbTerms>=0; got ($fbDocs, $fbTerms)")
-    val qterms = queries.select(col(queryIdCol),
-        explode(TextAnalysis.tokens(lower(col(queryTextCol)))).as("__t"))
-      .distinct()
-    val first = scoreTermFrame(index, qterms, fbDocs, k1, b, "__fbid",
-      queryIdCol)
-    val fb = first.select(col(queryIdCol), col("__fbid").as("__id"))
+    val session = queries.sparkSession
+    val (qterms, qvocab) = localTermFrames(queries, queryIdCol,
+      queryTextCol)
+    val stats = localStats(index)
+    val first = scoreTermFrame(index, qterms, qvocab, stats, fbDocs, k1,
+      b, "__fbid", queryIdCol)
+    // round 1 executes HERE: |Q|·fbDocs rows back to the driver
+    val fbDf = first.select(col(queryIdCol), col("__fbid").as("__id"))
+    val fb = localRows(session, fbDf.collect().toSeq, fbDf.schema)
     // pinned: used twice (term-distinct slice + the weight join) and its
-    // lineage re-runs round 1 otherwise
+    // lineage re-runs the feedback tf probe otherwise
     val cand = PersistTracker.trackPersist(
       index.tf.join(broadcast(fb), Seq("__id"))
         .groupBy(col(queryIdCol), col("__t")).agg(sum("__tf").as("__ftf")))
     val dfc = index.df
       .join(broadcast(cand.select("__t").distinct()), Seq("__t"))
     val weighted = cand.join(broadcast(dfc), Seq("__t"))
-      .crossJoin(broadcast(index.stats))
+      .crossJoin(broadcast(stats))
       .select(col(queryIdCol), col("__t"),
         round(bm25Idf * col("__ftf"), 4).as("__w"))
       .join(qterms, Seq(queryIdCol, "__t"), "left_anti")
     val w = Window.partitionBy(queryIdCol)
       .orderBy(col("__w").desc, col("__t"))
-    // pinned: scoreTermFrame consumes the term frame twice (df slice +
-    // scoring join); without the pin each use replays the entire
-    // feedback pipeline
-    val allTerms = PersistTracker.trackPersist(
-      qterms.unionByName(
-        weighted.withColumn("__r", row_number().over(w))
-          .filter(col("__r") <= fbTerms)
-          .select(col(queryIdCol), col("__t")))
-        .distinct())
-    scoreTermFrame(index, allTerms, k, k1, b, idCol, queryIdCol)
+    // the expansion pick executes HERE: ≤ |Q|·fbTerms rows back to the
+    // driver; the expanded term set unions with the query terms as a
+    // plain driver set — no persisted union/distinct shuffles
+    val expansion = weighted.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= fbTerms)
+      .select(col(queryIdCol), col("__t"))
+      .collect().toSeq
+    val allRows = (qterms.collect().toSeq ++ expansion).distinct
+    val allTerms = localRows(session, allRows, qterms.schema)
+    val allVocab = localRows(session,
+      allRows.map(r => Row(r.get(1))).distinct,
+      org.apache.spark.sql.types.StructType(Seq(qterms.schema.fields(1))))
+    scoreTermFrame(index, allTerms, allVocab, stats, k, k1, b, idCol,
+      queryIdCol)
   }
 
   /**
