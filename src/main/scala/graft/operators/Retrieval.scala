@@ -154,10 +154,15 @@ object Retrieval {
       queryIdCol: String = "query_id", queryTextCol: String = "query_text"): DataFrame = {
     require(k > 0 && k1 >= 0 && b >= 0 && b <= 1,
       s"need k>0, k1>=0, b in [0,1]; got ($k, $k1, $b)")
-    val (qterms, qvocab) = localTermFrames(queries, queryIdCol,
-      queryTextCol)
-    scoreTermFrame(index, qterms, qvocab, localStats(index), k, k1, b,
-      idCol, queryIdCol)
+    // single-action serve: every frame stays a LAZY subtree (one
+    // execution, deduplicated by exchange reuse; eager localization
+    // here would force index work the caller's one action may never
+    // need — e.g. a downstream count that prunes the ranking)
+    val qterms = queries.select(col(queryIdCol),
+        explode(TextAnalysis.tokens(lower(col(queryTextCol)))).as("__t"))
+      .distinct()
+    scoreTermFrame(index, qterms, qterms.select("__t").distinct(),
+      index.stats, k, k1, b, idCol, queryIdCol, localizeSlices = false)
   }
 
   /** The single stats row as a LOCAL relation — broadcast into every
@@ -212,14 +217,18 @@ object Retrieval {
     * 1-row stats onto the tf scan. */
   private def scoreTermFrame(index: Bm25Index, qterms: DataFrame,
       qvocab: DataFrame, stats: DataFrame, k: Int,
-      k1: Double, b: Double, idCol: String, queryIdCol: String): DataFrame = {
+      k1: Double, b: Double, idCol: String, queryIdCol: String,
+      localizeSlices: Boolean = true): DataFrame = {
     // df slice for the query vocabulary only — |query terms| rows, so
-    // it broadcasts no matter how large the corpus vocabulary is; the
-    // slice round-trips through the driver so the scoring action's
-    // broadcast build does not re-run the vocabulary aggregation
+    // it broadcasts no matter how large the corpus vocabulary is; in
+    // the multi-action PRF serve the slice round-trips through the
+    // driver so each action's broadcast build does not re-run the
+    // vocabulary aggregation (broadcasts never reuse across actions)
     val dfqDf = index.df.join(broadcast(qvocab), Seq("__t"))
-    val dfq = localRows(dfqDf.sparkSession, dfqDf.collect().toSeq,
-      dfqDf.schema)
+    val dfq =
+      if (!localizeSlices) dfqDf
+      else localRows(dfqDf.sparkSession, dfqDf.collect().toSeq,
+        dfqDf.schema)
     val norm = col("__tf") /
       (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
     val scored = index.tf
